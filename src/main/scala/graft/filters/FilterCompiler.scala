@@ -1,0 +1,198 @@
+package graft.filters
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions
+import graft.model._
+
+/** Resolves a payload key to value columns for filter compilation.
+  *
+  * qdrant payload fields are multi-valued: a key may hold a scalar, an array,
+  * or be absent; every condition is ∃-quantified over the values
+  * (ref `lib/segment/src/types.rs:3095` "any of the values").
+  */
+trait FieldResolver {
+  /** All values of `key` as an array column (scalar → 1-element array,
+    * absent/null → empty array). */
+  def values(key: String): Column
+  /** Field is present with a non-null value. */
+  def fieldExists(key: String): Column
+  /** Field value is explicit JSON null (distinct from absent).
+    * Ref IsNull `types.rs:3786-3806`. */
+  def isJsonNull(key: String): Column
+  def id: Column
+  def vector(name: String): Column
+  /** Element struct type of an array-of-objects field (for Nested). */
+  def elementType(key: String): Option[StructType] = None
+}
+
+/** Resolver for collections whose payload fields are typed top-level columns
+  * (the "payload index projection" layout, SURVEY.md §2.5). Arrays stay
+  * arrays; scalars are wrapped. Typed columns cannot carry a JSON null
+  * distinct from absent, so isJsonNull == absent-with-null here.
+  */
+final class TypedResolver(
+    schema: StructType,
+    idCol: String = "id",
+    vectorCols: Map[String, String] = Map.empty)
+  extends FieldResolver {
+
+  private def fieldType(key: String): Option[DataType] =
+    schema.fields.find(_.name == key).map(_.dataType)
+
+  def values(key: String): Column = fieldType(key) match {
+    case Some(_: ArrayType) => coalesce(col(key), array())
+    case Some(_) => when(col(key).isNotNull, array(col(key)))
+        .otherwise(array().cast(ArrayType(fieldType(key).get)))
+    case None => array().cast(ArrayType(StringType))
+  }
+
+  def fieldExists(key: String): Column =
+    if (fieldType(key).isDefined) col(key).isNotNull else lit(false)
+
+  def isJsonNull(key: String): Column =
+    if (fieldType(key).isDefined) col(key).isNull else lit(false)
+
+  def id: Column = col(idCol)
+  def vector(name: String): Column = col(vectorCols.getOrElse(name, name))
+
+  override def elementType(key: String): Option[StructType] = fieldType(key) match {
+    case Some(ArrayType(s: StructType, _)) => Some(s)
+    case Some(s: StructType) => Some(s)
+    case _ => None
+  }
+}
+
+/** Resolver over a struct element (for Nested conditions): keys resolve
+  * against the element's fields. Ref nested filtering
+  * `lib/segment/src/types.rs:3925-3962`. */
+final class StructResolver(elem: Column, tpe: StructType) extends FieldResolver {
+  private def fieldType(key: String): Option[DataType] =
+    tpe.fields.find(_.name == key).map(_.dataType)
+
+  def values(key: String): Column = fieldType(key) match {
+    case Some(_: ArrayType) => coalesce(elem.getField(key), array())
+    case Some(t) => when(elem.getField(key).isNotNull, array(elem.getField(key)))
+        .otherwise(array().cast(ArrayType(t)))
+    case None => array().cast(ArrayType(StringType))
+  }
+  def fieldExists(key: String): Column =
+    if (fieldType(key).isDefined) elem.getField(key).isNotNull else lit(false)
+  def isJsonNull(key: String): Column =
+    if (fieldType(key).isDefined) elem.getField(key).isNull else lit(false)
+  def id: Column = lit(null)
+  def vector(name: String): Column = lit(null)
+
+  override def elementType(key: String): Option[StructType] = fieldType(key) match {
+    case Some(ArrayType(s: StructType, _)) => Some(s)
+    case Some(s: StructType) => Some(s)
+    case _ => None
+  }
+}
+
+/** Compiles the qdrant Filter algebra to a Catalyst boolean Column.
+  *
+  * Clause combination per `optimized_filter.rs:44-100`: AND(must) ∧
+  * OR(should) ∧ (Σ minShould ≥ n) ∧ ¬OR(mustNot).
+  *
+  * Every condition is null-safe (`coalesce(c, false)`): a predicate over an
+  * absent field is FALSE, so its negation under mustNot is TRUE — matching
+  * qdrant, where SQL three-valued logic would otherwise drop the row.
+  */
+final class FilterCompiler(r: FieldResolver) {
+
+  def compile(f: Filter): Column = {
+    val clauses = Seq.newBuilder[Column]
+    if (f.must.nonEmpty) clauses += f.must.map(condition).reduce(_ && _)
+    if (f.should.nonEmpty) clauses += f.should.map(condition).reduce(_ || _)
+    f.minShould.foreach { ms =>
+      clauses += ms.conditions
+        .map(c => when(condition(c), 1).otherwise(0))
+        .reduce(_ + _) >= ms.minCount
+    }
+    if (f.mustNot.nonEmpty) clauses += !f.mustNot.map(condition).reduce(_ || _)
+    clauses.result().reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  def condition(c: Condition): Column = coalesce(cond0(c), lit(false))
+
+  /** ∃ value under key satisfying pred. */
+  private def anyValue(key: String, pred: Column => Column): Column =
+    exists(r.values(key), pred)
+
+  private def rangeBounds(
+      v: Column,
+      gt: Option[Any], gte: Option[Any], lt: Option[Any], lte: Option[Any]): Column = {
+    val bs = Seq(
+      gt.map(b => v > lit(b)), gte.map(b => v >= lit(b)),
+      lt.map(b => v < lit(b)), lte.map(b => v <= lit(b))).flatten
+    bs.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  private def tokens(v: Column): Column = split(v, " ")
+
+  private def cond0(c: Condition): Column = c match {
+    case MatchValue(k, value) => anyValue(k, _ === lit(value))
+    case MatchAny(k, vs) => anyValue(k, _.isin(vs: _*))
+    case MatchExcept(k, vs) => anyValue(k, !_.isin(vs: _*))
+    case MatchText(k, text) =>
+      val qs = text.split(" ").filter(_.nonEmpty)
+      anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ && _))
+    case MatchTextAny(k, text) =>
+      val qs = text.split(" ").filter(_.nonEmpty)
+      anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ || _))
+    case MatchPhrase(k, text) =>
+      anyValue(k, v => concat(lit(" "), v, lit(" ")).contains(lit(s" $text ")))
+    case MatchPrefix(k, p) => anyValue(k, _.startsWith(p))
+    case RangeCond(k, gt, gte, lt, lte) =>
+      anyValue(k, v => rangeBounds(v, gt, gte, lt, lte))
+    case ValuesCount(k, gt, gte, lt, lte) =>
+      rangeBounds(size(r.values(k)).cast("long"), gt, gte, lt, lte)
+    case GeoBoundingBox(k, tl, br) =>
+      anyValue(k, p => {
+        val lon = p.getField("lon"); val lat = p.getField("lat")
+        val lonOk =
+          if (tl.lon > br.lon) lon >= lit(tl.lon) || lon <= lit(br.lon) // antimeridian
+          else lon >= lit(tl.lon) && lon <= lit(br.lon)
+        lonOk && lat <= lit(tl.lat) && lat >= lit(br.lat)
+      })
+    case GeoRadius(k, c0, radius) =>
+      anyValue(k, p =>
+        VectorFunctions.haversineMeters(
+          p.getField("lon"), p.getField("lat"), lit(c0.lon), lit(c0.lat)) <= lit(radius))
+    case GeoPolygonCond(k, exterior, interiors) =>
+      anyValue(k, p => {
+        val inExt = pointInRing(p, exterior)
+        interiors.foldLeft(inExt)((acc, ring) => acc && !pointInRing(p, ring))
+      })
+    case IsEmpty(k) => !r.fieldExists(k) || size(r.values(k)) === 0
+    case IsNullCond(k) => r.isJsonNull(k)
+    case HasId(ids) => r.id.isin(ids: _*)
+    case HasVector(name) => r.vector(name).isNotNull
+    case NestedCond(k, f) => compileNested(k, f)
+    case SubFilter(f) => compile(f)
+  }
+
+  /** Ray casting, edges unrolled at compile time (polygon is a literal). */
+  private def pointInRing(p: Column, ring: Seq[GeoPoint]): Column = {
+    val x = p.getField("lon"); val y = p.getField("lat")
+    // ring is closed (first == last); iterate consecutive edges
+    val crossings = ring.sliding(2).collect { case Seq(a, b) =>
+      val crosses = (lit(a.lat) > y) =!= (lit(b.lat) > y)
+      val xIntersect =
+        lit(b.lon - a.lon) * (y - lit(a.lat)) / lit(b.lat - a.lat) + lit(a.lon)
+      when(crosses && x < xIntersect, 1).otherwise(0)
+    }.toSeq
+    crossings.reduceOption((a, b) => a + b).getOrElse(lit(0)) % 2 === 1
+  }
+
+  private def compileNested(key: String, f: Filter): Column =
+    r.elementType(key) match {
+      case Some(et) =>
+        exists(r.values(key), elem =>
+          new FilterCompiler(new StructResolver(elem, et)).compile(f))
+      case None => lit(false)
+    }
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** Dense-vector similarity as Catalyst column expressions.
+  *
+  * All scores are computed in DOUBLE precision with a strict sequential
+  * left-to-right fold (matching DuckDB's list_dot_product/list_distance
+  * evaluation order), so results are reproducible bit-for-bit across engines.
+  *
+  * Formula parity with qdrant `lib/segment/src/spaces/simple.rs`:
+  *  - Dot:       Σ aᵢbᵢ                      (larger better)
+  *  - Cosine:    dot(a,b)/(‖a‖·‖b‖)          (qdrant L2-normalizes at ingest
+  *               then dots — same value; simple.rs:169-207)
+  *  - Euclid:    internal −Σ(aᵢ−bᵢ)², postprocessed |s|.sqrt() → we expose
+  *               the user-visible sqrt(Σd²), smaller better (simple.rs:74-78)
+  *  - Manhattan: Σ|aᵢ−bᵢ|, smaller better (simple.rs:119-121)
+  */
+object VectorFunctions {
+
+  private def d(x: Column): Column = x.cast("double")
+
+  /** Sequential fold Σ aᵢ·bᵢ over two array<float|double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def euclidDist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0d), (acc, x) => acc + x))
+
+  def manhattanDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(d(x) - d(y))), lit(0.0d), (acc, x) => acc + x)
+
+  /** Score column for a metric; order direction per [[Metric.largerBetter]]. */
+  def score(metric: Metric, v: Column, q: Column): Column = metric match {
+    case Dot       => dot(v, q)
+    case Cosine    => cosine(v, q)
+    case Euclid    => euclidDist(v, q)
+    case Manhattan => manhattanDist(v, q)
+  }
+
+  /** x/(1+|x|), range (−1,1). Ref `lib/common/common/src/math.rs:7-10`. */
+  def fastSigmoid(x: Column): Column = x / (lit(1.0d) + abs(x))
+
+  /** 0.5·(fastSigmoid(x)+1), range (0,1). Ref `math.rs:14-18`. */
+  def scaledFastSigmoid(x: Column): Column = lit(0.5d) * (fastSigmoid(x) + lit(1.0d))
+
+  /** MaxSim multivector comparator: Σ_{a∈query} max_{b∈stored} sim(a,b).
+    * Ref `lib/segment/src/vector_storage/query_scorer/mod.rs:77-108`;
+    * comparator is MaxSim-only for multivectors (`types.rs:2080-2082`).
+    * `stored` is array<array<float>>, `queryVecs` likewise.
+    */
+  def maxSim(metric: Metric, stored: Column, queryVecs: Column): Column =
+    aggregate(
+      queryVecs,
+      lit(0.0d),
+      (acc, qv) => acc + array_max(transform(stored, sv => score(metric, sv, qv))))
+
+  /** Sparse dot product over intersecting indices. Both operands are
+    * struct<indices: array<int>, values: array<float>> with sorted unique
+    * indices. Ref `lib/sparse/src/common/sparse_vector.rs:17-22` (format),
+    * scoring `lib/sparse/src/index/search_context.rs`.
+    * Implemented as: for each query (idx, w), find idx in stored indices and
+    * multiply — O(|q|·log|v|) via array_position (linear in Spark, fine for
+    * short vectors; the bulk path uses the inverted postings join instead).
+    */
+  def sparseDot(indices: Column, values: Column, qIndices: Seq[Int], qValues: Seq[Double]): Column = {
+    val terms = qIndices.zip(qValues).map { case (i, w) =>
+      val pos = array_position(indices, lit(i))
+      when(pos > 0, element_at(values, pos.cast("int")).cast("double") * lit(w))
+        .otherwise(lit(0.0d))
+    }
+    terms.reduceOption(_ + _).getOrElse(lit(0.0d))
+  }
+
+  /** Haversine distance in meters between two lon/lat points (degrees).
+    * Ref: geo condition checks `lib/segment/src/index/field_index/geo_index/`
+    * (`GeoPoint` distance, earth radius 6371 km).
+    */
+  val EarthRadiusMeters = 6371000.0
+  def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val toRad = math.Pi / 180.0
+    val dLat = (lat2 - lat1) * toRad
+    val dLon = (lon2 - lon1) * toRad
+    val a = pow(sin(dLat / 2), 2) +
+      cos(lat1 * toRad) * cos(lat2 * toRad) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusMeters) * asin(sqrt(a))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.model
+
+/** Geo point, lon/lat degrees.
+  * Ref: qdrant `lib/segment/src/types.rs:2356-2361` (`GeoPoint {lon, lat}`).
+  */
+final case class GeoPoint(lon: Double, lat: Double)
+
+/** Boolean filter structure.
+  *
+  * Semantics (ref `lib/segment/src/types.rs:4409-4441`,
+  * `lib/segment/src/index/query_optimization/optimized_filter.rs:44-100`):
+  * `must` = AND of conditions, `should` = OR (at least one, when non-empty),
+  * `minShould` = at-least-N-of, `mustNot` = NONE may hold; the four clause
+  * groups combine with AND.
+  */
+final case class Filter(
+    must: Seq[Condition] = Nil,
+    should: Seq[Condition] = Nil,
+    minShould: Option[MinShould] = None,
+    mustNot: Seq[Condition] = Nil) {
+  def isEmpty: Boolean =
+    must.isEmpty && should.isEmpty && minShould.isEmpty && mustNot.isEmpty
+}
+
+object Filter {
+  val empty: Filter = Filter()
+  def mustAll(cs: Condition*): Filter = Filter(must = cs)
+}
+
+/** Ref: `MinShould {conditions, min_count}` — `types.rs:4395`. */
+final case class MinShould(conditions: Seq[Condition], minCount: Int)
+
+/** Condition algebra. Ref: `Condition` enum `lib/segment/src/types.rs:3964-3985`
+  * and `FieldCondition` `types.rs:3568-3596`.
+  *
+  * Field-key semantics: a key may resolve to zero, one, or many values (payload
+  * values can be arrays); every predicate below is ∃-quantified over the
+  * resolved values. A condition on an absent field is `false` (and its
+  * `mustNot` is therefore `true`) — never SQL-NULL.
+  */
+sealed trait Condition
+
+/** Exact match against any of the field's values. Ref `types.rs:3007,3095`. */
+final case class MatchValue(key: String, value: Any) extends Condition
+/** IN-set. Ref `Match::Any` `types.rs:3068`. */
+final case class MatchAny(key: String, values: Seq[Any]) extends Condition
+/** At least one value NOT in the set (not the negation of MatchAny).
+  * Ref `types.rs:3075-3080`. */
+final case class MatchExcept(key: String, values: Seq[Any]) extends Condition
+/** Full-text: ALL query tokens present. Ref `types.rs:3014-3017`. */
+final case class MatchText(key: String, text: String) extends Condition
+/** Full-text: at least one query token present. Ref `types.rs:3021-3024`. */
+final case class MatchTextAny(key: String, text: String) extends Condition
+/** Consecutive token sequence. Ref `types.rs:3034`. */
+final case class MatchPhrase(key: String, text: String) extends Condition
+/** Keyword starts-with (byte-wise, case-sensitive). Ref `types.rs:3053-3065`. */
+final case class MatchPrefix(key: String, prefix: String) extends Condition
+
+/** Numeric / datetime range; any bound optional. Ref `types.rs:3229-3345`. */
+final case class RangeCond(
+    key: String,
+    gt: Option[Any] = None,
+    gte: Option[Any] = None,
+    lt: Option[Any] = None,
+    lte: Option[Any] = None) extends Condition
+
+/** Count of values under key within range (absent→0, array→len, scalar→1).
+  * Ref `types.rs:3348-3390`. */
+final case class ValuesCount(
+    key: String,
+    gt: Option[Long] = None,
+    gte: Option[Long] = None,
+    lt: Option[Long] = None,
+    lte: Option[Long] = None) extends Condition
+
+/** Point within lon/lat box; handles antimeridian when
+  * topLeft.lon > bottomRight.lon. Ref `types.rs:3400-3425`. */
+final case class GeoBoundingBox(key: String, topLeft: GeoPoint, bottomRight: GeoPoint)
+    extends Condition
+/** Haversine distance ≤ radius meters. Ref `types.rs:3427-3449`. */
+final case class GeoRadius(key: String, center: GeoPoint, radiusMeters: Double)
+    extends Condition
+/** Point-in-polygon, exterior ring + optional interior holes (rings closed).
+  * Ref `types.rs:3451-3566`. */
+final case class GeoPolygonCond(
+    key: String,
+    exterior: Seq[GeoPoint],
+    interiors: Seq[Seq[GeoPoint]] = Nil) extends Condition
+
+/** Field missing OR empty array. Ref `types.rs:3780-3785`. */
+final case class IsEmpty(key: String) extends Condition
+/** Field value is JSON null (or [null]) — distinct from absent.
+  * Ref `types.rs:3786-3806`. */
+final case class IsNullCond(key: String) extends Condition
+/** Point id ∈ set. Ref `types.rs:3808-3820`. */
+final case class HasId(ids: Seq[Long]) extends Condition
+/** Named vector present. Ref `types.rs:3821-3830`. */
+final case class HasVector(name: String) extends Condition
+/** Per-element filter over an array-of-objects field: inner conditions must
+  * hold on the SAME element. Ref `types.rs:3925-3962`. */
+final case class NestedCond(key: String, filter: Filter) extends Condition
+/** Nested boolean structure. Ref `types.rs:3983`. */
+final case class SubFilter(filter: Filter) extends Condition

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.filters.{FieldResolver, FilterCompiler}
+import graft.model.Filter
+
+/** Non-scoring reads: count, facet, scroll (id / payload-field order).
+  * SURVEY.md §2.4. */
+object Reads {
+
+  private def pred(filter: Option[Filter], r: FieldResolver): Option[Column] =
+    filter.filterNot(_.isEmpty).map(f => new FilterCompiler(r).compile(f))
+
+  /** Exact count of points matching filter.
+    * Ref `lib/shard/src/count.rs:15-23` (Spark counts are always exact). */
+  def count(points: DataFrame, filter: Option[Filter], r: FieldResolver): DataFrame = {
+    val base = pred(filter, r).fold(points)(points.filter)
+    base.agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+  }
+
+  /** Facet: per-value point counts for a keyword/int/bool field, top-`limit`
+    * by count (unique per point). Multi-valued fields contribute each value
+    * once per point. Ref `lib/segment/src/data_types/facets.rs:16-120`,
+    * merge `lib/collection/src/collection/facet.rs:83-130`.
+    * Deterministic tiebreak: value ascending.
+    */
+  def facet(
+      points: DataFrame,
+      idCol: String,
+      field: String,
+      filter: Option[Filter],
+      r: FieldResolver,
+      limit: Int = 10): DataFrame = {
+    val base = pred(filter, r).fold(points)(points.filter)
+    base
+      .select(col(idCol), explode(r.values(field)).as("value"))
+      .groupBy(col("value"))
+      .agg(count_distinct(col(idCol)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value").asc)
+      .limit(limit)
+  }
+
+  /** Scroll by id: keyset pagination — filter, id ≥ offset, order by id.
+    * Ref `lib/collection/src/shards/local_shard/scroll.rs:64-130`. The
+    * (limit+1)-th row is the caller's `next_page_offset`. */
+  def scrollById(
+      points: DataFrame,
+      idCol: String,
+      filter: Option[Filter],
+      r: FieldResolver,
+      offsetId: Option[Long],
+      limit: Int,
+      projection: Seq[String]): DataFrame = {
+    val base = pred(filter, r).fold(points)(points.filter)
+    val paged = offsetId.fold(base)(o => base.filter(col(idCol) >= o))
+    paged.orderBy(col(idCol).asc).limit(limit).select(projection.map(col): _*)
+  }
+
+  /** Scroll ordered by a payload field (asc/desc) with `start_from` cursor;
+    * rows missing the field sort last; id tiebreak for determinism.
+    * Ref `lib/segment/src/data_types/order_by.rs:16-170`,
+    * `local_shard/scroll.rs:337-450`. */
+  def scrollByField(
+      points: DataFrame,
+      idCol: String,
+      field: String,
+      asc: Boolean,
+      filter: Option[Filter],
+      r: FieldResolver,
+      startFrom: Option[Any],
+      limit: Int,
+      projection: Seq[String]): DataFrame = {
+    val base = pred(filter, r).fold(points)(points.filter)
+    val cursored = startFrom.fold(base) { s =>
+      base.filter(if (asc) col(field) >= lit(s) else col(field) <= lit(s))
+    }
+    val ord = Seq(
+      if (asc) col(field).asc_nulls_last else col(field).desc_nulls_last,
+      col(idCol).asc)
+    cursored.orderBy(ord: _*).limit(limit).select(projection.map(col): _*)
+  }
+
+  /** Retrieve by ids with projection (the `with_payload`/`with_vector`
+    * selector surface, ref `src/actix/api/retrieve_api.rs:75,132`). */
+  def retrieve(
+      points: DataFrame,
+      idCol: String,
+      ids: Seq[Long],
+      projection: Seq[String]): DataFrame =
+    points.filter(col(idCol).isin(ids: _*))
+      .orderBy(col(idCol).asc).select(projection.map(col): _*)
+}

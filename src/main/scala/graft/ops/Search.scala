@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.filters.{FieldResolver, FilterCompiler}
+import graft.model._
+import graft.functions.VectorFunctions._
+
+/** Core vector search operators (the qdrant "universal query" read surface).
+  *
+  * Execution model: declarative exact scan. A single-query top-k plans as
+  * `TakeOrderedAndProject` (per-partition partial top-k, no full shuffle);
+  * batch queries broadcast the query side and use a per-query window. At
+  * cluster scale the scan parallelizes over parquet splits and only k rows
+  * per partition cross the wire — the same shape qdrant's
+  * segment→shard→collection merge collapses into (SURVEY.md §3.1).
+  */
+object Search {
+
+  /** Internal similarity (pre-postprocess), used by recommend/discover/context
+    * scoring. Euclid → −Σd², Manhattan → −Σ|d| (larger always better).
+    * Ref `lib/segment/src/spaces/simple.rs:36-121`. */
+  def simInternal(metric: Metric, v: Column, q: Column): Column = metric match {
+    case Dot       => dot(v, q)
+    case Cosine    => cosine(v, q)
+    case Euclid    => -aggregate(zip_with(v, q, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, x) => acc + x)
+    case Manhattan => -manhattanDist(v, q)
+  }
+
+  /** User-visible score (post-processed): Euclid → sqrt, Manhattan → abs. */
+  def scoreExpr(metric: Metric, v: Column, q: Column): Column =
+    graft.functions.VectorFunctions.score(metric, v, q)
+
+  private def orderCols(scoreCol: Column, idCol: Column, largerBetter: Boolean): Seq[Column] =
+    Seq(if (largerBetter) scoreCol.desc else scoreCol.asc, idCol.asc)
+
+  /** Generic "score, filter, threshold, top-(k+offset)" pipeline shared by all
+    * scoring queries. `largerBetter` controls both ordering and the
+    * threshold direction (strict, ref `types.rs:363-369`). */
+  def scoredTopK(
+      points: DataFrame,
+      idCol: String,
+      score: Column,
+      largerBetter: Boolean,
+      filter: Option[Column] = None,
+      k: Int = 10,
+      offset: Int = 0,
+      scoreThreshold: Option[Double] = None,
+      extraCols: Seq[String] = Nil,
+      roundTo: Int = 6): DataFrame = {
+    val base = filter.fold(points)(points.filter)
+    val scored = base
+      .withColumn("score", round(score, roundTo))
+      .select((Seq(idCol, "score") ++ extraCols).map(col): _*)
+    val thresholded = scoreThreshold.fold(scored) { t =>
+      scored.filter(if (largerBetter) col("score") > t else col("score") < t)
+    }
+    val ord = orderCols(col("score"), col(idCol), largerBetter)
+    val top = thresholded.orderBy(ord: _*).limit(offset + k)
+    if (offset == 0) top
+    else {
+      // tiny (k+offset rows): single-partition window is fine
+      top.withColumn("_rn", row_number().over(Window.orderBy(ord: _*)))
+        .filter(col("_rn") > offset).drop("_rn")
+        .orderBy(ord: _*)
+    }
+  }
+
+  /** Nearest-k by metric with optional filter / threshold / offset.
+    * Ref `QueryEnum::Nearest` `lib/shard/src/query/query_enum.rs:10`. */
+  def knn(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      metric: Metric,
+      filter: Option[Filter] = None,
+      resolver: Option[FieldResolver] = None,
+      k: Int = 10,
+      offset: Int = 0,
+      scoreThreshold: Option[Double] = None,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val q = typedLit(query)
+    val pred = filter.map(f => new FilterCompiler(resolver.get).compile(f))
+    scoredTopK(points, idCol, scoreExpr(metric, col(vecCol), q), metric.largerBetter,
+      pred, k, offset, scoreThreshold, extraCols)
+  }
+
+  /** Batch nearest-k: one top-k per row of `queries` (cols: queryIdCol,
+    * queryVecCol). Query side is broadcast; per-query ranking via window.
+    * This is the 100 TB shape: the big side streams once, never shuffles. */
+  def knnBatch(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      metric: Metric,
+      k: Int = 10): DataFrame = {
+    val scored = points.crossJoin(broadcast(queries))
+      .withColumn("score", round(scoreExpr(metric, col(vecCol), col(queryVecCol)), 6))
+    val ord = orderCols(col("score"), col(idCol), metric.largerBetter)
+    scored
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(ord: _*)))
+      .filter(col("_rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("_rn").as("rank"))
+  }
+
+  /** Recommend, `avg_vector` strategy: search vector =
+    * avg(positives) + (avg(positives) − avg(negatives)), elementwise.
+    * Ref `lib/collection/src/recommendations.rs:34-130` (merge at :105).
+    * Vector arithmetic happens at the driver (inputs are tiny). */
+  def recommendAvgVector(positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]): Seq[Double] = {
+    require(positives.nonEmpty, "recommend requires at least one positive")
+    val dim = positives.head.length
+    def avg(vs: Seq[Seq[Double]]): Seq[Double] =
+      if (vs.isEmpty) Seq.fill(dim)(0.0)
+      else (0 until dim).map(i => vs.map(_(i)).sum / vs.length)
+    val p = avg(positives)
+    if (negatives.isEmpty) p
+    else {
+      val n = avg(negatives)
+      (0 until dim).map(i => p(i) + (p(i) - n(i)))
+    }
+  }
+
+  /** Recommend, `best_score`: if max(sim(pos)) > max(sim(neg)) then
+    * σ(max_pos) else −σ(max_neg), with σ = scaled fast sigmoid; always
+    * larger-better. Ref `reco_query.rs:63-90`, `query_enum.rs:31-40`. */
+  def bestScoreExpr(
+      metric: Metric, v: Column,
+      positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]): Column = {
+    val maxPos = positives.map(p => simInternal(metric, v, typedLit(p)))
+      .reduce((a, b) => greatest(a, b))
+    val maxNeg =
+      if (negatives.isEmpty) lit(Double.NegativeInfinity)
+      else negatives.map(n => simInternal(metric, v, typedLit(n)))
+        .reduce((a, b) => greatest(a, b))
+    when(maxPos > maxNeg, scaledFastSigmoid(maxPos))
+      .otherwise(-scaledFastSigmoid(maxNeg))
+  }
+
+  /** Recommend, `sum_scores`: Σ sim(pos) − Σ sim(neg).
+    * Ref `reco_query.rs` (`RecoSumScoresQuery`). */
+  def sumScoresExpr(
+      metric: Metric, v: Column,
+      positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]): Column = {
+    val pos = positives.map(p => simInternal(metric, v, typedLit(p)))
+      .reduceOption(_ + _).getOrElse(lit(0.0d))
+    val neg = negatives.map(n => simInternal(metric, v, typedLit(n)))
+      .reduceOption(_ + _).getOrElse(lit(0.0d))
+    pos - neg
+  }
+
+  /** Discover: Σ_pairs sign(sim(pos)−sim(neg)) + σ(sim(target)); integer rank
+    * dominates, target similarity tiebreaks within (0,1).
+    * Ref `discover_query.rs:44-74`. */
+  def discoverExpr(
+      metric: Metric, v: Column,
+      target: Seq[Double], pairs: Seq[(Seq[Double], Seq[Double])]): Column = {
+    val rank = pairs.map { case (p, n) =>
+      val sp = simInternal(metric, v, typedLit(p))
+      val sn = simInternal(metric, v, typedLit(n))
+      when(sp > sn, 1).when(sp < sn, -1).otherwise(0)
+    }.reduceOption((a, b) => a + b).getOrElse(lit(0))
+    rank.cast("double") + scaledFastSigmoid(simInternal(metric, v, typedLit(target)))
+  }
+
+  /** f32 machine epsilon — the MARGIN in context loss
+    * (`context_query.rs:54`). */
+  val ContextMargin: Double = math.ulp(1.0f).toDouble
+
+  /** Context: Σ_pairs fastSigmoid(min(sim(pos)−sim(neg)−ε, 0)) — zero inside
+    * the "good zone", negative outside. Ref `context_query.rs:36-120`. */
+  def contextExpr(
+      metric: Metric, v: Column,
+      pairs: Seq[(Seq[Double], Seq[Double])]): Column =
+    pairs.map { case (p, n) =>
+      val diff = simInternal(metric, v, typedLit(p)) -
+        simInternal(metric, v, typedLit(n)) - lit(ContextMargin)
+      fastSigmoid(least(diff, lit(0.0d)))
+    }.reduceOption(_ + _).getOrElse(lit(0.0d))
+}
