@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.filters.{FieldResolver, FilterCompiler}
+import graft.model._
+
+/** Group-by search: keep the best `groupSize` hits per distinct value of a
+  * payload key, return the best `groups` groups ordered by their top hit.
+  *
+  * Ref `lib/collection/src/grouping/group_by.rs:262-340`. qdrant's serving
+  * loop re-queries with exclusion filters until groups fill; as a batch
+  * engine we compute the full grouped ranking in one pass — two windows, one
+  * shuffle on the group key. A multi-valued group field puts the point in
+  * every matching group (`lib/api/src/rest/schema.rs:1136-1140`); points
+  * missing the field are skipped.
+  */
+object GroupBy {
+
+  def groupBySearch(
+      points: DataFrame,
+      idCol: String,
+      scoreExpr: Column,
+      largerBetter: Boolean,
+      groupByField: String,
+      resolver: FieldResolver,
+      filter: Option[Filter] = None,
+      groupSize: Int = 3,
+      groups: Int = 10): DataFrame = {
+    val pred = filter.filterNot(_.isEmpty)
+      .map(f => new FilterCompiler(resolver).compile(f))
+    val base = pred.fold(points)(points.filter)
+
+    val scored = base
+      .withColumn("score", round(scoreExpr, 6))
+      .select(col(idCol), explode(resolver.values(groupByField)).as("group_value"),
+        col("score"))
+
+    val dir = (c: Column) => if (largerBetter) c.desc else c.asc
+    val perGroup = Window.partitionBy(col("group_value"))
+      .orderBy(dir(col("score")), col(idCol).asc)
+    val hits = scored
+      .withColumn("rank", row_number().over(perGroup))
+      .filter(col("rank") <= groupSize)
+
+    // order groups by their best hit, take top `groups`
+    val withBest = hits.withColumn("best",
+      (if (largerBetter) max(col("score")) else min(col("score")))
+        .over(Window.partitionBy(col("group_value"))))
+    val groupRank = row_number().over(
+      Window.orderBy(dir(col("best")), col("group_value").asc))
+    // rank-1 rows carry one row per group; join back to filter hits
+    val topGroups = withBest.filter(col("rank") === 1)
+      .withColumn("grp_rank", groupRank)
+      .filter(col("grp_rank") <= groups)
+      .select(col("group_value").as("gv"), col("grp_rank"))
+    hits.join(broadcast(topGroups), col("group_value") === col("gv"))
+      .orderBy(col("grp_rank").asc, col("rank").asc)
+      .select(col("group_value"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Attach a looked-up row from another collection per group
+    * (`with_lookup`, ref `lib/collection/src/lookup/mod.rs:22-60`): the group
+    * value is interpreted as a point id in `lookup`. */
+  def withLookup(
+      grouped: DataFrame,
+      lookup: DataFrame,
+      lookupIdCol: String,
+      lookupCols: Seq[String]): DataFrame = {
+    val l = lookup.select((lookupIdCol +: lookupCols).distinct.map(col): _*)
+    grouped.join(broadcast(l), grouped("group_value") === l(lookupIdCol), "left")
+      .drop(lookupIdCol)
+  }
+}

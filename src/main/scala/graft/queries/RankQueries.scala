@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.filters.TypedResolver
+import graft.model._
+import graft.ops.{DistanceMatrix, Fusion, GroupBy, Mmr, Search}
+
+/** Recommend / discover / context / fusion / group-by / distance-matrix /
+  * MMR query catalog (SURVEY.md §2.3-2.4) with DuckDB oracles.
+  *
+  * Recommend/discover inputs are point ids resolved to vectors at the driver
+  * (qdrant's resolve step, `lib/collection/src/collection/query.rs:456-546`).
+  */
+object RankQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+  private def v(s: SparkSession, dir: String, id: Long): Seq[Double] =
+    Tables.embeddingOf(s, dir, id)
+
+  private def topDot7(s: SparkSession, dir: String, k: Int): DataFrame =
+    Search.knn(emb(s, dir), "vec_id", "embedding", v(s, dir, 7L), Dot, k = k)
+  private def topCos42(s: SparkSession, dir: String, k: Int): DataFrame =
+    Search.knn(emb(s, dir), "vec_id", "embedding", v(s, dir, 42L), Cosine, k = k)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "recommend_avg" -> ((s, dir) => {
+      val q = Search.recommendAvgVector(
+        positives = Seq(v(s, dir, 1), v(s, dir, 2), v(s, dir, 3)),
+        negatives = Seq(v(s, dir, 4)))
+      Search.knn(emb(s, dir), "vec_id", "embedding", q, Dot, k = 10)
+    }),
+    "recommend_best_score" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val expr = Search.bestScoreExpr(Dot, col("embedding"),
+        positives = Seq(v(s, dir, 1), v(s, dir, 2), v(s, dir, 3)),
+        negatives = Seq(v(s, dir, 4)))
+      Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
+    }),
+    "recommend_sum_scores" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val expr = Search.sumScoresExpr(Dot, col("embedding"),
+        positives = Seq(v(s, dir, 1), v(s, dir, 2), v(s, dir, 3)),
+        negatives = Seq(v(s, dir, 4)))
+      Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
+    }),
+    "discover" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val expr = Search.discoverExpr(Dot, col("embedding"),
+        target = v(s, dir, 5),
+        pairs = Seq((v(s, dir, 10), v(s, dir, 20)), (v(s, dir, 30), v(s, dir, 40))))
+      Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
+    }),
+    "context" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val expr = Search.contextExpr(Dot, col("embedding"),
+        pairs = Seq((v(s, dir, 10), v(s, dir, 20)), (v(s, dir, 30), v(s, dir, 40))))
+      Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
+    }),
+    "fusion_rrf" -> ((s, dir) => {
+      Fusion.rrf(
+        Seq(Fusion.Source(topDot7(s, dir, 20)), Fusion.Source(topCos42(s, dir, 20))),
+        "vec_id", k = 2, weights = Some(Seq(1.0, 2.0)), limit = 10)
+    }),
+    "fusion_dbsf" -> ((s, dir) => {
+      Fusion.dbsf(
+        Seq(Fusion.Source(topDot7(s, dir, 20)), Fusion.Source(topCos42(s, dir, 20))),
+        "vec_id", limit = 10)
+    }),
+    "group_by_label" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val expr = Search.scoreExpr(Dot, col("embedding"), typedLit(v(s, dir, 7)))
+      GroupBy.groupBySearch(e, "vec_id", expr, largerBetter = true,
+        groupByField = "label", resolver = new TypedResolver(e.schema, "vec_id"),
+        groupSize = 3, groups = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    "distance_matrix_pairs" -> ((s, dir) => {
+      DistanceMatrix.pairs(emb(s, dir), "vec_id", "embedding", Cosine,
+        samplePred = col("vec_id") < 20, limitPerSample = 3)
+    }),
+    "mmr_rerank" -> ((s, dir) => {
+      val cands = Search.knn(emb(s, dir), "vec_id", "embedding", v(s, dir, 7L), Dot,
+        k = 50, extraCols = Seq("embedding"))
+      Mmr.rerank(s, cands, "vec_id", "embedding", Dot, v(s, dir, 7L),
+        lambda = 0.5, limit = 10)
+    }),
+    "sample_random" -> ((s, dir) =>
+      emb(s, dir).orderBy(rand(42L), col("vec_id")).limit(20).select("vec_id", "label")),
+  )
+
+  private val eps = "1.1920928955078125e-07"
+
+  val oracles: Map[String, String] = Map(
+    "recommend_avg" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+        |q AS (SELECT d.i AS i,
+        |  2 * (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (1,2,3))
+        |    - (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (4)) AS w
+        |  FROM dims d),
+        |s AS (SELECT e.vec_id AS vec_id, sum(e.embedding[q.i]::DOUBLE * q.w) AS sc
+        |      FROM embeddings e CROSS JOIN q GROUP BY e.vec_id)
+        |SELECT vec_id, round(sc, 6) AS score FROM s
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "recommend_best_score" ->
+      """WITH q1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=1),
+        |q2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=2),
+        |q3 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=3),
+        |q4 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  greatest(list_dot_product(e.embedding::DOUBLE[], q1.v),
+        |           list_dot_product(e.embedding::DOUBLE[], q2.v),
+        |           list_dot_product(e.embedding::DOUBLE[], q3.v)) AS mp,
+        |  list_dot_product(e.embedding::DOUBLE[], q4.v) AS mn
+        |  FROM embeddings e, q1, q2, q3, q4)
+        |SELECT vec_id,
+        |  round(CASE WHEN mp > mn THEN 0.5*(mp/(1+abs(mp))+1)
+        |             ELSE -(0.5*(mn/(1+abs(mn))+1)) END, 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "recommend_sum_scores" ->
+      """WITH q1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=1),
+        |q2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=2),
+        |q3 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=3),
+        |q4 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4)
+        |SELECT e.vec_id AS vec_id,
+        |  round((list_dot_product(e.embedding::DOUBLE[], q1.v)
+        |       + list_dot_product(e.embedding::DOUBLE[], q2.v)
+        |       + list_dot_product(e.embedding::DOUBLE[], q3.v))
+        |      - list_dot_product(e.embedding::DOUBLE[], q4.v), 6) AS score
+        |FROM embeddings e, q1, q2, q3, q4
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "discover" ->
+      """WITH t AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=5),
+        |p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=10),
+        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=20),
+        |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=30),
+        |n2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=40),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  list_dot_product(e.embedding::DOUBLE[], t.v) AS st,
+        |  list_dot_product(e.embedding::DOUBLE[], p1.v) AS sp1,
+        |  list_dot_product(e.embedding::DOUBLE[], n1.v) AS sn1,
+        |  list_dot_product(e.embedding::DOUBLE[], p2.v) AS sp2,
+        |  list_dot_product(e.embedding::DOUBLE[], n2.v) AS sn2
+        |  FROM embeddings e, t, p1, n1, p2, n2)
+        |SELECT vec_id,
+        |  round((CASE WHEN sp1 > sn1 THEN 1 WHEN sp1 < sn1 THEN -1 ELSE 0 END
+        |       + CASE WHEN sp2 > sn2 THEN 1 WHEN sp2 < sn2 THEN -1 ELSE 0 END)::DOUBLE
+        |      + 0.5*(st/(1+abs(st))+1), 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "context" ->
+      s"""WITH p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=10),
+         |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=20),
+         |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=30),
+         |n2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=40),
+         |s AS (SELECT e.vec_id AS vec_id,
+         |  least(list_dot_product(e.embedding::DOUBLE[], p1.v)
+         |      - list_dot_product(e.embedding::DOUBLE[], n1.v) - $eps, 0) AS d1,
+         |  least(list_dot_product(e.embedding::DOUBLE[], p2.v)
+         |      - list_dot_product(e.embedding::DOUBLE[], n2.v) - $eps, 0) AS d2
+         |  FROM embeddings e, p1, n1, p2, n2)
+         |SELECT vec_id,
+         |  round(d1/(1+abs(d1)) + d2/(1+abs(d2)), 6) AS score
+         |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "fusion_rrf" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |      FROM embeddings e, q7 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q42.v, q42.v))), 6) AS s
+        |      FROM embeddings e, q42 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
+        |u AS (SELECT vec_id, 1.0/(pos/1.0 + 1.0) AS c FROM ar
+        |      UNION ALL SELECT vec_id, 1.0/(pos/2.0 + 1.0) AS c FROM br)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "fusion_dbsf" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |      FROM embeddings e, q7 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q42.v, q42.v))), 6) AS s
+        |      FROM embeddings e, q42 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ast AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM a),
+        |bst AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM b),
+        |an AS (SELECT vec_id, CASE WHEN n = 1 OR sd = 0 THEN 0.5
+        |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM a, ast),
+        |bn AS (SELECT vec_id, CASE WHEN n = 1 OR sd = 0 THEN 0.5
+        |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM b, bst),
+        |u AS (SELECT * FROM an UNION ALL SELECT * FROM bn)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "group_by_label" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |scored AS (SELECT e.vec_id AS vec_id, e.label AS group_value,
+        |             round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |           FROM embeddings e, q),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY group_value ORDER BY score DESC, vec_id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 3),
+        |best AS (SELECT group_value, max(score) AS best FROM hits GROUP BY group_value),
+        |topg AS (SELECT group_value, best,
+        |           row_number() OVER (ORDER BY best DESC, group_value ASC) AS gr
+        |         FROM best)
+        |SELECT h.group_value AS group_value, h.vec_id AS vec_id,
+        |       h.score AS score, h.rank AS rank
+        |FROM hits h JOIN topg t USING (group_value) WHERE t.gr <= 4
+        |ORDER BY t.gr ASC, h.rank ASC""".stripMargin,
+    "distance_matrix_pairs" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+        |      FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+        |      FROM p)
+        |SELECT id_a, id_b, score FROM r WHERE rn <= 3
+        |ORDER BY id_a ASC, score DESC, id_b ASC""".stripMargin,
+    // mmr_rerank, sample_random: not SQL-expressible (greedy loop / Spark rand)
+  )
+}
