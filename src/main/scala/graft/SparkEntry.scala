@@ -11,13 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  import graft.queries.{RankQueries, ReadQueries, VectorQueries}
+  import graft.queries.{RankQueries, ReadQueries, TextQueries, VectorQueries}
 
   private val catalogs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (VectorQueries.queries, VectorQueries.oracles),
       (ReadQueries.queries, ReadQueries.oracles),
       (RankQueries.queries, RankQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for full-text match, dedup and quality pipelines.
+  *
+  * Tokenizer parity note: qdrant's full-text index supports word /
+  * whitespace / prefix / multilingual tokenizers with lowercase, ascii
+  * folding, stemming and stopwords (`lib/segment/src/data_types/index.rs:
+  * 243-560`). The `documents` test corpus is already space-delimited
+  * lowercase, so the whitespace tokenizer is the oracle-checked path; the
+  * word tokenizer (split on non-alphanumerics + lowercase) is provided for
+  * real corpora.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (`Tokenizer::Whitespace`). */
+  def tokensWs(text: Column): Column = split(text, " ")
+
+  /** Word tokenizer: split on non-alphanumeric, lowercase, drop empties
+    * (`Tokenizer::Word` + lowercase option). */
+  def tokensWord(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Consecutive k-token shingles joined with a single space. */
+  def shingles(tokens: Column, k: Int): Column = {
+    val n = size(tokens)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j)): _*)))
+      .otherwise(array())
+  }
+
+  /** Distinct shingle set for jaccard-style comparisons. */
+  def shingleSet(tokens: Column, k: Int): Column = array_distinct(shingles(tokens, k))
+
+  /** MinHash signature: numHashes × min over shingles of a seeded xxhash64.
+    * Empty input → Long.MaxValue per slot (never collides with real mins). */
+  def minhash(shingleSetCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      coalesce(
+        array_min(transform(shingleSetCol, s => xxhash64(lit(seed), s))),
+        lit(Long.MaxValue))
+    }: _*)
+
+  /** LSH band keys: hash of each r-sized signature band (numHashes = bands·r).
+    * Docs sharing any band key are near-dup candidates. */
+  def lshBands(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(sig, b * r + 1, r))
+    }: _*)
+
+  /** 64-bit SimHash over a token/shingle array (weight 1 per element):
+    * bit i of the result is 1 iff Σ_tokens (bit i of xxhash64(t) ? +1 : −1)
+    * is positive. */
+  def simhash64(elems: Column): Column = {
+    val hs = transform(elems, t => xxhash64(t))
+    (0 until 64).map { i =>
+      val cnt = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

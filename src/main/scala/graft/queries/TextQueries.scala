@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.filters.TypedResolver
+import graft.model._
+import graft.ops.Reads
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Full-text match + training-data text pipeline catalog (SURVEY.md §2.2
+  * Match::Text family; dedup/quality per the north-star extensions). */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def r(d: DataFrame) = new TypedResolver(d.schema, "doc_id")
+
+  private val LangMarkers = Seq("en" -> "the", "es" -> "data", "zh" -> "spark")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "match_text" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Reads.scrollById(d, "doc_id",
+        Some(Filter.mustAll(MatchText("text", "spark window"))), r(d),
+        offsetId = None, limit = 100, projection = Seq("doc_id", "lang"))
+    }),
+    "match_text_any" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Reads.scrollById(d, "doc_id",
+        Some(Filter.mustAll(MatchTextAny("text", "vector hash"))), r(d),
+        offsetId = None, limit = 100, projection = Seq("doc_id", "lang"))
+    }),
+    "match_phrase" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Reads.scrollById(d, "doc_id",
+        Some(Filter.mustAll(MatchPhrase("text", "batch stream"))), r(d),
+        offsetId = None, limit = 100, projection = Seq("doc_id", "lang"))
+    }),
+    "token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))),
+    "quality_features" -> ((s, dir) =>
+      TextAnalysis.withQualityFeatures(docs(s, dir), "text")
+        .select("doc_id", "n_tokens", "stop_ratio", "avg_token_len")
+        .orderBy(col("doc_id"))),
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.langIdPredict(col("text"), LangMarkers).as("predicted"))
+        .orderBy(col("doc_id"))),
+    "fingerprint_md5" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3,
+          blockCol = Some("lang"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)),
+    "embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+    "minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "match_text" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(text,' '), 'spark')
+        |  AND list_contains(string_split(text,' '), 'window')
+        |ORDER BY doc_id ASC LIMIT 100""".stripMargin,
+    "match_text_any" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(text,' '), 'vector')
+        |   OR list_contains(string_split(text,' '), 'hash')
+        |ORDER BY doc_id ASC LIMIT 100""".stripMargin,
+    "match_phrase" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE contains(' ' || text || ' ', ' batch stream ')
+        |ORDER BY doc_id ASC LIMIT 100""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "quality_features" ->
+      """SELECT doc_id,
+        |  len(t)::BIGINT AS n_tokens,
+        |  round(len(list_filter(t, x -> x IN ('the','a')))::DOUBLE / len(t), 6) AS stop_ratio,
+        |  round((length(text) - (len(t)-1))::DOUBLE / len(t), 6) AS avg_token_len
+        |FROM (SELECT doc_id, text, string_split(text,' ') AS t FROM documents)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "lang_id" ->
+      """WITH c AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), x -> x = 'the')) AS c_en,
+        |  len(list_filter(string_split(text,' '), x -> x = 'data')) AS c_es,
+        |  len(list_filter(string_split(text,' '), x -> x = 'spark')) AS c_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN c_en >= c_es AND c_en >= c_zh THEN 'en'
+        |       WHEN c_es >= c_zh THEN 'es' ELSE 'zh' END AS predicted
+        |FROM c ORDER BY doc_id ASC""".stripMargin,
+    "fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id ASC",
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*)::BIGINT AS cnt, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fp ASC""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang
+        |             AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    "embedding_neardup" ->
+      """SELECT id_a, id_b, score FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS score
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE score >= 0.4 ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    // minhash_lsh, simhash_pairs: hash family not expressible in DuckDB →
+    // rows-only check here; exactness covered by ScalaTest against a Scala
+    // oracle on constructed near-duplicate corpora.
+  )
+}
