@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  import graft.queries.{RankQueries, ReadQueries, TextQueries, VectorQueries}
+  import graft.queries._
 
   private val catalogs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
@@ -19,6 +19,8 @@ object SparkEntry {
       (ReadQueries.queries, ReadQueries.oracles),
       (RankQueries.queries, RankQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (SparseQueries.queries, SparseQueries.oracles),
+      (PayloadGeoQueries.queries, PayloadGeoQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

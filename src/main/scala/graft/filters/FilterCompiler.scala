@@ -167,7 +167,10 @@ final class FilterCompiler(r: FieldResolver) {
         val inExt = pointInRing(p, exterior)
         interiors.foldLeft(inExt)((acc, ring) => acc && !pointInRing(p, ring))
       })
-    case IsEmpty(k) => !r.fieldExists(k) || size(r.values(k)) === 0
+    // absent or [] — but NOT explicit JSON null (that's IsNull's job);
+    // fixture F1: {"city":null} matches is_null, not is_empty
+    case IsEmpty(k) =>
+      !r.fieldExists(k) || (size(r.values(k)) === 0 && !r.isJsonNull(k))
     case IsNullCond(k) => r.isJsonNull(k)
     case HasId(ids) => r.id.isin(ids: _*)
     case HasVector(name) => r.vector(name).isNotNull
@@ -188,11 +191,16 @@ final class FilterCompiler(r: FieldResolver) {
     crossings.reduceOption((a, b) => a + b).getOrElse(lit(0)) % 2 === 1
   }
 
-  private def compileNested(key: String, f: Filter): Column =
-    r.elementType(key) match {
-      case Some(et) =>
-        exists(r.values(key), elem =>
-          new FilterCompiler(new StructResolver(elem, et)).compile(f))
-      case None => lit(false)
-    }
+  private def compileNested(key: String, f: Filter): Column = r match {
+    case jr: JsonResolver =>
+      exists(jr.nestedValues(key), elem =>
+        new FilterCompiler(jr.elementResolver(elem, jr.innerTypes(key))).compile(f))
+    case _ =>
+      r.elementType(key) match {
+        case Some(et) =>
+          exists(r.values(key), elem =>
+            new FilterCompiler(new StructResolver(elem, et)).compile(f))
+        case None => lit(false)
+      }
+  }
 }

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.filters.{FilterCompiler, JsonResolver, TypedResolver}
+import graft.model._
+import graft.ops.{Formula, Search}
+
+/** JSON-payload filters (VARIANT path), geo conditions, formula rescore.
+  * Geo coordinates derive deterministically from `events.user_id` so the
+  * DuckDB oracle can reproduce them. */
+object PayloadGeoQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** events + derived lon/lat + location struct. */
+  private def geoEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+        col("event_id"),
+        (col("user_id") % 360 - 180 + lit(0.25)).as("lon"),
+        (col("user_id") % 180 - 90 + lit(0.25)).as("lat"))
+      .withColumn("location", struct(col("lon").as("lon"), col("lat").as("lat")))
+
+  private def geoCount(s: SparkSession, dir: String, cond: Condition): DataFrame = {
+    val g = geoEvents(s, dir)
+    val pred = new FilterCompiler(new TypedResolver(g.schema, "event_id"))
+      .compile(Filter.mustAll(cond))
+    g.filter(pred).agg(count(lit(1)).as("cnt"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "payload_json_facet" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val jr = new JsonResolver(col("props"), Map("k" -> LongType), col("event_id"))
+      val pred = new FilterCompiler(jr).compile(Filter(
+        must = Seq(RangeCond("k", gte = Some(10L), lt = Some(500L)))))
+      ev.filter(pred)
+        .groupBy(col("event_type").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("value").asc)
+        .limit(10)
+    }),
+    "payload_json_count" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val jr = new JsonResolver(col("props"), Map("k" -> LongType), col("event_id"))
+      val pred = new FilterCompiler(jr).compile(Filter(
+        must = Seq(RangeCond("k", gte = Some(50L))),
+        should = Seq(IsEmpty("missing_key"), IsNullCond("k"))))
+      ev.filter(pred).agg(count(lit(1)).as("cnt"))
+    }),
+    "geo_radius" -> ((s, dir) =>
+      geoCount(s, dir, GeoRadius("location", GeoPoint(0.0, 0.0), 3000000.0))),
+    "geo_bbox" -> ((s, dir) =>
+      geoCount(s, dir, GeoBoundingBox("location",
+        topLeft = GeoPoint(-50.0, 60.0), bottomRight = GeoPoint(50.0, -30.0)))),
+    "geo_polygon" -> ((s, dir) =>
+      geoCount(s, dir, GeoPolygonCond("location", exterior = Seq(
+        GeoPoint(-100.0, -50.0), GeoPoint(100.0, -40.0), GeoPoint(0.0, 70.0),
+        GeoPoint(-100.0, -50.0))))),
+    "formula_rescore" -> ((s, dir) => {
+      import Formula._
+      val e = Tables.load(s, dir, "embeddings")
+      val pre = Search.knn(e, "vec_id", "embedding",
+        Tables.embeddingOf(s, dir, 7L), Dot, k = 50)
+      val joined = e.select("vec_id", "label").join(pre, "vec_id")
+      val ast = Sum(Seq(
+        Mult(Seq(Constant(0.6), ScoreVar(0))),
+        Mult(Seq(Constant(0.3),
+          Decay(GaussDecay, PayloadVar("label"), Constant(5.0),
+            midpoint = 0.5, scale = 3.0))),
+        Div(Constant(10.0), Sum(Seq(PayloadVar("vec_id"), Constant(1.0))))))
+      val expr = Formula.compile(ast, _ => col("score"),
+        new TypedResolver(joined.schema, "vec_id"))
+      Search.scoredTopK(joined, "vec_id", expr, largerBetter = true, k = 10)
+    }),
+  )
+
+  // mirror of VectorFunctions.haversineMeters with the same precomputed
+  // deg→rad literal so both engines execute identical double arithmetic
+  private val rad = "0.017453292519943295"
+  private def haversineSql(lon2: String, lat2: String): String =
+    s"2*6371000*asin(sqrt(power(sin((($lat2 - lat)*$rad)/2), 2) + " +
+      s"cos(lat*$rad)*cos($lat2*$rad)*power(sin((($lon2 - lon)*$rad)/2), 2)))"
+
+  private val geoCte =
+    """WITH g AS (SELECT event_id,
+      |  ((user_id % 360) - 180 + 0.25) AS lon,
+      |  ((user_id % 180) - 90 + 0.25) AS lat FROM events)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "payload_json_facet" ->
+      """SELECT event_type AS value, count(*)::BIGINT AS cnt FROM events
+        |WHERE json_extract(props, '$.k')::BIGINT >= 10
+        |  AND json_extract(props, '$.k')::BIGINT < 500
+        |GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin,
+    "payload_json_count" ->
+      """SELECT count(*)::BIGINT AS cnt FROM events
+        |WHERE json_extract(props, '$.k')::BIGINT >= 50""".stripMargin,
+    "geo_radius" ->
+      s"""$geoCte
+         |SELECT count(*)::BIGINT AS cnt FROM g
+         |WHERE ${haversineSql("0", "0")} <= 3000000.0""".stripMargin,
+    "geo_bbox" ->
+      s"""$geoCte
+         |SELECT count(*)::BIGINT AS cnt FROM g
+         |WHERE lon >= -50.0 AND lon <= 50.0 AND lat <= 60.0 AND lat >= -30.0""".stripMargin,
+    "geo_polygon" ->
+      // ray casting, edges of ((-100,-50),(100,-40),(0,70)); mirrors
+      // FilterCompiler.pointInRing literal-by-literal
+      s"""$geoCte
+         |SELECT count(*)::BIGINT AS cnt FROM g WHERE
+         |((CASE WHEN ((-50.0 > lat) != (-40.0 > lat))
+         |        AND lon < 200.0 * (lat - -50.0) / 10.0 + -100.0 THEN 1 ELSE 0 END)
+         | + (CASE WHEN ((-40.0 > lat) != (70.0 > lat))
+         |        AND lon < -100.0 * (lat - -40.0) / 110.0 + 100.0 THEN 1 ELSE 0 END)
+         | + (CASE WHEN ((70.0 > lat) != (-50.0 > lat))
+         |        AND lon < -100.0 * (lat - 70.0) / -120.0 + 0.0 THEN 1 ELSE 0 END)
+         |) % 2 = 1""".stripMargin,
+    "formula_rescore" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |pre AS (SELECT e.vec_id AS vec_id,
+        |          round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS s
+        |        FROM embeddings e, q ORDER BY s DESC, vec_id ASC LIMIT 50)
+        |SELECT e.vec_id AS vec_id,
+        |  round(0.6 * p.s
+        |      + 0.3 * exp(ln(0.5)/9 * (e.label - 5.0) * (e.label - 5.0))
+        |      + 10.0 / (e.vec_id + 1.0), 6) AS score
+        |FROM embeddings e JOIN pre p ON e.vec_id = p.vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+  )
+}
