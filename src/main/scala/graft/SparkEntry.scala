@@ -21,6 +21,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (SparseQueries.queries, SparseQueries.oracles),
       (PayloadGeoQueries.queries, PayloadGeoQueries.oracles),
+      (IndexQueries.queries, IndexQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

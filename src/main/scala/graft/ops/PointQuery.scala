@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.filters.{FieldResolver, FilterCompiler}
+import graft.model._
+
+/** The universal query API: a prefetch DAG where each node runs its own
+  * sub-query and the parent rescoring runs over the union of child results.
+  *
+  * Mirrors qdrant's `CollectionPrefetch`/`ShardQueryRequest` planning
+  * (`lib/collection/src/operations/universal_query/collection_query.rs:510-545`,
+  * `lib/shard/src/query/planned_query.rs:14-120`,
+  * `lib/collection/src/shards/local_shard/query.rs:203-300`): Fusion and
+  * Formula are only valid with prefetches; Vector/OrderBy/Sample leaves
+  * execute as searches/scrolls; rescoring over children is a semi-join on
+  * candidate ids.
+  *
+  * Spark shape: children produce small (≤ limit) ranked lists; the parent
+  * rescore semi-joins the points table on those ids — broadcast-sized by
+  * construction, so nested DAGs never re-scan more than the leaves did.
+  */
+object PointQuery {
+
+  sealed trait Scoring
+  final case class Nearest(vecCol: String, metric: Metric, query: Seq[Double]) extends Scoring
+  final case class RecommendBest(vecCol: String, metric: Metric,
+      positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]) extends Scoring
+  final case class RecommendSum(vecCol: String, metric: Metric,
+      positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]) extends Scoring
+  final case class RecommendAvg(vecCol: String, metric: Metric,
+      positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]) extends Scoring
+  final case class DiscoverQ(vecCol: String, metric: Metric,
+      target: Seq[Double], pairs: Seq[(Seq[Double], Seq[Double])]) extends Scoring
+  final case class ContextQ(vecCol: String, metric: Metric,
+      pairs: Seq[(Seq[Double], Seq[Double])]) extends Scoring
+  final case class MaxSimQ(vecCol: String, metric: Metric,
+      queryVecs: Seq[Seq[Double]]) extends Scoring
+  final case class OrderByField(field: String, asc: Boolean,
+      startFrom: Option[Any] = None) extends Scoring
+  final case class SampleRandom(seed: Long) extends Scoring
+  /** rrf or dbsf over prefetches. */
+  final case class FusionQ(kind: String, weights: Option[Seq[Double]] = None) extends Scoring
+  final case class FormulaQ(ast: Formula.Expr, defaultScore: Double = 0.0) extends Scoring
+  final case class MmrQ(vecCol: String, metric: Metric, query: Seq[Double],
+      lambda: Double) extends Scoring
+
+  final case class Query(
+      scoring: Scoring,
+      prefetches: Seq[Query] = Nil,
+      filter: Option[Filter] = None,
+      limit: Int = 10,
+      offset: Int = 0,
+      scoreThreshold: Option[Double] = None)
+
+  /** Execute a query DAG; returns (idCol, score) ranked. */
+  def execute(
+      spark: SparkSession,
+      points: DataFrame,
+      idCol: String,
+      resolver: FieldResolver,
+      q: Query): DataFrame = {
+    val pred = q.filter.filterNot(_.isEmpty)
+      .map(f => new FilterCompiler(resolver).compile(f))
+
+    def scoreExprOf(s: Scoring): (Column, Boolean) = s match {
+      case Nearest(vc, m, qv) =>
+        (Search.scoreExpr(m, col(vc), typedLit(qv)), m.largerBetter)
+      case RecommendAvg(vc, m, pos, neg) =>
+        (Search.scoreExpr(m, col(vc), typedLit(Search.recommendAvgVector(pos, neg))),
+          m.largerBetter)
+      case RecommendBest(vc, m, pos, neg) =>
+        (Search.bestScoreExpr(m, col(vc), pos, neg), true)
+      case RecommendSum(vc, m, pos, neg) =>
+        (Search.sumScoresExpr(m, col(vc), pos, neg), true)
+      case DiscoverQ(vc, m, t, pairs) =>
+        (Search.discoverExpr(m, col(vc), t, pairs), true)
+      case ContextQ(vc, m, pairs) =>
+        (Search.contextExpr(m, col(vc), pairs), true)
+      case MaxSimQ(vc, m, qvs) =>
+        (graft.functions.VectorFunctions.maxSim(m, col(vc),
+          typedLit(qvs)), true)
+      case other =>
+        throw new IllegalArgumentException(s"$other is not a scoring leaf")
+    }
+
+    q.scoring match {
+      // ---- rescore-over-prefetch nodes ----
+      case FusionQ(kind, weights) =>
+        require(q.prefetches.nonEmpty, "Fusion requires prefetches")
+        val children = q.prefetches.map(c =>
+          Fusion.Source(execute(spark, points, idCol, resolver, c)))
+        kind match {
+          case "rrf" => Fusion.rrf(children, idCol, k = 2, weights, q.limit)
+          case "dbsf" => Fusion.dbsf(children, idCol, weights, q.limit)
+          case other => throw new IllegalArgumentException(s"unknown fusion '$other'")
+        }
+
+      case FormulaQ(ast, defaultScore) =>
+        require(q.prefetches.nonEmpty, "Formula requires prefetches")
+        val children = q.prefetches.zipWithIndex.map { case (c, i) =>
+          execute(spark, points, idCol, resolver, c)
+            .withColumnRenamed("score", s"_score$i")
+        }
+        val candidates = children
+          .map(_.select(idCol)).reduce(_ union _).distinct()
+        val withScores = children.foldLeft(candidates)((acc, ch) =>
+          acc.join(ch, Seq(idCol), "left"))
+        val joined = points.join(withScores, Seq(idCol))
+        val expr = Formula.compile(ast,
+          i => coalesce(col(s"_score$i"), lit(defaultScore)), resolver)
+        Search.scoredTopK(joined, idCol, expr, largerBetter = true,
+          k = q.limit, offset = q.offset, scoreThreshold = q.scoreThreshold)
+
+      case MmrQ(vc, m, qv, lambda) =>
+        require(q.prefetches.nonEmpty, "MMR rescore requires prefetches")
+        val candidateIds = q.prefetches
+          .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
+          .reduce(_ union _).distinct()
+        val cands = points.join(candidateIds, Seq(idCol), "left_semi")
+          .withColumn("score",
+            round(Search.scoreExpr(m, col(vc), typedLit(qv)), 6))
+          .select(col(idCol), col("score"), col(vc))
+        Mmr.rerank(spark, cands, idCol, vc, m, qv, lambda, q.limit)
+
+      // ---- scroll leaves ----
+      case OrderByField(field, asc, startFrom) =>
+        Reads.scrollByField(points, idCol, field, asc, q.filter, resolver,
+          startFrom, q.limit, projection = Seq(idCol, field))
+
+      case SampleRandom(seed) => {
+        val base = pred.fold(points)(points.filter)
+        base.orderBy(rand(seed), col(idCol)).limit(q.limit).select(idCol)
+      }
+
+      // ---- scoring leaves (optionally rescoring prefetch candidates) ----
+      case leaf =>
+        val (expr, largerBetter) = scoreExprOf(leaf)
+        val base =
+          if (q.prefetches.isEmpty) points
+          else {
+            val candidateIds = q.prefetches
+              .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
+              .reduce(_ union _).distinct()
+            points.join(candidateIds, Seq(idCol), "left_semi")
+          }
+        Search.scoredTopK(base, idCol, expr, largerBetter, pred,
+          k = q.limit, offset = q.offset, scoreThreshold = q.scoreThreshold)
+    }
+  }
+}

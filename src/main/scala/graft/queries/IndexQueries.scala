@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.filters.TypedResolver
+import graft.functions.VectorFunctions
+import graft.index.{IvfIndex, Quantization}
+import graft.model._
+import graft.ops.{PointQuery, Reads, Search}
+
+/** ANN index paths (IVF, quantization), MaxSim multivectors, retrieve, and
+  * the universal-query prefetch DAG. The IVF all-probe query and the DAG
+  * queries have exact DuckDB oracles; lossy-index paths (probe < k,
+  * quantized) are rows-only here with recall asserted in ScalaTest. */
+object IndexQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+  private def v7(s: SparkSession, dir: String): Seq[Double] =
+    Tables.embeddingOf(s, dir, 7L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_search_allprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = IvfIndex.build(e, "embedding", k = 8)
+      val assigned = IvfIndex.assign(e, "embedding", model)
+      IvfIndex.search(assigned, "vec_id", "embedding", model, v7(s, dir),
+        Dot, nprobe = model.k, k = 10)
+    }),
+    "ivf_search_probe2" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = IvfIndex.build(e, "embedding", k = 8)
+      val assigned = IvfIndex.assign(e, "embedding", model)
+      IvfIndex.search(assigned, "vec_id", "embedding", model, v7(s, dir),
+        Dot, nprobe = 2, k = 10)
+    }),
+    "quantized_scalar_rescore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = Quantization.fitScalar(e, "embedding")
+      val enc = e.withColumn("qvec", Quantization.encodeScalar(col("embedding"), p))
+      Quantization.searchScalarRescore(enc, "vec_id", "embedding", v7(s, dir),
+        Dot, p, k = 10, oversampling = 3.0)
+    }),
+    "quantized_binary_rescore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val enc = e.withColumn("bvec", Quantization.encodeBinary(col("embedding"), 64))
+      Quantization.searchBinaryRescore(enc, "vec_id", "embedding", v7(s, dir),
+        Cosine, k = 10, oversampling = 4.0)
+    }),
+    "maxsim_multivec" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = v7(s, dir)
+      val qvs = Seq(q.take(32), q.drop(32))
+      val stored = array(slice(col("embedding"), 1, 32), slice(col("embedding"), 33, 32))
+      val expr = VectorFunctions.maxSim(Dot, stored, typedLit(qvs))
+      Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
+    }),
+    "retrieve_by_ids" -> ((s, dir) =>
+      Reads.retrieve(emb(s, dir), "vec_id", Seq(3L, 5L, 8L, 13L, 21L, 34L),
+        Seq("vec_id", "label"))),
+    "prefetch_dag_rrf" -> ((s, dir) => {
+      import PointQuery._
+      val e = emb(s, dir)
+      val q = Query(
+        scoring = FusionQ("rrf"),
+        prefetches = Seq(
+          Query(Nearest("embedding", Dot, v7(s, dir)),
+            filter = Some(Filter.mustAll(RangeCond("label", lt = Some(5)))),
+            limit = 20),
+          Query(Nearest("embedding", Cosine, Tables.embeddingOf(s, dir, 42L)),
+            limit = 20)),
+        limit = 10)
+      execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), q)
+    }),
+    "prefetch_rescore" -> ((s, dir) => {
+      import PointQuery._
+      val e = emb(s, dir)
+      val q = Query(
+        scoring = Nearest("embedding", Euclid, Tables.embeddingOf(s, dir, 13L)),
+        prefetches = Seq(Query(Nearest("embedding", Dot, v7(s, dir)), limit = 30)),
+        limit = 10)
+      execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), q)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // all-probe IVF ≡ exact scan
+    "ivf_search_allprobe" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "maxsim_multivec" ->
+      """WITH q AS (SELECT embedding[1:32]::DOUBLE[] AS q1, embedding[33:64]::DOUBLE[] AS q2
+        |           FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id, round(
+        |    greatest(list_dot_product(e.embedding[1:32]::DOUBLE[], q.q1),
+        |             list_dot_product(e.embedding[33:64]::DOUBLE[], q.q1))
+        |  + greatest(list_dot_product(e.embedding[1:32]::DOUBLE[], q.q2),
+        |             list_dot_product(e.embedding[33:64]::DOUBLE[], q.q2)), 6) AS score
+        |FROM embeddings e, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "retrieve_by_ids" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id IN (3, 5, 8, 13, 21, 34) ORDER BY vec_id ASC""".stripMargin,
+    "prefetch_dag_rrf" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |      FROM embeddings e, q7 WHERE e.label < 5
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q42.v, q42.v))), 6) AS s
+        |      FROM embeddings e, q42 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
+        |u AS (SELECT vec_id, 1.0/(pos/1.0 + 1.0) AS c FROM ar
+        |      UNION ALL SELECT vec_id, 1.0/(pos/1.0 + 1.0) AS c FROM br)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "prefetch_rescore" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q13 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=13),
+        |pre AS (SELECT e.vec_id AS vec_id,
+        |          round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |        FROM embeddings e, q7 ORDER BY s DESC, vec_id ASC LIMIT 30)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_distance(e.embedding::DOUBLE[], q13.v), 6) AS score
+        |FROM embeddings e JOIN pre ON e.vec_id = pre.vec_id, q13
+        |ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // ivf_search_probe2, quantized_*: lossy paths — rows-only; recall
+    // asserted in IndexSpec ScalaTest.
+  )
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.types.DataType
+
+import graft.model.Metric
+
+/** Per-name dense vector config (qdrant `VectorDataConfig`,
+  * `lib/segment/src/types.rs:2153`: size + distance + multivector flag). */
+final case class VectorConfig(
+    name: String,
+    dim: Int,
+    metric: Metric,
+    multivector: Boolean = false)
+
+/** Sparse vector config (`SparseVectorDataConfig` `types.rs:2275`);
+  * modifier = Some("idf") enables the IDF weighting. */
+final case class SparseVectorConfig(name: String, modifier: Option[String] = None)
+
+/** Collection schema: fixed vector schema + schema-free JSON payload with
+  * optional declared per-field types (the payload index schema,
+  * `lib/shard/src/payload_index_schema.rs`). */
+final case class CollectionConfig(
+    idCol: String = "id",
+    payloadCol: String = "payload",
+    vectors: Seq[VectorConfig] = Nil,
+    sparse: Seq[SparseVectorConfig] = Nil,
+    payloadTypes: Map[String, DataType] = Map.empty) {
+
+  def vectorNames: Seq[String] = vectors.map(_.name)
+
+  /** Column name for a named vector; qdrant's default unnamed vector ""
+    * maps to plain "vector". */
+  def vectorCol(name: String): String =
+    if (name.isEmpty) "vector" else s"vector_$name"
+
+  def sparseCol(name: String): String = s"sparse_$name"
+
+  def vectorConfig(name: String): VectorConfig =
+    vectors.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown vector '$name'"))
+}

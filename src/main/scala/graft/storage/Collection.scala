@@ -1,0 +1,154 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.filters.{FieldResolver, FilterCompiler, JsonResolver}
+import graft.model.Filter
+import graft.sources.CollectionConfig
+
+/** A collection: Parquet-backed points table — id + named vector columns +
+  * JSON payload column (SURVEY.md §1.1 mapping). Mutations are batch jobs
+  * rewriting the table (the WAL/segment machinery of the reference collapses
+  * into job atomicity, SURVEY.md §2.1/§2.7).
+  *
+  * Scale notes: upsert/delete are id-hash co-partitioned anti/union jobs —
+  * one shuffle on the id; payload edits are narrow column rewrites. On a
+  * transactional lakehouse these become MERGE INTO / DELETE WHERE; plain
+  * Parquet (this environment) rewrites the table directory atomically via
+  * overwrite.
+  */
+final class Collection(
+    val spark: SparkSession,
+    val path: String,
+    val config: CollectionConfig) {
+
+  def read(): DataFrame = spark.read.parquet(path)
+
+  def resolver(df: DataFrame): FieldResolver =
+    new JsonResolver(col(config.payloadCol), config.payloadTypes, col(config.idCol),
+      config.vectorNames.map(n => n -> col(config.vectorCol(n))).toMap)
+
+  private def pred(df: DataFrame, filter: Filter): Column =
+    new FilterCompiler(resolver(df)).compile(filter)
+
+  /** Tmp-dir + rename swap: Spark cannot overwrite a path still lazily read
+    * in the same plan; on a lakehouse table this is simply MERGE/DELETE. */
+  private def write(df: DataFrame): Unit = {
+    val tmp = path + "__tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    ()
+  }
+
+  /** Insert-or-replace whole points: last write wins per id (qdrant upsert,
+    * `lib/shard/src/operations/point_ops.rs:111-126`). `version` orders
+    * writes within the batch; existing rows count as version −∞. */
+  def upsert(points: DataFrame): Unit = {
+    val existing = read().withColumn("_v", lit(0L))
+    val incoming = points.withColumn("_v", lit(1L))
+    val w = Window.partitionBy(col(config.idCol)).orderBy(col("_v").desc)
+    val merged = existing.unionByName(incoming, allowMissingColumns = true)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_v")
+    write(merged)
+  }
+
+  /** Conditional upsert: replace only points matching `filter`; new ids
+    * insert unconditionally (`point_ops.rs:114-115`). */
+  def upsertConditional(points: DataFrame, filter: Filter): Unit = {
+    val cur = read()
+    val replaceable = cur.filter(pred(cur, filter))
+      .select(col(config.idCol)).withColumn("_repl", lit(true))
+    val existingIds = cur.select(col(config.idCol)).withColumn("_exists", lit(true))
+    val incoming = points
+      .join(replaceable, Seq(config.idCol), "left")
+      .join(existingIds, Seq(config.idCol), "left")
+      .filter(col("_repl").isNotNull || col("_exists").isNull)
+      .drop("_repl", "_exists")
+    val kept = cur.join(incoming.select(config.idCol), Seq(config.idCol), "left_anti")
+    write(kept.unionByName(incoming, allowMissingColumns = true))
+  }
+
+  def deleteByIds(ids: Seq[Long]): Unit = {
+    val cur = read()
+    write(cur.filter(!col(config.idCol).isin(ids: _*)))
+  }
+
+  def deleteByFilter(filter: Filter): Unit = {
+    val cur = read()
+    write(cur.filter(!coalesce(pred(cur, filter), lit(false))))
+  }
+
+  /** Merge JSON keys into payload for points selected by ids or filter
+    * (qdrant set_payload, `lib/shard/src/operations/payload_ops.rs:16-27`).
+    * Shallow merge: top-level keys of `patch` overwrite. */
+  def setPayload(patch: String, target: Column): Unit =
+    mapPayload(target, cur =>
+      to_json(map_concat(
+        map_filter(fromJsonMap(cur), (k, _) => !k.isin(topKeys(patch): _*)),
+        fromJsonMap(lit(patch)))))
+
+  /** Replace the whole payload (`payload_ops.rs` overwrite). */
+  def overwritePayload(payload: String, target: Column): Unit =
+    mapPayload(target, _ => lit(payload))
+
+  /** Drop the given top-level keys. */
+  def deletePayloadKeys(keys: Seq[String], target: Column): Unit =
+    mapPayload(target, cur =>
+      to_json(map_filter(fromJsonMap(cur), (k, _) => !k.isin(keys: _*))))
+
+  /** Clear payload entirely. */
+  def clearPayload(target: Column): Unit = mapPayload(target, _ => lit(null))
+
+  /** Set a named vector on selected points (vector_ops.rs:12-19). */
+  def updateVector(name: String, newVec: Column, target: Column): Unit = {
+    val cur = read()
+    val c = config.vectorCol(name)
+    write(cur.withColumn(c, when(target, newVec).otherwise(col(c))))
+  }
+
+  /** Null out a named vector on selected points. */
+  def deleteVector(name: String, target: Column): Unit = {
+    val cur = read()
+    val c = config.vectorCol(name)
+    write(cur.withColumn(c,
+      when(target, lit(null).cast(cur.schema(c).dataType)).otherwise(col(c))))
+  }
+
+  private def fromJsonMap(c: Column): Column =
+    coalesce(
+      from_json(c, org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
+      map())
+
+  private def topKeys(json: String): Seq[String] = {
+    // top-level keys of a flat JSON object literal (driver-side parse)
+    val m = new scala.util.matching.Regex("\"([^\"]+)\"\\s*:")
+    m.findAllMatchIn(json).map(_.group(1)).toSeq
+  }
+
+  private def mapPayload(target: Column, f: Column => Column): Unit = {
+    val cur = read()
+    val p = col(config.payloadCol)
+    write(cur.withColumn(config.payloadCol,
+      when(coalesce(target, lit(false)), f(p)).otherwise(p)))
+  }
+}
+
+object Collection {
+  /** Create/overwrite a collection from a points DataFrame. */
+  def create(
+      spark: SparkSession,
+      path: String,
+      config: CollectionConfig,
+      points: DataFrame): Collection = {
+    points.write.mode(SaveMode.Overwrite).parquet(path)
+    new Collection(spark, path, config)
+  }
+}
