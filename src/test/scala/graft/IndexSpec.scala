@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{IvfIndex, Quantization}
+import graft.model._
+import graft.ops.{Formula, Mmr, Search}
+
+/** ANN-vs-exact oracle pattern (the reference's load-bearing correctness
+  * test, SURVEY.md §5.3: `exact_search_test.rs`) plus formula/MMR units. */
+class IndexSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+  private lazy val q7 = Tables.embeddingOf(spark, sf, 7L)
+
+  private def exactTop(k: Int): Seq[Long] =
+    Search.knn(emb, "vec_id", "embedding", q7, Dot, k = k)
+      .collect().map(_.getLong(0)).toSeq
+
+  test("IVF with all probes equals exact search") {
+    val model = IvfIndex.build(emb, "embedding", k = 8)
+    val assigned = IvfIndex.assign(emb, "embedding", model)
+    val got = IvfIndex.search(assigned, "vec_id", "embedding", model, q7,
+      Dot, nprobe = model.k, k = 10).collect().map(_.getLong(0)).toSeq
+    assert(got == exactTop(10))
+  }
+
+  test("IVF probe pruning reads only probed cells, recall reasonable") {
+    val model = IvfIndex.build(emb, "embedding", k = 8)
+    val assigned = IvfIndex.assign(emb, "embedding", model).cache()
+    val probed = model.probe(q7, 2)
+    assert(probed.length == 2)
+    val got = IvfIndex.search(assigned, "vec_id", "embedding", model, q7,
+      Dot, nprobe = 2, k = 10).collect().map(_.getLong(0)).toSet
+    assert(got.intersect(exactTop(10).toSet).size >= 5)
+  }
+
+  test("scalar quantization rescore recovers exact top-k at high oversampling") {
+    val p = Quantization.fitScalar(emb, "embedding")
+    val enc = emb.withColumn("qvec", Quantization.encodeScalar(col("embedding"), p))
+    val got = Quantization.searchScalarRescore(enc, "vec_id", "embedding", q7,
+      Dot, p, k = 10, oversampling = 10.0).collect().map(_.getLong(0)).toSeq
+    assert(got == exactTop(10))
+  }
+
+  test("binary quantization rescore has nonzero overlap with exact") {
+    val enc = emb.withColumn("bvec", Quantization.encodeBinary(col("embedding"), 64))
+    val got = Quantization.searchBinaryRescore(enc, "vec_id", "embedding", q7,
+      Cosine, k = 10, oversampling = 8.0).collect().map(_.getLong(0)).toSet
+    val exact = Search.knn(emb, "vec_id", "embedding", q7, Cosine, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.intersect(exact).nonEmpty)
+  }
+
+  test("MMR first pick is the most relevant; selection is diverse") {
+    val cands = Search.knn(emb, "vec_id", "embedding", q7, Dot,
+      k = 30, extraCols = Seq("embedding"))
+    val got = Mmr.rerank(spark, cands, "vec_id", "embedding", Dot, q7,
+      lambda = 0.5, limit = 5).collect()
+    assert(got.length == 5)
+    assert(got.head.getLong(0) == exactTop(1).head)
+    assert(got.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
+    // λ=1 → pure relevance → equals exact order
+    val pure = Mmr.rerank(spark, cands, "vec_id", "embedding", Dot, q7,
+      lambda = 1.0, limit = 5).collect().map(_.getLong(0)).toSeq
+    assert(pure == exactTop(5))
+  }
+
+  test("decay lambda transforms and kernel values") {
+    import Formula._
+    assert(decayLambda(LinDecay, 0.5, 1.0) == 0.5)
+    assert(decayLambda(ExpDecay, 0.5, 1.0) == math.log(0.5))
+    assert(decayLambda(GaussDecay, 0.5, 2.0) == math.log(0.5) / 4.0)
+    // gauss decay at x=target is 1; at |x−target|=scale it's the midpoint
+    val r = spark.range(1).select(
+      compile(Decay(GaussDecay, Constant(5.0), Constant(5.0), 0.5, 3.0),
+        _ => lit(0.0), new graft.filters.TypedResolver(
+          org.apache.spark.sql.types.StructType(Nil), "id")).as("at_target"),
+      compile(Decay(GaussDecay, Constant(8.0), Constant(5.0), 0.5, 3.0),
+        _ => lit(0.0), new graft.filters.TypedResolver(
+          org.apache.spark.sql.types.StructType(Nil), "id")).as("at_scale"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
+  }
+
+  test("sparse index search equals per-doc arithmetic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"), (2L, "b b b"), (3L, "c c a")).toDF("doc_id", "text")
+    val post = graft.index.SparseIndex.postingsFromTokens(docs, "doc_id", "text")
+    val q = Seq(("a", 2.0), ("b", 1.0)).toDF("dim", "qw")
+    val got = graft.index.SparseIndex.search(post, "doc_id", q, None, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc1: 2a,1b → 2*2+1=5; doc2: 3b → 3; doc3: 1a → 2
+    assert(got == Map(1L -> 5.0, 2L -> 3.0, 3L -> 2.0))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Dedup operators against hand-computed oracles on constructed corpora
+  * (the hash-family paths minhash/simhash have no DuckDB oracle). */
+class PipelineSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup of 1
+      (3L, "completely different content with no overlap whatsoever here now"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 3)
+    val dup = groups.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L) // keeper = min id
+    val kept = Dedup.exactKeepFirst(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, jaccard is exact") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.get((1L, 2L)).exists(_ <= 10))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard pairs match set arithmetic") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 4L)) == 1.0)
+    // doc1/doc2: 12 tokens → 10 shingles each; differ at token 9 ("dog"/"cat")
+    // → 3 shingles differ per doc, 7 common, union 13 → 7/13
+    assert(math.abs(got((1L, 2L)) - 7.0 / 13.0) < 1e-6)
+  }
+
+  test("language id picks max marker count with first-wins ties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the data spark"), // en 2, es 1, zh 1 → en
+      (2L, "data data spark the"), // es 2 → es
+      (3L, "spark spark data the"), // zh 2 → zh
+      (4L, "nothing matches here"), // all 0 → tie → en
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.langIdPredict(col("text"),
+        Seq("en" -> "the", "es" -> "data", "zh" -> "spark")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "zh", 4L -> "en"))
+  }
+
+  test("multimodal featurize is deterministic and non-null") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array[Byte](1, 2, 3, 4, 5)),
+      (2L, Array[Byte](1, 2, 3, 4, 5)),
+      (3L, Array[Byte](9, 9, 9))).toDF("media_id", "bytes")
+    val dec = new graft.pipeline.Multimodal.StubDecoder(8)
+    val out = graft.pipeline.Multimodal.featurize(media, "media_id", "bytes", dec)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(1L) == out(2L) && out(1L) != out(3L) && out(1L).length == 8)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model._
+import graft.sources.{CollectionConfig, VectorConfig}
+import graft.storage.Collection
+
+/** Collection mutation semantics (upsert / delete / payload ops) and
+  * streaming ingestion — the model-based-testing pattern of the reference
+  * (`lib/collection/src/model_testing/`) in miniature. */
+class StoreSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_coll").resolve("points").toString
+
+  private val cfg = CollectionConfig(
+    idCol = "id", payloadCol = "payload",
+    vectors = Seq(VectorConfig("", 4, Dot)),
+    payloadTypes = Map("city" -> StringType, "price" -> DoubleType))
+
+  private def mk(path: String) = {
+    import spark.implicits._
+    Collection.create(spark, path, cfg, Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), """{"city":"Berlin","price":10.0}"""),
+      (2L, Seq(0f, 1f, 0f, 0f), """{"city":"London","price":11.0}"""),
+      (3L, Seq(0f, 0f, 1f, 0f), """{"city":"Moscow","price":9.0}"""),
+    ).toDF("id", "vector", "payload"))
+  }
+
+  test("upsert replaces by id and inserts new points") {
+    import spark.implicits._
+    val c = mk(tmpDir())
+    c.upsert(Seq(
+      (2L, Seq(9f, 9f, 9f, 9f), """{"city":"Paris"}"""),
+      (4L, Seq(0f, 0f, 0f, 1f), """{"city":"Rome"}"""),
+    ).toDF("id", "vector", "payload"))
+    val got = c.read().orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got(1).getString(2).contains("Paris"))
+  }
+
+  test("conditional upsert only replaces matching points, inserts new") {
+    import spark.implicits._
+    val c = mk(tmpDir())
+    c.upsertConditional(
+      Seq(
+        (1L, Seq(5f, 5f, 5f, 5f), """{"city":"Hamburg"}"""), // matches filter
+        (2L, Seq(6f, 6f, 6f, 6f), """{"city":"Oslo"}"""), // does NOT match
+        (9L, Seq(7f, 7f, 7f, 7f), """{"city":"New"}"""), // new id → insert
+      ).toDF("id", "vector", "payload"),
+      Filter.mustAll(MatchValue("city", "Berlin")))
+    val got = c.read().orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L).contains("Hamburg"))
+    assert(got(2L).contains("London")) // untouched
+    assert(got(9L).contains("New"))
+  }
+
+  test("delete by ids and by filter") {
+    val c = mk(tmpDir())
+    c.deleteByIds(Seq(2L))
+    assert(c.read().count() == 2)
+    c.deleteByFilter(Filter.mustAll(RangeCond("price", lt = Some(10.0))))
+    assert(c.read().select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("payload set / delete keys / overwrite / clear") {
+    val c = mk(tmpDir())
+    c.setPayload("""{"price":99.0,"new_key":"x"}""", col("id") === 1L)
+    val p1 = c.read().filter(col("id") === 1L).select("payload").head.getString(0)
+    assert(p1.contains("99.0") && p1.contains("new_key") && p1.contains("Berlin"))
+
+    c.deletePayloadKeys(Seq("city"), col("id") === 1L)
+    val p2 = c.read().filter(col("id") === 1L).select("payload").head.getString(0)
+    assert(!p2.contains("Berlin") && p2.contains("new_key"))
+
+    c.overwritePayload("""{"only":"this"}""", col("id") === 2L)
+    val p3 = c.read().filter(col("id") === 2L).select("payload").head.getString(0)
+    assert(p3 == """{"only":"this"}""")
+
+    c.clearPayload(col("id") === 3L)
+    assert(c.read().filter(col("id") === 3L).select("payload").head.isNullAt(0))
+  }
+
+  test("update and delete named vector") {
+    val c = mk(tmpDir())
+    c.updateVector("", typedLit(Seq(7f, 7f, 7f, 7f)), col("id") === 1L)
+    assert(c.read().filter(col("id") === 1L)
+      .select("vector").head.getSeq[Float](0).toSeq == Seq(7f, 7f, 7f, 7f))
+    c.deleteVector("", col("id") === 1L)
+    assert(c.read().filter(col("id") === 1L).select("vector").head.isNullAt(0))
+    // HasVector filter now excludes point 1
+    val r = c.resolver(c.read())
+    val pred = new graft.filters.FilterCompiler(r)
+      .compile(Filter.mustAll(HasVector("")))
+    assert(c.read().filter(pred).count() == 2)
+  }
+
+  test("streaming upsert applies micro-batches in order") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val c = mk(tmpDir())
+    val stream = MemoryStream[(Long, Seq[Float], String)]
+    val q = graft.streaming.Streaming.upsertStream(
+      stream.toDF().toDF("id", "vector", "payload"), c,
+      Files.createTempDirectory("graft_ckpt").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    stream.addData((1L, Seq(8f, 8f, 8f, 8f), """{"city":"Streamed"}"""))
+    stream.addData((5L, Seq(1f, 1f, 1f, 1f), """{"city":"New"}"""))
+    q.processAllAvailable()
+    q.stop()
+    val got = c.read().orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L).contains("Streamed") && got(5L).contains("New") && got.size == 4)
+  }
+}
