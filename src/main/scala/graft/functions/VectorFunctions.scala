@@ -23,20 +23,17 @@ object VectorFunctions {
 
   private def d(x: Column): Column = x.cast("double")
 
-  /** Sequential fold Σ aᵢ·bᵢ over two array<float|double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0d), (acc, x) => acc + x)
+  /** Sequential fold Σ aᵢ·bᵢ over two array<float|double> columns
+    * (codegen'd scalar loop, see [[VecKernels]]). */
+  def dot(a: Column, b: Column): Column = VecKernels.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  def euclidDist(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0d), (acc, x) => acc + x))
+  def euclidDist(a: Column, b: Column): Column = sqrt(VecKernels.l2sq(a, b))
 
-  def manhattanDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(d(x) - d(y))), lit(0.0d), (acc, x) => acc + x)
+  def manhattanDist(a: Column, b: Column): Column = VecKernels.l1(a, b)
 
   /** Score column for a metric; order direction per [[Metric.largerBetter]]. */
   def score(metric: Metric, v: Column, q: Column): Column = metric match {

@@ -48,9 +48,7 @@ object IvfIndex {
     * the column to partition/Z-order the table by at scale. */
   def assignExpr(vecCol: Column, model: Model): Column = {
     val dists = model.centroids.map { c =>
-      aggregate(zip_with(vecCol, typedLit(c), (x, y) =>
-        (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0d), (acc, x) => acc + x)
+      graft.functions.VecKernels.l2sq(vecCol, typedLit(c))
     }
     val arr = array(dists: _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")

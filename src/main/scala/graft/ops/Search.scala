@@ -25,9 +25,7 @@ object Search {
   def simInternal(metric: Metric, v: Column, q: Column): Column = metric match {
     case Dot       => dot(v, q)
     case Cosine    => cosine(v, q)
-    case Euclid    => -aggregate(zip_with(v, q, (x, y) =>
-      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0d), (acc, x) => acc + x)
+    case Euclid    => -graft.functions.VecKernels.l2sq(v, q)
     case Manhattan => -manhattanDist(v, q)
   }
 
