@@ -173,6 +173,8 @@ final class FilterCompiler(r: FieldResolver) {
       !r.fieldExists(k) || (size(r.values(k)) === 0 && !r.isJsonNull(k))
     case IsNullCond(k) => r.isJsonNull(k)
     case HasId(ids) => r.id.isin(ids: _*)
+    case SliceCond(total, index) =>
+      graft.functions.SipHash24.sliceIndexCol(r.id, total) === lit(index.toLong)
     case HasVector(name) => r.vector(name).isNotNull
     case NestedCond(k, f) => compileNested(k, f)
     case SubFilter(f) => compile(f)

@@ -94,6 +94,13 @@ final case class IsEmpty(key: String) extends Condition
 final case class IsNullCond(key: String) extends Condition
 /** Point id ∈ set. Ref `types.rs:3808-3820`. */
 final case class HasId(ids: Seq[Long]) extends Condition
+/** Deterministic hash-slice of the id space: point matches iff
+  * SipHash-2-4(zero key, LE id bytes) mod total == index. Slices are
+  * disjoint, cover all points, and smaller samples nest in larger ones.
+  * Ref `SliceCondition` / `slice_point_id_hash` `types.rs:3860-3923`. */
+final case class SliceCond(total: Int, index: Int) extends Condition {
+  require(total > 0 && index >= 0 && index < total, "slice index must be in 0..total")
+}
 /** Named vector present. Ref `types.rs:3821-3830`. */
 final case class HasVector(name: String) extends Condition
 /** Per-element filter over an array-of-objects field: inner conditions must

@@ -170,6 +170,32 @@ object Search {
     rank.cast("double") + scaledFastSigmoid(simInternal(metric, v, typedLit(target)))
   }
 
+  /** Relevance feedback, `naive` strategy:
+    * `a·sim(target) + Σ_pairs (Δscore^b · c)·(sim(pos) − sim(neg))` where
+    * pairs are all ordered feedback permutations with feedback-score
+    * difference Δscore > 0 (margin 0). Pair extraction happens at the
+    * driver (feedback lists are tiny); the per-point score is one Catalyst
+    * expression. Ref `lib/segment/src/vector_storage/query/feedback_query.rs`
+    * (`extract_context_pairs` :118-145, `score_by` :195-230);
+    * `FeedbackStrategy::Naive` `collection_query.rs:202-220`. */
+  def feedbackNaiveExpr(
+      metric: Metric, v: Column,
+      target: Seq[Double],
+      feedback: Seq[(Seq[Double], Double)],
+      a: Double, b: Double, c: Double): Column = {
+    val pairs = for {
+      (pi, i) <- feedback.zipWithIndex
+      (pj, j) <- feedback.zipWithIndex
+      if i != j && pi._2 - pj._2 > 0.0
+    } yield {
+      val partial = math.pow(pi._2 - pj._2, b) * c
+      lit(partial) * (simInternal(metric, v, typedLit(pi._1)) -
+        simInternal(metric, v, typedLit(pj._1)))
+    }
+    lit(a) * simInternal(metric, v, typedLit(target)) +
+      pairs.reduceOption(_ + _).getOrElse(lit(0.0d))
+  }
+
   /** f32 machine epsilon — the MARGIN in context loss
     * (`context_query.rs:54`). */
   val ContextMargin: Double = math.ulp(1.0f).toDouble

@@ -61,6 +61,15 @@ object PayloadGeoQueries {
       geoCount(s, dir, GeoPolygonCond("location", exterior = Seq(
         GeoPoint(-100.0, -50.0), GeoPoint(100.0, -40.0), GeoPoint(0.0, 70.0),
         GeoPoint(-100.0, -50.0))))),
+    // Slice: deterministic SipHash-2-4 partition of the id space. No DuckDB
+    // oracle (no SipHash there) — correctness is property-tested in
+    // FilterSpec (disjoint + covering + nesting + known test vectors).
+    "slice_filter" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val pred = new FilterCompiler(new TypedResolver(e.schema, "vec_id"))
+        .compile(Filter.mustAll(SliceCond(total = 4, index = 1)))
+      e.filter(pred).select(col("vec_id")).orderBy(col("vec_id").asc)
+    }),
     "formula_rescore" -> ((s, dir) => {
       import Formula._
       val e = Tables.load(s, dir, "embeddings")

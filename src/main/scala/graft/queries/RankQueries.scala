@@ -60,6 +60,14 @@ object RankQueries {
         pairs = Seq((v(s, dir, 10), v(s, dir, 20)), (v(s, dir, 30), v(s, dir, 40))))
       Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
     }),
+    "feedback_naive" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val expr = Search.feedbackNaiveExpr(Dot, col("embedding"),
+        target = v(s, dir, 5),
+        feedback = Seq((v(s, dir, 10), 0.9), (v(s, dir, 20), 0.4), (v(s, dir, 30), 0.1)),
+        a = 1.0, b = 2.0, c = 0.5)
+      Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
+    }),
     "fusion_rrf" -> ((s, dir) => {
       Fusion.rrf(
         Seq(Fusion.Source(topDot7(s, dir, 20)), Fusion.Source(topCos42(s, dir, 20))),
@@ -164,6 +172,25 @@ object RankQueries {
          |SELECT vec_id,
          |  round(d1/(1+abs(d1)) + d2/(1+abs(d2)), 6) AS score
          |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "feedback_naive" ->
+      // pairs with positive feedback-score delta, partial = delta^b * c
+      // computed in SQL from the same literal scores (0.9, 0.4, 0.1)
+      """WITH t AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=5),
+        |f1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=10),
+        |f2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=20),
+        |f3 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=30),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  list_dot_product(e.embedding::DOUBLE[], t.v) AS st,
+        |  list_dot_product(e.embedding::DOUBLE[], f1.v) AS s1,
+        |  list_dot_product(e.embedding::DOUBLE[], f2.v) AS s2,
+        |  list_dot_product(e.embedding::DOUBLE[], f3.v) AS s3
+        |  FROM embeddings e, t, f1, f2, f3)
+        |SELECT vec_id,
+        |  round(1.0 * st
+        |    + power(0.9 - 0.4, 2.0) * 0.5 * (s1 - s2)
+        |    + power(0.9 - 0.1, 2.0) * 0.5 * (s1 - s3)
+        |    + power(0.4 - 0.1, 2.0) * 0.5 * (s2 - s3), 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "fusion_rrf" ->
       """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
         |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),

@@ -115,6 +115,45 @@ class FilterSpec extends SparkTestBase {
     assert(gotLoose == Seq(1L, 2L))
   }
 
+  test("siphash-2-4 matches the reference vectors from the SipHash paper") {
+    import graft.functions.SipHash24
+    // key 000102...0f (k0/k1 little-endian), inputs 00..(n-1); expected
+    // values are the canonical vectors_sip64 of the reference C impl
+    val k0 = 0x0706050403020100L
+    val k1 = 0x0f0e0d0c0b0a0908L
+    def in(n: Int): Array[Byte] = Array.tabulate(n)(_.toByte)
+    assert(SipHash24.hash(k0, k1, in(0)) == 0x726fdb47dd0e0e31L)
+    assert(SipHash24.hash(k0, k1, in(8)) == 0x93f5f5799a932462L)
+    assert(SipHash24.hash(k0, k1, in(15)) == 0xa129ca6149be45e5L)
+    // hashLe8 is the zero-key 8-LE-byte specialization
+    for (x <- Seq(0L, 1L, 42L, -1L, Long.MaxValue, Long.MinValue)) {
+      val bytes = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(x).array()
+      assert(SipHash24.hashLe8(x) == SipHash24.hash(0L, 0L, bytes))
+    }
+  }
+
+  test("slice condition: disjoint, covering, nested, matches driver-side hash") {
+    import spark.implicits._
+    import graft.functions.SipHash24
+    val ids = (0L until 500L)
+    // unsigned-mod semantics: slices partition the id space
+    for (id <- ids) {
+      val idx4 = (0 until 4).filter(i => SipHash24.inSlice(id, 4, i))
+      assert(idx4.size == 1) // exactly one slice of 4
+      // nesting: slice k of 4 is contained in slice (k % 2) of 2
+      assert(SipHash24.inSlice(id, 2, idx4.head % 2))
+    }
+    val d = ids.toDF("id")
+    val tr = new graft.filters.TypedResolver(d.schema, "id")
+    val got = d.filter(new FilterCompiler(tr).compile(
+        Filter.mustAll(SliceCond(total = 4, index = 1))))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = ids.filter(SipHash24.inSlice(_, 4, 1)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < ids.size)
+  }
+
   test("slice/text conditions on typed columns still null-safe") {
     import spark.implicits._
     val d = Seq((1L, "hello world foo"), (2L, "bar baz")).toDF("id", "text")
