@@ -1,7 +1,5 @@
 package graft.index
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -34,14 +32,92 @@ object IvfIndex {
         .take(nprobe).map(_._1)
   }
 
-  /** Fit centroids with MLlib KMeans (deterministic under `seed`). */
+  /** Fit centroids on a bounded sample with driver-side Lloyd's iterations
+    * (the standard IVF training regime — e.g. faiss trains on ~256·k
+    * sampled points). One Spark job (the sample collect) regardless of
+    * table size; deterministic under `seed`. The alternative distributed
+    * fit (MLlib KMeans) costs ~maxIter cluster jobs and buys nothing:
+    * centroid quality is set by the sample, not by scanning every row. */
   def build(df: DataFrame, vecCol: String, k: Int, maxIter: Int = 20,
-      seed: Long = 42L): Model = {
-    val feats = df.select(array_to_vector(col(vecCol).cast("array<double>"))
-      .as("features"))
-    val km = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
-    val model = km.fit(feats)
-    Model(model.clusterCenters.toSeq.map(_.toArray.toSeq))
+      seed: Long = 42L, samplePerCentroid: Int = 256): Model = {
+    val target = k * samplePerCentroid
+    // deterministic pseudo-random sample without a count(): order by a hash
+    // of the vector bytes and take the first `target`
+    val sample = df
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("v")), monotonically_increasing_id())
+      .limit(target)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    Model(lloyd(sample, k, maxIter, seed).map(_.toSeq))
+  }
+
+  /** Plain Lloyd's k-means with k-means++ seeding, driver-side. */
+  private def lloyd(
+      points: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Seq[Array[Double]] = {
+    require(points.nonEmpty, "cannot train IVF on an empty table")
+    val dim = points.head.length
+    val rng = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(points(rng.nextInt(points.length)))
+    val minD = points.map(p => d2(p, centers.head))
+    while (centers.length < math.min(k, points.length)) {
+      val total = minD.sum
+      val target = if (total > 0) rng.nextDouble() * total else 0.0
+      var acc = 0.0; var pick = 0
+      var i = 0
+      while (i < points.length && acc <= target) { acc += minD(i); pick = i; i += 1 }
+      centers += points(pick)
+      var j = 0
+      while (j < points.length) {
+        val d = d2(points(j), centers.last)
+        if (d < minD(j)) minD(j) = d
+        j += 1
+      }
+    }
+    val cs = centers.toArray
+    val assign = new Array[Int](points.length)
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val d = d2(points(i), cs(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Int](cs.length)
+      var p = 0
+      while (p < points.length) {
+        val c = assign(p); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += points(p)(j); j += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < cs.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cs(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cs.toSeq
   }
 
   /** Argmin-centroid assignment as a pure column expression (no UDF):

@@ -28,8 +28,10 @@ object SparseQueries {
       val post = SparseIndex.postingsFromTokens(d, "doc_id", "text")
       val lens = d.select(col("doc_id"),
         size(TextFunctions.tokensWs(col("text"))).cast("double").as("doc_len"))
-      val n = d.count()
-      val avgdl = lens.agg(avg(col("doc_len"))).head().getDouble(0)
+      // single stats job for both corpus size and average doc length
+      val stats = lens.agg(count(lit(1)), avg(col("doc_len"))).head()
+      val n = stats.getLong(0)
+      val avgdl = stats.getDouble(1)
       val bm25 = SparseIndex.bm25Postings(post, lens, "doc_id",
         k1 = 1.2, b = 0.75, avgDocLen = avgdl)
       val idf = SparseIndex.idfTable(post, "doc_id", n)
