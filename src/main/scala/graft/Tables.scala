@@ -8,6 +8,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Make sure a per-row-expensive stage (JSON parse, tokenize, hash kernel)
+    * runs with at least the session's default parallelism. A single small
+    * parquet file scans as one partition, serializing the stage; at real
+    * scale inputs already have plenty of splits and this is a no-op (no
+    * shuffle added). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Fetch one embedding vector by id (driver-side; qdrant's
     * recommend-by-id resolve step, `lib/collection/src/collection/query.rs:456`). */
   def embeddingOf(spark: SparkSession, dir: String, vecId: Long): Seq[Double] =

@@ -22,18 +22,29 @@ final class JsonResolver(
     payloadCol: Column,
     types: Map[String, DataType],
     idColumn: Column,
-    vectorCols: Map[String, Column] = Map.empty)
+    vectorCols: Map[String, Column] = Map.empty,
+    preParsed: Boolean = false)
   extends FieldResolver {
 
   private def typeName(key: String): String =
     types.getOrElse(key, StringType).sql
 
+  // When a filter references several keys (or one key in several branches),
+  // parsing the JSON string per reference multiplies the dominant per-row
+  // cost. Callers on a hot path should project `try_parse_json(payload)`
+  // once and construct the resolver with `preParsed = true`.
   private def raw(key: String): Column =
-    try_variant_get(try_parse_json(payloadCol), "$." + key, "variant")
+    try_variant_get(
+      if (preParsed) payloadCol else try_parse_json(payloadCol),
+      "$." + key, "variant")
 
   def values(key: String): Column = {
     val r = raw(key)
     val t = typeName(key)
+    // NOTE: keep the number of `r` references minimal — the optimizer
+    // inlines the payload parse into every reference when this lands in a
+    // Filter, and only ProjectExec reliably subexpression-eliminates them
+    // (see scaladoc on preParsed and the aggregate-shaped catalog queries).
     coalesce(
       // array-valued: all elements, nulls dropped
       filter(try_variant_get(r, "$", s"array<$t>"), e => e.isNotNull),

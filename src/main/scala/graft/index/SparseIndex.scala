@@ -59,6 +59,50 @@ object SparseIndex {
         log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .select(col("dim"), col("idf"))
 
+  /** Full-text BM25 top-k for a fixed (small) set of query terms — the
+    * zero-shuffle shape. Per-doc term frequencies are column expressions
+    * over the token array, so the whole query is two corpus scans and NO
+    * shuffle: (1) one aggregate for N, avgdl and per-term document
+    * frequencies (partial aggregation, a handful of counters per
+    * partition); (2) a scoring scan that plans as TakeOrderedAndProject.
+    * This is the 100 TB plan: no explode, no postings join, nothing wide
+    * ever moves. The generic postings machinery (`search`) remains for
+    * true sparse vectors and large query vocabularies. */
+  def bm25SearchText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[(String, Double)],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    val toks = TextFunctions.tokensWs(col(textCol))
+    val tfCols = queryTerms.zipWithIndex.map { case ((t, _), i) =>
+      size(filter(toks, x => x === lit(t))).cast("double").as(s"_tf_$i")
+    }
+    val withTf = docs.select(
+      (col(idCol) +: size(toks).cast("double").as("_dl") +: tfCols): _*)
+    val aggCols = count(lit(1)).as("n") +: avg(col("_dl")).as("avgdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"_tf_$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$i"))
+    val stats = withTf.agg(aggCols.head, aggCols.tail: _*).head()
+    val n = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1)
+    val contribs = queryTerms.zipWithIndex.map { case ((_, qw), i) =>
+      val df = stats.getDouble(2 + i)
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      val tf = col(s"_tf_$i")
+      tf * (lit(k1) + 1.0) /
+        (lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl") / lit(avgdl)) + tf) *
+        lit(qw) * lit(idf)
+    }
+    withTf
+      .filter(queryTerms.indices.map(i => col(s"_tf_$i") > 0).reduce(_ || _))
+      .select(col(idCol), round(contribs.reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Score docs against a sparse query via postings join:
     * Σ_dims weight·qweight(·idf). Top-k largest. */
   def search(

@@ -33,14 +33,21 @@ object PayloadGeoQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The two VARIANT-path queries are aggregate-shaped on purpose: the
+    // predicate is a projected 0/1 column summed by the aggregate, not a
+    // Filter node. A Filter would have the payload parse inlined into every
+    // key reference by alias substitution (no cross-reference CSE there),
+    // while ProjectExec subexpression-eliminates them down to one parse/row.
     "payload_json_facet" -> ((s, dir) => {
       val ev = events(s, dir)
       val jr = new JsonResolver(col("props"), Map("k" -> LongType), col("event_id"))
       val pred = new FilterCompiler(jr).compile(Filter(
         must = Seq(RangeCond("k", gte = Some(10L), lt = Some(500L)))))
-      ev.filter(pred)
-        .groupBy(col("event_type").as("value"))
-        .agg(count(lit(1)).as("cnt"))
+      ev.select(col("event_type").as("value"),
+          when(pred, 1L).otherwise(0L).as("_m"))
+        .groupBy(col("value"))
+        .agg(sum(col("_m")).as("cnt"))
+        .filter(col("cnt") > 0)
         .orderBy(col("cnt").desc, col("value").asc)
         .limit(10)
     }),
@@ -50,7 +57,8 @@ object PayloadGeoQueries {
       val pred = new FilterCompiler(jr).compile(Filter(
         must = Seq(RangeCond("k", gte = Some(50L))),
         should = Seq(IsEmpty("missing_key"), IsNullCond("k"))))
-      ev.filter(pred).agg(count(lit(1)).as("cnt"))
+      ev.select(when(pred, 1L).otherwise(0L).as("_m"))
+        .agg(sum(col("_m")).as("cnt"))
     }),
     "geo_radius" -> ((s, dir) =>
       geoCount(s, dir, GeoRadius("location", GeoPoint(0.0, 0.0), 3000000.0))),

@@ -18,26 +18,17 @@ object SparseQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sparse_dot_tokens" -> ((s, dir) => {
       import s.implicits._
+      // dim filter pushes below the TF aggregate into the explode stage:
+      // only query-term postings are ever counted or shuffled
       val post = SparseIndex.postingsFromTokens(docs(s, dir), "doc_id", "text")
+        .filter(col("dim").isin("spark", "vector", "the"))
       val q = Seq(("spark", 1.0), ("vector", 2.0), ("the", 0.5)).toDF("dim", "qw")
       SparseIndex.search(post, "doc_id", q, idf = None, k = 10)
     }),
-    "bm25_idf_search" -> ((s, dir) => {
-      import s.implicits._
-      val d = docs(s, dir)
-      val post = SparseIndex.postingsFromTokens(d, "doc_id", "text")
-      val lens = d.select(col("doc_id"),
-        size(TextFunctions.tokensWs(col("text"))).cast("double").as("doc_len"))
-      // single stats job for both corpus size and average doc length
-      val stats = lens.agg(count(lit(1)), avg(col("doc_len"))).head()
-      val n = stats.getLong(0)
-      val avgdl = stats.getDouble(1)
-      val bm25 = SparseIndex.bm25Postings(post, lens, "doc_id",
-        k1 = 1.2, b = 0.75, avgDocLen = avgdl)
-      val idf = SparseIndex.idfTable(post, "doc_id", n)
-      val q = Seq(("spark", 1.0), ("vector", 1.0)).toDF("dim", "qw")
-      SparseIndex.search(bm25, "doc_id", q, idf = Some(idf), k = 10)
-    }),
+    "bm25_idf_search" -> ((s, dir) =>
+      SparseIndex.bm25SearchText(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq(("spark", 1.0), ("vector", 1.0)),
+        k1 = 1.2, b = 0.75, k = 10)),
   )
 
   val oracles: Map[String, String] = Map(
