@@ -22,6 +22,7 @@ object SparkEntry {
       (SparseQueries.queries, SparseQueries.oracles),
       (PayloadGeoQueries.queries, PayloadGeoQueries.oracles),
       (IndexQueries.queries, IndexQueries.oracles),
+      (StorageQueries.queries, StorageQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -28,7 +28,8 @@ object GroupBy {
       resolver: FieldResolver,
       filter: Option[Filter] = None,
       groupSize: Int = 3,
-      groups: Int = 10): DataFrame = {
+      groups: Int = 10,
+      keepGroupRank: Boolean = false): DataFrame = {
     val pred = filter.filterNot(_.isEmpty)
       .map(f => new FilterCompiler(resolver).compile(f))
     val base = pred.fold(points)(points.filter)
@@ -58,7 +59,8 @@ object GroupBy {
       .select(col("group_value").as("gv"), col("grp_rank"))
     hits.join(broadcast(topGroups), col("group_value") === col("gv"))
       .orderBy(col("grp_rank").asc, col("rank").asc)
-      .select(col("group_value"), col(idCol), col("score"), col("rank"))
+      .select((col("group_value") +: col(idCol) +: col("score") +: col("rank") +:
+        (if (keepGroupRank) Seq(col("grp_rank")) else Nil)): _*)
   }
 
   /** Attach a looked-up row from another collection per group

@@ -86,6 +86,22 @@ object RankQueries {
         groupSize = 3, groups = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // group-by search + with_lookup: each group id doubles as a point id in
+    // the lookup collection (here: the same table), broadcast-joined
+    "group_by_lookup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val expr = Search.scoreExpr(Dot, col("embedding"), typedLit(v(s, dir, 7)))
+      val grouped = GroupBy.groupBySearch(e, "vec_id", expr, largerBetter = true,
+        groupByField = "label", resolver = new TypedResolver(e.schema, "vec_id"),
+        groupSize = 2, groups = 5, keepGroupRank = true)
+      GroupBy.withLookup(grouped,
+          e.select(col("vec_id").as("_lk"), col("label").as("lookup_label")),
+          "_lk", Seq("lookup_label"))
+        .select(col("group_value"), col("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"),
+          col("grp_rank").cast("long").as("grp_rank"), col("lookup_label"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
     "distance_matrix_pairs" -> ((s, dir) => {
       DistanceMatrix.pairs(emb(s, dir), "vec_id", "embedding", Cosine,
         samplePred = col("vec_id") < 20, limitPerSample = 3)
@@ -244,6 +260,25 @@ object RankQueries {
         |SELECT h.group_value AS group_value, h.vec_id AS vec_id,
         |       h.score AS score, h.rank AS rank
         |FROM hits h JOIN topg t USING (group_value) WHERE t.gr <= 4
+        |ORDER BY t.gr ASC, h.rank ASC""".stripMargin,
+    "group_by_lookup" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |scored AS (SELECT e.vec_id AS vec_id, e.label AS group_value,
+        |             round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |           FROM embeddings e, q),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY group_value ORDER BY score DESC, vec_id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |best AS (SELECT group_value, max(score) AS best FROM hits GROUP BY group_value),
+        |topg AS (SELECT group_value, best,
+        |           row_number() OVER (ORDER BY best DESC, group_value ASC) AS gr
+        |         FROM best)
+        |SELECT h.group_value AS group_value, h.vec_id AS vec_id, h.score AS score,
+        |       h.rank AS rank, t.gr AS grp_rank, lk.label AS lookup_label
+        |FROM hits h JOIN topg t USING (group_value)
+        |LEFT JOIN embeddings lk ON lk.vec_id = h.group_value
+        |WHERE t.gr <= 5
         |ORDER BY t.gr ASC, h.rank ASC""".stripMargin,
     "distance_matrix_pairs" ->
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20),

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.Tables
+import graft.model._
+import graft.sources.CollectionConfig
+import graft.storage.Collection
+
+/** Mutation (write-surface) round-trip catalog, SURVEY.md §2.1: upsert,
+  * conditional upsert, delete-by-filter, payload set/delete-keys — applied
+  * to a scratch collection under /tmp and read back, with a DuckDB oracle
+  * reproducing the same sequence relationally over the source parquet.
+  * This is the oracle-checked coverage for the Collection write API
+  * (StoreSpec covers the same ops property-style).
+  */
+object StorageQueries {
+
+  private val cfg = CollectionConfig(
+    idCol = "id",
+    payloadCol = "payload",
+    payloadTypes = Map(
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType))
+
+  /** documents rows as collection points: id + JSON payload. */
+  private def points(s: SparkSession, dir: String, wherePred: org.apache.spark.sql.Column,
+      sourceOverride: Option[String] = None): DataFrame = {
+    val d = Tables.load(s, dir, "documents").filter(wherePred)
+    val src = sourceOverride.map(lit).getOrElse(col("source"))
+    d.select(col("doc_id").as("id"),
+      to_json(struct(col("lang"), src.as("source"), col("n_chars"))).as("payload"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mutation_pipeline" -> ((s, dir) => {
+      val path = "/tmp/graft_runtime/mut_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // 1. seed: docs id < 150
+      val coll = Collection.create(s, path, cfg,
+        points(s, dir, col("doc_id") < 150))
+      // 2. upsert ids 140..159 with source='upserted' (140-149 replace,
+      //    150-159 insert)
+      coll.upsert(points(s, dir,
+        col("doc_id") >= 140 && col("doc_id") < 160, Some("upserted")))
+      // 3. conditional upsert ids < 60 with source='cond', only where the
+      //    existing point has lang='en'
+      coll.upsertConditional(
+        points(s, dir, col("doc_id") < 60, Some("cond")),
+        Filter.mustAll(MatchValue("lang", "en")))
+      // 4. delete all German docs
+      coll.deleteByFilter(Filter.mustAll(MatchValue("lang", "de")))
+      // 5. tag long docs via payload merge
+      coll.setPayload("""{"flag":"hot"}""",
+        get_json_object(col(cfg.payloadCol), "$.n_chars").cast("long") >= 300)
+      // 6. drop the lang key for ids < 10
+      coll.deletePayloadKeys(Seq("lang"), col(cfg.idCol) < 10)
+      coll.read()
+        .select(col("id"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.source").as("source"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
+          get_json_object(col("payload"), "$.flag").as("flag"))
+        .orderBy(col("id"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mutation_pipeline" ->
+      """WITH seed AS (SELECT doc_id AS id, lang, source, n_chars
+        |             FROM documents WHERE doc_id < 150),
+        |up AS (SELECT doc_id AS id, lang, 'upserted' AS source, n_chars
+        |       FROM documents WHERE doc_id >= 140 AND doc_id < 160),
+        |m1 AS (SELECT * FROM up
+        |       UNION ALL
+        |       SELECT s.* FROM seed s WHERE s.id NOT IN (SELECT id FROM up)),
+        |cond AS (SELECT doc_id AS id, lang, 'cond' AS source, n_chars
+        |         FROM documents WHERE doc_id < 60),
+        |m2 AS (SELECT c.* FROM cond c JOIN m1 ON m1.id = c.id AND m1.lang = 'en'
+        |       UNION ALL
+        |       SELECT m1.* FROM m1
+        |       WHERE NOT (m1.lang = 'en' AND m1.id IN (SELECT id FROM cond))),
+        |m3 AS (SELECT * FROM m2 WHERE NOT lang = 'de')
+        |SELECT id,
+        |  CASE WHEN id < 10 THEN NULL ELSE lang END AS lang,
+        |  source,
+        |  n_chars::BIGINT AS n_chars,
+        |  CASE WHEN n_chars >= 300 THEN 'hot' END AS flag
+        |FROM m3 ORDER BY id""".stripMargin,
+  )
+}

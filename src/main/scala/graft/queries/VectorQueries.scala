@@ -34,6 +34,17 @@ object VectorQueries {
       val q = Tables.embeddingOf(s, dir, 99L)
       Search.knn(emb(s, dir), "vec_id", "embedding", q, Manhattan, k = 10)
     }),
+    // batch KNN: one top-k per query row; the 100 TB shape — points stream
+    // once, query side broadcast, per-query window ranking
+    "knn_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id").isin(3L, 7L, 11L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Search.knnBatch(e, "vec_id", "embedding", qs, "query_id", "qvec", Dot, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "knn_filtered" -> ((s, dir) => {
       val df = emb(s, dir)
       val q = Tables.embeddingOf(s, dir, 7L)
@@ -49,6 +60,17 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id IN (3, 7, 11)),
+        |s AS (SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+        |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+        |      FROM s)
+        |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id ASC, rank ASC""".stripMargin,
     "knn_dot" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
         |SELECT e.vec_id AS vec_id,
