@@ -13,7 +13,54 @@ object ReadQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  import org.apache.spark.sql.functions._
+
+  /** documents + synthesized array / array-of-struct payload fields, to
+    * exercise the ∃-over-values condition semantics on typed columns. */
+  private def docsArr(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      array(col("lang"), col("source")).as("tags"),
+      when(col("n_chars") % 4 > 0, sequence(lit(1L), col("n_chars") % 4))
+        .otherwise(array().cast("array<bigint>")).as("marks"),
+      array(
+        struct(col("lang").as("l"), col("n_chars").as("c")),
+        struct(col("source").as("l"), (col("n_chars") * 2).as("c"))).as("attrs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Match::Except — "at least one value NOT in the set", which is NOT the
+    // negation of Match::Any (ref types.rs:3075-3080)
+    "filter_except_count" -> ((s, dir) => {
+      val d = docsArr(s, dir)
+      val f = Filter.mustAll(MatchExcept("tags",
+        Seq("en", "src0", "src1", "src2", "src3", "src4",
+          "src5", "src6", "src7", "src8", "src9")))
+      Reads.count(d, Some(f), new TypedResolver(d.schema, "doc_id"))
+    }),
+    // ValuesCount over a variable-length array (absent→0, array→len)
+    "filter_values_count" -> ((s, dir) => {
+      val d = docsArr(s, dir)
+      val f = Filter.mustAll(ValuesCount("marks", gte = Some(2L), lte = Some(3L)))
+      Reads.count(d, Some(f), new TypedResolver(d.schema, "doc_id"))
+    }),
+    // Nested: inner conditions must hold on the SAME array element
+    // (ref types.rs:3925-3962)
+    "filter_nested_structs" -> ((s, dir) => {
+      val d = docsArr(s, dir)
+      val f = Filter.mustAll(NestedCond("attrs", Filter(must = Seq(
+        MatchValue("l", "en"), RangeCond("c", gt = Some(200L))))))
+      Reads.scrollById(d, "doc_id", Some(f), new TypedResolver(d.schema, "doc_id"),
+        offsetId = None, limit = 50, projection = Seq("doc_id", "lang", "n_chars"))
+    }),
+    // Datetime range over the nanosecond event-time column
+    "range_datetime_count" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val nanos = (d: String) => java.time.Instant.parse(d).getEpochSecond * 1000000000L
+      val f = Filter.mustAll(RangeCond("ts",
+        gte = Some(nanos("2024-01-10T00:00:00Z")),
+        lt = Some(nanos("2024-01-20T00:00:00Z"))))
+      Reads.count(ev, Some(f), new TypedResolver(ev.schema, "event_id"))
+    }),
     "count_filtered" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val f = Filter(
@@ -47,6 +94,16 @@ object ReadQueries {
         new TypedResolver(ev.schema, "event_id"), startFrom = None, limit = 50,
         projection = Seq("event_id", "user_id", "value"))
     }),
+    // order-by scroll continuation: start_from cursor is inclusive in the
+    // scan direction (asc → >=), id tiebreak (ref order_by.rs:16-170)
+    "order_by_start_from" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val cursor = java.time.Instant.parse("2024-01-15T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      Reads.scrollByField(ev, "event_id", "ts", asc = true, None,
+        new TypedResolver(ev.schema, "event_id"), startFrom = Some(cursor),
+        limit = 50, projection = Seq("event_id", "user_id", "event_type"))
+    }),
     "min_should_filter" -> ((s, dir) => {
       val d = docs(s, dir)
       // at-least-2-of: lang in (en,de) / n_chars>=200 / source prefix 'src1'
@@ -62,6 +119,23 @@ object ReadQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "filter_except_count" ->
+      // ∃ tag ∉ set over tags = [lang, source]
+      """SELECT count(*)::BIGINT AS cnt FROM documents
+        |WHERE lang NOT IN ('en','src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+        |   OR source NOT IN ('en','src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')""".stripMargin,
+    "filter_values_count" ->
+      """SELECT count(*)::BIGINT AS cnt FROM documents
+        |WHERE (n_chars % 4) >= 2 AND (n_chars % 4) <= 3""".stripMargin,
+    "filter_nested_structs" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (lang = 'en' AND n_chars > 200)
+        |   OR (source = 'en' AND n_chars * 2 > 200)
+        |ORDER BY doc_id ASC LIMIT 50""".stripMargin,
+    "range_datetime_count" ->
+      """SELECT count(*)::BIGINT AS cnt FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     "count_filtered" ->
       """SELECT count(*)::BIGINT AS cnt FROM lineitem
         |WHERE l_quantity >= 5.0 AND l_quantity < 30.0
@@ -82,6 +156,10 @@ object ReadQueries {
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'click'
         |ORDER BY ts DESC, event_id ASC LIMIT 50""".stripMargin,
+    "order_by_start_from" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY ts ASC, event_id ASC LIMIT 50""".stripMargin,
     "min_should_filter" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (CASE WHEN lang IN ('en','de') THEN 1 ELSE 0 END
