@@ -26,6 +26,13 @@ trait FieldResolver {
   def vector(name: String): Column
   /** Element struct type of an array-of-objects field (for Nested). */
   def elementType(key: String): Option[StructType] = None
+  /** Scalar fast path: when the field is a single-valued typed column,
+    * return it directly so conditions compile to plain comparisons that
+    * push down to the parquet scan (the Spark analog of qdrant's
+    * index-substitution, `struct_payload_index/read_view/optimizer.rs`).
+    * The ∃-over-values formulation is semantically identical for scalars
+    * but defeats predicate pushdown. */
+  def scalarValue(key: String): Option[Column] = None
 }
 
 /** Resolver for collections whose payload fields are typed top-level columns
@@ -62,6 +69,12 @@ final class TypedResolver(
     case Some(ArrayType(s: StructType, _)) => Some(s)
     case Some(s: StructType) => Some(s)
     case _ => None
+  }
+
+  override def scalarValue(key: String): Option[Column] = fieldType(key) match {
+    case Some(_: ArrayType) => None
+    case Some(_) => Some(col(key))
+    case None => None
   }
 }
 
@@ -116,11 +129,37 @@ final class FilterCompiler(r: FieldResolver) {
     clauses.result().reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  def condition(c: Condition): Column = coalesce(cond0(c), lit(false))
+  def condition(c: Condition): Column =
+    scalarPushable(c).getOrElse(coalesce(cond0(c), lit(false)))
 
-  /** ∃ value under key satisfying pred. */
+  /** Pushdown fast path: match/range conditions over scalar typed columns
+    * compile to `col.isNotNull && <comparison>` — total (never NULL, so no
+    * coalesce wrapper needed; false && NULL = false) and translatable to
+    * parquet source filters, so they prune row groups at the scan. The
+    * coalesce(…, false) wrapper blocks that translation. Equivalent to the
+    * ∃-over-values form for single-valued fields. */
+  private def scalarPushable(c: Condition): Option[Column] = {
+    def sc(key: String): Option[Column] = r.scalarValue(key)
+    c match {
+      case MatchValue(k, v) => sc(k).map(x => x.isNotNull && x === lit(v))
+      case MatchAny(k, vs) => sc(k).map(x => x.isNotNull && x.isin(vs: _*))
+      case MatchExcept(k, vs) => sc(k).map(x => x.isNotNull && !x.isin(vs: _*))
+      case MatchPrefix(k, p) => sc(k).map(x => x.isNotNull && x.startsWith(p))
+      case RangeCond(k, gt, gte, lt, lte) =>
+        sc(k).map(x => x.isNotNull && rangeBounds(x, gt, gte, lt, lte))
+      case _ => None
+    }
+  }
+
+  /** ∃ value under key satisfying pred. Scalar typed columns compile to a
+    * direct comparison (pushdown-friendly); a null scalar yields NULL which
+    * the condition-level coalesce resolves to false — same outcome as
+    * ∃ over an empty value set. */
   private def anyValue(key: String, pred: Column => Column): Column =
-    exists(r.values(key), pred)
+    r.scalarValue(key) match {
+      case Some(c) => pred(c)
+      case None => exists(r.values(key), pred)
+    }
 
   private def rangeBounds(
       v: Column,
