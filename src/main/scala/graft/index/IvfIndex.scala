@@ -53,7 +53,7 @@ object IvfIndex {
   }
 
   /** Plain Lloyd's k-means with k-means++ seeding, driver-side. */
-  private def lloyd(
+  private[graft] def lloyd(
       points: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Seq[Array[Double]] = {
     require(points.nonEmpty, "cannot train IVF on an empty table")
     val dim = points.head.length

@@ -111,4 +111,103 @@ object Quantization {
     Search.scoredTopK(cands, idCol,
       Search.scoreExpr(metric, col(vecCol), typedLit(query)), metric.largerBetter, k = k)
   }
+
+  // ===== Product quantization (ref `ProductQuantizationConfig`
+  // `types.rs:987-1035`; x4–x64 compression via per-subspace codebooks) =====
+
+  /** PQ model: `m` subspaces of `subDim` dims, each with ≤256 centroids
+    * (codes fit one byte). codebooks(j)(c) is centroid c of subspace j. */
+  final case class PqParams(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+
+    /** ADC lookup table for a query: lut(j)(c) = partial similarity of
+      * query-slice j against centroid c (dot; Euclid uses −l2²). */
+    def lut(query: Seq[Double], metric: Metric): Array[Array[Double]] = {
+      val q = query.toArray
+      Array.tabulate(m) { j =>
+        val off = j * subDim
+        codebooks(j).map { cent =>
+          var s = 0.0
+          var i = 0
+          metric match {
+            case Euclid | Manhattan =>
+              while (i < subDim) {
+                val d = q(off + i) - cent(i)
+                s += (metric match {
+                  case Euclid => d * d
+                  case _ => math.abs(d)
+                })
+                i += 1
+              }
+              -s
+            case _ => // Dot / Cosine (vectors pre-normalized for cosine)
+              while (i < subDim) { s += q(off + i) * cent(i); i += 1 }
+              s
+          }
+        }
+      }
+    }
+  }
+
+  /** Train per-subspace codebooks on a bounded sample (driver-side Lloyd's,
+    * one collect job — the faiss training regime; 2^nbits centroids). */
+  def fitPq(
+      df: DataFrame,
+      vecCol: String,
+      m: Int,
+      nbits: Int = 8,
+      maxIter: Int = 15,
+      seed: Long = 42L,
+      sampleSize: Int = 4096): PqParams = {
+    require(nbits >= 1 && nbits <= 8, "codes must fit one byte")
+    val sample = df
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("v")), monotonically_increasing_id())
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty table")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val k = 1 << nbits
+    val books = Array.tabulate(m) { j =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      IvfIndex.lloyd(slice, k, maxIter, seed + j).toArray
+    }
+    PqParams(subDim, books)
+  }
+
+  /** Nearest-centroid codes per subspace, packed as binary (1 byte/code). */
+  def encodePq(vecCol: Column, p: PqParams): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.PqEncodeExpr(
+        org.apache.spark.sql.GraftShim.expression(vecCol.cast("array<double>")), p.codebooks))
+
+  /** ADC (asymmetric distance) score of a code column against a query's
+    * lookup table: Σ_j lut(j)(code_j). */
+  def pqAdcScore(codeCol: Column, query: Seq[Double], metric: Metric, p: PqParams): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.PqAdcScoreExpr(
+        org.apache.spark.sql.GraftShim.expression(codeCol), p.lut(query, metric)))
+
+  /** Two-phase PQ search: ADC approx top k·oversampling on the byte codes,
+    * exact rescore on the original vectors (`types.rs:573-618`). */
+  def searchPqRescore(
+      encoded: DataFrame, // original cols + "pqcode" binary column
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      metric: Metric,
+      p: PqParams,
+      k: Int = 10,
+      oversampling: Double = 4.0): DataFrame = {
+    val approxK = math.max(k, (k * oversampling).toInt)
+    val approx = Search.scoredTopK(encoded, idCol,
+      pqAdcScore(col("pqcode"), query, metric, p),
+      largerBetter = true, k = approxK)
+    val cands = encoded.join(approx.select(idCol), Seq(idCol), "left_semi")
+    Search.scoredTopK(cands, idCol,
+      Search.scoreExpr(metric, col(vecCol), typedLit(query)), metric.largerBetter, k = k)
+  }
 }

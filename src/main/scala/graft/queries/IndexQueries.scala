@@ -49,6 +49,13 @@ object IndexQueries {
       Quantization.searchBinaryRescore(enc, "vec_id", "embedding", v7(s, dir),
         Cosine, k = 10, oversampling = 4.0)
     }),
+    "quantized_pq_rescore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = Quantization.fitPq(e, "embedding", m = 16, nbits = 4)
+      val enc = e.withColumn("pqcode", Quantization.encodePq(col("embedding"), p))
+      Quantization.searchPqRescore(enc, "vec_id", "embedding", v7(s, dir),
+        Dot, p, k = 10, oversampling = 4.0)
+    }),
     "maxsim_multivec" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = v7(s, dir)

@@ -53,6 +53,24 @@ class IndexSpec extends SparkTestBase {
     assert(got.intersect(exact).nonEmpty)
   }
 
+  test("PQ codes round-trip and ADC rescore recalls most of the exact top-k") {
+    val p = Quantization.fitPq(emb, "embedding", m = 16, nbits = 4)
+    assert(p.m == 16 && p.codebooks.forall(_.length == 16))
+    val enc = emb.withColumn("pqcode", Quantization.encodePq(col("embedding"), p))
+    // codes: one byte per subspace, values < 2^nbits
+    val code = enc.select("pqcode").head().getAs[Array[Byte]](0)
+    assert(code.length == 16 && code.forall(b => (b & 0xff) < 16))
+    val got = Quantization.searchPqRescore(enc, "vec_id", "embedding", q7,
+      Dot, p, k = 10, oversampling = 8.0).collect().map(_.getLong(0)).toSeq
+    assert(got.toSet.intersect(exactTop(10).toSet).size >= 7,
+      s"PQ recall too low: $got vs ${exactTop(10)}")
+    // rescored scores are exact: the returned ordering must be the exact
+    // ordering restricted to the candidate set
+    val exactAll = Search.knn(emb, "vec_id", "embedding", q7, Dot, k = 2000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exactAll.filter(got.toSet).take(10))
+  }
+
   test("MMR first pick is the most relevant; selection is diverse") {
     val cands = Search.knn(emb, "vec_id", "embedding", q7, Dot,
       k = 30, extraCols = Seq("embedding"))
