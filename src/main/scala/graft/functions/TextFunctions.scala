@@ -23,6 +23,53 @@ object TextFunctions {
   def tokensWord(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
+  /** Prefix tokenizer (`Tokenizer::Prefix`): per word, all edge n-grams of
+    * length `minGram..maxGram` — enables prefix-match via exact token
+    * lookup (ref `data_types/index.rs:243-312`). */
+  def tokensPrefix(tokens: Column, minGram: Int, maxGram: Int): Column =
+    array_distinct(flatten(transform(tokens, t =>
+      filter(
+        transform(sequence(lit(minGram), lit(maxGram)), n => substring(t, lit(1), n)),
+        p => length(p) >= minGram && length(p) <= length(t)))))
+
+  /** Lowercase option of the tokenizer pipeline. */
+  def lowercaseTokens(tokens: Column): Column = transform(tokens, t => lower(t))
+
+  /** ASCII folding (`ascii_folding` option): strip diacritics via NFD
+    * decomposition + combining-mark removal — matches the common
+    * Lucene/qdrant folding for Latin scripts. */
+  def asciiFold(tokens: Column): Column =
+    transform(tokens, t => org.apache.spark.sql.GraftShim.column(
+      graft.functions.AsciiFoldExpr(org.apache.spark.sql.GraftShim.expression(t))))
+
+  /** Stopword removal (`stopwords` option): drop tokens in the set. */
+  def dropStopwords(tokens: Column, stopwords: Seq[String]): Column =
+    filter(tokens, t => !t.isin(stopwords.map(_.asInstanceOf[Any]): _*))
+
+  /** English Porter stemming (the `stemmer` option; reference bundles
+    * Snowball for 17 languages — English Porter here, same extension
+    * point for others). Codegen'd static call per token. */
+  def stemTokens(tokens: Column): Column =
+    transform(tokens, t => org.apache.spark.sql.GraftShim.column(
+      graft.functions.PorterStemExpr(org.apache.spark.sql.GraftShim.expression(t))))
+
+  /** Full tokenizer pipeline mirroring qdrant's TextIndexParams options:
+    * tokenize → lowercase → ascii-fold → stopwords → stem. */
+  def analyze(
+      text: Column,
+      word: Boolean = true,
+      lowercase: Boolean = true,
+      asciiFolding: Boolean = false,
+      stopwords: Seq[String] = Nil,
+      stem: Boolean = false): Column = {
+    var t = if (word) tokensWord(text) else tokensWs(text)
+    if (lowercase && !word) t = lowercaseTokens(t) // tokensWord lowercases
+    if (asciiFolding) t = asciiFold(t)
+    if (stopwords.nonEmpty) t = dropStopwords(t, stopwords)
+    if (stem) t = stemTokens(t)
+    t
+  }
+
   /** Consecutive k-token shingles joined with a single space. */
   def shingles(tokens: Column, k: Int): Column = {
     val n = size(tokens)

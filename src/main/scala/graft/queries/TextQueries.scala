@@ -38,6 +38,16 @@ object TextQueries {
         Some(Filter.mustAll(MatchPhrase("text", "batch stream"))), r(d),
         offsetId = None, limit = 100, projection = Seq("doc_id", "lang"))
     }),
+    // analyzer pipeline (tokenize → stopwords) feeding a term-frequency
+    // aggregation; stemming/folding are property-tested in AnalyzerSpec
+    "analyzed_term_facet" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(graft.functions.TextFunctions.analyze(col("text"),
+          word = false, stopwords = Seq("the", "a", "of", "and"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(10)),
     "token_count" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -87,6 +97,11 @@ object TextQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE contains(' ' || text || ' ', ' batch stream ')
         |ORDER BY doc_id ASC LIMIT 100""".stripMargin,
+    "analyzed_term_facet" ->
+      """SELECT term, count(*)::BIGINT AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE term NOT IN ('the', 'a', 'of', 'and')
+        |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
     "token_count" ->
       """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
         |FROM documents ORDER BY doc_id ASC""".stripMargin,

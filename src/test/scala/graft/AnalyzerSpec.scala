@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Tokenizer-pipeline options (qdrant TextIndexParams,
+  * `lib/segment/src/data_types/index.rs:243-414`): word/whitespace/prefix
+  * tokenizers, lowercase, ascii folding, stopwords, Porter stemming. */
+class AnalyzerSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def run(c: org.apache.spark.sql.Column, text: String): Seq[String] =
+    Seq(text).toDF("t").select(c.as("out")).head().getSeq[String](0).toSeq
+
+  test("word tokenizer splits on non-alphanumerics and lowercases") {
+    assert(run(tokensWord(col("t")), "Hello, World_-foo42 bar!") ==
+      Seq("hello", "world", "foo42", "bar"))
+  }
+
+  test("prefix tokenizer emits edge n-grams within bounds") {
+    assert(run(tokensPrefix(tokensWs(col("t")), 1, 3), "spark go") ==
+      Seq("s", "sp", "spa", "g", "go"))
+  }
+
+  test("ascii folding strips diacritics, leaves ascii untouched") {
+    assert(run(asciiFold(tokensWs(col("t"))), "café naïve Zürich plain") ==
+      Seq("cafe", "naive", "Zurich", "plain"))
+  }
+
+  test("stopword removal drops exactly the configured set") {
+    assert(run(dropStopwords(tokensWs(col("t")), Seq("the", "a")), "the big a cat") ==
+      Seq("big", "cat"))
+  }
+
+  test("porter stemmer matches canonical examples from the 1980 paper") {
+    val pairs = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+      "agreed" -> "agre", "plastered" -> "plaster", "motoring" -> "motor",
+      "sing" -> "sing", "happy" -> "happi", "sky" -> "sky",
+      // full-algorithm outputs (steps 2-5 compose, e.g. relational →
+      // relate → relat via final-e removal)
+      "relational" -> "relat", "conditional" -> "condit",
+      "digitizer" -> "digit", "operator" -> "oper",
+      "hopefulness" -> "hope", "electrical" -> "electr",
+      "adjustable" -> "adjust", "replacement" -> "replac",
+      "adoption" -> "adopt", "goodness" -> "good")
+    val got = run(stemTokens(lit(pairs.map(_._1).toArray)), "ignored")
+    val expect = pairs.map(_._2)
+    assert(got == expect, got.zip(expect).filter(p => p._1 != p._2).toString)
+  }
+
+  test("analyze pipeline composes: word + fold + stopwords + stem") {
+    val out = run(analyze(col("t"), word = true, asciiFolding = true,
+      stopwords = Seq("the"), stem = true), "The Cafés: relational conditions!")
+    assert(out == Seq("cafe", "relat", "condit"))
+  }
+}
