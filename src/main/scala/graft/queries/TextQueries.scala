@@ -80,6 +80,24 @@ object TextQueries {
         k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)),
+    // Multimodal plumbing end-to-end: binary media column (documents text
+    // bytes as the stand-in) → partition-local featurize (stub decoder) →
+    // brute-force cosine top-k against the first row's embedding. Rows-only
+    // check: the stub hash featurizer is not SQL-expressible; the plumbing
+    // (binary columns, mapPartitions batch shape, ANN hand-off) is what's
+    // under test here and in PipelineSpec.
+    "multimodal_embed_knn" -> ((s, dir) => {
+      import graft.pipeline.Multimodal
+      val media = docs(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+      val embedded = Multimodal.featurize(media, "media_id", "bytes",
+        new Multimodal.StubDecoder(32))
+      val q = embedded.filter(col("media_id") === 0L)
+        .head().getSeq[Float](1).map(_.toDouble)
+      graft.ops.Search.knn(embedded, "media_id", "embedding", q,
+        Cosine, k = 10)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
