@@ -37,6 +37,10 @@ object PointQuery {
       pairs: Seq[(Seq[Double], Seq[Double])]) extends Scoring
   final case class MaxSimQ(vecCol: String, metric: Metric,
       queryVecs: Seq[Seq[Double]]) extends Scoring
+  /** Relevance feedback, naive strategy (`FeedbackStrategy::Naive`). */
+  final case class FeedbackQ(vecCol: String, metric: Metric,
+      target: Seq[Double], feedback: Seq[(Seq[Double], Double)],
+      a: Double, b: Double, c: Double) extends Scoring
   final case class OrderByField(field: String, asc: Boolean,
       startFrom: Option[Any] = None) extends Scoring
   final case class SampleRandom(seed: Long) extends Scoring
@@ -81,6 +85,8 @@ object PointQuery {
       case MaxSimQ(vc, m, qvs) =>
         (graft.functions.VectorFunctions.maxSim(m, col(vc),
           typedLit(qvs)), true)
+      case FeedbackQ(vc, m, t, fb, a, b, c) =>
+        (Search.feedbackNaiveExpr(m, col(vc), t, fb, a, b, c), true)
       case other =>
         throw new IllegalArgumentException(s"$other is not a scoring leaf")
     }
