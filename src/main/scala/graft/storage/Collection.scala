@@ -121,6 +121,37 @@ final class Collection(
       when(target, lit(null).cast(cur.schema(c).dataType)).otherwise(col(c))))
   }
 
+  /** Add a named vector column collection-wide (initially null unless
+    * `values` given). Ref `src/actix/api/vector_name_api.rs:22`. */
+  def addVectorColumn(name: String, dim: Int, values: Option[Column] = None): Unit = {
+    val cur = read()
+    val c = config.vectorCol(name)
+    require(!cur.columns.contains(c), s"vector column '$c' already exists")
+    write(cur.withColumn(c,
+      values.getOrElse(lit(null).cast(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+  }
+
+  /** Drop a named vector column collection-wide (`vector_name_api.rs:57`). */
+  def dropVectorColumn(name: String): Unit =
+    write(read().drop(config.vectorCol(name)))
+
+  /** Materialize a typed projection column for a declared payload field —
+    * the "create payload index" operation (`update_api.rs:371`,
+    * SURVEY.md §2.5): filters on the field then compile against the typed
+    * column (TypedResolver) and push down to the parquet scan instead of
+    * parsing JSON. Column name: `idx_<key>`. */
+  def buildPayloadIndex(key: String): Unit = {
+    val t = config.payloadTypes.getOrElse(key,
+      throw new IllegalArgumentException(s"no declared type for payload key '$key'"))
+    write(read().withColumn(s"idx_$key",
+      get_json_object(col(config.payloadCol), "$." + key).cast(t)))
+  }
+
+  /** Drop a payload index column (`update_api.rs:407`). */
+  def dropPayloadIndex(key: String): Unit =
+    write(read().drop(s"idx_$key"))
+
   private def fromJsonMap(c: Column): Column =
     coalesce(
       from_json(c, org.apache.spark.sql.types.MapType(

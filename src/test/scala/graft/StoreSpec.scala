@@ -101,6 +101,31 @@ class StoreSpec extends SparkTestBase {
     assert(c.read().filter(pred).count() == 2)
   }
 
+  test("vector column add/drop and payload index materialization") {
+    import org.apache.spark.sql.functions._
+    val c = mk(tmpDir())
+    c.addVectorColumn("aux", 4)
+    assert(c.read().columns.contains("vector_aux"))
+    assert(c.read().filter(col("vector_aux").isNotNull).count() == 0)
+    c.dropVectorColumn("aux")
+    assert(!c.read().columns.contains("vector_aux"))
+
+    c.buildPayloadIndex("price")
+    val indexed = c.read()
+    assert(indexed.schema("idx_price").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // typed-column filter over the index column pushes to the scan
+    val r = new graft.filters.TypedResolver(indexed.schema, "id")
+    val pred = new graft.filters.FilterCompiler(r).compile(
+      graft.model.Filter.mustAll(graft.model.RangeCond("idx_price", gte = Some(10.0))))
+    val plan = indexed.filter(pred).select("id").queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(idx_price,10.0)"), plan)
+    assert(indexed.filter(pred).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+    c.dropPayloadIndex("price")
+    assert(!c.read().columns.contains("idx_price"))
+  }
+
   test("streaming upsert applies micro-batches in order") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
