@@ -1,0 +1,106 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Geohash cell index — the batch analog of qdrant's geo field index
+  * (`lib/segment/src/index/field_index/geo_index/`, `geo_hash.rs`): points
+  * carry a base32 geohash cell column; a radius query prunes to the cells
+  * covering the circle's bounding box (coarse, driver-side enumeration)
+  * and only then runs the exact haversine check. At scale the cell column
+  * is a partition/Z-order key, so pruning happens at the parquet scan.
+  * Results are identical to the unindexed scan — the cover is a superset
+  * of the circle.
+  */
+object GeoIndex {
+
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash encoding (Niemeyer 2008; public algorithm). */
+  def encode(lon: Double, lat: Double, precision: Int): String = {
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    val sb = new java.lang.StringBuilder(precision)
+    var isLon = true
+    var ch = 0
+    var bits = 0
+    while (sb.length < precision) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      isLon = !isLon
+      bits += 1
+      if (bits == 5) { sb.append(Base32.charAt(ch)); ch = 0; bits = 0 }
+    }
+    sb.toString
+  }
+
+  /** Cell height/width in degrees at a precision. */
+  def cellSizeDeg(precision: Int): (Double, Double) = {
+    val totalBits = precision * 5
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    (180.0 / (1L << latBits), 360.0 / (1L << lonBits))
+  }
+
+  /** Cells (at `precision`) covering the bounding box of a radius circle —
+    * a superset of the circle, so prefix-pruning is recall-safe. Driver-side
+    * enumeration; cover size is O((r/cell)²), pick precision so it stays
+    * small. */
+  def coverRadius(lon: Double, lat: Double, radiusM: Double, precision: Int): Seq[String] = {
+    val latDelta = radiusM / 111320.0
+    val lonDelta = radiusM / (111320.0 * math.max(math.cos(math.toRadians(lat)), 0.01))
+    val (latSize, lonSize) = cellSizeDeg(precision)
+    val cells = scala.collection.mutable.LinkedHashSet.empty[String]
+    var la = math.max(lat - latDelta, -90.0)
+    val laMax = math.min(lat + latDelta, 90.0)
+    while (la <= laMax + latSize / 2) {
+      var lo = lon - lonDelta
+      val loMax = lon + lonDelta
+      while (lo <= loMax + lonSize / 2) {
+        // normalize lon into [-180, 180) for antimeridian-crossing boxes
+        val lonN = ((lo + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+        cells += encode(lonN, math.min(math.max(la, -90.0), 90.0), precision)
+        lo += lonSize / 2
+      }
+      la += latSize / 2
+    }
+    cells.toSeq
+  }
+
+  def cellCol(lon: Column, lat: Column, precision: Int): Column =
+    org.apache.spark.sql.GraftShim.column(graft.functions.GeohashExpr(
+      org.apache.spark.sql.GraftShim.expression(lon.cast("double")),
+      org.apache.spark.sql.GraftShim.expression(lat.cast("double")), precision))
+
+  /** Add the cell column (the "create geo index" job). */
+  def withCells(df: DataFrame, lonCol: String, latCol: String,
+      precision: Int, cellColName: String = "geo_cell"): DataFrame =
+    df.withColumn(cellColName, cellCol(col(lonCol), col(latCol), precision))
+
+  /** Radius search over an indexed table: prune by cell membership, then
+    * exact haversine — identical results to the full scan. */
+  def radiusSearch(
+      indexed: DataFrame,
+      lonCol: String,
+      latCol: String,
+      centerLon: Double,
+      centerLat: Double,
+      radiusM: Double,
+      precision: Int,
+      cellColName: String = "geo_cell"): DataFrame = {
+    val cells = coverRadius(centerLon, centerLat, radiusM, precision)
+    indexed
+      .filter(col(cellColName).isin(cells: _*))
+      .filter(VectorFunctions.haversineMeters(
+        col(lonCol), col(latCol), lit(centerLon), lit(centerLat)) <= lit(radiusM))
+  }
+}

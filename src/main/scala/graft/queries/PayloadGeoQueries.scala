@@ -62,6 +62,15 @@ object PayloadGeoQueries {
     }),
     "geo_radius" -> ((s, dir) =>
       geoCount(s, dir, GeoRadius("location", GeoPoint(0.0, 0.0), 3000000.0))),
+    // geohash-indexed radius search: cell-prefix prune then exact haversine —
+    // identical answer to geo_radius (same oracle), pruned scan
+    "geo_radius_indexed" -> ((s, dir) => {
+      val g = graft.index.GeoIndex.withCells(
+        geoEvents(s, dir), "lon", "lat", precision = 2)
+      graft.index.GeoIndex.radiusSearch(g, "lon", "lat",
+          centerLon = 0.0, centerLat = 0.0, radiusM = 3000000.0, precision = 2)
+        .agg(count(lit(1)).as("cnt"))
+    }),
     "geo_bbox" -> ((s, dir) =>
       geoCount(s, dir, GeoBoundingBox("location",
         topLeft = GeoPoint(-50.0, 60.0), bottomRight = GeoPoint(50.0, -30.0)))),
@@ -118,6 +127,10 @@ object PayloadGeoQueries {
       """SELECT count(*)::BIGINT AS cnt FROM events
         |WHERE json_extract(props, '$.k')::BIGINT >= 50""".stripMargin,
     "geo_radius" ->
+      s"""$geoCte
+         |SELECT count(*)::BIGINT AS cnt FROM g
+         |WHERE ${haversineSql("0", "0")} <= 3000000.0""".stripMargin,
+    "geo_radius_indexed" ->
       s"""$geoCte
          |SELECT count(*)::BIGINT AS cnt FROM g
          |WHERE ${haversineSql("0", "0")} <= 3000000.0""".stripMargin,
