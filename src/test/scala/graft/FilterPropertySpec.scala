@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.filters.{FilterCompiler, JsonResolver}
+import graft.model._
+
+/** Property-based filter-algebra fidelity (the reference's proptest
+  * pattern, SURVEY.md §5.2): random boolean filter trees over a fixed
+  * corpus with every payload shape (absent / JSON null / scalar / array /
+  * empty array), evaluated by the compiled Catalyst predicate AND by an
+  * independent driver-side reference evaluator; results must agree on
+  * every row. */
+class FilterPropertySpec extends SparkTestBase {
+
+  // (id, city: String|Seq[String]|null|absent, price: Double|null|absent)
+  private val rows: Seq[(Long, Option[Any], Option[Any])] = Seq(
+    (1L, Some("Berlin"), Some(10.0)),
+    (2L, Some(Seq("Berlin", "London")), Some(11.0)),
+    (3L, Some(Seq("Berlin", "Moscow")), Some(9.5)),
+    (4L, Some(Seq("London", "Moscow")), Some(9.0)),
+    (5L, None, Some(0.0)),
+    (6L, None, None),
+    (7L, Some(null), Some(null)),
+    (8L, Some(Seq()), Some(25.0)),
+    (9L, Some("Paris"), None),
+    (10L, Some(Seq("Rome")), Some(-3.5)),
+  )
+
+  private def jsonOf(city: Option[Any], price: Option[Any]): String = {
+    def v(a: Any): String = a match {
+      case null => "null"
+      case s: String => "\"" + s + "\""
+      case d: Double => d.toString
+      case xs: Seq[_] => xs.map(v).mkString("[", ",", "]")
+    }
+    val parts = city.map(c => "\"city\":" + v(c)).toSeq ++
+      price.map(p => "\"price\":" + v(p)).toSeq
+    parts.mkString("{", ",", "}")
+  }
+
+  private lazy val df: DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, c, p) => (id, jsonOf(c, p)) }.toDF("id", "payload").cache()
+  }
+
+  private lazy val resolver = new JsonResolver(
+    col("payload"), Map("city" -> StringType, "price" -> DoubleType), col("id"))
+
+  // ---- reference evaluator (independent of the Spark path) ----
+
+  private def fieldOf(row: (Long, Option[Any], Option[Any]), key: String): Option[Any] =
+    key match {
+      case "city" => row._2
+      case "price" => row._3
+      case _ => None
+    }
+
+  private def valuesOf(row: (Long, Option[Any], Option[Any]), key: String): Seq[Any] =
+    fieldOf(row, key) match {
+      case None => Nil
+      case Some(null) => Nil
+      case Some(xs: Seq[_]) => xs.filter(_ != null)
+      case Some(x) => Seq(x)
+    }
+
+  private def isJsonNull(row: (Long, Option[Any], Option[Any]), key: String): Boolean =
+    fieldOf(row, key) match {
+      case Some(null) => true
+      case Some(xs: Seq[_]) => xs.contains(null)
+      case _ => false
+    }
+
+  private def inRange(v: Double, gt: Option[Any], gte: Option[Any],
+      lt: Option[Any], lte: Option[Any]): Boolean =
+    gt.forall(b => v > b.asInstanceOf[Double]) &&
+      gte.forall(b => v >= b.asInstanceOf[Double]) &&
+      lt.forall(b => v < b.asInstanceOf[Double]) &&
+      lte.forall(b => v <= b.asInstanceOf[Double])
+
+  private def evalCond(row: (Long, Option[Any], Option[Any]), c: Condition): Boolean =
+    c match {
+      case MatchValue(k, v) => valuesOf(row, k).contains(v)
+      case MatchAny(k, vs) => valuesOf(row, k).exists(vs.contains)
+      case MatchExcept(k, vs) => valuesOf(row, k).exists(v => !vs.contains(v))
+      case MatchPrefix(k, p) =>
+        valuesOf(row, k).exists(_.asInstanceOf[String].startsWith(p))
+      case RangeCond(k, gt, gte, lt, lte) =>
+        valuesOf(row, k).exists(v => inRange(v.asInstanceOf[Double], gt, gte, lt, lte))
+      case ValuesCount(k, gt, gte, lt, lte) =>
+        val n = valuesOf(row, k).size.toLong
+        gt.forall(n > _) && gte.forall(n >= _) && lt.forall(n < _) && lte.forall(n <= _)
+      case IsEmpty(k) =>
+        fieldOf(row, k).isEmpty ||
+          (valuesOf(row, k).isEmpty && !isJsonNull(row, k))
+      case IsNullCond(k) => isJsonNull(row, k)
+      case HasId(ids) => ids.contains(row._1)
+      case SubFilter(f) => evalFilter(row, f)
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+
+  private def evalFilter(row: (Long, Option[Any], Option[Any]), f: Filter): Boolean = {
+    val mustOk = f.must.forall(evalCond(row, _))
+    val shouldOk = f.should.isEmpty || f.should.exists(evalCond(row, _))
+    val minOk = f.minShould.forall(ms =>
+      ms.conditions.count(evalCond(row, _)) >= ms.minCount)
+    val notOk = !f.mustNot.exists(evalCond(row, _))
+    mustOk && shouldOk && minOk && notOk
+  }
+
+  // ---- generators ----
+
+  private val genCity: Gen[String] =
+    Gen.oneOf("Berlin", "London", "Moscow", "Paris", "Rome", "Nowhere")
+  private val genBound: Gen[Option[Any]] =
+    Gen.option(Gen.oneOf(-5.0, 0.0, 9.0, 9.5, 10.0, 11.0, 20.0).map(_.asInstanceOf[Any]))
+
+  private val genLeaf: Gen[Condition] = Gen.oneOf[Gen[Condition]](
+    genCity.map(MatchValue("city", _)),
+    Gen.nonEmptyListOf(genCity).map(vs => MatchAny("city", vs.distinct)),
+    Gen.nonEmptyListOf(genCity).map(vs => MatchExcept("city", vs.distinct)),
+    Gen.oneOf("B", "Lo", "X", "Pa").map(MatchPrefix("city", _)),
+    for (gt <- genBound; lt <- genBound) yield RangeCond("price", gt = gt, lt = lt),
+    for (gte <- genBound; lte <- genBound) yield RangeCond("price", gte = gte, lte = lte),
+    for (gte <- Gen.option(Gen.chooseNum(0L, 3L)); lt <- Gen.option(Gen.chooseNum(1L, 4L)))
+      yield ValuesCount("city", gte = gte, lt = lt),
+    Gen.oneOf("city", "price", "missing").map(IsEmpty(_)),
+    Gen.oneOf("city", "price", "missing").map(IsNullCond(_)),
+    Gen.someOf(1L to 10L).map(ids => HasId(ids.toSeq)),
+  ).flatMap(identity)
+
+  private def genFilter(depth: Int): Gen[Filter] = {
+    val cond: Gen[Condition] =
+      if (depth <= 0) genLeaf
+      else Gen.frequency(4 -> genLeaf, 1 -> genFilter(depth - 1).map(SubFilter(_)))
+    for {
+      must <- Gen.listOfN(2, cond).map(_.take(2))
+      nMust <- Gen.chooseNum(0, 2)
+      should <- Gen.listOfN(2, cond)
+      nShould <- Gen.chooseNum(0, 2)
+      mustNot <- Gen.listOfN(1, cond)
+      nNot <- Gen.chooseNum(0, 1)
+      minShould <- Gen.option(for {
+        cs <- Gen.listOfN(3, cond)
+        n <- Gen.chooseNum(1, 3)
+      } yield MinShould(cs, n))
+    } yield Filter(must.take(nMust), should.take(nShould), minShould, mustNot.take(nNot))
+  }
+
+  test("compiled filters agree with the reference evaluator on every row") {
+    val compiler = new FilterCompiler(resolver)
+    val gen = genFilter(2)
+    // deterministic sampling: fixed seeds, so failures reproduce exactly
+    val filters = (1 to 60).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(filters.size >= 55, "generator failed too often")
+    for (f <- filters) {
+      val got = df.filter(compiler.compile(f))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expect = rows.filter(evalFilter(_, f)).map(_._1).toSet
+      assert(got == expect, s"\nfilter: $f\nspark: $got\nmodel: $expect")
+    }
+  }
+}
