@@ -82,33 +82,11 @@ object TextFunctions {
   /** Distinct shingle set for jaccard-style comparisons. */
   def shingleSet(tokens: Column, k: Int): Column = array_distinct(shingles(tokens, k))
 
-  /** MinHash signature: numHashes × min over shingles of a seeded xxhash64.
-    * Empty input → Long.MaxValue per slot (never collides with real mins). */
-  def minhash(shingleSetCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      coalesce(
-        array_min(transform(shingleSetCol, s => xxhash64(lit(seed), s))),
-        lit(Long.MaxValue))
-    }: _*)
-
-  /** LSH band keys: hash of each r-sized signature band (numHashes = bands·r).
-    * Docs sharing any band key are near-dup candidates. */
-  def lshBands(sig: Column, bands: Int, r: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(lit(b), slice(sig, b * r + 1, r))
-    }: _*)
-
-  /** 64-bit SimHash over a token/shingle array (weight 1 per element):
-    * bit i of the result is 1 iff Σ_tokens (bit i of xxhash64(t) ? +1 : −1)
-    * is positive. */
-  def simhash64(elems: Column): Column = {
-    val hs = transform(elems, t => xxhash64(t))
-    (0 until 64).map { i =>
-      val cnt = aggregate(hs, lit(0), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  // MinHash signatures, LSH band keys and SimHash fingerprints are
+  // single-pass codegen'd kernels in TextKernels (the HOF formulations were
+  // ~100× slower); `shingles`/`shingleSet` above define the string-level
+  // semantics that TextKernels.shingleHashes hashes — cross-checked in
+  // PipelineSpec.
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -106,6 +106,14 @@ object RankQueries {
       DistanceMatrix.pairs(emb(s, dir), "vec_id", "embedding", Cosine,
         samplePred = col("vec_id") < 20, limitPerSample = 3)
     }),
+    // CSR/offsets response form of the distance matrix: per sample id, the
+    // rank-ordered neighbor list (flattened to CSV for the oracle compare)
+    "distance_matrix_offsets" -> ((s, dir) => {
+      val p = DistanceMatrix.pairs(emb(s, dir), "vec_id", "embedding", Cosine,
+        samplePred = col("vec_id") < 20, limitPerSample = 3)
+      DistanceMatrix.offsets(p, largerBetter = true)
+        .select(col("id_a"), concat_ws(",", col("ids")).as("ids_csv"))
+    }),
     "mmr_rerank" -> ((s, dir) => {
       val cands = Search.knn(emb(s, dir), "vec_id", "embedding", v(s, dir, 7L), Dot,
         k = 50, extraCols = Seq("embedding"))
@@ -290,6 +298,16 @@ object RankQueries {
         |      FROM p)
         |SELECT id_a, id_b, score FROM r WHERE rn <= 3
         |ORDER BY id_a ASC, score DESC, id_b ASC""".stripMargin,
+    "distance_matrix_offsets" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+        |      FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+        |      FROM p)
+        |SELECT id_a, string_agg(id_b::VARCHAR, ',' ORDER BY score DESC, id_b ASC) AS ids_csv
+        |FROM r WHERE rn <= 3 GROUP BY id_a ORDER BY id_a ASC""".stripMargin,
     // mmr_rerank, sample_random: not SQL-expressible (greedy loop / Spark rand)
   )
 }

@@ -54,6 +54,17 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(got((1L, 2L)) - 7.0 / 13.0) < 1e-6)
   }
 
+  test("shingle-hash kernel equals xxhash64 of the string-level shingle set") {
+    import graft.functions.{TextFunctions, TextKernels}
+    val got = docs.select(
+      TextKernels.shingleHashSetCol(TextFunctions.tokensWs(col("text")), 3).as("k"),
+      array_sort(array_distinct(transform(
+        TextFunctions.shingleSet(TextFunctions.tokensWs(col("text")), 3),
+        s => xxhash64(s)))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("language id picks max marker count with first-wins ties") {
     import spark.implicits._
     val d = Seq(
