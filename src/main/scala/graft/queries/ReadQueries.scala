@@ -52,6 +52,14 @@ object ReadQueries {
       Reads.scrollById(d, "doc_id", Some(f), new TypedResolver(d.schema, "doc_id"),
         offsetId = None, limit = 50, projection = Seq("doc_id", "lang", "n_chars"))
     }),
+    // HasVector over a sparsely-populated named vector column
+    "has_vector_count" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("vec_alt",
+          when(col("vec_id") % 3 === 0, col("embedding")))
+      val f = Filter(must = Seq(HasVector("vec_alt")))
+      Reads.count(e, Some(f), new TypedResolver(e.schema, "vec_id"))
+    }),
     // Datetime range over the nanosecond event-time column
     "range_datetime_count" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -132,6 +140,8 @@ object ReadQueries {
         |WHERE (lang = 'en' AND n_chars > 200)
         |   OR (source = 'en' AND n_chars * 2 > 200)
         |ORDER BY doc_id ASC LIMIT 50""".stripMargin,
+    "has_vector_count" ->
+      """SELECT count(*)::BIGINT AS cnt FROM embeddings WHERE vec_id % 3 = 0""",
     "range_datetime_count" ->
       """SELECT count(*)::BIGINT AS cnt FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'

@@ -143,4 +143,43 @@ class StoreSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got(1L).contains("Streamed") && got(5L).contains("New") && got.size == 4)
   }
+
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = graft.streaming.Streaming.dedupStream(
+      stream.toDF().toDF("key", "ts"), Seq("key"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    stream.addData((1L, t0), (2L, t0), (1L, t0)) // same-batch repeat
+    q.processAllAvailable()
+    stream.addData((1L, t0), (3L, t0)) // cross-batch repeat within watermark
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_out").select("key")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming windowed rate aggregation emits closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val rates = graft.streaming.Streaming.rateByWindow(
+      stream.toDF().toDF("kind", "ts"), "ts", "10 minutes", "5 minutes", Seq("kind"))
+    val q = rates.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 01:$m%02d:00")
+    stream.addData(("a", ts(1)), ("a", ts(2)), ("b", ts(3)))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 01:00-01:10 window
+    stream.addData(("a", ts(40)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rate_out")
+      .select("kind", "n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
 }
