@@ -133,6 +133,15 @@ object IvfIndex {
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("centroid_id", assignExpr(col(vecCol), model))
 
+  /** Materialize the assigned table partitioned BY the centroid column —
+    * the physical 100 TB layout: each cell is a parquet partition
+    * directory, so a probe filter becomes PartitionFilters (directory
+    * pruning — unprobed cells are never listed, let alone read). */
+  def writePartitioned(
+      assigned: DataFrame, path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit =
+    assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
+
   /** Probe-pruned exact search: filter to nprobe nearest cells, then the
     * standard exact top-k. With nprobe = model.k this IS the exact search. */
   def search(

@@ -82,6 +82,29 @@ object Reads {
     cursored.orderBy(ord: _*).limit(limit).select(projection.map(col): _*)
   }
 
+  /** One scroll page + cursor: fetch limit+1 rows, return the first `limit`
+    * and the (limit+1)-th id as `next_page_offset` (None once exhausted) —
+    * the API-level pagination contract
+    * (`lib/collection/src/collection/point_ops.rs:390-425`). The page is
+    * collected (a page is small by construction). */
+  def scrollPage(
+      points: DataFrame,
+      idCol: String,
+      filter: Option[Filter],
+      r: FieldResolver,
+      offsetId: Option[Long],
+      limit: Int,
+      projection: Seq[String]): (Seq[org.apache.spark.sql.Row], Option[Long]) = {
+    val proj = if (projection.contains(idCol)) projection else idCol +: projection
+    val rows = scrollById(points, idCol, filter, r, offsetId, limit + 1, proj)
+      .collect().toSeq
+    if (rows.length <= limit) (rows, None)
+    else {
+      val idIdx = proj.indexOf(idCol)
+      (rows.take(limit), Some(rows(limit).getLong(idIdx)))
+    }
+  }
+
   /** Retrieve by ids with projection (the `with_payload`/`with_vector`
     * selector surface, ref `src/actix/api/retrieve_api.rs:75,132`). */
   def retrieve(

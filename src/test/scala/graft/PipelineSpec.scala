@@ -54,6 +54,25 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(got((1L, 2L)) - 7.0 / 13.0) < 1e-6)
   }
 
+  test("ngram jaccard maxDf drops hot-shingle-only pairs, keeps rare-shingle pairs") {
+    import spark.implicits._
+    // every doc shares the "common common common" shingle; only 1-2 share rare content
+    val hot = Seq(
+      (1L, "common common common alpha beta gamma delta"),
+      (2L, "common common common alpha beta gamma epsilon"), // near-dup of 1
+      (3L, "common common common zeta eta theta iota"),
+      (4L, "common common common kappa lambda mu nu"),
+    ).toDF("doc_id", "text")
+    val unrestricted = Dedup.ngramJaccardPairs(hot, "doc_id", "text", k = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot shingle links every pair
+    assert(unrestricted.size == 6)
+    val capped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", k = 3, maxDf = Some(2))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the genuine near-dup pair survives candidate generation
+    assert(capped == Set((1L, 2L)), capped.toString)
+  }
+
   test("shingle-hash kernel equals xxhash64 of the string-level shingle set") {
     import graft.functions.{TextFunctions, TextKernels}
     val got = docs.select(

@@ -55,6 +55,45 @@ class PlanSpec extends SparkTestBase {
     assert(plan(scored).contains("*(1)"), plan(scored).take(300))
   }
 
+  test("IVF partitioned layout prunes unprobed cells at the directory level") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val model = graft.index.IvfIndex.build(e, "embedding", k = 4)
+    val assigned = graft.index.IvfIndex.assign(e, "embedding", model)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/pts"
+    graft.index.IvfIndex.writePartitioned(assigned, path)
+    val indexed = spark.read.parquet(path)
+    val q = Tables.embeddingOf(spark, sf, 7L)
+    val probed = graft.index.IvfIndex.search(indexed, "vec_id", "embedding",
+      model, q, Dot, nprobe = 1, k = 5)
+    val p = plan(probed)
+    assert(p.contains("PartitionFilters: [") && p.contains("centroid_id"),
+      "probe filter did not become a partition filter:\n" + p.takeRight(900))
+    // results equal the in-memory filter path
+    val expect = graft.index.IvfIndex.search(assigned, "vec_id", "embedding",
+      model, q, Dot, nprobe = 1, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(probed.collect().map(_.getLong(0)).toSeq == expect)
+  }
+
+  test("scroll page walk visits every matching point exactly once") {
+    val d = Tables.load(spark, sf, "documents")
+    val r = new graft.filters.TypedResolver(d.schema, "doc_id")
+    val f = Some(Filter.mustAll(MatchValue("lang", "en")))
+    val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cursor: Option[Long] = None
+    var pages = 0
+    var done = false
+    while (!done && pages < 100) {
+      val (rows, next) = graft.ops.Reads.scrollPage(
+        d, "doc_id", f, r, cursor, limit = 7, projection = Seq("doc_id"))
+      all ++= rows.map(_.getLong(0))
+      pages += 1
+      next match { case Some(n) => cursor = Some(n); case None => done = true }
+    }
+    val expect = d.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all.toSeq == expect, s"pages=$pages walked=${all.size} expect=${expect.size}")
+  }
+
   test("slice filter is a deterministic scan-stage predicate (no shuffle)") {
     val e = Tables.load(spark, sf, "embeddings")
     val pred = new graft.filters.FilterCompiler(
