@@ -41,7 +41,7 @@ object TextQueries {
     // analyzer pipeline (tokenize → stopwords) feeding a term-frequency
     // aggregation; stemming/folding are property-tested in AnalyzerSpec
     "analyzed_term_facet" -> ((s, dir) =>
-      Tables.spread(docs(s, dir).select("text"))
+      docs(s, dir)
         .select(explode(graft.functions.TextFunctions.analyze(col("text"),
           word = false, stopwords = Seq("the", "a", "of", "and"))).as("term"))
         .groupBy(col("term"))
