@@ -183,7 +183,11 @@ final class FilterCompiler(r: FieldResolver) {
       val qs = text.split(" ").filter(_.nonEmpty)
       anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ || _))
     case MatchPhrase(k, text) =>
-      anyValue(k, v => concat(lit(" "), v, lit(" ")).contains(lit(s" $text ")))
+      // positions-based: consecutive token subsequence within ONE value
+      // (the full-text index phrase_matching path)
+      val phrase = text.split(" ").filter(_.nonEmpty).toSeq
+      anyValue(k, v =>
+        graft.functions.TextKernels.containsTokenSeqCol(tokens(v), phrase))
     case MatchPrefix(k, p) => anyValue(k, _.startsWith(p))
     case RangeCond(k, gt, gte, lt, lte) =>
       anyValue(k, v => rangeBounds(v, gt, gte, lt, lte))

@@ -111,6 +111,33 @@ object TextKernels {
     fp
   }
 
+  /** Consecutive-subsequence test over token arrays — positions-based
+    * phrase matching (`Match::Phrase`, full-text index positions path,
+    * `lib/segment/src/index/field_index/full_text_index/`). Works on any
+    * tokenizer's output, unlike substring matching on raw text. */
+  def containsTokenSeq(tokens: ArrayData, phrase: Array[UTF8String]): Boolean = {
+    val n = tokens.numElements()
+    val m = phrase.length
+    if (m == 0) return true
+    var i = 0
+    while (i <= n - m) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        val t = tokens.getUTF8String(i + j)
+        if (t == null || !t.equals(phrase(j))) ok = false
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  def containsTokenSeqCol(tokens: Column, phrase: Seq[String]): Column =
+    GraftShim.column(ContainsTokenSeqExpr(GraftShim.expression(tokens),
+      phrase.map(UTF8String.fromString).toArray))
+
   /** Intersection size of two sorted distinct long arrays (linear merge). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -162,6 +189,20 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     TextKernels.simhash64(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ContainsTokenSeqExpr(child: Expression, phrase: Array[UTF8String])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.containsTokenSeq(input.asInstanceOf[ArrayData], phrase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phrase", phrase,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.containsTokenSeq($c, $ref)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -17,21 +17,22 @@ import graft.model._
   * every row. */
 class FilterPropertySpec extends SparkTestBase {
 
-  // (id, city: String|Seq[String]|null|absent, price: Double|null|absent)
-  private val rows: Seq[(Long, Option[Any], Option[Any])] = Seq(
-    (1L, Some("Berlin"), Some(10.0)),
-    (2L, Some(Seq("Berlin", "London")), Some(11.0)),
-    (3L, Some(Seq("Berlin", "Moscow")), Some(9.5)),
-    (4L, Some(Seq("London", "Moscow")), Some(9.0)),
-    (5L, None, Some(0.0)),
-    (6L, None, None),
-    (7L, Some(null), Some(null)),
-    (8L, Some(Seq()), Some(25.0)),
-    (9L, Some("Paris"), None),
-    (10L, Some(Seq("Rome")), Some(-3.5)),
+  // (id, city: String|Seq[String]|null|absent, price: Double|null|absent,
+  //  bio: String|Seq[String]|null|absent)
+  private val rows: Seq[(Long, Option[Any], Option[Any], Option[Any])] = Seq(
+    (1L, Some("Berlin"), Some(10.0), Some("the quick brown fox jumps")),
+    (2L, Some(Seq("Berlin", "London")), Some(11.0), Some("quick brown the fox")),
+    (3L, Some(Seq("Berlin", "Moscow")), Some(9.5), Some(Seq("lazy dog", "quick fox"))),
+    (4L, Some(Seq("London", "Moscow")), Some(9.0), Some("brown dog sleeps")),
+    (5L, None, Some(0.0), None),
+    (6L, None, None, Some(null)),
+    (7L, Some(null), Some(null), Some("the the the")),
+    (8L, Some(Seq()), Some(25.0), Some(Seq())),
+    (9L, Some("Paris"), None, Some("fox")),
+    (10L, Some(Seq("Rome")), Some(-3.5), Some(Seq("quick brown", "dog fox brown"))),
   )
 
-  private def jsonOf(city: Option[Any], price: Option[Any]): String = {
+  private def jsonOf(city: Option[Any], price: Option[Any], bio: Option[Any]): String = {
     def v(a: Any): String = a match {
       case null => "null"
       case s: String => "\"" + s + "\""
@@ -39,28 +40,33 @@ class FilterPropertySpec extends SparkTestBase {
       case xs: Seq[_] => xs.map(v).mkString("[", ",", "]")
     }
     val parts = city.map(c => "\"city\":" + v(c)).toSeq ++
-      price.map(p => "\"price\":" + v(p)).toSeq
+      price.map(p => "\"price\":" + v(p)).toSeq ++
+      bio.map(b => "\"bio\":" + v(b)).toSeq
     parts.mkString("{", ",", "}")
   }
 
   private lazy val df: DataFrame = {
     import spark.implicits._
-    rows.map { case (id, c, p) => (id, jsonOf(c, p)) }.toDF("id", "payload").cache()
+    rows.map { case (id, c, p, b) => (id, jsonOf(c, p, b)) }.toDF("id", "payload").cache()
   }
 
   private lazy val resolver = new JsonResolver(
-    col("payload"), Map("city" -> StringType, "price" -> DoubleType), col("id"))
+    col("payload"),
+    Map("city" -> StringType, "price" -> DoubleType, "bio" -> StringType), col("id"))
 
   // ---- reference evaluator (independent of the Spark path) ----
 
-  private def fieldOf(row: (Long, Option[Any], Option[Any]), key: String): Option[Any] =
+  private def fieldOf(row: Row4, key: String): Option[Any] =
     key match {
       case "city" => row._2
       case "price" => row._3
+      case "bio" => row._4
       case _ => None
     }
 
-  private def valuesOf(row: (Long, Option[Any], Option[Any]), key: String): Seq[Any] =
+  private type Row4 = (Long, Option[Any], Option[Any], Option[Any])
+
+  private def valuesOf(row: Row4, key: String): Seq[Any] =
     fieldOf(row, key) match {
       case None => Nil
       case Some(null) => Nil
@@ -68,7 +74,7 @@ class FilterPropertySpec extends SparkTestBase {
       case Some(x) => Seq(x)
     }
 
-  private def isJsonNull(row: (Long, Option[Any], Option[Any]), key: String): Boolean =
+  private def isJsonNull(row: Row4, key: String): Boolean =
     fieldOf(row, key) match {
       case Some(null) => true
       case Some(xs: Seq[_]) => xs.contains(null)
@@ -82,11 +88,28 @@ class FilterPropertySpec extends SparkTestBase {
       lt.forall(b => v < b.asInstanceOf[Double]) &&
       lte.forall(b => v <= b.asInstanceOf[Double])
 
-  private def evalCond(row: (Long, Option[Any], Option[Any]), c: Condition): Boolean =
+  private def evalCond(row: Row4, c: Condition): Boolean =
     c match {
       case MatchValue(k, v) => valuesOf(row, k).contains(v)
       case MatchAny(k, vs) => valuesOf(row, k).exists(vs.contains)
       case MatchExcept(k, vs) => valuesOf(row, k).exists(v => !vs.contains(v))
+      case MatchText(k, text) =>
+        val qs = text.split(" ").filter(_.nonEmpty)
+        valuesOf(row, k).exists { v =>
+          val toks = v.asInstanceOf[String].split(" ").toSet
+          qs.forall(toks.contains)
+        }
+      case MatchTextAny(k, text) =>
+        val qs = text.split(" ").filter(_.nonEmpty)
+        valuesOf(row, k).exists { v =>
+          val toks = v.asInstanceOf[String].split(" ").toSet
+          qs.exists(toks.contains)
+        }
+      case MatchPhrase(k, text) =>
+        val qs = text.split(" ").filter(_.nonEmpty).toSeq
+        valuesOf(row, k).exists(v =>
+          v.asInstanceOf[String].split(" ").toSeq.sliding(qs.size.max(1))
+            .contains(qs))
       case MatchPrefix(k, p) =>
         valuesOf(row, k).exists(_.asInstanceOf[String].startsWith(p))
       case RangeCond(k, gt, gte, lt, lte) =>
@@ -103,7 +126,7 @@ class FilterPropertySpec extends SparkTestBase {
       case other => throw new IllegalArgumentException(other.toString)
     }
 
-  private def evalFilter(row: (Long, Option[Any], Option[Any]), f: Filter): Boolean = {
+  private def evalFilter(row: Row4, f: Filter): Boolean = {
     val mustOk = f.must.forall(evalCond(row, _))
     val shouldOk = f.should.isEmpty || f.should.exists(evalCond(row, _))
     val minOk = f.minShould.forall(ms =>
@@ -131,7 +154,15 @@ class FilterPropertySpec extends SparkTestBase {
     Gen.oneOf("city", "price", "missing").map(IsEmpty(_)),
     Gen.oneOf("city", "price", "missing").map(IsNullCond(_)),
     Gen.someOf(1L to 10L).map(ids => HasId(ids.toSeq)),
+    genPhraseText.map(MatchText("bio", _)),
+    genPhraseText.map(MatchTextAny("bio", _)),
+    genPhraseText.map(MatchPhrase("bio", _)),
   ).flatMap(identity)
+
+  private lazy val genPhraseText: Gen[String] =
+    Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("the", "quick", "brown", "fox", "dog", "zzz"))
+        .map(_.mkString(" ")))
 
   private def genFilter(depth: Int): Gen[Filter] = {
     val cond: Gen[Condition] =
