@@ -19,40 +19,52 @@ class FilterPropertySpec extends SparkTestBase {
 
   // (id, city: String|Seq[String]|null|absent, price: Double|null|absent,
   //  bio: String|Seq[String]|null|absent)
-  private val rows: Seq[(Long, Option[Any], Option[Any], Option[Any])] = Seq(
-    (1L, Some("Berlin"), Some(10.0), Some("the quick brown fox jumps")),
-    (2L, Some(Seq("Berlin", "London")), Some(11.0), Some("quick brown the fox")),
-    (3L, Some(Seq("Berlin", "Moscow")), Some(9.5), Some(Seq("lazy dog", "quick fox"))),
-    (4L, Some(Seq("London", "Moscow")), Some(9.0), Some("brown dog sleeps")),
-    (5L, None, Some(0.0), None),
-    (6L, None, None, Some(null)),
-    (7L, Some(null), Some(null), Some("the the the")),
-    (8L, Some(Seq()), Some(25.0), Some(Seq())),
-    (9L, Some("Paris"), None, Some("fox")),
-    (10L, Some(Seq("Rome")), Some(-3.5), Some(Seq("quick brown", "dog fox brown"))),
+  private val rows: Seq[(Long, Option[Any], Option[Any], Option[Any], Seq[(Double, String)])] = Seq(
+    (1L, Some("Berlin"), Some(10.0), Some("the quick brown fox jumps"),
+      Seq((1.0, "x"), (5.0, "y"))),
+    (2L, Some(Seq("Berlin", "London")), Some(11.0), Some("quick brown the fox"),
+      Seq((5.0, "x"))),
+    (3L, Some(Seq("Berlin", "Moscow")), Some(9.5), Some(Seq("lazy dog", "quick fox")),
+      Seq((2.0, "y"), (3.0, "y"))),
+    (4L, Some(Seq("London", "Moscow")), Some(9.0), Some("brown dog sleeps"), Seq()),
+    (5L, None, Some(0.0), None, Seq((9.0, "x"), (1.0, "z"))),
+    (6L, None, None, Some(null), Seq()),
+    (7L, Some(null), Some(null), Some("the the the"), Seq((4.0, "z"))),
+    (8L, Some(Seq()), Some(25.0), Some(Seq()), Seq((5.0, "y"), (5.0, "x"))),
+    (9L, Some("Paris"), None, Some("fox"), Seq()),
+    (10L, Some(Seq("Rome")), Some(-3.5), Some(Seq("quick brown", "dog fox brown")),
+      Seq((0.5, "x"))),
   )
 
-  private def jsonOf(city: Option[Any], price: Option[Any], bio: Option[Any]): String = {
+  private def jsonOf(city: Option[Any], price: Option[Any], bio: Option[Any],
+      items: Seq[(Double, String)]): String = {
     def v(a: Any): String = a match {
       case null => "null"
       case s: String => "\"" + s + "\""
       case d: Double => d.toString
       case xs: Seq[_] => xs.map(v).mkString("[", ",", "]")
     }
+    val itemsJson =
+      if (items.isEmpty) None
+      else Some(items.map { case (q, t) => s"""{"q":$q,"tag":"$t"}""" }
+        .mkString("[", ",", "]"))
     val parts = city.map(c => "\"city\":" + v(c)).toSeq ++
       price.map(p => "\"price\":" + v(p)).toSeq ++
-      bio.map(b => "\"bio\":" + v(b)).toSeq
+      bio.map(b => "\"bio\":" + v(b)).toSeq ++
+      itemsJson.map(ij => "\"items\":" + ij).toSeq
     parts.mkString("{", ",", "}")
   }
 
   private lazy val df: DataFrame = {
     import spark.implicits._
-    rows.map { case (id, c, p, b) => (id, jsonOf(c, p, b)) }.toDF("id", "payload").cache()
+    rows.map { case (id, c, p, b, it) => (id, jsonOf(c, p, b, it)) }
+      .toDF("id", "payload").cache()
   }
 
   private lazy val resolver = new JsonResolver(
     col("payload"),
-    Map("city" -> StringType, "price" -> DoubleType, "bio" -> StringType), col("id"))
+    Map("city" -> StringType, "price" -> DoubleType, "bio" -> StringType,
+      "items.q" -> DoubleType, "items.tag" -> StringType), col("id"))
 
   // ---- reference evaluator (independent of the Spark path) ----
 
@@ -64,7 +76,7 @@ class FilterPropertySpec extends SparkTestBase {
       case _ => None
     }
 
-  private type Row4 = (Long, Option[Any], Option[Any], Option[Any])
+  private type Row4 = (Long, Option[Any], Option[Any], Option[Any], Seq[(Double, String)])
 
   private def valuesOf(row: Row4, key: String): Seq[Any] =
     fieldOf(row, key) match {
@@ -122,9 +134,25 @@ class FilterPropertySpec extends SparkTestBase {
           (valuesOf(row, k).isEmpty && !isJsonNull(row, k))
       case IsNullCond(k) => isJsonNull(row, k)
       case HasId(ids) => ids.contains(row._1)
+      case NestedCond("items", f) =>
+        row._5.exists { case (q, tag) =>
+          evalNestedFilter(q, tag, f)
+        }
       case SubFilter(f) => evalFilter(row, f)
       case other => throw new IllegalArgumentException(other.toString)
     }
+
+  private def evalNestedCond(q: Double, tag: String, c: Condition): Boolean = c match {
+    case MatchValue("tag", v) => tag == v
+    case RangeCond("q", gt, gte, lt, lte) => inRange(q, gt, gte, lt, lte)
+    case other => throw new IllegalArgumentException("nested " + other)
+  }
+
+  private def evalNestedFilter(q: Double, tag: String, f: Filter): Boolean = {
+    val mustOk = f.must.forall(evalNestedCond(q, tag, _))
+    val shouldOk = f.should.isEmpty || f.should.exists(evalNestedCond(q, tag, _))
+    mustOk && shouldOk
+  }
 
   private def evalFilter(row: Row4, f: Filter): Boolean = {
     val mustOk = f.must.forall(evalCond(row, _))
@@ -157,7 +185,17 @@ class FilterPropertySpec extends SparkTestBase {
     genPhraseText.map(MatchText("bio", _)),
     genPhraseText.map(MatchTextAny("bio", _)),
     genPhraseText.map(MatchPhrase("bio", _)),
+    genNested,
   ).flatMap(identity)
+
+  private lazy val genNested: Gen[Condition] = for {
+    tag <- Gen.oneOf("x", "y", "z", "w")
+    lo <- Gen.option(Gen.oneOf(0.0, 1.0, 4.0, 5.0).map(_.asInstanceOf[Any]))
+    hi <- Gen.option(Gen.oneOf(2.0, 5.0, 8.0).map(_.asInstanceOf[Any]))
+    useShould <- Gen.oneOf(true, false)
+    conds = Seq(MatchValue("tag", tag), RangeCond("q", gte = lo, lt = hi))
+  } yield NestedCond("items",
+    if (useShould) Filter(should = conds) else Filter(must = conds))
 
   private lazy val genPhraseText: Gen[String] =
     Gen.chooseNum(1, 3).flatMap(n =>
