@@ -27,6 +27,11 @@ object Formula {
   /** Condition indicator: 1.0 when it holds else 0.0. */
   final case class CondVar(c: Condition) extends Expr
   final case class GeoDistanceVar(origin: GeoPoint, key: String) extends Expr
+  /** RFC3339 datetime payload value as epoch seconds (fractional micros)
+    * — the `DatetimeExpression` payload-field form, for recency decay. */
+  final case class DatetimeVar(key: String) extends Expr
+  /** RFC3339 datetime literal as epoch seconds (decay target). */
+  final case class DatetimeConstant(iso: String) extends Expr
   final case class Mult(xs: Seq[Expr]) extends Expr
   final case class Sum(xs: Seq[Expr]) extends Expr
   final case class Div(l: Expr, r: Expr, byZeroDefault: Option[Double] = None) extends Expr
@@ -72,6 +77,10 @@ object Formula {
         val p = element_at(resolver.values(key), 1)
         VectorFunctions.haversineMeters(
           p.getField("lon"), p.getField("lat"), lit(origin.lon), lit(origin.lat))
+      case DatetimeVar(key) =>
+        to_timestamp(element_at(resolver.values(key), 1)).cast("double")
+      case DatetimeConstant(iso) =>
+        lit(java.time.Instant.parse(iso).getEpochSecond.toDouble)
       case Mult(xs) => xs.map(go).reduce(_ * _)
       case Sum(xs) => xs.map(go).reduce(_ + _)
       case Div(l, r, byZero) =>

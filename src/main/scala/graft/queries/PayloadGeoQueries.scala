@@ -87,6 +87,24 @@ object PayloadGeoQueries {
         .compile(Filter.mustAll(SliceCond(total = 4, index = 1)))
       e.filter(pred).select(col("vec_id")).orderBy(col("vec_id").asc)
     }),
+    // recency scoring: gaussian decay of event time toward a target instant
+    // (the datetime-decay use of the formula language) + a value term
+    "formula_recency" -> ((s, dir) => {
+      import Formula._
+      val ev = events(s, dir).filter(col("event_type") === "click")
+      // ts is nanos-since-epoch (nanosAsLong); express in hours for a
+      // well-conditioned gaussian
+      val hours = Mult(Seq(PayloadVar("ts"), Constant(1.0 / 3.6e12)))
+      val targetHours = Constant(
+        java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond / 3600.0)
+      val ast = Sum(Seq(
+        Mult(Seq(Constant(0.8),
+          Decay(GaussDecay, hours, targetHours, midpoint = 0.5, scale = 72.0))),
+        Mult(Seq(Constant(0.01), PayloadVar("value")))))
+      val expr = Formula.compile(ast, _ => lit(0.0),
+        new TypedResolver(ev.schema, "event_id"))
+      Search.scoredTopK(ev, "event_id", expr, largerBetter = true, k = 10)
+    }),
     "formula_rescore" -> ((s, dir) => {
       import Formula._
       val e = Tables.load(s, dir, "embeddings")
@@ -150,6 +168,15 @@ object PayloadGeoQueries {
          | + (CASE WHEN ((70.0 > lat) != (-50.0 > lat))
          |        AND lon < -100.0 * (lat - 70.0) / -120.0 + 0.0 THEN 1 ELSE 0 END)
          |) % 2 = 1""".stripMargin,
+    "formula_recency" ->
+      """WITH h AS (SELECT event_id, value,
+        |    epoch_ns(ts) * (1.0/3.6e12) AS hrs,
+        |    epoch('2024-01-15 00:00:00'::TIMESTAMP) / 3600.0 AS h0
+        |  FROM events WHERE event_type = 'click')
+        |SELECT event_id,
+        |  round(0.8 * exp(ln(0.5)/5184.0 * (hrs - h0) * (hrs - h0))
+        |      + 0.01 * value, 6) AS score
+        |FROM h ORDER BY score DESC, event_id ASC LIMIT 10""".stripMargin,
     "formula_rescore" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
         |pre AS (SELECT e.vec_id AS vec_id,

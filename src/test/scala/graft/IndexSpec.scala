@@ -103,6 +103,20 @@ class IndexSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
   }
 
+  test("datetime formula vars: RFC3339 payload value and constant as epoch seconds") {
+    import Formula._
+    import spark.implicits._
+    val d = Seq((1L, "2024-03-01T12:00:00Z"), (2L, "2024-03-02T12:00:00Z"))
+      .toDF("id", "created")
+    val tr = new graft.filters.TypedResolver(d.schema, "id")
+    // seconds between payload datetime and the constant
+    val ast = Sum(Seq(DatetimeVar("created"),
+      Neg(DatetimeConstant("2024-03-01T00:00:00Z"))))
+    val got = d.select(col("id"), compile(ast, _ => lit(0.0), tr).as("s"))
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(12 * 3600.0, 36 * 3600.0), got.toString)
+  }
+
   test("sparse index search equals per-doc arithmetic") {
     import spark.implicits._
     val docs = Seq(
