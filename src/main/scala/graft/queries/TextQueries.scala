@@ -67,6 +67,10 @@ object TextQueries {
         .orderBy(col("doc_id"))),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+    "dedup_keep_first" -> ((s, dir) =>
+      Dedup.exactKeepFirst(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3,
           blockCol = Some("lang"))
@@ -145,6 +149,12 @@ object TextQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, count(*)::BIGINT AS cnt, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY fp ASC""".stripMargin,
+    "dedup_keep_first" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id ASC""".stripMargin,
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
