@@ -121,6 +121,23 @@ final class Collection(
       when(target, lit(null).cast(cur.schema(c).dataType)).otherwise(col(c))))
   }
 
+  /** Compaction — the background merge-optimizer analog
+    * (`lib/shard/src/optimizers/merge_optimizer.rs`, SURVEY.md §4.3): a
+    * mutation-heavy collection accumulates one file set per write; rewrite
+    * to `targetFiles` well-sized files so scans stop paying per-file open
+    * cost. On a lakehouse this is OPTIMIZE/compaction. */
+  def compact(targetFiles: Int = 1): Unit =
+    write(read().repartition(targetFiles))
+
+  /** Number of parquet data files currently backing the collection. */
+  def dataFileCount(): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var n = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
   /** Add a named vector column collection-wide (initially null unless
     * `values` given). Ref `src/actix/api/vector_name_api.rs:22`. */
   def addVectorColumn(name: String, dim: Int, values: Option[Column] = None): Unit = {

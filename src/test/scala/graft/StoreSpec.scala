@@ -126,6 +126,19 @@ class StoreSpec extends SparkTestBase {
     assert(!c.read().columns.contains("idx_price"))
   }
 
+  test("compaction reduces file count and preserves content") {
+    import spark.implicits._
+    val c = mk(tmpDir())
+    // several upserts fragment the table
+    for (i <- 10 to 14)
+      c.upsert(Seq((i.toLong, Seq(1f, 1f, 1f, 1f), s"""{"city":"C$i"}"""))
+        .toDF("id", "vector", "payload"))
+    val before = c.read().orderBy("id").collect().map(_.getLong(0)).toSeq
+    c.compact(targetFiles = 1)
+    assert(c.dataFileCount() == 1)
+    assert(c.read().orderBy("id").collect().map(_.getLong(0)).toSeq == before)
+  }
+
   test("streaming upsert applies micro-batches in order") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
