@@ -115,6 +115,34 @@ class FilterSpec extends SparkTestBase {
     assert(gotLoose == Seq(1L, 2L))
   }
 
+  test("geo conditions over JSON payload objects (variant -> struct)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, """{"loc":{"lon":13.40,"lat":52.52}}"""), // Berlin
+      (2L, """{"loc":{"lon":-0.13,"lat":51.51}}"""), // London
+      (3L, """{"loc":[{"lon":2.35,"lat":48.86},{"lon":139.69,"lat":35.68}]}"""), // Paris+Tokyo
+      (4L, """{"loc":null}"""),
+      (5L, """{}"""),
+    ).toDF("id", "payload")
+    val r = new JsonResolver(col("payload"),
+      Map("loc" -> StructType(Seq(
+        StructField("lon", DoubleType), StructField("lat", DoubleType)))),
+      col("id"))
+    def ids(f: Filter): Seq[Long] =
+      d.filter(new FilterCompiler(r).compile(f))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // radius 1200km around Paris: Berlin (~880km), London (~340km), Paris itself
+    assert(ids(Filter.mustAll(GeoRadius("loc", GeoPoint(2.35, 48.86), 1200000.0)))
+      == Seq(1L, 2L, 3L))
+    // bbox over western Europe excludes Tokyo but row 3 matches via Paris (∃)
+    assert(ids(Filter.mustAll(GeoBoundingBox("loc",
+      topLeft = GeoPoint(-5.0, 55.0), bottomRight = GeoPoint(5.0, 45.0))))
+      == Seq(2L, 3L))
+    // must_not is null-safe over absent/null geo fields
+    assert(ids(Filter(mustNot = Seq(
+      GeoRadius("loc", GeoPoint(2.35, 48.86), 1200000.0)))) == Seq(4L, 5L))
+  }
+
   test("siphash-2-4 matches the reference vectors from the SipHash paper") {
     import graft.functions.SipHash24
     // key 000102...0f (k0/k1 little-endian), inputs 00..(n-1); expected
