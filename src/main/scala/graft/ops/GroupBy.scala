@@ -46,17 +46,20 @@ object GroupBy {
       .withColumn("rank", row_number().over(perGroup))
       .filter(col("rank") <= groupSize)
 
-    // order groups by their best hit, take top `groups`
-    val withBest = hits.withColumn("best",
-      (if (largerBetter) max(col("score")) else min(col("score")))
-        .over(Window.partitionBy(col("group_value"))))
-    val groupRank = row_number().over(
-      Window.orderBy(dir(col("best")), col("group_value").asc))
-    // rank-1 rows carry one row per group; join back to filter hits
-    val topGroups = withBest.filter(col("rank") === 1)
-      .withColumn("grp_rank", groupRank)
-      .filter(col("grp_rank") <= groups)
-      .select(col("group_value").as("gv"), col("grp_rank"))
+    // Order groups by their best hit, take top `groups`. The rank-1 row per
+    // group IS the group's best, so the global selection is a plain
+    // orderBy+limit — TakeOrderedAndProject, a per-partition top-k merged on
+    // the driver, not a row_number window that funnels every distinct group
+    // through one partition (the high-cardinality-group-key scale hazard).
+    // The grp_rank window then runs over ≤ `groups` rows (bounded by the
+    // request parameter, not the data).
+    val topGroups = hits.filter(col("rank") === 1)
+      .select(col("group_value").as("gv"), col("score").as("best"))
+      .orderBy(dir(col("best")), col("gv").asc)
+      .limit(groups)
+      .withColumn("grp_rank",
+        row_number().over(Window.orderBy(dir(col("best")), col("gv").asc)))
+      .select(col("gv"), col("grp_rank"))
     hits.join(broadcast(topGroups), col("group_value") === col("gv"))
       .orderBy(col("grp_rank").asc, col("rank").asc)
       .select((col("group_value") +: col(idCol) +: col("score") +: col("rank") +:

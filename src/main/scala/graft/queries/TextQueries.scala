@@ -71,14 +71,29 @@ object TextQueries {
       Dedup.exactKeepFirst(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    // skew cap ON (maxDf): hot stopword-like shingles are dropped before the
+    // pair join — the plan shape that survives 100 TB (df² join rows per hot
+    // shingle otherwise). The oracle applies the identical df cap.
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3,
-          blockCol = Some("lang"))
+          blockCol = Some("lang"), maxDf = Some(40))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)),
-    "embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+    // Blocked by IVF cell — the 100 TB path: pairs only form within a
+    // centroid cell (quadratic only in the cell, linear overall), never the
+    // all-pairs cartesian. Centroids are deterministic Forgy picks (the 4
+    // lowest vec_ids, 0 Lloyd iterations) so the DuckDB oracle reproduces
+    // the exact same assignment with an argmin-L2 over the same 4 vectors.
+    "embedding_neardup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val assigned = graft.index.IvfIndex.assign(e, "embedding",
+        graft.index.IvfIndex.Model(cents))
+      Dedup.embeddingNearDupPairs(assigned, "vec_id", "embedding", 0.4,
+        blockCol = Some("centroid_id"))
+    }),
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)),
@@ -159,9 +174,11 @@ object TextQueries {
       """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         |       FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+        |rare AS (SELECT s FROM (SELECT s, count(*) AS c FROM sh GROUP BY s) WHERE c <= 40),
+        |shc AS (SELECT sh.* FROM sh JOIN rare USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |           FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang
+        |           FROM shc a JOIN shc b ON a.s = b.s AND a.lang = b.lang
         |             AND a.doc_id < b.doc_id
         |           GROUP BY 1, 2)
         |SELECT id_a, id_b,
@@ -171,12 +188,26 @@ object TextQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
     "embedding_neardup" ->
-      """SELECT id_a, id_b, score FROM (
+      """WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |               FROM embeddings WHERE vec_id < 4),
+        |dist AS (SELECT e.vec_id, c.cid,
+        |           list_sum(list_transform(range(1, len(e.embedding)+1),
+        |             i -> (e.embedding[i]::DOUBLE - c.cv[i])
+        |                * (e.embedding[i]::DOUBLE - c.cv[i]))) AS d
+        |         FROM embeddings e, cents c),
+        |cell AS (SELECT vec_id, cid FROM (
+        |           SELECT vec_id, cid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        |           FROM dist) WHERE rn = 1)
+        |SELECT id_a, id_b, score FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
         |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS score
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.vec_id < b.vec_id
+        |  JOIN cell ca ON ca.vec_id = a.vec_id
+        |  JOIN cell cb ON cb.vec_id = b.vec_id AND ca.cid = cb.cid)
         |WHERE score >= 0.4 ORDER BY id_a ASC, id_b ASC""".stripMargin,
     // minhash_lsh, simhash_pairs: hash family not expressible in DuckDB →
     // rows-only check here; exactness covered by ScalaTest against a Scala

@@ -1,7 +1,6 @@
 package graft.storage
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.filters.{FieldResolver, FilterCompiler, JsonResolver}
@@ -46,17 +45,22 @@ final class Collection(
   }
 
   /** Insert-or-replace whole points: last write wins per id (qdrant upsert,
-    * `lib/shard/src/operations/point_ops.rs:111-126`). `version` orders
-    * writes within the batch; existing rows count as version −∞. */
-  def upsert(points: DataFrame): Unit = {
-    val existing = read().withColumn("_v", lit(0L))
-    val incoming = points.withColumn("_v", lit(1L))
-    val w = Window.partitionBy(col(config.idCol)).orderBy(col("_v").desc)
-    val merged = existing.unionByName(incoming, allowMissingColumns = true)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_v")
-    write(merged)
+    * `lib/shard/src/operations/point_ops.rs:111-126`).
+    *
+    * Plan shape (the 100 TB consideration): the existing table is anti-joined
+    * against just the incoming ids and unioned with the batch — the big side
+    * shuffles only if the join does, and with a broadcastable batch (the
+    * common case: micro-batch ≪ table) it does not shuffle at all. The
+    * full-table `Window.partitionBy(id)` alternative is correct but pays a
+    * whole-table shuffle per batch. On a lakehouse table this is MERGE INTO. */
+  def upsert(points: DataFrame): Unit = write(upsertPlan(points))
+
+  /** The merged-table plan `upsert` writes (exposed for plan-shape tests). */
+  private[graft] def upsertPlan(points: DataFrame): DataFrame = {
+    val incoming = points.dropDuplicates(config.idCol)
+    val kept = read()
+      .join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
+    kept.unionByName(incoming, allowMissingColumns = true)
   }
 
   /** Conditional upsert: replace only points matching `filter`; new ids

@@ -94,6 +94,41 @@ class PlanSpec extends SparkTestBase {
     assert(all.toSeq == expect, s"pages=$pages walked=${all.size} expect=${expect.size}")
   }
 
+  test("upsert plan is anti-join + union — no full-table window shuffle") {
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("lang"), col("n_chars"))
+    val path = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/coll"
+    val coll = graft.storage.Collection.create(spark, path,
+      graft.sources.CollectionConfig(idCol = "id", payloadCol = "lang"), d)
+    val incoming = d.filter(col("id") < 10)
+    val merged = coll.upsertPlan(incoming)
+    val p = plan(merged)
+    assert(!p.contains("Window"), "upsert must not window the full table:\n" + p.take(1200))
+    assert(p.contains("LeftAnti"), "upsert should anti-join existing against incoming ids:\n" + p.take(1200))
+    // semantics: replaced ids keep exactly one row, total row count unchanged
+    assert(merged.count() == d.count())
+    assert(merged.filter(col("id") < 10).count() == incoming.count())
+  }
+
+  test("group-by search selects top groups via orderBy+limit, not a global window") {
+    val e = Tables.load(spark, sf, "documents")
+    val r = new graft.filters.TypedResolver(e.schema, "doc_id")
+    val g = graft.ops.GroupBy.groupBySearch(e, "doc_id",
+      col("n_chars").cast("double"), largerBetter = true,
+      groupByField = "lang", r, groupSize = 2, groups = 3)
+    val p = plan(g)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-groups selection must be a partial top-k:\n" + p.take(1500))
+  }
+
+  test("near-dup catalog entries never plan an all-pairs join") {
+    for (q <- Seq("embedding_neardup", "ngram_jaccard", "minhash_lsh", "simhash_pairs")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plans an unblocked all-pairs join:\n" + p.take(1500))
+    }
+  }
+
   test("slice filter is a deterministic scan-stage predicate (no shuffle)") {
     val e = Tables.load(spark, sf, "embeddings")
     val pred = new graft.filters.FilterCompiler(
