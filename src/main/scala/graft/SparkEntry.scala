@@ -23,6 +23,7 @@ object SparkEntry {
       (PayloadGeoQueries.queries, PayloadGeoQueries.oracles),
       (IndexQueries.queries, IndexQueries.oracles),
       (StorageQueries.queries, StorageQueries.oracles),
+      (UuidQueries.queries, UuidQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

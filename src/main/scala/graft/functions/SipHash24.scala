@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 /** SipHash-2-4 (Aumasson & Bernstein) — the reference's `Slice` condition
   * hash: zero key over the canonical id bytes (8 little-endian bytes for a
@@ -81,19 +81,40 @@ object SipHash24 {
   def inSlice(id: Long, total: Int, index: Int): Boolean =
     sliceIndex(id, total) == index.toLong
 
+  /** The 16 RFC 4122 bytes of a canonical hyphenated UUID string. */
+  def uuidBytes(s: String): Array[Byte] = {
+    val hex = s.replace("-", "")
+    require(hex.length == 32, s"not a canonical UUID: $s")
+    Array.tabulate(16)(i =>
+      java.lang.Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  /** `slice_point_id_hash(Uuid(id))`: zero-key SipHash-2-4 over the 16 UUID
+    * bytes (`types.rs:3893-3899` — the UUID arm of the public contract). */
+  def sliceIndexUuid(id: String, total: Int): Long =
+    java.lang.Long.remainderUnsigned(hash(0L, 0L, uuidBytes(id)), total.toLong)
+
   def sliceIndexCol(id: Column, total: Int): Column =
     GraftShim.column(SliceIndexExpr(GraftShim.expression(id), total))
 }
 
-/** Codegen'd `slice_point_id_hash(id) mod total` over a LongType id column:
-  * stays inside whole-stage codegen as a static call, so a Slice filter is
-  * evaluated in the scan stage like any other deterministic predicate. */
+/** Codegen'd `slice_point_id_hash(id) mod total`: stays inside whole-stage
+  * codegen as a static call, so a Slice filter is evaluated in the scan stage
+  * like any other deterministic predicate. Dispatches on the id column type —
+  * LongType ids hash their 8 LE bytes, StringType (UUID) ids their 16 RFC
+  * 4122 bytes, mirroring the two `ExtendedPointId` arms. */
 case class SliceIndexExpr(child: Expression, total: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
+  private def isUuid: Boolean = child.dataType == StringType
   override def nullSafeEval(input: Any): Any =
-    SipHash24.sliceIndex(input.asInstanceOf[Long], total)
+    if (isUuid) SipHash24.sliceIndexUuid(input.toString, total)
+    else SipHash24.sliceIndex(input.asInstanceOf[Long], total)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SipHash24.sliceIndex($c, $total)")
+    if (isUuid)
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.SipHash24.sliceIndexUuid($c.toString(), $total)")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.functions.SipHash24.sliceIndex($c, $total)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

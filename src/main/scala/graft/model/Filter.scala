@@ -92,8 +92,9 @@ final case class IsEmpty(key: String) extends Condition
 /** Field value is JSON null (or [null]) — distinct from absent.
   * Ref `types.rs:3786-3806`. */
 final case class IsNullCond(key: String) extends Condition
-/** Point id ∈ set. Ref `types.rs:3808-3820`. */
-final case class HasId(ids: Seq[Long]) extends Condition
+/** Point id ∈ set. Ids are numeric (Long) or UUID strings — the two arms of
+  * `ExtendedPointId` (`types.rs:174-179`). Ref `types.rs:3808-3820`. */
+final case class HasId(ids: Seq[Any]) extends Condition
 /** Deterministic hash-slice of the id space: point matches iff
   * SipHash-2-4(zero key, LE id bytes) mod total == index. Slices are
   * disjoint, cover all points, and smaller samples nest in larger ones.

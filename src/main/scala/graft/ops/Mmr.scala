@@ -47,8 +47,9 @@ object Mmr {
       query: Seq[Double],
       lambda: Double,
       limit: Int): DataFrame = {
+    val idType = candidates.schema(idCol).dataType // Long or UUID-string ids
     val rows = candidates.select(col(idCol), col("score"), col(vecCol)).collect()
-    val ids = rows.map(_.getLong(0))
+    val ids = rows.map(_.get(0))
     val scores = rows.map(_.getDouble(1))
     val vecs = rows.map(_.getSeq[Float](2).toArray.map(_.toDouble))
     val q = query.toArray
@@ -82,7 +83,7 @@ object Mmr {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq, 1),
       StructType(Seq(
-        StructField(idCol, LongType), StructField("score", DoubleType),
+        StructField(idCol, idType), StructField("score", DoubleType),
         StructField("position", IntegerType))))
   }
 }

@@ -44,17 +44,19 @@ object Reads {
 
   /** Scroll by id: keyset pagination — filter, id ≥ offset, order by id.
     * Ref `lib/collection/src/shards/local_shard/scroll.rs:64-130`. The
-    * (limit+1)-th row is the caller's `next_page_offset`. */
+    * (limit+1)-th row is the caller's `next_page_offset`. Ids are Long or
+    * UUID strings (canonical lowercase hex sorts identically to the 128-bit
+    * value, so string keyset order == `ExtendedPointId` order). */
   def scrollById(
       points: DataFrame,
       idCol: String,
       filter: Option[Filter],
       r: FieldResolver,
-      offsetId: Option[Long],
+      offsetId: Option[Any],
       limit: Int,
       projection: Seq[String]): DataFrame = {
     val base = pred(filter, r).fold(points)(points.filter)
-    val paged = offsetId.fold(base)(o => base.filter(col(idCol) >= o))
+    val paged = offsetId.fold(base)(o => base.filter(col(idCol) >= lit(o)))
     paged.orderBy(col(idCol).asc).limit(limit).select(projection.map(col): _*)
   }
 
@@ -92,25 +94,26 @@ object Reads {
       idCol: String,
       filter: Option[Filter],
       r: FieldResolver,
-      offsetId: Option[Long],
+      offsetId: Option[Any],
       limit: Int,
-      projection: Seq[String]): (Seq[org.apache.spark.sql.Row], Option[Long]) = {
+      projection: Seq[String]): (Seq[org.apache.spark.sql.Row], Option[Any]) = {
     val proj = if (projection.contains(idCol)) projection else idCol +: projection
     val rows = scrollById(points, idCol, filter, r, offsetId, limit + 1, proj)
       .collect().toSeq
     if (rows.length <= limit) (rows, None)
     else {
       val idIdx = proj.indexOf(idCol)
-      (rows.take(limit), Some(rows(limit).getLong(idIdx)))
+      (rows.take(limit), Some(rows(limit).get(idIdx)))
     }
   }
 
   /** Retrieve by ids with projection (the `with_payload`/`with_vector`
-    * selector surface, ref `src/actix/api/retrieve_api.rs:75,132`). */
+    * selector surface, ref `src/actix/api/retrieve_api.rs:75,132`).
+    * Ids are Long or UUID strings (`ExtendedPointId`, `types.rs:174-179`). */
   def retrieve(
       points: DataFrame,
       idCol: String,
-      ids: Seq[Long],
+      ids: Seq[Any],
       projection: Seq[String]): DataFrame =
     points.filter(col(idCol).isin(ids: _*))
       .orderBy(col(idCol).asc).select(projection.map(col): _*)

@@ -79,7 +79,7 @@ final class Collection(
     write(kept.unionByName(incoming, allowMissingColumns = true))
   }
 
-  def deleteByIds(ids: Seq[Long]): Unit = {
+  def deleteByIds(ids: Seq[Any]): Unit = {
     val cur = read()
     write(cur.filter(!col(config.idCol).isin(ids: _*)))
   }

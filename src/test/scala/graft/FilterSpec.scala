@@ -182,6 +182,37 @@ class FilterSpec extends SparkTestBase {
     assert(got.nonEmpty && got.size < ids.size)
   }
 
+  test("slice condition over UUID ids: 16-byte hash, disjoint, covering, nested") {
+    import spark.implicits._
+    import graft.functions.SipHash24
+    // uuid arm of slice_point_id_hash: zero-key SipHash-2-4 over the 16
+    // RFC 4122 bytes (types.rs:3893-3899)
+    val zero = "00000000-0000-0000-0000-000000000000"
+    assert(SipHash24.sliceIndexUuid(zero, 7) ==
+      java.lang.Long.remainderUnsigned(
+        SipHash24.hash(0L, 0L, new Array[Byte](16)), 7L))
+    val uuids = (0L until 300L).map(graft.queries.UuidQueries.uuidOfLong)
+    for (u <- uuids) {
+      // byte round-trip and hash consistency with the general-array path
+      assert(SipHash24.uuidBytes(u).length == 16)
+      assert(SipHash24.sliceIndexUuid(u, 4) ==
+        java.lang.Long.remainderUnsigned(SipHash24.hash(0L, 0L, SipHash24.uuidBytes(u)), 4L))
+      val idx4 = (0 until 4).filter(i => SipHash24.sliceIndexUuid(u, 4) == i.toLong)
+      assert(idx4.size == 1) // exactly one slice of 4
+      // nesting: slice k of 4 ⊆ slice (k % 2) of 2
+      assert(SipHash24.sliceIndexUuid(u, 2) == (idx4.head % 2).toLong)
+    }
+    // the codegen'd column expression dispatches on StringType
+    val d = uuids.toDF("id")
+    val tr = new graft.filters.TypedResolver(d.schema, "id")
+    val got = d.filter(new FilterCompiler(tr).compile(
+        Filter.mustAll(SliceCond(total = 4, index = 2))))
+      .select("id").collect().map(_.getString(0)).toSet
+    val expected = uuids.filter(u => SipHash24.sliceIndexUuid(u, 4) == 2L).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < uuids.size)
+  }
+
   test("slice/text conditions on typed columns still null-safe") {
     import spark.implicits._
     val d = Seq((1L, "hello world foo"), (2L, "bar baz")).toDF("id", "text")

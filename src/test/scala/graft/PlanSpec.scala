@@ -79,7 +79,7 @@ class PlanSpec extends SparkTestBase {
     val r = new graft.filters.TypedResolver(d.schema, "doc_id")
     val f = Some(Filter.mustAll(MatchValue("lang", "en")))
     val all = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var cursor: Option[Long] = None
+    var cursor: Option[Any] = None
     var pages = 0
     var done = false
     while (!done && pages < 100) {
