@@ -112,6 +112,33 @@ object ReadQueries {
         new TypedResolver(ev.schema, "event_id"), startFrom = Some(cursor),
         limit = 50, projection = Seq("event_id", "user_id", "event_type"))
     }),
+    // payload include/exclude selectors on retrieve (the with_payload
+    // selector surface, types.rs:4300-4380): include keeps only listed
+    // (possibly nested) keys, exclude drops them; dropped keys read back
+    // NULL. The selector runs codegen'd over the JSON payload column.
+    "retrieve_selectors" -> ((s, dir) => {
+      import graft.filters.PayloadSelect
+      val d = docs(s, dir).select(col("doc_id"),
+        to_json(struct(col("lang"), col("source"),
+          struct(col("n_chars"), substring(col("text"), 1, 8).as("head"))
+            .as("meta"))).as("payload"))
+      Reads.retrieve(d, "doc_id", Seq(3L, 5L, 8L, 13L, 21L),
+          Seq("doc_id", "payload"))
+        .withColumn("inc",
+          PayloadSelect.includeCol(col("payload"), Seq("lang", "meta.n_chars")))
+        .withColumn("exc",
+          PayloadSelect.excludeCol(col("payload"), Seq("source", "meta.head")))
+        .select(col("doc_id"),
+          get_json_object(col("inc"), "$.lang").as("lang_inc"),
+          get_json_object(col("inc"), "$.meta.n_chars").cast("long").as("nch_inc"),
+          get_json_object(col("inc"), "$.source").as("src_inc"),
+          get_json_object(col("inc"), "$.meta.head").as("head_inc"),
+          get_json_object(col("exc"), "$.lang").as("lang_exc"),
+          get_json_object(col("exc"), "$.source").as("src_exc"),
+          get_json_object(col("exc"), "$.meta.n_chars").cast("long").as("nch_exc"),
+          get_json_object(col("exc"), "$.meta.head").as("head_exc"))
+        .orderBy(col("doc_id"))
+    }),
     "min_should_filter" -> ((s, dir) => {
       val d = docs(s, dir)
       // at-least-2-of: lang in (en,de) / n_chars>=200 / source prefix 'src1'
@@ -170,6 +197,14 @@ object ReadQueries {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         |ORDER BY ts ASC, event_id ASC LIMIT 50""".stripMargin,
+    "retrieve_selectors" ->
+      """SELECT doc_id,
+        |  lang AS lang_inc, n_chars::BIGINT AS nch_inc,
+        |  CAST(NULL AS VARCHAR) AS src_inc, CAST(NULL AS VARCHAR) AS head_inc,
+        |  lang AS lang_exc, CAST(NULL AS VARCHAR) AS src_exc,
+        |  n_chars::BIGINT AS nch_exc, CAST(NULL AS VARCHAR) AS head_exc
+        |FROM documents WHERE doc_id IN (3, 5, 8, 13, 21)
+        |ORDER BY doc_id ASC""".stripMargin,
     "min_should_filter" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (CASE WHEN lang IN ('en','de') THEN 1 ELSE 0 END
