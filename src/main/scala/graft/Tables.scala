@@ -21,8 +21,14 @@ object Tables {
   /** Fetch one embedding vector by id (driver-side; qdrant's
     * recommend-by-id resolve step, `lib/collection/src/collection/query.rs:456`). */
   def embeddingOf(spark: SparkSession, dir: String, vecId: Long): Seq[Double] =
-    load(spark, dir, "embeddings")
-      .filter(col("vec_id") === vecId)
-      .select("embedding")
+    embeddingFrom(load(spark, dir, "embeddings"), "vec_id", "embedding", vecId)
+
+  /** `lookup_from`: resolve a query vector by id against an arbitrary OTHER
+    * collection/table and vector column (`LookupLocation`,
+    * `lib/api/src/rest/schema.rs:608-613,1119-1132` — "the location to use
+    * for IDs lookup, if not specified use the current collection"). */
+  def embeddingFrom(lookup: DataFrame, idCol: String, vecCol: String, id: Any): Seq[Double] =
+    lookup.filter(col(idCol) === org.apache.spark.sql.functions.lit(id))
+      .select(vecCol)
       .head().getSeq[Float](0).toSeq.map(_.toDouble)
 }

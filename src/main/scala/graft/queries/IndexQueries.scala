@@ -56,13 +56,25 @@ object IndexQueries {
       Quantization.searchPqRescore(enc, "vec_id", "embedding", v7(s, dir),
         Dot, p, k = 10, oversampling = 4.0)
     }),
+    // Stored multi-dense layout (TypedMultiDenseVector analog,
+    // `lib/segment/src/data_types/vectors.rs:271-326`): a RAGGED
+    // array<array<float>> column materialized to parquet and read back —
+    // even ids carry 4 token vectors, odd ids 2 — then MaxSim over the
+    // stored column. Parquet stores the nested list columnar, so the scan
+    // prunes to just this column at scale.
     "maxsim_multivec" -> ((s, dir) => {
+      val path = "/tmp/graft_runtime/mvec_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val e = emb(s, dir)
+      def tok(n: Int) =
+        array((0 until n).map(i => slice(col("embedding"), i * 16 + 1, 16)): _*)
+      e.select(col("vec_id"),
+          when(col("vec_id") % 2 === 0, tok(4)).otherwise(tok(2)).as("vector_tok"))
+        .write.mode("overwrite").parquet(path)
+      val stored = s.read.parquet(path)
       val q = v7(s, dir)
-      val qvs = Seq(q.take(32), q.drop(32))
-      val stored = array(slice(col("embedding"), 1, 32), slice(col("embedding"), 33, 32))
-      val expr = VectorFunctions.maxSim(Dot, stored, typedLit(qvs))
-      Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
+      val qvs = (0 until 4).map(i => q.slice(i * 16, i * 16 + 16))
+      val expr = VectorFunctions.maxSim(Dot, col("vector_tok"), typedLit(qvs))
+      Search.scoredTopK(stored, "vec_id", expr, largerBetter = true, k = 10)
     }),
     "retrieve_by_ids" -> ((s, dir) =>
       Reads.retrieve(emb(s, dir), "vec_id", Seq(3L, 5L, 8L, 13L, 21L, 34L),
@@ -100,15 +112,31 @@ object IndexQueries {
         |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
         |FROM embeddings e, q
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
-    "maxsim_multivec" ->
-      """WITH q AS (SELECT embedding[1:32]::DOUBLE[] AS q1, embedding[33:64]::DOUBLE[] AS q2
-        |           FROM embeddings WHERE vec_id = 7)
-        |SELECT e.vec_id AS vec_id, round(
-        |    greatest(list_dot_product(e.embedding[1:32]::DOUBLE[], q.q1),
-        |             list_dot_product(e.embedding[33:64]::DOUBLE[], q.q1))
-        |  + greatest(list_dot_product(e.embedding[1:32]::DOUBLE[], q.q2),
-        |             list_dot_product(e.embedding[33:64]::DOUBLE[], q.q2)), 6) AS score
-        |FROM embeddings e, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "maxsim_multivec" -> {
+      // Σ over 4 query tokens of max over the stored tokens (4 for even
+      // ids, 2 for odd — the ragged layout)
+      def block(qi: String) =
+        s"""(CASE WHEN is_full THEN
+           |   greatest(list_dot_product(e1,q.$qi), list_dot_product(e2,q.$qi),
+           |            list_dot_product(e3,q.$qi), list_dot_product(e4,q.$qi))
+           | ELSE
+           |   greatest(list_dot_product(e1,q.$qi), list_dot_product(e2,q.$qi))
+           | END)""".stripMargin
+      s"""WITH q AS (SELECT embedding[1:16]::DOUBLE[] AS q1, embedding[17:32]::DOUBLE[] AS q2,
+        |                  embedding[33:48]::DOUBLE[] AS q3, embedding[49:64]::DOUBLE[] AS q4
+        |           FROM embeddings WHERE vec_id = 7),
+        |t AS (SELECT vec_id,
+        |        embedding[1:16]::DOUBLE[] AS e1, embedding[17:32]::DOUBLE[] AS e2,
+        |        embedding[33:48]::DOUBLE[] AS e3, embedding[49:64]::DOUBLE[] AS e4,
+        |        (vec_id % 2 = 0) AS is_full
+        |      FROM embeddings)
+        |SELECT t.vec_id AS vec_id, round(
+        |    ${block("q1")}
+        |  + ${block("q2")}
+        |  + ${block("q3")}
+        |  + ${block("q4")}, 6) AS score
+        |FROM t, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
     "retrieve_by_ids" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE vec_id IN (3, 5, 8, 13, 21, 34) ORDER BY vec_id ASC""".stripMargin,

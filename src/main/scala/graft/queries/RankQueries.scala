@@ -27,6 +27,18 @@ object RankQueries {
     Search.knn(emb(s, dir), "vec_id", "embedding", v(s, dir, 42L), Cosine, k = k)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // lookup_from: positive/negative ids resolve against a DIFFERENT
+    // collection (here a lookup table keyed by qid = vec_id + 10000 with its
+    // own vector column name), then search runs on the primary collection.
+    "recommend_lookup_from" -> ((s, dir) => {
+      val lookup = emb(s, dir).filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000).as("qid"), col("embedding").as("vec_alt"))
+      def lv(id: Long) = Tables.embeddingFrom(lookup, "qid", "vec_alt", id)
+      val q = Search.recommendAvgVector(
+        positives = Seq(lv(10001L), lv(10002L)),
+        negatives = Seq(lv(10004L)))
+      Search.knn(emb(s, dir), "vec_id", "embedding", q, Dot, k = 10)
+    }),
     "recommend_avg" -> ((s, dir) => {
       val q = Search.recommendAvgVector(
         positives = Seq(v(s, dir, 1), v(s, dir, 2), v(s, dir, 3)),
@@ -127,6 +139,16 @@ object RankQueries {
   private val eps = "1.1920928955078125e-07"
 
   val oracles: Map[String, String] = Map(
+    "recommend_lookup_from" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+        |q AS (SELECT d.i AS i,
+        |  2 * (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (1,2))
+        |    - (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (4)) AS w
+        |  FROM dims d),
+        |s AS (SELECT e.vec_id AS vec_id, sum(e.embedding[q.i]::DOUBLE * q.w) AS sc
+        |      FROM embeddings e CROSS JOIN q GROUP BY e.vec_id)
+        |SELECT vec_id, round(sc, 6) AS score FROM s
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "recommend_avg" ->
       """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
         |q AS (SELECT d.i AS i,

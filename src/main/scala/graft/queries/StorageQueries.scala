@@ -63,6 +63,30 @@ object StorageQueries {
           get_json_object(col("payload"), "$.flag").as("flag"))
         .orderBy(col("id"))
     }),
+    // Ordered heterogeneous batch (points/batch analog): five mixed ops
+    // folded into ONE atomic table write; op order is observable (the final
+    // upsert re-creates payloads whose source key an earlier op deleted).
+    "batch_update_ops" -> ((s, dir) => {
+      import graft.storage.UpdateOp._
+      val path = "/tmp/graft_runtime/batch_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = Collection.create(s, path, cfg,
+        points(s, dir, col("doc_id") < 150))
+      coll.applyBatch(Seq(
+        Upsert(points(s, dir,
+          col("doc_id") >= 90 && col("doc_id") < 110, Some("b1"))),
+        SetPayload("""{"flag":"x"}""",
+          get_json_object(col(cfg.payloadCol), "$.n_chars").cast("long") >= 300),
+        DeleteByFilter(Filter.mustAll(MatchValue("lang", "de"))),
+        DeletePayloadKeys(Seq("source"), col(cfg.idCol) < 20),
+        Upsert(points(s, dir, col("doc_id") < 10, Some("b2")))))
+      coll.read()
+        .select(col("id"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.source").as("source"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
+          get_json_object(col("payload"), "$.flag").as("flag"))
+        .orderBy(col("id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,5 +111,27 @@ object StorageQueries {
         |  n_chars::BIGINT AS n_chars,
         |  CASE WHEN n_chars >= 300 THEN 'hot' END AS flag
         |FROM m3 ORDER BY id""".stripMargin,
+    "batch_update_ops" ->
+      """WITH seed AS (SELECT doc_id AS id, lang, source, n_chars
+        |              FROM documents WHERE doc_id < 150),
+        |b1 AS (SELECT doc_id AS id, lang, 'b1' AS source, n_chars
+        |       FROM documents WHERE doc_id >= 90 AND doc_id < 110),
+        |m1 AS (SELECT * FROM b1
+        |       UNION ALL
+        |       SELECT s.* FROM seed s WHERE s.id NOT IN (SELECT id FROM b1)),
+        |m2 AS (SELECT id, lang, source, n_chars,
+        |         CASE WHEN n_chars >= 300 THEN 'x' END AS flag FROM m1),
+        |m3 AS (SELECT * FROM m2 WHERE NOT lang = 'de'),
+        |m4 AS (SELECT id, lang,
+        |         CASE WHEN id < 20 THEN NULL ELSE source END AS source,
+        |         n_chars, flag FROM m3),
+        |b2 AS (SELECT doc_id AS id, lang, 'b2' AS source, n_chars,
+        |         CAST(NULL AS VARCHAR) AS flag
+        |       FROM documents WHERE doc_id < 10),
+        |m5 AS (SELECT * FROM b2
+        |       UNION ALL
+        |       SELECT m4.* FROM m4 WHERE m4.id NOT IN (SELECT id FROM b2))
+        |SELECT id, lang, source, n_chars::BIGINT AS n_chars, flag
+        |FROM m5 ORDER BY id""".stripMargin,
   )
 }

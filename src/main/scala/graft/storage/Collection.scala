@@ -53,76 +53,96 @@ final class Collection(
     * common case: micro-batch ≪ table) it does not shuffle at all. The
     * full-table `Window.partitionBy(id)` alternative is correct but pays a
     * whole-table shuffle per batch. On a lakehouse table this is MERGE INTO. */
-  def upsert(points: DataFrame): Unit = write(upsertPlan(points))
+  def upsert(points: DataFrame): Unit = applyBatch(Seq(UpdateOp.Upsert(points)))
 
   /** The merged-table plan `upsert` writes (exposed for plan-shape tests). */
-  private[graft] def upsertPlan(points: DataFrame): DataFrame = {
-    val incoming = points.dropDuplicates(config.idCol)
-    val kept = read()
-      .join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
-    kept.unionByName(incoming, allowMissingColumns = true)
-  }
+  private[graft] def upsertPlan(points: DataFrame): DataFrame =
+    applyOp(read(), UpdateOp.Upsert(points))
 
   /** Conditional upsert: replace only points matching `filter`; new ids
     * insert unconditionally (`point_ops.rs:114-115`). */
-  def upsertConditional(points: DataFrame, filter: Filter): Unit = {
-    val cur = read()
-    val replaceable = cur.filter(pred(cur, filter))
-      .select(col(config.idCol)).withColumn("_repl", lit(true))
-    val existingIds = cur.select(col(config.idCol)).withColumn("_exists", lit(true))
-    val incoming = points
-      .join(replaceable, Seq(config.idCol), "left")
-      .join(existingIds, Seq(config.idCol), "left")
-      .filter(col("_repl").isNotNull || col("_exists").isNull)
-      .drop("_repl", "_exists")
-    val kept = cur.join(incoming.select(config.idCol), Seq(config.idCol), "left_anti")
-    write(kept.unionByName(incoming, allowMissingColumns = true))
-  }
+  def upsertConditional(points: DataFrame, filter: Filter): Unit =
+    applyBatch(Seq(UpdateOp.UpsertConditional(points, filter)))
 
-  def deleteByIds(ids: Seq[Any]): Unit = {
-    val cur = read()
-    write(cur.filter(!col(config.idCol).isin(ids: _*)))
-  }
+  def deleteByIds(ids: Seq[Any]): Unit =
+    applyBatch(Seq(UpdateOp.DeleteIds(ids)))
 
-  def deleteByFilter(filter: Filter): Unit = {
-    val cur = read()
-    write(cur.filter(!coalesce(pred(cur, filter), lit(false))))
-  }
+  def deleteByFilter(filter: Filter): Unit =
+    applyBatch(Seq(UpdateOp.DeleteByFilter(filter)))
 
   /** Merge JSON keys into payload for points selected by ids or filter
     * (qdrant set_payload, `lib/shard/src/operations/payload_ops.rs:16-27`).
     * Shallow merge: top-level keys of `patch` overwrite. */
   def setPayload(patch: String, target: Column): Unit =
-    mapPayload(target, cur =>
-      to_json(map_concat(
-        map_filter(fromJsonMap(cur), (k, _) => !k.isin(topKeys(patch): _*)),
-        fromJsonMap(lit(patch)))))
+    applyBatch(Seq(UpdateOp.SetPayload(patch, target)))
 
   /** Replace the whole payload (`payload_ops.rs` overwrite). */
   def overwritePayload(payload: String, target: Column): Unit =
-    mapPayload(target, _ => lit(payload))
+    applyBatch(Seq(UpdateOp.OverwritePayload(payload, target)))
 
   /** Drop the given top-level keys. */
   def deletePayloadKeys(keys: Seq[String], target: Column): Unit =
-    mapPayload(target, cur =>
-      to_json(map_filter(fromJsonMap(cur), (k, _) => !k.isin(keys: _*))))
+    applyBatch(Seq(UpdateOp.DeletePayloadKeys(keys, target)))
 
   /** Clear payload entirely. */
-  def clearPayload(target: Column): Unit = mapPayload(target, _ => lit(null))
+  def clearPayload(target: Column): Unit =
+    applyBatch(Seq(UpdateOp.ClearPayload(target)))
 
   /** Set a named vector on selected points (vector_ops.rs:12-19). */
-  def updateVector(name: String, newVec: Column, target: Column): Unit = {
-    val cur = read()
-    val c = config.vectorCol(name)
-    write(cur.withColumn(c, when(target, newVec).otherwise(col(c))))
-  }
+  def updateVector(name: String, newVec: Column, target: Column): Unit =
+    applyBatch(Seq(UpdateOp.UpdateVector(name, newVec, target)))
 
   /** Null out a named vector on selected points. */
-  def deleteVector(name: String, target: Column): Unit = {
-    val cur = read()
-    val c = config.vectorCol(name)
-    write(cur.withColumn(c,
-      when(target, lit(null).cast(cur.schema(c).dataType)).otherwise(col(c))))
+  def deleteVector(name: String, target: Column): Unit =
+    applyBatch(Seq(UpdateOp.DeleteVector(name, target)))
+
+  /** Ordered heterogeneous batch update (`POST /points/batch`,
+    * `src/actix/api/update_api.rs:324`): fold every op into one evolving
+    * table plan, commit with a single atomic write. Each op observes the
+    * effects of the ones before it, exactly like the reference's sequential
+    * application — but as one Spark job, not N. */
+  def applyBatch(ops: Seq[UpdateOp]): Unit =
+    write(ops.foldLeft(read())(applyOp))
+
+  private def applyOp(cur: DataFrame, op: UpdateOp): DataFrame = op match {
+    case UpdateOp.Upsert(points) =>
+      val incoming = points.dropDuplicates(config.idCol)
+      cur.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
+        .unionByName(incoming, allowMissingColumns = true)
+    case UpdateOp.UpsertConditional(points, filter) =>
+      val replaceable = cur.filter(pred(cur, filter))
+        .select(col(config.idCol)).withColumn("_repl", lit(true))
+      val existingIds = cur.select(col(config.idCol)).withColumn("_exists", lit(true))
+      val incoming = points
+        .join(replaceable, Seq(config.idCol), "left")
+        .join(existingIds, Seq(config.idCol), "left")
+        .filter(col("_repl").isNotNull || col("_exists").isNull)
+        .drop("_repl", "_exists")
+      cur.join(incoming.select(config.idCol), Seq(config.idCol), "left_anti")
+        .unionByName(incoming, allowMissingColumns = true)
+    case UpdateOp.DeleteIds(ids) =>
+      cur.filter(!col(config.idCol).isin(ids: _*))
+    case UpdateOp.DeleteByFilter(filter) =>
+      cur.filter(!coalesce(pred(cur, filter), lit(false)))
+    case UpdateOp.SetPayload(patch, target) =>
+      mapPayload(cur, target, p =>
+        to_json(map_concat(
+          map_filter(fromJsonMap(p), (k, _) => !k.isin(topKeys(patch): _*)),
+          fromJsonMap(lit(patch)))))
+    case UpdateOp.OverwritePayload(payload, target) =>
+      mapPayload(cur, target, _ => lit(payload))
+    case UpdateOp.DeletePayloadKeys(keys, target) =>
+      mapPayload(cur, target, p =>
+        to_json(map_filter(fromJsonMap(p), (k, _) => !k.isin(keys: _*))))
+    case UpdateOp.ClearPayload(target) =>
+      mapPayload(cur, target, _ => lit(null))
+    case UpdateOp.UpdateVector(name, newVec, target) =>
+      val c = config.vectorCol(name)
+      cur.withColumn(c, when(target, newVec).otherwise(col(c)))
+    case UpdateOp.DeleteVector(name, target) =>
+      val c = config.vectorCol(name)
+      cur.withColumn(c,
+        when(target, lit(null).cast(cur.schema(c).dataType)).otherwise(col(c)))
   }
 
   /** Compaction — the background merge-optimizer analog
@@ -185,11 +205,10 @@ final class Collection(
     m.findAllMatchIn(json).map(_.group(1)).toSeq
   }
 
-  private def mapPayload(target: Column, f: Column => Column): Unit = {
-    val cur = read()
+  private def mapPayload(cur: DataFrame, target: Column, f: Column => Column): DataFrame = {
     val p = col(config.payloadCol)
-    write(cur.withColumn(config.payloadCol,
-      when(coalesce(target, lit(false)), f(p)).otherwise(p)))
+    cur.withColumn(config.payloadCol,
+      when(coalesce(target, lit(false)), f(p)).otherwise(p))
   }
 }
 

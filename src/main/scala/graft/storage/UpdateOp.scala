@@ -1,0 +1,31 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.model.Filter
+
+/** One operation of an ordered heterogeneous batch update — the
+  * `POST /collections/{name}/points/batch` surface (`UpdateOperation`,
+  * `src/common/update.rs:101-110`, route `src/actix/api/update_api.rs:324`).
+  *
+  * A batch applies its operations in order against a single evolving table
+  * plan and commits with ONE table write: all-or-nothing like the reference's
+  * batch (each op sees the effects of the previous ones), and cheaper than N
+  * sequential single-op jobs — the 100 TB consideration: one pass, one
+  * overwrite, however long the op list.
+  */
+sealed trait UpdateOp
+
+object UpdateOp {
+  final case class Upsert(points: DataFrame) extends UpdateOp
+  final case class UpsertConditional(points: DataFrame, filter: Filter) extends UpdateOp
+  final case class DeleteIds(ids: Seq[Any]) extends UpdateOp
+  final case class DeleteByFilter(filter: Filter) extends UpdateOp
+  /** Shallow-merge JSON patch into the payload of rows matching `target`. */
+  final case class SetPayload(patch: String, target: Column) extends UpdateOp
+  final case class OverwritePayload(payload: String, target: Column) extends UpdateOp
+  final case class DeletePayloadKeys(keys: Seq[String], target: Column) extends UpdateOp
+  final case class ClearPayload(target: Column) extends UpdateOp
+  final case class UpdateVector(name: String, newVec: Column, target: Column) extends UpdateOp
+  final case class DeleteVector(name: String, target: Column) extends UpdateOp
+}
