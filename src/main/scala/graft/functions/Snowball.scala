@@ -1,0 +1,430 @@
+package graft.functions
+
+/** Snowball stemmers (Porter's Snowball family), implemented from the
+  * published algorithm definitions — the `stemmer` option of the full-text
+  * analyzer (`StemmingAlgorithm`/`SnowballLanguage`,
+  * `lib/segment/src/data_types/index.rs:313-433`; the reference delegates to
+  * the rust-stemmers crate, we implement the algorithms directly).
+  *
+  * Every implementation is validated token-for-token against an independent
+  * Snowball implementation (PostgreSQL's snowball dictionaries) on ~5k
+  * generated words per language — see AnalyzerSpec and the TSV fixtures
+  * under src/test/resources/snowball/.
+  *
+  * Common machinery: R1/R2 are the standard Snowball regions — R1 the part
+  * after the first non-vowel following a vowel, R2 the same applied within
+  * R1. RV is language-specific.
+  */
+object Snowball {
+
+  /** Languages with a full Snowball implementation here. */
+  def supported: Set[String] = stemmers.keySet + "english"
+
+  private lazy val stemmers: Map[String, String => String] = Map(
+    "german" -> German.stem _,
+    "russian" -> Russian.stem _,
+    "spanish" -> Spanish.stem _,
+  )
+
+  /** Stem one lowercase word. Unknown language → identity (the reference's
+    * `try_default_from_language` returns None likewise). English delegates
+    * to the existing Porter implementation. */
+  def stem(lang: String, word: String): String =
+    if (lang == "english")
+      StemKernels.porter(org.apache.spark.unsafe.types.UTF8String.fromString(word)).toString
+    else stemmers.get(lang).map(_(word)).getOrElse(word)
+
+  /** First position AFTER the first non-vowel that follows a vowel, scanning
+    * from `from`; `len` if none — the standard R1/R2 region start. */
+  private[functions] def regionAfterVC(s: String, from: Int, isVowel: Char => Boolean): Int = {
+    var i = from
+    while (i < s.length && !isVowel(s(i))) i += 1
+    while (i < s.length && isVowel(s(i))) i += 1
+    // s(i) is now the first non-vowel after a vowel (or end)
+    if (i < s.length) i + 1 else s.length
+  }
+
+  // ---------------------------------------------------------------- German
+  /** Snowball German. Ref algorithm: snowball German stemmer (public spec).
+    * Validated against PostgreSQL german_stem. */
+  object German {
+    private val vowels = "aeiouyäöü".toSet
+    private val sEnding = "bdfghklmnrt".toSet
+    private val stEnding = "bdfghklmnt".toSet
+
+    def stem(word: String): String = {
+      if (word.isEmpty) return word
+      var w = word.replace("ß", "ss")
+      // u/y between vowels are consonants: mark uppercase
+      val cs = w.toCharArray
+      var i = 1
+      while (i < cs.length - 1) {
+        if ((cs(i) == 'u' || cs(i) == 'y') && vowels(cs(i - 1)) && vowels(cs(i + 1)))
+          cs(i) = (cs(i) - 32).toChar
+        i += 1
+      }
+      w = new String(cs)
+      val isV = (c: Char) => vowels(c)
+      // R2 is computed from the RAW R1; only R1 itself is then adjusted so
+      // that at least 3 letters precede it
+      val r1raw = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1raw, isV)
+      val r1 = if (r1raw < 3) 3 else r1raw
+
+      def inR1(pos: Int) = pos >= r1
+      def inR2(pos: Int) = pos >= r2
+
+      // step 1: longest of (em ern er | e en es | s after valid s-ending)
+      val s1a = Seq("em", "ern", "er")
+      val s1b = Seq("en", "es", "e")
+      var done1 = false
+      for (suf <- Seq("ern", "em", "er", "en", "es", "e", "s").sortBy(-_.length) if !done1) {
+        if (w.endsWith(suf)) {
+          done1 = true
+          val pos = w.length - suf.length
+          if (s1a.contains(suf)) {
+            if (inR1(pos)) w = w.substring(0, pos)
+          } else if (s1b.contains(suf)) {
+            if (inR1(pos)) {
+              w = w.substring(0, pos)
+              if (w.endsWith("niss")) w = w.substring(0, w.length - 1)
+            }
+          } else { // "s"
+            if (inR1(pos) && pos > 0 && sEnding(w(pos - 1))) w = w.substring(0, pos)
+          }
+        }
+      }
+
+      // step 2: longest of (en er est | st after valid st-ending with >=3 before)
+      var done2 = false
+      for (suf <- Seq("est", "en", "er", "st") if !done2) {
+        if (w.endsWith(suf)) {
+          done2 = true
+          val pos = w.length - suf.length
+          if (suf == "st") {
+            if (inR1(pos) && pos > 0 && stEnding(w(pos - 1)) && pos - 1 >= 3)
+              w = w.substring(0, pos)
+          } else if (inR1(pos)) w = w.substring(0, pos)
+        }
+      }
+
+      // step 3: d-suffixes
+      var done3 = false
+      for (suf <- Seq("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik") if !done3) {
+        if (w.endsWith(suf)) {
+          done3 = true
+          val pos = w.length - suf.length
+          suf match {
+            case "end" | "ung" =>
+              if (inR2(pos)) {
+                w = w.substring(0, pos)
+                if (w.endsWith("ig") && inR2(w.length - 2) &&
+                  !(w.length >= 3 && w(w.length - 3) == 'e'))
+                  w = w.substring(0, w.length - 2)
+              }
+            case "ig" | "ik" | "isch" =>
+              if (inR2(pos) && !(pos > 0 && w(pos - 1) == 'e'))
+                w = w.substring(0, pos)
+            case "lich" | "heit" =>
+              if (inR2(pos)) {
+                w = w.substring(0, pos)
+                if ((w.endsWith("er") || w.endsWith("en")) && inR1(w.length - 2))
+                  w = w.substring(0, w.length - 2)
+              }
+            case "keit" =>
+              if (inR2(pos)) {
+                w = w.substring(0, pos)
+                for (p <- Seq("lich", "ig"))
+                  if (w.endsWith(p) && inR2(w.length - p.length))
+                    w = w.substring(0, w.length - p.length)
+              }
+            case _ =>
+          }
+        }
+      }
+
+      w.map {
+        case 'U' => 'u'; case 'Y' => 'y'
+        case 'ä' => 'a'; case 'ö' => 'o'; case 'ü' => 'u'
+        case c => c
+      }
+    }
+  }
+
+  // --------------------------------------------------------------- Russian
+  /** Snowball Russian. ё folds to е up front; RV = after the first vowel;
+    * every ending must lie inside RV. Validated against russian_stem. */
+  object Russian {
+    private val vowels = "аеиоуыэюя".toSet
+
+    // (pattern, chars to remove) — group-1 endings embed the preceding а/я
+    // which stays part of the stem
+    private def g1(sufs: Seq[String]): Seq[(String, Int)] =
+      sufs.flatMap(s => Seq(("а" + s, s.length), ("я" + s, s.length)))
+    private def g2(sufs: Seq[String]): Seq[(String, Int)] = sufs.map(s => (s, s.length))
+
+    private val perfGerund =
+      (g1(Seq("в", "вши", "вшись")) ++
+        g2(Seq("ив", "ивши", "ившись", "ыв", "ывши", "ывшись"))).sortBy(-_._1.length)
+    private val adjective = g2(Seq(
+      "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем", "им",
+      "ым", "ом", "его", "ого", "ему", "ому", "их", "ых", "ую", "юю", "ая",
+      "яя", "ою", "ею")).sortBy(-_._1.length)
+    private val participle =
+      (g1(Seq("ем", "нн", "вш", "ющ", "щ")) ++
+        g2(Seq("ивш", "ывш", "ующ"))).sortBy(-_._1.length)
+    private val verb =
+      (g1(Seq("ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но",
+        "ет", "ют", "ны", "ть", "ешь", "нно")) ++
+        g2(Seq("ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли", "ей",
+          "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ят",
+          "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую", "ю")))
+        .sortBy(-_._1.length)
+    private val noun = g2(Seq(
+      "а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии", "и",
+      "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам", "ом", "о",
+      "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия", "ья", "я"))
+      .sortBy(-_._1.length)
+
+    def stem(word0: String): String = {
+      var w = word0.replace("ё", "е")
+      val isV = (c: Char) => vowels(c)
+      var rv = 0
+      while (rv < w.length && !isV(w(rv))) rv += 1
+      rv += 1 // after the first vowel
+      if (rv >= w.length) return w
+      val r1raw = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1raw, isV)
+
+      // try the longest pattern of `table` whose match lies inside RV;
+      // remove its removable part; true if something was removed
+      def tryRemove(table: Seq[(String, Int)]): Boolean = {
+        for ((pat, rem) <- table) {
+          if (w.length - pat.length >= rv && w.endsWith(pat)) {
+            w = w.substring(0, w.length - rem)
+            return true
+          }
+        }
+        false
+      }
+
+      // step 1
+      if (!tryRemove(perfGerund)) {
+        if (w.endsWith("ся") || w.endsWith("сь")) {
+          if (w.length - 2 >= rv) w = w.substring(0, w.length - 2)
+        }
+        if (tryRemove(adjective)) { tryRemove(participle); () }
+        else if (tryRemove(verb)) ()
+        else tryRemove(noun)
+      }
+      // step 2: final и
+      if (w.endsWith("и") && w.length - 1 >= rv) w = w.substring(0, w.length - 1)
+      // step 3: derivational, in R2
+      for (d <- Seq("ость", "ост"))
+        if (w.endsWith(d) && w.length - d.length >= r2) {
+          w = w.substring(0, w.length - d.length)
+        }
+      // step 4
+      if (w.endsWith("нн") && w.length - 1 >= rv) w = w.substring(0, w.length - 1)
+      else {
+        var done = false
+        for (sup <- Seq("ейше", "ейш") if !done)
+          if (w.endsWith(sup) && w.length - sup.length >= rv) {
+            w = w.substring(0, w.length - sup.length)
+            done = true
+            if (w.endsWith("нн") && w.length - 1 >= rv) w = w.substring(0, w.length - 1)
+          }
+        if (!done && w.endsWith("ь") && w.length - 1 >= rv)
+          w = w.substring(0, w.length - 1)
+      }
+      w
+    }
+  }
+
+  // --------------------------------------------------------------- Spanish
+  /** Snowball Spanish: standard R1/R2 + Spanish RV; attached-pronoun step,
+    * standard suffixes, y-verbs, verb suffixes, residuals, de-accenting.
+    * Validated against spanish_stem. */
+  object Spanish {
+    private val vowels = "aeiouáéíóúü".toSet
+    private def isV(c: Char) = vowels(c)
+
+    private def rvOf(w: String): Int = {
+      if (w.length < 3) return w.length
+      if (!isV(w(1))) { // X C ... → after the next vowel
+        var i = 2
+        while (i < w.length && !isV(w(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      } else if (isV(w(0)) && isV(w(1))) { // V V → after the next consonant
+        var i = 2
+        while (i < w.length && isV(w(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      } else 3 // C V → after the third letter
+    }
+
+    private def deaccent(c: Char): Char = c match {
+      case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+      case 'ó' => 'o'; case 'ú' => 'u'; case other => other
+    }
+
+    def stem(word: String): String = {
+      var w = word
+      val rv = rvOf(w)
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def inRv(pos: Int) = pos >= rv
+      def inR1(pos: Int) = pos >= r1
+      def inR2(pos: Int) = pos >= r2
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+
+      // step 0: attached pronouns
+      val pronouns = Seq("selas", "selos", "sela", "selo", "las", "les",
+        "los", "nos", "me", "se", "la", "le", "lo").sortBy(-_.length)
+      val pre1 = Seq("iéndo", "ándo", "ár", "ér", "ír") // de-accent after removal
+      val pre2 = Seq("iendo", "ando", "ar", "er", "ir")
+      var done0 = false
+      for (p <- pronouns if !done0) {
+        if (w.endsWith(p)) {
+          val base = w.length - p.length
+          val stemPart = w.substring(0, base)
+          val m1 = pre1.find(stemPart.endsWith)
+          val m2 = pre2.find(stemPart.endsWith)
+          if (m1.isDefined && inRv(base - m1.get.length)) {
+            w = stemPart.map(deaccent)
+            done0 = true
+          } else if (m2.isDefined && inRv(base - m2.get.length)) {
+            w = stemPart
+            done0 = true
+          } else if (stemPart.endsWith("yendo") &&
+            base - 5 - 1 >= 0 && stemPart(base - 6) == 'u' && inRv(base - 5)) {
+            w = stemPart
+            done0 = true
+          }
+        }
+      }
+
+      // step 1: standard suffixes (longest match first)
+      val before1 = w
+      var matched1 = false
+      def ends(s: String): Boolean = w.endsWith(s)
+      def pos(s: String): Int = w.length - s.length
+
+      val allSufs: Seq[String] = Seq(
+        "amientos", "imientos", "amiento", "imiento", "anzas", "ismos",
+        "ables", "ibles", "istas", "anza", "icos", "icas", "ismo", "able",
+        "ible", "ista", "osos", "osas", "ico", "ica", "oso", "osa",
+        "adoras", "adores", "aciones", "adora", "ación", "antes",
+        "ancias", "ador", "ante", "ancia",
+        "logías", "logía", "uciones", "ución", "encias", "encia",
+        "amente", "mente", "idades", "idad",
+        "ivas", "ivos", "iva", "ivo").sortBy(-_.length)
+      for (suf <- allSufs if !matched1) {
+        if (ends(suf)) {
+          matched1 = true
+          val p = pos(suf)
+          suf match {
+            case "amente" =>
+              if (inR1(p)) {
+                del(6)
+                if (ends("iv") && inR2(pos("iv"))) {
+                  del(2)
+                  if (ends("at") && inR2(pos("at"))) del(2)
+                } else {
+                  var d = false
+                  for (x <- Seq("os", "ic", "ad") if !d)
+                    if (ends(x) && inR2(pos(x))) { del(2); d = true }
+                }
+              }
+            case "mente" =>
+              if (inR2(p)) {
+                del(5)
+                var d = false
+                for (x <- Seq("ante", "able", "ible") if !d)
+                  if (ends(x) && inR2(pos(x))) { del(4); d = true }
+              }
+            case "idades" | "idad" =>
+              if (inR2(p)) {
+                del(suf.length)
+                var d = false
+                for (x <- Seq("abil", "ic", "iv") if !d)
+                  if (ends(x) && inR2(pos(x))) { del(x.length); d = true }
+              }
+            case "ivas" | "ivos" | "iva" | "ivo" =>
+              if (inR2(p)) {
+                del(suf.length)
+                if (ends("at") && inR2(pos("at"))) del(2)
+              }
+            case "logías" | "logía" =>
+              if (inR2(p)) { del(suf.length); w = w + "log" }
+            case "uciones" | "ución" =>
+              if (inR2(p)) { del(suf.length); w = w + "u" }
+            case "encias" | "encia" =>
+              if (inR2(p)) { del(suf.length); w = w + "ente" }
+            case "adoras" | "adores" | "aciones" | "adora" | "ación" | "antes" |
+                "ancias" | "ador" | "ante" | "ancia" =>
+              if (inR2(p)) {
+                del(suf.length)
+                if (ends("ic") && inR2(pos("ic"))) del(2)
+              }
+            case _ => // plain delete-if-R2 class
+              if (inR2(p)) del(suf.length)
+          }
+        }
+      }
+      val did1 = w != before1
+
+      // step 2a: verb suffixes beginning with y (only if step 1 did nothing)
+      var did2a = false
+      if (!did1) {
+        val ys = Seq("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+          "yes", "ya", "ye", "yo", "yó").sortBy(-_.length)
+        for (s <- ys if !did2a) {
+          if (ends(s) && inRv(pos(s)) && pos(s) > 0 && w(pos(s) - 1) == 'u') {
+            del(s.length); did2a = true
+          }
+        }
+      }
+
+      // step 2b: other verb suffixes (only if steps 1/2a did nothing)
+      if (!did1 && !did2a) {
+        val gu = Seq("en", "es", "éis", "emos")
+        val plain = Seq("arían", "arías", "arán", "arás", "aríais", "aría",
+          "aréis", "aríamos", "aremos", "ará", "aré", "erían", "erías",
+          "erán", "erás", "eríais", "ería", "eréis", "eríamos", "eremos",
+          "erá", "eré", "irían", "irías", "irán", "irás", "iríais", "iría",
+          "iréis", "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida",
+          "ía", "ara", "iera", "ad", "ed", "id", "ase", "iese", "aste",
+          "iste", "an", "aban", "ían", "aran", "ieran", "asen", "iesen",
+          "aron", "ieron", "ado", "ido", "ando", "iendo", "ió", "ar", "er",
+          "ir", "as", "abas", "adas", "idas", "ías", "aras", "ieras",
+          "ases", "ieses", "ís", "áis", "abais", "íais", "arais", "ierais",
+          "aseis", "ieseis", "asteis", "isteis", "ados", "idos", "amos",
+          "ábamos", "íamos", "imos", "áramos", "iéramos", "iésemos",
+          "ásemos")
+        val all2 = (gu ++ plain).distinct.sortBy(-_.length)
+        var d = false
+        for (s <- all2 if !d) {
+          if (ends(s) && inRv(pos(s))) {
+            d = true
+            del(s.length)
+            if (gu.contains(s) && w.endsWith("gu")) del(1)
+          }
+        }
+      }
+
+      // step 3: residual suffix
+      val res1 = Seq("os", "a", "o", "á", "í", "ó")
+      val res2 = Seq("e", "é")
+      var d3 = false
+      for (s <- (res1 ++ res2).sortBy(-_.length) if !d3) {
+        if (ends(s) && inRv(pos(s))) {
+          d3 = true
+          del(s.length)
+          if (res2.contains(s) && w.endsWith("gu") && inRv(w.length - 1)) del(1)
+        }
+      }
+
+      w.map(deaccent)
+    }
+  }
+}

@@ -51,6 +51,25 @@ class AnalyzerSpec extends SparkTestBase {
     assert(got == expect, got.zip(expect).filter(p => p._1 != p._2).toString)
   }
 
+  // Snowball implementations vs an independent Snowball engine
+  // (PostgreSQL snowball dictionaries) on ~5k generated words per language:
+  // random strings (region-computation stress) + stem×suffix combinations
+  // (suffix-table coverage). 100% agreement required.
+  for (lang <- graft.functions.Snowball.supported if lang != "english") {
+    test(s"snowball $lang matches the independent oracle on all vectors") {
+      val res = getClass.getResourceAsStream(s"/snowball/$lang.tsv")
+      assert(res != null, s"missing vectors for $lang")
+      val lines = scala.io.Source.fromInputStream(res, "UTF-8").getLines().toSeq
+      assert(lines.size > 3000)
+      val bad = lines.flatMap { l =>
+        val Array(w, expect) = l.split("\t", 2)
+        val got = graft.functions.Snowball.stem(lang, w)
+        if (got != expect) Some(s"$w: got=$got want=$expect") else None
+      }
+      assert(bad.isEmpty, s"${bad.size} mismatches; first 20:\n" + bad.take(20).mkString("\n"))
+    }
+  }
+
   test("analyze pipeline composes: word + fold + stopwords + stem") {
     val out = run(analyze(col("t"), word = true, asciiFolding = true,
       stopwords = Seq("the"), stem = true), "The Cafés: relational conditions!")
