@@ -24,6 +24,8 @@ object Snowball {
     "german" -> German.stem _,
     "russian" -> Russian.stem _,
     "spanish" -> Spanish.stem _,
+    "portuguese" -> Portuguese.stem _,
+    "italian" -> Italian.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's
@@ -427,4 +429,324 @@ object Snowball {
       w.map(deaccent)
     }
   }
+  // ------------------------------------------------------------ Portuguese
+  /** Snowball Portuguese: nasal vowels ã/õ are rewritten a~/o~ during
+    * processing (the '~' is a consonant for region purposes) and restored at
+    * the end. Validated against portuguese_stem. */
+  object Portuguese {
+    private val vowels = "aeiouáéíóúâêô".toSet
+    private def isV(c: Char) = vowels(c)
+
+    private def rvOf(w: String): Int = {
+      if (w.length < 3) return w.length
+      if (!isV(w(1))) {
+        var i = 2
+        while (i < w.length && !isV(w(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      } else if (isV(w(0)) && isV(w(1))) {
+        var i = 2
+        while (i < w.length && isV(w(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      } else 3
+    }
+
+    private val verbSufs = Seq(
+      "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá", "era",
+      "irá", "ava", "asse", "esse", "isse", "aste", "este", "iste", "ei",
+      "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam", "aram",
+      "eram", "iram", "avam", "em", "arem", "erem", "irem", "assem", "essem",
+      "issem", "ado", "ido", "ando", "endo", "indo", "ara~o", "era~o",
+      "ira~o", "ar", "er", "ir", "as", "adas", "idas", "ias", "arias",
+      "erias", "irias", "arás", "aras", "erás", "eras", "irás", "avas", "es",
+      "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses", "esses",
+      "isses", "astes", "estes", "istes", "is", "ais", "iais", "ariais",
+      "eriais", "iriais", "aras", "áreis", "areis", "éreis", "ereis",
+      "íreis", "ireis", "ásseis", "asseis", "ésseis", "esseis", "ísseis",
+      "isseis", "áveis", "aveis", "íeis", "ieis", "aríeis", "arieis",
+      "eríeis", "erieis", "iríeis", "irieis", "ados", "idos", "amos",
+      "ámos", "ávamos", "avamos", "íamos", "iamos", "aríamos", "ariamos",
+      "eríamos", "eriamos", "iríamos", "iriamos", "áramos", "aramos",
+      "éramos", "eramos", "íramos", "iramos", "ássemos", "assemos",
+      "êssemos", "essemos", "íssemos", "issemos", "imos", "armos", "ermos",
+      "irmos", "eu", "iu", "ou", "ira", "iras").distinct.sortBy(-_.length)
+
+    private val std1 = Seq(
+      "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos", "ável",
+      "ível", "ista", "istas", "oso", "osa", "osos", "osas", "amento",
+      "amentos", "imento", "imentos", "adora", "ador", "aça~o", "adoras",
+      "adores", "aço~es", "ante", "antes", "ância").sortBy(-_.length)
+
+    def stem(word: String): String = {
+      var w = word.replace("ã", "a~").replace("õ", "o~")
+      val rv = rvOf(w)
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def inRv(p: Int) = p >= rv
+      def inR1(p: Int) = p >= r1
+      def inR2(p: Int) = p >= r2
+      def ends(s: String) = w.endsWith(s)
+      def pos(s: String) = w.length - s.length
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+
+      val orig = w
+      // step 1: standard suffixes, longest match over all classes
+      val all1 = (std1 ++ Seq("logia", "logias", "uça~o", "uço~es", "ência",
+        "ências", "amente", "mente", "idade", "idades", "iva", "ivo", "ivas",
+        "ivos", "ira", "iras")).sortBy(-_.length)
+      var m1 = false
+      for (suf <- all1 if !m1) {
+        if (ends(suf)) {
+          m1 = true
+          val p = pos(suf)
+          suf match {
+            case "logia" | "logias" =>
+              if (inR2(p)) { del(suf.length); w += "log" }
+            case "uça~o" | "uço~es" =>
+              if (inR2(p)) { del(suf.length); w += "u" }
+            case "ência" | "ências" =>
+              if (inR2(p)) { del(suf.length); w += "ente" }
+            case "amente" =>
+              if (inR1(p)) {
+                del(6)
+                if (ends("iv") && inR2(pos("iv"))) {
+                  del(2)
+                  if (ends("at") && inR2(pos("at"))) del(2)
+                } else {
+                  var d = false
+                  for (x <- Seq("os", "ic", "ad") if !d)
+                    if (ends(x) && inR2(pos(x))) { del(2); d = true }
+                }
+              }
+            case "mente" =>
+              if (inR2(p)) {
+                del(5)
+                var d = false
+                for (x <- Seq("ante", "avel", "ível") if !d)
+                  if (ends(x) && inR2(pos(x))) { del(4); d = true }
+              }
+            case "idade" | "idades" =>
+              if (inR2(p)) {
+                del(suf.length)
+                var d = false
+                for (x <- Seq("abil", "ic", "iv") if !d)
+                  if (ends(x) && inR2(pos(x))) { del(x.length); d = true }
+              }
+            case "iva" | "ivo" | "ivas" | "ivos" =>
+              if (inR2(p)) {
+                del(suf.length)
+                if (ends("at") && inR2(pos("at"))) del(2)
+              }
+            case "ira" | "iras" =>
+              if (inRv(p) && p > 0 && w(p - 1) == 'e') {
+                del(suf.length); w += "ir"
+              }
+            case _ =>
+              if (inR2(p)) del(suf.length)
+          }
+        }
+      }
+
+      // step 2: verb suffixes (only if step 1 did nothing)
+      if (w == orig) {
+        var d = false
+        for (s <- verbSufs if !d)
+          if (ends(s) && inRv(pos(s))) { d = true; del(s.length) }
+      }
+
+      // step 3: final i preceded by c (only if steps 1-2 changed the word)
+      if (w != orig) {
+        if (ends("i") && inRv(pos("i")) && w.length > 1 && w(w.length - 2) == 'c')
+          del(1)
+      } else {
+        // step 4: residual suffix
+        var d = false
+        for (s <- Seq("os", "a", "i", "o", "á", "í", "ó") if !d)
+          if (ends(s) && inRv(pos(s))) { d = true; del(s.length) }
+      }
+
+      // step 5: residual form
+      // residual form is an `among`: the e/é/ê branch and the ç branch are
+      // alternatives — ç→c only when the word does not end e/é/ê
+      var d5 = false
+      for (s <- Seq("e", "é", "ê") if !d5)
+        if (ends(s)) {
+          d5 = true
+          if (inRv(pos(s))) {
+            del(1)
+            if ((ends("gu") || ends("ci")) && inRv(w.length - 1)) del(1)
+          }
+        }
+      if (!d5 && ends("ç")) w = w.substring(0, w.length - 1) + "c"
+
+      w.replace("a~", "ã").replace("o~", "õ")
+    }
+  }
+
+  // --------------------------------------------------------------- Italian
+  /** Snowball Italian: acute accents normalize to grave; i/u between vowels
+    * and u after q are consonant-marked. Validated against italian_stem. */
+  object Italian {
+    private val vowels = "aeiouàèìòù".toSet
+    private def isV(c: Char) = vowels(c)
+
+    private def rvOf(w: String): Int = {
+      if (w.length < 3) return w.length
+      if (!isV(w(1))) {
+        var i = 2
+        while (i < w.length && !isV(w(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      } else if (isV(w(0)) && isV(w(1))) {
+        var i = 2
+        while (i < w.length && isV(w(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      } else 3
+    }
+
+    private val pronouns = Seq("gliela", "gliele", "glieli", "glielo",
+      "gliene", "sene", "mela", "mele", "meli", "melo", "mene", "tela",
+      "tele", "teli", "telo", "tene", "cela", "cele", "celi", "celo",
+      "cene", "vela", "vele", "veli", "velo", "vene", "gli", "ci", "la",
+      "le", "li", "lo", "mi", "ne", "si", "ti", "vi").sortBy(-_.length)
+
+    private val verbSufs = Seq(
+      "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+      "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano", "avate",
+      "avi", "avo", "emmo", "enda", "ende", "endi", "endo", "erà", "erai",
+      "eranno", "ere", "erebbe", "erebbero", "erei", "eremmo", "eremo",
+      "ereste", "eresti", "erete", "erò", "erono", "essero", "ete", "eva",
+      "evamo", "evano", "evate", "evi", "evo", "iamo", "immo", "irà", "irai",
+      "iranno", "ire", "irebbe", "irebbero", "irei", "iremmo", "iremo",
+      "ireste", "iresti", "irete", "irò", "irono", "isca", "iscano", "isce",
+      "isci", "isco", "iscono", "issero", "isse", "issi", "issimo", "ita",
+      "ite", "iti", "ito", "iva", "ivamo", "ivano", "ivate", "ivi", "ivo",
+      "ono", "uta", "ute", "uti", "uto", "ar", "ir").sortBy(-_.length)
+
+    def stem(word: String): String = {
+      var w = word
+        .replace('á', 'à').replace('é', 'è').replace('í', 'ì')
+        .replace('ó', 'ò').replace('ú', 'ù')
+      // mark consonant-u after q, and i/u between vowels
+      var cs = w.toCharArray
+      var i = 1
+      while (i < cs.length) {
+        if (cs(i) == 'u' && cs(i - 1) == 'q') cs(i) = 'U'
+        i += 1
+      }
+      i = 1
+      while (i < cs.length - 1) {
+        if ((cs(i) == 'i' || cs(i) == 'u') && vowels(cs(i - 1)) && vowels(cs(i + 1)))
+          cs(i) = (cs(i) - 32).toChar
+        i += 1
+      }
+      w = new String(cs)
+      val rv = rvOf(w)
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def inRv(p: Int) = p >= rv
+      def inR1(p: Int) = p >= r1
+      def inR2(p: Int) = p >= r2
+      def ends(s: String) = w.endsWith(s)
+      def pos(s: String) = w.length - s.length
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+
+      // step 0: attached pronouns
+      var done0 = false
+      for (p <- pronouns if !done0) {
+        if (ends(p)) {
+          val base = w.length - p.length
+          val st = w.substring(0, base)
+          if ((st.endsWith("ando") || st.endsWith("endo")) && inRv(base - 4)) {
+            w = st; done0 = true
+          } else if ((st.endsWith("ar") || st.endsWith("er") || st.endsWith("ir"))
+              && inRv(base - 2)) {
+            w = st + "e"; done0 = true
+          } else done0 = true // longest pronoun matched but no valid stem: stop
+        }
+      }
+
+      val before1 = w
+      // step 1: standard suffixes
+      val all1 = Seq(
+        "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi", "ismo",
+        "ismi", "abile", "abili", "ibile", "ibili", "ista", "iste", "isti",
+        "istà", "istè", "istì", "oso", "osi", "osa", "ose", "mente",
+        "atrice", "atrici", "ante", "anti",
+        "azione", "azioni", "atore", "atori",
+        "logia", "logie", "uzione", "uzioni", "usione", "usioni",
+        "enza", "enze", "amento", "amenti", "imento", "imenti",
+        "amente", "ità", "ivo", "ivi", "iva", "ive").sortBy(-_.length)
+      var m1 = false
+      for (suf <- all1 if !m1) {
+        if (ends(suf)) {
+          m1 = true
+          val p = pos(suf)
+          suf match {
+            case "azione" | "azioni" | "atore" | "atori" =>
+              if (inR2(p)) {
+                del(suf.length)
+                if (ends("ic") && inR2(pos("ic"))) del(2)
+              }
+            case "logia" | "logie" =>
+              if (inR2(p)) { del(suf.length); w += "log" }
+            case "uzione" | "uzioni" | "usione" | "usioni" =>
+              if (inR2(p)) { del(suf.length); w += "u" }
+            case "enza" | "enze" =>
+              if (inR2(p)) { del(suf.length); w += "ente" }
+            case "amento" | "amenti" | "imento" | "imenti" =>
+              if (inRv(p)) del(suf.length)
+            case "amente" =>
+              if (inR1(p)) {
+                del(6)
+                if (ends("iv") && inR2(pos("iv"))) {
+                  del(2)
+                  if (ends("at") && inR2(pos("at"))) del(2)
+                } else {
+                  var d = false
+                  for (x <- Seq("os", "ic", "abil") if !d)
+                    if (ends(x) && inR2(pos(x))) { del(x.length); d = true }
+                }
+              }
+            case "ità" =>
+              if (inR2(p)) {
+                del(3)
+                var d = false
+                for (x <- Seq("abil", "ic", "iv") if !d)
+                  if (ends(x) && inR2(pos(x))) { del(x.length); d = true }
+              }
+            case "ivo" | "ivi" | "iva" | "ive" =>
+              if (inR2(p)) {
+                del(3)
+                if (ends("at") && inR2(pos("at"))) {
+                  del(2)
+                  if (ends("ic") && inR2(pos("ic"))) del(2)
+                }
+              }
+            case _ =>
+              if (inR2(p)) del(suf.length)
+          }
+        }
+      }
+
+      // step 2: verb suffixes if step 1 did nothing
+      if (w == before1) {
+        var d = false
+        for (s <- verbSufs if !d)
+          if (ends(s) && inRv(pos(s))) { d = true; del(s.length) }
+      }
+
+      // step 3a: final vowel (+ preceding i)
+      var d3 = false
+      for (s <- Seq("a", "e", "i", "o", "à", "è", "ì", "ò") if !d3)
+        if (ends(s) && inRv(pos(s))) {
+          d3 = true
+          del(1)
+          if (ends("i") && inRv(pos("i"))) del(1)
+        }
+      // step 3b: ch/gh → c/g when the pair starts inside RV
+      if ((ends("ch") || ends("gh")) && inRv(w.length - 2)) del(1)
+
+      w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+    }
+  }
+
 }
