@@ -26,6 +26,9 @@ object Snowball {
     "spanish" -> Spanish.stem _,
     "portuguese" -> Portuguese.stem _,
     "italian" -> Italian.stem _,
+    "danish" -> Danish.stem _,
+    "norwegian" -> Norwegian.stem _,
+    "swedish" -> Swedish.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's
@@ -746,6 +749,151 @@ object Snowball {
       if ((ends("ch") || ends("gh")) && inRv(w.length - 2)) del(1)
 
       w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+    }
+  }
+
+  // ---------------------------------------------------- Scandinavian trio
+  /** The Scandinavian stemmers match suffixes inside an R1 limit (snowball
+    * `setlimit tomark p1`): an entry only matches when it lies entirely
+    * inside R1, and the longest such entry wins — so a longer suffix that
+    * starts before R1 does NOT shadow a shorter one. */
+  private[functions] def longestInR1(w: String, r1: Int, table: Seq[String]): Option[String] =
+    table.filter(s => w.endsWith(s) && w.length - s.length >= r1)
+      .sortBy(-_.length).headOption
+
+  /** Snowball Danish. Validated against danish_stem. */
+  object Danish {
+    private val vowels = "aeiouyæåø".toSet
+    private val sEnding = "abcdfghjklmnoprtvyzå".toSet
+    private def isV(c: Char) = vowels(c)
+
+    private val step1 = Seq("hed", "ethed", "ered", "e", "erede", "ende",
+      "erende", "ene", "erne", "ere", "en", "heden", "eren", "er", "heder",
+      "erens", "ens", "ernes", "endes", "enes", "eres", "es", "hedens",
+      "et", "ets", "erets", "eret", "ers", "erer", "erendes")
+
+    def stem(word: String): String = {
+      var w = word
+      val r1raw = regionAfterVC(w, 0, isV)
+      val r1 = if (r1raw < 3) 3 else r1raw
+      def inR1(p: Int) = p >= r1
+      def ends(s: String) = w.endsWith(s)
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+
+      // step 1: a-suffixes or conditional s — one among inside the R1 limit
+      longestInR1(w, r1, step1 :+ "s") match {
+        case Some("s") =>
+          if (w.length > 1 && sEnding(w(w.length - 2))) del(1)
+        case Some(suf) => del(suf.length)
+        case None =>
+      }
+
+      // step 2: gd/dt/gt/kt entirely inside R1 — drop the last letter
+      for (p <- Seq("gd", "dt", "gt", "kt"))
+        if (ends(p) && inR1(w.length - 2)) del(1)
+
+      // step 3: igst → drop st; then d-suffixes (re-running step 2); løst→løs
+      if (ends("igst")) del(2)
+      longestInR1(w, r1, Seq("elig", "lig", "els", "ig")) match {
+        case Some(suf) =>
+          del(suf.length)
+          for (p <- Seq("gd", "dt", "gt", "kt"))
+            if (ends(p) && inR1(w.length - 2)) del(1)
+        case None =>
+          if (ends("løst") && inR1(w.length - 4)) del(1)
+      }
+
+      // step 4: undouble — final double consonant with its last char in R1
+      if (w.length >= 2 && w(w.length - 1) == w(w.length - 2) &&
+          !isV(w(w.length - 1)) && inR1(w.length - 1))
+        del(1)
+      w
+    }
+  }
+
+  /** Snowball Norwegian. The s-ending set admits k only when not preceded
+    * by a vowel. Validated against norwegian_stem. */
+  object Norwegian {
+    private val vowels = "aeiouyæåø".toSet
+    private val sEnding = "bcdfghjlmnoprtvyz".toSet
+    private def isV(c: Char) = vowels(c)
+
+    private val step1 = Seq("a", "e", "ede", "ande", "ende", "ane", "ene",
+      "hetene", "en", "heten", "ar", "er", "heter", "as", "es", "edes",
+      "endes", "enes", "hetenes", "ens", "hetens", "ers", "ets", "et",
+      "het", "ast", "erte", "ert")
+    private val step3 = Seq("leg", "eleg", "ig", "eig", "lig", "elig",
+      "els", "lov", "elov", "slov", "hetslov")
+
+    def stem(word: String): String = {
+      var w = word
+      val r1raw = regionAfterVC(w, 0, isV)
+      val r1 = if (r1raw < 3) 3 else r1raw
+      def inR1(p: Int) = p >= r1
+      def ends(s: String) = w.endsWith(s)
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+
+      // step 1 within the R1 limit; erte/ert → er; conditional s
+      longestInR1(w, r1, step1 :+ "s") match {
+        case Some("s") =>
+          val sPrev = if (w.length > 1) w(w.length - 2) else ' '
+          if (sEnding(sPrev) ||
+            (sPrev == 'k' && (w.length < 3 || !isV(w(w.length - 3))))) del(1)
+        case Some(suf @ ("erte" | "ert")) => del(suf.length); w += "er"
+        case Some(suf) => del(suf.length)
+        case None =>
+      }
+
+      // step 2: dt/vt with the t in R1 — drop it
+      for (p <- Seq("dt", "vt"))
+        if (ends(p) && inR1(w.length - 1)) del(1)
+
+      // step 3 within the R1 limit
+      longestInR1(w, r1, step3).foreach(suf => del(suf.length))
+      w
+    }
+  }
+
+  /** Snowball Swedish. Validated against swedish_stem. */
+  object Swedish {
+    private val vowels = "aeiouyäåö".toSet
+    private val sEnding = "bcdfghjklmnoprtvy".toSet
+    private def isV(c: Char) = vowels(c)
+
+    private val step1 = Seq("a", "arna", "erna", "heterna", "orna", "ad",
+      "e", "ade", "ande", "arne", "are", "aste", "en", "anden", "aren",
+      "heten", "ern", "ar", "er", "heter", "or", "as", "arnas", "ernas",
+      "ornas", "es", "ades", "andes", "ens", "arens", "hetens", "erns",
+      "at", "andet", "het", "ast")
+
+    def stem(word: String): String = {
+      var w = word
+      val r1raw = regionAfterVC(w, 0, isV)
+      val r1 = if (r1raw < 3) 3 else r1raw
+      def inR1(p: Int) = p >= r1
+      def ends(s: String) = w.endsWith(s)
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+
+      // step 1 within the R1 limit; conditional s
+      longestInR1(w, r1, step1 :+ "s") match {
+        case Some("s") =>
+          if (w.length > 1 && sEnding(w(w.length - 2))) del(1)
+        case Some(suf) => del(suf.length)
+        case None =>
+      }
+
+      // step 2: dd/gd/nn/dt/gt/kt/tt entirely inside R1 — drop the last letter
+      for (p <- Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt"))
+        if (ends(p) && inR1(w.length - 2)) del(1)
+
+      // step 3: lig/ig/els delete; löst→lös; fullt→full
+      longestInR1(w, r1, Seq("lig", "ig", "els")) match {
+        case Some(suf) => del(suf.length)
+        case None =>
+          if (ends("löst") && inR1(w.length - 4)) del(1)
+          else if (ends("fullt") && inR1(w.length - 5)) del(1)
+      }
+      w
     }
   }
 
