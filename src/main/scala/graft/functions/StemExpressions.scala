@@ -159,3 +159,18 @@ case class AsciiFoldExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Codegen'd Snowball stemming for a fixed language — static dispatch into
+  * [[Snowball]] stays inside whole-stage codegen. */
+case class SnowballStemExpr(child: Expression, lang: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      Snowball.stem(lang, input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.unsafe.types.UTF8String.fromString(
+         |graft.functions.Snowball.stem("$lang", $c.toString()))""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -46,12 +46,39 @@ object TextFunctions {
   def dropStopwords(tokens: Column, stopwords: Seq[String]): Column =
     filter(tokens, t => !t.isin(stopwords.map(_.asInstanceOf[Any]): _*))
 
-  /** English Porter stemming (the `stemmer` option; reference bundles
-    * Snowball for 17 languages — English Porter here, same extension
-    * point for others). Codegen'd static call per token. */
+  /** English Porter stemming (the `stemmer` option). Codegen'd static call
+    * per token. For other languages see [[stemTokensLang]]. */
   def stemTokens(tokens: Column): Column =
     transform(tokens, t => org.apache.spark.sql.GraftShim.column(
       graft.functions.PorterStemExpr(org.apache.spark.sql.GraftShim.expression(t))))
+
+  /** Snowball stemming for a given language (`SnowballLanguage`,
+    * `data_types/index.rs:354-433`): per-token codegen'd dispatch into
+    * [[Snowball]]. Unknown language → identity. */
+  def stemTokensLang(tokens: Column, lang: String): Column =
+    transform(tokens, t => org.apache.spark.sql.GraftShim.column(
+      graft.functions.SnowballStemExpr(
+        org.apache.spark.sql.GraftShim.expression(t), lang)))
+
+  /** Multilingual tokenizer (`TokenizerType::Multilingual`): Unicode
+    * letter/digit runs, CJK unigrams, lowercase, drops non-alphabetic
+    * tokens. See [[MultilingualTokenizer]]. */
+  def tokensMultilingual(text: Column): Column = MultilingualTokenizer.col(text)
+
+  /** The full multilingual analyzer: multilingual tokenizer → per-language
+    * stopword set → Snowball stemmer for that language (the reference's
+    * language-default analyzer configuration). */
+  def analyzeMultilingual(
+      text: Column,
+      lang: String,
+      stem: Boolean = true,
+      extraStopwords: Seq[String] = Nil): Column = {
+    var t = tokensMultilingual(text)
+    val sw = graft.functions.Stopwords.forLanguage(lang) ++ extraStopwords
+    if (sw.nonEmpty) t = dropStopwords(t, sw.toSeq.sorted)
+    if (stem) t = stemTokensLang(t, lang)
+    t
+  }
 
   /** Full tokenizer pipeline mirroring qdrant's TextIndexParams options:
     * tokenize → lowercase → ascii-fold → stopwords → stem. */

@@ -11,6 +11,49 @@ import graft.pipeline.{Dedup, TextAnalysis}
 
 /** Full-text match + training-data text pipeline catalog (SURVEY.md §2.2
   * Match::Text family; dedup/quality per the north-star extensions). */
+/** Shared fixture for the multilingual-analyzer entry: per-language
+  * sentences and the (lang-code, stopword) pairs, used identically by the
+  * Spark query and the generated DuckDB oracle. */
+object MultilangFixture {
+  val sentences: Map[String, String] = Map(
+    "de" -> "Die Häuser und die Bücher der schönsten Städte 99",
+    "es" -> "Los vectores y las consultas rápidas de la base 7",
+    "fr" -> "Les vecteurs et les requêtes rapides de la base",
+    "zh" -> "向量搜索引擎非常好用 123",
+    "en" -> "The vectors and the fast queries of the engine")
+
+  private val langNames = Seq(
+    "de" -> "german", "es" -> "spanish", "fr" -> "french",
+    "zh" -> "chinese", "en" -> "english")
+
+  def stopwordPairs: Seq[(String, String)] =
+    langNames.flatMap { case (code, full) =>
+      graft.functions.Stopwords.forLanguage(full).toSeq.sorted.map(code -> _)
+    }
+
+  /** DuckDB SQL reproducing the exact pipeline (tokenizer as a regexp over
+    * the controlled fixture alphabet, same stopword pairs as VALUES). */
+  def oracleSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val caseExpr = sentences.filterNot(_._1 == "en")
+      .map { case (c, s) => s"WHEN '$c' THEN '${esc(s)}'" }
+      .mkString(" ")
+    val pairs = stopwordPairs
+      .map { case (c, w) => s"('$c','${esc(w)}')" }.mkString(",")
+    s"""WITH src AS (SELECT lang,
+       |    CASE lang $caseExpr ELSE '${esc(sentences("en"))}' END AS t
+       |  FROM documents WHERE doc_id < 200),
+       |tok AS (SELECT lang, unnest(regexp_extract_all(lower(t),
+       |    '[\\x{4e00}-\\x{9fff}]|[a-z0-9ßà-öø-ÿ]+')) AS term FROM src),
+       |alpha AS (SELECT lang, term FROM tok WHERE regexp_matches(term, '[^0-9]')),
+       |sw(sw_lang, sw_word) AS (VALUES $pairs)
+       |SELECT term, count(*)::BIGINT AS cnt FROM alpha a
+       |WHERE NOT EXISTS (SELECT 1 FROM sw
+       |                  WHERE sw.sw_lang = a.lang AND sw.sw_word = a.term)
+       |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 30""".stripMargin
+  }
+}
+
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -48,6 +91,32 @@ object TextQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term").asc)
         .limit(10)),
+    // Multilingual analyzer end-to-end over a genuinely multilingual
+    // fixture: per-row-language text (German/Spanish/French/Chinese/
+    // English), multilingual tokenizer (unicode word runs + CJK unigrams +
+    // lowercase + drops non-alphabetic tokens), per-language NLTK stopword
+    // sets applied via a broadcast anti-join. Stemming is excluded here so
+    // DuckDB can reproduce the pipeline exactly; Snowball stemming is
+    // verified against independent oracle vectors in AnalyzerSpec.
+    "analyzed_multilang_facet" -> ((s, dir) => {
+      import graft.functions.{Stopwords, TextFunctions}
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+      val t = MultilangFixture.sentences.foldLeft(
+        lit(MultilangFixture.sentences("en"))) { case (acc, (code, sent)) =>
+          when(col("lang") === code, lit(sent)).otherwise(acc)
+        }
+      val toks = d.select(col("lang"),
+        explode(TextFunctions.tokensMultilingual(t)).as("term"))
+      val swPairs = MultilangFixture.stopwordPairs
+      val swDf = s.createDataFrame(swPairs).toDF("sw_lang", "sw_word")
+      toks.join(broadcast(swDf),
+          toks("lang") === swDf("sw_lang") && toks("term") === swDf("sw_word"),
+          "left_anti")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(30)
+    }),
     "token_count" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -139,6 +208,7 @@ object TextQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |WHERE term NOT IN ('the', 'a', 'of', 'and')
         |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
+    "analyzed_multilang_facet" -> MultilangFixture.oracleSql,
     "token_count" ->
       """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
         |FROM documents ORDER BY doc_id ASC""".stripMargin,

@@ -70,6 +70,49 @@ class AnalyzerSpec extends SparkTestBase {
     }
   }
 
+  // Multilingual tokenizer expectations ported from the reference's
+  // tokenizer tests (full_text_index/tokenizers/multilingual.rs
+  // test_multilingual_tokenization); kana/kanji segment as unigrams here
+  // (the CJK-unigram fallback) rather than via a trained Japanese model.
+  test("multilingual tokenizer: latin text splits to lowercase words") {
+    import graft.functions.MultilingualTokenizer.tokenize
+    assert(tokenize("This is a test") == Seq("this", "is", "a", "test"))
+    assert(tokenize(
+      "This is english text. It's being used within Qdrant's code in a unit test.") ==
+      Seq("this", "is", "english", "text", "it", "s", "being", "used",
+        "within", "qdrant", "s", "code", "in", "a", "unit", "test"))
+    assert(tokenize("Dies ist ein Test") == Seq("dies", "ist", "ein", "test"))
+  }
+
+  test("multilingual tokenizer: CJK unigrams, digits-only tokens dropped") {
+    import graft.functions.MultilingualTokenizer.tokenize
+    assert(tokenize("向量搜索引擎") == Seq("向", "量", "搜", "索", "引", "擎"))
+    assert(tokenize("Qdrantのコード") == Seq("qdrant", "の", "コ", "ー", "ド"))
+    assert(tokenize("abc 123 x1 ... 42") == Seq("abc", "x1"))
+  }
+
+  test("per-language stopword sets load and filter") {
+    import graft.functions.Stopwords
+    for (l <- Stopwords.available)
+      assert(Stopwords.forLanguage(l).nonEmpty, s"empty stopword set: $l")
+    assert(Stopwords.forLanguage("german").contains("und"))
+    assert(Stopwords.forLanguage("russian").contains("и"))
+    assert(!Stopwords.forLanguage("nosuchlanguage").contains("x"))
+    val out = run(
+      dropStopwords(tokensWs(col("t")),
+        graft.functions.Stopwords.forLanguage("german").toSeq),
+      "die häuser und bücher")
+    assert(out == Seq("häuser", "bücher"))
+  }
+
+  test("multilingual analyzer composes tokenize + stopwords + snowball stem") {
+    val out = run(
+      analyzeMultilingual(col("t"), "german"),
+      "Die Häuser und die Bücher der schönsten Städte")
+    // häuser→haus, bücher→buch, schönsten→schon, städte→stadt
+    assert(out == Seq("haus", "buch", "schon", "stadt"), out.toString)
+  }
+
   test("analyze pipeline composes: word + fold + stopwords + stem") {
     val out = run(analyze(col("t"), word = true, asciiFolding = true,
       stopwords = Seq("the"), stem = true), "The Cafés: relational conditions!")
