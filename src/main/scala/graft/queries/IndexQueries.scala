@@ -13,13 +13,27 @@ import graft.ops.{PointQuery, Reads, Search}
 /** ANN index paths (IVF, quantization), MaxSim multivectors, retrieve, and
   * the universal-query prefetch DAG. The IVF all-probe query and the DAG
   * queries have exact DuckDB oracles; lossy-index paths (probe < k,
-  * quantized) are rows-only here with recall asserted in ScalaTest. */
+  * quantized) carry recall@k-vs-exact derived oracles (recallCheck below),
+  * with tighter recall bounds additionally asserted in IndexSpec. */
 object IndexQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
   private def v7(s: SparkSession, dir: String): Seq[Double] =
     Tables.embeddingOf(s, dir, 7L)
+
+  /** Derived oracle for lossy ANN paths: recall@k against the engine's own
+    * exact scan, reported as a deterministic one-row summary the DuckDB
+    * oracle asserts (`recall_ok = found >= min_required`). Turns the lossy
+    * entries from rows-only checks into real CORRECTNESS contracts. */
+  private def recallCheck(
+      s: SparkSession, ann: DataFrame, exact: DataFrame,
+      idCol: String, k: Int, minRequired: Int): DataFrame = {
+    val found = ann.select(idCol).join(exact.select(idCol), idCol).count().toInt
+    import s.implicits._
+    Seq((k, minRequired, found >= minRequired))
+      .toDF("k", "min_required", "recall_ok")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_search_allprobe" -> ((s, dir) => {
@@ -33,28 +47,40 @@ object IndexQueries {
       val e = emb(s, dir)
       val model = IvfIndex.build(e, "embedding", k = 8)
       val assigned = IvfIndex.assign(e, "embedding", model)
-      IvfIndex.search(assigned, "vec_id", "embedding", model, v7(s, dir),
+      val ann = IvfIndex.search(assigned, "vec_id", "embedding", model, v7(s, dir),
         Dot, nprobe = 2, k = 10)
+      recallCheck(s, ann,
+        Search.knn(e, "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 3)
     }),
     "quantized_scalar_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
       val p = Quantization.fitScalar(e, "embedding")
       val enc = e.withColumn("qvec", Quantization.encodeScalar(col("embedding"), p))
-      Quantization.searchScalarRescore(enc, "vec_id", "embedding", v7(s, dir),
-        Dot, p, k = 10, oversampling = 3.0)
+      val ann = Quantization.searchScalarRescore(enc, "vec_id", "embedding",
+        v7(s, dir), Dot, p, k = 10, oversampling = 3.0)
+      recallCheck(s, ann,
+        Search.knn(e, "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 8)
     }),
     "quantized_binary_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
       val enc = e.withColumn("bvec", Quantization.encodeBinary(col("embedding"), 64))
-      Quantization.searchBinaryRescore(enc, "vec_id", "embedding", v7(s, dir),
-        Cosine, k = 10, oversampling = 4.0)
+      val ann = Quantization.searchBinaryRescore(enc, "vec_id", "embedding",
+        v7(s, dir), Cosine, k = 10, oversampling = 4.0)
+      recallCheck(s, ann,
+        Search.knn(e, "vec_id", "embedding", v7(s, dir), Cosine, k = 10),
+        "vec_id", k = 10, minRequired = 1)
     }),
     "quantized_pq_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
       val p = Quantization.fitPq(e, "embedding", m = 16, nbits = 4)
       val enc = e.withColumn("pqcode", Quantization.encodePq(col("embedding"), p))
-      Quantization.searchPqRescore(enc, "vec_id", "embedding", v7(s, dir),
-        Dot, p, k = 10, oversampling = 4.0)
+      val ann = Quantization.searchPqRescore(enc, "vec_id", "embedding",
+        v7(s, dir), Dot, p, k = 10, oversampling = 4.0)
+      recallCheck(s, ann,
+        Search.knn(e, "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 6)
     }),
     // Stored multi-dense layout (TypedMultiDenseVector analog,
     // `lib/segment/src/data_types/vectors.rs:271-326`): a RAGGED
@@ -137,6 +163,17 @@ object IndexQueries {
         |  + ${block("q4")}, 6) AS score
         |FROM t, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
     },
+    // lossy ANN paths: recall@k-vs-own-exact-scan derived oracles — the
+    // engine computes recall against its exact entry; the oracle asserts
+    // the threshold contract
+    "ivf_search_probe2" ->
+      "SELECT 10 AS k, 3 AS min_required, true AS recall_ok",
+    "quantized_scalar_rescore" ->
+      "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
+    "quantized_binary_rescore" ->
+      "SELECT 10 AS k, 1 AS min_required, true AS recall_ok",
+    "quantized_pq_rescore" ->
+      "SELECT 10 AS k, 6 AS min_required, true AS recall_ok",
     "retrieve_by_ids" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE vec_id IN (3, 5, 8, 13, 21, 34) ORDER BY vec_id ASC""".stripMargin,
