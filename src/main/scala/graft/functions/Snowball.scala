@@ -26,6 +26,7 @@ object Snowball {
     "spanish" -> Spanish.stem _,
     "portuguese" -> Portuguese.stem _,
     "italian" -> Italian.stem _,
+    "french" -> French.stem _,
     "danish" -> Danish.stem _,
     "norwegian" -> Norwegian.stem _,
     "swedish" -> Swedish.stem _,
@@ -894,6 +895,269 @@ object Snowball {
           else if (ends("fullt") && inR1(w.length - 5)) del(1)
       }
       w
+    }
+  }
+
+  // ---------------------------------------------------------------- French
+  /** Snowball French: i/u between vowels, y adjacent to a vowel and u after
+    * q are consonant-marked; RV has the par/col/tap exception; steps 1/2a/2b
+    * feed the alteration-conditional steps 3/4, then undoubling and
+    * un-accenting. Validated against french_stem. */
+  object French {
+    private val vowels = "aeiouyâàëéêèïîôûù".toSet
+    private def isV(c: Char) = vowels(c)
+
+    def stem(word: String): String = {
+      // Prelude — the sbl goto automaton, alternatives in order at each
+      // cursor position: (1) a vowel consumes itself, then marks a following
+      // u/i (when vowel-followed, consuming that vowel too) or y;
+      // (2) y followed by a vowel marks Y; (3) u after q marks U;
+      // (4) ë → He, (5) ï → Hi (H is a consonant marker the postlude folds
+      // back — this also shifts the R-regions, as in the reference).
+      // Prelude as the reference's single mutate-in-place pass: marking and
+      // ë/ï expansion interleave, so a marker's trailing vowel can lead the
+      // next match and a y before a (still unexpanded) ë sees a vowel.
+      val buf = new java.lang.StringBuilder(word)
+      var k = 0
+      while (k < buf.length) {
+        val c = buf.charAt(k)
+        val m = if (k + 1 < buf.length) buf.charAt(k + 1) else '\u0000'
+        if (c == 'ë') {
+          buf.replace(k, k + 1, "He"); k += 1 // cursor at the inserted e
+        } else if (c == 'ï') {
+          buf.replace(k, k + 1, "Hi"); k += 1
+        } else if (vowels(c) && (m == 'u' || m == 'i') &&
+            k + 2 < buf.length && vowels(buf.charAt(k + 2))) {
+          buf.setCharAt(k + 1, (m - 32).toChar)
+          k += 2 // cursor lands on the tested vowel — it may match next
+        } else if (vowels(c) && m == 'y') {
+          buf.setCharAt(k + 1, 'Y'); k += 2
+        } else if (c == 'y' && m != '\u0000' && vowels(m)) {
+          buf.setCharAt(k, 'Y'); k += 1
+        } else if (c == 'q' && m == 'u') {
+          buf.setCharAt(k + 1, 'U'); k += 2
+        } else k += 1
+      }
+      var w = buf.toString
+
+      // RV: after the third letter if the word starts with two vowels or
+      // with par/col/tap; else after the first vowel not in first position
+      val rv: Int = {
+        if (w.length >= 2 && isV(w(0)) && isV(w(1))) math.min(3, w.length)
+        else if (w.startsWith("par") || w.startsWith("col") || w.startsWith("tap"))
+          math.min(3, w.length)
+        else {
+          var j = 1
+          while (j < w.length && !isV(w(j))) j += 1
+          if (j < w.length) j + 1 else w.length
+        }
+      }
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def inRv(p: Int) = p >= rv
+      def inR1(p: Int) = p >= r1
+      def inR2(p: Int) = p >= r2
+      def ends(s: String) = w.endsWith(s)
+      def pos(s: String) = w.length - s.length
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+
+      val original = w
+      // ------------------------------------------------ step 1
+      val sufs1 = Seq(
+        "ance", "iqUe", "isme", "able", "iste", "eux", "ances", "iqUes",
+        "ismes", "ables", "istes",
+        "atrice", "ateur", "ation", "atrices", "ateurs", "ations",
+        "logie", "logies", "usion", "ution", "usions", "utions",
+        "ence", "ences", "ement", "ements", "ité", "ités",
+        "if", "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+        "issement", "issements", "amment", "emment", "ment", "ments")
+        .sortBy(-_.length)
+      var matched1: Option[String] = None
+      for (suf <- sufs1 if matched1.isEmpty) if (ends(suf)) matched1 = Some(suf)
+      var altered1 = false
+      var mentFound = false
+      matched1 match {
+        case Some(suf) =>
+          val p = pos(suf)
+          suf match {
+            case "ance" | "iqUe" | "isme" | "able" | "iste" | "eux" |
+                "ances" | "iqUes" | "ismes" | "ables" | "istes" =>
+              if (inR2(p)) { del(suf.length); altered1 = true }
+            case "atrice" | "ateur" | "ation" | "atrices" | "ateurs" | "ations" =>
+              if (inR2(p)) {
+                del(suf.length); altered1 = true
+                if (ends("ic")) {
+                  if (inR2(pos("ic"))) del(2)
+                  else w = w.substring(0, pos("ic")) + "iqU"
+                }
+              }
+            case "logie" | "logies" =>
+              if (inR2(p)) { del(suf.length); w += "log"; altered1 = true }
+            case "usion" | "ution" | "usions" | "utions" =>
+              if (inR2(p)) { del(suf.length); w += "u"; altered1 = true }
+            case "ence" | "ences" =>
+              if (inR2(p)) { del(suf.length); w += "ent"; altered1 = true }
+            case "ement" | "ements" =>
+              if (inRv(p)) { del(suf.length); altered1 = true }
+              if (altered1) {
+                if (ends("iv") && inR2(pos("iv"))) {
+                  del(2)
+                  if (ends("at") && inR2(pos("at"))) del(2)
+                } else if (ends("eus")) {
+                  if (inR2(pos("eus"))) del(3)
+                  else if (inR1(pos("eus"))) w = w.substring(0, pos("eus")) + "eux"
+                } else if (ends("abl") && inR2(pos("abl"))) del(3)
+                else if (ends("iqU") && inR2(pos("iqU"))) del(3)
+                else if (ends("ièr") && inRv(pos("ièr"))) {
+                  w = w.substring(0, pos("ièr")) + "i"
+                } else if (ends("Ièr") && inRv(pos("Ièr"))) {
+                  w = w.substring(0, pos("Ièr")) + "i"
+                }
+              }
+            case "ité" | "ités" =>
+              if (inR2(p)) {
+                del(suf.length); altered1 = true
+                if (ends("abil")) {
+                  if (inR2(pos("abil"))) del(4)
+                  else w = w.substring(0, pos("abil")) + "abl"
+                } else if (ends("ic")) {
+                  if (inR2(pos("ic"))) del(2)
+                  else w = w.substring(0, pos("ic")) + "iqU"
+                } else if (ends("iv") && inR2(pos("iv"))) del(2)
+              }
+            case "if" | "ive" | "ifs" | "ives" =>
+              if (inR2(p)) {
+                del(suf.length); altered1 = true
+                if (ends("at") && inR2(pos("at"))) {
+                  del(2)
+                  if (ends("ic")) {
+                    if (inR2(pos("ic"))) del(2)
+                    else w = w.substring(0, pos("ic")) + "iqU"
+                  }
+                }
+              }
+            case "eaux" =>
+              w = w.substring(0, p) + "eau"; altered1 = true
+            case "aux" =>
+              if (inR1(p)) { w = w.substring(0, p) + "al"; altered1 = true }
+            case "euse" | "euses" =>
+              if (inR2(p)) { del(suf.length); altered1 = true }
+              else if (inR1(p)) { w = w.substring(0, p) + "eux"; altered1 = true }
+            case "issement" | "issements" =>
+              if (inR1(p) && p > 0 && !isV(w(p - 1))) { del(suf.length); altered1 = true }
+            case "amment" =>
+              if (inRv(p)) { w = w.substring(0, p) + "ant"; altered1 = true; mentFound = true }
+            case "emment" =>
+              if (inRv(p)) { w = w.substring(0, p) + "ent"; altered1 = true; mentFound = true }
+            case "ment" | "ments" =>
+              if (p > 0 && isV(w(p - 1)) && inRv(p - 1)) {
+                del(suf.length); altered1 = true; mentFound = true
+              }
+            case _ =>
+          }
+        case None =>
+      }
+
+      // ------------------------------------------------ steps 2a / 2b
+      val do2a = matched1.isEmpty || !altered1 || mentFound
+      var altered2 = false
+      if (do2a) {
+        // both verb-suffix steps match INSIDE the RV limit: a suffix only
+        // matches when it lies entirely within RV, longest such match wins
+        val sufs2a = Seq("issaIent", "issantes", "iraIent", "issante",
+          "issants", "issions", "irions", "issais", "issait", "issant",
+          "issent", "issiez", "issons", "irais", "irait", "irent", "iriez",
+          "irons", "iront", "isses", "issez", "îmes", "îtes", "irai",
+          "iras", "irez", "isse", "ies", "ira", "ît", "ie", "ir", "is",
+          "it", "i")
+        longestInR1(w, rv, sufs2a) match {
+          // preceded by a non-vowel other than the H diaeresis marker
+          // (ï = Hi is a vowel of the original word)
+          case Some(s) if pos(s) > 0 && !isV(w(pos(s) - 1)) &&
+              w(pos(s) - 1) != 'H' && pos(s) - 1 >= rv =>
+            del(s.length); altered2 = true
+          case _ =>
+            // step 2b — only when step 2a removed nothing
+            val sufs2b = Seq("eraIent", "erions", "assent", "assiez",
+              "assions", "èrent", "erais", "erait", "eriez", "erons",
+              "eront", "aIent", "antes", "asses", "âmes", "âtes", "erai",
+              "eras", "erez", "ante", "ants", "asse", "ées", "era", "iez",
+              "ais", "ait", "ant", "ez", "ât", "ai", "as", "ée", "és",
+              "er", "a", "é", "ions")
+            longestInR1(w, rv, sufs2b) match {
+              case Some("ions") =>
+                if (inR2(pos("ions"))) { del(4); altered2 = true }
+              case Some(s @ ("é" | "ée" | "ées" | "és" | "èrent" | "er" |
+                  "era" | "erai" | "eraIent" | "erais" | "erait" | "eras" |
+                  "erez" | "eriez" | "erions" | "erons" | "eront" | "ez" |
+                  "iez")) =>
+                del(s.length); altered2 = true
+              case Some(s) =>
+                del(s.length); altered2 = true
+                if (ends("e") && inRv(pos("e"))) del(1)
+              case None =>
+            }
+        }
+      }
+
+      val altered = altered1 || altered2
+      if (altered) {
+        // step 3: final Y → i, final ç → c
+        if (ends("Y")) w = w.substring(0, w.length - 1) + "i"
+        else if (ends("ç")) w = w.substring(0, w.length - 1) + "c"
+      } else {
+        // step 4
+        if (ends("s") && w.length > 1 && {
+          val prev = w(w.length - 2)
+          // a preceding Hi (original ï) does not protect the s
+          !"aiouès".contains(prev) ||
+            (prev == 'i' && w.length > 2 && w(w.length - 3) == 'H')
+        }) del(1)
+        var d4 = false
+        if (ends("ion") && inR2(pos("ion")) && pos("ion") > 0 &&
+            (w(pos("ion") - 1) == 's' || w(pos("ion") - 1) == 't') &&
+            pos("ion") - 1 >= rv) {
+          del(3); d4 = true
+        }
+        if (!d4) {
+          var m: Option[String] = None
+          for (s <- Seq("ière", "Ière", "ier", "Ier") if m.isEmpty)
+            if (ends(s)) m = Some(s)
+          m match {
+            case Some(s) => w = w.substring(0, pos(s)) + "i"; d4 = true
+            case None =>
+          }
+        }
+        if (!d4 && ends("e") && inRv(pos("e"))) { del(1); d4 = true }
+      }
+
+      // step 5: undouble enn/onn/ett/ell/eill
+      for (p <- Seq("enn", "onn", "ett", "ell", "eill"))
+        if (ends(p)) del(1)
+
+      // step 6: é/è followed only by non-vowels → e
+      var j = w.length - 1
+      var nonV = 0
+      while (j >= 0 && !isV(w(j)) && w(j) != 'é' && w(j) != 'è') { j -= 1; nonV += 1 }
+      if (j >= 0 && nonV >= 1 && (w(j) == 'é' || w(j) == 'è'))
+        w = w.substring(0, j) + "e" + w.substring(j + 1)
+
+      // postlude: He→ë, Hi→ï, bare H dropped; unmark I/U/Y
+      val out = new java.lang.StringBuilder(w.length)
+      var z = 0
+      while (z < w.length) {
+        w(z) match {
+          case 'H' =>
+            if (z + 1 < w.length && w(z + 1) == 'e') { out.append('ë'); z += 1 }
+            else if (z + 1 < w.length && w(z + 1) == 'i') { out.append('ï'); z += 1 }
+          case 'I' => out.append('i')
+          case 'U' => out.append('u')
+          case 'Y' => out.append('y')
+          case c => out.append(c)
+        }
+        z += 1
+      }
+      out.toString
     }
   }
 
