@@ -27,6 +27,7 @@ object Snowball {
     "portuguese" -> Portuguese.stem _,
     "italian" -> Italian.stem _,
     "french" -> French.stem _,
+    "dutch" -> Dutch.stem _,
     "danish" -> Danish.stem _,
     "norwegian" -> Norwegian.stem _,
     "swedish" -> Swedish.stem _,
@@ -1158,6 +1159,130 @@ object Snowball {
         z += 1
       }
       out.toString
+    }
+  }
+
+  // ----------------------------------------------------------------- Dutch
+  /** Snowball Dutch: accents strip, i-between-vowels / y marking, R1 with
+    * the 3-letter head adjustment, kk/dd/tt undoubling and the final
+    * double-vowel undoubling. Validated against dutch_stem. */
+  object Dutch {
+    private val vowels = "aeiouyè".toSet
+    private def isV(c: Char) = vowels(c)
+
+    def stem(word: String): String = {
+      var w = word.map {
+        case 'ä' | 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'ï' | 'í' => 'i'
+        case 'ö' | 'ó' => 'o'; case 'ü' | 'ú' => 'u'; case c => c
+      }
+      val cs = w.toCharArray
+      var i = 0
+      while (i < cs.length) {
+        if (cs(i) == 'y' && (i == 0 || vowels(cs(i - 1)))) cs(i) = 'Y'
+        else if (cs(i) == 'i' && i > 0 && i < cs.length - 1 &&
+          vowels(cs(i - 1)) && vowels(cs(i + 1))) cs(i) = 'I'
+        i += 1
+      }
+      w = new String(cs)
+      // The reference implementation counts region offsets in UTF-8 BYTES
+      // (the snowball runtime's cursor unit), which is observable when a
+      // multibyte non-vowel like î sits near the word head: the "at least
+      // 3 letters before R1" adjustment is an at-least-3-BYTES adjustment.
+      def byteLen(c: Char): Int = if (c < 0x80) 1 else if (c < 0x800) 2 else 3
+      def byteOf(charPos: Int): Int = {
+        var b = 0; var q = 0
+        while (q < charPos) { b += byteLen(w(q)); q += 1 }
+        b
+      }
+      val r1raw = regionAfterVC(w, 0, isV)
+      val r2c = regionAfterVC(w, r1raw, isV)
+      val r1b = math.max(byteOf(r1raw), 3)
+      val r2b = byteOf(r2c)
+      def inR1(p: Int) = byteOf(p) >= r1b
+      def inR2(p: Int) = byteOf(p) >= r2b
+      def ends(s: String) = w.endsWith(s)
+      def pos(s: String) = w.length - s.length
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+      def undouble(): Unit =
+        for (p <- Seq("kk", "dd", "tt")) if (ends(p)) del(1)
+      def enOk(p: Int): Boolean =
+        p > 0 && !isV(w(p - 1)) &&
+          !(p >= 3 && w.substring(p - 3, p) == "gem")
+
+      // step 1
+      var d1 = false
+      for (suf <- Seq("heden", "ene", "en", "se", "s") if !d1) {
+        if (ends(suf)) {
+          d1 = true
+          val p = pos(suf)
+          suf match {
+            case "heden" =>
+              if (inR1(p)) w = w.substring(0, p) + "heid"
+            case "ene" | "en" =>
+              if (inR1(p) && enOk(p)) { del(suf.length); undouble() }
+            case "se" | "s" =>
+              if (inR1(p) && p > 0 && !isV(w(p - 1)) && w(p - 1) != 'j')
+                del(suf.length)
+          }
+        }
+      }
+
+      // step 2: final e after a non-vowel in R1
+      var eFound = false
+      if (ends("e") && inR1(pos("e")) && pos("e") > 0 && !isV(w(w.length - 2))) {
+        del(1); eFound = true; undouble()
+      }
+
+      // step 3a: heid (not after c), then a preceding en as in step 1
+      if (ends("heid") && inR2(pos("heid")) &&
+          (pos("heid") == 0 || w(pos("heid") - 1) != 'c')) {
+        del(4)
+        if (ends("en") && inR1(pos("en")) && enOk(pos("en"))) {
+          del(2); undouble()
+        }
+      }
+
+      // step 3b: d-suffixes
+      var d3 = false
+      for (suf <- Seq("lijk", "baar", "end", "ing", "bar", "ig") if !d3) {
+        if (ends(suf)) {
+          d3 = true
+          val p = pos(suf)
+          suf match {
+            case "end" | "ing" =>
+              if (inR2(p)) {
+                del(suf.length)
+                if (ends("ig") && inR2(pos("ig")) &&
+                    (pos("ig") == 0 || w(pos("ig") - 1) != 'e')) del(2)
+                else undouble()
+              }
+            case "ig" =>
+              if (inR2(p) && (p == 0 || w(p - 1) != 'e')) del(2)
+            case "lijk" =>
+              if (inR2(p)) {
+                del(4)
+                if (ends("e") && inR1(pos("e")) && pos("e") > 0 &&
+                    !isV(w(w.length - 2))) { del(1); undouble() }
+              }
+            case "baar" =>
+              if (inR2(p)) del(4)
+            case "bar" =>
+              if (inR2(p) && eFound) del(3)
+            case _ =>
+          }
+        }
+      }
+
+      // step 4: undouble vowel — C vv D with D not I, vv in {aa,ee,oo,uu}
+      if (w.length >= 4) {
+        val n = w.length
+        val (c0, v1, v2, d0) = (w(n - 4), w(n - 3), w(n - 2), w(n - 1))
+        if (!isV(c0) && v1 == v2 && "aeou".contains(v1) &&
+            !isV(d0) && d0 != 'I')
+          w = w.substring(0, n - 2) + w(n - 1)
+      }
+
+      w.map { case 'I' => 'i'; case 'Y' => 'y'; case c => c }
     }
   }
 
