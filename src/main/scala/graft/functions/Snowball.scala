@@ -31,6 +31,7 @@ object Snowball {
     "danish" -> Danish.stem _,
     "norwegian" -> Norwegian.stem _,
     "swedish" -> Swedish.stem _,
+    "finnish" -> Finnish.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's
@@ -1283,6 +1284,159 @@ object Snowball {
       }
 
       w.map { case 'I' => 'i'; case 'Y' => 'y'; case c => c }
+    }
+  }
+
+  // --------------------------------------------------------------- Finnish
+  /** Snowball Finnish: particle/possessive/case-ending/other-ending steps,
+    * the ending_removed plural step and the five tidying rules. Validated
+    * against finnish_stem. */
+  object Finnish {
+    private val vowels = "aeiouyäö".toSet
+    private val restricted = "aeiouäö".toSet // V: vowels minus y
+    private def isV(c: Char) = vowels(c)
+    private def longVowel(a: Char, b: Char) =
+      a == b && restricted(a) // aa ee ii oo uu ää öö
+
+    def stem(word: String): String = {
+      if (word.isEmpty) return word
+      var w = word
+      val r1 = regionAfterVC(w, 0, isV)
+      val r2 = regionAfterVC(w, r1, isV)
+      def inR1(p: Int) = p >= r1
+      def inR2(p: Int) = p >= r2
+      def ends(s: String) = w.endsWith(s)
+      def pos(s: String) = w.length - s.length
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+      def endsLV = w.length >= 2 && longVowel(w(w.length - 2), w(w.length - 1))
+
+      // step 1: particle etc — longest suffix in R1; no shorter-match retry
+      locally {
+        val parts = Seq("kaan", "kään", "kin", "han", "hän", "sti", "ko",
+          "kö", "pa", "pä")
+        parts.find(s => ends(s) && inR1(pos(s))) match {
+          case Some("sti") => if (inR2(pos("sti"))) del(3)
+          case Some(s) =>
+            val p = pos(s)
+            if (p > 0 && (w(p - 1) == 'n' || w(p - 1) == 't' || isV(w(p - 1))))
+              del(s.length)
+          case None =>
+        }
+      }
+
+      // step 2: possessive
+      locally {
+        val parts = Seq("nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en")
+        parts.find(s => ends(s) && inR1(pos(s))) match {
+          case Some("si") => if (!(pos("si") > 0 && w(pos("si") - 1) == 'k')) del(2)
+          case Some("ni") =>
+            del(2)
+            if (ends("kse")) w = w.substring(0, w.length - 1) + "i"
+          case Some(s @ ("nsa" | "nsä" | "mme" | "nne")) => del(3)
+          case Some("an") =>
+            if (Seq("ta", "ssa", "sta", "lla", "lta", "na")
+                .exists(p => w.substring(0, pos("an")).endsWith(p))) del(2)
+          case Some("än") =>
+            if (Seq("tä", "ssä", "stä", "llä", "ltä", "nä")
+                .exists(p => w.substring(0, pos("än")).endsWith(p))) del(2)
+          case Some("en") =>
+            if (Seq("lle", "ine")
+                .exists(p => w.substring(0, pos("en")).endsWith(p))) del(2)
+          case _ =>
+        }
+      }
+
+      // step 3: case endings; deletion sets ending_removed. Two guard
+      // flavors (observable against the oracle): the hXn tests abort the
+      // step on failure, while the Vi/LV/e/cv guards are evaluated during
+      // suffix selection — on failure the next-longest suffix is tried
+      // (e.g. bakotta → bakot via ta after the tta guard fails).
+      var endingRemoved = false
+      locally {
+        val parts = Seq("siin", "tten", "seen", "han", "hen", "hin", "hon",
+          "hän", "hön", "den", "tta", "ttä", "ssa", "ssä", "sta", "stä",
+          "lla", "llä", "lta", "ltä", "lle", "ksi", "ine", "ta", "tä", "na",
+          "nä", "a", "ä", "n")
+        var i = 0
+        var stop = false
+        while (i < parts.length && !stop) {
+          val s = parts(i)
+          if (ends(s) && inR1(pos(s))) {
+            val p = pos(s)
+            s match {
+              case "han" | "hen" | "hin" | "hon" | "hän" | "hön" =>
+                // hXn preceded by the matching vowel X; test failure ends
+                // the step without trying shorter suffixes
+                stop = true
+                if (p > 0 && w(p - 1) == s(1)) { del(3); endingRemoved = true }
+              case "siin" | "den" | "tten" =>
+                // guard: preceded by Vi; failure falls through
+                if (p >= 2 && w(p - 1) == 'i' && restricted(w(p - 2))) {
+                  del(s.length); endingRemoved = true; stop = true
+                }
+              case "seen" =>
+                if (p >= 2 && longVowel(w(p - 2), w(p - 1))) {
+                  del(4); endingRemoved = true; stop = true
+                }
+              case "a" | "ä" =>
+                // guard: preceded by cv
+                if (p >= 2 && isV(w(p - 1)) && !isV(w(p - 2))) {
+                  del(1); endingRemoved = true; stop = true
+                }
+              case "tta" | "ttä" =>
+                if (p > 0 && w(p - 1) == 'e') {
+                  del(3); endingRemoved = true; stop = true
+                }
+              case "n" =>
+                del(1); endingRemoved = true; stop = true
+                if (endsLV || ends("ie")) del(1)
+              case _ =>
+                del(s.length); endingRemoved = true; stop = true
+            }
+          }
+          i += 1
+        }
+      }
+
+      // step 4: other endings, in R2
+      locally {
+        val parts = Seq("impi", "impa", "impä", "immi", "imma", "immä",
+          "mpi", "mpa", "mpä", "mmi", "mma", "mmä", "eja", "ejä")
+        parts.find(s => ends(s) && inR2(pos(s))) match {
+          case Some(s @ ("mpi" | "mpa" | "mpä" | "mmi" | "mma" | "mmä")) =>
+            if (!(pos(s) >= 2 && w.substring(0, pos(s)).endsWith("po")))
+              del(3)
+          case Some(s) => del(s.length)
+          case None =>
+        }
+      }
+
+      // step 5: plurals
+      if (endingRemoved) {
+        if ((ends("i") || ends("j")) && inR1(w.length - 1)) del(1)
+      } else if (ends("t") && w.length >= 2 && isV(w(w.length - 2)) &&
+          inR1(w.length - 1)) {
+        del(1)
+        if (ends("imma") && inR2(pos("imma"))) del(4)
+        else if (ends("mma") && inR2(pos("mma")) &&
+            !(pos("mma") >= 2 && w.substring(0, pos("mma")).endsWith("po")))
+          del(3)
+      }
+
+      // step 6: tidying, tests restricted to R1
+      if (endsLV && inR1(w.length - 2)) del(1) // (a)
+      if (w.length >= 2 && inR1(w.length - 2) && !isV(w(w.length - 2)) &&
+          "aäei".contains(w(w.length - 1))) del(1) // (b)
+      if ((ends("oj") || ends("uj")) && inR1(pos("oj"))) del(1) // (c)
+      if (ends("jo") && inR1(pos("jo"))) del(1) // (d)
+      // (e) double consonant followed by zero or more vowels
+      locally {
+        var i = w.length - 1
+        while (i >= 0 && isV(w(i))) i -= 1
+        if (i >= 1 && !isV(w(i)) && w(i - 1) == w(i))
+          w = w.substring(0, i) + w.substring(i + 1)
+      }
+      w
     }
   }
 
