@@ -32,6 +32,7 @@ object Snowball {
     "norwegian" -> Norwegian.stem _,
     "swedish" -> Swedish.stem _,
     "finnish" -> Finnish.stem _,
+    "hungarian" -> Hungarian.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's
@@ -1436,6 +1437,155 @@ object Snowball {
         if (i >= 1 && !isV(w(i)) && w(i - 1) == w(i))
           w = w.substring(0, i) + w.substring(i + 1)
       }
+      w
+    }
+  }
+
+  // ------------------------------------------------------------- Hungarian
+  /** Snowball Hungarian (the pre-2.0 revision that PostgreSQL ships, which
+    * differs from the current published spec): digraph-aware R1; each step
+    * picks the longest raw suffix match and then tests R1 (and any guard)
+    * inside the action â a failed test ends the step with no shorter-suffix
+    * retry. Owned (bare Ã© possessive) runs before the singular-owner step.
+    * Validated against hungarian_stem. */
+  object Hungarian {
+    private val vowels = "aáeéiíoóöőuúüű".toSet
+    private def isV(c: Char) = vowels(c)
+    private val digraphs = Seq("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+    private val doubles = Seq("ccs", "ggy", "lly", "nny", "ssz", "tty",
+      "zzs", "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+      "pp", "rr", "ss", "tt", "vv", "zz")
+
+    def stem(word: String): String = {
+      if (word.isEmpty) return word
+      var w = word
+
+      // R1: vowel-initial word -> after the first consonant (a digraph
+      // counts as one consonant); consonant-initial -> after the first vowel
+      val r1: Int = {
+        if (isV(w(0))) {
+          var i = 1
+          while (i < w.length && isV(w(i))) i += 1
+          if (i >= w.length) w.length
+          else digraphs.find(d => w.startsWith(d, i)) match {
+            case Some(d) => i + d.length
+            case None => i + 1
+          }
+        } else {
+          var i = 0
+          while (i < w.length && !isV(w(i))) i += 1
+          if (i >= w.length) w.length else i + 1
+        }
+      }
+      def inR1(p: Int) = p >= r1
+      def ends(s: String) = w.endsWith(s)
+      def pos(s: String) = w.length - s.length
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+      def replaceSuffix(s: String, by: String): Unit =
+        w = w.substring(0, pos(s)) + by
+      def doubleBefore(p: Int): Boolean =
+        doubles.exists(d => p >= d.length && w.startsWith(d, p - d.length))
+      def undoubleEnd(): Unit =
+        doubles.find(ends).foreach(_ => w = w.substring(0, w.length - 2) + w.last)
+      /** longest raw suffix match, R1 NOT yet tested */
+      def longestRaw(parts: Seq[String]): Option[String] =
+        parts.sortBy(-_.length).find(ends)
+
+      // step 1: instrumental case (al/el after a double consonant)
+      longestRaw(Seq("al", "el")).foreach { s =>
+        if (inR1(pos(s)) && doubleBefore(pos(s))) { del(2); undoubleEnd() }
+      }
+
+      // step 2: frequent cases, then final á -> a / é -> e (R1)
+      locally {
+        val parts = Seq("ban", "ben", "ba", "be", "ra", "re", "nak", "nek",
+          "val", "vel", "tól", "től", "ról", "ről", "ból", "ből", "hoz",
+          "hez", "höz", "nál", "nél", "ig", "at", "et", "ot", "öt", "ért",
+          "képp", "képpen", "kor", "ul", "ül", "vá", "vé", "onként",
+          "enként", "anként", "ként", "en", "on", "an", "ön", "n", "t")
+        longestRaw(parts).foreach { s =>
+          if (inR1(pos(s))) {
+            del(s.length)
+            if (ends("á") && inR1(w.length - 1))
+              w = w.substring(0, w.length - 1) + "a"
+            else if (ends("é") && inR1(w.length - 1))
+              w = w.substring(0, w.length - 1) + "e"
+          }
+        }
+      }
+
+      // step 3: special cases
+      longestRaw(Seq("ánként", "án", "én")).foreach {
+        case s @ ("ánként" | "án") => if (inR1(pos(s))) replaceSuffix(s, "a")
+        case s => if (inR1(pos(s))) replaceSuffix(s, "e")
+      }
+
+      // step 4: other cases
+      longestRaw(Seq("astul", "estül", "ástul", "éstül", "stul", "stül"))
+        .foreach {
+          case "ástul" => if (inR1(pos("ástul"))) replaceSuffix("ástul", "a")
+          case "éstül" => if (inR1(pos("éstül"))) replaceSuffix("éstül", "e")
+          case s => if (inR1(pos(s))) del(s.length)
+        }
+
+      // step 5: factive case
+      longestRaw(Seq("á", "é")).foreach { s =>
+        if (inR1(pos(s)) && doubleBefore(pos(s))) { del(1); undoubleEnd() }
+      }
+
+      // step 6: owned â the bare é possessive deletes (guard: not after
+      // another é; éé is the plural-owner step's business)
+      locally {
+        val dels = Seq("oké", "öké", "aké", "eké", "áké", "éké", "ké",
+          "áéi", "ééi", "éi", "é")
+        longestRaw(dels).foreach {
+          case "é" =>
+            val p = pos("é")
+            if (inR1(p) && !(p > 0 && w(p - 1) == 'é')) del(1)
+          case s => if (inR1(pos(s))) del(s.length)
+        }
+      }
+
+      // step 7: singular owner
+      locally {
+        val dels = Seq("ünk", "unk", "nk", "juk", "jük", "uk", "ük", "em",
+          "om", "am", "m", "od", "ed", "ad", "öd", "d", "ja", "je", "a", "e", "o")
+        val toA = Seq("ánk", "ájuk", "ám", "ád", "á")
+        val toE = Seq("énk", "éjük", "ém", "éd", "é")
+        longestRaw(dels ++ toA ++ toE).foreach { s =>
+          if (inR1(pos(s))) {
+            if (toA.contains(s)) replaceSuffix(s, "a")
+            else if (toE.contains(s)) replaceSuffix(s, "e")
+            else del(s.length)
+          }
+        }
+      }
+
+      // step 8: plural owner (note: itek exists but itok does not in this
+      // revision, and éé lives here â both asymmetries oracle-verified)
+      locally {
+        val dels = Seq("jaitok", "jeitek", "aitok", "eitek", "itek", "jaik",
+          "jeik", "aik", "eik", "ik", "jaim", "jeim", "aim", "eim", "im",
+          "jaid", "jeid", "aid", "eid", "id", "jai", "jei", "ai", "ei", "i",
+          "éé")
+        val toA = Seq("áitok", "áik", "áim", "áid", "ái")
+        val toE = Seq("éitek", "éik", "éim", "éid", "éi")
+        longestRaw(dels ++ toA ++ toE).foreach { s =>
+          if (inR1(pos(s))) {
+            if (toA.contains(s)) replaceSuffix(s, "a")
+            else if (toE.contains(s)) replaceSuffix(s, "e")
+            else del(s.length)
+          }
+        }
+      }
+
+      // step 9: plural
+      longestRaw(Seq("ák", "ék", "ök", "ok", "ek", "ak", "k")).foreach {
+        case "ák" => if (inR1(pos("ák"))) replaceSuffix("ák", "a")
+        case "ék" => if (inR1(pos("ék"))) replaceSuffix("ék", "e")
+        case s => if (inR1(pos(s))) del(s.length)
+      }
+
       w
     }
   }
