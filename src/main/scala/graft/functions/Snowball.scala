@@ -33,6 +33,7 @@ object Snowball {
     "swedish" -> Swedish.stem _,
     "finnish" -> Finnish.stem _,
     "hungarian" -> Hungarian.stem _,
+    "romanian" -> Romanian.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's
@@ -1587,6 +1588,161 @@ object Snowball {
       }
 
       w
+    }
+  }
+
+  // -------------------------------------------------------------- Romanian
+  /** Snowball Romanian (cedilla-form ş/ţ as shipped pre-Unicode-5.2):
+    * plural simplification, repeated combining-suffix reduction, standard
+    * suffixes in R2, verb suffixes in RV gated on steps 1-2 removing
+    * nothing, final-vowel removal. Validated against romanian_stem. */
+  object Romanian {
+    private val vowels = "aăâeiîou".toSet
+    private def isV(c: Char) = vowels(c)
+
+    def stem(word: String): String = {
+      if (word.isEmpty) return word
+      // prelude: i/u between vowels are consonants — mark uppercase
+      val cs = word.toCharArray
+      var i = 1
+      while (i < cs.length - 1) {
+        if ((cs(i) == 'i' || cs(i) == 'u') && vowels(cs(i - 1)) && vowels(cs(i + 1)))
+          cs(i) = (cs(i) - 32).toChar
+        i += 1
+      }
+      var w = new String(cs)
+
+      val r1 = Snowball.regionAfterVC(w, 0, isV)
+      val r2 = Snowball.regionAfterVC(w, r1, isV)
+      // RV: second letter consonant → after next vowel; first two letters
+      // vowels → after next consonant; else (cons-vowel) → after 3rd letter
+      val rv: Int = {
+        if (w.length < 3) w.length
+        else if (!isV(w(1))) {
+          var j = 2
+          while (j < w.length && !isV(w(j))) j += 1
+          if (j >= w.length) w.length else j + 1
+        } else if (isV(w(0)) && isV(w(1))) {
+          var j = 2
+          while (j < w.length && isV(w(j))) j += 1
+          if (j >= w.length) w.length else j + 1
+        } else 3
+      }
+      def inR1(p: Int) = p >= r1
+      def inR2(p: Int) = p >= r2
+      def inRv(p: Int) = p >= rv
+      def ends(s: String) = w.endsWith(s)
+      def pos(s: String) = w.length - s.length
+      def del(n: Int): Unit = w = w.substring(0, w.length - n)
+      def replace(s: String, by: String): Unit = w = w.substring(0, pos(s)) + by
+      def longest(parts: Seq[String]): Option[String] =
+        parts.sortBy(-_.length).find(ends)
+
+      // step 0: removal of plurals, in R1
+      locally {
+        val parts = Seq("ului", "iilor", "atei", "aţie", "aţia", "ilor",
+          "iile", "elor", "aua", "iua", "iei", "ile", "ele", "ii", "ul", "ea")
+        longest(parts).foreach { s =>
+          if (inR1(pos(s))) s match {
+            case "ul" | "ului" => del(s.length)
+            case "aua" => replace(s, "a")
+            case "ea" | "ele" | "elor" => replace(s, "e")
+            case "ii" | "iua" | "iei" | "iile" | "iilor" | "ilor" => replace(s, "i")
+            case "ile" =>
+              if (!(pos(s) >= 2 && w.substring(0, pos(s)).endsWith("ab")))
+                replace(s, "i")
+            case "atei" => replace(s, "at")
+            case "aţie" | "aţia" => replace(s, "aţi")
+            case _ =>
+          }
+        }
+      }
+
+      // step 1: reduction of combining suffixes, in R1, repeated
+      var stepDone = true
+      var removed1 = false
+      while (stepDone) {
+        stepDone = false
+        val toAbil = Seq("abilitate", "abilitati", "abilităi", "abilităţi")
+        val toIbil = Seq("ibilitate")
+        val toIv = Seq("ivitate", "ivitati", "ivităi", "ivităţi")
+        val toIc = Seq("icitate", "icitati", "icităi", "icităţi", "icator",
+          "icatori", "iciv", "iciva", "icive", "icivi", "icivă", "ical",
+          "icala", "icale", "icali", "icală")
+        val toAt = Seq("ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+          "atoare", "ator", "atori", "ătoare", "ător", "ători")
+        val toIt = Seq("itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+          "itoare", "itor", "itori")
+        longest(toAbil ++ toIbil ++ toIv ++ toIc ++ toAt ++ toIt).foreach { s =>
+          if (inR1(pos(s))) {
+            val by =
+              if (toAbil.contains(s)) "abil"
+              else if (toIbil.contains(s)) "ibil"
+              else if (toIv.contains(s)) "iv"
+              else if (toIc.contains(s)) "ic"
+              else if (toAt.contains(s)) "at"
+              else "it"
+            replace(s, by)
+            stepDone = true; removed1 = true
+          }
+        }
+      }
+
+      // step 2: standard suffixes, in R2
+      var removed2 = false
+      locally {
+        val dels = Seq("at", "ata", "ată", "ati", "ate", "ut", "uta", "ută",
+          "uti", "ute", "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice",
+          "ici", "ică", "abil", "abila", "abile", "abili", "abilă", "ibil",
+          "ibila", "ibile", "ibili", "ibilă", "oasa", "oasă", "oase", "os",
+          "osi", "oşi", "ant", "anta", "ante", "anti", "antă", "ator",
+          "atori", "itate", "itati", "ităi", "ităţi", "iv", "iva", "ive",
+          "ivi", "ivă")
+        val toIst = Seq("ism", "isme", "ist", "ista", "iste", "isti", "istă",
+          "işti")
+        val iune = Seq("iune", "iuni")
+        longest(dels ++ toIst ++ iune).foreach { s =>
+          if (inR2(pos(s))) {
+            if (iune.contains(s)) {
+              if (pos(s) > 0 && w(pos(s) - 1) == 'ţ') {
+                w = w.substring(0, pos(s) - 1) + "t"
+                removed2 = true
+              }
+            } else if (toIst.contains(s)) { replace(s, "ist"); removed2 = true }
+            else { del(s.length); removed2 = true }
+          }
+        }
+      }
+
+      // step 3: verb suffixes in RV, only if steps 1-2 removed nothing
+      if (!removed1 && !removed2) {
+        val condDel = Seq("are", "ere", "ire", "âre", "ind", "ând", "indu",
+          "ându", "eze", "ească", "ez", "ezi", "ează", "esc", "eşti",
+          "eşte", "ăsc", "ăşti", "ăşte", "am", "ai", "au", "eam", "eai",
+          "eau", "iam", "iai", "iau", "ui", "âi", "aşi", "arăm", "arăţi",
+          "ară", "âm", "âţi", "ârăm", "ârăţi", "âră", "im", "iţi", "irăm",
+          "irăţi", "iră", "ăm", "ăţi", "em", "eţi", "erăm", "erăţi", "eră")
+        val plainDel = Seq("seşi", "serăm", "serăţi", "seră", "sei", "se",
+          "sesem", "seseşi", "seserăm", "seserăţi", "seseră", "sese")
+        longest(condDel ++ plainDel).foreach { s =>
+          if (inRv(pos(s))) {
+            if (plainDel.contains(s)) del(s.length)
+            else {
+              val p = pos(s)
+              // preceded in RV by a consonant or u
+              if (p > 0 && inRv(p - 1) && (!isV(w(p - 1)) || w(p - 1) == 'u'))
+                del(s.length)
+            }
+          }
+        }
+      }
+
+      // step 4: final vowel, in RV
+      longest(Seq("ie", "a", "e", "i", "ă")).foreach { s =>
+        if (inRv(pos(s))) del(s.length)
+      }
+
+      w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
     }
   }
 
