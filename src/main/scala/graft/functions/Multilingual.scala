@@ -34,7 +34,7 @@ object MultilingualTokenizer {
     var runHasAlpha = false
     def flush(): Unit = {
       if (run.length > 0) {
-        if (runHasAlpha) out += run.toString.toLowerCase
+        if (runHasAlpha) out += run.toString.toLowerCase(java.util.Locale.ROOT)
         run.setLength(0); runHasAlpha = false
       }
     }
@@ -44,7 +44,7 @@ object MultilingualTokenizer {
       val n = Character.charCount(cp)
       if (isCjk(cp)) {
         flush()
-        out += new String(Character.toChars(cp)).toLowerCase
+        out += new String(Character.toChars(cp)).toLowerCase(java.util.Locale.ROOT)
       } else if (Character.isLetterOrDigit(cp)) {
         run.appendCodePoint(cp)
         if (Character.isLetter(cp)) runHasAlpha = true
@@ -91,8 +91,10 @@ object Stopwords {
     cache.getOrElseUpdate(lang.toLowerCase, {
       val res = getClass.getResourceAsStream(s"/stopwords/${lang.toLowerCase}.txt")
       if (res == null) Set.empty
-      else scala.io.Source.fromInputStream(res, "UTF-8").getLines()
-        .filter(_.nonEmpty).toSet
+      else
+        scala.util.Using.resource(scala.io.Source.fromInputStream(res, "UTF-8")) {
+          _.getLines().filter(_.nonEmpty).toSet
+        }
     })
 
   def available: Seq[String] = Seq("arabic", "azerbaijani", "basque",

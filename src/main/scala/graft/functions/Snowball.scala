@@ -1714,27 +1714,40 @@ object Snowball {
         }
       }
 
-      // step 3: verb suffixes in RV, only if steps 1-2 removed nothing
+      // step 3: verb suffixes — the whole match is limited to RV (the
+      // Snowball `setlimit tomark pV`), so an entry must lie entirely
+      // within RV to participate in longest-match; the winning entry's
+      // condition is final (no backtracking to shorter entries). The
+      // conditional group deletes only when preceded, still within RV, by
+      // a non-vowel or literal 'u'. Entry table reverse-engineered against
+      // the independent oracle (PG snowball revision): the pluperfect
+      // families {a,i,u,â}×{se,sem,seşi,seră,serăm,serăţi} are
+      // conditional; "aţi em eţi im iţi âm âţi ăm" and the perfect
+      // "se sei seşi seră serăm serăţi" + "sese(m/şi/ră...)" forms are
+      // unconditional; "ăţi sem seţi eră erăm erăţi" are NOT entries.
       if (!removed1 && !removed2) {
         val condDel = Seq("are", "ere", "ire", "âre", "ind", "ând", "indu",
           "ându", "eze", "ească", "ez", "ezi", "ează", "esc", "eşti",
           "eşte", "ăsc", "ăşti", "ăşte", "am", "ai", "au", "eam", "eai",
-          "eau", "iam", "iai", "iau", "ui", "âi", "aşi", "arăm", "arăţi",
-          "ară", "âm", "âţi", "ârăm", "ârăţi", "âră", "im", "iţi", "irăm",
-          "irăţi", "iră", "ăm", "ăţi", "em", "eţi", "erăm", "erăţi", "eră")
-        val plainDel = Seq("seşi", "serăm", "serăţi", "seră", "sei", "se",
-          "sesem", "seseşi", "seserăm", "seserăţi", "seseră", "sese")
-        longest(condDel ++ plainDel).foreach { s =>
-          if (inRv(pos(s))) {
+          "eau", "ia", "iam", "iai", "iau", "ui", "âi", "aşi",
+          "arăm", "arăţi", "ară", "irăm", "irăţi", "iră",
+          "ârăm", "ârăţi", "âră",
+          "ase", "asem", "aseşi", "aseră", "aserăm", "aserăţi",
+          "ise", "isem", "iseşi", "iseră", "iserăm", "iserăţi",
+          "use", "usem", "useşi", "useră", "userăm", "userăţi",
+          "âse", "âsem", "âseşi", "âseră", "âserăm", "âserăţi")
+        val plainDel = Seq("aţi", "em", "eţi", "im", "iţi", "âm", "âţi",
+          "ăm", "se", "sei", "seşi", "seră", "serăm", "serăţi",
+          "sese", "sesem", "seseşi", "seseră", "seserăm", "seserăţi")
+        (condDel ++ plainDel).sortBy(-_.length)
+          .find(s => ends(s) && inRv(pos(s))).foreach { s =>
             if (plainDel.contains(s)) del(s.length)
             else {
               val p = pos(s)
-              // preceded in RV by a consonant or u
-              if (p > 0 && inRv(p - 1) && (!isV(w(p - 1)) || w(p - 1) == 'u'))
+              if (p - 1 >= rv && (!isV(w(p - 1)) || w(p - 1) == 'u'))
                 del(s.length)
             }
           }
-        }
       }
 
       // step 4: final vowel, in RV

@@ -163,14 +163,18 @@ case class AsciiFoldExpr(child: Expression) extends UnaryExpression {
 /** Codegen'd Snowball stemming for a fixed language — static dispatch into
   * [[Snowball]] stays inside whole-stage codegen. */
 case class SnowballStemExpr(child: Expression, lang: String) extends UnaryExpression {
+  require(lang == "english" || Snowball.supported(lang),
+    s"unsupported snowball language: $lang")
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
       Snowball.stem(lang, input.asInstanceOf[UTF8String].toString))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val langRef = ctx.addReferenceObj("snowballLang", lang, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
       s"""org.apache.spark.unsafe.types.UTF8String.fromString(
-         |graft.functions.Snowball.stem("$lang", $c.toString()))""".stripMargin)
+         |graft.functions.Snowball.stem($langRef, $c.toString()))""".stripMargin)
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

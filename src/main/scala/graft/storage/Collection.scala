@@ -104,16 +104,30 @@ final class Collection(
   def applyBatch(ops: Seq[UpdateOp]): Unit =
     write(ops.foldLeft(read())(applyOp))
 
+  /** Deterministic last-write-wins per id within one batch: the reference
+    * applies batch points sequentially so the last occurrence of an id wins
+    * (`point_ops.rs:111-126`); a bare dropDuplicates keeps an arbitrary one.
+    * max_by over an input-order ordinal is partial-aggregable (map-side
+    * combine), so the batch shuffles at most one surviving row per id. */
+  private def lastWins(points: DataFrame): DataFrame = {
+    val others = points.columns.filter(_ != config.idCol)
+    points.withColumn("_ord", monotonically_increasing_id())
+      .groupBy(col(config.idCol))
+      .agg(max_by(struct(others.map(col): _*), col("_ord")).as("_row"))
+      .select(points.columns.map(c =>
+        if (c == config.idCol) col(c) else col(s"_row.$c").as(c)): _*)
+  }
+
   private def applyOp(cur: DataFrame, op: UpdateOp): DataFrame = op match {
     case UpdateOp.Upsert(points) =>
-      val incoming = points.dropDuplicates(config.idCol)
+      val incoming = lastWins(points)
       cur.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
         .unionByName(incoming, allowMissingColumns = true)
     case UpdateOp.UpsertConditional(points, filter) =>
       val replaceable = cur.filter(pred(cur, filter))
         .select(col(config.idCol)).withColumn("_repl", lit(true))
       val existingIds = cur.select(col(config.idCol)).withColumn("_exists", lit(true))
-      val incoming = points
+      val incoming = lastWins(points)
         .join(replaceable, Seq(config.idCol), "left")
         .join(existingIds, Seq(config.idCol), "left")
         .filter(col("_repl").isNotNull || col("_exists").isNull)
