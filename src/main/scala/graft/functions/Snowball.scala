@@ -34,6 +34,7 @@ object Snowball {
     "finnish" -> Finnish.stem _,
     "hungarian" -> Hungarian.stem _,
     "romanian" -> Romanian.stem _,
+    "armenian" -> Armenian.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's
@@ -1756,6 +1757,79 @@ object Snowball {
       }
 
       w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
+    }
+  }
+
+  /** Armenian Snowball stemmer. Four suffix passes applied backwards within
+    * RV (= after the first vowel), in order: case/article endings (gated on
+    * R2), verb endings, adjective/adverb suffixes, noun derivation
+    * suffixes. Each pass is a longest-match among; a failed condition on
+    * the longest match ends the pass (no backtracking). */
+  object Armenian {
+    private val vowels = "աեէըիոօւ".toSet
+
+    private val ending = Seq("եր", "ներ", "ց", "ուց", "ից", "երից",
+      "ներից", "ցից", "վանից", "ոջից", "վից", "ոց", "սա", "վա", "ամբ",
+      "դ", "երդ", "ներդ", "ուդ", "անդ", "ությանդ", "վանդ", "ոջդ", "ը",
+      "երը", "ները", "անը", "ությանը", "վանը", "ոջը", "ի", "երի", "ների",
+      "վի", "երում", "ներում", "անում", "ն", "երն", "ներն", "ուն", "ան",
+      "ության", "վան", "ին", "երին", "ներին", "ությանն", "ոջ", "ությանս",
+      "վանս", "ոջս", "ով", "երով", "ներով", "անով", "վով")
+        .sortBy(-_.length)
+
+    private val verb = Seq("ար", "ացար", "եցար", "ացրիր", "ացիր", "եցիր",
+      "վեցիր", "ալուց", "ելուց", "աց", "եց", "ացրեց", "ալու", "ելու",
+      "աք", "ցաք", "ացաք", "ացրիք", "ացիք", "եցիք", "վեցիք", "անք",
+      "ցանք", "ացանք", "ացրինք", "ացինք", "եցինք", "վեցինք", "ա", "ացա",
+      "եցա", "վե", "ացրի", "ացի", "եցի", "վեցի", "ալ", "ըալ", "ացնալ",
+      "անալ", "ենալ", "ել", "ըել", "նել", "ցնել", "եցնել", "չել", "վել",
+      "ացվել", "եցվել", "տել", "ատել", "ոտել", "կոտել", "ված", "ում",
+      "վում", "ան", "ցան", "ացան", "ացրին", "ացին", "եցին", "վեցին",
+      "ալիս", "ելիս", "ավ", "ացավ", "եցավ", "ալով", "ելով")
+        .sortBy(-_.length)
+
+    private val adjective = Seq("բար", "րորդ", "երորդ", "ալի", "ակի",
+      "որակ", "եղ", "վուն", "արան", "ական", "են", "երեն", "եկեն", "որէն",
+      "ին", "գին", "ովին", "լայն", "պես", "իվ", "ատ", "ավետ", "կոտ")
+        .sortBy(-_.length)
+
+    private val noun = Seq("գար", "վոր", "ավոր", "անօց", "ոց", "ու", "ք",
+      "արք", "չեք", "իք", "ալիք", "անիք", "վածք", "ույք", "ունք", "մունք",
+      "ենք", "ոնք", "իչք", "որդ", "ույթ", "ցի", "ուհի", "իլ", "ուկ",
+      "ակ", "յակ", "անակ", "իկ", "յուն", "ություն", "ան", "արան", "պան",
+      "ստան", "եղէն", "ածո", "իչ", "ուս", "ուստ")
+        .sortBy(-_.length)
+
+    def stem(word: String): String = {
+      val n = word.length
+      var i = 0
+      while (i < n && !vowels(word(i))) i += 1
+      val pV = if (i >= n) n else i + 1
+      // p2: past vowel, non-vowel, vowel, non-vowel from the start
+      var j = pV
+      while (j < n && vowels(word(j))) j += 1 // first non-vowel after pV
+      var p2 = n
+      if (j < n) {
+        j += 1 // past it (end of R1)
+        while (j < n && !vowels(word(j))) j += 1
+        if (j < n) {
+          j += 1 // past next vowel
+          while (j < n && vowels(word(j))) j += 1
+          if (j < n) p2 = j + 1
+        }
+      }
+      var w = word
+      def strip(list: Seq[String], needR2: Boolean): Unit =
+        list.find(s => w.endsWith(s) && w.length - s.length >= pV).foreach {
+          s =>
+            if (!needR2 || w.length - s.length >= p2)
+              w = w.substring(0, w.length - s.length)
+        }
+      strip(ending, needR2 = true)
+      strip(verb, needR2 = false)
+      strip(adjective, needR2 = false)
+      strip(noun, needR2 = false)
+      w
     }
   }
 
