@@ -26,10 +26,17 @@ object MultilangFixture {
     "de" -> "german", "es" -> "spanish", "fr" -> "french",
     "zh" -> "chinese", "en" -> "english")
 
-  def stopwordPairs: Seq[(String, String)] =
-    langNames.flatMap { case (code, full) =>
+  def stopwordPairs: Seq[(String, String)] = {
+    val pairs = langNames.flatMap { case (code, full) =>
       graft.functions.Stopwords.forLanguage(full).toSeq.sorted.map(code -> _)
     }
+    // Loud failure beats silently-empty stopword sets: an empty result here
+    // means the classpath is missing /stopwords/*.txt (e.g. `sbt compile`
+    // without copyResources), which would corrupt both the Spark query and
+    // the generated oracle SQL (`VALUES` with no rows is a parse error).
+    require(pairs.nonEmpty, "stopword resources missing from classpath")
+    pairs
+  }
 
   /** DuckDB SQL reproducing the exact pipeline (tokenizer as a regexp over
     * the controlled fixture alphabet, same stopword pairs as VALUES). */
