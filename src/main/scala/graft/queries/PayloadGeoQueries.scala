@@ -38,9 +38,16 @@ object PayloadGeoQueries {
     // Filter node. A Filter would have the payload parse inlined into every
     // key reference by alias substitution (no cross-reference CSE there),
     // while ProjectExec subexpression-eliminates them down to one parse/row.
+    // Both VARIANT-path queries parse the payload ONCE in a dedicated
+    // projection (`preParsed = true` resolver) — each predicate reference
+    // then costs a variant_get, not a full JSON string parse. CollapseProject
+    // keeps the parse in its own ProjectExec because the parsed column is
+    // referenced multiple times and try_parse_json is not "cheap".
     "payload_json_facet" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val jr = new JsonResolver(col("props"), Map("k" -> LongType), col("event_id"))
+      val ev = events(s, dir).select(col("event_type"), col("event_id"),
+        try_parse_json(col("props")).as("_props_v"))
+      val jr = new JsonResolver(col("_props_v"), Map("k" -> LongType),
+        col("event_id"), preParsed = true)
       val pred = new FilterCompiler(jr).compile(Filter(
         must = Seq(RangeCond("k", gte = Some(10L), lt = Some(500L)))))
       ev.select(col("event_type").as("value"),
@@ -52,8 +59,10 @@ object PayloadGeoQueries {
         .limit(10)
     }),
     "payload_json_count" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val jr = new JsonResolver(col("props"), Map("k" -> LongType), col("event_id"))
+      val ev = events(s, dir).select(col("event_id"),
+        try_parse_json(col("props")).as("_props_v"))
+      val jr = new JsonResolver(col("_props_v"), Map("k" -> LongType),
+        col("event_id"), preParsed = true)
       val pred = new FilterCompiler(jr).compile(Filter(
         must = Seq(RangeCond("k", gte = Some(50L))),
         should = Seq(IsEmpty("missing_key"), IsNullCond("k"))))

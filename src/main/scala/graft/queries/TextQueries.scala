@@ -188,7 +188,11 @@ object TextQueries {
           encode(col("text"), "UTF-8").as("bytes"))
       val embedded = Multimodal.featurize(media, "media_id", "bytes",
         new Multimodal.StubDecoder(32))
-      val q = embedded.filter(col("media_id") === 0L)
+      // Query vector: featurize ONLY the one query row (the previous
+      // `embedded.filter(...).head()` re-ran the full featurize job for all
+      // rows a second time — r3 bench flagged the doubled cost).
+      val q = Multimodal.featurize(media.filter(col("media_id") === 0L),
+          "media_id", "bytes", new Multimodal.StubDecoder(32))
         .head().getSeq[Float](1).map(_.toDouble)
       graft.ops.Search.knn(embedded, "media_id", "embedding", q,
         Cosine, k = 10)

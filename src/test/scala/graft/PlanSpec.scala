@@ -129,6 +129,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("VARIANT payload queries parse the JSON payload exactly once per row") {
+    for (q <- Seq("payload_json_facet", "payload_json_count")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      // physical plan renders parse as VariantExpressionEvalUtils.parseJson(
+      val parses = "parseJson\\(|try_parse_json|get_json_object".r
+        .findAllIn(p).length
+      assert(parses == 1,
+        s"$q must parse the payload once, found $parses:\n" + p.take(1500))
+    }
+  }
+
   test("slice filter is a deterministic scan-stage predicate (no shuffle)") {
     val e = Tables.load(spark, sf, "embeddings")
     val pred = new graft.filters.FilterCompiler(
