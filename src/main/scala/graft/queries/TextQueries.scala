@@ -61,6 +61,99 @@ object MultilangFixture {
   }
 }
 
+/** Fixture for phrase matching over the ANALYZED token stream (the
+  * reference's `phrase_matching` index option works on positions produced by
+  * the configured analyzer, incl. multilingual tokenizer + stemmer —
+  * `lib/segment/src/index/field_index/full_text_index/`, params
+  * `lib/segment/src/data_types/index.rs:243-312`). Stopword removal
+  * compresses positions, so a phrase spanning a dropped stopword still
+  * matches — exactly what the forward phrases below exercise; the reversed
+  * phrases must NOT match (order sensitivity).
+  *
+  * The DuckDB oracle reproduces the analyzer: same tokenizer regex as
+  * [[MultilangFixture]], same inline stopword list, and a (lang, token) →
+  * stem mapping over the closed fixture vocabulary generated from
+  * [[graft.functions.Snowball]] — each stemmer itself is independently
+  * verified at 100% agreement against PostgreSQL's snowball dictionaries in
+  * AnalyzerSpec, so the mapping is data, not circular logic under test. */
+object PhraseFixture {
+  /** Custom stopword set (the analyzer's explicit `stopwords` option). */
+  val stopwords: Seq[String] = Seq("the", "and", "of", "die", "der", "und",
+    "los", "las", "la", "y", "de", "les", "et", "le", "du")
+
+  val langNames: Map[String, String] = Map("de" -> "german", "es" -> "spanish",
+    "fr" -> "french", "zh" -> "chinese", "en" -> "english")
+
+  /** Forward phrases: present consecutively in the analyzed stream (some
+    * only once a stopword between the words is dropped). */
+  val phrasesFwd: Map[String, String] = Map(
+    "de" -> "Bücher der schönsten",
+    "es" -> "consultas rápidas de la base",
+    "fr" -> "requêtes rapides de la base",
+    "en" -> "the fast queries",
+    "zh" -> "搜索引擎")
+
+  /** Reversed/reordered phrases: same tokens, wrong order — must not match. */
+  val phrasesRev: Map[String, String] = Map(
+    "de" -> "schönsten Bücher",
+    "es" -> "base rápidas",
+    "fr" -> "rapides requêtes",
+    "en" -> "queries fast",
+    "zh" -> "引擎搜索")
+
+  /** Query-side analysis: the same tokenize → stopwords → stem pipeline the
+    * index side runs (phrase queries are analyzed with the field analyzer). */
+  def analyzePhrase(code: String, phrase: String): Seq[String] =
+    graft.functions.MultilingualTokenizer.tokenize(phrase)
+      .filterNot(stopwords.contains)
+      .map(graft.functions.Snowball.stem(langNames(code), _))
+
+  /** (lang, token) → stem pairs over the closed fixture vocabulary. */
+  private def stemPairs: Map[String, Seq[(String, String)]] =
+    MultilangFixture.sentences.map { case (code, sent) =>
+      val vocab = (graft.functions.MultilingualTokenizer.tokenize(sent) ++
+        graft.functions.MultilingualTokenizer.tokenize(
+          phrasesFwd(code) + " " + phrasesRev(code)))
+        .distinct.filterNot(stopwords.contains)
+      code -> vocab.map(w =>
+        w -> graft.functions.Snowball.stem(langNames(code), w))
+    }
+
+  def oracleSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val sentCase = MultilangFixture.sentences.filterNot(_._1 == "en")
+      .map { case (c, s) => s"WHEN '$c' THEN '${esc(s)}'" }.mkString(" ")
+    val swList = stopwords.map(w => s"'${esc(w)}'").mkString(", ")
+    val stemCase = stemPairs.map { case (code, pairs) =>
+      val inner = pairs.filter(p => p._1 != p._2)
+        .map { case (w, st) => s"WHEN '${esc(w)}' THEN '${esc(st)}'" }
+        .mkString(" ")
+      if (inner.isEmpty) s"WHEN '$code' THEN x"
+      else s"WHEN '$code' THEN (CASE x $inner ELSE x END)"
+    }.mkString(" ")
+    def phraseCase(ps: Map[String, String]): String =
+      ps.map { case (code, p) =>
+        val analyzed = analyzePhrase(code, p).mkString(" ", " ", " ")
+        s"WHEN '$code' THEN '${esc(analyzed)}'"
+      }.mkString(" ")
+    s"""WITH src AS (SELECT doc_id, lang,
+       |    CASE lang $sentCase ELSE '${esc(MultilangFixture.sentences("en"))}' END AS t
+       |  FROM documents WHERE doc_id < 200),
+       |tok AS (SELECT doc_id, lang, list_filter(
+       |    regexp_extract_all(lower(t), '[\\x{4e00}-\\x{9fff}]|[a-z0-9ßà-öø-ÿ]+'),
+       |    x -> regexp_matches(x, '[^0-9]') AND NOT list_contains([$swList], x)) AS toks
+       |  FROM src),
+       |st AS (SELECT doc_id, lang,
+       |    ' ' || array_to_string(list_transform(toks,
+       |      x -> CASE lang $stemCase ELSE x END), ' ') || ' ' AS s
+       |  FROM tok)
+       |SELECT doc_id, lang,
+       |  CASE WHEN contains(s, CASE lang ${phraseCase(phrasesFwd)} END) THEN 1 ELSE 0 END AS m_fwd,
+       |  CASE WHEN contains(s, CASE lang ${phraseCase(phrasesRev)} END) THEN 1 ELSE 0 END AS m_rev
+       |FROM st ORDER BY doc_id ASC LIMIT 100""".stripMargin
+  }
+}
+
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -87,6 +180,35 @@ object TextQueries {
       Reads.scrollById(d, "doc_id",
         Some(Filter.mustAll(MatchPhrase("text", "batch stream"))), r(d),
         offsetId = None, limit = 100, projection = Seq("doc_id", "lang"))
+    }),
+    // Phrase matching over the ANALYZED token stream (multilingual tokenize
+    // → custom stopwords → per-language Snowball stem): forward phrases
+    // match consecutively in the post-stopword position space, reversed
+    // phrases must not. See PhraseFixture scaladoc for the oracle design.
+    "match_phrase_analyzed" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      import PhraseFixture._
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+      val t = MultilangFixture.sentences.foldLeft(
+        lit(MultilangFixture.sentences("en"))) { case (acc, (code, sent)) =>
+          when(col("lang") === code, lit(sent)).otherwise(acc)
+        }
+      def flag(phrases: Map[String, String]): org.apache.spark.sql.Column =
+        phrases.foldLeft(lit(0)) { case (acc, (code, p)) =>
+          val filtered = dropStopwords(tokensMultilingual(t), stopwords)
+          // no stemmer for zh — identity, like the reference's None default
+          val analyzed =
+            if (graft.functions.Snowball.supported(langNames(code)))
+              stemTokensLang(filtered, langNames(code))
+            else filtered
+          when(col("lang") === code,
+            graft.functions.TextKernels.containsTokenSeqCol(
+              analyzed, analyzePhrase(code, p)).cast("int")).otherwise(acc)
+        }
+      d.select(col("doc_id"), col("lang"),
+          flag(phrasesFwd).as("m_fwd"), flag(phrasesRev).as("m_rev"))
+        .orderBy(col("doc_id").asc)
+        .limit(100)
     }),
     // analyzer pipeline (tokenize → stopwords) feeding a term-frequency
     // aggregation; stemming/folding are property-tested in AnalyzerSpec
@@ -220,6 +342,7 @@ object TextQueries {
         |WHERE term NOT IN ('the', 'a', 'of', 'and')
         |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
     "analyzed_multilang_facet" -> MultilangFixture.oracleSql,
+    "match_phrase_analyzed" -> PhraseFixture.oracleSql,
     "token_count" ->
       """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
