@@ -87,14 +87,31 @@ object PayloadGeoQueries {
       geoCount(s, dir, GeoPolygonCond("location", exterior = Seq(
         GeoPoint(-100.0, -50.0), GeoPoint(100.0, -40.0), GeoPoint(0.0, 70.0),
         GeoPoint(-100.0, -50.0))))),
-    // Slice: deterministic SipHash-2-4 partition of the id space. No DuckDB
-    // oracle (no SipHash there) — correctness is property-tested in
-    // FilterSpec (disjoint + covering + nesting + known test vectors).
+    // Slice: deterministic SipHash-2-4 partition of the id space. SipHash
+    // is not expressible in DuckDB, so the entry emits a one-row derived
+    // contract the oracle asserts: the `total` slices are a PARTITION of the
+    // table (every row in exactly one slice, counts sum to the total row
+    // count) and every slice is non-empty. Known SipHash test vectors are
+    // additionally asserted in FilterSpec.
     "slice_filter" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val pred = new FilterCompiler(new TypedResolver(e.schema, "vec_id"))
-        .compile(Filter.mustAll(SliceCond(total = 4, index = 1)))
-      e.filter(pred).select(col("vec_id")).orderBy(col("vec_id").asc)
+      val compiler = new FilterCompiler(new TypedResolver(e.schema, "vec_id"))
+      val preds = (0 until 4).map(i =>
+        compiler.compile(Filter.mustAll(SliceCond(total = 4, index = i))))
+      // single scan: per-row slice-membership count + per-slice counts
+      val row = e.select(
+          (preds.zipWithIndex.map { case (p, i) =>
+            sum(when(p, 1L).otherwise(0L)).as(s"c$i")
+          } :+ count(lit(1)).as("n") :+
+            max(preds.map(p => when(p, 1).otherwise(0)).reduce(_ + _)).as("maxm") :+
+            min(preds.map(p => when(p, 1).otherwise(0)).reduce(_ + _)).as("minm")): _*)
+        .head()
+      val counts = (0 until 4).map(i => row.getLong(i))
+      import s.implicits._
+      Seq((counts.sum == row.getLong(4),
+          row.getInt(5) == 1 && row.getInt(6) == 1,
+          counts.forall(_ > 0)))
+        .toDF("covering_ok", "exactly_one_ok", "nonempty_ok")
     }),
     // recency scoring: gaussian decay of event time toward a target instant
     // (the datetime-decay use of the formula language) + a value term
@@ -186,6 +203,9 @@ object PayloadGeoQueries {
         |  round(0.8 * exp(ln(0.5)/5184.0 * (hrs - h0) * (hrs - h0))
         |      + 0.01 * value, 6) AS score
         |FROM h ORDER BY score DESC, event_id ASC LIMIT 10""".stripMargin,
+    // SipHash slice partition — one-row derived contract (see entry scaladoc)
+    "slice_filter" ->
+      "SELECT true AS covering_ok, true AS exactly_one_ok, true AS nonempty_ok",
     "formula_rescore" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
         |pre AS (SELECT e.vec_id AS vec_id,

@@ -126,14 +126,43 @@ object RankQueries {
       DistanceMatrix.offsets(p, largerBetter = true)
         .select(col("id_a"), concat_ws(",", col("ids")).as("ids_csv"))
     }),
+    // MMR derived contract (the greedy loop is not SQL-expressible; the
+    // DuckDB oracle asserts this one-row contract instead): the rerank
+    // returns exactly `limit` rows, every returned id is a candidate, the
+    // first pick is the max-relevance candidate (MMR's defined first step),
+    // and positions are exactly 1..limit in selection order. The greedy
+    // argmax itself is property-tested against a reference loop in
+    // PipelineSpec.
     "mmr_rerank" -> ((s, dir) => {
       val cands = Search.knn(emb(s, dir), "vec_id", "embedding", v(s, dir, 7L), Dot,
         k = 50, extraCols = Seq("embedding"))
-      Mmr.rerank(s, cands, "vec_id", "embedding", Dot, v(s, dir, 7L),
+      val res = Mmr.rerank(s, cands, "vec_id", "embedding", Dot, v(s, dir, 7L),
         lambda = 0.5, limit = 10)
+      // bounded driver-side check: 50 candidate rows, 10 result rows
+      val cRows = cands.select(col("vec_id"), col("score")).collect()
+      val cIds = cRows.map(_.get(0)).toSet
+      val maxScore = cRows.map(_.getDouble(1)).max
+      val rRows = res.orderBy(col("position")).collect()
+      import s.implicits._
+      Seq((rRows.length,
+          rRows.forall(r => cIds(r.get(0))),
+          rRows.headOption.exists(_.getDouble(1) == maxScore),
+          rRows.map(_.getInt(2)).toSeq == (1 to rRows.length)))
+        .toDF("n", "subset_ok", "first_is_top", "positions_ok")
     }),
-    "sample_random" -> ((s, dir) =>
-      emb(s, dir).orderBy(rand(42L), col("vec_id")).limit(20).select("vec_id", "label")),
+    // Random-sample derived contract: exactly n rows, all ids from the
+    // table, no duplicates, and deterministic under the fixed seed (two
+    // independent plans produce the identical sample).
+    "sample_random" -> ((s, dir) => {
+      def sample() = emb(s, dir).orderBy(rand(42L), col("vec_id")).limit(20)
+        .select("vec_id")
+      val a = sample().collect().map(_.getLong(0)).toSeq
+      val b = sample().collect().map(_.getLong(0)).toSeq
+      val inTable = emb(s, dir).filter(col("vec_id").isin(a: _*)).count()
+      import s.implicits._
+      Seq((a.length, inTable == a.length, a.distinct.length == a.length, a == b))
+        .toDF("n", "subset_ok", "distinct_ok", "deterministic_ok")
+    }),
   )
 
   private val eps = "1.1920928955078125e-07"
@@ -330,6 +359,11 @@ object RankQueries {
         |      FROM p)
         |SELECT id_a, string_agg(id_b::VARCHAR, ',' ORDER BY score DESC, id_b ASC) AS ids_csv
         |FROM r WHERE rn <= 3 GROUP BY id_a ORDER BY id_a ASC""".stripMargin,
-    // mmr_rerank, sample_random: not SQL-expressible (greedy loop / Spark rand)
+    // greedy loop / Spark rand are not SQL-expressible — the entries emit
+    // one-row derived contracts (see their scaladoc) the oracle asserts:
+    "mmr_rerank" ->
+      "SELECT 10 AS n, true AS subset_ok, true AS first_is_top, true AS positions_ok",
+    "sample_random" ->
+      "SELECT 20 AS n, true AS subset_ok, true AS distinct_ok, true AS deterministic_ok",
   )
 }

@@ -292,11 +292,55 @@ object TextQueries {
       Dedup.embeddingNearDupPairs(assigned, "vec_id", "embedding", 0.4,
         blockCol = Some("centroid_id"))
     }),
-    "minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)),
-    "simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)),
+    // MinHash-LSH derived contract (hash family not SQL-expressible; the
+    // oracle asserts this one-row contract): pairs are canonical
+    // (id_a < id_b) and distinct, and on the bounded doc_id<2000 subset the
+    // banded index recovers >= 80% of the exact n-gram-Jaccard >= 0.6 pairs
+    // (16 bands x 4 rows: P(miss | J=0.6) = (1-0.6^4)^16 ~= 0.1; the hash
+    // family is seeded/deterministic so the observed recall is stable).
+    "minhash_lsh" -> ((s, dir) => {
+      val lsh = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)
+      val nPairs = lsh.count()
+      val canonical = lsh.filter(col("id_a") >= col("id_b")).count() == 0
+      val distinctOk =
+        lsh.select("id_a", "id_b").distinct().count() == nPairs
+      val sub = docs(s, dir).filter(col("doc_id") < 2000)
+      val exact = Dedup.ngramJaccardPairs(sub, "doc_id", "text", k = 3,
+          maxDf = None).filter(col("jaccard") >= 0.6)
+      val found = exact.join(
+        lsh.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
+      val total = exact.count()
+      import s.implicits._
+      Seq((canonical, distinctOk, found >= math.ceil(total * 0.8).toLong))
+        .toDF("canonical_ok", "distinct_ok", "recall_ok")
+    }),
+    // SimHash derived contract: returned pairs are canonical, distinct, and
+    // within the hamming budget; and on the bounded doc_id<300 subset the
+    // 4x16-bit band join is COMPLETE for hamming <= 3 (pigeonhole: 4 bands,
+    // <= 3 differing bits => some band is equal) — every exact <= 3 pair is
+    // returned.
+    "simhash_pairs" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
+      val nPairs = pairs.count()
+      val canonical = pairs.filter(col("id_a") >= col("id_b")).count() == 0
+      val distinctOk =
+        pairs.select("id_a", "id_b").distinct().count() == nPairs
+      val withinOk = pairs.filter(col("hamming") > 16).count() == 0
+      import graft.functions.{TextFunctions, TextKernels}
+      val fp = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          TextKernels.simhash64Col(TextFunctions.tokensWs(col("text"))).as("fp"))
+      val exact3 = fp.as("x").join(fp.as("y"),
+          col("x.doc_id") < col("y.doc_id") &&
+            TextFunctions.hamming64(col("x.fp"), col("y.fp")) <= 3)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      val missed = exact3.join(
+        pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti").count()
+      import s.implicits._
+      Seq((canonical, distinctOk, withinOk, missed == 0L))
+        .toDF("canonical_ok", "distinct_ok", "within_ok", "complete3_ok")
+    }),
     // Multimodal plumbing end-to-end: binary media column (documents text
     // bytes as the stand-in) → partition-local featurize (stub decoder) →
     // brute-force cosine top-k against the first row's embedding. Rows-only
@@ -413,8 +457,12 @@ object TextQueries {
         |  JOIN cell ca ON ca.vec_id = a.vec_id
         |  JOIN cell cb ON cb.vec_id = b.vec_id AND ca.cid = cb.cid)
         |WHERE score >= 0.4 ORDER BY id_a ASC, id_b ASC""".stripMargin,
-    // minhash_lsh, simhash_pairs: hash family not expressible in DuckDB →
-    // rows-only check here; exactness covered by ScalaTest against a Scala
-    // oracle on constructed near-duplicate corpora.
+    // minhash_lsh / simhash_pairs hash families are not expressible in
+    // DuckDB — the entries emit one-row derived contracts the oracle asserts
+    // (see their scaladoc); exactness additionally covered in PipelineSpec.
+    "minhash_lsh" ->
+      "SELECT true AS canonical_ok, true AS distinct_ok, true AS recall_ok",
+    "simhash_pairs" ->
+      "SELECT true AS canonical_ok, true AS distinct_ok, true AS within_ok, true AS complete3_ok",
   )
 }

@@ -122,8 +122,18 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("near-dup catalog entries never plan an all-pairs join") {
-    for (q <- Seq("embedding_neardup", "ngram_jaccard", "minhash_lsh", "simhash_pairs")) {
-      val p = plan(SparkEntry.queries(q)(spark, sf))
+    // minhash/simhash catalog entries now return one-row contract summaries,
+    // so assert on the underlying pair-generation plans directly
+    val d = Tables.load(spark, sf, "documents")
+    val pairGens = Seq(
+      "embedding_neardup" -> (() => SparkEntry.queries("embedding_neardup")(spark, sf)),
+      "ngram_jaccard" -> (() => SparkEntry.queries("ngram_jaccard")(spark, sf)),
+      "minhash_lsh" -> (() => graft.pipeline.Dedup.minhashLshPairs(
+        d, "doc_id", "text", k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)),
+      "simhash_pairs" -> (() => graft.pipeline.Dedup.simhashPairs(
+        d, "doc_id", "text", maxHamming = 16)))
+    for ((q, mk) <- pairGens) {
+      val p = plan(mk())
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q plans an unblocked all-pairs join:\n" + p.take(1500))
     }
