@@ -341,27 +341,53 @@ object TextQueries {
       Seq((canonical, distinctOk, withinOk, missed == 0L))
         .toDF("canonical_ok", "distinct_ok", "within_ok", "complete3_ok")
     }),
-    // Multimodal plumbing end-to-end: binary media column (documents text
-    // bytes as the stand-in) → partition-local featurize (stub decoder) →
-    // brute-force cosine top-k against the first row's embedding. Rows-only
-    // check: the stub hash featurizer is not SQL-expressible; the plumbing
-    // (binary columns, mapPartitions batch shape, ANN hand-off) is what's
-    // under test here and in PipelineSpec.
+    // Multimodal end-to-end with a REAL decoder: synthetic 8×8 24bpp BMPs
+    // (closed-form pixel formula per media_id) → binary column →
+    // partition-local BMP parse + pixel-stat featurize → cosine top-k. The
+    // DuckDB oracle computes the same pixel statistics from the formula
+    // directly (no BMP parsing) — any encode/decode/featurize defect breaks
+    // the score parity. Codec roundtrip is additionally tested in
+    // PipelineSpec on random images.
     "multimodal_embed_knn" -> ((s, dir) => {
       import graft.pipeline.Multimodal
-      val media = docs(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id").as("media_id"),
-          encode(col("text"), "UTF-8").as("bytes"))
+      val media = Multimodal.syntheticBmp(
+        docs(s, dir).filter(col("doc_id") < 500), "doc_id")
       val embedded = Multimodal.featurize(media, "media_id", "bytes",
-        new Multimodal.StubDecoder(32))
-      // Query vector: featurize ONLY the one query row (the previous
-      // `embedded.filter(...).head()` re-ran the full featurize job for all
-      // rows a second time — r3 bench flagged the doubled cost).
-      val q = Multimodal.featurize(media.filter(col("media_id") === 0L),
-          "media_id", "bytes", new Multimodal.StubDecoder(32))
+        new Multimodal.BmpStatsDecoder)
+      // featurize ONLY the one query row (not a second full-scan job)
+      val q = Multimodal.featurize(
+          Multimodal.syntheticBmp(docs(s, dir).filter(col("doc_id") === 0L), "doc_id"),
+          "media_id", "bytes", new Multimodal.BmpStatsDecoder)
         .head().getSeq[Float](1).map(_.toDouble)
       graft.ops.Search.knn(embedded, "media_id", "embedding", q,
         Cosine, k = 10)
+    }),
+    // The decoded pixel statistics themselves, row-per-media — the direct
+    // correctness check on the BMP parse (features are exact integers).
+    "multimodal_decode_stats" -> ((s, dir) => {
+      import graft.pipeline.Multimodal
+      val media = Multimodal.syntheticBmp(
+        docs(s, dir).filter(col("doc_id") < 500), "doc_id")
+      val feat = Multimodal.featurize(media, "media_id", "bytes",
+        new Multimodal.BmpStatsDecoder)
+      feat.select(col("media_id") +:
+          (0 until 7).map(i => col("embedding")(i).cast("long").as(s"f$i")): _*)
+        .orderBy(col("media_id"))
+    }),
+    // Realistic language-ID: Cavnar-Trenkle char-trigram profiles (built
+    // from the public per-language stopword lists) + CJK script detection,
+    // over the per-language fixture sentences. The oracle asserts 100%
+    // accuracy on the fixture (predicted = lang for every row).
+    "lang_id_trigram" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+      val t = MultilangFixture.sentences.foldLeft(
+        lit(MultilangFixture.sentences("en"))) { case (acc, (code, sent)) =>
+          when(col("lang") === code, lit(sent)).otherwise(acc)
+        }
+      d.select(col("doc_id"), col("lang"),
+          graft.pipeline.LangId.langIdTrigram(t,
+            Seq("en", "de", "es", "fr", "zh")).as("predicted"))
+        .orderBy(col("doc_id"))
     }),
   )
 
@@ -457,6 +483,63 @@ object TextQueries {
         |  JOIN cell ca ON ca.vec_id = a.vec_id
         |  JOIN cell cb ON cb.vec_id = b.vec_id AND ca.cid = cb.cid)
         |WHERE score >= 0.4 ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    // BMP pixel-stat features from the closed-form generator formula —
+    // the oracle never parses BMP; it recomputes what a correct
+    // encode→decode→featurize pipeline must produce. Quadrants in top-down
+    // coords: q = 2·[y≥4] + [x≥4] on the 8×8 fixture.
+    "multimodal_decode_stats" ->
+      """SELECT d.doc_id AS media_id,
+        |  sum((d.doc_id*7  + g.x*3 + g.y*5) % 256)::BIGINT AS f0,
+        |  sum((d.doc_id*11 + g.x   + g.y*2) % 256)::BIGINT AS f1,
+        |  sum((d.doc_id*13 + g.x*4 + g.y  ) % 256)::BIGINT AS f2,
+        |  sum(CASE WHEN g.y < 4 AND g.x < 4 THEN
+        |    (d.doc_id*7+g.x*3+g.y*5)%256 + (d.doc_id*11+g.x+g.y*2)%256
+        |      + (d.doc_id*13+g.x*4+g.y)%256 ELSE 0 END)::BIGINT AS f3,
+        |  sum(CASE WHEN g.y < 4 AND g.x >= 4 THEN
+        |    (d.doc_id*7+g.x*3+g.y*5)%256 + (d.doc_id*11+g.x+g.y*2)%256
+        |      + (d.doc_id*13+g.x*4+g.y)%256 ELSE 0 END)::BIGINT AS f4,
+        |  sum(CASE WHEN g.y >= 4 AND g.x < 4 THEN
+        |    (d.doc_id*7+g.x*3+g.y*5)%256 + (d.doc_id*11+g.x+g.y*2)%256
+        |      + (d.doc_id*13+g.x*4+g.y)%256 ELSE 0 END)::BIGINT AS f5,
+        |  sum(CASE WHEN g.y >= 4 AND g.x >= 4 THEN
+        |    (d.doc_id*7+g.x*3+g.y*5)%256 + (d.doc_id*11+g.x+g.y*2)%256
+        |      + (d.doc_id*13+g.x*4+g.y)%256 ELSE 0 END)::BIGINT AS f6
+        |FROM documents d
+        |CROSS JOIN (SELECT tx.range AS x, ty.range AS y
+        |            FROM range(0,8) tx CROSS JOIN range(0,8) ty) g
+        |WHERE d.doc_id < 500
+        |GROUP BY d.doc_id ORDER BY media_id ASC""".stripMargin,
+    "multimodal_embed_knn" ->
+      """WITH g AS (SELECT tx.range AS x, ty.range AS y
+        |           FROM range(0,8) tx CROSS JOIN range(0,8) ty),
+        |f AS (SELECT d.doc_id AS media_id, [
+        |    sum((d.doc_id*7  + g.x*3 + g.y*5) % 256),
+        |    sum((d.doc_id*11 + g.x   + g.y*2) % 256),
+        |    sum((d.doc_id*13 + g.x*4 + g.y  ) % 256),
+        |    sum(CASE WHEN g.y < 4 AND g.x < 4 THEN
+        |      (d.doc_id*7+g.x*3+g.y*5)%256 + (d.doc_id*11+g.x+g.y*2)%256
+        |        + (d.doc_id*13+g.x*4+g.y)%256 ELSE 0 END),
+        |    sum(CASE WHEN g.y < 4 AND g.x >= 4 THEN
+        |      (d.doc_id*7+g.x*3+g.y*5)%256 + (d.doc_id*11+g.x+g.y*2)%256
+        |        + (d.doc_id*13+g.x*4+g.y)%256 ELSE 0 END),
+        |    sum(CASE WHEN g.y >= 4 AND g.x < 4 THEN
+        |      (d.doc_id*7+g.x*3+g.y*5)%256 + (d.doc_id*11+g.x+g.y*2)%256
+        |        + (d.doc_id*13+g.x*4+g.y)%256 ELSE 0 END),
+        |    sum(CASE WHEN g.y >= 4 AND g.x >= 4 THEN
+        |      (d.doc_id*7+g.x*3+g.y*5)%256 + (d.doc_id*11+g.x+g.y*2)%256
+        |        + (d.doc_id*13+g.x*4+g.y)%256 ELSE 0 END)]::DOUBLE[] AS v
+        |  FROM documents d
+        |  CROSS JOIN g WHERE d.doc_id < 500 GROUP BY d.doc_id),
+        |q AS (SELECT v FROM f WHERE media_id = 0)
+        |SELECT f.media_id AS media_id,
+        |  round(list_dot_product(f.v, q.v)
+        |    / (sqrt(list_dot_product(f.v, f.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS score
+        |FROM f, q ORDER BY score DESC, media_id ASC LIMIT 10""".stripMargin,
+    // trigram lang-id over the closed multilingual fixture: predicted must
+    // equal the row language for every row (100% fixture accuracy)
+    "lang_id_trigram" ->
+      """SELECT doc_id, lang, lang AS predicted FROM documents
+        |WHERE doc_id < 200 ORDER BY doc_id ASC""".stripMargin,
     // minhash_lsh / simhash_pairs hash families are not expressible in
     // DuckDB — the entries emit one-row derived contracts the oracle asserts
     // (see their scaladoc); exactness additionally covered in PipelineSpec.

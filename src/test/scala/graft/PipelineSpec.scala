@@ -109,4 +109,46 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(out(1L) == out(2L) && out(1L) != out(3L) && out(1L).length == 8)
   }
+
+  test("BMP codec roundtrips random images, incl. padded odd widths") {
+    import graft.pipeline.Multimodal.Bmp
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((8, 8), (5, 3), (1, 1), (7, 2), (16, 4))) {
+      val px = Array.fill(w * h)(rnd.nextInt(0xFFFFFF + 1))
+      val (w2, h2, px2) = Bmp.decode24(Bmp.encode24(w, h, px))
+      assert(w2 == w && h2 == h && px2.toSeq == px.toSeq, s"roundtrip $w x $h")
+    }
+  }
+
+  test("BMP pixel-stat features match a direct computation") {
+    import graft.pipeline.Multimodal
+    val px = Array.tabulate(64) { i => // 8x8, deterministic channels
+      val (x, y) = (i % 8, i / 8)
+      (((x * 29 + y) % 256) << 16) | (((y * 31 + x) % 256) << 8) | ((x * y) % 256)
+    }
+    val f = new Multimodal.BmpStatsDecoder().decode(Multimodal.Bmp.encode24(8, 8, px))
+    def ch(p: Int, s: Int) = (p >> s) & 0xFF
+    assert(f(0) == px.map(ch(_, 16)).sum.toFloat)
+    assert(f(1) == px.map(ch(_, 8)).sum.toFloat)
+    assert(f(2) == px.map(ch(_, 0)).sum.toFloat)
+    val q3 = (for (y <- 4 until 8; x <- 4 until 8) yield {
+      val p = px(y * 8 + x); ch(p, 16) + ch(p, 8) + ch(p, 0)
+    }).sum
+    assert(f(6) == q3.toFloat)
+  }
+
+  test("trigram lang-id classifies held-out sentences and respects CJK script") {
+    import graft.pipeline.LangId
+    val codes = Array("en", "de", "es", "fr", "zh")
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog and runs away" -> "en",
+      "das ist ein schönes Haus und wir haben viele Bücher gelesen" -> "de",
+      "esta es una casa bonita y tenemos muchos libros para leer" -> "es",
+      "c'est une belle maison et nous avons beaucoup de livres à lire" -> "fr",
+      "向量搜索引擎非常好用" -> "zh")
+    for ((text, want) <- cases)
+      assert(LangId.classify(text, codes) == want, s"misclassified: $text")
+    // deterministic: same input, same answer
+    assert(LangId.classify("the cat", codes) == LangId.classify("the cat", codes))
+  }
 }
