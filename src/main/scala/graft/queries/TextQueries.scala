@@ -299,21 +299,29 @@ object TextQueries {
     // (16 bands x 4 rows: P(miss | J=0.6) = (1-0.6^4)^16 ~= 0.1; the hash
     // family is seeded/deterministic so the observed recall is stable).
     "minhash_lsh" -> ((s, dir) => {
+      // pair sets are small (thousands) but their generating joins are not —
+      // persist so the contract's multiple actions run the join once
       val lsh = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)
-      val nPairs = lsh.count()
-      val canonical = lsh.filter(col("id_a") >= col("id_b")).count() == 0
-      val distinctOk =
-        lsh.select("id_a", "id_b").distinct().count() == nPairs
-      val sub = docs(s, dir).filter(col("doc_id") < 2000)
-      val exact = Dedup.ngramJaccardPairs(sub, "doc_id", "text", k = 3,
-          maxDf = None).filter(col("jaccard") >= 0.6)
-      val found = exact.join(
-        lsh.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
-      val total = exact.count()
-      import s.implicits._
-      Seq((canonical, distinctOk, found >= math.ceil(total * 0.8).toLong))
-        .toDF("canonical_ok", "distinct_ok", "recall_ok")
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05).persist()
+      // bounded recall corpus (fixed id range — constant cost at any SF);
+      // the default df cap applies, so "exact" = the capped-exact pair set
+      // the ngram_jaccard entry itself defines (LSH is uncapped, so the cap
+      // can only remove required pairs, never excuse a MinHash miss)
+      val sub = docs(s, dir).filter(col("doc_id") < 1000)
+      val exact = Dedup.ngramJaccardPairs(sub, "doc_id", "text", k = 3)
+        .filter(col("jaccard") >= 0.6).persist()
+      try {
+        val nPairs = lsh.count()
+        val canonical = lsh.filter(col("id_a") >= col("id_b")).count() == 0
+        val distinctOk =
+          lsh.select("id_a", "id_b").distinct().count() == nPairs
+        val found = exact.join(
+          lsh.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
+        val total = exact.count()
+        import s.implicits._
+        Seq((canonical, distinctOk, found >= math.ceil(total * 0.8).toLong))
+          .toDF("canonical_ok", "distinct_ok", "recall_ok")
+      } finally { lsh.unpersist(); exact.unpersist(); () }
     }),
     // SimHash derived contract: returned pairs are canonical, distinct, and
     // within the hamming budget; and on the bounded doc_id<300 subset the
@@ -321,25 +329,28 @@ object TextQueries {
     // <= 3 differing bits => some band is equal) — every exact <= 3 pair is
     // returned.
     "simhash_pairs" -> ((s, dir) => {
-      val pairs = Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
-      val nPairs = pairs.count()
-      val canonical = pairs.filter(col("id_a") >= col("id_b")).count() == 0
-      val distinctOk =
-        pairs.select("id_a", "id_b").distinct().count() == nPairs
-      val withinOk = pairs.filter(col("hamming") > 16).count() == 0
-      import graft.functions.{TextFunctions, TextKernels}
-      val fp = docs(s, dir).filter(col("doc_id") < 300)
-        .select(col("doc_id"),
-          TextKernels.simhash64Col(TextFunctions.tokensWs(col("text"))).as("fp"))
-      val exact3 = fp.as("x").join(fp.as("y"),
-          col("x.doc_id") < col("y.doc_id") &&
-            TextFunctions.hamming64(col("x.fp"), col("y.fp")) <= 3)
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      val missed = exact3.join(
-        pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti").count()
-      import s.implicits._
-      Seq((canonical, distinctOk, withinOk, missed == 0L))
-        .toDF("canonical_ok", "distinct_ok", "within_ok", "complete3_ok")
+      val pairs = Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
+        maxHamming = 16).persist()
+      try {
+        val nPairs = pairs.count()
+        val canonical = pairs.filter(col("id_a") >= col("id_b")).count() == 0
+        val distinctOk =
+          pairs.select("id_a", "id_b").distinct().count() == nPairs
+        val withinOk = pairs.filter(col("hamming") > 16).count() == 0
+        import graft.functions.{TextFunctions, TextKernels}
+        val fp = docs(s, dir).filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            TextKernels.simhash64Col(TextFunctions.tokensWs(col("text"))).as("fp"))
+        val exact3 = fp.as("x").join(fp.as("y"),
+            col("x.doc_id") < col("y.doc_id") &&
+              TextFunctions.hamming64(col("x.fp"), col("y.fp")) <= 3)
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        val missed = exact3.join(
+          pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti").count()
+        import s.implicits._
+        Seq((canonical, distinctOk, withinOk, missed == 0L))
+          .toDF("canonical_ok", "distinct_ok", "within_ok", "complete3_ok")
+      } finally { pairs.unpersist(); () }
     }),
     // Multimodal end-to-end with a REAL decoder: synthetic 8×8 24bpp BMPs
     // (closed-form pixel formula per media_id) → binary column →
