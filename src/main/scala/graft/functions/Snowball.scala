@@ -35,6 +35,7 @@ object Snowball {
     "hungarian" -> Hungarian.stem _,
     "romanian" -> Romanian.stem _,
     "armenian" -> Armenian.stem _,
+    "turkish" -> SnowballTurkish.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's

@@ -113,6 +113,16 @@ class AnalyzerSpec extends SparkTestBase {
     assert(out == Seq("haus", "buch", "schon", "stadt"), out.toString)
   }
 
+  test("multilingual analyzer handles a Turkish sentence end-to-end") {
+    // "ve" ("and") is a Turkish stopword; stems oracle-checked against
+    // PostgreSQL turkish_stem: kitaplar→kitap, evlerimizde→ev,
+    // güzeldir→güzel, okuldan→okul
+    val out = run(
+      analyzeMultilingual(col("t"), "turkish"),
+      "Kitaplar ve evlerimizde güzeldir okuldan")
+    assert(out == Seq("kitap", "ev", "güzel", "okul"), out.toString)
+  }
+
   test("analyze pipeline composes: word + fold + stopwords + stem") {
     val out = run(analyze(col("t"), word = true, asciiFolding = true,
       stopwords = Seq("the"), stem = true), "The Cafés: relational conditions!")
