@@ -36,6 +36,7 @@ object Snowball {
     "romanian" -> Romanian.stem _,
     "armenian" -> Armenian.stem _,
     "turkish" -> SnowballTurkish.stem _,
+    "arabic" -> SnowballArabic.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's
