@@ -123,6 +123,16 @@ class AnalyzerSpec extends SparkTestBase {
     assert(out == Seq("kitap", "ev", "güzel", "okul"), out.toString)
   }
 
+  test("multilingual analyzer handles an Arabic sentence end-to-end") {
+    // "في" ("in") is an Arabic stopword; stems oracle-checked against
+    // PostgreSQL arabic_stem: الكتب→كتب, المدارس→مدارس, جميلة→جميل,
+    // المعلمون→معلم
+    val out = run(
+      analyzeMultilingual(col("t"), "arabic"),
+      "الكتب في المدارس جميلة المعلمون")
+    assert(out == Seq("كتب", "مدارس", "جميل", "معلم"), out.toString)
+  }
+
   test("analyze pipeline composes: word + fold + stopwords + stem") {
     val out = run(analyze(col("t"), word = true, asciiFolding = true,
       stopwords = Seq("the"), stem = true), "The Cafés: relational conditions!")
