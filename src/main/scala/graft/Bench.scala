@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark entrypoint. Prints ONE compact JSON line with total wall time
   * and per-query seconds for the headline query set.
@@ -11,6 +11,20 @@ import org.apache.spark.sql.SparkSession
   * masquerade as a 2x regression. The cold total is carried alongside in
   * `cold_total` for comparability with earlier rounds (which were
   * single-run cold).
+  *
+  * Round-5 hygiene (per round-4 review):
+  *  - Exceptions are NOT swallowed into fast fake times anymore: a failing
+  *    query is recorded under `errs` (class name) and excluded from every
+  *    total and per-query map. The correctness run still catches breakage;
+  *    the bench now refuses to reward it.
+  *  - `simhash_pairs` and `minhash_lsh` are timed as the BARE operators
+  *    (`Dedup.simhashPairs` / `minhashLshPairs`, same parameters as the
+  *    catalog entries) — the catalog entries additionally run their derived
+  *    correctness contract (several extra Spark actions), which belongs to
+  *    the correctness run, not the timing loop.
+  *  - The untimed session warm-up uses the two queries it always did, but
+  *    those two are now EXCLUDED from the cold map and `cold_total` (they
+  *    were the only entries whose "cold" number was actually warm).
   *
   * The JSON line is deliberately kept short (headline subset, 3-decimal
   * seconds): the harness that collects it keeps only the tail of the
@@ -46,6 +60,23 @@ object Bench {
     "analyzed_term_facet", "analyzed_multilang_facet", "multimodal_embed_knn",
   )
 
+  /** Bare-operator replacements for catalog entries whose query function
+    * runs an in-query derived-correctness contract (extra counts/joins that
+    * would otherwise be timed as if they were the operator). Parameters
+    * match the corresponding catalog entries exactly. */
+  private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "minhash_lsh" -> ((s, dir) => graft.pipeline.Dedup.minhashLshPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)),
+      "simhash_pairs" -> ((s, dir) => graft.pipeline.Dedup.simhashPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 16)),
+    )
+
+  /** Untimed session warm-up (catalog init, first codegen); excluded from
+    * the cold map so every reported cold number is uniformly first-touch. */
+  private val warmup = Seq("knn_dot", "analyzed_term_facet")
+
   private val warmReps = 3
 
   def main(args: Array[String]): Unit = {
@@ -61,47 +92,62 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def run(n: String): Unit =
+      operatorOnly.getOrElse(n, SparkEntry.queries(n))(spark, sfDir).count(): Unit
+
     // Untimed warm-up of the session itself (catalog init, first codegen).
     // Measured: an in-memory .cache() of the inputs is a net LOSS here —
     // float-array columns decompress from the columnar cache slower than
     // parquet reads served from the OS page cache — so scans stay on parquet.
-    for (w <- Seq("knn_dot", "analyzed_term_facet"))
-      try SparkEntry.queries(w)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    for (w <- warmup) try run(w) catch { case _: Throwable => () }
 
-    def time(fn: () => Unit): Double = {
+    // Right = seconds; Left = failure (recorded, excluded from totals).
+    def time(fn: () => Unit): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn() catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => Left(e.getClass.getSimpleName) }
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // Pass 1: cold (alphabetical, one run each — matches rounds 1-3 protocol).
-    val cold = names.map { n =>
-      n -> time(() => SparkEntry.queries(n)(spark, sfDir).count())
+    // Pass 1: cold (alphabetical, one run each — matches rounds 1-3 protocol;
+    // warm-up queries excluded, their first touch already happened above).
+    val cold = names.filterNot(warmup.contains).map { n =>
+      n -> time(() => run(n))
     }.toMap
     // Passes 2..4: warm; median per query.
     val warmRuns = (1 to warmReps).map { _ =>
-      names.map { n =>
-        n -> time(() => SparkEntry.queries(n)(spark, sfDir).count())
-      }.toMap
+      names.map { n => n -> time(() => run(n)) }.toMap
     }
-    val warmMedian = names.map { n =>
-      val xs = warmRuns.map(_(n)).sorted
+    val errs: Map[String, String] =
+      (cold.collect { case (n, Left(e)) => n -> e } ++
+        warmRuns.flatten.collect { case (n, Left(e)) => n -> e }).toMap
+    val warmMedian = names.filterNot(errs.contains).map { n =>
+      val xs = warmRuns.map(_(n)).collect { case Right(v) => v }.sorted
       n -> xs(xs.length / 2)
     }.toMap
+    val coldOk = cold.collect { case (n, Right(v)) if !errs.contains(n) => n -> v }
 
     def fmt(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+    def fmtS(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
 
     val warmTotal = warmMedian.values.sum
-    val coldTotal = cold.values.sum
+    val coldTotal = coldOk.values.sum
+    val errJson =
+      if (errs.isEmpty) "" else s""","errs":${fmtS(errs.toSeq.sortBy(_._1))}"""
+    // Short line caps errs at 5 (plus a count) so a mass failure cannot
+    // push the JSON past the collector's 2000-char output tail.
+    val errJsonShort =
+      if (errs.isEmpty) ""
+      else s""","err_count":${errs.size},"errs":${fmtS(errs.toSeq.sortBy(_._1).take(5))}"""
     val headlineEntries = headline.flatMap(n => warmMedian.get(n).map(n -> _))
     val fullJson =
       s"""{"metric":"total","value":${f"$warmTotal%.3f"},"unit":"sec","reps":$warmReps,""" +
-        s""""cold_total":${f"$coldTotal%.3f"},"cold":${fmt(cold.toSeq.sortBy(_._1))},""" +
-        s""""queries":${fmt(warmMedian.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+        s""""cold_total":${f"$coldTotal%.3f"},"cold":${fmt(coldOk.toSeq.sortBy(_._1))},""" +
+        s""""queries":${fmt(warmMedian.toSeq.sortBy(_._1))}$errJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -109,7 +155,7 @@ object Bench {
     } catch { case _: Throwable => () }
     val line =
       s"""{"metric":"total","value":${f"$warmTotal%.3f"},"unit":"sec","reps":$warmReps,""" +
-        s""""cold_total":${f"$coldTotal%.3f"},"queries":${fmt(headlineEntries)},"sf":"$sfDir"}"""
+        s""""cold_total":${f"$coldTotal%.3f"},"queries":${fmt(headlineEntries)}$errJsonShort,"sf":"$sfDir"}"""
     spark.stop()
     // Last line of process output — see class doc.
     println(line)

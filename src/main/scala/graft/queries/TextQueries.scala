@@ -294,7 +294,7 @@ object TextQueries {
     }),
     // MinHash-LSH derived contract (hash family not SQL-expressible; the
     // oracle asserts this one-row contract): pairs are canonical
-    // (id_a < id_b) and distinct, and on the bounded doc_id<2000 subset the
+    // (id_a < id_b) and distinct, and on the bounded doc_id<1000 subset the
     // banded index recovers >= 80% of the exact n-gram-Jaccard >= 0.6 pairs
     // (16 bands x 4 rows: P(miss | J=0.6) = (1-0.6^4)^16 ~= 0.1; the hash
     // family is seeded/deterministic so the observed recall is stable).

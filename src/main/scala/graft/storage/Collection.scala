@@ -113,7 +113,15 @@ final class Collection(
     * Guard (r3 bench: the unconditional aggregation roughly doubled
     * `mutation_pipeline`): one cheap count/count-distinct agg over the batch
     * first — when ids are already unique (the common case) the batch is used
-    * as-is and the ordinal+max_by shuffle never enters the write plan. */
+    * as-is and the ordinal+max_by shuffle never enters the write plan.
+    *
+    * Determinism assumption: the guard's head() action and the subsequent
+    * write evaluate the batch plan twice, so `points` must be a
+    * deterministic DataFrame (local batch, parquet-backed, or otherwise
+    * re-evaluation-stable — true for every UpdateOp source in this API).
+    * A non-deterministic source (e.g. an unseeded rand() column) could pass
+    * the duplicate-free check yet materialize duplicates in the write;
+    * callers with such a source must persist/localCheckpoint first. */
   private def lastWins(points: DataFrame): DataFrame = {
     val idc = col(config.idCol)
     val row = points.agg(
