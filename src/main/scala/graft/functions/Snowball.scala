@@ -37,6 +37,7 @@ object Snowball {
     "armenian" -> Armenian.stem _,
     "turkish" -> SnowballTurkish.stem _,
     "arabic" -> SnowballArabic.stem _,
+    "greek" -> SnowballGreek.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's

@@ -133,6 +133,16 @@ class AnalyzerSpec extends SparkTestBase {
     assert(out == Seq("كتب", "مدارس", "جميل", "معلم"), out.toString)
   }
 
+  test("multilingual analyzer handles a Greek sentence end-to-end") {
+    // "τα"/"και"/"οι" are Greek stopwords; stems oracle-checked against
+    // PostgreSQL greek_stem: όμορφα→ομορφ, βιβλία→βιβλ, δάσκαλοι→δασκαλ
+    // (the stemmer de-accents internally)
+    val out = run(
+      analyzeMultilingual(col("t"), "greek"),
+      "τα όμορφα βιβλία και οι δάσκαλοι")
+    assert(out == Seq("ομορφ", "βιβλ", "δασκαλ"), out.toString)
+  }
+
   test("analyze pipeline composes: word + fold + stopwords + stem") {
     val out = run(analyze(col("t"), word = true, asciiFolding = true,
       stopwords = Seq("the"), stem = true), "The Cafés: relational conditions!")
