@@ -20,7 +20,13 @@ WEAK = [
 ]
 TENSE = [("ட்ட்", "டு", None), ("ற்ற்", "", None), ("ன்ற்", "ல்", None)]
 
+def dedup_pu(w):
+    while w.endswith("்்"):
+        w = w[:-1]
+    return w
+
 def fix(w, rules, repeat):
+    w = dedup_pu(w)
     while True:
         best = None
         for s, r, g in rules:
@@ -65,8 +71,8 @@ def stem(word):
     w = word
     def ml(): return len(w) > 4
 
-    # question prefixes: [அஇஎ] C ் (needs enough left)
-    if len(w) >= 5 and w[0] in "அஇஎ" and w[2] == PU:
+    # question prefixes: [அஇஉஎ] C ் with C a doubling-sandhi consonant
+    if len(w) >= 5 and w[0] in "அஇஉஎ" and w[1] in "கசதபவநமயஙஞ" and w[2] == PU:
         w = w[3:]
 
     w = entry_fix(w)
@@ -75,7 +81,7 @@ def stem(word):
     # question suffixes
     for s in ("ோ", "ே", "ா"):
         if w.endswith(s) and ml():
-            w = w[:-1] + PU
+            w = dedup_pu(w[:-1] + PU)
             w = fix(w, FULL, True)
             break
 
@@ -92,7 +98,7 @@ def stem(word):
         e = longest_of(w, entries)
         if e is not None:
             s, r, mode = e
-            w = w[:-len(s)] + r
+            w = dedup_pu(w[:-len(s)] + r)
             if mode == "per":
                 w = fix(w, TENSE, False)
 
@@ -114,7 +120,7 @@ def stem(word):
         e = longest_of(w, ums)
         if e is not None:
             s, r, tab = e
-            w = w[:-len(s)] + r
+            w = dedup_pu(w[:-len(s)] + r)
             if tab is not None: w = fix(w, tab, True)
 
     # common word endings
@@ -133,7 +139,7 @@ def stem(word):
         e = longest_of(w, commons)
         if e is not None:
             s, r, tab, rep = e
-            w = w[:-len(s)] + r
+            w = dedup_pu(w[:-len(s)] + r)
             if tab is not None: w = fix(w, tab, rep)
 
     # vetrumai urupukal
@@ -143,7 +149,7 @@ def stem(word):
         e = longest_of(w, vets)
         if e is not None:
             s, r = e
-            w = w[:-len(s)] + r
+            w = dedup_pu(w[:-len(s)] + r)
             if r == PU: w = fix(w, VET, True)
     return w
 
