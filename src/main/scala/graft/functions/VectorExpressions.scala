@@ -109,4 +109,168 @@ object VecKernels {
     GraftShim.column(VecL2Sq(expr(a), expr(b)))
   def l1(a: Column, b: Column): Column =
     GraftShim.column(VecL1(expr(a), expr(b)))
+  def f16Encode(a: Column): Column =
+    GraftShim.column(F16EncodeExpr(expr(a)))
+  def f16Dot(halfBits: Column, q: Column): Column =
+    GraftShim.column(VecF16Dot(expr(halfBits), expr(q)))
+  def i8Dot(a: Column, b: Column): Column =
+    GraftShim.column(VecI8Dot(expr(a), expr(b)))
+}
+
+/** IEEE-754 binary16 (half) conversion helpers. JDK 17 lacks
+  * `Float.floatToFloat16` (added in 20), so the classic bit algorithm is
+  * implemented here; `toHalf` rounds half-up at the dropped-bit boundary.
+  * Top-level object → scalac emits static forwarders, so generated code can
+  * call `graft.functions.F16.toFloat(...)` directly. */
+object F16 {
+  def toHalf(fval: Float): Short = {
+    val fbits = java.lang.Float.floatToIntBits(fval)
+    val sign = (fbits >>> 16) & 0x8000
+    var v = (fbits & 0x7FFFFFFF) + 0x1000
+    if (v >= 0x47800000) { // rounds to >= 2^16 -> Inf, or NaN passthrough
+      if ((fbits & 0x7FFFFFFF) >= 0x47800000) {
+        if ((fbits & 0x7FFFFFFF) < 0x7F800000) (sign | 0x7C00).toShort
+        else (sign | 0x7C00 | ((fbits & 0x007FFFFF) >>> 13) | 0x0200).toShort
+      } else (sign | 0x7BFF).toShort // rounded up to max finite
+    } else if (v >= 0x38800000) { // normalized half
+      (sign | ((v - 0x38000000) >>> 13)).toShort
+    } else if (v < 0x33000000) { // too small -> +-0
+      sign.toShort
+    } else { // subnormal half
+      val e = (fbits & 0x7FFFFFFF) >>> 23
+      (sign | ((((fbits & 0x7FFFFF) | 0x800000) + (0x800000 >>> (e - 102))) >>> (126 - e))).toShort
+    }
+  }
+
+  def toFloat(h: Short): Float = {
+    val hbits = h & 0xFFFF
+    var mant = hbits & 0x03FF
+    var exp = hbits & 0x7C00
+    if (exp == 0x7C00) exp = 0x3FC00
+    else if (exp != 0) exp += 0x1C000
+    else if (mant != 0) {
+      exp = 0x1C400
+      while ({ mant <<= 1; (mant & 0x400) == 0 }) exp -= 0x400
+      mant &= 0x3FF
+    }
+    java.lang.Float.intBitsToFloat(((hbits & 0x8000) << 16) | ((exp | mant) << 13))
+  }
+}
+
+/** array<float|double> → array<smallint> of IEEE-754 half bits — the f16
+  * storage element type (`VectorStorageDatatype::Float16`,
+  * `lib/segment/src/types.rs:2039`, element types
+  * `data_types/vectors.rs:253-257`). Halves vector scan bytes at 100 TB. */
+case class F16EncodeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = F16.toHalf(if (elemIsFloat) a.getFloat(i) else a.getDouble(i).toFloat)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val tmp = ctx.freshName("tmp")
+      val get = if (elemIsFloat) s"$c.getFloat($i)" else s"(float) $c.getDouble($i)"
+      s"""
+         |int $n = $c.numElements();
+         |short[] $tmp = new short[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $tmp[$i] = graft.functions.F16.toHalf($get);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Fused decode+dot: Σ half(aᵢ)·bᵢ over (array<smallint> half bits,
+  * array<float|double>) — scores f16-stored vectors without materializing a
+  * decoded array per row. */
+case class VecF16Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  private def rIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = math.min(la.numElements(), ra.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val b = if (rIsFloat) ra.getFloat(i).toDouble else ra.getDouble(i)
+      acc += F16.toFloat(la.getShort(i)).toDouble * b
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getR = if (rIsFloat) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) graft.functions.F16.toFloat($l.getShort($i))) * $getR;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Integer dot over two array<tinyint> columns (i8/u8 storage element type,
+  * `VectorStorageDatatype::Uint8` `types.rs:2039`): Σ aᵢ·bᵢ as BIGINT —
+  * exact integer arithmetic, reproducible bit-for-bit in any engine. */
+case class VecI8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = math.min(la.numElements(), ra.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += la.getByte(i).toLong * ra.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $l.getByte($i)) * ((long) $r.getByte($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }

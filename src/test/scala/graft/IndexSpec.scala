@@ -128,4 +128,56 @@ class IndexSpec extends SparkTestBase {
     // doc1: 2a,1b → 2*2+1=5; doc2: 3b → 3; doc3: 1a → 2
     assert(got == Map(1L -> 5.0, 2L -> 3.0, 3L -> 2.0))
   }
+
+  test("f16 codec: round-trip error bound, idempotence, exact representables") {
+    import graft.functions.F16
+    // exactly-representable halves survive the round trip bit-for-bit
+    for (x <- Seq(0.0f, 1.0f, -1.0f, 0.5f, 0.25f, -2.5f, 1024f, 6.1035156e-5f))
+      assert(F16.toFloat(F16.toHalf(x)) == x, s"exact $x")
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20000) {
+      val x = (rnd.nextFloat() - 0.5f) * 200f
+      val y = F16.toFloat(F16.toHalf(x))
+      // relative error <= 2^-11 for normal halves
+      assert(math.abs(y - x) <= math.abs(x) * 4.8829e-4 + 1e-7, s"$x -> $y")
+      // idempotence: encode(decode(encode(x))) == encode(x)
+      assert(F16.toHalf(y) == F16.toHalf(x), s"idempotent $x")
+    }
+    // overflow saturates to infinity, sign preserved
+    assert(F16.toFloat(F16.toHalf(1e9f)).isPosInfinity)
+    assert(F16.toFloat(F16.toHalf(-1e9f)).isNegInfinity)
+  }
+
+  test("f16/i8 kernels agree with reference math on DataFrame columns") {
+    import graft.index.VectorCodec
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val df = rows.toDF("id", "v")
+    val q = rows.head._2.map(_.toDouble)
+    // f16: fused kernel equals decode-then-dot computed on the driver
+    val gotH = df.select(col("id"),
+        VectorCodec.f16Dot(VectorCodec.toF16(col("v")), typedlit(q)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, v) <- rows) {
+      val expect = v.zip(q).map { case (a, b) =>
+        graft.functions.F16.toFloat(graft.functions.F16.toHalf(a)).toDouble * b
+      }.sum
+      assert(math.abs(gotH(id) - expect) < 1e-12, s"f16 id=$id")
+    }
+    // i8: integer dot is exact vs the same arithmetic on the driver
+    val enc = df.select(col("id"), VectorCodec.toI8(col("v")).as("v8"))
+    val q8 = enc.filter(col("id") === 1L).head().getSeq[Byte](1)
+    val got8 = enc.select(col("id"),
+        VectorCodec.i8Dot(col("v8"), typedlit(q8)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def i8(x: Float): Long =
+      math.max(-127, math.min(127, math.floor(x.toDouble * 127 + 0.5))).toLong
+    for ((id, v) <- rows) {
+      val expect = v.map(i8).zip(q8.map(_.toLong)).map { case (a, b) => a * b }.sum
+      assert(got8(id) == expect, s"i8 id=$id")
+    }
+  }
 }
