@@ -25,11 +25,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object LangId {
 
-  /** ISO code → stopword-resource language name, for the common set. */
+  /** ISO code → stopword-resource language name — every shipped stopword
+    * set under `/stopwords/` (30 languages) is a usable profile source. */
   val codeToLang: Map[String, String] = Map(
     "en" -> "english", "de" -> "german", "es" -> "spanish",
     "fr" -> "french", "it" -> "italian", "pt" -> "portuguese",
-    "nl" -> "dutch", "ru" -> "russian", "zh" -> "chinese")
+    "nl" -> "dutch", "ru" -> "russian", "zh" -> "chinese",
+    "ar" -> "arabic", "az" -> "azerbaijani", "eu" -> "basque",
+    "bn" -> "bengali", "ca" -> "catalan", "da" -> "danish",
+    "fi" -> "finnish", "el" -> "greek", "he" -> "hebrew",
+    "hu" -> "hungarian", "id" -> "indonesian", "ja" -> "japanese",
+    "kk" -> "kazakh", "ne" -> "nepali", "no" -> "norwegian",
+    "ro" -> "romanian", "sl" -> "slovene", "sv" -> "swedish",
+    "tg" -> "tajik", "tr" -> "turkish")
 
   /** Padded trigrams of the lowercased text: non-letter runs collapse to a
     * single space, each word is padded with one space per side. */
@@ -44,45 +52,67 @@ object LangId {
     }
   }
 
-  /** Trigram → relative frequency over the language's stopword list. */
-  private val profileCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+  /** Rank a trigram count map: most frequent first, ties broken by the
+    * trigram itself (determinism), truncated to `maxRank`. */
+  private def rankOf(counts: collection.Map[String, Int]): Map[String, Int] =
+    counts.toSeq.sortBy { case (tg, n) => (-n, tg) }
+      .take(maxRank).zipWithIndex
+      .map { case ((tg, _), r) => tg -> r }.toMap
 
-  def profile(lang: String): Map[String, Double] =
+  private val maxRank = 300
+
+  /** Trigram → frequency RANK over the language's stopword list (the
+    * Cavnar-Trenkle profile: rank order, not raw frequency — raw-frequency
+    * scoring biases toward small profiles whose relative frequencies run
+    * high). */
+  private val profileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()
+
+  def profile(lang: String): Map[String, Int] =
     profileCache.computeIfAbsent(lang, { l =>
       val words = graft.functions.Stopwords.forLanguage(l)
       require(words.nonEmpty, s"no stopword resource for language: $l")
       val counts = scala.collection.mutable.Map.empty[String, Int]
       for (w <- words; tg <- trigrams(w)) counts(tg) = counts.getOrElse(tg, 0) + 1
-      val total = counts.values.sum.toDouble
-      counts.map { case (k, v) => k -> v / total }.toMap
+      rankOf(counts)
     })
 
-  private def cjkRatio(text: String): Double = {
-    var cjk = 0; var letters = 0
+  private def scriptRatios(text: String): (Double, Double) = {
+    var cjk = 0; var kana = 0; var letters = 0
     for (c <- text) if (Character.isLetter(c)) {
       letters += 1
       val b = Character.UnicodeBlock.of(c)
-      if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
-          b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A ||
-          b == Character.UnicodeBlock.HIRAGANA ||
-          b == Character.UnicodeBlock.KATAKANA) cjk += 1
+      if (b == Character.UnicodeBlock.HIRAGANA ||
+          b == Character.UnicodeBlock.KATAKANA) { kana += 1; cjk += 1 }
+      else if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+          b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A) cjk += 1
     }
-    if (letters == 0) 0.0 else cjk.toDouble / letters
+    if (letters == 0) (0.0, 0.0)
+    else (cjk.toDouble / letters, kana.toDouble / letters)
   }
 
-  /** Classify into one of `codes` (ISO codes from [[codeToLang]]).
+  /** Classify into one of `codes` (ISO codes from [[codeToLang]]) by the
+    * Cavnar-Trenkle out-of-place measure: rank the text's own trigrams,
+    * then score each language as Σ |text rank − profile rank| with a
+    * max-rank penalty for trigrams absent from the profile; argmin wins.
+    * Script short-circuits first (kana → ja, han → zh) — for those scripts
+    * the signal is the script itself, as real language-ID systems use.
     * Deterministic: ties break on the lexicographically smallest code. */
   def classify(text: String, codes: Array[String]): String = {
-    if (codes.contains("zh") && cjkRatio(text) > 0.3) return "zh"
-    val tgs = trigrams(text)
+    val (cjk, kana) = scriptRatios(text)
+    if (codes.contains("ja") && kana > 0.05) return "ja"
+    if (codes.contains("zh") && cjk > 0.3) return "zh"
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for (tg <- trigrams(text)) counts(tg) = counts.getOrElse(tg, 0) + 1
+    val textRanks = rankOf(counts)
     var best: String = null
-    var bestScore = -1.0
-    for (code <- codes.sorted if code != "zh") {
+    var bestScore = Long.MaxValue
+    for (code <- codes.sorted if code != "zh" && code != "ja") {
       val p = profile(codeToLang(code))
-      var s = 0.0
-      for (tg <- tgs) s += p.getOrElse(tg, 0.0)
-      if (s > bestScore) { bestScore = s; best = code }
+      var s = 0L
+      for ((tg, tr) <- textRanks)
+        s += math.abs(tr - p.getOrElse(tg, maxRank)).toLong
+      if (s < bestScore) { bestScore = s; best = code }
     }
     if (best == null) codes.sorted.head else best
   }

@@ -154,6 +154,49 @@ object PhraseFixture {
   }
 }
 
+/** Held-out open-text sample for trigram language-ID validation: authored
+  * sentences (everyday prose, NOT drawn from the stopword lists that build
+  * the profiles — content words dominate), one per supported language
+  * across 22 languages / 8 scripts. The oracle encodes the TRUE language as
+  * the expected prediction for every row — a 100% holdout-accuracy bar. */
+object LangIdHoldoutFixture {
+  val rows: Seq[(Long, String, String)] = Seq(
+    1L -> "en" -> "the quick brown fox jumps over the lazy dog while the children watch from the garden near the old wooden bridge",
+    2L -> "de" -> "die Kinder spielen im Garten hinter dem alten Haus und die Mutter kocht das Abendessen für die ganze Familie",
+    3L -> "es" -> "los niños juegan en el jardín detrás de la casa vieja mientras la madre prepara la cena para toda la familia",
+    4L -> "fr" -> "les enfants jouent dans le jardin derrière la vieille maison pendant que la mère prépare le dîner pour toute la famille",
+    5L -> "it" -> "i bambini giocano nel giardino dietro la vecchia casa mentre la madre prepara la cena per tutta la famiglia",
+    6L -> "pt" -> "não sei se você está em casa mas as crianças já estão no jardim com uma bola e não querem fazer mais nada além de brincar até a noite",
+    7L -> "nl" -> "de kinderen spelen in de tuin achter het oude huis terwijl de moeder het avondeten voor het hele gezin kookt",
+    8L -> "ru" -> "дети играют в саду за старым домом пока мать готовит ужин для всей семьи вечером после работы",
+    9L -> "da" -> "børnene leger i haven bag det gamle hus mens moderen laver aftensmad til hele familien om aftenen",
+    10L -> "sv" -> "barnen leker i trädgården bakom det gamla huset medan mamman lagar middag till hela familjen på kvällen",
+    11L -> "no" -> "hva slags mat liker dere å lage av grønnsakene fra hagen når noen av vennene deres kommer på besøk om kvelden",
+    12L -> "fi" -> "lapset leikkivät puutarhassa vanhan talon takana kun äiti valmistaa illallista koko perheelle illalla",
+    13L -> "hu" -> "a gyerekek a kertben játszanak a régi ház mögött míg az anya vacsorát készít az egész családnak",
+    14L -> "tr" -> "çocuklar eski evin arkasındaki bahçede oynuyor ve anne bütün aile için akşam yemeği hazırlıyor",
+    15L -> "el" -> "τα παιδιά παίζουν στον κήπο πίσω από το παλιό σπίτι ενώ η μητέρα ετοιμάζει το δείπνο για όλη την οικογένεια",
+    16L -> "ar" -> "يلعب الأطفال في الحديقة خلف المنزل القديم بينما تعد الأم العشاء لجميع أفراد العائلة في المساء",
+    17L -> "he" -> "הילדים משחקים בגינה מאחורי הבית הישן בזמן שהאמא מכינה ארוחת ערב לכל המשפחה",
+    18L -> "id" -> "anak anak bermain di kebun di belakang rumah tua sementara ibu menyiapkan makan malam untuk seluruh keluarga",
+    19L -> "ca" -> "els nens juguen al jardí darrere de la casa vella mentre la mare prepara el sopar per a tota la família",
+    20L -> "ro" -> "copiii se joacă în grădină în spatele casei vechi în timp ce mama pregătește cina pentru toată familia",
+    21L -> "zh" -> "孩子们在老房子后面的花园里玩耍而母亲正在为全家人准备晚餐",
+    22L -> "ja" -> "子供たちは古い家の裏の庭で遊んでいて母親は家族のために夕食を作っています",
+  ).map { case ((id, code), text) => (id, code, text) }
+
+  val codes: Seq[String] = rows.map(_._2).distinct.sorted
+
+  /** VALUES oracle: expected prediction = true language for every row. */
+  def oracleSql: String = {
+    val vals = rows.map { case (id, code, _) => s"($id, '$code', '$code')" }
+      .mkString(", ")
+    s"""SELECT row_id::BIGINT AS row_id, lang, predicted
+       |FROM (VALUES $vals) t(row_id, lang, predicted)
+       |ORDER BY row_id ASC""".stripMargin
+  }
+}
+
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -400,6 +443,19 @@ object TextQueries {
             Seq("en", "de", "es", "fr", "zh")).as("predicted"))
         .orderBy(col("doc_id"))
     }),
+    // Open-text holdout for the trigram classifier: 22 languages / 8
+    // scripts of authored prose OUTSIDE the profile source (profiles come
+    // from stopword lists; these sentences are dominated by content words).
+    // The oracle pins predicted = true language for every row — a 100%
+    // holdout bar over the full 22-way label space.
+    "lang_id_holdout" -> ((s, dir) => {
+      import s.implicits._
+      LangIdHoldoutFixture.rows.toDF("row_id", "lang", "text")
+        .select(col("row_id"), col("lang"),
+          graft.pipeline.LangId.langIdTrigram(col("text"),
+            LangIdHoldoutFixture.codes).as("predicted"))
+        .orderBy(col("row_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -551,6 +607,7 @@ object TextQueries {
     "lang_id_trigram" ->
       """SELECT doc_id, lang, lang AS predicted FROM documents
         |WHERE doc_id < 200 ORDER BY doc_id ASC""".stripMargin,
+    "lang_id_holdout" -> LangIdHoldoutFixture.oracleSql,
     // minhash_lsh / simhash_pairs hash families are not expressible in
     // DuckDB — the entries emit one-row derived contracts the oracle asserts
     // (see their scaladoc); exactness additionally covered in PipelineSpec.
