@@ -95,8 +95,19 @@ object PointQuery {
       // ---- rescore-over-prefetch nodes ----
       case FusionQ(kind, weights) =>
         require(q.prefetches.nonEmpty, "Fusion requires prefetches")
-        val children = q.prefetches.map(c =>
-          Fusion.Source(execute(spark, points, idCol, resolver, c)))
+        val children = q.prefetches.map { c =>
+          val df = execute(spark, points, idCol, resolver, c)
+          c.scoring match {
+            case OrderByField(field, asc, _) =>
+              // scroll leaves carry no similarity score; fuse on the order
+              // value (the reference's ScoredPoint.order_value), with the
+              // rank direction following the leaf's sort direction
+              Fusion.Source(df.select(col(idCol),
+                col(field).cast("double").as("score")), largerBetter = !asc)
+            case Nearest(_, m, _) => Fusion.Source(df, m.largerBetter)
+            case _ => Fusion.Source(df)
+          }
+        }
         kind match {
           case "rrf" => Fusion.rrf(children, idCol, k = 2, weights, q.limit)
           case "dbsf" => Fusion.dbsf(children, idCol, weights, q.limit)

@@ -128,6 +128,32 @@ object IndexQueries {
         limit = 10)
       execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), q)
     }),
+    // Three-level prefetch DAG (the deep shape planned_query.rs:368-460
+    // must plan): DBSF root over [ RRF(filtered-dot, cosine) ; a Euclid
+    // rescore whose own prefetch is a dot search ; an OrderBy-scroll leaf
+    // fused on its order value ]. Every node's list is <= its limit, so
+    // the whole tree above the leaves is broadcast-sized — depth adds no
+    // extra scans of the points table beyond the four leaves.
+    "prefetch_deep" -> ((s, dir) => {
+      import PointQuery._
+      val e = emb(s, dir)
+      val m1 = Query(FusionQ("rrf"), prefetches = Seq(
+        Query(Nearest("embedding", Dot, v7(s, dir)),
+          filter = Some(Filter.mustAll(RangeCond("label", lt = Some(5)))),
+          limit = 20),
+        Query(Nearest("embedding", Cosine, Tables.embeddingOf(s, dir, 42L)),
+          limit = 20)),
+        limit = 15)
+      val m2 = Query(
+        Nearest("embedding", Euclid, Tables.embeddingOf(s, dir, 13L)),
+        prefetches = Seq(
+          Query(Nearest("embedding", Dot, Tables.embeddingOf(s, dir, 11L)),
+            limit = 30)),
+        limit = 15)
+      val l3 = Query(OrderByField("label", asc = true), limit = 15)
+      val root = Query(FusionQ("dbsf"), prefetches = Seq(m1, m2, l3), limit = 10)
+      execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), root)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +219,50 @@ object IndexQueries {
         |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
         |u AS (SELECT vec_id, 1.0/(pos/1.0 + 1.0) AS c FROM ar
         |      UNION ALL SELECT vec_id, 1.0/(pos/1.0 + 1.0) AS c FROM br)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // same recursive CTE decomposition as prefetch_dag_rrf, one CTE per
+    // DAG node, child scores rounded at each node boundary exactly as the
+    // engine rounds them
+    "prefetch_deep" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),
+        |q13 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=13),
+        |q11 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |      FROM embeddings e, q7 WHERE e.label < 5
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q42.v, q42.v))), 6) AS s
+        |      FROM embeddings e, q42 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
+        |u1 AS (SELECT vec_id, 1.0/(pos + 1.0) AS c FROM ar
+        |       UNION ALL SELECT vec_id, 1.0/(pos + 1.0) AS c FROM br),
+        |m1 AS (SELECT vec_id, round(sum(c), 6) AS s FROM u1 GROUP BY vec_id
+        |       ORDER BY s DESC, vec_id ASC LIMIT 15),
+        |pre AS (SELECT e.vec_id AS vec_id,
+        |          round(list_dot_product(e.embedding::DOUBLE[], q11.v), 6) AS s
+        |        FROM embeddings e, q11 ORDER BY s DESC, vec_id ASC LIMIT 30),
+        |m2 AS (SELECT e.vec_id AS vec_id,
+        |         round(list_distance(e.embedding::DOUBLE[], q13.v), 6) AS s
+        |       FROM embeddings e JOIN pre ON e.vec_id = pre.vec_id, q13
+        |       ORDER BY s ASC, vec_id ASC LIMIT 15),
+        |l3 AS (SELECT vec_id, label::DOUBLE AS s FROM embeddings
+        |       ORDER BY label ASC, vec_id ASC LIMIT 15),
+        |s1 AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM m1),
+        |s2 AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM m2),
+        |s3 AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM l3),
+        |n1 AS (SELECT vec_id, CASE WHEN n = 1 OR sd = 0 THEN 0.5
+        |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM m1, s1),
+        |n2 AS (SELECT vec_id, CASE WHEN n = 1 OR sd = 0 THEN 0.5
+        |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM m2, s2),
+        |n3 AS (SELECT vec_id, CASE WHEN n = 1 OR sd = 0 THEN 0.5
+        |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM l3, s3),
+        |u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3)
         |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "prefetch_rescore" ->
