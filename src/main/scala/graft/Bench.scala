@@ -42,11 +42,12 @@ object Bench {
     * emitted JSON line stays well under the collector's 2000-char tail. */
   private val headline: Seq[String] = Seq(
     "knn_dot", "knn_cosine", "knn_euclid", "knn_manhattan", "knn_filtered",
-    "knn_batch", "knn_filtered_uuid",
+    "knn_batch", "knn_filtered_uuid", "knn_u8", "knn_f16",
     "recommend_avg", "recommend_best_score", "discover", "context",
     "feedback_naive", "maxsim_multivec", "mmr_rerank",
     "sparse_dot_tokens", "bm25_idf_search",
     "fusion_rrf", "fusion_dbsf", "formula_rescore", "prefetch_dag_rrf",
+    "prefetch_deep",
     "group_by_label", "distance_matrix_pairs",
     "facet_lang", "count_filtered", "scroll_by_id", "order_by_ts",
     "retrieve_by_ids", "match_text", "match_phrase", "min_should_filter",

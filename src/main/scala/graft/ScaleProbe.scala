@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale probe: generates a dataset `SPARK_GRAFT_SCALE_MULT`× the
+  * sf0.1 tables (same schemas/distributions, deterministic hash-derived
+  * contents) and times the documents/embeddings-backed catalog subset on
+  * it, so shuffle-heavy paths (dedup joins, scans, mutations) are observed
+  * with data large enough that fixed job overhead no longer dominates.
+  *
+  * The two contract-carrying dedup entries are timed as bare operators
+  * (same parameters as the catalog), like the bench. Mutation catalog
+  * entries seed fixed-size collections by construction, so the probe adds
+  * `mutation_scaled`: a collection seeded with EVERY generated document,
+  * then upsert-10% → delete-by-filter → payload-merge, end-to-end.
+  *
+  * Near-dup yield note: generated text is drawn i.i.d. from the sf0.1
+  * vocabulary, so cross-document shingle overlap is high-df rather than
+  * pairwise — the df cap drops hot shingles and pair YIELD is sparse, but
+  * the candidate machinery (shingling, banding, bucket joins) runs at full
+  * width, which is what the probe measures.
+  */
+object ScaleProbe {
+
+  def genDocuments(spark: SparkSession, base: DataFrame, mult: Int): DataFrame = {
+    val vocab = base.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val langs = base.select("lang").distinct().collect().map(_.getString(0)).sorted.toSeq
+    val sources = base.select("source").distinct().collect().map(_.getString(0)).sorted.toSeq
+    val n = base.count() * mult
+    spark.range(n).toDF("doc_id")
+      .withColumn("len",
+        (pmod(xxhash64(col("doc_id"), lit("len")), lit(21)) + 20).cast("int"))
+      .withColumn("text", array_join(
+        transform(sequence(lit(1), col("len")), i =>
+          element_at(typedLit(vocab),
+            (pmod(xxhash64(col("doc_id"), i), lit(vocab.length)) + 1).cast("int"))),
+        " "))
+      .withColumn("lang", element_at(typedLit(langs),
+        (pmod(xxhash64(col("doc_id"), lit("lang")), lit(langs.length)) + 1).cast("int")))
+      .withColumn("source", element_at(typedLit(sources),
+        (pmod(xxhash64(col("doc_id"), lit("src")), lit(sources.length)) + 1).cast("int")))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  def genEmbeddings(spark: SparkSession, base: DataFrame, mult: Int): DataFrame = {
+    val n = base.count() * mult
+    spark.range(n).toDF("vec_id")
+      .withColumn("embedding", transform(sequence(lit(1), lit(64)), i =>
+        (pmod(xxhash64(col("vec_id"), i), lit(1000000)).cast("double") /
+          lit(1000000.0d) - lit(0.5d)).cast("float")))
+      .withColumn("label",
+        pmod(xxhash64(col("vec_id"), lit("label")), lit(12)).cast("int"))
+  }
+
+  /** documents/embeddings-backed catalog subset (all other tables are not
+    * regenerated at scale). */
+  private val subset: Seq[String] = Seq(
+    "knn_dot", "knn_cosine", "knn_euclid", "knn_manhattan", "knn_filtered",
+    "knn_batch", "knn_u8",
+    "ivf_search_allprobe", "ivf_search_probe2", "quantized_scalar_rescore",
+    "embedding_neardup",
+    "dedup_exact", "dedup_keep_first", "ngram_jaccard",
+    "minhash_lsh", "simhash_pairs",
+    "token_count", "quality_features", "lang_id", "fingerprint_md5",
+    "analyzed_term_facet", "match_text", "match_text_any", "match_phrase",
+    "bm25_idf_search", "sparse_dot_tokens", "bm25_corpus_scoped",
+    "facet_lang", "facet_source_filtered")
+
+  private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "minhash_lsh" -> ((s, dir) => graft.pipeline.Dedup.minhashLshPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)),
+      "simhash_pairs" -> ((s, dir) => graft.pipeline.Dedup.simhashPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 16)),
+      // the realistic near-dup setting: hamming <= 3, where the 4x16-bit
+      // band join is exhaustive by pigeonhole and the output is sparse
+      // (maxHamming=16 on low-entropy synthetic text has quadratic OUTPUT
+      // -- half of all doc pairs genuinely qualify)
+      "simhash_pairs_h3" -> ((s, dir) => graft.pipeline.Dedup.simhashPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+      // The catalog entry pins k=4 Forgy centroids so its DuckDB oracle can
+      // reproduce the assignment — at 100x data that is 4 cells of 50k
+      // vectors and an O(N²/k) in-cell pair join (measured: the probe's
+      // first blow-up). At scale the cell count must grow with N; the probe
+      // runs the operator in its 100 TB shape: k = 256 cells.
+      "embedding_neardup" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val e = Tables.load(s, dir, "embeddings")
+        val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_CELLS", "256").toInt
+        val cents = e.filter(col("vec_id") < k).orderBy(col("vec_id"))
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toSeq).toSeq
+        val assigned = graft.index.IvfIndex.assign(e, "embedding",
+          graft.index.IvfIndex.Model(cents))
+        graft.pipeline.Dedup.embeddingNearDupPairs(assigned, "vec_id",
+          "embedding", 0.4, blockCol = Some("centroid_id"))
+      }),
+    )
+
+  /** Scaled mutation workload: seed = every generated document, then
+    * upsert 10% with a new source, delete one language, merge a payload
+    * flag — one end-to-end number for the write path at scale. */
+  private def mutationScaled(s: SparkSession, dir: String): DataFrame = {
+    import graft.model._
+    import graft.sources.CollectionConfig
+    import graft.storage.Collection
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val cfg = CollectionConfig(idCol = "id", payloadCol = "payload",
+      payloadTypes = Map("lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType))
+    def pts(pred: org.apache.spark.sql.Column, src: Option[String]) = {
+      val d = Tables.load(s, dir, "documents").filter(pred)
+      val sc = src.map(lit).getOrElse(col("source"))
+      d.select(col("doc_id").as("id"),
+        to_json(struct(col("lang"), sc.as("source"), col("n_chars"))).as("payload"))
+    }
+    val path = "/tmp/graft_runtime/scale_mut"
+    val coll = Collection.create(s, path, cfg, pts(lit(true), None))
+    coll.upsert(pts(pmod(col("doc_id"), lit(10)) === 0, Some("upserted")))
+    coll.deleteByFilter(Filter.mustAll(MatchValue("lang", "de")))
+    coll.setPayload("""{"flag":"hot"}""",
+      get_json_object(col(cfg.payloadCol), "$.n_chars").cast("long") >= 150)
+    coll.read()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "100").toInt
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"target/scaledata_m$mult")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsOut = new java.io.File(s"$outDir/documents.parquet")
+    if (!docsOut.exists()) {
+      genDocuments(spark, Tables.load(spark, baseDir, "documents"), mult)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      genEmbeddings(spark, Tables.load(spark, baseDir, "embeddings"), mult)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    val nd = Tables.load(spark, outDir, "documents").count()
+    val ne = Tables.load(spark, outDir, "embeddings").count()
+
+    def run(n: String): Unit = n match {
+      case "mutation_scaled" => mutationScaled(spark, outDir).count(): Unit
+      case q => operatorOnly.getOrElse(q, SparkEntry.queries(q))(spark, outDir).count(): Unit
+    }
+    def time(n: String): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { run(n); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+    }
+
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSet)
+    val names = (subset ++ Seq("simhash_pairs_h3", "mutation_scaled"))
+      .filter(n => only.forall(_.contains(n)))
+    val cold = names.map(n => n -> time(n)).toMap
+    val warm = (1 to warmReps).map(_ => names.map(n => n -> time(n)).toMap)
+    val errs = (cold ++ warm.flatten).collect { case (n, Left(e)) => n -> e }.toMap
+    val warmBest = names.filterNot(errs.contains).map { n =>
+      n -> warm.map(_(n)).collect { case Right(v) => v }.min
+    }.toMap
+
+    def fmt(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val coldOk = cold.collect { case (n, Right(v)) => n -> v }
+    val json =
+      s"""{"mult":$mult,"docs":$nd,"embeddings":$ne,"reps":$warmReps,""" +
+        s""""cold":${fmt(coldOk.toSeq.sortBy(_._1))},""" +
+        s""""warm":${fmt(warmBest.toSeq.sortBy(_._1))}""" +
+        (if (errs.isEmpty) "}" else
+          s""","errs":${errs.toSeq.sortBy(_._1).map { case (k, v) =>
+            "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")}}""")
+    val p = java.nio.file.Paths.get(s"target/scaleprobe_m$mult.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+  }
+}
