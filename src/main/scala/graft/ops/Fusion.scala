@@ -52,6 +52,12 @@ object Fusion {
     * μ±3σ (sample std-dev) as extremes, then weighted sum per id.
     * Singleton lists and σ=0 normalize to 0.5.
     * Ref `lib/segment/src/common/score_fusion.rs:10-160` (`distr_norm` :149).
+    *
+    * The reference feeds `score_fusion` uniformly larger-better scores
+    * (`ScoredPoint.score` is similarity-oriented for every metric, incl.
+    * Euclid). Engine sources that rank smaller-better (raw distances) are
+    * negated before normalization so that a better point always earns a
+    * higher DBSF contribution, matching the reference's orientation.
     */
   def dbsf(
       sources: Seq[Source],
@@ -59,7 +65,9 @@ object Fusion {
       weights: Option[Seq[Double]] = None,
       limit: Int = 10): DataFrame = {
     val ws = weights.getOrElse(Seq.fill(sources.length)(1.0))
-    val normalized = sources.zip(ws).map { case (s, w) =>
+    val normalized = sources.zip(ws).map { case (src, w) =>
+      val s = if (src.largerBetter) src
+        else src.copy(df = src.df.withColumn("score", negate(col("score"))))
       val stats = s.df.agg(
         avg(col("score")).as("m"),
         coalesce(stddev_samp(col("score")), lit(0.0d)).as("sd"),

@@ -98,10 +98,17 @@ object PointQuery {
         val children = q.prefetches.map { c =>
           val df = execute(spark, points, idCol, resolver, c)
           c.scoring match {
+            case OrderByField(_, _, _) if kind == "dbsf" =>
+              // Reference parity: scroll prefetch results carry a constant
+              // score of 1.0 (`scroll.rs:131`) and `score_fusion` normalizes
+              // only `.score` (the order_value travels separately), so
+              // min==max and every scroll point contributes a flat 0.5 —
+              // the order value does NOT enter DBSF.
+              Fusion.Source(df.select(col(idCol), lit(1.0d).as("score")))
             case OrderByField(field, asc, _) =>
-              // scroll leaves carry no similarity score; fuse on the order
-              // value (the reference's ScoredPoint.order_value), with the
-              // rank direction following the leaf's sort direction
+              // RRF is position-based: rank the scroll leaf by its order
+              // value in the leaf's own sort direction, reproducing the
+              // scroll's list order (the reference scores by list position).
               Fusion.Source(df.select(col(idCol),
                 col(field).cast("double").as("score")), largerBetter = !asc)
             case Nearest(_, m, _) => Fusion.Source(df, m.largerBetter)

@@ -131,8 +131,9 @@ object IndexQueries {
     // Three-level prefetch DAG (the deep shape planned_query.rs:368-460
     // must plan): DBSF root over [ RRF(filtered-dot, cosine) ; a Euclid
     // rescore whose own prefetch is a dot search ; an OrderBy-scroll leaf
-    // fused on its order value ]. Every node's list is <= its limit, so
-    // the whole tree above the leaves is broadcast-sized — depth adds no
+    // (constant score 1.0 per scroll.rs:131, so it DBSF-normalizes to a
+    // flat 0.5 per point) ]. Every node's list is <= its limit, so the
+    // whole tree above the leaves is broadcast-sized — depth adds no
     // extra scans of the points table beyond the four leaves.
     "prefetch_deep" -> ((s, dir) => {
       import PointQuery._
@@ -251,17 +252,15 @@ object IndexQueries {
         |         round(list_distance(e.embedding::DOUBLE[], q13.v), 6) AS s
         |       FROM embeddings e JOIN pre ON e.vec_id = pre.vec_id, q13
         |       ORDER BY s ASC, vec_id ASC LIMIT 15),
-        |l3 AS (SELECT vec_id, label::DOUBLE AS s FROM embeddings
+        |l3 AS (SELECT vec_id FROM embeddings
         |       ORDER BY label ASC, vec_id ASC LIMIT 15),
         |s1 AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM m1),
         |s2 AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM m2),
-        |s3 AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM l3),
         |n1 AS (SELECT vec_id, CASE WHEN n = 1 OR sd = 0 THEN 0.5
         |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM m1, s1),
         |n2 AS (SELECT vec_id, CASE WHEN n = 1 OR sd = 0 THEN 0.5
-        |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM m2, s2),
-        |n3 AS (SELECT vec_id, CASE WHEN n = 1 OR sd = 0 THEN 0.5
-        |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM l3, s3),
+        |         ELSE (-s - (-m - 3*sd)) / (6*sd) END AS c FROM m2, s2),
+        |n3 AS (SELECT vec_id, 0.5 AS c FROM l3),
         |u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3)
         |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
