@@ -141,7 +141,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver heap cannot be set here — in local mode the driver JVM
+      // is already running when the builder executes. Launch with -Xmx
+      // (e.g. `java -Xmx16g ... graft.ScaleProbe`, as SCALEPROBE_r05.md's
+      // run instructions do).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

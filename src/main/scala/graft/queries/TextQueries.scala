@@ -335,6 +335,33 @@ object TextQueries {
       Dedup.embeddingNearDupPairs(assigned, "vec_id", "embedding", 0.4,
         blockCol = Some("centroid_id"))
     }),
+    // Auto-sized IVF blocking contract (the engine-default 100 TB path):
+    // cell count is DERIVED from the data (k = max(4, ceil(N/cellSize)),
+    // the SCALEPROBE_r05 scale law), not hand-picked. Planted duplicates
+    // (scaled copies, cosine ~= 1.0 — scaling preserves cosine) must
+    // co-locate in a cell and be recovered by the blocked join: >= 95%
+    // planted recall. Thresholded at 0.99 the exact pair set IS the
+    // planted set (max non-planted cosine in this table is ~0.51), so
+    // the recall denominator is exact.
+    "embedding_neardup_auto" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val planted = e.unionByName(copies)
+      val pairs = Dedup.embeddingNearDupAuto(planted, "vec_id", "embedding",
+        threshold = 0.99, targetCellSize = 64).persist()
+      try {
+        val nPairs = pairs.count()
+        val canonical = pairs.filter(col("id_a") >= col("id_b")).count() == 0
+        val distinctOk =
+          pairs.select("id_a", "id_b").distinct().count() == nPairs
+        val found = pairs.filter(col("id_b") === col("id_a") + 1000000L).count()
+        val total = e.count()
+        import s.implicits._
+        Seq((canonical, distinctOk, found >= math.ceil(total * 0.95).toLong))
+          .toDF("canonical_ok", "distinct_ok", "planted_recall_ok")
+      } finally { pairs.unpersist(); () }
+    }),
     // MinHash-LSH derived contract (hash family not SQL-expressible; the
     // oracle asserts this one-row contract): pairs are canonical
     // (id_a < id_b) and distinct, and on the bounded doc_id<1000 subset the
@@ -370,16 +397,19 @@ object TextQueries {
     // within the hamming budget; and on the bounded doc_id<300 subset the
     // 4x16-bit band join is COMPLETE for hamming <= 3 (pigeonhole: 4 bands,
     // <= 3 differing bits => some band is equal) — every exact <= 3 pair is
-    // returned.
+    // returned. The catalog runs the sound default radius 3 (the only
+    // regime that is both complete and sub-quadratic at scale —
+    // SCALEPROBE_r05); larger radii remain an explicit opt-in on the
+    // operator and log a warning.
     "simhash_pairs" -> ((s, dir) => {
       val pairs = Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
-        maxHamming = 16).persist()
+        maxHamming = 3).persist()
       try {
         val nPairs = pairs.count()
         val canonical = pairs.filter(col("id_a") >= col("id_b")).count() == 0
         val distinctOk =
           pairs.select("id_a", "id_b").distinct().count() == nPairs
-        val withinOk = pairs.filter(col("hamming") > 16).count() == 0
+        val withinOk = pairs.filter(col("hamming") > 3).count() == 0
         import graft.functions.{TextFunctions, TextKernels}
         val fp = docs(s, dir).filter(col("doc_id") < 300)
           .select(col("doc_id"),
@@ -528,6 +558,11 @@ object TextQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
+    // derived contract (k-means assignment not SQL-expressible): the
+    // engine asserts canonicality, distinctness, and >= 95% planted recall
+    "embedding_neardup_auto" ->
+      """SELECT true AS canonical_ok, true AS distinct_ok,
+        |       true AS planted_recall_ok""".stripMargin,
     "embedding_neardup" ->
       """WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
         |               FROM embeddings WHERE vec_id < 4),

@@ -137,6 +137,30 @@ class PipelineSpec extends SparkTestBase {
     assert(f(6) == q3.toFloat)
   }
 
+  test("embeddingNearDupAuto derives cell count from the scale law and bounds cell size") {
+    // the law: k = max(4, ceil(n/c)) => mean cell size n/k <= c for all n, c
+    assert(Dedup.autoCellCount(500L, 512) == 4)
+    assert(Dedup.autoCellCount(200000L, 512) == 391)
+    assert(Dedup.autoCellCount(1L, 512) == 4)
+    for (n <- Seq(1L, 100L, 5000L, 1000000L, 123456789L); c <- Seq(64, 512, 4096))
+      assert(n.toDouble / Dedup.autoCellCount(n, c) <= c.toDouble,
+        s"mean cell size exceeds target for n=$n c=$c")
+    // end-to-end: near-identical vectors (scaled copies, cosine ~ 1) must
+    // co-locate in a derived cell and be recovered by the blocked join
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val dup = base.map { case (i, v) => (i + 1000L, v.map(x => x * 1.001f)) }
+    val df = (base ++ dup).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupAuto(df, "id", "vec",
+      threshold = 0.99, targetCellSize = 16)
+    val found = pairs.filter(col("id_b") === col("id_a") + 1000L).count()
+    assert(found == 64L, s"planted recall $found/64")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "auto-blocked near-dup must never plan an all-pairs join")
+  }
+
   test("trigram lang-id classifies held-out sentences and respects CJK script") {
     import graft.pipeline.LangId
     val codes = Array("en", "de", "es", "fr", "zh")
