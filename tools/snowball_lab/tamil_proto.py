@@ -46,7 +46,7 @@ STOPS = "கசடதநபவற"
 
 CONS = "கஙசஞடணதநபமயரலவழளறன"
 # junk: final C் whose preceding char is ் (invalid double-pulli joins)
-JUNK = [(PU + c + PU, PU, None) for c in CONS]
+JUNK = [(PU + c + PU, PU, 4 if c in "கசடதபற" else None) for c in CONS]
 # doubles for the ungated cascades: stop doubles delete BOTH
 # (கப்புக்கள்→க, மரத்துக்கு→மர), ட்ட்→டு, sonorants reduce to single
 DBL_U = [("ட்ட்", "டு", None), ("ற்ற்", "", None), ("ன்ற்", "ல்", None),
@@ -75,15 +75,16 @@ IL = JUNK + [("த்த்", "ம்", None), ("ட்ட்", "டு", None),
       ("ன்ன்", "ன்", None), ("ள்", PU, 4)] + \
     [(c + PU, "", 4) for c in STOPS if c not in "யவ"] + \
     [("வ்", "", 3)] + \
-    [(s + "ய்", s, 4) for s in "ாிீூெேைொோௌ"] + \
+    [(s + "ய்", s, 3) for s in "ிை"] + \
     [(c + "ய்", c, 4) for c in CONS]
 def _yp(w, n):
     return w.endswith("ய்") and n > 3 and (n < 3 or w[-3] != "ு")
 # ை fix: IL + ன் delete (அண்ணனை→அண்ண) + ங்→ம் (சிங்கை→சிம்)
-AI = IL + [("ன்", "", 4), ("ங்", "ம்", 3), ("த்து", "", 5)]
+AI = IL + [("ன்", "", 4), ("ந்", "", 2), ("ங்", "ம்", 3), ("த்து", "", 5)]
 CLI = [(PU + "வி", PU + "வ்", None)]
 # gated plural fix: incl வர்/பர் (probe2/3) and ங்→ம்
-PLU = JUNK + CLI + DBL + [("வர்", "", 4), ("பர்", "", 4), ("ங்", "ம்", 4)] + \
+PLU = JUNK + CLI + DBL + [("வர்", "", 4), ("பர்", "", 4), ("ங்", "ம்", 4),
+       ("னம்", "", 4), ("ீர்", PU, 4), ("வன்", "", 4), ("வள்", "", 4)] + \
     [(s + "ங்", s, None) for s in "ாிீூெேைொோௌ"] + [("ுங்", PU, None)] + \
     [(c + PU, "", 4) for c in STOPS]
 # command fix (ார்→் per உட்கார்க்கு/உட்கார்து→உள்)
@@ -98,7 +99,7 @@ VET = [("த்த்", "ம்", None), ("ட்ட்", "டு", None), ("ற
     [(c + PU, "", 4) for c in STOPS] + \
     [("ய்", "", 4), ("ன்", "", 4), ("ி", PU, 4), ("ய", "", 3), ("வ", "", 3)]
 # question-suffix fix
-QF = JUNK + DBL + [("ங்", "ம்", 3)] + \
+QF = JUNK + DBL + [("ங்", "ம்", 3), ("ா", PU, 4)] + \
     [(PU + c + "ல்", PU + c + PU, None) for c in CONS] + \
     [(PU + c + "ள்", PU + c + PU, None) for c in CONS] + \
     [(c + PU, "", 3) for c in STOPS]
@@ -161,12 +162,13 @@ def barefix(w):
     """no-family fallback. One-shot rules (ல்→் with sign absorb, ீ→ி)
     apply only to the ORIGINAL word (கழௌயல்→கழௌய் but கழௌயல்னக்
     stops at கழௌயல்); then the cascade loop."""
-    if len(w) > 4 and w.endswith("ல்") and w[-3] != PU:
-        w = (w[:-3] if w[-3] in SIGNS else w[:-2]) + PU
-    if len(w) > 5 and w.endswith("ீ"):
+    if len(w) > 4 and w.endswith("ல்") and w[-3] != PU and \
+            w[-3] not in SIGNS:
+        w = w[:-2] + PU
+    if len(w) > 4 and w.endswith("ீ"):
         w = w[:-1] + "ி"
-    if w.endswith(PU + "வி"):
-        w = w[:-1] + PU
+    if len(w) > 4 and w.endswith("வி"):
+        w = w[:-2]
     return barecascade(w)
 
 def barecascade(w):
@@ -174,11 +176,14 @@ def barecascade(w):
         w2 = fix(w, JUNK + DBL_U +
                  [("வர்", "", 4), ("பர்", "", 5), ("த்து", "", 5),
                   ("னம்", "", 4), ("ீர்", PU, 4),
-                  ("வன்", "", 4), ("பன்", "", 5),
-                  ("ங்", "ம்", 3), ("க", "", 4)] +
+                  ("வன்", "", 4), ("பன்", "", 5), ("வள்", "", 4),
+                  ("க", "", 4)] +
+                 [(s + "ங்", PU, 4) for s in "ாிீுூெேைொோௌ"] +
+                 [(c + "ங்", c + "ம்", 3) for c in CONS] +
                  [(c + PU, "", 4 if c == "வ" else 3) for c in STOPS] +
-                 [("ய", "", 3), ("வ", "", 3),
-                  ("ப", "", 3), ("த", "", 5)])
+                 [("ய", "", 3), ("வ", "", 3), ("ன", "", 4),
+                  ("ப", "", 3), ("த", "", 5),
+                  ("ா", PU, 4), ("ோ", PU, 4), ("ே", PU, 4)])
         if w2.endswith("ை") and len(w2) >= 3 and w2[-3] == PU and \
                 w2[-4] != w2[-2] and \
                 w2[-4] + w2[-2] not in ("ஙக", "ஞச", "ணட", "நத", "மப", "னற"):
@@ -196,8 +201,11 @@ TENSE_B = ["கிறான்", "கிறாள்", "கிறார்கள
            "கின்றது", "கின்றன", "கின்றோம்",
            "ந்தான்", "ந்தாள்", "ந்தேன்", "ந்தது",
            "த்தான்", "த்தாள்", "த்தேன்", "த்தது",
-           "னான்", "னாள்", "வேன்", "வான்", "வாள்", "வார்கள்",
-           "ப்பேன்", "ப்பான்", "தான்"]
+           "ந்தார்கள்", "த்தார்கள்", "ந்தீர்கள்", "த்தீர்கள்",
+           "ந்தோம்", "த்தோம்", "ந்தார்", "த்தார்",
+           "னான்", "னாள்", "னார்", "வேன்", "வான்", "வாள்", "வார்",
+           "வோம்", "வார்கள்", "ப்பேன்", "ப்பான்", "ப்பாள்", "ப்பார்",
+           "ப்போம்", "தான்"]
 # bare participle ந்த/த்த: same strip but the fix also normalizes a
 # trailing cluster-ி / geminate-ை (கல்விந்த→கல், காக்கைந்த→கா)
 TENSE_G = ["ந்த", "த்த"]
@@ -221,6 +229,8 @@ def try_tense(w):
     _, kind, s = max(cands)
     rest = w[: len(w) - len(s)]
     if kind == "P":
+        if rest and (rest[-1] in SIGNS or rest[-1] == PU):
+            return fix_tense(rest, u_ungated=False)
         return fix_tense(rest + PU, u_ungated=False)
     # full-delete remainders also take the shared ending cascade
     # (தண்ணீர்கின்றான்→தண், நடனம்வேன்→நட — same as the bare forms)
@@ -245,7 +255,8 @@ def pfxfix(w):
 def command_after(w):
     """plural remainders ending ்கு/்து continue into the command family
     (நாக்குகள்→நா, பந்துகள்→பந், தூங்குகள்→தூம்)."""
-    if len(w) > 4 and (w.endswith("்கு") or w.endswith("்து")):
+    if len(w) > 4 and (w.endswith("்கு") or
+                       (w.endswith("்து") and not w.endswith("த்து"))):
         return fix(w[:-1] + PU, CMD)
     return w
 
@@ -270,20 +281,27 @@ def stem(word):
     if t is not None:
         return t
 
+    if len(w) > 4 and w.endswith("ீர்கள்"):
+        return barecascade(fix(w[:-6] + PU, IL))
+
     if len(w) > 4:
         if w.endswith("ுக்கள்") and len(w) - 6 >= 1:
             return fix(w[:-6] + PU, UNG)
-        if w.endswith("ங்கள்") and len(w) >= 8 and w[-6] != "ை" and \
-                w[-6] != PU:
+        if w.endswith("ங்கள்") and len(w) >= 8 and \
+                ((w[-6] == "ு" and w[-7] in "கசடதபற") or w[-6] in "ிீ" or
+                 (w[-6] not in SIGNS and w[-6] != PU)):
             return w[:-5] + "ம்"
         if w.endswith("ட்கள்") and not w.endswith("்ட்கள்"):
             return w[:-5] + "ள்"
         if w.endswith("ற்கள்") and not w.endswith("்ற்கள்"):
             return w[:-5] + "ல்"
         if w.endswith("வைகள்") and len(w) - 5 >= 3:
-            return fix(w[:-5], UNG)
+            return command_after(fix(w[:-5], UNG))
         if w.endswith("கள்"):
-            return command_after(fix(fix(w[:-3], JUNK), PLU))
+            jw = fix(w[:-3], JUNK)
+            if jw != w[:-3]:
+                return jw  # invalid-join strip only (மருத்துவர்ங்கள்)
+            return command_after(fix(jw, PLU))
 
     if len(w) > 4:
         ums = [("ாகியும்", ""), ("ையும்", "ை"), ("ாலும்", PU),
@@ -303,6 +321,8 @@ def stem(word):
                    ("ாமல்", PU), ("ாய்", PU), ("ாம்", PU), ("ென", PU),
                    ("ேயான", PU), ("ியது", "ி"), ("ிய", "ி")]
         s = longest(w, [c[0] for c in commons])
+        if s == "ான" and len(w) <= 5:
+            s = None  # மரமான→மரமா via bare-ன delete, not ான→்
         if s is not None:
             return fix(w[: len(w) - len(s)] + dict(commons)[s], UNG)
 
@@ -319,7 +339,7 @@ def stem(word):
                 if w[-4] == w[-2] or pair in ("ஙக", "ஞச", "ணட", "நத", "மப", "னற"):
                     return fix(w[:-1] + PU, AI)
                 return w[:-2]
-            return fix(w[:-1] + PU, AI)
+            return barecascade(fix(w[:-1] + PU, AI))
         if w.endswith("ுக்கு"):
             return fix(w[:-5] + PU, UNG)
         if w.endswith("ற்கு"):
@@ -328,9 +348,9 @@ def stem(word):
             return w[:-4]
         for s in ("ோடு", "ால்", "ில்", "ின்"):
             if w.endswith(s):
-                return fix(w[: len(w) - len(s)] + PU, IL)
+                return barecascade(fix(w[: len(w) - len(s)] + PU, IL))
         if w.endswith("ீர்கள்"):
-            return fix(w[:-6] + PU, IL)
+            return barecascade(fix(w[:-6] + PU, IL))
 
     # command: final ்கு / ்து (cluster + u) at len>4
     if len(w) > 4 and (w.endswith("்கு") or w.endswith("்து")):
