@@ -38,6 +38,7 @@ object Snowball {
     "turkish" -> SnowballTurkish.stem _,
     "arabic" -> SnowballArabic.stem _,
     "greek" -> SnowballGreek.stem _,
+    "tamil" -> SnowballTamil.stem _,
   )
 
   /** Stem one lowercase word. Unknown language → identity (the reference's
