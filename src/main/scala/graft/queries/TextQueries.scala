@@ -197,6 +197,248 @@ object LangIdHoldoutFixture {
   }
 }
 
+/** Wide open-text holdout for the trigram language classifier: 22
+  * languages × 9 authored sentences across distinct domains (weather,
+  * food, travel, work, animals, sea, music, market, science) — all prose
+  * OUTSIDE the profile source (profiles are built from stopword lists;
+  * these sentences are dominated by content words). Unlike the 1-sentence
+  * smoke holdout, this one carries a stated accuracy BAR (≥95%) rather
+  * than a 100% pin: closely related pairs (da/no/sv, es/ca/pt) are
+  * legitimately confusable at sentence length. */
+object LangIdWideFixture {
+  private val data: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(
+      "heavy rain fell through the night and the river rose above the stone wall by morning",
+      "she sliced the bread and spread butter on it before the coffee finished brewing",
+      "the train to the coast leaves early so we packed our bags the evening before",
+      "he finished the report late and sent it to the office before anyone arrived",
+      "a grey cat slept on the warm roof while swallows circled above the chimney",
+      "the fishermen pulled their nets from the cold water as the sun climbed higher",
+      "the band played an old song and everyone in the hall began to sing along",
+      "fresh apples and pears were cheap at the market stall near the church",
+      "the experiment failed twice before the students found the broken wire"),
+    "de" -> Seq(
+      "der starke Regen fiel die ganze Nacht und der Fluss stieg bis zum Morgen über die Mauer",
+      "sie schnitt das Brot und strich Butter darauf bevor der Kaffee fertig war",
+      "der Zug zur Küste fährt früh deshalb haben wir die Koffer am Abend vorher gepackt",
+      "er beendete den Bericht spät und schickte ihn ins Büro bevor jemand ankam",
+      "eine graue Katze schlief auf dem warmen Dach während Schwalben über dem Schornstein kreisten",
+      "die Fischer zogen ihre Netze aus dem kalten Wasser als die Sonne höher stieg",
+      "die Kapelle spielte ein altes Lied und alle im Saal begannen mitzusingen",
+      "frische Äpfel und Birnen waren am Marktstand neben der Kirche billig",
+      "der Versuch schlug zweimal fehl bevor die Studenten den gebrochenen Draht fanden"),
+    "es" -> Seq(
+      "la lluvia cayó toda la noche y el río subió por encima del muro de piedra antes del amanecer",
+      "ella cortó el pan y le puso mantequilla antes de que el café estuviera listo",
+      "el tren hacia la costa sale temprano así que hicimos las maletas la noche anterior",
+      "terminó el informe tarde y lo envió a la oficina antes de que llegara nadie",
+      "un gato gris dormía sobre el tejado caliente mientras las golondrinas volaban sobre la chimenea",
+      "los pescadores sacaron sus redes del agua fría cuando el sol subió más alto",
+      "la banda tocó una canción vieja y todos en la sala empezaron a cantar",
+      "las manzanas y las peras estaban baratas en el puesto del mercado junto a la iglesia",
+      "el experimento falló dos veces antes de que los estudiantes encontraran el cable roto"),
+    "fr" -> Seq(
+      "la pluie est tombée toute la nuit et la rivière a dépassé le mur de pierre avant le matin",
+      "elle a coupé le pain et étalé du beurre dessus avant que le café soit prêt",
+      "le train pour la côte part tôt alors nous avons fait les valises la veille au soir",
+      "il a terminé le rapport tard et l'a envoyé au bureau avant que quelqu'un arrive",
+      "un chat gris dormait sur le toit chaud pendant que les hirondelles tournaient au-dessus de la cheminée",
+      "les pêcheurs ont tiré leurs filets de l'eau froide quand le soleil est monté plus haut",
+      "l'orchestre a joué une vieille chanson et tout le monde dans la salle s'est mis à chanter",
+      "les pommes et les poires étaient bon marché au stand du marché près de l'église",
+      "l'expérience a échoué deux fois avant que les étudiants trouvent le fil cassé"),
+    "it" -> Seq(
+      "la pioggia è caduta tutta la notte e il fiume è salito sopra il muro di pietra prima del mattino",
+      "lei ha tagliato il pane e ci ha spalmato il burro prima che il caffè fosse pronto",
+      "il treno per la costa parte presto quindi abbiamo preparato le valigie la sera prima",
+      "ha finito la relazione tardi e l'ha mandata in ufficio prima che arrivasse qualcuno",
+      "un gatto grigio dormiva sul tetto caldo mentre le rondini giravano sopra il camino",
+      "i pescatori hanno tirato le reti dall'acqua fredda quando il sole è salito più in alto",
+      "la banda ha suonato una vecchia canzone e tutti nella sala hanno cominciato a cantare",
+      "le mele e le pere erano economiche alla bancarella del mercato vicino alla chiesa",
+      "l'esperimento è fallito due volte prima che gli studenti trovassero il filo rotto"),
+    "pt" -> Seq(
+      "a chuva caiu a noite toda e o rio subiu acima do muro de pedra antes do amanhecer",
+      "ela cortou o pão e passou manteiga antes de o café ficar pronto",
+      "o comboio para a costa parte cedo por isso arrumámos as malas na véspera",
+      "ele terminou o relatório tarde e enviou-o ao escritório antes de alguém chegar",
+      "um gato cinzento dormia no telhado quente enquanto as andorinhas voavam sobre a chaminé",
+      "os pescadores puxaram as redes da água fria quando o sol subiu mais alto",
+      "a banda tocou uma canção antiga e todos na sala começaram a cantar",
+      "as maçãs e as peras estavam baratas na banca do mercado ao lado da igreja",
+      "a experiência falhou duas vezes antes de os estudantes encontrarem o fio partido"),
+    "nl" -> Seq(
+      "de regen viel de hele nacht en de rivier steeg voor de ochtend boven de stenen muur",
+      "zij sneed het brood en smeerde er boter op voordat de koffie klaar was",
+      "de trein naar de kust vertrekt vroeg dus pakten we de koffers de avond ervoor",
+      "hij maakte het verslag laat af en stuurde het naar kantoor voordat iemand aankwam",
+      "een grijze kat sliep op het warme dak terwijl zwaluwen boven de schoorsteen cirkelden",
+      "de vissers trokken hun netten uit het koude water toen de zon hoger klom",
+      "de band speelde een oud lied en iedereen in de zaal begon mee te zingen",
+      "verse appels en peren waren goedkoop bij de marktkraam naast de kerk",
+      "de proef mislukte twee keer voordat de studenten de gebroken draad vonden"),
+    "ru" -> Seq(
+      "дождь шёл всю ночь и река поднялась выше каменной стены ещё до утра",
+      "она нарезала хлеб и намазала масло пока варился кофе",
+      "поезд к побережью уходит рано поэтому мы собрали чемоданы накануне вечером",
+      "он закончил отчёт поздно и отправил его в контору прежде чем кто-то пришёл",
+      "серый кот спал на тёплой крыше пока ласточки кружили над трубой",
+      "рыбаки вытащили сети из холодной воды когда солнце поднялось выше",
+      "оркестр играл старую песню и все в зале начали подпевать",
+      "яблоки и груши были дешёвые на рынке возле церкви",
+      "опыт не удался дважды прежде чем студенты нашли оборванный провод"),
+    "da" -> Seq(
+      "regnen faldt hele natten og floden steg over stenmuren inden morgenen",
+      "hun skar brødet og smurte smør på inden kaffen var færdig",
+      "toget til kysten kører tidligt så vi pakkede kufferterne aftenen før",
+      "han blev sent færdig med rapporten og sendte den til kontoret inden nogen kom",
+      "en grå kat sov på det varme tag mens svalerne kredsede over skorstenen",
+      "fiskerne trak deres garn op af det kolde vand da solen steg højere",
+      "orkestret spillede en gammel sang og alle i salen begyndte at synge med",
+      "friske æbler og pærer var billige ved boden på torvet ved siden af kirken",
+      "forsøget mislykkedes to gange inden de studerende fandt den knækkede ledning"),
+    "sv" -> Seq(
+      "regnet föll hela natten och floden steg över stenmuren före morgonen",
+      "hon skar brödet och bredde smör på innan kaffet var klart",
+      "tåget till kusten går tidigt så vi packade väskorna kvällen innan",
+      "han blev klar med rapporten sent och skickade den till kontoret innan någon kom",
+      "en grå katt sov på det varma taket medan svalorna kretsade över skorstenen",
+      "fiskarna drog upp sina nät ur det kalla vattnet när solen steg högre",
+      "orkestern spelade en gammal sång och alla i salen började sjunga med",
+      "färska äpplen och päron var billiga vid ståndet på torget bredvid kyrkan",
+      "försöket misslyckades två gånger innan studenterna hittade den trasiga sladden"),
+    "no" -> Seq(
+      "regnet falt hele natten og elva steg over steinmuren før morgenen",
+      "hun skar brødet og smurte smør på før kaffen var ferdig",
+      "toget til kysten går tidlig så vi pakket koffertene kvelden før",
+      "han ble ferdig med rapporten sent og sendte den til kontoret før noen kom",
+      "en grå katt sov på det varme taket mens svalene sirklet over pipa",
+      "fiskerne dro garnene opp av det kalde vannet da sola steg høyere",
+      "orkesteret spilte en gammel sang og alle i salen begynte å synge med",
+      "ferske epler og pærer var billige på boden ved torget ved siden av kirka",
+      "forsøket mislyktes to ganger før studentene fant den ødelagte ledningen"),
+    "fi" -> Seq(
+      "sade jatkui koko yön ja joki nousi kivimuurin yli ennen aamua",
+      "hän leikkasi leivän ja levitti voita ennen kuin kahvi oli valmista",
+      "juna rannikolle lähtee aikaisin joten pakkasimme laukut edellisenä iltana",
+      "hän sai raportin valmiiksi myöhään ja lähetti sen toimistoon ennen kuin kukaan saapui",
+      "harmaa kissa nukkui lämpimällä katolla kun pääskyset kiersivät savupiipun yllä",
+      "kalastajat vetivät verkkonsa kylmästä vedestä kun aurinko nousi korkeammalle",
+      "orkesteri soitti vanhan laulun ja kaikki salissa alkoivat laulaa mukana",
+      "tuoreet omenat ja päärynät olivat halpoja torin kojulla kirkon vieressä",
+      "koe epäonnistui kahdesti ennen kuin opiskelijat löysivät katkenneen johdon"),
+    "hu" -> Seq(
+      "az eső egész éjjel esett és a folyó reggelre a kőfal fölé emelkedett",
+      "felvágta a kenyeret és vajat kent rá mielőtt a kávé elkészült",
+      "a vonat a partra korán indul ezért előző este összecsomagoltuk a bőröndöket",
+      "későn fejezte be a jelentést és elküldte az irodába mielőtt bárki megérkezett",
+      "egy szürke macska aludt a meleg tetőn míg a fecskék a kémény fölött köröztek",
+      "a halászok kihúzták a hálóikat a hideg vízből amikor a nap magasabbra emelkedett",
+      "a zenekar egy régi dalt játszott és a teremben mindenki énekelni kezdett",
+      "a friss alma és körte olcsó volt a piaci standon a templom mellett",
+      "a kísérlet kétszer nem sikerült mire a diákok megtalálták a szakadt vezetéket"),
+    "tr" -> Seq(
+      "yağmur bütün gece yağdı ve nehir sabaha kadar taş duvarın üzerine yükseldi",
+      "kahve hazır olmadan önce ekmeği kesti ve üzerine tereyağı sürdü",
+      "sahile giden tren erken kalkıyor bu yüzden valizleri bir akşam önceden hazırladık",
+      "raporu geç bitirdi ve kimse gelmeden önce ofise gönderdi",
+      "gri bir kedi sıcak çatıda uyurken kırlangıçlar bacanın üzerinde dönüyordu",
+      "balıkçılar güneş yükselirken ağlarını soğuk sudan çektiler",
+      "orkestra eski bir şarkı çaldı ve salondaki herkes söylemeye başladı",
+      "taze elma ve armut kilisenin yanındaki pazar tezgahında ucuzdu",
+      "öğrenciler kopuk teli bulmadan önce deney iki kez başarısız oldu"),
+    "el" -> Seq(
+      "η βροχή έπεφτε όλη τη νύχτα και το ποτάμι ανέβηκε πάνω από τον πέτρινο τοίχο πριν το πρωί",
+      "έκοψε το ψωμί και άλειψε βούτυρο πριν ετοιμαστεί ο καφές",
+      "το τρένο για την ακτή φεύγει νωρίς γι αυτό ετοιμάσαμε τις βαλίτσες από το προηγούμενο βράδυ",
+      "τελείωσε την αναφορά αργά και την έστειλε στο γραφείο πριν φτάσει κανείς",
+      "μια γκρίζα γάτα κοιμόταν στη ζεστή στέγη ενώ τα χελιδόνια γύριζαν πάνω από την καμινάδα",
+      "οι ψαράδες τράβηξαν τα δίχτυα από το κρύο νερό όταν ο ήλιος ανέβηκε ψηλότερα",
+      "η ορχήστρα έπαιξε ένα παλιό τραγούδι και όλοι στην αίθουσα άρχισαν να τραγουδούν",
+      "τα φρέσκα μήλα και τα αχλάδια ήταν φτηνά στον πάγκο της αγοράς δίπλα στην εκκλησία",
+      "το πείραμα απέτυχε δύο φορές πριν οι φοιτητές βρουν το κομμένο καλώδιο"),
+    "ar" -> Seq(
+      "هطل المطر طوال الليل وارتفع النهر فوق الجدار الحجري قبل الصباح",
+      "قطعت الخبز ووضعت عليه الزبدة قبل أن تجهز القهوة",
+      "يغادر القطار إلى الساحل مبكرا لذلك حزمنا الحقائب في المساء السابق",
+      "أنهى التقرير متأخرا وأرسله إلى المكتب قبل وصول أي شخص",
+      "نامت قطة رمادية على السطح الدافئ بينما حلقت السنونو فوق المدخنة",
+      "سحب الصيادون شباكهم من الماء البارد عندما ارتفعت الشمس",
+      "عزفت الفرقة أغنية قديمة وبدأ الجميع في القاعة بالغناء",
+      "كان التفاح والكمثرى رخيصين في سوق قرب الكنيسة",
+      "فشلت التجربة مرتين قبل أن يجد الطلاب السلك المقطوع"),
+    "he" -> Seq(
+      "הגשם ירד כל הלילה והנהר עלה מעל חומת האבן לפני הבוקר",
+      "היא פרסה את הלחם ומרחה חמאה לפני שהקפה היה מוכן",
+      "הרכבת לחוף יוצאת מוקדם ולכן ארזנו את המזוודות בערב הקודם",
+      "הוא סיים את הדוח מאוחר ושלח אותו למשרד לפני שמישהו הגיע",
+      "חתול אפור ישן על הגג החם בזמן שהסנוניות חגו מעל הארובה",
+      "הדייגים משכו את הרשתות מהמים הקרים כשהשמש עלתה גבוה יותר",
+      "התזמורת ניגנה שיר ישן וכולם באולם התחילו לשיר",
+      "תפוחים ואגסים טריים היו זולים בדוכן השוק ליד הכנסייה",
+      "הניסוי נכשל פעמיים לפני שהסטודנטים מצאו את החוט הקרוע"),
+    "id" -> Seq(
+      "hujan turun sepanjang malam dan sungai naik di atas tembok batu sebelum pagi",
+      "dia memotong roti dan mengoleskan mentega sebelum kopi selesai diseduh",
+      "kereta ke pantai berangkat pagi sekali jadi kami mengemas koper malam sebelumnya",
+      "dia menyelesaikan laporan terlambat dan mengirimkannya ke kantor sebelum ada yang datang",
+      "seekor kucing abu abu tidur di atap yang hangat sementara burung layang layang berputar di atas cerobong",
+      "para nelayan menarik jala mereka dari air dingin ketika matahari naik lebih tinggi",
+      "band itu memainkan lagu lama dan semua orang di aula mulai ikut bernyanyi",
+      "apel dan pir segar murah di lapak pasar di samping gereja",
+      "percobaan itu gagal dua kali sebelum para mahasiswa menemukan kabel yang putus"),
+    "ca" -> Seq(
+      "la pluja va caure tota la nit i el riu va pujar per sobre del mur de pedra abans del matí",
+      "ella va tallar el pa i hi va untar mantega abans que el cafè estigués a punt",
+      "el tren cap a la costa surt aviat així que vam fer les maletes el vespre abans",
+      "va acabar l'informe tard i el va enviar al despatx abans que arribés ningú",
+      "un gat gris dormia sobre la teulada calenta mentre les orenetes giraven sobre la xemeneia",
+      "els pescadors van treure les xarxes de l'aigua freda quan el sol va pujar més amunt",
+      "la banda va tocar una cançó vella i tothom a la sala va començar a cantar",
+      "les pomes i les peres eren barates a la parada del mercat al costat de l'església",
+      "l'experiment va fallar dues vegades abans que els estudiants trobessin el fil trencat"),
+    "ro" -> Seq(
+      "ploaia a căzut toată noaptea și râul a crescut peste zidul de piatră înainte de dimineață",
+      "ea a tăiat pâinea și a întins unt înainte ca niște cafea să fie gata",
+      "trenul spre coastă pleacă devreme așa că ne-am făcut bagajele cu o seară înainte",
+      "a terminat raportul târziu și l-a trimis la birou înainte să ajungă cineva",
+      "o pisică gri dormea pe acoperișul cald în timp ce rândunelele se roteau deasupra hornului",
+      "pescarii și-au tras plasele din apa rece când soarele a urcat mai sus",
+      "fanfara a cântat un cântec vechi și toți din sală au început să cânte",
+      "merele și perele proaspete erau ieftine la taraba din piață de lângă biserică",
+      "experimentul a eșuat de două ori înainte ca studenții să găsească firul rupt"),
+    "zh" -> Seq(
+      "大雨下了一整夜河水在早晨之前涨过了石墙",
+      "她切好面包涂上黄油这时咖啡还没有煮好",
+      "去海边的火车很早出发所以我们前一天晚上就收拾好了行李",
+      "他很晚才写完报告在别人到达之前把它送到了办公室",
+      "一只灰猫睡在温暖的屋顶上燕子在烟囱上空盘旋",
+      "太阳升高的时候渔民们从冰冷的水里拉起了渔网",
+      "乐队演奏了一首老歌大厅里的所有人都跟着唱了起来",
+      "新鲜的苹果和梨在教堂旁边的市场摊位上很便宜",
+      "学生们找到断了的电线之前实验失败了两次"),
+    "ja" -> Seq(
+      "雨が一晩中降り続き川は朝までに石垣を越えて増水した",
+      "彼女はパンを切ってコーヒーができる前にバターを塗った",
+      "海岸行きの列車は朝早く出るので前の晩に荷物をまとめた",
+      "彼は報告書を遅くに書き終えて誰かが来る前に事務所へ送った",
+      "灰色の猫が暖かい屋根の上で眠りツバメが煙突の上を旋回していた",
+      "太陽が高く昇るころ漁師たちは冷たい水から網を引き上げた",
+      "楽団が古い歌を演奏すると会場のみんなが歌い始めた",
+      "新鮮なりんごと梨は教会のそばの市場の屋台で安かった",
+      "学生たちが切れた電線を見つけるまで実験は二度失敗した"),
+  )
+
+  val rows: Seq[(Long, String, String)] =
+    data.flatMap { case (code, sents) => sents.map(code -> _) }
+      .zipWithIndex.map { case ((code, text), i) => (i.toLong + 1, code, text) }
+
+  val codes: Seq[String] = data.map(_._1).sorted
+
+  /** Bar: ≥95% over the full fixture (related-language pairs may confuse). */
+  val minCorrect: Long = math.ceil(rows.size * 0.95).toLong
+}
+
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -486,6 +728,27 @@ object TextQueries {
             LangIdHoldoutFixture.codes).as("predicted"))
         .orderBy(col("row_id"))
     }),
+    // Wide holdout: 22 languages × 9 domain-varied authored sentences
+    // (198 rows) with a stated ≥95% accuracy bar instead of a 100% pin —
+    // related-language pairs (da/no/sv, es/ca/pt) are legitimately
+    // confusable at sentence length, so a 100% pin would either be
+    // fragile or force cherry-picked sentences. The oracle asserts the
+    // row count, the full 22-language coverage, and the bar.
+    "lang_id_holdout_wide" -> ((s, dir) => {
+      import s.implicits._
+      val scored = LangIdWideFixture.rows.toDF("row_id", "lang", "text")
+        .select(col("lang"),
+          graft.pipeline.LangId.langIdTrigram(col("text"),
+            LangIdWideFixture.codes).as("predicted"))
+      val agg = scored.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("lang")).as("langs"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("ok"))
+        .head()
+      Seq((agg.getLong(0), agg.getLong(1),
+          agg.getLong(2) >= LangIdWideFixture.minCorrect))
+        .toDF("n_rows", "languages", "accuracy_ok")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -643,6 +906,9 @@ object TextQueries {
       """SELECT doc_id, lang, lang AS predicted FROM documents
         |WHERE doc_id < 200 ORDER BY doc_id ASC""".stripMargin,
     "lang_id_holdout" -> LangIdHoldoutFixture.oracleSql,
+    "lang_id_holdout_wide" ->
+      """SELECT 198::BIGINT AS n_rows, 22::BIGINT AS languages,
+        |       true AS accuracy_ok""".stripMargin,
     // minhash_lsh / simhash_pairs hash families are not expressible in
     // DuckDB — the entries emit one-row derived contracts the oracle asserts
     // (see their scaladoc); exactness additionally covered in PipelineSpec.
