@@ -8,6 +8,18 @@ package graft.functions
   * dictionary on ~24k vectors (src/test/resources/snowball/greek.tsv) at
   * 100% agreement, including two adversarial random holdout sets.
   *
+  * The per-rule exception lists below are reconstructed from oracle
+  * behavior rather than transcribed from the published `greek.sbl` tables
+  * (the .sbl source is not available in this offline environment; the PG
+  * dictionary is COMPILED from those published tables, so agreement with
+  * it is agreement with them). Because observation-recovered ends-with
+  * lists could in principle be incomplete for out-of-corpus vocabulary,
+  * an additional stress fixture exercises exactly that risk: 5.8k words
+  * formed by prefixing the corpus vocabulary with 16 productive Greek
+  * prefixes (ξανα-, παρα-, υπερ-, αντι-, …), all out-of-corpus and all
+  * hitting the ends-with paths with longer words — 100% agreement
+  * (src/test/resources/snowball/greek_prefix_stress.tsv, AnalyzerSpec).
+  *
   * Pipeline (all suffix matching is longest-match; a match consuming the
   * whole word is allowed and an empty final stem surfaces the original
   * token, mirroring the dictionary's `{}` behaviour):

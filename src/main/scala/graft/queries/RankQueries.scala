@@ -39,6 +39,23 @@ object RankQueries {
         negatives = Seq(lv(10004L)))
       Search.knn(emb(s, dir), "vec_id", "embedding", q, Dot, k = 10)
     }),
+    // lookup_from with NAMED-VECTOR selection in the foreign collection
+    // (`LookupLocation { collection, vector }`,
+    // `lib/api/src/rest/schema.rs:1122-1133`): the foreign table carries
+    // TWO named vector columns; ids resolve against the CHOSEN one
+    // (vec_b = reversed embedding), so the result hash is distinguishable
+    // from the vec_a choice — picking the wrong named vector fails.
+    "recommend_lookup_from_named" -> ((s, dir) => {
+      val lookup = emb(s, dir).filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000).as("qid"),
+          col("embedding").as("vec_a"),
+          reverse(col("embedding")).as("vec_b"))
+      def lv(id: Long) = Tables.embeddingFrom(lookup, "qid", "vec_b", id)
+      val q = Search.recommendAvgVector(
+        positives = Seq(lv(10001L), lv(10002L)),
+        negatives = Seq(lv(10004L)))
+      Search.knn(emb(s, dir), "vec_id", "embedding", q, Dot, k = 10)
+    }),
     "recommend_avg" -> ((s, dir) => {
       val q = Search.recommendAvgVector(
         positives = Seq(v(s, dir, 1), v(s, dir, 2), v(s, dir, 3)),
@@ -176,6 +193,18 @@ object RankQueries {
         |q AS (SELECT d.i AS i,
         |  2 * (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (1,2))
         |    - (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (4)) AS w
+        |  FROM dims d),
+        |s AS (SELECT e.vec_id AS vec_id, sum(e.embedding[q.i]::DOUBLE * q.w) AS sc
+        |      FROM embeddings e CROSS JOIN q GROUP BY e.vec_id)
+        |SELECT vec_id, round(sc, 6) AS score FROM s
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // named-vector choice: same pipeline, weights from the REVERSED
+    // embedding (embedding[65-i]) — the vec_b column of the lookup table
+    "recommend_lookup_from_named" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+        |q AS (SELECT d.i AS i,
+        |  2 * (SELECT avg(embedding[65 - d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (1,2))
+        |    - (SELECT avg(embedding[65 - d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (4)) AS w
         |  FROM dims d),
         |s AS (SELECT e.vec_id AS vec_id, sum(e.embedding[q.i]::DOUBLE * q.w) AS sc
         |      FROM embeddings e CROSS JOIN q GROUP BY e.vec_id)

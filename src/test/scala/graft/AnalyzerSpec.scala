@@ -71,6 +71,23 @@ class AnalyzerSpec extends SparkTestBase {
     }
   }
 
+  // Greek ends-with exception-list stress: out-of-corpus words formed by
+  // prefixing the corpus vocabulary with 16 productive prefixes — longer
+  // words hitting every ends-with list; guards against observation-
+  // recovered lists being incomplete for unseen vocabulary (100% bar).
+  test("snowball greek matches the oracle on the prefixed stress corpus") {
+    val res = getClass.getResourceAsStream("/snowball/greek_prefix_stress.tsv")
+    assert(res != null, "missing greek prefix-stress vectors")
+    val lines = scala.io.Source.fromInputStream(res, "UTF-8").getLines().toSeq
+    assert(lines.size > 5000)
+    val bad = lines.flatMap { l =>
+      val Array(w, expect) = l.split("\t", 2)
+      val got = graft.functions.Snowball.stem("greek", w)
+      if (got != expect) Some(s"$w: got=$got want=$expect") else None
+    }
+    assert(bad.isEmpty, s"${bad.size} mismatches; first 20:\n" + bad.take(20).mkString("\n"))
+  }
+
   // Tamil: the model is reverse-engineered from the PG oracle (see
   // SnowballTamil scaladoc); valid-morphology paradigms match, the
   // residual tail is invalid-orthography randoms in the generated corpus
