@@ -61,7 +61,7 @@ object ScaleProbe {
     "knn_dot", "knn_cosine", "knn_euclid", "knn_manhattan", "knn_filtered",
     "knn_batch", "knn_u8",
     "ivf_search_allprobe", "ivf_search_probe2", "quantized_scalar_rescore",
-    "embedding_neardup",
+    "embedding_neardup", "embedding_neardup_auto",
     "dedup_exact", "dedup_keep_first", "ngram_jaccard",
     "minhash_lsh", "simhash_pairs",
     "token_count", "quality_features", "lang_id", "fingerprint_md5",
@@ -74,14 +74,22 @@ object ScaleProbe {
       "minhash_lsh" -> ((s, dir) => graft.pipeline.Dedup.minhashLshPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         k = 3, bands = 16, rowsPerBand = 4, threshold = 0.05)),
+      // the engine/catalog default since r6: hamming <= 3, where the
+      // 4x16-bit band join is exhaustive by pigeonhole and the output is
+      // sparse
       "simhash_pairs" -> ((s, dir) => graft.pipeline.Dedup.simhashPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 16)),
-      // the realistic near-dup setting: hamming <= 3, where the 4x16-bit
-      // band join is exhaustive by pigeonhole and the output is sparse
-      // (maxHamming=16 on low-entropy synthetic text has quadratic OUTPUT
-      // -- half of all doc pairs genuinely qualify)
-      "simhash_pairs_h3" -> ((s, dir) => graft.pipeline.Dedup.simhashPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+      // the r5-measured pathology, kept as an explicit opt-in measurement
+      // (radius 16 on low-entropy text has quadratic OUTPUT — half of all
+      // doc pairs genuinely qualify; no algorithm outruns its output)
+      "simhash_pairs_h16" -> ((s, dir) => graft.pipeline.Dedup.simhashPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 16)),
+      // the r6 engine default: cell count derived from the data
+      // (k = max(4, ceil(N/512)) -> 391 cells at 200k vectors)
+      "embedding_neardup_auto" -> ((s, dir) =>
+        graft.pipeline.Dedup.embeddingNearDupAuto(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.99)),
       // The catalog entry pins k=4 Forgy centroids so its DuckDB oracle can
       // reproduce the assignment — at 100x data that is 4 cells of 50k
       // vectors and an O(N²/k) in-cell pair join (measured: the probe's
@@ -171,7 +179,7 @@ object ScaleProbe {
     }
 
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSet)
-    val names = (subset ++ Seq("simhash_pairs_h3", "mutation_scaled"))
+    val names = (subset ++ Seq("simhash_pairs_h16", "mutation_scaled"))
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(n)).toMap
     val warm = (1 to warmReps).map(_ => names.map(n => n -> time(n)).toMap)

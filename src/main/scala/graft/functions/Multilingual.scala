@@ -48,6 +48,14 @@ object MultilingualTokenizer {
       } else if (Character.isLetterOrDigit(cp)) {
         run.appendCodePoint(cp)
         if (Character.isLetter(cp)) runHasAlpha = true
+      } else if (run.length > 0 && {
+        val t = Character.getType(cp)
+        t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK
+      }) {
+        // combining marks (Indic vowel signs, virama, Arabic/Hebrew
+        // diacritics — category Mn/Mc, not isLetter) CONTINUE the word:
+        // without this, Tamil மாணவர்கள் shatters at every sign
+        run.appendCodePoint(cp)
       } else flush()
       i += n
     }

@@ -42,6 +42,18 @@ object IndexQueries {
     IvfIndex.buildOrLoad(emb(s, dir), "embedding", k,
       "/tmp/graft_runtime/ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k.model")
 
+  /** Quantization params likewise train at index build, not per query —
+    * memoized per sf dir (deterministic fits, so reuse is exact). */
+  private val scalarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Quantization.ScalarParams]()
+  private def scalarParams(s: SparkSession, dir: String): Quantization.ScalarParams =
+    scalarCache.computeIfAbsent(dir, _ => Quantization.fitScalar(emb(s, dir), "embedding"))
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Quantization.PqParams]()
+  private def pqParams(s: SparkSession, dir: String): Quantization.PqParams =
+    pqCache.computeIfAbsent(dir,
+      _ => Quantization.fitPq(emb(s, dir), "embedding", m = 16, nbits = 4))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_search_allprobe" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -62,7 +74,7 @@ object IndexQueries {
     }),
     "quantized_scalar_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
-      val p = Quantization.fitScalar(e, "embedding")
+      val p = scalarParams(s, dir)
       val enc = e.withColumn("qvec", Quantization.encodeScalar(col("embedding"), p))
       val ann = Quantization.searchScalarRescore(enc, "vec_id", "embedding",
         v7(s, dir), Dot, p, k = 10, oversampling = 3.0)
@@ -81,7 +93,7 @@ object IndexQueries {
     }),
     "quantized_pq_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
-      val p = Quantization.fitPq(e, "embedding", m = 16, nbits = 4)
+      val p = pqParams(s, dir)
       val enc = e.withColumn("pqcode", Quantization.encodePq(col("embedding"), p))
       val ann = Quantization.searchPqRescore(enc, "vec_id", "embedding",
         v7(s, dir), Dot, p, k = 10, oversampling = 4.0)

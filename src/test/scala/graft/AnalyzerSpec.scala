@@ -183,6 +183,17 @@ class AnalyzerSpec extends SparkTestBase {
     assert(out == Seq("ομορφ", "βιβλ", "δασκαλ"), out.toString)
   }
 
+  test("multilingual analyzer handles a Tamil sentence end-to-end") {
+    // no Tamil stopword set ships (matching the reference's 30-set list),
+    // so the pipeline is tokenize + stem; stems oracle-checked against
+    // PostgreSQL tamil_stem: மாணவர்கள்→மாண, புத்தகங்கள்→புத்தகம்,
+    // படிக்கிறான்→படி
+    val out = run(
+      analyzeMultilingual(col("t"), "tamil"),
+      "மாணவர்கள் புத்தகங்கள் படிக்கிறான்")
+    assert(out == Seq("மாண", "புத்தகம்", "படி"), out.toString)
+  }
+
   test("analyze pipeline composes: word + fold + stopwords + stem") {
     val out = run(analyze(col("t"), word = true, asciiFolding = true,
       stopwords = Seq("the"), stem = true), "The Cafés: relational conditions!")
