@@ -101,8 +101,68 @@ case class VecL1(left: Expression, right: Expression) extends VecBinaryFold {
     copy(left = l, right = r)
 }
 
+/** First-argmin nearest-centroid id over a broadcast-style centroid
+  * matrix carried as a reference object — ONE expression whatever k is.
+  * The unrolled alternative (an `array(...)` of k `VecL2Sq` children)
+  * generates O(k) code and blows Janino's 64 KB method limit around a few
+  * hundred centroids, silently falling back to interpretation exactly
+  * where assignment cost matters most (measured in the r6 100× probe at
+  * k=391). Arithmetic is the same sequential-double L2 as VecL2Sq with
+  * first-min tie-breaking, so assignments are bit-identical to the
+  * unrolled form and the DuckDB oracles are unaffected. */
+case class CentroidArgmin(child: Expression, centroids: Seq[Seq[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.argminL2(input.asInstanceOf[ArrayData], mat, childIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", mat, "double[][]")
+    val isF = childIsFloat.toString
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecKernels.argminL2($c, $ref, $isF)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecKernels {
   private def expr(c: Column) = GraftShim.expression(c)
+
+  /** Kernel for [[CentroidArgmin]]: sequential-double L2 per centroid,
+    * first index of the minimum (ties keep the earlier centroid, matching
+    * `array_position(arr, array_min(arr)) - 1`). */
+  def argminL2(vec: ArrayData, cents: Array[Array[Double]], isFloat: Boolean): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(vec.numElements(), cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val a = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val d = a - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def centroidArgmin(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftShim.column(CentroidArgmin(expr(v), centroids))
   def dot(a: Column, b: Column): Column =
     GraftShim.column(VecDot(expr(a), expr(b)))
   def l2sq(a: Column, b: Column): Column =

@@ -153,14 +153,15 @@ object IvfIndex {
   }
 
   /** Argmin-centroid assignment as a pure column expression (no UDF):
-    * the column to partition/Z-order the table by at scale. */
-  def assignExpr(vecCol: Column, model: Model): Column = {
-    val dists = model.centroids.map { c =>
-      graft.functions.VecKernels.l2sq(vecCol, typedLit(c))
-    }
-    val arr = array(dists: _*)
-    (array_position(arr, array_min(arr)) - 1).cast("int")
-  }
+    * the column to partition/Z-order the table by at scale. A single
+    * loop-based Expression over the centroid matrix — the unrolled
+    * array-of-k-distances form blows whole-stage codegen's 64 KB method
+    * limit once k reaches a few hundred (auto-sized near-dup, large IVF)
+    * and silently degrades to interpretation; this stays codegen'd at any
+    * k with bit-identical assignments (same sequential-double L2,
+    * first-min ties). */
+  def assignExpr(vecCol: Column, model: Model): Column =
+    graft.functions.VecKernels.centroidArgmin(vecCol, model.centroids)
 
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame =
     df.withColumn("centroid_id", assignExpr(col(vecCol), model))
