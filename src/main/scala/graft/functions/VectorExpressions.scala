@@ -171,10 +171,22 @@ object VecKernels {
     GraftShim.column(VecL1(expr(a), expr(b)))
   def f16Encode(a: Column): Column =
     GraftShim.column(F16EncodeExpr(expr(a)))
+  def f16Decode(halfBits: Column): Column =
+    GraftShim.column(F16DecodeExpr(expr(halfBits)))
   def f16Dot(halfBits: Column, q: Column): Column =
     GraftShim.column(VecF16Dot(expr(halfBits), expr(q)))
+  def f16L2Sq(halfBits: Column, q: Column): Column =
+    GraftShim.column(VecF16L2Sq(expr(halfBits), expr(q)))
+  def f16L1(halfBits: Column, q: Column): Column =
+    GraftShim.column(VecF16L1(expr(halfBits), expr(q)))
+  def f16SelfDot(halfBits: Column): Column =
+    GraftShim.column(VecF16SelfDot(expr(halfBits)))
   def i8Dot(a: Column, b: Column): Column =
     GraftShim.column(VecI8Dot(expr(a), expr(b)))
+  def i8L2Sq(a: Column, b: Column): Column =
+    GraftShim.column(VecI8L2Sq(expr(a), expr(b)))
+  def i8L1(a: Column, b: Column): Column =
+    GraftShim.column(VecI8L1(expr(a), expr(b)))
 }
 
 /** IEEE-754 binary16 (half) conversion helpers. JDK 17 lacks
@@ -257,16 +269,23 @@ case class F16EncodeExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** Fused decode+dot: Σ half(aᵢ)·bᵢ over (array<smallint> half bits,
+/** Fused half-decode + fold over (array<smallint> half bits,
   * array<float|double>) — scores f16-stored vectors without materializing a
-  * decoded array per row. */
-case class VecF16Dot(left: Expression, right: Expression) extends BinaryExpression {
+  * decoded array per row. Left element decodes through [[F16.toFloat]]; the
+  * per-element step is supplied by the metric subclass (same pattern as
+  * [[VecBinaryFold]] for the f32 storage path). */
+abstract class VecF16Fold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
   private def rIsFloat: Boolean = right.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** Java source for one step given double a (decoded half), b. */
+  protected def stepCode(acc: String, a: String, b: String): String
+  protected def step(acc: Double, a: Double, b: Double): Double
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
@@ -275,7 +294,7 @@ case class VecF16Dot(left: Expression, right: Expression) extends BinaryExpressi
     var i = 0
     while (i < n) {
       val b = if (rIsFloat) ra.getFloat(i).toDouble else ra.getDouble(i)
-      acc += F16.toFloat(la.getShort(i)).toDouble * b
+      acc = step(acc, F16.toFloat(la.getShort(i)).toDouble, b)
       i += 1
     }
     acc
@@ -285,26 +304,131 @@ case class VecF16Dot(left: Expression, right: Expression) extends BinaryExpressi
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
       val getR = if (rIsFloat) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) graft.functions.F16.toFloat($l.getShort($i))) * $getR;
+         |  double $a = (double) graft.functions.F16.toFloat($l.getShort($i));
+         |  double $b = $getR;
+         |  ${stepCode(acc, a, b)}
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
+}
+
+/** Σ half(aᵢ)·bᵢ */
+case class VecF16Dot(left: Expression, right: Expression) extends VecF16Fold {
+  protected def stepCode(acc: String, a: String, b: String): String =
+    s"$acc += $a * $b;"
+  protected def step(acc: Double, a: Double, b: Double): Double = acc + a * b
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
 
-/** Integer dot over two array<tinyint> columns (i8/u8 storage element type,
-  * `VectorStorageDatatype::Uint8` `types.rs:2039`): Σ aᵢ·bᵢ as BIGINT —
-  * exact integer arithmetic, reproducible bit-for-bit in any engine. */
-case class VecI8Dot(left: Expression, right: Expression) extends BinaryExpression {
+/** Σ (half(aᵢ)−bᵢ)² */
+case class VecF16L2Sq(left: Expression, right: Expression) extends VecF16Fold {
+  protected def stepCode(acc: String, a: String, b: String): String =
+    s"$acc += ($a - $b) * ($a - $b);"
+  protected def step(acc: Double, a: Double, b: Double): Double =
+    acc + (a - b) * (a - b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Σ |half(aᵢ)−bᵢ| */
+case class VecF16L1(left: Expression, right: Expression) extends VecF16Fold {
+  protected def stepCode(acc: String, a: String, b: String): String =
+    s"$acc += java.lang.Math.abs($a - $b);"
+  protected def step(acc: Double, a: Double, b: Double): Double =
+    acc + math.abs(a - b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Σ half(aᵢ)² — the stored-vector self dot (norm² for the cosine
+  * denominator) over half bits; both operands decode from the SAME column so
+  * a binary fold cannot express it without reading the array twice. */
+case class VecF16SelfDot(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = F16.toFloat(a.getShort(i)).toDouble
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $c.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) graft.functions.F16.toFloat($c.getShort($i));
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** array<smallint> half bits → array<float> — the read-out decode for
+  * retrieval APIs (users always see f32; storage width is internal). The
+  * scoring path never uses this: kernels decode inline. */
+case class F16DecodeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = F16.toFloat(a.getShort(i)); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |int $n = $c.numElements();
+         |float[] $tmp = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $tmp[$i] = graft.functions.F16.toFloat($c.getShort($i));
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Exact-integer fold over two array<tinyint> columns (i8/u8 storage element
+  * type, `VectorStorageDatatype::Uint8` `types.rs:2039`): BIGINT
+  * accumulation — reproducible bit-for-bit in any engine, so the DuckDB
+  * oracles can hash-match these scores exactly. */
+abstract class VecI8Fold extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
+
+  /** Java source for one step given long a, b. */
+  protected def stepCode(acc: String, a: String, b: String): String
+  protected def step(acc: Long, a: Long, b: Long): Long
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
@@ -312,7 +436,7 @@ case class VecI8Dot(left: Expression, right: Expression) extends BinaryExpressio
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += la.getByte(i).toLong * ra.getByte(i).toLong
+      acc = step(acc, la.getByte(i).toLong, ra.getByte(i).toLong)
       i += 1
     }
     acc
@@ -322,15 +446,44 @@ case class VecI8Dot(left: Expression, right: Expression) extends BinaryExpressio
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
       s"""
          |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((long) $l.getByte($i)) * ((long) $r.getByte($i));
+         |  long $a = (long) $l.getByte($i);
+         |  long $b = (long) $r.getByte($i);
+         |  ${stepCode(acc, a, b)}
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
+}
+
+/** Σ aᵢ·bᵢ */
+case class VecI8Dot(left: Expression, right: Expression) extends VecI8Fold {
+  protected def stepCode(acc: String, a: String, b: String): String =
+    s"$acc += $a * $b;"
+  protected def step(acc: Long, a: Long, b: Long): Long = acc + a * b
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Σ (aᵢ−bᵢ)² */
+case class VecI8L2Sq(left: Expression, right: Expression) extends VecI8Fold {
+  protected def stepCode(acc: String, a: String, b: String): String =
+    s"$acc += ($a - $b) * ($a - $b);"
+  protected def step(acc: Long, a: Long, b: Long): Long = acc + (a - b) * (a - b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Σ |aᵢ−bᵢ| */
+case class VecI8L1(left: Expression, right: Expression) extends VecI8Fold {
+  protected def stepCode(acc: String, a: String, b: String): String =
+    s"$acc += java.lang.Math.abs($a - $b);"
+  protected def step(acc: Long, a: Long, b: Long): Long = acc + math.abs(a - b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

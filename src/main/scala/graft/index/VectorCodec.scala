@@ -2,8 +2,10 @@ package graft.index
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, ByteType, ShortType}
 
 import graft.functions.VecKernels
+import graft.model._
 
 /** Reduced-width dense-vector STORAGE element types — the reference's
   * `VectorStorageDatatype` (`lib/segment/src/types.rs:2039`; element types
@@ -16,6 +18,11 @@ import graft.functions.VecKernels
   * Scoring decodes INLINE inside codegen'd kernels (no decoded array is
   * materialized per row), so the narrow column is also the column that
   * streams through the whole-stage-codegen loop.
+  *
+  * [[encode]]/[[decode]]/[[scoreExpr]] are the config-routed surface
+  * (`VectorDataConfig.datatype` parity, `types.rs:2153`): Collection
+  * encodes at upsert and picks the fused kernel at search from the declared
+  * [[graft.model.VectorDatatype]] — callers never touch the codec directly.
   */
 object VectorCodec {
 
@@ -29,6 +36,11 @@ object VectorCodec {
       greatest(lit(-127.0d), least(lit(127.0d),
         floor(x.cast("double") * lit(127.0d) + lit(0.5d)))).cast("byte"))
 
+  /** Driver-side twin of [[toI8]] for encoding literal query vectors —
+    * identical formula, identical bytes. */
+  def encodeI8(v: Seq[Double]): Seq[Byte] =
+    v.map(x => math.max(-127.0, math.min(127.0, math.floor(x * 127.0 + 0.5))).toByte)
+
   /** Σ aᵢ·bᵢ over two i8-encoded vectors, exact BIGINT. */
   def i8Dot(a: Column, b: Column): Column = VecKernels.i8Dot(a, b)
 
@@ -38,4 +50,68 @@ object VectorCodec {
 
   /** Fused half-decode + dot against a float/double query vector. */
   def f16Dot(halfBits: Column, q: Column): Column = VecKernels.f16Dot(halfBits, q)
+
+  /** Storage-side encode for a declared datatype (identity for Float32). */
+  def encode(dt: VectorDatatype, v: Column): Column = dt match {
+    case Float32 => v
+    case Float16 => toF16(v)
+    case Uint8   => toI8(v)
+  }
+
+  /** Spark column type the encoded vector stores as. */
+  def storageType(dt: VectorDatatype): org.apache.spark.sql.types.DataType = dt match {
+    case Float32 => ArrayType(org.apache.spark.sql.types.FloatType)
+    case Float16 => ArrayType(ShortType, containsNull = false)
+    case Uint8   => ArrayType(ByteType, containsNull = false)
+  }
+
+  /** Read-out decode back to the user-visible `array<float>` (retrieval
+    * APIs always return f32; the i8 decode inverts the ·127 scale). */
+  def decode(dt: VectorDatatype, stored: Column): Column = dt match {
+    case Float32 => stored
+    case Float16 => VecKernels.f16Decode(stored)
+    case Uint8   => transform(stored, x => (x.cast("double") / lit(127.0d)).cast("float"))
+  }
+
+  /** Config-routed user-visible score of a stored vector against a literal
+    * query, fused with the element-type decode. Semantics per datatype:
+    *
+    *  - Float32: the standard double-precision metric (Search.scoreExpr).
+    *  - Float16: halves decode inline; scores are within 2⁻¹¹-per-element
+    *    relative error of the f32 scores.
+    *  - Uint8: the QUERY is encoded through the same i8 codec and scoring is
+    *    exact integer arithmetic in the encoded domain (Dot/Manhattan are
+    *    BIGINT; Euclid is sqrt of a BIGINT; Cosine divides exact integers) —
+    *    bit-reproducible by any engine, so oracles hash-match. This mirrors
+    *    the reference scoring u8 storage directly on stored bytes
+    *    (`lib/segment/src/spaces/metric_uint/`).
+    */
+  def scoreExpr(dt: VectorDatatype, metric: Metric, stored: Column, query: Seq[Double]): Column =
+    dt match {
+      case Float32 =>
+        graft.functions.VectorFunctions.score(metric, stored, typedlit(query))
+      case Float16 =>
+        val q = typedlit(query)
+        metric match {
+          case Dot    => VecKernels.f16Dot(stored, q)
+          case Cosine =>
+            val qNorm = math.sqrt(query.map(x => x * x).sum)
+            VecKernels.f16Dot(stored, q) /
+              (sqrt(VecKernels.f16SelfDot(stored)) * lit(qNorm))
+          case Euclid    => sqrt(VecKernels.f16L2Sq(stored, q))
+          case Manhattan => VecKernels.f16L1(stored, q)
+        }
+      case Uint8 =>
+        val qb = encodeI8(query)
+        val q = typedlit(qb)
+        metric match {
+          case Dot    => VecKernels.i8Dot(stored, q)
+          case Cosine =>
+            val qNorm = math.sqrt(qb.map(b => b.toDouble * b.toDouble).sum)
+            VecKernels.i8Dot(stored, q).cast("double") /
+              (sqrt(VecKernels.i8Dot(stored, stored).cast("double")) * lit(qNorm))
+          case Euclid    => sqrt(VecKernels.i8L2Sq(stored, q).cast("double"))
+          case Manhattan => VecKernels.i8L1(stored, q)
+        }
+    }
 }

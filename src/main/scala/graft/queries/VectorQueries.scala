@@ -57,40 +57,38 @@ object VectorQueries {
         filter = Some(f), resolver = Some(resolver(df)),
         k = 10, offset = 3, scoreThreshold = Some(-100.0))
     }),
-    // u8/i8 STORAGE element type (`VectorStorageDatatype`, types.rs:2039):
-    // vectors re-encoded to array<tinyint> via the engine-independent
-    // round-half-up(x*127) codec, scored with an exact integer dot — the
-    // DuckDB oracle reproduces the identical bytes and BIGINT scores, so
-    // this is a hash-exact entry, not a recall contract. 4x fewer scan
-    // bytes at 100 TB; decode never materializes (inline in the kernel).
+    // u8/i8 STORAGE element type (`VectorStorageDatatype`, types.rs:2039)
+    // driven entirely through the declared-config path: the collection
+    // declares datatype=Uint8, upsert receives f32 and the ENGINE encodes
+    // via the engine-independent round-half-up(x*127) codec; knn picks the
+    // exact-integer-dot kernel from config. The DuckDB oracle reproduces
+    // the identical bytes and BIGINT scores, so this is a hash-exact entry,
+    // not a recall contract. 4x fewer scan bytes at 100 TB; decode never
+    // materializes (inline in the kernel).
     "knn_u8" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      import graft.index.VectorCodec
-      val enc = emb(s, dir)
-        .select(col("vec_id"), VectorCodec.toI8(col("embedding")).as("v8"))
-      val q = enc.filter(col("vec_id") === 7L).head().getSeq[Byte](1)
-      enc.select(col("vec_id"),
-          VectorCodec.i8Dot(col("v8"), typedlit(q)).as("score"))
-        .orderBy(col("score").desc, col("vec_id").asc)
-        .limit(10)
+      val coll = datatypeCollection(s, dir, "u8", Uint8, Dot)
+      coll.knn("", Tables.embeddingOf(s, dir, 7L), k = 10)
     }),
-    // f16 STORAGE element type: half-bit vectors scored by a fused
-    // decode+dot kernel. Half rounding is not SQL-expressible, so the entry
-    // emits a derived contract the oracle asserts: the f16 top-10 matches
-    // the f32 top-10 id-for-id on this dataset, and every f16 score is
-    // within the documented 2^-11-per-element relative error of its f32
+    // Uint8 + Euclid through the same config path: exact integer Σ(a-b)²
+    // with the user-visible sqrt postprocess — sqrt of an exact BIGINT is
+    // IEEE-correctly-rounded, so this too hash-matches the DuckDB oracle.
+    "knn_u8_euclid" -> ((s, dir) => {
+      val coll = datatypeCollection(s, dir, "u8e", Uint8, Euclid)
+      coll.knn("", Tables.embeddingOf(s, dir, 13L), k = 10)
+    }),
+    // f16 STORAGE element type through the config path: collection declares
+    // datatype=Float16, upsert encodes to half bits, knn scores via the
+    // fused decode+dot kernel. Half rounding is not SQL-expressible, so the
+    // entry emits a derived contract the oracle asserts: the f16 top-10
+    // matches the f32 top-10 id-for-id on this dataset, and every f16 score
+    // is within the documented 2^-11-per-element relative error of its f32
     // counterpart (bound 2e-3 relative on these unit-scale vectors).
     "knn_f16" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      import graft.index.VectorCodec
-      val e = emb(s, dir)
       val q = Tables.embeddingOf(s, dir, 7L)
-      val enc = e.select(col("vec_id"), VectorCodec.toF16(col("embedding")).as("vh"))
-      val h = enc.select(col("vec_id"),
-          VectorCodec.f16Dot(col("vh"), typedlit(q)).as("score_h"))
-        .orderBy(col("score_h").desc, col("vec_id").asc)
-        .limit(10).collect()
-      val f = Search.knn(e, "vec_id", "embedding", q, Dot, k = 10).collect()
+      val coll = datatypeCollection(s, dir, "f16", Float16, Dot)
+      val h = coll.knn("", q, k = 10).collect()
+      val f = Search.knn(emb(s, dir), "vec_id", "embedding", q, Dot, k = 10).collect()
       val idsMatch = h.map(_.getLong(0)).toSeq == f.map(_.getLong(0)).toSeq
       val relErrOk = h.map(_.getDouble(1)).zip(f.map(_.getDouble(1))).forall {
         case (sh, sf) => math.abs(sh - sf) <= 2e-3 * math.max(1.0, math.abs(sf))
@@ -98,7 +96,39 @@ object VectorQueries {
       import s.implicits._
       Seq((h.length, idsMatch, relErrOk)).toDF("n", "ids_match_ok", "rel_err_ok")
     }),
+    // f16 + Cosine from config: fused decode dot + fused self-dot norm.
+    // Same derived-contract shape as knn_f16 (top-10 ids match f32 cosine;
+    // scores within the half-precision error bound).
+    "knn_f16_cosine" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val q = Tables.embeddingOf(s, dir, 42L)
+      val coll = datatypeCollection(s, dir, "f16c", Float16, Cosine)
+      val h = coll.knn("", q, k = 10).collect()
+      val f = Search.knn(emb(s, dir), "vec_id", "embedding", q, Cosine, k = 10).collect()
+      val idsMatch = h.map(_.getLong(0)).toSeq == f.map(_.getLong(0)).toSeq
+      val relErrOk = h.map(_.getDouble(1)).zip(f.map(_.getDouble(1))).forall {
+        case (sh, sf) => math.abs(sh - sf) <= 4e-3 * math.max(1.0, math.abs(sf))
+      }
+      import s.implicits._
+      Seq((h.length, idsMatch, relErrOk)).toDF("n", "ids_match_ok", "rel_err_ok")
+    }),
   )
+
+  /** Scratch collection with a declared reduced-width element type: the
+    * embeddings table upserted as f32 `vector`; the engine encodes per
+    * config (the `VectorDataConfig.datatype` flow, types.rs:2153). */
+  private def datatypeCollection(
+      s: SparkSession, dir: String, tag: String,
+      dt: graft.model.VectorDatatype, metric: Metric): graft.storage.Collection = {
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_runtime/dtcoll_" + tag + "_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val cfg = graft.sources.CollectionConfig(
+      idCol = "vec_id",
+      vectors = Seq(graft.sources.VectorConfig("", 0, metric, datatype = dt)))
+    graft.storage.Collection.create(s, path, cfg,
+      emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+  }
 
   val oracles: Map[String, String] = Map(
     "knn_u8" ->
@@ -109,11 +139,23 @@ object VectorQueries {
         |q AS (SELECT v FROM enc WHERE vec_id = 7)
         |SELECT e.vec_id, list_dot_product(e.v, q.v)::BIGINT AS score
         |FROM enc e, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_u8_euclid" ->
+      """WITH enc AS (SELECT vec_id,
+        |  list_transform(embedding, x ->
+        |    greatest(-127, least(127, floor(x::DOUBLE*127 + 0.5)))::BIGINT) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v FROM enc WHERE vec_id = 13)
+        |SELECT e.vec_id,
+        |  round(sqrt(list_sum(list_transform(list_zip(e.v, q.v),
+        |    p -> (p[1]-p[2])*(p[1]-p[2])))::DOUBLE), 6) AS score
+        |FROM enc e, q ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     // f16 half-bit rounding is not SQL-expressible; the entry emits a
     // one-row derived contract (see the query's scaladoc) that the oracle
     // asserts. Codec round-trip + error bounds additionally property-tested
     // in IndexSpec.
     "knn_f16" ->
+      "SELECT 10 AS n, true AS ids_match_ok, true AS rel_err_ok",
+    "knn_f16_cosine" ->
       "SELECT 10 AS n, true AS ids_match_ok, true AS rel_err_ok",
     "knn_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

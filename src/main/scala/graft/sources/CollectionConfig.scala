@@ -2,15 +2,20 @@ package graft.sources
 
 import org.apache.spark.sql.types.DataType
 
-import graft.model.Metric
+import graft.model.{Float32, Metric, VectorDatatype}
 
 /** Per-name dense vector config (qdrant `VectorDataConfig`,
-  * `lib/segment/src/types.rs:2153`: size + distance + multivector flag). */
+  * `lib/segment/src/types.rs:2153`: size + distance + multivector flag +
+  * storage element type `datatype`, `vectors.rs:253-257`). Declaring
+  * `datatype = Float16 | Uint8` makes Collection encode at upsert and score
+  * through the fused reduced-width kernels — callers keep sending and
+  * reading `array<float>`. */
 final case class VectorConfig(
     name: String,
     dim: Int,
     metric: Metric,
-    multivector: Boolean = false)
+    multivector: Boolean = false,
+    datatype: VectorDatatype = Float32)
 
 /** Sparse vector config (`SparseVectorDataConfig` `types.rs:2275`);
   * modifier = Some("idf") enables the IDF weighting. */

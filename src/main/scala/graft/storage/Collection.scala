@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.filters.{FieldResolver, FilterCompiler, JsonResolver}
-import graft.model.Filter
+import graft.index.VectorCodec
+import graft.model.{Filter, Float32}
 import graft.sources.CollectionConfig
 
 /** A collection: Parquet-backed points table — id + named vector columns +
@@ -24,6 +25,24 @@ final class Collection(
     val config: CollectionConfig) {
 
   def read(): DataFrame = spark.read.parquet(path)
+
+  /** Read with every declared vector decoded back to the user-visible
+    * `array<float>` — what retrieval APIs return regardless of the storage
+    * element type (the reference decodes at the API boundary too;
+    * `VectorDataConfig.datatype` is storage-only, `types.rs:2153`). */
+  def readDecoded(): DataFrame =
+    config.vectors.filter(_.datatype != Float32).foldLeft(read()) { (df, vc) =>
+      val c = config.vectorCol(vc.name)
+      if (df.columns.contains(c))
+        df.withColumn(c, VectorCodec.decode(vc.datatype, col(c)))
+      else df
+    }
+
+  /** Encode incoming user vectors (`array<float|double>`) to each declared
+    * storage element type. Type-gated, so already-encoded columns (reads of
+    * the stored table) pass through untouched — encoding is idempotent. */
+  private def encodeVectors(df: DataFrame): DataFrame =
+    Collection.encodeVectors(config, df)
 
   def resolver(df: DataFrame): FieldResolver =
     new JsonResolver(col(config.payloadCol), config.payloadTypes, col(config.idCol),
@@ -139,14 +158,14 @@ final class Collection(
 
   private def applyOp(cur: DataFrame, op: UpdateOp): DataFrame = op match {
     case UpdateOp.Upsert(points) =>
-      val incoming = lastWins(points)
+      val incoming = lastWins(encodeVectors(points))
       cur.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
         .unionByName(incoming, allowMissingColumns = true)
     case UpdateOp.UpsertConditional(points, filter) =>
       val replaceable = cur.filter(pred(cur, filter))
         .select(col(config.idCol)).withColumn("_repl", lit(true))
       val existingIds = cur.select(col(config.idCol)).withColumn("_exists", lit(true))
-      val incoming = lastWins(points)
+      val incoming = lastWins(encodeVectors(points))
         .join(replaceable, Seq(config.idCol), "left")
         .join(existingIds, Seq(config.idCol), "left")
         .filter(col("_repl").isNotNull || col("_exists").isNull)
@@ -171,11 +190,36 @@ final class Collection(
       mapPayload(cur, target, _ => lit(null))
     case UpdateOp.UpdateVector(name, newVec, target) =>
       val c = config.vectorCol(name)
-      cur.withColumn(c, when(target, newVec).otherwise(col(c)))
+      val enc = config.vectors.find(_.name == name)
+        .map(vc => VectorCodec.encode(vc.datatype, newVec)).getOrElse(newVec)
+      cur.withColumn(c, when(target, enc).otherwise(col(c)))
     case UpdateOp.DeleteVector(name, target) =>
       val c = config.vectorCol(name)
       cur.withColumn(c,
         when(target, lit(null).cast(cur.schema(c).dataType)).otherwise(col(c)))
+  }
+
+  /** Config-routed nearest-k over a declared named vector: metric AND
+    * storage element type come from [[VectorConfig]], so a caller never
+    * touches the codec — Float16/Uint8 collections score through the fused
+    * decode kernels ([[VectorCodec.scoreExpr]]) directly on the narrow
+    * stored column, exactly like the reference picks a
+    * `VectorStorageDatatype`-specific scorer from config
+    * (`lib/segment/src/types.rs:2039,2153`). */
+  def knn(
+      vectorName: String,
+      query: Seq[Double],
+      filter: Option[Filter] = None,
+      k: Int = 10,
+      offset: Int = 0,
+      scoreThreshold: Option[Double] = None): DataFrame = {
+    val vc = config.vectorConfig(vectorName)
+    val df = read()
+    val score = VectorCodec.scoreExpr(
+      vc.datatype, vc.metric, col(config.vectorCol(vectorName)), query)
+    val pred = filter.map(f => new FilterCompiler(resolver(df)).compile(f))
+    graft.ops.Search.scoredTopK(df, config.idCol, score, vc.metric.largerBetter,
+      pred, k, offset, scoreThreshold)
   }
 
   /** Compaction — the background merge-optimizer analog
@@ -246,13 +290,26 @@ final class Collection(
 }
 
 object Collection {
-  /** Create/overwrite a collection from a points DataFrame. */
+  /** Create/overwrite a collection from a points DataFrame; declared
+    * reduced-width vectors are encoded on the way in. */
   def create(
       spark: SparkSession,
       path: String,
       config: CollectionConfig,
       points: DataFrame): Collection = {
-    points.write.mode(SaveMode.Overwrite).parquet(path)
+    encodeVectors(config, points).write.mode(SaveMode.Overwrite).parquet(path)
     new Collection(spark, path, config)
   }
+
+  private[storage] def encodeVectors(config: CollectionConfig, df: DataFrame): DataFrame =
+    config.vectors.filter(_.datatype != Float32).foldLeft(df) { (acc, vc) =>
+      val c = config.vectorCol(vc.name)
+      val isFloatArray = acc.columns.contains(c) && (acc.schema(c).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      })
+      if (isFloatArray) acc.withColumn(c, VectorCodec.encode(vc.datatype, col(c)))
+      else acc
+    }
 }

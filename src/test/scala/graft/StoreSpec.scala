@@ -126,6 +126,71 @@ class StoreSpec extends SparkTestBase {
     assert(!c.read().columns.contains("idx_price"))
   }
 
+  test("declared element types: upsert encodes, knn routes fused kernels, read decodes") {
+    import spark.implicits._
+    val dcfg = CollectionConfig(
+      idCol = "id",
+      vectors = Seq(
+        VectorConfig("half", 4, Dot, datatype = Float16),
+        VectorConfig("byte", 4, Euclid, datatype = Uint8)))
+    val raw = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Seq(0.1f, 0.2f, 0.3f, 0.4f)),
+      (3L, Seq(-1.0f, 0.7f, 0.0f, 0.33f)))
+    val c = Collection.create(spark, tmpDir(), dcfg,
+      raw.map { case (i, v) => (i, v, v) }.toDF("id", "vector_half", "vector_byte"))
+
+    // 1. stored schema is the narrow element type (2x / 4x fewer scan bytes)
+    assert(c.read().schema("vector_half").dataType
+      .asInstanceOf[ArrayType].elementType == ShortType)
+    assert(c.read().schema("vector_byte").dataType
+      .asInstanceOf[ArrayType].elementType == ByteType)
+
+    // 2. upsert of f32 points through the same config path stays narrow
+    val v4 = Seq(0.9f, -0.9f, 0.45f, 0.0f)
+    c.upsert(Seq((4L, v4, v4)).toDF("id", "vector_half", "vector_byte"))
+    assert(c.read().count() == 4)
+    assert(c.read().schema("vector_half").dataType
+      .asInstanceOf[ArrayType].elementType == ShortType)
+
+    // 3. u8 knn scores == exact integer Euclid over the codec bytes,
+    //    computed independently here (the element-type contract)
+    val all = raw :+ (4L -> v4)
+    val query = Seq(0.4, 0.1, 0.2, 0.5)
+    val qb = graft.index.VectorCodec.encodeI8(query)
+    val expected = all.map { case (i, v) =>
+      val pb = graft.index.VectorCodec.encodeI8(v.map(_.toDouble))
+      val ss = pb.zip(qb).map { case (a, b) => val d = a.toLong - b; d * d }.sum
+      (i, BigDecimal(math.sqrt(ss.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (i, s) => (s, i) }
+    val gotU8 = c.knn("byte", query, k = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotU8 == expected, s"$gotU8 vs $expected")
+
+    // 4. f16 knn: same ids as f32 dot scoring, scores within the 2^-11 bound
+    val f32 = all.map { case (i, v) =>
+      (i, v.map(_.toDouble).zip(query).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (i, s) => (-s, i) }
+    val gotF16 = c.knn("half", query, k = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotF16.map(_._1) == f32.map(_._1))
+    gotF16.zip(f32).foreach { case ((_, sh), (_, sf)) =>
+      assert(math.abs(sh - sf) <= 2e-3 * math.max(1.0, math.abs(sf)))
+    }
+
+    // 5. retrieval decodes back to array<float> near the original values
+    val dec = c.readDecoded()
+    assert(dec.schema("vector_half").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType)
+    val r1 = dec.filter(col("id") === 1L).head()
+    val half1 = r1.getSeq[Float](dec.columns.indexOf("vector_half"))
+    val byte1 = r1.getSeq[Float](dec.columns.indexOf("vector_byte"))
+    raw.head._2.zip(half1).foreach { case (o, d) =>
+      assert(math.abs(o - d) <= 1e-3f * math.max(1.0f, math.abs(o))) }
+    raw.head._2.zip(byte1).foreach { case (o, d) =>
+      assert(math.abs(o - d) <= 1.0f / 127f) }
+  }
+
   test("compaction reduces file count and preserves content") {
     import spark.implicits._
     val c = mk(tmpDir())
