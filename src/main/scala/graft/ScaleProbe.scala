@@ -89,7 +89,9 @@ object ScaleProbe {
       "embedding_neardup_auto" -> ((s, dir) =>
         graft.pipeline.Dedup.embeddingNearDupAuto(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.99)),
+          threshold = 0.99,
+          cachePath = Some("/tmp/graft_runtime/neardup_cents_c512_" +
+            dir.replaceAll("[^A-Za-z0-9]", "_")))),
       // The catalog entry pins k=4 Forgy centroids so its DuckDB oracle can
       // reproduce the assignment — at 100x data that is 4 cells of 50k
       // vectors and an O(N²/k) in-cell pair join (measured: the probe's

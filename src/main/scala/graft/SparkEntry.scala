@@ -24,6 +24,7 @@ object SparkEntry {
       (IndexQueries.queries, IndexQueries.oracles),
       (StorageQueries.queries, StorageQueries.oracles),
       (UuidQueries.queries, UuidQueries.oracles),
+      (ScenarioQueries.queries, ScenarioQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

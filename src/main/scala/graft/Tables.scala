@@ -31,4 +31,14 @@ object Tables {
     lookup.filter(col(idCol) === org.apache.spark.sql.functions.lit(id))
       .select(vecCol)
       .head().getSeq[Float](0).toSeq.map(_.toDouble)
+
+  /** `lookup_from.shard_key` (`ShardKeySelector` on the lookup location,
+    * `lib/api/src/rest/schema.rs:1122-1133`): restrict the foreign-id
+    * resolve to the named shard(s). Shard keys map to a partition column in
+    * our model, so the filter prunes the resolve scan to those partitions —
+    * and disambiguates ids that repeat across shards (qdrant ids are only
+    * unique per shard key within a custom-sharded collection). */
+  def embeddingFromShards(lookup: DataFrame, shardCol: String, shardKeys: Seq[Any],
+      idCol: String, vecCol: String, id: Any): Seq[Double] =
+    embeddingFrom(lookup.filter(col(shardCol).isin(shardKeys: _*)), idCol, vecCol, id)
 }

@@ -40,6 +40,7 @@ object IvfIndex {
     * centroid quality is set by the sample, not by scanning every row. */
   def build(df: DataFrame, vecCol: String, k: Int, maxIter: Int = 20,
       seed: Long = 42L, samplePerCentroid: Int = 256): Model = {
+    buildCount.incrementAndGet()
     val target = k * samplePerCentroid
     // deterministic pseudo-random sample without a count(): order by a hash
     // of the vector bytes and take the first `target`
@@ -75,6 +76,23 @@ object IvfIndex {
     })
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  /** Cached model lookup WITHOUT a build fallback: in-process memo first,
+    * then the persisted artifact. Lets a caller that derives k from a
+    * data-dependent law (e.g. auto-sized near-dup cells) skip the N-count
+    * job entirely when the model is already trained — k is implicit in the
+    * artifact. */
+  def loadCached(cachePath: String): Option[Model] = {
+    val hit = memo.get(cachePath)
+    if (hit != null) Some(hit)
+    else readModel(java.nio.file.Paths.get(cachePath)).map { m =>
+      memo.putIfAbsent(cachePath, m); m
+    }
+  }
+
+  /** Training invocations this JVM — observability hook for tests asserting
+    * train-once behavior. */
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong()
 
   private def readModel(p: java.nio.file.Path): Option[Model] =
     if (!java.nio.file.Files.isRegularFile(p)) None

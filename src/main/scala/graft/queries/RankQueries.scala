@@ -56,6 +56,28 @@ object RankQueries {
         negatives = Seq(lv(10004L)))
       Search.knn(emb(s, dir), "vec_id", "embedding", q, Dot, k = 10)
     }),
+    // lookup_from with a SHARD-KEY selector (`ShardKeySelector`,
+    // `lib/api/src/rest/schema.rs:1122-1133`): the foreign collection is
+    // partitioned by shard_key and the SAME qid resolves to a DIFFERENT
+    // vector per shard (shard a: embedding of qid−10000; shard b: embedding
+    // of qid−9950) — ignoring the selector or picking the wrong shard
+    // produces a distinguishable result hash. The selector is a partition-
+    // column filter, so at scale the resolve scan prunes to the shard's
+    // files.
+    "recommend_lookup_from_shard" -> ((s, dir) => {
+      val lookup = emb(s, dir).filter(col("vec_id") < 100)
+        .select(lit("a").as("shard_key"), (col("vec_id") + 10000).as("qid"),
+          col("embedding").as("vec"))
+        .unionByName(emb(s, dir).filter(col("vec_id") >= 50 && col("vec_id") < 150)
+          .select(lit("b").as("shard_key"), (col("vec_id") + 9950).as("qid"),
+            col("embedding").as("vec")))
+      def lv(id: Long) = Tables.embeddingFromShards(
+        lookup, "shard_key", Seq("b"), "qid", "vec", id)
+      val q = Search.recommendAvgVector(
+        positives = Seq(lv(10001L), lv(10003L)),
+        negatives = Seq(lv(10005L)))
+      Search.knn(emb(s, dir), "vec_id", "embedding", q, Dot, k = 10)
+    }),
     "recommend_avg" -> ((s, dir) => {
       val q = Search.recommendAvgVector(
         positives = Seq(v(s, dir, 1), v(s, dir, 2), v(s, dir, 3)),
@@ -205,6 +227,18 @@ object RankQueries {
         |q AS (SELECT d.i AS i,
         |  2 * (SELECT avg(embedding[65 - d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (1,2))
         |    - (SELECT avg(embedding[65 - d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (4)) AS w
+        |  FROM dims d),
+        |s AS (SELECT e.vec_id AS vec_id, sum(e.embedding[q.i]::DOUBLE * q.w) AS sc
+        |      FROM embeddings e CROSS JOIN q GROUP BY e.vec_id)
+        |SELECT vec_id, round(sc, 6) AS score FROM s
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // shard-key choice: shard b's vector for qid is embedding of qid−9950,
+    // so positives {10001,10003} → vec_ids {51,53}, negative {10005} → {55}
+    "recommend_lookup_from_shard" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+        |q AS (SELECT d.i AS i,
+        |  2 * (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (51,53))
+        |    - (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (55)) AS w
         |  FROM dims d),
         |s AS (SELECT e.vec_id AS vec_id, sum(e.embedding[q.i]::DOUBLE * q.w) AS sc
         |      FROM embeddings e CROSS JOIN q GROUP BY e.vec_id)

@@ -591,7 +591,9 @@ object TextQueries {
         transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
       val planted = e.unionByName(copies)
       val pairs = Dedup.embeddingNearDupAuto(planted, "vec_id", "embedding",
-        threshold = 0.99, targetCellSize = 64).persist()
+        threshold = 0.99, targetCellSize = 64,
+        cachePath = Some("/tmp/graft_runtime/neardup_cents_planted64_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))).persist()
       try {
         val nPairs = pairs.count()
         val canonical = pairs.filter(col("id_a") >= col("id_b")).count() == 0

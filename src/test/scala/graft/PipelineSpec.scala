@@ -161,6 +161,27 @@ class PipelineSpec extends SparkTestBase {
       "auto-blocked near-dup must never plan an all-pairs join")
   }
 
+  test("embeddingNearDupAuto with cachePath trains exactly once across repeated calls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 128L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val cache = java.nio.file.Files.createTempDirectory("graft_ndc")
+      .resolve("cents.txt").toString
+    val before = graft.index.IvfIndex.buildCount.get()
+    val first = Dedup.embeddingNearDupAuto(df, "id", "vec",
+      threshold = 0.99, targetCellSize = 16, cachePath = Some(cache)).count()
+    val afterFirst = graft.index.IvfIndex.buildCount.get()
+    assert(afterFirst - before == 1L, "first call must train once")
+    val second = Dedup.embeddingNearDupAuto(df, "id", "vec",
+      threshold = 0.99, targetCellSize = 16, cachePath = Some(cache)).count()
+    assert(graft.index.IvfIndex.buildCount.get() == afterFirst,
+      "repeat call must reuse the cached model, not re-train")
+    assert(first == second)
+    // artifact survives the in-process memo: a fresh read from disk works
+    assert(graft.index.IvfIndex.loadCached(cache).nonEmpty)
+  }
+
   test("trigram lang-id classifies held-out sentences and respects CJK script") {
     import graft.pipeline.LangId
     val codes = Array("en", "de", "es", "fr", "zh")
