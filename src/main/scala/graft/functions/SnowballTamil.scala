@@ -4,8 +4,8 @@ package graft.functions
   * `lib/segment/src/data_types/index.rs:390`, dispatch :415).
   *
   * Reverse-engineered against an independent Snowball engine (PostgreSQL's
-  * `tamil_stem` dictionary) over ~6.5k oracled vectors plus ~300 targeted
-  * probes (see `tools/snowball_lab/tamil_proto.py`, the converged v8
+  * `tamil_stem` dictionary) over ~6.5k oracled vectors plus ~550 targeted
+  * probes (see `tools/snowball_lab/tamil_proto_v9.py`, the converged v9
   * model). Structure: two pre-steps (question prefix/suffix), then suffix
   * FAMILIES tried in order with first-match-wins — tense (three suffix
   * groups with group-specific fix cascades), the plural complex
@@ -15,12 +15,22 @@ package graft.functions
   * own "fix endings" table (longest-match, per-rule length gates, repeat
   * to fixpoint), mirroring the published algorithm's fix_endings shape.
   *
-  * Agreement with the PG oracle: 95.9% over the full generated corpus
-  * (6240/6507); the residual tail is invalid-orthography randoms (e.g.
-  * pulli-initial junk like க்ப்ந்ள்) where the reference's incidental
-  * rule interplay is not reproduced. Valid-morphology suffix paradigms
-  * (plural, case, tense, question, um) match the oracle — enforced as a
-  * ≥95.5% regression gate in AnalyzerSpec on the committed TSV.
+  * The round-7 (v9) refit discovered the model's unifying principle: most
+  * suffix-family remainders CONTINUE into the shared bare ending cascade
+  * (ுக்கு/க்கு/வை/ுக்கள்/வைகள்/invalid-join-ை: நண்பனுக்கு→நண்,
+  * தண்ணீர்வை→தண், மாணவர்க்கு→மாண), and stacked plural+case re-enters the
+  * whole pipeline so the plural family applies its gated rules
+  * (மரங்களில்→மரங் but நகரங்களில்→நகரம் — the same length gate as the bare
+  * plural). Sonorant geminate ை joins reduce without the ன் over-delete
+  * (அரசன்னை→அரசன்).
+  *
+  * Agreement with the PG oracle: 96.9% over the full generated corpus
+  * (6305/6507) and 99.0% (3608/3643) on the valid-orthography subset
+  * (`tamil_valid.tsv`); the residual tail is invalid-orthography randoms
+  * (pulli-initial clusters, mid-word independent vowels, 3-consonant
+  * clusters) where the reference engine's incidental rule interplay is not
+  * abstracted. Enforced in AnalyzerSpec: ≥96.5% on the full TSV, ≥99% on
+  * the valid-orthography TSV.
   */
 object SnowballTamil {
 
@@ -115,7 +125,9 @@ object SnowballTamil {
     Cons.map(c => R(s"${c}ங்", s"${c}ம்", 3)) ++
     Stops.map(c => R(s"$c$Pu", "", if (c == 'வ') 4 else 3)) ++ Seq(
     R("ய", "", 3), R("வ", "", 3), R("ன", "", 4),
-    R("ப", "", 3), R("த", "", 5),
+    R("ப", "", 5), R("த", "", 4), R("ந்", "", 3),
+    R("ீய்", "ி", 4), R("ீவ்", "ி", 4)) ++
+    "ாிீுூெேைொோௌ".map(sg => R(s"${sg}வி", sg.toString, 4)) ++ Seq(
     R("ா", Pu.toString, 4), R("ோ", Pu.toString, 4), R("ே", Pu.toString, 4))
 
   private val NasalPairs = Set("ஙக", "ஞச", "ணட", "நத", "மப", "னற")
@@ -132,7 +144,12 @@ object SnowballTamil {
       changed = w2 != w
       w = w2
     }
-    w
+    // short long-sign+ங் assimilates instead of deleting (தூங்→தூம்,
+    // நேங்→நேம்; the gated delete in the table handles longer words)
+    if (w.length <= 4 && w.length >= 3 && w.endsWith("ங்") &&
+        "ாீூேோ".contains(w(w.length - 3)))
+      w.dropRight(2) + "ம்"
+    else w
   }
 
   private def barefix(word: String): String = {
@@ -142,7 +159,11 @@ object SnowballTamil {
     if (w.length > 4 && w.endsWith("ல்") && w(w.length - 3) != Pu &&
         !Signs.contains(w(w.length - 3)))
       w = w.dropRight(2) + Pu
-    if (w.length > 4 && w.endsWith("ீ")) w = w.dropRight(1) + "ி"
+    else if (w.length > 4 && w.endsWith("பீ")) w = w.dropRight(2)
+    else if (w.length > 4 && w.endsWith("ீ")) w = w.dropRight(1) + "ி"
+    else if (w.length > 6 && w.last == Pu && w(w.length - 3) == 'ீ' &&
+        "கசடதபற".contains(w(w.length - 2)))
+      w = w.dropRight(3) + "ி" // ீ + stop junk: both go, long ீ shortens
     if (w.length > 4 && w.endsWith("வி")) w = w.dropRight(2)
     barecascade(w)
   }
@@ -275,7 +296,8 @@ object SnowballTamil {
 
     if (w.length > 4) {
       if (w.endsWith("ுக்கள்") && w.length - 6 >= 1)
-        return fix(w.dropRight(6) + Pu, Ung)
+        // remainder continues into the shared cascade (தூங்குக்கள்→தூம்)
+        return barecascade(fix(w.dropRight(6) + Pu, Ung))
       if (w.endsWith("ங்கள்") && w.length >= 8 && {
             val c6 = w(w.length - 6)
             (c6 == 'ு' && "கசடதபற".contains(w(w.length - 7))) ||
@@ -287,7 +309,8 @@ object SnowballTamil {
       if (w.endsWith("ற்கள்") && !w.endsWith("்ற்கள்"))
         return w.dropRight(5) + "ல்"
       if (w.endsWith("வைகள்") && w.length - 5 >= 3)
-        return commandAfter(fix(w.dropRight(5), Ung))
+        // remainder continues into the shared cascade (வானம்வைகள்→வா)
+        return barecascade(commandAfter(fix(w.dropRight(5), Ung)))
       if (w.endsWith("கள்")) {
         val base = w.dropRight(3)
         val jw = fix(base, Junk)
@@ -298,7 +321,7 @@ object SnowballTamil {
 
     if (w.length > 4) {
       val ums = Seq("ாகியும்" -> "", "ையும்" -> "ை", "ாலும்" -> Pu.toString,
-        "ிலும்" -> Pu.toString, "ோடும்" -> Pu.toString, "ும்" -> Pu.toString)
+        "ிலும்" -> Pu.toString, "ோடும்" -> "ோ", "ும்" -> Pu.toString)
       val s = longestOf(w, ums.map(_._1), 2)
       if (s != null)
         return fix(w.substring(0, w.length - s.length) + ums.toMap.apply(s), Ung)
@@ -310,11 +333,12 @@ object SnowballTamil {
       val commons = Seq("ிலிருந்து" -> "ில்", "ிருந்து" -> "",
         "ாகிய" -> Pu.toString, "ாய" -> Pu.toString, "ின்றி" -> Pu.toString,
         "ாக" -> Pu.toString, "ான" -> Pu.toString, "ாத" -> Pu.toString,
-        "ாது" -> Pu.toString, "ாமல்" -> Pu.toString, "ாய்" -> Pu.toString,
-        "ாம்" -> Pu.toString, "ென" -> Pu.toString, "ேயான" -> Pu.toString,
+        "ாமல்" -> Pu.toString, "ாய்" -> Pu.toString,
+        "ாம்" -> Pu.toString, "ென" -> Pu.toString, "ேயான" -> "ேய்",
         "ியது" -> "ி", "ிய" -> "ி")
       var s = longestOf(w, commons.map(_._1), 2)
       if (s == "ான" && w.length <= 5) s = null // மரமான→மரமா via bare-ன
+      if (s == "ாக" && w.length <= 5) s = null // திறாக→திறா via bare-க
       if (s != null)
         return fix(w.substring(0, w.length - s.length) + commons.toMap.apply(s), Ung)
     }
@@ -324,26 +348,47 @@ object SnowballTamil {
         return fix(w.dropRight(4), Ung)
       if (w.endsWith("ை") && ("யரலவழளனணமஞங".contains(w(w.length - 2)) ||
           (w.length >= 3 && w(w.length - 3) == Pu))) {
+        // stacked plural+case (மரங்களை, பூக்களை) re-enters the pipeline so
+        // the plural family does its gated work
+        if (w.dropRight(1).endsWith("கள") && w.length > 6)
+          return stem(w.dropRight(1) + Pu)
         if (w.length >= 4 && w(w.length - 3) == Pu) {
           val pair = s"${w(w.length - 4)}${w(w.length - 2)}"
-          return if (w(w.length - 4) == w(w.length - 2) || NasalPairs.contains(pair))
-            fix(w.dropRight(1) + Pu, Ai)
-          else fix(w.dropRight(2), Junk)
+          // SONORANT geminate reduces only, then the shared cascade
+          // (அரசன்னை→அரசன், கண்ணை→கண்; no ன் over-delete). Stop geminates
+          // (த்தை) keep the AI sandhi-undo path.
+          if (w(w.length - 4) == w(w.length - 2) &&
+              "னணலளரழயவம".contains(w(w.length - 2)))
+            return barecascade(fix(w.dropRight(1) + Pu, Dbl))
+          if (w(w.length - 4) == w(w.length - 2) || NasalPairs.contains(pair))
+            return fix(w.dropRight(1) + Pu, Ai)
+          // invalid-join strip continues into the shared cascade
+          // (தண்ணீர்வை→தண், மாணவன்னை→மாண)
+          return barecascade(fix(w.dropRight(2), Junk))
         }
-        return barecascade(fix(w.dropRight(1) + Pu, Ai))
+        // a remainder ending ்கு/்து continues into the command family
+        // (பேருந்துவை→பேரு), then the shared cascade
+        return barecascade(commandAfter(fix(w.dropRight(1) + Pu, Ai)))
       }
-      if (w.endsWith("ுக்கு")) return fix(w.dropRight(5) + Pu, Ung)
+      // the UNG remainder continues into the shared bare cascade
+      // (நண்பனுக்கு→நண், மாணவனுக்கு→மாண; no-op for அரசன்/மகன்/மரங்கள்)
+      if (w.endsWith("ுக்கு")) return barecascade(fix(w.dropRight(5) + Pu, Ung))
       if (w.endsWith("ற்கு")) return w.dropRight(4)
       if (w.endsWith("க்கு") && w.length >= 5 && Signs.contains(w(w.length - 5)))
         return w.dropRight(4)
       for (s <- Seq("ோடு", "ால்", "ில்", "ின்"))
-        if (w.endsWith(s))
-          return barecascade(fix(w.substring(0, w.length - s.length) + Pu, Il))
+        if (w.endsWith(s)) {
+          val w1 = w.substring(0, w.length - s.length) + Pu
+          // stacked plural+case (மரங்களில்) re-enters the pipeline
+          if (w1.endsWith("கள்") && w1.length > 5) return stem(w1)
+          return barecascade(fix(w1, Il))
+        }
     }
 
-    // command: final ்கு / ்து
+    // command: final ்கு / ்து; remainder continues into the shared bare
+    // cascade (மாணவர்க்கு→மாண, தண்ணீர்க்கு→தண்; no-op for தூம்/அவர்)
     if (w.length > 4 && (w.endsWith("்கு") || w.endsWith("்து")))
-      return fix(w.dropRight(1) + Pu, Cmd)
+      return barecascade(fix(w.dropRight(1) + Pu, Cmd))
 
     if (prefixed) pfxfix(w)
     else if (!fired) barefix(w)

@@ -94,7 +94,7 @@ class AnalyzerSpec extends SparkTestBase {
   // where the reference's incidental rule interplay is not reproduced.
   // Gate: >= 95.5% agreement over the full 6.5k-vector corpus (observed
   // 95.9% at port time) — a regression here means a rule changed.
-  test("snowball tamil matches the independent oracle on >=95.5% of vectors") {
+  test("snowball tamil matches the independent oracle on >=96.5% of vectors") {
     val res = getClass.getResourceAsStream("/snowball/tamil.tsv")
     assert(res != null, "missing vectors for tamil")
     val lines = scala.io.Source.fromInputStream(res, "UTF-8").getLines().toSeq
@@ -105,7 +105,30 @@ class AnalyzerSpec extends SparkTestBase {
       if (got != expect) Some(s"$w: got=$got want=$expect") else None
     }
     val agreement = 1.0 - bad.size.toDouble / lines.size
-    assert(agreement >= 0.955,
+    assert(agreement >= 0.965,
+      f"agreement $agreement%.4f; ${bad.size} mismatches; first 20:\n" +
+        bad.take(20).mkString("\n"))
+  }
+
+  // The residual tail of the full corpus is invalid-orthography randoms
+  // (pulli-initial clusters, mid-word independent vowels, 3-consonant
+  // clusters, impossible word-initial consonants) where the reference
+  // engine's incidental rule interplay is not abstracted. On the VALID-
+  // orthography subset — real stems, real inflected forms, stem×suffix
+  // combos, and well-formed random aksara strings — agreement is gated at
+  // >=99% (r7: 99.0%, 3608/3643).
+  test("snowball tamil matches the oracle on >=99% of valid-orthography vectors") {
+    val res = getClass.getResourceAsStream("/snowball/tamil_valid.tsv")
+    assert(res != null, "missing valid-subset vectors for tamil")
+    val lines = scala.io.Source.fromInputStream(res, "UTF-8").getLines().toSeq
+    assert(lines.size > 3000)
+    val bad = lines.flatMap { l =>
+      val Array(w, expect) = l.split("\t", 2)
+      val got = graft.functions.Snowball.stem("tamil", w)
+      if (got != expect) Some(s"$w: got=$got want=$expect") else None
+    }
+    val agreement = 1.0 - bad.size.toDouble / lines.size
+    assert(agreement >= 0.99,
       f"agreement $agreement%.4f; ${bad.size} mismatches; first 20:\n" +
         bad.take(20).mkString("\n"))
   }
