@@ -59,7 +59,7 @@ object ScaleProbe {
     * regenerated at scale). */
   private val subset: Seq[String] = Seq(
     "knn_dot", "knn_cosine", "knn_euclid", "knn_manhattan", "knn_filtered",
-    "knn_batch", "knn_u8",
+    "knn_batch", "knn_u8", "knn_u8_euclid", "knn_f16", "knn_f16_cosine",
     "ivf_search_allprobe", "ivf_search_probe2", "quantized_scalar_rescore",
     "embedding_neardup", "embedding_neardup_auto",
     "dedup_exact", "dedup_keep_first", "ngram_jaccard",

@@ -55,6 +55,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan(scored).contains("*(1)"), plan(scored).take(300))
   }
 
+  test("config-routed reduced-width knn reads only the narrow stored column") {
+    import java.nio.file.Files
+    import graft.sources.{CollectionConfig, VectorConfig}
+    import graft.storage.Collection
+    import spark.implicits._
+    val cfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 4, Dot, datatype = Uint8)))
+    val pts = (0L until 64L)
+      .map(i => (i, Seq(i * 0.01f, 0.5f - i * 0.001f, 0.25f, -0.125f)))
+      .toDF("id", "vector")
+    val c = Collection.create(spark,
+      Files.createTempDirectory("graft_plan_u8").resolve("pts").toString, cfg, pts)
+    val p = plan(c.knn("", Seq(0.1, 0.2, 0.3, 0.4), k = 5))
+    // the scan must read the ENCODED column type (array<tinyint>), never a
+    // decoded float array — the fused kernel decodes inline
+    assert(p.contains("vector:array<tinyint>"),
+      "scan does not read the narrow encoded column:\n" + p.take(1200))
+    // top-k shape preserved through the config path
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // the scoring projection stays inside whole-stage codegen
+    assert(p.contains("*(1)"), "kernel fell out of codegen:\n" + p.take(800))
+  }
+
   test("IVF partitioned layout prunes unprobed cells at the directory level") {
     val e = Tables.load(spark, sf, "embeddings")
     val model = graft.index.IvfIndex.build(e, "embedding", k = 4)
