@@ -180,4 +180,58 @@ class IndexSpec extends SparkTestBase {
       assert(got8(id) == expect, s"i8 id=$id")
     }
   }
+
+  test("reduced-width metric folds agree with driver math (all metrics, both eval paths)") {
+    import graft.functions.{F16, VecKernels}
+    import graft.index.VectorCodec
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 60).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val df = rows.toDF("id", "v")
+    val q = rows.last._2.map(_.toDouble)
+
+    def check(name: String, col0: org.apache.spark.sql.Column,
+        expect: Long => Double, tol: Double, codegen: Boolean): Unit = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try {
+        val got = df.select(col("id"), col0.cast("double").as("s"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        for ((id, _) <- rows)
+          assert(math.abs(got(id) - expect(id)) <= tol,
+            s"$name id=$id codegen=$codegen: ${got(id)} vs ${expect(id)}")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+
+    val half = rows.map { case (id, v) =>
+      id -> v.map(x => F16.toFloat(F16.toHalf(x)).toDouble)
+    }.toMap
+    val hv = VectorCodec.toF16(col("v"))
+    val qb = VectorCodec.encodeI8(q).map(_.toLong)
+    val i8v = rows.map { case (id, v) =>
+      id -> VectorCodec.encodeI8(v.map(_.toDouble)).map(_.toLong)
+    }.toMap
+    val bv = VectorCodec.toI8(col("v"))
+    val qlit = typedlit(q)
+    val q8lit = typedlit(VectorCodec.encodeI8(q))
+
+    for (cg <- Seq(true, false)) {
+      // f16 folds: sequential-double over decoded halves
+      check("f16L2Sq", VecKernels.f16L2Sq(hv, qlit),
+        id => half(id).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, 1e-12, cg)
+      check("f16L1", VecKernels.f16L1(hv, qlit),
+        id => half(id).zip(q).map { case (a, b) => math.abs(a - b) }.sum, 1e-12, cg)
+      check("f16SelfDot", VecKernels.f16SelfDot(hv),
+        id => half(id).map(x => x * x).sum, 1e-12, cg)
+      // i8 folds: exact integers
+      check("i8L2Sq", VecKernels.i8L2Sq(bv, q8lit),
+        id => i8v(id).zip(qb).map { case (a, b) => ((a - b) * (a - b)).toDouble }.sum,
+        0.0, cg)
+      check("i8L1", VecKernels.i8L1(bv, q8lit),
+        id => i8v(id).zip(qb).map { case (a, b) => math.abs(a - b).toDouble }.sum,
+        0.0, cg)
+    }
+  }
 }
