@@ -96,6 +96,19 @@ object VectorQueries {
       import s.implicits._
       Seq((h.length, idsMatch, relErrOk)).toDF("n", "ids_match_ok", "rel_err_ok")
     }),
+    // Batch KNN against a Uint8 collection: query side broadcast and
+    // encoded through the same i8 codec inside the plan, stored side
+    // streams the narrow array<tinyint> column once — the 100 TB batch
+    // shape on encoded storage. Exact BIGINT scores → hash-exact oracle.
+    "knn_batch_u8" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val coll = datatypeCollection(s, dir, "u8", Uint8, Dot)
+      val qs = emb(s, dir).filter(col("vec_id").isin(3L, 7L, 11L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      coll.knnBatch("", qs, "query_id", "qvec", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // f16 + Cosine from config: fused decode dot + fused self-dot norm.
     // Same derived-contract shape as knn_f16 (top-10 ids match f32 cosine;
     // scores within the half-precision error bound).
@@ -157,6 +170,21 @@ object VectorQueries {
         |  round(sqrt(list_sum(list_transform(list_zip(e.v, q.v),
         |    p -> (p[1]-p[2])*(p[1]-p[2])))::DOUBLE), 6) AS score
         |FROM enc e, q ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_batch_u8" ->
+      """WITH enc AS (SELECT vec_id,
+        |  list_transform(embedding, x ->
+        |    greatest(-127, least(127, floor(x::DOUBLE*127 + 0.5)))::BIGINT) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM enc
+        |      WHERE vec_id IN (3, 7, 11)),
+        |s AS (SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+        |        list_dot_product(e.v, q.qv)::BIGINT AS score
+        |      FROM enc e CROSS JOIN q),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+        |      FROM s)
+        |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id ASC, rank ASC""".stripMargin,
     // f16 half-bit rounding is not SQL-expressible; the entry emits a
     // one-row derived contract (see the query's scaladoc) that the oracle
     // asserts. Codec round-trip + error bounds additionally property-tested

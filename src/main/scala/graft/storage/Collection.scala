@@ -222,6 +222,47 @@ final class Collection(
       pred, k, offset, scoreThreshold)
   }
 
+  /** Config-routed batch nearest-k: one top-k per row of `queries`
+    * (queryIdCol + queryVecCol as `array<float|double>`). The query side is
+    * broadcast and — for a Uint8 collection — encoded through the same i8
+    * codec IN the plan, so the big side streams the narrow stored column
+    * once and never shuffles; per-query ranking via window (the same shape
+    * as [[graft.ops.Search.knnBatch]], with the element-type decode fused
+    * into the scoring kernel). Float16/Uint8 currently support the Dot
+    * metric in batch form (the reference's dominant batch-scoring path). */
+  def knnBatch(
+      vectorName: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = config.vectorConfig(vectorName)
+    val stored = col(config.vectorCol(vectorName))
+    val qv = col(queryVecCol)
+    val score = (vc.datatype, vc.metric) match {
+      case (graft.model.Float32, m) =>
+        graft.functions.VectorFunctions.score(m, stored, qv)
+      case (graft.model.Float16, graft.model.Dot) =>
+        graft.functions.VecKernels.f16Dot(stored, qv)
+      case (graft.model.Uint8, graft.model.Dot) =>
+        graft.functions.VecKernels.i8Dot(stored, VectorCodec.toI8(qv))
+      case (dt, m) =>
+        throw new IllegalArgumentException(
+          s"batch knn: unsupported datatype/metric combination $dt/$m")
+    }
+    val scored = read().crossJoin(broadcast(queries))
+      .withColumn("score", round(score, 6))
+    val ord = Seq(
+      if (vc.metric.largerBetter) col("score").desc else col("score").asc,
+      col(config.idCol).asc)
+    scored
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(ord: _*)))
+      .filter(col("_rn") <= k)
+      .select(col(queryIdCol), col(config.idCol), col("score"), col("_rn").as("rank"))
+  }
+
   /** Compaction — the background merge-optimizer analog
     * (`lib/shard/src/optimizers/merge_optimizer.rs`, SURVEY.md §4.3): a
     * mutation-heavy collection accumulates one file set per write; rewrite
