@@ -73,6 +73,41 @@ object VectorCodec {
     case Uint8   => transform(stored, x => (x.cast("double") / lit(127.0d)).cast("float"))
   }
 
+  /** f16 score with a COLUMN query (used by the literal path and inside
+    * MaxSim lambdas where the query token is a lambda variable). */
+  def f16Score(metric: Metric, halfBits: Column, q: Column): Column = metric match {
+    case Dot    => VecKernels.f16Dot(halfBits, q)
+    case Cosine =>
+      VecKernels.f16Dot(halfBits, q) /
+        (sqrt(VecKernels.f16SelfDot(halfBits)) * sqrt(VecKernels.dot(q, q)))
+    case Euclid    => sqrt(VecKernels.f16L2Sq(halfBits, q))
+    case Manhattan => VecKernels.f16L1(halfBits, q)
+  }
+
+  /** MaxSim over a MULTIVECTOR stored in a reduced element width: the
+    * reference's only multivector comparator (`types.rs:2080-2082`) with
+    * `VectorDataConfig.datatype` applying to multivectors exactly as to
+    * single vectors. The stored column is array<array<smallint|tinyint>>;
+    * each token pair scores through the fused decode kernel inside the
+    * HOF lambda — no decoded matrix is ever materialized. For Uint8 the
+    * query tokens are encoded driver-side with the same codec, so Dot
+    * MaxSim stays exact-integer (hash-exact oracles). */
+  def maxSimExpr(
+      dt: VectorDatatype, metric: Metric, stored: Column,
+      queryVecs: Seq[Seq[Double]]): Column = dt match {
+    case Float32 =>
+      graft.functions.VectorFunctions.maxSim(metric, stored, typedlit(queryVecs))
+    case Float16 =>
+      aggregate(typedlit(queryVecs), lit(0.0d), (acc, qv) =>
+        acc + array_max(transform(stored, sv => f16Score(metric, sv, qv))))
+    case Uint8 =>
+      require(metric == Dot,
+        "u8 multivector MaxSim supports the Dot metric (exact integer domain)")
+      val qb = queryVecs.map(encodeI8)
+      aggregate(typedlit(qb), lit(0L), (acc, qv) =>
+        acc + array_max(transform(stored, sv => VecKernels.i8Dot(sv, qv))))
+  }
+
   /** Config-routed user-visible score of a stored vector against a literal
     * query, fused with the element-type decode. Semantics per datatype:
     *
@@ -90,17 +125,7 @@ object VectorCodec {
     dt match {
       case Float32 =>
         graft.functions.VectorFunctions.score(metric, stored, typedlit(query))
-      case Float16 =>
-        val q = typedlit(query)
-        metric match {
-          case Dot    => VecKernels.f16Dot(stored, q)
-          case Cosine =>
-            val qNorm = math.sqrt(query.map(x => x * x).sum)
-            VecKernels.f16Dot(stored, q) /
-              (sqrt(VecKernels.f16SelfDot(stored)) * lit(qNorm))
-          case Euclid    => sqrt(VecKernels.f16L2Sq(stored, q))
-          case Manhattan => VecKernels.f16L1(stored, q)
-        }
+      case Float16 => f16Score(metric, stored, typedlit(query))
       case Uint8 =>
         val qb = encodeI8(query)
         val q = typedlit(qb)

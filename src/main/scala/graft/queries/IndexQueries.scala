@@ -121,6 +121,28 @@ object IndexQueries {
       val expr = VectorFunctions.maxSim(Dot, col("vector_tok"), typedLit(qvs))
       Search.scoredTopK(stored, "vec_id", expr, largerBetter = true, k = 10)
     }),
+    // MaxSim over a Uint8-DECLARED multivector collection: the engine
+    // encodes each ragged token vector to array<tinyint> at create, and
+    // Collection.knnMultivec scores through the exact-integer dot inside
+    // the MaxSim lambda — per-pair BIGINT dots, greatest, sum, all exact,
+    // so the DuckDB oracle hash-matches (datatype applies to multivectors
+    // exactly as to single vectors, `VectorDataConfig.datatype`
+    // types.rs:2153 + MaxSim comparator types.rs:2080-2082).
+    "maxsim_multivec_u8" -> ((s, dir) => {
+      import graft.sources.{CollectionConfig, VectorConfig}
+      val path = "/tmp/graft_runtime/mvec_u8_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = CollectionConfig(idCol = "vec_id",
+        vectors = Seq(VectorConfig("tok", 16, Dot,
+          multivector = true, datatype = graft.model.Uint8)))
+      val e = emb(s, dir)
+      def tok(n: Int) =
+        array((0 until n).map(i => slice(col("embedding"), i * 16 + 1, 16)): _*)
+      val coll = graft.storage.Collection.create(s, path, cfg,
+        e.select(col("vec_id"),
+          when(col("vec_id") % 2 === 0, tok(4)).otherwise(tok(2)).as("vector_tok")))
+      val q = v7(s, dir)
+      coll.knnMultivec("tok", (0 until 4).map(i => q.slice(i * 16, i * 16 + 16)), k = 10)
+    }),
     "retrieve_by_ids" -> ((s, dir) =>
       Reads.retrieve(emb(s, dir), "vec_id", Seq(3L, 5L, 8L, 13L, 21L, 34L),
         Seq("vec_id", "label"))),
@@ -184,6 +206,28 @@ object IndexQueries {
         |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
         |FROM embeddings e, q
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "maxsim_multivec_u8" -> {
+      def blk(qi: String) =
+        s"""(CASE WHEN is_full THEN
+           |   greatest(list_dot_product(e1,q.$qi), list_dot_product(e2,q.$qi),
+           |            list_dot_product(e3,q.$qi), list_dot_product(e4,q.$qi))
+           | ELSE
+           |   greatest(list_dot_product(e1,q.$qi), list_dot_product(e2,q.$qi))
+           | END)""".stripMargin
+      s"""WITH enc AS (SELECT vec_id,
+        |  list_transform(embedding, x ->
+        |    greatest(-127, least(127, floor(x::DOUBLE*127 + 0.5)))::BIGINT) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v[1:16] AS q1, v[17:32] AS q2, v[33:48] AS q3, v[49:64] AS q4
+        |      FROM enc WHERE vec_id = 7),
+        |t AS (SELECT vec_id, v[1:16] AS e1, v[17:32] AS e2,
+        |        v[33:48] AS e3, v[49:64] AS e4,
+        |        (vec_id % 2 = 0) AS is_full
+        |      FROM enc)
+        |SELECT t.vec_id AS vec_id,
+        |  (${blk("q1")} + ${blk("q2")} + ${blk("q3")} + ${blk("q4")})::BIGINT AS score
+        |FROM t, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
     "maxsim_multivec" -> {
       // Σ over 4 query tokens of max over the stored tokens (4 for even
       // ids, 2 for odd — the ragged layout)

@@ -33,9 +33,10 @@ final class Collection(
   def readDecoded(): DataFrame =
     config.vectors.filter(_.datatype != Float32).foldLeft(read()) { (df, vc) =>
       val c = config.vectorCol(vc.name)
-      if (df.columns.contains(c))
-        df.withColumn(c, VectorCodec.decode(vc.datatype, col(c)))
-      else df
+      if (!df.columns.contains(c)) df
+      else if (vc.multivector)
+        df.withColumn(c, transform(col(c), v => VectorCodec.decode(vc.datatype, v)))
+      else df.withColumn(c, VectorCodec.decode(vc.datatype, col(c)))
     }
 
   /** Encode incoming user vectors (`array<float|double>`) to each declared
@@ -222,6 +223,25 @@ final class Collection(
       pred, k, offset, scoreThreshold)
   }
 
+  /** Config-routed multivector nearest-k: MaxSim (the reference's only
+    * multivector comparator, `types.rs:2080-2082`) over a stored ragged
+    * token list, with the declared element type decoded inside the fused
+    * per-token kernels ([[VectorCodec.maxSimExpr]]). */
+  def knnMultivec(
+      vectorName: String,
+      queryVecs: Seq[Seq[Double]],
+      filter: Option[Filter] = None,
+      k: Int = 10): DataFrame = {
+    val vc = config.vectorConfig(vectorName)
+    require(vc.multivector, s"vector '$vectorName' is not declared multivector")
+    val df = read()
+    val score = VectorCodec.maxSimExpr(
+      vc.datatype, vc.metric, col(config.vectorCol(vectorName)), queryVecs)
+    val pred = filter.map(f => new FilterCompiler(resolver(df)).compile(f))
+    graft.ops.Search.scoredTopK(df, config.idCol, score, vc.metric.largerBetter,
+      pred, k)
+  }
+
   /** Config-routed batch nearest-k: one top-k per row of `queries`
     * (queryIdCol + queryVecCol as `array<float|double>`). The query side is
     * broadcast and — for a Uint8 collection — encoded through the same i8
@@ -345,12 +365,17 @@ object Collection {
   private[storage] def encodeVectors(config: CollectionConfig, df: DataFrame): DataFrame =
     config.vectors.filter(_.datatype != Float32).foldLeft(df) { (acc, vc) =>
       val c = config.vectorCol(vc.name)
-      val isFloatArray = acc.columns.contains(c) && (acc.schema(c).dataType match {
+      if (!acc.columns.contains(c)) acc
+      else acc.schema(c).dataType match {
+        // single vector still in user width → encode
         case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) => true
-        case _ => false
-      })
-      if (isFloatArray) acc.withColumn(c, VectorCodec.encode(vc.datatype, col(c)))
-      else acc
+          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+          acc.withColumn(c, VectorCodec.encode(vc.datatype, col(c)))
+        // multivector (ragged token list) → encode each token vector
+        case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _), _) =>
+          acc.withColumn(c, transform(col(c), v => VectorCodec.encode(vc.datatype, v)))
+        case _ => acc // already encoded
+      }
     }
 }

@@ -191,6 +191,41 @@ class StoreSpec extends SparkTestBase {
       assert(math.abs(o - d) <= 1.0f / 127f) }
   }
 
+  test("declared element types on multivectors: nested encode, MaxSim, decode") {
+    import spark.implicits._
+    val dcfg = CollectionConfig(
+      idCol = "id",
+      vectors = Seq(VectorConfig("tok", 3, Dot,
+        multivector = true, datatype = Uint8)))
+    val raw = Seq(
+      (1L, Seq(Seq(0.9f, 0.0f, 0.1f), Seq(-0.5f, 0.5f, 0.0f))),
+      (2L, Seq(Seq(0.1f, 0.8f, -0.2f))),
+      (3L, Seq(Seq(0.0f, 0.0f, 1.0f), Seq(0.7f, 0.7f, 0.0f), Seq(-1.0f, 0.0f, 0.0f))))
+    val c = Collection.create(spark, tmpDir(), dcfg, raw.toDF("id", "vector_tok"))
+    // nested storage is the narrow element type
+    val et = c.read().schema("vector_tok").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[ArrayType].elementType
+    assert(et == ByteType)
+    // MaxSim scores equal exact-integer driver math over the codec bytes
+    val qs = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val qb = qs.map(graft.index.VectorCodec.encodeI8)
+    val expected = raw.map { case (i, toks) =>
+      val tb = toks.map(t => graft.index.VectorCodec.encodeI8(t.map(_.toDouble)))
+      val sc = qb.map(q => tb.map(t =>
+        t.zip(q).map { case (a, b) => a.toLong * b }.sum).max).sum
+      (i, sc)
+    }.sortBy { case (i, sc) => (-sc, i) }
+    val got = c.knnMultivec("tok", qs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"$got vs $expected")
+    // decode restores f32 token vectors within the i8 grid
+    val dec = c.readDecoded().filter(col("id") === 1L).head()
+    val toks = dec.getSeq[scala.collection.Seq[Float]](
+      dec.schema.fieldIndex("vector_tok"))
+    raw.head._2.zip(toks).foreach { case (o, d) =>
+      o.zip(d).foreach { case (a, b) => assert(math.abs(a - b) <= 1.0f / 127f) } }
+  }
+
   test("compaction reduces file count and preserves content") {
     import spark.implicits._
     val c = mk(tmpDir())
