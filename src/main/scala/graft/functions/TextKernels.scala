@@ -151,6 +151,59 @@ object TextKernels {
     c
   }
 
+  /** Word-level repetition signals for training-data quality filtering
+    * (the word-granularity analog of the Gopher repetition rules — Rae et
+    * al. 2021, §A1.1: duplicate-n-gram and most-frequent-n-gram fractions).
+    * One pass per n over the token array with an exact string-count map:
+    * out[2(n-1)]   = fraction of n-gram occurrences whose gram occurs > 1×,
+    * out[2(n-1)+1] = occurrences of the most frequent n-gram / total.
+    * Zero n-grams (doc shorter than n) → both 0.0. O(len·maxN) per row,
+    * no shuffle — the shape that survives 100 TB (signal extraction is
+    * embarrassingly parallel; any thresholding happens downstream). */
+  def repetitionStats(tokens: ArrayData, maxN: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Double](2 * maxN)
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    var g = 1
+    while (g <= maxN) {
+      val m = n - g + 1
+      if (m > 0) {
+        val counts = new java.util.HashMap[UTF8String, Array[Int]](m * 2)
+        var j = 0
+        while (j < m) {
+          val gram =
+            if (g == 1) toks(j)
+            else {
+              val parts = new Array[UTF8String](g)
+              var p = 0
+              while (p < g) { parts(p) = toks(j + p); p += 1 }
+              UTF8String.concatWs(SPACE, parts: _*)
+            }
+          val c = counts.get(gram)
+          if (c == null) counts.put(gram, Array(1)) else c(0) += 1
+          j += 1
+        }
+        var dup = 0L
+        var top = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val c = it.next()(0)
+          if (c > 1) dup += c
+          if (c > top) top = c
+        }
+        out(2 * (g - 1)) = dup.toDouble / m
+        out(2 * (g - 1) + 1) = top.toDouble / m
+      }
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def repetitionStatsCol(tokens: Column, maxN: Int): Column =
+    GraftShim.column(RepetitionStatsExpr(GraftShim.expression(tokens), maxN))
+
   def shingleHashSetCol(tokens: Column, k: Int): Column =
     GraftShim.column(ShingleHashSetExpr(GraftShim.expression(tokens), k))
   def minhashBandKeysCol(hashes: Column, bands: Int, r: Int): Column =
@@ -160,6 +213,16 @@ object TextKernels {
   def sortedIntersectCountCol(a: Column, b: Column): Column =
     GraftShim.column(SortedIntersectCountExpr(
       GraftShim.expression(a), GraftShim.expression(b)))
+}
+
+case class RepetitionStatsExpr(child: Expression, maxN: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[ArrayData], maxN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repetitionStats($c, $maxN)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class ShingleHashSetExpr(child: Expression, k: Int) extends UnaryExpression {

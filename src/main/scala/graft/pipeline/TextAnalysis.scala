@@ -53,4 +53,51 @@ object TextAnalysis {
 
   /** Content fingerprint (md5 hex of raw text). */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** Word-level repetition signals (Gopher-style, Rae et al. 2021 §A1.1):
+    * for n = 1..maxN, `dup_<n>_frac` = fraction of n-gram occurrences whose
+    * gram repeats, `top_<n>_frac` = share of the most frequent n-gram.
+    * n = 1 columns are named `dup_word_frac` / `top_word_frac`. One
+    * codegen'd pass per row ([[graft.functions.TextKernels.repetitionStats]]),
+    * rounded to 6 for oracle parity. */
+  def withRepetitionSignals(
+      df: DataFrame,
+      textCol: String,
+      maxN: Int = 3): DataFrame = {
+    import graft.functions.TextKernels
+    val stats = TextKernels.repetitionStatsCol(tokensWs(col(textCol)), maxN)
+    val withArr = df.withColumn("_rep", stats)
+    val named = (1 to maxN).foldLeft(withArr) { (d, g) =>
+      val (dn, tn) =
+        if (g == 1) ("dup_word_frac", "top_word_frac")
+        else (s"dup_${g}gram_frac", s"top_${g}gram_frac")
+      d.withColumn(dn, round(element_at(col("_rep"), 2 * (g - 1) + 1), 6))
+        .withColumn(tn, round(element_at(col("_rep"), 2 * (g - 1) + 2), 6))
+    }
+    named.drop("_rep")
+  }
+
+  /** Composite Gopher-style quality gate: token-count and mean-token-length
+    * bounds plus repetition-fraction ceilings. Emits `keep` = 1/0 so a
+    * pipeline can `filter($"keep" === 1)` or audit the reject set. All
+    * signals are per-row column expressions — the gate is shuffle-free at
+    * any scale. */
+  def withGopherKeep(
+      df: DataFrame,
+      textCol: String,
+      minTokens: Int = 30,
+      maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0,
+      maxAvgTokenLen: Double = 10.0,
+      maxTopWordFrac: Double = 0.12,
+      maxDup2GramFrac: Double = 0.09,
+      maxDup3GramFrac: Double = 0.05): DataFrame = {
+    val sig = withRepetitionSignals(withQualityFeatures(df, textCol), textCol)
+    sig.withColumn("keep",
+      (col("n_tokens").between(minTokens, maxTokens) &&
+        col("avg_token_len").between(minAvgTokenLen, maxAvgTokenLen) &&
+        col("top_word_frac") <= maxTopWordFrac &&
+        col("dup_2gram_frac") <= maxDup2GramFrac &&
+        col("dup_3gram_frac") <= maxDup3GramFrac).cast("int"))
+  }
 }

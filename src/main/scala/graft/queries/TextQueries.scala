@@ -447,6 +447,25 @@ object TextQueries {
 
   private val LangMarkers = Seq("en" -> "the", "es" -> "data", "zh" -> "spark")
 
+  /** Shared oracle CTEs for the repetition-signal entries: per-doc word
+    * 1/2/3-grams (indexed-lambda construction), occurrence counts, and the
+    * duplicate/top fractions per n — the SQL mirror of
+    * [[graft.functions.TextKernels.repetitionStats]]. */
+  private val RepetitionStatsCte: String =
+    """t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+      |gr AS (SELECT doc_id, l AS g1,
+      |  list_transform(l[1:len(l)-1], (x,i) -> x || ' ' || l[i+1]) AS g2,
+      |  list_transform(l[1:len(l)-2], (x,i) -> x || ' ' || l[i+1] || ' ' || l[i+2]) AS g3
+      |  FROM t),
+      |u AS (SELECT doc_id, 1 AS n, unnest(g1) AS gram FROM gr
+      |  UNION ALL SELECT doc_id, 2, unnest(g2) FROM gr
+      |  UNION ALL SELECT doc_id, 3, unnest(g3) FROM gr),
+      |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM u GROUP BY 1, 2, 3),
+      |s AS (SELECT doc_id, n,
+      |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6) AS dup_frac,
+      |  round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_frac
+      |  FROM c GROUP BY 1, 2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "match_text" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -538,6 +557,18 @@ object TextQueries {
     "quality_features" -> ((s, dir) =>
       TextAnalysis.withQualityFeatures(docs(s, dir), "text")
         .select("doc_id", "n_tokens", "stop_ratio", "avg_token_len")
+        .orderBy(col("doc_id"))),
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1 at word
+    // granularity): duplicate/top n-gram fractions for n=1..3, one codegen'd
+    // pass per row, shuffle-free at any corpus size.
+    "repetition_signals" -> ((s, dir) =>
+      TextAnalysis.withRepetitionSignals(docs(s, dir), "text")
+        .select("doc_id", "dup_word_frac", "top_word_frac",
+          "dup_2gram_frac", "top_2gram_frac", "dup_3gram_frac", "top_3gram_frac")
+        .orderBy(col("doc_id"))),
+    "quality_filter_gopher" -> ((s, dir) =>
+      TextAnalysis.withGopherKeep(docs(s, dir), "text")
+        .select("doc_id", "keep")
         .orderBy(col("doc_id"))),
     "lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -785,6 +816,35 @@ object TextQueries {
         |  round((length(text) - (len(t)-1))::DOUBLE / len(t), 6) AS avg_token_len
         |FROM (SELECT doc_id, text, string_split(text,' ') AS t FROM documents)
         |ORDER BY doc_id ASC""".stripMargin,
+    "repetition_signals" ->
+      s"""WITH $RepetitionStatsCte
+         |SELECT t.doc_id,
+         |  coalesce(max(CASE WHEN n=1 THEN dup_frac END),0) AS dup_word_frac,
+         |  coalesce(max(CASE WHEN n=1 THEN top_frac END),0) AS top_word_frac,
+         |  coalesce(max(CASE WHEN n=2 THEN dup_frac END),0) AS dup_2gram_frac,
+         |  coalesce(max(CASE WHEN n=2 THEN top_frac END),0) AS top_2gram_frac,
+         |  coalesce(max(CASE WHEN n=3 THEN dup_frac END),0) AS dup_3gram_frac,
+         |  coalesce(max(CASE WHEN n=3 THEN top_frac END),0) AS top_3gram_frac
+         |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+         |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin,
+    "quality_filter_gopher" ->
+      s"""WITH $RepetitionStatsCte,
+         |rep AS (
+         |  SELECT t.doc_id,
+         |    len(l)::BIGINT AS n_tokens,
+         |    round((length(text) - (len(l)-1))::DOUBLE / len(l), 6) AS avg_token_len,
+         |    coalesce(max(CASE WHEN n=1 THEN top_frac END),0) AS top_word_frac,
+         |    coalesce(max(CASE WHEN n=2 THEN dup_frac END),0) AS dup_2gram_frac,
+         |    coalesce(max(CASE WHEN n=3 THEN dup_frac END),0) AS dup_3gram_frac
+         |  FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+         |  GROUP BY t.doc_id, len(l), text)
+         |SELECT doc_id,
+         |  (CASE WHEN n_tokens BETWEEN 30 AND 100000
+         |        AND avg_token_len BETWEEN 3.0 AND 10.0
+         |        AND top_word_frac <= 0.12
+         |        AND dup_2gram_frac <= 0.09
+         |        AND dup_3gram_frac <= 0.05 THEN 1 ELSE 0 END)::INT AS keep
+         |FROM rep ORDER BY doc_id ASC""".stripMargin,
     "lang_id" ->
       """WITH c AS (SELECT doc_id,
         |  len(list_filter(string_split(text,' '), x -> x = 'the')) AS c_en,

@@ -84,6 +84,59 @@ class PipelineSpec extends SparkTestBase {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("repetition-stats kernel matches a brute-force n-gram count oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "dd", "ee")
+    val texts = (1L to 40L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ ((41L, "solo")) :+ ((42L, "x x x x"))
+    val d = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetitionSignals(d, "text")
+      .select("doc_id", "dup_word_frac", "top_word_frac", "dup_2gram_frac",
+        "top_2gram_frac", "dup_3gram_frac", "top_3gram_frac")
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getDouble)).toMap
+    def oracle(words: Array[String], g: Int): (Double, Double) = {
+      val grams = words.sliding(g).filter(_.length == g).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) (0.0, 0.0)
+      else {
+        val counts = grams.groupBy(identity).view.mapValues(_.size).values.toSeq
+        (counts.filter(_ > 1).sum.toDouble / grams.size,
+          counts.max.toDouble / grams.size)
+      }
+    }
+    texts.foreach { case (id, text) =>
+      val words = text.split(" ")
+      val exp = (1 to 3).flatMap { g =>
+        val (dup, top) = oracle(words, g)
+        Seq(dup, top)
+      }.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(id) == exp, s"doc $id: ${got(id)} != $exp")
+    }
+    // degenerate shapes: 1 word → no 2/3-grams; all-same → full duplication
+    assert(got(41L) == Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    assert(got(42L) == Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+  }
+
+  test("gopher keep flag applies every bound of the composite gate") {
+    import spark.implicits._
+    val d = Seq(
+      // 40 tokens, avg len 4, but ALL the same word → top_word_frac 1 → reject
+      (1L, Seq.fill(40)("word").mkString(" ")),
+      // 40 distinct tokens, avg len 4 → pass every gate
+      (2L, (1 to 40).map(i => f"w$i%03d").mkString(" ")),
+      // too short (10 tokens)
+      (3L, (1 to 10).map(i => f"w$i%03d").mkString(" ")),
+      // avg token length 1 < 3 → reject
+      (4L, (1 to 40).map(_ => "x").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withGopherKeep(d, "text")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 0))
+  }
+
   test("language id picks max marker count with first-wins ties") {
     import spark.implicits._
     val d = Seq(

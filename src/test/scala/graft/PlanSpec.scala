@@ -55,6 +55,14 @@ class PlanSpec extends SparkTestBase {
     assert(plan(scored).contains("*(1)"), plan(scored).take(300))
   }
 
+  test("repetition signals are one shuffle-free codegen'd projection") {
+    val d = Tables.load(spark, sf, "documents")
+    val p = plan(graft.pipeline.TextAnalysis.withRepetitionSignals(d, "text")
+      .select("doc_id", "dup_word_frac", "dup_3gram_frac"))
+    assert(!p.contains("Exchange"), "signal extraction must not shuffle:\n" + p.take(800))
+    assert(p.contains("*(1)"), "kernel fell out of codegen:\n" + p.take(800))
+  }
+
   test("config-routed reduced-width knn reads only the narrow stored column") {
     import java.nio.file.Files
     import graft.sources.{CollectionConfig, VectorConfig}
