@@ -447,6 +447,34 @@ object TextQueries {
 
   private val LangMarkers = Seq("en" -> "the", "es" -> "data", "zh" -> "spark")
 
+  /** Shared oracle CTEs for the component entries: the ngram-Jaccard pair
+    * graph at `minJ` (same shingle/df-cap construction as `ngram_jaccard`),
+    * both directions, plus a recursive transitive closure assigning each
+    * node the minimum reachable id. Must be spliced after WITH RECURSIVE. */
+  private def componentCte(minJ: String): String =
+    s"""toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+       |rare AS (SELECT s FROM (SELECT s, count(*) AS c FROM sh GROUP BY s) WHERE c <= 40),
+       |shc AS (SELECT sh.* FROM sh JOIN rare USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |           FROM shc a JOIN shc b ON a.s = b.s AND a.lang = b.lang
+       |             AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |p AS (SELECT id_a, id_b
+       |      FROM common
+       |      JOIN sizes sa ON sa.doc_id = id_a
+       |      JOIN sizes sb ON sb.doc_id = id_b
+       |      WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= $minJ),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |reach(id, node) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT r.id, e.v FROM reach r JOIN e ON r.node = e.u),
+       |comp AS (SELECT id, min(node) AS component FROM reach GROUP BY id)""".stripMargin
+
   /** Shared oracle CTEs for the repetition-signal entries: per-doc word
     * 1/2/3-grams (indexed-lambda construction), occurrence counts, and the
     * duplicate/top fractions per n — the SQL mirror of
@@ -593,6 +621,23 @@ object TextQueries {
           blockCol = Some("lang"), maxDf = Some(40))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)),
+    // Pairs → clusters: distributed connected components (alternating
+    // large-star/small-star) over the n-gram similarity graph, oracled by a
+    // DuckDB recursive-CTE transitive closure. At sf0.01 the graph has
+    // multi-node components with chains — non-trivial merge structure.
+    "neardup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3,
+            blockCol = Some("lang"), maxDf = Some(40), minJaccard = 0.02))
+        .orderBy(col("id"))),
+    // Clusters → survivors: keep-first per component, singletons keep
+    // themselves — `filter(keep = 1)` IS the deduplicated corpus.
+    "dedup_representatives" -> ((s, dir) =>
+      Dedup.nearDupRepresentatives(docs(s, dir), "doc_id",
+          Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3,
+            blockCol = Some("lang"), maxDf = Some(40), minJaccard = 0.02))
+        .select(col("doc_id"), col("component"), col("keep"))
+        .orderBy(col("doc_id"))),
     // Blocked by IVF cell — the 100 TB path: pairs only form within a
     // centroid cell (quadratic only in the cell, linear overall), never the
     // all-pairs cartesian. Centroids are deterministic Forgy picks (the 4
@@ -816,6 +861,17 @@ object TextQueries {
         |  round((length(text) - (len(t)-1))::DOUBLE / len(t), 6) AS avg_token_len
         |FROM (SELECT doc_id, text, string_split(text,' ') AS t FROM documents)
         |ORDER BY doc_id ASC""".stripMargin,
+    "neardup_components" ->
+      s"""WITH RECURSIVE ${componentCte("0.02")}
+         |SELECT id, component FROM comp ORDER BY id ASC""".stripMargin,
+    "dedup_representatives" ->
+      s"""WITH RECURSIVE ${componentCte("0.02")}
+         |SELECT d.doc_id,
+         |  coalesce(c.component, d.doc_id) AS component,
+         |  (CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+         |        THEN 1 ELSE 0 END)::INT AS keep
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin,
     "repetition_signals" ->
       s"""WITH $RepetitionStatsCte
          |SELECT t.doc_id,

@@ -84,6 +84,52 @@ class PipelineSpec extends SparkTestBase {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("connected components match union-find on random graphs, chains, stars") {
+    import spark.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(11)
+    val random = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    // a 30-node path: worst case for diameter-bound label propagation,
+    // must converge in O(log) star rounds
+    val chain = (100L until 129L).map(i => (i, i + 1))
+    val star = (200L until 210L).map(i => (250L, i))
+    for (edges <- Seq(random, chain, star, random ++ chain ++ star)) {
+      val exp = unionFind(edges)
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp, s"mismatch: ${got.toSeq.sorted.take(8)} vs ${exp.toSeq.sorted.take(8)}")
+    }
+    // empty graph → empty result, no crash
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+  }
+
+  test("near-dup representatives keep exactly one doc per component") {
+    import spark.implicits._
+    val d = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupRepresentatives(d, "doc_id", pairs)
+      .select("doc_id", "component", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exp = Set((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0), (4L, 4L, 1), (5L, 5L, 1),
+      (6L, 6L, 1), (7L, 7L, 1), (8L, 8L, 1), (9L, 7L, 0), (10L, 10L, 1))
+    assert(got == exp)
+    // survivors = one per component + all singletons
+    assert(got.count(_._3 == 1) == 7)
+  }
+
   test("repetition-stats kernel matches a brute-force n-gram count oracle") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
