@@ -74,6 +74,7 @@ object Bench {
     "mutation_pipeline", "batch_update_ops",
     "dedup_exact", "minhash_lsh", "simhash_pairs", "ngram_jaccard",
     "embedding_neardup", "embedding_neardup_auto",
+    "neardup_components", "repetition_signals",
     "lang_id", "quality_features", "token_count",
     "analyzed_term_facet", "analyzed_multilang_facet", "multimodal_embed_knn",
   )

@@ -64,6 +64,7 @@ object ScaleProbe {
     "embedding_neardup", "embedding_neardup_auto",
     "dedup_exact", "dedup_keep_first", "ngram_jaccard",
     "minhash_lsh", "simhash_pairs",
+    "neardup_components", "repetition_signals", "quality_filter_gopher",
     "token_count", "quality_features", "lang_id", "fingerprint_md5",
     "analyzed_term_facet", "match_text", "match_text_any", "match_phrase",
     "bm25_idf_search", "sparse_dot_tokens", "bm25_corpus_scoped",
@@ -92,6 +93,17 @@ object ScaleProbe {
           threshold = 0.99,
           cachePath = Some("/tmp/graft_runtime/neardup_cents_c512_" +
             dir.replaceAll("[^A-Za-z0-9]", "_")))),
+      // Adversarial CC topology: a 1M-node path is the worst case for
+      // diameter-bound label propagation (10⁶ rounds); the alternating
+      // large-star/small-star rounds must stay logarithmic. Pure operator
+      // probe — the graph is generated, not derived from pairs.
+      "cc_chain_1m" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val n = 1000000L
+        val edges = s.range(n - 1).toDF("id_a")
+          .withColumn("id_b", col("id_a") + 1)
+        graft.pipeline.Dedup.connectedComponents(edges, maxIter = 60)
+      }),
       // The catalog entry pins k=4 Forgy centroids so its DuckDB oracle can
       // reproduce the assignment — at 100x data that is 4 cells of 50k
       // vectors and an O(N²/k) in-cell pair join (measured: the probe's
@@ -181,7 +193,7 @@ object ScaleProbe {
     }
 
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSet)
-    val names = (subset ++ Seq("simhash_pairs_h16", "mutation_scaled"))
+    val names = (subset ++ Seq("simhash_pairs_h16", "mutation_scaled", "cc_chain_1m"))
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(n)).toMap
     val warm = (1 to warmReps).map(_ => names.map(n => n -> time(n)).toMap)

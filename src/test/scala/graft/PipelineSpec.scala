@@ -116,6 +116,17 @@ class PipelineSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
   }
 
+  test("connected components work over string/UUID ids (lexicographic order)") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("b1a0", "c2f1"), ("c2f1", "a9e3"), // one component, min a9e3
+      ("ffff", "eeee")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a9e3" -> "a9e3", "b1a0" -> "a9e3", "c2f1" -> "a9e3",
+      "eeee" -> "eeee", "ffff" -> "eeee"))
+  }
+
   test("near-dup representatives keep exactly one doc per component") {
     import spark.implicits._
     val d = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
