@@ -630,6 +630,28 @@ object TextQueries {
           Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3,
             blockCol = Some("lang"), maxDf = Some(40), minJaccard = 0.02))
         .orderBy(col("id"))),
+    // Capstone: the whole training-data preprocessing funnel as ONE
+    // declarative plan — raw corpus → near-dup clustering (keep-first per
+    // component) → Gopher quality gate → per-language funnel stats. The
+    // oracle recomputes every stage relationally (recursive-CTE closure +
+    // n-gram repetition CTEs + the same gate bounds).
+    "scenario_training_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 3,
+        blockCol = Some("lang"), maxDf = Some(40), minJaccard = 0.02)
+      val surv = Dedup.nearDupRepresentatives(d, "doc_id", pairs)
+        .filter(col("keep") === 1).drop("keep", "component")
+      val gated = TextAnalysis.withGopherKeep(surv, "text")
+        .filter(col("keep") === 1)
+      val aggRaw = d.groupBy("lang").agg(count(lit(1)).as("n_raw"))
+      val aggDedup = surv.groupBy("lang").agg(count(lit(1)).as("n_dedup"))
+      val aggQ = gated.groupBy("lang").agg(count(lit(1)).as("n_quality"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      aggRaw.join(aggDedup, "lang").join(aggQ, "lang")
+        .withColumn("avg_tokens",
+          round(col("sum_tokens").cast("double") / col("n_quality"), 6))
+        .orderBy(col("lang"))
+    }),
     // Clusters → survivors: keep-first per component, singletons keep
     // themselves — `filter(keep = 1)` IS the deduplicated corpus.
     "dedup_representatives" -> ((s, dir) =>
@@ -864,6 +886,45 @@ object TextQueries {
     "neardup_components" ->
       s"""WITH RECURSIVE ${componentCte("0.02")}
          |SELECT id, component FROM comp ORDER BY id ASC""".stripMargin,
+    "scenario_training_pipeline" ->
+      s"""WITH RECURSIVE ${componentCte("0.02")},
+         |t2 AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         |gr AS (SELECT doc_id, l AS g1,
+         |  list_transform(l[1:len(l)-1], (x,i) -> x || ' ' || l[i+1]) AS g2,
+         |  list_transform(l[1:len(l)-2], (x,i) -> x || ' ' || l[i+1] || ' ' || l[i+2]) AS g3
+         |  FROM t2),
+         |un AS (SELECT doc_id, 1 AS n, unnest(g1) AS gram FROM gr
+         |  UNION ALL SELECT doc_id, 2, unnest(g2) FROM gr
+         |  UNION ALL SELECT doc_id, 3, unnest(g3) FROM gr),
+         |cn AS (SELECT doc_id, n, gram, count(*) AS cnt FROM un GROUP BY 1, 2, 3),
+         |st AS (SELECT doc_id, n,
+         |  round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 6) AS dup_frac,
+         |  round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_frac
+         |  FROM cn GROUP BY 1, 2),
+         |rep AS (SELECT t2.doc_id, len(l)::BIGINT AS n_tokens,
+         |  round((length(text) - (len(l)-1))::DOUBLE / len(l), 6) AS avg_token_len,
+         |  coalesce(max(CASE WHEN n=1 THEN top_frac END),0) AS top_word_frac,
+         |  coalesce(max(CASE WHEN n=2 THEN dup_frac END),0) AS dup_2gram_frac,
+         |  coalesce(max(CASE WHEN n=3 THEN dup_frac END),0) AS dup_3gram_frac
+         |  FROM t2 LEFT JOIN st ON t2.doc_id = st.doc_id
+         |  GROUP BY t2.doc_id, len(l), text),
+         |survivors AS (SELECT d.doc_id, d.lang
+         |  FROM documents d LEFT JOIN comp cp ON cp.id = d.doc_id
+         |  WHERE coalesce(cp.component, d.doc_id) = d.doc_id),
+         |kept AS (SELECT sv.doc_id, sv.lang, r.n_tokens
+         |  FROM survivors sv JOIN rep r USING (doc_id)
+         |  WHERE r.n_tokens BETWEEN 30 AND 100000
+         |    AND r.avg_token_len BETWEEN 3.0 AND 10.0
+         |    AND r.top_word_frac <= 0.12 AND r.dup_2gram_frac <= 0.09
+         |    AND r.dup_3gram_frac <= 0.05),
+         |agg_raw AS (SELECT lang, count(*)::BIGINT AS n_raw FROM documents GROUP BY lang),
+         |agg_dedup AS (SELECT lang, count(*)::BIGINT AS n_dedup FROM survivors GROUP BY lang),
+         |agg_q AS (SELECT lang, count(*)::BIGINT AS n_quality,
+         |  sum(n_tokens)::BIGINT AS sum_tokens FROM kept GROUP BY lang)
+         |SELECT r.lang, n_raw, n_dedup, n_quality, sum_tokens,
+         |  round(sum_tokens::DOUBLE / n_quality, 6) AS avg_tokens
+         |FROM agg_raw r JOIN agg_dedup USING (lang) JOIN agg_q USING (lang)
+         |ORDER BY r.lang ASC""".stripMargin,
     "dedup_representatives" ->
       s"""WITH RECURSIVE ${componentCte("0.02")}
          |SELECT d.doc_id,
