@@ -630,6 +630,23 @@ object TextQueries {
           Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3,
             blockCol = Some("lang"), maxDf = Some(40), minJaccard = 0.02))
         .orderBy(col("id"))),
+    // Benchmark decontamination: eval set = exact-dup keepers (guaranteed
+    // 8-gram overlap with their surviving copies) + a deterministic slice;
+    // every remaining training doc gets a contaminated flag. Broadcast
+    // semi-join on the eval shingle-hash set — the 100 TB shape.
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val groups = d.groupBy(md5(col("text")).as("_fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("_c"))
+      val evalIds = groups.filter(col("_c") > 1).select("doc_id")
+        .union(d.filter(col("doc_id") % 11 === 0).select("doc_id"))
+        .distinct()
+      val evalDocs = d.join(evalIds, "doc_id")
+      val trainDocs = d.join(evalIds, Seq("doc_id"), "left_anti")
+      Dedup.decontaminate(trainDocs, "doc_id", "text", evalDocs, "text", k = 8)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
     // Capstone: the whole training-data preprocessing funnel as ONE
     // declarative plan — raw corpus → near-dup clustering (keep-first per
     // component) → Gopher quality gate → per-language funnel stats. The
@@ -886,6 +903,26 @@ object TextQueries {
     "neardup_components" ->
       s"""WITH RECURSIVE ${componentCte("0.02")}
          |SELECT id, component FROM comp ORDER BY id ASC""".stripMargin,
+    "decontaminate" ->
+      """WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(text) HAVING count(*) > 1),
+        |ev AS (SELECT doc_id FROM keepers
+        |  UNION SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+        |t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]||' '||
+        |    l[i+5]||' '||l[i+6]||' '||l[i+7] AS s
+        |  FROM t, unnest(range(1, len(l)-6)) AS u(i) WHERE len(l) >= 8),
+        |evalsh AS (SELECT DISTINCT s FROM sh
+        |  WHERE doc_id IN (SELECT doc_id FROM ev)),
+        |cont AS (SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+        |    AND s IN (SELECT s FROM evalsh))
+        |SELECT d.doc_id,
+        |  (CASE WHEN d.doc_id IN (SELECT doc_id FROM cont)
+        |        THEN 1 ELSE 0 END)::INT AS contaminated
+        |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
+        |ORDER BY d.doc_id ASC""".stripMargin,
     "scenario_training_pipeline" ->
       s"""WITH RECURSIVE ${componentCte("0.02")},
          |t2 AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),

@@ -84,6 +84,25 @@ class PipelineSpec extends SparkTestBase {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("decontamination flags exactly the docs sharing a k-gram with the bench set") {
+    import spark.implicits._
+    val bench = Seq((100L, "q1 q2 q3 q4 q5 q6 q7 q8 tail")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the full 8-gram (shifted position) → contaminated
+      (1L, "pre q1 q2 q3 q4 q5 q6 q7 q8 post"),
+      // only a 7-gram overlap → clean
+      (2L, "q1 q2 q3 q4 q5 q6 q7 x y z a b"),
+      // no overlap → clean
+      (3L, "totally unrelated words here beyond eight tokens long"),
+      // shorter than k → cannot be contaminated
+      (4L, "q1 q2 q3"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, "doc_id", "text", bench, "text", k = 8)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
+  }
+
   test("connected components match union-find on random graphs, chains, stars") {
     import spark.implicits._
     def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {

@@ -55,6 +55,14 @@ class PlanSpec extends SparkTestBase {
     assert(plan(scored).contains("*(1)"), plan(scored).take(300))
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val d = Tables.load(spark, sf, "documents")
+    val bench = d.filter(col("doc_id") % 11 === 0)
+    val p = plan(graft.pipeline.Dedup.decontaminate(d, "doc_id", "text", bench, "text"))
+    assert(p.contains("BroadcastExchange"),
+      "benchmark shingles not broadcast:\n" + p.take(1200))
+  }
+
   test("repetition signals are one shuffle-free codegen'd projection") {
     val d = Tables.load(spark, sf, "documents")
     val p = plan(graft.pipeline.TextAnalysis.withRepetitionSignals(d, "text")
