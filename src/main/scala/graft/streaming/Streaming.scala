@@ -35,6 +35,71 @@ object Streaming {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming NEAR-dup ingest: each micro-batch drops documents that are
+    * minhash-LSH near-duplicates of anything already accepted, then upserts
+    * the survivors. The accepted corpus is represented by its band-key set
+    * in a persistent parquet store (compact: `bands` longs per kept doc —
+    * the wide text never re-reads), so dedup state survives restarts and
+    * grows with the KEPT corpus, not the stream. Within a batch, documents
+    * sharing a band key are clustered (connected components) and the
+    * minimum id survives — the same keep-first contract as the batch path.
+    * Arrival order across batches is authoritative: a doc dropped here
+    * would also be dropped by re-running batch keep-first dedup over the
+    * accepted corpus. */
+  def nearDupUpsertStream(
+      stream: DataFrame,
+      collection: Collection,
+      idCol: String,
+      textCol: String,
+      keyStorePath: String,
+      checkpoint: String,
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokensWs
+    import graft.functions.TextKernels
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val keys = batch.select(col(idCol), explode(
+            TextKernels.minhashBandKeysCol(
+              TextKernels.shingleHashSetCol(tokensWs(col(textCol)), k),
+              bands, rowsPerBand)).as("bkey"))
+          val store: DataFrame =
+            if (new java.io.File(keyStorePath).exists())
+              s.read.parquet(keyStorePath)
+            else s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("bkey",
+                  org.apache.spark.sql.types.LongType, nullable = false))))
+          // cross-batch: any key hit against the accepted set drops the doc
+          val dupIds = keys.join(store, "bkey").select(col(idCol)).distinct()
+          val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
+          val freshKeys = keys.join(dupIds, Seq(idCol), "left_anti")
+          // in-batch: cluster on shared band keys, keep-first per component
+          val pairs = freshKeys.as("x").join(freshKeys.as("y"),
+              col("x.bkey") === col("y.bkey") &&
+                col(s"x.$idCol") < col(s"y.$idCol"))
+            .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+            .distinct()
+          val reps = graft.pipeline.Dedup
+            .nearDupRepresentatives(fresh, idCol, pairs)
+            .filter(col("keep") === 1).drop("keep", "component")
+          collection.upsert(reps)
+          freshKeys.join(reps.select(col(idCol)), Seq(idCol))
+            .select("bkey").distinct()
+            .write.mode("append").parquet(keyStorePath)
+        }
+      }
+      .start()
+  }
+
   /** Windowed event-rate aggregation over a point-update stream — the
     * monitoring view a 100 TB ingest pipeline runs alongside upserts. */
   def rateByWindow(

@@ -257,6 +257,36 @@ class StoreSpec extends SparkTestBase {
     assert(got(1L).contains("Streamed") && got(5L).contains("New") && got.size == 4)
   }
 
+  test("streaming near-dup ingest drops LSH duplicates in-batch and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val c = Collection.create(spark, tmpDir(),
+      CollectionConfig(idCol = "id", payloadCol = "payload",
+        vectors = Seq(VectorConfig("", 4, Dot))),
+      Seq((100L, Seq(1f, 0f, 0f, 0f), "seed doc with completely different words"))
+        .toDF("id", "vector", "payload"))
+    val store = Files.createTempDirectory("graft_lshstore").resolve("keys").toString
+    val stream = MemoryStream[(Long, Seq[Float], String)]
+    val q = graft.streaming.Streaming.nearDupUpsertStream(
+      stream.toDF().toDF("id", "vector", "payload"), c,
+      "id", "payload", store,
+      Files.createTempDirectory("graft_ckpt_nd").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val v = Seq(0f, 1f, 0f, 0f)
+    stream.addData(
+      (1L, v, "alpha beta gamma delta epsilon zeta"),
+      (2L, v, "alpha beta gamma delta epsilon zeta"), // in-batch dup of 1
+      (3L, v, "one two three four five six"))
+    q.processAllAvailable()
+    stream.addData(
+      (4L, v, "alpha beta gamma delta epsilon zeta"), // cross-batch dup of 1
+      (5L, v, "seven eight nine ten eleven twelve"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = c.read().select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L, 100L))
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
