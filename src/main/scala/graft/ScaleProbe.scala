@@ -64,7 +64,8 @@ object ScaleProbe {
     "embedding_neardup", "embedding_neardup_auto",
     "dedup_exact", "dedup_keep_first", "ngram_jaccard",
     "minhash_lsh", "simhash_pairs",
-    "neardup_components", "repetition_signals", "quality_filter_gopher",
+    "neardup_components", "dedup_representatives", "repetition_signals",
+    "quality_filter_gopher", "decontaminate", "scenario_training_pipeline",
     "token_count", "quality_features", "lang_id", "fingerprint_md5",
     "analyzed_term_facet", "match_text", "match_text_any", "match_phrase",
     "bm25_idf_search", "sparse_dot_tokens", "bm25_corpus_scoped",
