@@ -74,7 +74,8 @@ object Bench {
     "mutation_pipeline", "batch_update_ops",
     "dedup_exact", "minhash_lsh", "simhash_pairs", "ngram_jaccard",
     "embedding_neardup", "embedding_neardup_auto",
-    "neardup_components", "repetition_signals",
+    "neardup_components", "repetition_signals", "decontaminate",
+    "scenario_training_pipeline",
     "lang_id", "quality_features", "token_count",
     "analyzed_term_facet", "analyzed_multilang_facet", "multimodal_embed_knn",
   )

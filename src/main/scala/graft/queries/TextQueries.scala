@@ -7,7 +7,7 @@ import graft.Tables
 import graft.filters.TypedResolver
 import graft.model._
 import graft.ops.Reads
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Dedup, Sharding, TextAnalysis}
 
 /** Full-text match + training-data text pipeline catalog (SURVEY.md §2.2
   * Match::Text family; dedup/quality per the north-star extensions). */
@@ -647,6 +647,28 @@ object TextQueries {
         .select(col("doc_id"), col("contaminated"))
         .orderBy(col("doc_id"))
     }),
+    // Shard packing: documents → fixed-token-budget training shards via a
+    // two-pass distributed prefix sum (one range shuffle + O(partitions)
+    // driver offsets) — NOT the single-task global window the naive SQL
+    // formulation implies. The oracle IS that naive window (fine at oracle
+    // scale); PipelineSpec asserts the Spark plan contains no Window and
+    // that the result is partition-count-invariant.
+    "pack_shards" -> ((s, dir) =>
+      Sharding.packShards(
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 4096)
+        .orderBy(col("doc_id"))),
+    // Deterministic mixture re-weighting: keep 100% en, 60% de/fr, 35%
+    // es/zh, decided by a content hash of (lang, id) — reproducible
+    // row-for-row in the oracle, monotone in the rate (raising a group's
+    // weight only ADDS documents between training runs).
+    "mixture_sample" -> ((s, dir) =>
+      Sharding.mixtureSample(docs(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 1.0, "de" -> 0.6, "fr" -> 0.6,
+          "es" -> 0.35, "zh" -> 0.35))
+        .orderBy(col("doc_id"))),
     // Capstone: the whole training-data preprocessing funnel as ONE
     // declarative plan — raw corpus → near-dup clustering (keep-first per
     // component) → Gopher quality gate → per-language funnel stats. The
@@ -923,6 +945,21 @@ object TextQueries {
         |        THEN 1 ELSE 0 END)::INT AS contaminated
         |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
         |ORDER BY d.doc_id ASC""".stripMargin,
+    "pack_shards" ->
+      """SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    // 4096 AS shard_id
+        |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE '0' || substr(md5(lang || ':' || doc_id::VARCHAR), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '10000' WHEN 'de' THEN '0999a'
+        |            WHEN 'fr' THEN '0999a' WHEN 'es' THEN '0599a'
+        |            WHEN 'zh' THEN '0599a' ELSE '00000' END
+        |ORDER BY doc_id ASC""".stripMargin,
     "scenario_training_pipeline" ->
       s"""WITH RECURSIVE ${componentCte("0.02")},
          |t2 AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),

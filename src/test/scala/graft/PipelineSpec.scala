@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Dedup, Sharding, TextAnalysis}
 
 /** Dedup operators against hand-computed oracles on constructed corpora
   * (the hash-family paths minhash/simhash have no DuckDB oracle). */
@@ -324,5 +324,53 @@ class PipelineSpec extends SparkTestBase {
       assert(LangId.classify(text, codes) == want, s"misclassified: $text")
     // deterministic: same input, same answer
     assert(LangId.classify("the cat", codes) == LangId.classify("the cat", codes))
+  }
+
+  test("packShards: partition-count invariant, matches serial prefix sum, no Window") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i => (i, 10L + rng.nextInt(200)))
+    val df = Seq(rows: _*).toDF("doc_id", "n_tokens")
+    // serial oracle: exclusive running sum / budget in id order
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, t) =>
+      val s = acc / 1000L; acc += t; (id, t, s)
+    }.toSet
+    def got(p: Int): Set[(Long, Long, Long)] =
+      Sharding.packShards(df, "doc_id", "n_tokens", budget = 1000L,
+          numPartitions = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val g3 = got(3)
+    assert(g3 == want)
+    // the prefix-sum offsets make shard ids independent of where the range
+    // boundaries land — the 100 TB guarantee (repartitioning a corpus
+    // cannot silently reshuffle its shard assignment)
+    assert(got(7) == g3 && got(1) == g3)
+    // and the plan must not contain the single-task global Window the
+    // naive formulation would use
+    val plan = Sharding.packShards(df, "doc_id", "n_tokens", budget = 1000L,
+      numPartitions = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in plan:\n$plan")
+  }
+
+  test("mixtureSample: deterministic, monotone in rate, frequency near rate") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "grp")
+    def ids(ra: Double, rb: Double): Set[Long] =
+      Sharding.mixtureSample(df, "doc_id", "grp", Map("a" -> ra, "b" -> rb))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = ids(0.5, 0.25)
+    // deterministic: identical on repeat
+    assert(ids(0.5, 0.25) == half)
+    // monotone: raising a group's rate only ADDS rows
+    assert(half.subsetOf(ids(0.8, 0.5)))
+    // rate 1.0 keeps everything, 0.0 keeps nothing
+    assert(ids(1.0, 0.0) == (0L until 2000L by 2).toSet)
+    // observed frequency within ±5pp of the rate (1000 rows per group)
+    val fa = half.count(_ % 2 == 0) / 1000.0
+    val fb = half.count(_ % 2 == 1) / 1000.0
+    assert(math.abs(fa - 0.5) < 0.05, s"group a freq $fa")
+    assert(math.abs(fb - 0.25) < 0.05, s"group b freq $fb")
   }
 }
