@@ -75,7 +75,7 @@ object Bench {
     "dedup_exact", "minhash_lsh", "simhash_pairs", "ngram_jaccard",
     "embedding_neardup", "embedding_neardup_auto",
     "neardup_components", "repetition_signals", "decontaminate",
-    "scenario_training_pipeline",
+    "scenario_training_pipeline", "pack_shards", "mixture_sample",
     "lang_id", "quality_features", "token_count",
     "analyzed_term_facet", "analyzed_multilang_facet", "multimodal_embed_knn",
   )
