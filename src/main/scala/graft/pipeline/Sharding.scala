@@ -89,6 +89,36 @@ object Sharding {
     spark.createDataFrame(outRdd, outSchema)
   }
 
+  /** Chunk each document's token stream into fixed-size training sequences:
+    * windows of `chunkTokens` tokens starting every `stride` tokens (stride
+    * < chunk ⇒ overlapping context windows; tail windows may be short).
+    * Output: one row per (doc, chunk_idx) with the chunk's token count and
+    * re-joined text. With [[packShards]] and [[mixtureSample]] this
+    * completes the shard-assembly chain: chunk → pack → mix.
+    *
+    * 100 TB shape: a per-row explode over an index sequence — narrow, no
+    * shuffle, no state; output row count is Σ ceil(n_tokens/stride), known
+    * up front. The token array is built once per row and sliced per chunk
+    * (codegen'd built-ins: split/sequence/slice/array_join, no UDF). */
+  def chunkSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens/stride must be positive, got $chunkTokens/$stride")
+    val toks = split(col(textCol), " ")
+    val chunk =
+      slice(col("_t"), col("chunk_idx") * stride + 1, lit(chunkTokens))
+    df.select(col(idCol), toks.as("_t"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), floor((size(col("_t")) - 1) / stride))))
+      .select(col(idCol), col("chunk_idx"),
+        size(chunk).cast("long").as("n_chunk_tokens"),
+        array_join(chunk, " ").as("chunk_text"))
+  }
+
   /** Deterministic mixture sampling: keep each row of group `g` (the value
     * of `groupCol`) with probability `rates(g)`, decided by a content hash
     * of (group, id) — not an RNG — so the kept set is a pure function of

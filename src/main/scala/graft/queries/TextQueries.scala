@@ -659,6 +659,13 @@ object TextQueries {
           TextAnalysis.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 4096)
         .orderBy(col("doc_id"))),
+    // Sequence chunking: documents → overlapping 64-token context windows
+    // every 48 tokens (the step before pack_shards in shard assembly).
+    // Narrow per-row explode, no shuffle; tail windows may be short.
+    "chunk_sequences" -> ((s, dir) =>
+      Sharding.chunkSequences(docs(s, dir), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     // Deterministic mixture re-weighting: keep 100% en, 60% de/fr, 35%
     // es/zh, decided by a content hash of (lang, id) — reproducible
     // row-for-row in the oracle, monotone in the rate (raising a group's
@@ -953,6 +960,13 @@ object TextQueries {
         |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
         |      FROM documents)
         |ORDER BY doc_id ASC""".stripMargin,
+    "chunk_sequences" ->
+      """SELECT doc_id, i AS chunk_idx,
+        |  len(l[i*48+1 : i*48+64])::BIGINT AS n_chunk_tokens,
+        |  array_to_string(l[i*48+1 : i*48+64], ' ') AS chunk_text
+        |FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |  unnest(range(0, (len(l)-1) // 48 + 1)) AS u(i)
+        |ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
     "mixture_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE '0' || substr(md5(lang || ':' || doc_id::VARCHAR), 1, 4) <

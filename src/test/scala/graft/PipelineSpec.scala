@@ -126,13 +126,22 @@ class PipelineSpec extends SparkTestBase {
     val star = (200L until 210L).map(i => (250L, i))
     for (edges <- Seq(random, chain, star, random ++ chain ++ star)) {
       val exp = unionFind(edges)
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      // default → single-task union-find fast path
+      val fast = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == exp, s"mismatch: ${got.toSeq.sorted.take(8)} vs ${exp.toSeq.sorted.take(8)}")
+      assert(fast == exp, s"mismatch: ${fast.toSeq.sorted.take(8)} vs ${exp.toSeq.sorted.take(8)}")
+      // smallGraphEdges = 0 → forced iterative star path; labels IDENTICAL
+      val stars = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          smallGraphEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars == exp)
     }
-    // empty graph → empty result, no crash
+    // empty graph → empty result, no crash (both paths)
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      smallGraphEdges = 0L).count() == 0)
   }
 
   test("connected components work over string/UUID ids (lexicographic order)") {
@@ -140,10 +149,13 @@ class PipelineSpec extends SparkTestBase {
     val pairs = Seq(
       ("b1a0", "c2f1"), ("c2f1", "a9e3"), // one component, min a9e3
       ("ffff", "eeee")).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got == Map("a9e3" -> "a9e3", "b1a0" -> "a9e3", "c2f1" -> "a9e3",
-      "eeee" -> "eeee", "ffff" -> "eeee"))
+    val want = Map("a9e3" -> "a9e3", "b1a0" -> "a9e3", "c2f1" -> "a9e3",
+      "eeee" -> "eeee", "ffff" -> "eeee")
+    for (thr <- Seq(200000L, 0L)) { // fast path and forced star path
+      val got = Dedup.connectedComponents(pairs, smallGraphEdges = thr)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == want, s"threshold $thr")
+    }
   }
 
   test("near-dup representatives keep exactly one doc per component") {
@@ -351,6 +363,26 @@ class PipelineSpec extends SparkTestBase {
     val plan = Sharding.packShards(df, "doc_id", "n_tokens", budget = 1000L,
       numPartitions = 3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"global window in plan:\n$plan")
+  }
+
+  test("chunkSequences: stride windows cover all tokens, tails short, no shuffle") {
+    import spark.implicits._
+    val words = (1 to 11).map(i => s"w$i").mkString(" ") // 11 tokens
+    val df = Seq((1L, words), (2L, "solo")).toDF("doc_id", "text")
+    val got = Sharding.chunkSequences(df, "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0,3,6,9 → windows w1-4, w4-7, w7-10, w10-11(short)
+    val exp = Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"), (1L, 1L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 4L, "w7 w8 w9 w10"), (1L, 3L, 2L, "w10 w11"),
+      (2L, 0L, 1L, "solo"))
+    assert(got.toSeq == exp)
+    // narrow plan: no Exchange (shuffle) anywhere
+    val plan = Sharding.chunkSequences(df, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in chunk plan:\n$plan")
   }
 
   test("mixtureSample: deterministic, monotone in rate, frequency near rate") {
