@@ -100,4 +100,31 @@ object TextAnalysis {
         col("dup_2gram_frac") <= maxDup2GramFrac &&
         col("dup_3gram_frac") <= maxDup3GramFrac).cast("int"))
   }
+
+  /** Email pattern for [[redactPii]]: local-part @ domain . TLD. Plain
+    * character classes + bounded quantifiers only — identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB oracle), no lookaround/backrefs. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-prefix phone pattern: +CC-NNN-NNNN. */
+  val PhonePattern: String = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing (the C4-style pre-training redaction step): replaces
+    * every email / phone match with a placeholder token and counts the
+    * matches per row (counted on the ORIGINAL text, so the two patterns
+    * can't shadow each other). Narrow codegen'd per-row expressions
+    * (regexp_count / regexp_replace) — shuffle-free at any scale. */
+  def redactPii(
+      df: DataFrame,
+      textCol: String,
+      emailToken: String = "<EMAIL>",
+      phoneToken: String = "<PHONE>"): DataFrame =
+    df.withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailPattern)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(col(textCol), lit(PhonePattern)).cast("long"))
+      .withColumn("text_redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, emailToken),
+          PhonePattern, phoneToken))
 }

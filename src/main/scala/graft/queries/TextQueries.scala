@@ -659,6 +659,23 @@ object TextQueries {
           TextAnalysis.tokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 4096)
         .orderBy(col("doc_id"))),
+    // PII scrubbing with PLANTED deterministic PII: both engines append the
+    // same synthetic email + phone to every doc (a pure function of doc_id),
+    // then redact and count — row-level parity on counts, redacted length,
+    // and the md5 of the redacted text. Patterns are RE2-safe (no
+    // lookaround), so Java regex and DuckDB RE2 agree exactly.
+    "pii_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" Contact: user"),
+          col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("text"))
+      TextAnalysis.redactPii(planted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("text_redacted")).as("red_fp"),
+          length(col("text_redacted")).cast("long").as("red_len"))
+        .orderBy(col("doc_id"))
+    }),
     // Sequence chunking: documents → overlapping 64-token context windows
     // every 48 tokens (the step before pack_shards in shard assembly).
     // Narrow per-row explode, no shuffle; tail windows may be short.
@@ -960,6 +977,20 @@ object TextQueries {
         |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
         |      FROM documents)
         |ORDER BY doc_id ASC""".stripMargin,
+    "pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' Contact: user' || doc_id::VARCHAR || '@example.com or +1-555-'
+        |    || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text FROM documents),
+        |r AS (SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '\+\d{1,2}-\d{3}-\d{4}'))::BIGINT AS n_phones,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS red FROM t)
+        |SELECT doc_id, n_emails, n_phones, md5(red) AS red_fp,
+        |  length(red)::BIGINT AS red_len
+        |FROM r ORDER BY doc_id ASC""".stripMargin,
     "chunk_sequences" ->
       """SELECT doc_id, i AS chunk_idx,
         |  len(l[i*48+1 : i*48+64])::BIGINT AS n_chunk_tokens,

@@ -385,6 +385,26 @@ class PipelineSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"shuffle in chunk plan:\n$plan")
   }
 
+  test("redactPii replaces all emails/phones, counts on original text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@x-y.co and z@q.io, call +1-555-0123 or +44-999-1234 now"),
+      (2L, "no pii here at all"),
+      (3L, "edge: a@b.c not an email (1-char TLD), +123-555-0000 too many cc digits"),
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.redactPii(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "text_redacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 2L,
+      "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE> now")))
+    assert(got(1) == ((2L, 0L, 0L, "no pii here at all")))
+    // 1-char TLD not an email; "+123-" exceeds the 2-digit country code but
+    // the regex still matches its "+12 3-555-0000"? No: \+\d{1,2}- requires
+    // a dash after 1-2 digits — "+123-" has the dash after 3 digits, no match
+    assert(got(2)._2 == 0L && got(2)._3 == 0L)
+  }
+
   test("mixtureSample: deterministic, monotone in rate, frequency near rate") {
     import spark.implicits._
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
