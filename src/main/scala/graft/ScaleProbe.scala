@@ -67,6 +67,7 @@ object ScaleProbe {
     "neardup_components", "dedup_representatives", "repetition_signals",
     "quality_filter_gopher", "decontaminate", "scenario_training_pipeline",
     "pack_shards", "mixture_sample", "chunk_sequences", "pii_redact",
+    "scenario_shard_assembly",
     "token_count", "quality_features", "lang_id", "fingerprint_md5",
     "analyzed_term_facet", "match_text", "match_text_any", "match_phrase",
     "bm25_idf_search", "sparse_dot_tokens", "bm25_corpus_scoped",

@@ -715,6 +715,30 @@ object TextQueries {
           round(col("sum_tokens").cast("double") / col("n_quality"), 6))
         .orderBy(col("lang"))
     }),
+    // Scenario: the shard-assembly chain end-to-end — chunk documents into
+    // context windows, drop short tails, reweight languages by the
+    // deterministic mixture predicate, pack into ~2048-token shards, and
+    // report per-shard stats. The oracle recomputes the whole chain
+    // relationally (lateral-unnest chunking + md5 predicate + global
+    // window prefix sum — the naive form of what packShards distributes).
+    "scenario_shard_assembly" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val chunks = Sharding.chunkSequences(d, "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .filter(col("n_chunk_tokens") >= 16)
+        .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_idx"))
+      val withLang = chunks.join(d.select("doc_id", "lang"), "doc_id")
+      val mixed = Sharding.mixtureSample(withLang, "chunk_id", "lang",
+        Map("en" -> 1.0), defaultRate = 0.5)
+      Sharding.packShards(
+          mixed.select("chunk_id", "doc_id", "n_chunk_tokens"),
+          "chunk_id", "n_chunk_tokens", budget = 2048)
+        .groupBy("shard_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum("n_chunk_tokens").as("sum_tokens"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy(col("shard_id"))
+    }),
     // Clusters → survivors: keep-first per component, singletons keep
     // themselves — `filter(keep = 1)` IS the deduplicated corpus.
     "dedup_representatives" -> ((s, dir) =>
@@ -977,6 +1001,27 @@ object TextQueries {
         |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
         |      FROM documents)
         |ORDER BY doc_id ASC""".stripMargin,
+    "scenario_shard_assembly" ->
+      """WITH ch AS (SELECT doc_id, i AS chunk_idx,
+        |    len(l[i*48+1 : i*48+64])::BIGINT AS n_chunk_tokens
+        |  FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+        |    unnest(range(0, (len(l)-1) // 48 + 1)) AS u(i)
+        |  WHERE len(l[i*48+1 : i*48+64]) >= 16),
+        |ck AS (SELECT doc_id, doc_id*1000 + chunk_idx AS chunk_id,
+        |    n_chunk_tokens FROM ch),
+        |wl AS (SELECT ck.*, d.lang FROM ck JOIN documents d USING (doc_id)),
+        |mx AS (SELECT * FROM wl
+        |  WHERE '0' || substr(md5(lang || ':' || chunk_id::VARCHAR), 1, 4) <
+        |    CASE lang WHEN 'en' THEN '10000' ELSE '08000' END),
+        |pk AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+        |    coalesce(sum(n_chunk_tokens) OVER (ORDER BY chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      // 2048 AS shard_id
+        |  FROM mx)
+        |SELECT shard_id, count(*)::BIGINT AS n_chunks,
+        |  sum(n_chunk_tokens)::BIGINT AS sum_tokens,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM pk GROUP BY shard_id ORDER BY shard_id ASC""".stripMargin,
     "pii_redact" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' Contact: user' || doc_id::VARCHAR || '@example.com or +1-555-'
