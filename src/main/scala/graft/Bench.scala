@@ -76,7 +76,7 @@ object Bench {
     "embedding_neardup", "embedding_neardup_auto",
     "neardup_components", "repetition_signals", "decontaminate",
     "scenario_training_pipeline", "pack_shards", "mixture_sample",
-    "chunk_sequences", "pii_redact",
+    "chunk_sequences", "pii_redact", "scenario_shard_assembly",
     "lang_id", "quality_features", "token_count",
     "analyzed_term_facet", "analyzed_multilang_facet", "multimodal_embed_knn",
   )

@@ -363,6 +363,9 @@ class PipelineSpec extends SparkTestBase {
     val plan = Sharding.packShards(df, "doc_id", "n_tokens", budget = 1000L,
       numPartitions = 3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"global window in plan:\n$plan")
+    // empty input → empty output, no crash (offset pass sees no partitions)
+    assert(Sharding.packShards(df.limit(0), "doc_id", "n_tokens",
+      budget = 1000L, numPartitions = 3).count() == 0)
   }
 
   test("chunkSequences: stride windows cover all tokens, tails short, no shuffle") {
