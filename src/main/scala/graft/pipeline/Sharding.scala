@@ -105,18 +105,20 @@ object Sharding {
       idCol: String,
       textCol: String,
       chunkTokens: Int,
-      stride: Int): DataFrame = {
+      stride: Int,
+      keepCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > 0 && stride > 0,
       s"chunkTokens/stride must be positive, got $chunkTokens/$stride")
     val toks = split(col(textCol), " ")
     val chunk =
       slice(col("_t"), col("chunk_idx") * stride + 1, lit(chunkTokens))
-    df.select(col(idCol), toks.as("_t"))
+    val carried = col(idCol) +: keepCols.map(col)
+    df.select(carried :+ toks.as("_t"): _*)
       .withColumn("chunk_idx",
         explode(sequence(lit(0L), floor((size(col("_t")) - 1) / stride))))
-      .select(col(idCol), col("chunk_idx"),
+      .select(carried ++ Seq(col("chunk_idx"),
         size(chunk).cast("long").as("n_chunk_tokens"),
-        array_join(chunk, " ").as("chunk_text"))
+        array_join(chunk, " ").as("chunk_text")): _*)
   }
 
   /** Deterministic mixture sampling: keep each row of group `g` (the value

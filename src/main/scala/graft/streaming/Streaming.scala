@@ -100,6 +100,34 @@ object Streaming {
       .start()
   }
 
+  /** Streaming front-end of shard assembly: chunk each arriving document
+    * into context windows and apply the deterministic language-mixture
+    * predicate — both STATELESS narrow transforms, so they run directly on
+    * the streaming DataFrame (no state store, no watermark) and produce
+    * exactly the rows the batch path would. The mixture key is
+    * `id "#" chunk_idx`, so a document's chunks sample independently and
+    * identically whether it arrives in one batch or ten. Shard PACKING is
+    * deliberately absent: it is a global prefix sum over a total order —
+    * a batch finalization over the staged chunk table
+    * ([[graft.pipeline.Sharding.packShards]]), not a per-row decision. */
+  def chunkMixStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val chunks = graft.pipeline.Sharding.chunkSequences(
+        stream, idCol, textCol, chunkTokens, stride, keepCols = Seq(groupCol))
+      .withColumn("chunk_uid",
+        concat(col(idCol).cast("string"), lit("#"), col("chunk_idx")))
+    graft.pipeline.Sharding.mixtureSample(
+      chunks, "chunk_uid", groupCol, rates, defaultRate)
+  }
+
   /** Windowed event-rate aggregation over a point-update stream — the
     * monitoring view a 100 TB ingest pipeline runs alongside upserts. */
   def rateByWindow(

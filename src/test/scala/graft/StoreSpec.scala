@@ -306,6 +306,39 @@ class StoreSpec extends SparkTestBase {
     assert(keys == Seq(1L, 2L, 3L))
   }
 
+  test("streaming chunk+mixture equals the batch path regardless of batching") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      (i, lang, (1 to 11).map(j => s"d${i}w$j").mkString(" "))
+    }
+    val rates = Map("en" -> 1.0, "de" -> 0.4)
+    // batch reference: same transform on a static DataFrame
+    val expect = graft.streaming.Streaming.chunkMixStream(
+        docs.toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", rates, chunkTokens = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(expect.nonEmpty && expect.size < 40 * 4) // mixture dropped some
+    // streamed in two arbitrary batches → identical row set
+    val stream = MemoryStream[(Long, String, String)]
+    val out = graft.streaming.Streaming.chunkMixStream(
+      stream.toDF().toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", rates, chunkTokens = 4, stride = 3)
+    val q = out.writeStream.format("memory").queryName("chunkmix_out")
+      .outputMode("append").start()
+    stream.addData(docs.take(13): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(13): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chunkmix_out")
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expect)
+  }
+
   test("streaming windowed rate aggregation emits closed windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
