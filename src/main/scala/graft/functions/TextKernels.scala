@@ -53,6 +53,28 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Positional xxhash64 values of the k-token shingles: element i is the
+    * hash of tokens[i..i+k), in document order, repeats preserved — the
+    * input to span-level operators where POSITION carries the signal
+    * (duplicate-passage detection), unlike the set form above. */
+  def shingleHashSeq(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out = if (n < k) new Array[Long](0) else {
+      val m = n - k + 1
+      val buf = new Array[Long](m)
+      val parts = new Array[UTF8String](k)
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < k) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        buf(i) = XXH64.hashUTF8String(UTF8String.concatWs(SPACE, parts: _*), SEED)
+        i += 1
+      }
+      buf
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** LSH band keys over an implicit bands×r MinHash signature: slot s's
     * min-hash is min over shingle hashes h of XXH64(h, seed=s); band key b
     * chains its r slot minima through XXH64. Empty input → per-slot
@@ -206,6 +228,8 @@ object TextKernels {
 
   def shingleHashSetCol(tokens: Column, k: Int): Column =
     GraftShim.column(ShingleHashSetExpr(GraftShim.expression(tokens), k))
+  def shingleHashSeqCol(tokens: Column, k: Int): Column =
+    GraftShim.column(ShingleHashSeqExpr(GraftShim.expression(tokens), k))
   def minhashBandKeysCol(hashes: Column, bands: Int, r: Int): Column =
     GraftShim.column(MinHashBandKeysExpr(GraftShim.expression(hashes), bands, r))
   def simhash64Col(tokens: Column): Column =
@@ -231,6 +255,16 @@ case class ShingleHashSetExpr(child: Expression, k: Int) extends UnaryExpression
     TextKernels.shingleHashes(input.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShingleHashSeqExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashSeq(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashSeq($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

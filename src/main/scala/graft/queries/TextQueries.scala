@@ -475,6 +475,28 @@ object TextQueries {
        |  SELECT r.id, e.v FROM reach r JOIN e ON r.node = e.u),
        |comp AS (SELECT id, min(node) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** Shared oracle CTEs for the duplicate-passage entries: positional
+    * 8-gram shingles, cross-doc (distinct-doc frequency ≥ 2) window marks,
+    * and consecutive-run span merge — the SQL mirror of
+    * [[graft.pipeline.Dedup.duplicatePassages]] over shingle strings
+    * (the engine's xxhash64 values stand in for the strings 1:1). */
+  private val DupPassageCte: String =
+    """t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |    l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]||' '||
+      |    l[i+5]||' '||l[i+6]||' '||l[i+7] AS s
+      |  FROM t, unnest(range(1, len(l)-6)) AS u(i) WHERE len(l) >= 8),
+      |x AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS d
+      |                     FROM g GROUP BY s) WHERE d >= 2),
+      |h AS (SELECT doc_id, pos FROM g WHERE s IN (SELECT s FROM x)),
+      |b AS (SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = pos - 1
+      |         THEN 0 ELSE 1 END AS brk FROM h),
+      |rn AS (SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b),
+      |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      |       FROM rn GROUP BY doc_id, grp)""".stripMargin
+
   /** Shared oracle CTEs for the repetition-signal entries: per-doc word
     * 1/2/3-grams (indexed-lambda construction), occurrence counts, and the
     * duplicate/top fractions per n — the SQL mirror of
@@ -647,6 +669,19 @@ object TextQueries {
         .select(col("doc_id"), col("contaminated"))
         .orderBy(col("doc_id"))
     }),
+    // Span-level dedup (ExactSubstr family, Lee et al. 2022 re-shaped for
+    // Spark): maximal token spans whose every 8-gram occurs in >= 2 distinct
+    // docs. Positional k-gram hashes + distinct-doc frequency + per-doc run
+    // merge — no doc x doc join anywhere, so corpus-wide boilerplate costs
+    // O(occurrences) not O(df^2). The oracle replays the identical pipeline
+    // on the shingle STRINGS (the engine's 64-bit hashes stand in for them).
+    "duplicate_passages" -> ((s, dir) =>
+      Dedup.duplicatePassages(docs(s, dir), "doc_id", "text", k = 8)),
+    // Scoring form: per-doc duplicated-token budget with overlapping spans
+    // union-merged (windows at p and p+2 share tokens; counting both would
+    // overstate dup_frac).
+    "dup_passage_stats" -> ((s, dir) =>
+      Dedup.duplicatePassageStats(docs(s, dir), "doc_id", "text", k = 8)),
     // Shard packing: documents → fixed-token-budget training shards via a
     // two-pass distributed prefix sum (one range shuffle + O(partitions)
     // driver offsets) — NOT the single-task global window the naive SQL
@@ -761,6 +796,24 @@ object TextQueries {
         graft.index.IvfIndex.Model(cents))
       Dedup.embeddingNearDupPairs(assigned, "vec_id", "embedding", 0.4,
         blockCol = Some("centroid_id"))
+    }),
+    // SemDeDup-shaped semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    // efficient learning at web-scale through semantic deduplication"):
+    // cluster-blocked cosine pairs -> connected components -> one survivor
+    // (min id) per semantic group. Same deterministic 4-centroid blocking
+    // as `embedding_neardup`, so the DuckDB oracle replays the WHOLE funnel
+    // — assignment, pairs, recursive-CTE closure, survivor pick — in SQL.
+    "semantic_dedup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val assigned = graft.index.IvfIndex.assign(e, "embedding",
+        graft.index.IvfIndex.Model(cents))
+      val pairs = Dedup.embeddingNearDupPairs(assigned, "vec_id", "embedding",
+        0.4, blockCol = Some("centroid_id"))
+      Dedup.nearDupRepresentatives(e.select("vec_id"), "vec_id", pairs)
+        .orderBy(col("vec_id"))
     }),
     // Auto-sized IVF blocking contract (the engine-default 100 TB path):
     // cell count is DERIVED from the data (k = max(4, ceil(N/cellSize)),
@@ -993,6 +1046,29 @@ object TextQueries {
         |        THEN 1 ELSE 0 END)::INT AS contaminated
         |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
         |ORDER BY d.doc_id ASC""".stripMargin,
+    "duplicate_passages" ->
+      s"""WITH $DupPassageCte
+         |SELECT doc_id, s::BIGINT AS start_pos, e::BIGINT AS end_pos,
+         |       (e - s)::BIGINT AS n_tokens
+         |FROM sp ORDER BY doc_id ASC, start_pos ASC""".stripMargin,
+    "dup_passage_stats" ->
+      s"""WITH $DupPassageCte,
+         |nb AS (SELECT doc_id, s, e,
+         |    CASE WHEN s >= coalesce(max(e) OVER (PARTITION BY doc_id
+         |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS newblk FROM sp),
+         |blk AS (SELECT doc_id, s, e,
+         |    sum(newblk) OVER (PARTITION BY doc_id ORDER BY s) AS blk FROM nb),
+         |cov AS (SELECT doc_id, sum(mx - mn) AS dup_tokens FROM
+         |    (SELECT doc_id, blk, min(s) AS mn, max(e) AS mx
+         |     FROM blk GROUP BY doc_id, blk) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+         |  len(string_split(d.text,' '))::BIGINT AS n_tokens,
+         |  round(coalesce(c.dup_tokens, 0)::DOUBLE
+         |    / len(string_split(d.text,' ')), 6) AS dup_frac
+         |FROM documents d LEFT JOIN cov c USING (doc_id)
+         |ORDER BY d.doc_id ASC""".stripMargin,
     "pack_shards" ->
       """SELECT doc_id, n_tokens,
         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -1169,6 +1245,42 @@ object TextQueries {
     "embedding_neardup_auto" ->
       """SELECT true AS canonical_ok, true AS distinct_ok,
         |       true AS planted_recall_ok""".stripMargin,
+    "semantic_dedup" ->
+      """WITH RECURSIVE
+        |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |          FROM embeddings WHERE vec_id < 4),
+        |dist AS (SELECT e.vec_id, c.cid,
+        |           list_sum(list_transform(range(1, len(e.embedding)+1),
+        |             i -> (e.embedding[i]::DOUBLE - c.cv[i])
+        |                * (e.embedding[i]::DOUBLE - c.cv[i]))) AS d
+        |         FROM embeddings e, cents c),
+        |cell AS (SELECT vec_id, cid FROM (
+        |           SELECT vec_id, cid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        |           FROM dist) WHERE rn = 1),
+        |p AS (SELECT id_a, id_b FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS score
+        |  FROM embeddings a
+        |  JOIN embeddings b ON a.vec_id < b.vec_id
+        |  JOIN cell ca ON ca.vec_id = a.vec_id
+        |  JOIN cell cb ON cb.vec_id = b.vec_id AND ca.cid = cb.cid)
+        |  WHERE score >= 0.4),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(id, node) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT r.id, e.v FROM reach r JOIN e ON r.node = e.u),
+        |comp AS (SELECT id, min(node) AS component FROM reach GROUP BY id)
+        |SELECT v.vec_id,
+        |  coalesce(c.component, v.vec_id)::BIGINT AS component,
+        |  (CASE WHEN coalesce(c.component, v.vec_id) = v.vec_id
+        |        THEN 1 ELSE 0 END)::INT AS keep
+        |FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
+        |ORDER BY v.vec_id ASC""".stripMargin,
     "embedding_neardup" ->
       """WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
         |               FROM embeddings WHERE vec_id < 4),

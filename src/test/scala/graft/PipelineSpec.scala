@@ -103,6 +103,55 @@ class PipelineSpec extends SparkTestBase {
     assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
   }
 
+  test("duplicatePassages: cross-doc spans merge runs, within-doc repeats don't flag") {
+    import spark.implicits._
+    val d = Seq(
+      // docs 1/2 share the 5-token passage a1..a5 at different offsets:
+      // k=4 windows at pos {0,1} (doc 1) and {2,3} (doc 2) → one merged
+      // span each, 5 tokens
+      (1L, "a1 a2 a3 a4 a5 x1 x2 x3 x4 x5 x6"),
+      (2L, "z1 z2 a1 a2 a3 a4 a5 z3 z4 z5 z6"),
+      // within-doc repeat only (r1..r4 twice in ONE doc): distinct-doc
+      // frequency is 1 → never flagged
+      (3L, "r1 r2 r3 r4 r1 r2 r3 r4 w1 w2"),
+      // shorter than k → no windows at all
+      (4L, "b1 b2 b3"),
+    ).toDF("doc_id", "text")
+    val res = Dedup.duplicatePassages(d, "doc_id", "text", k = 4)
+    val spans = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((1L, 0L, 5L, 5L), (2L, 2L, 7L, 5L)))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "duplicate-passage detection must never plan a doc×doc join")
+  }
+
+  test("duplicatePassageStats: overlapping spans union-merge, clean docs zero") {
+    import spark.implicits._
+    val d = Seq(
+      // doc 10's k=4 windows: pos 0 (m1..m4, shared with 11) and pos 2
+      // (m3..m6, shared with 12) are duplicated; pos 1 (m2..m5) is unique.
+      // Two runs → two OVERLAPPING spans [0,4) and [2,6).
+      (10L, "m1 m2 m3 m4 m5 m6"),
+      (11L, "m1 m2 m3 m4"),
+      (12L, "m3 m4 m5 m6"),
+      (13L, "clean words with no duplication at all"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatePassages(d, "doc_id", "text", k = 4)
+      .filter(col("doc_id") === 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((0L, 4L), (2L, 6L)))
+    val stats = Dedup.duplicatePassageStats(d, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // union of [0,4)∪[2,6) = 6 covered tokens, NOT 4+4=8
+    assert(stats(10L) == ((6L, 6L, 1.0)))
+    assert(stats(11L) == ((4L, 4L, 1.0)))
+    assert(stats(12L) == ((4L, 4L, 1.0)))
+    assert(stats(13L) == ((0L, 7L, 0.0)))
+  }
+
   test("connected components match union-find on random graphs, chains, stars") {
     import spark.implicits._
     def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
