@@ -33,6 +33,10 @@ trait FieldResolver {
     * The ∃-over-values formulation is semantically identical for scalars
     * but defeats predicate pushdown. */
   def scalarValue(key: String): Option[Column] = None
+  /** Resolved Spark type of `key`'s values (element type for arrays) when
+    * statically known — drives type-aware Range/`start_from` bound coercion
+    * ([[Temporal.boundLit]]). None → bounds compare as plain literals. */
+  def dataTypeOf(key: String): Option[DataType] = None
 }
 
 /** Resolver for collections whose payload fields are typed top-level columns
@@ -76,6 +80,11 @@ final class TypedResolver(
     case Some(_) => Some(col(key))
     case None => None
   }
+
+  override def dataTypeOf(key: String): Option[DataType] = fieldType(key).map {
+    case ArrayType(e, _) => e
+    case t => t
+  }
 }
 
 /** Resolver over a struct element (for Nested conditions): keys resolve
@@ -102,6 +111,11 @@ final class StructResolver(elem: Column, tpe: StructType) extends FieldResolver 
     case Some(ArrayType(s: StructType, _)) => Some(s)
     case Some(s: StructType) => Some(s)
     case _ => None
+  }
+
+  override def dataTypeOf(key: String): Option[DataType] = fieldType(key).map {
+    case ArrayType(e, _) => e
+    case t => t
   }
 }
 
@@ -146,7 +160,7 @@ final class FilterCompiler(r: FieldResolver) {
       case MatchExcept(k, vs) => sc(k).map(x => x.isNotNull && !x.isin(vs: _*))
       case MatchPrefix(k, p) => sc(k).map(x => x.isNotNull && x.startsWith(p))
       case RangeCond(k, gt, gte, lt, lte) =>
-        sc(k).map(x => x.isNotNull && rangeBounds(x, gt, gte, lt, lte))
+        sc(k).map(x => x.isNotNull && rangeBounds(x, r.dataTypeOf(k), gt, gte, lt, lte))
       case _ => None
     }
   }
@@ -161,12 +175,16 @@ final class FilterCompiler(r: FieldResolver) {
       case None => exists(r.values(key), pred)
     }
 
+  /** Bounds coerce to the column's resolved type (datetime columns accept
+    * epoch-nano numerics and RFC3339-family strings — [[Temporal.boundLit]]);
+    * unknown types compare as plain literals, unchanged. */
   private def rangeBounds(
-      v: Column,
+      v: Column, dt: Option[DataType],
       gt: Option[Any], gte: Option[Any], lt: Option[Any], lte: Option[Any]): Column = {
+    def b0(b: Any): Column = Temporal.boundLit(dt, b)
     val bs = Seq(
-      gt.map(b => v > lit(b)), gte.map(b => v >= lit(b)),
-      lt.map(b => v < lit(b)), lte.map(b => v <= lit(b))).flatten
+      gt.map(b => v > b0(b)), gte.map(b => v >= b0(b)),
+      lt.map(b => v < b0(b)), lte.map(b => v <= b0(b))).flatten
     bs.reduceOption(_ && _).getOrElse(lit(true))
   }
 
@@ -190,9 +208,9 @@ final class FilterCompiler(r: FieldResolver) {
         graft.functions.TextKernels.containsTokenSeqCol(tokens(v), phrase))
     case MatchPrefix(k, p) => anyValue(k, _.startsWith(p))
     case RangeCond(k, gt, gte, lt, lte) =>
-      anyValue(k, v => rangeBounds(v, gt, gte, lt, lte))
+      anyValue(k, v => rangeBounds(v, r.dataTypeOf(k), gt, gte, lt, lte))
     case ValuesCount(k, gt, gte, lt, lte) =>
-      rangeBounds(size(r.values(k)).cast("long"), gt, gte, lt, lte)
+      rangeBounds(size(r.values(k)).cast("long"), None, gt, gte, lt, lte)
     case GeoBoundingBox(k, tl, br) =>
       anyValue(k, p => {
         val lon = p.getField("lon"); val lat = p.getField("lat")

@@ -67,6 +67,11 @@ final class JsonResolver(
   def id: Column = idColumn
   def vector(name: String): Column = vectorCols.getOrElse(name, lit(null))
 
+  override def dataTypeOf(key: String): Option[DataType] = types.get(key).map {
+    case ArrayType(e, _) => e
+    case t => t
+  }
+
   /** Nested array-of-objects: the inner filter re-resolves via JSON on the
     * element. Elements are variants; expose them as JSON strings and let the
     * element resolver re-parse. */

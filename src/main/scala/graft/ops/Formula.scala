@@ -68,8 +68,11 @@ object Formula {
       case Constant(v) => lit(v)
       case ScoreVar(i) => scores(i)
       case PayloadVar(key, default) =>
-        // first value under the key, numeric; missing → default
-        val v = element_at(resolver.values(key), 1).cast("double")
+        // first value under the key, numeric; missing → default. Temporal
+        // columns read as epoch SECONDS (fractional μs) — the documented
+        // unit for datetime variables in formula arithmetic.
+        val v = graft.filters.Temporal.asSeconds(
+          element_at(resolver.values(key), 1), resolver.dataTypeOf(key))
         default.fold(v)(d => coalesce(v, lit(d)))
       case CondVar(c) =>
         when(new FilterCompiler(resolver).condition(c), lit(1.0d)).otherwise(lit(0.0d))
@@ -78,7 +81,8 @@ object Formula {
         VectorFunctions.haversineMeters(
           p.getField("lon"), p.getField("lat"), lit(origin.lon), lit(origin.lat))
       case DatetimeVar(key) =>
-        to_timestamp(element_at(resolver.values(key), 1)).cast("double")
+        // ANSI-safe epoch seconds (timestamp→double cast is disallowed)
+        unix_micros(to_timestamp(element_at(resolver.values(key), 1))) / lit(1e6)
       case DatetimeConstant(iso) =>
         lit(java.time.Instant.parse(iso).getEpochSecond.toDouble)
       case Mult(xs) => xs.map(go).reduce(_ * _)

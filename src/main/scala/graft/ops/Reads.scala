@@ -76,7 +76,11 @@ object Reads {
       projection: Seq[String]): DataFrame = {
     val base = pred(filter, r).fold(points)(points.filter)
     val cursored = startFrom.fold(base) { s =>
-      base.filter(if (asc) col(field) >= lit(s) else col(field) <= lit(s))
+      // cursor coerces to the field's type: datetime fields accept epoch
+      // nanos and RFC3339-family strings (Temporal.boundLit)
+      val dt = points.schema.fields.find(_.name == field).map(_.dataType)
+      val b = graft.filters.Temporal.boundLit(dt, s)
+      base.filter(if (asc) col(field) >= b else col(field) <= b)
     }
     val ord = Seq(
       if (asc) col(field).asc_nulls_last else col(field).desc_nulls_last,

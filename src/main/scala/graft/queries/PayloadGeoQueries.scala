@@ -118,9 +118,10 @@ object PayloadGeoQueries {
     "formula_recency" -> ((s, dir) => {
       import Formula._
       val ev = events(s, dir).filter(col("event_type") === "click")
-      // ts is nanos-since-epoch (nanosAsLong); express in hours for a
-      // well-conditioned gaussian
-      val hours = Mult(Seq(PayloadVar("ts"), Constant(1.0 / 3.6e12)))
+      // PayloadVar over a temporal column reads as epoch seconds
+      // (Temporal.asSeconds); express in hours for a well-conditioned
+      // gaussian
+      val hours = Mult(Seq(PayloadVar("ts"), Constant(1.0 / 3600.0)))
       val targetHours = Constant(
         java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond / 3600.0)
       val ast = Sum(Seq(
@@ -196,7 +197,7 @@ object PayloadGeoQueries {
          |) % 2 = 1""".stripMargin,
     "formula_recency" ->
       """WITH h AS (SELECT event_id, value,
-        |    epoch_ns(ts) * (1.0/3.6e12) AS hrs,
+        |    (epoch_us(ts) / 1e6) * (1.0/3600.0) AS hrs,
         |    epoch('2024-01-15 00:00:00'::TIMESTAMP) / 3600.0 AS h0
         |  FROM events WHERE event_type = 'click')
         |SELECT event_id,

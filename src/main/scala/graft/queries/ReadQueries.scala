@@ -60,13 +60,27 @@ object ReadQueries {
       val f = Filter(must = Seq(HasVector("vec_alt")))
       Reads.count(e, Some(f), new TypedResolver(e.schema, "vec_id"))
     }),
-    // Datetime range over the nanosecond event-time column
+    // Datetime range with epoch-nano numeric bounds — coerced to the ts
+    // column's actual type (timestamp[us] today, nanos-long historically)
+    // by Temporal.boundLit, so the same query survives schema drift
     "range_datetime_count" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val nanos = (d: String) => java.time.Instant.parse(d).getEpochSecond * 1000000000L
       val f = Filter.mustAll(RangeCond("ts",
         gte = Some(nanos("2024-01-10T00:00:00Z")),
         lt = Some(nanos("2024-01-20T00:00:00Z"))))
+      Reads.count(ev, Some(f), new TypedResolver(ev.schema, "event_id"))
+    }),
+    // Same range surface with the reference's wire format: RFC3339 string
+    // bounds at μs precision, exercising all three accepted lenient forms —
+    // offset, 'T'-less space form, bare date (ref types.rs:65,78)
+    "range_datetime_rfc3339" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val f = Filter.mustAll(
+        RangeCond("ts", gte = Some("2024-01-10T06:30:00Z")),
+        RangeCond("ts", gt = Some("2024-01-09T22:00:00-04:00")), // = 10th 02:00Z, subsumed
+        RangeCond("ts", lt = Some("2024-01-20 18:45:30.250")),
+        RangeCond("ts", lte = Some("2024-02-01")))
       Reads.count(ev, Some(f), new TypedResolver(ev.schema, "event_id"))
     }),
     "count_filtered" -> ((s, dir) => {
@@ -173,6 +187,12 @@ object ReadQueries {
       """SELECT count(*)::BIGINT AS cnt FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "range_datetime_rfc3339" ->
+      """SELECT count(*)::BIGINT AS cnt FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 06:30:00'
+        |  AND ts >  TIMESTAMP '2024-01-10 02:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 18:45:30.250'
+        |  AND ts <= TIMESTAMP '2024-02-01 00:00:00'""".stripMargin,
     "count_filtered" ->
       """SELECT count(*)::BIGINT AS cnt FROM lineitem
         |WHERE l_quantity >= 5.0 AND l_quantity < 30.0
