@@ -88,6 +88,28 @@ object Reads {
     cursored.orderBy(ord: _*).limit(limit).select(projection.map(col): _*)
   }
 
+  /** Random-order scroll (`ScrollOrder::Random`,
+    * `lib/shard/src/query/scroll.rs:35-40`): a filtered page in
+    * pseudorandom order. The reference samples via RNG per request;
+    * here the order is a seeded xxhash64 of the id — pseudorandom with
+    * respect to id/payload order, deterministic across runs and
+    * partitionings (the engine's seeded-sampling contract, like
+    * `sample_random`). orderBy+limit plans as TakeOrderedAndProject:
+    * per-partition top-k then a driver merge of k-row heads, no global
+    * sort at scale. */
+  def scrollRandom(
+      points: DataFrame,
+      idCol: String,
+      filter: Option[Filter],
+      r: FieldResolver,
+      seed: Long,
+      limit: Int,
+      projection: Seq[String]): DataFrame = {
+    val base = pred(filter, r).fold(points)(points.filter)
+    base.orderBy(xxhash64(col(idCol), lit(seed)).asc, col(idCol).asc)
+      .limit(limit).select(projection.map(col): _*)
+  }
+
   /** One scroll page + cursor: fetch limit+1 rows, return the first `limit`
     * and the (limit+1)-th id as `next_page_offset` (None once exhausted) —
     * the API-level pagination contract

@@ -32,6 +32,25 @@ object PayloadGeoQueries {
     g.filter(pred).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Six JSON payload shapes exercising absent / explicit-null / empty /
+    * [null] / scalar / non-empty-array — cycled by doc_id so the DuckDB
+    * oracle can rebuild the identical column. */
+  private val payloadForms = Seq(
+    """{"tags":["a","b"]}""", """{"tags":[]}""", """{"tags":null}""",
+    "{}", """{"tags":"x"}""", """{"tags":[null]}""")
+
+  private def trichotomy(s: SparkSession, dir: String, f: Filter): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(
+      col("doc_id"), (col("doc_id") % 6).as("bucket"),
+      element_at(array(payloadForms.map(lit): _*),
+        (col("doc_id") % 6).cast("int") + 1).as("payload"))
+    val jr = new JsonResolver(col("payload"), Map("tags" -> StringType), col("doc_id"))
+    val pred = new FilterCompiler(jr).compile(f)
+    d.groupBy(col("bucket"))
+      .agg(sum(when(pred, 1L).otherwise(0L)).as("cnt"))
+      .orderBy(col("bucket").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The two VARIANT-path queries are aggregate-shaped on purpose: the
     // predicate is a projected 0/1 column summed by the aggregate, not a
@@ -69,6 +88,16 @@ object PayloadGeoQueries {
       ev.select(when(pred, 1L).otherwise(0L).as("_m"))
         .agg(sum(col("_m")).as("cnt"))
     }),
+    // IsEmpty / IsNull trichotomy (ref types.rs:3780-3806, fixture F1):
+    // a synthesized payload cycles through all six value shapes —
+    //   b0 ["a","b"]  b1 []  b2 null  b3 absent  b4 "x"  b5 [null]
+    // IsEmpty matches absent and [] (b1,b3) but NOT explicit null;
+    // IsNull matches explicit null and [null] (b2,b5). Per-bucket counts
+    // make each shape's verdict visible to the oracle.
+    "filter_is_empty" -> ((s, dir) =>
+      trichotomy(s, dir, Filter.mustAll(IsEmpty("tags")))),
+    "filter_is_null" -> ((s, dir) =>
+      trichotomy(s, dir, Filter.mustAll(IsNullCond("tags")))),
     "geo_radius" -> ((s, dir) =>
       geoCount(s, dir, GeoRadius("location", GeoPoint(0.0, 0.0), 3000000.0))),
     // geohash-indexed radius search: cell-prefix prune then exact haversine —
@@ -162,6 +191,26 @@ object PayloadGeoQueries {
       |  ((user_id % 360) - 180 + 0.25) AS lon,
       |  ((user_id % 180) - 90 + 0.25) AS lat FROM events)""".stripMargin
 
+  private val trichotomyCte =
+    """WITH p AS (SELECT doc_id, doc_id % 6 AS bucket,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN '{"tags":["a","b"]}' WHEN 1 THEN '{"tags":[]}'
+      |    WHEN 2 THEN '{"tags":null}' WHEN 3 THEN '{}'
+      |    WHEN 4 THEN '{"tags":"x"}' ELSE '{"tags":[null]}' END AS payload
+      |  FROM documents),
+      |t AS (SELECT bucket,
+      |  list_contains(json_keys(payload), 'tags') AS present,
+      |  coalesce(json_type(payload, '$.tags') = 'NULL', false) AS explicit_null,
+      |  CASE WHEN json_type(payload, '$.tags') = 'ARRAY'
+      |    THEN len(list_filter(CAST(json_extract(payload, '$.tags') AS JSON[]),
+      |             x -> x IS NOT NULL))
+      |    WHEN coalesce(json_type(payload, '$.tags') = 'NULL', true) THEN 0
+      |    ELSE 1 END AS vals_len,
+      |  coalesce(CASE WHEN json_type(payload, '$.tags') = 'ARRAY'
+      |    THEN len(list_filter(CAST(json_extract(payload, '$.tags') AS JSON[]),
+      |             x -> x IS NULL)) > 0 END, false) AS has_null_elem
+      |  FROM p)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "payload_json_facet" ->
       """SELECT event_type AS value, count(*)::BIGINT AS cnt FROM events
@@ -171,6 +220,22 @@ object PayloadGeoQueries {
     "payload_json_count" ->
       """SELECT count(*)::BIGINT AS cnt FROM events
         |WHERE json_extract(props, '$.k')::BIGINT >= 50""".stripMargin,
+    // trichotomy CTE: rebuild the payload column, derive presence /
+    // explicit-null / array-element facts with DuckDB JSON functions
+    // (json_extract alone conflates explicit null with absence — json_keys
+    // and json_type(payload, path) disambiguate), then apply the same
+    // IsEmpty / IsNull algebra as FilterCompiler
+    "filter_is_empty" ->
+      s"""$trichotomyCte
+         |SELECT bucket, sum(CASE WHEN (NOT present)
+         |    OR (vals_len = 0 AND NOT (explicit_null OR has_null_elem))
+         |  THEN 1 ELSE 0 END)::BIGINT AS cnt
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "filter_is_null" ->
+      s"""$trichotomyCte
+         |SELECT bucket, sum(CASE WHEN explicit_null OR has_null_elem
+         |  THEN 1 ELSE 0 END)::BIGINT AS cnt
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
     "geo_radius" ->
       s"""$geoCte
          |SELECT count(*)::BIGINT AS cnt FROM g

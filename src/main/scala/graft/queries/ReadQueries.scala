@@ -109,6 +109,27 @@ object ReadQueries {
         offsetId = Some(100L), limit = 20,
         projection = Seq("doc_id", "lang", "n_chars"))
     }),
+    // Random-order scroll derived contract (like sample_random): page has
+    // exactly n rows, all satisfy the filter, no duplicates, identical
+    // across two independent plans (seeded determinism), and the order is
+    // NOT plain id order (the point of ScrollOrder::Random)
+    "scroll_random" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val f = Filter(must = Seq(MatchValue("lang", "en")))
+      val r = new TypedResolver(d.schema, "doc_id")
+      def page() = Reads.scrollRandom(d, "doc_id", Some(f), r,
+        seed = 7L, limit = 25, projection = Seq("doc_id"))
+      val a = page().collect().map(_.getLong(0)).toSeq
+      val b = page().collect().map(_.getLong(0)).toSeq
+      val en = d.filter(col("lang") === "en")
+      val inFiltered = en.filter(col("doc_id").isin(a: _*)).count()
+      val idOrder = en.orderBy(col("doc_id").asc).limit(25)
+        .collect().map(_.getLong(0)).toSeq
+      import s.implicits._
+      Seq((a.length, inFiltered == a.length, a.distinct.length == a.length,
+          a == b, a != idOrder))
+        .toDF("n", "subset_ok", "distinct_ok", "deterministic_ok", "shuffled_ok")
+    }),
     "order_by_ts" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val f = Filter(must = Seq(MatchValue("event_type", "click")))
@@ -209,6 +230,9 @@ object ReadQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' AND n_chars < 300 AND doc_id >= 100
         |ORDER BY doc_id ASC LIMIT 20""".stripMargin,
+    "scroll_random" ->
+      """SELECT 25 AS n, true AS subset_ok, true AS distinct_ok,
+        |  true AS deterministic_ok, true AS shuffled_ok""".stripMargin,
     "order_by_ts" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'click'
