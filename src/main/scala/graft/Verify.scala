@@ -21,8 +21,17 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=a,b,c runs (and
     // emits oracles for) just those entries. The driver never sets it.
+    // Guard rails (r7 advice): a subset run REFUSES names that match no
+    // catalog entry (a typo would otherwise verify nothing, silently), and
+    // stamps `__subset__` into oracle_sql.json so a partial artifact can
+    // never masquerade as a full verification to a later comparison pass.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names match no catalog entry: ${unknown.mkString(", ")}")
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -46,6 +55,11 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // subset marker: a partial dump is visibly partial to every later pass
+    val marker = Paths.get(s"$outDir/SUBSET_MARKER")
+    if (only.isDefined)
+      Files.writeString(marker, only.get.toSeq.sorted.mkString("\n"))
+    else Files.deleteIfExists(marker)
     spark.stop()
   }
 }

@@ -479,7 +479,9 @@ object TextQueries {
     * 8-gram shingles, cross-doc (distinct-doc frequency ≥ 2) window marks,
     * and consecutive-run span merge — the SQL mirror of
     * [[graft.pipeline.Dedup.duplicatePassages]] over shingle strings
-    * (the engine's xxhash64 values stand in for the strings 1:1). */
+    * (the engine's xxhash64 values stand in for the strings — exact up to
+    * 64-bit hash collisions, the same guarantee the minhash/simhash
+    * operators state for their hash families). */
   private val DupPassageCte: String =
     """t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
       |g AS (SELECT doc_id, i - 1 AS pos,
@@ -674,7 +676,9 @@ object TextQueries {
     // docs. Positional k-gram hashes + distinct-doc frequency + per-doc run
     // merge — no doc x doc join anywhere, so corpus-wide boilerplate costs
     // O(occurrences) not O(df^2). The oracle replays the identical pipeline
-    // on the shingle STRINGS (the engine's 64-bit hashes stand in for them).
+    // on the shingle STRINGS (the engine's 64-bit hashes stand in for them,
+    // exact up to xxhash64 collisions — negligible but nonzero at corpus
+    // scale, like the other hash-family operators).
     "duplicate_passages" -> ((s, dir) =>
       Dedup.duplicatePassages(docs(s, dir), "doc_id", "text", k = 8)),
     // Scoring form: per-doc duplicated-token budget with overlapping spans

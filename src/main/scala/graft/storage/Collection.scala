@@ -52,9 +52,15 @@ final class Collection(
   private def pred(df: DataFrame, filter: Filter): Column =
     new FilterCompiler(resolver(df)).compile(filter)
 
+  /** Table rewrites performed by this instance — the IO-count contract:
+    * `applyBatch(Seq(op1..opN))` must bump this by exactly 1, not N
+    * (asserted in StoreSpec). */
+  private[graft] var rewriteCount: Long = 0L
+
   /** Tmp-dir + rename swap: Spark cannot overwrite a path still lazily read
     * in the same plan; on a lakehouse table this is simply MERGE/DELETE. */
   private def write(df: DataFrame): Unit = {
+    rewriteCount += 1
     val tmp = path + "__tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

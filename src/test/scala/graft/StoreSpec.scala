@@ -358,4 +358,30 @@ class StoreSpec extends SparkTestBase {
       .select("kind", "n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("applyBatch folds N ops into exactly ONE table rewrite") {
+    import spark.implicits._
+    import graft.storage.UpdateOp
+    val c = mk(tmpDir())
+    assert(c.rewriteCount == 0L) // create() writes outside the mutation path
+    c.applyBatch(Seq(
+      UpdateOp.Upsert(Seq((4L, Seq(0f, 0f, 0f, 1f), """{"city":"Rome"}"""))
+        .toDF("id", "vector", "payload")),
+      UpdateOp.SetPayload("""{"flag":"hot"}""", col("id") >= 3L),
+      UpdateOp.DeleteIds(Seq(2L)),
+      UpdateOp.DeletePayloadKeys(Seq("price"), col("id") === 1L),
+      UpdateOp.DeleteByFilter(Filter.mustAll(MatchValue("city", "Moscow")))))
+    assert(c.rewriteCount == 1L,
+      s"applyBatch must commit once, saw ${c.rewriteCount} rewrites")
+    // ops composed in order: 4 inserted+flagged, 2 and 3 gone, 1 de-priced
+    val rows = c.read().orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.keySet == Set(1L, 4L))
+    assert(!rows(1L).contains("price"))
+    assert(rows(4L).contains("hot"))
+    // the sequential convenience API, by contrast, commits per call
+    c.deleteByIds(Seq(4L))
+    c.clearPayload(col("id") === 1L)
+    assert(c.rewriteCount == 3L)
+  }
 }

@@ -13,6 +13,12 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
+import os
+if os.path.exists(f"{outdir}/SUBSET_MARKER"):
+    print(f"WARNING: {outdir} is a SUBSET run (SPARK_GRAFT_ONLY) — "
+          "NOT a full verification:")
+    print(open(f"{outdir}/SUBSET_MARKER").read())
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
