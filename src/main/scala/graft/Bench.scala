@@ -69,7 +69,7 @@ object Bench {
     "retrieve_by_ids", "match_text", "match_phrase", "min_should_filter",
     "geo_radius", "geo_polygon", "payload_json_count",
     "filter_nested_structs", "range_datetime_count",
-    "ivf_search_allprobe", "ivf_search_probe2",
+    "ivf_search_allprobe", "ivf_search_probe2", "ivf_recall_curve",
     "quantized_pq_rescore", "quantized_scalar_rescore",
     "mutation_pipeline", "batch_update_ops",
     "dedup_exact", "minhash_lsh", "simhash_pairs", "ngram_jaccard",

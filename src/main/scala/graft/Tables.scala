@@ -12,10 +12,19 @@ object Tables {
     * runs with at least the session's default parallelism. A single small
     * parquet file scans as one partition, serializing the stage; at real
     * scale inputs already have plenty of splits and this is a no-op (no
-    * shuffle added). */
+    * shuffle added). The few/many decision reads the relation's file list
+    * (already materialized at load), NOT `df.rdd` — instantiating the RDD
+    * lineage per pipeline entry costs a full physical-planning pass. A
+    * multi-file table whose files each split further is treated as "enough
+    * parallelism" (file count ≥ cores only happens well past the
+    * one-small-file regime this guards). */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val files = df.inputFiles
+    val few =
+      if (files.nonEmpty) files.length < target
+      else df.rdd.getNumPartitions < target // non-file plan (test/streaming DF)
+    if (few) df.repartition(target) else df
   }
 
   /** Fetch one embedding vector by id (driver-side; qdrant's

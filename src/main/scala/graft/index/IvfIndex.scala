@@ -113,7 +113,10 @@ object IvfIndex {
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // k-means++ seeding
+    // k-means++ seeding. The per-new-center minD refresh is embarrassingly
+    // parallel over points (each slot updated independently) — parallelism
+    // changes no result, only wall time, which matters once k reaches the
+    // IVF-at-scale regime (k=1024, 256k samples: ~4e9 flops of seeding).
     val centers = scala.collection.mutable.ArrayBuffer(points(rng.nextInt(points.length)))
     val minD = points.map(p => d2(p, centers.head))
     while (centers.length < math.min(k, points.length)) {
@@ -123,21 +126,22 @@ object IvfIndex {
       var i = 0
       while (i < points.length && acc <= target) { acc += minD(i); pick = i; i += 1 }
       centers += points(pick)
-      var j = 0
-      while (j < points.length) {
-        val d = d2(points(j), centers.last)
+      val last = centers.last
+      java.util.stream.IntStream.range(0, points.length).parallel().forEach { j =>
+        val d = d2(points(j), last)
         if (d < minD(j)) minD(j) = d
-        j += 1
       }
     }
     val cs = centers.toArray
     val assign = new Array[Int](points.length)
     var it = 0
     var moved = true
+    val movedFlag = new java.util.concurrent.atomic.AtomicBoolean()
     while (it < maxIter && moved) {
-      moved = false
-      var i = 0
-      while (i < points.length) {
+      movedFlag.set(false)
+      // assignment step: independent per point, deterministic (first-min
+      // ties, same sequential d2 per point) — safe to parallelize
+      java.util.stream.IntStream.range(0, points.length).parallel().forEach { i =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < cs.length) {
@@ -145,9 +149,9 @@ object IvfIndex {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        if (assign(i) != best) { assign(i) = best; moved = true }
-        i += 1
+        if (assign(i) != best) { assign(i) = best; movedFlag.set(true) }
       }
+      moved = movedFlag.get()
       val sums = Array.fill(cs.length)(new Array[Double](dim))
       val counts = new Array[Int](cs.length)
       var p = 0

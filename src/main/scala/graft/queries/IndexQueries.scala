@@ -202,6 +202,31 @@ object IndexQueries {
       val root = Query(FusionQ("dbsf"), prefetches = Seq(m1, m2, l3), limit = 10)
       execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), root)
     }),
+    // Recall@10 vs nprobe over the IVF mechanism itself — the curve the
+    // lossy ANN path trades on (reference analog: ef on the HNSW bench,
+    // `lib/segment/benches/hnsw_search_graph.rs`; the 1M-point measured
+    // curve is in SCALEPROBE_r08.md / IvfRecallProbe). Centroids are pinned
+    // Forgy-style (embeddings of vec_id < 8) so the WHOLE computation —
+    // cell assignment (argmin L2, tie -> lowest cell id), probe ranking
+    // (centroid-to-query L2, tie -> cell id), in-cell top-10, overlap with
+    // the global exact top-10 — is reproduced exactly by the DuckDB oracle.
+    "ivf_recall_curve" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val model = IvfIndex.Model(cents)
+      val assigned = IvfIndex.assign(e, "embedding", model)
+      val q = v7(s, dir)
+      val exact = Search.knn(e, "vec_id", "embedding", q, Dot, k = 10)
+        .select("vec_id")
+      Seq(1, 2, 4, 8).map { np =>
+        val ann = IvfIndex.search(assigned, "vec_id", "embedding", model, q,
+          Dot, nprobe = np, k = 10)
+        (np, ann.select("vec_id").join(exact, "vec_id").count())
+      }.toDF("nprobe", "found")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -345,5 +370,34 @@ object IndexQueries {
         |ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     // ivf_search_probe2, quantized_*: lossy paths — rows-only; recall
     // asserted in IndexSpec ScalaTest.
+    // Exact replay of the pinned-centroid IVF pipeline: assignment, probe
+    // ranking, in-cell top-10 per nprobe, overlap vs the global top-10.
+    "ivf_recall_curve" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+        |               FROM embeddings WHERE vec_id < 8),
+        |pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |asg AS (SELECT vec_id, cid AS cell FROM (
+        |          SELECT p.vec_id, c.cid, row_number() OVER (
+        |            PARTITION BY p.vec_id
+        |            ORDER BY list_distance(p.v, c.c), c.cid) AS arn
+        |          FROM pts p CROSS JOIN cents c) WHERE arn = 1),
+        |probe_rank AS (SELECT c.cid,
+        |          row_number() OVER (ORDER BY list_distance(q.v, c.c), c.cid) AS rnk
+        |        FROM cents c, q),
+        |exact10 AS (SELECT p.vec_id FROM pts p, q
+        |            ORDER BY list_dot_product(p.v, q.v) DESC, p.vec_id LIMIT 10),
+        |np(nprobe) AS (VALUES (1), (2), (4), (8)),
+        |probe_cells AS (SELECT n.nprobe, pr.cid
+        |                FROM np n JOIN probe_rank pr ON pr.rnk <= n.nprobe),
+        |cand AS (SELECT pc.nprobe, p.vec_id, list_dot_product(p.v, q.v) AS s
+        |         FROM pts p JOIN asg a USING (vec_id)
+        |              JOIN probe_cells pc ON a.cell = pc.cid, q),
+        |ann AS (SELECT nprobe, vec_id,
+        |          row_number() OVER (PARTITION BY nprobe ORDER BY s DESC, vec_id) AS rn
+        |        FROM cand)
+        |SELECT a.nprobe AS nprobe, count(e.vec_id) AS found
+        |FROM ann a LEFT JOIN exact10 e USING (vec_id)
+        |WHERE a.rn <= 10 GROUP BY a.nprobe ORDER BY nprobe""".stripMargin,
   )
 }

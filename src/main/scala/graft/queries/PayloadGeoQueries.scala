@@ -98,6 +98,25 @@ object PayloadGeoQueries {
       trichotomy(s, dir, Filter.mustAll(IsEmpty("tags")))),
     "filter_is_null" -> ((s, dir) =>
       trichotomy(s, dir, Filter.mustAll(IsNullCond("tags")))),
+    // Bool payload index analog (`field_index/bool_index/`, Match bool
+    // `types.rs:3007`): per-bucket counts over payloads cycling
+    // true / false / absent / explicit null — only the true bucket matches,
+    // and null/absent rows are FALSE (not null-propagated into the count).
+    "match_bool_count" -> ((s, dir) => {
+      val forms = Seq("""{"hot":true}""", """{"hot":false}""", "{}",
+        """{"hot":null}""")
+      val d = Tables.load(s, dir, "documents").select(
+        col("doc_id"), (col("doc_id") % 4).as("bucket"),
+        element_at(array(forms.map(lit): _*),
+          (col("doc_id") % 4).cast("int") + 1).as("payload"))
+      val jr = new JsonResolver(col("payload"),
+        Map("hot" -> BooleanType), col("doc_id"))
+      val pred = new FilterCompiler(jr).compile(
+        Filter.mustAll(MatchValue("hot", true)))
+      d.groupBy(col("bucket"))
+        .agg(sum(when(pred, 1L).otherwise(0L)).as("cnt"))
+        .orderBy(col("bucket").asc)
+    }),
     "geo_radius" -> ((s, dir) =>
       geoCount(s, dir, GeoRadius("location", GeoPoint(0.0, 0.0), 3000000.0))),
     // geohash-indexed radius search: cell-prefix prune then exact haversine —
@@ -236,6 +255,17 @@ object PayloadGeoQueries {
          |SELECT bucket, sum(CASE WHEN explicit_null OR has_null_elem
          |  THEN 1 ELSE 0 END)::BIGINT AS cnt
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "match_bool_count" ->
+      """WITH p AS (SELECT doc_id, doc_id % 4 AS bucket,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN '{"hot":true}' WHEN 1 THEN '{"hot":false}'
+        |    WHEN 2 THEN '{}' ELSE '{"hot":null}' END AS payload
+        |  FROM documents)
+        |SELECT bucket, sum(CASE WHEN
+        |    coalesce(json_type(payload, '$.hot') = 'BOOLEAN'
+        |      AND json_extract(payload, '$.hot')::VARCHAR = 'true', false)
+        |  THEN 1 ELSE 0 END)::BIGINT AS cnt
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
     "geo_radius" ->
       s"""$geoCte
          |SELECT count(*)::BIGINT AS cnt FROM g
