@@ -25,6 +25,7 @@ object SparkEntry {
       (StorageQueries.queries, StorageQueries.oracles),
       (UuidQueries.queries, UuidQueries.oracles),
       (ScenarioQueries.queries, ScenarioQueries.oracles),
+      (ApiQueries.queries, ApiQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

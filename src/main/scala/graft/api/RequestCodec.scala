@@ -1,0 +1,499 @@
+package graft.api
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.model._
+import graft.ops.{Formula, PointQuery}
+import graft.ops.PointQuery._
+
+/** Wire-format codec for the reference's REST request surface: parses the
+  * JSON bodies a qdrant client sends — `Filter` trees and universal
+  * `QueryRequest`s (prefetch DAG, all scoring forms, formula expressions) —
+  * into the engine's ASTs, so a caller can switch engines without rewriting
+  * requests.
+  *
+  * Shapes mirror `lib/api/src/rest/schema.rs` and
+  * `lib/segment/src/types.rs` exactly:
+  *   - `Filter` `types.rs:4409-4441` with `MaybeOneOrMany` clause lists
+  *     (a single condition object is accepted wherever an array is),
+  *   - `Condition` untagged forms `types.rs:3964-3985` (field condition,
+  *     `is_empty`/`is_null` both standalone and as FieldCondition sugar,
+  *     `has_id`, `has_vector`, `slice`, `nested`, nested filter),
+  *   - `Match` untagged variants `types.rs:3081-3092`
+  *     (value/text/text_any/phrase/prefix/any/except),
+  *   - `RangeInterface` float + RFC3339 datetime bounds `types.rs:3229-3345`,
+  *   - `QueryRequestInternal`/`Prefetch` `schema.rs:570-600,776-800`:
+  *     raw-vector shorthand, `nearest` (+`mmr`), `recommend`, `discover`,
+  *     `context`, `relevance_feedback`, `order_by` (key or struct),
+  *     `fusion`/`rrf`, `formula`+`defaults`, `sample`,
+  *   - formula `Expression` untagged forms `schema.rs:931-951`.
+  *
+  * Out of codec scope (documented, fail loudly): `Document`/`Image`/
+  * `InferenceObject` vector inputs (external inference service,
+  * SURVEY.md §2.3), sparse vectors in the universal-query position (served
+  * by the dedicated sparse operators), and `with_payload`/`with_vector`
+  * enrichment (a separate read step — `filters/PayloadSelect`).
+  */
+object RequestCodec {
+
+  /** Vector-space config for resolving `using`: column + metric per named
+    * vector; the default (unnamed) vector is the "" entry
+    * (`NamedVectors` default name, `data_types/vectors.rs:525`). */
+  final case class VectorSpace(col: String, metric: Metric)
+
+  final case class Ctx(
+      spaces: Map[String, VectorSpace],
+      /** recommend/discover-by-id resolve hook (`lib/collection/src/
+        * collection/query.rs:456-546`); given the point id, returns the
+        * dense vector from the configured lookup collection. */
+      resolveId: Any => Seq[Double] = id =>
+        throw new IllegalArgumentException(
+          s"vector-input id $id given but no id resolver configured"),
+      /** Seed for `sample: random` (the wire form carries none). */
+      sampleSeed: Long = 42L) {
+    def space(using: Option[String]): VectorSpace = {
+      val name = using.getOrElse("")
+      spaces.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown vector name '$name'"))
+    }
+  }
+
+  // ================================================================ filters
+
+  def parseFilter(json: String): Filter = filterOf(JsonMethods.parse(json))
+
+  def filterOf(j: JValue): Filter = j match {
+    case o: JObject =>
+      Filter(
+        must = oneOrMany(o \ "must").map(conditionOf),
+        should = oneOrMany(o \ "should").map(conditionOf),
+        minShould = (o \ "min_should") match {
+          case ms: JObject =>
+            Some(MinShould(
+              oneOrMany(ms \ "conditions").map(conditionOf),
+              num(ms \ "min_count").toInt))
+          case _ => None
+        },
+        mustNot = oneOrMany(o \ "must_not").map(conditionOf))
+    case JNothing | JNull => Filter.empty
+    case other => fail(s"filter must be an object, got $other")
+  }
+
+  /** Untagged `Condition` resolution, same discriminating keys as serde. */
+  def conditionOf(j: JValue): Condition = j match {
+    case o: JObject =>
+      val keys = o.obj.map(_._1).toSet
+      if (keys.contains("key")) fieldCondition(o)
+      else if (keys.contains("is_empty"))
+        IsEmpty(str(o \ "is_empty" \ "key"))
+      else if (keys.contains("is_null"))
+        IsNullCond(str(o \ "is_null" \ "key"))
+      else if (keys.contains("has_id"))
+        HasId(arr(o \ "has_id").map(idOf))
+      else if (keys.contains("has_vector"))
+        HasVector(str(o \ "has_vector"))
+      else if (keys.contains("slice"))
+        SliceCond(num(o \ "slice" \ "total").toInt, num(o \ "slice" \ "index").toInt)
+      else if (keys.contains("nested"))
+        NestedCond(str(o \ "nested" \ "key"), filterOf(o \ "nested" \ "filter"))
+      else if (keys.exists(Set("must", "should", "must_not", "min_should")))
+        SubFilter(filterOf(o))
+      else fail(s"unrecognized condition object: keys ${keys.mkString(",")}")
+    case other => fail(s"condition must be an object, got $other")
+  }
+
+  /** `FieldCondition` (`types.rs:3568-3596`): one sub-check per set field;
+    * several set at once AND together (the reference checks each present
+    * field — `condition_checker`), expressed here as a nested must-filter. */
+  private def fieldCondition(o: JObject): Condition = {
+    val key = str(o \ "key")
+    val parts = Seq.newBuilder[Condition]
+    (o \ "match") match {
+      case m: JObject => parts += matchOf(key, m)
+      case _ => ()
+    }
+    (o \ "range") match {
+      case r: JObject =>
+        parts += RangeCond(key, bound(r \ "gt"), bound(r \ "gte"),
+          bound(r \ "lt"), bound(r \ "lte"))
+      case _ => ()
+    }
+    (o \ "geo_bounding_box") match {
+      case g: JObject =>
+        parts += GeoBoundingBox(key, geoPoint(g \ "top_left"),
+          geoPoint(g \ "bottom_right"))
+      case _ => ()
+    }
+    (o \ "geo_radius") match {
+      case g: JObject =>
+        parts += GeoRadius(key, geoPoint(g \ "center"), num(g \ "radius"))
+      case _ => ()
+    }
+    (o \ "geo_polygon") match {
+      case g: JObject =>
+        parts += GeoPolygonCond(key,
+          ring(g \ "exterior"),
+          arr(g \ "interiors").map(ring))
+      case _ => ()
+    }
+    (o \ "values_count") match {
+      case v: JObject =>
+        parts += ValuesCount(key,
+          bound(v \ "gt").map(anyLong), bound(v \ "gte").map(anyLong),
+          bound(v \ "lt").map(anyLong), bound(v \ "lte").map(anyLong))
+      case _ => ()
+    }
+    // FieldCondition sugar: `{"key": k, "is_empty": true}` (`types.rs:3590-3596`)
+    if ((o \ "is_empty") == JBool(true)) parts += IsEmpty(key)
+    if ((o \ "is_null") == JBool(true)) parts += IsNullCond(key)
+    parts.result() match {
+      case Seq(single) => single
+      case Seq() => fail(s"field condition on '$key' has no sub-condition")
+      case many => SubFilter(Filter(must = many))
+    }
+  }
+
+  /** `Match` untagged variants (`types.rs:3081-3092`). */
+  private def matchOf(key: String, m: JObject): Condition = {
+    val keys = m.obj.map(_._1).toSet
+    if (keys.contains("value")) MatchValue(key, anyScalar(m \ "value"))
+    else if (keys.contains("text")) MatchText(key, str(m \ "text"))
+    else if (keys.contains("text_any")) MatchTextAny(key, str(m \ "text_any"))
+    else if (keys.contains("phrase")) MatchPhrase(key, str(m \ "phrase"))
+    else if (keys.contains("prefix")) MatchPrefix(key, str(m \ "prefix"))
+    else if (keys.contains("any")) MatchAny(key, arr(m \ "any").map(anyScalar))
+    else if (keys.contains("except")) MatchExcept(key, arr(m \ "except").map(anyScalar))
+    else fail(s"unrecognized match variant: keys ${keys.mkString(",")}")
+  }
+
+  // ========================================================= universal query
+
+  /** Parse a full `POST /collections/{c}/points/query` body into the
+    * executable DAG. `query` missing without prefetches = order by id —
+    * expressed as an ascending OrderByField on the id... the reference
+    * scrolls by id; callers wanting that use Reads.scrollPage directly, so
+    * this codec requires a `query`. */
+  def parseQueryRequest(json: String, ctx: Ctx): Query =
+    queryNode(JsonMethods.parse(json), ctx, topLevel = true)
+
+  private def queryNode(j: JValue, ctx: Ctx, topLevel: Boolean): Query = {
+    val o = j match {
+      case o: JObject => o
+      case other => fail(s"query request must be an object, got $other")
+    }
+    val prefetches = oneOrMany(o \ "prefetch")
+      .map(p => queryNode(p, ctx, topLevel = false))
+    val filter = (o \ "filter") match {
+      case f: JObject => Some(filterOf(f))
+      case _ => None
+    }
+    val limit = (o \ "limit") match {
+      case JNothing | JNull => 10 // default limit `collection_query.rs:50`
+      case v => num(v).toInt
+    }
+    val offset =
+      if (!topLevel) 0
+      else (o \ "offset") match {
+        case JNothing | JNull => 0
+        case v => num(v).toInt
+      }
+    val threshold = (o \ "score_threshold") match {
+      case JNothing | JNull => None
+      case v => Some(num(v))
+    }
+    val using = (o \ "using") match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    val scoring = scoringOf(o \ "query", using, ctx, limit) match {
+      case (s, Some(innerPrefetch)) =>
+        // nearest+mmr sugar: the MMR leaf becomes a candidates_limit
+        // Nearest feeding the rerank (`planned_query.rs:368-460`)
+        return Query(s, prefetches = Seq(innerPrefetch), filter = filter,
+          limit = limit, offset = offset, scoreThreshold = threshold)
+      case (s, None) => s
+    }
+    Query(scoring, prefetches, filter, limit, offset, threshold)
+  }
+
+  /** `QueryInterface` (`schema.rs:637-674`): raw vector shorthand or one of
+    * the tagged query forms. Returns the scoring plus, for `nearest+mmr`,
+    * the synthesized candidate prefetch. */
+  private def scoringOf(j: JValue, using: Option[String], ctx: Ctx,
+      limit: Int): (Scoring, Option[Query]) = {
+    val sp = ctx.space(using)
+    j match {
+      case arr @ JArray(_) =>
+        vectorInput(arr, ctx) match {
+          case Left(v) => (Nearest(sp.col, sp.metric, v), None)
+          case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
+        }
+      case o: JObject =>
+        val keys = o.obj.map(_._1).toSet
+        if (keys.contains("nearest")) {
+          val scoring = vectorInput(o \ "nearest", ctx) match {
+            case Left(v) => Nearest(sp.col, sp.metric, v)
+            case Right(m) => MaxSimQ(sp.col, sp.metric, m)
+          }
+          (o \ "mmr") match {
+            case m: JObject =>
+              val qv = scoring match {
+                case Nearest(_, _, v) => v
+                case _ => fail("mmr requires a dense nearest vector")
+              }
+              // lambda = 1 - diversity, default 0.5 (`collection_query.rs:481`)
+              val lambda = (m \ "diversity") match {
+                case JNothing | JNull => 0.5
+                case d => 1.0 - num(d)
+              }
+              val candidates = (m \ "candidates_limit") match {
+                case JNothing | JNull => limit
+                case c => num(c).toInt
+              }
+              (MmrQ(sp.col, sp.metric, qv, lambda),
+                Some(Query(Nearest(sp.col, sp.metric, qv), limit = candidates)))
+            case _ => (scoring, None)
+          }
+        } else if (keys.contains("recommend")) {
+          val r = o \ "recommend"
+          val pos = oneOrMany(r \ "positive").map(denseInput(_, ctx))
+          val neg = oneOrMany(r \ "negative").map(denseInput(_, ctx))
+          val strategy = (r \ "strategy") match {
+            case JString(s) => s
+            case _ => "average_vector" // default `RecommendStrategy`
+          }
+          val s = strategy match {
+            case "average_vector" => RecommendAvg(sp.col, sp.metric, pos, neg)
+            case "best_score" => RecommendBest(sp.col, sp.metric, pos, neg)
+            case "sum_scores" => RecommendSum(sp.col, sp.metric, pos, neg)
+            case other => fail(s"unknown recommend strategy '$other'")
+          }
+          (s, None)
+        } else if (keys.contains("discover")) {
+          val d = o \ "discover"
+          (DiscoverQ(sp.col, sp.metric, denseInput(d \ "target", ctx),
+            oneOrMany(d \ "context").map(pairOf(_, ctx))), None)
+        } else if (keys.contains("context")) {
+          (ContextQ(sp.col, sp.metric,
+            oneOrMany(o \ "context").map(pairOf(_, ctx))), None)
+        } else if (keys.contains("relevance_feedback")) {
+          val f = o \ "relevance_feedback"
+          val fb = arr(f \ "feedback").map { item =>
+            (denseInput(item \ "example", ctx), num(item \ "score"))
+          }
+          val naive = f \ "strategy" \ "naive"
+          (FeedbackQ(sp.col, sp.metric, denseInput(f \ "target", ctx), fb,
+            num(naive \ "a"), num(naive \ "b"), num(naive \ "c")), None)
+        } else if (keys.contains("order_by")) {
+          val s = (o \ "order_by") match {
+            case JString(key) => OrderByField(key, asc = true)
+            case ob: JObject =>
+              val asc = (ob \ "direction") match {
+                case JString("desc") => false
+                case _ => true
+              }
+              val startFrom = (ob \ "start_from") match {
+                case JNothing | JNull => None
+                case v => Some(anyScalar(v))
+              }
+              OrderByField(str(ob \ "key"), asc, startFrom)
+            case other => fail(s"bad order_by: $other")
+          }
+          (s, None)
+        } else if (keys.contains("fusion")) {
+          (FusionQ(str(o \ "fusion")), None)
+        } else if (keys.contains("rrf")) {
+          val r = o \ "rrf"
+          val weights = (r \ "weights") match {
+            case JArray(ws) => Some(ws.map(num))
+            case _ => None
+          }
+          val k = (r \ "k") match {
+            case JNothing | JNull => None
+            case v => Some(num(v).toInt)
+          }
+          (FusionQ("rrf", weights, k), None)
+        } else if (keys.contains("formula")) {
+          val defaults: Map[String, Double] = (o \ "defaults") match {
+            case d: JObject => d.obj.collect {
+              case (k, v: JValue) if numOpt(v).isDefined => k -> num(v)
+            }.toMap
+            case _ => Map.empty
+          }
+          val scoreDefault = defaults.collectFirst {
+            case (k, v) if k == "$score" || k.startsWith("$score[") => v
+          }.getOrElse(0.0)
+          (FormulaQ(formulaOf(o \ "formula", defaults), scoreDefault), None)
+        } else if (keys.contains("sample")) {
+          str(o \ "sample") match {
+            case "random" => (SampleRandom(ctx.sampleSeed), None)
+            case other => fail(s"unknown sample kind '$other'")
+          }
+        } else fail(s"unrecognized query form: keys ${keys.mkString(",")}")
+      case JNothing | JNull =>
+        fail("query is required (order-by-id scroll is served by Reads.scrollPage)")
+      case other => fail(s"bad query: $other")
+    }
+  }
+
+  private def pairOf(j: JValue, ctx: Ctx): (Seq[Double], Seq[Double]) =
+    (denseInput(j \ "positive", ctx), denseInput(j \ "negative", ctx))
+
+  /** `VectorInput` (`schema.rs:559-567`): dense array, multi-dense matrix,
+    * or a point id resolved via the ctx hook. Left = dense, Right = multi. */
+  private def vectorInput(j: JValue, ctx: Ctx): Either[Seq[Double], Seq[Seq[Double]]] =
+    j match {
+      case JArray(xs) if xs.nonEmpty && xs.head.isInstanceOf[JArray] =>
+        Right(xs.map(x => arr(x).map(num)))
+      case JArray(xs) => Left(xs.map(num))
+      case JString(uuid) => Left(ctx.resolveId(uuid))
+      case JInt(i) => Left(ctx.resolveId(i.toLong))
+      case JLong(i) => Left(ctx.resolveId(i))
+      case o: JObject if o.obj.exists(_._1 == "indices") =>
+        fail("sparse vector inputs are served by the sparse operators " +
+          "(index/SparseIndex), not the dense query path")
+      case other => fail(s"unsupported vector input: $other")
+    }
+
+  private def denseInput(j: JValue, ctx: Ctx): Seq[Double] =
+    vectorInput(j, ctx) match {
+      case Left(v) => v
+      case Right(_) => fail("expected a dense vector, got a multi-dense matrix")
+    }
+
+  // ================================================================ formula
+
+  /** Formula `Expression` untagged forms (`schema.rs:931-951`); payload
+    * variable defaults come from the request's `defaults` map
+    * (`FormulaQuery.defaults`, keyed by the unparsed variable id). */
+  def formulaOf(j: JValue, defaults: Map[String, Double]): Formula.Expr = {
+    def go(j: JValue): Formula.Expr = j match {
+      case JDouble(d) => Formula.Constant(d)
+      case JInt(i) => Formula.Constant(i.toDouble)
+      case JLong(i) => Formula.Constant(i.toDouble)
+      case JDecimal(d) => Formula.Constant(d.toDouble)
+      case JString(s) => variableOf(s, defaults)
+      case o: JObject =>
+        val keys = o.obj.map(_._1).toSet
+        if (keys.contains("mult")) Formula.Mult(arr(o \ "mult").map(go))
+        else if (keys.contains("sum")) Formula.Sum(arr(o \ "sum").map(go))
+        else if (keys.contains("neg")) Formula.Neg(go(o \ "neg"))
+        else if (keys.contains("abs")) Formula.AbsE(go(o \ "abs"))
+        else if (keys.contains("div")) {
+          val d = o \ "div"
+          Formula.Div(go(d \ "left"), go(d \ "right"),
+            numOpt(d \ "by_zero_default"))
+        } else if (keys.contains("sqrt")) Formula.SqrtE(go(o \ "sqrt"))
+        else if (keys.contains("pow")) {
+          val p = o \ "pow"
+          Formula.PowE(go(p \ "base"), go(p \ "exponent"))
+        } else if (keys.contains("exp")) Formula.ExpE(go(o \ "exp"))
+        else if (keys.contains("log10")) Formula.Log10E(go(o \ "log10"))
+        else if (keys.contains("ln")) Formula.LnE(go(o \ "ln"))
+        else if (keys.contains("geo_distance")) {
+          val g = o \ "geo_distance"
+          Formula.GeoDistanceVar(geoPoint(g \ "origin"), str(g \ "to"))
+        } else if (keys.contains("datetime"))
+          Formula.DatetimeConstant(str(o \ "datetime"))
+        else if (keys.contains("datetime_key"))
+          Formula.DatetimeVar(str(o \ "datetime_key"))
+        else if (keys.contains("lin_decay")) decay(Formula.LinDecay, o \ "lin_decay")
+        else if (keys.contains("exp_decay")) decay(Formula.ExpDecay, o \ "exp_decay")
+        else if (keys.contains("gauss_decay")) decay(Formula.GaussDecay, o \ "gauss_decay")
+        else Formula.CondVar(conditionOf(o)) // a filter condition as 0/1
+      case other => fail(s"bad formula expression: $other")
+    }
+    def decay(kind: Formula.DecayKind, p: JValue): Formula.Expr =
+      Formula.Decay(kind,
+        x = go(p \ "x"),
+        target = (p \ "target") match {
+          case JNothing | JNull => Formula.Constant(0.0)
+          case t => go(t)
+        },
+        midpoint = numOpt(p \ "midpoint").getOrElse(0.5),
+        scale = numOpt(p \ "scale").getOrElse(1.0))
+    go(j)
+  }
+
+  /** `$score` / `$score[i]` / payload path (`parsed_formula.rs:105-130`). */
+  private def variableOf(s: String, defaults: Map[String, Double]): Formula.Expr =
+    if (s == "$score") Formula.ScoreVar(0)
+    else if (s.startsWith("$score[") && s.endsWith("]"))
+      Formula.ScoreVar(s.stripPrefix("$score[").stripSuffix("]").toInt)
+    else Formula.PayloadVar(s, defaults.get(s))
+
+  // ================================================================ helpers
+
+  /** `MaybeOneOrMany`: absent → Nil, single object → one, array → many. */
+  private def oneOrMany(j: JValue): Seq[JValue] = j match {
+    case JNothing | JNull => Nil
+    case JArray(xs) => xs
+    case single => Seq(single)
+  }
+
+  private def ring(j: JValue): Seq[GeoPoint] = arr(j \ "points").map(geoPoint)
+
+  private def geoPoint(j: JValue): GeoPoint = GeoPoint(num(j \ "lon"), num(j \ "lat"))
+
+  private def arr(j: JValue): Seq[JValue] = j match {
+    case JArray(xs) => xs
+    case JNothing | JNull => Nil
+    case other => fail(s"expected array, got $other")
+  }
+
+  private def str(j: JValue): String = j match {
+    case JString(s) => s
+    case other => fail(s"expected string, got $other")
+  }
+
+  private def num(j: JValue): Double = numOpt(j).getOrElse(fail(s"expected number, got $j"))
+
+  private def numOpt(j: JValue): Option[Double] = j match {
+    case JDouble(d) => Some(d)
+    case JInt(i) => Some(i.toDouble)
+    case JLong(l) => Some(l.toDouble)
+    case JDecimal(d) => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** Range/start_from bound: numeric stays numeric (Long when integral, so
+    * integer-typed columns compare exactly), RFC3339 strings pass through
+    * (type-aware coercion happens in the filter compiler). */
+  private def bound(j: JValue): Option[Any] = j match {
+    case JNothing | JNull => None
+    case JInt(i) => Some(i.toLong)
+    case JLong(l) => Some(l)
+    case JDouble(d) => Some(d)
+    case JDecimal(d) => Some(d.toDouble)
+    case JString(s) => Some(s)
+    case other => fail(s"bad range bound: $other")
+  }
+
+  private def anyLong(a: Any): Long = a match {
+    case l: Long => l
+    case d: Double => d.toLong
+    case other => fail(s"expected integer, got $other")
+  }
+
+  /** JSON scalar → match/bound value (Long / Double / String / Boolean). */
+  private def anyScalar(j: JValue): Any = j match {
+    case JString(s) => s
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b) => b
+    case other => fail(s"expected scalar, got $other")
+  }
+
+  /** Point id: u64 or UUID string (`ExtendedPointId`, `types.rs:174-179`). */
+  private def idOf(j: JValue): Any = j match {
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JString(s) => s
+    case other => fail(s"bad point id: $other")
+  }
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+}

@@ -44,8 +44,11 @@ object PointQuery {
   final case class OrderByField(field: String, asc: Boolean,
       startFrom: Option[Any] = None) extends Scoring
   final case class SampleRandom(seed: Long) extends Scoring
-  /** rrf or dbsf over prefetches. */
-  final case class FusionQ(kind: String, weights: Option[Seq[Double]] = None) extends Scoring
+  /** rrf or dbsf over prefetches; `rrfK` = the RRF k parameter (wire form
+    * `RrfQuery.rrf.k`, `schema.rs:726-729`; default 2,
+    * `reciprocal_rank_fusion.rs:14`). */
+  final case class FusionQ(kind: String, weights: Option[Seq[Double]] = None,
+      rrfK: Option[Int] = None) extends Scoring
   final case class FormulaQ(ast: Formula.Expr, defaultScore: Double = 0.0) extends Scoring
   final case class MmrQ(vecCol: String, metric: Metric, query: Seq[Double],
       lambda: Double) extends Scoring
@@ -93,7 +96,7 @@ object PointQuery {
 
     q.scoring match {
       // ---- rescore-over-prefetch nodes ----
-      case FusionQ(kind, weights) =>
+      case FusionQ(kind, weights, rrfK) =>
         require(q.prefetches.nonEmpty, "Fusion requires prefetches")
         val children = q.prefetches.map { c =>
           val df = execute(spark, points, idCol, resolver, c)
@@ -116,7 +119,7 @@ object PointQuery {
           }
         }
         kind match {
-          case "rrf" => Fusion.rrf(children, idCol, k = 2, weights, q.limit)
+          case "rrf" => Fusion.rrf(children, idCol, k = rrfK.getOrElse(2), weights, q.limit)
           case "dbsf" => Fusion.dbsf(children, idCol, weights, q.limit)
           case other => throw new IllegalArgumentException(s"unknown fusion '$other'")
         }

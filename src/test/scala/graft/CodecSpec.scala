@@ -1,0 +1,206 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.RequestCodec
+import graft.api.RequestCodec.{Ctx, VectorSpace}
+import graft.model._
+import graft.ops.{Formula, PointQuery}
+import graft.ops.PointQuery._
+
+/** REST wire-codec parse semantics (fixtures shaped like the reference's
+  * OpenAPI bodies, `lib/api/src/rest/schema.rs` / `types.rs` serde forms).
+  * Execution parity is covered by the `api_*` CORRECTNESS entries; this
+  * spec pins the parse-level contracts: untagged condition resolution,
+  * MaybeOneOrMany, FieldCondition sugar, variable/defaults handling, and
+  * loud failures on unsupported forms. */
+class CodecSpec extends AnyFunSuite {
+
+  private val ctx = Ctx(
+    spaces = Map("" -> VectorSpace("embedding", Dot),
+      "img" -> VectorSpace("img_vec", Cosine)),
+    resolveId = {
+      case 7L => Seq(1.0, 2.0)
+      case other => fail(s"unexpected id resolve: $other")
+    })
+
+  test("filter: all clause groups, single-object MaybeOneOrMany forms") {
+    val f = RequestCodec.parseFilter(
+      """{"must": {"key": "city", "match": {"value": "Berlin"}},
+        | "should": [{"key": "price", "range": {"gte": 100, "lt": 450.5}}],
+        | "min_should": {"conditions": [{"has_id": [1, 2, "a0f5e3b1-0000-0000-0000-000000000000"]},
+        |                               {"key": "tags", "values_count": {"gt": 2}}],
+        |                "min_count": 1},
+        | "must_not": [{"is_empty": {"key": "tags"}}, {"is_null": {"key": "tags"}}]}""".stripMargin)
+    assert(f.must == Seq(MatchValue("city", "Berlin")))
+    assert(f.should == Seq(RangeCond("price", gte = Some(100L), lt = Some(450.5))))
+    val ms = f.minShould.get
+    assert(ms.minCount == 1)
+    assert(ms.conditions.head ==
+      HasId(Seq(1L, 2L, "a0f5e3b1-0000-0000-0000-000000000000")))
+    assert(ms.conditions(1) == ValuesCount("tags", gt = Some(2L)))
+    assert(f.mustNot == Seq(IsEmpty("tags"), IsNullCond("tags")))
+  }
+
+  test("filter: match variants, nested, slice, has_vector, sub-filter") {
+    val f = RequestCodec.parseFilter(
+      """{"must": [
+        |  {"key": "t", "match": {"text": "hello world"}},
+        |  {"key": "t", "match": {"text_any": "either or"}},
+        |  {"key": "t", "match": {"phrase": "exact run"}},
+        |  {"key": "t", "match": {"prefix": "pre"}},
+        |  {"key": "lbl", "match": {"except": [1, 2]}},
+        |  {"nested": {"key": "diet", "filter": {"must": [{"key": "food", "match": {"value": "meat"}}]}}},
+        |  {"slice": {"total": 4, "index": 1}},
+        |  {"has_vector": "img"},
+        |  {"should": [{"key": "a", "match": {"value": true}}]}
+        |]}""".stripMargin)
+    assert(f.must(0) == MatchText("t", "hello world"))
+    assert(f.must(1) == MatchTextAny("t", "either or"))
+    assert(f.must(2) == MatchPhrase("t", "exact run"))
+    assert(f.must(3) == MatchPrefix("t", "pre"))
+    assert(f.must(4) == MatchExcept("lbl", Seq(1L, 2L)))
+    assert(f.must(5) ==
+      NestedCond("diet", Filter.mustAll(MatchValue("food", "meat"))))
+    assert(f.must(6) == SliceCond(4, 1))
+    assert(f.must(7) == HasVector("img"))
+    assert(f.must(8) == SubFilter(Filter(should = Seq(MatchValue("a", true)))))
+  }
+
+  test("filter: geo conditions and field-condition sugar / multi-check AND") {
+    val f = RequestCodec.parseFilter(
+      """{"must": [
+        |  {"key": "loc", "geo_bounding_box": {"top_left": {"lon": -1.0, "lat": 2.0},
+        |                                      "bottom_right": {"lon": 1.0, "lat": -2.0}}},
+        |  {"key": "loc", "geo_radius": {"center": {"lon": 0.5, "lat": 0.5}, "radius": 1000}},
+        |  {"key": "loc", "geo_polygon": {"exterior": {"points": [{"lon": 0, "lat": 0},
+        |     {"lon": 1, "lat": 0}, {"lon": 0, "lat": 1}, {"lon": 0, "lat": 0}]}}},
+        |  {"key": "flag", "is_empty": true},
+        |  {"key": "price", "match": {"value": 9}, "range": {"lt": 10}}
+        |]}""".stripMargin)
+    assert(f.must(0) == GeoBoundingBox("loc", GeoPoint(-1.0, 2.0), GeoPoint(1.0, -2.0)))
+    assert(f.must(1) == GeoRadius("loc", GeoPoint(0.5, 0.5), 1000.0))
+    assert(f.must(2) == GeoPolygonCond("loc",
+      Seq(GeoPoint(0, 0), GeoPoint(1, 0), GeoPoint(0, 1), GeoPoint(0, 0)), Nil))
+    assert(f.must(3) == IsEmpty("flag"))
+    // match + range on one FieldCondition AND together (nested must)
+    assert(f.must(4) == SubFilter(Filter(must =
+      Seq(MatchValue("price", 9L), RangeCond("price", lt = Some(10L))))))
+  }
+
+  test("filter: datetime range bounds stay RFC3339 strings for the compiler") {
+    val f = RequestCodec.parseFilter(
+      """{"must": [{"key": "ts", "range": {"gte": "2024-01-10T06:30:00Z", "lt": "2024-02-01"}}]}""")
+    assert(f.must.head ==
+      RangeCond("ts", gte = Some("2024-01-10T06:30:00Z"), lt = Some("2024-02-01")))
+  }
+
+  test("query: raw-vector shorthand, defaults for limit/offset") {
+    val q = RequestCodec.parseQueryRequest("""{"query": [0.1, 0.2, 0.3]}""", ctx)
+    assert(q == Query(Nearest("embedding", Dot, Seq(0.1, 0.2, 0.3))))
+    assert(q.limit == 10 && q.offset == 0)
+  }
+
+  test("query: nearest by id resolves through the ctx hook; using routes the space") {
+    val q = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": 7}, "using": "img", "limit": 3}""", ctx)
+    assert(q.scoring == Nearest("img_vec", Cosine, Seq(1.0, 2.0)))
+    assert(q.limit == 3)
+  }
+
+  test("query: multi-dense matrix becomes MaxSim (the only multivector comparator)") {
+    val q = RequestCodec.parseQueryRequest(
+      """{"query": [[0.1, 0.2], [0.3, 0.4]]}""", ctx)
+    assert(q.scoring == MaxSimQ("embedding", Dot, Seq(Seq(0.1, 0.2), Seq(0.3, 0.4))))
+  }
+
+  test("query: nearest+mmr synthesizes the candidates prefetch, lambda = 1 - diversity") {
+    val q = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": [1.0, 0.0], "mmr": {"diversity": 0.8, "candidates_limit": 64}},
+        | "limit": 5}""".stripMargin, ctx)
+    val MmrQ(colName, m, v, lambda) = q.scoring: @unchecked
+    assert(colName == "embedding" && m == Dot && v == Seq(1.0, 0.0))
+    assert(math.abs(lambda - 0.2) < 1e-12)
+    assert(q.prefetches == Seq(Query(Nearest("embedding", Dot, Seq(1.0, 0.0)), limit = 64)))
+    assert(q.limit == 5)
+  }
+
+  test("query: recommend defaults to average_vector; sum_scores and best_score route") {
+    def rec(strategy: String) = RequestCodec.parseQueryRequest(
+      s"""{"query": {"recommend": {"positive": [[1.0]], "negative": [[2.0]]$strategy}}}""", ctx)
+    assert(rec("").scoring == RecommendAvg("embedding", Dot, Seq(Seq(1.0)), Seq(Seq(2.0))))
+    assert(rec(""", "strategy": "best_score"""").scoring ==
+      RecommendBest("embedding", Dot, Seq(Seq(1.0)), Seq(Seq(2.0))))
+    assert(rec(""", "strategy": "sum_scores"""").scoring ==
+      RecommendSum("embedding", Dot, Seq(Seq(1.0)), Seq(Seq(2.0))))
+  }
+
+  test("query: order_by bare-key and struct forms; sample needs the seeded ctx") {
+    val bare = RequestCodec.parseQueryRequest("""{"query": {"order_by": "price"}}""", ctx)
+    assert(bare.scoring == OrderByField("price", asc = true))
+    val full = RequestCodec.parseQueryRequest(
+      """{"query": {"order_by": {"key": "ts", "direction": "desc",
+        |                        "start_from": "2024-01-01T00:00:00Z"}}}""".stripMargin, ctx)
+    assert(full.scoring ==
+      OrderByField("ts", asc = false, Some("2024-01-01T00:00:00Z")))
+    val sample = RequestCodec.parseQueryRequest("""{"query": {"sample": "random"}}""", ctx)
+    assert(sample.scoring == SampleRandom(ctx.sampleSeed))
+  }
+
+  test("query: fusion string form and rrf struct form with k + weights") {
+    val f = RequestCodec.parseQueryRequest(
+      """{"prefetch": [{"query": [1.0]}, {"query": [2.0]}], "query": {"fusion": "dbsf"}}""", ctx)
+    assert(f.scoring == FusionQ("dbsf"))
+    assert(f.prefetches.length == 2)
+    val r = RequestCodec.parseQueryRequest(
+      """{"prefetch": {"query": [1.0]}, "query": {"rrf": {"k": 60, "weights": [1.0, 2.0]}}}""", ctx)
+    assert(r.scoring == FusionQ("rrf", Some(Seq(1.0, 2.0)), Some(60)))
+  }
+
+  test("formula: variables, defaults, decay params, condition indicator") {
+    val e = RequestCodec.formulaOf(org.json4s.jackson.JsonMethods.parse(
+      """{"sum": ["$score", "$score[2]", "price",
+        |         {"exp_decay": {"x": {"datetime_key": "ts"},
+        |                        "target": {"datetime": "2024-01-01T00:00:00Z"}}},
+        |         {"key": "city", "match": {"value": "Berlin"}}]}""".stripMargin),
+      defaults = Map("price" -> 1.5))
+    val Formula.Sum(parts) = e: @unchecked
+    assert(parts(0) == Formula.ScoreVar(0))
+    assert(parts(1) == Formula.ScoreVar(2))
+    assert(parts(2) == Formula.PayloadVar("price", Some(1.5)))
+    assert(parts(3) == Formula.Decay(Formula.ExpDecay,
+      Formula.DatetimeVar("ts"), Formula.DatetimeConstant("2024-01-01T00:00:00Z"),
+      midpoint = 0.5, scale = 1.0))
+    assert(parts(4) == Formula.CondVar(MatchValue("city", "Berlin")))
+  }
+
+  test("loud failures: sparse input, unknown vector name, bad condition") {
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseQueryRequest(
+        """{"query": {"nearest": {"indices": [1], "values": [0.5]}}}""", ctx)
+    }
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseQueryRequest("""{"query": [1.0], "using": "nope"}""", ctx)
+    }
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseFilter("""{"must": [{"frobnicate": 1}]}""")
+    }
+  }
+
+  test("execute smoke: parsed request runs end-to-end on a tiny in-memory table") {
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f), 10L), (2L, Seq(0.9f, 0.1f), 20L),
+      (3L, Seq(0.0f, 1.0f), 10L), (4L, Seq(0.5f, 0.5f), 30L))
+      .toDF("id", "embedding", "label")
+    val q = RequestCodec.parseQueryRequest(
+      """{"query": [1.0, 0.0],
+        |  "filter": {"must": [{"key": "label", "range": {"lte": 20}}]},
+        |  "limit": 2}""".stripMargin, ctx)
+    val rows = PointQuery.execute(spark, pts, "id",
+      new graft.filters.TypedResolver(pts.schema, "id"), q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 1.0), (2L, 0.9)))
+  }
+}
