@@ -423,6 +423,172 @@ object RequestCodec {
       Formula.ScoreVar(s.stripPrefix("$score[").stripSuffix("]").toInt)
     else Formula.PayloadVar(s, defaults.get(s))
 
+  // ====================================================== other read bodies
+
+  /** `POST /points/scroll` body (`ScrollRequestInternal`,
+    * `lib/collection/src/operations/types.rs` — offset/limit/filter/
+    * order_by; with_payload/with_vector are the enrichment step). */
+  final case class ScrollSpec(
+      offset: Option[Any],
+      limit: Int,
+      filter: Option[Filter],
+      orderBy: Option[OrderByField])
+
+  def parseScrollRequest(json: String): ScrollSpec = {
+    val o = JsonMethods.parse(json)
+    ScrollSpec(
+      offset = (o \ "offset") match {
+        case JNothing | JNull => None
+        case v => Some(idOf(v))
+      },
+      limit = (o \ "limit") match {
+        case JNothing | JNull => 10
+        case v => num(v).toInt
+      },
+      filter = (o \ "filter") match {
+        case f: JObject => Some(filterOf(f))
+        case _ => None
+      },
+      orderBy = (o \ "order_by") match {
+        case JNothing | JNull => None
+        case JString(key) => Some(OrderByField(key, asc = true))
+        case ob: JObject =>
+          val asc = (ob \ "direction") match {
+            case JString("desc") => false
+            case _ => true
+          }
+          val startFrom = (ob \ "start_from") match {
+            case JNothing | JNull => None
+            case v => Some(anyScalar(v))
+          }
+          Some(OrderByField(str(ob \ "key"), asc, startFrom))
+        case other => fail(s"bad order_by: $other")
+      })
+  }
+
+  /** `POST /points/count` body: filter (+ `exact`, parsed and ignored —
+    * Spark counts are always exact, SURVEY.md §2.4). */
+  def parseCountRequest(json: String): Option[Filter] =
+    (JsonMethods.parse(json) \ "filter") match {
+      case f: JObject => Some(filterOf(f))
+      case _ => None
+    }
+
+  /** `POST /facet` body (`FacetRequestInternal`, `schema.rs:1360-1374`). */
+  final case class FacetSpec(key: String, limit: Int, filter: Option[Filter])
+
+  def parseFacetRequest(json: String): FacetSpec = {
+    val o = JsonMethods.parse(json)
+    FacetSpec(
+      key = str(o \ "key"),
+      limit = (o \ "limit") match {
+        case JNothing | JNull => 10
+        case v => num(v).toInt
+      },
+      filter = (o \ "filter") match {
+        case f: JObject => Some(filterOf(f))
+        case _ => None
+      })
+  }
+
+  // ============================================================ update ops
+
+  /** One point of an upsert batch (`PointStruct`, `schema.rs:1406-1415`):
+    * id, dense vector(s) — plain array = the default unnamed vector, object
+    * = named vectors — and an optional payload rendered back to the JSON
+    * string the payload column stores. */
+  final case class WirePoint(
+      id: Any,
+      vectors: Map[String, Seq[Double]],
+      payload: Option[String])
+
+  /** Points selector (`PointsSelector`, `point_ops.rs:21-26`): by id list
+    * or by filter. */
+  final case class Selector(ids: Option[Seq[Any]], filter: Option[Filter])
+
+  private def selectorOf(o: JValue): Selector = {
+    val ids = (o \ "points") match {
+      case JArray(xs) => Some(xs.map(idOf))
+      case _ => None
+    }
+    val flt = (o \ "filter") match {
+      case f: JObject => Some(filterOf(f))
+      case _ => None
+    }
+    if (ids.isEmpty && flt.isEmpty) fail("selector needs points or filter")
+    Selector(ids, flt)
+  }
+
+  /** Parsed `POST /collections/{c}/points/batch` op list (`UpdateOperations`
+    * `src/common/update.rs:95-110`) — ordered, heterogeneous; the storage
+    * layer folds the whole sequence into ONE table rewrite
+    * (`Collection.applyBatch`). Vector element values arrive f32-precision.
+    *
+    * `set_payload.key` (merge scoped under a payload path) is not supported
+    * and fails loudly. */
+  sealed trait WireOp
+  final case class WUpsert(points: Seq[WirePoint], updateFilter: Option[Filter]) extends WireOp
+  final case class WDelete(selector: Selector) extends WireOp
+  final case class WSetPayload(payloadJson: String, selector: Selector, overwrite: Boolean) extends WireOp
+  final case class WDeletePayload(keys: Seq[String], selector: Selector) extends WireOp
+  final case class WClearPayload(selector: Selector) extends WireOp
+  final case class WUpdateVectors(points: Seq[WirePoint]) extends WireOp
+  final case class WDeleteVectors(selector: Selector, names: Seq[String]) extends WireOp
+
+  def parseUpdateOperations(json: String): Seq[WireOp] =
+    arr(JsonMethods.parse(json) \ "operations").map { op =>
+      val o = op match {
+        case o: JObject => o
+        case other => fail(s"operation must be an object, got $other")
+      }
+      val keys = o.obj.map(_._1).toSet
+      if (keys.contains("upsert")) {
+        val u = o \ "upsert"
+        val uf = (u \ "update_filter") match {
+          case f: JObject => Some(filterOf(f))
+          case _ => None
+        }
+        WUpsert(arr(u \ "points").map(pointStruct), uf)
+      } else if (keys.contains("delete")) WDelete(selectorOf(o \ "delete"))
+      else if (keys.contains("set_payload")) payloadOp(o \ "set_payload", overwrite = false)
+      else if (keys.contains("overwrite_payload")) payloadOp(o \ "overwrite_payload", overwrite = true)
+      else if (keys.contains("delete_payload")) {
+        val d = o \ "delete_payload"
+        WDeletePayload(arr(d \ "keys").map(str), selectorOf(d))
+      } else if (keys.contains("clear_payload")) WClearPayload(selectorOf(o \ "clear_payload"))
+      else if (keys.contains("update_vectors"))
+        WUpdateVectors(arr(o \ "update_vectors" \ "points").map(pointStruct))
+      else if (keys.contains("delete_vectors")) {
+        val d = o \ "delete_vectors"
+        WDeleteVectors(selectorOf(d), arr(d \ "vector").map(str))
+      } else fail(s"unrecognized update operation: keys ${keys.mkString(",")}")
+    }
+
+  private def payloadOp(j: JValue, overwrite: Boolean): WSetPayload = {
+    if ((j \ "key") != JNothing && (j \ "key") != JNull)
+      fail("set_payload.key (path-scoped merge) is not supported")
+    val payload = (j \ "payload") match {
+      case o: JObject => JsonMethods.compact(JsonMethods.render(o))
+      case other => fail(s"payload must be an object, got $other")
+    }
+    WSetPayload(payload, selectorOf(j), overwrite)
+  }
+
+  private def pointStruct(j: JValue): WirePoint = {
+    val id = idOf(j \ "id")
+    val vectors = (j \ "vector") match {
+      case JNothing | JNull => Map.empty[String, Seq[Double]]
+      case JArray(xs) => Map("" -> xs.map(num))
+      case o: JObject => o.obj.map { case (n, v) => n -> arr(v).map(num) }.toMap
+      case other => fail(s"bad vector struct: $other")
+    }
+    val payload = (j \ "payload") match {
+      case o: JObject => Some(JsonMethods.compact(JsonMethods.render(o)))
+      case _ => None
+    }
+    WirePoint(id, vectors, payload)
+  }
+
   // ================================================================ helpers
 
   /** `MaybeOneOrMany`: absent → Nil, single object → one, array → many. */

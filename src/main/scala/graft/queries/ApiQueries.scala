@@ -105,6 +105,89 @@ object ApiQueries {
             |  "limit": 40
             |}""".stripMargin, ctx(s, dir)))
     }),
+    // count endpoint body. Mirrors `count_filtered`.
+    "api_count_filtered" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val f = RequestCodec.parseCountRequest(
+        """{
+          |  "filter": {
+          |    "must": [
+          |      {"key": "l_quantity", "range": {"gte": 5.0, "lt": 30.0}},
+          |      {"key": "l_returnflag", "match": {"any": ["A", "N"]}}
+          |    ],
+          |    "must_not": [{"key": "l_linestatus", "match": {"value": "F"}}]
+          |  },
+          |  "exact": true
+          |}""".stripMargin)
+      Reads.count(li, f, new TypedResolver(li.schema, "l_orderkey"))
+    }),
+    // facet endpoint body. Mirrors `facet_lang`.
+    "api_facet_lang" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val spec = RequestCodec.parseFacetRequest("""{"key": "lang", "limit": 10}""")
+      Reads.facet(d, "doc_id", spec.key, spec.filter,
+        new TypedResolver(d.schema, "doc_id"), spec.limit)
+    }),
+    // scroll endpoint body: by-id keyset page with filter + offset cursor.
+    // Mirrors `scroll_by_id`.
+    "api_scroll_by_id" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val spec = RequestCodec.parseScrollRequest(
+        """{
+          |  "offset": 100, "limit": 20,
+          |  "filter": {"must": [
+          |    {"key": "lang", "match": {"value": "en"}},
+          |    {"key": "n_chars", "range": {"lt": 300}}
+          |  ]}
+          |}""".stripMargin)
+      assert(spec.orderBy.isEmpty)
+      Reads.scrollById(d, "doc_id", spec.filter,
+        new TypedResolver(d.schema, "doc_id"), spec.offset, spec.limit,
+        projection = Seq("doc_id", "lang", "n_chars"))
+    }),
+    // ordered heterogeneous update-op list (`POST /points/batch`) through
+    // the wire codec + UpdateBridge: the upsert batches are RENDERED as the
+    // literal JSON a client would send (round-trip through the parser),
+    // then the whole list applies as one rewrite. Mirrors
+    // `batch_update_ops` (same oracle).
+    "api_batch_update_ops" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, StringType}
+      import graft.sources.CollectionConfig
+      import graft.storage.Collection
+      val cfg = CollectionConfig(idCol = "id", payloadCol = "payload",
+        payloadTypes = Map("lang" -> StringType, "source" -> StringType,
+          "n_chars" -> LongType))
+      def pts(s2: SparkSession, wherePred: org.apache.spark.sql.Column) =
+        Tables.load(s2, dir, "documents").filter(wherePred)
+          .select(col("doc_id").as("id"),
+            to_json(struct(col("lang"), col("source"), col("n_chars"))).as("payload"))
+      def pointJsons(wherePred: org.apache.spark.sql.Column, src: String): String =
+        Tables.load(s, dir, "documents").filter(wherePred)
+          .select(col("doc_id"), col("lang"), col("n_chars")).orderBy(col("doc_id"))
+          .collect().map { r =>
+            s"""{"id": ${r.getLong(0)}, "payload": {"lang": "${r.getString(1)}", """ +
+              s""""source": "$src", "n_chars": ${r.getLong(2)}}}"""
+          }.mkString(", ")
+      val path = "/tmp/graft_runtime/api_batch_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = Collection.create(s, path, cfg, pts(s, col("doc_id") < 150))
+      graft.api.UpdateBridge.applyJson(coll,
+        s"""{"operations": [
+           |  {"upsert": {"points": [${pointJsons(col("doc_id") >= 90 && col("doc_id") < 110, "b1")}]}},
+           |  {"set_payload": {"payload": {"flag": "x"},
+           |                   "filter": {"must": [{"key": "n_chars", "range": {"gte": 300}}]}}},
+           |  {"delete": {"filter": {"must": [{"key": "lang", "match": {"value": "de"}}]}}},
+           |  {"delete_payload": {"keys": ["source"], "points": [${(0 until 20).mkString(", ")}]}},
+           |  {"upsert": {"points": [${pointJsons(col("doc_id") < 10, "b2")}]}}
+           |]}""".stripMargin)
+      coll.read()
+        .select(col("id"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.source").as("source"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
+          get_json_object(col("payload"), "$.flag").as("flag"))
+        .orderBy(col("id"))
+    }),
     // datetime range filter with RFC3339 string bounds parsed from the wire
     // form (array + mixed precisions). Mirrors `range_datetime_rfc3339`.
     "api_filter_datetime_count" -> ((s, dir) => {
@@ -135,5 +218,9 @@ object ApiQueries {
         |WHERE value <= 900.5
         |ORDER BY value DESC, event_id ASC LIMIT 40""".stripMargin,
     "api_filter_datetime_count" -> ReadQueries.oracles("range_datetime_rfc3339"),
+    "api_count_filtered" -> ReadQueries.oracles("count_filtered"),
+    "api_facet_lang" -> ReadQueries.oracles("facet_lang"),
+    "api_scroll_by_id" -> ReadQueries.oracles("scroll_by_id"),
+    "api_batch_update_ops" -> StorageQueries.oracles("batch_update_ops"),
   )
 }

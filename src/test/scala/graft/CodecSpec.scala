@@ -174,6 +174,61 @@ class CodecSpec extends AnyFunSuite {
     assert(parts(4) == Formula.CondVar(MatchValue("city", "Berlin")))
   }
 
+  test("scroll/count/facet bodies parse with defaults") {
+    val sc = RequestCodec.parseScrollRequest(
+      """{"offset": 100, "filter": {"must": [{"key": "lang", "match": {"value": "en"}}]},
+        | "order_by": {"key": "ts", "direction": "desc"}}""".stripMargin)
+    assert(sc.offset.contains(100L) && sc.limit == 10)
+    assert(sc.filter.get.must == Seq(MatchValue("lang", "en")))
+    assert(sc.orderBy.contains(OrderByField("ts", asc = false)))
+    assert(RequestCodec.parseScrollRequest("""{"offset": "a0f5-uuid"}""").offset
+      .contains("a0f5-uuid"))
+    assert(RequestCodec.parseCountRequest("""{"exact": true}""").isEmpty)
+    val fc = RequestCodec.parseFacetRequest("""{"key": "lang", "limit": 3}""")
+    assert(fc.key == "lang" && fc.limit == 3 && fc.filter.isEmpty)
+  }
+
+  test("update operations: every op form parses in order") {
+    import RequestCodec._
+    val ops = RequestCodec.parseUpdateOperations(
+      """{"operations": [
+        |  {"upsert": {"points": [
+        |     {"id": 1, "vector": [0.1, 0.2], "payload": {"a": 1}},
+        |     {"id": "uuid-x", "vector": {"img": [0.5]}}]}},
+        |  {"upsert": {"points": [{"id": 2, "vector": [1.0]}],
+        |              "update_filter": {"must": [{"key": "a", "match": {"value": 1}}]}}},
+        |  {"delete": {"points": [1, 2]}},
+        |  {"delete": {"filter": {"must": [{"key": "lang", "match": {"value": "de"}}]}}},
+        |  {"set_payload": {"payload": {"flag": "x"}, "points": [3]}},
+        |  {"overwrite_payload": {"payload": {"only": true}, "filter": {"must": [{"has_id": [4]}]}}},
+        |  {"delete_payload": {"keys": ["source"], "points": [5]}},
+        |  {"clear_payload": {"points": [6]}},
+        |  {"update_vectors": {"points": [{"id": 7, "vector": [9.0]}]}},
+        |  {"delete_vectors": {"points": [8], "vector": ["img"]}}
+        |]}""".stripMargin)
+    assert(ops.length == 10)
+    val WUpsert(pts, None) = ops(0): @unchecked
+    assert(pts(0) == WirePoint(1L, Map("" -> Seq(0.1, 0.2)), Some("""{"a":1}""")))
+    assert(pts(1) == WirePoint("uuid-x", Map("img" -> Seq(0.5)), None))
+    val WUpsert(_, Some(uf)) = ops(1): @unchecked
+    assert(uf.must == Seq(MatchValue("a", 1L)))
+    assert(ops(2) == WDelete(Selector(Some(Seq(1L, 2L)), None)))
+    val WDelete(Selector(None, Some(df))) = ops(3): @unchecked
+    assert(df.must == Seq(MatchValue("lang", "de")))
+    assert(ops(4) == WSetPayload("""{"flag":"x"}""", Selector(Some(Seq(3L)), None), overwrite = false))
+    val WSetPayload(ow, Selector(None, Some(owf)), true) = ops(5): @unchecked
+    assert(ow == """{"only":true}""" && owf.must == Seq(HasId(Seq(4L))))
+    assert(ops(6) == WDeletePayload(Seq("source"), Selector(Some(Seq(5L)), None)))
+    assert(ops(7) == WClearPayload(Selector(Some(Seq(6L)), None)))
+    assert(ops(8) == WUpdateVectors(Seq(WirePoint(7L, Map("" -> Seq(9.0)), None))))
+    assert(ops(9) == WDeleteVectors(Selector(Some(Seq(8L)), None), Seq("img")))
+    // path-scoped payload merge is unsupported and must fail loudly
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseUpdateOperations(
+        """{"operations": [{"set_payload": {"payload": {}, "points": [1], "key": "nested.path"}}]}""")
+    }
+  }
+
   test("loud failures: sparse input, unknown vector name, bad condition") {
     assertThrows[IllegalArgumentException] {
       RequestCodec.parseQueryRequest(
