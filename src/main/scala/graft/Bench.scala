@@ -77,7 +77,8 @@ object Bench {
     "neardup_components", "repetition_signals", "decontaminate",
     "scenario_training_pipeline", "pack_shards", "mixture_sample",
     "chunk_sequences", "pii_redact", "scenario_shard_assembly",
-    "lang_id", "quality_features", "token_count",
+    "lang_id", "quality_features", "token_count", "streaming_neardup_parity",
+    "api_query_knn_filtered", "api_batch_update_ops",
     "analyzed_term_facet", "analyzed_multilang_facet", "multimodal_embed_knn",
   )
 
@@ -125,6 +126,35 @@ object Bench {
             (sqrt(graft.functions.VecKernels.f16SelfDot(col("vh"))) *
               lit(prepared.q42Norm))).as("score"))
         .orderBy(col("score").desc, col("vec_id").asc).limit(10)),
+      // bare streaming ingest: replay the corpus through nearDupUpsertStream
+      // in 3 micro-batches (fresh collection + band store) and read the kept
+      // set — the catalog entry ADDITIONALLY runs the batch near-dup twin and
+      // the set-equality parity contract (≈½ the entry's jobs), which belongs
+      // to the correctness run, not the timing loop
+      "streaming_neardup_parity" -> ((s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.Trigger
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("graft_sndp_bench")
+        val corpus = Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("text").as("payload"))
+        val coll = graft.storage.Collection.create(s, base.resolve("coll").toString,
+          graft.sources.CollectionConfig(idCol = "id", payloadCol = "payload"),
+          corpus.limit(0))
+        val stream = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streaming.nearDupUpsertStream(
+          stream.toDF().toDF("id", "payload"), coll, "id", "payload",
+          base.resolve("keys").toString, base.resolve("ckpt").toString,
+          trigger = Trigger.ProcessingTime(0))
+        val rows = corpus.orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+          stream.addData(b); q.processAllAvailable()
+        }
+        q.stop()
+        coll.read().select("id")
+      }),
     )
 
   /** Untimed per-session storage prep — the INGEST-time artifacts: encoded
