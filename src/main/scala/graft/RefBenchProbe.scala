@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Dot
+import graft.ops.Search
+
+/** Reproduces the reference's remaining in-repo criterion bench fixtures
+  * (BASELINE.md "bench harness configurations") on this engine, recording
+  * our numbers for the SAME scale factors — the concrete side of the
+  * "within 2× of the reference at equal scale" comparison that
+  * BASELINE.json asks for. The HNSW 1M fixture is covered separately by
+  * [[IvfRecallProbe]].
+  *
+  *  - Dense exact scan (`lib/segment/benches/vector_search.rs:21,34`):
+  *    10k and 100k vectors, dim 1024, Dot, query batch 1 and 4, top 10.
+  *    Reference storage is cold mmap; we measure warm page-cache parquet
+  *    (recorded as such — Spark's deployment shape has no cold-per-query
+  *    mode).
+  *  - Sparse index search (`lib/segment/benches/sparse_index_search.rs:
+  *    31-35`): 50k sparse vectors, max dim 30k (skip prob 0.98, ≤300
+  *    values/vector, values ±100 — `sparse_vector_fixture.rs:7-26`),
+  *    2048 positive queries, top 10. Served by the postings equi-join:
+  *    one job for the WHOLE query batch (queries explode to (qid, dim,
+  *    qw), join postings on dim, per-query window top-k) — the bulk
+  *    regime sec/query is total/2048.
+  *
+  * Output: one JSON line, also target/refbench.json. Artifacts cache under
+  * SPARK_GRAFT_REFBENCH_DIR (default /tmp/graft_runtime/refbench).
+  */
+object RefBenchProbe {
+
+  def genDense(spark: SparkSession, n: Long, dim: Int, salt: String): DataFrame =
+    spark.range(n).toDF("id")
+      .withColumn("vec", transform(sequence(lit(1), lit(dim)), i =>
+        (pmod(xxhash64(col("id"), lit(salt), i), lit(1000000)).cast("double") /
+          lit(1000000.0d) - lit(0.5d)).cast("float")))
+
+  /** Sparse rows mirroring `random_sparse_vector`: each dim 1..maxDim kept
+    * with p=0.02, ≤cap values, weights uniform in [-100,100); `positive`
+    * takes abs (the query-side fixture). Emitted directly in postings form
+    * (id, dim, weight). */
+  def genSparsePostings(spark: SparkSession, n: Long, maxDim: Int, cap: Int,
+      positive: Boolean, salt: String): DataFrame = {
+    val u = pmod(xxhash64(col("id"), lit(salt), col("dim")), lit(1000000))
+      .cast("double") / lit(1000000.0d)
+    val w0 = (pmod(xxhash64(col("id"), lit(salt), lit("w"), col("dim")),
+      lit(1000000)).cast("double") / lit(1000000.0d)) * 200.0d - 100.0d
+    val w = if (positive) abs(w0) else w0
+    spark.range(n).toDF("id")
+      .select(col("id"), explode(sequence(lit(1), lit(maxDim))).as("dim"))
+      .filter(u < 0.02d)
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("dim"))))
+      .filter(col("_rank") <= cap)
+      .select(col("id"), col("dim"), w.cast("float").as("weight"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_REFBENCH_DIR", "/tmp/graft_runtime/refbench")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nSparseQ = sys.env.getOrElse("SPARK_GRAFT_REFBENCH_SPARSE_QUERIES", "2048").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def ensure(path: String)(df: => DataFrame): DataFrame = {
+      if (!new java.io.File(path).exists())
+        df.repartition(32).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    def time(fn: () => Unit): Double = {
+      val t = System.nanoTime(); fn(); (System.nanoTime() - t) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
+    // ---- dense exact scan, dim 1024 ----
+    val Dim = 1024
+    val queries16 = (0 until 16).map(qi =>
+      (0 until Dim).map(i => (((qi * 31 + i) * 2654435761L % 1000000) / 1e6) - 0.5))
+    val dense = Map(
+      10000L -> ensure(s"$dir/dense_10k")(genDense(spark, 10000L, Dim, "d10")),
+      100000L -> ensure(s"$dir/dense_100k")(genDense(spark, 100000L, Dim, "d100")))
+    val denseResults = dense.toSeq.sortBy(_._1).map { case (n, df) =>
+      def single(q: Seq[Double]): Unit = {
+        Search.knn(df, "id", "vec", q, Dot, k = 10).collect(): Unit
+      }
+      single(queries16.head)
+      val b1 = median(queries16.take(10).map(q => time(() => single(q))))
+      import spark.implicits._
+      def batchN(off: Int, sz: Int): Unit = {
+        val qdf = queries16.slice(off, off + sz).zipWithIndex
+          .map { case (q, i) => (i, q) }.toDF("qid", "qvec")
+          .withColumn("qvec", col("qvec").cast("array<float>"))
+        Search.knnBatch(df, "id", "vec", qdf, "qid", "qvec", Dot, k = 10)
+          .count(): Unit
+      }
+      // single query routed through the batch shape (query as DATA, not a
+      // plan literal): at dim 1024 a per-query literal forces a fresh
+      // whole-stage-codegen compile every call (~0.5-1 s), which dominates
+      // the literal-path "single" number above; as data, the plan shape is
+      // stable and codegen caches — the correct serving shape for repeated
+      // single queries
+      batchN(0, 1)
+      val b1data = median((4 until 14).map(o => time(() => batchN(o, 1))))
+      batchN(0, 4)
+      val b4 = median(Seq(1, 2, 3).map(o => time(() => batchN(o * 4, 4)))) / 4.0
+      (n, b1, b1data, b4)
+    }
+
+    // ---- sparse postings search, 50k × 30k-dim ----
+    val postings = ensure(s"$dir/sparse_50k")(
+      genSparsePostings(spark, 50000L, 30000, 300, positive = false, "sp"))
+    val queryPostings = ensure(s"$dir/sparse_q$nSparseQ")(
+      genSparsePostings(spark, nSparseQ.toLong, 30000, 300, positive = true, "sq")
+        .select(col("id").as("qid"), col("dim"), col("weight").as("qw")))
+    def sparseBatch(): Unit = {
+      postings.join(queryPostings, "dim")
+        .groupBy(col("qid"), col("id"))
+        .agg(sum(col("weight") * col("qw")).as("score"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("id").asc)))
+        .filter(col("_rn") <= 10)
+        .count(): Unit
+    }
+    sparseBatch()
+    val sparseTotal = median(Seq(1, 2, 3).map(_ => time(() => sparseBatch())))
+    // single sparse query via the per-query operator (driver-side query row)
+    val q0 = queryPostings.filter(col("qid") === 0).select(col("dim"), col("qw"))
+    def sparseSingle(): Unit = {
+      graft.index.SparseIndex.search(postings, "id", q0, None, k = 10)
+        .collect(): Unit
+    }
+    sparseSingle()
+    val sparseSingleSec = median(Seq(1, 2, 3).map(_ => time(() => sparseSingle())))
+
+    val denseJson = denseResults.map { case (n, b1, b1data, b4) =>
+      s""""${n / 1000}k":{"batch1_literal_sec_per_q":${f"$b1%.4f"},""" +
+        s""""batch1_as_data_sec_per_q":${f"$b1data%.4f"},""" +
+        s""""batch4_sec_per_q":${f"$b4%.4f"}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"dense_dim":$Dim,"dense":$denseJson,""" +
+        s""""sparse":{"n":50000,"max_dim":30000,"queries":$nSparseQ,""" +
+        s""""batch_total_sec":${f"$sparseTotal%.2f"},""" +
+        s""""batch_sec_per_q":${f"${sparseTotal / nSparseQ}%.5f"},""" +
+        s""""single_sec":${f"$sparseSingleSec%.3f"}}}"""
+    val p = java.nio.file.Paths.get("target/refbench.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.api
 
+import org.apache.spark.sql.Column
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -464,6 +465,40 @@ object RequestCodec {
           Some(OrderByField(str(ob \ "key"), asc, startFrom))
         case other => fail(s"bad order_by: $other")
       })
+  }
+
+  /** `POST /collections/{c}/points/query/batch` body
+    * (`QueryRequestBatch { searches: Vec<QueryRequest> }`): independent
+    * requests answered in one round trip. Returns them in order; execution
+    * unions the per-request results tagged by position. */
+  def parseQueryBatch(json: String, ctx: Ctx): Seq[Query] =
+    arr(JsonMethods.parse(json) \ "searches")
+      .map(q => queryNode(q, ctx, topLevel = true))
+
+  /** `with_payload` (`WithPayloadInterface`, `types.rs:4175-4183`): bool /
+    * bare field list (= include) / `{include}` / `{exclude}` selector.
+    * Returns the payload-column transform to apply at enrichment: None =
+    * drop the payload column entirely (`false`). */
+  def parseWithPayload(j: JValue): Option[Column => Column] = j match {
+    case JBool(true) | JNothing | JNull => Some(identity)
+    case JBool(false) => None
+    case JArray(keys) =>
+      Some(p => graft.filters.PayloadSelect.includeCol(p, keys.map(str)))
+    case o: JObject if o.obj.exists(_._1 == "include") =>
+      Some(p => graft.filters.PayloadSelect.includeCol(p, arr(o \ "include").map(str)))
+    case o: JObject if o.obj.exists(_._1 == "exclude") =>
+      Some(p => graft.filters.PayloadSelect.excludeCol(p, arr(o \ "exclude").map(str)))
+    case other => fail(s"bad with_payload: $other")
+  }
+
+  /** `POST /points` retrieve body (`PointRequest`: ids + payload/vector
+    * selectors, `src/actix/api/retrieve_api.rs:132`). `withPayload` None =
+    * payload column dropped. */
+  final case class RetrieveSpec(ids: Seq[Any], withPayload: Option[Column => Column])
+
+  def parseRetrieveRequest(json: String): RetrieveSpec = {
+    val o = JsonMethods.parse(json)
+    RetrieveSpec(arr(o \ "ids").map(idOf), parseWithPayload(o \ "with_payload"))
   }
 
   /** `POST /points/count` body: filter (+ `exact`, parsed and ignored —

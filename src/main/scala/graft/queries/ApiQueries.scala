@@ -188,6 +188,40 @@ object ApiQueries {
           get_json_object(col("payload"), "$.flag").as("flag"))
         .orderBy(col("id"))
     }),
+    // batch endpoint: two independent requests (Dot and named-cosine
+    // spaces) answered in one call, results tagged by position.
+    "api_query_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.load(s, dir, "embeddings")
+      val r = new TypedResolver(e.schema, "vec_id")
+      val qs = RequestCodec.parseQueryBatch(
+        """{"searches": [
+          |  {"query": {"nearest": 7}, "limit": 5},
+          |  {"query": {"nearest": 42}, "using": "cosine", "limit": 5}
+          |]}""".stripMargin, ctx(s, dir))
+      qs.zipWithIndex.map { case (q, i) =>
+        PointQuery.execute(s, e, "vec_id", r, q).withColumn("req", lit(i))
+      }.reduce(_ unionByName _)
+    }),
+    // retrieve body with a with_payload include selector (nested key) —
+    // the enrichment surface (`WithPayloadInterface`, types.rs:4175-4183).
+    "api_retrieve_selectors" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+        to_json(struct(col("lang"), col("source"),
+          struct(col("n_chars"), substring(col("text"), 1, 8).as("head"))
+            .as("meta"))).as("payload"))
+      val spec = RequestCodec.parseRetrieveRequest(
+        """{"ids": [3, 5, 8, 13, 21],
+          |  "with_payload": {"include": ["lang", "meta.n_chars"]}}""".stripMargin)
+      val out = Reads.retrieve(d, "doc_id", spec.ids, Seq("doc_id", "payload"))
+      val sel = spec.withPayload.get
+      out.select(col("doc_id"),
+        get_json_object(sel(col("payload")), "$.lang").as("lang_inc"),
+        get_json_object(sel(col("payload")), "$.meta.n_chars").cast("long").as("nch_inc"),
+        get_json_object(sel(col("payload")), "$.source").as("src_inc"))
+        .orderBy(col("doc_id"))
+    }),
     // datetime range filter with RFC3339 string bounds parsed from the wire
     // form (array + mixed precisions). Mirrors `range_datetime_rfc3339`.
     "api_filter_datetime_count" -> ((s, dir) => {
@@ -222,5 +256,24 @@ object ApiQueries {
     "api_facet_lang" -> ReadQueries.oracles("facet_lang"),
     "api_scroll_by_id" -> ReadQueries.oracles("scroll_by_id"),
     "api_batch_update_ops" -> StorageQueries.oracles("batch_update_ops"),
+    "api_retrieve_selectors" ->
+      """SELECT doc_id, lang AS lang_inc, n_chars::BIGINT AS nch_inc,
+        |  CAST(NULL AS VARCHAR) AS src_inc
+        |FROM documents WHERE doc_id IN (3, 5, 8, 13, 21)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "api_query_batch" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 42),
+        |r0 AS (SELECT e.vec_id AS vec_id,
+        |         round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS score,
+        |         0 AS req
+        |       FROM embeddings e, q7 ORDER BY score DESC, vec_id ASC LIMIT 5),
+        |r1 AS (SELECT e.vec_id AS vec_id,
+        |         round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                  * sqrt(list_dot_product(q42.v, q42.v))), 6) AS score,
+        |         1 AS req
+        |       FROM embeddings e, q42 ORDER BY score DESC, vec_id ASC LIMIT 5)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1""".stripMargin,
   )
 }

@@ -66,10 +66,16 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // (id, band-key) pairs are referenced by FIVE downstream branches
+          // (store join, anti-join, the pair self-join twice, the band
+          // append); persisting them evaluates the shingle+minhash kernel —
+          // the expensive per-row work — once per batch instead of five
+          // times. Micro-batch-sized state, dropped before the batch ends.
           val keys = batch.select(col(idCol), explode(
             TextKernels.minhashBandKeysCol(
               TextKernels.shingleHashSetCol(tokensWs(col(textCol)), k),
               bands, rowsPerBand)).as("bkey"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val store: DataFrame =
             if (new java.io.File(keyStorePath).exists())
               s.read.parquet(keyStorePath)
@@ -95,6 +101,8 @@ object Streaming {
           freshKeys.join(reps.select(col(idCol)), Seq(idCol))
             .select("bkey").distinct()
             .write.mode("append").parquet(keyStorePath)
+          keys.unpersist()
+          ()
         }
       }
       .start()

@@ -188,6 +188,19 @@ class CodecSpec extends AnyFunSuite {
     assert(fc.key == "lang" && fc.limit == 3 && fc.filter.isEmpty)
   }
 
+  test("retrieve body: with_payload bool / list / include / exclude forms") {
+    import org.json4s.jackson.JsonMethods.parse
+    val spec = RequestCodec.parseRetrieveRequest(
+      """{"ids": [1, "u-2"], "with_payload": {"exclude": ["meta.head"]}}""")
+    assert(spec.ids == Seq(1L, "u-2") && spec.withPayload.isDefined)
+    assert(RequestCodec.parseWithPayload(parse("false")).isEmpty)
+    assert(RequestCodec.parseWithPayload(parse("true")).isDefined)
+    assert(RequestCodec.parseWithPayload(parse("""["lang"]""")).isDefined)
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseWithPayload(parse("""{"frob": 1}"""))
+    }
+  }
+
   test("update operations: every op form parses in order") {
     import RequestCodec._
     val ops = RequestCodec.parseUpdateOperations(
