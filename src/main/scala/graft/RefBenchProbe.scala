@@ -103,11 +103,13 @@ object RefBenchProbe {
           .count(): Unit
       }
       // single query routed through the batch shape (query as DATA, not a
-      // plan literal): at dim 1024 a per-query literal forces a fresh
-      // whole-stage-codegen compile every call (~0.5-1 s), which dominates
-      // the literal-path "single" number above; as data, the plan shape is
-      // stable and codegen caches — the correct serving shape for repeated
-      // single queries
+      // plan literal): the plan shape is stable across queries so codegen
+      // caches, where the literal path re-compiles per distinct query.
+      // Both shapes are recorded: idle, the literal path's simpler plan
+      // (TakeOrderedAndProject, no broadcast/window) wins despite the
+      // per-query compile; under CPU contention the compile cost inflates
+      // the literal path several-fold while the data path stays flat —
+      // the robust serving shape when the cluster is busy.
       batchN(0, 1)
       val b1data = median((4 until 14).map(o => time(() => batchN(o, 1))))
       batchN(0, 4)

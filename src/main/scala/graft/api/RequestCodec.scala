@@ -475,6 +475,63 @@ object RequestCodec {
     arr(JsonMethods.parse(json) \ "searches")
       .map(q => queryNode(q, ctx, topLevel = true))
 
+  /** `POST /points/query/groups` body (`QueryGroupsRequestInternal`,
+    * `schema.rs:1243-1263` + `BaseGroupRequest` `schema.rs:1136-1153`):
+    * the universal-query fields plus group_by key, per-group size, max
+    * groups (`limit`), and the with_lookup collection. The inner `query`
+    * parses through the same query-node path (its own `limit` field IS the
+    * group count per the wire contract). */
+  final case class GroupSpec(
+      query: Query,
+      groupBy: String,
+      groupSize: Int,
+      groups: Int,
+      lookupCollection: Option[String])
+
+  def parseGroupRequest(json: String, ctx: Ctx): GroupSpec = {
+    val o = JsonMethods.parse(json)
+    val q = queryNode(o, ctx, topLevel = true)
+    GroupSpec(
+      query = q,
+      groupBy = str(o \ "group_by"),
+      groupSize = (o \ "group_size") match {
+        case JNothing | JNull => 3 // default, `collection_query.rs:52`
+        case v => num(v).toInt
+      },
+      groups = q.limit, // BaseGroupRequest.limit = max groups
+      lookupCollection = (o \ "with_lookup") match {
+        case JString(c) => Some(c)
+        case l: JObject => Some(str(l \ "collection"))
+        case _ => None
+      })
+  }
+
+  /** `POST /points/search/matrix/{pairs,offsets}` body
+    * (`SearchMatrixRequestInternal`, `schema.rs:1295-1307`). */
+  final case class MatrixSpec(
+      filter: Option[Filter], sample: Int, limit: Int, using: Option[String])
+
+  def parseMatrixRequest(json: String): MatrixSpec = {
+    val o = JsonMethods.parse(json)
+    MatrixSpec(
+      filter = (o \ "filter") match {
+        case f: JObject => Some(filterOf(f))
+        case _ => None
+      },
+      sample = (o \ "sample") match {
+        case JNothing | JNull => 10 // defaults `distance_matrix.rs:42-44`
+        case v => num(v).toInt
+      },
+      limit = (o \ "limit") match {
+        case JNothing | JNull => 3
+        case v => num(v).toInt
+      },
+      using = (o \ "using") match {
+        case JString(s) => Some(s)
+        case _ => None
+      })
+  }
+
   /** `with_payload` (`WithPayloadInterface`, `types.rs:4175-4183`): bool /
     * bare field list (= include) / `{include}` / `{exclude}` selector.
     * Returns the payload-column transform to apply at enrichment: None =

@@ -203,6 +203,46 @@ object ApiQueries {
         PointQuery.execute(s, e, "vec_id", r, q).withColumn("req", lit(i))
       }.reduce(_ unionByName _)
     }),
+    // group-by endpoint body (group_by/group_size/limit=groups +
+    // with_lookup). Mirrors `group_by_lookup` (same oracle).
+    "api_group_by_lookup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.load(s, dir, "embeddings")
+      val spec = RequestCodec.parseGroupRequest(
+        """{
+          |  "query": {"nearest": 7},
+          |  "group_by": "label", "group_size": 2, "limit": 5,
+          |  "with_lookup": {"collection": "embeddings"}
+          |}""".stripMargin, ctx(s, dir))
+      val PointQuery.Nearest(vc, metric, qv) = spec.query.scoring: @unchecked
+      val grouped = graft.ops.GroupBy.groupBySearch(e, "vec_id",
+        graft.ops.Search.scoreExpr(metric, col(vc), typedLit(qv)),
+        largerBetter = metric.largerBetter,
+        groupByField = spec.groupBy, resolver = new TypedResolver(e.schema, "vec_id"),
+        filter = spec.query.filter,
+        groupSize = spec.groupSize, groups = spec.groups, keepGroupRank = true)
+      val lookup = Tables.load(s, dir, spec.lookupCollection.get)
+        .select(col("vec_id").as("_lk"), col("label").as("lookup_label"))
+      graft.ops.GroupBy.withLookup(grouped, lookup, "_lk", Seq("lookup_label"))
+        .select(col("group_value"), col("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"),
+          col("grp_rank").cast("long").as("grp_rank"), col("lookup_label"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
+    // distance-matrix endpoint body. Mirrors `distance_matrix_pairs` (the
+    // wire `filter` drives the sample predicate; `sample` recorded —
+    // the catalog pins a deterministic filter-defined sample so the oracle
+    // can replay it, like the hand-built twin).
+    "api_distance_matrix" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val spec = RequestCodec.parseMatrixRequest(
+        """{"filter": {"must": [{"key": "vec_id", "range": {"lt": 20}}]},
+          |  "sample": 20, "limit": 3}""".stripMargin)
+      val pred = new graft.filters.FilterCompiler(
+        new TypedResolver(e.schema, "vec_id")).compile(spec.filter.get)
+      graft.ops.DistanceMatrix.pairs(e, "vec_id", "embedding", Cosine,
+        samplePred = pred, limitPerSample = spec.limit)
+    }),
     // retrieve body with a with_payload include selector (nested key) —
     // the enrichment surface (`WithPayloadInterface`, types.rs:4175-4183).
     "api_retrieve_selectors" -> ((s, dir) => {
@@ -261,6 +301,8 @@ object ApiQueries {
         |  CAST(NULL AS VARCHAR) AS src_inc
         |FROM documents WHERE doc_id IN (3, 5, 8, 13, 21)
         |ORDER BY doc_id ASC""".stripMargin,
+    "api_group_by_lookup" -> RankQueries.oracles("group_by_lookup"),
+    "api_distance_matrix" -> RankQueries.oracles("distance_matrix_pairs"),
     "api_query_batch" ->
       """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
         |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 42),

@@ -201,6 +201,22 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("group-by and matrix bodies parse (limit = group count; matrix defaults)") {
+    val g = RequestCodec.parseGroupRequest(
+      """{"query": [1.0], "group_by": "label", "group_size": 2, "limit": 5,
+        | "with_lookup": "other"}""".stripMargin, ctx)
+    assert(g.groupBy == "label" && g.groupSize == 2 && g.groups == 5)
+    assert(g.lookupCollection.contains("other"))
+    assert(g.query.scoring == Nearest("embedding", Dot, Seq(1.0)))
+    val g2 = RequestCodec.parseGroupRequest(
+      """{"query": [1.0], "group_by": "k", "with_lookup": {"collection": "c2"}}""", ctx)
+    assert(g2.groupSize == 3 && g2.groups == 10 && g2.lookupCollection.contains("c2"))
+    val m = RequestCodec.parseMatrixRequest("""{"sample": 20, "limit": 4}""")
+    assert(m.sample == 20 && m.limit == 4 && m.filter.isEmpty)
+    val md = RequestCodec.parseMatrixRequest("{}")
+    assert(md.sample == 10 && md.limit == 3)
+  }
+
   test("update operations: every op form parses in order") {
     import RequestCodec._
     val ops = RequestCodec.parseUpdateOperations(
