@@ -102,6 +102,21 @@ object ReadQueries {
       Reads.facet(d, "doc_id", "source", Some(f),
         new TypedResolver(d.schema, "doc_id"), limit = 5)
     }),
+    // Facet over an INTEGER multi-valued field (`FacetValue::Int`,
+    // `lib/segment/src/data_types/facets.rs:87`): each point contributes
+    // each distinct value once (count_distinct on id after explode)
+    "facet_int_multi" -> ((s, dir) => {
+      val d = docsArr(s, dir)
+      Reads.facet(d, "doc_id", "marks", None,
+        new TypedResolver(d.schema, "doc_id"), limit = 10)
+    }),
+    // Facet over a BOOL field (`FacetValue::Bool`) with a filter
+    "facet_bool" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("is_long", col("n_chars") > 250)
+      val f = Filter.mustAll(MatchAny("lang", Seq("en", "fr", "de")))
+      Reads.facet(d, "doc_id", "is_long", Some(f),
+        new TypedResolver(d.schema, "doc_id"), limit = 10)
+    }),
     "scroll_by_id" -> ((s, dir) => {
       val d = docs(s, dir)
       val f = Filter(must = Seq(MatchValue("lang", "en"), RangeCond("n_chars", lt = Some(300L))))
@@ -129,6 +144,36 @@ object ReadQueries {
       Seq((a.length, inFiltered == a.length, a.distinct.length == a.length,
           a == b, a != idOrder))
         .toDF("n", "subset_ok", "distinct_ok", "deterministic_ok", "shuffled_ok")
+    }),
+    // Full page-walk through the API-level cursor (`next_page_offset`,
+    // `lib/collection/src/collection/point_ops.rs:390-425`): follow the
+    // returned cursor until exhaustion; the concatenated pages must equal
+    // the direct ordered scan — every matching point exactly once, ids
+    // strictly increasing, page count as the (limit+1)-fetch contract
+    // predicts. Driver-side loop bounded by n_matching/limit pages.
+    "scroll_next_page" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val f = Filter(must = Seq(MatchValue("lang", "en")))
+      val r = new TypedResolver(d.schema, "doc_id")
+      val limit = 200
+      var offset: Option[Any] = None
+      var pages = 0L
+      var ids = Vector.empty[Long]
+      var done = false
+      while (!done) {
+        val (rows, next) =
+          Reads.scrollPage(d, "doc_id", Some(f), r, offset, limit, Seq("doc_id"))
+        ids ++= rows.map(_.getLong(0)); pages += 1
+        next match { case Some(o) => offset = Some(o); case None => done = true }
+      }
+      val direct = d.filter(col("lang") === "en").select("doc_id")
+        .orderBy(col("doc_id").asc).collect().map(_.getLong(0)).toVector
+      val expectedPages = math.max(1L, (direct.length + limit - 1L) / limit)
+      Seq((ids.length.toLong, ids == direct,
+          ids.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+          pages == expectedPages))
+        .toDF("n_total", "match_direct", "strictly_increasing", "pages_ok")
     }),
     "order_by_ts" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -226,6 +271,18 @@ object ReadQueries {
       """SELECT source AS value, count(DISTINCT doc_id)::BIGINT AS cnt
         |FROM documents WHERE n_chars >= 150 AND n_chars <= 400
         |GROUP BY source ORDER BY cnt DESC, value ASC LIMIT 5""".stripMargin,
+    "facet_int_multi" ->
+      """SELECT value, count(DISTINCT doc_id)::BIGINT AS cnt
+        |FROM (SELECT doc_id, unnest(generate_series(1, n_chars % 4)) AS value
+        |      FROM documents)
+        |GROUP BY value ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin,
+    "facet_bool" ->
+      """SELECT (n_chars > 250) AS value, count(DISTINCT doc_id)::BIGINT AS cnt
+        |FROM documents WHERE lang IN ('en','fr','de')
+        |GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin,
+    "scroll_next_page" ->
+      """SELECT (SELECT count(*) FROM documents WHERE lang = 'en')::BIGINT AS n_total,
+        |  true AS match_direct, true AS strictly_increasing, true AS pages_ok""".stripMargin,
     "scroll_by_id" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' AND n_chars < 300 AND doc_id >= 100

@@ -6,8 +6,8 @@ import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.Tables
 import graft.model._
-import graft.sources.CollectionConfig
-import graft.storage.Collection
+import graft.sources.{CollectionConfig, VectorConfig}
+import graft.storage.{Aliases, Collection}
 
 /** Mutation (write-surface) round-trip catalog, SURVEY.md §2.1: upsert,
   * conditional upsert, delete-by-filter, payload set/delete-keys — applied
@@ -132,6 +132,55 @@ object StorageQueries {
           get_json_object(col("payload"), "$.flag").as("flag"))
         .orderBy(col("id"))
     }),
+    // Collection alias lifecycle (`alias_mapping.rs:16-135`,
+    // `collection_meta_ops.rs:45-92`): create → query-through-alias →
+    // re-point (create overwrites) → rename (old name unbinds) → list per
+    // collection → drop-collection cascade → rename-of-missing fails.
+    // The relational part of the oracle is the two through-alias counts;
+    // the registry invariants are derived one-row contracts.
+    "collection_aliases" -> ((s, dir) => {
+      import s.implicits._
+      val base = "/tmp/graft_runtime/alias_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Collection.create(s, base + "/colA", cfg, points(s, dir, col("lang") === "en"))
+      Collection.create(s, base + "/colB", cfg, points(s, dir, col("lang") === "de"))
+      val reg = new Aliases(base)
+      reg.list().foreach { case (a, _) => reg.delete(a) } // fresh re-runs
+      def countVia(name: String): Long =
+        new Collection(s, base + "/" + reg.resolve(name), cfg).read().count()
+      reg.create("prod-docs", "colA")
+      val nEn = countVia("prod-docs")
+      reg.create("prod-docs", "colB") // re-point: create overwrites
+      val nDe = countVia("prod-docs")
+      reg.create("extra", "colB")
+      reg.rename("prod-docs", "main-docs")
+      val renameOk = reg.get("prod-docs").isEmpty && reg.resolve("main-docs") == "colB"
+      val aliasesOfB = reg.collectionAliases("colB").mkString(",")
+      val nDirect = countVia("colA") // a non-alias name passes through
+      val nRemoved = reg.removeCollection("colB").toLong
+      val renameMissingFails = scala.util.Try(reg.rename("gone", "x")).isFailure
+      Seq((nEn, nDe, nDirect, renameOk, aliasesOfB, nRemoved,
+          renameMissingFails, reg.list().isEmpty))
+        .toDF("n_en", "n_de", "n_direct", "rename_ok", "aliases_of_b",
+          "n_removed", "rename_missing_fails", "empty_after")
+    }),
+    // GET /collections/{c} statistics (`CollectionInfo`,
+    // `lib/collection/src/operations/types.rs:215`): points_count,
+    // indexed_vectors_count (non-null vector cells — the exact index is
+    // the default), declared vector + payload-index schema, green status.
+    "collection_info" -> ((s, dir) => {
+      val path = "/tmp/graft_runtime/info_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val e = Tables.load(s, dir, "embeddings")
+      val d = Tables.load(s, dir, "documents")
+      val pts = e.join(d, e("vec_id") === d("doc_id"))
+        .select(col("vec_id").as("id"),
+          when(col("vec_id") % 5 =!= 0, col("embedding")).as("vector"),
+          to_json(struct(col("lang"), col("n_chars"))).as("payload"))
+      val icfg = CollectionConfig(
+        idCol = "id", payloadCol = "payload",
+        vectors = Seq(VectorConfig("", 64, Dot)),
+        payloadTypes = Map("lang" -> StringType, "n_chars" -> LongType))
+      Collection.create(s, path, icfg, pts).info()
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,5 +231,21 @@ object StorageQueries {
         |       SELECT m4.* FROM m4 WHERE m4.id NOT IN (SELECT id FROM b2))
         |SELECT id, lang, source, n_chars::BIGINT AS n_chars, flag
         |FROM m5 ORDER BY id""".stripMargin,
+    "collection_aliases" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE lang = 'en')::BIGINT AS n_en,
+        |  (SELECT count(*) FROM documents WHERE lang = 'de')::BIGINT AS n_de,
+        |  (SELECT count(*) FROM documents WHERE lang = 'en')::BIGINT AS n_direct,
+        |  true AS rename_ok, 'extra,main-docs' AS aliases_of_b,
+        |  2::BIGINT AS n_removed, true AS rename_missing_fails,
+        |  true AS empty_after""".stripMargin,
+    "collection_info" ->
+      """SELECT 'green' AS status,
+        |  (SELECT count(*) FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)::BIGINT AS points_count,
+        |  (SELECT count(*) FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |   WHERE e.vec_id % 5 <> 0)::BIGINT AS indexed_vectors_count,
+        |  '<default>:64:Dot' AS vectors_schema,
+        |  'lang:string,n_chars:bigint' AS payload_schema,
+        |  true AS segments_ok""".stripMargin,
   )
 }

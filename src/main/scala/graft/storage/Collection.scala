@@ -289,6 +289,39 @@ final class Collection(
       .select(col(queryIdCol), col(config.idCol), col("score"), col("_rn").as("rank"))
   }
 
+  /** Collection statistics + declared schema — the `GET /collections/{c}`
+    * surface (`CollectionInfo`, `lib/collection/src/operations/types.rs:215`):
+    * status, points_count, indexed_vectors_count (every stored vector is
+    * "indexed" here — the exact index is the default, so this counts
+    * non-null named-vector cells), the declared vector schema and the
+    * payload index schema. One aggregation pass over the table; config
+    * fields come from the driver-side catalog, like the reference.
+    * `segments_count` maps to the parquet file count ([[dataFileCount]]) —
+    * reported as a ≥1 sanity flag rather than a number, since physical
+    * file layout is a write-time artifact, not query semantics. */
+  def info(): DataFrame = {
+    import spark.implicits._
+    val df = read()
+    val vecCols = config.vectors.map(vc => config.vectorCol(vc.name))
+      .filter(df.columns.contains)
+    val aggs = count(lit(1)).as("points_count") +:
+      vecCols.zipWithIndex.map { case (c, i) =>
+        sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"_v$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val points = row.getLong(0)
+    val indexed = vecCols.indices.map(i => row.getLong(i + 1)).sum
+    val vecSchema = config.vectors
+      .map(v => s"${if (v.name.isEmpty) "<default>" else v.name}:${v.dim}:${v.metric}")
+      .mkString(",")
+    val payloadSchema = config.payloadTypes.toSeq.sortBy(_._1)
+      .map { case (k, t) => s"$k:${t.simpleString}" }.mkString(",")
+    Seq((
+      "green", points, indexed, vecSchema, payloadSchema,
+      dataFileCount() >= 1))
+      .toDF("status", "points_count", "indexed_vectors_count",
+        "vectors_schema", "payload_schema", "segments_ok")
+  }
+
   /** Compaction — the background merge-optimizer analog
     * (`lib/shard/src/optimizers/merge_optimizer.rs`, SURVEY.md §4.3): a
     * mutation-heavy collection accumulates one file set per write; rewrite
