@@ -43,6 +43,15 @@ object RequestCodec {
     * (`NamedVectors` default name, `data_types/vectors.rs:525`). */
   final case class VectorSpace(col: String, metric: Metric)
 
+  /** Wire `lookup_from` (`LookupLocation` + `ShardKeySelector`,
+    * `lib/api/src/rest/schema.rs:608-613,1122-1133`): resolve vector-input
+    * ids against another collection — optionally a specific named vector
+    * and/or shard-key subset of it. */
+  final case class LookupFrom(
+      collection: String,
+      vector: Option[String],
+      shardKeys: Seq[Any])
+
   final case class Ctx(
       spaces: Map[String, VectorSpace],
       /** recommend/discover-by-id resolve hook (`lib/collection/src/
@@ -52,7 +61,13 @@ object RequestCodec {
         throw new IllegalArgumentException(
           s"vector-input id $id given but no id resolver configured"),
       /** Seed for `sample: random` (the wire form carries none). */
-      sampleSeed: Long = 42L) {
+      sampleSeed: Long = 42L,
+      /** Foreign-collection id resolve for a request-level `lookup_from`
+        * (`query.rs:456-546` resolves against the lookup collection when
+        * one is named). Wired by the host that owns the table catalog. */
+      resolveLookup: (LookupFrom, Any) => Seq[Double] = (lf, id) =>
+        throw new IllegalArgumentException(
+          s"lookup_from ${lf.collection} given but no lookup resolver configured")) {
     def space(using: Option[String]): VectorSpace = {
       val name = using.getOrElse("")
       spaces.getOrElse(name,
@@ -178,10 +193,27 @@ object RequestCodec {
   def parseQueryRequest(json: String, ctx: Ctx): Query =
     queryNode(JsonMethods.parse(json), ctx, topLevel = true)
 
-  private def queryNode(j: JValue, ctx: Ctx, topLevel: Boolean): Query = {
+  private def queryNode(j: JValue, ctx0: Ctx, topLevel: Boolean): Query = {
     val o = j match {
       case o: JObject => o
       case other => fail(s"query request must be an object, got $other")
+    }
+    // request-level `lookup_from` re-routes every id resolve in this node
+    // (and its prefetches — the reference applies it request-wide,
+    // `collection_query.rs:65-107`) to the named foreign collection
+    val ctx = (o \ "lookup_from") match {
+      case lf: JObject =>
+        val loc = LookupFrom(
+          collection = str(lf \ "collection"),
+          vector = (lf \ "vector") match {
+            case JString(v) => Some(v); case _ => None },
+          shardKeys = (lf \ "shard_key") match {
+            case JNothing | JNull => Nil
+            case JArray(xs) => xs.map(shardKeyValue)
+            case v => Seq(shardKeyValue(v))
+          })
+        ctx0.copy(resolveId = id => ctx0.resolveLookup(loc, id))
+      case _ => ctx0
     }
     val prefetches = oneOrMany(o \ "prefetch")
       .map(p => queryNode(p, ctx, topLevel = false))
@@ -751,6 +783,14 @@ object RequestCodec {
     case JLong(l) => l
     case JString(s) => s
     case other => fail(s"bad point id: $other")
+  }
+
+  /** `ShardKeySelector` element: keyword or integer (`schema.rs:1122`). */
+  private def shardKeyValue(j: JValue): Any = j match {
+    case JString(s) => s
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case other => fail(s"shard_key must be string or int, got $other")
   }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)

@@ -145,10 +145,19 @@ object PointQuery {
         val candidateIds = q.prefetches
           .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
           .reduce(_ union _).distinct()
+        // Mmr.rerank breaks ties by first-seen input order, so the
+        // candidates MUST arrive ranked best-first (the reference's MMR
+        // receives the already-ranked search result, `mmr/mod.rs:42-170`).
+        // An unordered semi-join here makes tie-breaks partition-order —
+        // visible whenever MMR scores tie exactly (e.g. λ=0.5 with the
+        // query equal to a stored vector: every post-first pick scores 0).
         val cands = points.join(candidateIds, Seq(idCol), "left_semi")
           .withColumn("score",
             round(Search.scoreExpr(m, col(vc), typedLit(qv)), 6))
           .select(col(idCol), col("score"), col(vc))
+          .orderBy(
+            if (m.largerBetter) col("score").desc else col("score").asc,
+            col(idCol).asc)
         Mmr.rerank(spark, cands, idCol, vc, m, qv, lambda, q.limit)
 
       // ---- scroll leaves ----

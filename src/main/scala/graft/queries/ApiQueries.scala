@@ -7,7 +7,7 @@ import graft.api.RequestCodec
 import graft.api.RequestCodec.{Ctx, VectorSpace}
 import graft.filters.TypedResolver
 import graft.model._
-import graft.ops.{PointQuery, Reads}
+import graft.ops.{Mmr, PointQuery, Reads, Search}
 
 /** Wire-format parity entries: each runs a literal qdrant REST JSON body
   * through `api/RequestCodec` → `PointQuery.execute` and must produce the
@@ -26,7 +26,24 @@ object ApiQueries {
     spaces = Map(
       "" -> VectorSpace("embedding", Dot),
       "cosine" -> VectorSpace("embedding", Cosine)),
-    resolveId = id => Tables.embeddingOf(s, dir, id.asInstanceOf[Long]))
+    resolveId = id => Tables.embeddingOf(s, dir, id.asInstanceOf[Long]),
+    resolveLookup = (lf, id) => {
+      // the host's table catalog: one foreign collection, sharded, with a
+      // named vector column — the fixture of `recommend_lookup_from_shard`
+      require(lf.collection == "queries_sharded", s"unknown lookup collection ${lf.collection}")
+      import org.apache.spark.sql.functions.{col, lit}
+      val e = Tables.load(s, dir, "embeddings")
+      val lookup = e.filter(col("vec_id") < 100)
+        .select(lit("a").as("shard_key"), (col("vec_id") + 10000).as("qid"),
+          col("embedding").as("vec"))
+        .unionByName(e.filter(col("vec_id") >= 50 && col("vec_id") < 150)
+          .select(lit("b").as("shard_key"), (col("vec_id") + 9950).as("qid"),
+            col("embedding").as("vec")))
+      val vecCol = lf.vector.getOrElse("vec")
+      if (lf.shardKeys.isEmpty) Tables.embeddingFrom(lookup, "qid", vecCol, id)
+      else Tables.embeddingFromShards(lookup, "shard_key", lf.shardKeys,
+        "qid", vecCol, id)
+    })
 
   private def runOnEmbeddings(s: SparkSession, dir: String, json: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
@@ -92,6 +109,47 @@ object ApiQueries {
         |  ]}},
         |  "limit": 10
         |}""".stripMargin)),
+    // request-level lookup_from with named vector + shard-key selector
+    // (`LookupLocation`/`ShardKeySelector`, `schema.rs:608-613,1122-1133`):
+    // recommend ids resolve against the FOREIGN sharded collection's `vec`
+    // column restricted to shard "b". Mirrors `recommend_lookup_from_shard`
+    // (same oracle).
+    "api_query_lookup_from" -> ((s, dir) => runOnEmbeddings(s, dir,
+      """{
+        |  "query": {"recommend": {
+        |    "positive": [10001, 10003], "negative": [10005],
+        |    "strategy": "average_vector"}},
+        |  "lookup_from": {
+        |    "collection": "queries_sharded", "vector": "vec", "shard_key": ["b"]},
+        |  "limit": 10
+        |}""".stripMargin)),
+    // nearest + mmr sugar (`collection_query.rs:190-199`, diversity →
+    // λ = 1 − diversity, candidates_limit prefetch): the wire plan must
+    // reproduce the hand-built candidates→greedy-rerank rows exactly —
+    // ids, original query scores, and selection positions.
+    "api_query_mmr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val wire = runOnEmbeddings(s, dir,
+        """{
+          |  "query": {
+          |    "nearest": 7,
+          |    "mmr": {"diversity": 0.5, "candidates_limit": 50}},
+          |  "limit": 10
+          |}""".stripMargin)
+        .orderBy(col("position")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = Tables.embeddingOf(s, dir, 7L)
+      val cands = Search.knn(e, "vec_id", "embedding", qv, Dot,
+        k = 50, extraCols = Seq("embedding"))
+      val hand = Mmr.rerank(s, cands, "vec_id", "embedding", Dot, qv,
+          lambda = 0.5, limit = 10)
+        .orderBy(col("position")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      Seq((wire.length.toLong, wire == hand))
+        .toDF("n", "wire_matches_hand")
+    }),
     // order-by scroll with a numeric descending start_from cursor
     // (`OrderByInterface::Struct`, Desc → lte range, `order_by.rs:31-40`).
     "api_query_order_by" -> ((s, dir) => {
@@ -287,6 +345,9 @@ object ApiQueries {
     "api_query_discover" -> RankQueries.oracles("discover"),
     "api_query_fusion_rrf" -> RankQueries.oracles("fusion_rrf"),
     "api_query_formula" -> PayloadGeoQueries.oracles("formula_rescore"),
+    "api_query_lookup_from" -> RankQueries.oracles("recommend_lookup_from_shard"),
+    "api_query_mmr" ->
+      "SELECT 10::BIGINT AS n, true AS wire_matches_hand",
     "api_query_order_by" ->
       """SELECT event_id, value FROM events
         |WHERE value <= 900.5
