@@ -26,6 +26,19 @@ object VectorQueries {
       val q = Tables.embeddingOf(s, dir, 42L)
       Search.knn(emb(s, dir), "vec_id", "embedding", q, Cosine, k = 10)
     }),
+    // The SQL surface: the same codegen'd kernel invoked through the
+    // FunctionRegistry (`GraftFunctions.register` — the live-session form
+    // of the `GraftExtensions` session-extension wiring), whole query in
+    // spark.sql. Same oracle as `knn_dot`.
+    "sql_knn_dot" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      emb(s, dir).createOrReplaceTempView("emb_sql")
+      val qvec = Tables.embeddingOf(s, dir, 7L).mkString(",")
+      s.sql(
+        s"""SELECT vec_id, round(graft_dot(embedding, array($qvec)), 6) AS score
+           |FROM emb_sql
+           |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
     "knn_euclid" -> ((s, dir) => {
       val q = Tables.embeddingOf(s, dir, 13L)
       Search.knn(emb(s, dir), "vec_id", "embedding", q, Euclid, k = 10)
@@ -205,6 +218,12 @@ object VectorQueries {
         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
         |ORDER BY query_id ASC, rank ASC""".stripMargin,
     "knn_dot" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sql_knn_dot" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
         |SELECT e.vec_id AS vec_id,
         |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExtensions, GraftFunctions, VecDot}
+
+/** SQL function-registry surface: the custom kernels must be reachable from
+  * `spark.sql` both via `SparkSessionExtensions` (new-session wiring) and
+  * `GraftFunctions.register` (live session), and must agree bit-for-bit
+  * with the Column-API route through the same expressions. */
+class ExtensionsSpec extends SparkTestBase {
+
+  private lazy val ext: SparkSession = {
+    // a sibling session over the same SparkContext, built with the
+    // extension injected — the spark.sql.extensions deployment path
+    SparkTestBase.session // force the shared context first
+    SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+      .newSession() match {
+      case s =>
+        // newSession drops registry additions but keeps extensions-injected
+        // builders (they live in the base registry the builder installed);
+        // register explicitly to cover sessions cloned post-hoc too
+        GraftFunctions.register(s); s
+    }
+  }
+
+  test("graft_dot via SQL matches the Column API kernel") {
+    import ext.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(-1.0f, 0.5f, 2.0f))).toDF("id", "v")
+    df.createOrReplaceTempView("t_ext")
+    val sql = ext.sql(
+      "SELECT id, graft_dot(v, array(2.0D, 1.0D, 0.5D)) AS s FROM t_ext ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    import org.apache.spark.sql.GraftShim
+    val api = df.select(col("id"),
+        GraftShim.column(VecDot(
+          GraftShim.expression(col("v")),
+          GraftShim.expression(typedLit(Seq(2.0, 1.0, 0.5))))).as("s"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sql == api)
+    assert(sql == Seq((1L, 2.0 + 2.0 + 1.5), (2L, -2.0 + 0.5 + 1.0)))
+  }
+
+  test("constant-argument kernels resolve and check literals") {
+    import ext.implicits._
+    Seq((7L, "a b c d")).toDF("id", "txt").createOrReplaceTempView("t_ext2")
+    val row = ext.sql(
+      """SELECT graft_slice_index(id, 8) AS sl,
+        |       graft_simhash64(split(txt, ' ')) AS sh,
+        |       size(graft_shingle_hashes(split(txt, ' '), 2)) AS ns,
+        |       size(graft_minhash_bands(graft_shingle_hashes(split(txt, ' '), 2), 4, 2)) AS nb,
+        |       graft_geohash(13.361389D, 38.115556D, 6) AS gh
+        |FROM t_ext2""".stripMargin).head()
+    assert(row.getLong(0) == graft.functions.SipHash24.sliceIndex(7L, 8))
+    assert(row.getInt(2) == 3) // 3 bigram shingles of 4 tokens
+    assert(row.getInt(3) == 4) // one key per band
+    assert(row.getString(4) == "sqc8b4") // Palermo, the classic geohash example
+    // non-literal constant argument is rejected, not silently mis-planned
+    val err = intercept[Exception] {
+      ext.sql("SELECT graft_slice_index(id, id) FROM t_ext2").collect()
+    }
+    assert(err.getMessage.contains("integer literal")
+      || err.getCause != null && err.getCause.getMessage.contains("integer literal"))
+  }
+}
