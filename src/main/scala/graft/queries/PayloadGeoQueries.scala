@@ -98,6 +98,48 @@ object PayloadGeoQueries {
       trichotomy(s, dir, Filter.mustAll(IsEmpty("tags")))),
     "filter_is_null" -> ((s, dir) =>
       trichotomy(s, dir, Filter.mustAll(IsNullCond("tags")))),
+    // Empty-list match semantics (`tests/openapi/test_match_any_empty.py`,
+    // `test_match_except_empty.py`): `any: []` matches NOTHING;
+    // `except: []` matches every point with at least one actual value
+    // under the key (∃ v ∉ ∅ = ∃ v — so [] / null / absent do NOT match).
+    // Payload shapes cycle per bucket: ["a","b"] / [] / null / absent / "x".
+    "match_empty_lists" -> ((s, dir) => {
+      val forms = Seq("""{"tags":["a","b"]}""", """{"tags":[]}""",
+        """{"tags":null}""", "{}", """{"tags":"x"}""")
+      val d = Tables.load(s, dir, "documents").select(
+        col("doc_id"), (col("doc_id") % 5).as("bucket"),
+        element_at(array(forms.map(lit): _*),
+          (col("doc_id") % 5).cast("int") + 1).as("payload"))
+      val fc = new FilterCompiler(new JsonResolver(col("payload"),
+        Map("tags" -> StringType), col("doc_id")))
+      val anyEmpty = fc.compile(Filter.mustAll(MatchAny("tags", Seq())))
+      val exceptEmpty = fc.compile(Filter.mustAll(MatchExcept("tags", Seq())))
+      d.groupBy(col("bucket")).agg(
+          sum(when(anyEmpty, 1L).otherwise(0L)).as("cnt_any_empty"),
+          sum(when(exceptEmpty, 1L).otherwise(0L)).as("cnt_except_empty"))
+        .orderBy(col("bucket"))
+    }),
+    // ValuesCount against a missing / null / empty field
+    // (`test_filter_values_count_missing_field.py`: absent counts as 0, so
+    // `lt: 1`, `lte: 0` and `gte: 0` all include the field-less point).
+    "values_count_missing" -> ((s, dir) => {
+      val forms = Seq("""{"tags":["a","b"]}""", """{"tags":[]}""",
+        """{"tags":null}""", "{}", """{"tags":"x"}""")
+      val d = Tables.load(s, dir, "documents").select(
+        col("doc_id"), (col("doc_id") % 5).as("bucket"),
+        element_at(array(forms.map(lit): _*),
+          (col("doc_id") % 5).cast("int") + 1).as("payload"))
+      val fc = new FilterCompiler(new JsonResolver(col("payload"),
+        Map("tags" -> StringType), col("doc_id")))
+      val lt1 = fc.compile(Filter.mustAll(ValuesCount("tags", lt = Some(1L))))
+      val gte0 = fc.compile(Filter.mustAll(ValuesCount("tags", gte = Some(0L))))
+      val lte0 = fc.compile(Filter.mustAll(ValuesCount("tags", lte = Some(0L))))
+      d.groupBy(col("bucket")).agg(
+          sum(when(lt1, 1L).otherwise(0L)).as("cnt_lt1"),
+          sum(when(gte0, 1L).otherwise(0L)).as("cnt_gte0"),
+          sum(when(lte0, 1L).otherwise(0L)).as("cnt_lte0"))
+        .orderBy(col("bucket"))
+    }),
     // Bool payload index analog (`field_index/bool_index/`, Match bool
     // `types.rs:3007`): per-bucket counts over payloads cycling
     // true / false / absent / explicit null — only the true bucket matches,
@@ -255,6 +297,24 @@ object PayloadGeoQueries {
          |SELECT bucket, sum(CASE WHEN explicit_null OR has_null_elem
          |  THEN 1 ELSE 0 END)::BIGINT AS cnt
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // bucket value populations: b0 two values, b1 [], b2 null, b3 absent,
+    // b4 one scalar — any:[] matches none; except:[] matches b0,b4
+    "match_empty_lists" ->
+      """WITH b AS (SELECT doc_id % 5 AS bucket, count(*) AS n
+        |           FROM documents GROUP BY 1)
+        |SELECT bucket, 0::BIGINT AS cnt_any_empty,
+        |  (CASE WHEN bucket IN (0, 4) THEN n ELSE 0 END)::BIGINT AS cnt_except_empty
+        |FROM b ORDER BY bucket""".stripMargin,
+    // values_count per bucket: 2 / 0 / 0 / 0 / 1 — lt1 and lte0 match the
+    // three zero-value shapes, gte0 matches everything
+    "values_count_missing" ->
+      """WITH b AS (SELECT doc_id % 5 AS bucket, count(*) AS n
+        |           FROM documents GROUP BY 1)
+        |SELECT bucket,
+        |  (CASE WHEN bucket IN (1, 2, 3) THEN n ELSE 0 END)::BIGINT AS cnt_lt1,
+        |  n::BIGINT AS cnt_gte0,
+        |  (CASE WHEN bucket IN (1, 2, 3) THEN n ELSE 0 END)::BIGINT AS cnt_lte0
+        |FROM b ORDER BY bucket""".stripMargin,
     "match_bool_count" ->
       """WITH p AS (SELECT doc_id, doc_id % 4 AS bucket,
         |  CASE CAST(doc_id % 4 AS INT)
