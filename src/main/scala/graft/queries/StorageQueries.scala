@@ -163,6 +163,26 @@ object StorageQueries {
         .toDF("n_en", "n_de", "n_direct", "rename_ok", "aliases_of_b",
           "n_removed", "rename_missing_fails", "empty_after")
     }),
+    // Collection-level metadata lifecycle (PATCH /collections/{c},
+    // `tests/openapi/test_collection_metadata.py`): set → add second key →
+    // overwrite first → delete second via explicit null; final state is
+    // exactly {new_meta: value3}. State persists beside the table and
+    // survives data rewrites.
+    "collection_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/tmp/graft_runtime/meta_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = Collection.create(s, path, cfg, points(s, dir, col("doc_id") < 20))
+      coll.updateMetadata(coll.metadata().map { case (k, _) => k -> None }) // fresh re-runs
+      coll.updateMetadata(Map("new_meta" -> Some("value")))
+      coll.updateMetadata(Map("new_meta_2" -> Some("value2")))
+      coll.updateMetadata(Map("new_meta" -> Some("value3")))
+      coll.updateMetadata(Map("new_meta_2" -> None))
+      coll.deleteByFilter(Filter.mustAll(MatchValue("lang", "de"))) // rewrite keeps meta
+      val m = coll.metadata()
+      Seq((m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+          m.size.toLong, coll.read().count()))
+        .toDF("metadata", "n_keys", "points_count")
+    }),
     // GET /collections/{c} statistics (`CollectionInfo`,
     // `lib/collection/src/operations/types.rs:215`): points_count,
     // indexed_vectors_count (non-null vector cells — the exact index is
@@ -239,6 +259,10 @@ object StorageQueries {
         |  true AS rename_ok, 'extra,main-docs' AS aliases_of_b,
         |  2::BIGINT AS n_removed, true AS rename_missing_fails,
         |  true AS empty_after""".stripMargin,
+    "collection_metadata" ->
+      """SELECT 'new_meta=value3' AS metadata, 1::BIGINT AS n_keys,
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id < 20 AND NOT lang = 'de')::BIGINT AS points_count""".stripMargin,
     "collection_info" ->
       """SELECT 'green' AS status,
         |  (SELECT count(*) FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id)::BIGINT AS points_count,

@@ -289,6 +289,46 @@ final class Collection(
       .select(col(queryIdCol), col(config.idCol), col("score"), col("_rn").as("rank"))
   }
 
+  /** Collection-level metadata (`CollectionConfig.metadata`, PATCH
+    * `/collections/{c}` — `tests/openapi/test_collection_metadata.py`):
+    * arbitrary key-values persisted with the collection config. Patch
+    * semantics mirror the reference: present keys merge/overwrite, an
+    * explicit null DELETES the key. Stored as `_metadata.json` beside the
+    * parquet data (driver-side catalog state, like the reference persists
+    * config with the collection). */
+  def updateMetadata(patch: Map[String, Option[String]]): Unit = {
+    val merged = patch.foldLeft(metadata()) {
+      case (m, (k, Some(v))) => m + (k -> v)
+      case (m, (k, None)) => m - k
+    }
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JObject(merged.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> (org.json4s.JString(v): org.json4s.JValue) }.toList)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metadataPath, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def metadata(): Map[String, String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metadataPath)) Map.empty
+    else {
+      val in = fs.open(metadataPath)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      org.json4s.jackson.JsonMethods.parse(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) match {
+        case org.json4s.JObject(fields) =>
+          fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  private def metadataPath =
+    new org.apache.hadoop.fs.Path(path + "_metadata.json")
+
   /** Collection statistics + declared schema — the `GET /collections/{c}`
     * surface (`CollectionInfo`, `lib/collection/src/operations/types.rs:215`):
     * status, points_count, indexed_vectors_count (every stored vector is
