@@ -33,35 +33,76 @@ final class JsonResolver(
   // parsing the JSON string per reference multiplies the dominant per-row
   // cost. Callers on a hot path should project `try_parse_json(payload)`
   // once and construct the resolver with `preParsed = true`.
+  private def parsed: Column =
+    if (preParsed) payloadCol else try_parse_json(payloadCol)
+
   private def raw(key: String): Column =
-    try_variant_get(
-      if (preParsed) payloadCol else try_parse_json(payloadCol),
-      "$." + key, "variant")
+    try_variant_get(parsed, "$." + key, "variant")
+
+  private def hasBrackets(key: String): Boolean = key.indexOf('[') >= 0
+
+  /** Multiset of variant values reached by a JsonPath with `[]` / `[n]`
+    * segments (`JsonPath::rest` traversal, `json_path/mod.rs:19-33`,
+    * `value_get`: Key descends into objects, Index into one array slot,
+    * Wildcard into every element) — maintained as `array<variant>`. Only
+    * built for bracketed keys; the plain dotted form keeps the single
+    * variant-path fast path below. */
+  private def reachedVariants(key: String): Column = {
+    val path = PayloadSelect.parse(key)
+    val init = filter(
+      array(try_variant_get(parsed, "$." + path.firstKey, "variant")),
+      v => v.isNotNull)
+    path.rest.foldLeft(init) {
+      case (vals, PayloadSelect.Key(k)) =>
+        filter(transform(vals, v => try_variant_get(v, "$." + k, "variant")),
+          v => v.isNotNull)
+      case (vals, PayloadSelect.Index(i)) =>
+        filter(transform(vals, v => try_variant_get(v, s"$$[$i]", "variant")),
+          v => v.isNotNull)
+      case (vals, PayloadSelect.Wildcard) =>
+        filter(
+          flatten(transform(vals, v =>
+            coalesce(try_variant_get(v, "$", "array<variant>"),
+              array().cast(ArrayType(VariantType))))),
+          v => v.isNotNull)
+    }
+  }
+
+  /** Terminal rule shared by both paths: an array contributes its non-null
+    * elements, a scalar one value, explicit JSON null nothing. */
+  private def terminalValues(v: Column, t: String): Column =
+    coalesce(
+      filter(try_variant_get(v, "$", s"array<$t>"), e => e.isNotNull),
+      when(v.isNotNull && !is_variant_null(v), array(try_variant_get(v, "$", t))),
+      array().cast(s"array<$t>"))
 
   def values(key: String): Column = {
-    val r = raw(key)
     val t = typeName(key)
-    // NOTE: keep the number of `r` references minimal — the optimizer
-    // inlines the payload parse into every reference when this lands in a
-    // Filter, and only ProjectExec reliably subexpression-eliminates them
-    // (see scaladoc on preParsed and the aggregate-shaped catalog queries).
-    coalesce(
-      // array-valued: all elements, nulls dropped
-      filter(try_variant_get(r, "$", s"array<$t>"), e => e.isNotNull),
-      // scalar: single element unless explicit JSON null
-      when(r.isNotNull && !is_variant_null(r), array(try_variant_get(r, "$", t))),
-      array().cast(s"array<$t>"))
+    if (hasBrackets(key))
+      flatten(transform(reachedVariants(key), v => terminalValues(v, t)))
+    else {
+      // NOTE: keep the number of `raw` references minimal — the optimizer
+      // inlines the payload parse into every reference when this lands in a
+      // Filter, and only ProjectExec reliably subexpression-eliminates them
+      // (see scaladoc on preParsed and the aggregate-shaped catalog queries).
+      terminalValues(raw(key), t)
+    }
   }
 
   /** Present in the document (JSON null counts as present). */
-  def fieldExists(key: String): Column = raw(key).isNotNull
+  def fieldExists(key: String): Column =
+    if (hasBrackets(key)) size(reachedVariants(key)) > 0
+    else raw(key).isNotNull
 
   def isJsonNull(key: String): Column = {
-    val r = raw(key)
-    coalesce(is_variant_null(r), lit(false)) ||
-      // [null] also matches IsNull (ref types.rs:3786-3806)
-      coalesce(exists(try_variant_get(r, "$", s"array<variant>"),
-        e => is_variant_null(e)), lit(false))
+    def oneIsNull(r: Column): Column =
+      coalesce(is_variant_null(r), lit(false)) ||
+        // [null] also matches IsNull (ref types.rs:3786-3806)
+        coalesce(exists(try_variant_get(r, "$", s"array<variant>"),
+          e => is_variant_null(e)), lit(false))
+    if (hasBrackets(key))
+      coalesce(exists(reachedVariants(key), oneIsNull), lit(false))
+    else oneIsNull(raw(key))
   }
 
   def id: Column = idColumn
@@ -78,11 +119,18 @@ final class JsonResolver(
   override def elementType(key: String): Option[StructType] = None
 
   /** ∃-element nested compilation entry: used by FilterCompiler via
-    * [[nestedValues]]. */
-  def nestedValues(key: String): Column =
-    coalesce(
-      transform(try_variant_get(raw(key), "$", "array<variant>"), e => to_json(e)),
-      array().cast(ArrayType(StringType)))
+    * [[nestedValues]]. A bracketed key (`arr1[].arr2`) contributes the
+    * elements of EVERY reached array (the reference's nested-with-wildcard
+    * form, `test_nesting_nested_payload_query.py`). */
+  def nestedValues(key: String): Column = {
+    def elems(r: Column): Column =
+      coalesce(
+        transform(try_variant_get(r, "$", "array<variant>"), e => to_json(e)),
+        array().cast(ArrayType(StringType)))
+    if (hasBrackets(key))
+      flatten(transform(reachedVariants(key), v => elems(v)))
+    else elems(raw(key))
+  }
 
   def elementResolver(elem: Column, innerTypes: Map[String, DataType]): JsonResolver =
     new JsonResolver(elem, innerTypes, lit(null), Map.empty)

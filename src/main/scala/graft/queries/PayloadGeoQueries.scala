@@ -98,6 +98,39 @@ object PayloadGeoQueries {
       trichotomy(s, dir, Filter.mustAll(IsEmpty("tags")))),
     "filter_is_null" -> ((s, dir) =>
       trichotomy(s, dir, Filter.mustAll(IsNullCond("tags")))),
+    // JsonPath wildcard traversal + doubly-nested filters
+    // (`JsonPath::rest` `json_path/mod.rs:19-33`,
+    // `tests/openapi/test_nesting_nested_payload_query.py`): payloads carry
+    // arr1 = [{arr2:[{a:1,b:2}]}, {arr2:[{a:doc%7,b:n%5},{a:5,b:doc%3}]}].
+    //  q1: nested(arr1, arr2[].a == 6)            → doc%7 == 6
+    //  q2: nested(arr1[].arr2, a == 5 AND b == 1) → same-element conjunction:
+    //      (doc%7 == 5 AND n%5 == 1) OR doc%3 == 1
+    //  q3: nested(arr1, nested(arr2, a == 6))     → must equal q1
+    //  q4: flat wildcard range arr1[].arr2[].a >= 6 → doc%7 == 6
+    "filter_nested_wildcard" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(lit("""{"arr1":[{"arr2":[{"a":1,"b":2}]},{"arr2":[{"a":"""),
+          col("doc_id") % 7, lit(""","b":"""), col("n_chars") % 5,
+          lit("""},{"a":5,"b":"""), col("doc_id") % 3,
+          lit("""}]}]}""")).as("payload"))
+      val fc = new FilterCompiler(new JsonResolver(col("payload"),
+        Map("arr1.arr2[].a" -> LongType, "arr1.arr2.a" -> LongType,
+          "arr1[].arr2.a" -> LongType, "arr1[].arr2.b" -> LongType,
+          "arr1[].arr2[].a" -> LongType), col("doc_id")))
+      val q1 = fc.compile(Filter.mustAll(NestedCond("arr1",
+        Filter.mustAll(MatchValue("arr2[].a", 6L)))))
+      val q2 = fc.compile(Filter.mustAll(NestedCond("arr1[].arr2",
+        Filter(must = Seq(MatchValue("a", 5L), MatchValue("b", 1L))))))
+      val q3 = fc.compile(Filter.mustAll(NestedCond("arr1",
+        Filter.mustAll(NestedCond("arr2", Filter.mustAll(MatchValue("a", 6L)))))))
+      val q4 = fc.compile(Filter.mustAll(
+        RangeCond("arr1[].arr2[].a", gte = Some(6L))))
+      d.agg(
+        sum(when(q1, 1L).otherwise(0L)).as("cnt_q1"),
+        sum(when(q2, 1L).otherwise(0L)).as("cnt_q2"),
+        sum(when(q3, 1L).otherwise(0L)).as("cnt_q3"),
+        sum(when(q4, 1L).otherwise(0L)).as("cnt_q4"))
+    }),
     // Empty-list match semantics (`tests/openapi/test_match_any_empty.py`,
     // `test_match_except_empty.py`): `any: []` matches NOTHING;
     // `except: []` matches every point with at least one actual value
@@ -297,6 +330,16 @@ object PayloadGeoQueries {
          |SELECT bucket, sum(CASE WHEN explicit_null OR has_null_elem
          |  THEN 1 ELSE 0 END)::BIGINT AS cnt
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the synthesized nested payload is a pure function of (doc_id, n_chars),
+    // so each wildcard/nested query reduces to modular arithmetic
+    "filter_nested_wildcard" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 6)::BIGINT AS cnt_q1,
+        |  (SELECT count(*) FROM documents
+        |   WHERE (doc_id % 7 = 5 AND n_chars % 5 = 1)
+        |      OR doc_id % 3 = 1)::BIGINT AS cnt_q2,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 6)::BIGINT AS cnt_q3,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 6)::BIGINT AS cnt_q4""".stripMargin,
     // bucket value populations: b0 two values, b1 [], b2 null, b3 absent,
     // b4 one scalar — any:[] matches none; except:[] matches b0,b4
     "match_empty_lists" ->
