@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShim
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
@@ -103,8 +103,14 @@ object SipHash24 {
   * like any other deterministic predicate. Dispatches on the id column type —
   * LongType ids hash their 8 LE bytes, StringType (UUID) ids their 16 RFC
   * 4122 bytes, mirroring the two `ExtendedPointId` arms. */
-case class SliceIndexExpr(child: Expression, total: Int) extends UnaryExpression {
+case class SliceIndexExpr(child: Expression, total: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
+  // long ids pass through; SQL int literals get an analyzer cast to long
+  // (the hash is over 8 LE bytes, so the widened value hashes identically);
+  // string (UUID) ids stay strings.
+  override def inputTypes: Seq[GraftShim.AbsType] =
+    Seq(GraftShim.typeCollection(LongType, StringType))
   private def isUuid: Boolean = child.dataType == StringType
   override def nullSafeEval(input: Any): Any =
     if (isUuid) SipHash24.sliceIndexUuid(input.toString, total)

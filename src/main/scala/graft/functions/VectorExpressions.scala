@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShim
@@ -21,9 +21,19 @@ import org.apache.spark.sql.types._
   * list_dot_product/list_distance, so swapping implementations never moves
   * a rounded score.
   */
-abstract class VecBinaryFold extends BinaryExpression {
+abstract class VecBinaryFold extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
+
+  /** float/double arrays pass through untouched (the DataFrame hot path —
+    * no cast node, no copy); anything else numeric (e.g. the
+    * `array<decimal>` a SQL user's bare `array(0.1, ...)` literal parses
+    * to under ANSI mode) gets an analyzer-inserted elementwise cast to
+    * `array<float>` instead of a runtime ClassCastException. */
+  override def inputTypes: Seq[GraftShim.AbsType] = {
+    val vec = GraftShim.typeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+    Seq(vec, vec)
+  }
 
   protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

@@ -46,6 +46,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(sql == Seq((1L, 2.0 + 2.0 + 1.5), (2L, -2.0 + 0.5 + 1.0)))
   }
 
+  test("bare decimal SQL literals coerce instead of ClassCastException") {
+    // ANSI mode parses `array(0.1, ...)` as array<decimal>; the kernels
+    // declare ImplicitCastInputTypes so the analyzer inserts the cast —
+    // the exact form a SQL user writes first (r8 bench regression).
+    import ext.implicits._
+    Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+      .createOrReplaceTempView("t_ext_dec")
+    val r = ext.sql(
+      """SELECT graft_dot(v, array(2.0, 1.0, 0.5)) AS d,
+        |       graft_l2sq(v, array(1.0, 2.0, 3.0)) AS l2,
+        |       graft_l1(array(1.5, 0.5), array(1.0, 1.0)) AS l1,
+        |       graft_geohash(13.361389, 38.115556, 6) AS gh,
+        |       graft_slice_index(7, 8) AS sl
+        |FROM t_ext_dec""".stripMargin).head()
+    assert(r.getDouble(0) == 2.0 + 2.0 + 1.5)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getString(3) == "sqc8b4")
+    assert(r.getLong(4) == graft.functions.SipHash24.sliceIndex(7L, 8))
+  }
+
   test("constant-argument kernels resolve and check literals") {
     import ext.implicits._
     Seq((7L, "a b c d")).toDF("id", "txt").createOrReplaceTempView("t_ext2")
