@@ -144,13 +144,61 @@ object RefBenchProbe {
     sparseSingle()
     val sparseSingleSec = median(Seq(1, 2, 3).map(_ => time(() => sparseSingle())))
 
+    // ---- shard filtered search (batch_search_bench.rs:29-48,129-147) ----
+    // The reference fixture: 2000 points, dim 100, Dot, payload a = i%5;
+    // 100 queries per iteration, top 10; filter variants none / match a=3 /
+    // range (gt -1, lte 100, matches all). Measured two ways like the
+    // reference's search-N vs search-batch-N groups: per-query driver loop
+    // (their non-batch arm) and the whole 100-query batch as ONE broadcast-
+    // join plan (their batch arm; sec/query = total/100).
+    val filteredResults = {
+      import graft.model.{Filter => GFilter, MatchValue, RangeCond}
+      import spark.implicits._
+      val fdf = ensure(s"$dir/filtered_2k")(
+        genDense(spark, 2000L, 100, "f2k")
+          .withColumn("a", (col("id") % 5).cast("long")))
+      val res = new graft.filters.TypedResolver(fdf.schema, "id")
+      val compiler = new graft.filters.FilterCompiler(res)
+      val qs = (0 until 100).map(qi =>
+        (0 until 100).map(i => (((qi * 131 + i) * 2654435761L % 1000000) / 1e6) - 0.5))
+      val qdf = qs.zipWithIndex.map { case (q, i) => (i, q) }.toDF("qid", "qvec")
+        .withColumn("qvec", col("qvec").cast("array<float>"))
+      val variants: Seq[(String, Option[GFilter])] = Seq(
+        "none" -> None,
+        "match" -> Some(GFilter(must = Seq(MatchValue("a", 3)))),
+        "range" -> Some(GFilter(must = Seq(
+          RangeCond("a", gt = Some(-1.0), lte = Some(100.0))))))
+      variants.map { case (name, f) =>
+        val base = f.fold(fdf)(ff => fdf.filter(compiler.compile(ff)))
+        def batch100(): Unit = {
+          Search.knnBatch(base, "id", "vec", qdf, "qid", "qvec", Dot, k = 10)
+            .count(): Unit
+        }
+        def singleLoop(nq: Int): Unit =
+          qs.take(nq).foreach { q =>
+            Search.knn(fdf, "id", "vec", q, Dot,
+              filter = f, resolver = Some(res), k = 10).collect(): Unit
+          }
+        batch100()
+        val batchSec = median(Seq(1, 2, 3).map(_ => time(() => batch100())))
+        singleLoop(2)
+        val singleSec = median(Seq(1, 2, 3).map(_ => time(() => singleLoop(10)))) / 10.0
+        (name, batchSec / 100.0, singleSec)
+      }
+    }
+
     val denseJson = denseResults.map { case (n, b1, b1data, b4) =>
       s""""${n / 1000}k":{"batch1_literal_sec_per_q":${f"$b1%.4f"},""" +
         s""""batch1_as_data_sec_per_q":${f"$b1data%.4f"},""" +
         s""""batch4_sec_per_q":${f"$b4%.4f"}}"""
     }.mkString("{", ",", "}")
+    val filteredJson = filteredResults.map { case (name, perQBatch, perQSingle) =>
+      s""""$name":{"batch_sec_per_q":${f"$perQBatch%.5f"},""" +
+        s""""single_sec_per_q":${f"$perQSingle%.4f"}}"""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"dense_dim":$Dim,"dense":$denseJson,""" +
+        s""""filtered_2k_dim100":$filteredJson,""" +
         s""""sparse":{"n":50000,"max_dim":30000,"queries":$nSparseQ,""" +
         s""""batch_total_sec":${f"$sparseTotal%.2f"},""" +
         s""""batch_sec_per_q":${f"${sparseTotal / nSparseQ}%.5f"},""" +
