@@ -62,6 +62,11 @@ object RefBenchProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_REFBENCH_DIR", "/tmp/graft_runtime/refbench")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nSparseQ = sys.env.getOrElse("SPARK_GRAFT_REFBENCH_SPARSE_QUERIES", "2048").toInt
+    // comma list of fixture sections to run (dense,sparse,filtered) — the
+    // full probe exceeds single-shot time budgets, and each section's JSON
+    // stands alone; skipped sections emit nothing.
+    val sections = sys.env.getOrElse("SPARK_GRAFT_REFBENCH_SECTIONS", "dense,sparse,filtered")
+      .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -85,10 +90,10 @@ object RefBenchProbe {
     val Dim = 1024
     val queries16 = (0 until 16).map(qi =>
       (0 until Dim).map(i => (((qi * 31 + i) * 2654435761L % 1000000) / 1e6) - 0.5))
-    val dense = Map(
+    val denseResults = if (!sections("dense")) Nil else Map(
       10000L -> ensure(s"$dir/dense_10k")(genDense(spark, 10000L, Dim, "d10")),
-      100000L -> ensure(s"$dir/dense_100k")(genDense(spark, 100000L, Dim, "d100")))
-    val denseResults = dense.toSeq.sortBy(_._1).map { case (n, df) =>
+      100000L -> ensure(s"$dir/dense_100k")(genDense(spark, 100000L, Dim, "d100"))
+    ).toSeq.sortBy(_._1).map { case (n, df) =>
       def single(q: Seq[Double]): Unit = {
         Search.knn(df, "id", "vec", q, Dot, k = 10).collect(): Unit
       }
@@ -118,31 +123,34 @@ object RefBenchProbe {
     }
 
     // ---- sparse postings search, 50k × 30k-dim ----
-    val postings = ensure(s"$dir/sparse_50k")(
-      genSparsePostings(spark, 50000L, 30000, 300, positive = false, "sp"))
-    val queryPostings = ensure(s"$dir/sparse_q$nSparseQ")(
-      genSparsePostings(spark, nSparseQ.toLong, 30000, 300, positive = true, "sq")
-        .select(col("id").as("qid"), col("dim"), col("weight").as("qw")))
-    def sparseBatch(): Unit = {
-      postings.join(queryPostings, "dim")
-        .groupBy(col("qid"), col("id"))
-        .agg(sum(col("weight") * col("qw")).as("score"))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("score").desc, col("id").asc)))
-        .filter(col("_rn") <= 10)
-        .count(): Unit
+    val sparseResults = if (!sections("sparse")) None else {
+      val postings = ensure(s"$dir/sparse_50k")(
+        genSparsePostings(spark, 50000L, 30000, 300, positive = false, "sp"))
+      val queryPostings = ensure(s"$dir/sparse_q$nSparseQ")(
+        genSparsePostings(spark, nSparseQ.toLong, 30000, 300, positive = true, "sq")
+          .select(col("id").as("qid"), col("dim"), col("weight").as("qw")))
+      def sparseBatch(): Unit = {
+        postings.join(queryPostings, "dim")
+          .groupBy(col("qid"), col("id"))
+          .agg(sum(col("weight") * col("qw")).as("score"))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("score").desc, col("id").asc)))
+          .filter(col("_rn") <= 10)
+          .count(): Unit
+      }
+      sparseBatch()
+      val sparseTotal = median(Seq(1, 2, 3).map(_ => time(() => sparseBatch())))
+      // single sparse query via the per-query operator (driver-side query row)
+      val q0 = queryPostings.filter(col("qid") === 0).select(col("dim"), col("qw"))
+      def sparseSingle(): Unit = {
+        graft.index.SparseIndex.search(postings, "id", q0, None, k = 10)
+          .collect(): Unit
+      }
+      sparseSingle()
+      val sparseSingleSec = median(Seq(1, 2, 3).map(_ => time(() => sparseSingle())))
+      Some((sparseTotal, sparseSingleSec))
     }
-    sparseBatch()
-    val sparseTotal = median(Seq(1, 2, 3).map(_ => time(() => sparseBatch())))
-    // single sparse query via the per-query operator (driver-side query row)
-    val q0 = queryPostings.filter(col("qid") === 0).select(col("dim"), col("qw"))
-    def sparseSingle(): Unit = {
-      graft.index.SparseIndex.search(postings, "id", q0, None, k = 10)
-        .collect(): Unit
-    }
-    sparseSingle()
-    val sparseSingleSec = median(Seq(1, 2, 3).map(_ => time(() => sparseSingle())))
 
     // ---- shard filtered search (batch_search_bench.rs:29-48,129-147) ----
     // The reference fixture: 2000 points, dim 100, Dot, payload a = i%5;
@@ -151,7 +159,7 @@ object RefBenchProbe {
     // reference's search-N vs search-batch-N groups: per-query driver loop
     // (their non-batch arm) and the whole 100-query batch as ONE broadcast-
     // join plan (their batch arm; sec/query = total/100).
-    val filteredResults = {
+    val filteredResults = if (!sections("filtered")) Nil else {
       import graft.model.{Filter => GFilter, MatchValue, RangeCond}
       import spark.implicits._
       val fdf = ensure(s"$dir/filtered_2k")(
@@ -196,13 +204,17 @@ object RefBenchProbe {
       s""""$name":{"batch_sec_per_q":${f"$perQBatch%.5f"},""" +
         s""""single_sec_per_q":${f"$perQSingle%.4f"}}"""
     }.mkString("{", ",", "}")
-    val json =
-      s"""{"dense_dim":$Dim,"dense":$denseJson,""" +
-        s""""filtered_2k_dim100":$filteredJson,""" +
-        s""""sparse":{"n":50000,"max_dim":30000,"queries":$nSparseQ,""" +
+    val parts = Seq.newBuilder[String]
+    parts += s""""dense_dim":$Dim"""
+    if (denseResults.nonEmpty) parts += s""""dense":$denseJson"""
+    if (filteredResults.nonEmpty) parts += s""""filtered_2k_dim100":$filteredJson"""
+    sparseResults.foreach { case (sparseTotal, sparseSingleSec) =>
+      parts += s""""sparse":{"n":50000,"max_dim":30000,"queries":$nSparseQ,""" +
         s""""batch_total_sec":${f"$sparseTotal%.2f"},""" +
         s""""batch_sec_per_q":${f"${sparseTotal / nSparseQ}%.5f"},""" +
-        s""""single_sec":${f"$sparseSingleSec%.3f"}}}"""
+        s""""single_sec":${f"$sparseSingleSec%.3f"}}"""
+    }
+    val json = parts.result().mkString("{", ",", "}")
     val p = java.nio.file.Paths.get("target/refbench.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))
