@@ -65,7 +65,8 @@ object RefBenchProbe {
     // comma list of fixture sections to run (dense,sparse,filtered) — the
     // full probe exceeds single-shot time budgets, and each section's JSON
     // stands alone; skipped sections emit nothing.
-    val sections = sys.env.getOrElse("SPARK_GRAFT_REFBENCH_SECTIONS", "dense,sparse,filtered")
+    val sections = sys.env.getOrElse("SPARK_GRAFT_REFBENCH_SECTIONS",
+        "dense,sparse,filtered,facet,multivec")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -204,10 +205,105 @@ object RefBenchProbe {
       s""""$name":{"batch_sec_per_q":${f"$perQBatch%.5f"},""" +
         s""""single_sec_per_q":${f"$perQSingle%.4f"}}"""
     }.mkString("{", ",", "}")
+    // ---- facets (lib/segment/benches/facets.rs) ----
+    // 1M points; facet keys: category (50 uniques), uuid_uniform (~667k
+    // uniques), uuid_zipf (Zipf s=1 over 100k ranks — generated via the
+    // inverse-CDF exp(u·ln k) whose pmf ∝ 1/rank); filter column rand ∈
+    // [0,1). Filters: none / selective (category=cat_0 AND rand<0.5 →
+    // ~1% of points) / broad (rand<0.75). Facet = count_distinct top 10.
+    // The reference's approximate_facet strategy table collapses here:
+    // one hash-aggregate plan serves all six of its paths.
+    val facetResults = if (!sections("facet")) Nil else {
+      val n = 1000000L
+      val fdf = ensure(s"$dir/facet_1m") {
+        def u(salt: String) =
+          pmod(xxhash64(col("id"), lit(salt)), lit(1000000)).cast("double") / 1e6
+        spark.range(n).toDF("id")
+          .withColumn("category",
+            concat(lit("cat_"), floor(u("c") * 50).cast("long")))
+          .withColumn("uuid_uniform", floor(u("u") * (n * 2 / 3)).cast("long"))
+          .withColumn("uuid_zipf",
+            floor(exp(u("z") * math.log(100000.0))).cast("long"))
+          .withColumn("rand", u("r"))
+      }
+      val res = new graft.filters.TypedResolver(fdf.schema, "id")
+      import graft.model.{Filter => GFilter, MatchValue, RangeCond}
+      val filters: Seq[(String, Option[GFilter])] = Seq(
+        "no-filter" -> None,
+        "selective-filter" -> Some(GFilter(must = Seq(
+          MatchValue("category", "cat_0"), RangeCond("rand", lt = Some(0.5))))),
+        "broad-filter" -> Some(GFilter(must = Seq(
+          RangeCond("rand", lt = Some(0.75))))))
+      for {
+        key <- Seq("category", "uuid_uniform", "uuid_zipf")
+        (flabel, f) <- filters
+      } yield {
+        def go(): Unit =
+          graft.ops.Reads.facet(fdf, "id", key, f, res, limit = 10)
+            .collect(): Unit
+        go()
+        (s"$key/$flabel", median(Seq(1, 2, 3).map(_ => time(() => go()))))
+      }
+    }
+
+    // ---- multivector MaxSim search (multi_vector_search.rs) ----
+    // 10k points × 16 vectors/point, dim 128, top 10, Dot and Euclid —
+    // the reference benches single queries against its HNSW multivec
+    // index; we measure the exact MaxSim scan (literal arm) and the
+    // 10-query broadcast batch arm (score via MaxSim in one plan).
+    val multivecResults = if (!sections("multivec")) Nil else {
+      import graft.functions.VectorFunctions
+      import graft.model.{Euclid, Metric => GMetric}
+      val mdf = ensure(s"$dir/multivec_10k") {
+        spark.range(10000L).toDF("id")
+          .withColumn("vecs", transform(sequence(lit(1), lit(16)), j =>
+            transform(sequence(lit(1), lit(128)), i =>
+              (pmod(xxhash64(col("id"), lit("mv"), j, i), lit(1000000))
+                .cast("double") / 1e6 - 0.5d).cast("float"))))
+      }
+      val queries10 = (0 until 10).map(qi =>
+        (0 until 16).map(j => (0 until 128).map(i =>
+          ((((qi * 37 + j) * 131 + i) * 2654435761L % 1000000) / 1e6 - 0.5).toFloat)))
+      // MaxSim is a larger-better similarity for every metric (Euclid's
+      // inner max runs over −Σ(a−b)², see VectorFunctions.maxSim)
+      Seq[(String, GMetric)](("dot", Dot), ("euclid", Euclid))
+        .map { case (mname, metric) =>
+          def single(q: Seq[Seq[Float]]): Unit =
+            Search.scoredTopK(mdf, "id",
+              VectorFunctions.maxSim(metric, col("vecs"), typedLit(q)),
+              largerBetter = true, k = 10).collect(): Unit
+          single(queries10.head)
+          val b1 = median(queries10.take(5).map(q => time(() => single(q))))
+          import spark.implicits._
+          def batch10(): Unit = {
+            val qdf = queries10.zipWithIndex.map { case (q, i) => (i, q) }
+              .toDF("qid", "qvecs")
+            val scored = mdf.crossJoin(broadcast(qdf))
+              .withColumn("score",
+                VectorFunctions.maxSim(metric, col("vecs"), col("qvecs")))
+              .withColumn("_rn", row_number().over(
+                Window.partitionBy(col("qid"))
+                  .orderBy(col("score").desc, col("id").asc)))
+              .filter(col("_rn") <= 10)
+            scored.count(): Unit
+          }
+          batch10()
+          val b10 = median(Seq(1, 2, 3).map(_ => time(() => batch10()))) / 10.0
+          (mname, b1, b10)
+        }
+    }
+
     val parts = Seq.newBuilder[String]
     parts += s""""dense_dim":$Dim"""
     if (denseResults.nonEmpty) parts += s""""dense":$denseJson"""
     if (filteredResults.nonEmpty) parts += s""""filtered_2k_dim100":$filteredJson"""
+    if (facetResults.nonEmpty)
+      parts += facetResults.map { case (k, sec) => s""""$k":${f"$sec%.4f"}""" }
+        .mkString("\"facet_1m_sec\":{", ",", "}")
+    if (multivecResults.nonEmpty)
+      parts += multivecResults.map { case (m, b1, b10) =>
+        s""""$m":{"single_sec":${f"$b1%.4f"},"batch10_sec_per_q":${f"$b10%.4f"}}"""
+      }.mkString("\"multivec_10k_16x128\":{", ",", "}")
     sparseResults.foreach { case (sparseTotal, sparseSingleSec) =>
       parts += s""""sparse":{"n":50000,"max_dim":30000,"queries":$nSparseQ,""" +
         s""""batch_total_sec":${f"$sparseTotal%.2f"},""" +

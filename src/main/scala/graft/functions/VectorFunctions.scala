@@ -49,16 +49,36 @@ object VectorFunctions {
   /** 0.5·(fastSigmoid(x)+1), range (0,1). Ref `math.rs:14-18`. */
   def scaledFastSigmoid(x: Column): Column = lit(0.5d) * (fastSigmoid(x) + lit(1.0d))
 
+  /** SIMILARITY orientation of a metric — larger-better for EVERY metric,
+    * matching the reference's internal `Metric::similarity`: Dot/Cosine
+    * as-is, Euclid −Σ(a−b)² (negated squared L2, NO sqrt —
+    * `euclid_similarity`, `lib/segment/src/spaces/simple.rs:214-218`),
+    * Manhattan −Σ|a−b| (`manhattan_similarity`, `simple.rs:222-227`).
+    * Distinct from [[score]], which returns the USER-VISIBLE score
+    * (distances positive, sqrt applied) used for thresholds/output. */
+  def similarity(metric: Metric, a: Column, b: Column): Column = metric match {
+    case Dot       => dot(a, b)
+    case Cosine    => cosine(a, b)
+    case Euclid    => -VecKernels.l2sq(a, b)
+    case Manhattan => -VecKernels.l1(a, b)
+  }
+
   /** MaxSim multivector comparator: Σ_{a∈query} max_{b∈stored} sim(a,b).
     * Ref `lib/segment/src/vector_storage/query_scorer/mod.rs:77-108`;
     * comparator is MaxSim-only for multivectors (`types.rs:2080-2082`).
     * `stored` is array<array<float>>, `queryVecs` likewise.
+    *
+    * The inner max runs over [[similarity]], NOT [[score]]: for
+    * distance metrics the best token pair is the SMALLEST distance, and
+    * the reference deliberately skips the sqrt postprocess inside MaxSim
+    * ("ranking will be the same", `query_scorer/mod.rs:71-76`), so the
+    * result is a larger-better similarity for every metric.
     */
   def maxSim(metric: Metric, stored: Column, queryVecs: Column): Column =
     aggregate(
       queryVecs,
       lit(0.0d),
-      (acc, qv) => acc + array_max(transform(stored, sv => score(metric, sv, qv))))
+      (acc, qv) => acc + array_max(transform(stored, sv => similarity(metric, sv, qv))))
 
   /** Sparse dot product over intersecting indices. Both operands are
     * struct<indices: array<int>, values: array<float>> with sorted unique

@@ -98,8 +98,15 @@ object VectorCodec {
     case Float32 =>
       graft.functions.VectorFunctions.maxSim(metric, stored, typedlit(queryVecs))
     case Float16 =>
+      // inner max over the SIMILARITY orientation (Euclid −Σ(a−b)², no
+      // sqrt; Manhattan −Σ|a−b|) — same contract as VectorFunctions.maxSim
+      val f16Sim: (Column, Column) => Column = metric match {
+        case Euclid    => (sv, qv) => -VecKernels.f16L2Sq(sv, qv)
+        case Manhattan => (sv, qv) => -VecKernels.f16L1(sv, qv)
+        case _         => (sv, qv) => f16Score(metric, sv, qv)
+      }
       aggregate(typedlit(queryVecs), lit(0.0d), (acc, qv) =>
-        acc + array_max(transform(stored, sv => f16Score(metric, sv, qv))))
+        acc + array_max(transform(stored, sv => f16Sim(sv, qv))))
     case Uint8 =>
       require(metric == Dot,
         "u8 multivector MaxSim supports the Dot metric (exact integer domain)")

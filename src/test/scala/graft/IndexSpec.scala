@@ -234,4 +234,51 @@ class IndexSpec extends SparkTestBase {
         0.0, cg)
     }
   }
+
+  test("MaxSim distance metrics use similarity orientation (inner max = closest pair)") {
+    // Reference MaxSim maxes over Metric::similarity — for Euclid that is
+    // −Σ(a−b)² (euclid_similarity, simple.rs:214-218), so the best token
+    // pair is the CLOSEST one and the result is larger-better. A max over
+    // raw distances would pick the farthest pair and invert the ranking.
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val rows = Seq(
+      // point 1's first token equals the query token exactly → best
+      (1L, Seq(Seq(1.0f, 0.0f), Seq(10.0f, 10.0f))),
+      (2L, Seq(Seq(0.0f, 1.0f), Seq(2.0f, 2.0f))),
+      (3L, Seq(Seq(5.0f, 5.0f))))
+    val df = rows.toDF("id", "vecs")
+    val q = Seq(Seq(1.0, 0.0))
+    def expected(metric: Metric): Map[Long, Double] = rows.map { case (id, toks) =>
+      id -> q.map(qv => toks.map { t =>
+        metric match {
+          case Euclid => -t.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+          case Manhattan => -t.zip(qv).map { case (a, b) => math.abs(a - b) }.sum
+          case _ => t.zip(qv).map { case (a, b) => a * b }.sum
+        }
+      }.max).sum
+    }.toMap
+    for (metric <- Seq(Euclid, Manhattan, Dot)) {
+      val got = df.select(col("id"),
+          VectorFunctions.maxSim(metric, col("vecs"), typedLit(q)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exp = expected(metric)
+      for ((id, e) <- exp)
+        assert(math.abs(got(id) - e) <= 1e-9, s"$metric id=$id: ${got(id)} vs $e")
+      // larger-better top-1 under Euclid is the exact-token match
+      if (metric == Euclid)
+        assert(got.maxBy(_._2)._1 == 1L)
+    }
+    // f16 multivector arm follows the same orientation
+    import graft.index.VectorCodec
+    import graft.model.Float16
+    val stored16 = df.select(col("id"),
+      transform(col("vecs"), v => VectorCodec.toF16(v)).as("vecs16"))
+    val got16 = stored16.select(col("id"),
+        VectorCodec.maxSimExpr(Float16, Euclid, col("vecs16"), q).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // tokens here are f16-exact, so values match the f32 expectation
+    for ((id, e) <- expected(Euclid))
+      assert(math.abs(got16(id) - e) <= 1e-6, s"f16 id=$id: ${got16(id)} vs $e")
+  }
 }
