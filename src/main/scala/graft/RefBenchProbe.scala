@@ -26,7 +26,22 @@ import graft.ops.Search
   *    one job for the WHOLE query batch (queries explode to (qid, dim,
   *    qw), join postings on dim, per-query window top-k) — the bulk
   *    regime sec/query is total/2048.
+  *  - Shard filtered search (`lib/collection/benches/batch_search_bench
+  *    .rs:29-48,129-147`): 2000 points, dim 100, Dot, 100-query
+  *    iterations, none/match/range filter variants.
+  *  - Facets (`lib/segment/benches/facets.rs`): 1M points, three
+  *    cardinality regimes × three filter selectivities, exact top-10.
+  *  - Multivector MaxSim (`lib/segment/benches/multi_vector_search.rs`):
+  *    10k points × 16 vectors × dim 128, Dot and Euclid, top 10.
   *
+  * Not reproduced here: boolean/range/conditional payload-filter scans
+  * (`boolean_filtering.rs` etc.) — the sf0.1 catalog bench already times
+  * those operators on real tables every round; and quantization encode
+  * (`lib/quantization/benches/`) — covered by the quantized_* catalog
+  * entries whose encode step runs inside each measured body.
+  *
+  * The full probe exceeds a 10-minute budget; select sections with
+  * SPARK_GRAFT_REFBENCH_SECTIONS=dense,sparse,filtered,facet,multivec.
   * Output: one JSON line, also target/refbench.json. Artifacts cache under
   * SPARK_GRAFT_REFBENCH_DIR (default /tmp/graft_runtime/refbench).
   */
