@@ -124,6 +124,23 @@ object IndexQueries {
       val expr = VectorFunctions.maxSim(Dot, col("vector_tok"), typedLit(qvs))
       Search.scoredTopK(stored, "vec_id", expr, largerBetter = true, k = 10)
     }),
+    // MaxSim under a DISTANCE metric: the inner max runs over the
+    // reference's SIMILARITY orientation −Σ(a−b)² (euclid_similarity,
+    // `lib/segment/src/spaces/simple.rs:214-218`; score_max_similarity
+    // `query_scorer/mod.rs:77-108` skips the sqrt postprocess), so the
+    // best token pair is the CLOSEST one and the result is larger-better
+    // — the orientation a raw-distance max would invert.
+    "maxsim_multivec_euclid" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def tok(n: Int) =
+        array((0 until n).map(i => slice(col("embedding"), i * 16 + 1, 16)): _*)
+      val stored = e.select(col("vec_id"),
+        when(col("vec_id") % 2 === 0, tok(4)).otherwise(tok(2)).as("vector_tok"))
+      val q = v7(s, dir)
+      val qvs = (0 until 4).map(i => q.slice(i * 16, i * 16 + 16))
+      val expr = VectorFunctions.maxSim(Euclid, col("vector_tok"), typedLit(qvs))
+      Search.scoredTopK(stored, "vec_id", expr, largerBetter = true, k = 10)
+    }),
     // MaxSim over a Uint8-DECLARED multivector collection: the engine
     // encodes each ragged token vector to array<tinyint> at create, and
     // Collection.knnMultivec scores through the exact-integer dot inside
@@ -268,6 +285,33 @@ object IndexQueries {
            |            list_dot_product(e3,q.$qi), list_dot_product(e4,q.$qi))
            | ELSE
            |   greatest(list_dot_product(e1,q.$qi), list_dot_product(e2,q.$qi))
+           | END)""".stripMargin
+      s"""WITH q AS (SELECT embedding[1:16]::DOUBLE[] AS q1, embedding[17:32]::DOUBLE[] AS q2,
+        |                  embedding[33:48]::DOUBLE[] AS q3, embedding[49:64]::DOUBLE[] AS q4
+        |           FROM embeddings WHERE vec_id = 7),
+        |t AS (SELECT vec_id,
+        |        embedding[1:16]::DOUBLE[] AS e1, embedding[17:32]::DOUBLE[] AS e2,
+        |        embedding[33:48]::DOUBLE[] AS e3, embedding[49:64]::DOUBLE[] AS e4,
+        |        (vec_id % 2 = 0) AS is_full
+        |      FROM embeddings)
+        |SELECT t.vec_id AS vec_id, round(
+        |    ${block("q1")}
+        |  + ${block("q2")}
+        |  + ${block("q3")}
+        |  + ${block("q4")}, 6) AS score
+        |FROM t, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
+    "maxsim_multivec_euclid" -> {
+      // inner max over −(distance)² per token pair; DuckDB's
+      // list_distance is the sqrt'd L2, so square it back — the ulp
+      // difference vs the engine's direct Σ(a−b)² fold is absorbed by
+      // round(·,6)
+      def block(qi: String) =
+        s"""(CASE WHEN is_full THEN
+           |   greatest(-pow(list_distance(e1,q.$qi),2), -pow(list_distance(e2,q.$qi),2),
+           |            -pow(list_distance(e3,q.$qi),2), -pow(list_distance(e4,q.$qi),2))
+           | ELSE
+           |   greatest(-pow(list_distance(e1,q.$qi),2), -pow(list_distance(e2,q.$qi),2))
            | END)""".stripMargin
       s"""WITH q AS (SELECT embedding[1:16]::DOUBLE[] AS q1, embedding[17:32]::DOUBLE[] AS q2,
         |                  embedding[33:48]::DOUBLE[] AS q3, embedding[49:64]::DOUBLE[] AS q4
