@@ -198,9 +198,12 @@ object RequestCodec {
       case o: JObject => o
       case other => fail(s"query request must be an object, got $other")
     }
-    // request-level `lookup_from` re-routes every id resolve in this node
-    // (and its prefetches — the reference applies it request-wide,
-    // `collection_query.rs:65-107`) to the named foreign collection
+    // `lookup_from` re-routes id resolution for THIS node only. Each node
+    // resolves with only its own lookup_from (`collection_query.rs:613-638`
+    // uses self.lookup_from per node; `fetch_vectors.rs:428-452`; schema.rs
+    // Prefetch doc: "if not specified - use the current collection"), so a
+    // prefetch WITHOUT its own lookup_from must NOT inherit the parent's —
+    // prefetches below are parsed with the original ctx0.
     val ctx = (o \ "lookup_from") match {
       case lf: JObject =>
         val loc = LookupFrom(
@@ -216,7 +219,7 @@ object RequestCodec {
       case _ => ctx0
     }
     val prefetches = oneOrMany(o \ "prefetch")
-      .map(p => queryNode(p, ctx, topLevel = false))
+      .map(p => queryNode(p, ctx0, topLevel = false))
     val filter = (o \ "filter") match {
       case f: JObject => Some(filterOf(f))
       case _ => None

@@ -25,6 +25,28 @@ final case class Filter(
 object Filter {
   val empty: Filter = Filter()
   def mustAll(cs: Condition*): Filter = Filter(must = cs)
+
+  /** Clause-wise concatenation of two filters, mirroring
+    * `Filter::merge_owned` (`types.rs:4520-4551`): must/should/mustNot lists
+    * append; minShould unions the condition lists and keeps the larger
+    * minCount. Used to propagate a parent/global filter into every prefetch
+    * (`lib/shard/src/query/planned_query.rs:325`). */
+  def merge(a: Filter, b: Filter): Filter = Filter(
+    must = a.must ++ b.must,
+    should = a.should ++ b.should,
+    minShould = (a.minShould, b.minShould) match {
+      case (Some(x), Some(y)) =>
+        Some(MinShould(x.conditions ++ y.conditions, x.minCount.max(y.minCount)))
+      case (x, y) => x.orElse(y)
+    },
+    mustNot = a.mustNot ++ b.mustNot)
+
+  /** `Filter::merge_opts` (`types.rs:4554-4561`). */
+  def mergeOpts(a: Option[Filter], b: Option[Filter]): Option[Filter] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(merge(x, y))
+      case (x, y) => x.orElse(y)
+    }
 }
 
 /** Ref: `MinShould {conditions, min_count}` — `types.rs:4395`. */

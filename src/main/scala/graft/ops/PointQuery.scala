@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.filters.{FieldResolver, FilterCompiler}
@@ -41,6 +42,13 @@ object PointQuery {
   final case class FeedbackQ(vecCol: String, metric: Metric,
       target: Seq[Double], feedback: Seq[(Seq[Double], Double)],
       a: Double, b: Double, c: Double) extends Scoring
+  /** Sparse-dot leaf over a tokens column: Σ_terms weight·tf(term) — the
+    * per-row form of [[graft.index.SparseIndex.search]]'s TF×weight scoring,
+    * usable as a prefetch leaf (the sparse half of the canonical hybrid
+    * dense+sparse→RRF query, `tests/openapi/test_query.py`). Query terms are
+    * few, so the score is one codegen'd projection — no posting join. */
+  final case class SparseDotQ(tokensCol: String, terms: Seq[(String, Double)])
+      extends Scoring
   final case class OrderByField(field: String, asc: Boolean,
       startFrom: Option[Any] = None) extends Scoring
   final case class SampleRandom(seed: Long) extends Scoring
@@ -68,8 +76,24 @@ object PointQuery {
       idCol: String,
       resolver: FieldResolver,
       q: Query): DataFrame = {
-    val pred = q.filter.filterNot(_.isEmpty)
-      .map(f => new FilterCompiler(resolver).compile(f))
+    val rootFilter = q.filter.filterNot(_.isEmpty)
+    val pred = rootFilter.map(f => new FilterCompiler(resolver).compile(f))
+
+    // The parent/global filter is merged into every prefetch before
+    // recursion (ref `planned_query.rs:306-340`, merge at :325 "Global
+    // filter to apply to all prefetches"): filters live in the LEAVES, so a
+    // filtered hybrid search filters each prefetch and the rescoring
+    // parents (Fusion/Formula/MMR) only ever see pre-filtered candidates.
+    // `execute` recurses, so grandchildren inherit transitively.
+    def inherited(c: Query): Query =
+      rootFilter.fold(c)(rf => c.copy(filter = Filter.mergeOpts(Some(rf), c.filter)))
+
+    // `skip(offset)` after the final merge (`query.rs:448-451`); inputs are
+    // ≤ offset+limit rows, so a single-partition window is the right shape.
+    def dropOffset(df: DataFrame, ord: Seq[Column], offset: Int): DataFrame =
+      if (offset == 0) df
+      else df.withColumn("_rn", row_number().over(Window.orderBy(ord: _*)))
+        .filter(col("_rn") > offset).drop("_rn").orderBy(ord: _*)
 
     def scoreExprOf(s: Scoring): (Column, Boolean) = s match {
       case Nearest(vc, m, qv) =>
@@ -90,6 +114,10 @@ object PointQuery {
           typedLit(qvs)), true)
       case FeedbackQ(vc, m, t, fb, a, b, c) =>
         (Search.feedbackNaiveExpr(m, col(vc), t, fb, a, b, c), true)
+      case SparseDotQ(tc, terms) =>
+        (terms.map { case (t, w) =>
+          lit(w) * size(filter(col(tc), x => x === lit(t))).cast("double")
+        }.reduce(_ + _), true)
       case other =>
         throw new IllegalArgumentException(s"$other is not a scoring leaf")
     }
@@ -98,7 +126,7 @@ object PointQuery {
       // ---- rescore-over-prefetch nodes ----
       case FusionQ(kind, weights, rrfK) =>
         require(q.prefetches.nonEmpty, "Fusion requires prefetches")
-        val children = q.prefetches.map { c =>
+        val children = q.prefetches.map(inherited).map { c =>
           val df = execute(spark, points, idCol, resolver, c)
           c.scoring match {
             case OrderByField(_, _, _) if kind == "dbsf" =>
@@ -118,15 +146,24 @@ object PointQuery {
             case _ => Fusion.Source(df)
           }
         }
-        kind match {
-          case "rrf" => Fusion.rrf(children, idCol, k = rrfK.getOrElse(2), weights, q.limit)
-          case "dbsf" => Fusion.dbsf(children, idCol, weights, q.limit)
+        val fetch = q.offset + q.limit
+        val fused = kind match {
+          case "rrf" => Fusion.rrf(children, idCol, k = rrfK.getOrElse(2), weights, fetch)
+          case "dbsf" => Fusion.dbsf(children, idCol, weights, fetch)
           case other => throw new IllegalArgumentException(s"unknown fusion '$other'")
         }
+        // Root threshold over the fused list is NON-strict and order-aware
+        // (`take_while(score >= t)` at collection level, `query.rs:389-396`
+        // — unlike the strict leaf `check_threshold`, `types.rs:363-369`);
+        // fused scores are always larger-better. Offset applies after
+        // (`skip(offset).take(limit)`, `query.rs:448-451`).
+        val thresholded =
+          q.scoreThreshold.fold(fused)(t => fused.filter(col("score") >= t))
+        dropOffset(thresholded, Seq(col("score").desc, col(idCol).asc), q.offset)
 
       case FormulaQ(ast, defaultScore) =>
         require(q.prefetches.nonEmpty, "Formula requires prefetches")
-        val children = q.prefetches.zipWithIndex.map { case (c, i) =>
+        val children = q.prefetches.map(inherited).zipWithIndex.map { case (c, i) =>
           execute(spark, points, idCol, resolver, c)
             .withColumnRenamed("score", s"_score$i")
         }
@@ -142,7 +179,7 @@ object PointQuery {
 
       case MmrQ(vc, m, qv, lambda) =>
         require(q.prefetches.nonEmpty, "MMR rescore requires prefetches")
-        val candidateIds = q.prefetches
+        val candidateIds = q.prefetches.map(inherited)
           .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
           .reduce(_ union _).distinct()
         // Mmr.rerank breaks ties by first-seen input order, so the
@@ -151,14 +188,25 @@ object PointQuery {
         // An unordered semi-join here makes tie-breaks partition-order —
         // visible whenever MMR scores tie exactly (e.g. λ=0.5 with the
         // query equal to a stored vector: every post-first pick scores 0).
-        val cands = points.join(candidateIds, Seq(idCol), "left_semi")
+        val scoredCands = points.join(candidateIds, Seq(idCol), "left_semi")
           .withColumn("score",
             round(Search.scoreExpr(m, col(vc), typedLit(qv)), 6))
+        // MMR-with-prefetches applies the root score_threshold at the
+        // candidate-gathering Nearest rescore (shard-level RescoreParams,
+        // `planned_query.rs:244-262`) — strict, per `check_threshold`.
+        val thresholded = q.scoreThreshold.fold(scoredCands) { t =>
+          scoredCands.filter(
+            if (m.largerBetter) col("score") > t else col("score") < t)
+        }
+        val cands = thresholded
           .select(col(idCol), col("score"), col(vc))
           .orderBy(
             if (m.largerBetter) col("score").desc else col("score").asc,
             col(idCol).asc)
-        Mmr.rerank(spark, cands, idCol, vc, m, qv, lambda, q.limit)
+        // `skip(offset).take(limit)` on the selection-ordered MMR output
+        // (`query.rs:448-451`); `position` stays the global selection rank.
+        Mmr.rerank(spark, cands, idCol, vc, m, qv, lambda, q.offset + q.limit)
+          .filter(col("position") > q.offset)
 
       // ---- scroll leaves ----
       case OrderByField(field, asc, startFrom) =>
@@ -173,15 +221,23 @@ object PointQuery {
       // ---- scoring leaves (optionally rescoring prefetch candidates) ----
       case leaf =>
         val (expr, largerBetter) = scoreExprOf(leaf)
+        // qdrant's sparse search only yields points with ≥ 1 matching dim
+        // (the posting-join candidate set); zero-overlap rows never appear.
+        val leafPred = leaf match {
+          case SparseDotQ(tc, terms) =>
+            val overlap = arrays_overlap(col(tc), typedLit(terms.map(_._1)))
+            Some(pred.fold(overlap)(_ && overlap))
+          case _ => pred
+        }
         val base =
           if (q.prefetches.isEmpty) points
           else {
-            val candidateIds = q.prefetches
+            val candidateIds = q.prefetches.map(inherited)
               .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
               .reduce(_ union _).distinct()
             points.join(candidateIds, Seq(idCol), "left_semi")
           }
-        Search.scoredTopK(base, idCol, expr, largerBetter, pred,
+        Search.scoredTopK(base, idCol, expr, largerBetter, leafPred,
           k = q.limit, offset = q.offset, scoreThreshold = q.scoreThreshold)
     }
   }

@@ -96,6 +96,25 @@ object ApiQueries {
         |  "query": {"rrf": {"k": 2, "weights": [1.0, 2.0]}},
         |  "limit": 10
         |}""".stripMargin)),
+    // Filtered hybrid over the wire: a ROOT filter that must propagate into
+    // both prefetches and merge with the first prefetch's own filter
+    // (`planned_query.rs:306-340`), plus root-level score_threshold
+    // (non-strict take_while over the fused list, `query.rs:389-396`) and
+    // offset (`query.rs:448-451`) — all parsed from the literal JSON body.
+    "api_query_prefetch_filtered" -> ((s, dir) => runOnEmbeddings(s, dir,
+      """{
+        |  "prefetch": [
+        |    {"query": {"nearest": 7},
+        |     "filter": {"must": [{"key": "label", "range": {"lt": 8}}]},
+        |     "limit": 20},
+        |    {"query": {"nearest": 42}, "using": "cosine", "limit": 20}
+        |  ],
+        |  "query": {"rrf": {}},
+        |  "filter": {"must": [{"key": "label", "range": {"gte": 2}}]},
+        |  "score_threshold": 0.15,
+        |  "offset": 1,
+        |  "limit": 10
+        |}""".stripMargin)),
     // formula rescore over a prefetch: score blend + gauss decay on a
     // payload field + division. Mirrors `formula_rescore`.
     "api_query_formula" -> ((s, dir) => runOnEmbeddings(s, dir,
@@ -344,6 +363,27 @@ object ApiQueries {
     "api_query_recommend_best" -> RankQueries.oracles("recommend_best_score"),
     "api_query_discover" -> RankQueries.oracles("discover"),
     "api_query_fusion_rrf" -> RankQueries.oracles("fusion_rrf"),
+    "api_query_prefetch_filtered" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |      FROM embeddings e, q7 WHERE e.label >= 2 AND e.label < 8
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q42.v, q42.v))), 6) AS s
+        |      FROM embeddings e, q42 WHERE e.label >= 2
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
+        |u AS (SELECT vec_id, 1.0/(pos + 1.0) AS c FROM ar
+        |      UNION ALL SELECT vec_id, 1.0/(pos + 1.0) AS c FROM br),
+        |f AS (SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |      ORDER BY score DESC, vec_id ASC LIMIT 11)
+        |SELECT vec_id, score FROM f WHERE score >= 0.15
+        |ORDER BY score DESC, vec_id ASC OFFSET 1""".stripMargin,
     "api_query_formula" -> PayloadGeoQueries.oracles("formula_rescore"),
     "api_query_lookup_from" -> RankQueries.oracles("recommend_lookup_from_shard"),
     "api_query_mmr" ->

@@ -219,6 +219,78 @@ object IndexQueries {
       val root = Query(FusionQ("dbsf"), prefetches = Seq(m1, m2, l3), limit = 10)
       execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), root)
     }),
+    // THE canonical qdrant hybrid query (`tests/openapi/test_query.py`):
+    // dense + sparse prefetch → RRF, with a ROOT payload filter. The root
+    // filter must propagate into BOTH prefetches and merge with the sparse
+    // prefetch's own filter (`planned_query.rs:306-340`, merge at :325) —
+    // regression entry for the round-8 root-filter-drop bug.
+    "prefetch_rrf_filtered" -> ((s, dir) => {
+      import PointQuery._
+      val pts = emb(s, dir)
+        .join(Tables.load(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+      val q = Query(
+        scoring = FusionQ("rrf"),
+        filter = Some(Filter(
+          must = Seq(MatchValue("lang", "en")),
+          mustNot = Seq(MatchValue("source", "src3")))),
+        prefetches = Seq(
+          Query(Nearest("embedding", Dot, v7(s, dir)), limit = 20),
+          Query(SparseDotQ("toks", Seq("spark" -> 1.0, "vector" -> 2.0)),
+            filter = Some(Filter.mustAll(RangeCond("n_chars", gte = Some(50L)))),
+            limit = 20)),
+        limit = 10)
+      execute(s, pts, "vec_id", new TypedResolver(pts.schema, "vec_id"), q)
+    }),
+    // Root filter through a Formula parent: the prefetch sees root ∧ own
+    // filter; the formula rescore runs over the pre-filtered candidates
+    // (filters live in the leaves — `planned_query.rs:325`).
+    "prefetch_formula_filtered" -> ((s, dir) => {
+      import PointQuery._
+      import graft.ops.Formula._
+      val e = emb(s, dir)
+      val q = Query(
+        scoring = FormulaQ(Sum(Seq(
+          Mult(Seq(Constant(0.7), ScoreVar(0))),
+          Div(Constant(5.0), Sum(Seq(PayloadVar("label"), Constant(2.0))))))),
+        filter = Some(Filter.mustAll(RangeCond("label", gte = Some(2)))),
+        prefetches = Seq(
+          Query(Nearest("embedding", Dot, v7(s, dir)),
+            filter = Some(Filter.mustAll(RangeCond("label", lt = Some(8)))),
+            limit = 30)),
+        limit = 10)
+      execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), q)
+    }),
+    // Root-level score_threshold + offset on a fusion parent: threshold is
+    // NON-strict over the fused list (`take_while(score >= t)`,
+    // `query.rs:389-396`), then `skip(offset)` (`query.rs:448-451`).
+    "fusion_rrf_threshold" -> ((s, dir) => {
+      import PointQuery._
+      val e = emb(s, dir)
+      val q = Query(
+        scoring = FusionQ("rrf"),
+        prefetches = Seq(
+          Query(Nearest("embedding", Dot, v7(s, dir)), limit = 20),
+          Query(Nearest("embedding", Cosine, Tables.embeddingOf(s, dir, 42L)),
+            limit = 20)),
+        limit = 10, offset = 2, scoreThreshold = Some(0.15))
+      execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), q)
+    }),
+    // Fusion input orientation: a smaller-better Euclid leaf mixed into RRF
+    // must rank ascending inside its own list (`Fusion.Source.largerBetter`;
+    // the reference's per-source lists arrive pre-ranked in metric order).
+    "fusion_rrf_euclid" -> ((s, dir) => {
+      import PointQuery._
+      val e = emb(s, dir)
+      val q = Query(
+        scoring = FusionQ("rrf"),
+        prefetches = Seq(
+          Query(Nearest("embedding", Dot, v7(s, dir)), limit = 20),
+          Query(Nearest("embedding", Euclid, Tables.embeddingOf(s, dir, 13L)),
+            limit = 20)),
+        limit = 10)
+      execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), q)
+    }),
     // Recall@10 vs nprobe over the IVF mechanism itself — the curve the
     // lossy ANN path trades on (reference analog: ef on the HNSW bench,
     // `lib/segment/benches/hnsw_search_graph.rs`; the 1M-point measured
@@ -400,6 +472,73 @@ object IndexQueries {
         |         ELSE (-s - (-m - 3*sd)) / (6*sd) END AS c FROM m2, s2),
         |n3 AS (SELECT vec_id, 0.5 AS c FROM l3),
         |u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "prefetch_rrf_filtered" ->
+      """WITH pts AS (SELECT e.vec_id AS vec_id, e.embedding::DOUBLE[] AS v,
+        |        string_split(d.text, ' ') AS toks, d.lang AS lang,
+        |        d.source AS source, d.n_chars AS n_chars
+        |      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |a AS (SELECT p.vec_id AS vec_id, round(list_dot_product(p.v, q7.v), 6) AS s
+        |      FROM pts p, q7 WHERE p.lang = 'en' AND p.source <> 'src3'
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT vec_id,
+        |        round(len(list_filter(toks, x -> x = 'spark'))::DOUBLE * 1.0
+        |          + len(list_filter(toks, x -> x = 'vector'))::DOUBLE * 2.0, 6) AS s
+        |      FROM pts
+        |      WHERE lang = 'en' AND source <> 'src3' AND n_chars >= 50
+        |        AND (len(list_filter(toks, x -> x = 'spark')) > 0
+        |          OR len(list_filter(toks, x -> x = 'vector')) > 0)
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
+        |u AS (SELECT vec_id, 1.0/(pos + 1.0) AS c FROM ar
+        |      UNION ALL SELECT vec_id, 1.0/(pos + 1.0) AS c FROM br)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "prefetch_formula_filtered" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |pre AS (SELECT e.vec_id AS vec_id,
+        |          round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |        FROM embeddings e, q7 WHERE e.label >= 2 AND e.label < 8
+        |        ORDER BY s DESC, vec_id ASC LIMIT 30)
+        |SELECT e.vec_id AS vec_id,
+        |       round(0.7 * p.s + 5.0 / (e.label + 2.0), 6) AS score
+        |FROM embeddings e JOIN pre p ON e.vec_id = p.vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "fusion_rrf_threshold" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |      FROM embeddings e, q7 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q42.v, q42.v))), 6) AS s
+        |      FROM embeddings e, q42 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
+        |u AS (SELECT vec_id, 1.0/(pos + 1.0) AS c FROM ar
+        |      UNION ALL SELECT vec_id, 1.0/(pos + 1.0) AS c FROM br),
+        |f AS (SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |      ORDER BY score DESC, vec_id ASC LIMIT 12)
+        |SELECT vec_id, score FROM f WHERE score >= 0.15
+        |ORDER BY score DESC, vec_id ASC OFFSET 2""".stripMargin,
+    "fusion_rrf_euclid" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q13 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=13),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |      FROM embeddings e, q7 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_distance(e.embedding::DOUBLE[], q13.v), 6) AS s
+        |      FROM embeddings e, q13 ORDER BY s ASC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s ASC, vec_id ASC) AS pos FROM b),
+        |u AS (SELECT vec_id, 1.0/(pos + 1.0) AS c FROM ar
+        |      UNION ALL SELECT vec_id, 1.0/(pos + 1.0) AS c FROM br)
         |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "prefetch_rescore" ->

@@ -108,6 +108,33 @@ class CodecSpec extends AnyFunSuite {
     assert(q.limit == 3)
   }
 
+  test("query: prefetch without its own lookup_from does NOT inherit the parent's") {
+    // Each node resolves ids with only its own lookup_from
+    // (`collection_query.rs:613-638`; schema.rs Prefetch doc: "if not
+    // specified - use the current collection").
+    val lctx = Ctx(
+      spaces = Map("" -> VectorSpace("embedding", Dot)),
+      resolveId = { case 7L => Seq(1.0, 2.0); case id => fail(s"bad id $id") },
+      resolveLookup = (lf, id) => {
+        assert(lf.collection == "other" && id == 7L); Seq(9.0, 9.0)
+      })
+    val q = RequestCodec.parseQueryRequest(
+      """{"lookup_from": {"collection": "other"},
+        |  "prefetch": {"query": {"nearest": 7}, "limit": 5},
+        |  "query": {"nearest": 7}, "limit": 3}""".stripMargin, lctx)
+    // the root's own id resolves through the foreign collection...
+    assert(q.scoring == Nearest("embedding", Dot, Seq(9.0, 9.0)))
+    // ...but the prefetch resolves against the CURRENT collection
+    assert(q.prefetches.head.scoring == Nearest("embedding", Dot, Seq(1.0, 2.0)))
+    // a prefetch WITH its own lookup_from still installs its own redirect
+    val q2 = RequestCodec.parseQueryRequest(
+      """{"prefetch": {"lookup_from": {"collection": "other"},
+        |              "query": {"nearest": 7}, "limit": 5},
+        |  "query": {"nearest": 7}, "limit": 3}""".stripMargin, lctx)
+    assert(q2.scoring == Nearest("embedding", Dot, Seq(1.0, 2.0)))
+    assert(q2.prefetches.head.scoring == Nearest("embedding", Dot, Seq(9.0, 9.0)))
+  }
+
   test("query: multi-dense matrix becomes MaxSim (the only multivector comparator)") {
     val q = RequestCodec.parseQueryRequest(
       """{"query": [[0.1, 0.2], [0.3, 0.4]]}""", ctx)
