@@ -115,8 +115,8 @@ object IvfRecallProbe {
 
   /** Batch IVF search: per-query probed cells resolved driver-side
     * (nq × k centroid distances), then ONE broadcast equi-join on the cell
-    * id — the big side streams once; per-query ranking is a window the
-    * optimizer bounds map-side (WindowGroupLimit). */
+    * id — the big side streams once; the per-query top-k reduction is
+    * map-side bounded (Search.batchRank: heap-aggregator partial combine). */
   def ivfBatch(
       assigned: DataFrame,
       queries: Seq[Seq[Double]],

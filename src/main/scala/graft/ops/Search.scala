@@ -88,9 +88,37 @@ object Search {
       pred, k, offset, scoreThreshold, extraCols)
   }
 
+  /** Per-query top-k reduction over a scored (queryId, id, score) stream —
+    * the batch-KNN merge stage. Map-side bounded either way: LongType ids
+    * reduce through [[TopK.TopKAgg]] (ObjectHashAggregate partial combine —
+    * each mapper ships ONE ≤ k-entry heap buffer per query, O(log k) insert
+    * per row, no sort); other id types use the window form, which Spark
+    * ≥ 3.5 also bounds below the exchange via `WindowGroupLimit(Partial)`
+    * but pays a per-partition sort of all scored rows first (measured
+    * 2-3× slower at 1M×64q — `graft.KnnBatchProbe`, SCALEPROBE_r09.md;
+    * shuffle volume is partitions×Q×k for BOTH, never N×Q). */
+  def batchRank(
+      scored: DataFrame,
+      queryIdCol: String,
+      idCol: String,
+      k: Int,
+      largerBetter: Boolean): DataFrame =
+    scored.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        TopK.batchTopK(scored, queryIdCol, idCol, k, largerBetter)
+      case _ =>
+        val ord = orderCols(col("score"), col(idCol), largerBetter)
+        scored
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col(queryIdCol)).orderBy(ord: _*)))
+          .filter(col("_rn") <= k)
+          .select(col(queryIdCol), col(idCol), col("score"), col("_rn").as("rank"))
+    }
+
   /** Batch nearest-k: one top-k per row of `queries` (cols: queryIdCol,
-    * queryVecCol). Query side is broadcast; per-query ranking via window.
-    * This is the 100 TB shape: the big side streams once, never shuffles. */
+    * queryVecCol). The 100 TB shape: the query side is broadcast, the big
+    * side streams once, and the reduction is map-side bounded
+    * ([[batchRank]] — ≤ k rows per mapper per query cross the wire). */
   def knnBatch(
       points: DataFrame,
       idCol: String,
@@ -102,12 +130,7 @@ object Search {
       k: Int = 10): DataFrame = {
     val scored = points.crossJoin(broadcast(queries))
       .withColumn("score", round(scoreExpr(metric, col(vecCol), col(queryVecCol)), 6))
-    val ord = orderCols(col("score"), col(idCol), metric.largerBetter)
-    scored
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(queryIdCol)).orderBy(ord: _*)))
-      .filter(col("_rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("score"), col("_rn").as("rank"))
+    batchRank(scored, queryIdCol, idCol, k, metric.largerBetter)
   }
 
   /** Recommend, `avg_vector` strategy: search vector =

@@ -252,17 +252,16 @@ final class Collection(
     * (queryIdCol + queryVecCol as `array<float|double>`). The query side is
     * broadcast and — for a Uint8 collection — encoded through the same i8
     * codec IN the plan, so the big side streams the narrow stored column
-    * once and never shuffles; per-query ranking via window (the same shape
-    * as [[graft.ops.Search.knnBatch]], with the element-type decode fused
-    * into the scoring kernel). Float16/Uint8 currently support the Dot
-    * metric in batch form (the reference's dominant batch-scoring path). */
+    * once; the reduction is map-side bounded ([[graft.ops.Search.batchRank]]
+    * — ≤ k rows per mapper per query cross the wire). Float16/Uint8
+    * currently support the Dot metric in batch form (the reference's
+    * dominant batch-scoring path). */
   def knnBatch(
       vectorName: String,
       queries: DataFrame,
       queryIdCol: String,
       queryVecCol: String,
       k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vc = config.vectorConfig(vectorName)
     val stored = col(config.vectorCol(vectorName))
     val qv = col(queryVecCol)
@@ -279,14 +278,8 @@ final class Collection(
     }
     val scored = read().crossJoin(broadcast(queries))
       .withColumn("score", round(score, 6))
-    val ord = Seq(
-      if (vc.metric.largerBetter) col("score").desc else col("score").asc,
-      col(config.idCol).asc)
-    scored
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(queryIdCol)).orderBy(ord: _*)))
-      .filter(col("_rn") <= k)
-      .select(col(queryIdCol), col(config.idCol), col("score"), col("_rn").as("rank"))
+    graft.ops.Search.batchRank(scored, queryIdCol, config.idCol, k,
+      vc.metric.largerBetter)
   }
 
   /** Collection-level metadata (`CollectionConfig.metadata`, PATCH

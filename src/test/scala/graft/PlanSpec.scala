@@ -47,6 +47,36 @@ class PlanSpec extends SparkTestBase {
       "query side not broadcast:\n" + p.take(1200))
   }
 
+  test("batch knn reduces map-side: partial top-k aggregation, no full-row exchange") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val p = plan(Search.knnBatch(e, "vec_id", "embedding", qs, "qid", "qv", Dot, k = 3))
+    // Long ids → heap-aggregator path: ObjectHashAggregate with a partial
+    // stage BELOW the exchange — each mapper ships ≤ k entries per query
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkagg"),
+      "no partial top-k aggregation:\n" + p.take(1500))
+    assert(!p.contains("Window ["), "agg path must not plan a window:\n" + p.take(1500))
+    // the partial aggregate must sit below the exchange (printed after it)
+    assert(p.indexOf("partial_topkagg") > p.indexOf("Exchange hashpartitioning"),
+      "partial aggregation not below the exchange:\n" + p.take(1500))
+  }
+
+  test("batch knn window fallback (non-Long ids) bounds the window map-side") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("sid", concat(lit("u"), col("vec_id")))
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val p = plan(Search.knnBatch(e, "sid", "embedding", qs, "qid", "qv", Dot, k = 3))
+    // string ids → window path; Spark ≥ 3.5 inserts WindowGroupLimit in
+    // Partial mode below the exchange, so the shuffle still ships only
+    // ≤ k rows per (mapper, query) — never the full scored row set
+    assert(p.contains("WindowGroupLimit") && p.contains(", Partial"),
+      "no partial WindowGroupLimit:\n" + p.take(1500))
+    assert(p.indexOf(", Partial") > p.indexOf("Exchange hashpartitioning"),
+      "partial group-limit not below the exchange:\n" + p.take(1500))
+  }
+
   test("similarity scoring stays inside whole-stage codegen") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = Tables.embeddingOf(spark, sf, 1L)
