@@ -127,8 +127,17 @@ final class StructResolver(elem: Column, tpe: StructType) extends FieldResolver 
   * Every condition is null-safe (`coalesce(c, false)`): a predicate over an
   * absent field is FALSE, so its negation under mustNot is TRUE — matching
   * qdrant, where SQL three-valued logic would otherwise drop the row.
+  *
+  * `textIndexes`: per-field full-text analyzer configs. A Match::Text /
+  * TextAny / Phrase against a field listed here tokenizes BOTH the query
+  * string and the field values with that analyzer (the reference tokenizes
+  * text-match queries with the field's full-text index params,
+  * `lib/segment/src/data_types/index.rs:243-414`); unlisted fields keep the
+  * raw whitespace tokens (a text match against an unindexed field).
   */
-final class FilterCompiler(r: FieldResolver) {
+final class FilterCompiler(
+    r: FieldResolver,
+    textIndexes: Map[String, TextIndexConfig] = Map.empty) {
 
   def compile(f: Filter): Column = {
     val clauses = Seq.newBuilder[Column]
@@ -194,18 +203,43 @@ final class FilterCompiler(r: FieldResolver) {
     case MatchValue(k, value) => anyValue(k, _ === lit(value))
     case MatchAny(k, vs) => anyValue(k, _.isin(vs: _*))
     case MatchExcept(k, vs) => anyValue(k, !_.isin(vs: _*))
-    case MatchText(k, text) =>
-      val qs = text.split(" ").filter(_.nonEmpty)
-      anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ && _))
-    case MatchTextAny(k, text) =>
-      val qs = text.split(" ").filter(_.nonEmpty)
-      anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ || _))
+    case MatchText(k, text) => textIndexes.get(k) match {
+      case Some(cfg) =>
+        // ALL analyzed query tokens ∈ the analyzed value token set; an
+        // all-stopword query matches vacuously (no tokens to require)
+        val qs = graft.functions.TextFunctions.analyzeQueryWith(text, cfg).distinct
+        // all-stopword query: vacuously true on any PRESENT value
+        if (qs.isEmpty) anyValue(k, _ => lit(true))
+        else anyValue(k, v => size(array_except(typedLit(qs),
+          graft.functions.TextFunctions.analyzeWith(v, cfg))) === 0)
+      case None =>
+        val qs = text.split(" ").filter(_.nonEmpty)
+        anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ && _))
+    }
+    case MatchTextAny(k, text) => textIndexes.get(k) match {
+      case Some(cfg) =>
+        val qs = graft.functions.TextFunctions.analyzeQueryWith(text, cfg).distinct
+        if (qs.isEmpty) lit(false)
+        else anyValue(k, v => arrays_overlap(typedLit(qs),
+          graft.functions.TextFunctions.analyzeWith(v, cfg)))
+      case None =>
+        val qs = text.split(" ").filter(_.nonEmpty)
+        anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ || _))
+    }
     case MatchPhrase(k, text) =>
       // positions-based: consecutive token subsequence within ONE value
-      // (the full-text index phrase_matching path)
-      val phrase = text.split(" ").filter(_.nonEmpty).toSeq
+      // (the full-text index phrase_matching path). With a declared text
+      // index, positions come from the ANALYZED stream — stopword removal
+      // compresses them, so a phrase spanning a dropped stopword matches.
+      val (phrase, toks0) = textIndexes.get(k) match {
+        case Some(cfg) =>
+          (graft.functions.TextFunctions.analyzeQueryWith(text, cfg),
+            (v: Column) => graft.functions.TextFunctions.analyzeWith(v, cfg))
+        case None =>
+          (text.split(" ").filter(_.nonEmpty).toSeq, (v: Column) => tokens(v))
+      }
       anyValue(k, v =>
-        graft.functions.TextKernels.containsTokenSeqCol(tokens(v), phrase))
+        graft.functions.TextKernels.containsTokenSeqCol(toks0(v), phrase))
     case MatchPrefix(k, p) => anyValue(k, _.startsWith(p))
     case RangeCond(k, gt, gte, lt, lte) =>
       anyValue(k, v => rangeBounds(v, r.dataTypeOf(k), gt, gte, lt, lte))

@@ -97,6 +97,48 @@ object TextFunctions {
     t
   }
 
+  /** Analyzer pipeline for a declared text-index config ([[graft.model
+    * .TextIndexConfig]]): tokenize → lowercase → fold → stopwords → stem,
+    * Column side. The word tokenizer lowercases inherently. */
+  def analyzeWith(text: Column, c: graft.model.TextIndexConfig): Column = {
+    var t = c.tokenizer match {
+      case "multilingual" => tokensMultilingual(text)
+      case "whitespace" =>
+        if (c.lowercase) lowercaseTokens(tokensWs(text)) else tokensWs(text)
+      case _ => tokensWord(text)
+    }
+    if (c.asciiFolding) t = asciiFold(t)
+    if (c.stopwords.nonEmpty) t = dropStopwords(t, c.stopwords)
+    c.stemmerLang.foreach(l => t = stemTokensLang(t, l))
+    t
+  }
+
+  /** Driver-side twin of [[analyzeWith]] for QUERY strings — the reference
+    * tokenizes a text-match query once at parse time with the field's
+    * analyzer (`index.rs:243-414`). Shares the fold/stem kernels with the
+    * Column path so both sides agree exactly. */
+  def analyzeQueryWith(text: String, c: graft.model.TextIndexConfig): Seq[String] = {
+    var toks: Seq[String] = c.tokenizer match {
+      case "multilingual" => MultilingualTokenizer.tokenize(text)
+      case "whitespace" =>
+        val t = text.split(" ", -1).toSeq
+        if (c.lowercase) t.map(_.toLowerCase) else t
+      case _ =>
+        text.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+    }
+    if (c.asciiFolding)
+      toks = toks.map(s => StemKernels.asciiFold(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString)
+    if (c.stopwords.nonEmpty) {
+      val sw = c.stopwords.toSet
+      toks = toks.filterNot(sw)
+    }
+    c.stemmerLang.foreach { l =>
+      toks = toks.map(w => graft.functions.Snowball.stem(l, w))
+    }
+    toks
+  }
+
   /** Consecutive k-token shingles joined with a single space. */
   def shingles(tokens: Column, k: Int): Column = {
     val n = size(tokens)

@@ -62,6 +62,19 @@ final case class MinShould(conditions: Seq[Condition], minCount: Int)
   */
 sealed trait Condition
 
+/** Per-field full-text index params — the analyzer configuration a declared
+  * text index carries (`TextIndexParams`,
+  * `lib/segment/src/data_types/index.rs:243-312`). When a field has a text
+  * index, Match::Text/TextAny/Phrase queries are tokenized with the SAME
+  * analyzer as the indexed values (`index.rs:243-414`), not split on
+  * whitespace. */
+final case class TextIndexConfig(
+    tokenizer: String = "word", // word | whitespace | multilingual
+    lowercase: Boolean = true,
+    asciiFolding: Boolean = false,
+    stopwords: Seq[String] = Nil,
+    stemmerLang: Option[String] = None)
+
 /** Exact match against any of the field's values. Ref `types.rs:3007,3095`. */
 final case class MatchValue(key: String, value: Any) extends Condition
 /** IN-set. Ref `Match::Any` `types.rs:3068`. */

@@ -154,6 +154,87 @@ object PhraseFixture {
   }
 }
 
+/** Fixture for Match::Text / TextAny / Phrase THROUGH a declared text-index
+  * analyzer (word tokenizer + lowercase + ascii folding + stopwords +
+  * English Snowball stemmer — `TextIndexParams`, `index.rs:243-414`). The
+  * closed English vocabulary lets the DuckDB oracle reproduce the whole
+  * pipeline: regexp word tokenization + strip_accents + stopword filter in
+  * SQL, and a (token → stem) CASE map generated from
+  * [[graft.functions.Snowball]] — the stemmer itself is independently
+  * verified against PostgreSQL snowball fixtures in AnalyzerSpec, so the
+  * mapping is data, not circular logic under test.
+  *
+  * The queries deliberately need the analyzer to match: "Running ENGINE"
+  * only matches via lowercase + stemming (stored forms are "engines" /
+  * "engine" / "runs"), "CAFÉ" only via folding, and the phrase "runs the
+  * fastest" only matches because the dropped stopword compresses
+  * positions. The old whitespace-token path matches NONE of them. */
+object TextMatchFixture {
+  import graft.model.TextIndexConfig
+
+  val stopwords: Seq[String] = Seq("the", "and", "of", "are")
+
+  /** Sentence per (doc_id % 4) bucket. */
+  val sentences: Seq[String] = Seq(
+    "The engines are running quickly and smoothly",
+    "He runs the fastest queries of the Engine",
+    "National libraries keep running records in the café",
+    "Completely unrelated cooking pasta words")
+
+  val cfg: TextIndexConfig = TextIndexConfig(
+    tokenizer = "word", lowercase = true, asciiFolding = true,
+    stopwords = stopwords, stemmerLang = Some("english"))
+
+  val textQuery = "Running ENGINE"   // m_text: ALL stemmed tokens present
+  val anyQuery = "cooking engines"   // m_any: ANY stemmed token present
+  val phraseQuery = "runs the fastest" // m_phrase: consecutive post-stopword
+  val cafeQuery = "CAFÉ"        // m_cafe: folding + lowercase
+
+  private def esc(s: String) = s.replace("'", "''")
+
+  /** Analyzed query token lists, via the engine's driver-side analyzer
+    * (shared fold/stem kernels; AnalyzerSpec independence argument). */
+  private def q(text: String): Seq[String] =
+    graft.functions.TextFunctions.analyzeQueryWith(text, cfg)
+
+  /** Closed-vocabulary (token → stem) pairs for the oracle's CASE map. */
+  private def stemPairs: Seq[(String, String)] = {
+    val vocab = sentences
+      .flatMap(_.toLowerCase.split("[^\\p{L}\\p{N}]+")).filter(_.nonEmpty)
+      .map(w => graft.functions.StemKernels.asciiFold(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w)).toString)
+      .distinct.filterNot(stopwords.contains)
+    vocab.map(w => w -> graft.functions.Snowball.stem("english", w))
+  }
+
+  def oracleSql: String = {
+    val sentCase = sentences.zipWithIndex.map { case (s, i) =>
+      s"WHEN $i THEN '${esc(s)}'"
+    }.mkString(" ")
+    val swList = stopwords.map(w => s"'${esc(w)}'").mkString(", ")
+    val stemCase = stemPairs.filter(p => p._1 != p._2)
+      .map { case (w, st) => s"WHEN '${esc(w)}' THEN '${esc(st)}'" }
+      .mkString(" ")
+    def lst(ts: Seq[String]) = ts.map(t => s"'${esc(t)}'").mkString(", ")
+    val phrase = q(phraseQuery).mkString(" ", " ", " ")
+    s"""WITH src AS (SELECT doc_id,
+       |    CASE (doc_id % 4) $sentCase END AS t FROM documents),
+       |tok AS (SELECT doc_id,
+       |    list_transform(
+       |      list_filter(regexp_extract_all(strip_accents(lower(t)), '[a-z0-9]+'),
+       |                  w -> NOT list_contains([$swList], w)),
+       |      w -> CASE w $stemCase ELSE w END) AS toks
+       |  FROM src)
+       |SELECT doc_id,
+       |  list_has_all(toks, [${lst(q(textQuery).distinct)}])::INT AS m_text,
+       |  list_has_any(toks, [${lst(q(anyQuery).distinct)}])::INT AS m_any,
+       |  CASE WHEN contains(' ' || array_to_string(toks, ' ') || ' ',
+       |    '${esc(phrase)}') THEN 1 ELSE 0 END AS m_phrase,
+       |  list_has_all(toks, [${lst(q(cafeQuery).distinct)}])::INT AS m_cafe
+       |FROM tok ORDER BY doc_id ASC""".stripMargin
+  }
+}
+
 /** Held-out open-text sample for trigram language-ID validation: authored
   * sentences (everyday prose, NOT drawn from the stopword lists that build
   * the profiles — content words dominate), one per supported language
@@ -565,6 +646,25 @@ object TextQueries {
           flag(phrasesFwd).as("m_fwd"), flag(phrasesRev).as("m_rev"))
         .orderBy(col("doc_id").asc)
         .limit(100)
+    }),
+    // Match::Text/TextAny/Phrase THROUGH a declared text-index analyzer
+    // (word tokenizer + lowercase + folding + stopwords + English stemmer):
+    // the queries only match via the analyzer — the raw whitespace-token
+    // path matches none of them. See TextMatchFixture for the oracle design.
+    "match_text_analyzed" -> ((s, dir) => {
+      import TextMatchFixture._
+      val src = docs(s, dir).select(col("doc_id"),
+        element_at(typedLit(sentences),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("t"))
+      val fc = new graft.filters.FilterCompiler(
+        new TypedResolver(src.schema, "doc_id"),
+        textIndexes = Map("t" -> cfg))
+      src.select(col("doc_id"),
+          fc.condition(MatchText("t", textQuery)).cast("int").as("m_text"),
+          fc.condition(MatchTextAny("t", anyQuery)).cast("int").as("m_any"),
+          fc.condition(MatchPhrase("t", phraseQuery)).cast("int").as("m_phrase"),
+          fc.condition(MatchText("t", cafeQuery)).cast("int").as("m_cafe"))
+        .orderBy(col("doc_id").asc)
     }),
     // analyzer pipeline (tokenize → stopwords) feeding a term-frequency
     // aggregation; stemming/folding are property-tested in AnalyzerSpec
@@ -1017,6 +1117,7 @@ object TextQueries {
         |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin,
     "analyzed_multilang_facet" -> MultilangFixture.oracleSql,
     "match_phrase_analyzed" -> PhraseFixture.oracleSql,
+    "match_text_analyzed" -> TextMatchFixture.oracleSql,
     "token_count" ->
       """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
         |FROM documents ORDER BY doc_id ASC""".stripMargin,

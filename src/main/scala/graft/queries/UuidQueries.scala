@@ -89,6 +89,18 @@ object UuidQueries {
       Dedup.exactKeepFirst(docsUuid(s, dir), "id", "text")
         .select(col("id"), col("lang"))
         .orderBy(col("id"))),
+    // facet over a uuid-typed payload field (`FacetValue::Uuid`,
+    // `lib/segment/src/data_types/facets.rs:33-38,87`): uuid values group,
+    // count and tie-break like keywords — canonical lowercase-hex order
+    // equals the 128-bit order the reference buckets on.
+    "facet_uuid" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          uuidOf(pmod(col("doc_id"), lit(7))).as("owner"))
+      Reads.facet(d, "doc_id", "owner",
+        Some(Filter.mustAll(MatchValue("lang", "en"))),
+        new TypedResolver(d.schema, "doc_id"), limit = 5)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,5 +131,10 @@ object UuidQueries {
         |                       ORDER BY ${uuidSql("doc_id")} ASC) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY id ASC""".stripMargin,
+    "facet_uuid" ->
+      s"""SELECT v AS value, count(DISTINCT doc_id)::BIGINT AS cnt FROM (
+        |  SELECT doc_id, ${uuidSql("(doc_id % 7)")} AS v
+        |  FROM documents WHERE lang = 'en')
+        |GROUP BY v ORDER BY cnt DESC, v ASC LIMIT 5""".stripMargin,
   )
 }
