@@ -112,6 +112,185 @@ object Quantization {
       Search.scoreExpr(metric, col(vecCol), typedLit(query)), metric.largerBetter, k = k)
   }
 
+  // ===== multi-bit binary encodings (`BinaryQuantizationEncoding`:
+  // OneBit / TwoBits / OneAndHalfBits — `types.rs:1036-1062`; encoder
+  // `lib/quantization/src/encoded_vectors_binary.rs:536-671`; scoring
+  // `calculate_metric` :766-811) =====
+
+  /** Per-element mean/stddev over the collection (`VectorStats`) — the
+    * z-score basis of the 2-bit / 1.5-bit thresholds. One aggregation pass
+    * (2·dim scalar aggregates), train-once like the other quantizers. */
+  final case class BinaryStats(mean: Array[Double], std: Array[Double]) {
+    def dim: Int = mean.length
+  }
+
+  def fitBinaryStats(df: DataFrame, vecCol: String, dim: Int): BinaryStats = {
+    val aggs = (0 until dim).flatMap { i =>
+      val e = element_at(col(vecCol), i + 1).cast("double")
+      Seq(avg(e), coalesce(stddev_samp(e), lit(0.0)))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    BinaryStats(
+      Array.tabulate(dim)(i => row.getDouble(2 * i)),
+      Array.tabulate(dim)(i => row.getDouble(2 * i + 1)))
+  }
+
+  /** Zero-band half-width in z-score units (`const SIGMAS: f32 = 2.0/3.0`,
+    * `encoded_vectors_binary.rs:662`). */
+  private val Sigmas = 2.0 / 3.0
+
+  /** (b1, b2) of `encode_two_bits_value`: 00 for z ≤ −σ̂, 10 inside the
+    * band, 11 for z ≥ σ̂; σ=0 degrades to sign-bit + 0. */
+  private def twoBitPair(v: Column, mean: Double, sd: Double): (Column, Column) =
+    if (sd < 1e-7) (v > 0.0, lit(false))
+    else {
+      val z = (v - lit(mean)) / lit(sd)
+      (z > lit(-Sigmas), z >= lit(Sigmas))
+    }
+
+  private def twoBitPairScala(v: Double, mean: Double, sd: Double): (Boolean, Boolean) =
+    if (sd < 1e-7) (v > 0.0, false)
+    else {
+      val z = (v - mean) / sd
+      (z > -Sigmas, z >= Sigmas)
+    }
+
+  private def packBitCols(bits: Seq[Column]): Column = {
+    val words = (bits.length + 63) / 64
+    array((0 until words).map { w =>
+      (0 until math.min(64, bits.length - w * 64)).map { b =>
+        when(bits(w * 64 + b), lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  private def packBitsScala(bits: Seq[Boolean]): Seq[Long] = {
+    val words = (bits.length + 63) / 64
+    (0 until words).map { w =>
+      (0 until math.min(64, bits.length - w * 64)).foldLeft(0L) { (acc, b) =>
+        if (bits(w * 64 + b)) acc | (1L << b) else acc
+      }
+    }
+  }
+
+  private def pairsOf(vecCol: Column, stats: BinaryStats): Seq[(Column, Column)] =
+    (0 until stats.dim).map(i => twoBitPair(
+      element_at(vecCol, i + 1).cast("double"), stats.mean(i), stats.std(i)))
+
+  private def pairsOfScala(q: Seq[Double], stats: BinaryStats): Seq[(Boolean, Boolean)] =
+    q.indices.map(i => twoBitPairScala(q(i), stats.mean(i), stats.std(i)))
+
+  /** TwoBits layout: [b1_0..b1_{d−1}, b2_0..b2_{d−1}] packed to
+    * array<long> (`encode_two_bits_vector`). */
+  def encodeBinary2(vecCol: Column, stats: BinaryStats): Column = {
+    val ps = pairsOf(vecCol, stats)
+    packBitCols(ps.map(_._1) ++ ps.map(_._2))
+  }
+
+  def binary2QueryLiteral(q: Seq[Double], stats: BinaryStats): Seq[Long] = {
+    val ps = pairsOfScala(q, stats)
+    packBitsScala(ps.map(_._1) ++ ps.map(_._2))
+  }
+
+  /** OneAndHalfBits layout: the d b1-bits, then the b2-bits of consecutive
+    * element PAIRS united with OR — d + ⌈d/2⌉ bits total
+    * (`encode_one_and_half_bits_vector`). */
+  def encodeBinary15(vecCol: Column, stats: BinaryStats): Column = {
+    val ps = pairsOf(vecCol, stats)
+    val d = stats.dim
+    val b2 = (0 until (d + 1) / 2).map { j =>
+      if (2 * j + 1 < d) ps(2 * j)._2 || ps(2 * j + 1)._2 else ps(2 * j)._2
+    }
+    packBitCols(ps.map(_._1) ++ b2)
+  }
+
+  def binary15QueryLiteral(q: Seq[Double], stats: BinaryStats): Seq[Long] = {
+    val ps = pairsOfScala(q, stats)
+    val d = q.length
+    val b2 = (0 until (d + 1) / 2).map { j =>
+      if (2 * j + 1 < d) ps(2 * j)._2 || ps(2 * j + 1)._2 else ps(2 * j)._2
+    }
+    packBitsScala(ps.map(_._1) ++ b2)
+  }
+
+  /** Two-phase search over any packed multi-bit encoding with a
+    * same-as-storage query: approx rank = XOR popcount over the extended
+    * bit layout (ranking-equivalent to `calculate_metric`'s dim − 2·xor for
+    * every metric orientation after the sign flip), exact rescore after. */
+  def searchBinaryEncodedRescore(
+      encoded: DataFrame, // original cols + `bvecCol` packed column
+      idCol: String,
+      vecCol: String,
+      bvecCol: String,
+      queryWords: Seq[Long],
+      query: Seq[Double],
+      metric: Metric,
+      k: Int = 10,
+      oversampling: Double = 4.0): DataFrame = {
+    val approxK = math.max(k, (k * oversampling).toInt)
+    val approx = Search.scoredTopK(encoded, idCol,
+      hammingScore(col(bvecCol), queryWords).cast("double"),
+      largerBetter = false, k = approxK)
+    val cands = encoded.join(approx.select(idCol), Seq(idCol), "left_semi")
+    Search.scoredTopK(cands, idCol,
+      Search.scoreExpr(metric, col(vecCol), typedLit(query)), metric.largerBetter, k = k)
+  }
+
+  /** Asymmetric query encodings (`BinaryQuantizationQueryEncoding::
+    * Scalar4bits/Scalar8bits`, `types.rs:1194`): the EXTENDED query (2-bit:
+    * q++q; 1.5-bit: q ++ pairwise max — `encode_scalar_query_vector`
+    * :694-719) quantized to `bits`-bit scalars over [−max|q|, max|q|]. */
+  def scalarQueryLiteral(extended: Seq[Double], bits: Int): Seq[Int] = {
+    val maxAbs = extended.foldLeft(0.0)((a, v) => math.max(a, math.abs(v)))
+    val ranges = (1 << bits) - 1
+    val delta = 2.0 * maxAbs / ranges
+    extended.map { v =>
+      val dv = if (delta > 1e-12) (v + maxAbs) / delta else 0.0
+      math.round(dv).toInt % (ranges + 1)
+    }
+  }
+
+  def extendQuery2(q: Seq[Double]): Seq[Double] = q ++ q
+  def extendQuery15(q: Seq[Double]): Seq[Double] =
+    q ++ q.grouped(2).map(_.max).toSeq
+
+  /** Asymmetric score of a packed stored bit vector against `bits`-bit
+    * query scalars: per extended position j, contribution q_j when the
+    * stored bit is 0 and (2^bits−1)−q_j when 1 (the per-element meaning of
+    * the transposed `xor_popcnt_scalar`); score = dim − 2·Σ/(2^bits−1)
+    * (`calculate_metric` — Dot orientation, larger-better). The per-bit
+    * chain is fine at entry dims; a custom Expression is the growth path. */
+  def asymmetricScore(bvec: Column, qs: Seq[Int], bits: Int, dim: Int): Column = {
+    val m = (1 << bits) - 1
+    val weighted = qs.zipWithIndex.map { case (qj, j) =>
+      val bit = element_at(bvec, j / 64 + 1).bitwiseAND(lit(1L << (j % 64)))
+      when(bit =!= 0L, lit((m - 2 * qj).toDouble)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val xorScaled = (lit(qs.sum.toDouble) + weighted) / lit(m.toDouble)
+    lit(dim.toDouble) - lit(2.0) * xorScaled
+  }
+
+  /** Two-phase search with an asymmetric scalar-encoded query over a 2-bit
+    * stored encoding. */
+  def searchBinaryAsymRescore(
+      encoded: DataFrame, // original cols + "b2vec" (TwoBits packed)
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      metric: Metric,
+      bits: Int,
+      k: Int = 10,
+      oversampling: Double = 4.0): DataFrame = {
+    val qs = scalarQueryLiteral(extendQuery2(query), bits)
+    val approxK = math.max(k, (k * oversampling).toInt)
+    val approx = Search.scoredTopK(encoded, idCol,
+      asymmetricScore(col("b2vec"), qs, bits, query.length),
+      largerBetter = true, k = approxK)
+    val cands = encoded.join(approx.select(idCol), Seq(idCol), "left_semi")
+    Search.scoredTopK(cands, idCol,
+      Search.scoreExpr(metric, col(vecCol), typedLit(query)), metric.largerBetter, k = k)
+  }
+
   // ===== Product quantization (ref `ProductQuantizationConfig`
   // `types.rs:987-1035`; x4–x64 compression via per-subspace codebooks) =====
 

@@ -56,6 +56,11 @@ object IndexQueries {
   private def pqParams(s: SparkSession, dir: String): Quantization.PqParams =
     pqCache.computeIfAbsent(dir,
       _ => Quantization.fitPq(emb(s, dir), "embedding", m = 16, nbits = 4))
+  private val binStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Quantization.BinaryStats]()
+  private def binStats(s: SparkSession, dir: String): Quantization.BinaryStats =
+    binStatsCache.computeIfAbsent(dir,
+      _ => Quantization.fitBinaryStats(emb(s, dir), "embedding", 64))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_search_allprobe" -> ((s, dir) => {
@@ -93,6 +98,49 @@ object IndexQueries {
       recallCheck(s, ann,
         Search.knn(e, "vec_id", "embedding", v7(s, dir), Cosine, k = 10),
         "vec_id", k = 10, minRequired = 1)
+    }),
+    // 2-bit binary quantization (`BinaryQuantizationEncoding::TwoBits`):
+    // z-score band thresholds from per-element collection stats; the extra
+    // bit recovers most of what 1-bit sign packing loses.
+    "quantized_binary2_rescore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val st = binStats(s, dir)
+      val enc = e.withColumn("b2vec",
+        Quantization.encodeBinary2(col("embedding"), st))
+      val ann = Quantization.searchBinaryEncodedRescore(enc, "vec_id",
+        "embedding", "b2vec", Quantization.binary2QueryLiteral(v7(s, dir), st),
+        v7(s, dir), Dot, k = 10, oversampling = 4.0)
+      recallCheck(s, ann,
+        Search.knn(e, "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 9)
+    }),
+    // 1.5-bit: the two band bits of consecutive element pairs OR-united —
+    // 25% smaller than 2-bit, same scoring (`OneAndHalfBits`).
+    "quantized_binary15_rescore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val st = binStats(s, dir)
+      val enc = e.withColumn("b15vec",
+        Quantization.encodeBinary15(col("embedding"), st))
+      val ann = Quantization.searchBinaryEncodedRescore(enc, "vec_id",
+        "embedding", "b15vec", Quantization.binary15QueryLiteral(v7(s, dir), st),
+        v7(s, dir), Dot, k = 10, oversampling = 4.0)
+      recallCheck(s, ann,
+        Search.knn(e, "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 5)
+    }),
+    // Asymmetric query encoding (`BinaryQuantizationQueryEncoding::
+    // Scalar8bits`): stored stays 2-bit, the query keeps 8-bit scalars —
+    // accuracy of the approx ranking rises at zero storage cost.
+    "quantized_binary_asym_rescore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val st = binStats(s, dir)
+      val enc = e.withColumn("b2vec",
+        Quantization.encodeBinary2(col("embedding"), st))
+      val ann = Quantization.searchBinaryAsymRescore(enc, "vec_id",
+        "embedding", v7(s, dir), Dot, bits = 8, k = 10, oversampling = 4.0)
+      recallCheck(s, ann,
+        Search.knn(e, "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 9)
     }),
     "quantized_pq_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -409,6 +457,12 @@ object IndexQueries {
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
     "quantized_binary_rescore" ->
       "SELECT 10 AS k, 1 AS min_required, true AS recall_ok",
+    "quantized_binary2_rescore" ->
+      "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
+    "quantized_binary15_rescore" ->
+      "SELECT 10 AS k, 5 AS min_required, true AS recall_ok",
+    "quantized_binary_asym_rescore" ->
+      "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
     "quantized_pq_rescore" ->
       "SELECT 10 AS k, 6 AS min_required, true AS recall_ok",
     "retrieve_by_ids" ->

@@ -12,19 +12,26 @@ import graft.functions.{GraftExtensions, GraftFunctions, VecDot}
 class ExtensionsSpec extends SparkTestBase {
 
   private lazy val ext: SparkSession = {
-    // a sibling session over the same SparkContext, built with the
-    // extension injected — the spark.sql.extensions deployment path
-    SparkTestBase.session // force the shared context first
-    SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-      .newSession() match {
-      case s =>
-        // newSession drops registry additions but keeps extensions-injected
-        // builders (they live in the base registry the builder installed);
-        // register explicitly to cover sessions cloned post-hoc too
-        GraftFunctions.register(s); s
-    }
+    // SparkTestBase builds the shared session with
+    // `.withExtensions(new GraftExtensions)` — the spark.sql.extensions
+    // deployment path. newSession() rebuilds SessionState from the SAME
+    // extensions object, so the fresh registry below contains the graft_*
+    // functions ONLY if GraftExtensions.apply actually injected them:
+    // no GraftFunctions.register call anywhere in this suite.
+    val s = SparkTestBase.session.newSession()
+    assert(s.catalog.functionExists("graft_dot"),
+      "GraftExtensions injection did not reach the new session's registry")
+    s
+  }
+
+  test("live-session registration route also resolves (GraftFunctions.register)") {
+    // the post-hoc route for an already-running session without extensions
+    val live = SparkTestBase.session.newSession()
+    GraftFunctions.register(live)
+    import live.implicits._
+    Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v").createOrReplaceTempView("t_live")
+    assert(live.sql("SELECT graft_dot(v, array(1.0D, 1.0D)) AS s FROM t_live")
+      .head().getDouble(0) == 3.0)
   }
 
   test("graft_dot via SQL matches the Column API kernel") {

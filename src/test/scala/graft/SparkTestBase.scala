@@ -16,6 +16,10 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the deployment shape: extensions injected at session build — the
+      // path ExtensionsSpec asserts (a newSession() must resolve graft_*
+      // from the injected registry with NO explicit register call)
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
