@@ -63,7 +63,7 @@ object Bench {
     "feedback_naive", "maxsim_multivec", "mmr_rerank",
     "sparse_dot_tokens", "bm25_idf_search",
     "fusion_rrf", "fusion_dbsf", "formula_rescore", "prefetch_dag_rrf",
-    "prefetch_deep",
+    "prefetch_deep", "prefetch_rrf_filtered", "match_text_analyzed",
     "group_by_label", "distance_matrix_pairs",
     "facet_lang", "count_filtered", "scroll_by_id", "order_by_ts",
     "retrieve_by_ids", "match_text", "match_phrase", "min_should_filter",
