@@ -40,8 +40,12 @@ object RequestCodec {
 
   /** Vector-space config for resolving `using`: column + metric per named
     * vector; the default (unnamed) vector is the "" entry
-    * (`NamedVectors` default name, `data_types/vectors.rs:525`). */
-  final case class VectorSpace(col: String, metric: Metric)
+    * (`NamedVectors` default name, `data_types/vectors.rs:525`). `sparse`
+    * marks a sparse named vector (`sparse_vectors` config) — its column is
+    * struct<indices, values> and `nearest` takes `{indices, values}`
+    * (`VectorInput`, `schema.rs:559-567`). */
+  final case class VectorSpace(col: String, metric: Metric,
+      sparse: Boolean = false)
 
   /** Wire `lookup_from` (`LookupLocation` + `ShardKeySelector`,
     * `lib/api/src/rest/schema.rs:608-613,1122-1133`): resolve vector-input
@@ -261,6 +265,7 @@ object RequestCodec {
     val sp = ctx.space(using)
     j match {
       case arr @ JArray(_) =>
+        if (sp.sparse) fail(s"dense vector input for sparse vector '${sp.col}'")
         vectorInput(arr, ctx) match {
           case Left(v) => (Nearest(sp.col, sp.metric, v), None)
           case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
@@ -268,9 +273,21 @@ object RequestCodec {
       case o: JObject =>
         val keys = o.obj.map(_._1).toSet
         if (keys.contains("nearest")) {
-          val scoring = vectorInput(o \ "nearest", ctx) match {
-            case Left(v) => Nearest(sp.col, sp.metric, v)
-            case Right(m) => MaxSimQ(sp.col, sp.metric, m)
+          val scoring = (o \ "nearest") match {
+            // sparse input `{indices, values}` — only valid against a
+            // sparse named vector (`schema.rs:559-567`)
+            case s: JObject if (s \ "indices") != JNothing =>
+              if (!sp.sparse)
+                fail(s"sparse vector input for dense vector '${sp.col}'")
+              SparseStructQ(sp.col,
+                arr(s \ "indices").map(num(_).toInt),
+                arr(s \ "values").map(num))
+            case v => vectorInput(v, ctx) match {
+              case _ if sp.sparse =>
+                fail(s"dense vector input for sparse vector '${sp.col}'")
+              case Left(dv) => Nearest(sp.col, sp.metric, dv)
+              case Right(m) => MaxSimQ(sp.col, sp.metric, m)
+            }
           }
           (o \ "mmr") match {
             case m: JObject =>
@@ -387,8 +404,8 @@ object RequestCodec {
       case JInt(i) => Left(ctx.resolveId(i.toLong))
       case JLong(i) => Left(ctx.resolveId(i))
       case o: JObject if o.obj.exists(_._1 == "indices") =>
-        fail("sparse vector inputs are served by the sparse operators " +
-          "(index/SparseIndex), not the dense query path")
+        fail("sparse vector input is only valid for a sparse named vector " +
+          "(`using` a space declared sparse)")
       case other => fail(s"unsupported vector input: $other")
     }
 

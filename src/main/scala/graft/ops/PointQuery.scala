@@ -49,6 +49,13 @@ object PointQuery {
     * few, so the score is one codegen'd projection — no posting join. */
   final case class SparseDotQ(tokensCol: String, terms: Seq[(String, Double)])
       extends Scoring
+  /** Sparse-dot leaf over a true sparse vector column
+    * (struct<indices: array<int>, values: array<float>>, the
+    * `SparseVector` storage form — `sparse_vector.rs:17-22`). Dot over
+    * intersecting indices, larger-better, only rows with ≥ 1 matching dim
+    * (the posting-join candidate semantics). */
+  final case class SparseStructQ(sparseCol: String,
+      qIndices: Seq[Int], qValues: Seq[Double]) extends Scoring
   final case class OrderByField(field: String, asc: Boolean,
       startFrom: Option[Any] = None) extends Scoring
   final case class SampleRandom(seed: Long) extends Scoring
@@ -118,6 +125,9 @@ object PointQuery {
         (terms.map { case (t, w) =>
           lit(w) * size(filter(col(tc), x => x === lit(t))).cast("double")
         }.reduce(_ + _), true)
+      case SparseStructQ(sc, qi, qv) =>
+        (graft.functions.VectorFunctions.sparseDot(
+          col(s"$sc.indices"), col(s"$sc.values"), qi, qv), true)
       case other =>
         throw new IllegalArgumentException(s"$other is not a scoring leaf")
     }
@@ -226,6 +236,9 @@ object PointQuery {
         val leafPred = leaf match {
           case SparseDotQ(tc, terms) =>
             val overlap = arrays_overlap(col(tc), typedLit(terms.map(_._1)))
+            Some(pred.fold(overlap)(_ && overlap))
+          case SparseStructQ(sc, qi, _) =>
+            val overlap = arrays_overlap(col(s"$sc.indices"), typedLit(qi))
             Some(pred.fold(overlap)(_ && overlap))
           case _ => pred
         }

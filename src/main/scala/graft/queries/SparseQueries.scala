@@ -15,6 +15,43 @@ object SparseQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Sparse vector derived from a dense one: dims with value > thr, 0-based
+    * sorted indices (`SparseVector` invariants, `sparse_vector.rs:17-22`) —
+    * a deterministic derivation the DuckDB oracle reproduces positionally. */
+  private def sparseFromDense(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      filter(transform(v, (x, i) =>
+        when(x.cast("double") > lit(0.25d), i).otherwise(lit(-1))),
+        x => x =!= lit(-1)).as("indices"),
+      filter(v, x => x.cast("double") > lit(0.25d)).as("values"))
+
+  /** Driver-side twin of [[sparseFromDense]] for query vectors. */
+  private def sparseQ(s: SparkSession, dir: String, id: Long): (Seq[Int], Seq[Double]) = {
+    val pairs = Tables.embeddingOf(s, dir, id).zipWithIndex.filter(_._1 > 0.25)
+    (pairs.map(_._2), pairs.map(_._1))
+  }
+
+  /** Collection with two sparse named vectors over the same derived content
+    * — "txt" raw, "txtidf" with the IDF modifier — plus the dense column
+    * and label for hybrid/filtered entries. Ingest-once per JVM. */
+  private val sparseCollections =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.storage.Collection]()
+  private def sparseColl(s: SparkSession, dir: String): graft.storage.Collection =
+    sparseCollections.computeIfAbsent(
+      "/tmp/graft_runtime/sparse_" + dir.replaceAll("[^A-Za-z0-9]", "_"), { path =>
+        import graft.sources.{CollectionConfig, SparseVectorConfig, VectorConfig}
+        val cfg = CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("", 64, graft.model.Dot)),
+          sparse = Seq(SparseVectorConfig("txt"),
+            SparseVectorConfig("txtidf", modifier = Some("idf"))))
+        val e = Tables.load(s, dir, "embeddings")
+        graft.storage.Collection.create(s, path, cfg,
+          e.select(col("vec_id"), col("embedding").as("vector"),
+            sparseFromDense(col("embedding")).as("sparse_txt"),
+            sparseFromDense(col("embedding")).as("sparse_txtidf"),
+            col("label")))
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sparse_dot_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -37,9 +74,129 @@ object SparseQueries {
         docs(s, dir).filter(col("lang") === "en"), "doc_id", "text",
         queryTerms = Seq(("spark", 1.0), ("data", 1.0)),
         k1 = 1.2, b = 0.75, k = 10)),
+    // True sparse NAMED-VECTOR storage (struct<indices, values> column per
+    // `SparseVector`, `sparse_vector.rs:17-22`): config-routed dot over
+    // intersecting dims, only points sharing ≥ 1 query dim.
+    "sparse_struct_knn" -> ((s, dir) => {
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      sparseColl(s, dir).knnSparse("txt", qi, qv, k = 10)
+    }),
+    // IDF modifier on a sparse named vector (`SparseVectorDataConfig
+    // .modifier`, `types.rs:2275`; weighting `query_context.rs:278-300`):
+    // query weights × ln((N − df + 0.5)/(df + 0.5) + 1) over the collection.
+    "sparse_struct_idf" -> ((s, dir) => {
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      sparseColl(s, dir).knnSparse("txtidf", qi, qv, k = 10)
+    }),
+    // Sparse KNN over the wire: `{"nearest": {indices, values}}` against a
+    // sparse `using` space (`VectorInput`, `schema.rs:559-567`).
+    "api_query_sparse_knn" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      import graft.api.RequestCodec.{Ctx, VectorSpace}
+      import graft.filters.TypedResolver
+      import graft.ops.PointQuery
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      val json =
+        s"""{"query": {"nearest": {"indices": [${qi.mkString(",")}],
+           |  "values": [${qv.mkString(",")}]}},
+           |  "using": "txt", "limit": 10}""".stripMargin
+      val pts = sparseColl(s, dir).read()
+      val ctx = Ctx(spaces = Map(
+        "" -> VectorSpace("vector", graft.model.Dot),
+        "txt" -> VectorSpace("sparse_txt", graft.model.Dot, sparse = true)))
+      PointQuery.execute(s, pts, "vec_id",
+        new TypedResolver(pts.schema, "vec_id"),
+        RequestCodec.parseQueryRequest(json, ctx))
+    }),
+    // THE canonical hybrid over the wire: dense + SPARSE prefetch → RRF
+    // with a root payload filter, all parsed from the JSON body.
+    "api_query_hybrid_sparse" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      import graft.api.RequestCodec.{Ctx, VectorSpace}
+      import graft.filters.TypedResolver
+      import graft.ops.PointQuery
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      val dense = Tables.embeddingOf(s, dir, 7L)
+      val json =
+        s"""{
+           |  "prefetch": [
+           |    {"query": {"nearest": [${dense.mkString(",")}]}, "limit": 20},
+           |    {"query": {"nearest": {"indices": [${qi.mkString(",")}],
+           |      "values": [${qv.mkString(",")}]}}, "using": "txt", "limit": 20}
+           |  ],
+           |  "query": {"rrf": {}},
+           |  "filter": {"must": [{"key": "label", "range": {"gte": 1}}]},
+           |  "limit": 10
+           |}""".stripMargin
+      val pts = sparseColl(s, dir).read()
+      val ctx = Ctx(spaces = Map(
+        "" -> VectorSpace("vector", graft.model.Dot),
+        "txt" -> VectorSpace("sparse_txt", graft.model.Dot, sparse = true)))
+      PointQuery.execute(s, pts, "vec_id",
+        new TypedResolver(pts.schema, "vec_id"),
+        RequestCodec.parseQueryRequest(json, ctx))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "sparse_struct_knn" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * q.v[i] ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sparse_struct_idf" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |dfs AS (SELECT d.dim AS dim,
+        |          (SELECT count(*) FROM embeddings e
+        |           WHERE e.embedding[d.dim]::DOUBLE > 0.25)::DOUBLE AS df
+        |        FROM dims d),
+        |idf AS (SELECT list(ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |          ORDER BY f.dim) AS l FROM dfs f, n GROUP BY n.n)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * (q.v[i] * idf.l[i]) ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q, idf
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_query_sparse_knn" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * q.v[i] ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_query_hybrid_sparse" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS s
+        |      FROM embeddings e, q WHERE e.label >= 1
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_sum(list_transform(range(1, 65), i ->
+        |          CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |               THEN e.embedding[i]::DOUBLE * q.v[i] ELSE 0.0 END)), 6) AS s
+        |      FROM embeddings e, q
+        |      WHERE e.label >= 1 AND len(list_filter(range(1, 65), i ->
+        |          e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
+        |u AS (SELECT vec_id, 1.0/(pos + 1.0) AS c FROM ar
+        |      UNION ALL SELECT vec_id, 1.0/(pos + 1.0) AS c FROM br)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "sparse_dot_tokens" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |c AS (SELECT doc_id,

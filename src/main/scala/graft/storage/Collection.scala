@@ -229,6 +229,49 @@ final class Collection(
       pred, k, offset, scoreThreshold)
   }
 
+  /** Config-routed sparse nearest-k over a named sparse vector column
+    * (struct<indices: array<int>, values: array<float>>, sorted unique
+    * indices — `SparseVector` `sparse_vector.rs:17-22`). Scoring is dot
+    * over intersecting indices, larger-better; only points sharing ≥ 1
+    * query dim are candidates (the posting-join semantics of
+    * `search_context.rs`). With `modifier = Some("idf")`
+    * (`SparseVectorDataConfig`, `types.rs:2275`) the QUERY weights are
+    * multiplied by `ln((N − df + 0.5)/(df + 0.5) + 1)` with N and df over
+    * this collection (`query_context.rs:278-300`); stored weights stay
+    * raw. The df lookup aggregates only the queried dims (one bounded
+    * job, |q| rows collected). */
+  def knnSparse(
+      name: String,
+      qIndices: Seq[Int],
+      qValues: Seq[Double],
+      filter: Option[Filter] = None,
+      k: Int = 10,
+      scoreThreshold: Option[Double] = None): DataFrame = {
+    val sc = config.sparse.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown sparse vector '$name'"))
+    val df = read()
+    val c = config.sparseCol(name)
+    val qv =
+      if (sc.modifier.contains("idf")) {
+        val n = df.count().toDouble
+        val dfs = df.select(explode(col(s"$c.indices")).as("dim"))
+          .filter(col("dim").isin(qIndices: _*))
+          .groupBy(col("dim")).agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+        qIndices.zip(qValues).map { case (i, w) =>
+          val d = dfs.getOrElse(i, 0.0)
+          w * math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+        }
+      } else qValues
+    val score = graft.functions.VectorFunctions.sparseDot(
+      col(s"$c.indices"), col(s"$c.values"), qIndices, qv)
+    val pred = filter.map(f => new FilterCompiler(resolver(df)).compile(f))
+    val overlap = arrays_overlap(col(s"$c.indices"), typedLit(qIndices))
+    graft.ops.Search.scoredTopK(df, config.idCol, score, largerBetter = true,
+      Some(pred.fold(overlap)(_ && overlap)), k,
+      scoreThreshold = scoreThreshold)
+  }
+
   /** Config-routed multivector nearest-k: MaxSim (the reference's only
     * multivector comparator, `types.rs:2080-2082`) over a stored ragged
     * token list, with the declared element type decoded inside the fused

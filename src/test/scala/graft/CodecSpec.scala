@@ -285,6 +285,25 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("query: sparse nearest routes to the sparse space; mismatches fail loudly") {
+    val sctx = Ctx(spaces = Map(
+      "" -> VectorSpace("embedding", Dot),
+      "txt" -> VectorSpace("sparse_txt", Dot, sparse = true)))
+    val q = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": {"indices": [3, 7], "values": [0.5, 1.5]}},
+        |  "using": "txt", "limit": 5}""".stripMargin, sctx)
+    assert(q.scoring == SparseStructQ("sparse_txt", Seq(3, 7), Seq(0.5, 1.5)))
+    // dense input into a sparse space fails loudly, both forms
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseQueryRequest(
+        """{"query": [1.0, 2.0], "using": "txt"}""", sctx)
+    }
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseQueryRequest(
+        """{"query": {"nearest": [1.0, 2.0]}, "using": "txt"}""", sctx)
+    }
+  }
+
   test("loud failures: sparse input, unknown vector name, bad condition") {
     assertThrows[IllegalArgumentException] {
       RequestCodec.parseQueryRequest(
