@@ -71,7 +71,12 @@ object RequestCodec {
         * one is named). Wired by the host that owns the table catalog. */
       resolveLookup: (LookupFrom, Any) => Seq[Double] = (lf, id) =>
         throw new IllegalArgumentException(
-          s"lookup_from ${lf.collection} given but no lookup resolver configured")) {
+          s"lookup_from ${lf.collection} given but no lookup resolver configured"),
+      /** The collection's shard-key partition column, when custom sharding
+        * is configured — a request-level `shard_key` selector
+        * (`ShardKeySelector`, `schema.rs:620`) compiles to a pruning
+        * condition on it. */
+      shardKeyField: Option[String] = None) {
     def space(using: Option[String]): VectorSpace = {
       val name = using.getOrElse("")
       spaces.getOrElse(name,
@@ -224,10 +229,27 @@ object RequestCodec {
     }
     val prefetches = oneOrMany(o \ "prefetch")
       .map(p => queryNode(p, ctx0, topLevel = false))
-    val filter = (o \ "filter") match {
+    val filter0 = (o \ "filter") match {
       case f: JObject => Some(filterOf(f))
       case _ => None
     }
+    // request-level shard selector (`ShardKeySelector`, `schema.rs:620`):
+    // shard keys map to the collection's shard-key partition column, so
+    // the selector compiles to a partition-pruning filter condition — the
+    // Spark form of fanning out to only the selected shards
+    val shardKeys = if (!topLevel) Nil else (o \ "shard_key") match {
+      case JNothing | JNull => Nil
+      case JArray(xs) => xs.map(shardKeyValue)
+      case v => Seq(shardKeyValue(v))
+    }
+    val filter =
+      if (shardKeys.isEmpty) filter0
+      else {
+        val fld = ctx0.shardKeyField.getOrElse(
+          fail("shard_key given but the collection has no shard-key column"))
+        Filter.mergeOpts(
+          Some(Filter.mustAll(MatchAny(fld, shardKeys))), filter0)
+      }
     val limit = (o \ "limit") match {
       case JNothing | JNull => 10 // default limit `collection_query.rs:50`
       case v => num(v).toInt

@@ -146,6 +146,45 @@ object ApiQueries {
     // λ = 1 − diversity, candidates_limit prefetch): the wire plan must
     // reproduce the hand-built candidates→greedy-rerank rows exactly —
     // ids, original query scores, and selection positions.
+    // context pairs by id (resolved through the ctx hook). Mirrors
+    // `context` (same oracle).
+    "api_query_context" -> ((s, dir) => runOnEmbeddings(s, dir,
+      """{
+        |  "query": {"context": [
+        |    {"positive": 10, "negative": 20},
+        |    {"positive": 30, "negative": 40}
+        |  ]},
+        |  "limit": 10
+        |}""".stripMargin)),
+    // relevance feedback, naive strategy with explicit a/b/c
+    // (`FeedbackStrategy::Naive`, `collection_query.rs:202-220`). Mirrors
+    // `feedback_naive` (same oracle).
+    "api_query_feedback" -> ((s, dir) => runOnEmbeddings(s, dir,
+      """{
+        |  "query": {"relevance_feedback": {
+        |    "target": 5,
+        |    "feedback": [
+        |      {"example": 10, "score": 0.9},
+        |      {"example": 20, "score": 0.4},
+        |      {"example": 30, "score": 0.1}
+        |    ],
+        |    "strategy": {"naive": {"a": 1.0, "b": 2.0, "c": 0.5}}}},
+        |  "limit": 10
+        |}""".stripMargin)),
+    // sample: random over the wire — the wire path must reproduce the
+    // hand-built seeded sample exactly (the codec carries the seed in ctx).
+    "api_query_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, rand}
+      import s.implicits._
+      val wire = runOnEmbeddings(s, dir,
+        """{"query": {"sample": "random"}, "limit": 20}""")
+        .collect().map(_.getLong(0)).toSeq
+      val hand = Tables.load(s, dir, "embeddings")
+        .orderBy(rand(42L), col("vec_id")).limit(20).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      Seq((wire.length.toLong, wire == hand))
+        .toDF("n", "wire_matches_hand")
+    }),
     "api_query_mmr" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       import s.implicits._
@@ -388,6 +427,10 @@ object ApiQueries {
     "api_query_lookup_from" -> RankQueries.oracles("recommend_lookup_from_shard"),
     "api_query_mmr" ->
       "SELECT 10::BIGINT AS n, true AS wire_matches_hand",
+    "api_query_context" -> RankQueries.oracles("context"),
+    "api_query_feedback" -> RankQueries.oracles("feedback_naive"),
+    "api_query_sample" ->
+      "SELECT 20::BIGINT AS n, true AS wire_matches_hand",
     "api_query_order_by" ->
       """SELECT event_id, value FROM events
         |WHERE value <= 900.5

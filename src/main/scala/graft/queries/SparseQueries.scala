@@ -88,6 +88,18 @@ object SparseQueries {
       val (qi, qv) = sparseQ(s, dir, 7L)
       sparseColl(s, dir).knnSparse("txtidf", qi, qv, k = 10)
     }),
+    // The bulk/scale path over the SAME struct storage: explode to
+    // (dim, weight) postings + broadcast query join — the inverted-index
+    // layout `lib/sparse/src/index/` uses. Must agree with the per-row
+    // kernel path (`sparse_struct_knn`): same oracle.
+    "sparse_struct_postings" -> ((s, dir) => {
+      import s.implicits._
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      val post = SparseIndex.postingsFromSparse(
+        sparseColl(s, dir).read(), "vec_id", "sparse_txt")
+        .filter(col("dim").isin(qi: _*))
+      SparseIndex.search(post, "vec_id", qi.zip(qv).toDF("dim", "qw"), k = 10)
+    }),
     // Sparse KNN over the wire: `{"nearest": {indices, values}}` against a
     // sparse `using` space (`VectorInput`, `schema.rs:559-567`).
     "api_query_sparse_knn" -> ((s, dir) => {
@@ -164,6 +176,16 @@ object SparseQueries {
         |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
         |         THEN e.embedding[i]::DOUBLE * (q.v[i] * idf.l[i]) ELSE 0.0 END)), 6) AS score
         |FROM embeddings e, q, idf
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sparse_struct_postings" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * q.v[i] ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q
         |WHERE len(list_filter(range(1, 65), i ->
         |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,

@@ -17,6 +17,28 @@ object VectorQueries {
     Tables.load(s, dir, "embeddings")
   private def resolver(df: DataFrame) = new TypedResolver(df.schema, "vec_id")
 
+  /** Custom-sharded collection (shard_key = "a"/"b"/"c" from label % 3):
+    * the table partitions by the shard-key column, so shard selectors
+    * prune whole directories at the scan. Ingest-once per JVM. */
+  private val shardedCollections =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.storage.Collection]()
+  private[graft] def shardedColl(s: SparkSession, dir: String): graft.storage.Collection =
+    shardedCollections.computeIfAbsent(
+      "/tmp/graft_runtime/sharded_" + dir.replaceAll("[^A-Za-z0-9]", "_"), { path =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.{CollectionConfig, VectorConfig}
+        val cfg = CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("", 64, Dot)),
+          payloadTypes = Map("label" ->
+            org.apache.spark.sql.types.LongType),
+          shardKeyCol = Some("shard_key"))
+        graft.storage.Collection.create(s, path, cfg,
+          emb(s, dir).select(col("vec_id"), col("embedding").as("vector"),
+            to_json(struct(col("label"))).as("payload"),
+            element_at(typedLit(Seq("a", "b", "c")),
+              (pmod(col("label"), lit(3)) + 1).cast("int")).as("shard_key")))
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_dot" -> ((s, dir) => {
       val q = Tables.embeddingOf(s, dir, 7L)
@@ -25,6 +47,40 @@ object VectorQueries {
     "knn_cosine" -> ((s, dir) => {
       val q = Tables.embeddingOf(s, dir, 42L)
       Search.knn(emb(s, dir), "vec_id", "embedding", q, Cosine, k = 10)
+    }),
+    // Shard-scoped search over a custom-sharded collection: the shard-key
+    // selector is a filter condition on the partition column, pruning
+    // whole shard directories (the engine form of selective shard fan-out,
+    // `ShardKeySelector`). PlanSpec asserts the PartitionFilters pruning.
+    "shard_scoped_knn" -> ((s, dir) => {
+      val q = Tables.embeddingOf(s, dir, 7L)
+      shardedColl(s, dir).knn("", q,
+        filter = Some(Filter(must = Seq(
+          MatchAny("shard_key", Seq("a", "b")),
+          RangeCond("label", gte = Some(1))))),
+        k = 10)
+    }),
+    // The same scope over the wire: request-level `shard_key` selector
+    // (`ShardKeySelector`, `schema.rs:620`) + payload filter.
+    "api_query_shard_key" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      import graft.api.RequestCodec.{Ctx, VectorSpace}
+      import graft.ops.PointQuery
+      val coll = shardedColl(s, dir)
+      val pts = coll.read()
+      val qvec = Tables.embeddingOf(s, dir, 7L)
+      val json =
+        s"""{
+           |  "query": {"nearest": [${qvec.mkString(",")}]},
+           |  "shard_key": ["a", "b"],
+           |  "filter": {"must": [{"key": "label", "range": {"gte": 1}}]},
+           |  "limit": 10
+           |}""".stripMargin
+      val ctx = Ctx(
+        spaces = Map("" -> VectorSpace("vector", Dot)),
+        shardKeyField = Some("shard_key"))
+      PointQuery.execute(s, pts, "vec_id", coll.resolver(pts),
+        RequestCodec.parseQueryRequest(json, ctx))
     }),
     // The SQL surface: the same codegen'd kernel invoked through the
     // FunctionRegistry (`GraftFunctions.register` — the live-session form
@@ -165,6 +221,20 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "shard_scoped_knn" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q
+        |WHERE (e.label % 3) IN (0, 1) AND e.label >= 1
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_query_shard_key" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q
+        |WHERE (e.label % 3) IN (0, 1) AND e.label >= 1
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "knn_u8" ->
       """WITH enc AS (SELECT vec_id,
         |  list_transform(embedding, x ->

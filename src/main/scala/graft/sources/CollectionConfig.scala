@@ -29,7 +29,12 @@ final case class CollectionConfig(
     payloadCol: String = "payload",
     vectors: Seq[VectorConfig] = Nil,
     sparse: Seq[SparseVectorConfig] = Nil,
-    payloadTypes: Map[String, DataType] = Map.empty) {
+    payloadTypes: Map[String, DataType] = Map.empty,
+    /** Custom-sharding key column (`ShardKey`, hash-ring placement
+      * `lib/collection/src/hash_ring.rs`): the table partitions by this
+      * column, so a `shard_key` selector prunes whole shard directories at
+      * the scan — the Spark analog of only fanning out to selected shards. */
+    shardKeyCol: Option[String] = None) {
 
   def vectorNames: Seq[String] = vectors.map(_.name)
 

@@ -45,9 +45,41 @@ final class Collection(
   private def encodeVectors(df: DataFrame): DataFrame =
     Collection.encodeVectors(config, df)
 
-  def resolver(df: DataFrame): FieldResolver =
-    new JsonResolver(col(config.payloadCol), config.payloadTypes, col(config.idCol),
+  def resolver(df: DataFrame): FieldResolver = {
+    val base = new JsonResolver(col(config.payloadCol), config.payloadTypes,
+      col(config.idCol),
       config.vectorNames.map(n => n -> col(config.vectorCol(n))).toMap)
+    config.shardKeyCol match {
+      case None => base
+      case Some(sk) =>
+        // the shard key is a point attribute, not a payload field (qdrant
+        // filters it via ShardKeySelector, not payload conditions) — it
+        // resolves to the PARTITION column directly so shard conditions
+        // prune directories at the scan
+        new FieldResolver {
+          def values(key: String): Column =
+            if (key == sk)
+              when(col(sk).isNotNull, array(col(sk)))
+                .otherwise(array().cast(
+                  org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.StringType)))
+            else base.values(key)
+          def fieldExists(key: String): Column =
+            if (key == sk) col(sk).isNotNull else base.fieldExists(key)
+          def isJsonNull(key: String): Column =
+            if (key == sk) lit(false) else base.isJsonNull(key)
+          def id: Column = base.id
+          def vector(name: String): Column = base.vector(name)
+          override def elementType(key: String) =
+            if (key == sk) None else base.elementType(key)
+          override def scalarValue(key: String): Option[Column] =
+            if (key == sk) Some(col(sk)) else base.scalarValue(key)
+          override def dataTypeOf(key: String) =
+            if (key == sk) Some(org.apache.spark.sql.types.StringType)
+            else base.dataTypeOf(key)
+        }
+    }
+  }
 
   private def pred(df: DataFrame, filter: Filter): Column =
     new FilterCompiler(resolver(df)).compile(filter)
@@ -62,7 +94,8 @@ final class Collection(
   private def write(df: DataFrame): Unit = {
     rewriteCount += 1
     val tmp = path + "__tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val w = df.write.mode(SaveMode.Overwrite)
+    config.shardKeyCol.fold(w)(k => w.partitionBy(k)).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
@@ -473,7 +506,8 @@ object Collection {
       path: String,
       config: CollectionConfig,
       points: DataFrame): Collection = {
-    encodeVectors(config, points).write.mode(SaveMode.Overwrite).parquet(path)
+    val w = encodeVectors(config, points).write.mode(SaveMode.Overwrite)
+    config.shardKeyCol.fold(w)(k => w.partitionBy(k)).parquet(path)
     new Collection(spark, path, config)
   }
 

@@ -77,6 +77,18 @@ class PlanSpec extends SparkTestBase {
       "partial group-limit not below the exchange:\n" + p.take(1500))
   }
 
+  test("shard-key selector prunes shard directories at the scan") {
+    val df = graft.queries.VectorQueries.shardedColl(spark, sf).read()
+    val pred = new graft.filters.FilterCompiler(
+      new graft.filters.TypedResolver(df.schema, "vec_id"))
+      .compile(Filter.mustAll(MatchAny("shard_key", Seq("a", "b"))))
+    val p = plan(df.filter(pred).select("vec_id"))
+    // the selector must reach PartitionFilters (directory-level pruning),
+    // not a post-scan Filter over all shards
+    assert(p.contains("PartitionFilters: [") && p.matches("(?s).*PartitionFilters: \\[[^\\]]*shard_key[^\\]]*\\].*"),
+      "shard_key not a partition filter:\n" + p.take(1500))
+  }
+
   test("similarity scoring stays inside whole-stage codegen") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = Tables.embeddingOf(spark, sf, 1L)
