@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShim
@@ -496,4 +496,59 @@ case class VecI8L1(left: Expression, right: Expression) extends VecI8Fold {
   protected def step(acc: Long, a: Long, b: Long): Long = acc + math.abs(a - b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** Asymmetric binary-quantization score: the stored side is a packed
+  * multi-bit binary encoding (`array<long>` of bit words, extended layout
+  * per `BinaryQuantizationEncoding`), the query side `bits`-bit scalars
+  * baked into per-position weights at plan time. Per extended position j
+  * the contribution is `q_j` for a zero stored bit and `(2^bits−1)−q_j`
+  * for a one — the per-element meaning of the reference's transposed
+  * `xor_popcnt_scalar` (`encoded_vectors_binary.rs:213-265`); final score
+  * `dim − 2·Σ/(2^bits−1)` (`calculate_metric` :766-811, Dot orientation).
+  *
+  * `weights(j) = (2^bits−1) − 2·q_j` and `totalQ = Σ q_j` are exact
+  * integers in double, so accumulation order cannot move the result. One
+  * fused loop replaces the 2·L-node when/element_at column chain. */
+case class BinaryAsymScoreExpr(
+    child: Expression,
+    weights: Array[Double],
+    totalQ: Double,
+    maxLevel: Int,
+    dim: Int) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var acc = totalQ
+    var j = 0
+    val words = arr.numElements()
+    val bound = math.min(weights.length, words * 64)
+    while (j < bound) {
+      if (((arr.getLong(j >> 6) >>> (j & 63)) & 1L) == 1L) acc += weights(j)
+      j += 1
+    }
+    dim - 2.0 * (acc / maxLevel)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("asymWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val bound = ctx.freshName("bound")
+      s"""
+         |double $acc = $totalQ;
+         |int $bound = java.lang.Math.min($w.length, $c.numElements() * 64);
+         |for (int $j = 0; $j < $bound; $j++) {
+         |  if ((($c.getLong($j >> 6) >>> ($j & 63)) & 1L) == 1L) {
+         |    $acc += $w[$j];
+         |  }
+         |}
+         |${ev.value} = $dim - 2.0 * ($acc / $maxLevel);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

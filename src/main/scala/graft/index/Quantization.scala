@@ -258,16 +258,16 @@ object Quantization {
     * query scalars: per extended position j, contribution q_j when the
     * stored bit is 0 and (2^bits−1)−q_j when 1 (the per-element meaning of
     * the transposed `xor_popcnt_scalar`); score = dim − 2·Σ/(2^bits−1)
-    * (`calculate_metric` — Dot orientation, larger-better). The per-bit
-    * chain is fine at entry dims; a custom Expression is the growth path. */
+    * (`calculate_metric` — Dot orientation, larger-better). One codegen'd
+    * fused loop ([[graft.functions.BinaryAsymScoreExpr]]); all summands
+    * are exact integers in double, so order cannot move the score. */
   def asymmetricScore(bvec: Column, qs: Seq[Int], bits: Int, dim: Int): Column = {
     val m = (1 << bits) - 1
-    val weighted = qs.zipWithIndex.map { case (qj, j) =>
-      val bit = element_at(bvec, j / 64 + 1).bitwiseAND(lit(1L << (j % 64)))
-      when(bit =!= 0L, lit((m - 2 * qj).toDouble)).otherwise(lit(0.0))
-    }.reduce(_ + _)
-    val xorScaled = (lit(qs.sum.toDouble) + weighted) / lit(m.toDouble)
-    lit(dim.toDouble) - lit(2.0) * xorScaled
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.BinaryAsymScoreExpr(
+        org.apache.spark.sql.GraftShim.expression(bvec),
+        qs.map(q => (m - 2 * q).toDouble).toArray,
+        qs.sum.toDouble, m, dim))
   }
 
   /** Two-phase search with an asymmetric scalar-encoded query over a 2-bit
