@@ -657,6 +657,60 @@ object RequestCodec {
       })
   }
 
+  // ===================================================== create collection
+
+  /** `PUT /collections/{c}` body → [[graft.sources.CollectionConfig]]
+    * (`CreateCollection` → `VectorParams`/`SparseVectorParams`,
+    * `lib/collection/src/operations/types.rs:1413-1514`): `vectors` is a
+    * single params object (the unnamed "" vector) or a name→params map,
+    * `sparse_vectors` a name→params map. Online-index tuning knobs
+    * (hnsw_config, quantization, wal/optimizers, on_disk/memory) are
+    * accepted and ignored — they configure serving machinery the batch
+    * engine replaces with index-build jobs (SURVEY.md §2.6, §4.3). */
+  def parseCollectionConfig(json: String, idCol: String = "id"): graft.sources.CollectionConfig = {
+    import graft.sources.{CollectionConfig, SparseVectorConfig, VectorConfig}
+    val o = JsonMethods.parse(json)
+    def metricOf(s: String): Metric = s match {
+      case "Cosine" => Cosine
+      case "Euclid" => Euclid
+      case "Dot" => Dot
+      case "Manhattan" => Manhattan
+      case other => fail(s"unknown distance '$other'")
+    }
+    def datatypeOf(j: JValue): VectorDatatype = j match {
+      case JString("float16") => Float16
+      case JString("uint8") => Uint8
+      case JString("float32") | JNothing | JNull => Float32
+      case other => fail(s"unsupported datatype $other")
+    }
+    def vp(name: String, v: JValue): VectorConfig = VectorConfig(
+      name = name,
+      dim = num(v \ "size").toInt,
+      metric = metricOf(str(v \ "distance")),
+      multivector = (v \ "multivector_config" \ "comparator") match {
+        case JString("max_sim") => true // the only comparator, types.rs:2080
+        case JNothing | JNull => false
+        case other => fail(s"unknown multivector comparator $other")
+      },
+      datatype = datatypeOf(v \ "datatype"))
+    val vectors = (o \ "vectors") match {
+      case JNothing | JNull => Nil
+      case v: JObject if (v \ "size") != JNothing => Seq(vp("", v))
+      case v: JObject => v.obj.map { case (n, p) => vp(n, p) }
+      case other => fail(s"bad vectors config: $other")
+    }
+    val sparse = (o \ "sparse_vectors") match {
+      case v: JObject => v.obj.map { case (n, p) =>
+        SparseVectorConfig(n, modifier = (p \ "modifier") match {
+          case JString(m) => Some(m.toLowerCase)
+          case _ => None
+        })
+      }
+      case _ => Nil
+    }
+    CollectionConfig(idCol = idCol, vectors = vectors, sparse = sparse)
+  }
+
   // ============================================================ update ops
 
   /** One point of an upsert batch (`PointStruct`, `schema.rs:1406-1415`):

@@ -54,6 +54,12 @@ object Search {
     val scored = base
       .withColumn("score", round(score, roundTo))
       .select((Seq(idCol, "score") ++ extraCols).map(col): _*)
+      // A point lacking the scored vector cannot rank — the reference
+      // simply has no entry for it in that vector's storage
+      // (`tests/openapi/test_optional_vectors.py`). Without this guard a
+      // NULL score would sort FIRST under smaller-better metrics (Spark
+      // asc = nulls first) and pollute the top-k.
+      .filter(col("score").isNotNull)
     val thresholded = scoreThreshold.fold(scored) { t =>
       scored.filter(if (largerBetter) col("score") > t else col("score") < t)
     }
@@ -102,18 +108,21 @@ object Search {
       queryIdCol: String,
       idCol: String,
       k: Int,
-      largerBetter: Boolean): DataFrame =
-    scored.schema(idCol).dataType match {
+      largerBetter: Boolean): DataFrame = {
+    // same optional-vector guard as scoredTopK: unscorable rows never rank
+    val present = scored.filter(col("score").isNotNull)
+    present.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        TopK.batchTopK(scored, queryIdCol, idCol, k, largerBetter)
+        TopK.batchTopK(present, queryIdCol, idCol, k, largerBetter)
       case _ =>
         val ord = orderCols(col("score"), col(idCol), largerBetter)
-        scored
+        present
           .withColumn("_rn", row_number().over(
             Window.partitionBy(col(queryIdCol)).orderBy(ord: _*)))
           .filter(col("_rn") <= k)
           .select(col(queryIdCol), col(idCol), col("score"), col("_rn").as("rank"))
     }
+  }
 
   /** Batch nearest-k: one top-k per row of `queries` (cols: queryIdCol,
     * queryVecCol). The 100 TB shape: the query side is broadcast, the big

@@ -88,6 +88,55 @@ object SparseQueries {
       val (qi, qv) = sparseQ(s, dir, 7L)
       sparseColl(s, dir).knnSparse("txtidf", qi, qv, k = 10)
     }),
+    // Collection created FROM the wire config (`PUT /collections/{c}`
+    // body): the parsed dense + sparse(+idf-modifier) schema routes
+    // knnSparse exactly like a hand-built CollectionConfig — same oracle
+    // as `sparse_struct_idf`.
+    "api_create_collection" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      val cfg = RequestCodec.parseCollectionConfig(
+        """{
+          |  "vectors": {"dense": {"size": 64, "distance": "Dot",
+          |               "datatype": "float32",
+          |               "hnsw_config": {"m": 16, "ef_construct": 100}}},
+          |  "sparse_vectors": {"txt": {"modifier": "idf"}}
+          |}""".stripMargin, idCol = "vec_id")
+      val path = "/tmp/graft_runtime/api_create_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val e = Tables.load(s, dir, "embeddings")
+      val coll = graft.storage.Collection.create(s, path, cfg,
+        e.select(col("vec_id"), col("embedding").as("vector_dense"),
+          sparseFromDense(col("embedding")).as("sparse_txt")))
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      coll.knnSparse("txt", qi, qv, k = 10)
+    }),
+    // Sparse vector mutations (`tests/openapi/test_sparse_update.py`,
+    // `test_sparse_dense_batch_update.py`): upsert a point WITH a sparse
+    // vector, set a sparse vector on an existing point, delete another's —
+    // then search; the updated weights rank, the deleted point vanishes
+    // (the scoredTopK null guard: no storage entry, no ranking).
+    "sparse_update_ops" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{CollectionConfig, SparseVectorConfig}
+      val path = "/tmp/graft_runtime/sparse_mut_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = CollectionConfig(idCol = "vec_id",
+        sparse = Seq(SparseVectorConfig("txt")))
+      val base = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), sparseFromDense(col("embedding")).as("sparse_txt"))
+      val coll = graft.storage.Collection.create(s, path, cfg, base)
+      coll.upsert(Seq((1000L, (Seq(0, 1, 2), Seq(1.0f, 1.0f, 1.0f))))
+        .toDF("vec_id", "sparse_txt")
+        .select(col("vec_id"),
+          col("sparse_txt").cast("struct<indices:array<int>,values:array<float>>")))
+      coll.updateVector("txt",
+        struct(typedLit(Seq(0, 1)).as("indices"),
+          typedLit(Seq(2.0f, 3.0f)).as("values")),
+        col("vec_id") === 7L)
+      coll.deleteVector("txt", col("vec_id") === 13L)
+      coll.knnSparse("txt", Seq(0, 1, 2), Seq(1.0, 1.0, 1.0), k = 10)
+    }),
     // The bulk/scale path over the SAME struct storage: explode to
     // (dim, weight) postings + broadcast query join — the inverted-index
     // layout `lib/sparse/src/index/` uses. Must agree with the per-row
@@ -179,6 +228,39 @@ object SparseQueries {
         |WHERE len(list_filter(range(1, 65), i ->
         |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_create_collection" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |dfs AS (SELECT d.dim AS dim,
+        |          (SELECT count(*) FROM embeddings e
+        |           WHERE e.embedding[d.dim]::DOUBLE > 0.25)::DOUBLE AS df
+        |        FROM dims d),
+        |idf AS (SELECT list(ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |          ORDER BY f.dim) AS l FROM dfs f, n GROUP BY n.n)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * (q.v[i] * idf.l[i]) ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q, idf
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sparse_update_ops" ->
+      """SELECT vec_id, round(score, 6) AS score FROM (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id = 7 THEN 5.0
+        |         ELSE list_sum(list_transform([1, 2, 3], i ->
+        |           CASE WHEN embedding[i]::DOUBLE > 0.25
+        |                THEN embedding[i]::DOUBLE * 1.0 ELSE 0.0 END))
+        |    END AS score,
+        |    CASE WHEN vec_id = 7 THEN true
+        |         WHEN vec_id = 13 THEN false
+        |         ELSE len(list_filter([1, 2, 3], i ->
+        |           embedding[i]::DOUBLE > 0.25)) > 0 END AS hit
+        |  FROM embeddings WHERE vec_id < 100
+        |  UNION ALL SELECT 1000, 3.0, true)
+        |WHERE hit ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "sparse_struct_postings" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
         |SELECT e.vec_id AS vec_id,

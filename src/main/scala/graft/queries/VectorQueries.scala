@@ -48,6 +48,19 @@ object VectorQueries {
       val q = Tables.embeddingOf(s, dir, 42L)
       Search.knn(emb(s, dir), "vec_id", "embedding", q, Cosine, k = 10)
     }),
+    // Points lacking the queried named vector are excluded from search —
+    // the reference simply has no entry for them in that vector's storage
+    // (`tests/openapi/test_optional_vectors.py`). Euclid is the dangerous
+    // direction: without the scoredTopK null guard a NULL score sorts
+    // FIRST under ascending order and pollutes the whole top-k.
+    "knn_optional_vectors" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir).withColumn("embedding",
+        when(pmod(col("label"), lit(5)) === 0, lit(null))
+          .otherwise(col("embedding")))
+      Search.knn(e, "vec_id", "embedding",
+        Tables.embeddingOf(s, dir, 13L), Euclid, k = 10)
+    }),
     // Shard-scoped search over a custom-sharded collection: the shard-key
     // selector is a filter condition on the partition column, pruning
     // whole shard directories (the engine form of selective shard fan-out,
@@ -221,6 +234,12 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "knn_optional_vectors" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 13)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_distance(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q WHERE (e.label % 5) <> 0
+        |ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "shard_scoped_knn" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
         |SELECT e.vec_id AS vec_id,

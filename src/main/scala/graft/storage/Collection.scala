@@ -229,12 +229,19 @@ final class Collection(
     case UpdateOp.ClearPayload(target) =>
       mapPayload(cur, target, _ => lit(null))
     case UpdateOp.UpdateVector(name, newVec, target) =>
-      val c = config.vectorCol(name)
-      val enc = config.vectors.find(_.name == name)
-        .map(vc => VectorCodec.encode(vc.datatype, newVec)).getOrElse(newVec)
+      // sparse named vectors update through the same op surface
+      // (`tests/openapi/test_sparse_update.py`); dense names route through
+      // the declared storage codec
+      val isSparse = config.sparse.exists(_.name == name)
+      val c = if (isSparse) config.sparseCol(name) else config.vectorCol(name)
+      val enc =
+        if (isSparse) newVec
+        else config.vectors.find(_.name == name)
+          .map(vc => VectorCodec.encode(vc.datatype, newVec)).getOrElse(newVec)
       cur.withColumn(c, when(target, enc).otherwise(col(c)))
     case UpdateOp.DeleteVector(name, target) =>
-      val c = config.vectorCol(name)
+      val c = if (config.sparse.exists(_.name == name)) config.sparseCol(name)
+        else config.vectorCol(name)
       cur.withColumn(c,
         when(target, lit(null).cast(cur.schema(c).dataType)).otherwise(col(c)))
   }

@@ -304,6 +304,36 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("collection config: single/named vectors, datatype, multivector, sparse modifier") {
+    import graft.sources.{SparseVectorConfig, VectorConfig}
+    // single unnamed vector params
+    val single = RequestCodec.parseCollectionConfig(
+      """{"vectors": {"size": 4, "distance": "Cosine"}}""")
+    assert(single.vectors == Seq(VectorConfig("", 4, Cosine)))
+    // named map with datatype + multivector comparator; sparse with modifier;
+    // online-index knobs (hnsw_config, on_disk) parse-and-ignore
+    val cfg = RequestCodec.parseCollectionConfig(
+      """{
+        |  "vectors": {
+        |    "img": {"size": 8, "distance": "Euclid", "datatype": "uint8",
+        |            "hnsw_config": {"m": 16}, "on_disk": true},
+        |    "tok": {"size": 16, "distance": "Dot",
+        |            "multivector_config": {"comparator": "max_sim"}}
+        |  },
+        |  "sparse_vectors": {"txt": {"modifier": "idf"}, "raw": {}}
+        |}""".stripMargin, idCol = "pid")
+    assert(cfg.idCol == "pid")
+    assert(cfg.vectors.toSet == Set(
+      VectorConfig("img", 8, Euclid, datatype = Uint8),
+      VectorConfig("tok", 16, Dot, multivector = true)))
+    assert(cfg.sparse.toSet == Set(
+      SparseVectorConfig("txt", Some("idf")), SparseVectorConfig("raw", None)))
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseCollectionConfig(
+        """{"vectors": {"size": 4, "distance": "Chebyshev"}}""")
+    }
+  }
+
   test("loud failures: sparse input, unknown vector name, bad condition") {
     assertThrows[IllegalArgumentException] {
       RequestCodec.parseQueryRequest(
