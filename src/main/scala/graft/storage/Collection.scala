@@ -518,7 +518,48 @@ object Collection {
     new Collection(spark, path, config)
   }
 
-  private[storage] def encodeVectors(config: CollectionConfig, df: DataFrame): DataFrame =
+  /** Ingest-time validation (the reference rejects malformed points at the
+    * request: dimension `test_vector_dimension_validation.py`, sparse
+    * invariants `sparse_vector.rs:24-60` / `test_sparse_vector_validations
+    * .py`). Checks ride INSIDE the write job as raise_error expressions —
+    * one comparison per row, no extra pass. */
+  private[storage] def validated(config: CollectionConfig, df: DataFrame): DataFrame = {
+    val afterDense = config.vectors.filter(_.dim > 0).foldLeft(df) { (acc, vc) =>
+      val c = config.vectorCol(vc.name)
+      if (!acc.columns.contains(c)) acc
+      else acc.schema(c).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+          acc.withColumn(c,
+            when(col(c).isNotNull && size(col(c)) =!= vc.dim,
+              raise_error(concat(
+                lit(s"vector '${vc.name}' must have dim ${vc.dim}, got "),
+                size(col(c)).cast("string"))))
+              .otherwise(col(c)))
+        case _ => acc // multivector / pre-encoded forms validate elsewhere
+      }
+    }
+    config.sparse.foldLeft(afterDense) { (acc, sc) =>
+      val c = config.sparseCol(sc.name)
+      if (!acc.columns.contains(c)) acc
+      else {
+        val idx = col(s"$c.indices"); val vals = col(s"$c.values")
+        val n1 = greatest(size(idx) - 1, lit(0))
+        val sorted = forall(
+          zip_with(slice(idx, lit(1), n1), slice(idx, lit(2), n1),
+            (a, b) => a < b),
+          x => x)
+        acc.withColumn(c,
+          when(col(c).isNotNull && (size(idx) =!= size(vals) || !sorted),
+            raise_error(lit(s"sparse vector '${sc.name}' must have equally " +
+              "sized, strictly increasing indices and values")))
+            .otherwise(col(c)))
+      }
+    }
+  }
+
+  private[storage] def encodeVectors(config: CollectionConfig, df0: DataFrame): DataFrame = {
+    val df = validated(config, df0)
     config.vectors.filter(_.datatype != Float32).foldLeft(df) { (acc, vc) =>
       val c = config.vectorCol(vc.name)
       if (!acc.columns.contains(c)) acc
@@ -534,4 +575,5 @@ object Collection {
         case _ => acc // already encoded
       }
     }
+  }
 }

@@ -77,6 +77,25 @@ class PlanSpec extends SparkTestBase {
       "partial group-limit not below the exchange:\n" + p.take(1500))
   }
 
+  test("sparse struct knn is one scan + partial top-k — no join, no hash shuffle") {
+    import graft.functions.VectorFunctions
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("sv", struct(
+        filter(transform(col("embedding"), (x, i) =>
+          when(x.cast("double") > lit(0.25d), i).otherwise(lit(-1))),
+          x => x =!= lit(-1)).as("indices"),
+        filter(col("embedding"), x => x.cast("double") > lit(0.25d)).as("values")))
+    val df = graft.ops.Search.scoredTopK(e, "vec_id",
+      VectorFunctions.sparseDot(col("sv.indices"), col("sv.values"),
+        Seq(1, 5, 9), Seq(1.0, 2.0, 3.0)),
+      largerBetter = true,
+      Some(arrays_overlap(col("sv.indices"), typedLit(Seq(1, 5, 9)))), k = 10)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      "sparse knn must not shuffle or join:\n" + p.take(1200))
+  }
+
   test("shard-key selector prunes shard directories at the scan") {
     val df = graft.queries.VectorQueries.shardedColl(spark, sf).read()
     val pred = new graft.filters.FilterCompiler(

@@ -359,6 +359,40 @@ class StoreSpec extends SparkTestBase {
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("ingest validation: wrong dimension and malformed sparse vectors fail loudly") {
+    import spark.implicits._
+    import graft.sources.SparseVectorConfig
+    // dense: declared dim 4, point carries 3 elements
+    // (`tests/openapi/test_vector_dimension_validation.py`)
+    val coll = mk(tmpDir())
+    val bad = Seq((9L, Seq(1f, 2f, 3f), "{}")).toDF("id", "vector", "payload")
+    val e1 = intercept[Exception] { coll.upsert(bad) }
+    assert(e1.getMessage.contains("dim 4") ||
+      (e1.getCause != null && e1.getCause.getMessage.contains("dim 4")),
+      s"unexpected: ${e1.getMessage}")
+    // sparse: indices/values length mismatch and unsorted indices
+    // (`SparseVector` invariants `sparse_vector.rs:24-60`)
+    val scfg = CollectionConfig(idCol = "id",
+      sparse = Seq(SparseVectorConfig("txt")))
+    def sp(rows: Seq[(Long, (Seq[Int], Seq[Float]))]) =
+      rows.toDF("id", "sparse_txt").select(col("id"),
+        col("sparse_txt").cast("struct<indices:array<int>,values:array<float>>"))
+    val ok = Collection.create(spark, tmpDir(), scfg,
+      sp(Seq(1L -> (Seq(1, 5), Seq(0.5f, 0.7f)))))
+    assert(ok.read().count() == 1)
+    val e2 = intercept[Exception] {
+      Collection.create(spark, tmpDir(), scfg,
+        sp(Seq(2L -> (Seq(1, 5), Seq(0.5f)))))
+    }
+    assert(e2.getMessage.contains("strictly increasing") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("strictly increasing")))
+    val e3 = intercept[Exception] {
+      ok.upsert(sp(Seq(3L -> (Seq(5, 1), Seq(0.5f, 0.7f)))))
+    }
+    assert(e3.getMessage.contains("strictly increasing") ||
+      (e3.getCause != null && e3.getCause.getMessage.contains("strictly increasing")))
+  }
+
   test("applyBatch folds N ops into exactly ONE table rewrite") {
     import spark.implicits._
     import graft.storage.UpdateOp
