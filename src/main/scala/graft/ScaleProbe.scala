@@ -70,7 +70,12 @@ object ScaleProbe {
     "scenario_shard_assembly",
     "token_count", "quality_features", "lang_id", "fingerprint_md5",
     "analyzed_term_facet", "match_text", "match_text_any", "match_phrase",
+    "match_text_analyzed",
     "bm25_idf_search", "sparse_dot_tokens", "bm25_corpus_scoped",
+    "sparse_struct_knn", "sparse_struct_postings", "api_query_hybrid_sparse",
+    "shard_scoped_knn", "knn_optional_vectors", "prefetch_rrf_filtered",
+    "quantized_binary2_rescore", "quantized_binary15_rescore",
+    "quantized_binary_asym_rescore",
     "facet_lang", "facet_source_filtered")
 
   private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =

@@ -552,3 +552,74 @@ case class BinaryAsymScoreExpr(
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Sparse dot against a literal query: merge-intersect over the stored
+  * SORTED indices (`SparseVector` invariant, `sparse_vector.rs:17-22`) —
+  * O(|stored| + |query|) per row, the per-row analog of the reference's
+  * posting-list intersection (`lib/sparse/src/index/search_context.rs`).
+  * Replaces the O(|q|·|stored|) array_position formulation. Contributions
+  * accumulate in ascending dim order, matching both the previous
+  * formulation and the DuckDB oracles exactly (skipped dims added 0.0). */
+case class SparseDotExpr(
+    left: Expression,  // indices: array<int>
+    right: Expression, // values: array<float|double>
+    qIdx: Array[Int],
+    qVal: Array[Double]) extends BinaryExpression {
+  require(qIdx.length == qVal.length, "query indices/values length mismatch")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def valIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val idx = l.asInstanceOf[ArrayData]
+    val vals = r.asInstanceOf[ArrayData]
+    val n = math.min(idx.numElements(), vals.numElements())
+    var acc = 0.0
+    var i = 0
+    var j = 0
+    while (i < n && j < qIdx.length) {
+      val d = idx.getInt(i)
+      val qd = qIdx(j)
+      if (d == qd) {
+        val v = if (valIsFloat) vals.getFloat(i).toDouble else vals.getDouble(i)
+        acc += v * qVal(j)
+        i += 1; j += 1
+      } else if (d < qd) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qi = ctx.addReferenceObj("sparseQIdx", qIdx, "int[]")
+    val qv = ctx.addReferenceObj("sparseQVal", qVal, "double[]")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val getV = if (valIsFloat) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $acc = 0.0;
+         |int $i = 0; int $j = 0;
+         |while ($i < $n && $j < $qi.length) {
+         |  int $d = $l.getInt($i);
+         |  if ($d == $qi[$j]) {
+         |    $acc += $getV * $qv[$j];
+         |    $i++; $j++;
+         |  } else if ($d < $qi[$j]) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

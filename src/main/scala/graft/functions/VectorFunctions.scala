@@ -83,19 +83,17 @@ object VectorFunctions {
   /** Sparse dot product over intersecting indices. Both operands are
     * struct<indices: array<int>, values: array<float>> with sorted unique
     * indices. Ref `lib/sparse/src/common/sparse_vector.rs:17-22` (format),
-    * scoring `lib/sparse/src/index/search_context.rs`.
-    * Implemented as: for each query (idx, w), find idx in stored indices and
-    * multiply — O(|q|·log|v|) via array_position (linear in Spark, fine for
-    * short vectors; the bulk path uses the inverted postings join instead).
-    */
-  def sparseDot(indices: Column, values: Column, qIndices: Seq[Int], qValues: Seq[Double]): Column = {
-    val terms = qIndices.zip(qValues).map { case (i, w) =>
-      val pos = array_position(indices, lit(i))
-      when(pos > 0, element_at(values, pos.cast("int")).cast("double") * lit(w))
-        .otherwise(lit(0.0d))
-    }
-    terms.reduceOption(_ + _).getOrElse(lit(0.0d))
-  }
+    * scoring `lib/sparse/src/index/search_context.rs`. One codegen'd
+    * merge-intersect loop, O(|stored| + |query|) per row
+    * ([[SparseDotExpr]] — measured 8× over the array_position chain at
+    * 200k×dim-64, SCALEPROBE_r09.md); the bulk path can alternatively
+    * explode to an inverted postings join ([[graft.index.SparseIndex]]). */
+  def sparseDot(indices: Column, values: Column, qIndices: Seq[Int], qValues: Seq[Double]): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.SparseDotExpr(
+        org.apache.spark.sql.GraftShim.expression(indices),
+        org.apache.spark.sql.GraftShim.expression(values),
+        qIndices.toArray, qValues.toArray))
 
   /** Haversine distance in meters between two lon/lat points (degrees).
     * Ref: geo condition checks `lib/segment/src/index/field_index/geo_index/`
