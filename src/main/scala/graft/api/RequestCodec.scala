@@ -683,6 +683,28 @@ object RequestCodec {
       case JString("float32") | JNothing | JNull => Float32
       case other => fail(s"unsupported datatype $other")
     }
+    def quantOf(j: JValue): Option[graft.sources.QuantizationSpec] = j match {
+      case JNothing | JNull => None
+      case o: JObject if (o \ "scalar") != JNothing =>
+        val s = o \ "scalar"
+        Some(graft.sources.QuantizationSpec("scalar",
+          quantile = (s \ "quantile") match {
+            case JNothing | JNull => 1.0
+            case q => num(q)
+          }))
+      case o: JObject if (o \ "binary") != JNothing =>
+        Some(graft.sources.QuantizationSpec("binary",
+          encoding = (o \ "binary" \ "encoding") match {
+            case JString(e) => e
+            case _ => "one_bit"
+          }))
+      // product/turbo quantization configure serving-side codebook storage
+      // the batch engine doesn't persist per-collection yet — accepted and
+      // ignored, search falls back to exact (strictly more accurate)
+      case o: JObject if (o \ "product") != JNothing ||
+        (o \ "turbo") != JNothing => None
+      case other => fail(s"bad quantization config: $other")
+    }
     def vp(name: String, v: JValue): VectorConfig = VectorConfig(
       name = name,
       dim = num(v \ "size").toInt,
@@ -692,13 +714,19 @@ object RequestCodec {
         case JNothing | JNull => false
         case other => fail(s"unknown multivector comparator $other")
       },
-      datatype = datatypeOf(v \ "datatype"))
-    val vectors = (o \ "vectors") match {
+      datatype = datatypeOf(v \ "datatype"),
+      quantization = quantOf(v \ "quantization_config"))
+    val vectors0 = (o \ "vectors") match {
       case JNothing | JNull => Nil
       case v: JObject if (v \ "size") != JNothing => Seq(vp("", v))
       case v: JObject => v.obj.map { case (n, p) => vp(n, p) }
       case other => fail(s"bad vectors config: $other")
     }
+    // collection-level quantization_config applies to vectors without their
+    // own (`CreateCollection.quantization_config`)
+    val collQuant = quantOf(o \ "quantization_config")
+    val vectors = vectors0.map(v =>
+      if (v.quantization.isEmpty) v.copy(quantization = collQuant) else v)
     val sparse = (o \ "sparse_vectors") match {
       case v: JObject => v.obj.map { case (n, p) =>
         SparseVectorConfig(n, modifier = (p \ "modifier") match {

@@ -56,6 +56,8 @@ object IndexQueries {
   private def pqParams(s: SparkSession, dir: String): Quantization.PqParams =
     pqCache.computeIfAbsent(dir,
       _ => Quantization.fitPq(emb(s, dir), "embedding", m = 16, nbits = 4))
+  private val quantCollections =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.storage.Collection]()
   private val binStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Quantization.BinaryStats]()
   private def binStats(s: SparkSession, dir: String): Quantization.BinaryStats =
@@ -140,6 +142,45 @@ object IndexQueries {
         "embedding", v7(s, dir), Dot, bits = 8, k = 10, oversampling = 4.0)
       recallCheck(s, ann,
         Search.knn(e, "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 9)
+    }),
+    // CONFIG-ROUTED quantization (the deployment shape: `quantization_
+    // config` declared per vector, params fit at ingest and persisted
+    // beside the table, quantized column materialized at write — search is
+    // two-phase BY DEFAULT, exact rescore on the originals). The wire body
+    // parses through RequestCodec.parseCollectionConfig first.
+    "quantized_collection_knn" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      val cfg = RequestCodec.parseCollectionConfig(
+        """{"vectors": {"size": 64, "distance": "Dot",
+          |  "quantization_config": {"scalar": {"type": "int8"}}}}""".stripMargin,
+        idCol = "vec_id")
+      val path = "/tmp/graft_runtime/qcoll_scalar_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = quantCollections.computeIfAbsent(path, { _ =>
+        graft.storage.Collection.create(s, path, cfg,
+          emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+      })
+      val ann = coll.knn("", v7(s, dir), k = 10, oversampling = 3.0)
+      recallCheck(s, ann,
+        Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 8)
+    }),
+    "quantized_collection_binary2" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      val cfg = RequestCodec.parseCollectionConfig(
+        """{"vectors": {"size": 64, "distance": "Dot",
+          |  "quantization_config": {"binary": {"encoding": "two_bits"}}}}""".stripMargin,
+        idCol = "vec_id")
+      val path = "/tmp/graft_runtime/qcoll_bin2_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = quantCollections.computeIfAbsent(path, { _ =>
+        graft.storage.Collection.create(s, path, cfg,
+          emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+      })
+      val ann = coll.knn("", v7(s, dir), k = 10, oversampling = 4.0)
+      recallCheck(s, ann,
+        Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
         "vec_id", k = 10, minRequired = 9)
     }),
     "quantized_pq_rescore" -> ((s, dir) => {
@@ -458,6 +499,10 @@ object IndexQueries {
     "quantized_binary_rescore" ->
       "SELECT 10 AS k, 1 AS min_required, true AS recall_ok",
     "quantized_binary2_rescore" ->
+      "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
+    "quantized_collection_knn" ->
+      "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
+    "quantized_collection_binary2" ->
       "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
     "quantized_binary15_rescore" ->
       "SELECT 10 AS k, 5 AS min_required, true AS recall_ok",

@@ -10,12 +10,25 @@ import graft.model.{Float32, Metric, VectorDatatype}
   * `datatype = Float16 | Uint8` makes Collection encode at upsert and score
   * through the fused reduced-width kernels — callers keep sending and
   * reading `array<float>`. */
+/** Declared quantization for a named vector (`QuantizationConfig`,
+  * `types.rs:930-1120`): fit at ingest, stored as an extra column, searched
+  * two-phase (approx top-k·oversampling on the quantized column → exact
+  * rescore) unless the caller opts out. */
+final case class QuantizationSpec(
+    kind: String, // "scalar" (int8) | "binary"
+    /** binary only: one_bit | one_and_half_bits | two_bits
+      * (`BinaryQuantizationEncoding`, `types.rs:1036-1041`). */
+    encoding: String = "one_bit",
+    /** scalar only: quantile clip (`ScalarQuantizationConfig.quantile`). */
+    quantile: Double = 1.0)
+
 final case class VectorConfig(
     name: String,
     dim: Int,
     metric: Metric,
     multivector: Boolean = false,
-    datatype: VectorDatatype = Float32)
+    datatype: VectorDatatype = Float32,
+    quantization: Option[QuantizationSpec] = None)
 
 /** Sparse vector config (`SparseVectorDataConfig` `types.rs:2275`);
   * modifier = Some("idf") enables the IDF weighting. */
@@ -44,6 +57,9 @@ final case class CollectionConfig(
     if (name.isEmpty) "vector" else s"vector_$name"
 
   def sparseCol(name: String): String = s"sparse_$name"
+
+  /** Column holding the quantized form of a named vector. */
+  def quantCol(name: String): String = s"quant_${vectorCol(name)}"
 
   def vectorConfig(name: String): VectorConfig =
     vectors.find(_.name == name)

@@ -40,10 +40,11 @@ final class Collection(
     }
 
   /** Encode incoming user vectors (`array<float|double>`) to each declared
-    * storage element type. Type-gated, so already-encoded columns (reads of
+    * storage element type, then (re)attach the quantized columns from the
+    * persisted params. Type-gated, so already-encoded columns (reads of
     * the stored table) pass through untouched — encoding is idempotent. */
   private def encodeVectors(df: DataFrame): DataFrame =
-    Collection.encodeVectors(config, df)
+    attachQuant(Collection.encodeVectors(config, df))
 
   def resolver(df: DataFrame): FieldResolver = {
     val base = new JsonResolver(col(config.payloadCol), config.payloadTypes,
@@ -238,12 +239,25 @@ final class Collection(
         if (isSparse) newVec
         else config.vectors.find(_.name == name)
           .map(vc => VectorCodec.encode(vc.datatype, newVec)).getOrElse(newVec)
-      cur.withColumn(c, when(target, enc).otherwise(col(c)))
+      val withVec = cur.withColumn(c, when(target, enc).otherwise(col(c)))
+      // keep the quantized column in lockstep with the vector it encodes
+      config.vectors.find(v => v.name == name && v.quantization.isDefined) match {
+        case Some(vc) if withVec.columns.contains(config.quantCol(name)) =>
+          val qc = config.quantCol(name)
+          withVec.withColumn(qc,
+            when(target, Collection.quantEncodeExpr(vc, quantParams(name), newVec))
+              .otherwise(col(qc)))
+        case _ => withVec
+      }
     case UpdateOp.DeleteVector(name, target) =>
       val c = if (config.sparse.exists(_.name == name)) config.sparseCol(name)
         else config.vectorCol(name)
-      cur.withColumn(c,
+      val withVec = cur.withColumn(c,
         when(target, lit(null).cast(cur.schema(c).dataType)).otherwise(col(c)))
+      val qc = config.quantCol(name)
+      if (!withVec.columns.contains(qc)) withVec
+      else withVec.withColumn(qc,
+        when(target, lit(null).cast(withVec.schema(qc).dataType)).otherwise(col(qc)))
   }
 
   /** Config-routed nearest-k over a declared named vector: metric AND
@@ -252,21 +266,46 @@ final class Collection(
     * decode kernels ([[VectorCodec.scoreExpr]]) directly on the narrow
     * stored column, exactly like the reference picks a
     * `VectorStorageDatatype`-specific scorer from config
-    * (`lib/segment/src/types.rs:2039,2153`). */
+    * (`lib/segment/src/types.rs:2039,2153`).
+    *
+    * When the vector declares [[graft.sources.QuantizationSpec]] and
+    * `quantized = true` (the reference uses a configured quantization by
+    * default; `QuantizationSearchParams.ignore` opts out,
+    * `types.rs:573-618`), search is TWO-PHASE: approx top
+    * k·oversampling on the ingest-materialized quantized column →
+    * exact rescore of those candidates on the original vectors. */
   def knn(
       vectorName: String,
       query: Seq[Double],
       filter: Option[Filter] = None,
       k: Int = 10,
       offset: Int = 0,
-      scoreThreshold: Option[Double] = None): DataFrame = {
+      scoreThreshold: Option[Double] = None,
+      quantized: Boolean = true,
+      oversampling: Double = 3.0): DataFrame = {
     val vc = config.vectorConfig(vectorName)
     val df = read()
     val score = VectorCodec.scoreExpr(
       vc.datatype, vc.metric, col(config.vectorCol(vectorName)), query)
     val pred = filter.map(f => new FilterCompiler(resolver(df)).compile(f))
-    graft.ops.Search.scoredTopK(df, config.idCol, score, vc.metric.largerBetter,
-      pred, k, offset, scoreThreshold)
+    val qc = config.quantCol(vectorName)
+    (if (quantized) vc.quantization else None) match {
+      case Some(spec) if df.columns.contains(qc) =>
+        val qp = quantParams.getOrElse(vectorName,
+          throw new IllegalStateException(
+            s"quantization declared for '$vectorName' but no fitted params at $quantParamsPath"))
+        val (approxScore, approxLargerBetter) =
+          Collection.quantApproxScore(spec, qp, col(qc), query, vc.metric)
+        val approxK = math.max(k + offset, ((k + offset) * oversampling).toInt)
+        val approx = graft.ops.Search.scoredTopK(df, config.idCol,
+          approxScore, approxLargerBetter, pred, k = approxK)
+        val cands = df.join(approx.select(config.idCol), Seq(config.idCol), "left_semi")
+        graft.ops.Search.scoredTopK(cands, config.idCol, score,
+          vc.metric.largerBetter, None, k, offset, scoreThreshold)
+      case _ =>
+        graft.ops.Search.scoredTopK(df, config.idCol, score, vc.metric.largerBetter,
+          pred, k, offset, scoreThreshold)
+    }
   }
 
   /** Config-routed sparse nearest-k over a named sparse vector column
@@ -405,6 +444,48 @@ final class Collection(
   private def metadataPath =
     new org.apache.hadoop.fs.Path(path + "_metadata.json")
 
+  // ------------------------------------------------------- quantization
+
+  private[storage] def quantParamsPath =
+    new org.apache.hadoop.fs.Path(path + "_quant.json")
+
+  /** Fitted quantization params, loaded from the driver-side catalog file
+    * written at create (like the reference persists quantization alongside
+    * the segment). Empty when no vector declares quantization. */
+  private[graft] lazy val quantParams: Map[String, Collection.QuantParams] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(quantParamsPath)) Map.empty
+    else {
+      val in = fs.open(quantParamsPath)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      Collection.parseQuantJson(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  private[storage] def writeQuantParams(m: Map[String, Collection.QuantParams]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(quantParamsPath, true)
+    try out.write(Collection.quantJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Recompute quantized columns for incoming rows from the PERSISTED
+    * params (never refit — a micro-batch must quantize in the same space
+    * as the existing storage). */
+  private def attachQuant(df: DataFrame): DataFrame =
+    config.vectors.filter(_.quantization.isDefined).foldLeft(df) { (acc, vc) =>
+      val vcol = config.vectorCol(vc.name)
+      val qc = config.quantCol(vc.name)
+      (if (acc.columns.contains(vcol)) quantParams.get(vc.name) else None) match {
+        case Some(qp) =>
+          acc.withColumn(qc,
+            when(col(vcol).isNotNull, Collection.quantEncodeExpr(vc, qp, col(vcol)))
+              .otherwise(lit(null)))
+        case None => acc
+      }
+    }
+
   /** Collection statistics + declared schema — the `GET /collections/{c}`
     * surface (`CollectionInfo`, `lib/collection/src/operations/types.rs:215`):
     * status, points_count, indexed_vectors_count (every stored vector is
@@ -513,9 +594,152 @@ object Collection {
       path: String,
       config: CollectionConfig,
       points: DataFrame): Collection = {
-    val w = encodeVectors(config, points).write.mode(SaveMode.Overwrite)
+    // declared quantization fits on the initial corpus (the index-build
+    // job of SURVEY.md §2.6); params persist beside the table so every
+    // later micro-batch quantizes in the SAME space
+    val params = fitQuantParams(config, points)
+    val enc = encodeVectors(config, points)
+    val withQuant = config.vectors.filter(_.quantization.isDefined)
+      .foldLeft(enc) { (acc, vc) =>
+        val vcol = config.vectorCol(vc.name)
+        if (!acc.columns.contains(vcol)) acc
+        else acc.withColumn(config.quantCol(vc.name),
+          when(col(vcol).isNotNull,
+            quantEncodeExpr(vc, params(vc.name), col(vcol)))
+            .otherwise(lit(null)))
+      }
+    val w = withQuant.write.mode(SaveMode.Overwrite)
     config.shardKeyCol.fold(w)(k => w.partitionBy(k)).parquet(path)
-    new Collection(spark, path, config)
+    val coll = new Collection(spark, path, config)
+    if (params.nonEmpty) coll.writeQuantParams(params)
+    coll
+  }
+
+  // ------------------------------------------------------- quantization
+
+  /** Fitted params for a declared [[graft.sources.QuantizationSpec]]. */
+  sealed trait QuantParams
+  final case class ScalarQP(min: Double, max: Double) extends QuantParams
+  /** mean/std empty for the stats-free one_bit encoding. */
+  final case class BinaryQP(mean: Seq[Double], std: Seq[Double]) extends QuantParams
+
+  private[storage] def fitQuantParams(
+      config: CollectionConfig, points: DataFrame): Map[String, QuantParams] =
+    config.vectors.flatMap { vc =>
+      vc.quantization.map { spec =>
+        require(vc.datatype == Float32,
+          s"quantization on '${vc.name}' requires Float32 storage (got ${vc.datatype})")
+        val c = config.vectorCol(vc.name)
+        spec.kind match {
+          case "scalar" =>
+            val p = graft.index.Quantization.fitScalar(points, c, spec.quantile)
+            vc.name -> (ScalarQP(p.min, p.max): QuantParams)
+          case "binary" =>
+            if (spec.encoding == "one_bit")
+              vc.name -> (BinaryQP(Nil, Nil): QuantParams)
+            else {
+              require(vc.dim > 0, "multi-bit binary quantization needs a declared dim")
+              val st = graft.index.Quantization.fitBinaryStats(points, c, vc.dim)
+              vc.name -> (BinaryQP(st.mean.toSeq, st.std.toSeq): QuantParams)
+            }
+          case other =>
+            throw new IllegalArgumentException(s"unsupported quantization kind '$other'")
+        }
+      }
+    }.toMap
+
+  private[storage] def quantEncodeExpr(
+      vc: graft.sources.VectorConfig, qp: QuantParams, v: Column): Column = {
+    import graft.index.Quantization
+    (vc.quantization.get.kind, qp) match {
+      case ("scalar", ScalarQP(mn, mx)) =>
+        Quantization.encodeScalar(v, Quantization.ScalarParams(mn, mx))
+      case ("binary", BinaryQP(mean, std)) => vc.quantization.get.encoding match {
+        case "one_bit" => Quantization.encodeBinary(v, vc.dim)
+        case "two_bits" =>
+          Quantization.encodeBinary2(v, Quantization.BinaryStats(mean.toArray, std.toArray))
+        case "one_and_half_bits" =>
+          Quantization.encodeBinary15(v, Quantization.BinaryStats(mean.toArray, std.toArray))
+        case other =>
+          throw new IllegalArgumentException(s"unknown binary encoding '$other'")
+      }
+      case (k, p) =>
+        throw new IllegalArgumentException(s"quantization kind/params mismatch: $k / $p")
+    }
+  }
+
+  /** (approx score column, largerBetter) on the quantized column. */
+  private[storage] def quantApproxScore(
+      spec: graft.sources.QuantizationSpec, qp: QuantParams,
+      qcol: Column, query: Seq[Double], metric: graft.model.Metric): (Column, Boolean) = {
+    import graft.index.Quantization
+    (spec.kind, qp) match {
+      case ("scalar", ScalarQP(mn, mx)) =>
+        (Quantization.scalarScore(metric, qcol, query,
+          Quantization.ScalarParams(mn, mx)), metric.largerBetter)
+      case ("binary", BinaryQP(mean, std)) =>
+        val words = spec.encoding match {
+          case "one_bit" => Quantization.binaryQueryLiteral(query)
+          case "two_bits" => Quantization.binary2QueryLiteral(query,
+            Quantization.BinaryStats(mean.toArray, std.toArray))
+          case "one_and_half_bits" => Quantization.binary15QueryLiteral(query,
+            Quantization.BinaryStats(mean.toArray, std.toArray))
+          case other =>
+            throw new IllegalArgumentException(s"unknown binary encoding '$other'")
+        }
+        (Quantization.hammingScore(qcol, words).cast("double"), false)
+      case (k, p) =>
+        throw new IllegalArgumentException(s"quantization kind/params mismatch: $k / $p")
+    }
+  }
+
+  private[storage] def quantJson(m: Map[String, QuantParams]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fields = m.toSeq.sortBy(_._1).map {
+      case (n, ScalarQP(mn, mx)) =>
+        n -> (JObject("kind" -> JString("scalar"),
+          "min" -> JDouble(mn), "max" -> JDouble(mx)): JValue)
+      case (n, BinaryQP(mean, std)) =>
+        n -> (JObject("kind" -> JString("binary"),
+          "mean" -> JArray(mean.toList.map(JDouble(_))),
+          "std" -> JArray(std.toList.map(JDouble(_)))): JValue)
+    }
+    JsonMethods.compact(JsonMethods.render(JObject(fields.toList)))
+  }
+
+  private[storage] def parseQuantJson(s: String): Map[String, QuantParams] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(s) match {
+      case JObject(fields) => fields.map {
+        case (n, o: JObject) => (o \ "kind") match {
+          case JString("scalar") =>
+            def d(k: String) = (o \ k) match {
+              case JDouble(x) => x
+              case JInt(x) => x.toDouble
+              case JLong(x) => x.toDouble
+              case other => throw new IllegalArgumentException(s"bad $k: $other")
+            }
+            n -> (ScalarQP(d("min"), d("max")): QuantParams)
+          case JString("binary") =>
+            def ds(k: String) = (o \ k) match {
+              case JArray(xs) => xs.map {
+                case JDouble(x) => x
+                case JInt(x) => x.toDouble
+                case JLong(x) => x.toDouble
+                case other => throw new IllegalArgumentException(s"bad $k elem: $other")
+              }
+              case _ => Nil
+            }
+            n -> (BinaryQP(ds("mean"), ds("std")): QuantParams)
+          case other =>
+            throw new IllegalArgumentException(s"unknown quant kind $other")
+        }
+        case (n, other) =>
+          throw new IllegalArgumentException(s"bad quant entry $n: $other")
+      }.toMap
+      case _ => Map.empty
+    }
   }
 
   /** Ingest-time validation (the reference rejects malformed points at the

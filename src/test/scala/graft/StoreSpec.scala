@@ -359,6 +359,35 @@ class StoreSpec extends SparkTestBase {
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("declared quantization: fit-at-create, persisted params, mutations keep the quant column") {
+    import spark.implicits._
+    import graft.sources.QuantizationSpec
+    val qcfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 4, Dot,
+        quantization = Some(QuantizationSpec("scalar")))))
+    val path = tmpDir()
+    val coll = Collection.create(spark, path, qcfg, Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0.9f, 0.1f, 0f, 0f))).toDF("id", "vector"))
+    assert(coll.read().columns.contains("quant_vector"))
+    // two-phase search is the default once quantization is declared
+    assert(coll.knn("", Seq(1.0, 0.0, 0.0, 0.0), k = 1).head().getLong(0) == 1L)
+    // params persist beside the table and load on reopen
+    assert(new Collection(spark, path, qcfg).quantParams.nonEmpty)
+    // upsert quantizes the incoming batch in the SAME fitted space
+    coll.upsert(Seq((9L, Seq(1f, 0f, 0f, 0f))).toDF("id", "vector"))
+    assert(coll.read()
+      .filter(col("id") === 9L && col("quant_vector").isNotNull).count() == 1)
+    // update recomputes the quantized form; delete nulls both columns
+    coll.updateVector("", typedLit(Seq(0f, 0f, 0f, 1f)), col("id") === 2L)
+    assert(coll.read().filter(col("id") === 2L).head()
+      .getAs[scala.collection.Seq[Int]]("quant_vector").toSeq == Seq(0, 0, 0, 255))
+    coll.deleteVector("", col("id") === 3L)
+    assert(coll.read().filter(col("id") === 3L)
+      .filter(col("vector").isNull && col("quant_vector").isNull).count() == 1)
+  }
+
   test("ingest validation: wrong dimension and malformed sparse vectors fail loudly") {
     import spark.implicits._
     import graft.sources.SparseVectorConfig
