@@ -33,8 +33,13 @@ object Search {
   def scoreExpr(metric: Metric, v: Column, q: Column): Column =
     graft.functions.VectorFunctions.score(metric, v, q)
 
+  /** NULLS LAST in both directions: a point lacking the scored vector
+    * produces a NULL score and must never outrank a scored one (Spark's
+    * default asc = nulls FIRST would put unscorable points on top for
+    * smaller-better metrics). */
   private def orderCols(scoreCol: Column, idCol: Column, largerBetter: Boolean): Seq[Column] =
-    Seq(if (largerBetter) scoreCol.desc else scoreCol.asc, idCol.asc)
+    Seq(if (largerBetter) scoreCol.desc_nulls_last else scoreCol.asc_nulls_last,
+      idCol.asc)
 
   /** Generic "score, filter, threshold, top-(k+offset)" pipeline shared by all
     * scoring queries. `largerBetter` controls both ordering and the
@@ -54,17 +59,19 @@ object Search {
     val scored = base
       .withColumn("score", round(score, roundTo))
       .select((Seq(idCol, "score") ++ extraCols).map(col): _*)
-      // A point lacking the scored vector cannot rank — the reference
-      // simply has no entry for it in that vector's storage
-      // (`tests/openapi/test_optional_vectors.py`). Without this guard a
-      // NULL score would sort FIRST under smaller-better metrics (Spark
-      // asc = nulls first) and pollute the top-k.
-      .filter(col("score").isNotNull)
     val thresholded = scoreThreshold.fold(scored) { t =>
       scored.filter(if (largerBetter) col("score") > t else col("score") < t)
     }
     val ord = orderCols(col("score"), col(idCol), largerBetter)
+    // A point lacking the scored vector cannot rank — the reference simply
+    // has no entry for it in that vector's storage
+    // (`tests/openapi/test_optional_vectors.py`). NULLS LAST ordering keeps
+    // unscorable rows out of the top unless matches < k; the residual
+    // filter runs AFTER the limit (≤ offset+k rows) — a pre-limit
+    // `filter(score.isNotNull)` would be pushed below the projection and
+    // re-evaluate the scoring kernel per row (measured 2× on knn plans).
     val top = thresholded.orderBy(ord: _*).limit(offset + k)
+      .filter(col("score").isNotNull)
     if (offset == 0) top
     else {
       // tiny (k+offset rows): single-partition window is fine
@@ -108,21 +115,22 @@ object Search {
       queryIdCol: String,
       idCol: String,
       k: Int,
-      largerBetter: Boolean): DataFrame = {
-    // same optional-vector guard as scoredTopK: unscorable rows never rank
-    val present = scored.filter(col("score").isNotNull)
-    present.schema(idCol).dataType match {
+      largerBetter: Boolean): DataFrame =
+    scored.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        TopK.batchTopK(present, queryIdCol, idCol, k, largerBetter)
+        // callers guard unscorable rows at the INPUT (vector isNotNull on
+        // the scan — pushable); a filter on the computed score here would
+        // be substituted below the projection and double the kernel work
+        TopK.batchTopK(scored, queryIdCol, idCol, k, largerBetter)
       case _ =>
         val ord = orderCols(col("score"), col(idCol), largerBetter)
-        present
+        scored
           .withColumn("_rn", row_number().over(
             Window.partitionBy(col(queryIdCol)).orderBy(ord: _*)))
           .filter(col("_rn") <= k)
+          .filter(col("score").isNotNull) // post-window: ≤ Q·k rows
           .select(col(queryIdCol), col(idCol), col("score"), col("_rn").as("rank"))
     }
-  }
 
   /** Batch nearest-k: one top-k per row of `queries` (cols: queryIdCol,
     * queryVecCol). The 100 TB shape: the query side is broadcast, the big
@@ -137,7 +145,10 @@ object Search {
       queryVecCol: String,
       metric: Metric,
       k: Int = 10): DataFrame = {
-    val scored = points.crossJoin(broadcast(queries))
+    // optional-vector guard at the INPUT: pushes to the scan, unlike a
+    // post-scoring null filter (which would re-evaluate the kernel)
+    val scored = points.filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(queries))
       .withColumn("score", round(scoreExpr(metric, col(vecCol), col(queryVecCol)), 6))
     batchRank(scored, queryIdCol, idCol, k, metric.largerBetter)
   }

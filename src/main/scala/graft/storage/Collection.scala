@@ -398,7 +398,7 @@ final class Collection(
         throw new IllegalArgumentException(
           s"batch knn: unsupported datatype/metric combination $dt/$m")
     }
-    val scored = read().crossJoin(broadcast(queries))
+    val scored = read().filter(stored.isNotNull).crossJoin(broadcast(queries))
       .withColumn("score", round(score, 6))
     graft.ops.Search.batchRank(scored, queryIdCol, config.idCol, k,
       vc.metric.largerBetter)

@@ -21,6 +21,11 @@ class PlanSpec extends SparkTestBase {
     val p = plan(SparkEntry.queries("knn_dot")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
     assert(!p.contains("\nSort "), "knn must not globally sort:\n" + p.take(800))
+    // the optional-vector guard must not re-evaluate the scoring kernel
+    // (a pre-limit filter on the computed score gets substituted below the
+    // projection: 2 kernel evals per row — the regression this pins)
+    assert("vecdot".r.findAllIn(p).length <= 1,
+      "scoring kernel evaluated more than once:\n" + p.take(1200))
   }
 
   test("typed filters push down to the parquet scan") {
