@@ -240,7 +240,24 @@ object PointQuery {
           case SparseStructQ(sc, qi, _) =>
             val overlap = arrays_overlap(col(s"$sc.indices"), typedLit(qi))
             Some(pred.fold(overlap)(_ && overlap))
-          case _ => pred
+          case _ =>
+            // optional-vector exclusion at the scan: points without the
+            // scored vector never rank (`test_optional_vectors.py`)
+            val guard = leaf match {
+              case Nearest(vc, _, _) => Some(col(vc).isNotNull)
+              case RecommendAvg(vc, _, _, _) => Some(col(vc).isNotNull)
+              case RecommendBest(vc, _, _, _) => Some(col(vc).isNotNull)
+              case RecommendSum(vc, _, _, _) => Some(col(vc).isNotNull)
+              case DiscoverQ(vc, _, _, _) => Some(col(vc).isNotNull)
+              case ContextQ(vc, _, _) => Some(col(vc).isNotNull)
+              case MaxSimQ(vc, _, _) => Some(col(vc).isNotNull)
+              case FeedbackQ(vc, _, _, _, _, _, _) => Some(col(vc).isNotNull)
+              case _ => None
+            }
+            guard match {
+              case Some(g) => Some(pred.fold(g)(_ && g))
+              case None => pred
+            }
         }
         val base =
           if (q.prefetches.isEmpty) points

@@ -63,15 +63,14 @@ object Search {
       scored.filter(if (largerBetter) col("score") > t else col("score") < t)
     }
     val ord = orderCols(col("score"), col(idCol), largerBetter)
-    // A point lacking the scored vector cannot rank — the reference simply
-    // has no entry for it in that vector's storage
-    // (`tests/openapi/test_optional_vectors.py`). NULLS LAST ordering keeps
-    // unscorable rows out of the top unless matches < k; the residual
-    // filter runs AFTER the limit (≤ offset+k rows) — a pre-limit
-    // `filter(score.isNotNull)` would be pushed below the projection and
-    // re-evaluate the scoring kernel per row (measured 2× on knn plans).
+    // Optional-vector exclusion lives at the INPUT (vector-column
+    // isNotNull from the callers — pushable to the scan): a filter on the
+    // computed score would either be substituted below the projection
+    // (2× kernel evals per row) or, placed above the limit, break
+    // TakeOrderedAndProject's single-stage executeCollect fast path
+    // (measured +25% on knn). NULLS LAST ordering is the belt-and-braces
+    // for callers scoring arbitrary expressions.
     val top = thresholded.orderBy(ord: _*).limit(offset + k)
-      .filter(col("score").isNotNull)
     if (offset == 0) top
     else {
       // tiny (k+offset rows): single-partition window is fine
@@ -97,8 +96,12 @@ object Search {
       extraCols: Seq[String] = Nil): DataFrame = {
     val q = typedLit(query)
     val pred = filter.map(f => new FilterCompiler(resolver.get).compile(f))
+    // points lacking the queried vector are excluded — the reference has no
+    // entry for them in that vector's storage (`test_optional_vectors.py`);
+    // the guard is a plain scan predicate (PushedFilters: IsNotNull)
+    val guard = col(vecCol).isNotNull
     scoredTopK(points, idCol, scoreExpr(metric, col(vecCol), q), metric.largerBetter,
-      pred, k, offset, scoreThreshold, extraCols)
+      Some(pred.fold(guard)(_ && guard)), k, offset, scoreThreshold, extraCols)
   }
 
   /** Per-query top-k reduction over a scored (queryId, id, score) stream —

@@ -287,7 +287,9 @@ final class Collection(
     val df = read()
     val score = VectorCodec.scoreExpr(
       vc.datatype, vc.metric, col(config.vectorCol(vectorName)), query)
-    val pred = filter.map(f => new FilterCompiler(resolver(df)).compile(f))
+    val guard = col(config.vectorCol(vectorName)).isNotNull
+    val pred = Some(filter.map(f => new FilterCompiler(resolver(df)).compile(f))
+      .fold(guard)(_ && guard))
     val qc = config.quantCol(vectorName)
     (if (quantized) vc.quantization else None) match {
       case Some(spec) if df.columns.contains(qc) =>
@@ -365,7 +367,9 @@ final class Collection(
     val df = read()
     val score = VectorCodec.maxSimExpr(
       vc.datatype, vc.metric, col(config.vectorCol(vectorName)), queryVecs)
-    val pred = filter.map(f => new FilterCompiler(resolver(df)).compile(f))
+    val guard = col(config.vectorCol(vectorName)).isNotNull
+    val pred = Some(filter.map(f => new FilterCompiler(resolver(df)).compile(f))
+      .fold(guard)(_ && guard))
     graft.ops.Search.scoredTopK(df, config.idCol, score, vc.metric.largerBetter,
       pred, k)
   }
