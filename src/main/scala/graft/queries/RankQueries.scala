@@ -129,6 +129,13 @@ object RankQueries {
         Seq(Fusion.Source(topDot7(s, dir, 20)), Fusion.Source(topCos42(s, dir, 20))),
         "vec_id", limit = 10)
     }),
+    // DBSF with per-source weights (`score_fusion.rs` weighted sum after
+    // the μ±3σ normalization).
+    "fusion_dbsf_weighted" -> ((s, dir) => {
+      Fusion.dbsf(
+        Seq(Fusion.Source(topDot7(s, dir, 20)), Fusion.Source(topCos42(s, dir, 20))),
+        "vec_id", weights = Some(Seq(1.0, 3.0)), limit = 10)
+    }),
     "group_by_label" -> ((s, dir) => {
       val e = emb(s, dir)
       val expr = Search.scoreExpr(Dot, col("embedding"), typedLit(v(s, dir, 7)))
@@ -366,6 +373,26 @@ object RankQueries {
         |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM a, ast),
         |bn AS (SELECT vec_id, CASE WHEN n = 1 OR sd = 0 THEN 0.5
         |         ELSE (s - (m - 3*sd)) / (6*sd) END AS c FROM b, bst),
+        |u AS (SELECT * FROM an UNION ALL SELECT * FROM bn)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "fusion_dbsf_weighted" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |      FROM embeddings e, q7 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q42.v, q42.v))), 6) AS s
+        |      FROM embeddings e, q42 ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ast AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM a),
+        |bst AS (SELECT avg(s) AS m, coalesce(stddev_samp(s), 0) AS sd, count(*) AS n FROM b),
+        |an AS (SELECT vec_id, (CASE WHEN n = 1 OR sd = 0 THEN 0.5
+        |         ELSE (s - (m - 3*sd)) / (6*sd) END) * 1.0 AS c FROM a, ast),
+        |bn AS (SELECT vec_id, (CASE WHEN n = 1 OR sd = 0 THEN 0.5
+        |         ELSE (s - (m - 3*sd)) / (6*sd) END) * 3.0 AS c FROM b, bst),
         |u AS (SELECT * FROM an UNION ALL SELECT * FROM bn)
         |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,

@@ -48,6 +48,21 @@ object VectorQueries {
       val q = Tables.embeddingOf(s, dir, 42L)
       Search.knn(emb(s, dir), "vec_id", "embedding", q, Cosine, k = 10)
     }),
+    // with_payload enrichment on search results, the reference's
+    // large-result shape: query WITHOUT payload first, then fetch payload
+    // only for the final ids (`query.rs:207-300`,
+    // PAYLOAD_TRANSFERS_FACTOR_THRESHOLD) — here a broadcast-sized
+    // semi-join of ≤ k hit ids back onto the payload columns.
+    "knn_with_payload" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val hits = Search.knn(e, "vec_id", "embedding",
+        Tables.embeddingOf(s, dir, 7L), Dot, k = 10)
+      val payload = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"), col("n_chars"))
+      hits.join(payload, Seq("vec_id"), "left")
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
     // Points lacking the queried named vector are excluded from search —
     // the reference simply has no entry for them in that vector's storage
     // (`tests/openapi/test_optional_vectors.py`). Euclid is the dangerous
@@ -234,6 +249,14 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "knn_with_payload" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |hits AS (SELECT e.vec_id AS vec_id,
+        |    round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |  FROM embeddings e, q ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT h.vec_id, h.score, d.lang, d.n_chars
+        |FROM hits h LEFT JOIN documents d ON h.vec_id = d.doc_id
+        |ORDER BY h.score DESC, h.vec_id ASC""".stripMargin,
     "knn_optional_vectors" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 13)
         |SELECT e.vec_id AS vec_id,
