@@ -623,3 +623,111 @@ case class SparseDotExpr(
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/** Multi-bit binary-quantization ENCODER: one fused loop packs a float
+  * vector into the extended bit layout (`encode_one_bit_vector` /
+  * `encode_two_bits_vector` / `encode_one_and_half_bits_vector`,
+  * `encoded_vectors_binary.rs:558-622`) — the ingest-time transform. The
+  * per-element thresholds are the z-score bands of `encode_two_bits_value`
+  * (σ̂ = 2/3; sd < 1e-7 degrades to sign-bit + 0), with per-element
+  * mean/std baked in as reference objects. Replaces a 2·dim-node
+  * when-chain whose generated code exceeded the JIT huge-method limit
+  * when fused into a scoring stage. 1.5-bit pairs OR-union naturally via
+  * repeated `|=` on the shared target bit. */
+case class BinaryEncodeExpr(
+    child: Expression,
+    mean: Array[Double],
+    std: Array[Double],
+    encoding: String, // one_bit | two_bits | one_and_half_bits
+    dim: Int) extends UnaryExpression {
+  require(Set("one_bit", "two_bits", "one_and_half_bits").contains(encoding),
+    s"unknown binary encoding '$encoding'")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def extendedBits: Int = encoding match {
+    case "one_bit" => dim
+    case "two_bits" => 2 * dim
+    case _ => dim + (dim + 1) / 2
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val words = new Array[Long]((extendedBits + 63) / 64)
+    var i = 0
+    while (i < n) {
+      val x = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      var b1 = false
+      var b2 = false
+      if (encoding == "one_bit") b1 = x > 0.0
+      else {
+        val sd = std(i)
+        if (sd < 1e-7) b1 = x > 0.0
+        else {
+          val z = (x - mean(i)) / sd
+          b1 = z > -(2.0 / 3.0)
+          b2 = z >= 2.0 / 3.0
+        }
+      }
+      if (b1) words(i >> 6) |= 1L << (i & 63)
+      if (b2) {
+        val j = if (encoding == "two_bits") dim + i else dim + i / 2
+        words(j >> 6) |= 1L << (j & 63)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("binEncMean", mean, "double[]")
+    val sdArr = ctx.addReferenceObj("binEncStd", std, "double[]")
+    val oneBit = encoding == "one_bit"
+    val twoBits = encoding == "two_bits"
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      val x = ctx.freshName("x")
+      val b1 = ctx.freshName("b1")
+      val b2 = ctx.freshName("b2")
+      val j = ctx.freshName("j")
+      val sd = ctx.freshName("sd")
+      val z = ctx.freshName("z")
+      val getX = if (elemIsFloat) s"(double) $c.getFloat($i)" else s"$c.getDouble($i)"
+      val bitLogic =
+        if (oneBit) s"$b1 = $x > 0.0;"
+        else
+          s"""
+             |double $sd = $sdArr[$i];
+             |if ($sd < 1e-7) { $b1 = $x > 0.0; }
+             |else {
+             |  double $z = ($x - $m[$i]) / $sd;
+             |  $b1 = $z > -(2.0 / 3.0);
+             |  $b2 = $z >= 2.0 / 3.0;
+             |}
+           """.stripMargin
+      val b2Target = if (twoBits) s"$dim + $i" else s"$dim + $i / 2"
+      s"""
+         |int $n = java.lang.Math.min($dim, $c.numElements());
+         |long[] $words = new long[${(extendedBits + 63) / 64}];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $getX;
+         |  boolean $b1 = false;
+         |  boolean $b2 = false;
+         |  $bitLogic
+         |  if ($b1) { $words[$i >> 6] |= 1L << ($i & 63); }
+         |  if ($b2) { int $j = $b2Target; $words[$j >> 6] |= 1L << ($j & 63); }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -68,17 +68,13 @@ object Quantization {
   }
 
   /** Binary quantization: sign bits packed into array<long> (dim/64 words).
-    * Query encoded the same; approx distance = hamming. */
-  def encodeBinary(vecCol: Column, dim: Int): Column = {
-    val words = (dim + 63) / 64
-    array((0 until words).map { w =>
-      val bits = (0 until math.min(64, dim - w * 64)).map { b =>
-        when(element_at(vecCol, w * 64 + b + 1).cast("double") > 0.0,
-          lit(1L << b)).otherwise(lit(0L))
-      }
-      bits.reduce((a, b) => a.bitwiseOR(b))
-    }: _*)
-  }
+    * Query encoded the same; approx distance = hamming. One codegen'd
+    * packing loop ([[graft.functions.BinaryEncodeExpr]]). */
+  def encodeBinary(vecCol: Column, dim: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.BinaryEncodeExpr(
+        org.apache.spark.sql.GraftShim.expression(vecCol),
+        Array.empty, Array.empty, "one_bit", dim))
 
   def binaryQueryLiteral(query: Seq[Double]): Seq[Long] = {
     val words = (query.length + 63) / 64
@@ -140,29 +136,15 @@ object Quantization {
   private val Sigmas = 2.0 / 3.0
 
   /** (b1, b2) of `encode_two_bits_value`: 00 for z ≤ −σ̂, 10 inside the
-    * band, 11 for z ≥ σ̂; σ=0 degrades to sign-bit + 0. */
-  private def twoBitPair(v: Column, mean: Double, sd: Double): (Column, Column) =
-    if (sd < 1e-7) (v > 0.0, lit(false))
-    else {
-      val z = (v - lit(mean)) / lit(sd)
-      (z > lit(-Sigmas), z >= lit(Sigmas))
-    }
-
+    * band, 11 for z ≥ σ̂; σ=0 degrades to sign-bit + 0. Column-side packing
+    * lives in [[graft.functions.BinaryEncodeExpr]]; this is the driver-side
+    * twin for query literals. */
   private def twoBitPairScala(v: Double, mean: Double, sd: Double): (Boolean, Boolean) =
     if (sd < 1e-7) (v > 0.0, false)
     else {
       val z = (v - mean) / sd
       (z > -Sigmas, z >= Sigmas)
     }
-
-  private def packBitCols(bits: Seq[Column]): Column = {
-    val words = (bits.length + 63) / 64
-    array((0 until words).map { w =>
-      (0 until math.min(64, bits.length - w * 64)).map { b =>
-        when(bits(w * 64 + b), lit(1L << b)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }: _*)
-  }
 
   private def packBitsScala(bits: Seq[Boolean]): Seq[Long] = {
     val words = (bits.length + 63) / 64
@@ -173,19 +155,16 @@ object Quantization {
     }
   }
 
-  private def pairsOf(vecCol: Column, stats: BinaryStats): Seq[(Column, Column)] =
-    (0 until stats.dim).map(i => twoBitPair(
-      element_at(vecCol, i + 1).cast("double"), stats.mean(i), stats.std(i)))
-
   private def pairsOfScala(q: Seq[Double], stats: BinaryStats): Seq[(Boolean, Boolean)] =
     q.indices.map(i => twoBitPairScala(q(i), stats.mean(i), stats.std(i)))
 
   /** TwoBits layout: [b1_0..b1_{d−1}, b2_0..b2_{d−1}] packed to
-    * array<long> (`encode_two_bits_vector`). */
-  def encodeBinary2(vecCol: Column, stats: BinaryStats): Column = {
-    val ps = pairsOf(vecCol, stats)
-    packBitCols(ps.map(_._1) ++ ps.map(_._2))
-  }
+    * array<long> (`encode_two_bits_vector`) — one codegen'd packing loop. */
+  def encodeBinary2(vecCol: Column, stats: BinaryStats): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.BinaryEncodeExpr(
+        org.apache.spark.sql.GraftShim.expression(vecCol),
+        stats.mean, stats.std, "two_bits", stats.dim))
 
   def binary2QueryLiteral(q: Seq[Double], stats: BinaryStats): Seq[Long] = {
     val ps = pairsOfScala(q, stats)
@@ -194,15 +173,12 @@ object Quantization {
 
   /** OneAndHalfBits layout: the d b1-bits, then the b2-bits of consecutive
     * element PAIRS united with OR — d + ⌈d/2⌉ bits total
-    * (`encode_one_and_half_bits_vector`). */
-  def encodeBinary15(vecCol: Column, stats: BinaryStats): Column = {
-    val ps = pairsOf(vecCol, stats)
-    val d = stats.dim
-    val b2 = (0 until (d + 1) / 2).map { j =>
-      if (2 * j + 1 < d) ps(2 * j)._2 || ps(2 * j + 1)._2 else ps(2 * j)._2
-    }
-    packBitCols(ps.map(_._1) ++ b2)
-  }
+    * (`encode_one_and_half_bits_vector`) — one codegen'd packing loop. */
+  def encodeBinary15(vecCol: Column, stats: BinaryStats): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.BinaryEncodeExpr(
+        org.apache.spark.sql.GraftShim.expression(vecCol),
+        stats.mean, stats.std, "one_and_half_bits", stats.dim))
 
   def binary15QueryLiteral(q: Seq[Double], stats: BinaryStats): Seq[Long] = {
     val ps = pairsOfScala(q, stats)
