@@ -292,9 +292,24 @@ object RequestCodec {
           case Left(v) => (Nearest(sp.col, sp.metric, v), None)
           case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
         }
+      // bare point-id shorthand (`QueryInterface::Nearest(VectorInput)` is
+      // untagged, `schema.rs:637-640`): `"query": 7` / `"query": "<uuid>"`
+      case id @ (JInt(_) | JLong(_) | JString(_)) =>
+        if (sp.sparse) fail(s"dense vector input for sparse vector '${sp.col}'")
+        vectorInput(id, ctx) match {
+          case Left(v) => (Nearest(sp.col, sp.metric, v), None)
+          case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
+        }
       case o: JObject =>
         val keys = o.obj.map(_._1).toSet
-        if (keys.contains("nearest")) {
+        if (keys.contains("indices") && !keys.contains("nearest")) {
+          // bare sparse-vector shorthand (`VectorInput`, untagged)
+          if (!sp.sparse)
+            fail(s"sparse vector input for dense vector '${sp.col}'")
+          (SparseStructQ(sp.col,
+            arr(o \ "indices").map(num(_).toInt),
+            arr(o \ "values").map(num)), None)
+        } else if (keys.contains("nearest")) {
           val scoring = (o \ "nearest") match {
             // sparse input `{indices, values}` — only valid against a
             // sparse named vector (`schema.rs:559-567`)

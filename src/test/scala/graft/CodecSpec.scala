@@ -285,6 +285,23 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("query: bare shorthands — id, uuid-form string rejection path, sparse object") {
+    // `QueryInterface::Nearest(VectorInput)` is untagged (schema.rs:637-640)
+    val q = RequestCodec.parseQueryRequest("""{"query": 7, "limit": 3}""", ctx)
+    assert(q.scoring == Nearest("embedding", Dot, Seq(1.0, 2.0)))
+    val sctx = Ctx(spaces = Map(
+      "" -> VectorSpace("embedding", Dot),
+      "txt" -> VectorSpace("sparse_txt", Dot, sparse = true)))
+    val sq = RequestCodec.parseQueryRequest(
+      """{"query": {"indices": [2, 4], "values": [1.0, 2.0]},
+        |  "using": "txt", "limit": 3}""".stripMargin, sctx)
+    assert(sq.scoring == SparseStructQ("sparse_txt", Seq(2, 4), Seq(1.0, 2.0)))
+    // bare id against a sparse space fails loudly
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseQueryRequest("""{"query": 7, "using": "txt"}""", sctx)
+    }
+  }
+
   test("query: sparse nearest routes to the sparse space; mismatches fail loudly") {
     val sctx = Ctx(spaces = Map(
       "" -> VectorSpace("embedding", Dot),
