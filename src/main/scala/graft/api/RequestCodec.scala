@@ -754,6 +754,71 @@ object RequestCodec {
     CollectionConfig(idCol = idCol, vectors = vectors, sparse = sparse)
   }
 
+  /** PATCH `/collections/{c}` body (`UpdateCollection` →
+    * `VectorsConfigDiff` / `SparseVectorsConfig` / collection-level
+    * `quantization_config`; `collection_meta_ops.rs:119-135`,
+    * `tests/openapi/test_collection_update.py`). Unlike create, `vectors`
+    * here is ALWAYS a name→diff map (the unnamed vector appears as `""`)
+    * and each diff carries only index/quantization knobs — size/distance
+    * are immutable. Applies the diff onto `base` and returns the updated
+    * config; hnsw/optimizer/wal knobs are accepted and ignored (serving
+    * machinery the batch engine replaces). */
+  def parseCollectionUpdate(
+      json: String, base: graft.sources.CollectionConfig): graft.sources.CollectionConfig = {
+    val o = JsonMethods.parse(json)
+    def quantOf(j: JValue): Option[Option[graft.sources.QuantizationSpec]] = j match {
+      case JNothing => None // knob absent from the diff: keep current
+      case JNull => Some(None) // explicit null: remove quantization
+      case q: JObject if (q \ "scalar") != JNothing =>
+        Some(Some(graft.sources.QuantizationSpec("scalar",
+          quantile = (q \ "scalar" \ "quantile") match {
+            case JNothing | JNull => 1.0
+            case x => num(x)
+          })))
+      case q: JObject if (q \ "binary") != JNothing =>
+        Some(Some(graft.sources.QuantizationSpec("binary",
+          encoding = (q \ "binary" \ "encoding") match {
+            case JString(e) => e
+            case _ => "one_bit"
+          })))
+      case q: JObject if (q \ "product") != JNothing || (q \ "turbo") != JNothing =>
+        Some(None) // accepted, searched exact (strictly more accurate)
+      case other => fail(s"bad quantization diff: $other")
+    }
+    val vecDiffs: Map[String, JValue] = (o \ "vectors") match {
+      case v: JObject => v.obj.toMap
+      case JNothing | JNull => Map.empty
+      case other => fail(s"bad vectors diff: $other")
+    }
+    val collQuant = quantOf(o \ "quantization_config")
+    val vectors = base.vectors.map { vc =>
+      val perVec = vecDiffs.get(vc.name).flatMap(d => quantOf(d \ "quantization_config"))
+      perVec.orElse(collQuant).fold(vc)(q => vc.copy(quantization = q))
+    }
+    vecDiffs.keys.foreach { n =>
+      if (!base.vectors.exists(_.name == n)) fail(s"unknown vector '$n' in diff")
+    }
+    val sparseDiffs: Map[String, JValue] = (o \ "sparse_vectors") match {
+      case v: JObject => v.obj.toMap
+      case JNothing | JNull => Map.empty
+      case other => fail(s"bad sparse_vectors diff: $other")
+    }
+    val sparse = base.sparse.map { sc =>
+      sparseDiffs.get(sc.name).fold(sc) { d =>
+        (d \ "modifier") match {
+          case JString(m) => sc.copy(modifier = Some(m.toLowerCase))
+          case JNull => sc.copy(modifier = None)
+          case JNothing => sc
+          case other => fail(s"bad sparse modifier: $other")
+        }
+      }
+    }
+    sparseDiffs.keys.foreach { n =>
+      if (!base.sparse.exists(_.name == n)) fail(s"unknown sparse vector '$n' in diff")
+    }
+    base.copy(vectors = vectors, sparse = sparse)
+  }
+
   // ============================================================ update ops
 
   /** One point of an upsert batch (`PointStruct`, `schema.rs:1406-1415`):

@@ -37,6 +37,13 @@ trait FieldResolver {
     * statically known — drives type-aware Range/`start_from` bound coercion
     * ([[Temporal.boundLit]]). None → bounds compare as plain literals. */
   def dataTypeOf(key: String): Option[DataType] = None
+  /** Values of `key` usable as GROUP-BY ids (`GroupId`,
+    * `lib/segment/src/data_types/groups.rs:8-12`: string | u64 | i64 ONLY —
+    * floats, bools, objects, nested arrays, nulls are skipped, a top-level
+    * array fans the point into every element's group;
+    * `tests/openapi/test_group.py` heterogenousId case). Defaults to
+    * [[values]] for typed resolvers whose columns are already scalar-typed. */
+  def groupKeys(key: String): Column = values(key)
 }
 
 /** Resolver for collections whose payload fields are typed top-level columns

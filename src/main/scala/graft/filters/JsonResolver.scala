@@ -89,6 +89,30 @@ final class JsonResolver(
     }
   }
 
+  /** Group-id values (`GroupId`, `groups.rs:8-12`): strings and integer
+    * numbers only — floats, bools, objects, nested arrays and nulls are
+    * SKIPPED (the `test_group.py` heterogenousId contract: `2.42`,
+    * `[["a"]]`, `{..}`, `[]`, `null` form no group), a top-level array fans
+    * the point into every valid element's group. Ids canonicalize to
+    * strings, so the numeric group `1` and the string group `"1"` merge —
+    * a documented divergence (the reference keeps them distinct); payload
+    * fields mixing both spellings of the same number are pathological. */
+  override def groupKeys(key: String): Column = {
+    def keysOf(v: Column): Column =
+      filter(
+        transform(
+          coalesce(
+            try_variant_get(v, "$", "array<variant>"),
+            when(v.isNotNull && !is_variant_null(v), array(v)),
+            array().cast("array<variant>")),
+          e => when(
+            schema_of_variant(e).isin("STRING", "BIGINT", "INT", "SMALLINT", "TINYINT"),
+            try_variant_get(e, "$", "string"))),
+        x => x.isNotNull)
+    if (hasBrackets(key)) flatten(transform(reachedVariants(key), keysOf(_)))
+    else keysOf(raw(key))
+  }
+
   /** Present in the document (JSON null counts as present). */
   def fieldExists(key: String): Column =
     if (hasBrackets(key)) size(reachedVariants(key)) > 0

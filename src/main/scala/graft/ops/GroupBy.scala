@@ -36,7 +36,7 @@ object GroupBy {
 
     val scored = base
       .withColumn("score", round(scoreExpr, 6))
-      .select(col(idCol), explode(resolver.values(groupByField)).as("group_value"),
+      .select(col(idCol), explode(resolver.groupKeys(groupByField)).as("group_value"),
         col("score"))
 
     val dir = (c: Column) => if (largerBetter) c.desc else c.asc

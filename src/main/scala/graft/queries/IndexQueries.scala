@@ -166,6 +166,35 @@ object IndexQueries {
         Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
         "vec_id", k = 10, minRequired = 8)
     }),
+    // PATCH `/collections/{c}` config update (`UpdateCollection`,
+    // `collection_meta_ops.rs:119-135`; `tests/openapi/test_collection_update.py`):
+    // the collection starts WITHOUT quantization, the wire diff enables
+    // scalar int8, and `Collection.updateConfig` re-fits params on the
+    // current corpus and re-materializes the quantized column in ONE
+    // rewrite — subsequent searches route two-phase by default.
+    "collection_update_quantization" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      val path = "/tmp/graft_runtime/qcoll_patch_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = quantCollections.computeIfAbsent(path, { _ =>
+        val cfg = RequestCodec.parseCollectionConfig(
+          """{"vectors": {"size": 64, "distance": "Dot"}}""", idCol = "vec_id")
+        val base = graft.storage.Collection.create(s, path, cfg,
+          emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+        require(!base.read().columns.exists(_.startsWith("quant_")),
+          "collection unexpectedly starts quantized")
+        base.updateConfig(RequestCodec.parseCollectionUpdate(
+          """{"vectors": {"": {"quantization_config":
+            |  {"scalar": {"type": "int8"}}}}}""".stripMargin,
+          base.config))
+      })
+      val quantOk = coll.read().columns.contains("quant_vector")
+      val ann = coll.knn("", v7(s, dir), k = 10, oversampling = 3.0)
+      recallCheck(s, ann,
+        Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 8)
+        .withColumn("quant_col_ok", lit(quantOk))
+    }),
     "quantized_collection_binary2" -> ((s, dir) => {
       import graft.api.RequestCodec
       val cfg = RequestCodec.parseCollectionConfig(
@@ -502,6 +531,8 @@ object IndexQueries {
       "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
     "quantized_collection_knn" ->
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
+    "collection_update_quantization" ->
+      "SELECT 10 AS k, 8 AS min_required, true AS recall_ok, true AS quant_col_ok",
     "quantized_collection_binary2" ->
       "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
     "quantized_binary15_rescore" ->

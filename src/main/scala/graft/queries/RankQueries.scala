@@ -144,6 +144,35 @@ object RankQueries {
         groupSize = 3, groups = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // Heterogeneous group-by keys (`test_group.py` heterogenousId;
+    // `GroupId` `groups.rs:8-12`): strings and integers form groups, a
+    // top-level array fans the point into every element's group, and
+    // floats / objects / nested arrays / `[]` / `null` are SKIPPED.
+    // The payload is JSON (VariantType path), so the type dispatch runs
+    // per value via schema_of_variant.
+    "group_by_hetero" -> ((s, dir) => {
+      import graft.filters.JsonResolver
+      val hid = expr("""
+        CASE CAST(vec_id % 8 AS INT)
+          WHEN 0 THEN concat('"g', CAST(label AS STRING), '"')
+          WHEN 1 THEN CAST(label AS STRING)
+          WHEN 2 THEN concat('[', CAST(label AS STRING), ',',
+                             CAST(label + 1 AS STRING), ']')
+          WHEN 3 THEN concat('["a', CAST(label AS STRING), '"]')
+          WHEN 4 THEN '2.42'
+          WHEN 5 THEN '{"x": 1}'
+          WHEN 6 THEN '[]'
+          ELSE 'null'
+        END""")
+      val pts = emb(s, dir).select(col("vec_id"), col("embedding"),
+        concat(lit("{\"hid\": "), hid, lit("}")).as("payload"))
+      val expr7 = Search.scoreExpr(Dot, col("embedding"), typedLit(v(s, dir, 7)))
+      GroupBy.groupBySearch(pts, "vec_id", expr7, largerBetter = true,
+        groupByField = "hid",
+        resolver = new JsonResolver(col("payload"), Map.empty, col("vec_id")),
+        groupSize = 2, groups = 6)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // group-by search + with_lookup: each group id doubles as a point id in
     // the lookup collection (here: the same table), broadcast-joined
     "group_by_lookup" -> ((s, dir) => {
@@ -412,6 +441,34 @@ object RankQueries {
         |SELECT h.group_value AS group_value, h.vec_id AS vec_id,
         |       h.score AS score, h.rank AS rank
         |FROM hits h JOIN topg t USING (group_value) WHERE t.gr <= 4
+        |ORDER BY t.gr ASC, h.rank ASC""".stripMargin,
+    "group_by_hetero" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |vals AS (
+        |  SELECT e.vec_id AS vec_id, 'g' || CAST(e.label AS VARCHAR) AS group_value
+        |    FROM embeddings e WHERE e.vec_id % 8 = 0
+        |  UNION ALL SELECT e.vec_id, CAST(e.label AS VARCHAR)
+        |    FROM embeddings e WHERE e.vec_id % 8 = 1
+        |  UNION ALL SELECT e.vec_id, CAST(e.label AS VARCHAR)
+        |    FROM embeddings e WHERE e.vec_id % 8 = 2
+        |  UNION ALL SELECT e.vec_id, CAST(e.label + 1 AS VARCHAR)
+        |    FROM embeddings e WHERE e.vec_id % 8 = 2
+        |  UNION ALL SELECT e.vec_id, 'a' || CAST(e.label AS VARCHAR)
+        |    FROM embeddings e WHERE e.vec_id % 8 = 3),
+        |scored AS (SELECT v.vec_id AS vec_id, v.group_value AS group_value,
+        |             round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |           FROM vals v JOIN embeddings e ON e.vec_id = v.vec_id, q),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY group_value ORDER BY score DESC, vec_id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |best AS (SELECT group_value, max(score) AS best FROM hits GROUP BY group_value),
+        |topg AS (SELECT group_value, best,
+        |           row_number() OVER (ORDER BY best DESC, group_value ASC) AS gr
+        |         FROM best)
+        |SELECT h.group_value AS group_value, h.vec_id AS vec_id,
+        |       h.score AS score, h.rank AS rank
+        |FROM hits h JOIN topg t USING (group_value) WHERE t.gr <= 6
         |ORDER BY t.gr ASC, h.rank ASC""".stripMargin,
     "group_by_lookup" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),

@@ -110,6 +110,32 @@ object SparseQueries {
       val (qi, qv) = sparseQ(s, dir, 7L)
       coll.knnSparse("txt", qi, qv, k = 10)
     }),
+    // Sparse config PATCH (`tests/openapi/test_sparse_vector_config_update.py`;
+    // `UpdateCollection` sparse diff): the collection starts with a PLAIN
+    // sparse vector, the wire diff sets `modifier: idf`, and the SAME
+    // stored postings immediately score IDF-weighted — the modifier is
+    // query-time config, so the update is config-only (no rewrite).
+    "sparse_config_update_idf" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      val path = "/tmp/graft_runtime/sparse_patch_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll0 = sparseCollections.computeIfAbsent(path, { _ =>
+        import graft.sources.{CollectionConfig, SparseVectorConfig}
+        val cfg = CollectionConfig(idCol = "vec_id",
+          sparse = Seq(SparseVectorConfig("txt")))
+        val e = Tables.load(s, dir, "embeddings")
+        graft.storage.Collection.create(s, path, cfg,
+          e.select(col("vec_id"), sparseFromDense(col("embedding")).as("sparse_txt")))
+      })
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      val before = coll0.knnSparse("txt", qi, qv, k = 10)
+        .withColumn("phase", lit("plain"))
+      val patched = coll0.updateConfig(RequestCodec.parseCollectionUpdate(
+        """{"sparse_vectors": {"txt": {"modifier": "idf"}}}""", coll0.config))
+      val after = patched.knnSparse("txt", qi, qv, k = 10)
+        .withColumn("phase", lit("idf"))
+      before.unionByName(after)
+    }),
     // Sparse vector mutations (`tests/openapi/test_sparse_update.py`,
     // `test_sparse_dense_batch_update.py`): upsert a point WITH a sparse
     // vector, set a sparse vector on an existing point, delete another's —
@@ -210,6 +236,35 @@ object SparseQueries {
         |WHERE len(list_filter(range(1, 65), i ->
         |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sparse_config_update_idf" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |dfs AS (SELECT d.dim AS dim,
+        |          (SELECT count(*) FROM embeddings e
+        |           WHERE e.embedding[d.dim]::DOUBLE > 0.25)::DOUBLE AS df
+        |        FROM dims d),
+        |idf AS (SELECT list(ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |          ORDER BY f.dim) AS l FROM dfs f, n GROUP BY n.n),
+        |plain AS (SELECT e.vec_id AS vec_id,
+        |    round(list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * q.v[i] ELSE 0.0 END)), 6) AS score,
+        |    'plain' AS phase
+        |  FROM embeddings e, q
+        |  WHERE len(list_filter(range(1, 65), i ->
+        |      e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+        |weighted AS (SELECT e.vec_id AS vec_id,
+        |    round(list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * (q.v[i] * idf.l[i]) ELSE 0.0 END)), 6) AS score,
+        |    'idf' AS phase
+        |  FROM embeddings e, q, idf
+        |  WHERE len(list_filter(range(1, 65), i ->
+        |      e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT * FROM plain UNION ALL SELECT * FROM weighted""".stripMargin,
     "sparse_struct_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
         |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),

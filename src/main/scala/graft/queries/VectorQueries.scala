@@ -131,6 +131,16 @@ object VectorQueries {
       val q = Tables.embeddingOf(s, dir, 99L)
       Search.knn(emb(s, dir), "vec_id", "embedding", q, Manhattan, k = 10)
     }),
+    // score_threshold on a SMALLER-BETTER metric (`check_threshold`,
+    // `types.rs:359-366`; `tests/openapi/test_score_threshold.py`): for
+    // Euclid/Manhattan the cut is strict `score < t`, not `>` — the
+    // returned page shrinks below `limit` when fewer points are close
+    // enough (5 of 10 at the verify scale).
+    "knn_euclid_threshold" -> ((s, dir) => {
+      val q = Tables.embeddingOf(s, dir, 13L)
+      Search.knn(emb(s, dir), "vec_id", "embedding", q, Euclid, k = 10,
+        scoreThreshold = Some(1.19))
+    }),
     // batch KNN: one top-k per query row; the 100 TB shape — points stream
     // once, query side broadcast, per-query window ranking
     "knn_batch" -> ((s, dir) => {
@@ -354,6 +364,14 @@ object VectorQueries {
         |SELECT e.vec_id AS vec_id,
         |       round(list_distance(e.embedding::DOUBLE[], q.v), 6) AS score
         |FROM embeddings e, q
+        |ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_euclid_threshold" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 13)
+        |SELECT * FROM (
+        |  SELECT e.vec_id AS vec_id,
+        |         round(list_distance(e.embedding::DOUBLE[], q.v), 6) AS score
+        |  FROM embeddings e, q)
+        |WHERE score < 1.19
         |ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
     "knn_manhattan" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 99)

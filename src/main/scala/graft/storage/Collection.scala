@@ -408,6 +408,47 @@ final class Collection(
       vc.metric.largerBetter)
   }
 
+  /** PATCH `/collections/{c}` config update (`UpdateCollection`,
+    * `lib/storage/src/content_manager/collection_meta_ops.rs:119-135`;
+    * `tests/openapi/test_collection_update.py`,
+    * `test_sparse_vector_config_update.py`). The in-scope mutable surface
+    * is per-vector `quantization_config` and the sparse `modifier`; the
+    * reference applies such changes by re-optimizing segments in the
+    * background — here they land as ONE explicit rewrite. A quantization
+    * change re-fits params on the CURRENT corpus and re-materializes the
+    * quantized column(s); removing quantization drops them. A sparse
+    * modifier change is config-only (scoring reads it per query). Id and
+    * shard-key columns are immutable (a PATCH cannot re-shard). Returns
+    * the Collection bound to the new config. */
+  def updateConfig(nc: graft.sources.CollectionConfig): Collection = {
+    require(nc.idCol == config.idCol && nc.shardKeyCol == config.shardKeyCol,
+      "id/shard-key columns are immutable under a config PATCH")
+    require(nc.vectors.map(v => (v.name, v.dim, v.metric, v.datatype)) ==
+      config.vectors.map(v => (v.name, v.dim, v.metric, v.datatype)),
+      "vector size/distance/datatype are immutable under a config PATCH " +
+        "(reference: VectorParamsDiff carries only index/quantization knobs)")
+    val next = new Collection(spark, path, nc)
+    val quantChanged = nc.vectors.map(v => v.name -> v.quantization).toMap !=
+      config.vectors.map(v => v.name -> v.quantization).toMap
+    if (quantChanged) {
+      val cur = read()
+      val stripped = cur.columns.filter(_.startsWith("quant_")).foldLeft(cur)(_ drop _)
+      val params = Collection.fitQuantParams(nc, stripped)
+      val withQuant = nc.vectors.filter(_.quantization.isDefined)
+        .foldLeft(stripped) { (acc, vc) =>
+          val vcol = nc.vectorCol(vc.name)
+          if (!acc.columns.contains(vcol)) acc
+          else acc.withColumn(nc.quantCol(vc.name),
+            when(col(vcol).isNotNull,
+              Collection.quantEncodeExpr(vc, params(vc.name), col(vcol)))
+              .otherwise(lit(null)))
+        }
+      next.write(withQuant)
+      next.writeQuantParams(params)
+    }
+    next
+  }
+
   /** Collection-level metadata (`CollectionConfig.metadata`, PATCH
     * `/collections/{c}` — `tests/openapi/test_collection_metadata.py`):
     * arbitrary key-values persisted with the collection config. Patch
