@@ -174,14 +174,59 @@ object Search {
     }
   }
 
+  /** `average_vector` recommend over MULTIVECTORS (`avg_vectors` multi arm
+    * + `merge_positive_and_negative_avg`,
+    * `lib/collection/src/recommendations.rs:59-70,121-124`): the "average"
+    * of multi-dense examples is their CONCATENATION, and negatives append
+    * NEGATED — MaxSim then scores the merged matrix. */
+  def recommendAvgMultiQuery(
+      positives: Seq[Seq[Seq[Double]]],
+      negatives: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
+    require(positives.nonEmpty,
+      "Positive vectors should not be empty with `average` strategy")
+    positives.flatten ++ negatives.flatten.map(_.map(-_))
+  }
+
+  /** `average_vector` recommend over SPARSE vectors (`avg_vectors` sparse
+    * arm + the sparse merge, `recommendations.rs:55-58,87-91,119-120`):
+    * values aggregate per dim over the index UNION (missing = 0), divide
+    * by example count, then merge as `2·avg_pos − avg_neg` per union dim. */
+  def recommendAvgSparseQuery(
+      positives: Seq[(Seq[Int], Seq[Double])],
+      negatives: Seq[(Seq[Int], Seq[Double])]): (Seq[Int], Seq[Double]) = {
+    require(positives.nonEmpty,
+      "Positive vectors should not be empty with `average` strategy")
+    def avg(vs: Seq[(Seq[Int], Seq[Double])]): Map[Int, Double] = {
+      val sums = vs.flatMap { case (is, xs) => is.zip(xs) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      sums.view.mapValues(_ / vs.length).toMap
+    }
+    val p = avg(positives)
+    val merged =
+      if (negatives.isEmpty) p
+      else {
+        val n = avg(negatives)
+        (p.keySet ++ n.keySet).map(d =>
+          d -> (2 * p.getOrElse(d, 0.0) - n.getOrElse(d, 0.0))).toMap
+      }
+    val dims = merged.keys.toSeq.sorted
+    (dims, dims.map(merged))
+  }
+
   /** Recommend, `best_score`: if max(sim(pos)) > max(sim(neg)) then
     * σ(max_pos) else −σ(max_neg), with σ = scaled fast sigmoid; always
     * larger-better. Ref `reco_query.rs:63-90`, `query_enum.rs:31-40`. */
   def bestScoreExpr(
       metric: Metric, v: Column,
       positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]): Column = {
+    require(positives.nonEmpty || negatives.nonEmpty,
+      "recommend requires at least one example")
+    // positives are OPTIONAL for best_score (`test_recommendation_multivector
+    // .py::test_multi_best_score_works_with_only_negatives`): with none,
+    // every point scores −σ(max_neg) — ranked by least-bad negative match.
     val maxPos = positives.map(p => simInternal(metric, v, typedLit(p)))
-      .reduce((a, b) => greatest(a, b))
+      .reduceOption((a, b) => greatest(a, b))
+      .getOrElse(lit(Double.NegativeInfinity))
     val maxNeg =
       if (negatives.isEmpty) lit(Double.NegativeInfinity)
       else negatives.map(n => simInternal(metric, v, typedLit(n)))

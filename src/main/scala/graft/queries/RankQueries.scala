@@ -91,6 +91,36 @@ object RankQueries {
         negatives = Seq(v(s, dir, 4)))
       Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
     }),
+    // best_score with ONLY negatives (`test_recommendation_multivector.py::
+    // test_multi_best_score_works_with_only_negatives`; positives optional
+    // per `reco_query.rs:63-90`): max_pos = −∞, so every point scores
+    // −σ(max_neg) — ranked by least-bad negative match, all in (−1, 0).
+    "recommend_best_only_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val expr = Search.bestScoreExpr(Dot, col("embedding"),
+        positives = Nil, negatives = Seq(v(s, dir, 4), v(s, dir, 11)))
+      Search.scoredTopK(e, "vec_id", expr, largerBetter = true, k = 10)
+    }),
+    // Multivector `average_vector` recommend (`recommendations.rs:59-70,
+    // 121-124`): the "average" of multi-dense examples is their
+    // CONCATENATION, and negatives append NEGATED — one MaxSim search
+    // with the merged matrix. Stored layout: 2×32-dim token vectors.
+    "recommend_multivec_avg" -> ((s, dir) => {
+      val path = "/tmp/graft_runtime/mvec_rec_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      emb(s, dir).select(col("vec_id"),
+          array(slice(col("embedding"), 1, 32), slice(col("embedding"), 33, 32))
+            .as("vector_tok"))
+        .write.mode("overwrite").parquet(path)
+      val stored = s.read.parquet(path)
+      def mv(id: Long): Seq[Seq[Double]] = {
+        val q = v(s, dir, id)
+        Seq(q.slice(0, 32), q.slice(32, 64))
+      }
+      val merged = Search.recommendAvgMultiQuery(Seq(mv(7), mv(8)), Seq(mv(4)))
+      val expr = graft.functions.VectorFunctions.maxSim(Dot, col("vector_tok"),
+        typedLit(merged))
+      Search.scoredTopK(stored, "vec_id", expr, largerBetter = true, k = 10)
+    }),
     "recommend_sum_scores" -> ((s, dir) => {
       val e = emb(s, dir)
       val expr = Search.sumScoresExpr(Dot, col("embedding"),
@@ -290,6 +320,33 @@ object RankQueries {
         |      FROM embeddings e CROSS JOIN q GROUP BY e.vec_id)
         |SELECT vec_id, round(sc, 6) AS score FROM s
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "recommend_best_only_negatives" ->
+      """WITH q4 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+        |q11 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  greatest(list_dot_product(e.embedding::DOUBLE[], q4.v),
+        |           list_dot_product(e.embedding::DOUBLE[], q11.v)) AS mn
+        |  FROM embeddings e, q4, q11)
+        |SELECT vec_id, round(-(0.5*(mn/(1+abs(mn))+1)), 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "recommend_multivec_avg" ->
+      """WITH q AS (SELECT
+        |    a.embedding[1:32]::DOUBLE[] AS q1, a.embedding[33:64]::DOUBLE[] AS q2,
+        |    b.embedding[1:32]::DOUBLE[] AS q3, b.embedding[33:64]::DOUBLE[] AS q4,
+        |    list_transform(c.embedding[1:32]::DOUBLE[], x -> -x) AS q5,
+        |    list_transform(c.embedding[33:64]::DOUBLE[], x -> -x) AS q6
+        |  FROM embeddings a, embeddings b, embeddings c
+        |  WHERE a.vec_id = 7 AND b.vec_id = 8 AND c.vec_id = 4),
+        |t AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS e1,
+        |             embedding[33:64]::DOUBLE[] AS e2 FROM embeddings)
+        |SELECT t.vec_id AS vec_id, round(
+        |    greatest(list_dot_product(e1,q.q1), list_dot_product(e2,q.q1))
+        |  + greatest(list_dot_product(e1,q.q2), list_dot_product(e2,q.q2))
+        |  + greatest(list_dot_product(e1,q.q3), list_dot_product(e2,q.q3))
+        |  + greatest(list_dot_product(e1,q.q4), list_dot_product(e2,q.q4))
+        |  + greatest(list_dot_product(e1,q.q5), list_dot_product(e2,q.q5))
+        |  + greatest(list_dot_product(e1,q.q6), list_dot_product(e2,q.q6)), 6) AS score
+        |FROM t, q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "recommend_best_score" ->
       """WITH q1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=1),
         |q2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=2),

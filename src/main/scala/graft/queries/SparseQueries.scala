@@ -110,6 +110,17 @@ object SparseQueries {
       val (qi, qv) = sparseQ(s, dir, 7L)
       coll.knnSparse("txt", qi, qv, k = 10)
     }),
+    // Sparse `average_vector` recommend (`avg_vectors` sparse arm + the
+    // sparse merge, `recommendations.rs:55-58,87-91,119-120`): values
+    // aggregate per dim over the index UNION (missing = 0), divide by
+    // example count, merge as 2·avg_pos − avg_neg — then ONE sparse dot
+    // search with the merged query (negative dims rank points down).
+    "recommend_sparse_avg" -> ((s, dir) => {
+      val (qi, qv) = graft.ops.Search.recommendAvgSparseQuery(
+        positives = Seq(sparseQ(s, dir, 7L), sparseQ(s, dir, 11L)),
+        negatives = Seq(sparseQ(s, dir, 4L)))
+      sparseColl(s, dir).knnSparse("txt", qi, qv, k = 10)
+    }),
     // Sparse config PATCH (`tests/openapi/test_sparse_vector_config_update.py`;
     // `UpdateCollection` sparse diff): the collection starts with a PLAIN
     // sparse vector, the wire diff sets `modifier: idf`, and the SAME
@@ -235,6 +246,26 @@ object SparseQueries {
         |FROM embeddings e, q
         |WHERE len(list_filter(range(1, 65), i ->
         |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "recommend_sparse_avg" ->
+      """WITH p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),
+        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+        |q AS (SELECT
+        |    list_transform(range(1, 65), i ->
+        |        (CASE WHEN p1.v[i] > 0.25 THEN p1.v[i] ELSE 0 END)
+        |      + (CASE WHEN p2.v[i] > 0.25 THEN p2.v[i] ELSE 0 END)
+        |      - (CASE WHEN n1.v[i] > 0.25 THEN n1.v[i] ELSE 0 END)) AS qv,
+        |    list_transform(range(1, 65), i ->
+        |      p1.v[i] > 0.25 OR p2.v[i] > 0.25 OR n1.v[i] > 0.25) AS qp
+        |  FROM p1, p2, n1)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.qp[i]
+        |         THEN e.embedding[i]::DOUBLE * q.qv[i] ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    e.embedding[i]::DOUBLE > 0.25 AND q.qp[i])) > 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "sparse_config_update_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
