@@ -74,6 +74,15 @@ object ApiQueries {
         |    "positive": [1, 2, 3], "negative": [4], "strategy": "best_score"}},
         |  "limit": 10
         |}""".stripMargin)),
+    // best_score with ONLY negatives through the wire (positives optional
+    // for this strategy, `test_recommendation_multivector.py`). Mirrors
+    // `recommend_best_only_negatives`.
+    "api_query_recommend_negatives_only" -> ((s, dir) => runOnEmbeddings(s, dir,
+      """{
+        |  "query": {"recommend": {
+        |    "negative": [4, 11], "strategy": "best_score"}},
+        |  "limit": 10
+        |}""".stripMargin)),
     // discover with target + context pairs by id. Mirrors `discover`.
     "api_query_discover" -> ((s, dir) => runOnEmbeddings(s, dir,
       """{
@@ -400,6 +409,8 @@ object ApiQueries {
   val oracles: Map[String, String] = Map(
     "api_query_knn_filtered" -> VectorQueries.oracles("knn_filtered"),
     "api_query_recommend_best" -> RankQueries.oracles("recommend_best_score"),
+    "api_query_recommend_negatives_only" ->
+      RankQueries.oracles("recommend_best_only_negatives"),
     "api_query_discover" -> RankQueries.oracles("discover"),
     "api_query_fusion_rrf" -> RankQueries.oracles("fusion_rrf"),
     "api_query_prefetch_filtered" ->
