@@ -268,15 +268,37 @@ object RequestCodec {
       case JString(s) => Some(s)
       case _ => None
     }
+    // `params` (`SearchParams`, `types.rs:573-618`): quantization routing
+    // knobs; hnsw_ef / indexed_only accepted and ignored (serving-index
+    // tuning — BASELINE.json scopes online ANN out).
+    val params = (o \ "params") match {
+      case p: JObject =>
+        def bool(v: JValue, dflt: Boolean): Boolean = v match {
+          case JBool(b) => b
+          case JNothing | JNull => dflt
+          case other => fail(s"expected boolean, got $other")
+        }
+        val q = p \ "quantization"
+        Some(graft.ops.PointQuery.SearchParams(
+          exact = bool(p \ "exact", dflt = false),
+          quantIgnore = bool(q \ "ignore", dflt = false),
+          rescore = bool(q \ "rescore", dflt = true),
+          oversampling = (q \ "oversampling") match {
+            case JNothing | JNull => None
+            case v => Some(num(v))
+          }))
+      case _ => None
+    }
     val scoring = scoringOf(o \ "query", using, ctx, limit) match {
       case (s, Some(innerPrefetch)) =>
         // nearest+mmr sugar: the MMR leaf becomes a candidates_limit
         // Nearest feeding the rerank (`planned_query.rs:368-460`)
         return Query(s, prefetches = Seq(innerPrefetch), filter = filter,
-          limit = limit, offset = offset, scoreThreshold = threshold)
+          limit = limit, offset = offset, scoreThreshold = threshold,
+          params = params)
       case (s, None) => s
     }
-    Query(scoring, prefetches, filter, limit, offset, threshold)
+    Query(scoring, prefetches, filter, limit, offset, threshold, params)
   }
 
   /** `QueryInterface` (`schema.rs:637-674`): raw vector shorthand or one of

@@ -68,13 +68,28 @@ object PointQuery {
   final case class MmrQ(vecCol: String, metric: Metric, query: Seq[Double],
       lambda: Double) extends Scoring
 
+  /** Wire `SearchParams` (`types.rs:573-618`): `exact` / `quantization.
+    * ignore` bypass the quantized two-phase route, `quantization.rescore
+    * = false` returns the approx ranking without the exact second phase,
+    * `oversampling` sizes the approx candidate pool. `hnsw_ef` and
+    * `indexed_only` are accepted and ignored (serving-index knobs —
+    * BASELINE.json scopes online ANN out). Interpreted by the
+    * quantization-aware executor (`storage/Collection.knn`); inert for
+    * plain-table execution, which is always exact. */
+  final case class SearchParams(
+      exact: Boolean = false,
+      quantIgnore: Boolean = false,
+      rescore: Boolean = true,
+      oversampling: Option[Double] = None)
+
   final case class Query(
       scoring: Scoring,
       prefetches: Seq[Query] = Nil,
       filter: Option[Filter] = None,
       limit: Int = 10,
       offset: Int = 0,
-      scoreThreshold: Option[Double] = None)
+      scoreThreshold: Option[Double] = None,
+      params: Option[SearchParams] = None)
 
   /** Execute a query DAG; returns (idCol, score) ranked. */
   def execute(

@@ -58,6 +58,21 @@ object IndexQueries {
       _ => Quantization.fitPq(emb(s, dir), "embedding", m = 16, nbits = 4))
   private val quantCollections =
     new java.util.concurrent.ConcurrentHashMap[String, graft.storage.Collection]()
+
+  /** The scalar-int8 config-routed collection (wire-config create,
+    * params fit at ingest) — shared by the quantized-collection entries. */
+  private def scalarQuantColl(s: SparkSession, dir: String): graft.storage.Collection = {
+    val path = "/tmp/graft_runtime/qcoll_scalar_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    quantCollections.computeIfAbsent(path, { _ =>
+      val cfg = graft.api.RequestCodec.parseCollectionConfig(
+        """{"vectors": {"size": 64, "distance": "Dot",
+          |  "quantization_config": {"scalar": {"type": "int8"}}}}""".stripMargin,
+        idCol = "vec_id")
+      graft.storage.Collection.create(s, path, cfg,
+        emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+    })
+  }
   private val binStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Quantization.BinaryStats]()
   private def binStats(s: SparkSession, dir: String): Quantization.BinaryStats =
@@ -150,18 +165,57 @@ object IndexQueries {
     // two-phase BY DEFAULT, exact rescore on the originals). The wire body
     // parses through RequestCodec.parseCollectionConfig first.
     "quantized_collection_knn" -> ((s, dir) => {
-      import graft.api.RequestCodec
-      val cfg = RequestCodec.parseCollectionConfig(
-        """{"vectors": {"size": 64, "distance": "Dot",
-          |  "quantization_config": {"scalar": {"type": "int8"}}}}""".stripMargin,
-        idCol = "vec_id")
-      val path = "/tmp/graft_runtime/qcoll_scalar_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
-      val coll = quantCollections.computeIfAbsent(path, { _ =>
-        graft.storage.Collection.create(s, path, cfg,
-          emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
-      })
+      val coll = scalarQuantColl(s, dir)
       val ann = coll.knn("", v7(s, dir), k = 10, oversampling = 3.0)
+      recallCheck(s, ann,
+        Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 8)
+    }),
+    // Wire `params.exact = true` (`SearchParams`, `types.rs:573-618`):
+    // bypasses the quantized two-phase route entirely, so the result
+    // hash-matches the plain exact scan — a PRECISE oracle, not a recall
+    // contract. Proves the routing knob, parsed off the request body,
+    // actually reaches the executor.
+    "api_query_params_exact" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      import graft.ops.PointQuery
+      val coll = scalarQuantColl(s, dir)
+      val ctx = RequestCodec.Ctx(spaces =
+        Map("" -> RequestCodec.VectorSpace("vector", Dot)))
+      val q = RequestCodec.parseQueryRequest(
+        s"""{"query": {"nearest": ${v7(s, dir).mkString("[", ",", "]")}},
+           |  "limit": 10, "params": {"exact": true}}""".stripMargin, ctx)
+      val qv = q.scoring match {
+        case PointQuery.Nearest(_, _, v) => v
+        case other => sys.error(s"expected nearest, got $other")
+      }
+      val sp = q.params.getOrElse(PointQuery.SearchParams())
+      coll.knn("", qv, k = q.limit,
+        quantized = !(sp.exact || sp.quantIgnore),
+        oversampling = sp.oversampling.getOrElse(3.0), rescore = sp.rescore)
+    }),
+    // Wire `params.quantization = {oversampling, rescore: false}`: the
+    // approx ranking IS the result (no exact second phase) — recall
+    // contract against the exact scan.
+    "api_query_params_quantized" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      import graft.ops.PointQuery
+      val coll = scalarQuantColl(s, dir)
+      val ctx = RequestCodec.Ctx(spaces =
+        Map("" -> RequestCodec.VectorSpace("vector", Dot)))
+      val q = RequestCodec.parseQueryRequest(
+        s"""{"query": {"nearest": ${v7(s, dir).mkString("[", ",", "]")}},
+           |  "limit": 10,
+           |  "params": {"quantization": {"oversampling": 4.0, "rescore": false}}}"""
+          .stripMargin, ctx)
+      val sp = q.params.get
+      val qv = q.scoring match {
+        case PointQuery.Nearest(_, _, v) => v
+        case other => sys.error(s"expected nearest, got $other")
+      }
+      val ann = coll.knn("", qv, k = q.limit,
+        quantized = !(sp.exact || sp.quantIgnore),
+        oversampling = sp.oversampling.getOrElse(3.0), rescore = sp.rescore)
       recallCheck(s, ann,
         Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
         "vec_id", k = 10, minRequired = 8)
@@ -533,6 +587,14 @@ object IndexQueries {
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
     "collection_update_quantization" ->
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok, true AS quant_col_ok",
+    "api_query_params_exact" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_query_params_quantized" ->
+      "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
     "quantized_collection_binary2" ->
       "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
     "quantized_binary15_rescore" ->

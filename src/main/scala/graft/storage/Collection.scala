@@ -282,7 +282,11 @@ final class Collection(
       offset: Int = 0,
       scoreThreshold: Option[Double] = None,
       quantized: Boolean = true,
-      oversampling: Double = 3.0): DataFrame = {
+      oversampling: Double = 3.0,
+      /** `QuantizationSearchParams.rescore = false` (`types.rs:573-618`):
+        * skip the exact second phase — the approx ranking and its scores
+        * ARE the result (the reference serves quantized scores then). */
+      rescore: Boolean = true): DataFrame = {
     val vc = config.vectorConfig(vectorName)
     val df = read()
     val score = VectorCodec.scoreExpr(
@@ -298,12 +302,17 @@ final class Collection(
             s"quantization declared for '$vectorName' but no fitted params at $quantParamsPath"))
         val (approxScore, approxLargerBetter) =
           Collection.quantApproxScore(spec, qp, col(qc), query, vc.metric)
-        val approxK = math.max(k + offset, ((k + offset) * oversampling).toInt)
-        val approx = graft.ops.Search.scoredTopK(df, config.idCol,
-          approxScore, approxLargerBetter, pred, k = approxK)
-        val cands = df.join(approx.select(config.idCol), Seq(config.idCol), "left_semi")
-        graft.ops.Search.scoredTopK(cands, config.idCol, score,
-          vc.metric.largerBetter, None, k, offset, scoreThreshold)
+        if (!rescore)
+          graft.ops.Search.scoredTopK(df, config.idCol, approxScore,
+            approxLargerBetter, pred, k, offset, scoreThreshold)
+        else {
+          val approxK = math.max(k + offset, ((k + offset) * oversampling).toInt)
+          val approx = graft.ops.Search.scoredTopK(df, config.idCol,
+            approxScore, approxLargerBetter, pred, k = approxK)
+          val cands = df.join(approx.select(config.idCol), Seq(config.idCol), "left_semi")
+          graft.ops.Search.scoredTopK(cands, config.idCol, score,
+            vc.metric.largerBetter, None, k, offset, scoreThreshold)
+        }
       case _ =>
         graft.ops.Search.scoredTopK(df, config.idCol, score, vc.metric.largerBetter,
           pred, k, offset, scoreThreshold)
