@@ -117,6 +117,18 @@ object PointQuery {
       else df.withColumn("_rn", row_number().over(Window.orderBy(ord: _*)))
         .filter(col("_rn") > offset).drop("_rn").orderBy(ord: _*)
 
+    // Rescore-parent candidate scoping: the union of prefetch results
+    // (`filter_with_sources_ids` — the reference rescores behind a HasId
+    // filter of the merged prefetch ids, `local_shard/query.rs:311,339`).
+    def withPrefetchCandidates(df: DataFrame): DataFrame =
+      if (q.prefetches.isEmpty) df
+      else {
+        val candidateIds = q.prefetches.map(inherited)
+          .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
+          .reduce(_ union _).distinct()
+        df.join(candidateIds, Seq(idCol), "left_semi")
+      }
+
     def scoreExprOf(s: Scoring): (Column, Boolean) = s match {
       case Nearest(vc, m, qv) =>
         (Search.scoreExpr(m, col(vc), typedLit(qv)), m.largerBetter)
@@ -233,14 +245,25 @@ object PointQuery {
         Mmr.rerank(spark, cands, idCol, vc, m, qv, lambda, q.offset + q.limit)
           .filter(col("position") > q.offset)
 
-      // ---- scroll leaves ----
+      // ---- scroll leaves (as RESCORE parents the reference turns these
+      // into a scroll over HasId(union of prefetch results) —
+      // `local_shard/query.rs:309-336,381-404`; leaves with no prefetch
+      // scroll the whole collection) ----
       case OrderByField(field, asc, startFrom) =>
-        Reads.scrollByField(points, idCol, field, asc, q.filter, resolver,
-          startFrom, q.limit, projection = Seq(idCol, field))
+        Reads.scrollByField(withPrefetchCandidates(points), idCol, field, asc,
+          q.filter, resolver, startFrom, q.limit, projection = Seq(idCol, field))
 
       case SampleRandom(seed) => {
-        val base = pred.fold(points)(points.filter)
-        base.orderBy(rand(seed), col(idCol)).limit(q.limit).select(idCol)
+        val scoped = withPrefetchCandidates(points)
+        val base = pred.fold(scoped)(scoped.filter)
+        // Deterministic pseudorandom key (seeded id hash — the engine's
+        // seeded-sampling contract, like Reads.scrollRandom: deterministic
+        // across runs AND partitionings, where `rand(seed)` is only
+        // per-partitioning stable). `skip(offset)` applies after the
+        // random order (`test_random_rescore_with_offset`).
+        val ord = Seq(xxhash64(col(idCol), lit(seed)).asc, col(idCol).asc)
+        val page = base.orderBy(ord: _*).limit(q.offset + q.limit)
+        dropOffset(page, ord, q.offset).select(idCol)
       }
 
       // ---- scoring leaves (optionally rescoring prefetch candidates) ----
@@ -274,15 +297,8 @@ object PointQuery {
               case None => pred
             }
         }
-        val base =
-          if (q.prefetches.isEmpty) points
-          else {
-            val candidateIds = q.prefetches.map(inherited)
-              .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
-              .reduce(_ union _).distinct()
-            points.join(candidateIds, Seq(idCol), "left_semi")
-          }
-        Search.scoredTopK(base, idCol, expr, largerBetter, leafPred,
+        Search.scoredTopK(withPrefetchCandidates(points), idCol, expr,
+          largerBetter, leafPred,
           k = q.limit, offset = q.offset, scoreThreshold = q.scoreThreshold)
     }
   }

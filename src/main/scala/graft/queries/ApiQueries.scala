@@ -183,13 +183,16 @@ object ApiQueries {
     // sample: random over the wire — the wire path must reproduce the
     // hand-built seeded sample exactly (the codec carries the seed in ctx).
     "api_query_sample" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, rand}
+      import org.apache.spark.sql.functions.{col, lit, xxhash64}
       import s.implicits._
       val wire = runOnEmbeddings(s, dir,
         """{"query": {"sample": "random"}, "limit": 20}""")
         .collect().map(_.getLong(0)).toSeq
+      // the engine's seeded-sampling contract: pseudorandom by seeded id
+      // hash — deterministic across runs AND partitionings
       val hand = Tables.load(s, dir, "embeddings")
-        .orderBy(rand(42L), col("vec_id")).limit(20).select("vec_id")
+        .orderBy(xxhash64(col("vec_id"), lit(42L)).asc, col("vec_id").asc)
+        .limit(20).select("vec_id")
         .collect().map(_.getLong(0)).toSeq
       Seq((wire.length.toLong, wire == hand))
         .toDF("n", "wire_matches_hand")

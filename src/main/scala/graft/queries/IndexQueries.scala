@@ -355,6 +355,62 @@ object IndexQueries {
         limit = 10)
       execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), q)
     }),
+    // OrderBy as a RESCORE parent (`ScoringQuery::OrderBy` over prefetch
+    // results — the reference scrolls behind HasId(prefetch ids),
+    // `local_shard/query.rs:309-336`): the dot top-20 candidates come back
+    // ordered by the payload field, not by score.
+    "prefetch_order_by" -> ((s, dir) => {
+      import PointQuery._
+      val e = emb(s, dir)
+      val q = Query(
+        scoring = OrderByField("label", asc = true),
+        prefetches = Seq(Query(Nearest("embedding", Dot, v7(s, dir)), limit = 20)),
+        limit = 10)
+      execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), q)
+    }),
+    // Random-sample RESCORE with offset (`test_random_rescore_with_offset`;
+    // `ScoringQuery::Sample` over prefetch ids, `query.rs:381-404`): a
+    // seeded random page OF THE PREFETCH CANDIDATES, offset skipping the
+    // first rows of the same random order. Derived contract: page size,
+    // containment in the prefetch top-k, and disjointness from the
+    // skipped page (all engine-computed booleans, constants in SQL).
+    "prefetch_random_offset" -> ((s, dir) => {
+      import s.implicits._
+      import PointQuery._
+      val e = emb(s, dir)
+      val r = new TypedResolver(e.schema, "vec_id")
+      val pre = Query(Nearest("embedding", Dot, v7(s, dir)), limit = 20)
+      def page(offset: Int, limit: Int) =
+        execute(s, e, "vec_id", r,
+          Query(SampleRandom(seed = 42L), prefetches = Seq(pre),
+            offset = offset, limit = limit))
+          .collect().map(_.getLong(0)).toSet
+      val prefetchIds = execute(s, e, "vec_id", r, pre)
+        .collect().map(_.getLong(0)).toSet
+      val skipped = page(0, 3)
+      val got = page(3, 5)
+      Seq((got.size, got.subsetOf(prefetchIds), got.intersect(skipped).isEmpty))
+        .toDF("n", "within_prefetch", "disjoint_ok")
+    }),
+    // ColBERT-style rerank (`test_query_full.py::test_sparse_dense_rerank_
+    // colbert`): dense prefetches feed a MaxSim MULTIVECTOR rescore parent
+    // — the generic leaf-rescore path scores the candidate union with the
+    // late-interaction matrix.
+    "prefetch_rescore_colbert" -> ((s, dir) => {
+      import PointQuery._
+      val e = emb(s, dir).withColumn("vector_tok",
+        array(slice(col("embedding"), 1, 32), slice(col("embedding"), 33, 32)))
+      val qv = v7(s, dir)
+      val qtok = Seq(qv.slice(0, 32), qv.slice(32, 64))
+      val q = Query(
+        scoring = MaxSimQ("vector_tok", Dot, qtok),
+        prefetches = Seq(
+          Query(Nearest("embedding", Dot, v7(s, dir)), limit = 20),
+          Query(Nearest("embedding", Cosine, Tables.embeddingOf(s, dir, 42L)),
+            limit = 20)),
+        limit = 10)
+      execute(s, e, "vec_id", new TypedResolver(e.schema, "vec_id"), q)
+    }),
     "prefetch_rescore" -> ((s, dir) => {
       import PointQuery._
       val e = emb(s, dir)
@@ -587,6 +643,37 @@ object IndexQueries {
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
     "collection_update_quantization" ->
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok, true AS quant_col_ok",
+    "prefetch_order_by" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |cand AS (SELECT e.vec_id AS vec_id, e.label AS label
+        |         FROM embeddings e, q
+        |         ORDER BY round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) DESC,
+        |                  e.vec_id ASC LIMIT 20)
+        |SELECT vec_id, label FROM cand
+        |ORDER BY label ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "prefetch_random_offset" ->
+      "SELECT 5 AS n, true AS within_prefetch, true AS disjoint_ok",
+    "prefetch_rescore_colbert" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 42),
+        |a AS (SELECT e.vec_id AS vec_id FROM embeddings e, q7
+        |      ORDER BY round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) DESC,
+        |               e.vec_id ASC LIMIT 20),
+        |b AS (SELECT e.vec_id AS vec_id FROM embeddings e, q42
+        |      ORDER BY round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q42.v, q42.v))), 6) DESC,
+        |               e.vec_id ASC LIMIT 20),
+        |u AS (SELECT vec_id FROM a UNION SELECT vec_id FROM b),
+        |t AS (SELECT e.vec_id AS vec_id,
+        |             e.embedding[1:32]::DOUBLE[] AS e1,
+        |             e.embedding[33:64]::DOUBLE[] AS e2
+        |      FROM embeddings e JOIN u USING (vec_id))
+        |SELECT t.vec_id AS vec_id, round(
+        |    greatest(list_dot_product(e1, q7.v[1:32]), list_dot_product(e2, q7.v[1:32]))
+        |  + greatest(list_dot_product(e1, q7.v[33:64]), list_dot_product(e2, q7.v[33:64])),
+        |  6) AS score
+        |FROM t, q7 ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "api_query_params_exact" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
         |SELECT e.vec_id AS vec_id,
