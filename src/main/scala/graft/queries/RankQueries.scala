@@ -174,6 +174,19 @@ object RankQueries {
         groupSize = 3, groups = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // Groups endpoint over a NON-nearest query (`query/groups` accepts any
+    // query type — `test_query_full.py::test_discover_group`): the group
+    // ranking runs on the discover score expression, same two-window plan.
+    "group_by_discover" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val expr = Search.discoverExpr(Dot, col("embedding"),
+        target = v(s, dir, 5),
+        pairs = Seq((v(s, dir, 10), v(s, dir, 20))))
+      GroupBy.groupBySearch(e, "vec_id", expr, largerBetter = true,
+        groupByField = "label", resolver = new TypedResolver(e.schema, "vec_id"),
+        groupSize = 2, groups = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // Heterogeneous group-by keys (`test_group.py` heterogenousId;
     // `GroupId` `groups.rs:8-12`): strings and integers form groups, a
     // top-level array fans the point into every element's group, and
@@ -499,6 +512,32 @@ object RankQueries {
         |       h.score AS score, h.rank AS rank
         |FROM hits h JOIN topg t USING (group_value) WHERE t.gr <= 4
         |ORDER BY t.gr ASC, h.rank ASC""".stripMargin,
+    "group_by_discover" ->
+      """WITH t AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=5),
+        |p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=10),
+        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=20),
+        |scored AS (SELECT e.vec_id AS vec_id, e.label AS group_value,
+        |    round((CASE WHEN list_dot_product(e.embedding::DOUBLE[], p1.v)
+        |                   > list_dot_product(e.embedding::DOUBLE[], n1.v) THEN 1
+        |                WHEN list_dot_product(e.embedding::DOUBLE[], p1.v)
+        |                   < list_dot_product(e.embedding::DOUBLE[], n1.v) THEN -1
+        |                ELSE 0 END)::DOUBLE
+        |      + 0.5*(list_dot_product(e.embedding::DOUBLE[], t.v)
+        |             / (1+abs(list_dot_product(e.embedding::DOUBLE[], t.v))) + 1),
+        |      6) AS score
+        |  FROM embeddings e, t, p1, n1),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY group_value ORDER BY score DESC, vec_id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |best AS (SELECT group_value, max(score) AS best FROM hits GROUP BY group_value),
+        |topg AS (SELECT group_value, best,
+        |           row_number() OVER (ORDER BY best DESC, group_value ASC) AS gr
+        |         FROM best)
+        |SELECT h.group_value AS group_value, h.vec_id AS vec_id,
+        |       h.score AS score, h.rank AS rank
+        |FROM hits h JOIN topg t2 USING (group_value) WHERE t2.gr <= 4
+        |ORDER BY t2.gr ASC, h.rank ASC""".stripMargin,
     "group_by_hetero" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
         |vals AS (

@@ -285,6 +285,44 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("params: SearchParams knobs parse; absent params stay None") {
+    val q = RequestCodec.parseQueryRequest(
+      """{"query": [1.0, 2.0], "limit": 5,
+        |  "params": {"exact": true, "hnsw_ef": 128, "indexed_only": false,
+        |    "quantization": {"ignore": false, "rescore": false,
+        |                     "oversampling": 2.5}}}""".stripMargin, ctx)
+    assert(q.params.contains(SearchParams(
+      exact = true, quantIgnore = false, rescore = false,
+      oversampling = Some(2.5))))
+    val bare = RequestCodec.parseQueryRequest(
+      """{"query": [1.0, 2.0], "limit": 5}""", ctx)
+    assert(bare.params.isEmpty)
+  }
+
+  test("collection PATCH diff: quantization add/remove per vector, sparse modifier, immutability") {
+    import graft.sources.{CollectionConfig, QuantizationSpec, SparseVectorConfig, VectorConfig}
+    val base = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 64, Dot)),
+      sparse = Seq(SparseVectorConfig("txt")))
+    val patched = RequestCodec.parseCollectionUpdate(
+      """{"vectors": {"": {"quantization_config": {"scalar": {"type": "int8",
+        |    "quantile": 0.9}}}},
+        | "sparse_vectors": {"txt": {"modifier": "idf"}}}""".stripMargin, base)
+    assert(patched.vectors.head.quantization
+      .contains(QuantizationSpec("scalar", quantile = 0.9)))
+    assert(patched.sparse.head.modifier.contains("idf"))
+    // explicit null removes quantization; absent knob keeps current
+    val removed = RequestCodec.parseCollectionUpdate(
+      """{"vectors": {"": {"quantization_config": null}}}""", patched)
+    assert(removed.vectors.head.quantization.isEmpty)
+    assert(removed.sparse.head.modifier.contains("idf"))
+    // unknown vector names in the diff fail loudly
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseCollectionUpdate(
+        """{"vectors": {"nope": {"quantization_config": null}}}""", base)
+    }
+  }
+
   test("query: bare shorthands — id, uuid-form string rejection path, sparse object") {
     // `QueryInterface::Nearest(VectorInput)` is untagged (schema.rs:637-640)
     val q = RequestCodec.parseQueryRequest("""{"query": 7, "limit": 3}""", ctx)
