@@ -76,7 +76,15 @@ object ScaleProbe {
     "shard_scoped_knn", "knn_optional_vectors", "prefetch_rrf_filtered",
     "quantized_binary2_rescore", "quantized_binary15_rescore",
     "quantized_binary_asym_rescore",
-    "facet_lang", "facet_source_filtered")
+    "facet_lang", "facet_source_filtered",
+    // round-9 session-2 additions: config PATCH (refit + re-materialize at
+    // scale), wire SearchParams routing, multivec/sparse recommend,
+    // rescore-parent scroll scoping, variant-typed group keys
+    "collection_update_quantization", "sparse_config_update_idf",
+    "recommend_multivec_avg", "recommend_sparse_avg",
+    "prefetch_order_by", "prefetch_rescore_colbert",
+    "api_query_params_exact", "api_query_params_quantized",
+    "group_by_hetero", "group_by_discover", "knn_euclid_threshold")
 
   private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =
     Map(

@@ -239,6 +239,73 @@ object F16 {
   }
 }
 
+/** Fused int8-dequantize + fold over (array<int> codes, array<float|double>
+  * query): the left element dequantizes as `c·Δ + min` inline — the fused
+  * form of `transform(codes, c → c·Δ + min)` feeding [[VecDot]]/[[VecL2Sq]]/
+  * [[VecL1]], without materializing the decoded array per row (the scalar-
+  * quantization approx phase is the SCAN phase of two-phase search at
+  * 100 TB, so its per-row cost dominates). Arithmetic and fold order are
+  * bit-identical to the HOF formulation, so scores never move. `kind`:
+  * "dot" | "l2sq" | "l1". */
+case class VecDequantFold(left: Expression, right: Expression,
+    delta: Double, minV: Double, kind: String)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  require(Set("dot", "l2sq", "l1").contains(kind), s"unknown fold kind '$kind'")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def inputTypes: Seq[GraftShim.AbsType] = Seq(
+    ArrayType(IntegerType),
+    GraftShim.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  private def rIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = math.min(la.numElements(), ra.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val a = la.getInt(i).toDouble * delta + minV
+      val b = if (rIsFloat) ra.getFloat(i).toDouble else ra.getDouble(i)
+      acc = kind match {
+        case "dot" => acc + a * b
+        case "l2sq" => acc + (a - b) * (a - b)
+        case "l1" => acc + math.abs(a - b)
+      }
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val getR = if (rIsFloat) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
+      val step = kind match {
+        case "dot" => s"$acc += $a * $b;"
+        case "l2sq" => s"$acc += ($a - $b) * ($a - $b);"
+        case "l1" => s"$acc += java.lang.Math.abs($a - $b);"
+      }
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = ((double) $l.getInt($i)) * ${delta}D + ${minV}D;
+         |  double $b = $getR;
+         |  $step
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** array<float|double> → array<smallint> of IEEE-754 half bits — the f16
   * storage element type (`VectorStorageDatatype::Float16`,
   * `lib/segment/src/types.rs:2039`, element types

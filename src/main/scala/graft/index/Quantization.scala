@@ -42,10 +42,24 @@ object Quantization {
         round((v.cast("double") - p.min) / lit(p.delta), 0), lit(0.0)), lit(255.0))
         .cast("int"))
 
-  /** Dequantized similarity on the int8 column. */
+  /** Dequantized similarity on the int8 column — fused decode+fold
+    * ([[graft.functions.VecDequantFold]]): one codegen'd loop, no
+    * materialized decoded array; bit-identical to the HOF formulation. */
   def scalarScore(metric: Metric, qcol: Column, query: Seq[Double], p: ScalarParams): Column = {
-    val deq = transform(qcol, q => q.cast("double") * lit(p.delta) + lit(p.min))
-    Search.scoreExpr(metric, deq, typedLit(query))
+    import org.apache.spark.sql.GraftShim
+    def fold(kind: String) = GraftShim.column(graft.functions.VecDequantFold(
+      GraftShim.expression(qcol), GraftShim.expression(typedLit(query)),
+      p.delta, p.min, kind))
+    metric match {
+      case Dot => fold("dot")
+      case Euclid => sqrt(fold("l2sq"))
+      case Manhattan => fold("l1")
+      case Cosine =>
+        // norm of the dequantized vector is data-dependent — keep the
+        // explicit formulation for this (unusual) combination
+        val deq = transform(qcol, q => q.cast("double") * lit(p.delta) + lit(p.min))
+        Search.scoreExpr(Cosine, deq, typedLit(query))
+    }
   }
 
   /** Two-phase search: approx top k·oversampling on the quantized column,

@@ -44,6 +44,23 @@ class IndexSpec extends SparkTestBase {
     assert(got == exactTop(10))
   }
 
+  test("fused dequant fold is bit-identical to the explicit transform formulation") {
+    import org.apache.spark.sql.functions.{expr => _, _}
+    val p = Quantization.fitScalar(emb, "embedding")
+    val enc = emb.withColumn("qvec", Quantization.encodeScalar(col("embedding"), p))
+    for (m <- Seq(Dot, Euclid, Manhattan)) {
+      val fused = enc.select(col("vec_id"),
+        Quantization.scalarScore(m, col("qvec"), q7, p).as("s"))
+      val deq = transform(col("qvec"),
+        q => q.cast("double") * lit(p.delta) + lit(p.min))
+      val hof = enc.select(col("vec_id"),
+        graft.functions.VectorFunctions.score(m, deq, typedLit(q7)).as("s"))
+      val diff = fused.join(hof.withColumnRenamed("s", "s2"), "vec_id")
+        .filter(col("s") =!= col("s2")).count()
+      assert(diff == 0L, s"fused/HOF mismatch for $m")
+    }
+  }
+
   test("binary quantization rescore has nonzero overlap with exact") {
     val enc = emb.withColumn("bvec", Quantization.encodeBinary(col("embedding"), 64))
     val got = Quantization.searchBinaryRescore(enc, "vec_id", "embedding", q7,
