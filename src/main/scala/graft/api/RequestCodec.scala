@@ -847,9 +847,17 @@ object RequestCodec {
     * id, dense vector(s) — plain array = the default unnamed vector, object
     * = named vectors — and an optional payload rendered back to the JSON
     * string the payload column stores. */
+  /** One vector value inside a `PointStruct` (`VectorStruct` /
+    * `Vector` untagged forms, `schema.rs:1406-1415` + `vectors.rs`):
+    * dense array, multi-dense matrix, or sparse `{indices, values}`. */
+  sealed trait WireVec
+  final case class WDenseVec(v: Seq[Double]) extends WireVec
+  final case class WMultiVec(m: Seq[Seq[Double]]) extends WireVec
+  final case class WSparseVec(indices: Seq[Int], values: Seq[Double]) extends WireVec
+
   final case class WirePoint(
       id: Any,
-      vectors: Map[String, Seq[Double]],
+      vectors: Map[String, WireVec],
       payload: Option[String])
 
   /** Points selector (`PointsSelector`, `point_ops.rs:21-26`): by id list
@@ -924,12 +932,23 @@ object RequestCodec {
     WSetPayload(payload, selectorOf(j), overwrite)
   }
 
+  /** One untagged `Vector` value: dense `[..]`, multi-dense `[[..],..]`,
+    * sparse `{indices, values}`. */
+  private def wireVec(v: JValue): WireVec = v match {
+    case JArray(xs) if xs.nonEmpty && xs.head.isInstanceOf[JArray] =>
+      WMultiVec(xs.map(row => arr(row).map(num)))
+    case JArray(xs) => WDenseVec(xs.map(num))
+    case o: JObject if (o \ "indices") != JNothing =>
+      WSparseVec(arr(o \ "indices").map(num(_).toInt), arr(o \ "values").map(num))
+    case other => fail(s"bad vector value: $other")
+  }
+
   private def pointStruct(j: JValue): WirePoint = {
     val id = idOf(j \ "id")
     val vectors = (j \ "vector") match {
-      case JNothing | JNull => Map.empty[String, Seq[Double]]
-      case JArray(xs) => Map("" -> xs.map(num))
-      case o: JObject => o.obj.map { case (n, v) => n -> arr(v).map(num) }.toMap
+      case JNothing | JNull => Map.empty[String, WireVec]
+      case a: JArray => Map("" -> wireVec(a))
+      case o: JObject => o.obj.map { case (n, v) => n -> wireVec(v) }.toMap
       case other => fail(s"bad vector struct: $other")
     }
     val payload = (j \ "payload") match {

@@ -44,8 +44,7 @@ object UpdateBridge {
         // the whole list into a single rewrite
         points.flatMap { p =>
           p.vectors.toSeq.sortBy(_._1).map { case (name, vec) =>
-            UpdateOp.UpdateVector(name,
-              typedLit(vec.map(_.toFloat)),
+            UpdateOp.UpdateVector(name, vecLit(coll, name, vec),
               idPred(coll, Seq(p.id)))
           }
         }
@@ -68,31 +67,77 @@ object UpdateBridge {
   private def idPred(coll: Collection, ids: Seq[Any]): Column =
     col(coll.config.idCol).isin(ids: _*)
 
+  /** Wire vector value → typed Column literal in the collection's storage
+    * shape (dense `array<float>`, multi-dense `array<array<float>>`, sparse
+    * `struct<indices, values>`), validated against the declared config. */
+  private def vecLit(coll: Collection, name: String,
+      vec: RequestCodec.WireVec): Column = {
+    import RequestCodec._
+    val cfg = coll.config
+    vec match {
+      case WDenseVec(v) =>
+        require(cfg.vectors.exists(vc => vc.name == name && !vc.multivector),
+          s"dense value for non-dense vector '$name'")
+        typedLit(v.map(_.toFloat))
+      case WMultiVec(m) =>
+        require(cfg.vectors.exists(vc => vc.name == name && vc.multivector),
+          s"multi-dense value for non-multivector '$name'")
+        typedLit(m.map(_.map(_.toFloat)))
+      case WSparseVec(is, vs) =>
+        require(cfg.sparse.exists(_.name == name),
+          s"sparse value for non-sparse vector '$name'")
+        struct(typedLit(is).as("indices"), typedLit(vs.map(_.toFloat)).as("values"))
+    }
+  }
+
   /** Wire points → micro-batch DataFrame in the collection's column layout:
-    * id + declared vector columns (`array<float>`, encoded to the declared
-    * element type inside the upsert op) + JSON payload string. Id type
-    * follows the batch (u64 → LongType, UUID string → StringType —
-    * `ExtendedPointId`, `types.rs:174-179`). */
+    * id + declared vector columns (dense `array<float>` — encoded to the
+    * declared element type inside the upsert op — multi-dense matrices,
+    * sparse structs) + JSON payload string. Id type follows the batch
+    * (u64 → LongType, UUID string → StringType — `ExtendedPointId`,
+    * `types.rs:174-179`). */
   def wirePoints(coll: Collection, points: Seq[RequestCodec.WirePoint]): DataFrame = {
+    import RequestCodec._
     require(points.nonEmpty, "upsert batch must not be empty")
     val cfg = coll.config
     val idType = points.head.id match {
       case _: String => StringType
       case _ => LongType
     }
-    val vecNames = cfg.vectorNames
+    val sparseType = StructType(Seq(
+      StructField("indices", ArrayType(IntegerType)),
+      StructField("values", ArrayType(FloatType))))
     val schema = StructType(
       StructField(cfg.idCol, idType) +:
-        vecNames.map(n => StructField(cfg.vectorCol(n), ArrayType(FloatType))) :+
+        (cfg.vectors.map(vc => StructField(cfg.vectorCol(vc.name),
+          if (vc.multivector) ArrayType(ArrayType(FloatType))
+          else ArrayType(FloatType))) ++
+          cfg.sparse.map(sc => StructField(cfg.sparseCol(sc.name), sparseType))) :+
         StructField(cfg.payloadCol, StringType))
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
     points.foreach { p =>
       p.vectors.keys.foreach { n =>
-        require(vecNames.contains(n), s"undeclared vector name '$n'")
+        require(cfg.vectors.exists(_.name == n) || cfg.sparse.exists(_.name == n),
+          s"undeclared vector name '$n'")
+      }
+      def denseVal(vc: graft.sources.VectorConfig): Any = p.vectors.get(vc.name) match {
+        case None => null
+        case Some(WDenseVec(v)) if !vc.multivector => v.map(_.toFloat)
+        case Some(WMultiVec(m)) if vc.multivector => m.map(_.map(_.toFloat))
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"vector value shape $other does not match config of '${vc.name}'")
+      }
+      def sparseVal(name: String): Any = p.vectors.get(name) match {
+        case None => null
+        case Some(WSparseVec(is, vs)) => Row(is, vs.map(_.toFloat))
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"sparse vector '$name' given non-sparse value $other")
       }
       rows.add(Row.fromSeq(
         p.id +:
-          vecNames.map(n => p.vectors.get(n).map(_.map(_.toFloat)).orNull) :+
+          (cfg.vectors.map(denseVal) ++ cfg.sparse.map(sc => sparseVal(sc.name))) :+
           p.payload.orNull))
     }
     coll.spark.createDataFrame(rows, schema)

@@ -110,6 +110,49 @@ object SparseQueries {
       val (qi, qv) = sparseQ(s, dir, 7L)
       coll.knnSparse("txt", qi, qv, k = 10)
     }),
+    // TYPED wire upserts (`VectorStruct` untagged forms, `schema.rs:1406-
+    // 1415`; `tests/openapi/test_sparse_dense_batch_update.py`,
+    // `test_batch_update_multivec.py`): ONE `POST /points/batch` body
+    // carries dense arrays, multi-dense matrices and sparse
+    // `{indices,values}` structs — plus an update_vectors op in sparse
+    // form — applied as a single rewrite; then one search per space.
+    // Fully constant-valued fixture, so the oracle is literal VALUES.
+    "api_upsert_typed_vectors" -> ((s, dir) => {
+      import graft.api.{RequestCodec, UpdateBridge}
+      import graft.sources.{CollectionConfig, SparseVectorConfig, VectorConfig}
+      val path = "/tmp/graft_runtime/typed_up_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 4, graft.model.Dot),
+          VectorConfig("tok", 2, graft.model.Dot, multivector = true)),
+        sparse = Seq(SparseVectorConfig("txt")))
+      import s.implicits._
+      val coll = graft.storage.Collection.create(s, path, cfg,
+        Seq.empty[Long].toDF("id")
+          .withColumn("vector", lit(null).cast("array<float>"))
+          .withColumn("vector_tok", lit(null).cast("array<array<float>>"))
+          .withColumn("sparse_txt",
+            lit(null).cast("struct<indices: array<int>, values: array<float>>"))
+          .withColumn("payload", lit(null).cast("string")))
+      UpdateBridge.applyJson(coll,
+        """{"operations": [
+          |  {"upsert": {"points": [
+          |    {"id": 1, "vector": {"": [1,0,0,0], "tok": [[1,0],[0,1]],
+          |       "txt": {"indices": [1,3], "values": [1.0, 2.0]}}},
+          |    {"id": 2, "vector": {"": [0,1,0,0], "tok": [[1,1]],
+          |       "txt": {"indices": [3,5], "values": [3.0, 1.0]}}},
+          |    {"id": 3, "vector": {"": [0,0,1,0]}}]}},
+          |  {"update_vectors": {"points": [
+          |    {"id": 3, "vector": {"txt": {"indices": [1], "values": [5.0]}}}]}}
+          |]}""".stripMargin)
+      val dense = coll.knn("", Seq(1.0, 0.0, 0.0, 0.0), k = 10)
+        .withColumn("space", lit("dense"))
+      val multi = coll.knnMultivec("tok", Seq(Seq(1.0, 0.0)), k = 10)
+        .withColumn("space", lit("multi"))
+      val sparse = coll.knnSparse("txt", Seq(1, 3), Seq(1.0, 1.0), k = 10)
+        .withColumn("space", lit("sparse"))
+      dense.unionByName(multi).unionByName(sparse)
+    }),
     // Sparse `average_vector` recommend (`avg_vectors` sparse arm + the
     // sparse merge, `recommendations.rs:55-58,87-91,119-120`): values
     // aggregate per dim over the index UNION (missing = 0), divide by
@@ -247,6 +290,16 @@ object SparseQueries {
         |WHERE len(list_filter(range(1, 65), i ->
         |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_upsert_typed_vectors" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 1.0::DOUBLE, 'dense'),
+        |  (2::BIGINT, 0.0::DOUBLE, 'dense'),
+        |  (3::BIGINT, 0.0::DOUBLE, 'dense'),
+        |  (1::BIGINT, 1.0::DOUBLE, 'multi'),
+        |  (2::BIGINT, 1.0::DOUBLE, 'multi'),
+        |  (3::BIGINT, 5.0::DOUBLE, 'sparse'),
+        |  (1::BIGINT, 3.0::DOUBLE, 'sparse'),
+        |  (2::BIGINT, 3.0::DOUBLE, 'sparse')) AS t(id, score, space)""".stripMargin,
     "recommend_sparse_avg" ->
       """WITH p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
         |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),

@@ -264,8 +264,8 @@ class CodecSpec extends AnyFunSuite {
         |]}""".stripMargin)
     assert(ops.length == 10)
     val WUpsert(pts, None) = ops(0): @unchecked
-    assert(pts(0) == WirePoint(1L, Map("" -> Seq(0.1, 0.2)), Some("""{"a":1}""")))
-    assert(pts(1) == WirePoint("uuid-x", Map("img" -> Seq(0.5)), None))
+    assert(pts(0) == WirePoint(1L, Map("" -> WDenseVec(Seq(0.1, 0.2))), Some("""{"a":1}""")))
+    assert(pts(1) == WirePoint("uuid-x", Map("img" -> WDenseVec(Seq(0.5))), None))
     val WUpsert(_, Some(uf)) = ops(1): @unchecked
     assert(uf.must == Seq(MatchValue("a", 1L)))
     assert(ops(2) == WDelete(Selector(Some(Seq(1L, 2L)), None)))
@@ -276,7 +276,7 @@ class CodecSpec extends AnyFunSuite {
     assert(ow == """{"only":true}""" && owf.must == Seq(HasId(Seq(4L))))
     assert(ops(6) == WDeletePayload(Seq("source"), Selector(Some(Seq(5L)), None)))
     assert(ops(7) == WClearPayload(Selector(Some(Seq(6L)), None)))
-    assert(ops(8) == WUpdateVectors(Seq(WirePoint(7L, Map("" -> Seq(9.0)), None))))
+    assert(ops(8) == WUpdateVectors(Seq(WirePoint(7L, Map("" -> WDenseVec(Seq(9.0))), None))))
     assert(ops(9) == WDeleteVectors(Selector(Some(Seq(8L)), None), Seq("img")))
     // path-scoped payload merge is unsupported and must fail loudly
     assertThrows[IllegalArgumentException] {
