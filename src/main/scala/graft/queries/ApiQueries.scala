@@ -74,6 +74,74 @@ object ApiQueries {
         |    "positive": [1, 2, 3], "negative": [4], "strategy": "best_score"}},
         |  "limit": 10
         |}""".stripMargin)),
+    // Strict-mode gate (`StrictModeConfig`, `types.rs:1323-1430`;
+    // verification `lib/collection/src/operations/verification/`;
+    // `tests/openapi/test_strictmode.py`): parse the wire
+    // strict_mode_config, then verify a battery of requests BEFORE
+    // execution — each row = (check_name, rejected). Serving-only knobs
+    // (timeouts, rate limits, byte caps) parse but have no batch analog.
+    "strict_mode_rejections" -> ((s, dir) => {
+      import s.implicits._
+      import graft.api.{RequestCodec, StrictMode, StrictModeViolation}
+      val cfg = StrictMode.parse(
+        """{"enabled": true, "max_query_limit": 10,
+          |  "unindexed_filtering_retrieve": false,
+          |  "unindexed_filtering_update": false,
+          |  "search_allow_exact": false, "search_max_oversampling": 4.0,
+          |  "upsert_max_batchsize": 2, "filter_max_conditions": 3,
+          |  "condition_max_size": 3}""".stripMargin)
+      val indexed = Set("label", "vec_id")
+      def q(body: String): Boolean =
+        try {
+          StrictMode.verifyQuery(
+            RequestCodec.parseQueryRequest(body, ctx(s, dir)), cfg, indexed)
+          false
+        } catch { case _: StrictModeViolation => true }
+      def u(body: String): Boolean =
+        try {
+          StrictMode.verifyUpdate(
+            RequestCodec.parseUpdateOperations(body), cfg, indexed)
+          false
+        } catch { case _: StrictModeViolation => true }
+      Seq(
+        ("limit_over", q("""{"query": {"nearest": 7}, "limit": 100}""")),
+        ("limit_ok", q("""{"query": {"nearest": 7}, "limit": 5}""")),
+        ("unindexed_filter", q(
+          """{"query": {"nearest": 7}, "limit": 5,
+            | "filter": {"must": [{"key": "lang", "match": {"value": "en"}}]}}"""
+            .stripMargin)),
+        ("indexed_filter_ok", q(
+          """{"query": {"nearest": 7}, "limit": 5,
+            | "filter": {"must": [{"key": "label", "match": {"value": 3}}]}}"""
+            .stripMargin)),
+        ("condition_too_big", q(
+          """{"query": {"nearest": 7}, "limit": 5,
+            | "filter": {"must": [{"key": "label", "match": {"any": [1,2,3,4]}}]}}"""
+            .stripMargin)),
+        ("exact_denied", q(
+          """{"query": {"nearest": 7}, "limit": 5, "params": {"exact": true}}""")),
+        ("oversampling_over", q(
+          """{"query": {"nearest": 7}, "limit": 5,
+            | "params": {"quantization": {"oversampling": 8.0}}}""".stripMargin)),
+        ("too_many_conditions", q(
+          """{"query": {"nearest": 7}, "limit": 5,
+            | "filter": {"must": [
+            |   {"key": "label", "match": {"value": 1}},
+            |   {"key": "label", "range": {"gte": 0}},
+            |   {"key": "vec_id", "range": {"gte": 0}},
+            |   {"key": "vec_id", "range": {"lt": 100}}]}}""".stripMargin)),
+        ("prefetch_limit_over", q(
+          """{"prefetch": [{"query": {"nearest": 7}, "limit": 100}],
+            | "query": {"fusion": "rrf"}, "limit": 5}""".stripMargin)),
+        ("upsert_too_big", u(
+          """{"operations": [{"upsert": {"points":
+            |   [{"id": 1}, {"id": 2}, {"id": 3}]}}]}""".stripMargin)),
+        ("update_filter_unindexed", u(
+          """{"operations": [{"delete": {"filter":
+            |   {"must": [{"key": "lang", "match": {"value": "de"}}]}}}]}"""
+            .stripMargin)))
+        .toDF("check_name", "rejected")
+    }),
     // best_score with ONLY negatives through the wire (positives optional
     // for this strategy, `test_recommendation_multivector.py`). Mirrors
     // `recommend_best_only_negatives`.
@@ -414,6 +482,15 @@ object ApiQueries {
     "api_query_recommend_best" -> RankQueries.oracles("recommend_best_score"),
     "api_query_recommend_negatives_only" ->
       RankQueries.oracles("recommend_best_only_negatives"),
+    "strict_mode_rejections" ->
+      """SELECT * FROM (VALUES
+        |  ('limit_over', true), ('limit_ok', false),
+        |  ('unindexed_filter', true), ('indexed_filter_ok', false),
+        |  ('condition_too_big', true), ('exact_denied', true),
+        |  ('oversampling_over', true), ('too_many_conditions', true),
+        |  ('prefetch_limit_over', true), ('upsert_too_big', true),
+        |  ('update_filter_unindexed', true)) AS t(check_name, rejected)"""
+        .stripMargin,
     "api_query_discover" -> RankQueries.oracles("discover"),
     "api_query_fusion_rrf" -> RankQueries.oracles("fusion_rrf"),
     "api_query_prefetch_filtered" ->
