@@ -64,6 +64,9 @@ object Bench {
     "sparse_dot_tokens", "bm25_idf_search",
     "fusion_rrf", "fusion_dbsf", "formula_rescore", "prefetch_dag_rrf",
     "prefetch_deep", "prefetch_rrf_filtered", "match_text_analyzed",
+    "prefetch_rescore_colbert", "api_query_params_exact",
+    "recommend_sparse_avg", "group_by_hetero", "sparse_struct_knn",
+    "collection_update_quantization",
     "group_by_label", "distance_matrix_pairs",
     "facet_lang", "count_filtered", "scroll_by_id", "order_by_ts",
     "retrieve_by_ids", "match_text", "match_phrase", "min_should_filter",
