@@ -285,6 +285,21 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert points: dense / multi-dense / sparse vector values parse typed") {
+    import RequestCodec._
+    val ops = RequestCodec.parseUpdateOperations(
+      """{"operations": [{"upsert": {"points": [
+        |  {"id": 1, "vector": {"": [1.0, 2.0],
+        |     "tok": [[1.0, 0.0], [0.0, 1.0]],
+        |     "txt": {"indices": [2, 5], "values": [0.5, 1.5]}}},
+        |  {"id": 2, "vector": [3.0, 4.0]}]}}]}""".stripMargin)
+    val WUpsert(pts, None) = ops.head: @unchecked
+    assert(pts(0).vectors("") == WDenseVec(Seq(1.0, 2.0)))
+    assert(pts(0).vectors("tok") == WMultiVec(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))))
+    assert(pts(0).vectors("txt") == WSparseVec(Seq(2, 5), Seq(0.5, 1.5)))
+    assert(pts(1).vectors("") == WDenseVec(Seq(3.0, 4.0)))
+  }
+
   test("params: SearchParams knobs parse; absent params stay None") {
     val q = RequestCodec.parseQueryRequest(
       """{"query": [1.0, 2.0], "limit": 5,
