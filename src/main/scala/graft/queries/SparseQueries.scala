@@ -110,6 +110,33 @@ object SparseQueries {
       val (qi, qv) = sparseQ(s, dir, 7L)
       coll.knnSparse("txt", qi, qv, k = 10)
     }),
+    // Wire-compatible BM25 EMBEDDING (the reference's one local inference
+    // path, `lib/bm25/src/lib.rs`): documents embed to sparse vectors —
+    // murmur3 token ids (`token_id` :166-168) + BM25 tf weights stored
+    // f32 — the query embeds at weight 1.0, and the `modifier: idf`
+    // collection config supplies the IDF factor at query time, so the
+    // sparse dot reproduces the BM25 score. The oracle replicates the
+    // whole pipeline including the f32 tf quantization (CAST AS REAL);
+    // token ids cancel out of the math, so no murmur3 needed in SQL.
+    "bm25_embed_search" -> ((s, dir) => {
+      import graft.sources.{CollectionConfig, SparseVectorConfig}
+      import org.apache.spark.sql.GraftShim
+      val path = "/tmp/graft_runtime/bm25_embed_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = sparseCollections.computeIfAbsent(path, { _ =>
+        val d = docs(s, dir)
+        val avgdl = d.select(avg(size(TextFunctions.tokensWs(col("text")))))
+          .head().getDouble(0)
+        val cfg = CollectionConfig(idCol = "doc_id",
+          sparse = Seq(SparseVectorConfig("txt", modifier = Some("idf"))))
+        val embedded = d.select(col("doc_id"),
+          GraftShim.column(graft.functions.Bm25DocEmbedExpr(
+            GraftShim.expression(col("text")), 1.2, 0.75, avgdl)).as("sparse_txt"))
+        graft.storage.Collection.create(s, path, cfg, embedded)
+      })
+      val (qi, qv) = graft.functions.Bm25.embedQuery(Seq("spark", "vector"))
+      coll.knnSparse("txt", qi, qv, k = 10)
+    }),
     // TYPED wire upserts (`VectorStruct` untagged forms, `schema.rs:1406-
     // 1415`; `tests/openapi/test_sparse_dense_batch_update.py`,
     // `test_batch_update_multivec.py`): ONE `POST /points/batch` body
@@ -290,6 +317,27 @@ object SparseQueries {
         |WHERE len(list_filter(range(1, 65), i ->
         |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "bm25_embed_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |lens AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
+        |params AS (SELECT (SELECT avg(dl) FROM lens) AS avgdl,
+        |                  (SELECT count(*) FROM t)::DOUBLE AS n),
+        |tf AS (SELECT doc_id, 'spark' AS dim,
+        |         len(list_filter(toks, x -> x = 'spark'))::DOUBLE AS cnt FROM t
+        |       UNION ALL
+        |       SELECT doc_id, 'vector' AS dim,
+        |         len(list_filter(toks, x -> x = 'vector'))::DOUBLE AS cnt FROM t),
+        |tfpos AS (SELECT * FROM tf WHERE cnt > 0),
+        |dfreq AS (SELECT dim, count(*)::DOUBLE AS df FROM tfpos GROUP BY dim),
+        |scored AS (SELECT f.doc_id,
+        |    sum(CAST(f.cnt * 2.2 / (1.2 * (1 - 0.75 + 0.75 * l.dl / p.avgdl) + f.cnt)
+        |             AS REAL)::DOUBLE
+        |        * 1.0 * ln((p.n - d.df + 0.5) / (d.df + 0.5) + 1)) AS sc
+        |  FROM tfpos f
+        |  JOIN lens l USING (doc_id) JOIN dfreq d USING (dim), params p
+        |  GROUP BY f.doc_id)
+        |SELECT doc_id, round(sc, 6) AS score FROM scored
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "api_upsert_typed_vectors" ->
       """SELECT * FROM (VALUES
         |  (1::BIGINT, 1.0::DOUBLE, 'dense'),

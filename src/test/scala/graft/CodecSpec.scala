@@ -285,6 +285,24 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 murmur3: standard x86_32 test vectors; token_id unsigned_abs") {
+    import graft.functions.Bm25
+    def h(s: String, seed: Int = 0) =
+      Bm25.murmur3(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+    // published MurmurHash3 x86_32 vectors (Appleby reference impl)
+    assert(h("") == 0)
+    assert(h("test") == 0xba6bd213)
+    assert(h("Hello, world!") == 0xc0363e43)
+    assert(h("The quick brown fox jumps over the lazy dog") == 0x2e4ff723)
+    assert(h("", 1) == 0x514e28b7)
+    // token_id is |h| (u32 unsigned_abs; lib.rs:166-168)
+    assert(Bm25.tokenId("test") == math.abs(0xba6bd213))
+    assert(Bm25.tokenId("test") > 0)
+    // embed_query: sorted unique ids at weight 1.0 (lib.rs:118-130)
+    val (qi, qv) = Bm25.embedQuery(Seq("b", "a", "b"))
+    assert(qi.length == 2 && qi == qi.sorted && qv.forall(_ == 1.0))
+  }
+
   test("upsert points: dense / multi-dense / sparse vector values parse typed") {
     import RequestCodec._
     val ops = RequestCodec.parseUpdateOperations(
