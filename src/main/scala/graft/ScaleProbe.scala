@@ -84,7 +84,8 @@ object ScaleProbe {
     "recommend_multivec_avg", "recommend_sparse_avg",
     "prefetch_order_by", "prefetch_rescore_colbert",
     "api_query_params_exact", "api_query_params_quantized",
-    "group_by_hetero", "group_by_discover", "knn_euclid_threshold")
+    "group_by_hetero", "group_by_discover", "knn_euclid_threshold",
+    "bm25_embed_search", "api_upsert_typed_vectors")
 
   private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =
     Map(

@@ -121,6 +121,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan(scored).contains("*(1)"), plan(scored).take(300))
   }
 
+  test("fused dequant scoring stays inside whole-stage codegen") {
+    import graft.index.Quantization
+    val e = Tables.load(spark, sf, "embeddings")
+    val p = Quantization.ScalarParams(-0.5, 0.5)
+    val enc = e.select(Quantization.encodeScalar(col("embedding"), p).as("qvec"))
+    val scored = enc.select(
+      Quantization.scalarScore(Dot, col("qvec"),
+        Tables.embeddingOf(spark, sf, 1L), p).as("s"))
+    val pl = plan(scored)
+    assert(pl.contains("*(1)"), "dequant fold fell out of codegen:\n" + pl.take(400))
+    assert(pl.toLowerCase.contains("vecdequantfold"),
+      "approx score is not the fused kernel:\n" + pl.take(400))
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val d = Tables.load(spark, sf, "documents")
     val bench = d.filter(col("doc_id") % 11 === 0)
