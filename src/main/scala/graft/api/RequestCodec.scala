@@ -289,6 +289,20 @@ object RequestCodec {
           }))
       case _ => None
     }
+    if (limit < 1) fail(s"limit: value $limit invalid, must be 1 or larger")
+    // A node with NO `query` is a plain scroll (`planned_query.rs:189`) —
+    // valid as a leaf, but not as a prefetch parent and not with a
+    // threshold (`test_query.py::test_query_validation` messages).
+    if ((o \ "query") == JNothing || (o \ "query") == JNull) {
+      if (prefetches.nonEmpty)
+        fail("A query is needed to merge the prefetches. " +
+          "Can't have prefetches without defining a query.")
+      if (threshold.isDefined)
+        fail("A query is needed to use the score_threshold. " +
+          "Can't have score_threshold without defining a query.")
+      return Query(graft.ops.PointQuery.ScrollById, Nil, filter, limit,
+        offset, None, params)
+    }
     val scoring = scoringOf(o \ "query", using, ctx, limit) match {
       case (s, Some(innerPrefetch)) =>
         // nearest+mmr sugar: the MMR leaf becomes a candidates_limit
@@ -297,6 +311,11 @@ object RequestCodec {
           limit = limit, offset = offset, scoreThreshold = threshold,
           params = params)
       case (s, None) => s
+    }
+    scoring match {
+      case OrderByField(_, _, _) if threshold.isDefined =>
+        fail("Can't use score_threshold with an order_by query.")
+      case _ => ()
     }
     Query(scoring, prefetches, filter, limit, offset, threshold, params)
   }

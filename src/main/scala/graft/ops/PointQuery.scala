@@ -58,6 +58,10 @@ object PointQuery {
       qIndices: Seq[Int], qValues: Seq[Double]) extends Scoring
   final case class OrderByField(field: String, asc: Boolean,
       startFrom: Option[Any] = None) extends Scoring
+  /** A node with NO `query` — a plain scroll in id order
+    * (`planned_query.rs:189`: `query: None` → scroll without order; the
+    * `{"prefetch": {"limit": 1000}}` form of `test_query.py`). */
+  case object ScrollById extends Scoring
   final case class SampleRandom(seed: Long) extends Scoring
   /** rrf or dbsf over prefetches; `rrfK` = the RRF k parameter (wire form
     * `RrfQuery.rrf.k`, `schema.rs:726-729`; default 2,
@@ -180,6 +184,15 @@ object PointQuery {
               Fusion.Source(df.select(col(idCol),
                 col(field).cast("double").as("score")), largerBetter = !asc)
             case Nearest(_, m, _) => Fusion.Source(df, m.largerBetter)
+            case ScrollById if kind == "dbsf" =>
+              // scroll results carry constant score 1.0 (`scroll.rs:131`)
+              Fusion.Source(df.select(col(idCol), lit(1.0d).as("score")))
+            case ScrollById =>
+              // RRF is position-based: a no-query scroll lists in id asc
+              // order (numeric ids; a UUID scroll leaf under RRF would rank
+              // by string-cast order, same as its scroll order)
+              Fusion.Source(df.select(col(idCol),
+                col(idCol).cast("double").as("score")), largerBetter = false)
             case _ => Fusion.Source(df)
           }
         }
@@ -252,6 +265,10 @@ object PointQuery {
       case OrderByField(field, asc, startFrom) =>
         Reads.scrollByField(withPrefetchCandidates(points), idCol, field, asc,
           q.filter, resolver, startFrom, q.limit, projection = Seq(idCol, field))
+
+      case ScrollById =>
+        Reads.scrollById(withPrefetchCandidates(points), idCol, q.filter,
+          resolver, offsetId = None, limit = q.limit, projection = Seq(idCol))
 
       case SampleRandom(seed) => {
         val scoped = withPrefetchCandidates(points)

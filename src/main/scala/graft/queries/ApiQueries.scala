@@ -74,6 +74,17 @@ object ApiQueries {
         |    "positive": [1, 2, 3], "negative": [4], "strategy": "best_score"}},
         |  "limit": 10
         |}""".stripMargin)),
+    // A request with NO `query` is a plain id-order scroll
+    // (`planned_query.rs:189`; `test_query.py` uses `{"prefetch":
+    // {"limit": 1000}}` prefetches with no query).
+    "api_query_scroll_noquery" -> ((s, dir) => runOnEmbeddings(s, dir,
+      """{"limit": 20}""")),
+    // `root_and_rescored_query` invariant (`test_query.py:90-120`): a
+    // query over a full-scan prefetch (`{"prefetch": {"limit": N}}`, no
+    // query in the prefetch) equals the root query — the candidate
+    // semi-join over everything must not change the ranking.
+    "api_query_prefetch_fullscan" -> ((s, dir) => runOnEmbeddings(s, dir,
+      """{"prefetch": {"limit": 1000000}, "query": {"nearest": 7}, "limit": 10}""")),
     // Strict-mode gate (`StrictModeConfig`, `types.rs:1323-1430`;
     // verification `lib/collection/src/operations/verification/`;
     // `tests/openapi/test_strictmode.py`): parse the wire
@@ -482,6 +493,14 @@ object ApiQueries {
     "api_query_recommend_best" -> RankQueries.oracles("recommend_best_score"),
     "api_query_recommend_negatives_only" ->
       RankQueries.oracles("recommend_best_only_negatives"),
+    "api_query_scroll_noquery" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 20",
+    "api_query_prefetch_fullscan" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "strict_mode_rejections" ->
       """SELECT * FROM (VALUES
         |  ('limit_over', true), ('limit_ok', false),

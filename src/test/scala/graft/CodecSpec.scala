@@ -285,6 +285,23 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("query validation: no-query scroll, prefetch/threshold/order_by rules, limit >= 1") {
+    // no query = plain id-order scroll (`planned_query.rs:189`)
+    val scroll = RequestCodec.parseQueryRequest("""{"limit": 20}""", ctx)
+    assert(scroll.scoring == ScrollById && scroll.limit == 20)
+    // the reference's validation messages (`test_query.py::test_query_validation`)
+    def msg(body: String): String =
+      intercept[IllegalArgumentException](
+        RequestCodec.parseQueryRequest(body, ctx)).getMessage
+    assert(msg("""{"prefetch": [{"query": [1.0, 2.0]}]}""")
+      .contains("Can't have prefetches without defining a query"))
+    assert(msg("""{"score_threshold": 10}""")
+      .contains("Can't have score_threshold without defining a query"))
+    assert(msg("""{"score_threshold": 10, "query": {"order_by": {"key": "price"}}}""")
+      .contains("Can't use score_threshold with an order_by query"))
+    assert(msg("""{"query": [1.0], "limit": 0}""").contains("must be 1 or larger"))
+  }
+
   test("bm25 murmur3: standard x86_32 test vectors; token_id unsigned_abs") {
     import graft.functions.Bm25
     def h(s: String, seed: Int = 0) =
