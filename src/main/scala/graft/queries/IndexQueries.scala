@@ -338,6 +338,39 @@ object IndexQueries {
       val q = v7(s, dir)
       coll.knnMultivec("tok", (0 until 4).map(i => q.slice(i * 16, i * 16 + 16)), k = 10)
     }),
+    // f16-stored multivector MaxSim (`VectorStorageDatatype::Float16` ×
+    // multivector — the third storage width for the ragged layout).
+    // Derived contract like knn_f16: the half-precision ranking equals the
+    // exact f32 MaxSim order and scores stay inside the f16 round-trip
+    // bound (4 summed inner-max terms → 4× the single-dot tolerance).
+    "maxsim_multivec_f16" -> ((s, dir) => {
+      import graft.sources.{CollectionConfig, VectorConfig}
+      val path = "/tmp/graft_runtime/mvec_f16_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      def tok(n: Int) =
+        array((0 until n).map(i => slice(col("embedding"), i * 16 + 1, 16)): _*)
+      val coll = mvecU8Collections.computeIfAbsent(path, { _ =>
+        val cfg = CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("tok", 16, Dot,
+            multivector = true, datatype = graft.model.Float16)))
+        graft.storage.Collection.create(s, path, cfg,
+          emb(s, dir).select(col("vec_id"),
+            when(col("vec_id") % 2 === 0, tok(4)).otherwise(tok(2)).as("vector_tok")))
+      })
+      val q = v7(s, dir)
+      val qtoks = (0 until 4).map(i => q.slice(i * 16, i * 16 + 16))
+      val h = coll.knnMultivec("tok", qtoks, k = 10).collect()
+      val stored = emb(s, dir).select(col("vec_id"),
+        when(col("vec_id") % 2 === 0, tok(4)).otherwise(tok(2)).as("vector_tok"))
+      val f = Search.scoredTopK(stored, "vec_id",
+        VectorFunctions.maxSim(Dot, col("vector_tok"), typedLit(qtoks)),
+        largerBetter = true, k = 10).collect()
+      val idsMatch = h.map(_.getLong(0)).toSeq == f.map(_.getLong(0)).toSeq
+      val relErrOk = h.map(_.getDouble(1)).zip(f.map(_.getDouble(1))).forall {
+        case (sh, sf) => math.abs(sh - sf) <= 8e-3 * math.max(1.0, math.abs(sf))
+      }
+      import s.implicits._
+      Seq((h.length, idsMatch, relErrOk)).toDF("n", "ids_match_ok", "rel_err_ok")
+    }),
     "retrieve_by_ids" -> ((s, dir) =>
       Reads.retrieve(emb(s, dir), "vec_id", Seq(3L, 5L, 8L, 13L, 21L, 34L),
         Seq("vec_id", "label"))),
@@ -682,6 +715,8 @@ object IndexQueries {
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "api_query_params_quantized" ->
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
+    "maxsim_multivec_f16" ->
+      "SELECT 10 AS n, true AS ids_match_ok, true AS rel_err_ok",
     "quantized_collection_binary2" ->
       "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
     "quantized_binary15_rescore" ->
