@@ -74,6 +74,34 @@ object ApiQueries {
         |    "positive": [1, 2, 3], "negative": [4], "strategy": "best_score"}},
         |  "limit": 10
         |}""".stripMargin)),
+    // `with_payload` selector ON the query endpoint (`QueryRequest.
+    // with_payload`, the same `WithPayloadInterface` as retrieve,
+    // `types.rs:4175-4183`): search WITHOUT payload, then enrich only the
+    // final ≤ k ids (`query.rs:207-300` fetches payload per final id) and
+    // run the parsed include selector over it — `source` is excluded, so
+    // it must come back NULL.
+    "api_query_with_payload" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val json =
+        """{"query": {"nearest": 7}, "limit": 10,
+          |  "with_payload": {"include": ["lang", "n_chars"]}}""".stripMargin
+      val q = RequestCodec.parseQueryRequest(json, ctx(s, dir))
+      val sel = RequestCodec.parseWithPayload(
+        org.json4s.jackson.JsonMethods.parse(json) \ "with_payload").get
+      val e = Tables.load(s, dir, "embeddings")
+      val hits = PointQuery.execute(s, e, "vec_id",
+        new TypedResolver(e.schema, "vec_id"), q)
+      val payload = Tables.load(s, dir, "documents").select(
+        col("doc_id").as("vec_id"),
+        to_json(struct(col("lang"), col("source"), col("n_chars"))).as("payload"))
+      hits.join(payload, Seq("vec_id"), "left")
+        .withColumn("payload", sel(col("payload")))
+        .select(col("vec_id"), col("score"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
+          get_json_object(col("payload"), "$.source").as("source_excluded"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
     // A request with NO `query` is a plain id-order scroll
     // (`planned_query.rs:189`; `test_query.py` uses `{"prefetch":
     // {"limit": 1000}}` prefetches with no query).
@@ -493,6 +521,17 @@ object ApiQueries {
     "api_query_recommend_best" -> RankQueries.oracles("recommend_best_score"),
     "api_query_recommend_negatives_only" ->
       RankQueries.oracles("recommend_best_only_negatives"),
+    "api_query_with_payload" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |hits AS (SELECT e.vec_id AS vec_id,
+        |           round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |         FROM embeddings e, q
+        |         ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT h.vec_id AS vec_id, h.score AS score, d.lang AS lang,
+        |       d.n_chars::BIGINT AS n_chars,
+        |       CAST(NULL AS VARCHAR) AS source_excluded
+        |FROM hits h LEFT JOIN documents d ON d.doc_id = h.vec_id
+        |ORDER BY h.score DESC, h.vec_id ASC""".stripMargin,
     "api_query_scroll_noquery" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 20",
     "api_query_prefetch_fullscan" ->
