@@ -30,11 +30,16 @@ import graft.ops.PointQuery._
   *     `fusion`/`rrf`, `formula`+`defaults`, `sample`,
   *   - formula `Expression` untagged forms `schema.rs:931-951`.
   *
+  * Sparse vectors parse in the universal-query position when `using`
+  * names a sparse space (nearest `{indices, values}`, bare sparse object,
+  * hybrid prefetches), and `with_payload` parses via [[parseWithPayload]]
+  * (the enrichment step composes it after execution — oracle
+  * `api_query_with_payload`).
+  *
   * Out of codec scope (documented, fail loudly): `Document`/`Image`/
   * `InferenceObject` vector inputs (external inference service,
-  * SURVEY.md §2.3), sparse vectors in the universal-query position (served
-  * by the dedicated sparse operators), and `with_payload`/`with_vector`
-  * enrichment (a separate read step — `filters/PayloadSelect`).
+  * SURVEY.md §2.3 — the local BM25 path is served by
+  * `functions/Bm25Embed`).
   */
 object RequestCodec {
 
@@ -686,6 +691,74 @@ object RequestCodec {
   def parseRetrieveRequest(json: String): RetrieveSpec = {
     val o = JsonMethods.parse(json)
     RetrieveSpec(arr(o \ "ids").map(idOf), parseWithPayload(o \ "with_payload"))
+  }
+
+  /** `PUT /collections/{c}/index` body (`CreateFieldIndex`,
+    * `src/actix/api/update_api.rs:371`; `PayloadFieldSchema` — a plain
+    * kind string or parametrized params; text params `index.rs:243-312`).
+    * Returns (field, Spark type for the typed projection column, analyzer
+    * config when `type: "text"`): the host passes the type to
+    * `Collection.buildPayloadIndex` and the text config into
+    * `FilterCompiler(textIndexes)` so Match::Text/TextAny/Phrase tokenize
+    * through the field's declared analyzer. `stopwords` accepts a language
+    * name (bundled set), a custom list, or `{languages, custom}`. */
+  def parseFieldIndexRequest(json: String): (String,
+      org.apache.spark.sql.types.DataType, Option[graft.model.TextIndexConfig]) = {
+    import org.apache.spark.sql.types._
+    val o = JsonMethods.parse(json)
+    val field = str(o \ "field_name")
+    def plain(kind: String): DataType = kind match {
+      case "keyword" | "uuid" | "text" => StringType
+      case "integer" => LongType
+      case "float" => DoubleType
+      case "bool" => BooleanType
+      case "datetime" => TimestampType
+      case "geo" => StructType(Seq(
+        StructField("lon", DoubleType), StructField("lat", DoubleType)))
+      case other => fail(s"unknown field schema '$other'")
+    }
+    def stopwordsOf(j: JValue): Seq[String] = j match {
+      case JNothing | JNull => Nil
+      case JString(lang) =>
+        graft.functions.Stopwords.forLanguage(lang).toSeq.sorted
+      case JArray(xs) => xs.map(str)
+      case s: JObject =>
+        val langs = (s \ "languages") match {
+          case JArray(ls) => ls.map(str); case JString(l) => Seq(l); case _ => Nil
+        }
+        val custom = (s \ "custom") match {
+          case JArray(cs) => cs.map(str); case _ => Nil
+        }
+        (langs.flatMap(l => graft.functions.Stopwords.forLanguage(l)) ++ custom)
+          .distinct.sorted
+      case other => fail(s"bad stopwords: $other")
+    }
+    (o \ "field_schema") match {
+      case JString(kind) => (field, plain(kind), None)
+      case s: JObject =>
+        val kind = str(s \ "type")
+        val text =
+          if (kind != "text") None
+          else Some(graft.model.TextIndexConfig(
+            tokenizer = (s \ "tokenizer") match {
+              case JString(t) => t; case _ => "word"
+            },
+            lowercase = (s \ "lowercase") match {
+              case JBool(b) => b; case _ => true
+            },
+            asciiFolding = (s \ "ascii_folding") match {
+              case JBool(b) => b; case _ => false
+            },
+            stopwords = stopwordsOf(s \ "stopwords"),
+            stemmerLang = (s \ "stemmer") match {
+              case st: JObject if (st \ "type") == JString("snowball") =>
+                Some(str(st \ "language").toLowerCase)
+              case JNothing | JNull => None
+              case other => fail(s"bad stemmer: $other")
+            }))
+        (field, plain(kind), text)
+      case other => fail(s"bad field_schema: $other")
+    }
   }
 
   /** `POST /points/count` body: filter (+ `exact`, parsed and ignored —

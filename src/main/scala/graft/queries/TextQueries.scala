@@ -666,6 +666,39 @@ object TextQueries {
           fc.condition(MatchText("t", cafeQuery)).cast("int").as("m_cafe"))
         .orderBy(col("doc_id").asc)
     }),
+    // Field-index creation through the WIRE (`PUT /collections/{c}/index`
+    // with full text params — tokenizer, lowercase, folding, custom
+    // stopwords, snowball stemmer): the parsed config drives the SAME
+    // analyzer-aware Match path as `match_text_analyzed` (same oracle).
+    "api_create_field_index" -> ((s, dir) => {
+      import TextMatchFixture._
+      val (field, dt, textCfg) = graft.api.RequestCodec.parseFieldIndexRequest(
+        """{
+          |  "field_name": "t",
+          |  "field_schema": {
+          |    "type": "text", "tokenizer": "word", "lowercase": true,
+          |    "ascii_folding": true,
+          |    "stopwords": {"custom": ["the", "and", "of", "are"]},
+          |    "stemmer": {"type": "snowball", "language": "english"}
+          |  }
+          |}""".stripMargin)
+      require(field == "t" && dt == org.apache.spark.sql.types.StringType)
+      require(textCfg.get.copy(stopwords = textCfg.get.stopwords.sorted) ==
+        cfg.copy(stopwords = cfg.stopwords.sorted),
+        s"wire text params diverge from the fixture config: $textCfg")
+      val src = docs(s, dir).select(col("doc_id"),
+        element_at(typedLit(sentences),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("t"))
+      val fc = new graft.filters.FilterCompiler(
+        new TypedResolver(src.schema, "doc_id"),
+        textIndexes = Map(field -> textCfg.get))
+      src.select(col("doc_id"),
+          fc.condition(MatchText("t", textQuery)).cast("int").as("m_text"),
+          fc.condition(MatchTextAny("t", anyQuery)).cast("int").as("m_any"),
+          fc.condition(MatchPhrase("t", phraseQuery)).cast("int").as("m_phrase"),
+          fc.condition(MatchText("t", cafeQuery)).cast("int").as("m_cafe"))
+        .orderBy(col("doc_id").asc)
+    }),
     // analyzer pipeline (tokenize → stopwords) feeding a term-frequency
     // aggregation; stemming/folding are property-tested in AnalyzerSpec
     "analyzed_term_facet" -> ((s, dir) =>
@@ -1118,6 +1151,7 @@ object TextQueries {
     "analyzed_multilang_facet" -> MultilangFixture.oracleSql,
     "match_phrase_analyzed" -> PhraseFixture.oracleSql,
     "match_text_analyzed" -> TextMatchFixture.oracleSql,
+    "api_create_field_index" -> TextMatchFixture.oracleSql,
     "token_count" ->
       """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
