@@ -198,7 +198,11 @@ object IvfIndex {
     assigned.write.mode(mode).partitionBy("centroid_id").parquet(path)
 
   /** Probe-pruned exact search: filter to nprobe nearest cells, then the
-    * standard exact top-k. With nprobe = model.k this IS the exact search. */
+    * standard exact top-k. With nprobe = model.k this IS the exact search.
+    * `pred` is the payload filter of a FILTERED ANN request — it ANDs into
+    * the same scan as the cell prune (partition prune + data filter on one
+    * parquet scan; the reference serves this online via `payload_m`
+    * filtered subgraphs / ACORN, `types.rs:622`). */
   def search(
       assigned: DataFrame,
       idCol: String,
@@ -207,9 +211,11 @@ object IvfIndex {
       query: Seq[Double],
       metric: Metric,
       nprobe: Int,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      pred: Option[Column] = None): DataFrame = {
     val cells = model.probe(query, nprobe)
-    val pruned = assigned.filter(col("centroid_id").isin(cells: _*))
+    val cellPred = col("centroid_id").isin(cells: _*)
+    val pruned = assigned.filter(pred.fold(cellPred)(cellPred && _))
     Search.scoredTopK(pruned, idCol,
       Search.scoreExpr(metric, col(vecCol), typedLit(query)), metric.largerBetter,
       k = k)

@@ -97,6 +97,22 @@ object IndexQueries {
         Search.knn(e, "vec_id", "embedding", v7(s, dir), Dot, k = 10),
         "vec_id", k = 10, minRequired = 3)
     }),
+    // FILTERED probe-pruned ANN (the reference's filtered-search story —
+    // served online by `payload_m` filtered subgraphs / ACORN; the batch
+    // shape is the payload predicate ANDed into the probed-cell scan, so
+    // the partition prune and the data filter hit ONE parquet scan).
+    // Recall contract vs the exact FILTERED search.
+    "ivf_search_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = ivfModel(s, dir, 8)
+      val assigned = IvfIndex.assign(e, "embedding", model)
+      val pred = pmod(col("label"), lit(2)) === 0
+      val ann = IvfIndex.search(assigned, "vec_id", "embedding", model,
+        v7(s, dir), Dot, nprobe = 4, k = 10, pred = Some(pred))
+      recallCheck(s, ann,
+        Search.knn(e.filter(pred), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 4)
+    }),
     "quantized_scalar_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
       val p = scalarParams(s, dir)
@@ -666,6 +682,8 @@ object IndexQueries {
     // the threshold contract
     "ivf_search_probe2" ->
       "SELECT 10 AS k, 3 AS min_required, true AS recall_ok",
+    "ivf_search_filtered" ->
+      "SELECT 10 AS k, 4 AS min_required, true AS recall_ok",
     "quantized_scalar_rescore" ->
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
     "quantized_binary_rescore" ->
