@@ -85,7 +85,9 @@ object ScaleProbe {
     "prefetch_order_by", "prefetch_rescore_colbert",
     "api_query_params_exact", "api_query_params_quantized",
     "group_by_hetero", "group_by_discover", "knn_euclid_threshold",
-    "bm25_embed_search", "api_upsert_typed_vectors")
+    "bm25_embed_search", "api_upsert_typed_vectors",
+    "ivf_search_filtered", "api_query_with_payload",
+    "maxsim_multivec_f16", "prefetch_random_offset")
 
   private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =
     Map(
