@@ -171,6 +171,53 @@ object VecKernels {
     best
   }
 
+  /** Kernel for [[MaxSimExpr]] — non-empty stored matrix only (the empty
+    * case is NULL at the expression). Inner sims are sequential-double
+    * folds identical to [[VecDot]]/[[VecL2Sq]]/[[VecL1]]; cosine divides
+    * the dot by both norms exactly like the Column formulation. */
+  def maxSimScore(stored: ArrayData, q: Array[Array[Double]], kind: Int,
+      innerFloat: Boolean): Double = {
+    var acc = 0.0
+    var qi = 0
+    while (qi < q.length) {
+      val qv = q(qi)
+      var best = Double.NegativeInfinity
+      var si = 0
+      val rows = stored.numElements()
+      while (si < rows) {
+        val sv = stored.getArray(si)
+        val n = math.min(sv.numElements(), qv.length)
+        def at(i: Int): Double =
+          if (innerFloat) sv.getFloat(i).toDouble else sv.getDouble(i)
+        var s = 0.0
+        var i = 0
+        kind match {
+          case 0 => // dot
+            while (i < n) { s += at(i) * qv(i); i += 1 }
+          case 1 => // euclid similarity −Σ(a−b)²
+            while (i < n) { val d = at(i) - qv(i); s -= d * d; i += 1 }
+          case 2 => // manhattan similarity −Σ|a−b|
+            while (i < n) { s -= math.abs(at(i) - qv(i)); i += 1 }
+          case _ => // cosine: dot / (sqrt(Σa²)·sqrt(Σb²))
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            while (i < n) {
+              val a = at(i); val b = qv(i)
+              dot += a * b; na += a * a; nb += b * b; i += 1
+            }
+            s = dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        if (s > best) best = s
+        si += 1
+      }
+      acc += best
+      qi += 1
+    }
+    acc
+  }
+
+  def maxSimLit(stored: Column, query: Seq[Seq[Double]], kind: Int): Column =
+    GraftShim.column(MaxSimExpr(expr(stored), query, kind))
+
   def centroidArgmin(v: Column, centroids: Seq[Seq[Double]]): Column =
     GraftShim.column(CentroidArgmin(expr(v), centroids))
   def dot(a: Column, b: Column): Column =
@@ -237,6 +284,49 @@ object F16 {
     }
     java.lang.Float.intBitsToFloat(((hbits & 0x8000) << 16) | ((exp | mant) << 13))
   }
+}
+
+/** Fused MaxSim over a stored RAGGED matrix (array<array<float|double>>)
+  * and a LITERAL query matrix: Σ_{q ∈ query} max_{s ∈ stored} sim(s, q),
+  * sim in the similarity orientation (`score_max_similarity`,
+  * `query_scorer/mod.rs:77-108`: Dot/Cosine as-is, Euclid −Σ(a−b)² no
+  * sqrt, Manhattan −Σ|a−b|). One nested loop per row — the HOF
+  * formulation (`aggregate` + `array_max` + `transform`) materializes a
+  * sims array per query token per row, and MaxSim is the ColBERT
+  * late-interaction hot path. Arithmetic and fold order are bit-identical
+  * to the HOF (outer fold in query order, inner sequential-double sims),
+  * so scores never move; an EMPTY stored matrix yields NULL in both
+  * formulations. `kind`: 0=dot, 1=euclid-sim, 2=manhattan-sim, 3=cosine. */
+case class MaxSimExpr(child: Expression, query: Seq[Seq[Double]], kind: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(kind >= 0 && kind <= 3, s"unknown maxsim kind $kind")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val mat: Array[Array[Double]] =
+    query.map(_.toArray).toArray
+  private def innerIsFloat: Boolean = child.dataType match {
+    case ArrayType(ArrayType(FloatType, _), _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(v: Any): Any = {
+    val stored = v.asInstanceOf[ArrayData]
+    if (stored.numElements() == 0) null
+    else VecKernels.maxSimScore(stored, mat, kind, innerIsFloat)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("maxsimQuery", mat, "double[][]")
+    val isF = innerIsFloat.toString
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VecKernels.maxSimScore($c, $ref, $kind, $isF);
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** Fused int8-dequantize + fold over (array<int> codes, array<float|double>

@@ -80,6 +80,20 @@ object VectorFunctions {
       lit(0.0d),
       (acc, qv) => acc + array_max(transform(stored, sv => similarity(metric, sv, qv))))
 
+  /** Literal-query MaxSim through the fused kernel ([[MaxSimExpr]]): one
+    * nested loop per row, no per-token sims array — bit-identical to the
+    * HOF above (IndexSpec pins fused == HOF on every metric). Use this
+    * overload whenever the query matrix is known at plan time (every
+    * request-shaped call); the Column overload remains for dynamic
+    * query-matrix columns (e.g. batch joins). */
+  def maxSim(metric: Metric, stored: Column, queryVecs: Seq[Seq[Double]]): Column =
+    VecKernels.maxSimLit(stored, queryVecs, metric match {
+      case Dot => 0
+      case Euclid => 1
+      case Manhattan => 2
+      case Cosine => 3
+    })
+
   /** Sparse dot product over intersecting indices. Both operands are
     * struct<indices: array<int>, values: array<float>> with sorted unique
     * indices. Ref `lib/sparse/src/common/sparse_vector.rs:17-22` (format),

@@ -96,7 +96,7 @@ object VectorCodec {
       dt: VectorDatatype, metric: Metric, stored: Column,
       queryVecs: Seq[Seq[Double]]): Column = dt match {
     case Float32 =>
-      graft.functions.VectorFunctions.maxSim(metric, stored, typedlit(queryVecs))
+      graft.functions.VectorFunctions.maxSim(metric, stored, queryVecs)
     case Float16 =>
       // inner max over the SIMILARITY orientation (Euclid −Σ(a−b)², no
       // sqrt; Manhattan −Σ|a−b|) — same contract as VectorFunctions.maxSim

@@ -148,8 +148,7 @@ object PointQuery {
       case ContextQ(vc, m, pairs) =>
         (Search.contextExpr(m, col(vc), pairs), true)
       case MaxSimQ(vc, m, qvs) =>
-        (graft.functions.VectorFunctions.maxSim(m, col(vc),
-          typedLit(qvs)), true)
+        (graft.functions.VectorFunctions.maxSim(m, col(vc), qvs), true)
       case FeedbackQ(vc, m, t, fb, a, b, c) =>
         (Search.feedbackNaiveExpr(m, col(vc), t, fb, a, b, c), true)
       case SparseDotQ(tc, terms) =>

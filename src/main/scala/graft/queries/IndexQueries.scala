@@ -309,7 +309,7 @@ object IndexQueries {
       val stored = s.read.parquet(path)
       val q = v7(s, dir)
       val qvs = (0 until 4).map(i => q.slice(i * 16, i * 16 + 16))
-      val expr = VectorFunctions.maxSim(Dot, col("vector_tok"), typedLit(qvs))
+      val expr = VectorFunctions.maxSim(Dot, col("vector_tok"), qvs)
       Search.scoredTopK(stored, "vec_id", expr, largerBetter = true, k = 10)
     }),
     // MaxSim under a DISTANCE metric: the inner max runs over the
@@ -326,7 +326,7 @@ object IndexQueries {
         when(col("vec_id") % 2 === 0, tok(4)).otherwise(tok(2)).as("vector_tok"))
       val q = v7(s, dir)
       val qvs = (0 until 4).map(i => q.slice(i * 16, i * 16 + 16))
-      val expr = VectorFunctions.maxSim(Euclid, col("vector_tok"), typedLit(qvs))
+      val expr = VectorFunctions.maxSim(Euclid, col("vector_tok"), qvs)
       Search.scoredTopK(stored, "vec_id", expr, largerBetter = true, k = 10)
     }),
     // MaxSim over a Uint8-DECLARED multivector collection: the engine
@@ -378,7 +378,7 @@ object IndexQueries {
       val stored = emb(s, dir).select(col("vec_id"),
         when(col("vec_id") % 2 === 0, tok(4)).otherwise(tok(2)).as("vector_tok"))
       val f = Search.scoredTopK(stored, "vec_id",
-        VectorFunctions.maxSim(Dot, col("vector_tok"), typedLit(qtoks)),
+        VectorFunctions.maxSim(Dot, col("vector_tok"), qtoks),
         largerBetter = true, k = 10).collect()
       val idsMatch = h.map(_.getLong(0)).toSeq == f.map(_.getLong(0)).toSeq
       val relErrOk = h.map(_.getDouble(1)).zip(f.map(_.getDouble(1))).forall {

@@ -117,8 +117,7 @@ object RankQueries {
         Seq(q.slice(0, 32), q.slice(32, 64))
       }
       val merged = Search.recommendAvgMultiQuery(Seq(mv(7), mv(8)), Seq(mv(4)))
-      val expr = graft.functions.VectorFunctions.maxSim(Dot, col("vector_tok"),
-        typedLit(merged))
+      val expr = graft.functions.VectorFunctions.maxSim(Dot, col("vector_tok"), merged)
       Search.scoredTopK(stored, "vec_id", expr, largerBetter = true, k = 10)
     }),
     "recommend_sum_scores" -> ((s, dir) => {

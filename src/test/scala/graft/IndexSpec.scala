@@ -44,6 +44,31 @@ class IndexSpec extends SparkTestBase {
     assert(got == exactTop(10))
   }
 
+  test("fused MaxSim kernel is bit-identical to the HOF formulation (all metrics)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val stored = emb.select(col("vec_id"),
+      when(col("vec_id") % 2 === 0,
+        array(slice(col("embedding"), 1, 16), slice(col("embedding"), 17, 16),
+          slice(col("embedding"), 33, 16), slice(col("embedding"), 49, 16)))
+        .otherwise(array(slice(col("embedding"), 1, 16), slice(col("embedding"), 17, 16)))
+        .as("toks"))
+    val qvs = (0 until 3).map(i => q7.slice(i * 16, i * 16 + 16))
+    for (m <- Seq(Dot, Euclid, Manhattan, Cosine)) {
+      val fused = stored.select(col("vec_id"),
+        VectorFunctions.maxSim(m, col("toks"), qvs).as("s"))
+      val hof = stored.select(col("vec_id"),
+        VectorFunctions.maxSim(m, col("toks"), typedLit(qvs)).as("s2"))
+      val diff = fused.join(hof, "vec_id").filter(col("s") =!= col("s2")).count()
+      assert(diff == 0L, s"fused/HOF MaxSim mismatch for $m")
+    }
+    // empty stored matrix is NULL in both formulations
+    val empty = spark.range(1).select(
+      typedLit(Seq.empty[Seq[Float]]).as("toks"))
+    assert(empty.select(VectorFunctions.maxSim(Dot, col("toks"), qvs.take(1)).as("s"))
+      .head().isNullAt(0))
+  }
+
   test("fused dequant fold is bit-identical to the explicit transform formulation") {
     import org.apache.spark.sql.functions.{expr => _, _}
     val p = Quantization.fitScalar(emb, "embedding")
