@@ -176,7 +176,7 @@ object VecKernels {
     * folds identical to [[VecDot]]/[[VecL2Sq]]/[[VecL1]]; cosine divides
     * the dot by both norms exactly like the Column formulation. */
   def maxSimScore(stored: ArrayData, q: Array[Array[Double]], kind: Int,
-      innerFloat: Boolean): Double = {
+      elemMode: Int): Double = {
     var acc = 0.0
     var qi = 0
     while (qi < q.length) {
@@ -187,8 +187,11 @@ object VecKernels {
       while (si < rows) {
         val sv = stored.getArray(si)
         val n = math.min(sv.numElements(), qv.length)
-        def at(i: Int): Double =
-          if (innerFloat) sv.getFloat(i).toDouble else sv.getDouble(i)
+        def at(i: Int): Double = elemMode match {
+          case 1 => sv.getFloat(i).toDouble
+          case 2 => F16.toFloat(sv.getShort(i)).toDouble
+          case _ => sv.getDouble(i)
+        }
         var s = 0.0
         var i = 0
         kind match {
@@ -215,8 +218,9 @@ object VecKernels {
     acc
   }
 
-  def maxSimLit(stored: Column, query: Seq[Seq[Double]], kind: Int): Column =
-    GraftShim.column(MaxSimExpr(expr(stored), query, kind))
+  def maxSimLit(stored: Column, query: Seq[Seq[Double]], kind: Int,
+      f16Stored: Boolean = false): Column =
+    GraftShim.column(MaxSimExpr(expr(stored), query, kind, f16Stored))
 
   def centroidArgmin(v: Column, centroids: Seq[Seq[Double]]): Column =
     GraftShim.column(CentroidArgmin(expr(v), centroids))
@@ -297,31 +301,34 @@ object F16 {
   * to the HOF (outer fold in query order, inner sequential-double sims),
   * so scores never move; an EMPTY stored matrix yields NULL in both
   * formulations. `kind`: 0=dot, 1=euclid-sim, 2=manhattan-sim, 3=cosine. */
-case class MaxSimExpr(child: Expression, query: Seq[Seq[Double]], kind: Int)
+case class MaxSimExpr(child: Expression, query: Seq[Seq[Double]], kind: Int,
+    f16Stored: Boolean = false)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(kind >= 0 && kind <= 3, s"unknown maxsim kind $kind")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   @transient private lazy val mat: Array[Array[Double]] =
     query.map(_.toArray).toArray
-  private def innerIsFloat: Boolean = child.dataType match {
-    case ArrayType(ArrayType(FloatType, _), _) => true
-    case _ => false
-  }
+  // elem mode: 0 = double, 1 = float, 2 = f16 half bits (smallint)
+  private def elemMode: Int =
+    if (f16Stored) 2
+    else child.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => 1
+      case _ => 0
+    }
   override protected def nullSafeEval(v: Any): Any = {
     val stored = v.asInstanceOf[ArrayData]
     if (stored.numElements() == 0) null
-    else VecKernels.maxSimScore(stored, mat, kind, innerIsFloat)
+    else VecKernels.maxSimScore(stored, mat, kind, elemMode)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("maxsimQuery", mat, "double[][]")
-    val isF = innerIsFloat.toString
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |if ($c.numElements() == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.VecKernels.maxSimScore($c, $ref, $kind, $isF);
+         |  ${ev.value} = graft.functions.VecKernels.maxSimScore($c, $ref, $kind, $elemMode);
          |}
        """.stripMargin
     })

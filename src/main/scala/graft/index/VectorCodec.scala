@@ -99,14 +99,17 @@ object VectorCodec {
       graft.functions.VectorFunctions.maxSim(metric, stored, queryVecs)
     case Float16 =>
       // inner max over the SIMILARITY orientation (Euclid −Σ(a−b)², no
-      // sqrt; Manhattan −Σ|a−b|) — same contract as VectorFunctions.maxSim
-      val f16Sim: (Column, Column) => Column = metric match {
-        case Euclid    => (sv, qv) => -VecKernels.f16L2Sq(sv, qv)
-        case Manhattan => (sv, qv) => -VecKernels.f16L1(sv, qv)
-        case _         => (sv, qv) => f16Score(metric, sv, qv)
+      // sqrt; Manhattan −Σ|a−b|) — same contract as VectorFunctions.maxSim,
+      // with the half decode fused into the one-loop kernel
+      metric match {
+        case Dot => VecKernels.maxSimLit(stored, queryVecs, 0, f16Stored = true)
+        case Euclid => VecKernels.maxSimLit(stored, queryVecs, 1, f16Stored = true)
+        case Manhattan => VecKernels.maxSimLit(stored, queryVecs, 2, f16Stored = true)
+        case Cosine =>
+          // the f16 cosine normalization keeps the explicit formulation
+          aggregate(typedlit(queryVecs), lit(0.0d), (acc, qv) =>
+            acc + array_max(transform(stored, sv => f16Score(metric, sv, qv))))
       }
-      aggregate(typedlit(queryVecs), lit(0.0d), (acc, qv) =>
-        acc + array_max(transform(stored, sv => f16Sim(sv, qv))))
     case Uint8 =>
       require(metric == Dot,
         "u8 multivector MaxSim supports the Dot metric (exact integer domain)")
