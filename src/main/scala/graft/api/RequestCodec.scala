@@ -200,10 +200,11 @@ object RequestCodec {
   // ========================================================= universal query
 
   /** Parse a full `POST /collections/{c}/points/query` body into the
-    * executable DAG. `query` missing without prefetches = order by id —
-    * expressed as an ascending OrderByField on the id... the reference
-    * scrolls by id; callers wanting that use Reads.scrollPage directly, so
-    * this codec requires a `query`. */
+    * executable DAG. A node with NO `query` parses to [[ScrollById]] (a
+    * plain id-order scroll, `planned_query.rs:189`) — valid as a root or
+    * prefetch leaf, but rejected with the reference's messages when
+    * combined with prefetches or a score_threshold
+    * (`test_query.py::test_query_validation`). */
   def parseQueryRequest(json: String, ctx: Ctx): Query =
     queryNode(JsonMethods.parse(json), ctx, topLevel = true)
 
@@ -310,9 +311,13 @@ object RequestCodec {
     }
     val scoring = scoringOf(o \ "query", using, ctx, limit) match {
       case (s, Some(innerPrefetch)) =>
-        // nearest+mmr sugar: the MMR leaf becomes a candidates_limit
-        // Nearest feeding the rerank (`planned_query.rs:368-460`)
-        return Query(s, prefetches = Seq(innerPrefetch), filter = filter,
+        // nearest+mmr sugar: WITHOUT explicit prefetches the MMR leaf
+        // becomes a candidates_limit Nearest (`planned_query.rs:368-460`);
+        // WITH prefetches the user's prefetch union IS the candidate set
+        // (MMR is a rescore parent over sources, `local_shard/query.rs`)
+        // — the synthesized candidates query must NOT replace it.
+        val pf = if (prefetches.nonEmpty) prefetches else Seq(innerPrefetch)
+        return Query(s, prefetches = pf, filter = filter,
           limit = limit, offset = offset, scoreThreshold = threshold,
           params = params)
       case (s, None) => s
@@ -352,9 +357,9 @@ object RequestCodec {
           // bare sparse-vector shorthand (`VectorInput`, untagged)
           if (!sp.sparse)
             fail(s"sparse vector input for dense vector '${sp.col}'")
-          (SparseStructQ(sp.col,
-            arr(o \ "indices").map(num(_).toInt),
-            arr(o \ "values").map(num)), None)
+          val (is, vs) = sparsePair(
+            arr(o \ "indices").map(num(_).toInt), arr(o \ "values").map(num))
+          (SparseStructQ(sp.col, is, vs), None)
         } else if (keys.contains("nearest")) {
           val scoring = (o \ "nearest") match {
             // sparse input `{indices, values}` — only valid against a
@@ -362,9 +367,10 @@ object RequestCodec {
             case s: JObject if (s \ "indices") != JNothing =>
               if (!sp.sparse)
                 fail(s"sparse vector input for dense vector '${sp.col}'")
-              SparseStructQ(sp.col,
+              val (is, vs) = sparsePair(
                 arr(s \ "indices").map(num(_).toInt),
                 arr(s \ "values").map(num))
+              SparseStructQ(sp.col, is, vs)
             case v => vectorInput(v, ctx) match {
               case _ if sp.sparse =>
                 fail(s"dense vector input for sparse vector '${sp.col}'")
@@ -1024,6 +1030,24 @@ object RequestCodec {
     WSetPayload(payload, selectorOf(j), overwrite)
   }
 
+  /** Canonicalize a wire sparse pair: indices must be UNIQUE and match
+    * the values length (`validate_sparse_vector_impl`,
+    * `lib/sparse/src/common/sparse_vector.rs`); order is the CALLER'S
+    * choice on the wire and the engine sorts internally
+    * (`sort_by_indices` at ingest/query, `data_types/vectors.rs:76`).
+    * The merge-intersect kernel and the struct storage require sorted
+    * indices, so unsorted input MUST canonicalize here — passing it
+    * through would silently mis-score. */
+  private[api] def sparsePair(
+      indices: Seq[Int], values: Seq[Double]): (Seq[Int], Seq[Double]) = {
+    if (indices.length != values.length)
+      fail("sparse values must be the same length as indices")
+    if (indices.distinct.length != indices.length)
+      fail("sparse indices must be unique")
+    val sorted = indices.zip(values).sortBy(_._1)
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
   /** One untagged `Vector` value: dense `[..]`, multi-dense `[[..],..]`,
     * sparse `{indices, values}`. */
   private def wireVec(v: JValue): WireVec = v match {
@@ -1031,7 +1055,9 @@ object RequestCodec {
       WMultiVec(xs.map(row => arr(row).map(num)))
     case JArray(xs) => WDenseVec(xs.map(num))
     case o: JObject if (o \ "indices") != JNothing =>
-      WSparseVec(arr(o \ "indices").map(num(_).toInt), arr(o \ "values").map(num))
+      val (is, vs) = sparsePair(
+        arr(o \ "indices").map(num(_).toInt), arr(o \ "values").map(num))
+      WSparseVec(is, vs)
     case other => fail(s"bad vector value: $other")
   }
 

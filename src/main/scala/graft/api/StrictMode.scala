@@ -43,11 +43,18 @@ object StrictMode {
   /** `strict_mode_config` wire body (create/update collection). */
   def parse(json: String): StrictModeConfig = {
     val o = org.json4s.jackson.JsonMethods.parse(json)
-    def intOf(k: String): Option[Int] = (o \ k) match {
-      case JInt(v) => Some(v.toInt)
-      case JLong(v) => Some(v.toInt)
-      case _ => None
+    // accept every JSON number spelling (JInt/JLong/JDouble/JDecimal) — a
+    // limit arriving as `100.0` must still be ENFORCED, not silently None
+    def numOf(k: String): Option[Double] = (o \ k) match {
+      case JInt(v) => Some(v.toDouble)
+      case JLong(v) => Some(v.toDouble)
+      case JDouble(v) => Some(v)
+      case JDecimal(v) => Some(v.toDouble)
+      case JNothing | JNull => None
+      case other =>
+        throw new IllegalArgumentException(s"expected number for '$k', got $other")
     }
+    def intOf(k: String): Option[Int] = numOf(k).map(_.toInt)
     def boolOf(k: String): Option[Boolean] = (o \ k) match {
       case JBool(b) => Some(b)
       case _ => None
@@ -58,11 +65,7 @@ object StrictMode {
       unindexedFilteringRetrieve = boolOf("unindexed_filtering_retrieve"),
       unindexedFilteringUpdate = boolOf("unindexed_filtering_update"),
       searchAllowExact = boolOf("search_allow_exact"),
-      searchMaxOversampling = (o \ "search_max_oversampling") match {
-        case JDouble(v) => Some(v)
-        case JInt(v) => Some(v.toDouble)
-        case _ => None
-      },
+      searchMaxOversampling = numOf("search_max_oversampling"),
       upsertMaxBatchsize = intOf("upsert_max_batchsize"),
       filterMaxConditions = intOf("filter_max_conditions"),
       conditionMaxSize = intOf("condition_max_size"))
@@ -143,9 +146,25 @@ object StrictMode {
       }
     }
     if (!allowUnindexed) {
-      conds.flatMap(keyOf).find(k => !indexedKeys.contains(stripPath(k)))
+      addressedKeys(f).find(k => !indexedKeys.contains(stripPath(k)))
         .foreach(k => throw new StrictModeViolation(
           s"filtering on unindexed field '$k' is not allowed"))
+    }
+  }
+
+  /** Payload keys addressed by the filter, with nested conditions
+    * contributing their FULL paths — inner keys are RELATIVE to the
+    * nested root (`a[].b` indexes under `a`), so they must not be tested
+    * as top-level fields. */
+  private def addressedKeys(f: Filter, prefix: Option[String] = None): Seq[String] = {
+    def withPrefix(k: String) = prefix.fold(k)(p => s"$p.$k")
+    val top = f.must ++ f.should ++ f.mustNot ++
+      f.minShould.map(_.conditions).getOrElse(Nil)
+    top.flatMap {
+      case SubFilter(inner) => addressedKeys(inner, prefix)
+      case NestedCond(k, inner) =>
+        withPrefix(k) +: addressedKeys(inner, Some(withPrefix(stripPath(k))))
+      case c => keyOf(c).map(withPrefix).toSeq
     }
   }
 
@@ -175,7 +194,6 @@ object StrictMode {
     case GeoPolygonCond(k, _, _) => Some(k)
     case IsEmpty(k) => Some(k)
     case IsNullCond(k) => Some(k)
-    case NestedCond(k, _) => Some(k)
     // HasId / HasVector / Slice / SubFilter address no payload field —
     // always allowed regardless of indexing (matches the reference's
     // payload-index check surface)

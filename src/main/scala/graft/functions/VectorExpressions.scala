@@ -176,15 +176,27 @@ object VecKernels {
     * folds identical to [[VecDot]]/[[VecL2Sq]]/[[VecL1]]; cosine divides
     * the dot by both norms exactly like the Column formulation. */
   def maxSimScore(stored: ArrayData, q: Array[Array[Double]], kind: Int,
-      elemMode: Int): Double = {
+      elemMode: Int): java.lang.Double = {
+    // null/empty handling mirrors the HOF: `array_max` IGNORES null sims
+    // (null inner rows are skipped) and an empty/all-null matrix yields
+    // NULL for the whole expression.
+    val rows = stored.numElements()
+    var hasRow = false
+    var ri = 0
+    while (ri < rows && !hasRow) {
+      if (!stored.isNullAt(ri)) hasRow = true
+      ri += 1
+    }
+    if (!hasRow) return null
     var acc = 0.0
     var qi = 0
     while (qi < q.length) {
       val qv = q(qi)
       var best = Double.NegativeInfinity
       var si = 0
-      val rows = stored.numElements()
       while (si < rows) {
+        if (stored.isNullAt(si)) { si += 1 }
+        else {
         val sv = stored.getArray(si)
         val n = math.min(sv.numElements(), qv.length)
         def at(i: Int): Double = elemMode match {
@@ -211,11 +223,12 @@ object VecKernels {
         }
         if (s > best) best = s
         si += 1
+        }
       }
       acc += best
       qi += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   def maxSimLit(stored: Column, query: Seq[Seq[Double]], kind: Int,
@@ -316,19 +329,19 @@ case class MaxSimExpr(child: Expression, query: Seq[Seq[Double]], kind: Int,
       case ArrayType(ArrayType(FloatType, _), _) => 1
       case _ => 0
     }
-  override protected def nullSafeEval(v: Any): Any = {
-    val stored = v.asInstanceOf[ArrayData]
-    if (stored.numElements() == 0) null
-    else VecKernels.maxSimScore(stored, mat, kind, elemMode)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.maxSimScore(v.asInstanceOf[ArrayData], mat, kind, elemMode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("maxsimQuery", mat, "double[][]")
     nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
       s"""
-         |if ($c.numElements() == 0) {
+         |java.lang.Double $r =
+         |  graft.functions.VecKernels.maxSimScore($c, $ref, $kind, $elemMode);
+         |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.VecKernels.maxSimScore($c, $ref, $kind, $elemMode);
+         |  ${ev.value} = $r.doubleValue();
          |}
        """.stripMargin
     })

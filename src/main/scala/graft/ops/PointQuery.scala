@@ -262,12 +262,21 @@ object PointQuery {
       // `local_shard/query.rs:309-336,381-404`; leaves with no prefetch
       // scroll the whole collection) ----
       case OrderByField(field, asc, startFrom) =>
-        Reads.scrollByField(withPrefetchCandidates(points), idCol, field, asc,
-          q.filter, resolver, startFrom, q.limit, projection = Seq(idCol, field))
+        // `skip(offset)` applies after the ordered page like any other
+        // merge (`query.rs:448-451`) — fetch offset+limit, drop the head
+        val page = Reads.scrollByField(withPrefetchCandidates(points), idCol,
+          field, asc, q.filter, resolver, startFrom, q.offset + q.limit,
+          projection = Seq(idCol, field))
+        val ord = Seq(
+          if (asc) col(field).asc_nulls_last else col(field).desc_nulls_last,
+          col(idCol).asc)
+        dropOffset(page, ord, q.offset)
 
       case ScrollById =>
-        Reads.scrollById(withPrefetchCandidates(points), idCol, q.filter,
-          resolver, offsetId = None, limit = q.limit, projection = Seq(idCol))
+        val page = Reads.scrollById(withPrefetchCandidates(points), idCol,
+          q.filter, resolver, offsetId = None, limit = q.offset + q.limit,
+          projection = Seq(idCol))
+        dropOffset(page, Seq(col(idCol).asc), q.offset)
 
       case SampleRandom(seed) => {
         val scoped = withPrefetchCandidates(points)

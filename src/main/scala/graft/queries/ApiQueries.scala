@@ -107,6 +107,10 @@ object ApiQueries {
     // {"limit": 1000}}` prefetches with no query).
     "api_query_scroll_noquery" -> ((s, dir) => runOnEmbeddings(s, dir,
       """{"limit": 20}""")),
+    // no-query scroll WITH offset: `skip(offset)` applies after the id
+    // order (`query.rs:448-451`) — page = ids 6..15.
+    "api_query_scroll_offset" -> ((s, dir) => runOnEmbeddings(s, dir,
+      """{"limit": 10, "offset": 5}""")),
     // `root_and_rescored_query` invariant (`test_query.py:90-120`): a
     // query over a full-scan prefetch (`{"prefetch": {"limit": N}}`, no
     // query in the prefetch) equals the root query — the candidate
@@ -175,6 +179,11 @@ object ApiQueries {
         ("upsert_too_big", u(
           """{"operations": [{"upsert": {"points":
             |   [{"id": 1}, {"id": 2}, {"id": 3}]}}]}""".stripMargin)),
+        ("nested_indexed_ok", q(
+          """{"query": {"nearest": 7}, "limit": 5,
+            | "filter": {"must": [{"nested": {"key": "label",
+            |   "filter": {"must": [{"key": "x", "range": {"gte": 0}}]}}}]}}"""
+            .stripMargin)),
         ("update_filter_unindexed", u(
           """{"operations": [{"delete": {"filter":
             |   {"must": [{"key": "lang", "match": {"value": "de"}}]}}}]}"""
@@ -534,6 +543,8 @@ object ApiQueries {
         |ORDER BY h.score DESC, h.vec_id ASC""".stripMargin,
     "api_query_scroll_noquery" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 20",
+    "api_query_scroll_offset" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 10 OFFSET 5",
     "api_query_prefetch_fullscan" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
         |SELECT e.vec_id AS vec_id,
@@ -547,6 +558,7 @@ object ApiQueries {
         |  ('condition_too_big', true), ('exact_denied', true),
         |  ('oversampling_over', true), ('too_many_conditions', true),
         |  ('prefetch_limit_over', true), ('upsert_too_big', true),
+        |  ('nested_indexed_ok', false),
         |  ('update_filter_unindexed', true)) AS t(check_name, rejected)"""
         .stripMargin,
     "api_query_discover" -> RankQueries.oracles("discover"),

@@ -339,24 +339,37 @@ final class Collection(
       scoreThreshold: Option[Double] = None): DataFrame = {
     val sc = config.sparse.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown sparse vector '$name'"))
+    // index order is the caller's choice (the reference sorts internally,
+    // `sort_by_indices`, `data_types/vectors.rs:76`); the merge-intersect
+    // kernel requires ascending — canonicalize here so direct API callers
+    // can't silently mis-score. Uniqueness is a hard invariant
+    // (`validate_sparse_vector_impl`).
+    require(qIndices.length == qValues.length,
+      "sparse values must be the same length as indices")
+    require(qIndices.distinct.length == qIndices.length,
+      "sparse indices must be unique")
+    val (qIdx, qVal0) = {
+      val sorted = qIndices.zip(qValues).sortBy(_._1)
+      (sorted.map(_._1), sorted.map(_._2))
+    }
     val df = read()
     val c = config.sparseCol(name)
     val qv =
       if (sc.modifier.contains("idf")) {
         val n = df.count().toDouble
         val dfs = df.select(explode(col(s"$c.indices")).as("dim"))
-          .filter(col("dim").isin(qIndices: _*))
+          .filter(col("dim").isin(qIdx: _*))
           .groupBy(col("dim")).agg(count(lit(1)).as("df"))
           .collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
-        qIndices.zip(qValues).map { case (i, w) =>
+        qIdx.zip(qVal0).map { case (i, w) =>
           val d = dfs.getOrElse(i, 0.0)
           w * math.log((n - d + 0.5) / (d + 0.5) + 1.0)
         }
-      } else qValues
+      } else qVal0
     val score = graft.functions.VectorFunctions.sparseDot(
-      col(s"$c.indices"), col(s"$c.values"), qIndices, qv)
+      col(s"$c.indices"), col(s"$c.values"), qIdx, qv)
     val pred = filter.map(f => new FilterCompiler(resolver(df)).compile(f))
-    val overlap = arrays_overlap(col(s"$c.indices"), typedLit(qIndices))
+    val overlap = arrays_overlap(col(s"$c.indices"), typedLit(qIdx))
     graft.ops.Search.scoredTopK(df, config.idCol, score, largerBetter = true,
       Some(pred.fold(overlap)(_ && overlap)), k,
       scoreThreshold = scoreThreshold)

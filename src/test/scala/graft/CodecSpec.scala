@@ -285,6 +285,44 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse wire input: unsorted indices canonicalize, duplicates rejected") {
+    import RequestCodec._
+    val sctx = Ctx(spaces = Map(
+      "" -> VectorSpace("embedding", Dot),
+      "txt" -> VectorSpace("sparse_txt", Dot, sparse = true)))
+    // the reference accepts any wire order and sorts internally
+    // (`sort_by_indices`, `data_types/vectors.rs:76`)
+    val q = RequestCodec.parseQueryRequest(
+      """{"query": {"indices": [5, 2], "values": [0.5, 1.0]},
+        |  "using": "txt", "limit": 3}""".stripMargin, sctx)
+    assert(q.scoring == SparseStructQ("sparse_txt", Seq(2, 5), Seq(1.0, 0.5)))
+    // uniqueness is a hard invariant (`validate_sparse_vector_impl`)
+    assertThrows[IllegalArgumentException] {
+      RequestCodec.parseQueryRequest(
+        """{"query": {"indices": [2, 2], "values": [1.0, 1.0]},
+          |  "using": "txt"}""".stripMargin, sctx)
+    }
+    // same canonicalization on the upsert path
+    val ops = RequestCodec.parseUpdateOperations(
+      """{"operations": [{"upsert": {"points": [
+        |  {"id": 1, "vector": {"txt": {"indices": [9, 3], "values": [0.9, 0.3]}}}
+        |]}}]}""".stripMargin)
+    val WUpsert(pts, None) = ops.head: @unchecked
+    assert(pts.head.vectors("txt") == WSparseVec(Seq(3, 9), Seq(0.3, 0.9)))
+  }
+
+  test("nearest+mmr with explicit prefetches keeps them as the candidate set") {
+    val q = RequestCodec.parseQueryRequest(
+      """{"prefetch": [{"query": [0.5, 0.5], "limit": 50}],
+        |  "query": {"nearest": [1.0, 0.0], "mmr": {"diversity": 0.5}},
+        |  "limit": 5}""".stripMargin, ctx)
+    // the user's prefetch union IS the candidate set (MMR is a rescore
+    // parent over sources); the synthesized Nearest only applies when no
+    // prefetch is given
+    assert(q.prefetches == Seq(
+      Query(Nearest("embedding", Dot, Seq(0.5, 0.5)), limit = 50)))
+  }
+
   test("query validation: no-query scroll, prefetch/threshold/order_by rules, limit >= 1") {
     // no query = plain id-order scroll (`planned_query.rs:189`)
     val scroll = RequestCodec.parseQueryRequest("""{"limit": 20}""", ctx)

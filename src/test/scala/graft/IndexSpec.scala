@@ -67,6 +67,19 @@ class IndexSpec extends SparkTestBase {
       typedLit(Seq.empty[Seq[Float]]).as("toks"))
     assert(empty.select(VectorFunctions.maxSim(Dot, col("toks"), qvs.take(1)).as("s"))
       .head().isNullAt(0))
+    // null inner rows are SKIPPED (array_max ignores null sims); an
+    // all-null matrix is NULL — both mirrored from the HOF semantics
+    val mixed = spark.sql(
+      """SELECT array(CAST(NULL AS ARRAY<FLOAT>),
+        |             CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS toks
+        |UNION ALL
+        |SELECT array(CAST(NULL AS ARRAY<FLOAT>), CAST(NULL AS ARRAY<FLOAT>))"""
+        .stripMargin)
+    val got = mixed
+      .select(VectorFunctions.maxSim(Dot, col("toks"), Seq(Seq(2.0, 3.0))).as("s"))
+      .collect()
+    val vals = got.map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSet
+    assert(vals == Set(Some(2.0), None), s"got $vals")
   }
 
   test("fused dequant fold is bit-identical to the explicit transform formulation") {
