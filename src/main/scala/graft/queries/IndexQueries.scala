@@ -187,6 +187,20 @@ object IndexQueries {
         Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
         "vec_id", k = 10, minRequired = 8)
     }),
+    // ONE-call server-handler analog (`Collection.query`): the body
+    // parses against the collection's declared schema (spaces from
+    // config) and a Nearest root routes through the config'd quantized
+    // two-phase search — no hand-wiring between codec and executor.
+    "collection_query_endpoint" -> ((s, dir) => {
+      val coll = scalarQuantColl(s, dir)
+      val ann = coll.query(
+        s"""{"query": {"nearest": ${v7(s, dir).mkString("[", ",", "]")}},
+           |  "limit": 10,
+           |  "params": {"quantization": {"oversampling": 3.0}}}""".stripMargin)
+      recallCheck(s, ann,
+        Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 8)
+    }),
     // Wire `params.exact = true` (`SearchParams`, `types.rs:573-618`):
     // bypasses the quantized two-phase route entirely, so the result
     // hash-matches the plain exact scan — a PRECISE oracle, not a recall
@@ -725,6 +739,8 @@ object IndexQueries {
         |  + greatest(list_dot_product(e1, q7.v[33:64]), list_dot_product(e2, q7.v[33:64])),
         |  6) AS score
         |FROM t, q7 ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "collection_query_endpoint" ->
+      "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
     "api_query_params_exact" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
         |SELECT e.vec_id AS vec_id,

@@ -191,6 +191,16 @@ object SparseQueries {
         negatives = Seq(sparseQ(s, dir, 4L)))
       sparseColl(s, dir).knnSparse("txt", qi, qv, k = 10)
     }),
+    // `Collection.query` with a sparse wire body: `using` resolves the
+    // sparse space from the config and routes knnSparse — same oracle as
+    // the hand-built sparse_struct_knn.
+    "collection_query_sparse" -> ((s, dir) => {
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      sparseColl(s, dir).query(
+        s"""{"query": {"indices": ${qi.mkString("[", ",", "]")},
+           |  "values": ${qv.mkString("[", ",", "]")}},
+           |  "using": "txt", "limit": 10}""".stripMargin)
+    }),
     // Sparse config PATCH (`tests/openapi/test_sparse_vector_config_update.py`;
     // `UpdateCollection` sparse diff): the collection starts with a PLAIN
     // sparse vector, the wire diff sets `modifier: idf`, and the SAME
@@ -307,6 +317,16 @@ object SparseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "collection_query_sparse" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * q.v[i] ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "sparse_struct_knn" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
         |SELECT e.vec_id AS vec_id,

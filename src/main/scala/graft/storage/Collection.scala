@@ -430,6 +430,54 @@ final class Collection(
       vc.metric.largerBetter)
   }
 
+  /** The server-handler analog of `POST /collections/{c}/points/query`
+    * (`src/actix/api/query_api.rs:31`): parse a REST body against THIS
+    * collection's declared schema and execute it. Spaces come from the
+    * config (dense named/unnamed + sparse + shard-key column), by-id
+    * vector inputs resolve against the table's default dense vector, and
+    * wire `SearchParams` route a plain Nearest root through the
+    * quantization-aware two-phase search; every other shape runs through
+    * the generic DAG executor over the decoded table. */
+  def query(json: String): DataFrame = {
+    import graft.api.RequestCodec
+    import graft.ops.PointQuery
+    val spaces =
+      config.vectors.map(vc =>
+        vc.name -> RequestCodec.VectorSpace(config.vectorCol(vc.name), vc.metric)).toMap ++
+        config.sparse.map(sc =>
+          sc.name -> RequestCodec.VectorSpace(config.sparseCol(sc.name),
+            graft.model.Dot, sparse = true)).toMap
+    val ctx = RequestCodec.Ctx(spaces,
+      resolveId = id => {
+        val vc = config.vectors.find(_.name == "").getOrElse(
+          config.vectors.headOption.getOrElse(throw new IllegalArgumentException(
+            "vector-input id given but the collection has no dense vector")))
+        graft.Tables.embeddingFrom(readDecoded(), config.idCol,
+          config.vectorCol(vc.name), id)
+      },
+      shardKeyField = config.shardKeyCol)
+    val q = RequestCodec.parseQueryRequest(json, ctx)
+    (q.scoring, q.prefetches) match {
+      case (PointQuery.Nearest(vcol, _, qv), Nil)
+          if config.vectors.exists(vc =>
+            config.vectorCol(vc.name) == vcol && vc.quantization.isDefined) =>
+        val name = config.vectors
+          .find(vc => config.vectorCol(vc.name) == vcol).get.name
+        val sp = q.params.getOrElse(PointQuery.SearchParams())
+        knn(name, qv, q.filter, q.limit, q.offset, q.scoreThreshold,
+          quantized = !(sp.exact || sp.quantIgnore),
+          oversampling = sp.oversampling.getOrElse(3.0),
+          rescore = sp.rescore)
+      case (PointQuery.SparseStructQ(scol, qi, qv), Nil) =>
+        val name = config.sparse
+          .find(sc => config.sparseCol(sc.name) == scol).get.name
+        knnSparse(name, qi, qv, q.filter, q.limit, q.scoreThreshold)
+      case _ =>
+        val df = readDecoded()
+        graft.ops.PointQuery.execute(spark, df, config.idCol, resolver(df), q)
+    }
+  }
+
   /** PATCH `/collections/{c}` config update (`UpdateCollection`,
     * `lib/storage/src/content_manager/collection_meta_ops.rs:119-135`;
     * `tests/openapi/test_collection_update.py`,
