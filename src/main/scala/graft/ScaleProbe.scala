@@ -87,6 +87,7 @@ object ScaleProbe {
     "group_by_hetero", "group_by_discover", "knn_euclid_threshold",
     "bm25_embed_search", "api_upsert_typed_vectors",
     "ivf_search_filtered", "api_query_with_payload",
+    "collection_query_endpoint", "collection_query_sparse",
     "maxsim_multivec_f16", "prefetch_random_offset")
 
   private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =
