@@ -980,12 +980,14 @@ object RequestCodec {
     * layer folds the whole sequence into ONE table rewrite
     * (`Collection.applyBatch`). Vector element values arrive f32-precision.
     *
-    * `set_payload.key` (merge scoped under a payload path) is not supported
-    * and fails loudly. */
+    * `set_payload.key` scopes the merge under a payload JsonPath
+    * (`SetPayloadOp.key`, `payload_ops.rs:64-75`); overwrite_payload
+    * ignores it like the reference (`update/mod.rs:167-178`). */
   sealed trait WireOp
   final case class WUpsert(points: Seq[WirePoint], updateFilter: Option[Filter]) extends WireOp
   final case class WDelete(selector: Selector) extends WireOp
-  final case class WSetPayload(payloadJson: String, selector: Selector, overwrite: Boolean) extends WireOp
+  final case class WSetPayload(payloadJson: String, selector: Selector,
+      overwrite: Boolean, key: Option[String] = None) extends WireOp
   final case class WDeletePayload(keys: Seq[String], selector: Selector) extends WireOp
   final case class WClearPayload(selector: Selector) extends WireOp
   final case class WUpdateVectors(points: Seq[WirePoint]) extends WireOp
@@ -1021,13 +1023,17 @@ object RequestCodec {
     }
 
   private def payloadOp(j: JValue, overwrite: Boolean): WSetPayload = {
-    if ((j \ "key") != JNothing && (j \ "key") != JNull)
-      fail("set_payload.key (path-scoped merge) is not supported")
+    val key = (j \ "key") match {
+      case JString(k) => Some(k)
+      case JNothing | JNull => None
+      case other => fail(s"set_payload.key must be a string path, got $other")
+    }
     val payload = (j \ "payload") match {
       case o: JObject => JsonMethods.compact(JsonMethods.render(o))
       case other => fail(s"payload must be an object, got $other")
     }
-    WSetPayload(payload, selectorOf(j), overwrite)
+    // overwrite_payload ignores `key` (reference `update/mod.rs:167-178`)
+    WSetPayload(payload, selectorOf(j), overwrite, if (overwrite) None else key)
   }
 
   /** Canonicalize a wire sparse pair: indices must be UNIQUE and match

@@ -116,7 +116,7 @@ object StrictMode {
         }
         updateFilter.foreach(verifyFilter(_, cfg, indexedKeys, allowUnindexed))
       case WDelete(sel) => selector(sel)
-      case WSetPayload(_, sel, _) => selector(sel)
+      case WSetPayload(_, sel, _, _) => selector(sel)
       case WDeletePayload(_, sel) => selector(sel)
       case WClearPayload(sel) => selector(sel)
       case WUpdateVectors(_) => ()

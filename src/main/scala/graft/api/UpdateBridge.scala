@@ -31,9 +31,9 @@ object UpdateBridge {
         Seq(UpdateOp.UpsertConditional(wirePoints(coll, points), f))
       case WDelete(Selector(Some(ids), None)) => Seq(UpdateOp.DeleteIds(ids))
       case WDelete(sel) => Seq(UpdateOp.DeleteByFilter(sel.filter.get))
-      case WSetPayload(payload, sel, false) =>
-        Seq(UpdateOp.SetPayload(payload, selectorPred(coll, sel)))
-      case WSetPayload(payload, sel, true) =>
+      case WSetPayload(payload, sel, false, key) =>
+        Seq(UpdateOp.SetPayload(payload, selectorPred(coll, sel), key))
+      case WSetPayload(payload, sel, true, _) =>
         Seq(UpdateOp.OverwritePayload(payload, selectorPred(coll, sel)))
       case WDeletePayload(keys, sel) =>
         Seq(UpdateOp.DeletePayloadKeys(keys, selectorPred(coll, sel)))

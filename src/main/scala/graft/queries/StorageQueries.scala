@@ -108,6 +108,66 @@ object StorageQueries {
           get_json_object(col("payload"), "$.flag").as("flag"))
         .orderBy(col("id"))
     }),
+    // Nested-payload mutation round-trip (the r9 corruption class): payload
+    // carries nested objects, arrays and numbers through set_payload
+    // (top-level merge + `key`-path merge, `SetPayloadOp.key`,
+    // `payload_ops.rs:64-75`) → delete_payload with nested JsonPaths →
+    // a compiled NESTED filter (`json_path/mod.rs:344-439` semantics).
+    // Value TYPES must survive every step: `$.meta.n_chars` stays a JSON
+    // number, `$.tags` stays an array, `$.meta` stays an object.
+    "set_payload_nested" -> ((s, dir) => {
+      val path = "/tmp/graft_runtime/spn_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+      val pts = d.select(col("doc_id").as("id"),
+        to_json(struct(
+          col("lang"),
+          struct(col("n_chars"), col("source")).as("meta"),
+          array(col("lang"), col("source")).as("tags"))).as("payload"))
+      val coll = Collection.create(s, path,
+        CollectionConfig(idCol = "id", payloadCol = "payload"), pts)
+      // top-level merge adding a string AND a number
+      coll.setPayload("""{"flag":"hot","rank":7}""",
+        get_json_object(col("payload"), "$.meta.n_chars").cast("long") >= 300)
+      // key-path merge INTO the nested object
+      coll.setPayload("""{"grade":"a"}""", col("id") < 50, Some("meta"))
+      // nested JsonPath deletes: a nested key and a whole array's elements
+      coll.deletePayloadKeys(Seq("meta.source", "tags[]"), col("id") < 20)
+      val df = coll.read()
+      val pred = new graft.filters.FilterCompiler(coll.resolver(df)).compile(
+        Filter.mustAll(
+          MatchValue("meta.grade", "a"),
+          RangeCond("meta.n_chars", gte = Some(300L))))
+      df.select(col("id"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.meta.n_chars").cast("long").as("n_chars"),
+          get_json_object(col("payload"), "$.meta.grade").as("grade"),
+          get_json_object(col("payload"), "$.meta.source").as("src"),
+          get_json_object(col("payload"), "$.flag").as("flag"),
+          get_json_object(col("payload"), "$.rank").cast("long").as("rank"),
+          get_json_object(col("payload"), "$.tags[1]").as("tag1"),
+          coalesce(pred, lit(false)).as("hot_graded"))
+        .orderBy(col("id"))
+    }),
+    // Facet over an ARRAY payload field after the same nested mutations,
+    // filtered by the key-path-merged nested key — arrays must still fan
+    // out per element and the nested filter must still type-match.
+    "set_payload_nested_facet" -> ((s, dir) => {
+      val path = "/tmp/graft_runtime/spnf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+      val pts = d.select(col("doc_id").as("id"),
+        to_json(struct(
+          col("lang"),
+          struct(col("n_chars"), col("source")).as("meta"),
+          array(col("lang"), col("source")).as("tags"))).as("payload"))
+      val coll = Collection.create(s, path,
+        CollectionConfig(idCol = "id", payloadCol = "payload"), pts)
+      coll.setPayload("""{"grade":"a"}""", col("id") < 50, Some("meta"))
+      coll.deletePayloadKeys(Seq("tags[]"), col("id") < 20)
+      val df = coll.read()
+      graft.ops.Reads.facet(df, "id", "tags",
+        Some(Filter.mustAll(MatchValue("meta.grade", "a"))),
+        coll.resolver(df), limit = 20)
+    }),
     // Ordered heterogeneous batch (points/batch analog): five mixed ops
     // folded into ONE atomic table write; op order is observable (the final
     // upsert re-creates payloads whose source key an earlier op deleted).
@@ -229,6 +289,25 @@ object StorageQueries {
         |  n_chars::BIGINT AS n_chars,
         |  CASE WHEN n_chars >= 300 THEN 'hot' END AS flag
         |FROM m3 ORDER BY id""".stripMargin,
+    "set_payload_nested" ->
+      """WITH seed AS (SELECT doc_id AS id, lang, source, n_chars
+        |              FROM documents WHERE doc_id < 100)
+        |SELECT id, lang, n_chars::BIGINT AS n_chars,
+        |  CASE WHEN id < 50 THEN 'a' END AS grade,
+        |  CASE WHEN id < 20 THEN NULL ELSE source END AS src,
+        |  CASE WHEN n_chars >= 300 THEN 'hot' END AS flag,
+        |  (CASE WHEN n_chars >= 300 THEN 7 END)::BIGINT AS rank,
+        |  CASE WHEN id < 20 THEN NULL ELSE source END AS tag1,
+        |  (id < 50 AND n_chars >= 300) AS hot_graded
+        |FROM seed ORDER BY id""".stripMargin,
+    "set_payload_nested_facet" ->
+      """WITH seed AS (SELECT doc_id AS id, lang, source
+        |              FROM documents WHERE doc_id >= 20 AND doc_id < 50),
+        |vals AS (SELECT id, lang AS value FROM seed
+        |         UNION ALL SELECT id, source FROM seed)
+        |SELECT value, count(DISTINCT id)::BIGINT AS cnt
+        |FROM vals GROUP BY value
+        |ORDER BY cnt DESC, value ASC LIMIT 20""".stripMargin,
     "batch_update_ops" ->
       """WITH seed AS (SELECT doc_id AS id, lang, source, n_chars
         |              FROM documents WHERE doc_id < 150),

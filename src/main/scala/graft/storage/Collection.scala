@@ -132,9 +132,11 @@ final class Collection(
 
   /** Merge JSON keys into payload for points selected by ids or filter
     * (qdrant set_payload, `lib/shard/src/operations/payload_ops.rs:16-27`).
-    * Shallow merge: top-level keys of `patch` overwrite. */
-  def setPayload(patch: String, target: Column): Unit =
-    applyBatch(Seq(UpdateOp.SetPayload(patch, target)))
+    * Top-level keys of `patch` overwrite (type-preserving; a null patch
+    * value deletes the key — `merge_map`); with `key` the patch applies AT
+    * that JsonPath (`SetPayloadOp.key`, `JsonPath::value_set`). */
+  def setPayload(patch: String, target: Column, key: Option[String] = None): Unit =
+    applyBatch(Seq(UpdateOp.SetPayload(patch, target, key)))
 
   /** Replace the whole payload (`payload_ops.rs` overwrite). */
   def overwritePayload(payload: String, target: Column): Unit =
@@ -217,16 +219,15 @@ final class Collection(
       cur.filter(!col(config.idCol).isin(ids: _*))
     case UpdateOp.DeleteByFilter(filter) =>
       cur.filter(!coalesce(pred(cur, filter), lit(false)))
-    case UpdateOp.SetPayload(patch, target) =>
-      mapPayload(cur, target, p =>
-        to_json(map_concat(
-          map_filter(fromJsonMap(p), (k, _) => !k.isin(topKeys(patch): _*)),
-          fromJsonMap(lit(patch)))))
+    case UpdateOp.SetPayload(patch, target, key) =>
+      // type-preserving jackson merge (PayloadMutate) — the earlier
+      // map<string,string> round-trip stringified nested/array/number
+      // values on every touched row
+      mapPayload(cur, target, p => graft.filters.PayloadMutate.setCol(p, patch, key))
     case UpdateOp.OverwritePayload(payload, target) =>
       mapPayload(cur, target, _ => lit(payload))
     case UpdateOp.DeletePayloadKeys(keys, target) =>
-      mapPayload(cur, target, p =>
-        to_json(map_filter(fromJsonMap(p), (k, _) => !k.isin(keys: _*))))
+      mapPayload(cur, target, p => graft.filters.PayloadMutate.deleteCol(p, keys))
     case UpdateOp.ClearPayload(target) =>
       mapPayload(cur, target, _ => lit(null))
     case UpdateOp.UpdateVector(name, newVec, target) =>
@@ -681,18 +682,6 @@ final class Collection(
   /** Drop a payload index column (`update_api.rs:407`). */
   def dropPayloadIndex(key: String): Unit =
     write(read().drop(s"idx_$key"))
-
-  private def fromJsonMap(c: Column): Column =
-    coalesce(
-      from_json(c, org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
-      map())
-
-  private def topKeys(json: String): Seq[String] = {
-    // top-level keys of a flat JSON object literal (driver-side parse)
-    val m = new scala.util.matching.Regex("\"([^\"]+)\"\\s*:")
-    m.findAllMatchIn(json).map(_.group(1)).toSeq
-  }
 
   private def mapPayload(cur: DataFrame, target: Column, f: Column => Column): DataFrame = {
     val p = col(config.payloadCol)

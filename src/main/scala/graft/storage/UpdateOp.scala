@@ -21,9 +21,13 @@ object UpdateOp {
   final case class UpsertConditional(points: DataFrame, filter: Filter) extends UpdateOp
   final case class DeleteIds(ids: Seq[Any]) extends UpdateOp
   final case class DeleteByFilter(filter: Filter) extends UpdateOp
-  /** Shallow-merge JSON patch into the payload of rows matching `target`. */
-  final case class SetPayload(patch: String, target: Column) extends UpdateOp
+  /** Merge JSON patch into the payload of rows matching `target` —
+    * type-preserving, at the optional `key` JsonPath (`SetPayloadOp.key`,
+    * `payload_ops.rs:64-75`); `None` = top-level merge. */
+  final case class SetPayload(patch: String, target: Column,
+      key: Option[String] = None) extends UpdateOp
   final case class OverwritePayload(payload: String, target: Column) extends UpdateOp
+  /** Drop keys (full JsonPaths — nested `a.b`, `a[]`) from the payload. */
   final case class DeletePayloadKeys(keys: Seq[String], target: Column) extends UpdateOp
   final case class ClearPayload(target: Column) extends UpdateOp
   final case class UpdateVector(name: String, newVec: Column, target: Column) extends UpdateOp

@@ -272,17 +272,23 @@ class CodecSpec extends AnyFunSuite {
     val WDelete(Selector(None, Some(df))) = ops(3): @unchecked
     assert(df.must == Seq(MatchValue("lang", "de")))
     assert(ops(4) == WSetPayload("""{"flag":"x"}""", Selector(Some(Seq(3L)), None), overwrite = false))
-    val WSetPayload(ow, Selector(None, Some(owf)), true) = ops(5): @unchecked
+    val WSetPayload(ow, Selector(None, Some(owf)), true, None) = ops(5): @unchecked
     assert(ow == """{"only":true}""" && owf.must == Seq(HasId(Seq(4L))))
     assert(ops(6) == WDeletePayload(Seq("source"), Selector(Some(Seq(5L)), None)))
     assert(ops(7) == WClearPayload(Selector(Some(Seq(6L)), None)))
     assert(ops(8) == WUpdateVectors(Seq(WirePoint(7L, Map("" -> WDenseVec(Seq(9.0))), None))))
     assert(ops(9) == WDeleteVectors(Selector(Some(Seq(8L)), None), Seq("img")))
-    // path-scoped payload merge is unsupported and must fail loudly
-    assertThrows[IllegalArgumentException] {
-      RequestCodec.parseUpdateOperations(
-        """{"operations": [{"set_payload": {"payload": {}, "points": [1], "key": "nested.path"}}]}""")
-    }
+    // path-scoped payload merge parses (`SetPayloadOp.key`); overwrite
+    // ignores the key like the reference (`update/mod.rs:167-178`)
+    val keyed = RequestCodec.parseUpdateOperations(
+      """{"operations": [
+        |  {"set_payload": {"payload": {"a": 1}, "points": [1], "key": "nested.path"}},
+        |  {"overwrite_payload": {"payload": {"a": 1}, "points": [1], "key": "nested.path"}}
+        |]}""".stripMargin)
+    assert(keyed(0) == WSetPayload("""{"a":1}""",
+      Selector(Some(Seq(1L)), None), overwrite = false, key = Some("nested.path")))
+    assert(keyed(1) == WSetPayload("""{"a":1}""",
+      Selector(Some(Seq(1L)), None), overwrite = true, key = None))
   }
 
   test("sparse wire input: unsorted indices canonicalize, duplicates rejected") {

@@ -87,6 +87,75 @@ class StoreSpec extends SparkTestBase {
     assert(c.read().filter(col("id") === 3L).select("payload").head.isNullAt(0))
   }
 
+  test("set_payload preserves nested/array/number value types (r9 corruption repro)") {
+    import spark.implicits._
+    val c = Collection.create(spark, tmpDir(),
+      CollectionConfig(idCol = "id", payloadCol = "payload"),
+      Seq((1L, """{"a":{"b":1},"c":2,"tags":["x","y"]}"""))
+        .toDF("id", "payload"))
+    // ANY set_payload touching the row must keep non-string values typed
+    c.setPayload("""{"flag":"hot"}""", col("id") === 1L)
+    val p = c.read().select("payload").head.getString(0)
+    // nested object survives as an object, not a quoted string
+    assert(c.read().select(get_json_object(col("payload"), "$.a.b")).head.getString(0) == "1", p)
+    assert(c.read().select(get_json_object(col("payload"), "$.c")).head.getString(0) == "2", p)
+    assert(c.read().select(get_json_object(col("payload"), "$.tags[1]")).head.getString(0) == "y", p)
+    assert(!p.contains("\\\""), s"stringified nested JSON leaked: $p")
+    // array-valued Match still matches after the mutation
+    val pred = new graft.filters.FilterCompiler(c.resolver(c.read()))
+      .compile(Filter.mustAll(MatchValue("tags", "x")))
+    assert(c.read().filter(pred).count() == 1)
+    // a patch whose value is an object must not delete an unrelated
+    // top-level key sharing a NESTED key name (r9 topKeys over-match)
+    c.setPayload("""{"z":{"c":9}}""", col("id") === 1L)
+    assert(c.read().select(get_json_object(col("payload"), "$.c")).head.getString(0) == "2")
+    assert(c.read().select(get_json_object(col("payload"), "$.z.c")).head.getString(0) == "9")
+    // merge_map: explicit null in the patch DELETES the key
+    c.setPayload("""{"flag":null}""", col("id") === 1L)
+    assert(c.read().select(get_json_object(col("payload"), "$.flag")).head.isNullAt(0))
+    // nested delete: full JsonPath keys
+    c.deletePayloadKeys(Seq("a.b", "tags[]"), col("id") === 1L)
+    assert(c.read().select(get_json_object(col("payload"), "$.a.b")).head.isNullAt(0))
+    assert(c.read().select(get_json_object(col("payload"), "$.a")).head.getString(0) == "{}")
+    assert(c.read().select(get_json_object(col("payload"), "$.tags")).head.getString(0) == "[]")
+  }
+
+  test("set_payload key path: reference test_payload_operations.py sequence") {
+    import spark.implicits._
+    val c = Collection.create(spark, tmpDir(),
+      CollectionConfig(idCol = "id", payloadCol = "payload"),
+      Seq(
+        (1L, """{"key6":{"subkey":"xxx","arraykey":[{"a1":{"a1k":"xxx"}},{"a2":{"a2k":"xxx"}}],"subkey2":{"subkey3":"xxx"}}}"""),
+        (9L, "{}")).toDF("id", "payload"))
+    def g(id: Long, path: String): String = {
+      val r = c.read().filter(col("id") === id)
+        .select(get_json_object(col("payload"), path)).head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // top-level key target
+    c.setPayload("""{"subkey":"yyy"}""", col("id") === 1L, Some("key6"))
+    assert(g(1L, "$.key6.subkey") == "yyy")
+    // nested key target
+    c.setPayload("""{"subkey3":"yyy"}""", col("id") === 1L, Some("key6.subkey2"))
+    assert(g(1L, "$.key6.subkey2.subkey3") == "yyy")
+    // array index target
+    c.setPayload("""{"a1k":"yyy"}""", col("id") === 1L, Some("key6.arraykey[0].a1"))
+    assert(g(1L, "$.key6.arraykey[0].a1.a1k") == "yyy")
+    assert(g(1L, "$.key6.arraykey[1].a2.a2k") == "xxx")
+    // wildcard array target
+    c.setPayload("""{"a2k":"yyy"}""", col("id") === 1L, Some("key6.arraykey[].a2"))
+    assert(g(1L, "$.key6.arraykey[1].a2.a2k") == "yyy")
+    // non-existent key path creates intermediate objects
+    c.setPayload("""{"key":"xxx"}""", col("id") === 1L, Some("key6.subkey7"))
+    assert(g(1L, "$.key6.subkey7.key") == "xxx")
+    // idempotence: same key-path set twice yields the same payload
+    c.setPayload("""{"key":"xxx"}""", col("id") === 9L, Some("key"))
+    val once = c.read().filter(col("id") === 9L).select("payload").head.getString(0)
+    c.setPayload("""{"key":"xxx"}""", col("id") === 9L, Some("key"))
+    val twice = c.read().filter(col("id") === 9L).select("payload").head.getString(0)
+    assert(once == twice && g(9L, "$.key.key") == "xxx")
+  }
+
   test("update and delete named vector") {
     val c = mk(tmpDir())
     c.updateVector("", typedLit(Seq(7f, 7f, 7f, 7f)), col("id") === 1L)
