@@ -177,21 +177,30 @@ object PointQuery {
               // the order value does NOT enter DBSF.
               Fusion.Source(df.select(col(idCol), lit(1.0d).as("score")))
             case OrderByField(field, asc, _) =>
-              // RRF is position-based: rank the scroll leaf by its order
-              // value in the leaf's own sort direction, reproducing the
-              // scroll's list order (the reference scores by list position).
+              // RRF is position-based: rank the scroll leaf by its LIST
+              // POSITION (row_number over the leaf's own sort order) — the
+              // reference scores by position in the returned page. A value
+              // cast would break on non-numeric order fields; position is
+              // type-agnostic. The window is single-partition over ≤ limit
+              // rows — the leaf page, not the table.
+              val ord = Seq(
+                if (asc) col(field).asc_nulls_last else col(field).desc_nulls_last,
+                col(idCol).asc)
               Fusion.Source(df.select(col(idCol),
-                col(field).cast("double").as("score")), largerBetter = !asc)
+                row_number().over(Window.orderBy(ord: _*)).cast("double").as("score")),
+                largerBetter = false)
             case Nearest(_, m, _) => Fusion.Source(df, m.largerBetter)
             case ScrollById if kind == "dbsf" =>
               // scroll results carry constant score 1.0 (`scroll.rs:131`)
               Fusion.Source(df.select(col(idCol), lit(1.0d).as("score")))
             case ScrollById =>
-              // RRF is position-based: a no-query scroll lists in id asc
-              // order (numeric ids; a UUID scroll leaf under RRF would rank
-              // by string-cast order, same as its scroll order)
+              // RRF: list position over the scroll's id order — works for
+              // Long AND UUID-string ids (a string id cast to double is
+              // NULL for every row; position never is)
               Fusion.Source(df.select(col(idCol),
-                col(idCol).cast("double").as("score")), largerBetter = false)
+                row_number().over(Window.orderBy(col(idCol).asc))
+                  .cast("double").as("score")),
+                largerBetter = false)
             case _ => Fusion.Source(df)
           }
         }

@@ -296,6 +296,44 @@ object IndexQueries {
         Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
         "vec_id", k = 10, minRequired = 9)
     }),
+    // `rescore=false` on a BINARY collection: the served score must be
+    // METRIC-oriented (reference `calculate_metric`: dot ≈ dim − 2·h,
+    // larger-better), not the raw hamming distance — and a metric-space
+    // scoreThreshold must act on that converted score, not inverted.
+    "quantized_binary_norescore" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      val cfg = RequestCodec.parseCollectionConfig(
+        """{"vectors": {"size": 64, "distance": "Dot",
+          |  "quantization_config": {"binary": {"encoding": "two_bits"}}}}""".stripMargin,
+        idCol = "vec_id")
+      val path = "/tmp/graft_runtime/qcoll_bin2_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = quantCollections.computeIfAbsent(path, { _ =>
+        graft.storage.Collection.create(s, path, cfg,
+          emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+      })
+      val served = coll.knn("", v7(s, dir), k = 10, oversampling = 4.0,
+        rescore = false).collect()
+      val scores = served.map(_.getDouble(1))
+      // larger-better order, bounded by the ±dim envelope of dim − 2·h
+      val orientedOk = scores.nonEmpty &&
+        scores.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)) &&
+        scores.forall(v => v <= 2 * 64.0 && v >= -2 * 64.0)
+      // metric-space threshold: strict >, keeps exactly the strictly-better
+      // prefix of the same ranking
+      val t = scores(scores.length / 2)
+      val thresholded = coll.knn("", v7(s, dir), k = 10, oversampling = 4.0,
+        rescore = false, scoreThreshold = Some(t)).collect()
+      val thresholdOk = thresholded.map(_.getDouble(1)).forall(_ > t) &&
+        thresholded.map(_.get(0)).toSeq ==
+          served.filter(_.getDouble(1) > t).map(_.get(0)).toSeq
+      val exact = Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir),
+        Dot, k = 10).select("vec_id").collect().map(_.getLong(0)).toSet
+      val found = served.map(_.getLong(0)).count(exact.contains)
+      import s.implicits._
+      Seq((10, 5, found >= 5, orientedOk, thresholdOk))
+        .toDF("k", "min_required", "recall_ok", "oriented_ok", "threshold_ok")
+    }),
     "quantized_pq_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
       val p = pqParams(s, dir)
@@ -759,6 +797,9 @@ object IndexQueries {
       "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
     "quantized_pq_rescore" ->
       "SELECT 10 AS k, 6 AS min_required, true AS recall_ok",
+    "quantized_binary_norescore" ->
+      """SELECT 10 AS k, 5 AS min_required, true AS recall_ok,
+        |  true AS oriented_ok, true AS threshold_ok""".stripMargin,
     "retrieve_by_ids" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE vec_id IN (3, 5, 8, 13, 21, 34) ORDER BY vec_id ASC""".stripMargin,

@@ -88,6 +88,54 @@ object SparseQueries {
       val (qi, qv) = sparseQ(s, dir, 7L)
       sparseColl(s, dir).knnSparse("txtidf", qi, qv, k = 10)
     }),
+    // IDF N-scoping parity (`IdfScopeStats.indexed_vectors`,
+    // `query_context.rs:283-289`): N counts points that HAVE the sparse
+    // vector, not the collection row count — pinned on a collection where
+    // every 5th point lacks the sparse cell. Also exercises the persisted
+    // `_sparse_idf.json` ingest-time stats (warm path: zero Spark jobs).
+    "sparse_idf_partial" -> ((s, dir) => {
+      import graft.sources.{CollectionConfig, SparseVectorConfig}
+      val path = "/tmp/graft_runtime/sparse_partial_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = CollectionConfig(idCol = "vec_id",
+        sparse = Seq(SparseVectorConfig("txt", modifier = Some("idf"))))
+      val e = Tables.load(s, dir, "embeddings")
+      val coll = graft.storage.Collection.create(s, path, cfg,
+        e.select(col("vec_id"),
+          when(col("vec_id") % 5 =!= 0, sparseFromDense(col("embedding")))
+            .as("sparse_txt")))
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      coll.knnSparse("txt", qi, qv, k = 10)
+    }),
+    // IDF inside the prefetch DAG (`query_context.rs` remaps idf weights
+    // for EVERY sparse scoring context, not just bare roots): the canonical
+    // hybrid dense + sparse → RRF through `Collection.query`, with the
+    // sparse prefetch on the `modifier: idf` space — the sparse leaf's
+    // ranking (and so the fused order) must reflect the IDF weighting.
+    "collection_query_hybrid_idf" -> ((s, dir) => {
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      val dense = Tables.embeddingOf(s, dir, 7L)
+      sparseColl(s, dir).query(
+        s"""{
+           |  "prefetch": [
+           |    {"query": {"nearest": [${dense.mkString(",")}]}, "limit": 20},
+           |    {"query": {"nearest": {"indices": ${qi.mkString("[", ",", "]")},
+           |      "values": ${qv.mkString("[", ",", "]")}}},
+           |      "using": "txtidf", "limit": 20}
+           |  ],
+           |  "query": {"rrf": {}},
+           |  "limit": 10
+           |}""".stripMargin)
+    }),
+    // Sparse root offset through the one-call handler: the fast path must
+    // page like the generic executor (`skip(offset).take(limit)`).
+    "api_query_sparse_offset" -> ((s, dir) => {
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      sparseColl(s, dir).query(
+        s"""{"query": {"indices": ${qi.mkString("[", ",", "]")},
+           |  "values": ${qv.mkString("[", ",", "]")}},
+           |  "using": "txt", "limit": 5, "offset": 3}""".stripMargin)
+    }),
     // Collection created FROM the wire config (`PUT /collections/{c}`
     // body): the parsed dense + sparse(+idf-modifier) schema routes
     // knnSparse exactly like a hand-built CollectionConfig — same oracle
@@ -453,6 +501,65 @@ object SparseQueries {
         |WHERE len(list_filter(range(1, 65), i ->
         |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sparse_idf_partial" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |base AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        |         WHERE vec_id % 5 <> 0),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM base),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |dfs AS (SELECT d.dim AS dim,
+        |          (SELECT count(*) FROM base b
+        |           WHERE b.ev[d.dim] > 0.25)::DOUBLE AS df
+        |        FROM dims d),
+        |idf AS (SELECT list(ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |          ORDER BY f.dim) AS l FROM dfs f, n GROUP BY n.n)
+        |SELECT b.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN b.ev[i] > 0.25 AND q.v[i] > 0.25
+        |         THEN b.ev[i] * (q.v[i] * idf.l[i]) ELSE 0.0 END)), 6) AS score
+        |FROM base b, q, idf
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    b.ev[i] > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "collection_query_hybrid_idf" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |dfs AS (SELECT d.dim AS dim,
+        |          (SELECT count(*) FROM embeddings e
+        |           WHERE e.embedding[d.dim]::DOUBLE > 0.25)::DOUBLE AS df
+        |        FROM dims d),
+        |idf AS (SELECT list(ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |          ORDER BY f.dim) AS l FROM dfs f, n GROUP BY n.n),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS s
+        |      FROM embeddings e, q
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_sum(list_transform(range(1, 65), i ->
+        |          CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |               THEN e.embedding[i]::DOUBLE * (q.v[i] * idf.l[i])
+        |               ELSE 0.0 END)), 6) AS s
+        |      FROM embeddings e, q, idf
+        |      WHERE len(list_filter(range(1, 65), i ->
+        |          e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
+        |u AS (SELECT vec_id, 1.0/(pos + 1.0) AS c FROM ar
+        |      UNION ALL SELECT vec_id, 1.0/(pos + 1.0) AS c FROM br)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_query_sparse_offset" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * q.v[i] ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 5 OFFSET 3""".stripMargin,
     "sparse_update_ops" ->
       """SELECT vec_id, round(score, 6) AS score FROM (
         |  SELECT vec_id,

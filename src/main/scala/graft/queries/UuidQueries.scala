@@ -79,6 +79,24 @@ object UuidQueries {
         new TypedResolver(d.schema, "id"),
         offsetId = Some("8"), limit = 25, projection = Seq("id", "lang"))
     }),
+    // UUID scroll leaf under RRF: the scroll's fusion contribution is LIST
+    // POSITION (row_number over the leaf's own id order) — a uuid string
+    // cast to double is NULL for every row, so value-based rank surrogates
+    // cannot order this leaf; position can (`scroll.rs:131` + the
+    // position-based `reciprocal_rank_fusion.rs`).
+    "prefetch_rrf_uuid_scroll" -> ((s, dir) => {
+      import graft.ops.PointQuery
+      import graft.ops.PointQuery._
+      val df = embUuid(s, dir)
+      val q = Tables.embeddingOf(s, dir, 7L)
+      val query = Query(
+        scoring = FusionQ("rrf"),
+        prefetches = Seq(
+          Query(Nearest("embedding", Dot, q), limit = 15),
+          Query(ScrollById, limit = 15)),
+        limit = 10)
+      PointQuery.execute(s, df, "id", new TypedResolver(df.schema, "id"), query)
+    }),
     "retrieve_uuid" -> ((s, dir) =>
       Reads.retrieve(docsUuid(s, dir), "id",
         Seq(uuidOfLong(3L), uuidOfLong(5L), uuidOfLong(8L)),
@@ -104,6 +122,18 @@ object UuidQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "prefetch_rrf_uuid_scroll" ->
+      s"""WITH ids AS (SELECT ${uuidSql("vec_id")} AS id, embedding FROM embeddings),
+        |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |a AS (SELECT i.id, round(list_dot_product(i.embedding::DOUBLE[], q.v), 6) AS s
+        |      FROM ids i, q ORDER BY s DESC, id ASC LIMIT 15),
+        |ar AS (SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS pos FROM a),
+        |b AS (SELECT id FROM ids ORDER BY id ASC LIMIT 15),
+        |br AS (SELECT id, row_number() OVER (ORDER BY id ASC) AS pos FROM b),
+        |u AS (SELECT id, 1.0/(pos + 1.0) AS c FROM ar
+        |      UNION ALL SELECT id, 1.0/(pos + 1.0) AS c FROM br)
+        |SELECT id, round(sum(c), 6) AS score FROM u GROUP BY id
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
     "knn_filtered_uuid" ->
       s"""WITH u AS (SELECT ${uuidSql("vec_id")} AS id, embedding, label, vec_id
         |           FROM embeddings),

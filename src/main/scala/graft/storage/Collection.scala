@@ -101,6 +101,10 @@ final class Collection(
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // ingest-time statistics ride each write (the reference maintains
+    // IdfScopeStats incrementally in its index)
+    sparseIdfCache = None
+    refreshSparseIdfStats()
     ()
   }
 
@@ -303,9 +307,27 @@ final class Collection(
             s"quantization declared for '$vectorName' but no fitted params at $quantParamsPath"))
         val (approxScore, approxLargerBetter) =
           Collection.quantApproxScore(spec, qp, col(qc), query, vc.metric)
-        if (!rescore)
-          graft.ops.Search.scoredTopK(df, config.idCol, approxScore,
-            approxLargerBetter, pred, k, offset, scoreThreshold)
+        if (!rescore) {
+          // Served approx scores must be METRIC-oriented (the reference
+          // converts quantized scores via `calculate_metric` before
+          // serving): a raw hamming distance is smaller-better, so a
+          // metric-space scoreThreshold would apply inverted. The one_bit
+          // ±1 mapping gives dot ≈ dim − 2·h, ‖a−b‖₂ ≈ 2√h, ‖a−b‖₁ ≈ 2h —
+          // order-preserving per metric, so the ranking is unchanged;
+          // only the served value and the threshold space change.
+          val (served, servedLb) =
+            if (spec.kind == "binary") {
+              import graft.model._
+              vc.metric match {
+                case Dot | Cosine =>
+                  ((lit(vc.dim.toDouble) - lit(2.0) * approxScore), true)
+                case Euclid => (lit(2.0) * sqrt(approxScore), false)
+                case Manhattan => (lit(2.0) * approxScore, false)
+              }
+            } else (approxScore, approxLargerBetter)
+          graft.ops.Search.scoredTopK(df, config.idCol, served,
+            servedLb, pred, k, offset, scoreThreshold)
+        }
         else {
           val approxK = math.max(k + offset, ((k + offset) * oversampling).toInt)
           val approx = graft.ops.Search.scoredTopK(df, config.idCol,
@@ -329,14 +351,19 @@ final class Collection(
     * (`SparseVectorDataConfig`, `types.rs:2275`) the QUERY weights are
     * multiplied by `ln((N − df + 0.5)/(df + 0.5) + 1)` with N and df over
     * this collection (`query_context.rs:278-300`); stored weights stay
-    * raw. The df lookup aggregates only the queried dims (one bounded
-    * job, |q| rows collected). */
+    * raw. N and per-dim df are ingest-time statistics persisted beside the
+    * table (`_sparse_idf.json`, refreshed on every write — the reference
+    * precomputes them in `IdfScopeStats`, `query_context.rs:278-300`); the
+    * warm path loads the artifact with NO Spark jobs, and N counts only
+    * points that HAVE the sparse vector (`indexed_vectors`, not the row
+    * count). */
   def knnSparse(
       name: String,
       qIndices: Seq[Int],
       qValues: Seq[Double],
       filter: Option[Filter] = None,
       k: Int = 10,
+      offset: Int = 0,
       scoreThreshold: Option[Double] = None): DataFrame = {
     val sc = config.sparse.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown sparse vector '$name'"))
@@ -356,24 +383,27 @@ final class Collection(
     val df = read()
     val c = config.sparseCol(name)
     val qv =
-      if (sc.modifier.contains("idf")) {
-        val n = df.count().toDouble
-        val dfs = df.select(explode(col(s"$c.indices")).as("dim"))
-          .filter(col("dim").isin(qIdx: _*))
-          .groupBy(col("dim")).agg(count(lit(1)).as("df"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
-        qIdx.zip(qVal0).map { case (i, w) =>
-          val d = dfs.getOrElse(i, 0.0)
-          w * math.log((n - d + 0.5) / (d + 0.5) + 1.0)
-        }
-      } else qVal0
+      if (sc.modifier.contains("idf")) idfWeights(name, qIdx, qVal0) else qVal0
     val score = graft.functions.VectorFunctions.sparseDot(
       col(s"$c.indices"), col(s"$c.values"), qIdx, qv)
     val pred = filter.map(f => new FilterCompiler(resolver(df)).compile(f))
     val overlap = arrays_overlap(col(s"$c.indices"), typedLit(qIdx))
     graft.ops.Search.scoredTopK(df, config.idCol, score, largerBetter = true,
-      Some(pred.fold(overlap)(_ && overlap)), k,
+      Some(pred.fold(overlap)(_ && overlap)), k, offset,
       scoreThreshold = scoreThreshold)
+  }
+
+  /** IDF-weighted query values for a sparse vector:
+    * `w · ln((N − df + 0.5)/(df + 0.5) + 1)` with N = points that HAVE the
+    * sparse vector and df = per-dim point counts, both from the persisted
+    * ingest-time statistics ([[sparseIdfStats]]). */
+  private[graft] def idfWeights(
+      name: String, qIdx: Seq[Int], qVal: Seq[Double]): Seq[Double] = {
+    val (n, dfs) = sparseIdfStats(name)
+    qIdx.zip(qVal).map { case (i, w) =>
+      val d = dfs.getOrElse(i, 0L).toDouble
+      w * math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+    }
   }
 
   /** Config-routed multivector nearest-k: MaxSim (the reference's only
@@ -472,10 +502,27 @@ final class Collection(
       case (PointQuery.SparseStructQ(scol, qi, qv), Nil) =>
         val name = config.sparse
           .find(sc => config.sparseCol(sc.name) == scol).get.name
-        knnSparse(name, qi, qv, q.filter, q.limit, q.scoreThreshold)
+        knnSparse(name, qi, qv, q.filter, q.limit, q.offset, q.scoreThreshold)
       case _ =>
+        // The IDF modifier applies in EVERY sparse scoring context — root,
+        // prefetch leaves, rescore parents (`query_context.rs` remaps idf
+        // weights for the whole request) — so the declared modifier folds
+        // into the query weights BEFORE the DAG executes; stored weights
+        // stay raw. (The bare-sparse fast path above weights inside
+        // knnSparse instead.)
+        val idfCols = config.sparse.filter(_.modifier.contains("idf"))
+          .map(sc => config.sparseCol(sc.name) -> sc.name).toMap
+        def applyIdf(node: PointQuery.Query): PointQuery.Query = {
+          val scoring = node.scoring match {
+            case PointQuery.SparseStructQ(sc2, qi2, qv2) if idfCols.contains(sc2) =>
+              PointQuery.SparseStructQ(sc2, qi2, idfWeights(idfCols(sc2), qi2, qv2))
+            case other => other
+          }
+          node.copy(scoring = scoring, prefetches = node.prefetches.map(applyIdf))
+        }
+        val qw = if (idfCols.isEmpty) q else applyIdf(q)
         val df = readDecoded()
-        graft.ops.PointQuery.execute(spark, df, config.idCol, resolver(df), q)
+        graft.ops.PointQuery.execute(spark, df, config.idCol, resolver(df), qw)
     }
   }
 
@@ -559,6 +606,74 @@ final class Collection(
 
   private def metadataPath =
     new org.apache.hadoop.fs.Path(path + "_metadata.json")
+
+  // ------------------------------------------------------- sparse IDF stats
+
+  private[graft] def sparseIdfPath =
+    new org.apache.hadoop.fs.Path(path + "_sparse_idf.json")
+
+  /** Cached per-name (N, per-dim df); invalidated by [[write]]. */
+  @transient private var sparseIdfCache: Option[Map[String, (Long, Map[Int, Long])]] = None
+
+  /** Ingest-time IDF statistics for a sparse vector: (N = count of points
+    * with a non-null sparse cell — the reference's `indexed_vectors`,
+    * `query_context.rs:283-289` — and per-dim document frequencies).
+    * Loaded from the `_sparse_idf.json` artifact written at create/write
+    * (NO Spark job on the warm path); computed once and persisted when the
+    * artifact is missing (e.g. the idf modifier was PATCHed in after
+    * ingest). Scale note: the df map is vocabulary-sized — bounded by the
+    * token space (BM25 vocabularies are 10⁴–10⁵ dims), not the row count,
+    * so the sidecar stays small however large the table. */
+  private[graft] def sparseIdfStats(name: String): (Long, Map[Int, Long]) = {
+    val cached = sparseIdfCache.orElse {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(sparseIdfPath)) None
+      else {
+        val in = fs.open(sparseIdfPath)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        val m = Collection.parseSparseIdfJson(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        sparseIdfCache = Some(m)
+        Some(m)
+      }
+    }
+    cached.flatMap(_.get(name)).getOrElse {
+      val m = computeSparseIdfStats(read(), Seq(name))
+      writeSparseIdfStats(cached.getOrElse(Map.empty) ++ m)
+      m(name)
+    }
+  }
+
+  /** One aggregation pass per sparse column: non-null count + exploded
+    * per-dim counts (map-side combine on the dim key). */
+  private def computeSparseIdfStats(
+      df: DataFrame, names: Seq[String]): Map[String, (Long, Map[Int, Long])] =
+    names.filter(n => df.columns.contains(config.sparseCol(n))).map { n =>
+      val c = config.sparseCol(n)
+      val nonNull = df.filter(col(c).isNotNull)
+      val total = nonNull.count()
+      val dfs = nonNull.select(explode(col(s"$c.indices")).as("dim"))
+        .groupBy(col("dim")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      n -> (total, dfs)
+    }.toMap
+
+  private[storage] def writeSparseIdfStats(
+      m: Map[String, (Long, Map[Int, Long])]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sparseIdfPath, true)
+    try out.write(Collection.sparseIdfJson(m)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    sparseIdfCache = Some(m)
+  }
+
+  /** Refresh the IDF sidecar from the just-written table (called by
+    * [[write]] / create when any sparse vector declares `modifier=idf`). */
+  private[storage] def refreshSparseIdfStats(): Unit = {
+    val idfNames = config.sparse.filter(_.modifier.contains("idf")).map(_.name)
+    if (idfNames.nonEmpty) writeSparseIdfStats(computeSparseIdfStats(read(), idfNames))
+  }
 
   // ------------------------------------------------------- quantization
 
@@ -716,6 +831,7 @@ object Collection {
     config.shardKeyCol.fold(w)(k => w.partitionBy(k)).parquet(path)
     val coll = new Collection(spark, path, config)
     if (params.nonEmpty) coll.writeQuantParams(params)
+    coll.refreshSparseIdfStats()
     coll
   }
 
@@ -794,6 +910,40 @@ object Collection {
         (Quantization.hammingScore(qcol, words).cast("double"), false)
       case (k, p) =>
         throw new IllegalArgumentException(s"quantization kind/params mismatch: $k / $p")
+    }
+  }
+
+  private[storage] def sparseIdfJson(m: Map[String, (Long, Map[Int, Long])]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fields = m.toSeq.sortBy(_._1).map { case (name, (n, dfs)) =>
+      name -> (JObject(
+        "n" -> JLong(n),
+        "df" -> JObject(dfs.toSeq.sortBy(_._1)
+          .map { case (dim, c) => dim.toString -> (JLong(c): JValue) }.toList)): JValue)
+    }
+    JsonMethods.compact(JsonMethods.render(JObject(fields.toList)))
+  }
+
+  private[storage] def parseSparseIdfJson(s: String): Map[String, (Long, Map[Int, Long])] = {
+    import org.json4s._
+    def long(v: JValue): Long = v match {
+      case JInt(x) => x.toLong
+      case JLong(x) => x
+      case other => throw new IllegalArgumentException(s"bad idf count: $other")
+    }
+    org.json4s.jackson.JsonMethods.parse(s) match {
+      case JObject(fields) => fields.map {
+        case (name, o: JObject) =>
+          val dfs = (o \ "df") match {
+            case JObject(dims) => dims.map { case (d, c) => d.toInt -> long(c) }.toMap
+            case _ => Map.empty[Int, Long]
+          }
+          name -> (long(o \ "n"), dfs)
+        case (name, other) =>
+          throw new IllegalArgumentException(s"bad idf entry $name: $other")
+      }.toMap
+      case _ => Map.empty
     }
   }
 

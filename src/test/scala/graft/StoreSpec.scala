@@ -491,6 +491,61 @@ class StoreSpec extends SparkTestBase {
       (e3.getCause != null && e3.getCause.getMessage.contains("strictly increasing")))
   }
 
+  test("sparse IDF stats persist at ingest; the warm query path plans with zero Spark jobs") {
+    import spark.implicits._
+    import graft.sources.{CollectionConfig, SparseVectorConfig}
+    val path = tmpDir()
+    val cfg = CollectionConfig(idCol = "id",
+      sparse = Seq(SparseVectorConfig("txt", modifier = Some("idf"))))
+    def sp(rows: Seq[(Long, (Seq[Int], Seq[Float]))]) =
+      rows.toDF("id", "sparse_txt").select(col("id"),
+        col("sparse_txt").cast("struct<indices:array<int>,values:array<float>>"))
+    val c = Collection.create(spark, path, cfg, sp(Seq(
+      1L -> (Seq(1, 5), Seq(1f, 1f)),
+      2L -> (Seq(1), Seq(1f)),
+      3L -> (Seq(5, 9), Seq(1f, 1f)))))
+    // artifact written at create: N=3 (all non-null), df(1)=2, df(5)=2, df(9)=1
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(c.sparseIdfPath))
+    assert(c.sparseIdfStats("txt") == ((3L, Map(1 -> 2L, 5 -> 2L, 9 -> 1L))))
+    // warm path: a FRESH instance (cold cache) must build the IDF-weighted
+    // plan purely from the sidecar — no count/aggregate job at plan time
+    val warm = new Collection(spark, path, cfg)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        sites.add(Option(js.properties.getProperty("callSite.short")).getOrElse("?"))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // baseline: a bare read() plan (parquet schema inference may itself
+      // run a small footer-reading job — that is not the IDF path)
+      warm.read()
+      Thread.sleep(1500) // listener bus drain window
+      val baseline = jobs.get()
+      val plan = warm.knnSparse("txt", Seq(1, 9), Seq(1.0, 1.0), k = 2)
+      Thread.sleep(1500)
+      assert(jobs.get() == 2 * baseline,
+        s"warm IDF plan construction ran ${jobs.get() - 2 * baseline} EXTRA " +
+          s"Spark jobs beyond the scan plan (expected 0): " +
+          sites.toArray.mkString(", "))
+      // and the weights are the persisted-stats weights
+      val top = plan.collect()
+      assert(top.nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // mutations refresh the sidecar: delete point 3 → df(9) drops out
+    c.deleteByIds(Seq(3L))
+    assert(c.sparseIdfStats("txt") == ((2L, Map(1 -> 2L, 5 -> 1L))))
+    // N counts only points that HAVE the sparse vector (indexed_vectors)
+    c.upsert(sp(Seq(4L -> (null, null))).select(col("id"),
+      lit(null).cast("struct<indices:array<int>,values:array<float>>").as("sparse_txt")))
+    assert(c.sparseIdfStats("txt")._1 == 2L)
+  }
+
   test("applyBatch folds N ops into exactly ONE table rewrite") {
     import spark.implicits._
     import graft.storage.UpdateOp
