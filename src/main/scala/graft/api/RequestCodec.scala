@@ -833,11 +833,17 @@ object RequestCodec {
             case JString(e) => e
             case _ => "one_bit"
           }))
-      // product/turbo quantization configure serving-side codebook storage
-      // the batch engine doesn't persist per-collection yet — accepted and
-      // ignored, search falls back to exact (strictly more accurate)
-      case o: JObject if (o \ "product") != JNothing ||
-        (o \ "turbo") != JNothing => None
+      case o: JObject if (o \ "product") != JNothing =>
+        // `ProductQuantizationConfig` (`types.rs:987-1035`): codebooks fit
+        // at create, two-phase ADC + exact rescore by default
+        Some(graft.sources.QuantizationSpec("product",
+          compression = (o \ "product" \ "compression") match {
+            case JString(c) => c
+            case _ => "x16"
+          }))
+      // turbo quantization is serving-machinery (GPU layouts) — accepted
+      // and ignored, search falls back to exact (strictly more accurate)
+      case o: JObject if (o \ "turbo") != JNothing => None
       case other => fail(s"bad quantization config: $other")
     }
     def vp(name: String, v: JValue): VectorConfig = VectorConfig(
@@ -871,7 +877,13 @@ object RequestCodec {
       }
       case _ => Nil
     }
-    CollectionConfig(idCol = idCol, vectors = vectors, sparse = sparse)
+    val strictMode = (o \ "strict_mode_config") match {
+      case JNothing | JNull => None
+      case sm: JObject => Some(StrictMode.parse(JsonMethods.compact(JsonMethods.render(sm))))
+      case other => fail(s"bad strict_mode_config: $other")
+    }
+    CollectionConfig(idCol = idCol, vectors = vectors, sparse = sparse,
+      strictMode = strictMode)
   }
 
   /** PATCH `/collections/{c}` body (`UpdateCollection` →
@@ -901,7 +913,13 @@ object RequestCodec {
             case JString(e) => e
             case _ => "one_bit"
           })))
-      case q: JObject if (q \ "product") != JNothing || (q \ "turbo") != JNothing =>
+      case q: JObject if (q \ "product") != JNothing =>
+        Some(Some(graft.sources.QuantizationSpec("product",
+          compression = (q \ "product" \ "compression") match {
+            case JString(c) => c
+            case _ => "x16"
+          })))
+      case q: JObject if (q \ "turbo") != JNothing =>
         Some(None) // accepted, searched exact (strictly more accurate)
       case other => fail(s"bad quantization diff: $other")
     }
@@ -936,7 +954,15 @@ object RequestCodec {
     sparseDiffs.keys.foreach { n =>
       if (!base.sparse.exists(_.name == n)) fail(s"unknown sparse vector '$n' in diff")
     }
-    base.copy(vectors = vectors, sparse = sparse)
+    // strict_mode_config is PATCHable like the reference's UpdateCollection
+    // (`test_strictmode.py` enables it on a live collection)
+    val strictMode = (o \ "strict_mode_config") match {
+      case JNothing => base.strictMode
+      case JNull => None
+      case sm: JObject => Some(StrictMode.parse(JsonMethods.compact(JsonMethods.render(sm))))
+      case other => fail(s"bad strict_mode_config diff: $other")
+    }
+    base.copy(vectors = vectors, sparse = sparse, strictMode = strictMode)
   }
 
   // ============================================================ update ops

@@ -19,8 +19,13 @@ object UpdateBridge {
   def applyJson(coll: Collection, json: String): Unit =
     apply(coll, RequestCodec.parseUpdateOperations(json))
 
-  def apply(coll: Collection, ops: Seq[RequestCodec.WireOp]): Unit =
+  def apply(coll: Collection, ops: Seq[RequestCodec.WireOp]): Unit = {
+    // strict-mode gate before any table plan is built (`operations/
+    // verification/` update checks — batch size, unindexed update filters)
+    coll.config.strictMode.foreach(sm =>
+      StrictMode.verifyUpdate(ops, sm, coll.config.payloadTypes.keySet))
     coll.applyBatch(ops.flatMap(toUpdateOps(coll, _)))
+  }
 
   def toUpdateOps(coll: Collection, op: RequestCodec.WireOp): Seq[UpdateOp] = {
     import RequestCodec._

@@ -146,7 +146,7 @@ object ApiQueries {
             RequestCodec.parseUpdateOperations(body), cfg, indexed)
           false
         } catch { case _: StrictModeViolation => true }
-      Seq(
+      (Seq(
         ("limit_over", q("""{"query": {"nearest": 7}, "limit": 100}""")),
         ("limit_ok", q("""{"query": {"nearest": 7}, "limit": 5}""")),
         ("unindexed_filter", q(
@@ -187,7 +187,36 @@ object ApiQueries {
         ("update_filter_unindexed", u(
           """{"operations": [{"delete": {"filter":
             |   {"must": [{"key": "lang", "match": {"value": "de"}}]}}}]}"""
-            .stripMargin)))
+            .stripMargin))) ++ {
+        // The gate is WIRED into the collection: a `strict_mode_config`
+        // declared at create rejects inside `Collection.query` and the
+        // update bridge themselves (`query_api.rs:31-110` checks strict
+        // mode inside the handler for every request).
+        val ccfg = RequestCodec.parseCollectionConfig(
+          """{"vectors": {"size": 64, "distance": "Dot"},
+            |  "strict_mode_config": {"enabled": true, "max_query_limit": 10,
+            |    "upsert_max_batchsize": 2}}""".stripMargin, idCol = "vec_id")
+        val path = "/tmp/graft_runtime/strict_coll_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        import org.apache.spark.sql.functions.col
+        val coll = graft.storage.Collection.create(s, path, ccfg,
+          graft.Tables.load(s, dir, "embeddings").filter(col("vec_id") < 20)
+            .select(col("vec_id"), col("embedding").as("vector")))
+        def cq(body: String): Boolean =
+          try { coll.query(body); false }
+          catch { case _: StrictModeViolation => true }
+        def cu(body: String): Boolean =
+          try { graft.api.UpdateBridge.applyJson(coll, body); false }
+          catch { case _: StrictModeViolation => true }
+        Seq(
+          ("collection_query_limit_over",
+            cq("""{"query": {"nearest": 7}, "limit": 100}""")),
+          ("collection_query_ok",
+            cq("""{"query": {"nearest": 7}, "limit": 5}""")),
+          ("collection_upsert_too_big", cu(
+            """{"operations": [{"upsert": {"points":
+              |  [{"id": 1}, {"id": 2}, {"id": 3}]}}]}""".stripMargin)))
+      })
         .toDF("check_name", "rejected")
     }),
     // best_score with ONLY negatives through the wire (positives optional
@@ -559,7 +588,10 @@ object ApiQueries {
         |  ('oversampling_over', true), ('too_many_conditions', true),
         |  ('prefetch_limit_over', true), ('upsert_too_big', true),
         |  ('nested_indexed_ok', false),
-        |  ('update_filter_unindexed', true)) AS t(check_name, rejected)"""
+        |  ('update_filter_unindexed', true),
+        |  ('collection_query_limit_over', true),
+        |  ('collection_query_ok', false),
+        |  ('collection_upsert_too_big', true)) AS t(check_name, rejected)"""
         .stripMargin,
     "api_query_discover" -> RankQueries.oracles("discover"),
     "api_query_fusion_rrf" -> RankQueries.oracles("fusion_rrf"),

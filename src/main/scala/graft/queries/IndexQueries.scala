@@ -334,6 +334,63 @@ object IndexQueries {
       Seq((10, 5, found >= 5, orientedOk, thresholdOk))
         .toDF("k", "min_required", "recall_ok", "oriented_ok", "threshold_ok")
     }),
+    // CONFIG-ROUTED product quantization (`QuantizationConfig::Product`,
+    // `types.rs:987-1035`): the wire `quantization_config: {product:
+    // {compression: x16}}` fits per-subspace codebooks at create (persisted
+    // beside the table like scalar/binary) and routes knn through the
+    // default two-phase ADC → exact-rescore path.
+    "quantized_collection_pq" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      val cfg = RequestCodec.parseCollectionConfig(
+        """{"vectors": {"size": 64, "distance": "Dot",
+          |  "quantization_config": {"product": {"compression": "x16"}}}}""".stripMargin,
+        idCol = "vec_id")
+      val path = "/tmp/graft_runtime/qcoll_pq_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = quantCollections.computeIfAbsent(path, { _ =>
+        graft.storage.Collection.create(s, path, cfg,
+          emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+      })
+      val kindOk = coll.quantParams.get("")
+        .exists(_.isInstanceOf[graft.storage.Collection.PqQP])
+      val ann = coll.knn("", v7(s, dir), k = 10, oversampling = 4.0)
+      recallCheck(s, ann,
+        Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 8)
+        .withColumn("quant_col_ok",
+          lit(coll.read().columns.contains("quant_vector") && kindOk))
+    }),
+    // PATCH an already scalar-quantized collection to PRODUCT quantization
+    // (`UpdateCollection` quantization diff): one rewrite re-fits PQ
+    // codebooks on the current corpus and re-materializes the quantized
+    // column; searches route two-phase ADC afterwards.
+    "collection_update_quantization_pq" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      val path = "/tmp/graft_runtime/qcoll_patch_pq_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = quantCollections.computeIfAbsent(path, { _ =>
+        val cfg = RequestCodec.parseCollectionConfig(
+          """{"vectors": {"size": 64, "distance": "Dot",
+            |  "quantization_config": {"scalar": {"type": "int8"}}}}""".stripMargin,
+          idCol = "vec_id")
+        val base = graft.storage.Collection.create(s, path, cfg,
+          emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+        require(base.quantParams.get("")
+          .exists(_.isInstanceOf[graft.storage.Collection.ScalarQP]),
+          "collection must start scalar-quantized")
+        base.updateConfig(RequestCodec.parseCollectionUpdate(
+          """{"vectors": {"": {"quantization_config":
+            |  {"product": {"compression": "x16"}}}}}""".stripMargin,
+          base.config))
+      })
+      val kindOk = coll.quantParams.get("")
+        .exists(_.isInstanceOf[graft.storage.Collection.PqQP])
+      val ann = coll.knn("", v7(s, dir), k = 10, oversampling = 4.0)
+      recallCheck(s, ann,
+        Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 8)
+        .withColumn("quant_col_ok", lit(kindOk))
+    }),
     "quantized_pq_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
       val p = pqParams(s, dir)
@@ -800,6 +857,12 @@ object IndexQueries {
     "quantized_binary_norescore" ->
       """SELECT 10 AS k, 5 AS min_required, true AS recall_ok,
         |  true AS oriented_ok, true AS threshold_ok""".stripMargin,
+    "quantized_collection_pq" ->
+      """SELECT 10 AS k, 8 AS min_required, true AS recall_ok,
+        |  true AS quant_col_ok""".stripMargin,
+    "collection_update_quantization_pq" ->
+      """SELECT 10 AS k, 8 AS min_required, true AS recall_ok,
+        |  true AS quant_col_ok""".stripMargin,
     "retrieve_by_ids" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE vec_id IN (3, 5, 8, 13, 21, 34) ORDER BY vec_id ASC""".stripMargin,

@@ -108,6 +108,39 @@ object StorageQueries {
           get_json_object(col("payload"), "$.flag").as("flag"))
         .orderBy(col("id"))
     }),
+    // Collection lifecycle (`collection_meta_ops.rs:45-135`): catalog
+    // create (duplicate rejected) → list → exists → open-by-alias with the
+    // PERSISTED _config.json (declared payload types survive the reopen and
+    // compile a typed filter) → delete with alias cascade → idempotent
+    // delete-of-missing.
+    "collection_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val root = "/tmp/graft_runtime/catalog_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = new graft.storage.Catalog(s, root)
+      cat.create("docs_a", cfg, points(s, dir, col("doc_id") < 100))
+      cat.create("docs_b", cfg, points(s, dir, col("doc_id") >= 100 && col("doc_id") < 150))
+      cat.aliases.create("prod", "docs_a")
+      val listOk = cat.list() == Seq("docs_a", "docs_b")
+      val existsOk = cat.exists("docs_a") && !cat.exists("nope")
+      // open through the ALIAS; config comes from the persisted sidecar
+      val opened = cat.get("prod")
+      val nA = opened.read().count()
+      val pred = new graft.filters.FilterCompiler(opened.resolver(opened.read()))
+        .compile(Filter.mustAll(MatchValue("lang", "en")))
+      val nEn = opened.read().filter(pred).count()
+      val dupRejected =
+        try { cat.create("docs_a", cfg, points(s, dir, col("doc_id") < 1)); false }
+        catch { case _: IllegalArgumentException => true }
+      val delOk = cat.delete("docs_a")
+      val cascadeOk = !cat.aliases.exists("prod")
+      val goneOk = !cat.exists("docs_a") && cat.list() == Seq("docs_b")
+      val delMissing = !cat.delete("docs_a")
+      Seq((nA, nEn, listOk, existsOk, dupRejected, delOk, cascadeOk, goneOk, delMissing))
+        .toDF("n_a", "n_en", "list_ok", "exists_ok", "dup_rejected",
+          "delete_ok", "cascade_ok", "gone_ok", "delete_missing_false")
+    }),
     // Nested-payload mutation round-trip (the r9 corruption class): payload
     // carries nested objects, arrays and numbers through set_payload
     // (top-level merge + `key`-path merge, `SetPayloadOp.key`,
@@ -289,6 +322,14 @@ object StorageQueries {
         |  n_chars::BIGINT AS n_chars,
         |  CASE WHEN n_chars >= 300 THEN 'hot' END AS flag
         |FROM m3 ORDER BY id""".stripMargin,
+    "collection_lifecycle" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id < 100)::BIGINT AS n_a,
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id < 100 AND lang = 'en')::BIGINT AS n_en,
+        |  true AS list_ok, true AS exists_ok, true AS dup_rejected,
+        |  true AS delete_ok, true AS cascade_ok, true AS gone_ok,
+        |  true AS delete_missing_false""".stripMargin,
     "set_payload_nested" ->
       """WITH seed AS (SELECT doc_id AS id, lang, source, n_chars
         |              FROM documents WHERE doc_id < 100)

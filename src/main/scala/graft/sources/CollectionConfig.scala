@@ -15,12 +15,34 @@ import graft.model.{Float32, Metric, VectorDatatype}
   * two-phase (approx top-k·oversampling on the quantized column → exact
   * rescore) unless the caller opts out. */
 final case class QuantizationSpec(
-    kind: String, // "scalar" (int8) | "binary"
+    kind: String, // "scalar" (int8) | "binary" | "product"
     /** binary only: one_bit | one_and_half_bits | two_bits
       * (`BinaryQuantizationEncoding`, `types.rs:1036-1041`). */
     encoding: String = "one_bit",
     /** scalar only: quantile clip (`ScalarQuantizationConfig.quantile`). */
-    quantile: Double = 1.0)
+    quantile: Double = 1.0,
+    /** product only: compression ratio x4..x64
+      * (`CompressionRatio`, `types.rs:920-928`) — dims-per-byte bucket
+      * 1/2/4/8/16 (`quantized_vectors.rs:236-245`), so the subspace count
+      * is dim / bucket. */
+    compression: String = "x16") {
+
+  /** product: PQ subspace count for a vector of `dim` dims. */
+  def pqSubspaces(dim: Int): Int = {
+    val bucket = compression match {
+      case "x4" => 1
+      case "x8" => 2
+      case "x16" => 4
+      case "x32" => 8
+      case "x64" => 16
+      case other =>
+        throw new IllegalArgumentException(s"unknown PQ compression '$other'")
+    }
+    require(dim % bucket == 0,
+      s"dim $dim not divisible by the $compression bucket size $bucket")
+    dim / bucket
+  }
+}
 
 final case class VectorConfig(
     name: String,
@@ -47,7 +69,13 @@ final case class CollectionConfig(
       * `lib/collection/src/hash_ring.rs`): the table partitions by this
       * column, so a `shard_key` selector prunes whole shard directories at
       * the scan — the Spark analog of only fanning out to selected shards. */
-    shardKeyCol: Option[String] = None) {
+    shardKeyCol: Option[String] = None,
+    /** Declared strict mode (`StrictModeConfig`, `types.rs:1323-1430`):
+      * when enabled, `Collection.query` and the update bridge gate every
+      * request BEFORE execution (`lib/collection/src/operations/
+      * verification/`) and reject over-limit requests with a
+      * StrictModeViolation — the reference's HTTP 403. */
+    strictMode: Option[graft.api.StrictModeConfig] = None) {
 
   def vectorNames: Seq[String] = vectors.map(_.name)
 

@@ -324,7 +324,11 @@ final class Collection(
                 case Euclid => (lit(2.0) * sqrt(approxScore), false)
                 case Manhattan => (lit(2.0) * approxScore, false)
               }
-            } else (approxScore, approxLargerBetter)
+            } else if (spec.kind == "product" && !vc.metric.largerBetter)
+              // ADC partials for Euclid/Manhattan are NEGATED distances —
+              // serve the (approximate) distance, smaller-better
+              (-approxScore, false)
+            else (approxScore, approxLargerBetter)
           graft.ops.Search.scoredTopK(df, config.idCol, served,
             servedLb, pred, k, offset, scoreThreshold)
         }
@@ -488,6 +492,11 @@ final class Collection(
       },
       shardKeyField = config.shardKeyCol)
     val q = RequestCodec.parseQueryRequest(json, ctx)
+    // strict-mode gate BEFORE execution (`query_api.rs:31-110`,
+    // `operations/verification/`): the declared collection limits reject
+    // over-limit requests with the reference's 403 semantics
+    config.strictMode.foreach(sm =>
+      graft.api.StrictMode.verifyQuery(q, sm, config.payloadTypes.keySet))
     (q.scoring, q.prefetches) match {
       case (PointQuery.Nearest(vcol, _, qv), Nil)
           if config.vectors.exists(vc =>
@@ -842,6 +851,12 @@ object Collection {
   final case class ScalarQP(min: Double, max: Double) extends QuantParams
   /** mean/std empty for the stats-free one_bit encoding. */
   final case class BinaryQP(mean: Seq[Double], std: Seq[Double]) extends QuantParams
+  /** PQ codebooks (m × 2^nbits × subDim), trained at create/PATCH. */
+  final case class PqQP(subDim: Int, codebooks: Seq[Seq[Seq[Double]]]) extends QuantParams {
+    def toParams: graft.index.Quantization.PqParams =
+      graft.index.Quantization.PqParams(subDim,
+        codebooks.map(_.map(_.toArray).toArray).toArray)
+  }
 
   private[storage] def fitQuantParams(
       config: CollectionConfig, points: DataFrame): Map[String, QuantParams] =
@@ -862,6 +877,12 @@ object Collection {
               val st = graft.index.Quantization.fitBinaryStats(points, c, vc.dim)
               vc.name -> (BinaryQP(st.mean.toSeq, st.std.toSeq): QuantParams)
             }
+          case "product" =>
+            require(vc.dim > 0, "product quantization needs a declared dim")
+            val p = graft.index.Quantization.fitPq(points, c,
+              m = spec.pqSubspaces(vc.dim))
+            vc.name -> (PqQP(p.subDim,
+              p.codebooks.map(_.map(_.toSeq).toSeq).toSeq): QuantParams)
           case other =>
             throw new IllegalArgumentException(s"unsupported quantization kind '$other'")
         }
@@ -883,6 +904,8 @@ object Collection {
         case other =>
           throw new IllegalArgumentException(s"unknown binary encoding '$other'")
       }
+      case ("product", pq: PqQP) =>
+        Quantization.encodePq(v, pq.toParams)
       case (k, p) =>
         throw new IllegalArgumentException(s"quantization kind/params mismatch: $k / $p")
     }
@@ -908,6 +931,10 @@ object Collection {
             throw new IllegalArgumentException(s"unknown binary encoding '$other'")
         }
         (Quantization.hammingScore(qcol, words).cast("double"), false)
+      case ("product", pq: PqQP) =>
+        // ADC partials are dot (larger-better) or −distance for
+        // Euclid/Manhattan (`PqParams.lut`) — larger-better either way
+        (Quantization.pqAdcScore(qcol, query, metric, pq.toParams), true)
       case (k, p) =>
         throw new IllegalArgumentException(s"quantization kind/params mismatch: $k / $p")
     }
@@ -958,6 +985,12 @@ object Collection {
         n -> (JObject("kind" -> JString("binary"),
           "mean" -> JArray(mean.toList.map(JDouble(_))),
           "std" -> JArray(std.toList.map(JDouble(_)))): JValue)
+      case (n, PqQP(subDim, books)) =>
+        n -> (JObject("kind" -> JString("product"),
+          "sub_dim" -> JInt(subDim),
+          "codebooks" -> JArray(books.toList.map(b =>
+            JArray(b.toList.map(cent =>
+              JArray(cent.toList.map(JDouble(_)))))))): JValue)
     }
     JsonMethods.compact(JsonMethods.render(JObject(fields.toList)))
   }
@@ -986,6 +1019,29 @@ object Collection {
               case _ => Nil
             }
             n -> (BinaryQP(ds("mean"), ds("std")): QuantParams)
+          case JString("product") =>
+            def dd(v: JValue): Double = v match {
+              case JDouble(x) => x
+              case JInt(x) => x.toDouble
+              case JLong(x) => x.toDouble
+              case other => throw new IllegalArgumentException(s"bad codebook value: $other")
+            }
+            val subDim = (o \ "sub_dim") match {
+              case JInt(x) => x.toInt
+              case JLong(x) => x.toInt
+              case other => throw new IllegalArgumentException(s"bad sub_dim: $other")
+            }
+            val books = (o \ "codebooks") match {
+              case JArray(bs) => bs.map {
+                case JArray(cs) => cs.map {
+                  case JArray(vs) => vs.map(dd)
+                  case other => throw new IllegalArgumentException(s"bad centroid: $other")
+                }
+                case other => throw new IllegalArgumentException(s"bad codebook: $other")
+              }
+              case other => throw new IllegalArgumentException(s"bad codebooks: $other")
+            }
+            n -> (PqQP(subDim, books): QuantParams)
           case other =>
             throw new IllegalArgumentException(s"unknown quant kind $other")
         }
