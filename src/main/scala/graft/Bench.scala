@@ -57,8 +57,8 @@ object Bench {
   /** One representative per operator family; kept short enough that the
     * emitted JSON line stays well under the collector's 2000-char tail. */
   private val headline: Seq[String] = Seq(
-    "knn_dot", "knn_cosine", "knn_euclid", "knn_manhattan", "knn_filtered",
-    "knn_batch", "knn_filtered_uuid", "knn_u8", "knn_f16",
+    "knn_dot", "knn_euclid", "knn_filtered",
+    "knn_batch", "knn_filtered_uuid", "knn_u8",
     "recommend_avg", "recommend_best_score", "discover", "context",
     "feedback_naive", "maxsim_multivec", "mmr_rerank",
     "sparse_dot_tokens", "bm25_idf_search",
@@ -69,20 +69,30 @@ object Bench {
     "collection_update_quantization",
     "group_by_label", "distance_matrix_pairs",
     "facet_lang", "count_filtered", "scroll_by_id", "order_by_ts",
-    "retrieve_by_ids", "match_text", "match_phrase", "min_should_filter",
-    "geo_radius", "geo_polygon", "payload_json_count",
+    "retrieve_by_ids", "match_text", "min_should_filter",
+    "geo_radius", "payload_json_count",
     "filter_nested_structs", "range_datetime_count",
-    "ivf_search_allprobe", "ivf_search_probe2", "ivf_recall_curve",
+    "ivf_search_allprobe", "ivf_recall_curve",
     "quantized_pq_rescore", "quantized_scalar_rescore",
-    "mutation_pipeline", "batch_update_ops",
+    "mutation_pipeline",
     "dedup_exact", "minhash_lsh", "simhash_pairs", "ngram_jaccard",
-    "embedding_neardup", "embedding_neardup_auto",
+    "embedding_neardup",
     "neardup_components", "repetition_signals", "decontaminate",
-    "scenario_training_pipeline", "pack_shards", "mixture_sample",
+    "scenario_training_pipeline", "pack_shards",
     "chunk_sequences", "pii_redact", "scenario_shard_assembly",
     "lang_id", "quality_features", "token_count", "streaming_neardup_parity",
     "api_query_knn_filtered", "api_batch_update_ops",
-    "analyzed_term_facet", "analyzed_multilang_facet", "multimodal_embed_knn",
+    "analyzed_term_facet", "multimodal_embed_knn",
+    // round-10 additions: type-preserving payload merge, config-routed PQ,
+    // persisted-IDF warm path, IDF-weighted hybrid through the one-call
+    // handler
+    "set_payload_nested", "quantized_collection_pq",
+    "sparse_struct_idf", "collection_query_hybrid_idf",
+    // trimmed r10 (metric/encoding twins of retained entries; still timed,
+    // full map in target/bench_full.json): knn_cosine, knn_manhattan,
+    // knn_f16, match_phrase, geo_polygon, ivf_search_probe2,
+    // batch_update_ops, embedding_neardup_auto, mixture_sample,
+    // analyzed_multilang_facet
   )
 
   /** Bare-operator replacements for catalog entries whose query function
@@ -349,10 +359,15 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // `value` and `sentinel` ride AFTER the queries map: the collector
+    // keeps only the tail of process output, so if the line ever exceeds
+    // the tail budget the truncation eats the constant prefix, never the
+    // total or the contention evidence.
     val line =
-      s"""{"metric":"total","value":${f"$warmTotal%.3f"},"unit":"sec","reps":$warmReps,""" +
-        s""""cold_total":${f"$coldTotal%.3f"},$sentinelJson,""" +
-        s""""queries":${fmt(headlineEntries)}$errJsonShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","reps":$warmReps,""" +
+        s""""cold_total":${f"$coldTotal%.3f"},""" +
+        s""""queries":${fmt(headlineEntries)}$errJsonShort,""" +
+        s"""$sentinelJson,"value":${f"$warmTotal%.3f"},"sf":"$sfDir"}"""
     spark.stop()
     // Last line of process output — see class doc.
     println(line)
