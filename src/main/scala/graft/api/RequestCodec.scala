@@ -1010,7 +1010,8 @@ object RequestCodec {
     * (`SetPayloadOp.key`, `payload_ops.rs:64-75`); overwrite_payload
     * ignores it like the reference (`update/mod.rs:167-178`). */
   sealed trait WireOp
-  final case class WUpsert(points: Seq[WirePoint], updateFilter: Option[Filter]) extends WireOp
+  final case class WUpsert(points: Seq[WirePoint], updateFilter: Option[Filter],
+      mode: graft.storage.UpdateMode = graft.storage.UpdateMode.Upsert) extends WireOp
   final case class WDelete(selector: Selector) extends WireOp
   final case class WSetPayload(payloadJson: String, selector: Selector,
       overwrite: Boolean, key: Option[String] = None) extends WireOp
@@ -1032,7 +1033,13 @@ object RequestCodec {
           case f: JObject => Some(filterOf(f))
           case _ => None
         }
-        WUpsert(arr(u \ "points").map(pointStruct), uf)
+        // `update_mode` (`PointsList.update_mode`, rest schema.rs:1485-1487)
+        val mode = (u \ "update_mode") match {
+          case JString(m) => graft.storage.UpdateMode.parse(m)
+          case JNothing | JNull => graft.storage.UpdateMode.Upsert
+          case other => fail(s"update_mode must be a string, got $other")
+        }
+        WUpsert(arr(u \ "points").map(pointStruct), uf, mode)
       } else if (keys.contains("delete")) WDelete(selectorOf(o \ "delete"))
       else if (keys.contains("set_payload")) payloadOp(o \ "set_payload", overwrite = false)
       else if (keys.contains("overwrite_payload")) payloadOp(o \ "overwrite_payload", overwrite = true)

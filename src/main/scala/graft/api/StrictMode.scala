@@ -108,7 +108,7 @@ object StrictMode {
     def selector(sel: Selector): Unit =
       sel.filter.foreach(verifyFilter(_, cfg, indexedKeys, allowUnindexed))
     ops.foreach {
-      case WUpsert(points, updateFilter) =>
+      case WUpsert(points, updateFilter, _) =>
         cfg.upsertMaxBatchsize.foreach { max =>
           if (points.size > max)
             throw new StrictModeViolation(

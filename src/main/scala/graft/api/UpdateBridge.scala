@@ -30,10 +30,10 @@ object UpdateBridge {
   def toUpdateOps(coll: Collection, op: RequestCodec.WireOp): Seq[UpdateOp] = {
     import RequestCodec._
     op match {
-      case WUpsert(points, None) =>
-        Seq(UpdateOp.Upsert(wirePoints(coll, points)))
-      case WUpsert(points, Some(f)) =>
-        Seq(UpdateOp.UpsertConditional(wirePoints(coll, points), f))
+      case WUpsert(points, None, mode) =>
+        Seq(UpdateOp.Upsert(wirePoints(coll, points), mode))
+      case WUpsert(points, Some(f), mode) =>
+        Seq(UpdateOp.UpsertConditional(wirePoints(coll, points), f, mode))
       case WDelete(Selector(Some(ids), None)) => Seq(UpdateOp.DeleteIds(ids))
       case WDelete(sel) => Seq(UpdateOp.DeleteByFilter(sel.filter.get))
       case WSetPayload(payload, sel, false, key) =>

@@ -225,6 +225,69 @@ object StorageQueries {
           get_json_object(col("payload"), "$.flag").as("flag"))
         .orderBy(col("id"))
     }),
+    // Upsert admission modes (`UpdateMode`, `point_ops.rs:34-42`;
+    // `tests/openapi/test_update_mode.py`): insert_only skips existing ids,
+    // update_only skips new ids, and update_only + update_filter keeps only
+    // existing points matching the filter (`update/points/upsert.rs:60-95`).
+    "upsert_update_modes" -> ((s, dir) => {
+      import graft.storage.UpdateMode
+      val path = "/tmp/graft_runtime/upmode_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // 1. seed: docs id < 100
+      val coll = Collection.create(s, path, cfg,
+        points(s, dir, col("doc_id") < 100))
+      // 2. insert_only ids 80..119 source='ins' → only 100..119 insert
+      coll.upsert(points(s, dir,
+        col("doc_id") >= 80 && col("doc_id") < 120, Some("ins")),
+        UpdateMode.InsertOnly)
+      // 3. update_only ids 90..129 source='upd' → only 90..119 update
+      coll.upsert(points(s, dir,
+        col("doc_id") >= 90 && col("doc_id") < 130, Some("upd")),
+        UpdateMode.UpdateOnly)
+      // 4. update_only + filter lang='en', ids < 40 source='cu'
+      //    → only existing en-docs among 0..39 update
+      coll.upsertConditional(
+        points(s, dir, col("doc_id") < 40, Some("cu")),
+        Filter.mustAll(MatchValue("lang", "en")),
+        UpdateMode.UpdateOnly)
+      coll.read()
+        .select(col("id"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.source").as("source"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"))
+        .orderBy(col("id"))
+    }),
+    // Wire form of the same surface: `update_mode` riding the upsert op of a
+    // points/batch body (`PointsList.update_mode`, rest schema.rs:1485-1487),
+    // including update_only + update_filter. Constant fixture → VALUES oracle.
+    "api_upsert_update_mode" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/tmp/graft_runtime/upmode_api_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = Collection.create(s, path,
+        CollectionConfig(idCol = "id", payloadCol = "payload",
+          payloadTypes = Map("s" -> StringType)),
+        Seq.empty[Long].toDF("id")
+          .withColumn("payload", lit(null).cast("string")))
+      graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [
+          |  {"upsert": {"points": [
+          |    {"id": 1, "payload": {"s": "seed"}},
+          |    {"id": 2, "payload": {"s": "seed"}}]}},
+          |  {"upsert": {"update_mode": "insert_only", "points": [
+          |    {"id": 2, "payload": {"s": "skip"}},
+          |    {"id": 3, "payload": {"s": "ins"}}]}},
+          |  {"upsert": {"update_mode": "update_only", "points": [
+          |    {"id": 3, "payload": {"s": "upd"}},
+          |    {"id": 4, "payload": {"s": "skip"}}]}},
+          |  {"upsert": {"update_mode": "update_only",
+          |    "update_filter": {"must": [{"key": "s", "match": {"value": "seed"}}]},
+          |    "points": [
+          |      {"id": 1, "payload": {"s": "cu"}},
+          |      {"id": 3, "payload": {"s": "nocu"}}]}}
+          |]}""".stripMargin)
+      coll.read()
+        .select(col("id"), get_json_object(col("payload"), "$.s").as("s"))
+        .orderBy(col("id"))
+    }),
     // Collection alias lifecycle (`alias_mapping.rs:16-135`,
     // `collection_meta_ops.rs:45-92`): create → query-through-alias →
     // re-point (create overwrites) → rename (old name unbinds) → list per
@@ -349,6 +412,30 @@ object StorageQueries {
         |SELECT value, count(DISTINCT id)::BIGINT AS cnt
         |FROM vals GROUP BY value
         |ORDER BY cnt DESC, value ASC LIMIT 20""".stripMargin,
+    "upsert_update_modes" ->
+      """WITH seed AS (SELECT doc_id AS id, lang, source, n_chars
+        |              FROM documents WHERE doc_id < 100),
+        |ins AS (SELECT doc_id AS id, lang, 'ins' AS source, n_chars
+        |        FROM documents WHERE doc_id >= 80 AND doc_id < 120),
+        |m1 AS (SELECT * FROM seed
+        |       UNION ALL
+        |       SELECT i.* FROM ins i WHERE i.id NOT IN (SELECT id FROM seed)),
+        |upd AS (SELECT doc_id AS id, lang, 'upd' AS source, n_chars
+        |        FROM documents WHERE doc_id >= 90 AND doc_id < 130),
+        |m2 AS (SELECT u.* FROM upd u WHERE u.id IN (SELECT id FROM m1)
+        |       UNION ALL
+        |       SELECT m1.* FROM m1 WHERE m1.id NOT IN (SELECT id FROM upd)),
+        |cu AS (SELECT doc_id AS id, lang, 'cu' AS source, n_chars
+        |       FROM documents WHERE doc_id < 40),
+        |m3 AS (SELECT c.* FROM cu c JOIN m2 ON m2.id = c.id AND m2.lang = 'en'
+        |       UNION ALL
+        |       SELECT m2.* FROM m2
+        |       WHERE NOT (m2.lang = 'en' AND m2.id IN (SELECT id FROM cu)))
+        |SELECT id, lang, source, n_chars::BIGINT AS n_chars
+        |FROM m3 ORDER BY id""".stripMargin,
+    "api_upsert_update_mode" ->
+      """SELECT * FROM (VALUES (1, 'cu'), (2, 'seed'), (3, 'upd'))
+        |AS t(id, s) ORDER BY id""".stripMargin,
     "batch_update_ops" ->
       """WITH seed AS (SELECT doc_id AS id, lang, source, n_chars
         |              FROM documents WHERE doc_id < 150),

@@ -119,14 +119,21 @@ final class Collection(
     * whole-table shuffle per batch. On a lakehouse table this is MERGE INTO. */
   def upsert(points: DataFrame): Unit = applyBatch(Seq(UpdateOp.Upsert(points)))
 
+  /** Upsert with an admission mode (`update_mode`, `point_ops.rs:34-42`):
+    * `insert_only` skips ids that already exist, `update_only` skips ids
+    * that don't. */
+  def upsert(points: DataFrame, mode: UpdateMode): Unit =
+    applyBatch(Seq(UpdateOp.Upsert(points, mode)))
+
   /** The merged-table plan `upsert` writes (exposed for plan-shape tests). */
   private[graft] def upsertPlan(points: DataFrame): DataFrame =
     applyOp(read(), UpdateOp.Upsert(points))
 
   /** Conditional upsert: replace only points matching `filter`; new ids
     * insert unconditionally (`point_ops.rs:114-115`). */
-  def upsertConditional(points: DataFrame, filter: Filter): Unit =
-    applyBatch(Seq(UpdateOp.UpsertConditional(points, filter)))
+  def upsertConditional(points: DataFrame, filter: Filter,
+      mode: UpdateMode = UpdateMode.Upsert): Unit =
+    applyBatch(Seq(UpdateOp.UpsertConditional(points, filter, mode)))
 
   def deleteByIds(ids: Seq[Any]): Unit =
     applyBatch(Seq(UpdateOp.DeleteIds(ids)))
@@ -203,22 +210,60 @@ final class Collection(
     }
   }
 
+  /** Ids of `cur` rows (optionally narrowed by `cond`) that also appear in
+    * the batch. Shaped for scale: the BIG table streams once against the
+    * broadcast batch ids (left_semi, build side = batch), and the result —
+    * at most batch-sized — is itself broadcastable back into the batch.
+    * Joining the batch directly against the full table id column would
+    * force a whole-table shuffle (a left/semi join can only build on the
+    * right, and the right would be the 100 TB side). */
+  private def probeIds(cur: DataFrame, batchIds: DataFrame,
+      cond: Option[Column], flag: String): DataFrame = {
+    val base = cond.fold(cur)(cur.filter)
+    broadcast(base.select(col(config.idCol))
+      .join(broadcast(batchIds), Seq(config.idCol), "left_semi")
+      .withColumn(flag, lit(true)))
+  }
+
+  /** Admission per [[UpdateMode]] (`update/points/upsert.rs:60-95`): filter
+    * the batch down to the rows the mode admits, judged against current
+    * table state (+ the conditional-upsert filter when present). */
+  private def admit(cur: DataFrame, incoming: DataFrame,
+      mode: UpdateMode, filter: Option[Filter]): DataFrame = {
+    if (mode == UpdateMode.Upsert && filter.isEmpty) return incoming
+    val batchIds = incoming.select(col(config.idCol))
+    val exists = probeIds(cur, batchIds, None, "_exists")
+    val joined0 = incoming.join(exists, Seq(config.idCol), "left")
+    val (joined, keep) = (mode, filter) match {
+      case (UpdateMode.InsertOnly, _) =>
+        // condition irrelevant: skip all existing points entirely
+        (joined0, col("_exists").isNull)
+      case (UpdateMode.Upsert, Some(f)) =>
+        val m = probeIds(cur, batchIds, Some(pred(cur, f)), "_m")
+        (joined0.join(m, Seq(config.idCol), "left"),
+          col("_exists").isNull || col("_m").isNotNull)
+      case (UpdateMode.Upsert, None) => (joined0, lit(true))
+      case (UpdateMode.UpdateOnly, Some(f)) =>
+        // matching ⊆ existing, so the match flag alone decides
+        val m = probeIds(cur, batchIds, Some(pred(cur, f)), "_m")
+        (joined0.join(m, Seq(config.idCol), "left"), col("_m").isNotNull)
+      case (UpdateMode.UpdateOnly, None) => (joined0, col("_exists").isNotNull)
+    }
+    joined.filter(keep).drop("_exists", "_m")
+  }
+
+  private def mergeUpsert(cur: DataFrame, points: DataFrame,
+      mode: UpdateMode, filter: Option[Filter]): DataFrame = {
+    val incoming = admit(cur, lastWins(encodeVectors(points)), mode, filter)
+    cur.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
+      .unionByName(incoming, allowMissingColumns = true)
+  }
+
   private def applyOp(cur: DataFrame, op: UpdateOp): DataFrame = op match {
-    case UpdateOp.Upsert(points) =>
-      val incoming = lastWins(encodeVectors(points))
-      cur.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
-        .unionByName(incoming, allowMissingColumns = true)
-    case UpdateOp.UpsertConditional(points, filter) =>
-      val replaceable = cur.filter(pred(cur, filter))
-        .select(col(config.idCol)).withColumn("_repl", lit(true))
-      val existingIds = cur.select(col(config.idCol)).withColumn("_exists", lit(true))
-      val incoming = lastWins(encodeVectors(points))
-        .join(replaceable, Seq(config.idCol), "left")
-        .join(existingIds, Seq(config.idCol), "left")
-        .filter(col("_repl").isNotNull || col("_exists").isNull)
-        .drop("_repl", "_exists")
-      cur.join(incoming.select(config.idCol), Seq(config.idCol), "left_anti")
-        .unionByName(incoming, allowMissingColumns = true)
+    case UpdateOp.Upsert(points, mode) =>
+      mergeUpsert(cur, points, mode, None)
+    case UpdateOp.UpsertConditional(points, filter, mode) =>
+      mergeUpsert(cur, points, mode, Some(filter))
     case UpdateOp.DeleteIds(ids) =>
       cur.filter(!col(config.idCol).isin(ids: _*))
     case UpdateOp.DeleteByFilter(filter) =>

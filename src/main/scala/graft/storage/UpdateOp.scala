@@ -16,9 +16,32 @@ import graft.model.Filter
   */
 sealed trait UpdateOp
 
+/** Upsert admission mode (`UpdateMode`, `point_ops.rs:34-42`):
+  * `Upsert` inserts new points and updates existing ones (default);
+  * `InsertOnly` only inserts new ids, silently skipping points that already
+  * exist; `UpdateOnly` only updates existing ids, never inserting.
+  * Combined with an `update_filter` the reference keeps a point when
+  * InsertOnly→not-exists, Upsert→not-exists OR matches, UpdateOnly→exists
+  * AND matches (`update/points/upsert.rs:60-95`). */
+sealed trait UpdateMode
+object UpdateMode {
+  case object Upsert extends UpdateMode
+  case object InsertOnly extends UpdateMode
+  case object UpdateOnly extends UpdateMode
+  def parse(s: String): UpdateMode = s match {
+    case "upsert" => Upsert
+    case "insert_only" => InsertOnly
+    case "update_only" => UpdateOnly
+    case other => throw new IllegalArgumentException(
+      s"unknown update_mode '$other' (expected upsert | insert_only | update_only)")
+  }
+}
+
 object UpdateOp {
-  final case class Upsert(points: DataFrame) extends UpdateOp
-  final case class UpsertConditional(points: DataFrame, filter: Filter) extends UpdateOp
+  final case class Upsert(points: DataFrame,
+      mode: UpdateMode = UpdateMode.Upsert) extends UpdateOp
+  final case class UpsertConditional(points: DataFrame, filter: Filter,
+      mode: UpdateMode = UpdateMode.Upsert) extends UpdateOp
   final case class DeleteIds(ids: Seq[Any]) extends UpdateOp
   final case class DeleteByFilter(filter: Filter) extends UpdateOp
   /** Merge JSON patch into the payload of rows matching `target` —

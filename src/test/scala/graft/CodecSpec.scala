@@ -263,10 +263,10 @@ class CodecSpec extends AnyFunSuite {
         |  {"delete_vectors": {"points": [8], "vector": ["img"]}}
         |]}""".stripMargin)
     assert(ops.length == 10)
-    val WUpsert(pts, None) = ops(0): @unchecked
+    val WUpsert(pts, None, graft.storage.UpdateMode.Upsert) = ops(0): @unchecked
     assert(pts(0) == WirePoint(1L, Map("" -> WDenseVec(Seq(0.1, 0.2))), Some("""{"a":1}""")))
     assert(pts(1) == WirePoint("uuid-x", Map("img" -> WDenseVec(Seq(0.5))), None))
-    val WUpsert(_, Some(uf)) = ops(1): @unchecked
+    val WUpsert(_, Some(uf), _) = ops(1): @unchecked
     assert(uf.must == Seq(MatchValue("a", 1L)))
     assert(ops(2) == WDelete(Selector(Some(Seq(1L, 2L)), None)))
     val WDelete(Selector(None, Some(df))) = ops(3): @unchecked
@@ -313,7 +313,7 @@ class CodecSpec extends AnyFunSuite {
       """{"operations": [{"upsert": {"points": [
         |  {"id": 1, "vector": {"txt": {"indices": [9, 3], "values": [0.9, 0.3]}}}
         |]}}]}""".stripMargin)
-    val WUpsert(pts, None) = ops.head: @unchecked
+    val WUpsert(pts, None, _) = ops.head: @unchecked
     assert(pts.head.vectors("txt") == WSparseVec(Seq(3, 9), Seq(0.3, 0.9)))
   }
 
@@ -372,7 +372,7 @@ class CodecSpec extends AnyFunSuite {
         |     "tok": [[1.0, 0.0], [0.0, 1.0]],
         |     "txt": {"indices": [2, 5], "values": [0.5, 1.5]}}},
         |  {"id": 2, "vector": [3.0, 4.0]}]}}]}""".stripMargin)
-    val WUpsert(pts, None) = ops.head: @unchecked
+    val WUpsert(pts, None, _) = ops.head: @unchecked
     assert(pts(0).vectors("") == WDenseVec(Seq(1.0, 2.0)))
     assert(pts(0).vectors("tok") == WMultiVec(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))))
     assert(pts(0).vectors("txt") == WSparseVec(Seq(2, 5), Seq(0.5, 1.5)))

@@ -546,6 +546,36 @@ class StoreSpec extends SparkTestBase {
     assert(c.sparseIdfStats("txt")._1 == 2L)
   }
 
+  test("upsert update_mode: insert_only skips existing, update_only skips new") {
+    import spark.implicits._
+    import graft.storage.UpdateMode
+    val c = mk(tmpDir())
+    // insert_only: id 2 exists → skipped; id 5 is new → inserted
+    c.upsert(Seq(
+      (2L, Seq(9f, 9f, 9f, 9f), """{"city":"Paris"}"""),
+      (5L, Seq(0f, 0f, 0f, 1f), """{"city":"Oslo"}"""),
+    ).toDF("id", "vector", "payload"), UpdateMode.InsertOnly)
+    // update_only: id 3 exists → replaced; id 6 is new → dropped
+    c.upsert(Seq(
+      (3L, Seq(7f, 7f, 7f, 7f), """{"city":"Kyiv"}"""),
+      (6L, Seq(1f, 1f, 1f, 1f), """{"city":"Lima"}"""),
+    ).toDF("id", "vector", "payload"), UpdateMode.UpdateOnly)
+    // update_only + condition: 1 matches Berlin → updated; 5 exists but
+    // fails the condition → kept as-is
+    c.upsertConditional(Seq(
+      (1L, Seq(6f, 6f, 6f, 6f), """{"city":"Bern"}"""),
+      (5L, Seq(6f, 6f, 6f, 6f), """{"city":"Nope"}"""),
+    ).toDF("id", "vector", "payload"),
+      Filter.mustAll(MatchValue("city", "Berlin")), UpdateMode.UpdateOnly)
+    val cities = c.read().orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(cities.keySet == Set(1L, 2L, 3L, 5L))
+    assert(cities(2L).contains("London"), "insert_only must not touch id 2")
+    assert(cities(3L).contains("Kyiv"))
+    assert(cities(1L).contains("Bern"))
+    assert(cities(5L).contains("Oslo"), "conditional update_only must skip non-matching id 5")
+  }
+
   test("applyBatch folds N ops into exactly ONE table rewrite") {
     import spark.implicits._
     import graft.storage.UpdateOp
