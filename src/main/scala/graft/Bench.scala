@@ -57,7 +57,7 @@ object Bench {
   /** One representative per operator family; kept short enough that the
     * emitted JSON line stays well under the collector's 2000-char tail. */
   private val headline: Seq[String] = Seq(
-    "knn_dot", "knn_euclid", "knn_filtered",
+    "knn_dot", "knn_filtered",
     "knn_batch", "knn_filtered_uuid", "knn_u8",
     "recommend_avg", "recommend_best_score", "discover", "context",
     "feedback_naive", "maxsim_multivec", "mmr_rerank",
@@ -88,11 +88,14 @@ object Bench {
     // handler
     "set_payload_nested", "quantized_collection_pq",
     "sparse_struct_idf", "collection_query_hybrid_idf",
+    // round-10 session-2 additions: config-routed IVF (probe-pruned
+    // partitioned scan) and the one-call batch endpoint
+    "ivf_collection_knn", "collection_query_batch",
     // trimmed r10 (metric/encoding twins of retained entries; still timed,
     // full map in target/bench_full.json): knn_cosine, knn_manhattan,
     // knn_f16, match_phrase, geo_polygon, ivf_search_probe2,
     // batch_update_ops, embedding_neardup_auto, mixture_sample,
-    // analyzed_multilang_facet
+    // analyzed_multilang_facet, knn_euclid (twin of knn_dot/knn_u8_euclid)
   )
 
   /** Bare-operator replacements for catalog entries whose query function

@@ -26,6 +26,7 @@ object SparkEntry {
       (UuidQueries.queries, UuidQueries.oracles),
       (ScenarioQueries.queries, ScenarioQueries.oracles),
       (ApiQueries.queries, ApiQueries.oracles),
+      (EndpointQueries.queries, EndpointQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

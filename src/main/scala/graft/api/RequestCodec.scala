@@ -275,8 +275,11 @@ object RequestCodec {
       case _ => None
     }
     // `params` (`SearchParams`, `types.rs:573-618`): quantization routing
-    // knobs; hnsw_ef / indexed_only accepted and ignored (serving-index
-    // tuning — BASELINE.json scopes online ANN out).
+    // knobs + hnsw_ef (the per-request recall knob — on a declared IVF
+    // collection it overrides the configured nprobe, same role the ef
+    // candidate-list size plays for the reference's HNSW); indexed_only
+    // accepted and ignored (serving-index tuning — BASELINE.json scopes
+    // online ANN out).
     val params = (o \ "params") match {
       case p: JObject =>
         def bool(v: JValue, dflt: Boolean): Boolean = v match {
@@ -292,6 +295,10 @@ object RequestCodec {
           oversampling = (q \ "oversampling") match {
             case JNothing | JNull => None
             case v => Some(num(v))
+          },
+          hnswEf = (p \ "hnsw_ef") match {
+            case JNothing | JNull => None
+            case v => Some(num(v).toInt)
           }))
       case _ => None
     }
@@ -1128,7 +1135,7 @@ object RequestCodec {
 
   private def geoPoint(j: JValue): GeoPoint = GeoPoint(num(j \ "lon"), num(j \ "lat"))
 
-  private def arr(j: JValue): Seq[JValue] = j match {
+  private[graft] def arr(j: JValue): Seq[JValue] = j match {
     case JArray(xs) => xs
     case JNothing | JNull => Nil
     case other => fail(s"expected array, got $other")

@@ -124,6 +124,15 @@ object StrictMode {
     }
   }
 
+  /** Filter-only gate for the non-query read endpoints (count / facet /
+    * scroll / matrix — the reference verifies their filters through the
+    * same `operations/verification` checks). */
+  def verifyFilter(f: Filter, cfg: StrictModeConfig,
+      indexedKeys: Set[String]): Unit =
+    if (cfg.enabled)
+      verifyFilter(f, cfg, indexedKeys,
+        cfg.unindexedFilteringRetrieve.getOrElse(true))
+
   private def verifyFilter(f: Filter, cfg: StrictModeConfig,
       indexedKeys: Set[String], allowUnindexed: Boolean): Unit = {
     val conds = allConditions(f)

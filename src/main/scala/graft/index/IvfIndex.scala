@@ -46,6 +46,7 @@ object IvfIndex {
     // of the vector bytes and take the first `target`
     val sample = df
       .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull) // optional-vector rows don't train cells
       .orderBy(xxhash64(col("v")), monotonically_increasing_id())
       .limit(target)
       .collect()
@@ -74,6 +75,23 @@ object IvfIndex {
         m
       }
     })
+
+  /** Train NOW and overwrite any existing artifact + memo entry — the
+    * collection-create path (a create replaces the corpus, so a stale
+    * model from a previous collection at the same path must not leak in;
+    * `buildOrLoad` is for read-side callers that want train-once reuse). */
+  def buildAndPersist(df: DataFrame, vecCol: String, k: Int, cachePath: String,
+      maxIter: Int = 20, seed: Long = 42L, samplePerCentroid: Int = 256): Model = {
+    val m = build(df, vecCol, k, maxIter, seed, samplePerCentroid)
+    val p = java.nio.file.Paths.get(cachePath)
+    try {
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      val body = m.centroids.map(_.mkString(",")).mkString("\n")
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () }
+    memo.put(cachePath, m)
+    m
+  }
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Model]()
 

@@ -84,7 +84,10 @@ object PointQuery {
       exact: Boolean = false,
       quantIgnore: Boolean = false,
       rescore: Boolean = true,
-      oversampling: Option[Double] = None)
+      oversampling: Option[Double] = None,
+      /** Per-request recall knob (`hnsw_ef`): overrides the declared IVF
+        * nprobe on an ANN-indexed collection. */
+      hnswEf: Option[Int] = None)
 
   final case class Query(
       scoring: Scoring,

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.Tables
+import graft.model.Dot
+import graft.sources.{CollectionConfig, VectorConfig}
+import graft.storage.Collection
+
+/** One-call REST handlers on [[graft.storage.Collection]] — the rest of the
+  * read surface beyond `Collection.query`: count, facet, scroll, retrieve,
+  * query/batch, query/groups, search/matrix. Each entry drives the JSON
+  * body through the collection's own handler (codec + config routing + ops
+  * in ONE call, like the reference's actix handlers dispatching on a
+  * collection: `src/actix/api/{count_api,facet_api,retrieve_api,
+  * query_api,search_api}.rs`) and pins the result against a DuckDB oracle
+  * over the same join fixture.
+  */
+object EndpointQueries {
+
+  private val colls =
+    new java.util.concurrent.ConcurrentHashMap[String, Collection]()
+
+  private val cfg = CollectionConfig(
+    idCol = "id", payloadCol = "payload",
+    vectors = Seq(VectorConfig("", 64, Dot)),
+    payloadTypes = Map("lang" -> StringType, "source" -> StringType,
+      "n_chars" -> LongType, "label" -> LongType))
+
+  /** documents ⋈ embeddings as one collection: dense vector + JSON payload
+    * (lang/source/n_chars/label) — the fixture every endpoint body hits. */
+  private def docColl(s: SparkSession, dir: String): Collection = {
+    val path = "/tmp/graft_runtime/endp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    colls.computeIfAbsent(path, { _ =>
+      val d = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val pts = e.join(d, e("vec_id") === d("doc_id"))
+        .select(e("vec_id").as("id"), e("embedding").as("vector"),
+          to_json(struct(d("lang"), d("source"), d("n_chars"),
+            e("label"))).as("payload"))
+      Collection.create(s, path, cfg, pts)
+    })
+  }
+
+  private def vjson(s: SparkSession, dir: String, id: Long): String =
+    Tables.embeddingOf(s, dir, id).mkString("[", ",", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // POST /points/count through the collection handler (count_api.rs:17)
+    "collection_count_endpoint" -> ((s, dir) => {
+      docColl(s, dir).count(
+        """{"filter": {"must": [
+          |  {"key": "lang", "match": {"value": "en"}},
+          |  {"key": "n_chars", "range": {"lt": 300}}
+          |]}, "exact": true}""".stripMargin)
+    }),
+    // POST /facet through the collection handler
+    "collection_facet_endpoint" -> ((s, dir) => {
+      docColl(s, dir).facet(
+        """{"key": "lang", "limit": 5,
+          |  "filter": {"must": [{"key": "source",
+          |    "match": {"any": ["src1", "src3", "src7"]}}]}}""".stripMargin)
+    }),
+    // POST /points/scroll with order_by + start_from cursor: the handler
+    // resolves the payload key through the DECLARED type (no physical
+    // column needed), orders desc with nulls last and id tiebreak
+    "collection_scroll_endpoint" -> ((s, dir) => {
+      val page = docColl(s, dir).scroll(
+        """{"limit": 15,
+          |  "order_by": {"key": "n_chars", "direction": "desc", "start_from": 400},
+          |  "filter": {"must": [{"key": "lang", "match": {"value": "en"}}]}}""".stripMargin)
+      page.select(col("id"),
+        get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
+        get_json_object(col("payload"), "$.lang").as("lang"))
+    }),
+    // retrieve-by-ids with a with_payload include selector — excluded keys
+    // must come back null
+    "collection_retrieve_endpoint" -> ((s, dir) => {
+      docColl(s, dir).retrievePoints(
+        """{"ids": [3, 5, 8, 13],
+          |  "with_payload": {"include": ["lang", "n_chars"]}}""".stripMargin)
+        .select(col("id"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
+          get_json_object(col("payload"), "$.source").as("src_excluded"))
+        .orderBy(col("id"))
+    }),
+    // POST /points/query/batch: independent searches answered in one call,
+    // tagged by position; the second carries its own filter
+    "collection_query_batch" -> ((s, dir) => {
+      docColl(s, dir).queryBatch(
+        s"""{"searches": [
+           |  {"query": {"nearest": ${vjson(s, dir, 7)}}, "limit": 5},
+           |  {"query": {"nearest": ${vjson(s, dir, 42)}}, "limit": 5,
+           |   "filter": {"must": [{"key": "lang", "match": {"value": "en"}}]}}
+           |]}""".stripMargin)
+    }),
+    // POST /points/query/groups with with_lookup: per-label top-2, best 4
+    // groups, lookup columns joined on the group value
+    "collection_group_by" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val lookup = e.select(col("label").cast("string").as("lkid"),
+        concat(lit("L"), col("label")).as("lookup_name")).distinct()
+      docColl(s, dir).queryGroups(
+        s"""{"query": {"nearest": ${vjson(s, dir, 7)}},
+           |  "group_by": "label", "group_size": 2, "limit": 4,
+           |  "with_lookup": {"collection": "labels"}}""".stripMargin,
+        lookupTable = _ => lookup)
+        .select(col("group_value"), col("id"), col("score"),
+          col("rank").cast("long").as("rank"),
+          col("grp_rank").cast("long").as("grp_rank"), col("lookup_name"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
+    // query with with_payload include selector + with_vector: the response
+    // enrichment join (broadcast hit set, table streams once) — payload
+    // comes back selector-filtered, the vector decoded
+    "collection_query_with_payload" -> ((s, dir) => {
+      docColl(s, dir).query(
+        s"""{"query": {"nearest": ${vjson(s, dir, 7)}}, "limit": 5,
+           |  "with_payload": {"include": ["lang", "n_chars"]},
+           |  "with_vector": true}""".stripMargin)
+        .select(col("id"), col("score"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
+          get_json_object(col("payload"), "$.source").as("src_excluded"),
+          round(element_at(col("vector"), 1).cast("double"), 6).as("v0"))
+    }),
+    // POST /points/search/matrix/pairs: has_id-scoped sample, top-3
+    // neighbors per sampled point within the sample
+    "collection_matrix_endpoint" -> ((s, dir) => {
+      docColl(s, dir).searchMatrix(
+        s"""{"filter": {"must": [{"has_id": [${(0 until 20).mkString(",")}]}]},
+           |  "sample": 20, "limit": 3}""".stripMargin)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "collection_count_endpoint" ->
+      """SELECT count(*)::BIGINT AS cnt
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |WHERE d.lang = 'en' AND d.n_chars < 300""".stripMargin,
+    "collection_facet_endpoint" ->
+      """SELECT d.lang AS value, count(DISTINCT e.vec_id)::BIGINT AS cnt
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |WHERE d.source IN ('src1', 'src3', 'src7')
+        |GROUP BY d.lang ORDER BY cnt DESC, value ASC LIMIT 5""".stripMargin,
+    "collection_scroll_endpoint" ->
+      """SELECT e.vec_id AS id, d.n_chars::BIGINT AS n_chars, d.lang
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |WHERE d.lang = 'en' AND d.n_chars <= 400
+        |ORDER BY d.n_chars DESC, id ASC LIMIT 15""".stripMargin,
+    "collection_retrieve_endpoint" ->
+      """SELECT e.vec_id AS id, d.lang, d.n_chars::BIGINT AS n_chars,
+        |       NULL::VARCHAR AS src_excluded
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |WHERE e.vec_id IN (3, 5, 8, 13) ORDER BY id""".stripMargin,
+    "collection_query_batch" ->
+      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, d.lang
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 42),
+        |r0 AS (SELECT p.id, round(list_dot_product(p.v, q7.v), 6) AS score, 0 AS req
+        |       FROM pts p, q7 ORDER BY score DESC, p.id ASC LIMIT 5),
+        |r1 AS (SELECT p.id, round(list_dot_product(p.v, q42.v), 6) AS score, 1 AS req
+        |       FROM pts p, q42 WHERE p.lang = 'en'
+        |       ORDER BY score DESC, p.id ASC LIMIT 5)
+        |SELECT id, score, req::INT AS req FROM r0
+        |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
+    "collection_group_by" ->
+      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+        |                    e.label::VARCHAR AS gv
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |scored AS (SELECT p.gv, p.id, round(list_dot_product(p.v, q.v), 6) AS score
+        |           FROM pts p, q),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY gv ORDER BY score DESC, id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
+        |         ORDER BY best DESC, gv ASC LIMIT 4),
+        |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC) AS grp_rank
+        |         FROM tops)
+        |SELECT h.gv AS group_value, h.id, h.score, h.rank::BIGINT AS rank,
+        |       g.grp_rank::BIGINT AS grp_rank,
+        |       concat('L', h.gv) AS lookup_name
+        |FROM hits h JOIN grps g ON g.gv = h.gv
+        |ORDER BY grp_rank, rank""".stripMargin,
+    "collection_query_with_payload" ->
+      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+        |                    d.lang, d.n_chars
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT p.id, round(list_dot_product(p.v, q.v), 6) AS score,
+        |       p.lang, p.n_chars::BIGINT AS n_chars,
+        |       NULL::VARCHAR AS src_excluded, round(p.v[1], 6) AS v0
+        |FROM pts p, q ORDER BY score DESC, p.id ASC LIMIT 5""".stripMargin,
+    "collection_matrix_endpoint" ->
+      """WITH s AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |           WHERE e.vec_id < 20),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |             round(list_dot_product(a.v, b.v), 6) AS score
+        |      FROM s a JOIN s b ON a.id != b.id),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+        |      FROM p)
+        |SELECT id_a, id_b, score FROM r WHERE rn <= 3
+        |ORDER BY id_a ASC, score DESC, id_b ASC""".stripMargin,
+  )
+}

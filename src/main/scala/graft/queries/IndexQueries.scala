@@ -73,6 +73,24 @@ object IndexQueries {
         emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
     })
   }
+  /** The IVFADC composite collection: declared IVF cells (8, nprobe 3)
+    * AND product quantization x16 — create trains centroids + codebooks,
+    * partitions by cell; a default knn probes 3 cells, ADC-scores the
+    * codes inside them and exact-rescores the survivors. */
+  private def ivfAdcColl(s: SparkSession, dir: String): graft.storage.Collection = {
+    val path = "/tmp/graft_runtime/ivfadc_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    quantCollections.computeIfAbsent(path, { _ =>
+      val cfg = graft.sources.CollectionConfig(
+        idCol = "vec_id",
+        vectors = Seq(graft.sources.VectorConfig("", 64, Dot,
+          quantization = Some(graft.sources.QuantizationSpec("product")),
+          ann = Some(graft.sources.IvfSpec(cells = 8, nprobe = 3)))))
+      graft.storage.Collection.create(s, path, cfg,
+        emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+    })
+  }
+
   private val binStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Quantization.BinaryStats]()
   private def binStats(s: SparkSession, dir: String): Quantization.BinaryStats =
@@ -359,6 +377,43 @@ object IndexQueries {
         "vec_id", k = 10, minRequired = 8)
         .withColumn("quant_col_ok",
           lit(coll.read().columns.contains("quant_vector") && kindOk))
+    }),
+    // Config-routed IVF (declared `IvfSpec` — the batch analog of the
+    // per-collection HnswConfig): create trains centroids, materializes
+    // the cell column and PARTITIONS the table by it; `Collection.knn`
+    // probes nprobe cells as a partition filter. cells_ok additionally
+    // pins the PHYSICAL layout — ivfcell=* partition directories on disk,
+    // the thing the probe filter prunes at 100 TB.
+    "ivf_collection_knn" -> ((s, dir) => {
+      val coll = ivfAdcColl(s, dir)
+      val ann = coll.knn("", v7(s, dir), k = 10)
+      val dirOk = new java.io.File(coll.path).listFiles() != null &&
+        new java.io.File(coll.path).listFiles()
+          .exists(_.getName.startsWith("ivfcell_vector="))
+      recallCheck(s, ann,
+        Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 3)
+        .withColumn("cells_ok", lit(dirOk))
+    }),
+    // params.exact on an IVF+PQ collection bypasses BOTH the cell prune
+    // and the quantized two-phase — precise oracle vs the brute-force
+    // scan (same contract api_query_params_exact pins for quantization).
+    "ivf_collection_exact" -> ((s, dir) => {
+      val coll = ivfAdcColl(s, dir)
+      coll.query(
+        s"""{"query": {"nearest": ${v7(s, dir).mkString("[", ",", "]")}},
+           |  "limit": 10, "params": {"exact": true}}""".stripMargin)
+    }),
+    // params.hnsw_ef (the per-request recall knob) overrides the declared
+    // nprobe: ef = cells probes EVERYTHING, and with quantization ignored
+    // the result is exactly the full scan — a precise oracle proving the
+    // knob parses off the wire and reaches the probe.
+    "ivf_collection_hnsw_ef" -> ((s, dir) => {
+      val coll = ivfAdcColl(s, dir)
+      coll.query(
+        s"""{"query": {"nearest": ${v7(s, dir).mkString("[", ",", "]")}},
+           |  "limit": 10,
+           |  "params": {"hnsw_ef": 8, "quantization": {"ignore": true}}}""".stripMargin)
     }),
     // PATCH an already scalar-quantized collection to PRODUCT quantization
     // (`UpdateCollection` quantization diff): one rewrite re-fits PQ
@@ -801,6 +856,20 @@ object IndexQueries {
       "SELECT 10 AS k, 9 AS min_required, true AS recall_ok",
     "quantized_collection_knn" ->
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
+    "ivf_collection_knn" ->
+      "SELECT 10 AS k, 3 AS min_required, true AS recall_ok, true AS cells_ok",
+    "ivf_collection_exact" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "ivf_collection_hnsw_ef" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "collection_update_quantization" ->
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok, true AS quant_col_ok",
     "prefetch_order_by" ->

@@ -44,13 +44,27 @@ final case class QuantizationSpec(
   }
 }
 
+/** Declared IVF ANN index for a named vector — the batch-regime analog of
+  * the reference's per-collection HNSW config (`HnswConfig`,
+  * `types.rs:622-680`; SURVEY §2.6: IVF substitutes HNSW for bulk).
+  * `cells` KMeans centroids become a physical partition column of the
+  * table, so a query that probes the `nprobe` nearest cells prunes
+  * (cells−nprobe)/cells of the data at the parquet directory level.
+  * `nprobe` is the declared recall/latency knob (the hnsw_ef analog;
+  * request-level `SearchParams.hnsw_ef` overrides it per query).
+  * Composes with [[QuantizationSpec]]: probe-pruned ADC scan + exact
+  * rescore = the classic IVFADC layout for billion-scale corpora. */
+final case class IvfSpec(cells: Int, nprobe: Int = 4)
+
 final case class VectorConfig(
     name: String,
     dim: Int,
     metric: Metric,
     multivector: Boolean = false,
     datatype: VectorDatatype = Float32,
-    quantization: Option[QuantizationSpec] = None)
+    quantization: Option[QuantizationSpec] = None,
+    /** Declared ANN index; None = exact scan (the plain index default). */
+    ann: Option[IvfSpec] = None)
 
 /** Sparse vector config (`SparseVectorDataConfig` `types.rs:2275`);
   * modifier = Some("idf") enables the IDF weighting. */
@@ -88,6 +102,10 @@ final case class CollectionConfig(
 
   /** Column holding the quantized form of a named vector. */
   def quantCol(name: String): String = s"quant_${vectorCol(name)}"
+
+  /** IVF cell-assignment column for a named vector (a PARTITION column of
+    * the stored table when the vector declares [[IvfSpec]]). */
+  def cellCol(name: String): String = s"ivfcell_${vectorCol(name)}"
 
   def vectorConfig(name: String): VectorConfig =
     vectors.find(_.name == name)

@@ -44,7 +44,7 @@ final class Collection(
     * persisted params. Type-gated, so already-encoded columns (reads of
     * the stored table) pass through untouched — encoding is idempotent. */
   private def encodeVectors(df: DataFrame): DataFrame =
-    attachQuant(Collection.encodeVectors(config, df))
+    attachIvf(attachQuant(Collection.encodeVectors(config, df)))
 
   def resolver(df: DataFrame): FieldResolver = {
     val base = new JsonResolver(col(config.payloadCol), config.payloadTypes,
@@ -96,7 +96,8 @@ final class Collection(
     rewriteCount += 1
     val tmp = path + "__tmp"
     val w = df.write.mode(SaveMode.Overwrite)
-    config.shardKeyCol.fold(w)(k => w.partitionBy(k)).parquet(tmp)
+    val pc = Collection.partitionCols(config, df.columns)
+    (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
@@ -198,7 +199,7 @@ final class Collection(
   private def lastWins(points: DataFrame): DataFrame = {
     val idc = col(config.idCol)
     val row = points.agg(
-      count(lit(1)).as("n"), count_distinct(idc).as("nd")).head()
+      org.apache.spark.sql.functions.count(lit(1)).as("n"), count_distinct(idc).as("nd")).head()
     if (row.getLong(0) == row.getLong(1)) points
     else {
       val others = points.columns.filter(_ != config.idCol)
@@ -291,7 +292,8 @@ final class Collection(
           .map(vc => VectorCodec.encode(vc.datatype, newVec)).getOrElse(newVec)
       val withVec = cur.withColumn(c, when(target, enc).otherwise(col(c)))
       // keep the quantized column in lockstep with the vector it encodes
-      config.vectors.find(v => v.name == name && v.quantization.isDefined) match {
+      val withQuantCol = config.vectors
+        .find(v => v.name == name && v.quantization.isDefined) match {
         case Some(vc) if withVec.columns.contains(config.quantCol(name)) =>
           val qc = config.quantCol(name)
           withVec.withColumn(qc,
@@ -299,15 +301,30 @@ final class Collection(
               .otherwise(col(qc)))
         case _ => withVec
       }
+      // ...and the IVF cell column (the row may move to another partition)
+      config.vectors.find(v => v.name == name && v.ann.isDefined)
+        .flatMap(_ => ivfModel(name)) match {
+        case Some(m) if withQuantCol.columns.contains(config.cellCol(name)) =>
+          val cc = config.cellCol(name)
+          withQuantCol.withColumn(cc,
+            when(target, graft.index.IvfIndex.assignExpr(newVec, m))
+              .otherwise(col(cc)))
+        case _ => withQuantCol
+      }
     case UpdateOp.DeleteVector(name, target) =>
       val c = if (config.sparse.exists(_.name == name)) config.sparseCol(name)
         else config.vectorCol(name)
       val withVec = cur.withColumn(c,
         when(target, lit(null).cast(cur.schema(c).dataType)).otherwise(col(c)))
       val qc = config.quantCol(name)
-      if (!withVec.columns.contains(qc)) withVec
-      else withVec.withColumn(qc,
-        when(target, lit(null).cast(withVec.schema(qc).dataType)).otherwise(col(qc)))
+      val afterQuant =
+        if (!withVec.columns.contains(qc)) withVec
+        else withVec.withColumn(qc,
+          when(target, lit(null).cast(withVec.schema(qc).dataType)).otherwise(col(qc)))
+      val cc = config.cellCol(name)
+      if (!afterQuant.columns.contains(cc)) afterQuant
+      else afterQuant.withColumn(cc,
+        when(target, lit(null).cast("int")).otherwise(col(cc)))
   }
 
   /** Config-routed nearest-k over a declared named vector: metric AND
@@ -336,14 +353,34 @@ final class Collection(
       /** `QuantizationSearchParams.rescore = false` (`types.rs:573-618`):
         * skip the exact second phase — the approx ranking and its scores
         * ARE the result (the reference serves quantized scores then). */
-      rescore: Boolean = true): DataFrame = {
+      rescore: Boolean = true,
+      /** `SearchParams.exact = true`: bypass the declared ANN index (and
+        * quantization, which the caller controls via `quantized`) — full
+        * exact scan. */
+      exact: Boolean = false,
+      /** Per-request nprobe override for a declared [[graft.sources.IvfSpec]]
+        * (`SearchParams.hnsw_ef` — the recall knob). */
+      nprobe: Option[Int] = None): DataFrame = {
     val vc = config.vectorConfig(vectorName)
     val df = read()
     val score = VectorCodec.scoreExpr(
       vc.datatype, vc.metric, col(config.vectorCol(vectorName)), query)
     val guard = col(config.vectorCol(vectorName)).isNotNull
-    val pred = Some(filter.map(f => new FilterCompiler(resolver(df)).compile(f))
-      .fold(guard)(_ && guard))
+    // declared IVF + not-exact: the probe prune is a filter on the table's
+    // PARTITION column, so it lands in PartitionFilters — unprobed cells
+    // are pruned at the directory listing, never scanned. It ANDs with the
+    // payload filter on the same scan, and composes with the quantized
+    // two-phase below (probe-pruned ADC + exact rescore = IVFADC).
+    val annPred: Option[Column] =
+      (if (exact) None else vc.ann).flatMap { spec =>
+        ivfModel(vectorName).map { m =>
+          val cells = m.probe(query, math.min(nprobe.getOrElse(spec.nprobe), m.k))
+          col(config.cellCol(vectorName)).isin(cells: _*)
+        }
+      }
+    val pred = Some(annPred.foldLeft(
+      filter.map(f => new FilterCompiler(resolver(df)).compile(f))
+        .fold(guard)(_ && guard))(_ && _))
     val qc = config.quantCol(vectorName)
     (if (quantized) vc.quantization else None) match {
       case Some(spec) if df.columns.contains(qc) =>
@@ -518,16 +555,17 @@ final class Collection(
     * wire `SearchParams` route a plain Nearest root through the
     * quantization-aware two-phase search; every other shape runs through
     * the generic DAG executor over the decoded table. */
-  def query(json: String): DataFrame = {
+  /** Wire-codec context for this collection's declared schema — shared by
+    * every one-call handler ([[query]], [[queryBatch]], [[queryGroups]]). */
+  private def wireCtx: graft.api.RequestCodec.Ctx = {
     import graft.api.RequestCodec
-    import graft.ops.PointQuery
     val spaces =
       config.vectors.map(vc =>
         vc.name -> RequestCodec.VectorSpace(config.vectorCol(vc.name), vc.metric)).toMap ++
         config.sparse.map(sc =>
           sc.name -> RequestCodec.VectorSpace(config.sparseCol(sc.name),
             graft.model.Dot, sparse = true)).toMap
-    val ctx = RequestCodec.Ctx(spaces,
+    RequestCodec.Ctx(spaces,
       resolveId = id => {
         val vc = config.vectors.find(_.name == "").getOrElse(
           config.vectors.headOption.getOrElse(throw new IllegalArgumentException(
@@ -536,7 +574,60 @@ final class Collection(
           config.vectorCol(vc.name), id)
       },
       shardKeyField = config.shardKeyCol)
-    val q = RequestCodec.parseQueryRequest(json, ctx)
+  }
+
+  def query(json: String): DataFrame = {
+    import graft.api.RequestCodec
+    import graft.ops.PointQuery
+    val q = RequestCodec.parseQueryRequest(json, wireCtx)
+    val hits = executeParsed(q)
+    enrich(hits, org.json4s.jackson.JsonMethods.parse(json))
+  }
+
+  /** `with_payload` / `with_vector` response enrichment (`ScoredPoint`
+    * fields, `types.rs:396-440`; selectors `types.rs:4175-4183`): hits are
+    * ≤ limit rows, so the table streams once against the BROADCAST hit
+    * set — the enrichment join never shuffles the big side. Defaults match
+    * the reference's query API: payload and vector both OFF unless asked. */
+  private def enrich(hits: DataFrame, o: org.json4s.JValue): DataFrame = {
+    import org.json4s._
+    val wpJ = o \ "with_payload"
+    val wvJ = o \ "with_vector"
+    val wantPayload = wpJ != JNothing && wpJ != JNull && wpJ != JBool(false) &&
+      hits.columns.contains(config.idCol) &&
+      !hits.columns.contains(config.payloadCol)
+    val vecNames: Seq[String] = wvJ match {
+      case JBool(true) => config.vectors.map(_.name)
+      case JString(n) => Seq(n)
+      case JArray(xs) => xs.collect { case JString(n) => n }
+      case _ => Nil
+    }
+    val vecCols = vecNames.map(config.vectorCol)
+      .filterNot(hits.columns.contains)
+    if (!wantPayload && vecCols.isEmpty) return hits
+    val table = readDecoded()
+    val side = table.select((config.idCol +:
+      ((if (wantPayload) Seq(config.payloadCol) else Nil) ++ vecCols))
+      .map(col): _*)
+    // rank ordinal BEFORE the join: a limit'd result is one partition, so
+    // monotonically_increasing_id follows its row order; the final orderBy
+    // restores the ranking the join does not preserve
+    val ordered = hits.withColumn("_ord", monotonically_increasing_id())
+    val joined = side.join(broadcast(ordered), Seq(config.idCol))
+      .select((hits.columns :+ "_ord").map(col) ++
+        (if (wantPayload) Seq(col(config.payloadCol)) else Nil) ++
+        vecCols.map(col): _*)
+    val sel = joined.orderBy(col("_ord")).drop("_ord")
+    if (!wantPayload) sel
+    else graft.api.RequestCodec.parseWithPayload(wpJ) match {
+      case Some(f) => sel.withColumn(config.payloadCol,
+        f(col(config.payloadCol)))
+      case None => sel.drop(config.payloadCol)
+    }
+  }
+
+  private def executeParsed(q: graft.ops.PointQuery.Query): DataFrame = {
+    import graft.ops.PointQuery
     // strict-mode gate BEFORE execution (`query_api.rs:31-110`,
     // `operations/verification/`): the declared collection limits reject
     // over-limit requests with the reference's 403 semantics
@@ -545,14 +636,17 @@ final class Collection(
     (q.scoring, q.prefetches) match {
       case (PointQuery.Nearest(vcol, _, qv), Nil)
           if config.vectors.exists(vc =>
-            config.vectorCol(vc.name) == vcol && vc.quantization.isDefined) =>
+            config.vectorCol(vc.name) == vcol &&
+              (vc.quantization.isDefined || vc.ann.isDefined)) =>
         val name = config.vectors
           .find(vc => config.vectorCol(vc.name) == vcol).get.name
         val sp = q.params.getOrElse(PointQuery.SearchParams())
         knn(name, qv, q.filter, q.limit, q.offset, q.scoreThreshold,
           quantized = !(sp.exact || sp.quantIgnore),
           oversampling = sp.oversampling.getOrElse(3.0),
-          rescore = sp.rescore)
+          rescore = sp.rescore,
+          exact = sp.exact,
+          nprobe = sp.hnswEf)
       case (PointQuery.SparseStructQ(scol, qi, qv), Nil) =>
         val name = config.sparse
           .find(sc => config.sparseCol(sc.name) == scol).get.name
@@ -580,6 +674,165 @@ final class Collection(
     }
   }
 
+  /** `POST /collections/{c}/points/query/batch` (`QueryRequestBatch`):
+    * independent requests answered in one call, each through the same
+    * routing as [[query]] (fast paths included); results union tagged by
+    * request position in `req`. */
+  def queryBatch(json: String): DataFrame = {
+    import graft.api.RequestCodec
+    val searches = RequestCodec.arr(
+      org.json4s.jackson.JsonMethods.parse(json) \ "searches")
+    require(searches.nonEmpty, "query batch must carry at least one search")
+    searches.zipWithIndex.map { case (node, i) =>
+      query(org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(node)))
+        .withColumn("req", lit(i))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** `POST /collections/{c}/points/count` (`count_api.rs:17`; `exact`
+    * parsed and ignored — counts are always exact here). */
+  def count(json: String): DataFrame = {
+    val f = graft.api.RequestCodec.parseCountRequest(json)
+    val df = read()
+    f.foreach(fl => config.strictMode.foreach(sm =>
+      graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
+    graft.ops.Reads.count(df, f, resolver(df))
+  }
+
+  /** `POST /collections/{c}/facet` (`FacetRequestInternal`). */
+  def facet(json: String): DataFrame = {
+    val spec = graft.api.RequestCodec.parseFacetRequest(json)
+    val df = read()
+    spec.filter.foreach(fl => config.strictMode.foreach(sm =>
+      graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
+    graft.ops.Reads.facet(df, config.idCol, spec.key, spec.filter,
+      resolver(df), spec.limit)
+  }
+
+  /** `POST /collections/{c}/points/scroll` (`ScrollRequest`): by-id keyset
+    * page, or order-by-payload-field with `start_from` cursor. An order_by
+    * key orders by the `idx_` projection column when the field index
+    * exists, else by the declared-type payload extraction (same scan
+    * either way — no extra pass). Returns id + payload. */
+  def scroll(json: String): DataFrame = {
+    val spec = graft.api.RequestCodec.parseScrollRequest(json)
+    val df = readDecoded()
+    spec.filter.foreach(fl => config.strictMode.foreach(sm =>
+      graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
+    val proj = Seq(config.idCol) ++
+      (if (df.columns.contains(config.payloadCol)) Seq(config.payloadCol) else Nil)
+    spec.orderBy match {
+      case None =>
+        graft.ops.Reads.scrollById(df, config.idCol, spec.filter, resolver(df),
+          spec.offset, spec.limit, proj)
+      case Some(ob) =>
+        val r = resolver(df)
+        val obCol =
+          if (df.columns.contains(s"idx_${ob.field}")) col(s"idx_${ob.field}")
+          else if (df.columns.contains(ob.field)) col(ob.field)
+          else r.scalarValue(ob.field)
+            .orElse(r.dataTypeOf(ob.field).map(t =>
+              get_json_object(col(config.payloadCol), "$." + ob.field).cast(t)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"order_by key '${ob.field}' needs a declared payload type, " +
+                "a field index, or a physical column"))
+        val wdf = df.withColumn("_ob", obCol)
+        graft.ops.Reads.scrollByField(wdf, config.idCol, "_ob", ob.asc,
+          spec.filter, resolver(wdf), ob.startFrom, spec.limit, proj)
+    }
+  }
+
+  /** `POST /collections/{c}/points` retrieve-by-ids with the
+    * `with_payload` selector surface (`retrieve_api.rs:132`). Vectors come
+    * back decoded (API boundary contract). */
+  def retrievePoints(json: String): DataFrame = {
+    val spec = graft.api.RequestCodec.parseRetrieveRequest(json)
+    val df = readDecoded()
+    val base = graft.ops.Reads.retrieve(df, config.idCol, spec.ids,
+      df.columns.toSeq)
+    spec.withPayload match {
+      case Some(sel) if df.columns.contains(config.payloadCol) =>
+        base.withColumn(config.payloadCol, sel(col(config.payloadCol)))
+      case None if df.columns.contains(config.payloadCol) =>
+        base.drop(config.payloadCol)
+      case _ => base
+    }
+  }
+
+  /** `POST /collections/{c}/points/query/groups`
+    * (`QueryGroupsRequestInternal`): per-group top `group_size` hits over
+    * the scoring root, `limit` groups. Supported roots are the scorable
+    * leaves (nearest / sparse / multivector MaxSim); DAG-shaped roots
+    * (fusion/formula) reject loudly like the reference's validation.
+    * `with_lookup` resolves through `lookupTable` (a catalog hook — tests
+    * pass a sibling-collection loader). */
+  def queryGroups(json: String,
+      lookupTable: String => DataFrame = n =>
+        throw new IllegalArgumentException(
+          s"with_lookup collection '$n' needs a lookupTable resolver")): DataFrame = {
+    import graft.ops.PointQuery
+    val spec = graft.api.RequestCodec.parseGroupRequest(json, wireCtx)
+    config.strictMode.foreach(sm =>
+      graft.api.StrictMode.verifyQuery(spec.query, sm, config.payloadTypes.keySet))
+    val df = readDecoded()
+    val scoreExpr = spec.query.scoring match {
+      case PointQuery.Nearest(vcol, metric, qv) =>
+        graft.ops.Search.scoreExpr(metric, col(vcol), typedLit(qv))
+      case PointQuery.MaxSimQ(vcol, metric, qm) =>
+        graft.functions.VectorFunctions.maxSim(metric, col(vcol), qm)
+      case PointQuery.SparseStructQ(scol, qi, qv) =>
+        graft.functions.VectorFunctions.sparseDot(
+          col(scol)("indices"), col(scol)("values"), qi, qv)
+      case other => throw new IllegalArgumentException(
+        s"group_by does not support this query shape: $other")
+    }
+    val largerBetter = spec.query.scoring match {
+      case PointQuery.Nearest(_, m, _) => m.largerBetter
+      case PointQuery.MaxSimQ(_, m, _) => m.largerBetter
+      case _ => true
+    }
+    val grouped = graft.ops.GroupBy.groupBySearch(df, config.idCol, scoreExpr,
+      largerBetter, spec.groupBy, resolver(df), spec.query.filter,
+      spec.groupSize, spec.groups, keepGroupRank = true)
+    spec.lookupCollection match {
+      case None => grouped
+      case Some(name) =>
+        val lk = lookupTable(name)
+        graft.ops.GroupBy.withLookup(grouped,
+          lk.withColumnRenamed(lk.columns.head, "_lk"), "_lk",
+          lk.columns.tail.toSeq)
+    }
+  }
+
+  /** `POST /collections/{c}/points/search/matrix/pairs` (+`offsets` via
+    * the flag) — `SearchMatrixRequestInternal`: a deterministic `sample`
+    * of matching points (seeded hash order, the engine's sampling
+    * contract), `limit` nearest neighbors per sampled point. */
+  def searchMatrix(json: String, offsets: Boolean = false): DataFrame = {
+    val spec = graft.api.RequestCodec.parseMatrixRequest(json)
+    val name = spec.using.getOrElse("")
+    val vc = config.vectorConfig(name)
+    val df = readDecoded()
+    spec.filter.foreach(fl => config.strictMode.foreach(sm =>
+      graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
+    val base = spec.filter
+      .map(f => df.filter(pred(df, f))).getOrElse(df)
+      .filter(col(config.vectorCol(name)).isNotNull)
+    // deterministic bounded sample (the reference samples `sample` random
+    // points, `distance_matrix.rs:42-44`); ids collect driver-side,
+    // bounded by the request parameter
+    val ids = base.select(col(config.idCol))
+      .orderBy(xxhash64(col(config.idCol)), col(config.idCol))
+      .limit(spec.sample).collect().map(_.get(0)).toSeq
+    val pairs = graft.ops.DistanceMatrix.pairs(df, config.idCol,
+      config.vectorCol(name), vc.metric,
+      samplePred = col(config.idCol).isin(ids: _*),
+      limitPerSample = spec.limit)
+    if (offsets) graft.ops.DistanceMatrix.offsets(pairs, vc.metric.largerBetter)
+    else pairs
+  }
+
   /** PATCH `/collections/{c}` config update (`UpdateCollection`,
     * `lib/storage/src/content_manager/collection_meta_ops.rs:119-135`;
     * `tests/openapi/test_collection_update.py`,
@@ -602,10 +855,19 @@ final class Collection(
     val next = new Collection(spark, path, nc)
     val quantChanged = nc.vectors.map(v => v.name -> v.quantization).toMap !=
       config.vectors.map(v => v.name -> v.quantization).toMap
-    if (quantChanged) {
+    val annChanged = nc.vectors.map(v => v.name -> v.ann).toMap !=
+      config.vectors.map(v => v.name -> v.ann).toMap
+    if (quantChanged || annChanged) {
       val cur = read()
-      val stripped = cur.columns.filter(_.startsWith("quant_")).foldLeft(cur)(_ drop _)
-      val params = Collection.fitQuantParams(nc, stripped)
+      val stripped = cur.columns
+        .filter(c => c.startsWith("quant_") || c.startsWith("ivfcell_"))
+        .foldLeft(cur)(_ drop _)
+      // quantization columns: refit when the quant spec changed, else
+      // re-materialize from the EXISTING persisted params (an ann-only
+      // PATCH must not silently re-fit the quantization space)
+      val params =
+        if (quantChanged) Collection.fitQuantParams(nc, stripped)
+        else quantParams
       val withQuant = nc.vectors.filter(_.quantization.isDefined)
         .foldLeft(stripped) { (acc, vc) =>
           val vcol = nc.vectorCol(vc.name)
@@ -615,8 +877,32 @@ final class Collection(
               Collection.quantEncodeExpr(vc, params(vc.name), col(vcol)))
               .otherwise(lit(null)))
         }
-      next.write(withQuant)
-      next.writeQuantParams(params)
+      // IVF: retrain on the CURRENT corpus when the spec changed (the
+      // reference re-optimizes segments in the background after an index
+      // PATCH); unchanged specs keep their persisted centroids so cell
+      // ids stay stable across the rewrite
+      val withCells = nc.vectors.filter(_.ann.isDefined)
+        .foldLeft(withQuant) { (acc, vc) =>
+          val vcol = nc.vectorCol(vc.name)
+          if (!acc.columns.contains(vcol)) acc
+          else {
+            val specChanged = config.vectors.find(_.name == vc.name)
+              .forall(_.ann != vc.ann)
+            val m =
+              if (specChanged)
+                graft.index.IvfIndex.buildAndPersist(
+                  stripped, vcol, vc.ann.get.cells, next.ivfPath(vc.name))
+              else next.ivfModel(vc.name).getOrElse(
+                graft.index.IvfIndex.buildAndPersist(
+                  stripped, vcol, vc.ann.get.cells, next.ivfPath(vc.name)))
+            acc.withColumn(nc.cellCol(vc.name),
+              when(col(vcol).isNotNull,
+                graft.index.IvfIndex.assignExpr(col(vcol), m))
+                .otherwise(lit(null).cast("int")))
+          }
+        }
+      next.write(withCells)
+      if (quantChanged) next.writeQuantParams(params)
     }
     next
   }
@@ -707,7 +993,7 @@ final class Collection(
       val nonNull = df.filter(col(c).isNotNull)
       val total = nonNull.count()
       val dfs = nonNull.select(explode(col(s"$c.indices")).as("dim"))
-        .groupBy(col("dim")).agg(count(lit(1)).as("df"))
+        .groupBy(col("dim")).agg(org.apache.spark.sql.functions.count(lit(1)).as("df"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       n -> (total, dfs)
     }.toMap
@@ -771,6 +1057,35 @@ final class Collection(
       }
     }
 
+  // ------------------------------------------------------- IVF ANN
+
+  /** Centroid-model artifact path for a declared [[graft.sources.IvfSpec]]
+    * vector — trained at create/PATCH (the index-build job), persisted
+    * beside the table like `_quant.json`. */
+  private[graft] def ivfPath(name: String): String =
+    path + s"_ivf_${config.vectorCol(name)}.txt"
+
+  /** Persisted IVF cell model for a named vector (None when the artifact
+    * is missing — e.g. a pre-existing table opened with a new ann spec
+    * before any PATCH rewrite). */
+  private[graft] def ivfModel(name: String): Option[graft.index.IvfIndex.Model] =
+    graft.index.IvfIndex.loadCached(ivfPath(name))
+
+  /** (Re)assign IVF cell columns for incoming rows from the PERSISTED
+    * centroids (never retrain — a micro-batch must land in the same cell
+    * space as the existing partitions). */
+  private def attachIvf(df: DataFrame): DataFrame =
+    config.vectors.filter(_.ann.isDefined).foldLeft(df) { (acc, vc) =>
+      val vcol = config.vectorCol(vc.name)
+      (if (acc.columns.contains(vcol)) ivfModel(vc.name) else None) match {
+        case Some(m) =>
+          acc.withColumn(config.cellCol(vc.name),
+            when(col(vcol).isNotNull, graft.index.IvfIndex.assignExpr(col(vcol), m))
+              .otherwise(lit(null).cast("int")))
+        case None => acc
+      }
+    }
+
   /** Collection statistics + declared schema — the `GET /collections/{c}`
     * surface (`CollectionInfo`, `lib/collection/src/operations/types.rs:215`):
     * status, points_count, indexed_vectors_count (every stored vector is
@@ -786,7 +1101,7 @@ final class Collection(
     val df = read()
     val vecCols = config.vectors.map(vc => config.vectorCol(vc.name))
       .filter(df.columns.contains)
-    val aggs = count(lit(1)).as("points_count") +:
+    val aggs = org.apache.spark.sql.functions.count(lit(1)).as("points_count") +:
       vecCols.zipWithIndex.map { case (c, i) =>
         sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"_v$i") }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -881,13 +1196,43 @@ object Collection {
             quantEncodeExpr(vc, params(vc.name), col(vcol)))
             .otherwise(lit(null)))
       }
-    val w = withQuant.write.mode(SaveMode.Overwrite)
-    config.shardKeyCol.fold(w)(k => w.partitionBy(k)).parquet(path)
+    // declared IVF: train centroids on the initial corpus (always a fresh
+    // fit — create replaces the data, a stale model must not leak in),
+    // persist beside the table, and materialize the cell column the write
+    // below PARTITIONS by — the physical layout a probe query prunes.
+    val coll0 = new Collection(spark, path, config)
+    val withCells = config.vectors.filter(_.ann.isDefined)
+      .foldLeft(withQuant) { (acc, vc) =>
+        val vcol = config.vectorCol(vc.name)
+        if (!acc.columns.contains(vcol)) acc
+        else {
+          require(vc.datatype == Float32,
+            s"ann index on '${vc.name}' requires Float32 storage (got ${vc.datatype})")
+          val m = graft.index.IvfIndex.buildAndPersist(
+            points, vcol, vc.ann.get.cells, coll0.ivfPath(vc.name))
+          acc.withColumn(config.cellCol(vc.name),
+            when(col(vcol).isNotNull, graft.index.IvfIndex.assignExpr(col(vcol), m))
+              .otherwise(lit(null).cast("int")))
+        }
+      }
+    val w = withCells.write.mode(SaveMode.Overwrite)
+    val pc = partitionCols(config, withCells.columns)
+    (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(path)
     val coll = new Collection(spark, path, config)
     if (params.nonEmpty) coll.writeQuantParams(params)
     coll.refreshSparseIdfStats()
     coll
   }
+
+  /** Physical partition columns of the stored table: the shard key (when
+    * custom sharding is declared) then every IVF cell column — so a
+    * shard_key selector AND a probe filter both prune parquet directories
+    * before any row is read. */
+  private[storage] def partitionCols(
+      config: CollectionConfig, columns: Seq[String]): Seq[String] =
+    (config.shardKeyCol.toSeq ++
+      config.vectors.filter(_.ann.isDefined).map(vc => config.cellCol(vc.name)))
+      .filter(columns.contains)
 
   // ------------------------------------------------------- quantization
 

@@ -387,7 +387,7 @@ class CodecSpec extends AnyFunSuite {
         |                     "oversampling": 2.5}}}""".stripMargin, ctx)
     assert(q.params.contains(SearchParams(
       exact = true, quantIgnore = false, rescore = false,
-      oversampling = Some(2.5))))
+      oversampling = Some(2.5), hnswEf = Some(128))))
     val bare = RequestCodec.parseQueryRequest(
       """{"query": [1.0, 2.0], "limit": 5}""", ctx)
     assert(bare.params.isEmpty)

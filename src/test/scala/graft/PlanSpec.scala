@@ -193,6 +193,30 @@ class PlanSpec extends SparkTestBase {
     assert(probed.collect().map(_.getLong(0)).toSeq == expect)
   }
 
+  test("config-routed IVF: probe is a PartitionFilter, exact=true bypasses it") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfc").toString + "/pts"
+    val cfg = graft.sources.CollectionConfig(
+      idCol = "vec_id",
+      vectors = Seq(graft.sources.VectorConfig("", 64, Dot,
+        ann = Some(graft.sources.IvfSpec(cells = 4, nprobe = 1)))))
+    val coll = graft.storage.Collection.create(spark, path, cfg,
+      e.select(col("vec_id"), col("embedding").as("vector")))
+    val q = Tables.embeddingOf(spark, sf, 7L)
+    val p = plan(coll.knn("", q, k = 5))
+    assert(p.contains("PartitionFilters: [") && p.contains("ivfcell_vector"),
+      "declared-IVF probe did not become a partition filter:\n" + p.takeRight(900))
+    val pExact = plan(coll.knn("", q, k = 5, exact = true))
+    assert(!pExact.matches("(?s).*PartitionFilters: \\[[^\\]]*ivfcell[^\\]]*\\].*"),
+      "exact=true must not prune cells:\n" + pExact.takeRight(900))
+    // nprobe = cells ≡ full coverage: same ids as the exact scan
+    val all = coll.knn("", q, k = 5, nprobe = Some(4))
+      .collect().map(_.getLong(0)).toSeq
+    val exact = coll.knn("", q, k = 5, exact = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == exact)
+  }
+
   test("scroll page walk visits every matching point exactly once") {
     val d = Tables.load(spark, sf, "documents")
     val r = new graft.filters.TypedResolver(d.schema, "doc_id")

@@ -576,6 +576,38 @@ class StoreSpec extends SparkTestBase {
     assert(cities(5L).contains("Oslo"), "conditional update_only must skip non-matching id 5")
   }
 
+  test("IVF cell column stays in lockstep through upsert/update/delete vector") {
+    import spark.implicits._
+    import graft.sources.{CollectionConfig, IvfSpec, VectorConfig}
+    val path = tmpDir()
+    val cfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 4, Dot, ann = Some(IvfSpec(cells = 2, nprobe = 1)))))
+    val c = graft.storage.Collection.create(spark, path, cfg, Seq(
+      (1L, Seq(10f, 0f, 0f, 0f)), (2L, Seq(9f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 10f, 0f)), (4L, Seq(0f, 1f, 9f, 0f)),
+    ).toDF("id", "vector"))
+    def cells(): Map[Long, Any] = c.read().select("id", "ivfcell_vector")
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val c0 = cells()
+    assert(c0.values.forall(_ != null) && c0.values.toSet.size == 2,
+      s"expected 2 populated cells, got $c0")
+    // upsert lands in the SAME cell as its nearest neighbors (persisted
+    // centroids, no retrain)
+    c.upsert(Seq((5L, Seq(10f, 1f, 0f, 0f))).toDF("id", "vector"))
+    assert(cells()(5L) == c0(1L), "micro-batch must assign cells from the persisted model")
+    // a vector update across the space MOVES the row's cell
+    c.updateVector("", org.apache.spark.sql.functions.typedlit(Seq(0f, 0f, 10f, 1f)),
+      col("id") === 5L)
+    assert(cells()(5L) == c0(3L), "updated vector must re-assign its cell")
+    // delete vector nulls the cell alongside
+    c.deleteVector("", col("id") === 5L)
+    assert(cells()(5L) == null)
+    // and the probe search still finds everyone else
+    val ids = c.knn("", Seq(10.0, 0.0, 0.0, 0.0), k = 2, nprobe = Some(2))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L))
+  }
+
   test("applyBatch folds N ops into exactly ONE table rewrite") {
     import spark.implicits._
     import graft.storage.UpdateOp
