@@ -143,6 +143,24 @@ object ScaleProbe {
       }),
     )
 
+  /** Config-routed IVFADC at scale: 64-cell IVF + PQ x16 over every
+    * generated embedding. `_build` times the index-build job (centroid +
+    * codebook training, cell-partitioned table write); `_probe` the
+    * default nprobe=4 two-phase search (cell-pruned ADC scan → exact
+    * rescore — reads ~4/64 of the table from disk); `_exact` the
+    * params.exact bypass (full scan) over the SAME table — the probe/exact
+    * ratio is the number the partitioned layout buys. */
+  private def scaledIvfCfg = {
+    import graft.sources._
+    CollectionConfig(idCol = "vec_id",
+      vectors = Seq(VectorConfig("", 64, graft.model.Dot,
+        quantization = Some(QuantizationSpec("product")),
+        ann = Some(IvfSpec(cells = 64, nprobe = 4)))))
+  }
+  private val scaledIvfPath = "/tmp/graft_runtime/scale_ivfadc"
+  private def scaledIvf(s: SparkSession): graft.storage.Collection =
+    new graft.storage.Collection(s, scaledIvfPath, scaledIvfCfg)
+
   /** Scaled mutation workload: seed = every generated document, then
     * upsert 10% with a new source, delete one language, merge a payload
     * flag — one end-to-end number for the write path at scale. */
@@ -204,6 +222,18 @@ object ScaleProbe {
 
     def run(n: String): Unit = n match {
       case "mutation_scaled" => mutationScaled(spark, outDir).count(): Unit
+      case "ivf_collection_scaled_build" =>
+        graft.storage.Collection.create(spark, scaledIvfPath, scaledIvfCfg,
+          Tables.load(spark, outDir, "embeddings")
+            .select(col("vec_id"), col("embedding").as("vector")))
+          .read().select("vec_id").count(): Unit
+      case "ivf_collection_scaled_probe" =>
+        scaledIvf(spark)
+          .knn("", Tables.embeddingOf(spark, outDir, 7L), k = 10).count(): Unit
+      case "ivf_collection_scaled_exact" =>
+        scaledIvf(spark)
+          .knn("", Tables.embeddingOf(spark, outDir, 7L), k = 10, exact = true)
+          .count(): Unit
       case q => operatorOnly.getOrElse(q, SparkEntry.queries(q))(spark, outDir).count(): Unit
     }
     def time(n: String): Either[String, Double] = {
@@ -213,7 +243,9 @@ object ScaleProbe {
     }
 
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSet)
-    val names = (subset ++ Seq("simhash_pairs_h16", "mutation_scaled", "cc_chain_1m"))
+    val names = (subset ++ Seq("simhash_pairs_h16", "mutation_scaled", "cc_chain_1m",
+      "ivf_collection_scaled_build", "ivf_collection_scaled_probe",
+      "ivf_collection_scaled_exact"))
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(n)).toMap
     val warm = (1 to warmReps).map(_ => names.map(n => n -> time(n)).toMap)

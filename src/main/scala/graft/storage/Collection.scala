@@ -95,8 +95,13 @@ final class Collection(
   private def write(df: DataFrame): Unit = {
     rewriteCount += 1
     val tmp = path + "__tmp"
-    val w = df.write.mode(SaveMode.Overwrite)
     val pc = Collection.partitionCols(config, df.columns)
+    // hash-repartition on the partition columns first: one task owns each
+    // key, so every partition directory gets O(1) files instead of one per
+    // write task (64 cells × 32 tasks = 2048 tiny files otherwise — the
+    // file-listing overhead was measured to swamp the probe pruning win)
+    val laid = if (pc.isEmpty) df else df.repartition(pc.map(col): _*)
+    val w = laid.write.mode(SaveMode.Overwrite)
     (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -418,7 +423,12 @@ final class Collection(
           val approxK = math.max(k + offset, ((k + offset) * oversampling).toInt)
           val approx = graft.ops.Search.scoredTopK(df, config.idCol,
             approxScore, approxLargerBetter, pred, k = approxK)
-          val cands = df.join(approx.select(config.idCol), Seq(config.idCol), "left_semi")
+          // rescore candidates live inside the probed cells by construction
+          // — prune the second scan to the same partitions (without this
+          // the rescore semi-join re-lists and re-reads EVERY cell)
+          val rescanBase = annPred.fold(df)(df.filter)
+          val cands = rescanBase.join(
+            approx.select(config.idCol), Seq(config.idCol), "left_semi")
           graft.ops.Search.scoredTopK(cands, config.idCol, score,
             vc.metric.largerBetter, None, k, offset, scoreThreshold)
         }
@@ -1215,8 +1225,12 @@ object Collection {
               .otherwise(lit(null).cast("int")))
         }
       }
-    val w = withCells.write.mode(SaveMode.Overwrite)
     val pc = partitionCols(config, withCells.columns)
+    // one task per partition key → O(1) files per partition directory
+    // (see Collection.write — same layout rule)
+    val laid = if (pc.isEmpty) withCells
+      else withCells.repartition(pc.map(col): _*)
+    val w = laid.write.mode(SaveMode.Overwrite)
     (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(path)
     val coll = new Collection(spark, path, config)
     if (params.nonEmpty) coll.writeQuantParams(params)
