@@ -113,6 +113,38 @@ object EndpointQueries {
           col("grp_rank").cast("long").as("grp_rank"), col("lookup_name"))
         .orderBy(col("grp_rank"), col("rank"))
     }),
+    // catalog-dispatched query with lookup_from: the recommend ids resolve
+    // against a SIBLING catalog collection (named vector + shard_key
+    // pruned), mirroring the hand-wired recommend_lookup_from_shard /
+    // api_query_lookup_from fixtures — same oracle, so the catalog wiring
+    // must reproduce their rows exactly
+    "catalog_query_lookup_from" -> ((s, dir) => {
+      val root = "/tmp/graft_runtime/cat_lkp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = new graft.storage.Catalog(s, root)
+      val e = Tables.load(s, dir, "embeddings")
+      if (!cat.exists("docs"))
+        cat.create("docs", CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("", 64, Dot))),
+          e.select(col("vec_id"), col("embedding").as("vector")))
+      if (!cat.exists("queries")) {
+        val lookup = e.filter(col("vec_id") < 100)
+          .select(lit("a").as("shard_key"), (col("vec_id") + 10000).as("qid"),
+            col("embedding").as("vector_vec"))
+          .unionByName(e.filter(col("vec_id") >= 50 && col("vec_id") < 150)
+            .select(lit("b").as("shard_key"), (col("vec_id") + 9950).as("qid"),
+              col("embedding").as("vector_vec")))
+        cat.create("queries", CollectionConfig(idCol = "qid",
+          vectors = Seq(VectorConfig("vec", 64, Dot)),
+          shardKeyCol = Some("shard_key")), lookup)
+      }
+      cat.query("docs",
+        """{"query": {"recommend": {
+          |    "positive": [10001, 10003], "negative": [10005],
+          |    "strategy": "average_vector"}},
+          |  "lookup_from": {
+          |    "collection": "queries", "vector": "vec", "shard_key": ["b"]},
+          |  "limit": 10}""".stripMargin)
+    }),
     // query with with_payload include selector + with_vector: the response
     // enrichment join (broadcast hit set, table streams once) — payload
     // comes back selector-filtered, the vector decoded
@@ -137,6 +169,7 @@ object EndpointQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "catalog_query_lookup_from" -> RankQueries.oracles("recommend_lookup_from_shard"),
     "collection_count_endpoint" ->
       """SELECT count(*)::BIGINT AS cnt
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id

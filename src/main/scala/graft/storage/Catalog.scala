@@ -74,6 +74,33 @@ final class Catalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** `POST /collections/{name}/points/query` with catalog-resolved
+    * `lookup_from` (`LookupLocation`, `schema.rs:608-613`): vector-input
+    * ids on the request resolve against the NAMED sibling collection —
+    * its declared named vector and, when it is custom-sharded, only the
+    * selected shard-key partitions (a directory-pruned point read). This
+    * is the dispatcher-level wiring of the reference (`query.rs:456-546`
+    * resolves lookups through the table-of-content). */
+  def query(name: String, json: String): DataFrame =
+    get(name).query(json, Some((lf, id) => {
+      val other = get(lf.collection)
+      val vcol = other.config.vectorCol(lf.vector.getOrElse(""))
+      val df = other.readDecoded()
+      (other.config.shardKeyCol, lf.shardKeys) match {
+        case (Some(sk), keys) if keys.nonEmpty =>
+          graft.Tables.embeddingFromShards(df, sk, keys,
+            other.config.idCol, vcol, id)
+        case _ =>
+          graft.Tables.embeddingFrom(df, other.config.idCol, vcol, id)
+      }
+    }))
+
+  /** `POST /points/query/groups` with the lookup collection resolved
+    * through the catalog ([[Collection.queryGroups]] `with_lookup`). */
+  def queryGroups(name: String, json: String): DataFrame =
+    get(name).queryGroups(json,
+      lookupTable = n => get(aliases.resolve(n)).readDecoded())
+
   /** PATCH /collections/{name}: persist the updated config (the caller
     * builds it via `RequestCodec.parseCollectionUpdate`) and apply any
     * rewrite-needing diff through [[Collection.updateConfig]]. */
@@ -127,7 +154,9 @@ object Catalog {
         "metric" -> JString(v.metric.toString),
         "multivector" -> JBool(v.multivector),
         "datatype" -> JString(v.datatype.toString)) ++
-        v.quantization.map(q => "quantization" -> quant(q)).toList))),
+        v.quantization.map(q => "quantization" -> quant(q)).toList ++
+        v.ann.map(a => "ann" -> (JObject(
+          "cells" -> JInt(a.cells), "nprobe" -> JInt(a.nprobe)): JValue)).toList))),
       "sparse" -> JArray(c.sparse.toList.map(sc => JObject(List(
         "name" -> JString(sc.name)) ++
         sc.modifier.map(m => "modifier" -> (JString(m): JValue)).toList))),
@@ -180,6 +209,11 @@ object Catalog {
             case q: JObject => Some(QuantizationSpec(
               kind = str(q \ "kind"), encoding = str(q \ "encoding"),
               quantile = dbl(q \ "quantile"), compression = str(q \ "compression")))
+            case _ => None
+          },
+          ann = (v \ "ann") match {
+            case a: JObject => Some(graft.sources.IvfSpec(
+              cells = int(a \ "cells"), nprobe = int(a \ "nprobe")))
             case _ => None
           })
       }

@@ -586,10 +586,18 @@ final class Collection(
       shardKeyField = config.shardKeyCol)
   }
 
-  def query(json: String): DataFrame = {
+  def query(json: String): DataFrame = query(json, None)
+
+  /** [[query]] with a `lookup_from` resolver — wired by a host that owns a
+    * table catalog ([[Catalog.query]] installs sibling-collection
+    * resolution). */
+  def query(json: String,
+      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any) => Seq[Double]])
+      : DataFrame = {
     import graft.api.RequestCodec
-    import graft.ops.PointQuery
-    val q = RequestCodec.parseQueryRequest(json, wireCtx)
+    val ctx0 = wireCtx
+    val ctx = lookupResolve.fold(ctx0)(f => ctx0.copy(resolveLookup = f))
+    val q = RequestCodec.parseQueryRequest(json, ctx)
     val hits = executeParsed(q)
     enrich(hits, org.json4s.jackson.JsonMethods.parse(json))
   }

@@ -22,7 +22,8 @@ class CatalogSpec extends SparkTestBase {
       idCol = "pid", payloadCol = "meta",
       vectors = Seq(
         VectorConfig("", 64, Dot,
-          quantization = Some(QuantizationSpec("product", compression = "x32"))),
+          quantization = Some(QuantizationSpec("product", compression = "x32")),
+          ann = Some(graft.sources.IvfSpec(cells = 64, nprobe = 6))),
         VectorConfig("img", 8, Cosine, multivector = true, datatype = Float16),
         VectorConfig("u", 4, Euclid, datatype = Uint8,
           quantization = Some(QuantizationSpec("scalar", quantile = 0.99))),
