@@ -615,6 +615,54 @@ object RequestCodec {
       })
   }
 
+  /** Legacy endpoint bodies (`POST /points/{search,recommend,discover}`
+    * and their `/batch` forms — `SearchRequestInternal` etc.,
+    * `lib/collection/src/operations/types.rs:539-780`) rewritten to the
+    * universal query body. The reference still serves these deprecated
+    * routes; a client migrating to graft keeps its old request shapes.
+    * Maps: `vector` (raw array or `{name, vector}`) → `query.nearest` +
+    * `using`; recommend/discover fields → the matching `query.*` object;
+    * the `top` alias → `limit`; filter, params, offset, threshold,
+    * with_payload/with_vector, lookup_from, shard_key pass through
+    * untouched. */
+  def legacyToQuery(json: String, kind: String): String = {
+    val o = JsonMethods.parse(json) match {
+      case obj: JObject => obj
+      case other => fail(s"legacy $kind body must be an object, got $other")
+    }
+    val fields = o.obj.toMap
+    def keep(k: String): List[(String, JValue)] =
+      fields.get(k).filter(v => v != JNull && v != JNothing).map(k -> _).toList
+    def inner(ks: Seq[String]): JObject = JObject(ks.flatMap(keep).toList)
+    val (queryField: JValue, usingFromVector) = kind match {
+      case "search" => fields.getOrElse("vector",
+        fail("legacy search body needs a vector")) match {
+        case arr: JArray => (JObject("nearest" -> arr), Nil)
+        case nv: JObject =>
+          (JObject("nearest" -> (nv \ "vector")),
+            List("using" -> (nv \ "name")))
+        case other => fail(s"bad legacy vector: $other")
+      }
+      case "recommend" =>
+        (JObject("recommend" -> inner(Seq("positive", "negative", "strategy"))), Nil)
+      case "discover" =>
+        (JObject("discover" -> inner(Seq("target", "context"))), Nil)
+      case other => fail(s"unknown legacy endpoint '$other'")
+    }
+    val limit = fields.get("limit").orElse(fields.get("top"))
+      .getOrElse(fail(s"legacy $kind body needs limit/top"))
+    // with_vectors is a serde alias of with_vector on the legacy routes
+    val wv = keep("with_vector") match {
+      case Nil => keep("with_vectors").map { case (_, v) => "with_vector" -> v }
+      case l => l
+    }
+    val pass = Seq("filter", "params", "offset", "score_threshold",
+      "with_payload", "using", "lookup_from", "shard_key").flatMap(keep).toList
+    JsonMethods.compact(JsonMethods.render(JObject(
+      ("query" -> queryField) :: ("limit" -> limit) ::
+        (usingFromVector ++ wv ++ pass))))
+  }
+
   /** `POST /collections/{c}/points/query/batch` body
     * (`QueryRequestBatch { searches: Vec<QueryRequest> }`): independent
     * requests answered in one round trip. Returns them in order; execution

@@ -98,6 +98,39 @@ object PointQuery {
       scoreThreshold: Option[Double] = None,
       params: Option[SearchParams] = None)
 
+  /** Score expression + larger-better orientation for a scoring LEAF —
+    * shared by the DAG executor and the group-by endpoint (any scorable
+    * root can group, `query/groups` over nearest/recommend/discover/
+    * context/feedback/maxsim/sparse). */
+  private[graft] def scoringExpr(s: Scoring): (Column, Boolean) = s match {
+    case Nearest(vc, m, qv) =>
+      (Search.scoreExpr(m, col(vc), typedLit(qv)), m.largerBetter)
+    case RecommendAvg(vc, m, pos, neg) =>
+      (Search.scoreExpr(m, col(vc), typedLit(Search.recommendAvgVector(pos, neg))),
+        m.largerBetter)
+    case RecommendBest(vc, m, pos, neg) =>
+      (Search.bestScoreExpr(m, col(vc), pos, neg), true)
+    case RecommendSum(vc, m, pos, neg) =>
+      (Search.sumScoresExpr(m, col(vc), pos, neg), true)
+    case DiscoverQ(vc, m, t, pairs) =>
+      (Search.discoverExpr(m, col(vc), t, pairs), true)
+    case ContextQ(vc, m, pairs) =>
+      (Search.contextExpr(m, col(vc), pairs), true)
+    case MaxSimQ(vc, m, qvs) =>
+      (graft.functions.VectorFunctions.maxSim(m, col(vc), qvs), true)
+    case FeedbackQ(vc, m, t, fb, a, b, c) =>
+      (Search.feedbackNaiveExpr(m, col(vc), t, fb, a, b, c), true)
+    case SparseDotQ(tc, terms) =>
+      (terms.map { case (t, w) =>
+        lit(w) * size(filter(col(tc), x => x === lit(t))).cast("double")
+      }.reduce(_ + _), true)
+    case SparseStructQ(sc, qi, qv) =>
+      (graft.functions.VectorFunctions.sparseDot(
+        col(s"$sc.indices"), col(s"$sc.values"), qi, qv), true)
+    case other =>
+      throw new IllegalArgumentException(s"$other is not a scoring leaf")
+  }
+
   /** Execute a query DAG; returns (idCol, score) ranked. */
   def execute(
       spark: SparkSession,
@@ -136,34 +169,7 @@ object PointQuery {
         df.join(candidateIds, Seq(idCol), "left_semi")
       }
 
-    def scoreExprOf(s: Scoring): (Column, Boolean) = s match {
-      case Nearest(vc, m, qv) =>
-        (Search.scoreExpr(m, col(vc), typedLit(qv)), m.largerBetter)
-      case RecommendAvg(vc, m, pos, neg) =>
-        (Search.scoreExpr(m, col(vc), typedLit(Search.recommendAvgVector(pos, neg))),
-          m.largerBetter)
-      case RecommendBest(vc, m, pos, neg) =>
-        (Search.bestScoreExpr(m, col(vc), pos, neg), true)
-      case RecommendSum(vc, m, pos, neg) =>
-        (Search.sumScoresExpr(m, col(vc), pos, neg), true)
-      case DiscoverQ(vc, m, t, pairs) =>
-        (Search.discoverExpr(m, col(vc), t, pairs), true)
-      case ContextQ(vc, m, pairs) =>
-        (Search.contextExpr(m, col(vc), pairs), true)
-      case MaxSimQ(vc, m, qvs) =>
-        (graft.functions.VectorFunctions.maxSim(m, col(vc), qvs), true)
-      case FeedbackQ(vc, m, t, fb, a, b, c) =>
-        (Search.feedbackNaiveExpr(m, col(vc), t, fb, a, b, c), true)
-      case SparseDotQ(tc, terms) =>
-        (terms.map { case (t, w) =>
-          lit(w) * size(filter(col(tc), x => x === lit(t))).cast("double")
-        }.reduce(_ + _), true)
-      case SparseStructQ(sc, qi, qv) =>
-        (graft.functions.VectorFunctions.sparseDot(
-          col(s"$sc.indices"), col(s"$sc.values"), qi, qv), true)
-      case other =>
-        throw new IllegalArgumentException(s"$other is not a scoring leaf")
-    }
+    def scoreExprOf(s: Scoring): (Column, Boolean) = scoringExpr(s)
 
     q.scoring match {
       // ---- rescore-over-prefetch nodes ----

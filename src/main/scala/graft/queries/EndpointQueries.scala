@@ -113,6 +113,58 @@ object EndpointQueries {
           col("grp_rank").cast("long").as("grp_rank"), col("lookup_name"))
         .orderBy(col("grp_rank"), col("rank"))
     }),
+    // legacy POST /points/search (deprecated-but-served): `vector` +
+    // `top` alias + with_payload/with_vector rewrite to the universal
+    // form — must reproduce collection_query_with_payload's rows exactly
+    // (same oracle)
+    "collection_search_legacy" -> ((s, dir) => {
+      docColl(s, dir).search(
+        s"""{"vector": ${vjson(s, dir, 7)}, "top": 5,
+           |  "with_payload": {"include": ["lang", "n_chars"]},
+           |  "with_vectors": true}""".stripMargin)
+        .select(col("id"), col("score"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
+          get_json_object(col("payload"), "$.source").as("src_excluded"),
+          round(element_at(col("vector"), 1).cast("double"), 6).as("v0"))
+    }),
+    // legacy POST /points/recommend with by-id examples + batch form:
+    // the two bodies rewrite to recommend roots; results tagged by req
+    "collection_recommend_legacy" -> ((s, dir) => {
+      docColl(s, dir).searchBatch(
+        """{"searches": [
+          |  {"positive": [1, 2], "negative": [4],
+          |   "strategy": "best_score", "limit": 5},
+          |  {"positive": [1], "top": 5,
+          |   "filter": {"must": [{"key": "lang", "match": {"value": "en"}}]}}
+          |]}""".stripMargin, kind = "recommend")
+    }),
+    // query/groups over a RECOMMEND root (`test_query_full.py`
+    // test_recommend_group): by-id positives/negatives resolve against the
+    // collection, best_score formula per point, grouped per label
+    "collection_group_recommend" -> ((s, dir) => {
+      docColl(s, dir).queryGroups(
+        """{"query": {"recommend": {
+          |    "positive": [1, 2], "negative": [4], "strategy": "best_score"}},
+          |  "group_by": "label", "group_size": 2, "limit": 3}""".stripMargin)
+        .select(col("group_value"), col("id"), col("score"),
+          col("rank").cast("long").as("rank"),
+          col("grp_rank").cast("long").as("grp_rank"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
+    // query/groups over an ORDER_BY root (test_order_by_group): rank by
+    // the payload field itself (declared-type extraction), one window per
+    // group, groups ordered by their best value
+    "collection_group_order_by" -> ((s, dir) => {
+      docColl(s, dir).queryGroups(
+        """{"query": {"order_by": {"key": "n_chars", "direction": "desc"}},
+          |  "group_by": "lang", "group_size": 2, "limit": 3}""".stripMargin)
+        .select(col("group_value"), col("id"),
+          col("score").cast("long").as("n_chars"),
+          col("rank").cast("long").as("rank"),
+          col("grp_rank").cast("long").as("grp_rank"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
     // catalog-dispatched query with lookup_from: the recommend ids resolve
     // against a SIBLING catalog collection (named vector + shard_key
     // pruned), mirroring the hand-wired recommend_lookup_from_shard /
@@ -170,6 +222,76 @@ object EndpointQueries {
 
   val oracles: Map[String, String] = Map(
     "catalog_query_lookup_from" -> RankQueries.oracles("recommend_lookup_from_shard"),
+    "collection_search_legacy" ->
+      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+        |                    d.lang, d.n_chars
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT p.id, round(list_dot_product(p.v, q.v), 6) AS score,
+        |       p.lang, p.n_chars::BIGINT AS n_chars,
+        |       NULL::VARCHAR AS src_excluded, round(p.v[1], 6) AS v0
+        |FROM pts p, q ORDER BY score DESC, p.id ASC LIMIT 5""".stripMargin,
+    "collection_recommend_legacy" ->
+      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, d.lang
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |q1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=1),
+        |q2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=2),
+        |q4 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+        |s0 AS (SELECT p.id,
+        |  greatest(list_dot_product(p.v, q1.v),
+        |           list_dot_product(p.v, q2.v)) AS mp,
+        |  list_dot_product(p.v, q4.v) AS mn FROM pts p, q1, q2, q4),
+        |r0 AS (SELECT id, round(CASE WHEN mp > mn THEN 0.5*(mp/(1+abs(mp))+1)
+        |         ELSE -(0.5*(mn/(1+abs(mn))+1)) END, 6) AS score, 0 AS req
+        |       FROM s0 ORDER BY score DESC, id ASC LIMIT 5),
+        |r1 AS (SELECT p.id, round(list_dot_product(p.v, q1.v), 6) AS score,
+        |              1 AS req
+        |       FROM pts p, q1 WHERE p.lang = 'en'
+        |       ORDER BY score DESC, p.id ASC LIMIT 5)
+        |SELECT id, score, req::INT AS req FROM r0
+        |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
+    "collection_group_recommend" ->
+      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+        |                    e.label::VARCHAR AS gv
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |q1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=1),
+        |q2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=2),
+        |q4 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+        |s AS (SELECT p.gv, p.id,
+        |  greatest(list_dot_product(p.v, q1.v),
+        |           list_dot_product(p.v, q2.v)) AS mp,
+        |  list_dot_product(p.v, q4.v) AS mn
+        |  FROM pts p, q1, q2, q4),
+        |scored AS (SELECT gv, id,
+        |  round(CASE WHEN mp > mn THEN 0.5*(mp/(1+abs(mp))+1)
+        |             ELSE -(0.5*(mn/(1+abs(mn))+1)) END, 6) AS score FROM s),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY gv ORDER BY score DESC, id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
+        |         ORDER BY best DESC, gv ASC LIMIT 3),
+        |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC)
+        |           AS grp_rank FROM tops)
+        |SELECT h.gv AS group_value, h.id, h.score, h.rank::BIGINT AS rank,
+        |       g.grp_rank::BIGINT AS grp_rank
+        |FROM hits h JOIN grps g ON g.gv = h.gv
+        |ORDER BY grp_rank, rank""".stripMargin,
+    "collection_group_order_by" ->
+      """WITH pts AS (SELECT e.vec_id AS id, d.n_chars, d.lang AS gv
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |ranked AS (SELECT gv, id, n_chars, row_number() OVER
+        |             (PARTITION BY gv ORDER BY n_chars DESC, id ASC) AS rank
+        |           FROM pts),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |tops AS (SELECT gv, n_chars AS best FROM hits WHERE rank = 1
+        |         ORDER BY best DESC, gv ASC LIMIT 3),
+        |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC)
+        |           AS grp_rank FROM tops)
+        |SELECT h.gv AS group_value, h.id, h.n_chars::BIGINT AS n_chars,
+        |       h.rank::BIGINT AS rank, g.grp_rank::BIGINT AS grp_rank
+        |FROM hits h JOIN grps g ON g.gv = h.gv
+        |ORDER BY grp_rank, rank""".stripMargin,
     "collection_count_endpoint" ->
       """SELECT count(*)::BIGINT AS cnt
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id

@@ -692,6 +692,36 @@ final class Collection(
     }
   }
 
+  /** Legacy `POST /collections/{c}/points/search` (`SearchRequest`,
+    * deprecated-but-served in the reference): the body rewrites to the
+    * universal query form and routes through [[query]] — old clients keep
+    * their request shapes. */
+  def search(json: String): DataFrame =
+    query(graft.api.RequestCodec.legacyToQuery(json, "search"))
+
+  /** Legacy `POST /points/recommend` (`RecommendRequest`). */
+  def recommend(json: String): DataFrame =
+    query(graft.api.RequestCodec.legacyToQuery(json, "recommend"))
+
+  /** Legacy `POST /points/discover` (`DiscoverRequest`). */
+  def discover(json: String): DataFrame =
+    query(graft.api.RequestCodec.legacyToQuery(json, "discover"))
+
+  /** Legacy `/batch` forms (`SearchRequestBatch.searches`,
+    * `RecommendRequestBatch.searches`, `DiscoverRequestBatch.searches`) —
+    * results tagged by request position like [[queryBatch]]. */
+  def searchBatch(json: String, kind: String = "search"): DataFrame = {
+    val searches = graft.api.RequestCodec.arr(
+      org.json4s.jackson.JsonMethods.parse(json) \ "searches")
+    require(searches.nonEmpty, s"legacy $kind batch must carry at least one search")
+    searches.zipWithIndex.map { case (node, i) =>
+      query(graft.api.RequestCodec.legacyToQuery(
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(node)), kind))
+        .withColumn("req", lit(i))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** `POST /collections/{c}/points/query/batch` (`QueryRequestBatch`):
     * independent requests answered in one call, each through the same
     * routing as [[query]] (fast paths included); results union tagged by
@@ -794,21 +824,23 @@ final class Collection(
     config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyQuery(spec.query, sm, config.payloadTypes.keySet))
     val df = readDecoded()
-    val scoreExpr = spec.query.scoring match {
-      case PointQuery.Nearest(vcol, metric, qv) =>
-        graft.ops.Search.scoreExpr(metric, col(vcol), typedLit(qv))
-      case PointQuery.MaxSimQ(vcol, metric, qm) =>
-        graft.functions.VectorFunctions.maxSim(metric, col(vcol), qm)
-      case PointQuery.SparseStructQ(scol, qi, qv) =>
-        graft.functions.VectorFunctions.sparseDot(
-          col(scol)("indices"), col(scol)("values"), qi, qv)
-      case other => throw new IllegalArgumentException(
-        s"group_by does not support this query shape: $other")
-    }
-    val largerBetter = spec.query.scoring match {
-      case PointQuery.Nearest(_, m, _) => m.largerBetter
-      case PointQuery.MaxSimQ(_, m, _) => m.largerBetter
-      case _ => true
+    // any scorable leaf can group (reference `query/groups` accepts the
+    // full query surface: nearest / recommend / discover / context /
+    // order_by — `test_query_full.py` test_{recommend,discover,order_by}
+    // _group); order_by roots rank by the payload field itself
+    val (scoreExpr, largerBetter) = spec.query.scoring match {
+      case PointQuery.OrderByField(field, asc, _) =>
+        val obCol =
+          if (df.columns.contains(s"idx_$field")) col(s"idx_$field")
+          else if (df.columns.contains(field)) col(field)
+          else resolver(df).scalarValue(field)
+            .orElse(resolver(df).dataTypeOf(field).map(t =>
+              get_json_object(col(config.payloadCol), "$." + field).cast(t)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"order_by key '$field' needs a declared payload type, " +
+                "a field index, or a physical column"))
+        (obCol.cast("double"), !asc)
+      case s => graft.ops.PointQuery.scoringExpr(s)
     }
     val grouped = graft.ops.GroupBy.groupBySearch(df, config.idCol, scoreExpr,
       largerBetter, spec.groupBy, resolver(df), spec.query.filter,

@@ -512,4 +512,44 @@ class CodecSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(rows.toSeq == Seq((1L, 1.0), (2L, 0.9)))
   }
+
+  test("legacy search/recommend/discover bodies rewrite to the universal form") {
+    import org.json4s.jackson.JsonMethods
+    def norm(j: String): org.json4s.JValue = JsonMethods.parse(j)
+    // named-vector form + top alias + with_vectors alias + passthroughs
+    assert(norm(RequestCodec.legacyToQuery(
+      """{"vector": {"name": "img", "vector": [0.1, 0.2]}, "top": 7,
+        |  "score_threshold": 0.5, "with_vectors": true,
+        |  "filter": {"must": [{"key": "a", "match": {"value": 1}}]}}""".stripMargin,
+      "search")) == norm(
+      """{"query": {"nearest": [0.1, 0.2]}, "limit": 7, "using": "img",
+        |  "with_vector": true,
+        |  "filter": {"must": [{"key": "a", "match": {"value": 1}}]},
+        |  "score_threshold": 0.5}""".stripMargin))
+    // raw-array search keeps no using
+    assert(norm(RequestCodec.legacyToQuery(
+      """{"vector": [1.0], "limit": 3}""", "search")) ==
+      norm("""{"query": {"nearest": [1.0]}, "limit": 3}"""))
+    // recommend carries strategy/examples into query.recommend, keeps
+    // using/lookup_from passthrough
+    assert(norm(RequestCodec.legacyToQuery(
+      """{"positive": [1, 2], "negative": [4], "strategy": "best_score",
+        |  "limit": 5, "using": "img",
+        |  "lookup_from": {"collection": "other"}}""".stripMargin,
+      "recommend")) == norm(
+      """{"query": {"recommend": {"positive": [1, 2], "negative": [4],
+        |            "strategy": "best_score"}},
+        |  "limit": 5, "using": "img",
+        |  "lookup_from": {"collection": "other"}}""".stripMargin))
+    // discover carries target/context
+    assert(norm(RequestCodec.legacyToQuery(
+      """{"target": 5, "context": [{"positive": 1, "negative": 2}],
+        |  "limit": 4, "offset": 1}""".stripMargin, "discover")) == norm(
+      """{"query": {"discover": {"target": 5,
+        |            "context": [{"positive": 1, "negative": 2}]}},
+        |  "limit": 4, "offset": 1}""".stripMargin))
+    // limit/top required
+    assertThrows[IllegalArgumentException](
+      RequestCodec.legacyToQuery("""{"vector": [1.0]}""", "search"))
+  }
 }
