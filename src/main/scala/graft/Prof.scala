@@ -1,50 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch profiling main — contents change per investigation; numbers are
   * never recorded, only the conclusions (SCALEPROBE notes). */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time[T](n: String)(f: => T): T = { val t0=System.nanoTime(); val r=f; println(f"PROF $n ${(System.nanoTime()-t0)/1e9}%.2f"); r }
-
-    // bare streaming near-dup ingest (the Bench operatorOnly shape)
-    def streamingBare(): Unit = {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import org.apache.spark.sql.streaming.Trigger
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      import spark.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_sndp_prof")
-      val corpus = Tables.load(spark, dir, "documents")
-        .select(col("doc_id").as("id"), col("text").as("payload"))
-      val coll = graft.storage.Collection.create(spark, base.resolve("coll").toString,
-        graft.sources.CollectionConfig(idCol = "id", payloadCol = "payload"),
-        corpus.limit(0))
-      val stream = MemoryStream[(Long, String)]
-      val q = graft.streaming.Streaming.nearDupUpsertStream(
-        stream.toDF().toDF("id", "payload"), coll, "id", "payload",
-        base.resolve("keys").toString, base.resolve("ckpt").toString,
-        trigger = Trigger.ProcessingTime(0))
-      val rows = corpus.orderBy("id").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
-      rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
-        stream.addData(b); q.processAllAvailable()
-      }
-      q.stop()
-      coll.read().select("id").count(): Unit
+    def time[T](n: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $n ${(System.nanoTime() - t0) / 1e9}%.2f"); r
     }
-    time("warm")(SparkEntry.queries("knn_dot")(spark, dir).count())
-    time("streaming_bare_1")(streamingBare())
-    time("streaming_bare_2")(streamingBare())
-    time("streaming_bare_3")(streamingBare())
+    // current investigation: admit() probe cost in chained mode-upserts
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) taskMs.addAndGet(te.taskInfo.duration): Unit
+    })
+    for (n <- Seq("api_upsert_update_mode", "upsert_update_modes");
+         rep <- 1 to 3) {
+      val j0 = jobs.get(); val t0 = taskMs.get()
+      time(s"$n rep$rep")(SparkEntry.queries(n)(spark, dir).count())
+      Thread.sleep(300)
+      println(s"  jobs=${jobs.get() - j0} taskMs=${taskMs.get() - t0}")
+    }
     spark.stop()
   }
 }

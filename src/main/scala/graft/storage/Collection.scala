@@ -203,9 +203,22 @@ final class Collection(
     * callers with such a source must persist/localCheckpoint first. */
   private def lastWins(points: DataFrame): DataFrame = {
     val idc = col(config.idCol)
-    val row = points.agg(
-      org.apache.spark.sql.functions.count(lit(1)).as("n"), count_distinct(idc).as("nd")).head()
-    if (row.getLong(0) == row.getLong(1)) points
+    // wire batches are LOCAL relations — their id-uniqueness check needs no
+    // Spark job (the guard agg was one job per upsert op; a chained
+    // points/batch body paid it N times)
+    val dupFree: Boolean = points.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val idx = lr.output.indexWhere(_.name == config.idCol)
+        val dt = lr.output(idx).dataType
+        val ids = lr.data.map(_.get(idx, dt))
+        ids.distinct.length == ids.length
+      case _ =>
+        val row = points.agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          count_distinct(idc).as("nd")).head()
+        row.getLong(0) == row.getLong(1)
+    }
+    if (dupFree) points
     else {
       val others = points.columns.filter(_ != config.idCol)
       points.withColumn("_ord", monotonically_increasing_id())
@@ -216,46 +229,41 @@ final class Collection(
     }
   }
 
-  /** Ids of `cur` rows (optionally narrowed by `cond`) that also appear in
-    * the batch. Shaped for scale: the BIG table streams once against the
-    * broadcast batch ids (left_semi, build side = batch), and the result —
-    * at most batch-sized — is itself broadcastable back into the batch.
-    * Joining the batch directly against the full table id column would
-    * force a whole-table shuffle (a left/semi join can only build on the
-    * right, and the right would be the 100 TB side). */
-  private def probeIds(cur: DataFrame, batchIds: DataFrame,
-      cond: Option[Column], flag: String): DataFrame = {
-    val base = cond.fold(cur)(cur.filter)
-    broadcast(base.select(col(config.idCol))
-      .join(broadcast(batchIds), Seq(config.idCol), "left_semi")
-      .withColumn(flag, lit(true)))
-  }
-
   /** Admission per [[UpdateMode]] (`update/points/upsert.rs:60-95`): filter
     * the batch down to the rows the mode admits, judged against current
-    * table state (+ the conditional-upsert filter when present). */
+    * table state (+ the conditional-upsert filter when present).
+    *
+    * Plan shape (the 100 TB consideration): ONE membership probe — the BIG
+    * table streams once against the broadcast batch ids (left_semi, build
+    * side = batch) and emits both flags (`_exists`, and `_m` = matches the
+    * condition) in the same pass; the at-most-batch-sized result broadcasts
+    * back into the batch. Joining the batch directly against the full
+    * table id column would force a whole-table shuffle (a left/semi join
+    * can only build on the right, and the right would be the 100 TB side);
+    * separate exists/match probes would stream the table twice. */
   private def admit(cur: DataFrame, incoming: DataFrame,
       mode: UpdateMode, filter: Option[Filter]): DataFrame = {
     if (mode == UpdateMode.Upsert && filter.isEmpty) return incoming
     val batchIds = incoming.select(col(config.idCol))
-    val exists = probeIds(cur, batchIds, None, "_exists")
-    val joined0 = incoming.join(exists, Seq(config.idCol), "left")
-    val (joined, keep) = (mode, filter) match {
+    val matchCol = filter.map(f => coalesce(pred(cur, f), lit(false)))
+      .getOrElse(lit(false))
+    val flags = broadcast(cur
+      .select(col(config.idCol), matchCol.as("_mraw"))
+      .join(broadcast(batchIds), Seq(config.idCol), "left_semi")
+      .groupBy(col(config.idCol))
+      .agg(first(lit(true)).as("_exists"), max(col("_mraw")).as("_m")))
+    val joined = incoming.join(flags, Seq(config.idCol), "left")
+    val keep = (mode, filter) match {
       case (UpdateMode.InsertOnly, _) =>
         // condition irrelevant: skip all existing points entirely
-        (joined0, col("_exists").isNull)
-      case (UpdateMode.Upsert, Some(f)) =>
-        val m = probeIds(cur, batchIds, Some(pred(cur, f)), "_m")
-        (joined0.join(m, Seq(config.idCol), "left"),
-          col("_exists").isNull || col("_m").isNotNull)
-      case (UpdateMode.Upsert, None) => (joined0, lit(true))
-      case (UpdateMode.UpdateOnly, Some(f)) =>
-        // matching ⊆ existing, so the match flag alone decides
-        val m = probeIds(cur, batchIds, Some(pred(cur, f)), "_m")
-        (joined0.join(m, Seq(config.idCol), "left"), col("_m").isNotNull)
-      case (UpdateMode.UpdateOnly, None) => (joined0, col("_exists").isNotNull)
+        col("_exists").isNull
+      case (UpdateMode.Upsert, Some(_)) =>
+        col("_exists").isNull || col("_m") === true
+      case (UpdateMode.Upsert, None) => lit(true)
+      case (UpdateMode.UpdateOnly, Some(_)) => col("_m") === true
+      case (UpdateMode.UpdateOnly, None) => col("_exists").isNotNull
     }
-    joined.filter(keep).drop("_exists", "_m")
+    joined.filter(keep).drop("_exists", "_m", "_mraw")
   }
 
   private def mergeUpsert(cur: DataFrame, points: DataFrame,
