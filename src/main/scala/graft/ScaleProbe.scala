@@ -88,7 +88,16 @@ object ScaleProbe {
     "bm25_embed_search", "api_upsert_typed_vectors",
     "ivf_search_filtered", "api_query_with_payload",
     "collection_query_endpoint", "collection_query_sparse",
-    "maxsim_multivec_f16", "prefetch_random_offset")
+    "maxsim_multivec_f16", "prefetch_random_offset",
+    // round-10 session-2 additions: one-call endpoint handlers, legacy
+    // route adapters, update modes, grouped roots, catalog lookup —
+    // all documents/embeddings-backed
+    "collection_query_batch", "collection_group_by",
+    "collection_group_recommend", "collection_matrix_endpoint",
+    "collection_search_legacy", "collection_recommend_legacy",
+    "upsert_update_modes", "catalog_query_lookup_from",
+    "collection_query_with_payload", "collection_scroll_endpoint",
+    "ivf_collection_knn", "ivf_collection_exact")
 
   private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =
     Map(

@@ -901,6 +901,19 @@ object RequestCodec {
       case o: JObject if (o \ "turbo") != JNothing => None
       case other => fail(s"bad quantization config: $other")
     }
+    def annOf(j: JValue): Option[graft.sources.IvfSpec] = j match {
+      case JNothing | JNull => None
+      // graft extension: the reference's hnsw_config tunes an online graph
+      // this engine replaces with IVF partition pruning; `ann_config`
+      // declares that index on the wire (cells + default nprobe)
+      case a: JObject => Some(graft.sources.IvfSpec(
+        cells = num(a \ "cells").toInt,
+        nprobe = (a \ "nprobe") match {
+          case JNothing | JNull => 4
+          case n => num(n).toInt
+        }))
+      case other => fail(s"bad ann_config: $other")
+    }
     def vp(name: String, v: JValue): VectorConfig = VectorConfig(
       name = name,
       dim = num(v \ "size").toInt,
@@ -911,7 +924,8 @@ object RequestCodec {
         case other => fail(s"unknown multivector comparator $other")
       },
       datatype = datatypeOf(v \ "datatype"),
-      quantization = quantOf(v \ "quantization_config"))
+      quantization = quantOf(v \ "quantization_config"),
+      ann = annOf(v \ "ann_config"))
     val vectors0 = (o \ "vectors") match {
       case JNothing | JNull => Nil
       case v: JObject if (v \ "size") != JNothing => Seq(vp("", v))
@@ -983,10 +997,26 @@ object RequestCodec {
       case JNothing | JNull => Map.empty
       case other => fail(s"bad vectors diff: $other")
     }
+    // graft extension diff: `ann_config` adds/replaces (object) or removes
+    // (explicit null) the declared IVF index — the PATCH re-trains and
+    // re-partitions through Collection.updateConfig
+    def annOf(j: JValue): Option[Option[graft.sources.IvfSpec]] = j match {
+      case JNothing => None
+      case JNull => Some(None)
+      case a: JObject => Some(Some(graft.sources.IvfSpec(
+        cells = num(a \ "cells").toInt,
+        nprobe = (a \ "nprobe") match {
+          case JNothing | JNull => 4
+          case n => num(n).toInt
+        })))
+      case other => fail(s"bad ann_config diff: $other")
+    }
     val collQuant = quantOf(o \ "quantization_config")
     val vectors = base.vectors.map { vc =>
       val perVec = vecDiffs.get(vc.name).flatMap(d => quantOf(d \ "quantization_config"))
-      perVec.orElse(collQuant).fold(vc)(q => vc.copy(quantization = q))
+      val withQuant = perVec.orElse(collQuant).fold(vc)(q => vc.copy(quantization = q))
+      vecDiffs.get(vc.name).flatMap(d => annOf(d \ "ann_config"))
+        .fold(withQuant)(a => withQuant.copy(ann = a))
     }
     vecDiffs.keys.foreach { n =>
       if (!base.vectors.exists(_.name == n)) fail(s"unknown vector '$n' in diff")

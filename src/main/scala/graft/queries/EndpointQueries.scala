@@ -70,10 +70,12 @@ object EndpointQueries {
       val page = docColl(s, dir).scroll(
         """{"limit": 15,
           |  "order_by": {"key": "n_chars", "direction": "desc", "start_from": 400},
+          |  "with_payload": {"include": ["n_chars", "lang"]},
           |  "filter": {"must": [{"key": "lang", "match": {"value": "en"}}]}}""".stripMargin)
       page.select(col("id"),
         get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
-        get_json_object(col("payload"), "$.lang").as("lang"))
+        get_json_object(col("payload"), "$.lang").as("lang"),
+        get_json_object(col("payload"), "$.source").as("src_excluded"))
     }),
     // retrieve-by-ids with a with_payload include selector — excluded keys
     // must come back null
@@ -302,7 +304,8 @@ object EndpointQueries {
         |WHERE d.source IN ('src1', 'src3', 'src7')
         |GROUP BY d.lang ORDER BY cnt DESC, value ASC LIMIT 5""".stripMargin,
     "collection_scroll_endpoint" ->
-      """SELECT e.vec_id AS id, d.n_chars::BIGINT AS n_chars, d.lang
+      """SELECT e.vec_id AS id, d.n_chars::BIGINT AS n_chars, d.lang,
+        |       NULL::VARCHAR AS src_excluded
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |WHERE d.lang = 'en' AND d.n_chars <= 400
         |ORDER BY d.n_chars DESC, id ASC LIMIT 15""".stripMargin,

@@ -446,6 +446,33 @@ object IndexQueries {
         "vec_id", k = 10, minRequired = 8)
         .withColumn("quant_col_ok", lit(kindOk))
     }),
+    // PATCH an ann_config onto a plain exact collection (wire diff, graft
+    // extension of the hnsw_config slot): one rewrite trains centroids and
+    // RE-PARTITIONS the table by the new cell column; subsequent searches
+    // probe-prune. cells_ok pins the physical re-layout.
+    "collection_update_ann" -> ((s, dir) => {
+      import graft.api.RequestCodec
+      val path = "/tmp/graft_runtime/coll_patch_ann_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = quantCollections.computeIfAbsent(path, { _ =>
+        val cfg = RequestCodec.parseCollectionConfig(
+          """{"vectors": {"size": 64, "distance": "Dot"}}""", idCol = "vec_id")
+        val base = graft.storage.Collection.create(s, path, cfg,
+          emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+        require(base.config.vectors.head.ann.isEmpty, "must start un-indexed")
+        base.updateConfig(RequestCodec.parseCollectionUpdate(
+          """{"vectors": {"": {"ann_config": {"cells": 8, "nprobe": 2}}}}""",
+          base.config))
+      })
+      val dirOk = new java.io.File(coll.path).listFiles() != null &&
+        new java.io.File(coll.path).listFiles()
+          .exists(_.getName.startsWith("ivfcell_vector="))
+      val ann = coll.knn("", v7(s, dir), k = 10)
+      recallCheck(s, ann,
+        Search.knn(emb(s, dir), "vec_id", "embedding", v7(s, dir), Dot, k = 10),
+        "vec_id", k = 10, minRequired = 3)
+        .withColumn("cells_ok", lit(dirOk))
+    }),
     "quantized_pq_rescore" -> ((s, dir) => {
       val e = emb(s, dir)
       val p = pqParams(s, dir)
@@ -857,6 +884,8 @@ object IndexQueries {
     "quantized_collection_knn" ->
       "SELECT 10 AS k, 8 AS min_required, true AS recall_ok",
     "ivf_collection_knn" ->
+      "SELECT 10 AS k, 3 AS min_required, true AS recall_ok, true AS cells_ok",
+    "collection_update_ann" ->
       "SELECT 10 AS k, 3 AS min_required, true AS recall_ok, true AS cells_ok",
     "ivf_collection_exact" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)

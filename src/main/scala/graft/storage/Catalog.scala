@@ -82,7 +82,14 @@ final class Catalog(spark: SparkSession, root: String) {
     * is the dispatcher-level wiring of the reference (`query.rs:456-546`
     * resolves lookups through the table-of-content). */
   def query(name: String, json: String): DataFrame =
-    get(name).query(json, Some((lf, id) => {
+    get(name).query(json, Some(lookupResolver))
+
+  /** `query/batch` with the same catalog-resolved `lookup_from`. */
+  def queryBatch(name: String, json: String): DataFrame =
+    get(name).queryBatch(json, Some(lookupResolver))
+
+  private def lookupResolver: (graft.api.RequestCodec.LookupFrom, Any) => Seq[Double] =
+    (lf, id) => {
       val other = get(lf.collection)
       val vcol = other.config.vectorCol(lf.vector.getOrElse(""))
       val df = other.readDecoded()
@@ -93,7 +100,7 @@ final class Catalog(spark: SparkSession, root: String) {
         case _ =>
           graft.Tables.embeddingFrom(df, other.config.idCol, vcol, id)
       }
-    }))
+    }
 
   /** `POST /points/query/groups` with the lookup collection resolved
     * through the catalog ([[Collection.queryGroups]] `with_lookup`). */

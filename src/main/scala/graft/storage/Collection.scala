@@ -734,14 +734,16 @@ final class Collection(
     * independent requests answered in one call, each through the same
     * routing as [[query]] (fast paths included); results union tagged by
     * request position in `req`. */
-  def queryBatch(json: String): DataFrame = {
+  def queryBatch(json: String,
+      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any) => Seq[Double]] = None)
+      : DataFrame = {
     import graft.api.RequestCodec
     val searches = RequestCodec.arr(
       org.json4s.jackson.JsonMethods.parse(json) \ "searches")
     require(searches.nonEmpty, "query batch must carry at least one search")
     searches.zipWithIndex.map { case (node, i) =>
       query(org.json4s.jackson.JsonMethods.compact(
-        org.json4s.jackson.JsonMethods.render(node)))
+        org.json4s.jackson.JsonMethods.render(node)), lookupResolve)
         .withColumn("req", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -778,7 +780,18 @@ final class Collection(
       graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
     val proj = Seq(config.idCol) ++
       (if (df.columns.contains(config.payloadCol)) Seq(config.payloadCol) else Nil)
-    spec.orderBy match {
+    // scroll's with_payload DEFAULT is true (unlike query); false/selector
+    // forms apply the usual payload transform
+    val wpSel = graft.api.RequestCodec.parseWithPayload(
+      org.json4s.jackson.JsonMethods.parse(json) \ "with_payload")
+    def shaped(page: DataFrame): DataFrame =
+      if (!page.columns.contains(config.payloadCol)) page
+      else wpSel match {
+        case Some(sel) => page.withColumn(config.payloadCol,
+          sel(col(config.payloadCol)))
+        case None => page.drop(config.payloadCol)
+      }
+    shaped(spec.orderBy match {
       case None =>
         graft.ops.Reads.scrollById(df, config.idCol, spec.filter, resolver(df),
           spec.offset, spec.limit, proj)
@@ -796,7 +809,7 @@ final class Collection(
         val wdf = df.withColumn("_ob", obCol)
         graft.ops.Reads.scrollByField(wdf, config.idCol, "_ob", ob.asc,
           spec.filter, resolver(wdf), ob.startFrom, spec.limit, proj)
-    }
+    })
   }
 
   /** `POST /collections/{c}/points` retrieve-by-ids with the
@@ -853,7 +866,7 @@ final class Collection(
     val grouped = graft.ops.GroupBy.groupBySearch(df, config.idCol, scoreExpr,
       largerBetter, spec.groupBy, resolver(df), spec.query.filter,
       spec.groupSize, spec.groups, keepGroupRank = true)
-    spec.lookupCollection match {
+    val looked = spec.lookupCollection match {
       case None => grouped
       case Some(name) =>
         val lk = lookupTable(name)
@@ -861,6 +874,8 @@ final class Collection(
           lk.withColumnRenamed(lk.columns.head, "_lk"), "_lk",
           lk.columns.tail.toSeq)
     }
+    // group hits carry payload/vector when requested, like any ScoredPoint
+    enrich(looked, org.json4s.jackson.JsonMethods.parse(json))
   }
 
   /** `POST /collections/{c}/points/search/matrix/pairs` (+`offsets` via
