@@ -97,7 +97,10 @@ object ScaleProbe {
     "collection_search_legacy", "collection_recommend_legacy",
     "upsert_update_modes", "catalog_query_lookup_from",
     "collection_query_with_payload", "collection_scroll_endpoint",
-    "ivf_collection_knn", "ivf_collection_exact")
+    "ivf_collection_knn", "ivf_collection_exact",
+    // round-10 session-3: ann PATCH re-layout; exact=false count — cold
+    // builds the stats sidecar, warm answers driver-side (flat vs scale)
+    "collection_update_ann", "count_estimate_must", "count_estimate_range")
 
   private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =
     Map(

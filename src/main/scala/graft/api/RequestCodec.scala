@@ -824,11 +824,22 @@ object RequestCodec {
 
   /** `POST /points/count` body: filter (+ `exact`, parsed and ignored —
     * Spark counts are always exact, SURVEY.md §2.4). */
-  def parseCountRequest(json: String): Option[Filter] =
-    (JsonMethods.parse(json) \ "filter") match {
-      case f: JObject => Some(filterOf(f))
-      case _ => None
-    }
+  /** `CountRequestInternal` (`lib/shard/src/count.rs:11-19`): filter +
+    * `exact` (default true; false routes to the cardinality estimate). */
+  final case class CountSpec(filter: Option[Filter], exact: Boolean)
+
+  def parseCountRequest(json: String): CountSpec = {
+    val o = JsonMethods.parse(json)
+    CountSpec(
+      filter = (o \ "filter") match {
+        case f: JObject => Some(filterOf(f))
+        case _ => None
+      },
+      exact = (o \ "exact") match {
+        case JBool(b) => b
+        case _ => true
+      })
+  }
 
   /** `POST /facet` body (`FacetRequestInternal`, `schema.rs:1360-1374`). */
   final case class FacetSpec(key: String, limit: Int, filter: Option[Filter])

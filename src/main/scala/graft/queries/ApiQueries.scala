@@ -392,7 +392,7 @@ object ApiQueries {
           |  },
           |  "exact": true
           |}""".stripMargin)
-      Reads.count(li, f, new TypedResolver(li.schema, "l_orderkey"))
+      Reads.count(li, f.filter, new TypedResolver(li.schema, "l_orderkey"))
     }),
     // facet endpoint body. Mirrors `facet_lang`.
     "api_facet_lang" -> ((s, dir) => {

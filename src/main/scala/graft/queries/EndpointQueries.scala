@@ -56,6 +56,62 @@ object EndpointQueries {
           |  {"key": "n_chars", "range": {"lt": 300}}
           |]}, "exact": true}""".stripMargin)
     }),
+    // scroll with with_vector=true (default false, ScrollRequest
+    // types.rs:490-537): vectors ride the SAME page scan — pinned via
+    // dimension + first component so the oracle stays float-exact
+    "collection_scroll_vectors" -> ((s, dir) => {
+      val page = docColl(s, dir).scroll(
+        """{"limit": 10, "with_payload": false, "with_vector": true,
+          |  "filter": {"must": [{"key": "lang", "match": {"value": "fr"}}]}}""".stripMargin)
+      page.select(col("id"), size(col("vector")).cast("long").as("dim"),
+        round(element_at(col("vector"), 1).cast("double"), 6).as("v0"))
+    }),
+    // POST /points/count with exact=false — the cardinality-estimate route
+    // (`estimate_point_count`, local_shard/mod.rs:1070-1085): the count is
+    // the estimator's `exp`, computed DRIVER-side from the _fieldstats
+    // sidecar with no distributed job. must-combination of two exact
+    // per-value estimations: exp = round(N·(c1/N)·(c2/N))
+    // (combine_must_estimations, query_estimator.rs:188-220).
+    "count_estimate_must" -> ((s, dir) => {
+      docColl(s, dir).count(
+        """{"filter": {"must": [
+          |  {"key": "lang", "match": {"value": "en"}},
+          |  {"key": "source", "match": {"value": "src3"}}
+          |]}, "exact": false}""".stripMargin)
+    }),
+    // should-group with one servable and one unknown condition
+    // (values_count has no snapshot structure → {0, N/2, N}, the
+    // reference's un-indexed fallback) + a must_not inversion; the clause
+    // groups then must-combine (estimate_filter, query_estimator.rs:246-283).
+    "count_estimate_mixed" -> ((s, dir) => {
+      docColl(s, dir).count(
+        """{"filter": {
+          |  "should": [
+          |    {"key": "lang", "match": {"value": "de"}},
+          |    {"key": "n_chars", "values_count": {"gte": 1}}
+          |  ],
+          |  "must_not": [{"key": "source", "match": {"value": "src1"}}]
+          |}, "exact": false}""".stripMargin)
+    }),
+    // numeric range through the 64-bucket equal-width value histogram:
+    // min = fully-contained buckets, max = intersecting buckets, exp via
+    // linear interpolation + the multi-value Stirling correction
+    // (range_cardinality, numeric_index/query.rs:40-105; stat_tools.rs:20-73).
+    "count_estimate_range" -> ((s, dir) => {
+      docColl(s, dir).count(
+        """{"filter": {"must": [
+          |  {"key": "n_chars", "range": {"gte": 150, "lt": 400}}
+          |]}, "exact": false}""".stripMargin)
+    }),
+    // Match::Except on a single-valued keyword field: the except formula's
+    // min and max clamps collapse onto N − Σ excluded counts
+    // (except_cardinality, map_index/read_ops.rs:176-228).
+    "count_estimate_except" -> ((s, dir) => {
+      docColl(s, dir).count(
+        """{"filter": {"must": [
+          |  {"key": "source", "match": {"except": ["src1", "src2"]}}
+          |]}, "exact": false}""".stripMargin)
+    }),
     // POST /facet through the collection handler
     "collection_facet_endpoint" -> ((s, dir) => {
       docColl(s, dir).facet(
@@ -81,12 +137,13 @@ object EndpointQueries {
     // must come back null
     "collection_retrieve_endpoint" -> ((s, dir) => {
       docColl(s, dir).retrievePoints(
-        """{"ids": [3, 5, 8, 13],
+        """{"ids": [3, 5, 8, 13], "with_vector": true,
           |  "with_payload": {"include": ["lang", "n_chars"]}}""".stripMargin)
         .select(col("id"),
           get_json_object(col("payload"), "$.lang").as("lang"),
           get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
-          get_json_object(col("payload"), "$.source").as("src_excluded"))
+          get_json_object(col("payload"), "$.source").as("src_excluded"),
+          size(col("vector")).cast("long").as("dim"))
         .orderBy(col("id"))
     }),
     // POST /points/query/batch: independent searches answered in one call,
@@ -298,6 +355,68 @@ object EndpointQueries {
       """SELECT count(*)::BIGINT AS cnt
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |WHERE d.lang = 'en' AND d.n_chars < 300""".stripMargin,
+    "collection_scroll_vectors" ->
+      """SELECT e.vec_id AS id, len(e.embedding)::BIGINT AS dim,
+        |       round(e.embedding[1]::DOUBLE, 6) AS v0
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |WHERE d.lang = 'fr' ORDER BY id ASC LIMIT 10""".stripMargin,
+    "count_estimate_must" ->
+      """WITH t AS (SELECT d.lang, d.source
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS c1,
+        |             sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)::DOUBLE AS c2
+        |      FROM t)
+        |SELECT CAST(round(n * (round(n * (c1/n) * (c2/n))/n)) AS BIGINT) AS cnt
+        |FROM m""".stripMargin,
+    "count_estimate_mixed" ->
+      """WITH t AS (SELECT d.lang, d.source
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |             sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::DOUBLE AS cde,
+        |             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::DOUBLE AS c1
+        |      FROM t),
+        |s AS (SELECT n, c1,
+        |             round(n * (1.0 - (1.0 - cde/n)
+        |               * (1.0 - CAST(CAST(n AS BIGINT) // 2 AS DOUBLE)/n))) AS sexp
+        |      FROM m)
+        |SELECT CAST(round(n * (sexp/n) * (round(n * ((n - c1)/n))/n)) AS BIGINT) AS cnt
+        |FROM s""".stripMargin,
+    "count_estimate_range" ->
+      """WITH t AS (SELECT d.n_chars::DOUBLE AS v
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*)::DOUBLE AS n,
+        |              (max(v) - min(v)) / 64.0 AS w FROM t),
+        |bk AS (SELECT least(63, CAST(floor((t.v - mm.lo) / mm.w) AS INT)) AS b,
+        |              count(*)::DOUBLE AS c
+        |       FROM t, mm GROUP BY 1),
+        |ed AS (SELECT bk.c, mm.n, mm.w,
+        |              mm.lo + bk.b * mm.w AS blo,
+        |              mm.lo + (bk.b + 1) * mm.w AS bhi
+        |       FROM bk, mm),
+        |hh AS (SELECT any_value(n) AS n,
+        |  round(sum(CASE WHEN blo >= 150.0 AND bhi <= 400.0 THEN c ELSE 0 END)) AS minv,
+        |  round(sum(CASE WHEN least(400.0, bhi) - greatest(150.0, blo) > 0
+        |                 THEN c ELSE 0 END)) AS maxv,
+        |  round(sum(CASE WHEN least(400.0, bhi) - greatest(150.0, blo) > 0
+        |                 THEN c * least(1.0, (least(400.0, bhi) - greatest(150.0, blo)) / w)
+        |                 ELSE 0 END)) AS midv
+        |  FROM ed),
+        |st AS (SELECT n, minv AS emin, least(n, maxv) AS emax,
+        |  (1.0 - exp(
+        |     (CASE WHEN n - 1.0 < 1.0 THEN 1.0 ELSE ln(sqrt(2.0*pi()*(n-1.0))) + (n-1.0)*ln((n-1.0)/exp(1.0)) END)
+        |   + (CASE WHEN n - midv < 1.0 THEN 1.0 ELSE ln(sqrt(2.0*pi()*(n-midv))) + (n-midv)*ln((n-midv)/exp(1.0)) END)
+        |   - (CASE WHEN n - 1.0 - midv < 1.0 THEN 1.0 ELSE ln(sqrt(2.0*pi()*(n-1.0-midv))) + (n-1.0-midv)*ln((n-1.0-midv)/exp(1.0)) END)
+        |   - (CASE WHEN n < 1.0 THEN 1.0 ELSE ln(sqrt(2.0*pi()*n)) + n*ln(n/exp(1.0)) END)
+        |  )) * n AS est
+        |  FROM hh),
+        |e AS (SELECT n, least(emax, greatest(round(est), emin)) AS ex FROM st)
+        |SELECT CAST(round(n * (round(n * (ex/n))/n)) AS BIGINT) AS cnt FROM e""".stripMargin,
+    "count_estimate_except" ->
+      """WITH t AS (SELECT d.source
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
+        |SELECT (count(*) - sum(CASE WHEN source IN ('src1','src2') THEN 1 ELSE 0 END))::BIGINT AS cnt
+        |FROM t""".stripMargin,
     "collection_facet_endpoint" ->
       """SELECT d.lang AS value, count(DISTINCT e.vec_id)::BIGINT AS cnt
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -311,7 +430,7 @@ object EndpointQueries {
         |ORDER BY d.n_chars DESC, id ASC LIMIT 15""".stripMargin,
     "collection_retrieve_endpoint" ->
       """SELECT e.vec_id AS id, d.lang, d.n_chars::BIGINT AS n_chars,
-        |       NULL::VARCHAR AS src_excluded
+        |       NULL::VARCHAR AS src_excluded, len(e.embedding)::BIGINT AS dim
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |WHERE e.vec_id IN (3, 5, 8, 13) ORDER BY id""".stripMargin,
     "collection_query_batch" ->

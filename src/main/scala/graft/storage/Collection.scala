@@ -92,15 +92,21 @@ final class Collection(
 
   /** Tmp-dir + rename swap: Spark cannot overwrite a path still lazily read
     * in the same plan; on a lakehouse table this is simply MERGE/DELETE. */
-  private def write(df: DataFrame): Unit = {
+  private def write(df: DataFrame, targetFiles: Option[Int] = None): Unit = {
     rewriteCount += 1
     val tmp = path + "__tmp"
     val pc = Collection.partitionCols(config, df.columns)
     // hash-repartition on the partition columns first: one task owns each
     // key, so every partition directory gets O(1) files instead of one per
     // write task (64 cells × 32 tasks = 2048 tiny files otherwise — the
-    // file-listing overhead was measured to swamp the probe pruning win)
-    val laid = if (pc.isEmpty) df else df.repartition(pc.map(col): _*)
+    // file-listing overhead was measured to swamp the probe pruning win).
+    // Either way the rows land id-CLUSTERED (range partition / sort within
+    // the directory task), so parquet min/max row-group stats make
+    // retrieve-by-id and scroll-offset scans prune to O(k) row groups
+    // instead of the full table — the batch analog of the reference's O(1)
+    // id tracker. Costs one extra shuffle (+ range-sampling pass) per
+    // rewrite; a write path is batch, the id lookup path is interactive.
+    val laid = Collection.layout(config, df, targetFiles)
     val w = laid.write.mode(SaveMode.Overwrite)
     (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -111,6 +117,11 @@ final class Collection(
     // IdfScopeStats incrementally in its index)
     sparseIdfCache = None
     refreshSparseIdfStats()
+    // the cardinality snapshot goes stale instead: drop it and let the
+    // next `exact: false` count rebuild lazily (approximate counts are
+    // documented as unreliable mid-indexing, `lib/shard/src/count.rs:14-17`)
+    fieldStatsCache = None
+    fs.delete(fieldStatsPath, false)
     ()
   }
 
@@ -748,15 +759,31 @@ final class Collection(
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** `POST /collections/{c}/points/count` (`count_api.rs:17`; `exact`
-    * parsed and ignored — counts are always exact here). */
+  /** `POST /collections/{c}/points/count` (`count_api.rs:17`).
+    * `exact: true` (the default) scans; `exact: false` serves the
+    * cardinality estimate's `exp` from the driver-side statistics
+    * snapshot with NO distributed job — the reference's
+    * `estimate_point_count` path
+    * (`lib/collection/src/shards/local_shard/mod.rs:1070-1085`,
+    * [[graft.filters.Cardinality]]). */
   def count(json: String): DataFrame = {
-    val f = graft.api.RequestCodec.parseCountRequest(json)
-    val df = read()
-    f.foreach(fl => config.strictMode.foreach(sm =>
+    val spec = graft.api.RequestCodec.parseCountRequest(json)
+    spec.filter.foreach(fl => config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
-    graft.ops.Reads.count(df, f, resolver(df))
+    if (spec.exact) {
+      val df = read()
+      graft.ops.Reads.count(df, spec.filter, resolver(df))
+    } else {
+      val est = graft.filters.Cardinality.estimate(spec.filter, fieldStats)
+      import spark.implicits._
+      Seq(est.exp).toDF("cnt")
+    }
   }
+
+  /** Full `{min, exp, max}` estimation triple for a filter — the
+    * `estimate_point_count` surface itself (tests pin all three arms). */
+  def estimateCount(f: Option[graft.model.Filter]): graft.filters.Cardinality.CardEst =
+    graft.filters.Cardinality.estimate(f, fieldStats)
 
   /** `POST /collections/{c}/facet` (`FacetRequestInternal`). */
   def facet(json: String): DataFrame = {
@@ -778,8 +805,23 @@ final class Collection(
     val df = readDecoded()
     spec.filter.foreach(fl => config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
+    // with_vector (default FALSE, `ScrollRequest`,
+    // `lib/collection/src/operations/types.rs:490-537`): true = every
+    // named vector (sparse included), a name/list selects; the page scan
+    // carries the columns — no second pass
+    val wvJ = org.json4s.jackson.JsonMethods.parse(json) \ "with_vector"
+    val vecNames: Seq[String] = wvJ match {
+      case org.json4s.JBool(true) =>
+        config.vectors.map(vc => config.vectorCol(vc.name)) ++
+          config.sparse.map(sc => config.sparseCol(sc.name))
+      case org.json4s.JString(n) => Seq(config.vectorCol(n))
+      case org.json4s.JArray(xs) => xs.collect {
+        case org.json4s.JString(n) => config.vectorCol(n) }
+      case _ => Nil
+    }
     val proj = Seq(config.idCol) ++
-      (if (df.columns.contains(config.payloadCol)) Seq(config.payloadCol) else Nil)
+      (if (df.columns.contains(config.payloadCol)) Seq(config.payloadCol) else Nil) ++
+      vecNames.filter(df.columns.contains)
     // scroll's with_payload DEFAULT is true (unlike query); false/selector
     // forms apply the usual payload transform
     val wpSel = graft.api.RequestCodec.parseWithPayload(
@@ -813,13 +855,27 @@ final class Collection(
   }
 
   /** `POST /collections/{c}/points` retrieve-by-ids with the
-    * `with_payload` selector surface (`retrieve_api.rs:132`). Vectors come
-    * back decoded (API boundary contract). */
+    * `with_payload` selector surface (`retrieve_api.rs:132`) and
+    * `with_vector` (default FALSE, like the reference's
+    * `PointRequestInternal`). Requested vectors come back decoded (API
+    * boundary contract). */
   def retrievePoints(json: String): DataFrame = {
     val spec = graft.api.RequestCodec.parseRetrieveRequest(json)
     val df = readDecoded()
-    val base = graft.ops.Reads.retrieve(df, config.idCol, spec.ids,
-      df.columns.toSeq)
+    val wvJ = org.json4s.jackson.JsonMethods.parse(json) \ "with_vector"
+    val vecNames: Seq[String] = wvJ match {
+      case org.json4s.JBool(true) =>
+        config.vectors.map(vc => config.vectorCol(vc.name)) ++
+          config.sparse.map(sc => config.sparseCol(sc.name))
+      case org.json4s.JString(n) => Seq(config.vectorCol(n))
+      case org.json4s.JArray(xs) => xs.collect {
+        case org.json4s.JString(n) => config.vectorCol(n) }
+      case _ => Nil
+    }
+    val cols = Seq(config.idCol) ++
+      (if (df.columns.contains(config.payloadCol)) Seq(config.payloadCol) else Nil) ++
+      vecNames.filter(df.columns.contains)
+    val base = graft.ops.Reads.retrieve(df, config.idCol, spec.ids, cols)
     spec.withPayload match {
       case Some(sel) if df.columns.contains(config.payloadCol) =>
         base.withColumn(config.payloadCol, sel(col(config.payloadCol)))
@@ -1088,6 +1144,170 @@ final class Collection(
     if (idfNames.nonEmpty) writeSparseIdfStats(computeSparseIdfStats(read(), idfNames))
   }
 
+  // ------------------------------------------------------- field statistics
+
+  private[graft] def fieldStatsPath =
+    new org.apache.hadoop.fs.Path(path + "_fieldstats.json")
+
+  @transient private var fieldStatsCache:
+      Option[graft.filters.Cardinality.FieldStatsSnapshot] = None
+
+  /** Driver-side per-field statistics snapshot for `count` with
+    * `exact: false` ([[graft.filters.Cardinality]]) — the analog of the
+    * payload field indexes' count structures the reference estimates from.
+    * Loaded from `_fieldstats.json` (zero jobs warm); computed once and
+    * persisted when missing. A mutation deletes the sidecar rather than
+    * eagerly recomputing — estimation is a read-path nicety and the
+    * reference itself documents approximate counts as "unreliable during
+    * the indexing process" (`lib/shard/src/count.rs:14-17`). */
+  private[graft] def fieldStats: graft.filters.Cardinality.FieldStatsSnapshot = {
+    fieldStatsCache.getOrElse {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val loaded =
+        if (!fs.exists(fieldStatsPath)) None
+        else {
+          val in = fs.open(fieldStatsPath)
+          val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          Some(Collection.parseFieldStatsJson(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      val snap = loaded.getOrElse {
+        val computed = computeFieldStats()
+        val out = fs.create(fieldStatsPath, true)
+        try out.write(Collection.fieldStatsJson(computed)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        computed
+      }
+      fieldStatsCache = Some(snap)
+      snap
+    }
+  }
+
+  /** Build the statistics snapshot — the batch analog of the reference's
+    * field-index build collecting per-value postings. Bounded output: the
+    * per-value map caps at [[Collection.StatsTopK]] heaviest values (tail
+    * folds into aggregates), numeric histograms are fixed
+    * [[Collection.StatsBuckets]]-wide, null/empty counts are single
+    * numbers — the sidecar stays KB-scale at any table size. All counts
+    * come from the SAME resolver/compiler expressions the filters execute,
+    * so every "exact" arm of the estimator equals the true predicate
+    * count by construction. */
+  private def computeFieldStats(): graft.filters.Cardinality.FieldStatsSnapshot = {
+    import graft.filters.Cardinality._
+    import org.apache.spark.sql.types._
+    val df = read()
+    val r = resolver(df)
+    val fc = new graft.filters.FilterCompiler(r)
+    val total = df.count()
+
+    def elemType(t: DataType): DataType = t match {
+      case ArrayType(e, _) => e
+      case other => other
+    }
+    val declared = config.payloadTypes.toSeq.sortBy(_._1)
+
+    // one combined aggregation: null/empty counts for every declared field
+    // + non-null counts for every vector column (HasVector)
+    val vecCols: Seq[(String, String)] =
+      config.vectors.map(vc => vc.name -> config.vectorCol(vc.name)) ++
+        config.sparse.map(sc => sc.name -> config.sparseCol(sc.name))
+    val nullAggs = declared.flatMap { case (k, _) =>
+      Seq(
+        sum(when(fc.condition(graft.model.IsNullCond(k)), 1L).otherwise(0L))
+          .as(s"null_$k"),
+        sum(when(fc.condition(graft.model.IsEmpty(k)), 1L).otherwise(0L))
+          .as(s"empty_$k"))
+    }
+    val vecAggs = vecCols.filter { case (_, c) => df.columns.contains(c) }
+      .map { case (n, c) => org.apache.spark.sql.functions.count(col(c)).as(s"vec_$n") }
+    val aggRow =
+      if (nullAggs.isEmpty && vecAggs.isEmpty) null
+      else df.agg((nullAggs ++ vecAggs).head, (nullAggs ++ vecAggs).tail: _*)
+        .collect()(0)
+    def aggLong(name: String): Long =
+      if (aggRow == null) 0L
+      else Option(aggRow.getAs[Any](name)).fold(0L)(_.toString.toLong)
+
+    val nulls = declared.map { case (k, _) =>
+      k -> NullStats(aggLong(s"null_$k"), aggLong(s"empty_$k"))
+    }.toMap
+    val vectorCounts = vecCols.filter { case (_, c) => df.columns.contains(c) }
+      .map { case (n, _) => n -> aggLong(s"vec_$n") }.toMap
+
+    // per-value point counts for keyword/bool/integer-lookup fields
+    val valueFields = declared.filter { case (_, t) =>
+      elemType(t) match {
+        case StringType | BooleanType | LongType | IntegerType => true
+        case _ => false
+      }
+    }
+    val values = valueFields.map { case (k, t) =>
+      val pairs = df
+        .select(col(config.idCol).as("_id"),
+          explode(r.values(k)).as("_v")).distinct()
+      val tot = pairs
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("vals"), countDistinct(col("_v")).as("uniq"),
+          countDistinct(col("_id")).as("pts")).collect()(0)
+      val valuesCount = tot.getLong(0)
+      val uniqueValues = tot.getLong(1)
+      val indexedPoints = tot.getLong(2)
+      val head = pairs.groupBy(col("_v"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("_v"))
+        .limit(Collection.StatsTopK)
+        .collect()
+        .map(row => String.valueOf(row.get(0)) -> row.getLong(1))
+      val headSum = head.map(_._2).sum
+      k -> ValueStats(indexedPoints, valuesCount, uniqueValues,
+        head.toMap, uniqueValues - head.length, valuesCount - headSum)
+    }.toMap
+
+    // equal-width value histograms for numeric range fields
+    val histFields = declared.filter { case (_, t) =>
+      elemType(t) match {
+        case LongType | IntegerType | DoubleType | FloatType => true
+        case _ => false
+      }
+    }
+    val hist = histFields.flatMap { case (k, _) =>
+      val vals = df.select(col(config.idCol).as("_id"),
+        explode(r.values(k)).as("_v"))
+        .withColumn("_v", col("_v").cast("double"))
+      val row = vals.agg(
+        min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+        org.apache.spark.sql.functions.count(lit(1)).as("vals"), countDistinct(col("_id")).as("pts"))
+        .collect()(0)
+      if (row.isNullAt(0)) None
+      else {
+        val lo = row.getDouble(0); val hi = row.getDouble(1)
+        val totalValues = row.getLong(2); val pts = row.getLong(3)
+        val maxVpp = vals.groupBy(col("_id")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect()(0).getLong(0)
+        val b = Collection.StatsBuckets
+        val w = (hi - lo) / b.toDouble
+        val buckets =
+          if (w <= 0.0) Array.fill(b)(0L).updated(0, totalValues)
+          else {
+            val idx = least(lit(b - 1),
+              floor((col("_v") - lit(lo)) / lit(w)).cast("int"))
+            val got = vals.groupBy(idx.as("_b"))
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("c")).collect()
+              .map(r2 => r2.getInt(0) -> r2.getLong(1)).toMap
+            Array.tabulate(b)(i => got.getOrElse(i, 0L))
+          }
+        Some(k -> HistStats(pts, totalValues, maxVpp, lo, hi,
+          buckets.toSeq))
+      }
+    }.toMap
+
+    FieldStatsSnapshot(total, vectorCounts, values, hist, nulls,
+      stringTyped = declared.collect {
+        case (k, t) if elemType(t) == StringType => k }.toSet,
+      boolTyped = declared.collect {
+        case (k, t) if elemType(t) == BooleanType => k }.toSet)
+  }
+
   // ------------------------------------------------------- quantization
 
   private[storage] def quantParamsPath =
@@ -1198,7 +1418,7 @@ final class Collection(
     * to `targetFiles` well-sized files so scans stop paying per-file open
     * cost. On a lakehouse this is OPTIMIZE/compaction. */
   def compact(targetFiles: Int = 1): Unit =
-    write(read().repartition(targetFiles))
+    write(read(), targetFiles = Some(targetFiles))
 
   /** Number of parquet data files currently backing the collection. */
   def dataFileCount(): Int = {
@@ -1289,16 +1509,36 @@ object Collection {
         }
       }
     val pc = partitionCols(config, withCells.columns)
-    // one task per partition key → O(1) files per partition directory
-    // (see Collection.write — same layout rule)
-    val laid = if (pc.isEmpty) withCells
-      else withCells.repartition(pc.map(col): _*)
+    // one task per partition key → O(1) files per partition directory,
+    // rows id-clustered for row-group pruning (see Collection.write /
+    // Collection.layout — same layout rule)
+    val laid = layout(config, withCells, None)
     val w = laid.write.mode(SaveMode.Overwrite)
     (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(path)
     val coll = new Collection(spark, path, config)
     if (params.nonEmpty) coll.writeQuantParams(params)
     coll.refreshSparseIdfStats()
     coll
+  }
+
+  /** Physical row layout of a table write. Un-partitioned tables
+    * range-partition by id and sort within; partitioned tables (shard key
+    * / IVF cells) keep the one-task-per-directory hash layout and sort by
+    * (partition cols, id) within the task — in both shapes every parquet
+    * row group covers a narrow id span, so `id IN (...)` /
+    * `id >= offset` scans skip row groups via min/max stats (PushedFilters
+    * at the scan; `StoreSpec` pins the pruning). */
+  private[storage] def layout(
+      config: CollectionConfig, df: DataFrame,
+      targetFiles: Option[Int]): DataFrame = {
+    val pc = partitionCols(config, df.columns)
+    val id = col(config.idCol)
+    if (pc.isEmpty)
+      targetFiles.fold(df.repartitionByRange(id))(n =>
+        df.repartitionByRange(n, id)).sortWithinPartitions(id)
+    else
+      df.repartition(pc.map(col): _*)
+        .sortWithinPartitions(pc.map(col) :+ id: _*)
   }
 
   /** Physical partition columns of the stored table: the shard key (when
@@ -1439,6 +1679,100 @@ object Collection {
       }.toMap
       case _ => Map.empty
     }
+  }
+
+  /** Value-map cap and histogram width for the field-statistics sidecar
+    * ([[graft.filters.Cardinality]]): the snapshot stays KB-scale at any
+    * table size. */
+  private[graft] val StatsTopK = 4096
+  private[graft] val StatsBuckets = 64
+
+  private[storage] def fieldStatsJson(
+      s: graft.filters.Cardinality.FieldStatsSnapshot): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def lmap(m: Map[String, Long]): JObject =
+      JObject(m.toSeq.sortBy(_._1).map { case (k, v) => k -> (JLong(v): JValue) }.toList)
+    val values = JObject(s.values.toSeq.sortBy(_._1).map { case (k, v) =>
+      k -> (JObject(
+        "points" -> JLong(v.indexedPoints), "vals" -> JLong(v.valuesCount),
+        "uniq" -> JLong(v.uniqueValues), "counts" -> lmap(v.counts),
+        "tail_uniq" -> JLong(v.tailUnique),
+        "tail_vals" -> JLong(v.tailValues)): JValue)
+    }.toList)
+    val hist = JObject(s.hist.toSeq.sortBy(_._1).map { case (k, h) =>
+      k -> (JObject(
+        "points" -> JLong(h.indexedPoints), "vals" -> JLong(h.totalValues),
+        "max_vpp" -> JLong(h.maxValuesPerPoint),
+        "lo" -> JDouble(h.lo), "hi" -> JDouble(h.hi),
+        "buckets" -> JArray(h.buckets.toList.map(JLong(_): JValue))): JValue)
+    }.toList)
+    val nulls = JObject(s.nulls.toSeq.sortBy(_._1).map { case (k, n) =>
+      k -> (JObject("null" -> JLong(n.isNullCount),
+        "empty" -> JLong(n.isEmptyCount)): JValue)
+    }.toList)
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "total" -> JLong(s.total),
+      "vectors" -> lmap(s.vectorCounts),
+      "values" -> values,
+      "hist" -> hist,
+      "nulls" -> nulls,
+      "string_typed" -> JArray(s.stringTyped.toList.sorted.map(JString(_): JValue)),
+      "bool_typed" -> JArray(s.boolTyped.toList.sorted.map(JString(_): JValue)))))
+  }
+
+  private[storage] def parseFieldStatsJson(
+      str: String): graft.filters.Cardinality.FieldStatsSnapshot = {
+    import graft.filters.Cardinality._
+    import org.json4s._
+    def long(v: JValue): Long = v match {
+      case JInt(x) => x.toLong
+      case JLong(x) => x
+      case other => throw new IllegalArgumentException(s"bad stats count: $other")
+    }
+    def dbl(v: JValue): Double = v match {
+      case JDouble(x) => x
+      case JDecimal(x) => x.toDouble
+      case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case other => throw new IllegalArgumentException(s"bad stats number: $other")
+    }
+    def lmap(v: JValue): Map[String, Long] = v match {
+      case JObject(fs) => fs.map { case (k, c) => k -> long(c) }.toMap
+      case _ => Map.empty
+    }
+    def strs(v: JValue): Set[String] = v match {
+      case JArray(xs) => xs.collect { case JString(x) => x }.toSet
+      case _ => Set.empty
+    }
+    val o = org.json4s.jackson.JsonMethods.parse(str)
+    val values = (o \ "values") match {
+      case JObject(fs) => fs.map { case (k, jv) =>
+        k -> ValueStats(long(jv \ "points"), long(jv \ "vals"),
+          long(jv \ "uniq"), lmap(jv \ "counts"),
+          long(jv \ "tail_uniq"), long(jv \ "tail_vals"))
+      }.toMap
+      case _ => Map.empty[String, ValueStats]
+    }
+    val hist = (o \ "hist") match {
+      case JObject(fs) => fs.map { case (k, jv) =>
+        val buckets = (jv \ "buckets") match {
+          case JArray(xs) => xs.map(long)
+          case _ => Nil
+        }
+        k -> HistStats(long(jv \ "points"), long(jv \ "vals"),
+          long(jv \ "max_vpp"), dbl(jv \ "lo"), dbl(jv \ "hi"), buckets)
+      }.toMap
+      case _ => Map.empty[String, HistStats]
+    }
+    val nulls = (o \ "nulls") match {
+      case JObject(fs) => fs.map { case (k, jv) =>
+        k -> NullStats(long(jv \ "null"), long(jv \ "empty"))
+      }.toMap
+      case _ => Map.empty[String, NullStats]
+    }
+    FieldStatsSnapshot(long(o \ "total"), lmap(o \ "vectors"), values, hist,
+      nulls, strs(o \ "string_typed"), strs(o \ "bool_typed"))
   }
 
   private[storage] def quantJson(m: Map[String, QuantParams]): String = {

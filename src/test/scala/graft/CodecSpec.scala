@@ -210,7 +210,9 @@ class CodecSpec extends AnyFunSuite {
     assert(sc.orderBy.contains(OrderByField("ts", asc = false)))
     assert(RequestCodec.parseScrollRequest("""{"offset": "a0f5-uuid"}""").offset
       .contains("a0f5-uuid"))
-    assert(RequestCodec.parseCountRequest("""{"exact": true}""").isEmpty)
+    assert(RequestCodec.parseCountRequest("""{"exact": true}""").filter.isEmpty)
+    assert(!RequestCodec.parseCountRequest("""{"exact": false}""").exact)
+    assert(RequestCodec.parseCountRequest("""{}""").exact)
     val fc = RequestCodec.parseFacetRequest("""{"key": "lang", "limit": 3}""")
     assert(fc.key == "lang" && fc.limit == 3 && fc.filter.isEmpty)
   }

@@ -491,6 +491,106 @@ class StoreSpec extends SparkTestBase {
       (e3.getCause != null && e3.getCause.getMessage.contains("strictly increasing")))
   }
 
+  test("writes land id-clustered: disjoint per-file id ranges + pushed id filters") {
+    import spark.implicits._
+    val path = tmpDir()
+    val rows = (1L to 2000L).map(i =>
+      (i, Seq(i.toFloat, 0f, 0f, 0f), s"""{"city":"c${i % 7}","price":${i % 100}.0}"""))
+    // AQE would coalesce this KB-scale range shuffle to ONE partition (the
+    // right call at real scale — target-sized files); pin it off so the
+    // multi-file disjointness property is observable at test size
+    val c = withConf("spark.sql.adaptive.coalescePartitions.enabled", "false") {
+      Collection.create(spark, path, cfg,
+        rows.toDF("id", "vector", "payload").repartition(8)) // scrambled input
+    }
+    // range layout spreads across write tasks...
+    assert(c.dataFileCount() > 1)
+    // ...and every parquet file covers a DISJOINT id span, so the id
+    // min/max row-group stats actually prune instead of every file
+    // spanning the whole id domain
+    def fileRanges(): Seq[(Long, Long)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val files = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) files += f.toString
+      }
+      files.result().map { f =>
+        val r = spark.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min("id"),
+            org.apache.spark.sql.functions.max("id")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    }
+    val ranges = fileRanges()
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping id spans in $ranges")
+      case _ =>
+    }
+    // the id lookup reaches the scan as a pushed filter over that layout
+    val q = c.retrievePoints("""{"ids": [42, 1500]}""")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("In(id"),
+      "id lookup not pushed to the parquet scan:\n" + p.take(1200))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(42L, 1500L))
+    // a mutation preserves the clustering; compaction honors the target
+    c.deleteByIds(Seq(1L))
+    c.compact(targetFiles = 2)
+    assert(c.dataFileCount() == 2)
+    val after = fileRanges()
+    assert(after.size == 2 && after(0)._2 < after(1)._1)
+  }
+
+  test("field stats persist for exact=false counts; the warm estimate runs ZERO Spark jobs") {
+    import spark.implicits._
+    val path = tmpDir()
+    val c = Collection.create(spark, path, cfg, Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), """{"city":"Berlin","price":10.0}"""),
+      (2L, Seq(0f, 1f, 0f, 0f), """{"city":"Berlin","price":20.0}"""),
+      (3L, Seq(0f, 0f, 1f, 0f), """{"city":"London","price":30.0}"""),
+      (4L, Seq(0f, 0f, 0f, 1f), """{"city":"Moscow","price":null}"""),
+    ).toDF("id", "vector", "payload"))
+    // cold: builds + persists the sidecar
+    val est = c.estimateCount(Some(Filter.mustAll(MatchValue("city", "Berlin"))))
+    assert(est == graft.filters.Cardinality.CardEst(2L, 2L, 2L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(c.fieldStatsPath))
+    // true count always inside [min, max] for snapshot-served filters
+    val mixed = c.estimateCount(Some(Filter(
+      must = Seq(RangeCond("price", gte = Some(15.0))),
+      mustNot = Seq(MatchValue("city", "London")))))
+    val truth = 1L // price≥15 ∧ city≠London → point 2
+    assert(mixed.min <= truth && truth <= mixed.max, s"$mixed misses $truth")
+    // warm: a FRESH instance estimates purely from the sidecar — the whole
+    // point of exact=false at 100 TB is zero distributed work
+    val warm = new Collection(spark, path, cfg)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val e2 = warm.estimateCount(
+        Some(Filter.mustAll(MatchValue("city", "Berlin"))))
+      assert(e2 == est)
+      Thread.sleep(1500) // listener bus drain window
+      assert(jobs.get() == 0,
+        s"warm estimate ran ${jobs.get()} Spark jobs (expected 0)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // IsNull is exact from the null stats
+    assert(c.estimateCount(Some(Filter.mustAll(IsNullCond("price")))) ==
+      graft.filters.Cardinality.CardEst(1L, 1L, 1L))
+    // a mutation drops the sidecar; the next estimate reflects the new data
+    c.deleteByIds(Seq(1L))
+    assert(!fs.exists(c.fieldStatsPath))
+    assert(c.estimateCount(Some(Filter.mustAll(MatchValue("city", "Berlin")))) ==
+      graft.filters.Cardinality.CardEst(1L, 1L, 1L))
+  }
+
   test("sparse IDF stats persist at ingest; the warm query path plans with zero Spark jobs") {
     import spark.implicits._
     import graft.sources.{CollectionConfig, SparseVectorConfig}
