@@ -1192,115 +1192,212 @@ final class Collection(
     * numbers — the sidecar stays KB-scale at any table size. All counts
     * come from the SAME resolver/compiler expressions the filters execute,
     * so every "exact" arm of the estimator equals the true predicate
-    * count by construction. */
+    * count by construction.
+    *
+    * Job shape is FIXED at five Spark jobs regardless of how many fields
+    * the collection declares: (1) one combined whole-row aggregation
+    * (total + null/empty per field + HasVector counts); (2+3) all
+    * keyword/int/bool fields stacked into ONE long-form
+    * `(id, field, value)` distinct — aggregated per field, then per
+    * (field, value) with a per-field top-K window; (4+5) all numeric
+    * fields stacked into ONE `(id, field, double)` long-form — a single
+    * two-level aggregation for bounds/counts/max-values-per-point, then a
+    * single bucket-count pass with per-field lo/width looked up from a map
+    * literal. The payload JSON parses once per long-form (the stacked
+    * fields share one Project, which subexpression-eliminates the parse),
+    * and each long-form persists across its two jobs. The naive
+    * per-field shape was measured at 131 s cold on 500k docs × 3 fields
+    * (~11 sequential explode-shuffle jobs, each re-parsing the payload);
+    * this shape holds the build at O(2 table scans) at any field count. */
   private def computeFieldStats(): graft.filters.Cardinality.FieldStatsSnapshot = {
     import graft.filters.Cardinality._
     import org.apache.spark.sql.types._
     val df = read()
-    val r = resolver(df)
-    val fc = new graft.filters.FilterCompiler(r)
-    val total = df.count()
+    def cnt(c: Column): Column = org.apache.spark.sql.functions.count(c)
 
     def elemType(t: DataType): DataType = t match {
       case ArrayType(e, _) => e
       case other => other
     }
-    val declared = config.payloadTypes.toSeq.sortBy(_._1)
+    val declared =
+      if (df.columns.contains(config.payloadCol))
+        config.payloadTypes.toSeq.sortBy(_._1)
+      else Seq.empty
 
-    // one combined aggregation: null/empty counts for every declared field
-    // + non-null counts for every vector column (HasVector)
+    // env-gated per-job timing (diagnostics for the probe; zero cost off)
+    def timed[A](label: String)(body: => A): A =
+      if (!sys.env.contains("GRAFT_STATS_TIMING")) body
+      else {
+        val t0 = System.nanoTime()
+        val a = body
+        System.err.println(f"[fieldstats] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        a
+      }
+
+    // JOB 1 — total row count + non-null counts per vector column, over
+    // the raw scan (parquet prunes to just these columns; null counting
+    // never touches the payload)
     val vecCols: Seq[(String, String)] =
-      config.vectors.map(vc => vc.name -> config.vectorCol(vc.name)) ++
-        config.sparse.map(sc => sc.name -> config.sparseCol(sc.name))
-    val nullAggs = declared.flatMap { case (k, _) =>
-      Seq(
-        sum(when(fc.condition(graft.model.IsNullCond(k)), 1L).otherwise(0L))
-          .as(s"null_$k"),
-        sum(when(fc.condition(graft.model.IsEmpty(k)), 1L).otherwise(0L))
-          .as(s"empty_$k"))
+      (config.vectors.map(vc => vc.name -> config.vectorCol(vc.name)) ++
+        config.sparse.map(sc => sc.name -> config.sparseCol(sc.name)))
+        .filter { case (_, c) => df.columns.contains(c) }
+    val vecAggs = vecCols.map { case (n, c) => cnt(col(c)).as(s"vec_$n") }
+    val baseAggs = Seq(cnt(lit(1)).as("_total")) ++ vecAggs
+    val baseRow = timed("base-agg")(
+      df.agg(baseAggs.head, baseAggs.tail: _*).collect()(0))
+    def rowLong(row: org.apache.spark.sql.Row, name: String): Long =
+      Option(row.getAs[Any](name)).fold(0L)(_.toString.toLong)
+    val total = rowLong(baseRow, "_total")
+    val vectorCounts =
+      vecCols.map { case (n, _) => n -> rowLong(baseRow, s"vec_$n") }.toMap
+
+    // Shared payload frame for every remaining pass: the JSON parses ONCE
+    // per row into a persisted variant column (the per-reference re-parse
+    // is the dominant per-row cost — JsonResolver.preParsed scaladoc), and
+    // an under-partitioned scan (small/compacted tables arrive as one
+    // parquet split) fans out to the session's full parallelism first —
+    // at real scale the scan already has more splits than cores and the
+    // repartition short-circuits away. Measured on 200k docs × 4 fields:
+    // 29 s + 35 s for the two payload passes before, 6 s total after.
+    val narrow = df.select(col(config.idCol).as("_id"),
+      col(config.payloadCol).as("_p"))
+    val par = spark.sparkContext.defaultParallelism
+    val fanned =
+      if (declared.isEmpty || narrow.rdd.getNumPartitions >= par) narrow
+      else narrow.repartition(par)
+    val pp = fanned
+      .select(col("_id"), try_parse_json(col("_p")).as("_pv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r: graft.filters.FieldResolver = new graft.filters.JsonResolver(
+      col("_pv"), config.payloadTypes, col("_id"), Map.empty,
+      preParsed = true)
+    val fc = new graft.filters.FilterCompiler(r)
+
+    // JOB 2 — one combined aggregation: null/empty counts per field
+    val nulls: Map[String, NullStats] =
+      if (declared.isEmpty) Map.empty
+      else {
+        val nullAggs = declared.flatMap { case (k, _) =>
+          Seq(
+            sum(when(fc.condition(graft.model.IsNullCond(k)), 1L).otherwise(0L))
+              .as(s"null_$k"),
+            sum(when(fc.condition(graft.model.IsEmpty(k)), 1L).otherwise(0L))
+              .as(s"empty_$k"))
+        }
+        val row = timed("null-agg")(
+          pp.agg(nullAggs.head, nullAggs.tail: _*).collect()(0))
+        declared.map { case (k, _) =>
+          k -> NullStats(rowLong(row, s"null_$k"), rowLong(row, s"empty_$k"))
+        }.toMap
+      }
+
+    /** All of `fields` as one exploded long-form `(_id, _k, _v)`, values
+      * cast to `castTo` (string identity is injective within a field — its
+      * element type is fixed — so distinct/grouping over the cast matches
+      * the typed semantics). */
+    def longForm(fields: Seq[String], castTo: String): DataFrame = {
+      val kvs = array(fields.map { k =>
+        struct(lit(k).as("_k"),
+          transform(r.values(k), v => v.cast(castTo)).as("_vs"))
+      }: _*)
+      pp.select(col("_id"), explode(kvs).as("_kv"))
+        .select(col("_id"), col("_kv._k").as("_k"), explode(col("_kv._vs")).as("_v"))
+        .filter(col("_v").isNotNull)
     }
-    val vecAggs = vecCols.filter { case (_, c) => df.columns.contains(c) }
-      .map { case (n, c) => org.apache.spark.sql.functions.count(col(c)).as(s"vec_$n") }
-    val aggRow =
-      if (nullAggs.isEmpty && vecAggs.isEmpty) null
-      else df.agg((nullAggs ++ vecAggs).head, (nullAggs ++ vecAggs).tail: _*)
-        .collect()(0)
-    def aggLong(name: String): Long =
-      if (aggRow == null) 0L
-      else Option(aggRow.getAs[Any](name)).fold(0L)(_.toString.toLong)
 
-    val nulls = declared.map { case (k, _) =>
-      k -> NullStats(aggLong(s"null_$k"), aggLong(s"empty_$k"))
-    }.toMap
-    val vectorCounts = vecCols.filter { case (_, c) => df.columns.contains(c) }
-      .map { case (n, _) => n -> aggLong(s"vec_$n") }.toMap
-
-    // per-value point counts for keyword/bool/integer-lookup fields
-    val valueFields = declared.filter { case (_, t) =>
-      elemType(t) match {
+    // JOBS 2+3 — per-value point counts for keyword/bool/integer fields
+    val valueFields = declared.collect {
+      case (k, t) if (elemType(t) match {
         case StringType | BooleanType | LongType | IntegerType => true
         case _ => false
-      }
+      }) => k
     }
-    val values = valueFields.map { case (k, t) =>
-      val pairs = df
-        .select(col(config.idCol).as("_id"),
-          explode(r.values(k)).as("_v")).distinct()
-      val tot = pairs
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("vals"), countDistinct(col("_v")).as("uniq"),
-          countDistinct(col("_id")).as("pts")).collect()(0)
-      val valuesCount = tot.getLong(0)
-      val uniqueValues = tot.getLong(1)
-      val indexedPoints = tot.getLong(2)
-      val head = pairs.groupBy(col("_v"))
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
-        .orderBy(desc("c"), asc("_v"))
-        .limit(Collection.StatsTopK)
-        .collect()
-        .map(row => String.valueOf(row.get(0)) -> row.getLong(1))
-      val headSum = head.map(_._2).sum
-      k -> ValueStats(indexedPoints, valuesCount, uniqueValues,
-        head.toMap, uniqueValues - head.length, valuesCount - headSum)
-    }.toMap
+    val values: Map[String, ValueStats] =
+      if (valueFields.isEmpty) Map.empty
+      else {
+        val pairs = longForm(valueFields, "string").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val perField = timed("val-agg")(pairs.groupBy(col("_k"))
+            .agg(cnt(lit(1)).as("vals"), countDistinct(col("_v")).as("uniq"),
+              countDistinct(col("_id")).as("pts"))
+            .collect())
+            .map(rw => rw.getString(0) ->
+              ((rw.getLong(1), rw.getLong(2), rw.getLong(3)))).toMap
+          val topW = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_k")).orderBy(desc("c"), asc("_v"))
+          val heads = timed("val-topk")(pairs.groupBy(col("_k"), col("_v"))
+            .agg(cnt(lit(1)).as("c"))
+            .withColumn("_rn", row_number().over(topW))
+            .filter(col("_rn") <= Collection.StatsTopK)
+            .collect())
+            .groupBy(_.getString(0))
+            .map { case (k, rows) =>
+              k -> rows.map(rw => rw.getString(1) -> rw.getLong(2)).toSeq }
+          valueFields.map { k =>
+            val (valuesCount, uniqueValues, indexedPoints) =
+              perField.getOrElse(k, (0L, 0L, 0L))
+            val head = heads.getOrElse(k, Seq.empty)
+            val headSum = head.map(_._2).sum
+            k -> ValueStats(indexedPoints, valuesCount, uniqueValues,
+              head.toMap, uniqueValues - head.length, valuesCount - headSum)
+          }.toMap
+        } finally { pairs.unpersist(); () }
+      }
 
-    // equal-width value histograms for numeric range fields
-    val histFields = declared.filter { case (_, t) =>
-      elemType(t) match {
+    // JOBS 4+5 — equal-width value histograms for numeric range fields
+    val histFields = declared.collect {
+      case (k, t) if (elemType(t) match {
         case LongType | IntegerType | DoubleType | FloatType => true
         case _ => false
-      }
+      }) => k
     }
-    val hist = histFields.flatMap { case (k, _) =>
-      val vals = df.select(col(config.idCol).as("_id"),
-        explode(r.values(k)).as("_v"))
-        .withColumn("_v", col("_v").cast("double"))
-      val row = vals.agg(
-        min(col("_v")).as("lo"), max(col("_v")).as("hi"),
-        org.apache.spark.sql.functions.count(lit(1)).as("vals"), countDistinct(col("_id")).as("pts"))
-        .collect()(0)
-      if (row.isNullAt(0)) None
+    val hist: Map[String, HistStats] =
+      if (histFields.isEmpty) Map.empty
       else {
-        val lo = row.getDouble(0); val hi = row.getDouble(1)
-        val totalValues = row.getLong(2); val pts = row.getLong(3)
-        val maxVpp = vals.groupBy(col("_id")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-          .agg(max(col("n"))).collect()(0).getLong(0)
-        val b = Collection.StatsBuckets
-        val w = (hi - lo) / b.toDouble
-        val buckets =
-          if (w <= 0.0) Array.fill(b)(0L).updated(0, totalValues)
-          else {
-            val idx = least(lit(b - 1),
-              floor((col("_v") - lit(lo)) / lit(w)).cast("int"))
-            val got = vals.groupBy(idx.as("_b"))
-              .agg(org.apache.spark.sql.functions.count(lit(1)).as("c")).collect()
-              .map(r2 => r2.getInt(0) -> r2.getLong(1)).toMap
-            Array.tabulate(b)(i => got.getOrElse(i, 0L))
+        val nums = longForm(histFields, "double")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // two-level: per-(field, point) partials fold into per-field
+          // bounds + value/point counts + max-values-per-point in ONE job
+          val meta = timed("hist-meta")(nums.groupBy(col("_k"), col("_id"))
+            .agg(cnt(lit(1)).as("n"), min(col("_v")).as("mn"), max(col("_v")).as("mx"))
+            .groupBy(col("_k"))
+            .agg(min(col("mn")).as("lo"), max(col("mx")).as("hi"),
+              sum(col("n")).as("vals"), cnt(lit(1)).as("pts"),
+              max(col("n")).as("maxVpp"))
+            .collect())
+            .map(rw => rw.getString(0) -> ((rw.getDouble(1), rw.getDouble(2),
+              rw.getLong(3), rw.getLong(4), rw.getLong(5)))).toMap
+          val b = Collection.StatsBuckets
+          val spread = meta.filter { case (_, (lo, hi, _, _, _)) => hi > lo }
+          val bucketCounts: Map[(String, Int), Long] =
+            if (spread.isEmpty) Map.empty
+            else {
+              // per-field lo/width via map-literal lookup — one pass for
+              // every field together
+              val loM = map(spread.toSeq.flatMap { case (k, (lo, _, _, _, _)) =>
+                Seq(lit(k), lit(lo)) }: _*)
+              val wM = map(spread.toSeq.flatMap { case (k, (lo, hi, _, _, _)) =>
+                Seq(lit(k), lit((hi - lo) / b.toDouble)) }: _*)
+              timed("hist-bkts")(nums.filter(col("_k").isin(spread.keys.toSeq: _*))
+                .groupBy(col("_k"), least(lit(b - 1),
+                  floor((col("_v") - element_at(loM, col("_k"))) /
+                    element_at(wM, col("_k"))).cast("int")).as("_b"))
+                .agg(cnt(lit(1)).as("c"))
+                .collect())
+                .map(rw => (rw.getString(0), rw.getInt(1)) -> rw.getLong(2)).toMap
+            }
+          meta.map { case (k, (lo, hi, totalValues, pts, maxVpp)) =>
+            val buckets =
+              if (hi <= lo) Array.fill(b)(0L).updated(0, totalValues)
+              else Array.tabulate(b)(i => bucketCounts.getOrElse((k, i), 0L))
+            k -> HistStats(pts, totalValues, maxVpp, lo, hi, buckets.toSeq)
           }
-        Some(k -> HistStats(pts, totalValues, maxVpp, lo, hi,
-          buckets.toSeq))
+        } finally { nums.unpersist(); () }
       }
-    }.toMap
 
+    pp.unpersist()
     FieldStatsSnapshot(total, vectorCounts, values, hist, nulls,
       stringTyped = declared.collect {
         case (k, t) if elemType(t) == StringType => k }.toSet,
