@@ -1631,8 +1631,18 @@ object Collection {
     val pc = partitionCols(config, df.columns)
     val id = col(config.idCol)
     if (pc.isEmpty)
-      targetFiles.fold(df.repartitionByRange(id))(n =>
-        df.repartitionByRange(n, id)).sortWithinPartitions(id)
+      // Local id sort only — NO range shuffle. Row-group min/max stats
+      // become narrow-span because row groups follow the sorted order
+      // inside each file, so id lookups and scroll-offset scans still
+      // skip almost every row group; file-level spans may overlap, which
+      // costs only footer reads. The full range-cluster variant was
+      // measured at sf0.1 and rejected: the per-write sampling+shuffle
+      // inflated every mutation entry ~2× and (un-numbered) let AQE fold
+      // small tables into ONE file, serializing every later scan.
+      // `compact(targetFiles)` — an explicit maintenance rewrite — is
+      // where the globally-disjoint range layout is applied deliberately.
+      targetFiles.fold(df)(n => df.repartitionByRange(n, id))
+        .sortWithinPartitions(id)
     else
       df.repartition(pc.map(col): _*)
         .sortWithinPartitions(pc.map(col) :+ id: _*)

@@ -491,43 +491,32 @@ class StoreSpec extends SparkTestBase {
       (e3.getCause != null && e3.getCause.getMessage.contains("strictly increasing")))
   }
 
-  test("writes land id-clustered: disjoint per-file id ranges + pushed id filters") {
+  test("writes land id-clustered: per-file sorted ids + pushed id filters") {
     import spark.implicits._
     val path = tmpDir()
     val rows = (1L to 2000L).map(i =>
       (i, Seq(i.toFloat, 0f, 0f, 0f), s"""{"city":"c${i % 7}","price":${i % 100}.0}"""))
-    // AQE would coalesce this KB-scale range shuffle to ONE partition (the
-    // right call at real scale — target-sized files); pin it off so the
-    // multi-file disjointness property is observable at test size
-    val c = withConf("spark.sql.adaptive.coalescePartitions.enabled", "false") {
-      Collection.create(spark, path, cfg,
-        rows.toDF("id", "vector", "payload").repartition(8)) // scrambled input
-    }
-    // range layout spreads across write tasks...
+    val c = Collection.create(spark, path, cfg,
+      rows.toDF("id", "vector", "payload").repartition(8)) // scrambled input
+    // write tasks keep the input parallelism (no forced range shuffle)...
     assert(c.dataFileCount() > 1)
-    // ...and every parquet file covers a DISJOINT id span, so the id
-    // min/max row-group stats actually prune instead of every file
-    // spanning the whole id domain
-    def fileRanges(): Seq[(Long, Long)] = {
+    def files(): Seq[String] = {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
-      val files = Seq.newBuilder[String]
+      val bld = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) files += f.toString
+        if (f.getName.endsWith(".parquet")) bld += f.toString
       }
-      files.result().map { f =>
-        val r = spark.read.parquet(f)
-          .agg(org.apache.spark.sql.functions.min("id"),
-            org.apache.spark.sql.functions.max("id")).collect()(0)
-        (r.getLong(0), r.getLong(1))
-      }.sortBy(_._1)
+      bld.result()
     }
-    val ranges = fileRanges()
-    ranges.sliding(2).foreach {
-      case Seq((_, hi), (lo2, _)) =>
-        assert(hi < lo2, s"overlapping id spans in $ranges")
-      case _ =>
+    // ...and ids are SORTED inside every file, so each parquet row group
+    // covers a narrow id span and min/max stats prune id lookups even
+    // though file-level spans overlap
+    files().foreach { f =>
+      val ids = spark.read.parquet(f).select("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"ids not sorted within $f")
     }
     // the id lookup reaches the scan as a pushed filter over that layout
     val q = c.retrievePoints("""{"ids": [42, 1500]}""")
@@ -535,11 +524,16 @@ class StoreSpec extends SparkTestBase {
     assert(p.contains("PushedFilters") && p.contains("In(id"),
       "id lookup not pushed to the parquet scan:\n" + p.take(1200))
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(42L, 1500L))
-    // a mutation preserves the clustering; compaction honors the target
+    // compaction is the deliberate global re-cluster: disjoint file spans
     c.deleteByIds(Seq(1L))
     c.compact(targetFiles = 2)
     assert(c.dataFileCount() == 2)
-    val after = fileRanges()
+    val after = files().map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
     assert(after.size == 2 && after(0)._2 < after(1)._1)
   }
 
