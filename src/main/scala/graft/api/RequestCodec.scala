@@ -842,7 +842,10 @@ object RequestCodec {
   }
 
   /** `POST /facet` body (`FacetRequestInternal`, `schema.rs:1360-1374`). */
-  final case class FacetSpec(key: String, limit: Int, filter: Option[Filter])
+  /** `exact` default FALSE per the reference (`FacetParams.exact`,
+    * `facets.rs:23-24`; "Default is false", `schema.rs:1372`). */
+  final case class FacetSpec(key: String, limit: Int, filter: Option[Filter],
+      exact: Boolean)
 
   def parseFacetRequest(json: String): FacetSpec = {
     val o = JsonMethods.parse(json)
@@ -855,6 +858,10 @@ object RequestCodec {
       filter = (o \ "filter") match {
         case f: JObject => Some(filterOf(f))
         case _ => None
+      },
+      exact = (o \ "exact") match {
+        case JBool(b) => b
+        case _ => false
       })
   }
 

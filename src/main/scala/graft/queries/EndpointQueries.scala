@@ -112,6 +112,13 @@ object EndpointQueries {
           |  {"key": "source", "match": {"except": ["src1", "src2"]}}
           |]}, "exact": false}""".stripMargin)
     }),
+    // POST /facet with the DEFAULT exact=false (facets.rs:23-24) and no
+    // filter: served from the _fieldstats sidecar driver-side (zero Spark
+    // jobs warm) — the per-value stats head is the global top-K by count,
+    // so the returned counts are exact, not approximate
+    "collection_facet_estimate" -> ((s, dir) => {
+      docColl(s, dir).facet("""{"key": "lang", "limit": 4}""")
+    }),
     // POST /facet through the collection handler
     "collection_facet_endpoint" -> ((s, dir) => {
       docColl(s, dir).facet(
@@ -417,6 +424,10 @@ object EndpointQueries {
         |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
         |SELECT (count(*) - sum(CASE WHEN source IN ('src1','src2') THEN 1 ELSE 0 END))::BIGINT AS cnt
         |FROM t""".stripMargin,
+    "collection_facet_estimate" ->
+      """SELECT d.lang AS value, count(DISTINCT e.vec_id)::BIGINT AS cnt
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY d.lang ORDER BY cnt DESC, value ASC LIMIT 4""".stripMargin,
     "collection_facet_endpoint" ->
       """SELECT d.lang AS value, count(DISTINCT e.vec_id)::BIGINT AS cnt
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id

@@ -788,11 +788,34 @@ final class Collection(
   /** `POST /collections/{c}/facet` (`FacetRequestInternal`). */
   def facet(json: String): DataFrame = {
     val spec = graft.api.RequestCodec.parseFacetRequest(json)
-    val df = read()
     spec.filter.foreach(fl => config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
-    graft.ops.Reads.facet(df, config.idCol, spec.key, spec.filter,
-      resolver(df), spec.limit)
+    // `exact: false` (the DEFAULT, `facets.rs:23-24`) on an unfiltered
+    // string-typed key serves from the field-statistics snapshot with no
+    // distributed job — the per-value maps ARE per-point facet counts, and
+    // the head is the global top-[[Collection.StatsTopK]] by count, so any
+    // limit within it is not merely approximate but exact. Filtered,
+    // non-string, or over-limit requests take the scan (still correct —
+    // the reference only promises `exact=false` MAY be cheaper).
+    val snapServed: Option[DataFrame] =
+      if (spec.exact || spec.filter.nonEmpty ||
+          spec.limit > Collection.StatsTopK) None
+      else {
+        val snap = fieldStats
+        if (!snap.stringTyped.contains(spec.key)) None
+        else snap.values.get(spec.key).map { vs =>
+          import spark.implicits._
+          vs.counts.toSeq
+            .sortBy { case (v, c) => (-c, v) }
+            .take(spec.limit)
+            .toDF("value", "cnt")
+        }
+      }
+    snapServed.getOrElse {
+      val df = read()
+      graft.ops.Reads.facet(df, config.idCol, spec.key, spec.filter,
+        resolver(df), spec.limit)
+    }
   }
 
   /** `POST /collections/{c}/points/scroll` (`ScrollRequest`): by-id keyset

@@ -585,6 +585,46 @@ class StoreSpec extends SparkTestBase {
       graft.filters.Cardinality.CardEst(1L, 1L, 1L))
   }
 
+  test("facet exact=false (the default) serves from the sidecar: exact top-K, zero jobs warm") {
+    import spark.implicits._
+    val c = Collection.create(spark, tmpDir(), cfg, Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), """{"city":"Berlin","price":10.0}"""),
+      (2L, Seq(0f, 1f, 0f, 0f), """{"city":"Berlin","price":20.0}"""),
+      (3L, Seq(0f, 0f, 1f, 0f), """{"city":"London","price":30.0}"""),
+      (4L, Seq(0f, 0f, 0f, 1f), """{"city":"Moscow","price":40.0}"""),
+    ).toDF("id", "vector", "payload"))
+    // cold call builds the sidecar; counts + order equal the exact facet
+    val approx = c.facet("""{"key": "city", "limit": 2}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(approx == Seq("Berlin" -> 2L, "London" -> 1L))
+    val exact = c.facet("""{"key": "city", "limit": 2, "exact": true}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(exact == approx)
+    // warm default-exact facet: zero Spark jobs (toDF on a driver Seq
+    // plans locally; collect of a LocalRelation launches no job)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val warm = c.facet("""{"key": "city", "limit": 3}""")
+        .collect().map(_.getString(0)).toSeq
+      assert(warm == Seq("Berlin", "London", "Moscow"))
+      Thread.sleep(1500)
+      assert(jobs.get() == 0,
+        s"warm facet estimate ran ${jobs.get()} Spark jobs (expected 0)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // filtered / non-string keys fall back to the scan (still correct)
+    val filtered = c.facet(
+      """{"key": "city", "limit": 3,
+        |  "filter": {"must": [{"key": "price", "range": {"gte": 15.0}}]}}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(filtered == Seq("Berlin" -> 1L, "London" -> 1L, "Moscow" -> 1L))
+  }
+
   test("sparse IDF stats persist at ingest; the warm query path plans with zero Spark jobs") {
     import spark.implicits._
     import graft.sources.{CollectionConfig, SparseVectorConfig}
