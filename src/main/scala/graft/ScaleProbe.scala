@@ -100,7 +100,8 @@ object ScaleProbe {
     "ivf_collection_knn", "ivf_collection_exact",
     // round-10 session-3: ann PATCH re-layout; exact=false count — cold
     // builds the stats sidecar, warm answers driver-side (flat vs scale)
-    "collection_update_ann", "count_estimate_must", "count_estimate_range")
+    "collection_update_ann", "count_estimate_must", "count_estimate_range",
+    "collection_facet_estimate")
 
   private val operatorOnly: Map[String, (SparkSession, String) => DataFrame] =
     Map(
