@@ -744,6 +744,16 @@ object RequestCodec {
     case other => fail(s"bad with_payload: $other")
   }
 
+  /** `with_vector` (`WithVector`, `types.rs:350-358`): bool / name / name
+    * list; default FALSE. Returns the requested vector NAMES (empty =
+    * none, `None` = all declared). */
+  def parseWithVector(j: JValue): Option[Seq[String]] = j match {
+    case JBool(true) => None
+    case JString(n) => Some(Seq(n))
+    case JArray(xs) => Some(xs.collect { case JString(n) => n })
+    case _ => Some(Nil)
+  }
+
   /** `POST /points` retrieve body (`PointRequest`: ids + payload/vector
     * selectors, `src/actix/api/retrieve_api.rs:132`). `withPayload` None =
     * payload column dropped. */

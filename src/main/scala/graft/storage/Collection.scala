@@ -46,6 +46,22 @@ final class Collection(
   private def encodeVectors(df: DataFrame): DataFrame =
     attachIvf(attachQuant(Collection.encodeVectors(config, df)))
 
+  /** Physical vector columns a request's `with_vector` selects
+    * ([[graft.api.RequestCodec.parseWithVector]]): `true` = every declared
+    * dense AND sparse vector; names resolve against the declared sparse
+    * set first so a named sparse vector selects its actual column. */
+  private def withVectorCols(json: String): Seq[String] =
+    graft.api.RequestCodec.parseWithVector(
+      org.json4s.jackson.JsonMethods.parse(json) \ "with_vector") match {
+      case None =>
+        config.vectors.map(vc => config.vectorCol(vc.name)) ++
+          config.sparse.map(sc => config.sparseCol(sc.name))
+      case Some(names) => names.map { n =>
+        if (config.sparse.exists(_.name == n)) config.sparseCol(n)
+        else config.vectorCol(n)
+      }
+    }
+
   def resolver(df: DataFrame): FieldResolver = {
     val base = new JsonResolver(col(config.payloadCol), config.payloadTypes,
       col(config.idCol),
@@ -832,16 +848,7 @@ final class Collection(
     // `lib/collection/src/operations/types.rs:490-537`): true = every
     // named vector (sparse included), a name/list selects; the page scan
     // carries the columns — no second pass
-    val wvJ = org.json4s.jackson.JsonMethods.parse(json) \ "with_vector"
-    val vecNames: Seq[String] = wvJ match {
-      case org.json4s.JBool(true) =>
-        config.vectors.map(vc => config.vectorCol(vc.name)) ++
-          config.sparse.map(sc => config.sparseCol(sc.name))
-      case org.json4s.JString(n) => Seq(config.vectorCol(n))
-      case org.json4s.JArray(xs) => xs.collect {
-        case org.json4s.JString(n) => config.vectorCol(n) }
-      case _ => Nil
-    }
+    val vecNames = withVectorCols(json)
     val proj = Seq(config.idCol) ++
       (if (df.columns.contains(config.payloadCol)) Seq(config.payloadCol) else Nil) ++
       vecNames.filter(df.columns.contains)
@@ -885,16 +892,7 @@ final class Collection(
   def retrievePoints(json: String): DataFrame = {
     val spec = graft.api.RequestCodec.parseRetrieveRequest(json)
     val df = readDecoded()
-    val wvJ = org.json4s.jackson.JsonMethods.parse(json) \ "with_vector"
-    val vecNames: Seq[String] = wvJ match {
-      case org.json4s.JBool(true) =>
-        config.vectors.map(vc => config.vectorCol(vc.name)) ++
-          config.sparse.map(sc => config.sparseCol(sc.name))
-      case org.json4s.JString(n) => Seq(config.vectorCol(n))
-      case org.json4s.JArray(xs) => xs.collect {
-        case org.json4s.JString(n) => config.vectorCol(n) }
-      case _ => Nil
-    }
+    val vecNames = withVectorCols(json)
     val cols = Seq(config.idCol) ++
       (if (df.columns.contains(config.payloadCol)) Seq(config.payloadCol) else Nil) ++
       vecNames.filter(df.columns.contains)
