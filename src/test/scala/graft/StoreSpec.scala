@@ -491,6 +491,29 @@ class StoreSpec extends SparkTestBase {
       (e3.getCause != null && e3.getCause.getMessage.contains("strictly increasing")))
   }
 
+  test("retrieve with_vector: default false, true returns all, a SPARSE name selects its column") {
+    import spark.implicits._
+    import graft.sources.SparseVectorConfig
+    val scfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 4, Dot)),
+      sparse = Seq(SparseVectorConfig("txt")))
+    val c = Collection.create(spark, tmpDir(), scfg,
+      Seq((1L, Seq(1f, 0f, 0f, 0f), (Seq(1, 5), Seq(0.5f, 0.7f))))
+        .toDF("id", "vector", "sparse_txt")
+        .select(col("id"), col("vector"), col("sparse_txt")
+          .cast("struct<indices:array<int>,values:array<float>>")))
+    // default: no vector columns ride back
+    assert(c.retrievePoints("""{"ids": [1]}""").columns.toSet == Set("id"))
+    // true: every declared vector, sparse included
+    assert(c.retrievePoints("""{"ids": [1], "with_vector": true}""")
+      .columns.toSet == Set("id", "vector", "sparse_txt"))
+    // a named SPARSE vector resolves to its actual column
+    val named = c.retrievePoints("""{"ids": [1], "with_vector": ["txt"]}""")
+    assert(named.columns.toSet == Set("id", "sparse_txt"))
+    assert(named.collect()(0).getAs[org.apache.spark.sql.Row]("sparse_txt")
+      .getSeq[Int](0) == Seq(1, 5))
+  }
+
   test("writes land id-clustered: per-file sorted ids + pushed id filters") {
     import spark.implicits._
     val path = tmpDir()
