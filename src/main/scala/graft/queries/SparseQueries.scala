@@ -52,6 +52,24 @@ object SparseQueries {
             col("label")))
       })
 
+  /** Dense + sparse + JSON payload (`label`) in one collection — the
+    * fixture for group-by entries that need sparse `with_vector`
+    * enrichment on grouped hits. */
+  private def hybridColl(s: SparkSession, dir: String): graft.storage.Collection =
+    sparseCollections.computeIfAbsent(
+      "/tmp/graft_runtime/hybrid_" + dir.replaceAll("[^A-Za-z0-9]", "_"), { path =>
+        import graft.sources.{CollectionConfig, SparseVectorConfig, VectorConfig}
+        val cfg = CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("", 64, graft.model.Dot)),
+          sparse = Seq(SparseVectorConfig("txt")),
+          payloadTypes = Map("label" -> org.apache.spark.sql.types.LongType))
+        val e = Tables.load(s, dir, "embeddings")
+        graft.storage.Collection.create(s, path, cfg,
+          e.select(col("vec_id"), col("embedding").as("vector"),
+            sparseFromDense(col("embedding")).as("sparse_txt"),
+            to_json(struct(col("label"))).as("payload")))
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sparse_dot_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -135,6 +153,54 @@ object SparseQueries {
         s"""{"query": {"indices": ${qi.mkString("[", ",", "]")},
            |  "values": ${qv.mkString("[", ",", "]")}},
            |  "using": "txt", "limit": 5, "offset": 3}""".stripMargin)
+    }),
+    // Universal-query `with_vector: true` on a dense+sparse collection
+    // (`ScoredPoint.vector` is the FULL named-vector map, `types.rs:
+    // 396-440`): the response must carry the dense column AND both sparse
+    // struct columns — pinned via dim / nnz / first sparse component so
+    // the oracle stays float-exact.
+    "api_query_with_vector_sparse" -> ((s, dir) => {
+      val dense = Tables.embeddingOf(s, dir, 7L)
+      sparseColl(s, dir).query(
+        s"""{"query": ${dense.mkString("[", ",", "]")}, "limit": 10,
+           |  "with_vector": true}""".stripMargin)
+        .select(col("vec_id"), col("score"),
+          size(col("vector")).cast("long").as("dim"),
+          size(col("sparse_txt.indices")).cast("long").as("nnz"),
+          when(size(col("sparse_txt.values")) >= 1,
+            round(element_at(col("sparse_txt.values"), 1).cast("double"), 6))
+            .as("sv0"),
+          size(col("sparse_txtidf.indices")).cast("long").as("nnz_idf"))
+    }),
+    // `with_vector: "txt"` — a NAMED sparse vector resolves sparse-first
+    // to its real struct column (retrieve/scroll contract, now the query
+    // endpoint too); unselected vectors (dense "" and "txtidf") must NOT
+    // ride along — pinned as plan-level column-absence flags.
+    "api_query_with_vector_named" -> ((s, dir) => {
+      val dense = Tables.embeddingOf(s, dir, 7L)
+      val h = sparseColl(s, dir).query(
+        s"""{"query": ${dense.mkString("[", ",", "]")}, "limit": 10,
+           |  "with_vector": "txt"}""".stripMargin)
+      h.select(col("vec_id"), col("score"),
+        size(col("sparse_txt.indices")).cast("long").as("nnz"),
+        lit(h.columns.contains("vector")).as("has_dense"),
+        lit(h.columns.contains("sparse_txtidf")).as("has_idf"))
+    }),
+    // query/groups with `with_vector: true` on a dense+sparse collection:
+    // group hits enrich through the same path as flat hits, so every
+    // named vector (sparse included) rides each grouped ScoredPoint.
+    "collection_groups_with_vector" -> ((s, dir) => {
+      val dense = Tables.embeddingOf(s, dir, 7L)
+      hybridColl(s, dir).queryGroups(
+        s"""{"query": {"nearest": ${dense.mkString("[", ",", "]")}},
+           |  "group_by": "label", "group_size": 2, "limit": 4,
+           |  "with_vector": true}""".stripMargin)
+        .select(col("group_value"), col("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"),
+          col("grp_rank").cast("long").as("grp_rank"),
+          size(col("vector")).cast("long").as("dim"),
+          size(col("sparse_txt.indices")).cast("long").as("nnz"))
+        .orderBy(col("grp_rank"), col("rank"))
     }),
     // Collection created FROM the wire config (`PUT /collections/{c}`
     // body): the parsed dense + sparse(+idf-modifier) schema routes
@@ -560,6 +626,46 @@ object SparseQueries {
         |WHERE len(list_filter(range(1, 65), i ->
         |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
         |ORDER BY score DESC, vec_id ASC LIMIT 5 OFFSET 3""".stripMargin,
+    "api_query_with_vector_sparse" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score,
+        |  len(e.embedding)::BIGINT AS dim,
+        |  len(list_filter(e.embedding, x -> x::DOUBLE > 0.25))::BIGINT AS nnz,
+        |  round(list_filter(e.embedding, x -> x::DOUBLE > 0.25)[1]::DOUBLE, 6) AS sv0,
+        |  len(list_filter(e.embedding, x -> x::DOUBLE > 0.25))::BIGINT AS nnz_idf
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_query_with_vector_named" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score,
+        |  len(list_filter(e.embedding, x -> x::DOUBLE > 0.25))::BIGINT AS nnz,
+        |  FALSE AS has_dense, FALSE AS has_idf
+        |FROM embeddings e, q
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "collection_groups_with_vector" ->
+      """WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |                    label::VARCHAR AS gv, embedding AS emb
+        |             FROM embeddings),
+        |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |scored AS (SELECT p.gv, p.id, p.emb,
+        |             round(list_dot_product(p.v, q.v), 6) AS score
+        |           FROM pts p, q),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY gv ORDER BY score DESC, id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
+        |         ORDER BY best DESC, gv ASC LIMIT 4),
+        |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC) AS grp_rank
+        |         FROM tops)
+        |SELECT h.gv AS group_value, h.id AS vec_id, h.score,
+        |       h.rank::BIGINT AS rank, g.grp_rank::BIGINT AS grp_rank,
+        |       len(h.emb)::BIGINT AS dim,
+        |       len(list_filter(h.emb, x -> x::DOUBLE > 0.25))::BIGINT AS nnz
+        |FROM hits h JOIN grps g ON g.gv = h.gv
+        |ORDER BY grp_rank, rank""".stripMargin,
     "sparse_update_ops" ->
       """SELECT vec_id, round(score, 6) AS score FROM (
         |  SELECT vec_id,

@@ -51,15 +51,29 @@ final class Collection(
     * dense AND sparse vector; names resolve against the declared sparse
     * set first so a named sparse vector selects its actual column. */
   private def withVectorCols(json: String): Seq[String] =
-    graft.api.RequestCodec.parseWithVector(
-      org.json4s.jackson.JsonMethods.parse(json) \ "with_vector") match {
+    withVectorColsOf(
+      org.json4s.jackson.JsonMethods.parse(json) \ "with_vector")
+
+  /** [[withVectorCols]] over an already-parsed `with_vector` node. Unknown
+    * names reject loudly at parse time (the reference answers 400 `Wrong
+    * input: Not existing vector name error` — `types.rs` named-vector
+    * resolution), never reach plan analysis. */
+  private def withVectorColsOf(wvJ: org.json4s.JValue): Seq[String] =
+    graft.api.RequestCodec.parseWithVector(wvJ) match {
       case None =>
         config.vectors.map(vc => config.vectorCol(vc.name)) ++
           config.sparse.map(sc => config.sparseCol(sc.name))
-      case Some(names) => names.map { n =>
-        if (config.sparse.exists(_.name == n)) config.sparseCol(n)
-        else config.vectorCol(n)
-      }
+      case Some(names) =>
+        val declared = (config.vectors.map(_.name) ++
+          config.sparse.map(_.name)).toSet
+        val unknown = names.filterNot(declared)
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"Wrong input: not existing vector name error: " +
+            unknown.mkString(", "))
+        names.map { n =>
+          if (config.sparse.exists(_.name == n)) config.sparseCol(n)
+          else config.vectorCol(n)
+        }
     }
 
   def resolver(df: DataFrame): FieldResolver = {
@@ -649,14 +663,11 @@ final class Collection(
     val wantPayload = wpJ != JNothing && wpJ != JNull && wpJ != JBool(false) &&
       hits.columns.contains(config.idCol) &&
       !hits.columns.contains(config.payloadCol)
-    val vecNames: Seq[String] = wvJ match {
-      case JBool(true) => config.vectors.map(_.name)
-      case JString(n) => Seq(n)
-      case JArray(xs) => xs.collect { case JString(n) => n }
-      case _ => Nil
-    }
-    val vecCols = vecNames.map(config.vectorCol)
-      .filterNot(hits.columns.contains)
+    // `true` returns EVERY declared vector, dense AND sparse (the
+    // reference's `ScoredPoint.vector` carries the full named map); a
+    // name resolves sparse-first so a named sparse vector selects its
+    // real column — same contract as retrieve/scroll
+    val vecCols = withVectorColsOf(wvJ).filterNot(hits.columns.contains)
     if (!wantPayload && vecCols.isEmpty) return hits
     val table = readDecoded()
     val side = table.select((config.idCol +:
