@@ -111,7 +111,8 @@ object Cardinality {
       hist: Map[String, HistStats],
       nulls: Map[String, NullStats],
       stringTyped: Set[String] = Set.empty,
-      boolTyped: Set[String] = Set.empty)
+      boolTyped: Set[String] = Set.empty,
+      intTyped: Set[String] = Set.empty)
 
   // ------------------------------------------------------------ combiners
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
 import graft.Tables
 import graft.model.Dot
@@ -46,6 +46,29 @@ object EndpointQueries {
 
   private def vjson(s: SparkSession, dir: String, id: Long): String =
     Tables.embeddingOf(s, dir, id).mkString("[", ",", "]")
+
+  private val facetCfg = CollectionConfig(
+    idCol = "id", payloadCol = "payload",
+    vectors = Seq(VectorConfig("", 64, Dot)),
+    payloadTypes = Map("label" -> LongType, "hot" -> BooleanType,
+      "owner" -> StringType))
+
+  /** Integer + bool + uuid-string payload fields in one collection — the
+    * fixture for `exact:false` facet entries over every `FacetValue`
+    * variant beyond plain keywords (`facets.rs:87`). */
+  private def facetColl(s: SparkSession, dir: String): Collection = {
+    val path = "/tmp/graft_runtime/facetv_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    colls.computeIfAbsent(path, { _ =>
+      val d = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val pts = e.join(d, e("vec_id") === d("doc_id"))
+        .select(e("vec_id").as("id"), e("embedding").as("vector"),
+          to_json(struct(e("label"), (d("n_chars") > 250).as("hot"),
+            UuidQueries.uuidOf(pmod(d("doc_id"), lit(7))).as("owner")))
+            .as("payload"))
+      Collection.create(s, path, facetCfg, pts)
+    })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // POST /points/count through the collection handler (count_api.rs:17)
@@ -119,6 +142,18 @@ object EndpointQueries {
     "collection_facet_estimate" -> ((s, dir) => {
       docColl(s, dir).facet("""{"key": "lang", "limit": 4}""")
     }),
+    // exact=false over an INTEGER key: served from the same sidecar with
+    // values rendered back to the declared long type and count-ties
+    // re-sorted in NUMERIC order (the head ranks ties lexicographically)
+    "facet_int_estimate" -> ((s, dir) =>
+      facetColl(s, dir).facet("""{"key": "label", "limit": 5}""")),
+    // exact=false over a BOOL key (false < true tie order)
+    "facet_bool_estimate" -> ((s, dir) =>
+      facetColl(s, dir).facet("""{"key": "hot", "limit": 3}""")),
+    // exact=false over a UUID key — uuid payload values are canonical
+    // lowercase-hex strings, so they serve through the string path
+    "facet_uuid_estimate" -> ((s, dir) =>
+      facetColl(s, dir).facet("""{"key": "owner", "limit": 5}""")),
     // POST /facet through the collection handler
     "collection_facet_endpoint" -> ((s, dir) => {
       docColl(s, dir).facet(
@@ -428,6 +463,24 @@ object EndpointQueries {
       """SELECT d.lang AS value, count(DISTINCT e.vec_id)::BIGINT AS cnt
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |GROUP BY d.lang ORDER BY cnt DESC, value ASC LIMIT 4""".stripMargin,
+    "facet_int_estimate" ->
+      """SELECT e.label::BIGINT AS value, count(DISTINCT e.vec_id)::BIGINT AS cnt
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 5""".stripMargin,
+    "facet_bool_estimate" ->
+      """SELECT (d.n_chars > 250) AS value, count(DISTINCT e.vec_id)::BIGINT AS cnt
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 3""".stripMargin,
+    "facet_uuid_estimate" ->
+      """SELECT concat_ws('-',
+        |    substr(md5((d.doc_id % 7)::VARCHAR),1,8),
+        |    substr(md5((d.doc_id % 7)::VARCHAR),9,4),
+        |    substr(md5((d.doc_id % 7)::VARCHAR),13,4),
+        |    substr(md5((d.doc_id % 7)::VARCHAR),17,4),
+        |    substr(md5((d.doc_id % 7)::VARCHAR),21,12)) AS value,
+        |  count(DISTINCT e.vec_id)::BIGINT AS cnt
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 5""".stripMargin,
     "collection_facet_endpoint" ->
       """SELECT d.lang AS value, count(DISTINCT e.vec_id)::BIGINT AS cnt
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id

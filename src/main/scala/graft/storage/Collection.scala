@@ -818,24 +818,65 @@ final class Collection(
     spec.filter.foreach(fl => config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
     // `exact: false` (the DEFAULT, `facets.rs:23-24`) on an unfiltered
-    // string-typed key serves from the field-statistics snapshot with no
-    // distributed job — the per-value maps ARE per-point facet counts, and
-    // the head is the global top-[[Collection.StatsTopK]] by count, so any
-    // limit within it is not merely approximate but exact. Filtered,
-    // non-string, or over-limit requests take the scan (still correct —
-    // the reference only promises `exact=false` MAY be cheaper).
+    // key of ANY facetable type — keyword, integer, bool, uuid (uuid
+    // payload values are canonical strings, so they ride the string path;
+    // the reference serves every `FacetValue` variant from the map index,
+    // `facets.rs:87`, `entry_point.rs:171-190`) — serves from the
+    // field-statistics snapshot with no distributed job: the per-value
+    // maps ARE per-point facet counts, and the head is the global
+    // top-[[Collection.StatsTopK]] by count, so any limit within it is
+    // not merely approximate but exact. The head ranks count-ties in
+    // STRING order; integer/bool render re-sorts ties in TYPED order, so
+    // a truncated head (tail present) only serves when every selected row
+    // outranks the head boundary count — a tail value could otherwise
+    // displace a boundary tie under the typed order. Filtered, untyped,
+    // over-limit, or boundary-unsafe requests take the scan (still
+    // correct — the reference only promises `exact=false` MAY be cheaper).
     val snapServed: Option[DataFrame] =
       if (spec.exact || spec.filter.nonEmpty ||
           spec.limit > Collection.StatsTopK) None
       else {
+        import org.apache.spark.sql.types._
         val snap = fieldStats
-        if (!snap.stringTyped.contains(spec.key)) None
-        else snap.values.get(spec.key).map { vs =>
-          import spark.implicits._
-          vs.counts.toSeq
-            .sortBy { case (v, c) => (-c, v) }
-            .take(spec.limit)
-            .toDF("value", "cnt")
+        def elemType(t: DataType): DataType = t match {
+          case ArrayType(e, _) => e
+          case other => other
+        }
+        val render: Option[DataType] =
+          if (snap.stringTyped.contains(spec.key)) Some(StringType)
+          else if (snap.boolTyped.contains(spec.key)) Some(BooleanType)
+          else if (snap.intTyped.contains(spec.key))
+            // cast back to the CURRENTLY declared integer width (the exact
+            // scan's value type); a since-retyped field falls to the scan
+            config.payloadTypes.get(spec.key).map(elemType)
+              .filter(t => t == LongType || t == IntegerType)
+          else None
+        render.flatMap { t =>
+          snap.values.get(spec.key).flatMap { vs =>
+            import spark.implicits._
+            val sorted: Seq[(String, Long)] = t match {
+              case BooleanType =>
+                vs.counts.toSeq.sortBy { case (v, c) => (-c, v.toBoolean) }
+              case LongType | IntegerType =>
+                vs.counts.toSeq.sortBy { case (v, c) => (-c, v.toLong) }
+              case _ => vs.counts.toSeq.sortBy { case (v, c) => (-c, v) }
+            }
+            val sel = sorted.take(spec.limit)
+            val headMin = if (vs.counts.isEmpty) 0L else vs.counts.values.min
+            val typedReorder = t != StringType
+            val boundarySafe = vs.tailUnique == 0L || !typedReorder ||
+              (sel.length == spec.limit && sel.last._2 > headMin)
+            if (!boundarySafe) None
+            else Some(t match {
+              case BooleanType =>
+                sel.map { case (v, c) => (v.toBoolean, c) }.toDF("value", "cnt")
+              case LongType =>
+                sel.map { case (v, c) => (v.toLong, c) }.toDF("value", "cnt")
+              case IntegerType =>
+                sel.map { case (v, c) => (v.toInt, c) }.toDF("value", "cnt")
+              case _ => sel.toDF("value", "cnt")
+            })
+          }
         }
       }
     snapServed.getOrElse {
@@ -1434,7 +1475,10 @@ final class Collection(
       stringTyped = declared.collect {
         case (k, t) if elemType(t) == StringType => k }.toSet,
       boolTyped = declared.collect {
-        case (k, t) if elemType(t) == BooleanType => k }.toSet)
+        case (k, t) if elemType(t) == BooleanType => k }.toSet,
+      intTyped = declared.collect {
+        case (k, t) if elemType(t) == LongType || elemType(t) == IntegerType => k
+      }.toSet)
   }
 
   // ------------------------------------------------------- quantization
@@ -1857,7 +1901,8 @@ object Collection {
       "hist" -> hist,
       "nulls" -> nulls,
       "string_typed" -> JArray(s.stringTyped.toList.sorted.map(JString(_): JValue)),
-      "bool_typed" -> JArray(s.boolTyped.toList.sorted.map(JString(_): JValue)))))
+      "bool_typed" -> JArray(s.boolTyped.toList.sorted.map(JString(_): JValue)),
+      "int_typed" -> JArray(s.intTyped.toList.sorted.map(JString(_): JValue)))))
   }
 
   private[storage] def parseFieldStatsJson(
@@ -1911,7 +1956,8 @@ object Collection {
       case _ => Map.empty[String, NullStats]
     }
     FieldStatsSnapshot(long(o \ "total"), lmap(o \ "vectors"), values, hist,
-      nulls, strs(o \ "string_typed"), strs(o \ "bool_typed"))
+      nulls, strs(o \ "string_typed"), strs(o \ "bool_typed"),
+      strs(o \ "int_typed"))
   }
 
   private[storage] def quantJson(m: Map[String, QuantParams]): String = {

@@ -681,6 +681,45 @@ class StoreSpec extends SparkTestBase {
     assert(filtered == Seq("Berlin" -> 1L, "London" -> 1L, "Moscow" -> 1L))
   }
 
+  test("facet exact=false serves INTEGER and BOOL keys typed from the sidecar, zero jobs warm") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BooleanType, LongType}
+    val tcfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 4, Dot)),
+      payloadTypes = Map("n" -> LongType, "hot" -> BooleanType))
+    // n: counts tie between 2 and 10 — numeric tie order (2 before 10)
+    // differs from the head's lexicographic order ("10" < "2")
+    val c = Collection.create(spark, tmpDir(), tcfg, Seq(
+      (1L, """{"n":2,"hot":true}"""), (2L, """{"n":2,"hot":true}"""),
+      (3L, """{"n":10,"hot":true}"""), (4L, """{"n":10,"hot":false}"""),
+      (5L, """{"n":1,"hot":false}""")
+    ).map { case (i, p) => (i, Seq(i.toFloat, 0f, 0f, 0f), p) }
+      .toDF("id", "vector", "payload"))
+    val ints = c.facet("""{"key": "n", "limit": 2}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ints == Seq(2L -> 2L, 10L -> 2L))
+    assert(ints == c.facet("""{"key": "n", "limit": 2, "exact": true}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val bools = c.facet("""{"key": "hot", "limit": 2}""")
+      .collect().map(r => (r.getBoolean(0), r.getLong(1))).toSeq
+    assert(bools == Seq(true -> 3L, false -> 2L))
+    // warm typed facets: zero Spark jobs — LocalRelation collect only
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      c.facet("""{"key": "n", "limit": 3}""").collect()
+      c.facet("""{"key": "hot", "limit": 2}""").collect()
+      Thread.sleep(1500)
+      assert(jobs.get() == 0,
+        s"warm typed facet estimate ran ${jobs.get()} Spark jobs (expected 0)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("sparse IDF stats persist at ingest; the warm query path plans with zero Spark jobs") {
     import spark.implicits._
     import graft.sources.{CollectionConfig, SparseVectorConfig}
