@@ -112,7 +112,8 @@ object Cardinality {
       nulls: Map[String, NullStats],
       stringTyped: Set[String] = Set.empty,
       boolTyped: Set[String] = Set.empty,
-      intTyped: Set[String] = Set.empty)
+      intTyped: Set[String] = Set.empty,
+      dateTyped: Set[String] = Set.empty)
 
   // ------------------------------------------------------------ combiners
 
@@ -321,8 +322,25 @@ object Cardinality {
         .flatMap(prefixEstimate(_, p)).getOrElse(unknown)
       case RangeCond(k, gt, gte, lt, lte) => s.hist.get(k) match {
         case Some(h) =>
-          val bs = Seq(gt, gte, lt, lte).map(_.map(numericBound))
-          // a non-numeric bound (e.g. RFC3339 datetime) → unknown
+          // bound coercion mirrors [[Temporal.boundLit]]: a datetime-typed
+          // field's histogram sits on the epoch-μs axis (the reference
+          // stores DateTimePayloadType as i64 μs in the same numeric
+          // index, `numeric_index/mod.rs`), so RFC3339 strings parse to
+          // μs and wire numerics (epoch nanos) truncate to μs; a plain
+          // numeric field accepts numerics as-is and datetime strings as
+          // nanos (the engine's numeric wire unit)
+          def conv(v: Any): Option[Double] =
+            if (s.dateTyped(k)) v match {
+              case str: String => Temporal.parseInstant(str)
+                .map(i => Temporal.epochMicros(i).toDouble)
+              case other => numericBound(other).map(_ / 1000.0)
+            } else numericBound(v).orElse(v match {
+              case str: String => Temporal.parseInstant(str)
+                .map(i => Temporal.epochMicros(i).toDouble * 1000.0)
+              case _ => None
+            })
+          val bs = Seq(gt, gte, lt, lte).map(_.map(conv))
+          // a bound with no reading on the field's axis → unknown
           if (bs.exists(b => b.isDefined && b.get.isEmpty)) unknown
           else rangeEstimate(h, bs(0).flatten, bs(1).flatten,
             bs(2).flatten, bs(3).flatten)

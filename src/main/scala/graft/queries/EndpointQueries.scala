@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, TimestampType}
 
 import graft.Tables
 import graft.model.Dot
@@ -70,6 +70,25 @@ object EndpointQueries {
     })
   }
 
+  private val tsCfg = CollectionConfig(
+    idCol = "id", payloadCol = "payload",
+    payloadTypes = Map("ts" -> TimestampType))
+
+  /** Events as a vector-less collection (the reference accepts an empty
+    * `vectors` config) whose payload carries an RFC3339 `ts` string
+    * declared TimestampType — the fixture for datetime-range cardinality
+    * estimation over the μs-axis histogram. */
+  private def tsColl(s: SparkSession, dir: String): Collection = {
+    val path = "/tmp/graft_runtime/tscoll_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    colls.computeIfAbsent(path, { _ =>
+      val ev = Tables.load(s, dir, "events")
+      val pts = ev.select(ev("event_id").as("id"),
+        to_json(struct(date_format(ev("ts"),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts"))).as("payload"))
+      Collection.create(s, path, tsCfg, pts)
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // POST /points/count through the collection handler (count_api.rs:17)
     "collection_count_endpoint" -> ((s, dir) => {
@@ -126,6 +145,39 @@ object EndpointQueries {
           |  {"key": "n_chars", "range": {"gte": 150, "lt": 400}}
           |]}, "exact": false}""".stripMargin)
     }),
+    // The full {min, exp, max} band on a must-combination — pins the
+    // whole `combine_must_estimations` rule set (query_estimator.rs:
+    // 188-220): min is the inclusion-exclusion fold, max the smallest
+    // member, exp the independence product.
+    "count_estimate_bands_must" -> ((s, dir) =>
+      docColl(s, dir).countEstimate(
+        """{"filter": {"must": [
+          |  {"key": "lang", "match": {"value": "en"}},
+          |  {"key": "source", "match": {"value": "src3"}}
+          |]}, "exact": false}""".stripMargin)),
+    // Bands across GROUP combination: a should-pair (max-of-mins /
+    // noisy-or exp / capped sum max) must-combined with an inverted
+    // must_not (`invert_estimation` :328-338 swaps min and max arms).
+    "count_estimate_bands_mixed" -> ((s, dir) =>
+      docColl(s, dir).countEstimate(
+        """{"filter": {
+          |  "should": [
+          |    {"key": "lang", "match": {"value": "de"}},
+          |    {"key": "lang", "match": {"value": "fr"}}
+          |  ],
+          |  "must_not": [{"key": "source", "match": {"value": "src1"}}]
+          |}, "exact": false}""".stripMargin)),
+    // Datetime range through the SAME 64-bucket histogram, on the epoch-μs
+    // axis (the reference's numeric index stores DateTimePayloadType as
+    // i64 μs, `numeric_index/mod.rs`): RFC3339 string bounds — offset and
+    // lenient space forms both — parse driver-side, estimate with zero
+    // Spark jobs warm.
+    "count_estimate_datetime" -> ((s, dir) =>
+      tsColl(s, dir).count(
+        """{"filter": {"must": [
+          |  {"key": "ts", "range": {"gte": "2024-01-10T00:00:00Z",
+          |                          "lt": "2024-01-20 12:00:00"}}
+          |]}, "exact": false}""".stripMargin)),
     // Match::Except on a single-valued keyword field: the except formula's
     // min and max clamps collapse onto N − Σ excluded counts
     // (except_cardinality, map_index/read_ops.rs:176-228).
@@ -442,6 +494,65 @@ object EndpointQueries {
         |                 THEN c ELSE 0 END)) AS maxv,
         |  round(sum(CASE WHEN least(400.0, bhi) - greatest(150.0, blo) > 0
         |                 THEN c * least(1.0, (least(400.0, bhi) - greatest(150.0, blo)) / w)
+        |                 ELSE 0 END)) AS midv
+        |  FROM ed),
+        |st AS (SELECT n, minv AS emin, least(n, maxv) AS emax,
+        |  (1.0 - exp(
+        |     (CASE WHEN n - 1.0 < 1.0 THEN 1.0 ELSE ln(sqrt(2.0*pi()*(n-1.0))) + (n-1.0)*ln((n-1.0)/exp(1.0)) END)
+        |   + (CASE WHEN n - midv < 1.0 THEN 1.0 ELSE ln(sqrt(2.0*pi()*(n-midv))) + (n-midv)*ln((n-midv)/exp(1.0)) END)
+        |   - (CASE WHEN n - 1.0 - midv < 1.0 THEN 1.0 ELSE ln(sqrt(2.0*pi()*(n-1.0-midv))) + (n-1.0-midv)*ln((n-1.0-midv)/exp(1.0)) END)
+        |   - (CASE WHEN n < 1.0 THEN 1.0 ELSE ln(sqrt(2.0*pi()*n)) + n*ln(n/exp(1.0)) END)
+        |  )) * n AS est
+        |  FROM hh),
+        |e AS (SELECT n, least(emax, greatest(round(est), emin)) AS ex FROM st)
+        |SELECT CAST(round(n * (round(n * (ex/n))/n)) AS BIGINT) AS cnt FROM e""".stripMargin,
+    "count_estimate_bands_must" ->
+      """WITH t AS (SELECT d.lang, d.source
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS c1,
+        |             sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)::DOUBLE AS c2
+        |      FROM t),
+        |g AS (SELECT n, greatest(0.0, c1 + c2 - n) AS gmin,
+        |             round(n * (c1/n) * (c2/n)) AS gexp,
+        |             least(c1, c2) AS gmax FROM m)
+        |SELECT CAST(gmin AS BIGINT) AS est_min,
+        |       CAST(round(n * (gexp/n)) AS BIGINT) AS est_exp,
+        |       CAST(gmax AS BIGINT) AS est_max FROM g""".stripMargin,
+    "count_estimate_bands_mixed" ->
+      """WITH t AS (SELECT d.lang, d.source
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |             sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::DOUBLE AS cde,
+        |             sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::DOUBLE AS cfr,
+        |             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::DOUBLE AS c1
+        |      FROM t),
+        |s AS (SELECT n, c1, greatest(cde, cfr) AS smin,
+        |             round((1.0 - (1.0 - cde/n) * (1.0 - cfr/n)) * n) AS sexp,
+        |             least(cde + cfr, n) AS smax FROM m)
+        |SELECT CAST(greatest(0.0, smin - c1) AS BIGINT) AS est_min,
+        |       CAST(round(n * (sexp/n) * ((n - c1)/n)) AS BIGINT) AS est_exp,
+        |       CAST(least(smax, n - c1) AS BIGINT) AS est_max FROM s""".stripMargin,
+    "count_estimate_datetime" ->
+      """WITH t AS (SELECT epoch_us(ts)::DOUBLE AS v FROM events),
+        |bb AS (SELECT epoch_us(TIMESTAMP '2024-01-10 00:00:00')::DOUBLE AS a,
+        |              epoch_us(TIMESTAMP '2024-01-20 12:00:00')::DOUBLE AS z),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*)::DOUBLE AS n,
+        |              (max(v) - min(v)) / 64.0 AS w FROM t),
+        |bk AS (SELECT least(63, CAST(floor((t.v - mm.lo) / mm.w) AS INT)) AS b,
+        |              count(*)::DOUBLE AS c
+        |       FROM t, mm GROUP BY 1),
+        |ed AS (SELECT bk.c, mm.n, mm.w,
+        |              mm.lo + bk.b * mm.w AS blo,
+        |              mm.lo + (bk.b + 1) * mm.w AS bhi,
+        |              bb.a, bb.z
+        |       FROM bk, mm, bb),
+        |hh AS (SELECT any_value(n) AS n,
+        |  round(sum(CASE WHEN blo >= a AND bhi <= z THEN c ELSE 0 END)) AS minv,
+        |  round(sum(CASE WHEN least(z, bhi) - greatest(a, blo) > 0
+        |                 THEN c ELSE 0 END)) AS maxv,
+        |  round(sum(CASE WHEN least(z, bhi) - greatest(a, blo) > 0
+        |                 THEN c * least(1.0, (least(z, bhi) - greatest(a, blo)) / w)
         |                 ELSE 0 END)) AS midv
         |  FROM ed),
         |st AS (SELECT n, minv AS emin, least(n, maxv) AS emax,

@@ -812,6 +812,20 @@ final class Collection(
   def estimateCount(f: Option[graft.model.Filter]): graft.filters.Cardinality.CardEst =
     graft.filters.Cardinality.estimate(f, fieldStats)
 
+  /** [[estimateCount]] over a count-request body, as a one-row frame — the
+    * internal band surface (the reference's `CardinalityEstimation`
+    * carries all three arms, `cardinality_estimation.rs`; the public
+    * count endpoint serves only `exp`, `local_shard/mod.rs:1070-1085`).
+    * Zero Spark jobs warm, like the `exact:false` count itself. */
+  def countEstimate(json: String): DataFrame = {
+    val spec = graft.api.RequestCodec.parseCountRequest(json)
+    spec.filter.foreach(fl => config.strictMode.foreach(sm =>
+      graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
+    val est = graft.filters.Cardinality.estimate(spec.filter, fieldStats)
+    import spark.implicits._
+    Seq((est.min, est.exp, est.max)).toDF("est_min", "est_exp", "est_max")
+  }
+
   /** `POST /collections/{c}/facet` (`FacetRequestInternal`). */
   def facet(json: String): DataFrame = {
     val spec = graft.api.RequestCodec.parseFacetRequest(json)
@@ -1365,13 +1379,14 @@ final class Collection(
       }
 
     /** All of `fields` as one exploded long-form `(_id, _k, _v)`, values
-      * cast to `castTo` (string identity is injective within a field — its
-      * element type is fixed — so distinct/grouping over the cast matches
-      * the typed semantics). */
-    def longForm(fields: Seq[String], castTo: String): DataFrame = {
+      * mapped per field by `conv` (for the value pass a string cast —
+      * string identity is injective within a field, its element type is
+      * fixed, so distinct/grouping over the cast matches the typed
+      * semantics; for the hist pass a numeric-axis projection). */
+    def longForm(fields: Seq[String], conv: (String, Column) => Column): DataFrame = {
       val kvs = array(fields.map { k =>
         struct(lit(k).as("_k"),
-          transform(r.values(k), v => v.cast(castTo)).as("_vs"))
+          transform(r.values(k), v => conv(k, v)).as("_vs"))
       }: _*)
       pp.select(col("_id"), explode(kvs).as("_kv"))
         .select(col("_id"), col("_kv._k").as("_k"), explode(col("_kv._vs")).as("_v"))
@@ -1388,7 +1403,7 @@ final class Collection(
     val values: Map[String, ValueStats] =
       if (valueFields.isEmpty) Map.empty
       else {
-        val pairs = longForm(valueFields, "string").distinct()
+        val pairs = longForm(valueFields, (_, v) => v.cast("string")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val perField = timed("val-agg")(pairs.groupBy(col("_k"))
@@ -1418,17 +1433,34 @@ final class Collection(
         } finally { pairs.unpersist(); () }
       }
 
-    // JOBS 4+5 — equal-width value histograms for numeric range fields
+    // JOBS 4+5 — equal-width value histograms for numeric AND datetime
+    // range fields. Datetime values project onto the epoch-μs axis (the
+    // reference's numeric index stores DateTimePayloadType as i64 μs,
+    // `numeric_index/mod.rs`), so RFC3339-bounded ranges estimate through
+    // the same histogram machinery.
+    val dateFields = declared.collect {
+      case (k, t) if (elemType(t) match {
+        case TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }) => k
+    }
     val histFields = declared.collect {
       case (k, t) if (elemType(t) match {
         case LongType | IntegerType | DoubleType | FloatType => true
         case _ => false
       }) => k
-    }
+    } ++ dateFields
+    val histConv: (String, Column) => Column = (k, v) =>
+      declared.collectFirst { case (`k`, t) => elemType(t) } match {
+        case Some(TimestampType) => unix_micros(v).cast("double")
+        case Some(TimestampNTZType) => unix_micros(v.cast(TimestampType)).cast("double")
+        case Some(DateType) => unix_date(v).cast("double") * lit(86400e6)
+        case _ => v.cast("double")
+      }
     val hist: Map[String, HistStats] =
       if (histFields.isEmpty) Map.empty
       else {
-        val nums = longForm(histFields, "double")
+        val nums = longForm(histFields, histConv)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // two-level: per-(field, point) partials fold into per-field
@@ -1478,7 +1510,8 @@ final class Collection(
         case (k, t) if elemType(t) == BooleanType => k }.toSet,
       intTyped = declared.collect {
         case (k, t) if elemType(t) == LongType || elemType(t) == IntegerType => k
-      }.toSet)
+      }.toSet,
+      dateTyped = dateFields.toSet)
   }
 
   // ------------------------------------------------------- quantization
@@ -1902,7 +1935,8 @@ object Collection {
       "nulls" -> nulls,
       "string_typed" -> JArray(s.stringTyped.toList.sorted.map(JString(_): JValue)),
       "bool_typed" -> JArray(s.boolTyped.toList.sorted.map(JString(_): JValue)),
-      "int_typed" -> JArray(s.intTyped.toList.sorted.map(JString(_): JValue)))))
+      "int_typed" -> JArray(s.intTyped.toList.sorted.map(JString(_): JValue)),
+      "date_typed" -> JArray(s.dateTyped.toList.sorted.map(JString(_): JValue)))))
   }
 
   private[storage] def parseFieldStatsJson(
@@ -1957,7 +1991,7 @@ object Collection {
     }
     FieldStatsSnapshot(long(o \ "total"), lmap(o \ "vectors"), values, hist,
       nulls, strs(o \ "string_typed"), strs(o \ "bool_typed"),
-      strs(o \ "int_typed"))
+      strs(o \ "int_typed"), strs(o \ "date_typed"))
   }
 
   private[storage] def quantJson(m: Map[String, QuantParams]): String = {

@@ -123,9 +123,37 @@ class CardinalitySpec extends AnyFunSuite {
       RangeCond("len", gte = Some(0.0), lt = Some(w / 2.0)), snap)
     assert(half.min == 0L && half.max == 100L)
     assert(half.exp >= 45L && half.exp <= 55L) // ~50 after Stirling
-    // datetime-style bound → unknown
+    // datetime-string bound on a NUMERIC field estimates on the epoch-nanos
+    // axis (Temporal.boundLit's exact-path coercion): 2024 nanos sit far
+    // beyond the [0, 100) histogram → estimated empty, not unknown
     assert(estimateCondition(
-      RangeCond("len", gte = Some("2024-01-01")), snap) == CardEst.unknown(1000L))
+      RangeCond("len", gte = Some("2024-01-01")), snap) == CardEst.exact(0L))
+    // a string with no temporal reading stays unknown
+    assert(estimateCondition(
+      RangeCond("len", gte = Some("abc")), snap) == CardEst.unknown(1000L))
+  }
+
+  test("datetime range on a dateTyped field estimates on the epoch-microsecond axis") {
+    import graft.filters.Temporal
+    val us = (s: String) => Temporal.epochMicros(Temporal.parseInstant(s).get).toDouble
+    val lo = us("2024-01-01T00:00:00Z")
+    val hi = us("2024-01-31T00:00:00Z")
+    // 640 single-valued points uniform over January on the μs axis
+    val h = HistStats(640L, 640L, 1L, lo, hi, Seq.fill(64)(10L))
+    val s2 = snap.copy(hist = snap.hist + ("ts" -> h), dateTyped = Set("ts"))
+    // exactly the first half of the month (the bucket grid divides 30 days
+    // into 64 cells; 2024-01-16T00:00 lands mid-bucket-32)
+    val e = estimateCondition(RangeCond("ts",
+      gte = Some("2024-01-01T00:00:00Z"), lt = Some("2024-01-16T00:00:00Z")), s2)
+    assert(e.min >= 310L && e.max <= 330L && e.exp >= e.min && e.exp <= e.max)
+    // RFC3339 offset form parses too (= 15th 22:00Z)
+    val eo = estimateCondition(RangeCond("ts",
+      lt = Some("2024-01-15T18:00:00-04:00")), s2)
+    assert(eo.max < 640L && eo.exp > 0L)
+    // a numeric bound on a dateTyped field is epoch NANOS (the wire unit)
+    val en = estimateCondition(RangeCond("ts",
+      lt = Some((us("2024-01-16T00:00:00Z") * 1000.0).toLong)), s2)
+    assert(math.abs(en.exp - e.exp) <= 10L)
   }
 
   test("null/empty/id/vector/slice conditions") {
