@@ -682,11 +682,19 @@ object RequestCodec {
       groupBy: String,
       groupSize: Int,
       groups: Int,
-      lookupCollection: Option[String])
+      lookupCollection: Option[String],
+      /** `with_lookup.with_payload` selector for the looked-up point
+        * (`WithLookup`, `lib/collection/src/lookup/mod.rs:22-60`; payload
+        * DEFAULTS TRUE there, unlike ScoredPoint). None = drop payload. */
+      lookupWithPayload: Option[Column => Column] = Some(identity),
+      /** `with_lookup.with_vectors` (DEFAULTS FALSE): None = every named
+        * vector, Some(names) = the selected set (empty = none). */
+      lookupWithVectors: Option[Seq[String]] = Some(Nil))
 
   def parseGroupRequest(json: String, ctx: Ctx): GroupSpec = {
     val o = JsonMethods.parse(json)
     val q = queryNode(o, ctx, topLevel = true)
+    val wl = o \ "with_lookup"
     GroupSpec(
       query = q,
       groupBy = str(o \ "group_by"),
@@ -695,10 +703,20 @@ object RequestCodec {
         case v => num(v).toInt
       },
       groups = q.limit, // BaseGroupRequest.limit = max groups
-      lookupCollection = (o \ "with_lookup") match {
+      lookupCollection = wl match {
         case JString(c) => Some(c)
         case l: JObject => Some(str(l \ "collection"))
         case _ => None
+      },
+      // the bare-string form means WithLookup::from(collection) — the
+      // selector DEFAULTS (payload true / vectors false) apply either way
+      lookupWithPayload = wl match {
+        case l: JObject => parseWithPayload(l \ "with_payload")
+        case _ => Some(identity)
+      },
+      lookupWithVectors = wl match {
+        case l: JObject => parseWithVector(l \ "with_vectors")
+        case _ => Some(Nil)
       })
   }
 

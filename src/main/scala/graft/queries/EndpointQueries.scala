@@ -266,6 +266,52 @@ object EndpointQueries {
           col("grp_rank").cast("long").as("grp_rank"), col("lookup_name"))
         .orderBy(col("grp_rank"), col("rank"))
     }),
+    // with_lookup SELECTORS (`WithLookup`, `lookup/mod.rs:22-60`): the
+    // looked-up row attaches payload filtered by `with_payload` (include
+    // list keeps `name`, `extra` must vanish) and NO vectors (explicit
+    // false = the default) — pinned via json reads + column-absence flag
+    "collection_group_lookup_select" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val lookup = e.select(col("label")).distinct()
+        .select(col("label").cast("string").as("lkid"),
+          to_json(struct(concat(lit("L"), col("label")).as("name"),
+            col("label").as("extra"))).as("payload"),
+          array(col("label").cast("float")).as("vector"))
+      val g = docColl(s, dir).queryGroups(
+        s"""{"query": {"nearest": ${vjson(s, dir, 7)}},
+           |  "group_by": "label", "group_size": 2, "limit": 4,
+           |  "with_lookup": {"collection": "labels",
+           |    "with_payload": ["name"], "with_vectors": false}}""".stripMargin,
+        lookupTable = _ => lookup)
+      g.select(col("group_value"), col("id"), col("score"),
+        col("rank").cast("long").as("rank"),
+        col("grp_rank").cast("long").as("grp_rank"),
+        get_json_object(col("lookup_payload"), "$.name").as("lk_name"),
+        get_json_object(col("lookup_payload"), "$.extra").as("lk_extra"),
+        lit(g.columns.contains("lookup_vector")).as("has_vec"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
+    // with_lookup `with_vectors: true` + `with_payload: false`: the
+    // lookup vector rides, the lookup payload does not
+    "collection_group_lookup_vec" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val lookup = e.select(col("label")).distinct()
+        .select(col("label").cast("string").as("lkid"),
+          to_json(struct(concat(lit("L"), col("label")).as("name"))).as("payload"),
+          array(col("label").cast("float")).as("vector"))
+      val g = docColl(s, dir).queryGroups(
+        s"""{"query": {"nearest": ${vjson(s, dir, 7)}},
+           |  "group_by": "label", "group_size": 2, "limit": 4,
+           |  "with_lookup": {"collection": "labels",
+           |    "with_payload": false, "with_vectors": true}}""".stripMargin,
+        lookupTable = _ => lookup)
+      g.select(col("group_value"), col("id"), col("score"),
+        col("rank").cast("long").as("rank"),
+        col("grp_rank").cast("long").as("grp_rank"),
+        size(col("lookup_vector")).cast("long").as("lkdim"),
+        lit(g.columns.contains("lookup_payload")).as("has_pay"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
     // legacy POST /points/search (deprecated-but-served): `vector` +
     // `top` alias + with_payload/with_vector rewrite to the universal
     // form — must reproduce collection_query_with_payload's rows exactly
@@ -638,6 +684,48 @@ object EndpointQueries {
         |SELECT h.gv AS group_value, h.id, h.score, h.rank::BIGINT AS rank,
         |       g.grp_rank::BIGINT AS grp_rank,
         |       concat('L', h.gv) AS lookup_name
+        |FROM hits h JOIN grps g ON g.gv = h.gv
+        |ORDER BY grp_rank, rank""".stripMargin,
+    "collection_group_lookup_select" ->
+      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+        |                    e.label::VARCHAR AS gv
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |scored AS (SELECT p.gv, p.id, round(list_dot_product(p.v, q.v), 6) AS score
+        |           FROM pts p, q),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY gv ORDER BY score DESC, id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
+        |         ORDER BY best DESC, gv ASC LIMIT 4),
+        |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC) AS grp_rank
+        |         FROM tops)
+        |SELECT h.gv AS group_value, h.id, h.score, h.rank::BIGINT AS rank,
+        |       g.grp_rank::BIGINT AS grp_rank,
+        |       concat('L', h.gv) AS lk_name,
+        |       CAST(NULL AS VARCHAR) AS lk_extra,
+        |       FALSE AS has_vec
+        |FROM hits h JOIN grps g ON g.gv = h.gv
+        |ORDER BY grp_rank, rank""".stripMargin,
+    "collection_group_lookup_vec" ->
+      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+        |                    e.label::VARCHAR AS gv
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |scored AS (SELECT p.gv, p.id, round(list_dot_product(p.v, q.v), 6) AS score
+        |           FROM pts p, q),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY gv ORDER BY score DESC, id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
+        |         ORDER BY best DESC, gv ASC LIMIT 4),
+        |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC) AS grp_rank
+        |         FROM tops)
+        |SELECT h.gv AS group_value, h.id, h.score, h.rank::BIGINT AS rank,
+        |       g.grp_rank::BIGINT AS grp_rank,
+        |       1::BIGINT AS lkdim, FALSE AS has_pay
         |FROM hits h JOIN grps g ON g.gv = h.gv
         |ORDER BY grp_rank, rank""".stripMargin,
     "collection_query_with_payload" ->

@@ -1012,7 +1012,38 @@ final class Collection(
     val looked = spec.lookupCollection match {
       case None => grouped
       case Some(name) =>
-        val lk = lookupTable(name)
+        // `with_lookup` selector surface (`WithLookup`, `lookup/mod.rs:
+        // 22-60`): the looked-up row attaches payload per `with_payload`
+        // (default TRUE) and vectors per `with_vectors` (default FALSE).
+        // The lookup frame follows the standard collection layout — id
+        // first, `payload` JSON, `vector*`/`sparse_*` columns; internal
+        // columns (quant_/ivfcell_/idx_ projections) never attach.
+        val lk0 = lookupTable(name)
+        def isVec(c: String) = c == "vector" ||
+          c.startsWith("vector_") || c.startsWith("sparse_")
+        def isInternal(c: String) = c.startsWith("quant_") ||
+          c.startsWith("ivfcell_") || c.startsWith("idx_")
+        val p1 = spec.lookupWithPayload match {
+          case Some(f) if lk0.columns.contains("payload") =>
+            lk0.withColumn("payload", f(col("payload")))
+          case None if lk0.columns.contains("payload") => lk0.drop("payload")
+          case _ => lk0
+        }
+        val keepVec: Set[String] = spec.lookupWithVectors match {
+          case None => p1.columns.filter(isVec).toSet
+          case Some(names) => names.flatMap(n =>
+            if (n.isEmpty) Seq("vector") else Seq(s"vector_$n", s"sparse_$n")).toSet
+        }
+        val dropped = p1.drop(p1.columns.filter(c =>
+          isInternal(c) || (isVec(c) && !keepVec(c))): _*)
+        // the looked-up point's payload/vectors land under `lookup_*`
+        // names (the reference returns them as a separate `lookup`
+        // sub-object per group) — no collision with the group hits' own
+        // with_payload / with_vector enrichment
+        val lk = dropped.columns.foldLeft(dropped) { (df, c) =>
+          if (c == "payload" || isVec(c)) df.withColumnRenamed(c, s"lookup_$c")
+          else df
+        }
         graft.ops.GroupBy.withLookup(grouped,
           lk.withColumnRenamed(lk.columns.head, "_lk"), "_lk",
           lk.columns.tail.toSeq)
@@ -1753,9 +1784,22 @@ object Collection {
       targetFiles.fold(df)(n => df.repartitionByRange(n, id))
         .sortWithinPartitions(id)
     else
-      df.repartition(pc.map(col): _*)
+      // (partition key, id-hash salt) shuffle instead of the bare key:
+      // a HOT cell/shard splits across ≤ `writeSalt` write tasks, so one
+      // skewed key cannot serialize its whole directory through a single
+      // task at scale, while files-per-directory stays bounded by the
+      // salt (each (key, salt) slice lands in exactly one task). The salt
+      // scales with the session's parallelism — a big cluster engages its
+      // cores, local test runs keep ~4 files/cell.
+      df.repartition(
+        pc.map(col) :+ pmod(xxhash64(id), lit(writeSalt(df))): _*)
         .sortWithinPartitions(pc.map(col) :+ id: _*)
   }
+
+  /** Id-hash salt width for partitioned writes: ≥1, ~cores/8. Also the
+    * bound on files per partition directory. */
+  private[graft] def writeSalt(df: DataFrame): Int =
+    math.max(1, df.sparkSession.sparkContext.defaultParallelism / 8)
 
   /** Physical partition columns of the stored table: the shard key (when
     * custom sharding is declared) then every IVF cell column — so a

@@ -837,6 +837,36 @@ class StoreSpec extends SparkTestBase {
     assert(ids == Set(1L, 2L))
   }
 
+  test("IVF partitioned writes: salted tasks bound files-per-cell by the salt width") {
+    import spark.implicits._
+    import graft.sources.{CollectionConfig, IvfSpec, VectorConfig}
+    val path = tmpDir()
+    val cfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 4, Dot, ann = Some(IvfSpec(cells = 4, nprobe = 1)))))
+    // 2000 points over 4 clear clusters, scrambled input partitioning
+    val rows = (1L to 2000L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(4)(d => if (d == c) 10f + (i % 7) * 0.1f else (i % 3) * 0.1f))
+    }
+    val c = graft.storage.Collection.create(spark, path, cfg,
+      rows.toDF("id", "vector").repartition(16))
+    val salt = graft.storage.Collection.writeSalt(c.read())
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ivfcell_vector="))
+    assert(dirs.length == 4, s"expected 4 cell directories, got ${dirs.length}")
+    dirs.foreach { d =>
+      val files = fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(files >= 1 && files <= salt,
+        s"cell ${d.getPath.getName}: $files files, salt bound is $salt")
+    }
+    // the salted layout must not disturb probe pruning or results
+    val top = c.knn("", Seq(10.0, 0.0, 0.0, 0.0), k = 3, nprobe = Some(1))
+      .collect().map(_.getLong(0))
+    assert(top.length == 3 && top.forall(_ % 4 == 0))
+  }
+
   test("applyBatch folds N ops into exactly ONE table rewrite") {
     import spark.implicits._
     import graft.storage.UpdateOp
