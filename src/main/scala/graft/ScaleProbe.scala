@@ -174,6 +174,40 @@ object ScaleProbe {
   private def scaledIvf(s: SparkSession): graft.storage.Collection =
     new graft.storage.Collection(s, scaledIvfPath, scaledIvfCfg)
 
+  /** Round-11 probes: datetime-histogram sidecar at scale + typed facet
+    * serve. One collection, four declared payload fields (string / long /
+    * long / timestamp) — `_build` creates the collection AND answers the
+    * first `exact:false` datetime count (triggers the fixed-shape sidecar
+    * jobs, datetime field riding the same hist pass); `_warm` re-opens the
+    * collection from disk and answers again (sidecar file read, zero
+    * Spark jobs); `facet_typed_scaled_warm` serves an integer facet from
+    * the same sidecar. */
+  private val tsScaledPath = "/tmp/graft_runtime/scale_tscoll"
+  private def tsScaledCfg = {
+    import graft.sources.CollectionConfig
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+    CollectionConfig(idCol = "id", payloadTypes = Map(
+      "lang" -> StringType, "n_chars" -> LongType,
+      "label" -> LongType, "ts" -> TimestampType))
+  }
+  private val tsEstJson =
+    """{"filter": {"must": [
+      |  {"key": "ts", "range": {"gte": "2024-01-10T00:00:00Z",
+      |                          "lt": "2024-01-20T00:00:00Z"}}
+      |]}, "exact": false}""".stripMargin
+  private def tsScaledCreate(s: SparkSession, dir: String): graft.storage.Collection = {
+    val d = Tables.load(s, dir, "documents")
+    // deterministic uniform timestamps over January 2024 (epoch seconds)
+    val secs = lit(1704067200L) +
+      pmod(xxhash64(col("doc_id"), lit("ts")), lit(30L * 86400L))
+    graft.storage.Collection.create(s, tsScaledPath, tsScaledCfg,
+      d.select(col("doc_id").as("id"),
+        to_json(struct(col("lang"), col("n_chars"),
+          pmod(col("doc_id"), lit(10)).as("label"),
+          date_format(to_timestamp(secs), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts")))
+          .as("payload")))
+  }
+
   /** Scaled mutation workload: seed = every generated document, then
     * upsert 10% with a new source, delete one language, merge a payload
     * flag — one end-to-end number for the write path at scale. */
@@ -247,6 +281,26 @@ object ScaleProbe {
         scaledIvf(spark)
           .knn("", Tables.embeddingOf(spark, outDir, 7L), k = 10, exact = true)
           .count(): Unit
+      case "ivf_files_per_cell" =>
+        // r11 salted-write audit: files per cell directory must be
+        // bounded by the salt width (printed, not timed — listing only)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(scaledIvfPath))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("ivfcell_"))
+        val counts = dirs.map(d => fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")))
+        System.err.println(s"[probe] ivf cells=${dirs.length} " +
+          s"files/cell min=${counts.min} max=${counts.max} " +
+          s"salt=${graft.storage.Collection.writeSalt(scaledIvf(spark).read())}")
+      case "ts_sidecar_scaled_build" =>
+        tsScaledCreate(spark, outDir).count(tsEstJson).count(): Unit
+      case "ts_estimate_scaled_warm" =>
+        new graft.storage.Collection(spark, tsScaledPath, tsScaledCfg)
+          .count(tsEstJson).count(): Unit
+      case "facet_typed_scaled_warm" =>
+        new graft.storage.Collection(spark, tsScaledPath, tsScaledCfg)
+          .facet("""{"key": "label", "limit": 5}""").count(): Unit
       case q => operatorOnly.getOrElse(q, SparkEntry.queries(q))(spark, outDir).count(): Unit
     }
     def time(n: String): Either[String, Double] = {
@@ -258,7 +312,9 @@ object ScaleProbe {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSet)
     val names = (subset ++ Seq("simhash_pairs_h16", "mutation_scaled", "cc_chain_1m",
       "ivf_collection_scaled_build", "ivf_collection_scaled_probe",
-      "ivf_collection_scaled_exact"))
+      "ivf_collection_scaled_exact", "ivf_files_per_cell",
+      "ts_sidecar_scaled_build", "ts_estimate_scaled_warm",
+      "facet_typed_scaled_warm"))
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(n)).toMap
     val warm = (1 to warmReps).map(_ => names.map(n => n -> time(n)).toMap)

@@ -1753,6 +1753,17 @@ object Collection {
     val w = laid.write.mode(SaveMode.Overwrite)
     (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(path)
     val coll = new Collection(spark, path, config)
+    // create REPLACES the collection at `path`: stale driver-side sidecars
+    // from a previous collection there must not leak into the new one —
+    // the fieldstats file in particular is rebuilt LAZILY, so without this
+    // delete the first `exact:false` count/facet would serve the PREVIOUS
+    // collection's statistics (caught by the r11 scale probe: the 500×
+    // re-create answered estimates from the 100× sidecar). The mutation
+    // path (`write`) already drops it on every rewrite.
+    val cfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    cfs.delete(coll.fieldStatsPath, false)
+    if (params.isEmpty) cfs.delete(coll.quantParamsPath, false)
     if (params.nonEmpty) coll.writeQuantParams(params)
     coll.refreshSparseIdfStats()
     coll

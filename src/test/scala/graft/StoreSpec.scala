@@ -837,6 +837,31 @@ class StoreSpec extends SparkTestBase {
     assert(ids == Set(1L, 2L))
   }
 
+  test("re-create over an existing path drops the stale fieldstats sidecar") {
+    import spark.implicits._
+    val path = tmpDir()
+    val c1 = Collection.create(spark, path, cfg, Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), """{"city":"Berlin"}"""),
+      (2L, Seq(0f, 1f, 0f, 0f), """{"city":"Berlin"}"""),
+      (3L, Seq(0f, 0f, 1f, 0f), """{"city":"London"}""")
+    ).toDF("id", "vector", "payload"))
+    // build + persist the first collection's sidecar
+    assert(c1.count("""{"filter": {"must": [
+      |  {"key": "city", "match": {"value": "Berlin"}}]}, "exact": false}""".stripMargin)
+      .collect()(0).getLong(0) == 2L)
+    // REPLACE the collection at the same path: one London row only
+    val c2 = Collection.create(spark, path, cfg, Seq(
+      (9L, Seq(1f, 0f, 0f, 0f), """{"city":"London"}""")
+    ).toDF("id", "vector", "payload"))
+    // the estimate must come from the NEW collection's (rebuilt) stats,
+    // not the previous sidecar left on disk
+    assert(c2.count("""{"filter": {"must": [
+      |  {"key": "city", "match": {"value": "Berlin"}}]}, "exact": false}""".stripMargin)
+      .collect()(0).getLong(0) == 0L)
+    assert(c2.facet("""{"key": "city", "limit": 3}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq("London" -> 1L))
+  }
+
   test("IVF partitioned writes: salted tasks bound files-per-cell by the salt width") {
     import spark.implicits._
     import graft.sources.{CollectionConfig, IvfSpec, VectorConfig}
