@@ -23,13 +23,14 @@ class OpModelSpec extends SparkTestBase {
 
   // ----------------------------------------------------- the driver model
 
-  /** Modeled payload value: the JSON shapes the generators emit. */
+  /** Modeled payload value: the JSON shapes the generators emit.
+    * `MObj` is recursive so key-path merges can model nested objects. */
   sealed trait MV
   case class ML(v: Long) extends MV
   case class MS(v: String) extends MV
   case class MB(v: Boolean) extends MV
   case class MA(v: Seq[Long]) extends MV
-  case class MO(v: Map[String, Long]) extends MV
+  case class MObj(v: Map[String, MV]) extends MV
   /** Explicit JSON null — in set_payload patches it DELETES the key
     * (`merge_map`, the jackson kernel's contract). */
   case object MNull extends MV
@@ -43,6 +44,12 @@ class OpModelSpec extends SparkTestBase {
       mode: UpdateMode) extends MOp
   case class OpDelete(ids: Seq[Long]) extends MOp
   case class OpSetPayload(ids: Seq[Long], patch: Map[String, MV]) extends MOp
+  /** set_payload with a `key` JsonPath (dotted object paths): the patch
+    * merges into the object AT the path, creating intermediate objects;
+    * a scalar at the path is replaced by an object (`SetPayloadOp.key`,
+    * `payload_ops.rs:64-75`; kernel `filters/PayloadMutate.scala`). */
+  case class OpSetPayloadAt(ids: Seq[Long], path: String,
+      patch: Map[String, MV]) extends MOp
   case class OpOverwrite(ids: Seq[Long], payload: Map[String, MV]) extends MOp
   case class OpDeleteKeys(ids: Seq[Long], keys: Seq[String]) extends MOp
   case class OpClear(ids: Seq[Long]) extends MOp
@@ -67,6 +74,33 @@ class OpModelSpec extends SparkTestBase {
           case (b, (k, v)) => b + (k -> v)
         }
         acc + (id -> pt.copy(payload = Some(merged)))
+      }
+    }
+    case OpSetPayloadAt(ids, path, patch) => ids.foldLeft(m) { (acc, id) =>
+      acc.get(id).fold(acc) { pt =>
+        def setAt(obj: Map[String, MV], segs: List[String]): Map[String, MV] =
+          segs match {
+            case k :: Nil =>
+              val cur = obj.get(k) match {
+                case Some(MObj(o)) => o
+                case _ => Map.empty[String, MV] // scalar/missing → fresh object
+              }
+              val merged = patch.foldLeft(cur) {
+                case (b, (kk, MNull)) => b - kk
+                case (b, (kk, v)) => b + (kk -> v)
+              }
+              obj + (k -> MObj(merged))
+            case k :: rest =>
+              val cur = obj.get(k) match {
+                case Some(MObj(o)) => o
+                case _ => Map.empty[String, MV]
+              }
+              obj + (k -> MObj(setAt(cur, rest)))
+            case Nil => obj
+          }
+        val base = pt.payload.getOrElse(Map.empty)
+        acc + (id -> pt.copy(payload =
+          Some(setAt(base, path.split('.').toList))))
       }
     }
     case OpOverwrite(ids, p) => ids.foldLeft(m) { (acc, id) =>
@@ -94,8 +128,8 @@ class OpModelSpec extends SparkTestBase {
     case MS(x) => JString(x)
     case MB(x) => JBool(x)
     case MA(xs) => JArray(xs.map(x => JInt(BigInt(x)): JValue).toList)
-    case MO(m) => JObject(m.toList.sortBy(_._1).map { case (k, x) =>
-      k -> (JInt(BigInt(x)): JValue) })
+    case MObj(m) => JObject(m.toList.sortBy(_._1).map { case (k, x) =>
+      k -> jv(x) })
     case MNull => JNull
   }
 
@@ -126,6 +160,8 @@ class OpModelSpec extends SparkTestBase {
       case OpDelete(ids) => UpdateOp.DeleteIds(ids)
       case OpSetPayload(ids, patch) =>
         UpdateOp.SetPayload(renderPayload(patch), tgt(ids), None)
+      case OpSetPayloadAt(ids, path, patch) =>
+        UpdateOp.SetPayload(renderPayload(patch), tgt(ids), Some(path))
       case OpOverwrite(ids, p) =>
         UpdateOp.OverwritePayload(renderPayload(p), tgt(ids))
       case OpDeleteKeys(ids, keys) => UpdateOp.DeletePayloadKeys(keys, tgt(ids))
@@ -139,12 +175,18 @@ class OpModelSpec extends SparkTestBase {
   // ------------------------------------------------------------ generators
 
   private val genKey: Gen[String] = Gen.oneOf("a", "b", "c", "nest", "tags")
+  private val genLeafObj: Gen[MV] =
+    Gen.mapOfN(2, Gen.zip(Gen.oneOf("p", "q"),
+      Gen.chooseNum(0L, 9L).map(ML(_): MV))).map(MObj)
   private val genVal: Gen[MV] = Gen.frequency(
     4 -> Gen.chooseNum(-100L, 100L).map(ML),
     3 -> Gen.oneOf("x", "yy", "hello world", "").map(MS),
     1 -> Gen.oneOf(true, false).map(MB),
     2 -> Gen.listOfN(3, Gen.chooseNum(0L, 9L)).map(MA(_)),
-    2 -> Gen.mapOfN(2, Gen.zip(Gen.oneOf("p", "q"), Gen.chooseNum(0L, 9L))).map(MO))
+    1 -> genLeafObj,
+    // depth-2 object so dotted key paths meet real nested structure
+    1 -> Gen.zip(Gen.chooseNum(0L, 9L), genLeafObj).map { case (x, o) =>
+      MObj(Map("p" -> ML(x), "inner" -> o)) })
   private val genPayload: Gen[Map[String, MV]] =
     Gen.chooseNum(0, 3).flatMap(n => Gen.mapOfN(n, Gen.zip(genKey, genVal)))
   private val genPatch: Gen[Map[String, MV]] =
@@ -166,6 +208,14 @@ class OpModelSpec extends SparkTestBase {
     } yield OpUpsert(pts, mode)),
     2 -> genIds.map(OpDelete),
     3 -> Gen.zip(genIds, genPatch).map { case (i, p) => OpSetPayload(i, p) },
+    2 -> (for {
+      ids <- genIds
+      path <- Gen.oneOf("nest", "nest.inner", "c", "a.b.deep")
+      patch <- Gen.chooseNum(1, 2).flatMap(n => Gen.mapOfN(n,
+        Gen.zip(Gen.oneOf("p", "q", "r"),
+          Gen.frequency(4 -> Gen.chooseNum(0L, 99L).map(ML(_): MV),
+            1 -> Gen.const(MNull: MV)))))
+    } yield OpSetPayloadAt(ids, path, patch)),
     2 -> Gen.zip(genIds, genPayload).map { case (i, p) => OpOverwrite(i, p) },
     2 -> Gen.zip(genIds, Gen.chooseNum(1, 2).flatMap(Gen.listOfN(_, genKey)))
       .map { case (i, ks) => OpDeleteKeys(i, ks.distinct) },
