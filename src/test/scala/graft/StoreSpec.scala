@@ -545,6 +545,17 @@ class StoreSpec extends SparkTestBase {
       c.scroll("""{"limit": 2, "with_vector": ["txt", "bogus"]}""")
     }
     assert(e2.getMessage.contains("bogus"))
+    // a LIST mixing the default dense name "" and a sparse name selects both
+    val mixed = c.query(
+      """{"query": [1, 0, 0, 0], "limit": 1, "with_vector": ["", "txt"]}""")
+    assert(mixed.columns.toSet == Set("id", "score", "vector", "sparse_txt"))
+    // enrichment composes with a fusion root (prefetch DAG → rrf)
+    val fused = c.query(
+      """{"prefetch": [{"query": [1, 0, 0, 0], "limit": 2},
+        |             {"query": [0, 1, 0, 0], "limit": 2}],
+        |  "query": {"rrf": {}}, "limit": 2, "with_vector": true}""".stripMargin)
+    assert(fused.columns.toSet == Set("id", "score", "vector", "sparse_txt"))
+    assert(fused.count() == 2)
   }
 
   test("writes land id-clustered: per-file sorted ids + pushed id filters") {
