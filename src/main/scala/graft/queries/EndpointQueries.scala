@@ -145,6 +145,16 @@ object EndpointQueries {
           |  {"key": "n_chars", "range": {"gte": 150, "lt": 400}}
           |]}, "exact": false}""".stripMargin)
     }),
+    // order_by scroll over a DATETIME payload field with an RFC3339
+    // `start_from` cursor (OrderBy `start_from` accepts the datetime wire
+    // forms, `order_by.rs:16-170`): desc direction pages ts <= cursor,
+    // cursor string coerces through Temporal.boundLit to a typed literal
+    // so the parquet scan sees an ordinary timestamp comparison
+    "scroll_orderby_datetime" -> ((s, dir) =>
+      tsColl(s, dir).scroll(
+        """{"limit": 15, "with_payload": false,
+          |  "order_by": {"key": "ts", "direction": "desc",
+          |               "start_from": "2024-01-20T12:00:00Z"}}""".stripMargin)),
     // The full {min, exp, max} band on a must-combination — pins the
     // whole `combine_must_estimations` rule set (query_estimator.rs:
     // 188-220): min is the inclusion-exclusion fold, max the smallest
@@ -552,6 +562,10 @@ object EndpointQueries {
         |  FROM hh),
         |e AS (SELECT n, least(emax, greatest(round(est), emin)) AS ex FROM st)
         |SELECT CAST(round(n * (round(n * (ex/n))/n)) AS BIGINT) AS cnt FROM e""".stripMargin,
+    "scroll_orderby_datetime" ->
+      """SELECT event_id AS id FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-20 12:00:00'
+        |ORDER BY ts DESC, event_id ASC LIMIT 15""".stripMargin,
     "count_estimate_bands_must" ->
       """WITH t AS (SELECT d.lang, d.source
         |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
