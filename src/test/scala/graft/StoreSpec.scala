@@ -558,6 +558,43 @@ class StoreSpec extends SparkTestBase {
     assert(fused.count() == 2)
   }
 
+  test("with_vector on a MULTIVECTOR collection; groups over a sparse scoring root") {
+    import spark.implicits._
+    import graft.sources.SparseVectorConfig
+    // multivector named "mv": with_vector returns the array<array<float>> column
+    val mcfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("mv", 2, Dot, multivector = true)))
+    val mc = Collection.create(spark, tmpDir(), mcfg,
+      Seq((1L, Seq(Seq(1f, 0f), Seq(0f, 1f))), (2L, Seq(Seq(0f, 2f))))
+        .toDF("id", "vector_mv"))
+    val mh = mc.query(
+      """{"query": {"nearest": [[1, 0]]}, "using": "mv", "limit": 2,
+        |  "with_vector": true}""".stripMargin)
+    assert(mh.columns.toSet == Set("id", "score", "vector_mv"))
+    assert(mh.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Seq[Float]](2).length).toMap == Map(1L -> 2, 2L -> 1))
+    // sparse-only collection: query/groups over the sparse root, grouped
+    // by a payload key, with the sparse vector enriched per group hit
+    val scfg = CollectionConfig(idCol = "id",
+      sparse = Seq(SparseVectorConfig("txt")),
+      payloadTypes = Map("g" -> org.apache.spark.sql.types.LongType))
+    val sc = Collection.create(spark, tmpDir(), scfg,
+      Seq((1L, (Seq(1, 5), Seq(0.5f, 0.7f)), """{"g":1}"""),
+          (2L, (Seq(1), Seq(0.9f)), """{"g":1}"""),
+          (3L, (Seq(5), Seq(0.4f)), """{"g":2}"""))
+        .toDF("id", "sparse_txt", "payload")
+        .select(col("id"), col("sparse_txt")
+          .cast("struct<indices:array<int>,values:array<float>>"), col("payload")))
+    val gh = sc.queryGroups(
+      """{"query": {"nearest": {"indices": [1, 5], "values": [1.0, 1.0]}},
+        |  "using": "txt", "group_by": "g", "group_size": 1, "limit": 2,
+        |  "with_vector": true}""".stripMargin)
+    assert(gh.columns.contains("sparse_txt"))
+    val rows = gh.collect().map(r => (r.getAs[String]("group_value"), r.getLong(1))).toSeq
+    // g=1 best is id 1 (0.5+0.7=1.2 beats 0.9); g=2 only id 3
+    assert(rows.toSet == Set(("1", 1L), ("2", 3L)))
+  }
+
   test("writes land id-clustered: per-file sorted ids + pushed id filters") {
     import spark.implicits._
     val path = tmpDir()
