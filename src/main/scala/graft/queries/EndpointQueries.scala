@@ -406,6 +406,43 @@ object EndpointQueries {
           |    "collection": "queries", "vector": "vec", "shard_key": ["b"]},
           |  "limit": 10}""".stripMargin)
     }),
+    // query/groups THROUGH the catalog with a REAL sibling collection as
+    // the lookup (`Catalog.queryGroups` resolves `with_lookup.collection`
+    // to `readDecoded()` of the sibling): the with_payload include list
+    // filters the looked-up payload, with_vectors=false drops its vector,
+    // and the sibling's internal columns never attach
+    "catalog_group_lookup" -> ((s, dir) => {
+      val root = "/tmp/graft_runtime/cat_grp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = new graft.storage.Catalog(s, root)
+      val e = Tables.load(s, dir, "embeddings")
+      if (!cat.exists("pts"))
+        cat.create("pts", CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("", 64, Dot)),
+          payloadTypes = Map("label" -> LongType)),
+          e.select(col("vec_id"), col("embedding").as("vector"),
+            to_json(struct(col("label"))).as("payload")))
+      if (!cat.exists("labels"))
+        cat.create("labels", CollectionConfig(idCol = "lid",
+          vectors = Seq(VectorConfig("", 1, Dot)),
+          payloadTypes = Map("name" -> StringType, "extra" -> LongType)),
+          e.select(col("label")).distinct()
+            .select(col("label").cast("string").as("lid"),
+              array(col("label").cast("float")).as("vector"),
+              to_json(struct(concat(lit("L"), col("label")).as("name"),
+                col("label").as("extra"))).as("payload")))
+      val g = cat.queryGroups("pts",
+        s"""{"query": {"nearest": ${vjson(s, dir, 7)}},
+           |  "group_by": "label", "group_size": 2, "limit": 4,
+           |  "with_lookup": {"collection": "labels",
+           |    "with_payload": ["name"], "with_vectors": false}}""".stripMargin)
+      g.select(col("group_value"), col("vec_id"), col("score"),
+        col("rank").cast("long").as("rank"),
+        col("grp_rank").cast("long").as("grp_rank"),
+        get_json_object(col("lookup_payload"), "$.name").as("lk_name"),
+        get_json_object(col("lookup_payload"), "$.extra").as("lk_extra"),
+        lit(g.columns.contains("lookup_vector")).as("has_vec"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
     // query with with_payload include selector + with_vector: the response
     // enrichment join (broadcast hit set, table streams once) — payload
     // comes back selector-filtered, the vector decoded
@@ -431,6 +468,26 @@ object EndpointQueries {
 
   val oracles: Map[String, String] = Map(
     "catalog_query_lookup_from" -> RankQueries.oracles("recommend_lookup_from_shard"),
+    "catalog_group_lookup" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |scored AS (SELECT e.label::VARCHAR AS gv, e.vec_id AS vec_id,
+        |             round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |           FROM embeddings e, q),
+        |ranked AS (SELECT *, row_number() OVER
+        |             (PARTITION BY gv ORDER BY score DESC, vec_id ASC) AS rank
+        |           FROM scored),
+        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+        |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
+        |         ORDER BY best DESC, gv ASC LIMIT 4),
+        |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC) AS grp_rank
+        |         FROM tops)
+        |SELECT h.gv AS group_value, h.vec_id, h.score, h.rank::BIGINT AS rank,
+        |       g.grp_rank::BIGINT AS grp_rank,
+        |       concat('L', h.gv) AS lk_name,
+        |       CAST(NULL AS VARCHAR) AS lk_extra,
+        |       FALSE AS has_vec
+        |FROM hits h JOIN grps g ON g.gv = h.gv
+        |ORDER BY grp_rank, rank""".stripMargin,
     "collection_search_legacy" ->
       """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
         |                    d.lang, d.n_chars
