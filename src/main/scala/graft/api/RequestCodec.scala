@@ -624,7 +624,11 @@ object RequestCodec {
     * `using`; recommend/discover fields → the matching `query.*` object;
     * the `top` alias → `limit`; filter, params, offset, threshold,
     * with_payload/with_vector, lookup_from, shard_key pass through
-    * untouched. */
+    * untouched. The `/groups` legacy forms (`SearchGroupsRequest`,
+    * `RecommendGroupsRequest` — `types.rs:666-700`) carry the same base
+    * fields plus `group_by`/`group_size`/`with_lookup`, which pass through
+    * to the grouped-query parser ([[parseGroupRequest]] reads them from
+    * the rewritten body). */
   def legacyToQuery(json: String, kind: String): String = {
     val o = JsonMethods.parse(json) match {
       case obj: JObject => obj
@@ -657,7 +661,8 @@ object RequestCodec {
       case l => l
     }
     val pass = Seq("filter", "params", "offset", "score_threshold",
-      "with_payload", "using", "lookup_from", "shard_key").flatMap(keep).toList
+      "with_payload", "using", "lookup_from", "shard_key",
+      "group_by", "group_size", "with_lookup").flatMap(keep).toList
     JsonMethods.compact(JsonMethods.render(JObject(
       ("query" -> queryField) :: ("limit" -> limit) ::
         (usingFromVector ++ wv ++ pass))))

@@ -276,6 +276,36 @@ object EndpointQueries {
           col("grp_rank").cast("long").as("grp_rank"), col("lookup_name"))
         .orderBy(col("grp_rank"), col("rank"))
     }),
+    // legacy POST /points/search/groups (`SearchGroupsRequest`): the
+    // legacy base fields plus group_by/group_size/with_lookup — the
+    // bare-STRING with_lookup form — must rewrite to exactly the grouped
+    // query collection_group_by runs (same oracle)
+    "collection_search_groups_legacy" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val lookup = e.select(col("label").cast("string").as("lkid"),
+        concat(lit("L"), col("label")).as("lookup_name")).distinct()
+      docColl(s, dir).searchGroups(
+        s"""{"vector": ${vjson(s, dir, 7)},
+           |  "group_by": "label", "group_size": 2, "limit": 4,
+           |  "with_lookup": "labels"}""".stripMargin,
+        lookupTable = _ => lookup)
+        .select(col("group_value"), col("id"), col("score"),
+          col("rank").cast("long").as("rank"),
+          col("grp_rank").cast("long").as("grp_rank"), col("lookup_name"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
+    // legacy POST /points/recommend/groups (`RecommendGroupsRequest`):
+    // by-id positives/negatives + best_score at the top level, grouped —
+    // must match collection_group_recommend's universal-form rows
+    "collection_recommend_groups_legacy" -> ((s, dir) => {
+      docColl(s, dir).recommendGroups(
+        """{"positive": [1, 2], "negative": [4], "strategy": "best_score",
+          |  "group_by": "label", "group_size": 2, "limit": 3}""".stripMargin)
+        .select(col("group_value"), col("id"), col("score"),
+          col("rank").cast("long").as("rank"),
+          col("grp_rank").cast("long").as("grp_rank"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
     // with_lookup SELECTORS (`WithLookup`, `lookup/mod.rs:22-60`): the
     // looked-up row attaches payload filtered by `with_payload` (include
     // list keeps `name`, `extra` must vanish) and NO vectors (explicit
@@ -466,6 +496,60 @@ object EndpointQueries {
     }),
   )
 
+  /** Shared by `collection_group_by` and its legacy-route twin
+    * `collection_search_groups_legacy`: the legacy body must rewrite to
+    * the identical grouped query, so both entries hash-match one oracle. */
+  private val groupByLabelLookupSql =
+    """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+      |                    e.label::VARCHAR AS gv
+      |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+      |scored AS (SELECT p.gv, p.id, round(list_dot_product(p.v, q.v), 6) AS score
+      |           FROM pts p, q),
+      |ranked AS (SELECT *, row_number() OVER
+      |             (PARTITION BY gv ORDER BY score DESC, id ASC) AS rank
+      |           FROM scored),
+      |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+      |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
+      |         ORDER BY best DESC, gv ASC LIMIT 4),
+      |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC) AS grp_rank
+      |         FROM tops)
+      |SELECT h.gv AS group_value, h.id, h.score, h.rank::BIGINT AS rank,
+      |       g.grp_rank::BIGINT AS grp_rank,
+      |       concat('L', h.gv) AS lookup_name
+      |FROM hits h JOIN grps g ON g.gv = h.gv
+      |ORDER BY grp_rank, rank""".stripMargin
+
+  /** Shared by `collection_group_recommend` and
+    * `collection_recommend_groups_legacy` (same rewrite contract). */
+  private val groupRecommendSql =
+    """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+      |                    e.label::VARCHAR AS gv
+      |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |q1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=1),
+      |q2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=2),
+      |q4 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+      |s AS (SELECT p.gv, p.id,
+      |  greatest(list_dot_product(p.v, q1.v),
+      |           list_dot_product(p.v, q2.v)) AS mp,
+      |  list_dot_product(p.v, q4.v) AS mn
+      |  FROM pts p, q1, q2, q4),
+      |scored AS (SELECT gv, id,
+      |  round(CASE WHEN mp > mn THEN 0.5*(mp/(1+abs(mp))+1)
+      |             ELSE -(0.5*(mn/(1+abs(mn))+1)) END, 6) AS score FROM s),
+      |ranked AS (SELECT *, row_number() OVER
+      |             (PARTITION BY gv ORDER BY score DESC, id ASC) AS rank
+      |           FROM scored),
+      |hits AS (SELECT * FROM ranked WHERE rank <= 2),
+      |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
+      |         ORDER BY best DESC, gv ASC LIMIT 3),
+      |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC)
+      |           AS grp_rank FROM tops)
+      |SELECT h.gv AS group_value, h.id, h.score, h.rank::BIGINT AS rank,
+      |       g.grp_rank::BIGINT AS grp_rank
+      |FROM hits h JOIN grps g ON g.gv = h.gv
+      |ORDER BY grp_rank, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "catalog_query_lookup_from" -> RankQueries.oracles("recommend_lookup_from_shard"),
     "catalog_group_lookup" ->
@@ -516,33 +600,7 @@ object EndpointQueries {
         |       ORDER BY score DESC, p.id ASC LIMIT 5)
         |SELECT id, score, req::INT AS req FROM r0
         |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
-    "collection_group_recommend" ->
-      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
-        |                    e.label::VARCHAR AS gv
-        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
-        |q1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=1),
-        |q2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=2),
-        |q4 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
-        |s AS (SELECT p.gv, p.id,
-        |  greatest(list_dot_product(p.v, q1.v),
-        |           list_dot_product(p.v, q2.v)) AS mp,
-        |  list_dot_product(p.v, q4.v) AS mn
-        |  FROM pts p, q1, q2, q4),
-        |scored AS (SELECT gv, id,
-        |  round(CASE WHEN mp > mn THEN 0.5*(mp/(1+abs(mp))+1)
-        |             ELSE -(0.5*(mn/(1+abs(mn))+1)) END, 6) AS score FROM s),
-        |ranked AS (SELECT *, row_number() OVER
-        |             (PARTITION BY gv ORDER BY score DESC, id ASC) AS rank
-        |           FROM scored),
-        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
-        |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
-        |         ORDER BY best DESC, gv ASC LIMIT 3),
-        |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC)
-        |           AS grp_rank FROM tops)
-        |SELECT h.gv AS group_value, h.id, h.score, h.rank::BIGINT AS rank,
-        |       g.grp_rank::BIGINT AS grp_rank
-        |FROM hits h JOIN grps g ON g.gv = h.gv
-        |ORDER BY grp_rank, rank""".stripMargin,
+    "collection_group_recommend" -> groupRecommendSql,
     "collection_group_order_by" ->
       """WITH pts AS (SELECT e.vec_id AS id, d.n_chars, d.lang AS gv
         |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
@@ -737,26 +795,9 @@ object EndpointQueries {
         |       ORDER BY score DESC, p.id ASC LIMIT 5)
         |SELECT id, score, req::INT AS req FROM r0
         |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
-    "collection_group_by" ->
-      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
-        |                    e.label::VARCHAR AS gv
-        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
-        |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
-        |scored AS (SELECT p.gv, p.id, round(list_dot_product(p.v, q.v), 6) AS score
-        |           FROM pts p, q),
-        |ranked AS (SELECT *, row_number() OVER
-        |             (PARTITION BY gv ORDER BY score DESC, id ASC) AS rank
-        |           FROM scored),
-        |hits AS (SELECT * FROM ranked WHERE rank <= 2),
-        |tops AS (SELECT gv, score AS best FROM hits WHERE rank = 1
-        |         ORDER BY best DESC, gv ASC LIMIT 4),
-        |grps AS (SELECT gv, row_number() OVER (ORDER BY best DESC, gv ASC) AS grp_rank
-        |         FROM tops)
-        |SELECT h.gv AS group_value, h.id, h.score, h.rank::BIGINT AS rank,
-        |       g.grp_rank::BIGINT AS grp_rank,
-        |       concat('L', h.gv) AS lookup_name
-        |FROM hits h JOIN grps g ON g.gv = h.gv
-        |ORDER BY grp_rank, rank""".stripMargin,
+    "collection_group_by" -> groupByLabelLookupSql,
+    "collection_search_groups_legacy" -> groupByLabelLookupSql,
+    "collection_recommend_groups_legacy" -> groupRecommendSql,
     "collection_group_lookup_select" ->
       """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
         |                    e.label::VARCHAR AS gv

@@ -108,6 +108,17 @@ final class Catalog(spark: SparkSession, root: String) {
     get(name).queryGroups(json,
       lookupTable = n => get(aliases.resolve(n)).readDecoded())
 
+  /** Legacy `/points/{search,recommend}/groups` through the catalog:
+    * the `with_lookup` collection resolves against siblings (by name or
+    * alias) like [[queryGroups]]. */
+  def searchGroups(name: String, json: String): DataFrame =
+    get(name).searchGroups(json,
+      lookupTable = n => get(aliases.resolve(n)).readDecoded())
+
+  def recommendGroups(name: String, json: String): DataFrame =
+    get(name).recommendGroups(json,
+      lookupTable = n => get(aliases.resolve(n)).readDecoded())
+
   /** PATCH /collections/{name}: persist the updated config (the caller
     * builds it via `RequestCodec.parseCollectionUpdate`) and apply any
     * rewrite-needing diff through [[Collection.updateConfig]]. */

@@ -753,6 +753,23 @@ final class Collection(
   def discover(json: String): DataFrame =
     query(graft.api.RequestCodec.legacyToQuery(json, "discover"))
 
+  /** Legacy `POST /points/search/groups` (`SearchGroupsRequest`,
+    * `types.rs:666-680`): the base search fields plus
+    * `group_by`/`group_size`/`with_lookup`; rewrites to the universal
+    * grouped-query body and routes through [[queryGroups]]. */
+  def searchGroups(json: String,
+      lookupTable: String => DataFrame = n =>
+        throw new IllegalArgumentException(
+          s"with_lookup collection '$n' needs a lookupTable resolver")): DataFrame =
+    queryGroups(graft.api.RequestCodec.legacyToQuery(json, "search"), lookupTable)
+
+  /** Legacy `POST /points/recommend/groups` (`RecommendGroupsRequest`). */
+  def recommendGroups(json: String,
+      lookupTable: String => DataFrame = n =>
+        throw new IllegalArgumentException(
+          s"with_lookup collection '$n' needs a lookupTable resolver")): DataFrame =
+    queryGroups(graft.api.RequestCodec.legacyToQuery(json, "recommend"), lookupTable)
+
   /** Legacy `/batch` forms (`SearchRequestBatch.searches`,
     * `RecommendRequestBatch.searches`, `DiscoverRequestBatch.searches`) —
     * results tagged by request position like [[queryBatch]]. */
