@@ -239,23 +239,9 @@ object RequestCodec {
       case f: JObject => Some(filterOf(f))
       case _ => None
     }
-    // request-level shard selector (`ShardKeySelector`, `schema.rs:620`):
-    // shard keys map to the collection's shard-key partition column, so
-    // the selector compiles to a partition-pruning filter condition — the
-    // Spark form of fanning out to only the selected shards
-    val shardKeys = if (!topLevel) Nil else (o \ "shard_key") match {
-      case JNothing | JNull => Nil
-      case JArray(xs) => xs.map(shardKeyValue)
-      case v => Seq(shardKeyValue(v))
-    }
     val filter =
-      if (shardKeys.isEmpty) filter0
-      else {
-        val fld = ctx0.shardKeyField.getOrElse(
-          fail("shard_key given but the collection has no shard-key column"))
-        Filter.mergeOpts(
-          Some(Filter.mustAll(MatchAny(fld, shardKeys))), filter0)
-      }
+      if (!topLevel) filter0
+      else shardKeyFilter(o, ctx0.shardKeyField, filter0)
     val limit = (o \ "limit") match {
       case JNothing | JNull => 10 // default limit `collection_query.rs:50`
       case v => num(v).toInt
@@ -583,7 +569,8 @@ object RequestCodec {
       filter: Option[Filter],
       orderBy: Option[OrderByField])
 
-  def parseScrollRequest(json: String): ScrollSpec = {
+  def parseScrollRequest(json: String,
+      shardKeyField: Option[String] = None): ScrollSpec = {
     val o = JsonMethods.parse(json)
     ScrollSpec(
       offset = (o \ "offset") match {
@@ -594,10 +581,10 @@ object RequestCodec {
         case JNothing | JNull => 10
         case v => num(v).toInt
       },
-      filter = (o \ "filter") match {
+      filter = shardKeyFilter(o, shardKeyField, (o \ "filter") match {
         case f: JObject => Some(filterOf(f))
         case _ => None
-      },
+      }),
       orderBy = (o \ "order_by") match {
         case JNothing | JNull => None
         case JString(key) => Some(OrderByField(key, asc = true))
@@ -730,13 +717,14 @@ object RequestCodec {
   final case class MatrixSpec(
       filter: Option[Filter], sample: Int, limit: Int, using: Option[String])
 
-  def parseMatrixRequest(json: String): MatrixSpec = {
+  def parseMatrixRequest(json: String,
+      shardKeyField: Option[String] = None): MatrixSpec = {
     val o = JsonMethods.parse(json)
     MatrixSpec(
-      filter = (o \ "filter") match {
+      filter = shardKeyFilter(o, shardKeyField, (o \ "filter") match {
         case f: JObject => Some(filterOf(f))
         case _ => None
-      },
+      }),
       sample = (o \ "sample") match {
         case JNothing | JNull => 10 // defaults `distance_matrix.rs:42-44`
         case v => num(v).toInt
@@ -780,11 +768,17 @@ object RequestCodec {
   /** `POST /points` retrieve body (`PointRequest`: ids + payload/vector
     * selectors, `src/actix/api/retrieve_api.rs:132`). `withPayload` None =
     * payload column dropped. */
-  final case class RetrieveSpec(ids: Seq[Any], withPayload: Option[Column => Column])
+  final case class RetrieveSpec(ids: Seq[Any],
+      withPayload: Option[Column => Column],
+      /** `shard_key` selector folded to a filter (`PointRequest` carries
+        * one too) — ids outside the selected shards don't return. */
+      shardFilter: Option[Filter] = None)
 
-  def parseRetrieveRequest(json: String): RetrieveSpec = {
+  def parseRetrieveRequest(json: String,
+      shardKeyField: Option[String] = None): RetrieveSpec = {
     val o = JsonMethods.parse(json)
-    RetrieveSpec(arr(o \ "ids").map(idOf), parseWithPayload(o \ "with_payload"))
+    RetrieveSpec(arr(o \ "ids").map(idOf), parseWithPayload(o \ "with_payload"),
+      shardKeyFilter(o, shardKeyField, None))
   }
 
   /** `PUT /collections/{c}/index` body (`CreateFieldIndex`,
@@ -861,13 +855,14 @@ object RequestCodec {
     * `exact` (default true; false routes to the cardinality estimate). */
   final case class CountSpec(filter: Option[Filter], exact: Boolean)
 
-  def parseCountRequest(json: String): CountSpec = {
+  def parseCountRequest(json: String,
+      shardKeyField: Option[String] = None): CountSpec = {
     val o = JsonMethods.parse(json)
     CountSpec(
-      filter = (o \ "filter") match {
+      filter = shardKeyFilter(o, shardKeyField, (o \ "filter") match {
         case f: JObject => Some(filterOf(f))
         case _ => None
-      },
+      }),
       exact = (o \ "exact") match {
         case JBool(b) => b
         case _ => true
@@ -880,7 +875,8 @@ object RequestCodec {
   final case class FacetSpec(key: String, limit: Int, filter: Option[Filter],
       exact: Boolean)
 
-  def parseFacetRequest(json: String): FacetSpec = {
+  def parseFacetRequest(json: String,
+      shardKeyField: Option[String] = None): FacetSpec = {
     val o = JsonMethods.parse(json)
     FacetSpec(
       key = str(o \ "key"),
@@ -888,10 +884,10 @@ object RequestCodec {
         case JNothing | JNull => 10
         case v => num(v).toInt
       },
-      filter = (o \ "filter") match {
+      filter = shardKeyFilter(o, shardKeyField, (o \ "filter") match {
         case f: JObject => Some(filterOf(f))
         case _ => None
-      },
+      }),
       exact = (o \ "exact") match {
         case JBool(b) => b
         case _ => false
@@ -1324,6 +1320,28 @@ object RequestCodec {
   }
 
   /** `ShardKeySelector` element: keyword or integer (`schema.rs:1122`). */
+  /** Request-level shard selector (`ShardKeySelector`, `schema.rs:620` —
+    * carried by EVERY point read body: query, scroll, count, facet,
+    * matrix, retrieve): shard keys map to the collection's shard-key
+    * partition column, so the selector compiles to a partition-pruning
+    * filter condition — the Spark form of fanning out to only the
+    * selected shards. */
+  private[api] def shardKeyFilter(o: JValue, shardKeyField: Option[String],
+      filter0: Option[Filter]): Option[Filter] = {
+    val shardKeys = (o \ "shard_key") match {
+      case JNothing | JNull => Nil
+      case JArray(xs) => xs.map(shardKeyValue)
+      case v => Seq(shardKeyValue(v))
+    }
+    if (shardKeys.isEmpty) filter0
+    else {
+      val fld = shardKeyField.getOrElse(
+        fail("shard_key given but the collection has no shard-key column"))
+      Filter.mergeOpts(
+        Some(Filter.mustAll(MatchAny(fld, shardKeys))), filter0)
+    }
+  }
+
   private def shardKeyValue(j: JValue): Any = j match {
     case JString(s) => s
     case JInt(n) => n.toLong

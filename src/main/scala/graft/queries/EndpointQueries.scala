@@ -276,6 +276,33 @@ object EndpointQueries {
           col("grp_rank").cast("long").as("grp_rank"), col("lookup_name"))
         .orderBy(col("grp_rank"), col("rank"))
     }),
+    // Request-level `shard_key` on the NON-query read bodies: the
+    // reference's `ShardKeySelector` rides scroll, count, facet, and
+    // retrieve too (`schema.rs:620`); each folds to a partition-pruning
+    // condition on the shard-key column — exercised here over one sharded
+    // collection, tagged by endpoint kind
+    "shard_key_reads" -> ((s, dir) => {
+      val coll = VectorQueries.shardedColl(s, dir)
+      val cnt = coll.count(
+        """{"shard_key": ["a", "c"], "exact": true,
+          |  "filter": {"must": [{"key": "label", "range": {"gte": 2}}]}}""".stripMargin)
+        .select(lit("count").as("kind"), lit("").as("val"), col("cnt"))
+      val fac = coll.facet(
+        """{"key": "label", "shard_key": "b", "limit": 5, "exact": true}""")
+        .select(lit("facet").as("kind"), col("value").cast("string").as("val"),
+          col("cnt"))
+      val scr = coll.scroll(
+        """{"shard_key": "a", "limit": 6, "with_payload": false}""")
+        .select(lit("scroll").as("kind"), col("vec_id").cast("string").as("val"),
+          lit(-1L).as("cnt"))
+      val ret = coll.retrievePoints(
+        """{"ids": [1, 2, 3, 4, 5, 6], "shard_key": "a",
+          |  "with_payload": false}""".stripMargin)
+        .select(lit("retrieve").as("kind"), col("vec_id").cast("string").as("val"),
+          lit(-1L).as("cnt"))
+      cnt.unionByName(fac).unionByName(scr).unionByName(ret)
+        .orderBy(col("kind"), col("val"))
+    }),
     // legacy POST /points/search/groups (`SearchGroupsRequest`): the
     // legacy base fields plus group_by/group_size/with_lookup — the
     // bare-STRING with_lookup form — must rewrite to exactly the grouped
@@ -795,6 +822,22 @@ object EndpointQueries {
         |       ORDER BY score DESC, p.id ASC LIMIT 5)
         |SELECT id, score, req::INT AS req FROM r0
         |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
+    "shard_key_reads" ->
+      """WITH base AS (SELECT vec_id, label, ['a','b','c'][(label % 3) + 1] AS sk
+        |              FROM embeddings),
+        |cnt AS (SELECT 'count' AS kind, '' AS val, count(*)::BIGINT AS cnt
+        |        FROM base WHERE sk IN ('a','c') AND label >= 2),
+        |fac AS (SELECT 'facet' AS kind, label::VARCHAR AS val, cnt FROM
+        |         (SELECT label, count(*)::BIGINT AS cnt FROM base WHERE sk = 'b'
+        |          GROUP BY label ORDER BY cnt DESC, label ASC LIMIT 5)),
+        |scr AS (SELECT 'scroll' AS kind, vec_id::VARCHAR AS val, (-1)::BIGINT AS cnt
+        |        FROM (SELECT vec_id FROM base WHERE sk = 'a'
+        |              ORDER BY vec_id ASC LIMIT 6)),
+        |ret AS (SELECT 'retrieve' AS kind, vec_id::VARCHAR AS val, (-1)::BIGINT AS cnt
+        |        FROM base WHERE sk = 'a' AND vec_id IN (1, 2, 3, 4, 5, 6))
+        |SELECT * FROM cnt UNION ALL SELECT * FROM fac
+        |UNION ALL SELECT * FROM scr UNION ALL SELECT * FROM ret
+        |ORDER BY kind, val""".stripMargin,
     "collection_group_by" -> groupByLabelLookupSql,
     "collection_search_groups_legacy" -> groupByLabelLookupSql,
     "collection_recommend_groups_legacy" -> groupRecommendSql,

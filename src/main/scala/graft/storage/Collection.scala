@@ -811,7 +811,7 @@ final class Collection(
     * (`lib/collection/src/shards/local_shard/mod.rs:1070-1085`,
     * [[graft.filters.Cardinality]]). */
   def count(json: String): DataFrame = {
-    val spec = graft.api.RequestCodec.parseCountRequest(json)
+    val spec = graft.api.RequestCodec.parseCountRequest(json, config.shardKeyCol)
     spec.filter.foreach(fl => config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
     if (spec.exact) {
@@ -835,7 +835,7 @@ final class Collection(
     * count endpoint serves only `exp`, `local_shard/mod.rs:1070-1085`).
     * Zero Spark jobs warm, like the `exact:false` count itself. */
   def countEstimate(json: String): DataFrame = {
-    val spec = graft.api.RequestCodec.parseCountRequest(json)
+    val spec = graft.api.RequestCodec.parseCountRequest(json, config.shardKeyCol)
     spec.filter.foreach(fl => config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
     val est = graft.filters.Cardinality.estimate(spec.filter, fieldStats)
@@ -845,7 +845,7 @@ final class Collection(
 
   /** `POST /collections/{c}/facet` (`FacetRequestInternal`). */
   def facet(json: String): DataFrame = {
-    val spec = graft.api.RequestCodec.parseFacetRequest(json)
+    val spec = graft.api.RequestCodec.parseFacetRequest(json, config.shardKeyCol)
     spec.filter.foreach(fl => config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
     // `exact: false` (the DEFAULT, `facets.rs:23-24`) on an unfiltered
@@ -923,7 +923,7 @@ final class Collection(
     * exists, else by the declared-type payload extraction (same scan
     * either way — no extra pass). Returns id + payload. */
   def scroll(json: String): DataFrame = {
-    val spec = graft.api.RequestCodec.parseScrollRequest(json)
+    val spec = graft.api.RequestCodec.parseScrollRequest(json, config.shardKeyCol)
     val df = readDecoded()
     spec.filter.foreach(fl => config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyFilter(fl, sm, config.payloadTypes.keySet)))
@@ -973,8 +973,9 @@ final class Collection(
     * `PointRequestInternal`). Requested vectors come back decoded (API
     * boundary contract). */
   def retrievePoints(json: String): DataFrame = {
-    val spec = graft.api.RequestCodec.parseRetrieveRequest(json)
-    val df = readDecoded()
+    val spec = graft.api.RequestCodec.parseRetrieveRequest(json, config.shardKeyCol)
+    val df0 = readDecoded()
+    val df = spec.shardFilter.map(f => df0.filter(pred(df0, f))).getOrElse(df0)
     val vecNames = withVectorCols(json)
     val cols = Seq(config.idCol) ++
       (if (df.columns.contains(config.payloadCol)) Seq(config.payloadCol) else Nil) ++
@@ -1074,7 +1075,7 @@ final class Collection(
     * of matching points (seeded hash order, the engine's sampling
     * contract), `limit` nearest neighbors per sampled point. */
   def searchMatrix(json: String, offsets: Boolean = false): DataFrame = {
-    val spec = graft.api.RequestCodec.parseMatrixRequest(json)
+    val spec = graft.api.RequestCodec.parseMatrixRequest(json, config.shardKeyCol)
     val name = spec.using.getOrElse("")
     val vc = config.vectorConfig(name)
     val df = readDecoded()
