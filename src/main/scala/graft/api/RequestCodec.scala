@@ -66,9 +66,23 @@ object RequestCodec {
       /** recommend/discover-by-id resolve hook (`lib/collection/src/
         * collection/query.rs:456-546`); given the point id, returns the
         * dense vector from the configured lookup collection. */
-      resolveId: Any => Seq[Double] = id =>
-        throw new IllegalArgumentException(
-          s"vector-input id $id given but no id resolver configured"),
+      /** By-id `VectorInput` resolve: (resolved `using` name, id) → the
+        * example's stored vector FROM THAT NAMED SPACE (`resolve_referenced
+        * _vectors` keys the lookup by the request's `using`,
+        * `lib/collection/src/recommendations.rs` — a named-space example id
+        * must NOT resolve the default vector). Left = dense, Right = the
+        * matrix of a multivector space (by-id nearest then scores MaxSim,
+        * like any matrix input). */
+      resolveId: (String, Any) => Either[Seq[Double], Seq[Seq[Double]]] =
+        (name, id) =>
+          throw new IllegalArgumentException(
+            s"vector-input id $id (space '$name') given but no id resolver configured"),
+      /** By-id resolve against a SPARSE `using` space → the example's
+        * stored (indices, values). */
+      resolveSparseId: (String, Any) => (Seq[Int], Seq[Double]) =
+        (name, id) =>
+          throw new IllegalArgumentException(
+            s"sparse vector-input id $id (space '$name') given but no id resolver configured"),
       /** Seed for `sample: random` (the wire form carries none). */
       sampleSeed: Long = 42L,
       /** Foreign-collection id resolve for a request-level `lookup_from`
@@ -230,7 +244,10 @@ object RequestCodec {
             case JArray(xs) => xs.map(shardKeyValue)
             case v => Seq(shardKeyValue(v))
           })
-        ctx0.copy(resolveId = id => ctx0.resolveLookup(loc, id))
+        ctx0.copy(resolveId = (_, id) => Left(ctx0.resolveLookup(loc, id)),
+          resolveSparseId = (name, id) => fail(
+            s"lookup_from cannot resolve sparse example id $id: " +
+              "foreign sparse-space resolution is not supported"))
       case _ => ctx0
     }
     val prefetches = oneOrMany(o \ "prefetch")
@@ -329,10 +346,11 @@ object RequestCodec {
   private def scoringOf(j: JValue, using: Option[String], ctx: Ctx,
       limit: Int): (Scoring, Option[Query]) = {
     val sp = ctx.space(using)
+    val name = using.getOrElse("")
     j match {
       case arr @ JArray(_) =>
         if (sp.sparse) fail(s"dense vector input for sparse vector '${sp.col}'")
-        vectorInput(arr, ctx) match {
+        vectorInput(arr, ctx, name) match {
           case Left(v) => (Nearest(sp.col, sp.metric, v), None)
           case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
         }
@@ -340,7 +358,7 @@ object RequestCodec {
       // untagged, `schema.rs:637-640`): `"query": 7` / `"query": "<uuid>"`
       case id @ (JInt(_) | JLong(_) | JString(_)) =>
         if (sp.sparse) fail(s"dense vector input for sparse vector '${sp.col}'")
-        vectorInput(id, ctx) match {
+        vectorInput(id, ctx, name) match {
           case Left(v) => (Nearest(sp.col, sp.metric, v), None)
           case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
         }
@@ -364,7 +382,7 @@ object RequestCodec {
                 arr(s \ "indices").map(num(_).toInt),
                 arr(s \ "values").map(num))
               SparseStructQ(sp.col, is, vs)
-            case v => vectorInput(v, ctx) match {
+            case v => vectorInput(v, ctx, name) match {
               case _ if sp.sparse =>
                 fail(s"dense vector input for sparse vector '${sp.col}'")
               case Left(dv) => Nearest(sp.col, sp.metric, dv)
@@ -392,33 +410,43 @@ object RequestCodec {
           }
         } else if (keys.contains("recommend")) {
           val r = o \ "recommend"
-          val pos = oneOrMany(r \ "positive").map(denseInput(_, ctx))
-          val neg = oneOrMany(r \ "negative").map(denseInput(_, ctx))
           val strategy = (r \ "strategy") match {
             case JString(s) => s
             case _ => "average_vector" // default `RecommendStrategy`
           }
-          val s = strategy match {
-            case "average_vector" => RecommendAvg(sp.col, sp.metric, pos, neg)
-            case "best_score" => RecommendBest(sp.col, sp.metric, pos, neg)
-            case "sum_scores" => RecommendSum(sp.col, sp.metric, pos, neg)
-            case other => fail(s"unknown recommend strategy '$other'")
+          if (!Set("average_vector", "best_score", "sum_scores")(strategy))
+            fail(s"unknown recommend strategy '$strategy'")
+          if (sp.sparse) {
+            // sparse `using`: examples are inline {indices, values} or ids
+            // resolved from the sparse space (`recommendations.rs` treats
+            // sparse `VectorInput`s uniformly with dense)
+            val pos = oneOrMany(r \ "positive").map(sparseInput(_, ctx, name))
+            val neg = oneOrMany(r \ "negative").map(sparseInput(_, ctx, name))
+            (RecommendSparse(sp.col, strategy, pos, neg), None)
+          } else {
+            val pos = oneOrMany(r \ "positive").map(denseInput(_, ctx, name))
+            val neg = oneOrMany(r \ "negative").map(denseInput(_, ctx, name))
+            val s = strategy match {
+              case "average_vector" => RecommendAvg(sp.col, sp.metric, pos, neg)
+              case "best_score" => RecommendBest(sp.col, sp.metric, pos, neg)
+              case "sum_scores" => RecommendSum(sp.col, sp.metric, pos, neg)
+            }
+            (s, None)
           }
-          (s, None)
         } else if (keys.contains("discover")) {
           val d = o \ "discover"
-          (DiscoverQ(sp.col, sp.metric, denseInput(d \ "target", ctx),
-            oneOrMany(d \ "context").map(pairOf(_, ctx))), None)
+          (DiscoverQ(sp.col, sp.metric, denseInput(d \ "target", ctx, name),
+            oneOrMany(d \ "context").map(pairOf(_, ctx, name))), None)
         } else if (keys.contains("context")) {
           (ContextQ(sp.col, sp.metric,
-            oneOrMany(o \ "context").map(pairOf(_, ctx))), None)
+            oneOrMany(o \ "context").map(pairOf(_, ctx, name))), None)
         } else if (keys.contains("relevance_feedback")) {
           val f = o \ "relevance_feedback"
           val fb = arr(f \ "feedback").map { item =>
-            (denseInput(item \ "example", ctx), num(item \ "score"))
+            (denseInput(item \ "example", ctx, name), num(item \ "score"))
           }
           val naive = f \ "strategy" \ "naive"
-          (FeedbackQ(sp.col, sp.metric, denseInput(f \ "target", ctx), fb,
+          (FeedbackQ(sp.col, sp.metric, denseInput(f \ "target", ctx, name), fb,
             num(naive \ "a"), num(naive \ "b"), num(naive \ "c")), None)
         } else if (keys.contains("order_by")) {
           val s = (o \ "order_by") match {
@@ -472,29 +500,45 @@ object RequestCodec {
     }
   }
 
-  private def pairOf(j: JValue, ctx: Ctx): (Seq[Double], Seq[Double]) =
-    (denseInput(j \ "positive", ctx), denseInput(j \ "negative", ctx))
+  private def pairOf(j: JValue, ctx: Ctx, name: String): (Seq[Double], Seq[Double]) =
+    (denseInput(j \ "positive", ctx, name), denseInput(j \ "negative", ctx, name))
 
   /** `VectorInput` (`schema.rs:559-567`): dense array, multi-dense matrix,
-    * or a point id resolved via the ctx hook. Left = dense, Right = multi. */
-  private def vectorInput(j: JValue, ctx: Ctx): Either[Seq[Double], Seq[Seq[Double]]] =
+    * or a point id resolved via the ctx hook AGAINST the node's resolved
+    * `using` space (`name`). Left = dense, Right = multi. */
+  private def vectorInput(j: JValue, ctx: Ctx,
+      name: String): Either[Seq[Double], Seq[Seq[Double]]] =
     j match {
       case JArray(xs) if xs.nonEmpty && xs.head.isInstanceOf[JArray] =>
         Right(xs.map(x => arr(x).map(num)))
       case JArray(xs) => Left(xs.map(num))
-      case JString(uuid) => Left(ctx.resolveId(uuid))
-      case JInt(i) => Left(ctx.resolveId(i.toLong))
-      case JLong(i) => Left(ctx.resolveId(i))
+      case JString(uuid) => ctx.resolveId(name, uuid)
+      case JInt(i) => ctx.resolveId(name, i.toLong)
+      case JLong(i) => ctx.resolveId(name, i)
       case o: JObject if o.obj.exists(_._1 == "indices") =>
         fail("sparse vector input is only valid for a sparse named vector " +
           "(`using` a space declared sparse)")
       case other => fail(s"unsupported vector input: $other")
     }
 
-  private def denseInput(j: JValue, ctx: Ctx): Seq[Double] =
-    vectorInput(j, ctx) match {
+  private def denseInput(j: JValue, ctx: Ctx, name: String): Seq[Double] =
+    vectorInput(j, ctx, name) match {
       case Left(v) => v
       case Right(_) => fail("expected a dense vector, got a multi-dense matrix")
+    }
+
+  /** A sparse `VectorInput`: inline `{indices, values}` or an example id
+    * resolved from the node's sparse `using` space. */
+  private def sparseInput(j: JValue, ctx: Ctx,
+      name: String): (Seq[Int], Seq[Double]) =
+    j match {
+      case o: JObject if o.obj.exists(_._1 == "indices") =>
+        sparsePair(arr(o \ "indices").map(num(_).toInt),
+          arr(o \ "values").map(num))
+      case JString(uuid) => ctx.resolveSparseId(name, uuid)
+      case JInt(i) => ctx.resolveSparseId(name, i.toLong)
+      case JLong(i) => ctx.resolveSparseId(name, i)
+      case other => fail(s"unsupported sparse vector input: $other")
     }
 
   // ================================================================ formula

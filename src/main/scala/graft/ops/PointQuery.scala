@@ -56,6 +56,15 @@ object PointQuery {
     * (the posting-join candidate semantics). */
   final case class SparseStructQ(sparseCol: String,
       qIndices: Seq[Int], qValues: Seq[Double]) extends Scoring
+  /** Recommend over a SPARSE `using` space (the reference's recommend
+    * accepts sparse example vectors/ids like any `VectorInput`,
+    * `recommendations.rs`): strategy ∈ average_vector / best_score /
+    * sum_scores, combined exactly as the dense forms but with the sparse
+    * intersect-dot as the per-example similarity. Candidates are rows
+    * sharing ≥ 1 dim with ANY example (the merged posting-join set). */
+  final case class RecommendSparse(sparseCol: String, strategy: String,
+      positives: Seq[(Seq[Int], Seq[Double])],
+      negatives: Seq[(Seq[Int], Seq[Double])]) extends Scoring
   final case class OrderByField(field: String, asc: Boolean,
       startFrom: Option[Any] = None) extends Scoring
   /** A node with NO `query` — a plain scroll in id order
@@ -127,6 +136,22 @@ object PointQuery {
     case SparseStructQ(sc, qi, qv) =>
       (graft.functions.VectorFunctions.sparseDot(
         col(s"$sc.indices"), col(s"$sc.values"), qi, qv), true)
+    case RecommendSparse(sc, strategy, pos, neg) =>
+      def sim(q: (Seq[Int], Seq[Double])): Column =
+        graft.functions.VectorFunctions.sparseDot(
+          col(s"$sc.indices"), col(s"$sc.values"), q._1, q._2)
+      strategy match {
+        case "average_vector" =>
+          val (qi, qv) = Search.recommendAvgSparseQuery(pos, neg)
+          (graft.functions.VectorFunctions.sparseDot(
+            col(s"$sc.indices"), col(s"$sc.values"), qi, qv), true)
+        case "best_score" =>
+          (Search.bestScoreCombine(pos.map(sim), neg.map(sim)), true)
+        case "sum_scores" =>
+          (Search.sumScoresCombine(pos.map(sim), neg.map(sim)), true)
+        case other =>
+          throw new IllegalArgumentException(s"unknown recommend strategy '$other'")
+      }
     case other =>
       throw new IllegalArgumentException(s"$other is not a scoring leaf")
   }
@@ -320,6 +345,10 @@ object PointQuery {
             Some(pred.fold(overlap)(_ && overlap))
           case SparseStructQ(sc, qi, _) =>
             val overlap = arrays_overlap(col(s"$sc.indices"), typedLit(qi))
+            Some(pred.fold(overlap)(_ && overlap))
+          case RecommendSparse(sc, _, pos, neg) =>
+            val allIdx = (pos ++ neg).flatMap(_._1).distinct
+            val overlap = arrays_overlap(col(s"$sc.indices"), typedLit(allIdx))
             Some(pred.fold(overlap)(_ && overlap))
           case _ =>
             // optional-vector exclusion at the scan: points without the

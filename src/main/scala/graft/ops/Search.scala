@@ -221,16 +221,21 @@ object Search {
       positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]): Column = {
     require(positives.nonEmpty || negatives.nonEmpty,
       "recommend requires at least one example")
-    // positives are OPTIONAL for best_score (`test_recommendation_multivector
-    // .py::test_multi_best_score_works_with_only_negatives`): with none,
-    // every point scores −σ(max_neg) — ranked by least-bad negative match.
-    val maxPos = positives.map(p => simInternal(metric, v, typedLit(p)))
-      .reduceOption((a, b) => greatest(a, b))
+    bestScoreCombine(positives.map(p => simInternal(metric, v, typedLit(p))),
+      negatives.map(n => simInternal(metric, v, typedLit(n))))
+  }
+
+  /** The best_score combine over per-example similarity columns — shared
+    * by the dense metric form and the sparse-dot form (the reference's
+    * `RecoBestScoreQuery` is similarity-representation-agnostic).
+    * positives are OPTIONAL (`test_recommendation_multivector.py::
+    * test_multi_best_score_works_with_only_negatives`): with none, every
+    * point scores −σ(max_neg) — ranked by least-bad negative match. */
+  def bestScoreCombine(posSims: Seq[Column], negSims: Seq[Column]): Column = {
+    val maxPos = posSims.reduceOption((a, b) => greatest(a, b))
       .getOrElse(lit(Double.NegativeInfinity))
-    val maxNeg =
-      if (negatives.isEmpty) lit(Double.NegativeInfinity)
-      else negatives.map(n => simInternal(metric, v, typedLit(n)))
-        .reduce((a, b) => greatest(a, b))
+    val maxNeg = negSims.reduceOption((a, b) => greatest(a, b))
+      .getOrElse(lit(Double.NegativeInfinity))
     when(maxPos > maxNeg, scaledFastSigmoid(maxPos))
       .otherwise(-scaledFastSigmoid(maxNeg))
   }
@@ -239,13 +244,14 @@ object Search {
     * Ref `reco_query.rs` (`RecoSumScoresQuery`). */
   def sumScoresExpr(
       metric: Metric, v: Column,
-      positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]): Column = {
-    val pos = positives.map(p => simInternal(metric, v, typedLit(p)))
-      .reduceOption(_ + _).getOrElse(lit(0.0d))
-    val neg = negatives.map(n => simInternal(metric, v, typedLit(n)))
-      .reduceOption(_ + _).getOrElse(lit(0.0d))
-    pos - neg
-  }
+      positives: Seq[Seq[Double]], negatives: Seq[Seq[Double]]): Column =
+    sumScoresCombine(positives.map(p => simInternal(metric, v, typedLit(p))),
+      negatives.map(n => simInternal(metric, v, typedLit(n))))
+
+  /** The sum_scores combine over per-example similarity columns. */
+  def sumScoresCombine(posSims: Seq[Column], negSims: Seq[Column]): Column =
+    posSims.reduceOption(_ + _).getOrElse(lit(0.0d)) -
+      negSims.reduceOption(_ + _).getOrElse(lit(0.0d))
 
   /** Discover: Σ_pairs sign(sim(pos)−sim(neg)) + σ(sim(target)); integer rank
     * dominates, target similarity tiebreaks within (0,1).

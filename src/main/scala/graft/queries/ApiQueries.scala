@@ -26,7 +26,7 @@ object ApiQueries {
     spaces = Map(
       "" -> VectorSpace("embedding", Dot),
       "cosine" -> VectorSpace("embedding", Cosine)),
-    resolveId = id => Tables.embeddingOf(s, dir, id.asInstanceOf[Long]),
+    resolveId = (_, id) => Left(Tables.embeddingOf(s, dir, id.asInstanceOf[Long])),
     resolveLookup = (lf, id) => {
       // the host's table catalog: one foreign collection, sharded, with a
       // named vector column — the fixture of `recommend_lookup_from_shard`

@@ -47,6 +47,26 @@ object EndpointQueries {
   private def vjson(s: SparkSession, dir: String, id: Long): String =
     Tables.embeddingOf(s, dir, id).mkString("[", ",", "]")
 
+  /** Two dense spaces ("" dim-64, "half" dim-32) plus a 2-token dim-32
+    * multivector "tok" on one collection — the fixture for by-id
+    * `VectorInput` resolution against a NAMED `using` space (the default
+    * and named vectors hold different embeddings by construction, so a
+    * resolver that ignores `using` scores visibly wrong). */
+  private def namedVecColl(s: SparkSession, dir: String): Collection = {
+    val path = "/tmp/graft_runtime/namedvec_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    colls.computeIfAbsent(path, { _ =>
+      val e = Tables.load(s, dir, "embeddings")
+      val nCfg = CollectionConfig(idCol = "vec_id",
+        vectors = Seq(VectorConfig("", 64, Dot), VectorConfig("half", 32, Dot),
+          VectorConfig("tok", 32, Dot, multivector = true)))
+      Collection.create(s, path, nCfg,
+        e.select(col("vec_id"), col("embedding").as("vector"),
+          slice(col("embedding"), 1, 32).as("vector_half"),
+          array(slice(col("embedding"), 1, 32),
+            slice(col("embedding"), 33, 32)).as("vector_tok")))
+    })
+  }
+
   private val facetCfg = CollectionConfig(
     idCol = "id", payloadCol = "payload",
     vectors = Seq(VectorConfig("", 64, Dot)),
@@ -275,6 +295,22 @@ object EndpointQueries {
           col("rank").cast("long").as("rank"),
           col("grp_rank").cast("long").as("grp_rank"), col("lookup_name"))
         .orderBy(col("grp_rank"), col("rank"))
+    }),
+    // By-id recommend examples against a NAMED `using` space: the ids
+    // must resolve from `vector_half` (dim 32), not the default dim-64
+    // vector (`resolve_referenced_vectors` keys the lookup by `using`) —
+    // a resolver that ignores `using` dim-mismatches here and fails
+    "api_recommend_using_named" -> ((s, dir) => {
+      namedVecColl(s, dir).query(
+        """{"query": {"recommend": {"positive": [7, 11], "negative": [4]}},
+          |  "using": "half", "limit": 10}""".stripMargin)
+    }),
+    // Bare point-id nearest against a MULTIVECTOR `using` space: the id
+    // resolves to the stored token matrix and scores MaxSim (a matrix
+    // `VectorInput` behaves identically whether inline or by-id)
+    "api_nearest_id_multivec" -> ((s, dir) => {
+      namedVecColl(s, dir).query(
+        """{"query": {"nearest": 7}, "using": "tok", "limit": 10}""")
     }),
     // Request-level `shard_key` on the NON-query read bodies: the
     // reference's `ShardKeySelector` rides scroll, count, facet, and
@@ -822,6 +858,28 @@ object EndpointQueries {
         |       ORDER BY score DESC, p.id ASC LIMIT 5)
         |SELECT id, score, req::INT AS req FROM r0
         |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
+    "api_recommend_using_named" ->
+      """WITH dims AS (SELECT unnest(range(1, 33)) AS i),
+        |w AS (SELECT d.i AS i,
+        |  2 * (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (7, 11))
+        |    - (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (4)) AS w
+        |  FROM dims d),
+        |s AS (SELECT e.vec_id AS vec_id, sum(e.embedding[w.i]::DOUBLE * w.w) AS sc
+        |      FROM embeddings e CROSS JOIN w GROUP BY e.vec_id)
+        |SELECT vec_id, round(sc, 6) AS score FROM s
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_nearest_id_multivec" ->
+      """WITH q AS (SELECT embedding[1:32]::DOUBLE[] AS q1,
+        |                  embedding[33:64]::DOUBLE[] AS q2
+        |           FROM embeddings WHERE vec_id = 7),
+        |t AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS d1,
+        |             embedding[33:64]::DOUBLE[] AS d2 FROM embeddings),
+        |s AS (SELECT t.vec_id AS vec_id,
+        |  greatest(list_dot_product(t.d1, q.q1), list_dot_product(t.d2, q.q1)) +
+        |  greatest(list_dot_product(t.d1, q.q2), list_dot_product(t.d2, q.q2)) AS sc
+        |  FROM t, q)
+        |SELECT vec_id, round(sc, 6) AS score FROM s
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "shard_key_reads" ->
       """WITH base AS (SELECT vec_id, label, ['a','b','c'][(label % 3) + 1] AS sk
         |              FROM embeddings),

@@ -106,6 +106,37 @@ object SparseQueries {
       val (qi, qv) = sparseQ(s, dir, 7L)
       sparseColl(s, dir).knnSparse("txtidf", qi, qv, k = 10)
     }),
+    // Wire-level recommend over a SPARSE `using` space with BY-ID
+    // examples: each id resolves to its stored sparse vector from that
+    // space, then the average_vector merge — must reproduce the hand-built
+    // recommendAvgSparseQuery rows exactly (same oracle)
+    "api_recommend_sparse_ids" -> ((s, dir) => {
+      sparseColl(s, dir).query(
+        """{"query": {"recommend": {"positive": [7, 11], "negative": [4]}},
+          |  "using": "txt", "limit": 10}""".stripMargin)
+    }),
+    // best_score over sparse with INLINE {indices, values} examples: the
+    // per-example sparse dot feeds the same σ-combine as dense best_score;
+    // candidates are rows sharing ≥1 dim with ANY example
+    "api_recommend_sparse_best" -> ((s, dir) => {
+      def sj(id: Long) = {
+        val (qi, qv) = sparseQ(s, dir, id)
+        s"""{"indices": ${qi.mkString("[", ",", "]")},
+           | "values": ${qv.mkString("[", ",", "]")}}""".stripMargin
+      }
+      sparseColl(s, dir).query(
+        s"""{"query": {"recommend": {"positive": [${sj(7)}, ${sj(11)}],
+           |  "negative": [${sj(4)}], "strategy": "best_score"}},
+           |  "using": "txt", "limit": 10}""".stripMargin)
+    }),
+    // recommend by-id against the IDF-modified sparse space: the single
+    // positive resolves raw, the modifier weights it (examples ARE query
+    // vectors) — identical rows to the direct knnSparse idf entry
+    "api_recommend_sparse_idf" -> ((s, dir) => {
+      sparseColl(s, dir).query(
+        """{"query": {"recommend": {"positive": [7]}},
+          |  "using": "txtidf", "limit": 10}""".stripMargin)
+    }),
     // IDF N-scoping parity (`IdfScopeStats.indexed_vectors`,
     // `query_context.rs:283-289`): N counts points that HAVE the sparse
     // vector, not the collection row count — pinned on a collection where
@@ -430,6 +461,50 @@ object SparseQueries {
     }),
   )
 
+  /** Shared by `recommend_sparse_avg` (hand-built merge) and
+    * `api_recommend_sparse_ids` (wire-level by-id resolution + merge). */
+  private val recommendSparseAvgSql =
+    """WITH p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+      |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),
+      |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+      |q AS (SELECT
+      |    list_transform(range(1, 65), i ->
+      |        (CASE WHEN p1.v[i] > 0.25 THEN p1.v[i] ELSE 0 END)
+      |      + (CASE WHEN p2.v[i] > 0.25 THEN p2.v[i] ELSE 0 END)
+      |      - (CASE WHEN n1.v[i] > 0.25 THEN n1.v[i] ELSE 0 END)) AS qv,
+      |    list_transform(range(1, 65), i ->
+      |      p1.v[i] > 0.25 OR p2.v[i] > 0.25 OR n1.v[i] > 0.25) AS qp
+      |  FROM p1, p2, n1)
+      |SELECT e.vec_id AS vec_id,
+      |  round(list_sum(list_transform(range(1, 65), i ->
+      |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.qp[i]
+      |         THEN e.embedding[i]::DOUBLE * q.qv[i] ELSE 0.0 END)), 6) AS score
+      |FROM embeddings e, q
+      |WHERE len(list_filter(range(1, 65), i ->
+      |    e.embedding[i]::DOUBLE > 0.25 AND q.qp[i])) > 0
+      |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** Shared by `sparse_struct_idf` (direct knnSparse) and
+    * `api_recommend_sparse_idf` (wire recommend, single positive). */
+  private val sparseStructIdfSql =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+      |dims AS (SELECT unnest(range(1, 65)) AS dim),
+      |dfs AS (SELECT d.dim AS dim,
+      |          (SELECT count(*) FROM embeddings e
+      |           WHERE e.embedding[d.dim]::DOUBLE > 0.25)::DOUBLE AS df
+      |        FROM dims d),
+      |idf AS (SELECT list(ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+      |          ORDER BY f.dim) AS l FROM dfs f, n GROUP BY n.n)
+      |SELECT e.vec_id AS vec_id,
+      |  round(list_sum(list_transform(range(1, 65), i ->
+      |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+      |         THEN e.embedding[i]::DOUBLE * (q.v[i] * idf.l[i]) ELSE 0.0 END)), 6) AS score
+      |FROM embeddings e, q, idf
+      |WHERE len(list_filter(range(1, 65), i ->
+      |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+      |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "collection_query_sparse" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
@@ -482,26 +557,8 @@ object SparseQueries {
         |  (3::BIGINT, 5.0::DOUBLE, 'sparse'),
         |  (1::BIGINT, 3.0::DOUBLE, 'sparse'),
         |  (2::BIGINT, 3.0::DOUBLE, 'sparse')) AS t(id, score, space)""".stripMargin,
-    "recommend_sparse_avg" ->
-      """WITH p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
-        |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),
-        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
-        |q AS (SELECT
-        |    list_transform(range(1, 65), i ->
-        |        (CASE WHEN p1.v[i] > 0.25 THEN p1.v[i] ELSE 0 END)
-        |      + (CASE WHEN p2.v[i] > 0.25 THEN p2.v[i] ELSE 0 END)
-        |      - (CASE WHEN n1.v[i] > 0.25 THEN n1.v[i] ELSE 0 END)) AS qv,
-        |    list_transform(range(1, 65), i ->
-        |      p1.v[i] > 0.25 OR p2.v[i] > 0.25 OR n1.v[i] > 0.25) AS qp
-        |  FROM p1, p2, n1)
-        |SELECT e.vec_id AS vec_id,
-        |  round(list_sum(list_transform(range(1, 65), i ->
-        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.qp[i]
-        |         THEN e.embedding[i]::DOUBLE * q.qv[i] ELSE 0.0 END)), 6) AS score
-        |FROM embeddings e, q
-        |WHERE len(list_filter(range(1, 65), i ->
-        |    e.embedding[i]::DOUBLE > 0.25 AND q.qp[i])) > 0
-        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "recommend_sparse_avg" -> recommendSparseAvgSql,
+    "api_recommend_sparse_ids" -> recommendSparseAvgSql,
     "sparse_config_update_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
         |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
@@ -531,24 +588,29 @@ object SparseQueries {
         |      e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
         |  ORDER BY score DESC, vec_id ASC LIMIT 10)
         |SELECT * FROM plain UNION ALL SELECT * FROM weighted""".stripMargin,
-    "sparse_struct_idf" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
-        |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
-        |dims AS (SELECT unnest(range(1, 65)) AS dim),
-        |dfs AS (SELECT d.dim AS dim,
-        |          (SELECT count(*) FROM embeddings e
-        |           WHERE e.embedding[d.dim]::DOUBLE > 0.25)::DOUBLE AS df
-        |        FROM dims d),
-        |idf AS (SELECT list(ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
-        |          ORDER BY f.dim) AS l FROM dfs f, n GROUP BY n.n)
-        |SELECT e.vec_id AS vec_id,
-        |  round(list_sum(list_transform(range(1, 65), i ->
-        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
-        |         THEN e.embedding[i]::DOUBLE * (q.v[i] * idf.l[i]) ELSE 0.0 END)), 6) AS score
-        |FROM embeddings e, q, idf
-        |WHERE len(list_filter(range(1, 65), i ->
-        |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
-        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sparse_struct_idf" -> sparseStructIdfSql,
+    "api_recommend_sparse_idf" -> sparseStructIdfSql,
+    "api_recommend_sparse_best" ->
+      """WITH p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),
+        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  greatest(
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND p1.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * p1.v[i] ELSE 0.0 END)),
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND p2.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * p2.v[i] ELSE 0.0 END))) AS mp,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND n1.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * n1.v[i] ELSE 0.0 END)) AS mn
+        |  FROM embeddings e, p1, p2, n1
+        |  WHERE len(list_filter(range(1, 65), i -> e.embedding[i]::DOUBLE > 0.25
+        |        AND (p1.v[i] > 0.25 OR p2.v[i] > 0.25 OR n1.v[i] > 0.25))) > 0)
+        |SELECT vec_id, round(CASE WHEN mp > mn THEN 0.5*(mp/(1+abs(mp))+1)
+        |       ELSE -(0.5*(mn/(1+abs(mn))+1)) END, 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "api_create_collection" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
         |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),

@@ -625,12 +625,32 @@ final class Collection(
           sc.name -> RequestCodec.VectorSpace(config.sparseCol(sc.name),
             graft.model.Dot, sparse = true)).toMap
     RequestCodec.Ctx(spaces,
-      resolveId = id => {
-        val vc = config.vectors.find(_.name == "").getOrElse(
-          config.vectors.headOption.getOrElse(throw new IllegalArgumentException(
-            "vector-input id given but the collection has no dense vector")))
-        graft.Tables.embeddingFrom(readDecoded(), config.idCol,
-          config.vectorCol(vc.name), id)
+      resolveId = (name, id) => {
+        // by-id examples resolve FROM THE `using` SPACE — the reference
+        // keys `resolve_referenced_vectors` by the request's vector name
+        // (`recommendations.rs`); resolving the default vector for a named
+        // space would silently score the wrong embedding
+        val vc = config.vectors.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"vector-input id $id: no dense vector named '$name' to resolve it against"))
+        val df = readDecoded()
+        if (vc.multivector)
+          Right(df.filter(col(config.idCol) === lit(id))
+            .select(config.vectorCol(vc.name)).head()
+            .getSeq[scala.collection.Seq[Float]](0)
+            .map(_.toSeq.map(_.toDouble)).toSeq)
+        else
+          Left(graft.Tables.embeddingFrom(df, config.idCol,
+            config.vectorCol(vc.name), id))
+      },
+      resolveSparseId = (name, id) => {
+        val sc = config.sparse.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"vector-input id $id: no sparse vector named '$name' to resolve it against"))
+        val row = readDecoded().filter(col(config.idCol) === lit(id))
+          .select(col(config.sparseCol(sc.name) + ".indices"),
+            col(config.sparseCol(sc.name) + ".values")).head()
+        (row.getSeq[Int](0).toSeq, row.getSeq[Float](1).toSeq.map(_.toDouble))
       },
       shardKeyField = config.shardKeyCol)
   }
@@ -728,6 +748,14 @@ final class Collection(
           val scoring = node.scoring match {
             case PointQuery.SparseStructQ(sc2, qi2, qv2) if idfCols.contains(sc2) =>
               PointQuery.SparseStructQ(sc2, qi2, idfWeights(idfCols(sc2), qi2, qv2))
+            case PointQuery.RecommendSparse(sc2, strat, pos, neg)
+                if idfCols.contains(sc2) =>
+              // recommend examples ARE query vectors — the modifier weights
+              // each before the strategy combine (`query_context.rs` remaps
+              // every query-side sparse vector of the request)
+              def w(q: (Seq[Int], Seq[Double])) =
+                (q._1, idfWeights(idfCols(sc2), q._1, q._2))
+              PointQuery.RecommendSparse(sc2, strat, pos.map(w), neg.map(w))
             case other => other
           }
           node.copy(scoring = scoring, prefetches = node.prefetches.map(applyIdf))

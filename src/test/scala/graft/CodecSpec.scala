@@ -20,8 +20,8 @@ class CodecSpec extends AnyFunSuite {
     spaces = Map("" -> VectorSpace("embedding", Dot),
       "img" -> VectorSpace("img_vec", Cosine)),
     resolveId = {
-      case 7L => Seq(1.0, 2.0)
-      case other => fail(s"unexpected id resolve: $other")
+      case (_, 7L) => Left(Seq(1.0, 2.0))
+      case (_, other) => fail(s"unexpected id resolve: $other")
     })
 
   test("filter: all clause groups, single-object MaybeOneOrMany forms") {
@@ -114,7 +114,8 @@ class CodecSpec extends AnyFunSuite {
     // specified - use the current collection").
     val lctx = Ctx(
       spaces = Map("" -> VectorSpace("embedding", Dot)),
-      resolveId = { case 7L => Seq(1.0, 2.0); case id => fail(s"bad id $id") },
+      resolveId = { case (_, 7L) => Left(Seq(1.0, 2.0))
+        case (_, id) => fail(s"bad id $id") },
       resolveLookup = (lf, id) => {
         assert(lf.collection == "other" && id == 7L); Seq(9.0, 9.0)
       })
