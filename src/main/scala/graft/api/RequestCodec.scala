@@ -435,11 +435,19 @@ object RequestCodec {
           }
         } else if (keys.contains("discover")) {
           val d = o \ "discover"
-          (DiscoverQ(sp.col, sp.metric, denseInput(d \ "target", ctx, name),
-            oneOrMany(d \ "context").map(pairOf(_, ctx, name))), None)
+          if (sp.sparse)
+            (DiscoverSparse(sp.col, sparseInput(d \ "target", ctx, name),
+              oneOrMany(d \ "context").map(sparsePairOf(_, ctx, name))), None)
+          else
+            (DiscoverQ(sp.col, sp.metric, denseInput(d \ "target", ctx, name),
+              oneOrMany(d \ "context").map(pairOf(_, ctx, name))), None)
         } else if (keys.contains("context")) {
-          (ContextQ(sp.col, sp.metric,
-            oneOrMany(o \ "context").map(pairOf(_, ctx, name))), None)
+          if (sp.sparse)
+            (ContextSparse(sp.col,
+              oneOrMany(o \ "context").map(sparsePairOf(_, ctx, name))), None)
+          else
+            (ContextQ(sp.col, sp.metric,
+              oneOrMany(o \ "context").map(pairOf(_, ctx, name))), None)
         } else if (keys.contains("relevance_feedback")) {
           val f = o \ "relevance_feedback"
           val fb = arr(f \ "feedback").map { item =>
@@ -502,6 +510,11 @@ object RequestCodec {
 
   private def pairOf(j: JValue, ctx: Ctx, name: String): (Seq[Double], Seq[Double]) =
     (denseInput(j \ "positive", ctx, name), denseInput(j \ "negative", ctx, name))
+
+  private def sparsePairOf(j: JValue, ctx: Ctx, name: String)
+      : ((Seq[Int], Seq[Double]), (Seq[Int], Seq[Double])) =
+    (sparseInput(j \ "positive", ctx, name),
+      sparseInput(j \ "negative", ctx, name))
 
   /** `VectorInput` (`schema.rs:559-567`): dense array, multi-dense matrix,
     * or a point id resolved via the ctx hook AGAINST the node's resolved

@@ -65,6 +65,17 @@ object PointQuery {
   final case class RecommendSparse(sparseCol: String, strategy: String,
       positives: Seq[(Seq[Int], Seq[Double])],
       negatives: Seq[(Seq[Int], Seq[Double])]) extends Scoring
+  /** Discover / Context over a SPARSE `using` space — the same rank /
+    * margin combines as the dense forms, with the sparse intersect-dot as
+    * the per-example similarity (sparse `VectorInput`s are first-class in
+    * the reference's discover surface, `query_enum.rs`). */
+  final case class DiscoverSparse(sparseCol: String,
+      target: (Seq[Int], Seq[Double]),
+      pairs: Seq[((Seq[Int], Seq[Double]), (Seq[Int], Seq[Double]))])
+      extends Scoring
+  final case class ContextSparse(sparseCol: String,
+      pairs: Seq[((Seq[Int], Seq[Double]), (Seq[Int], Seq[Double]))])
+      extends Scoring
   final case class OrderByField(field: String, asc: Boolean,
       startFrom: Option[Any] = None) extends Scoring
   /** A node with NO `query` — a plain scroll in id order
@@ -152,6 +163,18 @@ object PointQuery {
         case other =>
           throw new IllegalArgumentException(s"unknown recommend strategy '$other'")
       }
+    case DiscoverSparse(sc, target, pairs) =>
+      def sim(q: (Seq[Int], Seq[Double])): Column =
+        graft.functions.VectorFunctions.sparseDot(
+          col(s"$sc.indices"), col(s"$sc.values"), q._1, q._2)
+      (Search.discoverCombine(sim(target),
+        pairs.map { case (p, n) => (sim(p), sim(n)) }), true)
+    case ContextSparse(sc, pairs) =>
+      def sim(q: (Seq[Int], Seq[Double])): Column =
+        graft.functions.VectorFunctions.sparseDot(
+          col(s"$sc.indices"), col(s"$sc.values"), q._1, q._2)
+      (Search.contextCombine(
+        pairs.map { case (p, n) => (sim(p), sim(n)) }), true)
     case other =>
       throw new IllegalArgumentException(s"$other is not a scoring leaf")
   }
@@ -348,6 +371,16 @@ object PointQuery {
             Some(pred.fold(overlap)(_ && overlap))
           case RecommendSparse(sc, _, pos, neg) =>
             val allIdx = (pos ++ neg).flatMap(_._1).distinct
+            val overlap = arrays_overlap(col(s"$sc.indices"), typedLit(allIdx))
+            Some(pred.fold(overlap)(_ && overlap))
+          case DiscoverSparse(sc, target, pairs) =>
+            val allIdx = (target +: pairs.flatMap(pr => Seq(pr._1, pr._2)))
+              .flatMap(_._1).distinct
+            val overlap = arrays_overlap(col(s"$sc.indices"), typedLit(allIdx))
+            Some(pred.fold(overlap)(_ && overlap))
+          case ContextSparse(sc, pairs) =>
+            val allIdx = pairs.flatMap(pr => Seq(pr._1, pr._2))
+              .flatMap(_._1).distinct
             val overlap = arrays_overlap(col(s"$sc.indices"), typedLit(allIdx))
             Some(pred.fold(overlap)(_ && overlap))
           case _ =>

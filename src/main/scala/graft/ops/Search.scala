@@ -258,13 +258,20 @@ object Search {
     * Ref `discover_query.rs:44-74`. */
   def discoverExpr(
       metric: Metric, v: Column,
-      target: Seq[Double], pairs: Seq[(Seq[Double], Seq[Double])]): Column = {
-    val rank = pairs.map { case (p, n) =>
-      val sp = simInternal(metric, v, typedLit(p))
-      val sn = simInternal(metric, v, typedLit(n))
+      target: Seq[Double], pairs: Seq[(Seq[Double], Seq[Double])]): Column =
+    discoverCombine(simInternal(metric, v, typedLit(target)),
+      pairs.map { case (p, n) =>
+        (simInternal(metric, v, typedLit(p)), simInternal(metric, v, typedLit(n)))
+      })
+
+  /** The discover combine over per-example similarity columns — shared by
+    * the dense metric form and the sparse-dot form. */
+  def discoverCombine(targetSim: Column,
+      pairSims: Seq[(Column, Column)]): Column = {
+    val rank = pairSims.map { case (sp, sn) =>
       when(sp > sn, 1).when(sp < sn, -1).otherwise(0)
     }.reduceOption((a, b) => a + b).getOrElse(lit(0))
-    rank.cast("double") + scaledFastSigmoid(simInternal(metric, v, typedLit(target)))
+    rank.cast("double") + scaledFastSigmoid(targetSim)
   }
 
   /** Relevance feedback, `naive` strategy:
@@ -302,9 +309,14 @@ object Search {
   def contextExpr(
       metric: Metric, v: Column,
       pairs: Seq[(Seq[Double], Seq[Double])]): Column =
-    pairs.map { case (p, n) =>
-      val diff = simInternal(metric, v, typedLit(p)) -
-        simInternal(metric, v, typedLit(n)) - lit(ContextMargin)
+    contextCombine(pairs.map { case (p, n) =>
+      (simInternal(metric, v, typedLit(p)), simInternal(metric, v, typedLit(n)))
+    })
+
+  /** The context combine over per-pair similarity columns. */
+  def contextCombine(pairSims: Seq[(Column, Column)]): Column =
+    pairSims.map { case (sp, sn) =>
+      val diff = sp - sn - lit(ContextMargin)
       fastSigmoid(least(diff, lit(0.0d)))
     }.reduceOption(_ + _).getOrElse(lit(0.0d))
 }

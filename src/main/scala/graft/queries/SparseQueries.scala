@@ -137,6 +137,23 @@ object SparseQueries {
         """{"query": {"recommend": {"positive": [7]}},
           |  "using": "txtidf", "limit": 10}""".stripMargin)
     }),
+    // Discover over a SPARSE `using` space with by-id examples: the
+    // target/context pairs resolve to stored sparse vectors, ranked by the
+    // same sign-count + σ(target) combine as dense discover
+    "api_discover_sparse" -> ((s, dir) => {
+      sparseColl(s, dir).query(
+        """{"query": {"discover": {"target": 7,
+          |  "context": [{"positive": 11, "negative": 4}]}},
+          |  "using": "txt", "limit": 10}""".stripMargin)
+    }),
+    // Context over sparse: two by-id pairs, margin-clamped sigmoid sum
+    "api_context_sparse" -> ((s, dir) => {
+      sparseColl(s, dir).query(
+        """{"query": {"context": [
+          |    {"positive": 7, "negative": 4},
+          |    {"positive": 11, "negative": 20}]},
+          |  "using": "txt", "limit": 10}""".stripMargin)
+    }),
     // IDF N-scoping parity (`IdfScopeStats.indexed_vectors`,
     // `query_context.rs:283-289`): N counts points that HAVE the sparse
     // vector, not the collection row count — pinned on a collection where
@@ -590,6 +607,56 @@ object SparseQueries {
         |SELECT * FROM plain UNION ALL SELECT * FROM weighted""".stripMargin,
     "sparse_struct_idf" -> sparseStructIdfSql,
     "api_recommend_sparse_idf" -> sparseStructIdfSql,
+    "api_discover_sparse" ->
+      """WITH t AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),
+        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND t.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * t.v[i] ELSE 0.0 END)) AS st,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND p1.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * p1.v[i] ELSE 0.0 END)) AS sp1,
+        |  list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND n1.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * n1.v[i] ELSE 0.0 END)) AS sn1
+        |  FROM embeddings e, t, p1, n1
+        |  WHERE len(list_filter(range(1, 65), i -> e.embedding[i]::DOUBLE > 0.25
+        |        AND (t.v[i] > 0.25 OR p1.v[i] > 0.25 OR n1.v[i] > 0.25))) > 0)
+        |SELECT vec_id,
+        |  round((CASE WHEN sp1 > sn1 THEN 1 WHEN sp1 < sn1 THEN -1 ELSE 0 END)::DOUBLE
+        |      + 0.5*(st/(1+abs(st))+1), 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "api_context_sparse" ->
+      """WITH p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+        |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),
+        |n2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=20),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  least(
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND p1.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * p1.v[i] ELSE 0.0 END))
+        |  - list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND n1.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * n1.v[i] ELSE 0.0 END))
+        |  - 1.1920928955078125e-07, 0) AS d1,
+        |  least(
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND p2.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * p2.v[i] ELSE 0.0 END))
+        |  - list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND n2.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * n2.v[i] ELSE 0.0 END))
+        |  - 1.1920928955078125e-07, 0) AS d2
+        |  FROM embeddings e, p1, n1, p2, n2
+        |  WHERE len(list_filter(range(1, 65), i -> e.embedding[i]::DOUBLE > 0.25
+        |        AND (p1.v[i] > 0.25 OR n1.v[i] > 0.25
+        |          OR p2.v[i] > 0.25 OR n2.v[i] > 0.25))) > 0)
+        |SELECT vec_id,
+        |  round(d1/(1+abs(d1)) + d2/(1+abs(d2)), 6) + 0.0 AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "api_recommend_sparse_best" ->
       """WITH p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
         |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),

@@ -756,6 +756,18 @@ final class Collection(
               def w(q: (Seq[Int], Seq[Double])) =
                 (q._1, idfWeights(idfCols(sc2), q._1, q._2))
               PointQuery.RecommendSparse(sc2, strat, pos.map(w), neg.map(w))
+            case PointQuery.DiscoverSparse(sc2, target, pairs)
+                if idfCols.contains(sc2) =>
+              def w(q: (Seq[Int], Seq[Double])) =
+                (q._1, idfWeights(idfCols(sc2), q._1, q._2))
+              PointQuery.DiscoverSparse(sc2, w(target),
+                pairs.map { case (p, n) => (w(p), w(n)) })
+            case PointQuery.ContextSparse(sc2, pairs)
+                if idfCols.contains(sc2) =>
+              def w(q: (Seq[Int], Seq[Double])) =
+                (q._1, idfWeights(idfCols(sc2), q._1, q._2))
+              PointQuery.ContextSparse(sc2,
+                pairs.map { case (p, n) => (w(p), w(n)) })
             case other => other
           }
           node.copy(scoring = scoring, prefetches = node.prefetches.map(applyIdf))
