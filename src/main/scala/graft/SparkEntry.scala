@@ -27,6 +27,7 @@ object SparkEntry {
       (ScenarioQueries.queries, ScenarioQueries.oracles),
       (ApiQueries.queries, ApiQueries.oracles),
       (EndpointQueries.queries, EndpointQueries.oracles),
+      (TenantQueries.queries, TenantQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -847,8 +847,19 @@ object RequestCodec {
     * `FilterCompiler(textIndexes)` so Match::Text/TextAny/Phrase tokenize
     * through the field's declared analyzer. `stopwords` accepts a language
     * name (bundled set), a custom list, or `{languages, custom}`. */
+  /** Tenant/principal declarations riding a field-index request
+    * (`KeywordIndexParams.is_tenant` / `IntegerIndexParams.is_principal`,
+    * `lib/segment/src/data_types/index.rs:32,149`): both feed the
+    * storage-layout optimization (`PayloadSchemaParams::
+    * tenant_optimization`, `types.rs:2674-2685`) — tenant keys bucket the
+    * physical partitioning, principal keys order rows within write tasks
+    * ([[graft.storage.Collection]] layout). */
+  final case class FieldIndexFlags(
+      isTenant: Boolean = false, isPrincipal: Boolean = false)
+
   def parseFieldIndexRequest(json: String): (String,
-      org.apache.spark.sql.types.DataType, Option[graft.model.TextIndexConfig]) = {
+      org.apache.spark.sql.types.DataType, Option[graft.model.TextIndexConfig],
+      FieldIndexFlags) = {
     import org.apache.spark.sql.types._
     val o = JsonMethods.parse(json)
     val field = str(o \ "field_name")
@@ -879,9 +890,23 @@ object RequestCodec {
       case other => fail(s"bad stopwords: $other")
     }
     (o \ "field_schema") match {
-      case JString(kind) => (field, plain(kind), None)
+      case JString(kind) => (field, plain(kind), None, FieldIndexFlags())
       case s: JObject =>
         val kind = str(s \ "type")
+        def flag(k: String): Boolean = (s \ k) match {
+          case JBool(b) => b
+          case JNothing | JNull => false
+          case other => fail(s"bad $k: $other")
+        }
+        // `is_tenant` is a keyword/uuid param, `is_principal` an
+        // integer/float/datetime param (`data_types/index.rs` declares
+        // them only on those schemas; other kinds 400 at the API)
+        val flags = FieldIndexFlags(flag("is_tenant"), flag("is_principal"))
+        if (flags.isTenant && !Set("keyword", "uuid").contains(kind))
+          fail(s"is_tenant is not supported for the '$kind' index type")
+        if (flags.isPrincipal &&
+            !Set("integer", "float", "datetime").contains(kind))
+          fail(s"is_principal is not supported for the '$kind' index type")
         val text =
           if (kind != "text") None
           else Some(graft.model.TextIndexConfig(
@@ -901,7 +926,7 @@ object RequestCodec {
               case JNothing | JNull => None
               case other => fail(s"bad stemmer: $other")
             }))
-        (field, plain(kind), text)
+        (field, plain(kind), text, flags)
       case other => fail(s"bad field_schema: $other")
     }
   }

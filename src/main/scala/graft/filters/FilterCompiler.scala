@@ -44,6 +44,31 @@ trait FieldResolver {
     * `tests/openapi/test_group.py` heterogenousId case). Defaults to
     * [[values]] for typed resolvers whose columns are already scalar-typed. */
   def groupKeys(key: String): Column = values(key)
+
+  /** Optional scan-prune predicate IMPLIED by the whole filter — a strict
+    * relaxation the compiler may conjoin anywhere without changing
+    * semantics (`f ≡ f && prune(f)` row-wise). Collections with declared
+    * tenant fields use it to restrict the scan to the matching partition
+    * buckets (`Collection.tenantPrune`); every read path that compiles a
+    * filter picks it up through this single hook. */
+  def scanPrune(f: Filter): Option[Column] = None
+}
+
+/** Delegating resolver — subclass to override a single hook. */
+class ForwardingResolver(inner: FieldResolver) extends FieldResolver {
+  def values(key: String): Column = inner.values(key)
+  def fieldExists(key: String): Column = inner.fieldExists(key)
+  def isJsonNull(key: String): Column = inner.isJsonNull(key)
+  def id: Column = inner.id
+  def vector(name: String): Column = inner.vector(name)
+  override def elementType(key: String): Option[StructType] =
+    inner.elementType(key)
+  override def scalarValue(key: String): Option[Column] =
+    inner.scalarValue(key)
+  override def dataTypeOf(key: String): Option[DataType] =
+    inner.dataTypeOf(key)
+  override def groupKeys(key: String): Column = inner.groupKeys(key)
+  override def scanPrune(f: Filter): Option[Column] = inner.scanPrune(f)
 }
 
 /** Resolver for collections whose payload fields are typed top-level columns
@@ -156,7 +181,10 @@ final class FilterCompiler(
         .reduce(_ + _) >= ms.minCount
     }
     if (f.mustNot.nonEmpty) clauses += !f.mustNot.map(condition).reduce(_ || _)
-    clauses.result().reduceOption(_ && _).getOrElse(lit(true))
+    val base = clauses.result().reduceOption(_ && _).getOrElse(lit(true))
+    // implied-relaxation prune (tenant partition buckets): lead with it so
+    // the partition-column conjunct sits ahead of the payload predicates
+    r.scanPrune(f).fold(base)(_ && base)
   }
 
   def condition(c: Condition): Column =

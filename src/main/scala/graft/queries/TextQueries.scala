@@ -672,7 +672,7 @@ object TextQueries {
     // analyzer-aware Match path as `match_text_analyzed` (same oracle).
     "api_create_field_index" -> ((s, dir) => {
       import TextMatchFixture._
-      val (field, dt, textCfg) = graft.api.RequestCodec.parseFieldIndexRequest(
+      val (field, dt, textCfg, _) = graft.api.RequestCodec.parseFieldIndexRequest(
         """{
           |  "field_name": "t",
           |  "field_schema": {

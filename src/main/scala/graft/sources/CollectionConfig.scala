@@ -89,7 +89,29 @@ final case class CollectionConfig(
       * request BEFORE execution (`lib/collection/src/operations/
       * verification/`) and reject over-limit requests with a
       * StrictModeViolation — the reference's HTTP 403. */
-    strictMode: Option[graft.api.StrictModeConfig] = None) {
+    strictMode: Option[graft.api.StrictModeConfig] = None,
+    /** Payload fields declared `is_tenant: true` on their keyword/uuid
+      * index (`KeywordIndexParams.is_tenant`, `data_types/index.rs:32`;
+      * the optimizer turns every tenant field into a segment defragment
+      * key, `lib/shard/src/optimize.rs:253-268` →
+      * `segment_builder.rs:279-340` sorts merged points by the key's
+      * hash so one tenant's points are contiguous on disk). Spark analog:
+      * each tenant key becomes a PHYSICAL partition column
+      * `tenantb_<field> = xxhash64(value) % TenantBuckets`, so a filtered
+      * query with a must-match on the field prunes (B−1)/B of the table
+      * at the parquet directory level — same machinery as the IVF cell
+      * prune, which is what makes per-tenant queries flat-latency at
+      * 100 TB. */
+    tenantKeys: Seq[String] = Nil,
+    /** Payload fields declared `is_principal: true` on their
+      * integer/float/datetime index (`IntegerIndexParams.is_principal`;
+      * `PayloadSchemaParams::tenant_optimization`, `types.rs:2674-2685`
+      * routes principal fields into the SAME defragment-ordering pass).
+      * Spark analog: writes sort rows within each task by the principal
+      * value, so parquet row-group min/max stats prune range scans on the
+      * field (via its `idx_` projection pushdown) to the matching span —
+      * the time-series layout. */
+    principalKeys: Seq[String] = Nil) {
 
   def vectorNames: Seq[String] = vectors.map(_.name)
 
@@ -106,6 +128,12 @@ final case class CollectionConfig(
   /** IVF cell-assignment column for a named vector (a PARTITION column of
     * the stored table when the vector declares [[IvfSpec]]). */
   def cellCol(name: String): String = s"ivfcell_${vectorCol(name)}"
+
+  /** Tenant-bucket partition column for a declared tenant field (key
+    * characters outside [A-Za-z0-9_] sanitize to `_` — JsonPath dots in
+    * the field name are not legal in a parquet partition directory). */
+  def tenantBucketCol(key: String): String =
+    "tenantb_" + key.replaceAll("[^A-Za-z0-9_]", "_")
 
   def vectorConfig(name: String): VectorConfig =
     vectors.find(_.name == name)

@@ -181,7 +181,11 @@ object Catalog {
       "payload_types" -> JObject(c.payloadTypes.toList.sortBy(_._1)
         .map { case (k, t) => k -> (JString(t.sql): JValue) })) ++
       c.shardKeyCol.map(sk => "shard_key_col" -> (JString(sk): JValue)).toList ++
-      c.strictMode.map(sm => "strict_mode" -> strict(sm)).toList)
+      c.strictMode.map(sm => "strict_mode" -> strict(sm)).toList ++
+      (if (c.tenantKeys.isEmpty) Nil else List("tenant_keys" ->
+        (JArray(c.tenantKeys.toList.map(JString(_))): JValue))) ++
+      (if (c.principalKeys.isEmpty) Nil else List("principal_keys" ->
+        (JArray(c.principalKeys.toList.map(JString(_))): JValue))))
     JsonMethods.compact(JsonMethods.render(o))
   }
 
@@ -265,6 +269,14 @@ object Catalog {
         case sm: JObject =>
           Some(graft.api.StrictMode.parse(JsonMethods.compact(JsonMethods.render(sm))))
         case _ => None
+      },
+      tenantKeys = (o \ "tenant_keys") match {
+        case JArray(ks) => ks.map(str)
+        case _ => Nil
+      },
+      principalKeys = (o \ "principal_keys") match {
+        case JArray(ks) => ks.map(str)
+        case _ => Nil
       })
   }
 }

@@ -77,6 +77,18 @@ final class Collection(
     }
 
   def resolver(df: DataFrame): FieldResolver = {
+    val r0 = resolver0(df)
+    if (config.tenantKeys.isEmpty) r0
+    else {
+      val cols = df.columns.toSeq
+      new graft.filters.ForwardingResolver(r0) {
+        override def scanPrune(f: Filter) =
+          Collection.tenantPrune(config, cols, f)
+      }
+    }
+  }
+
+  private def resolver0(df: DataFrame): FieldResolver = {
     val base = new JsonResolver(col(config.payloadCol), config.payloadTypes,
       col(config.idCol),
       config.vectorNames.map(n => n -> col(config.vectorCol(n))).toMap)
@@ -122,9 +134,12 @@ final class Collection(
 
   /** Tmp-dir + rename swap: Spark cannot overwrite a path still lazily read
     * in the same plan; on a lakehouse table this is simply MERGE/DELETE. */
-  private def write(df: DataFrame, targetFiles: Option[Int] = None): Unit = {
+  private def write(df0: DataFrame, targetFiles: Option[Int] = None): Unit = {
     rewriteCount += 1
     val tmp = path + "__tmp"
+    // tenant buckets recompute from the CURRENT payload on every write —
+    // a payload mutation moves the row to its new bucket directory
+    val df = Collection.withTenantBuckets(config, df0)
     val pc = Collection.partitionCols(config, df.columns)
     // hash-repartition on the partition columns first: one task owns each
     // key, so every partition directory gets O(1) files instead of one per
@@ -1080,7 +1095,8 @@ final class Collection(
         def isVec(c: String) = c == "vector" ||
           c.startsWith("vector_") || c.startsWith("sparse_")
         def isInternal(c: String) = c.startsWith("quant_") ||
-          c.startsWith("ivfcell_") || c.startsWith("idx_")
+          c.startsWith("ivfcell_") || c.startsWith("idx_") ||
+          c.startsWith("tenantb_")
         val p1 = spec.lookupWithPayload match {
           case Some(f) if lk0.columns.contains("payload") =>
             lk0.withColumn("payload", f(col("payload")))
@@ -1162,10 +1178,17 @@ final class Collection(
       config.vectors.map(v => v.name -> v.quantization).toMap
     val annChanged = nc.vectors.map(v => v.name -> v.ann).toMap !=
       config.vectors.map(v => v.name -> v.ann).toMap
+    // tenant/principal declarations are PHYSICAL layout: a diff re-lays
+    // the table out in one rewrite (the reference re-optimizes segments
+    // with the new defragment keys in the background,
+    // `lib/shard/src/optimize.rs:253-268`)
+    val layoutChanged = nc.tenantKeys != config.tenantKeys ||
+      nc.principalKeys != config.principalKeys
     if (quantChanged || annChanged) {
       val cur = read()
       val stripped = cur.columns
-        .filter(c => c.startsWith("quant_") || c.startsWith("ivfcell_"))
+        .filter(c => c.startsWith("quant_") || c.startsWith("ivfcell_") ||
+          c.startsWith("tenantb_"))
         .foldLeft(cur)(_ drop _)
       // quantization columns: refit when the quant spec changed, else
       // re-materialize from the EXISTING persisted params (an ann-only
@@ -1208,6 +1231,12 @@ final class Collection(
         }
       next.write(withCells)
       if (quantChanged) next.writeQuantParams(params)
+    } else if (layoutChanged) {
+      // layout-only PATCH: one rewrite under the new partition/sort rule
+      // (write() recomputes declared buckets; stale ones drop here)
+      val cur = read()
+      next.write(cur.columns.filter(_.startsWith("tenantb_"))
+        .foldLeft(cur)(_ drop _))
     }
     next
   }
@@ -1751,6 +1780,29 @@ final class Collection(
       get_json_object(col(config.payloadCol), "$." + key).cast(t)))
   }
 
+  /** Field-index creation with tenant/principal declarations
+    * (`PUT /collections/{c}/index` with `is_tenant` / `is_principal`,
+    * `data_types/index.rs:32,149`): materializes the typed projection AND
+    * re-lays the table out under the new partition/sort rule in the SAME
+    * single rewrite. Returns the Collection bound to the updated config
+    * (the caller persists it, as with [[updateConfig]]). */
+  def buildPayloadIndex(
+      key: String, flags: graft.api.RequestCodec.FieldIndexFlags): Collection = {
+    val t = config.payloadTypes.getOrElse(key,
+      throw new IllegalArgumentException(s"no declared type for payload key '$key'"))
+    val nc = config.copy(
+      tenantKeys =
+        if (flags.isTenant) (config.tenantKeys :+ key).distinct
+        else config.tenantKeys,
+      principalKeys =
+        if (flags.isPrincipal) (config.principalKeys :+ key).distinct
+        else config.principalKeys)
+    val next = new Collection(spark, path, nc)
+    next.write(read().withColumn(s"idx_$key",
+      get_json_object(col(config.payloadCol), "$." + key).cast(t)))
+    next
+  }
+
   /** Drop a payload index column (`update_api.rs:407`). */
   def dropPayloadIndex(key: String): Unit =
     write(read().drop(s"idx_$key"))
@@ -1803,11 +1855,12 @@ object Collection {
               .otherwise(lit(null).cast("int")))
         }
       }
-    val pc = partitionCols(config, withCells.columns)
+    val withTb = withTenantBuckets(config, withCells)
+    val pc = partitionCols(config, withTb.columns)
     // one task per partition key → O(1) files per partition directory,
     // rows id-clustered for row-group pruning (see Collection.write /
     // Collection.layout — same layout rule)
-    val laid = layout(config, withCells, None)
+    val laid = layout(config, withTb, None)
     val w = laid.write.mode(SaveMode.Overwrite)
     (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(path)
     val coll = new Collection(spark, path, config)
@@ -1839,6 +1892,11 @@ object Collection {
       targetFiles: Option[Int]): DataFrame = {
     val pc = partitionCols(config, df.columns)
     val id = col(config.idCol)
+    // declared principal fields order rows BEFORE the id tiebreak: range
+    // scans on the field skip row groups via min/max stats — the declared
+    // trade (`is_principal`: range-heavy workloads) is that id-lookup
+    // spans widen accordingly
+    val psort = principalSortCols(config, df)
     if (pc.isEmpty)
       // Local id sort only — NO range shuffle. Row-group min/max stats
       // become narrow-span because row groups follow the sorted order
@@ -1851,7 +1909,7 @@ object Collection {
       // `compact(targetFiles)` — an explicit maintenance rewrite — is
       // where the globally-disjoint range layout is applied deliberately.
       targetFiles.fold(df)(n => df.repartitionByRange(n, id))
-        .sortWithinPartitions(id)
+        .sortWithinPartitions(psort :+ id: _*)
     else
       // (partition key, id-hash salt) shuffle instead of the bare key:
       // a HOT cell/shard splits across ≤ `writeSalt` write tasks, so one
@@ -1862,7 +1920,7 @@ object Collection {
       // cores, local test runs keep ~4 files/cell.
       df.repartition(
         pc.map(col) :+ pmod(xxhash64(id), lit(writeSalt(df))): _*)
-        .sortWithinPartitions(pc.map(col) :+ id: _*)
+        .sortWithinPartitions(pc.map(col) ++ psort :+ id: _*)
   }
 
   /** Id-hash salt width for partitioned writes: ≥1, ~cores/8. Also the
@@ -1877,8 +1935,96 @@ object Collection {
   private[storage] def partitionCols(
       config: CollectionConfig, columns: Seq[String]): Seq[String] =
     (config.shardKeyCol.toSeq ++
-      config.vectors.filter(_.ann.isDefined).map(vc => config.cellCol(vc.name)))
+      config.vectors.filter(_.ann.isDefined).map(vc => config.cellCol(vc.name)) ++
+      config.tenantKeys.map(config.tenantBucketCol))
       .filter(columns.contains)
+
+  /** Bucket count for tenant partition columns. Fixed like the IVF cell
+    * count: bounded directory fan-out (B dirs × writeSalt files) while a
+    * tenant-filtered scan still skips (B−1)/B of the bytes. The reference
+    * needs no such cap because its defragmentation only REORDERS points
+    * inside segments (`segment_builder.rs:279-340`); a directory layout
+    * needs one. */
+  private[graft] val TenantBuckets = 64
+
+  /** The tenant-bucket expression for one declared tenant field, from the
+    * payload JSON. MUST mirror [[tenantPrune]]'s literal side exactly:
+    * `xxhash64(<scalar string form>) % B` for a scalar value; bucket −1
+    * for a missing field OR any non-scalar shape (array/object). A point
+    * whose tenant field is a LIST still matches `match any-of-list` in a
+    * filter, so it cannot be pinned to a single value's bucket — parking
+    * it in −1 and always reading −1 keeps pruning sound (`tenantPrune`). */
+  private[storage] def tenantBucketExpr(
+      config: CollectionConfig, key: String): Column = {
+    val raw = get_json_object(col(config.payloadCol), "$." + key)
+    when(raw.isNull || substring(raw, 1, 1).isin("[", "{"), lit(-1))
+      .otherwise(pmod(xxhash64(raw), lit(TenantBuckets)).cast("int"))
+  }
+
+  /** (Re)materialize every declared tenant-bucket column from the CURRENT
+    * payload — applied on every write so a payload mutation can never
+    * leave a row in a stale bucket directory. */
+  private[storage] def withTenantBuckets(
+      config: CollectionConfig, df: DataFrame): DataFrame =
+    config.tenantKeys.foldLeft(df) { (acc, k) =>
+      val c = config.tenantBucketCol(k)
+      acc.drop(c).withColumn(c, tenantBucketExpr(config, k))
+    }
+
+  /** Sort keys a principal declaration adds to the write layout: the
+    * typed `idx_` projection when the field index is materialized, else
+    * the typed JSON projection. Nulls last so the well-formed span stays
+    * contiguous for min/max row-group stats. */
+  private[storage] def principalSortCols(
+      config: CollectionConfig, df: DataFrame): Seq[Column] =
+    config.principalKeys.map { k =>
+      val c =
+        if (df.columns.contains(s"idx_$k")) col(s"idx_$k")
+        else config.payloadTypes.get(k) match {
+          case Some(t) =>
+            get_json_object(col(config.payloadCol), "$." + k).cast(t)
+          case None => get_json_object(col(config.payloadCol), "$." + k)
+        }
+      c.asc_nulls_last
+    }
+
+  /** Partition-directory prune for a tenant-declared field: every
+    * top-level `must` match on the field (including must-side sub-filter
+    * chains — a row satisfying the whole filter satisfies each `must`
+    * conjunct) restricts the scan to the value buckets plus the −1
+    * irregular bucket. The bucket literal is computed with the SAME
+    * `xxhash64 % B` Column expression the write side uses
+    * ([[tenantBucketExpr]]) — Catalyst constant-folds it, so it lands in
+    * `PartitionFilters` and prunes directories before any row is read. */
+  private[storage] def tenantPrune(
+      config: CollectionConfig, columns: Seq[String],
+      filter: graft.model.Filter): Option[Column] = {
+    import graft.model.{MatchValue, MatchAny, SubFilter}
+    def mustConds(f: graft.model.Filter): Seq[graft.model.Condition] =
+      f.must.flatMap {
+        case SubFilter(inner) => mustConds(inner)
+        case c => Seq(c)
+      }
+    val preds = mustConds(filter).flatMap {
+      case MatchValue(k, v: String) if config.tenantKeys.contains(k) &&
+          columns.contains(config.tenantBucketCol(k)) =>
+        Some(bucketIn(config, k, Seq(v)))
+      case MatchAny(k, vs) if config.tenantKeys.contains(k) &&
+          columns.contains(config.tenantBucketCol(k)) &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Some(bucketIn(config, k, vs.map(_.asInstanceOf[String])))
+      case _ => None
+    }
+    preds.reduceOption(_ && _)
+  }
+
+  private def bucketIn(
+      config: CollectionConfig, key: String, values: Seq[String]): Column = {
+    val bc = col(config.tenantBucketCol(key))
+    values.foldLeft(bc === lit(-1)) { (acc, v) =>
+      acc || bc === pmod(xxhash64(lit(v)), lit(TenantBuckets)).cast("int")
+    }
+  }
 
   // ------------------------------------------------------- quantization
 

@@ -301,4 +301,51 @@ class PlanSpec extends SparkTestBase {
     val p = plan(e.filter(pred).select("vec_id"))
     assert(!p.contains("Exchange"), "slice filter must not shuffle:\n" + p.take(800))
   }
+
+  test("tenant must-match prunes bucket directories at the scan") {
+    val coll = graft.queries.TenantQueries.tenantColl(spark, sf)
+    // through the real count handler — the prune must survive the whole
+    // request path, not just a hand-built predicate
+    val cnt = coll.count(
+      """{"filter": {"must": [
+        |  {"key": "source", "match": {"value": "src3"}}]},
+        |  "exact": true}""".stripMargin)
+    val p = plan(cnt)
+    assert(p.contains("PartitionFilters: [") &&
+      p.matches("(?s).*PartitionFilters: \\[[^\\]]*tenantb_source[^\\]]*\\].*"),
+      "tenant match not a partition filter:\n" + p.take(1500))
+    // the folded literal set: the value's bucket plus the −1 irregular
+    // bucket (rows whose tenant field is a list/missing park there)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*-1[^\\]]*\\].*"),
+      "irregular −1 bucket missing from the prune:\n" + p.take(1500))
+  }
+
+  test("tenant match under must_not or should must NOT prune") {
+    val coll = graft.queries.TenantQueries.tenantColl(spark, sf)
+    for (body <- Seq(
+        """{"filter": {"must_not": [
+          |  {"key": "source", "match": {"value": "src3"}}]},
+          |  "exact": true}""".stripMargin,
+        """{"filter": {"should": [
+          |  {"key": "source", "match": {"value": "src3"}},
+          |  {"key": "lang", "match": {"value": "en"}}]},
+          |  "exact": true}""".stripMargin)) {
+      val p = plan(coll.count(body))
+      assert(!p.matches("(?s).*PartitionFilters: \\[[^\\]]*tenantb[^\\]]*\\].*"),
+        "non-must tenant condition must not prune:\n" + p.take(1500))
+    }
+  }
+
+  test("tenant prune reaches the knn scan through the query endpoint") {
+    val coll = graft.queries.TenantQueries.tenantColl(spark, sf)
+    val q = Tables.embeddingOf(spark, sf, 7L)
+    val hits = coll.query(
+      s"""{"query": {"nearest": ${q.mkString("[", ",", "]")}},
+         |  "filter": {"must": [
+         |    {"key": "source", "match": {"value": "src2"}}]},
+         |  "limit": 5}""".stripMargin)
+    val p = plan(hits)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*tenantb_source[^\\]]*\\].*"),
+      "query-endpoint tenant filter not a partition filter:\n" + p.take(1500))
+  }
 }
