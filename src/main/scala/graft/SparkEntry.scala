@@ -28,6 +28,7 @@ object SparkEntry {
       (ApiQueries.queries, ApiQueries.oracles),
       (EndpointQueries.queries, EndpointQueries.oracles),
       (TenantQueries.queries, TenantQueries.oracles),
+      (ShardWriteQueries.queries, ShardWriteQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

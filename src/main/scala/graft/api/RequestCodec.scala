@@ -91,6 +91,13 @@ object RequestCodec {
       resolveLookup: (LookupFrom, Any) => Seq[Double] = (lf, id) =>
         throw new IllegalArgumentException(
           s"lookup_from ${lf.collection} given but no lookup resolver configured"),
+      /** Foreign-collection SPARSE id resolve for `lookup_from` — the
+        * reference fetches referenced vectors of any kind from the lookup
+        * collection (`fetch_vectors.rs:301`, `convert_to_vectors_owned`). */
+      resolveSparseLookup: (LookupFrom, Any) => (Seq[Int], Seq[Double]) =
+        (lf, id) =>
+          throw new IllegalArgumentException(
+            s"lookup_from ${lf.collection} given but no sparse lookup resolver configured"),
       /** The collection's shard-key partition column, when custom sharding
         * is configured — a request-level `shard_key` selector
         * (`ShardKeySelector`, `schema.rs:620`) compiles to a pruning
@@ -245,9 +252,11 @@ object RequestCodec {
             case v => Seq(shardKeyValue(v))
           })
         ctx0.copy(resolveId = (_, id) => Left(ctx0.resolveLookup(loc, id)),
-          resolveSparseId = (name, id) => fail(
-            s"lookup_from cannot resolve sparse example id $id: " +
-              "foreign sparse-space resolution is not supported"))
+          // the lookup vector name defaults to the node's `using`
+          // (`LookupLocation.vector` falls back to the request's vector
+          // name, `fetch_vectors.rs` lookup_vector_name resolution)
+          resolveSparseId = (name, id) => ctx0.resolveSparseLookup(
+            if (loc.vector.isDefined) loc else loc.copy(vector = Some(name)), id))
       case _ => ctx0
     }
     val prefetches = oneOrMany(o \ "prefetch")
@@ -355,10 +364,15 @@ object RequestCodec {
           case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
         }
       // bare point-id shorthand (`QueryInterface::Nearest(VectorInput)` is
-      // untagged, `schema.rs:637-640`): `"query": 7` / `"query": "<uuid>"`
+      // untagged, `schema.rs:637-640`): `"query": 7` / `"query": "<uuid>"`.
+      // Over a sparse `using` the id resolves FROM THE SPARSE SPACE — the
+      // reference's own test requires `{"query": 7, "using": "sparse-text"}`
+      // to succeed (`tests/openapi/test_query_full.py:1411-1421`).
       case id @ (JInt(_) | JLong(_) | JString(_)) =>
-        if (sp.sparse) fail(s"dense vector input for sparse vector '${sp.col}'")
-        vectorInput(id, ctx, name) match {
+        if (sp.sparse) {
+          val (is, vs) = sparseInput(id, ctx, name)
+          (SparseStructQ(sp.col, is, vs), None)
+        } else vectorInput(id, ctx, name) match {
           case Left(v) => (Nearest(sp.col, sp.metric, v), None)
           case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
         }
@@ -382,6 +396,12 @@ object RequestCodec {
                 arr(s \ "indices").map(num(_).toInt),
                 arr(s \ "values").map(num))
               SparseStructQ(sp.col, is, vs)
+            // sparse `using` + point-id `nearest` resolves from the sparse
+            // space (same contract as the bare-id form above); a dense
+            // array against a sparse space stays an error
+            case id @ (JInt(_) | JLong(_) | JString(_)) if sp.sparse =>
+              val (is, vs) = sparseInput(id, ctx, name)
+              SparseStructQ(sp.col, is, vs)
             case v => vectorInput(v, ctx, name) match {
               case _ if sp.sparse =>
                 fail(s"dense vector input for sparse vector '${sp.col}'")
@@ -391,10 +411,6 @@ object RequestCodec {
           }
           (o \ "mmr") match {
             case m: JObject =>
-              val qv = scoring match {
-                case Nearest(_, _, v) => v
-                case _ => fail("mmr requires a dense nearest vector")
-              }
               // lambda = 1 - diversity, default 0.5 (`collection_query.rs:481`)
               val lambda = (m \ "diversity") match {
                 case JNothing | JNull => 0.5
@@ -404,8 +420,19 @@ object RequestCodec {
                 case JNothing | JNull => limit
                 case c => num(c).toInt
               }
-              (MmrQ(sp.col, sp.metric, qv, lambda),
-                Some(Query(Nearest(sp.col, sp.metric, qv), limit = candidates)))
+              // the reference's MMR is vector-kind-agnostic
+              // (`lib/shard/src/query/mmr/mod.rs:42-170` works over
+              // `VectorInternal`): a sparse `using` reranks with the sparse
+              // dot as the pairwise similarity
+              scoring match {
+                case Nearest(_, _, qv) =>
+                  (MmrQ(sp.col, sp.metric, qv, lambda),
+                    Some(Query(Nearest(sp.col, sp.metric, qv), limit = candidates)))
+                case sq @ SparseStructQ(sc, qi, qvs) =>
+                  (MmrSparseQ(sc, qi, qvs, lambda),
+                    Some(Query(sq, limit = candidates)))
+                case _ => fail("mmr requires a nearest vector query")
+              }
             case _ => (scoring, None)
           }
         } else if (keys.contains("recommend")) {
@@ -1193,14 +1220,21 @@ object RequestCodec {
   final case class WMultiVec(m: Seq[Seq[Double]]) extends WireVec
   final case class WSparseVec(indices: Seq[Int], values: Seq[Double]) extends WireVec
 
+  /** `shardKey`: the point's own shard key (`PointStruct`-level on the
+    * wire; the body-level `shard_key` of `PointsList`/`UpdateVectors`
+    * applies to points lacking their own — `schema.rs:1439,1479`). */
   final case class WirePoint(
       id: Any,
       vectors: Map[String, WireVec],
-      payload: Option[String])
+      payload: Option[String],
+      shardKey: Option[Any] = None)
 
   /** Points selector (`PointsSelector`, `point_ops.rs:21-26`): by id list
-    * or by filter. */
-  final case class Selector(ids: Option[Seq[Any]], filter: Option[Filter])
+    * or by filter; `shardKeys` = the op body's `ShardKeySelector`
+    * (`FilterSelector.shard_key`, `point_ops.rs:42`; body-level on every
+    * update op, `schema.rs:1290-1382`) scoping the op to those shards. */
+  final case class Selector(ids: Option[Seq[Any]], filter: Option[Filter],
+      shardKeys: Seq[Any] = Nil)
 
   private def selectorOf(o: JValue): Selector = {
     val ids = (o \ "points") match {
@@ -1212,7 +1246,14 @@ object RequestCodec {
       case _ => None
     }
     if (ids.isEmpty && flt.isEmpty) fail("selector needs points or filter")
-    Selector(ids, flt)
+    Selector(ids, flt, shardKeysOf(o))
+  }
+
+  /** Body-level `ShardKeySelector` (one key or an array of keys). */
+  private def shardKeysOf(o: JValue): Seq[Any] = (o \ "shard_key") match {
+    case JNothing | JNull => Nil
+    case JArray(xs) => xs.map(shardKeyValue)
+    case v => Seq(shardKeyValue(v))
   }
 
   /** Parsed `POST /collections/{c}/points/batch` op list (`UpdateOperations`
@@ -1224,14 +1265,23 @@ object RequestCodec {
     * (`SetPayloadOp.key`, `payload_ops.rs:64-75`); overwrite_payload
     * ignores it like the reference (`update/mod.rs:167-178`). */
   sealed trait WireOp
+  /** `shardKey`: body-level placement key (`PointsList.shard_key`,
+    * `schema.rs:1479`) — applies to every point lacking its own. */
   final case class WUpsert(points: Seq[WirePoint], updateFilter: Option[Filter],
-      mode: graft.storage.UpdateMode = graft.storage.UpdateMode.Upsert) extends WireOp
+      mode: graft.storage.UpdateMode = graft.storage.UpdateMode.Upsert,
+      shardKey: Option[Any] = None) extends WireOp
   final case class WDelete(selector: Selector) extends WireOp
   final case class WSetPayload(payloadJson: String, selector: Selector,
       overwrite: Boolean, key: Option[String] = None) extends WireOp
   final case class WDeletePayload(keys: Seq[String], selector: Selector) extends WireOp
   final case class WClearPayload(selector: Selector) extends WireOp
-  final case class WUpdateVectors(points: Seq[WirePoint]) extends WireOp
+  /** `shardKeys`: body-level scope (`UpdateVectors.shard_key`,
+    * `schema.rs:1468`) restricting which shards the edits apply on;
+    * `updateFilter`: only points matching the filter are updated
+    * (`UpdateVectors.update_filter`, `schema.rs:1470-1473`). */
+  final case class WUpdateVectors(points: Seq[WirePoint],
+      shardKeys: Seq[Any] = Nil,
+      updateFilter: Option[Filter] = None) extends WireOp
   final case class WDeleteVectors(selector: Selector, names: Seq[String]) extends WireOp
 
   def parseUpdateOperations(json: String): Seq[WireOp] =
@@ -1253,7 +1303,22 @@ object RequestCodec {
           case JNothing | JNull => graft.storage.UpdateMode.Upsert
           case other => fail(s"update_mode must be a string, got $other")
         }
-        WUpsert(arr(u \ "points").map(pointStruct), uf, mode)
+        // body-level placement key: a multi-key selector is meaningless
+        // for an upsert (each point lands on exactly one shard key)
+        val bodyKey = shardKeysOf(u) match {
+          case Nil => None
+          case Seq(one) => Some(one)
+          case many => fail(
+            s"upsert shard_key must be a single key, got ${many.mkString(",")}")
+        }
+        val points = (u \ "batch") match {
+          case b: JObject =>
+            if ((u \ "points") != JNothing)
+              fail("upsert takes either points or batch, not both")
+            batchPoints(b)
+          case _ => arr(u \ "points").map(pointStruct)
+        }
+        WUpsert(points, uf, mode, bodyKey)
       } else if (keys.contains("delete")) WDelete(selectorOf(o \ "delete"))
       else if (keys.contains("set_payload")) payloadOp(o \ "set_payload", overwrite = false)
       else if (keys.contains("overwrite_payload")) payloadOp(o \ "overwrite_payload", overwrite = true)
@@ -1261,8 +1326,15 @@ object RequestCodec {
         val d = o \ "delete_payload"
         WDeletePayload(arr(d \ "keys").map(str), selectorOf(d))
       } else if (keys.contains("clear_payload")) WClearPayload(selectorOf(o \ "clear_payload"))
-      else if (keys.contains("update_vectors"))
-        WUpdateVectors(arr(o \ "update_vectors" \ "points").map(pointStruct))
+      else if (keys.contains("update_vectors")) {
+        val uv = o \ "update_vectors"
+        WUpdateVectors(arr(uv \ "points").map(pointStruct),
+          shardKeysOf(uv),
+          (uv \ "update_filter") match {
+            case f: JObject => Some(filterOf(f))
+            case _ => None
+          })
+      }
       else if (keys.contains("delete_vectors")) {
         val d = o \ "delete_vectors"
         WDeleteVectors(selectorOf(d), arr(d \ "vector").map(str))
@@ -1314,6 +1386,47 @@ object RequestCodec {
     case other => fail(s"bad vector value: $other")
   }
 
+  /** Column-form `Batch` upsert body (`PointsBatch`/`Batch`,
+    * `point_ops.rs` + `BatchVectorStruct`, `schema.rs:1479-1484` — the
+    * second untagged arm of `PointInsertOperations`): parallel `ids` /
+    * `vectors` / optional `payloads` columns transpose into per-point
+    * structs. `vectors` is either an array (one unnamed vector per point)
+    * or a named map `{name: [v_0, v_1, ...]}` with one entry per point. */
+  private def batchPoints(b: JObject): Seq[WirePoint] = {
+    val ids = arr(b \ "ids").map(idOf)
+    if (ids.isEmpty) fail("batch upsert needs at least one id")
+    val payloads: Seq[Option[String]] = (b \ "payloads") match {
+      case JArray(xs) =>
+        if (xs.length != ids.length)
+          fail(s"batch payloads length ${xs.length} != ids length ${ids.length}")
+        xs.map {
+          case o: JObject => Some(JsonMethods.compact(JsonMethods.render(o)))
+          case _ => None
+        }
+      case JNothing | JNull => ids.map(_ => None)
+      case other => fail(s"batch payloads must be an array, got $other")
+    }
+    val vectorsPerPoint: Seq[Map[String, WireVec]] = (b \ "vectors") match {
+      case JArray(xs) =>
+        if (xs.length != ids.length)
+          fail(s"batch vectors length ${xs.length} != ids length ${ids.length}")
+        xs.map(v => Map("" -> wireVec(v)))
+      case o: JObject =>
+        val named = o.obj.map { case (n, v) =>
+          val vs = arr(v)
+          if (vs.length != ids.length)
+            fail(s"batch vectors['$n'] length ${vs.length} != ids length ${ids.length}")
+          n -> vs.map(wireVec)
+        }
+        ids.indices.map(i => named.map { case (n, vs) => n -> vs(i) }.toMap)
+      case JNothing | JNull => ids.map(_ => Map.empty[String, WireVec])
+      case other => fail(s"batch vectors must be an array or named map, got $other")
+    }
+    ids.lazyZip(vectorsPerPoint).lazyZip(payloads).map {
+      case (id, vecs, pay) => WirePoint(id, vecs, pay)
+    }
+  }
+
   private def pointStruct(j: JValue): WirePoint = {
     val id = idOf(j \ "id")
     val vectors = (j \ "vector") match {
@@ -1326,7 +1439,11 @@ object RequestCodec {
       case o: JObject => Some(JsonMethods.compact(JsonMethods.render(o)))
       case _ => None
     }
-    WirePoint(id, vectors, payload)
+    val shardKey = (j \ "shard_key") match {
+      case JNothing | JNull => None
+      case v => Some(shardKeyValue(v))
+    }
+    WirePoint(id, vectors, payload, shardKey)
   }
 
   // ================================================================ helpers

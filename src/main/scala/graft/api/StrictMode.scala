@@ -108,7 +108,7 @@ object StrictMode {
     def selector(sel: Selector): Unit =
       sel.filter.foreach(verifyFilter(_, cfg, indexedKeys, allowUnindexed))
     ops.foreach {
-      case WUpsert(points, updateFilter, _) =>
+      case WUpsert(points, updateFilter, _, _) =>
         cfg.upsertMaxBatchsize.foreach { max =>
           if (points.size > max)
             throw new StrictModeViolation(
@@ -119,7 +119,8 @@ object StrictMode {
       case WSetPayload(_, sel, _, _) => selector(sel)
       case WDeletePayload(_, sel) => selector(sel)
       case WClearPayload(sel) => selector(sel)
-      case WUpdateVectors(_) => ()
+      case WUpdateVectors(_, _, uf) =>
+        uf.foreach(verifyFilter(_, cfg, indexedKeys, allowUnindexed))
       case WDeleteVectors(sel, _) => selector(sel)
     }
   }

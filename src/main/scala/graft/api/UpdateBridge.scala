@@ -30,12 +30,21 @@ object UpdateBridge {
   def toUpdateOps(coll: Collection, op: RequestCodec.WireOp): Seq[UpdateOp] = {
     import RequestCodec._
     op match {
-      case WUpsert(points, None, mode) =>
-        Seq(UpdateOp.Upsert(wirePoints(coll, points), mode))
-      case WUpsert(points, Some(f), mode) =>
-        Seq(UpdateOp.UpsertConditional(wirePoints(coll, points), f, mode))
-      case WDelete(Selector(Some(ids), None)) => Seq(UpdateOp.DeleteIds(ids))
-      case WDelete(sel) => Seq(UpdateOp.DeleteByFilter(sel.filter.get))
+      case WUpsert(points, None, mode, bodyKey) =>
+        Seq(UpdateOp.Upsert(wirePoints(coll, points, bodyKey), mode))
+      case WUpsert(points, Some(f), mode, bodyKey) =>
+        Seq(UpdateOp.UpsertConditional(wirePoints(coll, points, bodyKey), f, mode))
+      case WDelete(Selector(Some(ids), None, Nil)) => Seq(UpdateOp.DeleteIds(ids))
+      case WDelete(Selector(Some(ids), None, shardKeys)) =>
+        // shard-scoped id delete: the selector compiles to a filter so the
+        // shard condition prunes partitions like the read paths
+        Seq(UpdateOp.DeleteByFilter(graft.model.Filter(must = Seq(
+          graft.model.HasId(ids), shardKeyCond(coll, shardKeys)))))
+      case WDelete(sel) =>
+        val base = sel.filter.get
+        Seq(UpdateOp.DeleteByFilter(
+          if (sel.shardKeys.isEmpty) base
+          else base.copy(must = shardKeyCond(coll, sel.shardKeys) +: base.must)))
       case WSetPayload(payload, sel, false, key) =>
         Seq(UpdateOp.SetPayload(payload, selectorPred(coll, sel), key))
       case WSetPayload(payload, sel, true, _) =>
@@ -44,13 +53,21 @@ object UpdateBridge {
         Seq(UpdateOp.DeletePayloadKeys(keys, selectorPred(coll, sel)))
       case WClearPayload(sel) =>
         Seq(UpdateOp.ClearPayload(selectorPred(coll, sel)))
-      case WUpdateVectors(points) =>
+      case WUpdateVectors(points, shardKeys, updateFilter) =>
         // one column edit per (point, vector name); applyBatch still folds
-        // the whole list into a single rewrite
+        // the whole list into a single rewrite. A body `shard_key`
+        // restricts which shards the edits touch (`UpdateVectors.
+        // shard_key`); an `update_filter` restricts to matching points
+        // (`schema.rs:1470-1473`).
+        val scope = (shardKeyPred(coll, shardKeys).toSeq ++
+          updateFilter.map(f =>
+            new FilterCompiler(coll.resolver(coll.read())).compile(f)).toSeq)
+          .reduceOption(_ && _)
         points.flatMap { p =>
           p.vectors.toSeq.sortBy(_._1).map { case (name, vec) =>
-            UpdateOp.UpdateVector(name, vecLit(coll, name, vec),
-              idPred(coll, Seq(p.id)))
+            val target = scope.fold(idPred(coll, Seq(p.id)))(
+              _ && idPred(coll, Seq(p.id)))
+            UpdateOp.UpdateVector(name, vecLit(coll, name, vec), target)
           }
         }
       case WDeleteVectors(sel, names) =>
@@ -60,14 +77,28 @@ object UpdateBridge {
 
   /** Selector → boolean Column against the collection's schema (id list or
     * compiled filter; both present = AND, matching the reference's
-    * `PointsSelector` which is one-of). */
+    * `PointsSelector` which is one-of). A body `shard_key` selector ANDs a
+    * partition-pruning condition on the shard-key column, exactly like the
+    * read paths' `shardKeyFilter`. */
   def selectorPred(coll: Collection, sel: RequestCodec.Selector): Column = {
     val parts =
       sel.ids.map(ids => idPred(coll, ids)).toSeq ++
         sel.filter.map(f =>
-          new FilterCompiler(coll.resolver(coll.read())).compile(f)).toSeq
+          new FilterCompiler(coll.resolver(coll.read())).compile(f)).toSeq ++
+        shardKeyPred(coll, sel.shardKeys).toSeq
     parts.reduce(_ && _)
   }
+
+  private def shardKeyCond(coll: Collection, keys: Seq[Any]): graft.model.Condition =
+    graft.model.MatchAny(shardField(coll), keys)
+
+  private def shardKeyPred(coll: Collection, keys: Seq[Any]): Option[Column] =
+    if (keys.isEmpty) None
+    else Some(col(shardField(coll)).isin(keys: _*))
+
+  private def shardField(coll: Collection): String =
+    coll.config.shardKeyCol.getOrElse(throw new IllegalArgumentException(
+      "shard_key given but the collection has no shard-key column"))
 
   private def idPred(coll: Collection, ids: Seq[Any]): Column =
     col(coll.config.idCol).isin(ids: _*)
@@ -98,10 +129,19 @@ object UpdateBridge {
   /** Wire points → micro-batch DataFrame in the collection's column layout:
     * id + declared vector columns (dense `array<float>` — encoded to the
     * declared element type inside the upsert op — multi-dense matrices,
-    * sparse structs) + JSON payload string. Id type follows the batch
-    * (u64 → LongType, UUID string → StringType — `ExtendedPointId`,
-    * `types.rs:174-179`). */
-  def wirePoints(coll: Collection, points: Seq[RequestCodec.WirePoint]): DataFrame = {
+    * sparse structs) + JSON payload string (+ the shard-key column on a
+    * custom-sharded collection). Id type follows the batch (u64 →
+    * LongType, UUID string → StringType — `ExtendedPointId`,
+    * `types.rs:174-179`).
+    *
+    * Shard-key contract (`shard_holder/mod.rs:426-437`): each point's key
+    * is its own `shard_key` or the body-level one; a shard-keyed
+    * collection REJECTS points that resolve no key ("Shard key not
+    * specified") — silently NULL-filling the partition column would make
+    * the point invisible to every shard-scoped read. A collection
+    * WITHOUT custom sharding rejects any shard key on the write. */
+  def wirePoints(coll: Collection, points: Seq[RequestCodec.WirePoint],
+      bodyShardKey: Option[Any] = None): DataFrame = {
     import RequestCodec._
     require(points.nonEmpty, "upsert batch must not be empty")
     val cfg = coll.config
@@ -109,16 +149,29 @@ object UpdateBridge {
       case _: String => StringType
       case _ => LongType
     }
+    val shardKeyOf: RequestCodec.WirePoint => Option[Any] =
+      p => p.shardKey.orElse(bodyShardKey)
+    val skField: Option[StructField] = cfg.shardKeyCol match {
+      case Some(sk) =>
+        // column type follows the existing table (string keys by default,
+        // integer keys on an int-sharded table)
+        Some(StructField(sk, coll.read().schema(sk).dataType))
+      case None =>
+        if (bodyShardKey.isDefined || points.exists(_.shardKey.isDefined))
+          throw new IllegalArgumentException(
+            "shard_key given but the collection has no shard-key column")
+        None
+    }
     val sparseType = StructType(Seq(
       StructField("indices", ArrayType(IntegerType)),
       StructField("values", ArrayType(FloatType))))
     val schema = StructType(
-      StructField(cfg.idCol, idType) +:
+      (StructField(cfg.idCol, idType) +:
         (cfg.vectors.map(vc => StructField(cfg.vectorCol(vc.name),
           if (vc.multivector) ArrayType(ArrayType(FloatType))
           else ArrayType(FloatType))) ++
           cfg.sparse.map(sc => StructField(cfg.sparseCol(sc.name), sparseType))) :+
-        StructField(cfg.payloadCol, StringType))
+        StructField(cfg.payloadCol, StringType)) ++ skField.toSeq)
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
     points.foreach { p =>
       p.vectors.keys.foreach { n =>
@@ -140,10 +193,27 @@ object UpdateBridge {
           throw new IllegalArgumentException(
             s"sparse vector '$name' given non-sparse value $other")
       }
+      val skVal: Seq[Any] = skField match {
+        case None => Nil
+        case Some(f) =>
+          val key = shardKeyOf(p).getOrElse(throw new IllegalArgumentException(
+            s"Shard key not specified for point ${p.id}: collection uses " +
+              "custom sharding, every upserted point needs a shard_key " +
+              "(point-level or body-level)"))
+          Seq(f.dataType match {
+            case LongType => key match {
+              case l: Long => l
+              case i: Int => i.toLong
+              case s: String => s.toLong
+              case other => other.toString.toLong
+            }
+            case _ => key.toString
+          })
+      }
       rows.add(Row.fromSeq(
-        p.id +:
+        (p.id +:
           (cfg.vectors.map(denseVal) ++ cfg.sparse.map(sc => sparseVal(sc.name))) :+
-          p.payload.orNull))
+          p.payload.orNull) ++ skVal))
     }
     coll.spark.createDataFrame(rows, schema)
   }

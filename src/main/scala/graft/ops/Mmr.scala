@@ -12,7 +12,9 @@ import graft.model._
   * nearest (with vectors); greedy loop picks first the max-relevance point,
   * then repeatedly argmax of `λ·sim(q,p) − (1−λ)·max_{s∈selected} sim(p,s)`
   * over *internal* similarities; returned points keep their ORIGINAL query
-  * score, in selection order.
+  * score, in selection order. The reference computes MMR over
+  * `VectorInternal` — vector-kind-agnostic, so sparse spaces rerank the
+  * same way with the sparse intersect-dot as the similarity.
   *
   * Inherently sequential over ≤ candidatesLimit rows → collect to the driver
   * and loop (qdrant does the same at collection level, post-merge). The
@@ -34,10 +36,65 @@ object Mmr {
         -a.indices.foldLeft(0.0)((acc, i) => acc + math.abs(a(i) - b(i)))
     }
 
+  /** Sparse intersect-dot over sorted index arrays (the `SparseVector`
+    * scoring contract, `sparse_vector.rs` — merge over the intersection). */
+  private def sparseDotOf(ai: Array[Int], av: Array[Double],
+      bi: Array[Int], bv: Array[Double]): Double = {
+    var i = 0; var j = 0; var acc = 0.0
+    while (i < ai.length && j < bi.length) {
+      if (ai(i) == bi(j)) { acc += av(i) * bv(j); i += 1; j += 1 }
+      else if (ai(i) < bi(j)) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  /** The greedy MMR selection over n candidates: `rel` = sim(query, c),
+    * `pairSimRaw` = sim(c_i, c_j). Returns selected candidate indices in
+    * selection order. Ties break on first-seen (candidate rank order),
+    * which is deterministic given the ordered input. */
+  private def greedySelect(n: Int, limit: Int, lambda: Double,
+      rel: Int => Double, pairSimRaw: (Int, Int) => Double): Seq[Int] = {
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (n > 0 && limit > 0) {
+      if (n < 2) selected += 0
+      else {
+        val simCache = scala.collection.mutable.Map.empty[(Int, Int), Double]
+        def pairSim(i: Int, j: Int): Double = {
+          val key = if (i < j) (i, j) else (j, i)
+          simCache.getOrElseUpdate(key, pairSimRaw(i, j))
+        }
+        val remaining = scala.collection.mutable.LinkedHashSet(0 until n: _*)
+        val first = remaining.maxBy(rel)
+        selected += first; remaining -= first
+        while (selected.length < limit && remaining.nonEmpty) {
+          val best = remaining.maxBy { c =>
+            val maxSel = selected.map(s => pairSim(c, s)).max
+            lambda * rel(c) - (1.0 - lambda) * maxSel
+          }
+          selected += best; remaining -= best
+        }
+      }
+    }
+    selected.toSeq
+  }
+
+  private def selectionFrame(spark: SparkSession, idCol: String,
+      idType: DataType, ids: Array[Any], scores: Array[Double],
+      selected: Seq[Int]): DataFrame = {
+    val out = selected.zipWithIndex.map { case (idx, pos) =>
+      Row(ids(idx), scores(idx), pos + 1)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField(idCol, idType), StructField("score", DoubleType),
+        StructField("position", IntegerType))))
+  }
+
   /** `candidates`: (id, score, vector) rows — the top `candidatesLimit` hits
     * of the underlying query, scores already rounded. Returns (id, score,
-    * position) in MMR selection order. Ties break on first-seen (candidate
-    * rank order), which is deterministic given the ordered input. */
+    * position) in MMR selection order. */
   def rerank(
       spark: SparkSession,
       candidates: DataFrame,
@@ -53,37 +110,35 @@ object Mmr {
     val scores = rows.map(_.getDouble(1))
     val vecs = rows.map(_.getSeq[Float](2).toArray.map(_.toDouble))
     val q = query.toArray
-    val n = rows.length
+    val rel = vecs.map(v => simInternal(metric, v, q))
+    val selected = greedySelect(rows.length, limit, lambda,
+      rel, (i, j) => simInternal(metric, vecs(i), vecs(j)))
+    selectionFrame(spark, idCol, idType, ids, scores, selected)
+  }
 
-    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
-    if (n > 0 && limit > 0) {
-      if (n < 2) selected += 0
-      else {
-        val rel = vecs.map(v => simInternal(metric, v, q))
-        val simCache = scala.collection.mutable.Map.empty[(Int, Int), Double]
-        def pairSim(i: Int, j: Int): Double = {
-          val key = if (i < j) (i, j) else (j, i)
-          simCache.getOrElseUpdate(key, simInternal(metric, vecs(i), vecs(j)))
-        }
-        val remaining = scala.collection.mutable.LinkedHashSet(0 until n: _*)
-        val first = remaining.maxBy(rel)
-        selected += first; remaining -= first
-        while (selected.length < limit && remaining.nonEmpty) {
-          val best = remaining.maxBy { c =>
-            val maxSel = selected.map(s => pairSim(c, s)).max
-            lambda * rel(c) - (1.0 - lambda) * maxSel
-          }
-          selected += best; remaining -= best
-        }
-      }
-    }
-    val out = selected.zipWithIndex.map { case (idx, pos) =>
-      Row(ids(idx), scores(idx), pos + 1)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq, 1),
-      StructType(Seq(
-        StructField(idCol, idType), StructField("score", DoubleType),
-        StructField("position", IntegerType))))
+  /** Sparse-space MMR: `candidates` = (id, score, _qidx, _qval) rows with
+    * the candidate's stored sparse vector; similarities are the sparse
+    * intersect-dot, both query-to-candidate and pairwise. */
+  def rerankSparse(
+      spark: SparkSession,
+      candidates: DataFrame,
+      idCol: String,
+      qIndices: Seq[Int],
+      qValues: Seq[Double],
+      lambda: Double,
+      limit: Int): DataFrame = {
+    val idType = candidates.schema(idCol).dataType
+    val rows = candidates
+      .select(col(idCol), col("score"), col("_qidx"), col("_qval")).collect()
+    val ids = rows.map(_.get(0))
+    val scores = rows.map(_.getDouble(1))
+    val idx = rows.map(_.getSeq[Int](2).toArray)
+    val vals = rows.map(_.getSeq[Float](3).toArray.map(_.toDouble))
+    val qi = qIndices.toArray
+    val qv = qValues.toArray
+    val rel = rows.indices.map(i => sparseDotOf(idx(i), vals(i), qi, qv))
+    val selected = greedySelect(rows.length, limit, lambda,
+      rel, (i, j) => sparseDotOf(idx(i), vals(i), idx(j), vals(j)))
+    selectionFrame(spark, idCol, idType, ids, scores, selected)
   }
 }

@@ -91,6 +91,12 @@ object PointQuery {
   final case class FormulaQ(ast: Formula.Expr, defaultScore: Double = 0.0) extends Scoring
   final case class MmrQ(vecCol: String, metric: Metric, query: Seq[Double],
       lambda: Double) extends Scoring
+  /** MMR over a SPARSE `using` space — the reference's MMR is
+    * vector-kind-agnostic (`lib/shard/src/query/mmr/mod.rs:42-170` computes
+    * similarities over `VectorInternal`, sparse included); pairwise sims
+    * are the sparse intersect-dot. */
+  final case class MmrSparseQ(sparseCol: String, qIndices: Seq[Int],
+      qValues: Seq[Double], lambda: Double) extends Scoring
 
   /** Wire `SearchParams` (`types.rs:573-618`): `exact` / `quantization.
     * ignore` bypass the quantized two-phase route, `quantization.rescore
@@ -321,6 +327,26 @@ object PointQuery {
         // `skip(offset).take(limit)` on the selection-ordered MMR output
         // (`query.rs:448-451`); `position` stays the global selection rank.
         Mmr.rerank(spark, cands, idCol, vc, m, qv, lambda, q.offset + q.limit)
+          .filter(col("position") > q.offset)
+
+      case MmrSparseQ(sc, qi, qv, lambda) =>
+        require(q.prefetches.nonEmpty, "MMR rescore requires prefetches")
+        val candidateIds = q.prefetches.map(inherited)
+          .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
+          .reduce(_ union _).distinct()
+        val scoredCands = points.join(candidateIds, Seq(idCol), "left_semi")
+          .withColumn("score",
+            round(graft.functions.VectorFunctions.sparseDot(
+              col(s"$sc.indices"), col(s"$sc.values"), qi, qv), 6))
+        // sparse scores are always larger-better (dot); threshold strict
+        val thresholded = q.scoreThreshold.fold(scoredCands)(t =>
+          scoredCands.filter(col("score") > t))
+        val cands = thresholded
+          .select(col(idCol), col("score"),
+            col(s"$sc.indices").as("_qidx"), col(s"$sc.values").as("_qval"))
+          .orderBy(col("score").desc, col(idCol).asc)
+        Mmr.rerankSparse(spark, cands, idCol, qi, qv, lambda,
+          q.offset + q.limit)
           .filter(col("position") > q.offset)
 
       // ---- scroll leaves (as RESCORE parents the reference turns these

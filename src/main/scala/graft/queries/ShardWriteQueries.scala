@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sources.{CollectionConfig, VectorConfig}
+import graft.storage.Collection
+
+/** Shard-key WRITE surface catalog (VERDICT r11 #1 — the confirmed
+  * silent-corruption class): the wire carries a shard key point-level on
+  * `PointStruct` and body-level on every update op
+  * (`lib/api/src/rest/schema.rs:1290-1479`); a custom-sharded collection
+  * REJECTS writes that resolve no key (`shard_holder/mod.rs:436` "Shard
+  * key not specified") and scopes selector ops to the selected shards.
+  * Every entry reads its effects back through SHARD-SCOPED reads — the
+  * exact path the r11 bug made silently wrong. */
+object ShardWriteQueries {
+
+  private def seedRows(s: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("vector", ArrayType(FloatType)),
+      StructField("payload", StringType), StructField("shard_key", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Array(1.0f, 0.0f, 0.0f, 0.0f), """{"tag":"x"}""", "a"),
+      Row(2L, Array(0.0f, 1.0f, 0.0f, 0.0f), """{"tag":"x"}""", "a"),
+      Row(11L, Array(0.0f, 0.0f, 1.0f, 0.0f), """{"tag":"x"}""", "b"),
+      Row(12L, Array(0.0f, 0.0f, 0.0f, 1.0f), """{"tag":"x"}""", "b"))
+    s.createDataFrame(rows, schema)
+  }
+
+  private def shardCfg = CollectionConfig(idCol = "id",
+    vectors = Seq(VectorConfig("", 4, graft.model.Dot)),
+    payloadTypes = Map("tag" -> StringType),
+    shardKeyCol = Some("shard_key"))
+
+  private def freshColl(s: SparkSession, name: String): Collection =
+    Collection.create(s, s"/tmp/graft_runtime/$name", shardCfg, seedRows(s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Wire upsert into a shard-keyed collection: point 3 takes the BODY
+    // shard key ("b", `PointsList.shard_key` applies to points lacking
+    // their own), point 4's POINT-level key ("a") wins over the body's.
+    // Each shard-scoped scroll must see exactly its points — the r11 bug
+    // NULL-filled the partition column and made them vanish.
+    "api_upsert_shard_key" -> ((s, dir) => {
+      val coll = freshColl(s, "shardw_upsert")
+      graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [
+          |  {"upsert": {"shard_key": "b", "points": [
+          |    {"id": 3, "vector": [0.5, 0.5, 0.0, 0.0], "payload": {"tag": "w"}},
+          |    {"id": 4, "vector": [0.0, 0.5, 0.5, 0.0], "shard_key": "a"}
+          |  ]}}
+          |]}""".stripMargin)
+      def page(key: String): DataFrame = coll.scroll(
+        s"""{"limit": 100, "with_payload": false, "shard_key": "$key"}""")
+        .select(lit(key).as("shard"), col("id"))
+      page("a").unionByName(page("b")).orderBy(col("shard"), col("id"))
+    }),
+    // Rejections: a keyless wire upsert into a custom-sharded collection,
+    // a shard-keyed wire upsert into a PLAIN collection, a multi-key body
+    // selector on upsert (each point lands on exactly one key), and a
+    // TYPED batch missing the shard-key column (the unionByName-NULL-fill
+    // hole, now a schema-level reject in mergeUpsert).
+    "api_upsert_shard_key_reject" -> ((s, dir) => {
+      import s.implicits._
+      val coll = freshColl(s, "shardw_reject")
+      val plainCfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 4, graft.model.Dot)))
+      val plain = Collection.create(s, "/tmp/graft_runtime/shardw_plain", plainCfg,
+        seedRows(s).select(col("id"), col("vector"), col("payload")))
+      def rejects(body: => Unit, expect: String): (Boolean, Boolean) =
+        try { body; (false, false) }
+        catch { case ex: Exception =>
+          (true, Option(ex.getMessage).exists(_.contains(expect))) }
+      val rows = Seq(
+        ("missing_key", rejects(graft.api.UpdateBridge.applyJson(coll,
+          """{"operations": [{"upsert": {"points": [
+            |  {"id": 9, "vector": [1.0, 0.0, 0.0, 0.0]}]}}]}""".stripMargin),
+          "Shard key not specified")),
+        ("non_sharded", rejects(graft.api.UpdateBridge.applyJson(plain,
+          """{"operations": [{"upsert": {"points": [
+            |  {"id": 9, "vector": [1.0, 0.0, 0.0, 0.0], "shard_key": "a"}]}}]}"""
+            .stripMargin),
+          "no shard-key column")),
+        ("multi_key_body", rejects(graft.api.UpdateBridge.applyJson(coll,
+          """{"operations": [{"upsert": {"shard_key": ["a", "b"], "points": [
+            |  {"id": 9, "vector": [1.0, 0.0, 0.0, 0.0]}]}}]}""".stripMargin),
+          "single key")),
+        ("typed_missing_column", rejects(coll.applyBatch(Seq(
+          graft.storage.UpdateOp.Upsert(
+            seedRows(s).filter(col("id") === 1L)
+              .select(col("id"), col("vector"), col("payload"))))),
+          "Shard key not specified")))
+      // the failed ops must not have mutated the table
+      val intact = coll.read().count() == 4L && plain.read().count() == 4L
+      rows.map { case (n, (rej, msg)) => (n, rej, msg, intact) }
+        .toDF("check_name", "rejected", "msg_ok", "table_intact")
+    }),
+    // Body-level `shard_key` SCOPES selector ops exactly like the read
+    // paths (`FilterSelector.shard_key`, `point_ops.rs:42`): the delete
+    // names ids {1, 11} but is scoped to shard "a", so 11 (in "b")
+    // survives; the set_payload names {2, 12} scoped to "b", so only 12
+    // changes; the delete_vectors scoped to "b" nulls only 12's vector.
+    "api_update_shard_scoped" -> ((s, dir) => {
+      val coll = freshColl(s, "shardw_scoped")
+      graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [
+          |  {"delete": {"points": [1, 11], "shard_key": "a"}},
+          |  {"set_payload": {"payload": {"tag": "y"},
+          |    "points": [2, 12], "shard_key": ["b"]}},
+          |  {"delete_vectors": {"points": [2, 12], "vector": [""],
+          |    "shard_key": "b"}}
+          |]}""".stripMargin)
+      coll.read()
+        .select(col("id"), col("shard_key"),
+          get_json_object(col("payload"), "$.tag").as("tag"),
+          col("vector").isNotNull.as("has_vector"))
+        .orderBy(col("id"))
+    }),
+    // Column-form `Batch` upsert (`PointsBatch`/`Batch`, the second
+    // untagged arm of `PointInsertOperations` — parallel ids/vectors/
+    // payloads columns): one op with the UNNAMED-array vector form +
+    // payloads, one with the NAMED-map form (per-name parallel lists,
+    // sparse included), transposed into the same micro-batch path as the
+    // points-list form.
+    "api_upsert_batch_column" -> ((s, dir) => {
+      import graft.sources.{CollectionConfig, SparseVectorConfig, VectorConfig}
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 2, graft.model.Dot)),
+        sparse = Seq(SparseVectorConfig("tok")),
+        payloadTypes = Map("tag" -> StringType))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("vector", ArrayType(FloatType)),
+        StructField("sparse_tok", StructType(Seq(
+          StructField("indices", ArrayType(IntegerType)),
+          StructField("values", ArrayType(FloatType))))),
+        StructField("payload", StringType)))
+      val seed = java.util.Arrays.asList(
+        Row(1L, Array(1.0f, 0.0f), Row(Array(0), Array(1.0f)), """{"tag":"seed"}"""))
+      val coll = Collection.create(s, "/tmp/graft_runtime/batch_col_upsert", cfg,
+        s.createDataFrame(seed, schema))
+      graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [
+          |  {"upsert": {"batch": {
+          |    "ids": [2, 3],
+          |    "vectors": [[0.5, 0.5], [0.0, 1.0]],
+          |    "payloads": [{"tag": "b2"}, null]}}},
+          |  {"upsert": {"batch": {
+          |    "ids": [4, 1],
+          |    "vectors": {
+          |      "": [[0.25, 0.75], [0.9, 0.1]],
+          |      "tok": [{"indices": [1, 3], "values": [2.0, 4.0]},
+          |              {"indices": [0], "values": [7.0]}]}}}}
+          |]}""".stripMargin)
+      coll.read().select(col("id"),
+        round(element_at(col("vector"), 1).cast("double"), 6).as("v0"),
+        round(element_at(col("vector"), 2).cast("double"), 6).as("v1"),
+        coalesce(size(col("sparse_tok.indices")), lit(-1)).cast("long").as("nnz"),
+        get_json_object(col("payload"), "$.tag").as("tag"))
+        .orderBy(col("id"))
+    }),
+    // `update_filter` on the update_vectors body (`UpdateVectors.
+    // update_filter`, `schema.rs:1470-1473`): only points MATCHING the
+    // filter take the new vector — id 1 (tag "x") updates, id 11 (tag
+    // changed to "z" first, within the same ordered batch) does not.
+    "api_update_vectors_filtered" -> ((s, dir) => {
+      val coll = freshColl(s, "shardw_uvfilter")
+      graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [
+          |  {"set_payload": {"payload": {"tag": "z"}, "points": [11]}},
+          |  {"update_vectors": {
+          |    "points": [
+          |      {"id": 1, "vector": [9.0, 9.0, 9.0, 9.0]},
+          |      {"id": 11, "vector": [9.0, 9.0, 9.0, 9.0]}],
+          |    "update_filter": {"must": [{"key": "tag", "match": {"value": "x"}}]}}}
+          |]}""".stripMargin)
+      coll.read().select(col("id"),
+        round(element_at(col("vector"), 1).cast("double"), 6).as("v0"),
+        get_json_object(col("payload"), "$.tag").as("tag"))
+        .orderBy(col("id"))
+    }),
+    // Shard-scoped `exact: false` count (VERDICT r11 #3): the shard-key
+    // partition column rides the `_fieldstats` sidecar (one per-key count
+    // job at build — low cardinality by construction), so the estimate
+    // serves the TENANT's size driver-side instead of unknown(N/2).
+    "count_estimate_shard" -> ((s, dir) => {
+      VectorQueries.shardedColl(s, dir).count(
+        """{"shard_key": "a", "exact": false}""")
+    }),
+    // The full {min, exp, max} band over a TWO-shard selector: MatchAny
+    // over exact per-key counts → min = max(ca, cb), exp = noisy-or, max =
+    // capped sum (`combine_should_estimations`, query_estimator.rs).
+    "count_estimate_shard_band" -> ((s, dir) => {
+      VectorQueries.shardedColl(s, dir).countEstimate(
+        """{"shard_key": ["a", "b"], "exact": false}""")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "api_upsert_shard_key" ->
+      """SELECT * FROM (VALUES
+        |  ('a', 1::BIGINT), ('a', 2::BIGINT), ('a', 4::BIGINT),
+        |  ('b', 3::BIGINT), ('b', 11::BIGINT), ('b', 12::BIGINT))
+        |AS t(shard, id)""".stripMargin,
+    "api_upsert_shard_key_reject" ->
+      """SELECT * FROM (VALUES
+        |  ('missing_key', true, true, true),
+        |  ('non_sharded', true, true, true),
+        |  ('multi_key_body', true, true, true),
+        |  ('typed_missing_column', true, true, true))
+        |AS t(check_name, rejected, msg_ok, table_intact)""".stripMargin,
+    "api_update_shard_scoped" ->
+      """SELECT * FROM (VALUES
+        |  (2::BIGINT, 'a', 'x', true),
+        |  (11::BIGINT, 'b', 'x', true),
+        |  (12::BIGINT, 'b', 'y', false))
+        |AS t(id, shard_key, tag, has_vector)""".stripMargin,
+    "api_upsert_batch_column" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 0.9, 0.1, 1::BIGINT, NULL),
+        |  (2::BIGINT, 0.5, 0.5, -1::BIGINT, 'b2'),
+        |  (3::BIGINT, 0.0, 1.0, -1::BIGINT, NULL),
+        |  (4::BIGINT, 0.25, 0.75, 2::BIGINT, NULL))
+        |AS t(id, v0, v1, nnz, tag)""".stripMargin,
+    "api_update_vectors_filtered" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 9.0, 'x'),
+        |  (2::BIGINT, 0.0, 'x'),
+        |  (11::BIGINT, 0.0, 'z'),
+        |  (12::BIGINT, 0.0, 'x'))
+        |AS t(id, v0, tag)""".stripMargin,
+    // per-tenant exact count: shard "a" holds label % 3 == 0 (the fixture
+    // maps label % 3 → a/b/c)
+    "count_estimate_shard" ->
+      """SELECT count(*)::BIGINT AS cnt FROM embeddings WHERE label % 3 = 0""",
+    "count_estimate_shard_band" ->
+      """WITH m AS (SELECT
+        |    sum(CASE WHEN label % 3 = 0 THEN 1 ELSE 0 END)::DOUBLE AS ca,
+        |    sum(CASE WHEN label % 3 = 1 THEN 1 ELSE 0 END)::DOUBLE AS cb,
+        |    count(*)::DOUBLE AS n
+        |  FROM embeddings)
+        |SELECT CAST(greatest(ca, cb) AS BIGINT) AS est_min,
+        |  CAST(round(n * (round((1.0 - (1.0 - ca/n) * (1.0 - cb/n)) * n) / n))
+        |    AS BIGINT) AS est_exp,
+        |  CAST(least(ca + cb, n) AS BIGINT) AS est_max FROM m""".stripMargin,
+  )
+}

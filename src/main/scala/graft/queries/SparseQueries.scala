@@ -106,6 +106,120 @@ object SparseQueries {
       val (qi, qv) = sparseQ(s, dir, 7L)
       sparseColl(s, dir).knnSparse("txtidf", qi, qv, k = 10)
     }),
+    // By-id NEAREST over a sparse `using` space — the reference's own test
+    // requires `{"query": 7, "using": "sparse-text"}` to succeed
+    // (`tests/openapi/test_query_full.py:1411-1421`, the r11-confirmed
+    // rejection bug): both the bare-id and `nearest: <id>` wire forms
+    // resolve the example's stored sparse vector and score the intersect
+    // dot — identical rows to `sparse_struct_knn`, tagged per form.
+    "api_query_nearest_sparse_id" -> ((s, dir) => {
+      val bare = sparseColl(s, dir).query(
+        """{"query": 7, "using": "txt", "limit": 10}""")
+        .withColumn("form", lit("bare_id"))
+      val tagged = sparseColl(s, dir).query(
+        """{"query": {"nearest": 7}, "using": "txt", "limit": 10}""")
+        .withColumn("form", lit("nearest_obj"))
+      bare.unionByName(tagged)
+    }),
+    // MMR over a sparse `using` with a BY-ID root (the reference's MMR is
+    // vector-kind-agnostic, `lib/shard/src/query/mmr/mod.rs:42-170`): the
+    // greedy loop is not SQL-expressible, so the entry verifies the full
+    // selection order against an INDEPENDENT driver-side greedy loop over
+    // sparse vectors derived straight from the parquet embeddings, and
+    // emits a one-row contract the oracle asserts.
+    "api_query_mmr_sparse" -> ((s, dir) => {
+      import s.implicits._
+      val res = sparseColl(s, dir).query(
+        """{"query": {"nearest": 7,
+          |  "mmr": {"diversity": 0.5, "candidates_limit": 25}},
+          |  "using": "txt", "limit": 8}""".stripMargin)
+        .orderBy(col("position")).collect()
+      // independent oracle: derive every sparse vector from the raw
+      // embeddings parquet, score vs point 7, take top-25 (score desc, id
+      // asc), greedy-select λ=0.5 over exact sparse dots
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).toArray.map(_.toDouble).zipWithIndex
+            .filter(_._1 > 0.25).map { case (v, i) => (i, v) })
+        .toMap
+      def dot(a: Array[(Int, Double)], b: Array[(Int, Double)]): Double = {
+        val bm = b.toMap
+        a.foldLeft(0.0) { case (acc, (i, v)) => acc + v * bm.getOrElse(i, 0.0) }
+      }
+      val q = e(7L)
+      val cands = e.toSeq
+        .map { case (id, v) => (id, dot(v, q)) }
+        .filter { case (id, _) => e(id).exists(p => q.exists(_._1 == p._1)) }
+        .map { case (id, sc) =>
+          (id, BigDecimal(sc).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(25)
+      val vecs = cands.map { case (id, _) => e(id) }
+      // greedy relevance is the RAW dot (the engine recomputes unrounded
+      // sims inside the rerank; only the returned score column is rounded)
+      val rel = vecs.map(v => dot(v, q))
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val rem = scala.collection.mutable.LinkedHashSet(cands.indices: _*)
+      val first = rem.maxBy(i => rel(i))
+      sel += first; rem -= first
+      while (sel.length < 8 && rem.nonEmpty) {
+        val best = rem.maxBy { c =>
+          0.5 * rel(c) - 0.5 * sel.map(sl => dot(vecs(c), vecs(sl))).max
+        }
+        sel += best; rem -= best
+      }
+      val expectIds = sel.map(i => cands(i)._1).toSeq
+      val gotIds = res.map(_.getLong(0)).toSeq
+      Seq((res.length, gotIds == expectIds,
+        res.map(_.getInt(2)).toSeq == (1 to res.length)))
+        .toDF("n", "ids_match_greedy", "positions_ok")
+    }),
+    // By-id resolution failure parity (`test_query_full.py:1428-1444`,
+    // issue #5208 panic regression): a missing POINT raises the
+    // reference's "No point with id .. found" (`types.rs:913`), a present
+    // point lacking the `using` vector raises the `vector_not_found_error`
+    // shape (`collection_query.rs:395-397`) — dense and sparse arms, never
+    // a NoSuchElement/NPE crash.
+    "api_query_by_id_errors" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{CollectionConfig, SparseVectorConfig, VectorConfig}
+      val path = "/tmp/graft_runtime/err_resolve_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = CollectionConfig(idCol = "vec_id",
+        vectors = Seq(VectorConfig("", 64, graft.model.Dot)),
+        sparse = Seq(SparseVectorConfig("txt")))
+      val e = Tables.load(s, dir, "embeddings")
+      // every 5th point lacks BOTH the default dense and the sparse vector
+      val coll = graft.storage.Collection.create(s, path, cfg,
+        e.select(col("vec_id"),
+          when(col("vec_id") % 5 =!= 0, col("embedding")).as("vector"),
+          when(col("vec_id") % 5 =!= 0, sparseFromDense(col("embedding")))
+            .as("sparse_txt")))
+      def check(json: String, expect: String): (Boolean, Boolean) =
+        try { coll.query(json); (false, false) }
+        catch {
+          case ex: IllegalArgumentException =>
+            (true, Option(ex.getMessage).exists(_.contains(expect)))
+        }
+      val rows = Seq(
+        ("missing_point_dense",
+          check("""{"query": 99999999, "limit": 3}""", "No point with id")),
+        ("missing_point_sparse",
+          check("""{"query": 99999999, "using": "txt", "limit": 3}""",
+            "No point with id")),
+        ("missing_vector_dense",
+          check("""{"query": 5, "limit": 3}""", "Vector with name")),
+        ("missing_vector_sparse",
+          check("""{"query": 5, "using": "txt", "limit": 3}""",
+            "Vector with name")),
+        ("present_ok",
+          // the happy arm must NOT reject (row-parity with the catalog's
+          // nearest entries is pinned elsewhere; here only the gate)
+          check("""{"query": 7, "using": "txt", "limit": 3}""", "")))
+      rows.map { case (name, (rejected, msgOk)) => (name, rejected, msgOk) }
+        .toDF("check_name", "rejected", "msg_ok")
+    }),
     // Wire-level recommend over a SPARSE `using` space with BY-ID
     // examples: each id resolves to its stored sparse vector from that
     // space, then the average_vector merge — must reproduce the hand-built
@@ -136,6 +250,33 @@ object SparseQueries {
       sparseColl(s, dir).query(
         """{"query": {"recommend": {"positive": [7]}},
           |  "using": "txtidf", "limit": 10}""".stripMargin)
+    }),
+    // `lookup_from` against a SPARSE space (`fetch_vectors.rs:301` — the
+    // reference resolves referenced vectors of ANY kind from the lookup
+    // collection): recommend-by-id where the example ids live in a SIBLING
+    // catalog collection's sparse space. The sibling stores qid = vec_id +
+    // 10000 with the same derived sparse content, so the rows must equal
+    // the self-resolved `api_recommend_sparse_ids` exactly (same oracle).
+    "recommend_lookup_from_sparse" -> ((s, dir) => {
+      import graft.sources.{CollectionConfig, SparseVectorConfig}
+      val root = "/tmp/graft_runtime/cat_slkp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = new graft.storage.Catalog(s, root)
+      val e = Tables.load(s, dir, "embeddings")
+      if (!cat.exists("sdocs"))
+        cat.create("sdocs", CollectionConfig(idCol = "vec_id",
+          sparse = Seq(SparseVectorConfig("txt"))),
+          e.select(col("vec_id"), sparseFromDense(col("embedding")).as("sparse_txt")))
+      if (!cat.exists("squeries"))
+        cat.create("squeries", CollectionConfig(idCol = "qid",
+          sparse = Seq(SparseVectorConfig("txt"))),
+          e.select((col("vec_id") + 10000).as("qid"),
+            sparseFromDense(col("embedding")).as("sparse_txt")))
+      cat.query("sdocs",
+        """{"query": {"recommend": {"positive": [10007, 10011],
+          |    "negative": [10004]}},
+          |  "using": "txt",
+          |  "lookup_from": {"collection": "squeries", "vector": "txt"},
+          |  "limit": 10}""".stripMargin)
     }),
     // Discover over a SPARSE `using` space with by-id examples: the
     // target/context pairs resolve to stored sparse vectors, ranked by the
@@ -576,6 +717,29 @@ object SparseQueries {
         |  (2::BIGINT, 3.0::DOUBLE, 'sparse')) AS t(id, score, space)""".stripMargin,
     "recommend_sparse_avg" -> recommendSparseAvgSql,
     "api_recommend_sparse_ids" -> recommendSparseAvgSql,
+    "recommend_lookup_from_sparse" -> recommendSparseAvgSql,
+    "api_query_nearest_sparse_id" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |hits AS (SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |         THEN e.embedding[i]::DOUBLE * q.v[i] ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT vec_id, score, 'bare_id' AS form FROM hits
+        |UNION ALL
+        |SELECT vec_id, score, 'nearest_obj' AS form FROM hits""".stripMargin,
+    "api_query_mmr_sparse" ->
+      "SELECT 8 AS n, true AS ids_match_greedy, true AS positions_ok",
+    "api_query_by_id_errors" ->
+      """SELECT * FROM (VALUES
+        |  ('missing_point_dense', true, true),
+        |  ('missing_point_sparse', true, true),
+        |  ('missing_vector_dense', true, true),
+        |  ('missing_vector_sparse', true, true),
+        |  ('present_ok', false, false)) AS t(check_name, rejected, msg_ok)""".stripMargin,
     "sparse_config_update_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
         |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),

@@ -82,11 +82,11 @@ final class Catalog(spark: SparkSession, root: String) {
     * is the dispatcher-level wiring of the reference (`query.rs:456-546`
     * resolves lookups through the table-of-content). */
   def query(name: String, json: String): DataFrame =
-    get(name).query(json, Some(lookupResolver))
+    get(name).query(json, Some(lookupResolver), Some(sparseLookupResolver))
 
   /** `query/batch` with the same catalog-resolved `lookup_from`. */
   def queryBatch(name: String, json: String): DataFrame =
-    get(name).queryBatch(json, Some(lookupResolver))
+    get(name).queryBatch(json, Some(lookupResolver), Some(sparseLookupResolver))
 
   private def lookupResolver: (graft.api.RequestCodec.LookupFrom, Any) => Seq[Double] =
     (lf, id) => {
@@ -100,6 +100,37 @@ final class Catalog(spark: SparkSession, root: String) {
         case _ =>
           graft.Tables.embeddingFrom(df, other.config.idCol, vcol, id)
       }
+    }
+
+  /** Sparse `lookup_from` resolve (`fetch_vectors.rs:301` fetches
+    * referenced vectors of ANY kind from the lookup collection): the
+    * foreign collection's declared sparse space by name, shard-scoped when
+    * a `lookup_from.shard_key` is given. */
+  private def sparseLookupResolver:
+      (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double]) =
+    (lf, id) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val other = get(lf.collection)
+      val vname = lf.vector.getOrElse(throw new IllegalArgumentException(
+        s"lookup_from ${lf.collection}: a sparse lookup needs an explicit " +
+          "vector name (sparse vectors are always named)"))
+      require(other.config.sparse.exists(_.name == vname),
+        s"lookup_from ${lf.collection}: no sparse vector named '$vname'")
+      val scol = other.config.sparseCol(vname)
+      val df0 = other.readDecoded()
+      val df = (other.config.shardKeyCol, lf.shardKeys) match {
+        case (Some(sk), keys) if keys.nonEmpty =>
+          df0.filter(col(sk).isin(keys: _*))
+        case _ => df0
+      }
+      val rows = df.filter(col(other.config.idCol) === lit(id))
+        .select(col(s"$scol.indices"), col(s"$scol.values")).take(1)
+      if (rows.isEmpty) throw new IllegalArgumentException(
+        s"Not found: No point with id $id found")
+      if (rows(0).isNullAt(0)) throw new IllegalArgumentException(
+        s"""Not found: Vector with name "$vname" for point $id""")
+      (rows(0).getSeq[Int](0).toSeq,
+        rows(0).getSeq[Float](1).toSeq.map(_.toDouble))
     }
 
   /** `POST /points/query/groups` with the lookup collection resolved

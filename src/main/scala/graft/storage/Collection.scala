@@ -98,14 +98,18 @@ final class Collection(
         // the shard key is a point attribute, not a payload field (qdrant
         // filters it via ShardKeySelector, not payload conditions) — it
         // resolves to the PARTITION column directly so shard conditions
-        // prune directories at the scan
+        // prune directories at the scan. `ShardKey` is keyword OR number
+        // (`segment::types::ShardKey`), so the declared type follows the
+        // actual partition column, not an assumed string.
+        val skType = df.schema.fields.find(_.name == sk)
+          .map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
         new FieldResolver {
           def values(key: String): Column =
             if (key == sk)
               when(col(sk).isNotNull, array(col(sk)))
                 .otherwise(array().cast(
-                  org.apache.spark.sql.types.ArrayType(
-                    org.apache.spark.sql.types.StringType)))
+                  org.apache.spark.sql.types.ArrayType(skType)))
             else base.values(key)
           def fieldExists(key: String): Column =
             if (key == sk) col(sk).isNotNull else base.fieldExists(key)
@@ -118,7 +122,7 @@ final class Collection(
           override def scalarValue(key: String): Option[Column] =
             if (key == sk) Some(col(sk)) else base.scalarValue(key)
           override def dataTypeOf(key: String) =
-            if (key == sk) Some(org.apache.spark.sql.types.StringType)
+            if (key == sk) Some(skType)
             else base.dataTypeOf(key)
         }
     }
@@ -324,6 +328,13 @@ final class Collection(
 
   private def mergeUpsert(cur: DataFrame, points: DataFrame,
       mode: UpdateMode, filter: Option[Filter]): DataFrame = {
+    // custom sharding: a batch without the shard-key column would
+    // unionByName-NULL-fill the partition column, making the points
+    // invisible to every shard-scoped read — reject loudly instead
+    // (`shard_holder/mod.rs:436` "Shard key not specified")
+    config.shardKeyCol.foreach(sk => require(points.columns.contains(sk),
+      s"Shard key not specified: upsert into a custom-sharded collection " +
+        s"must carry the '$sk' column"))
     val incoming = admit(cur, lastWins(encodeVectors(points)), mode, filter)
     cur.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
       .unionByName(incoming, allowMissingColumns = true)
@@ -648,39 +659,57 @@ final class Collection(
         val vc = config.vectors.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(
             s"vector-input id $id: no dense vector named '$name' to resolve it against"))
-        val df = readDecoded()
+        val row = resolveRow(id, config.vectorCol(vc.name), name)
         if (vc.multivector)
-          Right(df.filter(col(config.idCol) === lit(id))
-            .select(config.vectorCol(vc.name)).head()
-            .getSeq[scala.collection.Seq[Float]](0)
+          Right(row.getSeq[scala.collection.Seq[Float]](0)
             .map(_.toSeq.map(_.toDouble)).toSeq)
         else
-          Left(graft.Tables.embeddingFrom(df, config.idCol,
-            config.vectorCol(vc.name), id))
+          Left(row.getSeq[Float](0).toSeq.map(_.toDouble))
       },
       resolveSparseId = (name, id) => {
         val sc = config.sparse.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(
             s"vector-input id $id: no sparse vector named '$name' to resolve it against"))
-        val row = readDecoded().filter(col(config.idCol) === lit(id))
-          .select(col(config.sparseCol(sc.name) + ".indices"),
-            col(config.sparseCol(sc.name) + ".values")).head()
-        (row.getSeq[Int](0).toSeq, row.getSeq[Float](1).toSeq.map(_.toDouble))
+        val row = resolveRow(id, config.sparseCol(sc.name), name)
+        val s = row.getStruct(0)
+        (s.getSeq[Int](0).toSeq, s.getSeq[Float](1).toSeq.map(_.toDouble))
       },
       shardKeyField = config.shardKeyCol)
   }
 
+  /** By-id example resolve with the reference's error shapes
+    * (`test_query_full.py:1428-1444`, issue #5208 regression): a missing
+    * point raises "No point with id .. found" (`CollectionError::
+    * PointNotFound`, `types.rs:913`), a present point lacking the `using`
+    * vector raises the `vector_not_found_error` message
+    * (`collection_query.rs:395-397`) — never a bare NoSuchElement/NPE. */
+  private def resolveRow(id: Any, vecCol: String,
+      vectorName: String): org.apache.spark.sql.Row = {
+    val rows = readDecoded().filter(col(config.idCol) === lit(id))
+      .select(col(vecCol)).take(1)
+    if (rows.isEmpty) throw new IllegalArgumentException(
+      s"Not found: No point with id $id found")
+    if (rows(0).isNullAt(0)) throw new IllegalArgumentException(
+      s"""Not found: Vector with name "$vectorName" for point $id""")
+    rows(0)
+  }
+
   def query(json: String): DataFrame = query(json, None)
 
-  /** [[query]] with a `lookup_from` resolver — wired by a host that owns a
+  /** [[query]] with `lookup_from` resolvers (dense + sparse foreign-id
+    * resolution, `fetch_vectors.rs:301`) — wired by a host that owns a
     * table catalog ([[Catalog.query]] installs sibling-collection
     * resolution). */
   def query(json: String,
-      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any) => Seq[Double]])
+      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any) => Seq[Double]],
+      sparseLookupResolve: Option[
+        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
       : DataFrame = {
     import graft.api.RequestCodec
     val ctx0 = wireCtx
-    val ctx = lookupResolve.fold(ctx0)(f => ctx0.copy(resolveLookup = f))
+    val ctx1 = lookupResolve.fold(ctx0)(f => ctx0.copy(resolveLookup = f))
+    val ctx = sparseLookupResolve.fold(ctx1)(f =>
+      ctx1.copy(resolveSparseLookup = f))
     val q = RequestCodec.parseQueryRequest(json, ctx)
     val hits = executeParsed(q)
     enrich(hits, org.json4s.jackson.JsonMethods.parse(json))
@@ -845,7 +874,9 @@ final class Collection(
     * routing as [[query]] (fast paths included); results union tagged by
     * request position in `req`. */
   def queryBatch(json: String,
-      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any) => Seq[Double]] = None)
+      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any) => Seq[Double]] = None,
+      sparseLookupResolve: Option[
+        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
       : DataFrame = {
     import graft.api.RequestCodec
     val searches = RequestCodec.arr(
@@ -853,7 +884,8 @@ final class Collection(
     require(searches.nonEmpty, "query batch must carry at least one search")
     searches.zipWithIndex.map { case (node, i) =>
       query(org.json4s.jackson.JsonMethods.compact(
-        org.json4s.jackson.JsonMethods.render(node)), lookupResolve)
+        org.json4s.jackson.JsonMethods.render(node)), lookupResolve,
+        sparseLookupResolve)
         .withColumn("req", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1621,14 +1653,36 @@ final class Collection(
       }
 
     pp.unpersist()
-    FieldStatsSnapshot(total, vectorCounts, values, hist, nulls,
+
+    // JOB 6 (shard-keyed collections only) — the shard-key PARTITION
+    // column's per-key counts. Low cardinality by construction (one value
+    // per shard key), and the scan prunes to the partition column alone —
+    // so shard-scoped `exact:false` counts estimate the selected shards'
+    // size instead of degrading to unknown(N/2).
+    val shardKeyIsString = config.shardKeyCol
+      .filter(df.columns.contains)
+      .map(sk => df.schema(sk).dataType == StringType)
+    val shardStats: Map[String, ValueStats] = config.shardKeyCol
+      .filter(df.columns.contains).map { sk =>
+        val perKey = timed("shard-agg")(
+          df.groupBy(col(sk)).agg(cnt(lit(1)).as("c")).collect())
+          .filter(!_.isNullAt(0))
+          .map(rw => rw.get(0).toString -> rw.getAs[Long]("c")).toSeq
+        val totalVals = perKey.map(_._2).sum
+        sk -> ValueStats(totalVals, totalVals, perKey.length.toLong,
+          perKey.toMap, 0L, 0L)
+      }.toMap
+
+    FieldStatsSnapshot(total, vectorCounts, values ++ shardStats, hist, nulls,
       stringTyped = declared.collect {
-        case (k, t) if elemType(t) == StringType => k }.toSet,
+        case (k, t) if elemType(t) == StringType => k }.toSet ++
+        shardKeyIsString.collect { case true => config.shardKeyCol.get },
       boolTyped = declared.collect {
         case (k, t) if elemType(t) == BooleanType => k }.toSet,
       intTyped = declared.collect {
         case (k, t) if elemType(t) == LongType || elemType(t) == IntegerType => k
-      }.toSet,
+      }.toSet ++
+        shardKeyIsString.collect { case false => config.shardKeyCol.get },
       dateTyped = dateFields.toSet)
   }
 

@@ -266,16 +266,16 @@ class CodecSpec extends AnyFunSuite {
         |  {"delete_vectors": {"points": [8], "vector": ["img"]}}
         |]}""".stripMargin)
     assert(ops.length == 10)
-    val WUpsert(pts, None, graft.storage.UpdateMode.Upsert) = ops(0): @unchecked
+    val WUpsert(pts, None, graft.storage.UpdateMode.Upsert, None) = ops(0): @unchecked
     assert(pts(0) == WirePoint(1L, Map("" -> WDenseVec(Seq(0.1, 0.2))), Some("""{"a":1}""")))
     assert(pts(1) == WirePoint("uuid-x", Map("img" -> WDenseVec(Seq(0.5))), None))
-    val WUpsert(_, Some(uf), _) = ops(1): @unchecked
+    val WUpsert(_, Some(uf), _, _) = ops(1): @unchecked
     assert(uf.must == Seq(MatchValue("a", 1L)))
     assert(ops(2) == WDelete(Selector(Some(Seq(1L, 2L)), None)))
-    val WDelete(Selector(None, Some(df))) = ops(3): @unchecked
+    val WDelete(Selector(None, Some(df), Nil)) = ops(3): @unchecked
     assert(df.must == Seq(MatchValue("lang", "de")))
     assert(ops(4) == WSetPayload("""{"flag":"x"}""", Selector(Some(Seq(3L)), None), overwrite = false))
-    val WSetPayload(ow, Selector(None, Some(owf)), true, None) = ops(5): @unchecked
+    val WSetPayload(ow, Selector(None, Some(owf), Nil), true, None) = ops(5): @unchecked
     assert(ow == """{"only":true}""" && owf.must == Seq(HasId(Seq(4L))))
     assert(ops(6) == WDeletePayload(Seq("source"), Selector(Some(Seq(5L)), None)))
     assert(ops(7) == WClearPayload(Selector(Some(Seq(6L)), None)))
@@ -316,7 +316,7 @@ class CodecSpec extends AnyFunSuite {
       """{"operations": [{"upsert": {"points": [
         |  {"id": 1, "vector": {"txt": {"indices": [9, 3], "values": [0.9, 0.3]}}}
         |]}}]}""".stripMargin)
-    val WUpsert(pts, None, _) = ops.head: @unchecked
+    val WUpsert(pts, None, _, _) = ops.head: @unchecked
     assert(pts.head.vectors("txt") == WSparseVec(Seq(3, 9), Seq(0.3, 0.9)))
   }
 
@@ -375,7 +375,7 @@ class CodecSpec extends AnyFunSuite {
         |     "tok": [[1.0, 0.0], [0.0, 1.0]],
         |     "txt": {"indices": [2, 5], "values": [0.5, 1.5]}}},
         |  {"id": 2, "vector": [3.0, 4.0]}]}}]}""".stripMargin)
-    val WUpsert(pts, None, _) = ops.head: @unchecked
+    val WUpsert(pts, None, _, _) = ops.head: @unchecked
     assert(pts(0).vectors("") == WDenseVec(Seq(1.0, 2.0)))
     assert(pts(0).vectors("tok") == WMultiVec(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))))
     assert(pts(0).vectors("txt") == WSparseVec(Seq(2, 5), Seq(0.5, 1.5)))

@@ -1,0 +1,353 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.json4s._
+
+import graft.model.Dot
+import graft.sources.{CollectionConfig, VectorConfig}
+import graft.storage.Collection
+
+/** WIRE-level model-based mutation testing (VERDICT r11 directive 8): the
+  * typed OpModelSpec drives `UpdateOp`s directly, so a codec bug that DROPS
+  * a wire field before the typed layer (the r11 shard-key silent-corruption
+  * class, `UpdateBridge.wirePoints`) is invisible to it. This suite renders
+  * random op sequences as the REST `operations` JSON and applies them
+  * through `UpdateBridge.applyJson` — over a PLAIN collection and over a
+  * custom-SHARDED one where every upsert carries point- or body-level
+  * `shard_key` and selector ops are randomly shard-scoped
+  * (`lib/api/src/rest/schema.rs:1290-1479`; scoping semantics
+  * `point_ops.rs:42`). The collection's full state (ids, vectors, shard
+  * keys, canonical payload) is diffed against an independent driver model.
+  */
+class WireOpModelSpec extends SparkTestBase {
+
+  // ----------------------------------------------------- the driver model
+
+  sealed trait MV
+  case class ML(v: Long) extends MV
+  case class MS(v: String) extends MV
+  case class MA(v: Seq[Long]) extends MV
+  case class MObj(v: Map[String, MV]) extends MV
+  case object MNull extends MV
+
+  case class MPoint(vector: Option[Seq[Float]],
+      payload: Option[Map[String, MV]], shard: Option[String])
+
+  sealed trait WOp
+  /** points: (id, vector, payload, own shard key); bodyKey applies to
+    * points lacking their own (`PointsList.shard_key`). */
+  case class WUpsert(points: Seq[(Long, Seq[Float], Map[String, MV], Option[String])],
+      mode: String, bodyKey: Option[String]) extends WOp
+  case class WDelete(ids: Seq[Long], scope: Seq[String]) extends WOp
+  case class WSetPayload(ids: Seq[Long], patch: Map[String, MV],
+      path: Option[String], scope: Seq[String]) extends WOp
+  case class WOverwrite(ids: Seq[Long], payload: Map[String, MV],
+      scope: Seq[String]) extends WOp
+  case class WDeleteKeys(ids: Seq[Long], keys: Seq[String],
+      scope: Seq[String]) extends WOp
+  case class WClear(ids: Seq[Long], scope: Seq[String]) extends WOp
+  case class WSetVector(ids: Seq[Long], vec: Seq[Float],
+      scope: Seq[String]) extends WOp
+  case class WDelVector(ids: Seq[Long], scope: Seq[String]) extends WOp
+
+  /** ids surviving the shard scope: an op with a `shard_key` selector only
+    * touches points whose CURRENT shard key is selected. */
+  private def inScope(m: Map[Long, MPoint], ids: Seq[Long],
+      scope: Seq[String]): Seq[Long] =
+    if (scope.isEmpty) ids
+    else ids.filter(id => m.get(id).exists(_.shard.exists(scope.contains)))
+
+  private def mergePatch(base: Map[String, MV],
+      patch: Map[String, MV]): Map[String, MV] =
+    patch.foldLeft(base) {
+      case (b, (k, MNull)) => b - k
+      case (b, (k, v)) => b + (k -> v)
+    }
+
+  private def stepModel(m: Map[Long, MPoint], op: WOp): Map[Long, MPoint] = op match {
+    case WUpsert(pts, mode, bodyKey) => pts.foldLeft(m) {
+      case (acc, (id, v, p, own)) =>
+        val key = own.orElse(bodyKey)
+        mode match {
+          case "insert_only" if acc.contains(id) => acc
+          case "update_only" if !acc.contains(id) => acc
+          case _ => acc + (id -> MPoint(Some(v), Some(p), key))
+        }
+    }
+    case WDelete(ids, scope) => m -- inScope(m, ids, scope)
+    case WSetPayload(ids, patch, None, scope) =>
+      inScope(m, ids, scope).foldLeft(m) { (acc, id) =>
+        acc.get(id).fold(acc) { pt =>
+          acc + (id -> pt.copy(payload =
+            Some(mergePatch(pt.payload.getOrElse(Map.empty), patch))))
+        }
+      }
+    case WSetPayload(ids, patch, Some(path), scope) =>
+      inScope(m, ids, scope).foldLeft(m) { (acc, id) =>
+        acc.get(id).fold(acc) { pt =>
+          def setAt(obj: Map[String, MV], segs: List[String]): Map[String, MV] =
+            segs match {
+              case k :: Nil =>
+                val cur = obj.get(k) match {
+                  case Some(MObj(o)) => o
+                  case _ => Map.empty[String, MV]
+                }
+                obj + (k -> MObj(mergePatch(cur, patch)))
+              case k :: rest =>
+                val cur = obj.get(k) match {
+                  case Some(MObj(o)) => o
+                  case _ => Map.empty[String, MV]
+                }
+                obj + (k -> MObj(setAt(cur, rest)))
+              case Nil => obj
+            }
+          acc + (id -> pt.copy(payload =
+            Some(setAt(pt.payload.getOrElse(Map.empty), path.split('.').toList))))
+        }
+      }
+    case WOverwrite(ids, p, scope) =>
+      inScope(m, ids, scope).foldLeft(m) { (acc, id) =>
+        acc.get(id).fold(acc)(pt => acc + (id -> pt.copy(payload = Some(p))))
+      }
+    case WDeleteKeys(ids, keys, scope) =>
+      inScope(m, ids, scope).foldLeft(m) { (acc, id) =>
+        acc.get(id).fold(acc)(pt =>
+          acc + (id -> pt.copy(payload = pt.payload.map(_ -- keys))))
+      }
+    case WClear(ids, scope) =>
+      inScope(m, ids, scope).foldLeft(m) { (acc, id) =>
+        acc.get(id).fold(acc)(pt => acc + (id -> pt.copy(payload = None)))
+      }
+    case WSetVector(ids, v, scope) =>
+      inScope(m, ids, scope).foldLeft(m) { (acc, id) =>
+        acc.get(id).fold(acc)(pt => acc + (id -> pt.copy(vector = Some(v))))
+      }
+    case WDelVector(ids, scope) =>
+      inScope(m, ids, scope).foldLeft(m) { (acc, id) =>
+        acc.get(id).fold(acc)(pt => acc + (id -> pt.copy(vector = None)))
+      }
+  }
+
+  // ------------------------------------------------------- JSON rendering
+
+  private def jv(v: MV): JValue = v match {
+    case ML(x) => JInt(BigInt(x))
+    case MS(x) => JString(x)
+    case MA(xs) => JArray(xs.map(x => JInt(BigInt(x)): JValue).toList)
+    case MObj(m) => JObject(m.toList.sortBy(_._1).map { case (k, x) => k -> jv(x) })
+    case MNull => JNull
+  }
+
+  private def payloadJ(p: Map[String, MV]): JValue =
+    JObject(p.toList.sortBy(_._1).map { case (k, v) => k -> jv(v) })
+
+  private def scopeJ(scope: Seq[String]): List[(String, JValue)] =
+    if (scope.isEmpty) Nil
+    else List("shard_key" -> JArray(scope.map(JString(_): JValue).toList))
+
+  private def idsJ(ids: Seq[Long]): (String, JValue) =
+    "points" -> JArray(ids.map(i => JInt(BigInt(i)): JValue).toList)
+
+  private def vecJ(v: Seq[Float]): JValue =
+    JArray(v.map(x => JDouble(x.toDouble): JValue).toList)
+
+  private def renderOp(op: WOp): JValue = op match {
+    case WUpsert(pts, mode, bodyKey) =>
+      JObject("upsert" -> JObject(List(
+        "points" -> (JArray(pts.map { case (id, v, p, own) =>
+          JObject(List(
+            "id" -> (JInt(BigInt(id)): JValue),
+            "vector" -> vecJ(v),
+            "payload" -> payloadJ(p)) ++
+            own.map(k => "shard_key" -> (JString(k): JValue)).toList): JValue
+        }.toList): JValue),
+        "update_mode" -> (JString(mode): JValue)) ++
+        bodyKey.map(k => "shard_key" -> (JString(k): JValue)).toList))
+    case WDelete(ids, scope) =>
+      JObject("delete" -> JObject(idsJ(ids) :: scopeJ(scope)))
+    case WSetPayload(ids, patch, path, scope) =>
+      JObject("set_payload" -> JObject(List(
+        "payload" -> payloadJ(patch), idsJ(ids)) ++
+        path.map(p => "key" -> (JString(p): JValue)).toList ++ scopeJ(scope)))
+    case WOverwrite(ids, p, scope) =>
+      JObject("overwrite_payload" -> JObject(List(
+        "payload" -> payloadJ(p), idsJ(ids)) ++ scopeJ(scope)))
+    case WDeleteKeys(ids, keys, scope) =>
+      JObject("delete_payload" -> JObject(List(
+        "keys" -> (JArray(keys.map(JString(_): JValue).toList): JValue),
+        idsJ(ids)) ++ scopeJ(scope)))
+    case WClear(ids, scope) =>
+      JObject("clear_payload" -> JObject(idsJ(ids) :: scopeJ(scope)))
+    case WSetVector(ids, v, scope) =>
+      JObject("update_vectors" -> JObject(List(
+        "points" -> (JArray(ids.map(id => JObject(List(
+          "id" -> (JInt(BigInt(id)): JValue),
+          "vector" -> vecJ(v))): JValue).toList): JValue)) ++ scopeJ(scope)))
+    case WDelVector(ids, scope) =>
+      JObject("delete_vectors" -> JObject(List(
+        idsJ(ids),
+        "vector" -> (JArray(List(JString(""))): JValue)) ++ scopeJ(scope)))
+  }
+
+  private def renderBatch(ops: Seq[WOp]): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      JObject("operations" -> JArray(ops.map(renderOp).toList))))
+
+  // ------------------------------------------------------------ generators
+
+  private val shardKeys = Seq("sa", "sb", "sc")
+  private def shardOf(id: Long): String = shardKeys((id % 3).toInt)
+
+  private val genKey: Gen[String] = Gen.oneOf("a", "b", "c", "nest")
+  private val genLeafObj: Gen[MV] =
+    Gen.mapOfN(2, Gen.zip(Gen.oneOf("p", "q"),
+      Gen.chooseNum(0L, 9L).map(ML(_): MV))).map(MObj)
+  private val genVal: Gen[MV] = Gen.frequency(
+    4 -> Gen.chooseNum(-100L, 100L).map(ML),
+    3 -> Gen.oneOf("x", "yy", "hello \"world\"", "").map(MS),
+    2 -> Gen.listOfN(3, Gen.chooseNum(0L, 9L)).map(MA(_)),
+    1 -> genLeafObj)
+  private val genPayload: Gen[Map[String, MV]] =
+    Gen.chooseNum(0, 3).flatMap(n => Gen.mapOfN(n, Gen.zip(genKey, genVal)))
+  private val genPatch: Gen[Map[String, MV]] =
+    Gen.chooseNum(1, 3).flatMap(n => Gen.mapOfN(n,
+      Gen.zip(genKey, Gen.frequency(5 -> genVal, 1 -> Gen.const(MNull: MV)))))
+  private val genIds: Gen[Seq[Long]] =
+    Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 12L)).map(_.distinct))
+  private val genVec: Gen[Seq[Float]] =
+    Gen.listOfN(2, Gen.chooseNum(-8, 8)).map(_.map(_.toFloat))
+
+  /** `sharded` controls whether shard keys appear anywhere: upserts carry
+    * point- or body-level keys (every point must resolve one), selector
+    * ops are shard-scoped ~1/3 of the time. */
+  private def genOp(sharded: Boolean): Gen[WOp] = {
+    val genScope: Gen[Seq[String]] =
+      if (!sharded) Gen.const(Nil)
+      else Gen.frequency(
+        2 -> Gen.const(Seq.empty[String]),
+        1 -> Gen.someOf(shardKeys).map(_.toSeq).suchThat(_.nonEmpty))
+    Gen.frequency(
+      3 -> (for {
+        n <- Gen.chooseNum(1, 3)
+        ids <- Gen.listOfN(n, Gen.chooseNum(1L, 12L)).map(_.distinct)
+        // per-point: own key (possibly differing from the id's "home"
+        // shard — upserts may MOVE a point between shards) or None
+        owns <- Gen.sequence[Seq[Option[String]], Option[String]](
+          ids.map(_ => Gen.option(Gen.oneOf(shardKeys))))
+        bodyKey <- Gen.oneOf(shardKeys)
+        pts <- Gen.sequence[Seq[(Long, Seq[Float], Map[String, MV])], (Long, Seq[Float], Map[String, MV])](
+          ids.map(id => Gen.zip(genVec, genPayload).map { case (v, p) => (id, v, p) }))
+        mode <- Gen.oneOf("upsert", "insert_only", "update_only")
+      } yield WUpsert(
+        pts.zip(owns).map { case ((id, v, p), own) =>
+          (id, v, p, if (sharded) own else None) },
+        mode, if (sharded) Some(bodyKey) else None)),
+      2 -> Gen.zip(genIds, genScope).map { case (i, sc) => WDelete(i, sc) },
+      3 -> (for {
+        ids <- genIds; patch <- genPatch
+        path <- Gen.frequency(3 -> Gen.const(None),
+          1 -> Gen.oneOf("nest", "nest.inner").map(Some(_)))
+        sc <- genScope
+      } yield WSetPayload(ids, patch, path, sc)),
+      2 -> Gen.zip(genIds, genPayload, genScope).map {
+        case (i, p, sc) => WOverwrite(i, p, sc) },
+      2 -> (for {
+        ids <- genIds
+        keys <- Gen.chooseNum(1, 2).flatMap(Gen.listOfN(_, genKey)).map(_.distinct)
+        sc <- genScope
+      } yield WDeleteKeys(ids, keys, sc)),
+      1 -> Gen.zip(genIds, genScope).map { case (i, sc) => WClear(i, sc) },
+      2 -> Gen.zip(genIds, genVec, genScope).map {
+        case (i, v, sc) => WSetVector(i, v, sc) },
+      1 -> Gen.zip(genIds, genScope).map { case (i, sc) => WDelVector(i, sc) })
+  }
+
+  private def genSeq(sharded: Boolean): Gen[List[WOp]] =
+    Gen.chooseNum(4, 8).flatMap(Gen.listOfN(_, genOp(sharded)))
+
+  // --------------------------------------------------------------- the run
+
+  private def canon(j: JValue): JValue = j match {
+    case JObject(fs) => JObject(fs.map { case (k, v) => k -> canon(v) }.sortBy(_._1))
+    case JArray(xs) => JArray(xs.map(canon))
+    case JLong(x) => JInt(BigInt(x))
+    case other => other
+  }
+  private def canonStr(s: String): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      canon(org.json4s.jackson.JsonMethods.parse(s))))
+  private def renderPayload(p: Map[String, MV]): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(payloadJ(p)))
+
+  private def mkCollection(tag: String, sharded: Boolean): (Collection, Map[Long, MPoint]) = {
+    import spark.implicits._
+    val cfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 2, Dot)),
+      shardKeyCol = if (sharded) Some("shard_key") else None)
+    val init = (1L to 8L).map { i =>
+      (i, Seq(i.toFloat, -i.toFloat),
+        Map[String, MV]("a" -> ML(i), "b" -> MS(s"p$i")))
+    }
+    val df0 = init.map { case (id, v, p) => (id, v, renderPayload(p)) }
+      .toDF("id", "vector", "payload").coalesce(1)
+    val df = if (sharded)
+      df0.withColumn("shard_key",
+        element_at(typedLit(shardKeys), (pmod(col("id"), lit(3)) + 1).cast("int")))
+    else df0
+    val c = Collection.create(spark, s"/tmp/graft_runtime/wiremodel_$tag", cfg, df)
+    (c, init.map { case (id, v, p) =>
+      id -> MPoint(Some(v), Some(p), if (sharded) Some(shardOf(id)) else None)
+    }.toMap)
+  }
+
+  case class MRead(vector: Option[List[Float]], payload: Option[String],
+      shard: Option[String])
+
+  private def stateOf(c: Collection, sharded: Boolean): Map[Long, MRead] = {
+    val cols = Seq(col("id"), col("vector"), col("payload")) ++
+      (if (sharded) Seq(col("shard_key")) else Nil)
+    c.read().select(cols: _*).collect().map { r =>
+      r.getLong(0) -> MRead(
+        Option(r.get(1)).map(_ => r.getSeq[Float](1).toList),
+        Option(r.getString(2)).map(canonStr),
+        if (sharded) Option(r.getString(3)) else None)
+    }.toMap
+  }
+
+  private def modelState(m: Map[Long, MPoint]): Map[Long, MRead] =
+    m.map { case (id, pt) =>
+      id -> MRead(pt.vector.map(_.toList),
+        pt.payload.map(p => canonStr(renderPayload(p))), pt.shard)
+    }
+
+  private def run(sharded: Boolean, seeds: Range): Unit =
+    seeds.foreach { i =>
+      val ops = genSeq(sharded).apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(Nil)
+      val tag = (if (sharded) "s" else "p") + i
+      val (c, m0) = mkCollection(tag, sharded)
+      val m = ops.foldLeft(m0)(stepModel)
+      val json = renderBatch(ops)
+      val before = c.rewriteCount
+      graft.api.UpdateBridge.applyJson(c, json)
+      assert(c.rewriteCount == before + (if (ops.isEmpty) 0 else 1),
+        "a wire batch must be exactly one rewrite")
+      val real = stateOf(c, sharded)
+      val want = modelState(m)
+      assert(real == want,
+        s"seed $i (sharded=$sharded) diverged:\n json=$json\n " +
+          s"real=${real.toSeq.sortBy(_._1)}\n want=${want.toSeq.sortBy(_._1)}")
+    }
+
+  test("wire batches on a plain collection match the driver model (30 sequences)") {
+    run(sharded = false, 1 to 30)
+  }
+
+  test("wire batches on a SHARD-KEYED collection match the driver model (30 sequences)") {
+    run(sharded = true, 101 to 130)
+  }
+}
