@@ -208,6 +208,51 @@ object ScaleProbe {
           .as("payload")))
   }
 
+  /** Round-12 probes: the shard-key WRITE + ESTIMATE path at scale. A
+    * custom-sharded collection over every generated document (16 tenants
+    * by id hash → 16 partition directories): `_build` creates it and
+    * answers the first shard-scoped `exact:false` count (triggers the
+    * sidecar build — the shard-agg pass scans ONLY the partition column);
+    * `_warm` re-opens from disk and estimates again (sidecar read, zero
+    * Spark jobs); `wire_upsert_scaled` pushes a 1k-point wire batch with
+    * point-level shard keys through the JSON bridge and reads it back
+    * shard-scoped — the r12 write-surface fix exercised at scale. */
+  private val shardScaledPath = "/tmp/graft_runtime/scale_shardcoll"
+  private def shardScaledCfg = {
+    import graft.sources.CollectionConfig
+    import org.apache.spark.sql.types.{LongType, StringType}
+    CollectionConfig(idCol = "id", payloadTypes = Map(
+      "lang" -> StringType, "n_chars" -> LongType),
+      shardKeyCol = Some("shard_key"))
+  }
+  private val shardEstJson = """{"shard_key": "t03", "exact": false}"""
+  private def shardScaledCreate(s: SparkSession, dir: String): graft.storage.Collection = {
+    val d = Tables.load(s, dir, "documents")
+    graft.storage.Collection.create(s, shardScaledPath, shardScaledCfg,
+      d.select(col("doc_id").as("id"),
+        to_json(struct(col("lang"), col("n_chars"))).as("payload"),
+        format_string("t%02d",
+          pmod(xxhash64(col("doc_id"), lit("tenant")), lit(16)).cast("int"))
+          .as("shard_key")))
+  }
+  private def wireUpsertScaled(s: SparkSession): Unit = {
+    val coll = new graft.storage.Collection(s, shardScaledPath, shardScaledCfg)
+    val pts = (0 until 1000).map { i =>
+      val id = 900000000L + i
+      s"""{"id": $id, "payload": {"lang": "xx", "n_chars": $i}, """ +
+        s""""shard_key": "t${"%02d".format(i % 16)}"}"""
+    }.mkString(", ")
+    graft.api.UpdateBridge.applyJson(coll,
+      s"""{"operations": [{"upsert": {"points": [$pts]}}]}""")
+    val seen = coll.scroll(
+      """{"shard_key": "t03", "limit": 100000, "with_payload": false}""")
+      .filter(col("id") >= 900000000L).count()
+    val expect = (0 until 1000).count(_ % 16 == 3)
+    require(seen == expect,
+      s"shard-scoped read must see the wire-upserted tenant rows: " +
+        s"got $seen, want $expect")
+  }
+
   /** Scaled mutation workload: seed = every generated document, then
     * upsert 10% with a new source, delete one language, merge a payload
     * flag — one end-to-end number for the write path at scale. */
@@ -293,6 +338,12 @@ object ScaleProbe {
         System.err.println(s"[probe] ivf cells=${dirs.length} " +
           s"files/cell min=${counts.min} max=${counts.max} " +
           s"salt=${graft.storage.Collection.writeSalt(scaledIvf(spark).read())}")
+      case "shard_sidecar_scaled_build" =>
+        shardScaledCreate(spark, outDir).count(shardEstJson).count(): Unit
+      case "shard_estimate_scaled_warm" =>
+        new graft.storage.Collection(spark, shardScaledPath, shardScaledCfg)
+          .count(shardEstJson).count(): Unit
+      case "wire_upsert_scaled" => wireUpsertScaled(spark)
       case "ts_sidecar_scaled_build" =>
         tsScaledCreate(spark, outDir).count(tsEstJson).count(): Unit
       case "ts_estimate_scaled_warm" =>
@@ -314,7 +365,9 @@ object ScaleProbe {
       "ivf_collection_scaled_build", "ivf_collection_scaled_probe",
       "ivf_collection_scaled_exact", "ivf_files_per_cell",
       "ts_sidecar_scaled_build", "ts_estimate_scaled_warm",
-      "facet_typed_scaled_warm"))
+      "facet_typed_scaled_warm",
+      "shard_sidecar_scaled_build", "shard_estimate_scaled_warm",
+      "wire_upsert_scaled"))
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(n)).toMap
     val warm = (1 to warmReps).map(_ => names.map(n => n -> time(n)).toMap)

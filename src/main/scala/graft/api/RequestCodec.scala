@@ -87,10 +87,14 @@ object RequestCodec {
       sampleSeed: Long = 42L,
       /** Foreign-collection id resolve for a request-level `lookup_from`
         * (`query.rs:456-546` resolves against the lookup collection when
-        * one is named). Wired by the host that owns the table catalog. */
-      resolveLookup: (LookupFrom, Any) => Seq[Double] = (lf, id) =>
-        throw new IllegalArgumentException(
-          s"lookup_from ${lf.collection} given but no lookup resolver configured"),
+        * one is named). Wired by the host that owns the table catalog.
+        * Left = dense vector, Right = a multivector space's matrix (the
+        * reference resolves referenced vectors of ANY kind,
+        * `fetch_vectors.rs:173-183`). */
+      resolveLookup: (LookupFrom, Any) => Either[Seq[Double], Seq[Seq[Double]]] =
+        (lf, id) =>
+          throw new IllegalArgumentException(
+            s"lookup_from ${lf.collection} given but no lookup resolver configured"),
       /** Foreign-collection SPARSE id resolve for `lookup_from` — the
         * reference fetches referenced vectors of any kind from the lookup
         * collection (`fetch_vectors.rs:301`, `convert_to_vectors_owned`). */
@@ -251,7 +255,7 @@ object RequestCodec {
             case JArray(xs) => xs.map(shardKeyValue)
             case v => Seq(shardKeyValue(v))
           })
-        ctx0.copy(resolveId = (_, id) => Left(ctx0.resolveLookup(loc, id)),
+        ctx0.copy(resolveId = (_, id) => ctx0.resolveLookup(loc, id),
           // the lookup vector name defaults to the node's `using`
           // (`LookupLocation.vector` falls back to the request's vector
           // name, `fetch_vectors.rs` lookup_vector_name resolution)

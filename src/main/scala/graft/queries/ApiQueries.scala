@@ -40,9 +40,10 @@ object ApiQueries {
           .select(lit("b").as("shard_key"), (col("vec_id") + 9950).as("qid"),
             col("embedding").as("vec")))
       val vecCol = lf.vector.getOrElse("vec")
-      if (lf.shardKeys.isEmpty) Tables.embeddingFrom(lookup, "qid", vecCol, id)
-      else Tables.embeddingFromShards(lookup, "shard_key", lf.shardKeys,
-        "qid", vecCol, id)
+      if (lf.shardKeys.isEmpty)
+        Left(Tables.embeddingFrom(lookup, "qid", vecCol, id))
+      else Left(Tables.embeddingFromShards(lookup, "shard_key", lf.shardKeys,
+        "qid", vecCol, id))
     })
 
   private def runOnEmbeddings(s: SparkSession, dir: String, json: String): DataFrame = {

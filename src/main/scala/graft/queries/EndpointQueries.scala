@@ -312,6 +312,31 @@ object EndpointQueries {
       namedVecColl(s, dir).query(
         """{"query": {"nearest": 7}, "using": "tok", "limit": 10}""")
     }),
+    // `lookup_from` against a MULTIVECTOR foreign space: the referenced
+    // id resolves the sibling collection's stored MATRIX (the reference
+    // resolves referenced vectors of ANY kind, `fetch_vectors.rs:173-183`)
+    // and the root scores MaxSim like any matrix input. The sibling stores
+    // qid = vec_id + 10000 with the same two-block split, so rows equal
+    // the self-resolved `api_nearest_id_multivec` exactly (same oracle).
+    "catalog_lookup_from_multivec" -> ((s, dir) => {
+      val root = "/tmp/graft_runtime/cat_mlkp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = new graft.storage.Catalog(s, root)
+      val e = Tables.load(s, dir, "embeddings")
+      val mvCfg = CollectionConfig(idCol = "vec_id",
+        vectors = Seq(VectorConfig("tok", 32, Dot, multivector = true)))
+      def mv = array(slice(col("embedding"), 1, 32),
+        slice(col("embedding"), 33, 32)).as("vector_tok")
+      if (!cat.exists("mdocs"))
+        cat.create("mdocs", mvCfg, e.select(col("vec_id"), mv))
+      if (!cat.exists("mqueries"))
+        cat.create("mqueries", CollectionConfig(idCol = "qid",
+          vectors = Seq(VectorConfig("tok", 32, Dot, multivector = true))),
+          e.select((col("vec_id") + 10000).as("qid"), mv))
+      cat.query("mdocs",
+        """{"query": {"nearest": 10007}, "using": "tok",
+          |  "lookup_from": {"collection": "mqueries", "vector": "tok"},
+          |  "limit": 10}""".stripMargin)
+    }),
     // Request-level `shard_key` on the NON-query read bodies: the
     // reference's `ShardKeySelector` rides scroll, count, facet, and
     // retrieve too (`schema.rs:620`); each folds to a partition-pruning
@@ -869,6 +894,18 @@ object EndpointQueries {
         |SELECT vec_id, round(sc, 6) AS score FROM s
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "api_nearest_id_multivec" ->
+      """WITH q AS (SELECT embedding[1:32]::DOUBLE[] AS q1,
+        |                  embedding[33:64]::DOUBLE[] AS q2
+        |           FROM embeddings WHERE vec_id = 7),
+        |t AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS d1,
+        |             embedding[33:64]::DOUBLE[] AS d2 FROM embeddings),
+        |s AS (SELECT t.vec_id AS vec_id,
+        |  greatest(list_dot_product(t.d1, q.q1), list_dot_product(t.d2, q.q1)) +
+        |  greatest(list_dot_product(t.d1, q.q2), list_dot_product(t.d2, q.q2)) AS sc
+        |  FROM t, q)
+        |SELECT vec_id, round(sc, 6) AS score FROM s
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "catalog_lookup_from_multivec" ->
       """WITH q AS (SELECT embedding[1:32]::DOUBLE[] AS q1,
         |                  embedding[33:64]::DOUBLE[] AS q2
         |           FROM embeddings WHERE vec_id = 7),

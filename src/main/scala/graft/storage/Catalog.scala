@@ -88,18 +88,37 @@ final class Catalog(spark: SparkSession, root: String) {
   def queryBatch(name: String, json: String): DataFrame =
     get(name).queryBatch(json, Some(lookupResolver), Some(sparseLookupResolver))
 
-  private def lookupResolver: (graft.api.RequestCodec.LookupFrom, Any) => Seq[Double] =
+  /** Dense/multivector `lookup_from` resolve — the foreign collection's
+    * named space by kind (a MULTIVECTOR space resolves the matrix, like
+    * any matrix input; `fetch_vectors.rs:173-183` resolves referenced
+    * vectors of any kind), shard-scoped when `lookup_from.shard_key` is
+    * given, with the reference's resolution-failure error shapes. */
+  private def lookupResolver: (graft.api.RequestCodec.LookupFrom, Any)
+      => Either[Seq[Double], Seq[Seq[Double]]] =
     (lf, id) => {
+      import org.apache.spark.sql.functions.{col, lit}
       val other = get(lf.collection)
-      val vcol = other.config.vectorCol(lf.vector.getOrElse(""))
-      val df = other.readDecoded()
-      (other.config.shardKeyCol, lf.shardKeys) match {
+      val vname = lf.vector.getOrElse("")
+      val vc = other.config.vectors.find(_.name == vname)
+        .getOrElse(throw new IllegalArgumentException(
+          s"lookup_from ${lf.collection}: no dense vector named '$vname'"))
+      val df0 = other.readDecoded()
+      val df = (other.config.shardKeyCol, lf.shardKeys) match {
         case (Some(sk), keys) if keys.nonEmpty =>
-          graft.Tables.embeddingFromShards(df, sk, keys,
-            other.config.idCol, vcol, id)
-        case _ =>
-          graft.Tables.embeddingFrom(df, other.config.idCol, vcol, id)
+          df0.filter(col(sk).isin(keys: _*))
+        case _ => df0
       }
+      val rows = df.filter(col(other.config.idCol) === lit(id))
+        .select(other.config.vectorCol(vname)).take(1)
+      if (rows.isEmpty) throw new IllegalArgumentException(
+        s"Not found: No point with id $id found")
+      if (rows(0).isNullAt(0)) throw new IllegalArgumentException(
+        s"""Not found: Vector with name "$vname" for point $id""")
+      if (vc.multivector)
+        Right(rows(0).getSeq[scala.collection.Seq[Float]](0)
+          .map(_.toSeq.map(_.toDouble)).toSeq)
+      else
+        Left(rows(0).getSeq[Float](0).toSeq.map(_.toDouble))
     }
 
   /** Sparse `lookup_from` resolve (`fetch_vectors.rs:301` fetches

@@ -701,7 +701,8 @@ final class Collection(
     * table catalog ([[Catalog.query]] installs sibling-collection
     * resolution). */
   def query(json: String,
-      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any) => Seq[Double]],
+      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any)
+        => Either[Seq[Double], Seq[Seq[Double]]]],
       sparseLookupResolve: Option[
         (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
       : DataFrame = {
@@ -874,7 +875,8 @@ final class Collection(
     * routing as [[query]] (fast paths included); results union tagged by
     * request position in `req`. */
   def queryBatch(json: String,
-      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any) => Seq[Double]] = None,
+      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any)
+        => Either[Seq[Double], Seq[Seq[Double]]]] = None,
       sparseLookupResolve: Option[
         (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
       : DataFrame = {

@@ -117,7 +117,7 @@ class CodecSpec extends AnyFunSuite {
       resolveId = { case (_, 7L) => Left(Seq(1.0, 2.0))
         case (_, id) => fail(s"bad id $id") },
       resolveLookup = (lf, id) => {
-        assert(lf.collection == "other" && id == 7L); Seq(9.0, 9.0)
+        assert(lf.collection == "other" && id == 7L); Left(Seq(9.0, 9.0))
       })
     val q = RequestCodec.parseQueryRequest(
       """{"lookup_from": {"collection": "other"},
