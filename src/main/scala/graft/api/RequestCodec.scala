@@ -725,7 +725,13 @@ object RequestCodec {
       case "recommend" =>
         (JObject("recommend" -> inner(Seq("positive", "negative", "strategy"))), Nil)
       case "discover" =>
-        (JObject("discover" -> inner(Seq("target", "context"))), Nil)
+        // `DiscoverRequestInternal.target` is OPTIONAL on the legacy route
+        // (`types.rs` discover request): target absent → pure context
+        // search (`discovery.rs` routes target-less requests to context)
+        if (fields.get("target").exists(v => v != JNull && v != JNothing))
+          (JObject("discover" -> inner(Seq("target", "context"))), Nil)
+        else
+          (JObject("context" -> fields.getOrElse("context", JArray(Nil))), Nil)
       case other => fail(s"unknown legacy endpoint '$other'")
     }
     val limit = fields.get("limit").orElse(fields.get("top"))
@@ -1544,6 +1550,16 @@ object RequestCodec {
         Some(Filter.mustAll(MatchAny(fld, shardKeys))), filter0)
     }
   }
+
+  /** `PUT /collections/{c}/shards` / `POST /shards/delete` body
+    * (`CreateShardingKey`/`DropShardingKey`, `schema.rs` shards ops):
+    * `{"shard_key": <keyword|number>}`. Replication/placement fields are
+    * cluster-serving knobs with no batch analog. */
+  def parseShardKeyBody(json: String): Any =
+    (JsonMethods.parse(json) \ "shard_key") match {
+      case JNothing | JNull => fail("shards body needs a shard_key")
+      case v => shardKeyValue(v)
+    }
 
   private def shardKeyValue(j: JValue): Any = j match {
     case JString(s) => s

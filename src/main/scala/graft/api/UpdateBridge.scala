@@ -151,6 +151,12 @@ object UpdateBridge {
     }
     val shardKeyOf: RequestCodec.WirePoint => Option[Any] =
       p => p.shardKey.orElse(bodyShardKey)
+    // declared-key registry (the shards API surface): once shard keys are
+    // explicitly created, a write naming an undeclared key rejects with
+    // the reference's message (`shard_holder/mod.rs:432`)
+    val declaredKeys: Option[Set[String]] =
+      if (cfg.shardKeyCol.isEmpty) None
+      else coll.listShardKeys().map(_.map(_.toString).toSet)
     val skField: Option[StructField] = cfg.shardKeyCol match {
       case Some(sk) =>
         // column type follows the existing table (string keys by default,
@@ -200,6 +206,9 @@ object UpdateBridge {
             s"Shard key not specified for point ${p.id}: collection uses " +
               "custom sharding, every upserted point needs a shard_key " +
               "(point-level or body-level)"))
+          declaredKeys.foreach(ks =>
+            if (!ks.contains(key.toString)) throw new IllegalArgumentException(
+              s"Bad request: Shard key $key not found"))
           Seq(f.dataType match {
             case LongType => key match {
               case l: Long => l

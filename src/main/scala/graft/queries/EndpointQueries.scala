@@ -466,6 +466,21 @@ object EndpointQueries {
           |   "filter": {"must": [{"key": "lang", "match": {"value": "en"}}]}}
           |]}""".stripMargin, kind = "recommend")
     }),
+    // legacy POST /points/discover/batch: by-id target + context pairs
+    // rewrite to a discover root; a TARGET-LESS item is the pure context
+    // search (`DiscoverRequestInternal.target` is optional on the legacy
+    // route — `discovery.rs` routes target-less requests to context);
+    // results tagged by request position
+    "collection_discover_legacy" -> ((s, dir) => {
+      docColl(s, dir).searchBatch(
+        """{"searches": [
+          |  {"target": 5, "context": [
+          |     {"positive": 10, "negative": 20},
+          |     {"positive": 30, "negative": 40}], "limit": 10},
+          |  {"context": [{"positive": 10, "negative": 20},
+          |               {"positive": 30, "negative": 40}], "limit": 10}
+          |]}""".stripMargin, kind = "discover")
+    }),
     // query/groups over a RECOMMEND root (`test_query_full.py`
     // test_recommend_group): by-id positives/negatives resolve against the
     // collection, best_score formula per point, grouped per label
@@ -686,6 +701,31 @@ object EndpointQueries {
         |              1 AS req
         |       FROM pts p, q1 WHERE p.lang = 'en'
         |       ORDER BY score DESC, p.id ASC LIMIT 5)
+        |SELECT id, score, req::INT AS req FROM r0
+        |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
+    "collection_discover_legacy" ->
+      """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v
+        |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |t AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=5),
+        |p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=10),
+        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=20),
+        |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=30),
+        |n2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=40),
+        |s AS (SELECT p.id, list_dot_product(p.v, t.v) AS st,
+        |  list_dot_product(p.v, p1.v) AS sp1, list_dot_product(p.v, n1.v) AS sn1,
+        |  list_dot_product(p.v, p2.v) AS sp2, list_dot_product(p.v, n2.v) AS sn2
+        |  FROM pts p, t, p1, n1, p2, n2),
+        |r0 AS (SELECT id,
+        |  round((CASE WHEN sp1 > sn1 THEN 1 WHEN sp1 < sn1 THEN -1 ELSE 0 END
+        |       + CASE WHEN sp2 > sn2 THEN 1 WHEN sp2 < sn2 THEN -1 ELSE 0 END)::DOUBLE
+        |      + 0.5*(st/(1+abs(st))+1), 6) AS score, 0 AS req
+        |  FROM s ORDER BY score DESC, id ASC LIMIT 10),
+        |c AS (SELECT s.id,
+        |  least(s.sp1 - s.sn1 - 1.1920928955078125e-07, 0) AS d1,
+        |  least(s.sp2 - s.sn2 - 1.1920928955078125e-07, 0) AS d2 FROM s),
+        |r1 AS (SELECT id, round(d1/(1+abs(d1)) + d2/(1+abs(d2)), 6) AS score,
+        |              1 AS req
+        |       FROM c ORDER BY score DESC, id ASC LIMIT 10)
         |SELECT id, score, req::INT AS req FROM r0
         |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
     "collection_group_recommend" -> groupRecommendSql,

@@ -181,6 +181,43 @@ object ShardWriteQueries {
         get_json_object(col("payload"), "$.tag").as("tag"))
         .orderBy(col("id"))
     }),
+    // Shard-key LIFECYCLE — the `PUT/GET /collections/{c}/shards` +
+    // `POST /shards/delete` surface (`sharding_keys.rs`, routes
+    // `shards_api.rs`): creating key "c" upgrades the collection to a
+    // declared registry (initialized from the data's implicit keys), a
+    // write into an UNDECLARED key rejects ("Shard key .. not found",
+    // `shard_holder/mod.rs:432`), a duplicate create rejects, and
+    // deleting key "a" drops its points as a partition-DIRECTORY delete —
+    // zero table rewrite (pinned via rewriteCount).
+    "shard_key_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val coll = freshColl(s, "shardw_lifecycle")
+      coll.shardsPut("""{"shard_key": "c"}""")
+      def rejects(body: => Unit, expect: String): (Boolean, Boolean) =
+        try { body; (false, false) }
+        catch { case ex: Exception =>
+          (true, Option(ex.getMessage).exists(_.contains(expect))) }
+      // declared key "c" accepts the write; undeclared "d" rejects
+      graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [{"upsert": {"points": [
+          |  {"id": 21, "vector": [1.0, 1.0, 0.0, 0.0], "shard_key": "c"}]}}]}"""
+          .stripMargin)
+      val (rejD, msgD) = rejects(graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [{"upsert": {"points": [
+          |  {"id": 31, "vector": [1.0, 0.0, 1.0, 0.0], "shard_key": "d"}]}}]}"""
+          .stripMargin), "Shard key d not found")
+      val (rejDup, msgDup) = rejects(coll.shardsPut("""{"shard_key": "c"}"""),
+        "already exists")
+      val before = coll.rewriteCount
+      val dropped = coll.shardsDelete("""{"shard_key": "a"}""")
+      val zeroRewrites = coll.rewriteCount == before
+      val keysNow = coll.listShardKeys().get.map(_.toString).sorted.mkString(",")
+      val survivors = coll.read().select("id").collect()
+        .map(_.getLong(0)).sorted.mkString(",")
+      Seq((rejD, msgD, rejDup, msgDup, dropped, zeroRewrites, keysNow, survivors))
+        .toDF("rej_undeclared", "msg_undeclared", "rej_dup", "msg_dup",
+          "dropped", "zero_rewrites", "keys_now", "survivor_ids")
+    }),
     // Shard-scoped `exact: false` count (VERDICT r11 #3): the shard-key
     // partition column rides the `_fieldstats` sidecar (one per-key count
     // job at build — low cardinality by construction), so the estimate
@@ -231,6 +268,13 @@ object ShardWriteQueries {
         |  (11::BIGINT, 0.0, 'z'),
         |  (12::BIGINT, 0.0, 'x'))
         |AS t(id, v0, tag)""".stripMargin,
+    // seed shards a={1,2}, b={11,12}; +21 into created "c"; delete "a"
+    // drops 1,2; registry after = {b, c}
+    "shard_key_lifecycle" ->
+      """SELECT true AS rej_undeclared, true AS msg_undeclared,
+        |  true AS rej_dup, true AS msg_dup, true AS dropped,
+        |  true AS zero_rewrites, 'b,c' AS keys_now,
+        |  '11,12,21' AS survivor_ids""".stripMargin,
     // per-tenant exact count: shard "a" holds label % 3 == 0 (the fixture
     // maps label % 3 → a/b/c)
     "count_estimate_shard" ->

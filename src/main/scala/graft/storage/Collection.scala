@@ -1315,6 +1315,113 @@ final class Collection(
   private def metadataPath =
     new org.apache.hadoop.fs.Path(path + "_metadata.json")
 
+  // ----------------------------------------------------- shard-key registry
+
+  private[graft] def shardKeysPath =
+    new org.apache.hadoop.fs.Path(path + "_shardkeys.json")
+
+  /** Declared shard keys of a custom-sharded collection — the
+    * `PUT/GET /collections/{c}/shards` + `POST /shards/delete` surface
+    * (`sharding_keys.rs`, routes `src/actix/api/shards_api.rs`).
+    * Persisted as a `_shardkeys.json` sidecar; `None` = no registry (a
+    * collection created directly from data with implicit keys — the
+    * batch-native analog; writes then accept any key). Once a registry
+    * exists, writes naming an undeclared key REJECT with the reference's
+    * "Shard key .. not found" (`shard_holder/mod.rs:432`). */
+  def listShardKeys(): Option[Seq[Any]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(shardKeysPath)) None
+    else {
+      val in = fs.open(shardKeysPath)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      org.json4s.jackson.JsonMethods.parse(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) \ "keys" match {
+        case org.json4s.JArray(xs) => Some(xs.map {
+          case org.json4s.JString(s) => s
+          case org.json4s.JInt(i) => i.toLong
+          case org.json4s.JLong(l) => l
+          case other => throw new IllegalArgumentException(s"bad shard key $other")
+        })
+        case _ => Some(Nil)
+      }
+    }
+  }
+
+  private def writeShardKeys(keys: Seq[Any]): Unit = {
+    import org.json4s._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject("keys" -> JArray(
+        keys.map {
+          case s: String => JString(s): JValue
+          case l: Long => JInt(BigInt(l)): JValue
+          case i: Int => JInt(BigInt(i.toLong)): JValue
+          case other => throw new IllegalArgumentException(s"bad shard key $other")
+        }.toList))))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(shardKeysPath, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** `PUT /collections/{c}/shards` (`CreateShardingKey`): declare a shard
+    * key. The first call initializes the registry from the keys already
+    * present in the data (so legacy implicit-key collections upgrade
+    * in place); duplicates are rejected like the reference
+    * (`sharding_keys.rs` "already exists"). */
+  def createShardKey(key: Any): Unit = {
+    val sk = config.shardKeyCol.getOrElse(throw new IllegalArgumentException(
+      "cannot create a shard key: the collection has no shard-key column " +
+        "(auto sharding cannot have shard key)"))
+    val existing = listShardKeys().getOrElse(
+      read().select(col(sk)).filter(col(sk).isNotNull).distinct()
+        .collect().map(_.get(0)).toSeq)
+    if (existing.contains(key)) throw new IllegalArgumentException(
+      s"Wrong input: Sharding key $key already exists for collection")
+    writeShardKeys(existing :+ key)
+  }
+
+  /** `POST /collections/{c}/shards/delete` (`DropShardingKey`): drop the
+    * key AND its points. The shard key is a partition column, so the data
+    * drop is a partition-DIRECTORY delete — O(1) filesystem metadata at
+    * any scale, no table rewrite (the batch analog of the reference
+    * dropping the key's shards wholesale). Sidecars derived from the data
+    * (fieldstats, sparse IDF) recompute. */
+  def deleteShardKey(key: Any): Boolean = {
+    val sk = config.shardKeyCol.getOrElse(throw new IllegalArgumentException(
+      "cannot delete a shard key: the collection has no shard-key column"))
+    val keys = listShardKeys().getOrElse(
+      read().select(col(sk)).filter(col(sk).isNotNull).distinct()
+        .collect().map(_.get(0)).toSeq)
+    if (!keys.contains(key)) throw new IllegalArgumentException(
+      s"Not found: Shard key $key not found")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // partition directories are named <col>=<escaped value>; match on the
+    // unescaped tail so simple and escaped names both resolve
+    val base = new org.apache.hadoop.fs.Path(path)
+    val victims = fs.listStatus(base).filter { st =>
+      st.isDirectory && {
+        val n = st.getPath.getName
+        n.startsWith(s"$sk=") &&
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(n.stripPrefix(s"$sk=")) == key.toString
+      }
+    }
+    victims.foreach(st => fs.delete(st.getPath, true))
+    writeShardKeys(keys.filterNot(_ == key))
+    fieldStatsCache = None
+    fs.delete(fieldStatsPath, false)
+    sparseIdfCache = None
+    refreshSparseIdfStats()
+    victims.nonEmpty
+  }
+
+  /** Wire handlers for the shards routes: PUT body `{"shard_key": k}`,
+    * delete body the same shape. */
+  def shardsPut(json: String): Unit =
+    createShardKey(graft.api.RequestCodec.parseShardKeyBody(json))
+  def shardsDelete(json: String): Boolean =
+    deleteShardKey(graft.api.RequestCodec.parseShardKeyBody(json))
+
   // ------------------------------------------------------- sparse IDF stats
 
   private[graft] def sparseIdfPath =
@@ -1930,6 +2037,7 @@ object Collection {
     val cfs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     cfs.delete(coll.fieldStatsPath, false)
+    cfs.delete(coll.shardKeysPath, false)
     if (params.isEmpty) cfs.delete(coll.quantParamsPath, false)
     if (params.nonEmpty) coll.writeQuantParams(params)
     coll.refreshSparseIdfStats()
