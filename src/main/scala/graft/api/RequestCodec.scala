@@ -50,7 +50,11 @@ object RequestCodec {
     * struct<indices, values> and `nearest` takes `{indices, values}`
     * (`VectorInput`, `schema.rs:559-567`). */
   final case class VectorSpace(col: String, metric: Metric,
-      sparse: Boolean = false)
+      sparse: Boolean = false,
+      /** declared dimension — raw dense inputs are validated against it
+        * (`OperationError::WrongVectorDimension`, reference
+        * `operation_error.rs:24`); None = unchecked (hand-built ctx). */
+      dim: Option[Int] = None)
 
   /** Wire `lookup_from` (`LookupLocation` + `ShardKeySelector`,
     * `lib/api/src/rest/schema.rs:608-613,1122-1133`): resolve vector-input
@@ -353,10 +357,45 @@ object RequestCodec {
     Query(scoring, prefetches, filter, limit, offset, threshold, params)
   }
 
+  /** Dense-input dimension check against the declared space
+    * (`OperationError::WrongVectorDimension` — the reference rejects
+    * mis-sized query vectors; a zipped kernel would silently truncate). */
+  private def checkDims(s: Scoring, sp: VectorSpace): Unit = sp.dim match {
+    case None => ()
+    case Some(d) =>
+      def chk(v: Seq[Double]): Unit =
+        if (v.length != d)
+          fail(s"Vector dimension error: expected dim: $d, got ${v.length}")
+      def chkM(m: Seq[Seq[Double]]): Unit = m.foreach(chk)
+      s match {
+        case Nearest(_, _, v) => chk(v)
+        case MaxSimQ(_, _, m) => chkM(m)
+        case RecommendAvg(_, _, p, n) => p.foreach(chk); n.foreach(chk)
+        case RecommendBest(_, _, p, n) => p.foreach(chk); n.foreach(chk)
+        case RecommendSum(_, _, p, n) => p.foreach(chk); n.foreach(chk)
+        case DiscoverQ(_, _, t, pairs) =>
+          chk(t); pairs.foreach { case (p, n) => chk(p); chk(n) }
+        case ContextQ(_, _, pairs) =>
+          pairs.foreach { case (p, n) => chk(p); chk(n) }
+        case FeedbackQ(_, _, t, fb, _, _, _) => chk(t); fb.foreach(f => chk(f._1))
+        case MmrQ(_, _, v, _) => chk(v)
+        case _ => ()
+      }
+  }
+
   /** `QueryInterface` (`schema.rs:637-674`): raw vector shorthand or one of
     * the tagged query forms. Returns the scoring plus, for `nearest+mmr`,
-    * the synthesized candidate prefetch. */
+    * the synthesized candidate prefetch. Dense inputs are dimension-checked
+    * against the declared space. */
   private def scoringOf(j: JValue, using: Option[String], ctx: Ctx,
+      limit: Int): (Scoring, Option[Query]) = {
+    val r = scoringOf0(j, using, ctx, limit)
+    checkDims(r._1, ctx.space(using))
+    r._2.foreach(q => checkDims(q.scoring, ctx.space(using)))
+    r
+  }
+
+  private def scoringOf0(j: JValue, using: Option[String], ctx: Ctx,
       limit: Int): (Scoring, Option[Query]) = {
     val sp = ctx.space(using)
     val name = using.getOrElse("")

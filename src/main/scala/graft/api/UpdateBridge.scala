@@ -110,14 +110,20 @@ object UpdateBridge {
       vec: RequestCodec.WireVec): Column = {
     import RequestCodec._
     val cfg = coll.config
+    def dimCheck(v: Seq[Double]): Unit =
+      cfg.vectors.find(_.name == name).foreach(vc =>
+        if (v.length != vc.dim) throw new IllegalArgumentException(
+          s"Vector dimension error: expected dim: ${vc.dim}, got ${v.length}"))
     vec match {
       case WDenseVec(v) =>
         require(cfg.vectors.exists(vc => vc.name == name && !vc.multivector),
           s"dense value for non-dense vector '$name'")
+        dimCheck(v)
         typedLit(v.map(_.toFloat))
       case WMultiVec(m) =>
         require(cfg.vectors.exists(vc => vc.name == name && vc.multivector),
           s"multi-dense value for non-multivector '$name'")
+        m.foreach(dimCheck)
         typedLit(m.map(_.map(_.toFloat)))
       case WSparseVec(is, vs) =>
         require(cfg.sparse.exists(_.name == name),
@@ -184,10 +190,15 @@ object UpdateBridge {
         require(cfg.vectors.exists(_.name == n) || cfg.sparse.exists(_.name == n),
           s"undeclared vector name '$n'")
       }
+      def dimCheck(vc: graft.sources.VectorConfig, v: Seq[Double]): Unit =
+        if (v.length != vc.dim) throw new IllegalArgumentException(
+          s"Vector dimension error: expected dim: ${vc.dim}, got ${v.length}")
       def denseVal(vc: graft.sources.VectorConfig): Any = p.vectors.get(vc.name) match {
         case None => null
-        case Some(WDenseVec(v)) if !vc.multivector => v.map(_.toFloat)
-        case Some(WMultiVec(m)) if vc.multivector => m.map(_.map(_.toFloat))
+        case Some(WDenseVec(v)) if !vc.multivector =>
+          dimCheck(vc, v); v.map(_.toFloat)
+        case Some(WMultiVec(m)) if vc.multivector =>
+          m.foreach(dimCheck(vc, _)); m.map(_.map(_.toFloat))
         case Some(other) =>
           throw new IllegalArgumentException(
             s"vector value shape $other does not match config of '${vc.name}'")

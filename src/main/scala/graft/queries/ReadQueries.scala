@@ -52,6 +52,47 @@ object ReadQueries {
       Reads.scrollById(d, "doc_id", Some(f), new TypedResolver(d.schema, "doc_id"),
         offsetId = None, limit = 50, projection = Seq("doc_id", "lang", "n_chars"))
     }),
+    // DOUBLY-nested payload filters over the wire — the reference's
+    // `test_nesting_nested_payload_query.py` fixture verbatim (2 points,
+    // arr1[] of objects each holding arr2[] of {a, b}): `nested` inside
+    // `nested` scopes the inner conjunction to ONE arr2 element, a nested
+    // KEY may itself carry a `[]` path (`arr1[].arr2`), and the flattened
+    // `arr2[].a` path inside a nested filter matches across elements.
+    "filter_nested_double" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{CollectionConfig, VectorConfig}
+      val path = "/tmp/graft_runtime/nested_double_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 4, graft.model.Dot)))
+      val coll = graft.storage.Collection.create(s, path, cfg,
+        Seq(
+          (1L, Seq(0.05f, 0.61f, 0.76f, 0.74f),
+            """{"arr1":[{"arr2":[{"a":1,"b":2}]},{"arr2":[{"a":3,"b":4},{"a":5,"b":6}]}]}"""),
+          (2L, Seq(0.15f, 0.71f, 0.78f, 0.24f),
+            """{"arr1":[{"arr2":[{"a":2,"b":3}]},{"arr2":[{"a":3,"b":5},{"a":5,"b":7}]}]}"""))
+          .toDF("id", "vector", "payload"))
+      def cnt(filter: String): Long = coll.scroll(
+        s"""{"filter": $filter, "limit": 10, "with_payload": false}""").count()
+      def nested(key: String, inner: String): String =
+        s"""{"must": [{"nested": {"key": "$key", "filter": $inner}}]}"""
+      def m(k: String, v: Int): String =
+        s"""{"key": "$k", "match": {"value": $v}}"""
+      Seq(
+        ("flat_path_hit", cnt(nested("arr1", s"""{"must": [${m("arr2[].a", 5)}]}"""))),
+        ("flat_path_miss", cnt(nested("arr1", s"""{"must": [${m("arr2[].a", 4)}]}"""))),
+        ("flat_path_b", cnt(nested("arr1", s"""{"must": [${m("arr2[].b", 6)}]}"""))),
+        ("array_key_miss", cnt(nested("arr1[].arr2", s"""{"must": [${m("b", 8)}]}"""))),
+        ("double_nested", cnt(nested("arr1",
+          s"""{"must": [{"nested": {"key": "arr2",
+             |  "filter": {"must": [${m("a", 5)}]}}}]}""".stripMargin))),
+        ("double_nested_conj", cnt(nested("arr1",
+          s"""{"must": [{"nested": {"key": "arr2",
+             |  "filter": {"must": [${m("a", 5)}, ${m("b", 6)}]}}}]}""".stripMargin))),
+        ("array_key_conj", cnt(nested("arr1[].arr2",
+          s"""{"must": [${m("a", 3)}, ${m("b", 5)}]}"""))))
+        .toDF("check_name", "cnt")
+    }),
     // HasVector over a sparsely-populated named vector column
     "has_vector_count" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -247,6 +288,14 @@ object ReadQueries {
         |WHERE (lang = 'en' AND n_chars > 200)
         |   OR (source = 'en' AND n_chars * 2 > 200)
         |ORDER BY doc_id ASC LIMIT 50""".stripMargin,
+    // expected counts from the reference's own assertions
+    // (`test_nesting_nested_payload_query.py:155,187,219,249,288,343`)
+    "filter_nested_double" ->
+      """SELECT * FROM (VALUES
+        |  ('flat_path_hit', 2::BIGINT), ('flat_path_miss', 0::BIGINT),
+        |  ('flat_path_b', 1::BIGINT), ('array_key_miss', 0::BIGINT),
+        |  ('double_nested', 2::BIGINT), ('double_nested_conj', 1::BIGINT),
+        |  ('array_key_conj', 1::BIGINT)) AS t(check_name, cnt)""".stripMargin,
     "has_vector_count" ->
       """SELECT count(*)::BIGINT AS cnt FROM embeddings WHERE vec_id % 3 = 0""",
     "range_datetime_count" ->

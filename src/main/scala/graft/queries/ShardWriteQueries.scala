@@ -98,6 +98,38 @@ object ShardWriteQueries {
       rows.map { case (n, (rej, msg)) => (n, rej, msg, intact) }
         .toDF("check_name", "rejected", "msg_ok", "table_intact")
     }),
+    // Vector DIMENSION validation (`OperationError::WrongVectorDimension`,
+    // `operation_error.rs:24`; `test_vector_dimension_validation.py`, the
+    // #9039 regression): a mis-sized dense vector rejects on the wire —
+    // upsert, update_vectors, AND the query side (a zipped kernel would
+    // silently truncate the dot product: the worst class).
+    "api_vector_dim_validation" -> ((s, dir) => {
+      import s.implicits._
+      val coll = freshColl(s, "shardw_dims") // dim-4 space
+      def rejects(body: => Unit): (Boolean, Boolean) =
+        try { body; (false, false) }
+        catch { case ex: Exception =>
+          (true, Option(ex.getMessage).exists(
+            _.contains("Vector dimension error: expected dim: 4, got 3"))) }
+      val rows = Seq(
+        ("upsert_wrong_dim", rejects(graft.api.UpdateBridge.applyJson(coll,
+          """{"operations": [{"upsert": {"points": [
+            |  {"id": 9, "vector": [0.1, 0.2, 0.3], "shard_key": "a"}]}}]}"""
+            .stripMargin))),
+        ("update_vectors_wrong_dim", rejects(graft.api.UpdateBridge.applyJson(coll,
+          """{"operations": [{"update_vectors": {"points": [
+            |  {"id": 1, "vector": [0.1, 0.2, 0.3]}]}}]}""".stripMargin))),
+        ("query_wrong_dim", rejects(
+          coll.query("""{"query": [0.1, 0.2, 0.3], "limit": 3}"""))),
+        ("recommend_wrong_dim", rejects(coll.query(
+          """{"query": {"recommend": {"positive": [[0.1, 0.2, 0.3]]}},
+            |  "limit": 3}""".stripMargin))),
+        ("query_ok", rejects(
+          coll.query("""{"query": [0.1, 0.2, 0.3, 0.4], "limit": 3}"""))))
+      val intact = coll.read().count() == 4L
+      rows.map { case (n, (rej, msg)) => (n, rej, msg, intact) }
+        .toDF("check_name", "rejected", "msg_ok", "table_intact")
+    }),
     // Body-level `shard_key` SCOPES selector ops exactly like the read
     // paths (`FilterSelector.shard_key`, `point_ops.rs:42`): the delete
     // names ids {1, 11} but is scoped to shard "a", so 11 (in "b")
@@ -247,6 +279,14 @@ object ShardWriteQueries {
         |  ('non_sharded', true, true, true),
         |  ('multi_key_body', true, true, true),
         |  ('typed_missing_column', true, true, true))
+        |AS t(check_name, rejected, msg_ok, table_intact)""".stripMargin,
+    "api_vector_dim_validation" ->
+      """SELECT * FROM (VALUES
+        |  ('upsert_wrong_dim', true, true, true),
+        |  ('update_vectors_wrong_dim', true, true, true),
+        |  ('query_wrong_dim', true, true, true),
+        |  ('recommend_wrong_dim', true, true, true),
+        |  ('query_ok', false, false, true))
         |AS t(check_name, rejected, msg_ok, table_intact)""".stripMargin,
     "api_update_shard_scoped" ->
       """SELECT * FROM (VALUES

@@ -646,7 +646,8 @@ final class Collection(
     import graft.api.RequestCodec
     val spaces =
       config.vectors.map(vc =>
-        vc.name -> RequestCodec.VectorSpace(config.vectorCol(vc.name), vc.metric)).toMap ++
+        vc.name -> RequestCodec.VectorSpace(config.vectorCol(vc.name), vc.metric,
+          dim = Some(vc.dim))).toMap ++
         config.sparse.map(sc =>
           sc.name -> RequestCodec.VectorSpace(config.sparseCol(sc.name),
             graft.model.Dot, sparse = true)).toMap
