@@ -244,13 +244,17 @@ object ScaleProbe {
     }.mkString(", ")
     graft.api.UpdateBridge.applyJson(coll,
       s"""{"operations": [{"upsert": {"points": [$pts]}}]}""")
+    // shard-scoped read back: has_id + shard selector — the page limit
+    // stays independent of the tenant's base size
+    val tenantIds = (0 until 1000).filter(_ % 16 == 3).map(900000000L + _)
     val seen = coll.scroll(
-      """{"shard_key": "t03", "limit": 100000, "with_payload": false}""")
-      .filter(col("id") >= 900000000L).count()
-    val expect = (0 until 1000).count(_ % 16 == 3)
-    require(seen == expect,
+      s"""{"shard_key": "t03", "limit": ${tenantIds.length + 10},
+         |  "with_payload": false,
+         |  "filter": {"must": [{"has_id": [${tenantIds.mkString(",")}]}]}}"""
+        .stripMargin).count()
+    require(seen == tenantIds.length,
       s"shard-scoped read must see the wire-upserted tenant rows: " +
-        s"got $seen, want $expect")
+        s"got $seen, want ${tenantIds.length}")
   }
 
   /** Scaled mutation workload: seed = every generated document, then

@@ -523,9 +523,18 @@ object RequestCodec {
           val fb = arr(f \ "feedback").map { item =>
             (denseInput(item \ "example", ctx, name), num(item \ "score"))
           }
+          // wire validations (`test_relevance_feedback.py:59,82`): an empty
+          // feedback list and negative strategy params both reject
+          if (fb.isEmpty) fail("feedback elements must be non-empty")
           val naive = f \ "strategy" \ "naive"
+          val (a, b, c) = (num(naive \ "a"), num(naive \ "b"), num(naive \ "c"))
+          Seq("a" -> a, "b" -> b, "c" -> c).foreach { case (k, v) =>
+            if (v < 0.0) fail("Validation error in JSON body: [internal.query." +
+              s"relevance_feedback.strategy.naive.$k: value $v invalid, " +
+              "must be 0.0 or larger]")
+          }
           (FeedbackQ(sp.col, sp.metric, denseInput(f \ "target", ctx, name), fb,
-            num(naive \ "a"), num(naive \ "b"), num(naive \ "c")), None)
+            a, b, c), None)
         } else if (keys.contains("order_by")) {
           val s = (o \ "order_by") match {
             case JString(key) => OrderByField(key, asc = true)

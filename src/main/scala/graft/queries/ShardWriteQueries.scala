@@ -258,6 +258,14 @@ object ShardWriteQueries {
       VectorQueries.shardedColl(s, dir).count(
         """{"shard_key": "a", "exact": false}""")
     }),
+    // Facet over the shard-key PARTITION column: shard keys are a point
+    // attribute, not a payload field, but they facet like any keyword —
+    // served zero-job from the same sidecar per-key counts the estimate
+    // path uses (`FacetValue` keyword variant).
+    "facet_shard_key" -> ((s, dir) => {
+      VectorQueries.shardedColl(s, dir)
+        .facet("""{"key": "shard_key", "limit": 3}""")
+    }),
     // The full {min, exp, max} band over a TWO-shard selector: MatchAny
     // over exact per-key counts → min = max(ca, cb), exp = noisy-or, max =
     // capped sum (`combine_should_estimations`, query_estimator.rs).
@@ -319,6 +327,11 @@ object ShardWriteQueries {
     // maps label % 3 → a/b/c)
     "count_estimate_shard" ->
       """SELECT count(*)::BIGINT AS cnt FROM embeddings WHERE label % 3 = 0""",
+    "facet_shard_key" ->
+      """SELECT list_extract(['a','b','c'], (label % 3)::INT + 1) AS value,
+        |       count(*)::BIGINT AS cnt
+        |FROM embeddings GROUP BY 1
+        |ORDER BY cnt DESC, value ASC LIMIT 3""".stripMargin,
     "count_estimate_shard_band" ->
       """WITH m AS (SELECT
         |    sum(CASE WHEN label % 3 = 0 THEN 1 ELSE 0 END)::DOUBLE AS ca,

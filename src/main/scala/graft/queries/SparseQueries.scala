@@ -216,7 +216,32 @@ object SparseQueries {
         ("present_ok",
           // the happy arm must NOT reject (row-parity with the catalog's
           // nearest entries is pinned elsewhere; here only the gate)
-          check("""{"query": 7, "using": "txt", "limit": 3}""", "")))
+          check("""{"query": 7, "using": "txt", "limit": 3}""", "")),
+        // relevance-feedback wire validations (`test_relevance_feedback.py`)
+        ("feedback_empty", {
+          val t = Seq.fill(64)("0.1").mkString(",")
+          check(s"""{"query": {"relevance_feedback": {"target": [$t],
+             |  "feedback": [],
+             |  "strategy": {"naive": {"a": 1.0, "b": 1.0, "c": 1.0}}}},
+             |  "limit": 3}""".stripMargin,
+            "feedback elements must be non-empty")
+        }),
+        ("feedback_negative_b", {
+          val t = Seq.fill(64)("0.1").mkString(",")
+          check(s"""{"query": {"relevance_feedback": {"target": [$t],
+             |  "feedback": [{"example": 7, "score": 0.85}],
+             |  "strategy": {"naive": {"a": 0.12, "b": -1.0, "c": 0.99}}}},
+             |  "limit": 3}""".stripMargin,
+            "naive.b: value -1.0 invalid, must be 0.0 or larger")
+        }),
+        ("feedback_missing_example", {
+          val t = Seq.fill(64)("0.1").mkString(",")
+          check(s"""{"query": {"relevance_feedback": {"target": [$t],
+             |  "feedback": [{"example": 10000000, "score": 0.85}],
+             |  "strategy": {"naive": {"a": 0.12, "b": 1.25, "c": 0.99}}}},
+             |  "limit": 3}""".stripMargin,
+            "No point with id")
+        }))
       rows.map { case (name, (rejected, msgOk)) => (name, rejected, msgOk) }
         .toDF("check_name", "rejected", "msg_ok")
     }),
@@ -739,7 +764,11 @@ object SparseQueries {
         |  ('missing_point_sparse', true, true),
         |  ('missing_vector_dense', true, true),
         |  ('missing_vector_sparse', true, true),
-        |  ('present_ok', false, false)) AS t(check_name, rejected, msg_ok)""".stripMargin,
+        |  ('present_ok', false, false),
+        |  ('feedback_empty', true, true),
+        |  ('feedback_negative_b', true, true),
+        |  ('feedback_missing_example', true, true))
+        |AS t(check_name, rejected, msg_ok)""".stripMargin,
     "sparse_config_update_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
         |n AS (SELECT count(*)::DOUBLE AS n FROM embeddings),

@@ -689,6 +689,46 @@ class StoreSpec extends SparkTestBase {
       graft.filters.Cardinality.CardEst(1L, 1L, 1L))
   }
 
+  test("shard-key stats ride the sidecar: warm shard-scoped estimate is exact, ZERO Spark jobs") {
+    import spark.implicits._
+    val path = tmpDir()
+    val shardCfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 4, Dot)),
+      payloadTypes = Map("city" -> org.apache.spark.sql.types.StringType),
+      shardKeyCol = Some("shard_key"))
+    val c = Collection.create(spark, path, shardCfg, Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), """{"city":"Berlin"}""", "sa"),
+      (2L, Seq(0f, 1f, 0f, 0f), """{"city":"Berlin"}""", "sa"),
+      (3L, Seq(0f, 0f, 1f, 0f), """{"city":"London"}""", "sa"),
+      (4L, Seq(0f, 0f, 0f, 1f), """{"city":"Moscow"}""", "sb"),
+    ).toDF("id", "vector", "payload", "shard_key"))
+    // cold: builds the sidecar (shard-key pass included) — the estimate
+    // is the tenant's EXACT size, not unknown(N/2)
+    assert(c.count("""{"shard_key": "sa", "exact": false}""")
+      .head().getLong(0) == 3L)
+    // combined with a payload condition: must-product over exact counts
+    val band = c.estimateCount(Some(graft.model.Filter(must = Seq(
+      graft.model.MatchAny("shard_key", Seq("sa")),
+      graft.model.MatchValue("city", "Berlin")))))
+    assert(band.min <= 2L && 2L <= band.max)
+    // warm: fresh instance, sidecar only, zero jobs
+    val warm = new Collection(spark, path, shardCfg)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(warm.count("""{"shard_key": "sb", "exact": false}""")
+        .head().getLong(0) == 1L)
+      Thread.sleep(1500)
+      assert(jobs.get() == 0,
+        s"warm shard estimate ran ${jobs.get()} Spark jobs (expected 0)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("facet exact=false (the default) serves from the sidecar: exact top-K, zero jobs warm") {
     import spark.implicits._
     val c = Collection.create(spark, tmpDir(), cfg, Seq(
