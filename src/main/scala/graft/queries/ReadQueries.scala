@@ -52,6 +52,36 @@ object ReadQueries {
       Reads.scrollById(d, "doc_id", Some(f), new TypedResolver(d.schema, "doc_id"),
         offsetId = None, limit = 50, projection = Seq("doc_id", "lang", "n_chars"))
     }),
+    // order_by over a MULTI-VALUED key: the point ranks once PER VALUE
+    // (the reference's numeric index holds one posting per (value, point);
+    // `test_order_by.py::test_multi_values_appear_multiple_times`), and an
+    // id `offset` combined with order_by rejects with the reference's
+    // message (`shard_ops.rs:273-276`). Points carry multi_id = [i, N-i+1]
+    // like the reference fixture, so a full asc scroll emits each id
+    // exactly twice, interleaved by value.
+    "scroll_orderby_multivalue" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{CollectionConfig, VectorConfig}
+      val n = 6
+      val path = "/tmp/graft_runtime/ob_multi_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 2, graft.model.Dot)),
+        payloadTypes = Map("multi_id" -> org.apache.spark.sql.types.LongType))
+      val coll = graft.storage.Collection.create(s, path, cfg,
+        (1 to n).map(i => (i.toLong, Seq(i.toFloat, -i.toFloat),
+          s"""{"multi_id":[$i,${n - i + 1}]}""")).toDF("id", "vector", "payload"))
+      val page = coll.scroll(
+        s"""{"order_by": "multi_id", "limit": ${2 * n},
+           |  "with_payload": false}""".stripMargin)
+        .collect().map(_.getLong(0))
+      val rejected =
+        try { coll.scroll("""{"order_by": "multi_id", "offset": 3, "limit": 5}"""); false }
+        catch { case ex: IllegalArgumentException =>
+          ex.getMessage.contains("Cannot use an `offset` when using `order_by`") }
+      page.zipWithIndex.map { case (id, pos) => (pos + 1, id, rejected) }
+        .toSeq.toDF("pos", "id", "offset_rejected")
+    }),
     // DOUBLY-nested payload filters over the wire — the reference's
     // `test_nesting_nested_payload_query.py` fixture verbatim (2 points,
     // arr1[] of objects each holding arr2[] of {a, b}): `nested` inside
@@ -288,6 +318,14 @@ object ReadQueries {
         |WHERE (lang = 'en' AND n_chars > 200)
         |   OR (source = 'en' AND n_chars * 2 > 200)
         |ORDER BY doc_id ASC LIMIT 50""".stripMargin,
+    // (value, id) pairs of [i, 7-i] per point, sorted by (value asc, id asc)
+    "scroll_orderby_multivalue" ->
+      """SELECT * FROM (VALUES
+        |  (1, 1::BIGINT, true), (2, 6::BIGINT, true), (3, 2::BIGINT, true),
+        |  (4, 5::BIGINT, true), (5, 3::BIGINT, true), (6, 4::BIGINT, true),
+        |  (7, 3::BIGINT, true), (8, 4::BIGINT, true), (9, 2::BIGINT, true),
+        |  (10, 5::BIGINT, true), (11, 1::BIGINT, true), (12, 6::BIGINT, true))
+        |AS t(pos, id, offset_rejected)""".stripMargin,
     // expected counts from the reference's own assertions
     // (`test_nesting_nested_payload_query.py:155,187,219,249,288,343`)
     "filter_nested_double" ->

@@ -1036,21 +1036,34 @@ final class Collection(
           sel(col(config.payloadCol)))
         case None => page.drop(config.payloadCol)
       }
+    // id-offset pagination and order_by are mutually exclusive
+    // (`shard_ops.rs:273-276` — order-by pages via `start_from`)
+    if (spec.offset.isDefined && spec.orderBy.isDefined)
+      throw new IllegalArgumentException(
+        "Cannot use an `offset` when using `order_by`. The alternative " +
+          "for paging is to use `order_by.start_from` and a filter to " +
+          "exclude the IDs that you've already seen for the " +
+          "`order_by.start_from` value")
     shaped(spec.orderBy match {
       case None =>
         graft.ops.Reads.scrollById(df, config.idCol, spec.filter, resolver(df),
           spec.offset, spec.limit, proj)
       case Some(ob) =>
         val r = resolver(df)
+        // JSON payload keys rank once PER VALUE — the reference iterates
+        // the numeric index, which holds one posting per (value, point),
+        // so a multi-valued field emits the point once per value
+        // (`test_order_by.py::test_multi_values_appear_multiple_times`);
+        // single-valued fields explode a 1-element list (same ranking as
+        // before). Projection/index columns are single-valued by
+        // construction and keep the plain-column fast path.
         val obCol =
           if (df.columns.contains(s"idx_${ob.field}")) col(s"idx_${ob.field}")
           else if (df.columns.contains(ob.field)) col(ob.field)
-          else r.scalarValue(ob.field)
-            .orElse(r.dataTypeOf(ob.field).map(t =>
-              get_json_object(col(config.payloadCol), "$." + ob.field).cast(t)))
-            .getOrElse(throw new IllegalArgumentException(
-              s"order_by key '${ob.field}' needs a declared payload type, " +
-                "a field index, or a physical column"))
+          else if (r.dataTypeOf(ob.field).isDefined) explode(r.values(ob.field))
+          else throw new IllegalArgumentException(
+            s"order_by key '${ob.field}' needs a declared payload type, " +
+              "a field index, or a physical column")
         val wdf = df.withColumn("_ob", obCol)
         graft.ops.Reads.scrollByField(wdf, config.idCol, "_ob", ob.asc,
           spec.filter, resolver(wdf), ob.startFrom, spec.limit, proj)
