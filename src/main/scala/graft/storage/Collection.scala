@@ -814,6 +814,13 @@ final class Collection(
                 (q._1, idfWeights(idfCols(sc2), q._1, q._2))
               PointQuery.ContextSparse(sc2,
                 pairs.map { case (p, n) => (w(p), w(n)) })
+            case PointQuery.MmrSparseQ(sc2, qi2, qv2, lam)
+                if idfCols.contains(sc2) =>
+              // the MMR relevance sims use the same weighted query as its
+              // candidate prefetch — stored pairwise sims stay raw (the
+              // modifier weights QUERY vectors only, `query_context.rs`)
+              PointQuery.MmrSparseQ(sc2, qi2,
+                idfWeights(idfCols(sc2), qi2, qv2), lam)
             case other => other
           }
           node.copy(scoring = scoring, prefetches = node.prefetches.map(applyIdf))

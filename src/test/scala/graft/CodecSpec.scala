@@ -153,6 +153,33 @@ class CodecSpec extends AnyFunSuite {
     assert(q.limit == 5)
   }
 
+  test("query: sparse by-id nearest and sparse MMR resolve through the sparse space") {
+    val sctx = Ctx(
+      spaces = Map("txt" -> VectorSpace("sparse_txt", Dot, sparse = true)),
+      resolveSparseId = (name, id) => {
+        assert(name == "txt" && id == 7L); (Seq(1, 3), Seq(0.5, 2.0))
+      })
+    // bare-id and nearest-object forms must both succeed against a sparse
+    // `using` (`tests/openapi/test_query_full.py:1411-1421`)
+    val bare = RequestCodec.parseQueryRequest(
+      """{"query": 7, "using": "txt"}""", sctx)
+    assert(bare.scoring == SparseStructQ("sparse_txt", Seq(1, 3), Seq(0.5, 2.0)))
+    val tagged = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": 7}, "using": "txt"}""", sctx)
+    assert(tagged.scoring == bare.scoring)
+    // sparse MMR: the root becomes MmrSparseQ and the synthesized
+    // candidates prefetch is the resolved sparse leaf
+    val mmr = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": 7, "mmr": {"diversity": 0.7,
+        |  "candidates_limit": 20}}, "using": "txt", "limit": 5}""".stripMargin,
+      sctx)
+    val MmrSparseQ(c, qi, qv, lam) = mmr.scoring: @unchecked
+    assert(c == "sparse_txt" && qi == Seq(1, 3) && qv == Seq(0.5, 2.0))
+    assert(math.abs(lam - 0.3) < 1e-12)
+    assert(mmr.prefetches ==
+      Seq(Query(SparseStructQ("sparse_txt", Seq(1, 3), Seq(0.5, 2.0)), limit = 20)))
+  }
+
   test("query: recommend defaults to average_vector; sum_scores and best_score route") {
     def rec(strategy: String) = RequestCodec.parseQueryRequest(
       s"""{"query": {"recommend": {"positive": [[1.0]], "negative": [[2.0]]$strategy}}}""", ctx)

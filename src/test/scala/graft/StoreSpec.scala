@@ -689,6 +689,34 @@ class StoreSpec extends SparkTestBase {
       graft.filters.Cardinality.CardEst(1L, 1L, 1L))
   }
 
+  test("sparse MMR under an IDF modifier weights the relevance like its prefetch") {
+    import spark.implicits._
+    // dim 0 is common (df=3, low idf), dim 1 rare (df=1, high idf);
+    // raw dots order [1,3,2], idf-weighted dots order [2,1,3] — distinct,
+    // so un-weighted MMR relevance is visibly wrong
+    val idfCfg = CollectionConfig(idCol = "id",
+      sparse = Seq(graft.sources.SparseVectorConfig("txt", modifier = Some("idf"))))
+    val rows = Seq(
+      (1L, (Seq(0), Seq(3.0f))),
+      (2L, (Seq(0, 1), Seq(1.0f, 1.0f))),
+      (3L, (Seq(0), Seq(2.5f))))
+    val df = rows.map { case (id, (is, vs)) => (id, is, vs) }
+      .toDF("id", "i", "v")
+      .select(col("id"), struct(col("i").as("indices"), col("v").as("values"))
+        .as("sparse_txt"))
+    val c = Collection.create(spark, tmpDir(), idfCfg, df)
+    // diversity 0 → λ=1 → pure-relevance selection order == the idf knn
+    val mmr = c.query(
+      """{"query": {"nearest": {"indices": [0, 1], "values": [1.0, 1.0]},
+        |  "mmr": {"diversity": 0.0, "candidates_limit": 3}},
+        |  "using": "txt", "limit": 3}""".stripMargin)
+      .orderBy(col("position")).collect().map(_.getLong(0)).toSeq
+    val knn = c.knnSparse("txt", Seq(0, 1), Seq(1.0, 1.0), k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(knn == Seq(2L, 1L, 3L), s"idf knn order unexpected: $knn")
+    assert(mmr == knn, s"idf-weighted MMR relevance order $mmr != knn $knn")
+  }
+
   test("shard-key stats ride the sidecar: warm shard-scoped estimate is exact, ZERO Spark jobs") {
     import spark.implicits._
     val path = tmpDir()
