@@ -91,6 +91,12 @@ object Bench {
     // round-10 session-2 additions: config-routed IVF (probe-pruned
     // partitioned scan) and the one-call batch endpoint
     "ivf_collection_knn", "collection_query_batch",
+    // round-12 additions: the shard-key write surface (wire upsert +
+    // shard-scoped read-back), sparse by-id nearest, sparse MMR, sparse
+    // lookup_from through the catalog, zero-job shard-scoped estimate
+    "api_upsert_shard_key", "api_query_nearest_sparse_id",
+    "api_query_mmr_sparse", "recommend_lookup_from_sparse",
+    "count_estimate_shard",
     // trimmed r10 (metric/encoding twins of retained entries; still timed,
     // full map in target/bench_full.json): knn_cosine, knn_manhattan,
     // knn_f16, match_phrase, geo_polygon, ivf_search_probe2,

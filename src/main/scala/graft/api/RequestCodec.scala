@@ -1513,7 +1513,18 @@ object RequestCodec {
     case single => Seq(single)
   }
 
-  private def ring(j: JValue): Seq[GeoPoint] = arr(j \ "points").map(geoPoint)
+  /** Polygon ring (`GeoLineString`): must be CLOSED (first == last) with
+    * ≥ 4 points — the reference rejects open/short rings at validation
+    * (`test_geo_filter.py::test_geo_polygon_invalid`; an open ring would
+    * silently mis-count ray crossings). */
+  private def ring(j: JValue): Seq[GeoPoint] = {
+    val pts = arr(j \ "points").map(geoPoint)
+    if (pts.length < 4)
+      fail("geo_polygon ring must have at least 4 points (a closed ring)")
+    if (pts.head != pts.last)
+      fail("geo_polygon ring must be closed: the first point must equal the last")
+    pts
+  }
 
   private def geoPoint(j: JValue): GeoPoint = GeoPoint(num(j \ "lon"), num(j \ "lat"))
 

@@ -241,7 +241,21 @@ object SparseQueries {
              |  "strategy": {"naive": {"a": 0.12, "b": 1.25, "c": 0.99}}}},
              |  "limit": 3}""".stripMargin,
             "No point with id")
-        }))
+        }),
+        // invalid geo_polygon rings reject at parse
+        // (`test_geo_filter.py::test_geo_polygon_invalid`)
+        ("geo_polygon_unclosed",
+          check("""{"query": 7, "limit": 3, "filter": {"must": [
+            |  {"key": "loc", "geo_polygon": {"exterior": {"points": [
+            |    {"lon": -180.0, "lat": -90.0}, {"lon": 180.0, "lat": -90.0},
+            |    {"lon": 180.0, "lat": 90.0}, {"lon": -180.0, "lat": 90.0}
+            |  ]}}}]}}""".stripMargin, "must be closed")),
+        ("geo_polygon_short",
+          check("""{"query": 7, "limit": 3, "filter": {"must": [
+            |  {"key": "loc", "geo_polygon": {"exterior": {"points": [
+            |    {"lon": -180.0, "lat": -90.0}, {"lon": 180.0, "lat": -90.0},
+            |    {"lon": -180.0, "lat": -90.0}
+            |  ]}}}]}}""".stripMargin, "at least 4 points")))
       rows.map { case (name, (rejected, msgOk)) => (name, rejected, msgOk) }
         .toDF("check_name", "rejected", "msg_ok")
     }),
@@ -767,7 +781,9 @@ object SparseQueries {
         |  ('present_ok', false, false),
         |  ('feedback_empty', true, true),
         |  ('feedback_negative_b', true, true),
-        |  ('feedback_missing_example', true, true))
+        |  ('feedback_missing_example', true, true),
+        |  ('geo_polygon_unclosed', true, true),
+        |  ('geo_polygon_short', true, true))
         |AS t(check_name, rejected, msg_ok)""".stripMargin,
     "sparse_config_update_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
