@@ -258,6 +258,29 @@ object ShardWriteQueries {
       VectorQueries.shardedColl(s, dir).count(
         """{"shard_key": "a", "exact": false}""")
     }),
+    // Combined SHARD-KEY × IVF-CELL physical layout: the table partitions
+    // by shard_key/ivfcell — a shard-scoped ANN query prunes on BOTH
+    // levels (tenant directories first, then unprobed cells within them;
+    // PlanSpec pins both reaching PartitionFilters). nprobe = cells here
+    // so the ranking is exact and the DuckDB oracle can mirror it.
+    "ivf_shard_combined" -> ((s, dir) => {
+      import graft.sources.IvfSpec
+      val path = "/tmp/graft_runtime/ivf_shard_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val e = Tables.load(s, dir, "embeddings")
+      val cfg = CollectionConfig(idCol = "vec_id",
+        vectors = Seq(VectorConfig("", 64, graft.model.Dot,
+          ann = Some(IvfSpec(cells = 8, nprobe = 8)))),
+        shardKeyCol = Some("shard_key"))
+      val coll = Collection.create(s, path, cfg,
+        e.select(col("vec_id"), col("embedding").as("vector"),
+          element_at(typedLit(Seq("a", "b", "c")),
+            (pmod(col("label"), lit(3)) + 1).cast("int")).as("shard_key")))
+      val qvec = Tables.embeddingOf(s, dir, 7L)
+      coll.query(
+        s"""{"query": {"nearest": [${qvec.mkString(",")}]},
+           |  "shard_key": ["a", "b"], "limit": 10}""".stripMargin)
+    }),
     // Facet over the shard-key PARTITION column: shard keys are a point
     // attribute, not a payload field, but they facet like any keyword —
     // served zero-job from the same sidecar per-key counts the estimate
@@ -327,6 +350,13 @@ object ShardWriteQueries {
     // maps label % 3 → a/b/c)
     "count_estimate_shard" ->
       """SELECT count(*)::BIGINT AS cnt FROM embeddings WHERE label % 3 = 0""",
+    "ivf_shard_combined" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM embeddings e, q
+        |WHERE (e.label % 3) IN (0, 1)
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "facet_shard_key" ->
       """SELECT list_extract(['a','b','c'], (label % 3)::INT + 1) AS value,
         |       count(*)::BIGINT AS cnt

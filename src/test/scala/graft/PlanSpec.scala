@@ -193,6 +193,35 @@ class PlanSpec extends SparkTestBase {
     assert(probed.collect().map(_.getLong(0)).toSeq == expect)
   }
 
+  test("shard-key × IVF layout: a shard-scoped ANN query prunes BOTH partition levels") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfsk").toString + "/pts"
+    val cfg = graft.sources.CollectionConfig(
+      idCol = "vec_id",
+      vectors = Seq(graft.sources.VectorConfig("", 64, Dot,
+        ann = Some(graft.sources.IvfSpec(cells = 4, nprobe = 1)))),
+      shardKeyCol = Some("shard_key"))
+    val coll = graft.storage.Collection.create(spark, path, cfg,
+      e.select(col("vec_id"), col("embedding").as("vector"),
+        when(col("vec_id") % 2 === 0, "a").otherwise("b").as("shard_key")))
+    val q = Tables.embeddingOf(spark, sf, 7L)
+    val p = plan(coll.knn("", q,
+      filter = Some(Filter.mustAll(MatchAny("shard_key", Seq("a")))), k = 5))
+    // BOTH the tenant directory and the unprobed cells prune at the scan
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*shard_key[^\\]]*\\].*"),
+      "shard selector did not reach PartitionFilters:\n" + p.takeRight(900))
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*ivfcell_vector[^\\]]*\\].*"),
+      "IVF probe did not reach PartitionFilters:\n" + p.takeRight(900))
+    // correctness: all-probe within the shard equals the exact shard scan
+    val approx = coll.knn("", q, filter =
+      Some(Filter.mustAll(MatchAny("shard_key", Seq("a")))), k = 5,
+      nprobe = Some(4)).collect().map(_.getLong(0)).toSeq
+    val exact = coll.knn("", q, filter =
+      Some(Filter.mustAll(MatchAny("shard_key", Seq("a")))), k = 5,
+      exact = true).collect().map(_.getLong(0)).toSeq
+    assert(approx == exact, s"all-probe shard knn $approx != exact $exact")
+  }
+
   test("config-routed IVF: probe is a PartitionFilter, exact=true bypasses it") {
     val e = Tables.load(spark, sf, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft_ivfc").toString + "/pts"
