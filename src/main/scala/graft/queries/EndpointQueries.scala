@@ -539,6 +539,39 @@ object EndpointQueries {
           |    "collection": "queries", "vector": "vec", "shard_key": ["b"]},
           |  "limit": 10}""".stripMargin)
     }),
+    // query/groups with `lookup_from` THROUGH the catalog
+    // (`QueryGroupsRequestInternal` carries lookup_from like the flat
+    // query): the recommend example ids resolve against the SIBLING
+    // collection's vectors (qid = vec_id + 10000 with identical content),
+    // so the grouped rows must equal the self-resolved
+    // `collection_group_recommend` exactly — same oracle.
+    "catalog_groups_lookup_from" -> ((s, dir) => {
+      val root = "/tmp/graft_runtime/cat_glkp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = new graft.storage.Catalog(s, root)
+      val d = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      if (!cat.exists("pts"))
+        cat.create("pts", cfg,
+          e.join(d, e("vec_id") === d("doc_id"))
+            .select(e("vec_id").as("id"), e("embedding").as("vector"),
+              to_json(struct(d("lang"), d("source"), d("n_chars"),
+                e("label"))).as("payload")))
+      if (!cat.exists("exq"))
+        cat.create("exq", CollectionConfig(idCol = "qid",
+          vectors = Seq(VectorConfig("vec", 64, Dot))),
+          e.select((col("vec_id") + 10000).as("qid"),
+            col("embedding").as("vector_vec")))
+      cat.queryGroups("pts",
+        """{"query": {"recommend": {
+          |    "positive": [10001, 10002], "negative": [10004],
+          |    "strategy": "best_score"}},
+          |  "lookup_from": {"collection": "exq", "vector": "vec"},
+          |  "group_by": "label", "group_size": 2, "limit": 3}""".stripMargin)
+        .select(col("group_value"), col("id"), col("score"),
+          col("rank").cast("long").as("rank"),
+          col("grp_rank").cast("long").as("grp_rank"))
+        .orderBy(col("grp_rank"), col("rank"))
+    }),
     // query/groups THROUGH the catalog with a REAL sibling collection as
     // the lookup (`Catalog.queryGroups` resolves `with_lookup.collection`
     // to `readDecoded()` of the sibling): the with_payload include list
@@ -729,6 +762,7 @@ object EndpointQueries {
         |SELECT id, score, req::INT AS req FROM r0
         |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
     "collection_group_recommend" -> groupRecommendSql,
+    "catalog_groups_lookup_from" -> groupRecommendSql,
     "collection_group_order_by" ->
       """WITH pts AS (SELECT e.vec_id AS id, d.n_chars, d.lang AS gv
         |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),

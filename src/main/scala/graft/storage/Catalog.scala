@@ -153,10 +153,14 @@ final class Catalog(spark: SparkSession, root: String) {
     }
 
   /** `POST /points/query/groups` with the lookup collection resolved
-    * through the catalog ([[Collection.queryGroups]] `with_lookup`). */
+    * through the catalog ([[Collection.queryGroups]] `with_lookup`) and
+    * `lookup_from` by-id examples resolved against siblings like the flat
+    * query. */
   def queryGroups(name: String, json: String): DataFrame =
     get(name).queryGroups(json,
-      lookupTable = n => get(aliases.resolve(n)).readDecoded())
+      lookupTable = n => get(aliases.resolve(n)).readDecoded(),
+      lookupResolve = Some(lookupResolver),
+      sparseLookupResolve = Some(sparseLookupResolver))
 
   /** Legacy `/points/{search,recommend}/groups` through the catalog:
     * the `with_lookup` collection resolves against siblings (by name or
@@ -167,7 +171,9 @@ final class Catalog(spark: SparkSession, root: String) {
 
   def recommendGroups(name: String, json: String): DataFrame =
     get(name).recommendGroups(json,
-      lookupTable = n => get(aliases.resolve(n)).readDecoded())
+      lookupTable = n => get(aliases.resolve(n)).readDecoded(),
+      lookupResolve = Some(lookupResolver),
+      sparseLookupResolve = Some(sparseLookupResolver))
 
   /** PATCH /collections/{name}: persist the updated config (the caller
     * builds it via `RequestCodec.parseCollectionUpdate`) and apply any

@@ -856,12 +856,20 @@ final class Collection(
           s"with_lookup collection '$n' needs a lookupTable resolver")): DataFrame =
     queryGroups(graft.api.RequestCodec.legacyToQuery(json, "search"), lookupTable)
 
-  /** Legacy `POST /points/recommend/groups` (`RecommendGroupsRequest`). */
+  /** Legacy `POST /points/recommend/groups` (`RecommendGroupsRequest`) —
+    * `lookup_from` resolves through the same optional hooks as
+    * [[queryGroups]]. */
   def recommendGroups(json: String,
       lookupTable: String => DataFrame = n =>
         throw new IllegalArgumentException(
-          s"with_lookup collection '$n' needs a lookupTable resolver")): DataFrame =
-    queryGroups(graft.api.RequestCodec.legacyToQuery(json, "recommend"), lookupTable)
+          s"with_lookup collection '$n' needs a lookupTable resolver"),
+      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any)
+        => Either[Seq[Double], Seq[Seq[Double]]]] = None,
+      sparseLookupResolve: Option[
+        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
+      : DataFrame =
+    queryGroups(graft.api.RequestCodec.legacyToQuery(json, "recommend"),
+      lookupTable, lookupResolve, sparseLookupResolve)
 
   /** Legacy `/batch` forms (`SearchRequestBatch.searches`,
     * `RecommendRequestBatch.searches`, `DiscoverRequestBatch.searches`) —
@@ -1106,13 +1114,25 @@ final class Collection(
     * leaves (nearest / sparse / multivector MaxSim); DAG-shaped roots
     * (fusion/formula) reject loudly like the reference's validation.
     * `with_lookup` resolves through `lookupTable` (a catalog hook — tests
-    * pass a sibling-collection loader). */
+    * pass a sibling-collection loader); `lookup_from` (by-id example
+    * resolution against a SIBLING collection — `QueryGroupsRequestInternal`
+    * carries it like the flat query) resolves through the optional
+    * dense/sparse hooks [[Catalog.queryGroups]] installs. */
   def queryGroups(json: String,
       lookupTable: String => DataFrame = n =>
         throw new IllegalArgumentException(
-          s"with_lookup collection '$n' needs a lookupTable resolver")): DataFrame = {
+          s"with_lookup collection '$n' needs a lookupTable resolver"),
+      lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any)
+        => Either[Seq[Double], Seq[Seq[Double]]]] = None,
+      sparseLookupResolve: Option[
+        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
+      : DataFrame = {
     import graft.ops.PointQuery
-    val spec = graft.api.RequestCodec.parseGroupRequest(json, wireCtx)
+    val ctx0 = wireCtx
+    val ctx1 = lookupResolve.fold(ctx0)(f => ctx0.copy(resolveLookup = f))
+    val gctx = sparseLookupResolve.fold(ctx1)(f =>
+      ctx1.copy(resolveSparseLookup = f))
+    val spec = graft.api.RequestCodec.parseGroupRequest(json, gctx)
     config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyQuery(spec.query, sm, config.payloadTypes.keySet))
     val df = readDecoded()
