@@ -110,7 +110,14 @@ object RequestCodec {
         * is configured — a request-level `shard_key` selector
         * (`ShardKeySelector`, `schema.rs:620`) compiles to a pruning
         * condition on it. */
-      shardKeyField: Option[String] = None) {
+      shardKeyField: Option[String] = None,
+      /** Name of the collection this ctx serves — used to decide whether a
+        * `lookup_from` id is same-collection (then it IS excluded from the
+        * results like any referenced id) or foreign (exempt). The reference
+        * compares `lookup_collection != collection_name`
+        * (`collection_query.rs:552-556`). None (hand-built ctx) = every
+        * lookup_from id is treated as foreign. */
+      collectionName: Option[String] = None) {
     def space(using: Option[String]): VectorSpace = {
       val name = using.getOrElse("")
       spaces.getOrElse(name,
@@ -237,7 +244,37 @@ object RequestCodec {
   def parseQueryRequest(json: String, ctx: Ctx): Query =
     queryNode(JsonMethods.parse(json), ctx, topLevel = true)
 
-  private def queryNode(j: JValue, ctx0: Ctx, topLevel: Boolean): Query = {
+  /** Top-level parse wrapper: records every point id resolved as a vector
+    * input against THIS collection (root and nested prefetch nodes; ids
+    * resolved through a foreign-collection `lookup_from` are exempt) and
+    * attaches them as [[Query.excludeIds]] — the reference merges
+    * `must_not HasId(referenced ids)` into the request filter so a by-id
+    * query never returns its own examples (`exclude_referenced_ids`,
+    * `collection_query.rs:523-531,701-705`; legacy recommend path
+    * `recommendations.rs:206-226,398,463`; `test_query_full.py:160`). The
+    * exclusion stays OUT of the parsed filter until execution so the
+    * strict-mode gate counts only user conditions (the reference verifies
+    * before injecting). */
+  private def queryNode(j: JValue, ctx0: Ctx, topLevel: Boolean): Query =
+    if (!topLevel) queryNode0(j, ctx0, topLevel = false)
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet[Any]()
+      val tracked = ctx0.copy(
+        resolveId = (n, id) => { seen += id; ctx0.resolveId(n, id) },
+        resolveSparseId = (n, id) => { seen += id; ctx0.resolveSparseId(n, id) },
+        resolveLookup = (lf, id) => {
+          if (ctx0.collectionName.contains(lf.collection)) seen += id
+          ctx0.resolveLookup(lf, id)
+        },
+        resolveSparseLookup = (lf, id) => {
+          if (ctx0.collectionName.contains(lf.collection)) seen += id
+          ctx0.resolveSparseLookup(lf, id)
+        })
+      val q = queryNode0(j, tracked, topLevel = true)
+      if (seen.isEmpty) q else q.copy(excludeIds = seen.toSeq)
+    }
+
+  private def queryNode0(j: JValue, ctx0: Ctx, topLevel: Boolean): Query = {
     val o = j match {
       case o: JObject => o
       case other => fail(s"query request must be an object, got $other")
@@ -259,10 +296,14 @@ object RequestCodec {
             case JArray(xs) => xs.map(shardKeyValue)
             case v => Seq(shardKeyValue(v))
           })
-        ctx0.copy(resolveId = (_, id) => ctx0.resolveLookup(loc, id),
-          // the lookup vector name defaults to the node's `using`
-          // (`LookupLocation.vector` falls back to the request's vector
-          // name, `fetch_vectors.rs` lookup_vector_name resolution)
+        // the lookup vector name defaults to the node's `using` for BOTH
+        // dense and sparse resolves (`get_lookup_vector_name` falls back to
+        // the request's vector name, `retrieve_request_trait.rs:117-125`) —
+        // without the dense fallback `{"query":{"nearest":7},"using":"x",
+        // "lookup_from":{"collection":"q"}}` would resolve q's default
+        // unnamed vector instead of its "x" space
+        ctx0.copy(resolveId = (name, id) => ctx0.resolveLookup(
+            if (loc.vector.isDefined) loc else loc.copy(vector = Some(name)), id),
           resolveSparseId = (name, id) => ctx0.resolveSparseLookup(
             if (loc.vector.isDefined) loc else loc.copy(vector = Some(name)), id))
       case _ => ctx0

@@ -34,8 +34,13 @@ object UpdateBridge {
         Seq(UpdateOp.Upsert(wirePoints(coll, points, bodyKey), mode))
       case WUpsert(points, Some(f), mode, bodyKey) =>
         Seq(UpdateOp.UpsertConditional(wirePoints(coll, points, bodyKey), f, mode))
-      case WDelete(Selector(Some(ids), None, Nil)) => Seq(UpdateOp.DeleteIds(ids))
-      case WDelete(Selector(Some(ids), None, shardKeys)) =>
+      // `PointsSelector` is serde-UNTAGGED with the id-list variant first
+      // (`point_ops.rs:19-26`): a body carrying BOTH `points` and `filter`
+      // deserializes as the id list (the extra field is ignored), so ids
+      // take precedence here too — falling through to the filter arm would
+      // silently delete every filter match instead of the named points.
+      case WDelete(Selector(Some(ids), _, Nil)) => Seq(UpdateOp.DeleteIds(ids))
+      case WDelete(Selector(Some(ids), _, shardKeys)) =>
         // shard-scoped id delete: the selector compiles to a filter so the
         // shard condition prunes partitions like the read paths
         Seq(UpdateOp.DeleteByFilter(graft.model.Filter(must = Seq(
@@ -220,13 +225,26 @@ object UpdateBridge {
           declaredKeys.foreach(ks =>
             if (!ks.contains(key.toString)) throw new IllegalArgumentException(
               s"Bad request: Shard key $key not found"))
+          // an int-sharded table reads its partition column back as
+          // IntegerType (directory-name inference) or LongType — both take
+          // the numeric coercion; a non-numeric key surfaces as a
+          // wire-shaped bad request (the reference validates shard-key
+          // types at the API layer), never a raw NumberFormatException or
+          // a String smuggled into the numeric partition column
           Seq(f.dataType match {
-            case LongType => key match {
-              case l: Long => l
-              case i: Int => i.toLong
-              case s: String => s.toLong
-              case other => other.toString.toLong
-            }
+            case LongType | IntegerType =>
+              val asLong = key match {
+                case l: Long => l
+                case i: Int => i.toLong
+                case other =>
+                  try other.toString.toLong
+                  catch {
+                    case _: NumberFormatException =>
+                      throw new IllegalArgumentException(
+                        s"Bad request: Shard key $other is not a number")
+                  }
+              }
+              if (f.dataType == IntegerType) asLong.toInt else asLong
             case _ => key.toString
           })
       }

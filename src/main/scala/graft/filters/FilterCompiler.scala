@@ -205,6 +205,12 @@ final class FilterCompiler(
       case MatchPrefix(k, p) => sc(k).map(x => x.isNotNull && x.startsWith(p))
       case RangeCond(k, gt, gte, lt, lte) =>
         sc(k).map(x => x.isNotNull && rangeBounds(x, r.dataTypeOf(k), gt, gte, lt, lte))
+      // the id column is the collection PK (physical, never a payload
+      // path): total and source-translatable, so HasId prunes at the scan
+      // both positively and under must_not — the referenced-id exclusion
+      // injects `must_not HasId(ids)` on EVERY by-id query, and a coalesce
+      // wrapper here would block its pushdown
+      case HasId(ids) => Some(r.id.isNotNull && r.id.isin(ids: _*))
       case _ => None
     }
   }

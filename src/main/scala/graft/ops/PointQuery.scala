@@ -122,7 +122,30 @@ object PointQuery {
       limit: Int = 10,
       offset: Int = 0,
       scoreThreshold: Option[Double] = None,
-      params: Option[SearchParams] = None)
+      params: Option[SearchParams] = None,
+      /** Same-collection point ids referenced as vector inputs anywhere in
+        * the request (root AND nested prefetches; ids resolved through a
+        * foreign `lookup_from` collection are exempt). The reference
+        * EXCLUDES these from the results by merging `must_not HasId(ids)`
+        * into the root filter (`collection_query.rs:523-531`
+        * `exclude_referenced_ids`, applied at `:701-705`; asserted by
+        * `tests/openapi/test_query_full.py:160`). Kept OUT of [[filter]]
+        * until [[resolveExclusion]] so the strict-mode gate counts only the
+        * USER's conditions — the reference injects after verification. */
+      excludeIds: Seq[Any] = Nil)
+
+  /** Merge the collected referenced-id exclusion into the root filter
+    * (ref `exclude_referenced_ids`, `collection_query.rs:523-531`). The
+    * root filter propagates into every prefetch leaf at execution
+    * (`planned_query.rs:325` merges the global filter into all prefetches),
+    * so one root-level injection covers the whole DAG. Idempotent: the
+    * merged query carries no excludeIds. */
+  def resolveExclusion(q: Query): Query =
+    if (q.excludeIds.isEmpty) q
+    else q.copy(
+      filter = Filter.mergeOpts(
+        Some(Filter(mustNot = Seq(HasId(q.excludeIds)))), q.filter),
+      excludeIds = Nil)
 
   /** Score expression + larger-better orientation for a scoring LEAF —
     * shared by the DAG executor and the group-by endpoint (any scorable
@@ -191,7 +214,8 @@ object PointQuery {
       points: DataFrame,
       idCol: String,
       resolver: FieldResolver,
-      q: Query): DataFrame = {
+      q0: Query): DataFrame = {
+    val q = resolveExclusion(q0)
     val rootFilter = q.filter.filterNot(_.isEmpty)
     val pred = rootFilter.map(f => new FilterCompiler(resolver).compile(f))
 
@@ -377,10 +401,13 @@ object PointQuery {
         // seeded-sampling contract, like Reads.scrollRandom: deterministic
         // across runs AND partitionings, where `rand(seed)` is only
         // per-partitioning stable). `skip(offset)` applies after the
-        // random order (`test_random_rescore_with_offset`).
+        // random order (`test_random_rescore_with_offset`) — EXCEPT on a
+        // bare random root, where the reference zeroes the offset since
+        // the output is not stable (`collection_query.rs:690-696`).
+        val off = if (q.prefetches.isEmpty) 0 else q.offset
         val ord = Seq(xxhash64(col(idCol), lit(seed)).asc, col(idCol).asc)
-        val page = base.orderBy(ord: _*).limit(q.offset + q.limit)
-        dropOffset(page, ord, q.offset).select(idCol)
+        val page = base.orderBy(ord: _*).limit(off + q.limit)
+        dropOffset(page, ord, off).select(idCol)
       }
 
       // ---- scoring leaves (optionally rescoring prefetch candidates) ----

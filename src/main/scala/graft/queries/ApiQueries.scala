@@ -188,7 +188,18 @@ object ApiQueries {
         ("update_filter_unindexed", u(
           """{"operations": [{"delete": {"filter":
             |   {"must": [{"key": "lang", "match": {"value": "de"}}]}}}]}"""
-            .stripMargin))) ++ {
+            .stripMargin)),
+        // the injected referenced-id `must_not HasId` does NOT count
+        // against filter_max_conditions — the reference verifies BEFORE
+        // injecting (`collection_query.rs:701-705` runs after the
+        // verification layer), so a by-id query whose user filter sits
+        // EXACTLY at the cap (3 here) still passes
+        ("by_id_exclusion_not_counted", q(
+          """{"query": {"nearest": 7}, "limit": 5,
+            | "filter": {"must": [
+            |   {"key": "label", "match": {"value": 1}},
+            |   {"key": "vec_id", "range": {"gte": 0}},
+            |   {"key": "vec_id", "range": {"lt": 100}}]}}""".stripMargin))) ++ {
         // The gate is WIRED into the collection: a `strict_mode_config`
         // declared at create rejects inside `Collection.query` and the
         // update bridge themselves (`query_api.rs:31-110` checks strict
@@ -343,6 +354,28 @@ object ApiQueries {
       Seq((wire.length.toLong, wire == hand))
         .toDF("n", "wire_matches_hand")
     }),
+    // Offset is IGNORED on a bare random root — the output is not stable,
+    // so the reference zeroes it (`collection_query.rs:690-696`): with a
+    // non-zero offset the page still returns min(limit, matching) rows and
+    // the id set equals the seeded top-limit WITHOUT any skip. (WITH a
+    // prefetch the offset applies — pinned by `prefetch_random_offset`.)
+    "api_query_sample_offset_ignored" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, xxhash64}
+      import s.implicits._
+      val wire = runOnEmbeddings(s, dir,
+        """{"query": {"sample": "random"}, "limit": 10, "offset": 5,
+          |  "filter": {"must": [{"key": "vec_id", "range": {"lt": 12}}]}}"""
+          .stripMargin)
+        .collect().map(_.getLong(0)).toSet
+      // offset ignored: the full seeded top-10 of the 12 matching rows
+      val hand = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 12)
+        .orderBy(xxhash64(col("vec_id"), lit(42L)).asc, col("vec_id").asc)
+        .limit(10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      Seq((wire.size.toLong, wire == hand))
+        .toDF("n", "offset_ignored")
+    }),
     "api_query_mmr" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       import s.implicits._
@@ -357,7 +390,12 @@ object ApiQueries {
         .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
       val e = Tables.load(s, dir, "embeddings")
       val qv = Tables.embeddingOf(s, dir, 7L)
-      val cands = Search.knn(e, "vec_id", "embedding", qv, Dot,
+      // the by-id example is excluded from the candidate fetch (the wire
+      // path injects must_not HasId(7) before the candidates Nearest runs,
+      // ref `collection_query.rs:701-705`) — the hand twin drops it too
+      val cands = Search.knn(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") =!= 7L),
+        "vec_id", "embedding", qv, Dot,
         k = 50, extraCols = Seq("embedding"))
       val hand = Mmr.rerank(s, cands, "vec_id", "embedding", Dot, qv,
           lambda = 0.5, limit = 10)
@@ -553,11 +591,32 @@ object ApiQueries {
     }),
   )
 
-  /** Oracles: the SAME SQL as the mirrored hand-built entries — wire parity
-    * means rows-identical results, and the hash compare enforces it. */
+  /** Oracles: where a wire entry mirrors a hand-built twin that takes RAW
+    * vectors, the SQL is shared. By-id wire entries carry their OWN SQL
+    * with the referenced ids excluded (`WHERE vec_id NOT IN (...)`) — the
+    * reference merges `must_not HasId(referenced ids)` into every by-id
+    * query's filter (`exclude_referenced_ids`, `collection_query.rs:
+    * 523-531,701-705`; `test_query_full.py:160`), so a by-id result NEVER
+    * contains its own examples while the raw-vector twin still can. */
   val oracles: Map[String, String] = Map(
     "api_query_knn_filtered" -> VectorQueries.oracles("knn_filtered"),
-    "api_query_recommend_best" -> RankQueries.oracles("recommend_best_score"),
+    // recommend best_score by ids 1,2,3 / 4 — the examples are excluded
+    "api_query_recommend_best" ->
+      """WITH q1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=1),
+        |q2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=2),
+        |q3 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=3),
+        |q4 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=4),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  greatest(list_dot_product(e.embedding::DOUBLE[], q1.v),
+        |           list_dot_product(e.embedding::DOUBLE[], q2.v),
+        |           list_dot_product(e.embedding::DOUBLE[], q3.v)) AS mp,
+        |  list_dot_product(e.embedding::DOUBLE[], q4.v) AS mn
+        |  FROM embeddings e, q1, q2, q3, q4
+        |  WHERE e.vec_id NOT IN (1, 2, 3, 4))
+        |SELECT vec_id,
+        |  round(CASE WHEN mp > mn THEN 0.5*(mp/(1+abs(mp))+1)
+        |             ELSE -(0.5*(mn/(1+abs(mn))+1)) END, 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "api_query_recommend_negatives_only" ->
       RankQueries.oracles("recommend_best_only_negatives"),
     "api_query_with_payload" ->
@@ -565,6 +624,7 @@ object ApiQueries {
         |hits AS (SELECT e.vec_id AS vec_id,
         |           round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
         |         FROM embeddings e, q
+        |         WHERE e.vec_id <> 7
         |         ORDER BY score DESC, vec_id ASC LIMIT 10)
         |SELECT h.vec_id AS vec_id, h.score AS score, d.lang AS lang,
         |       d.n_chars::BIGINT AS n_chars,
@@ -580,6 +640,7 @@ object ApiQueries {
         |SELECT e.vec_id AS vec_id,
         |       round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
         |FROM embeddings e, q
+        |WHERE e.vec_id <> 7
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "strict_mode_rejections" ->
       """SELECT * FROM (VALUES
@@ -590,12 +651,52 @@ object ApiQueries {
         |  ('prefetch_limit_over', true), ('upsert_too_big', true),
         |  ('nested_indexed_ok', false),
         |  ('update_filter_unindexed', true),
+        |  ('by_id_exclusion_not_counted', false),
         |  ('collection_query_limit_over', true),
         |  ('collection_query_ok', false),
         |  ('collection_upsert_too_big', true)) AS t(check_name, rejected)"""
         .stripMargin,
-    "api_query_discover" -> RankQueries.oracles("discover"),
-    "api_query_fusion_rrf" -> RankQueries.oracles("fusion_rrf"),
+    // discover by ids: target 5 + context ids 10/20/30/40 all excluded
+    "api_query_discover" ->
+      """WITH t AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=5),
+        |p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=10),
+        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=20),
+        |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=30),
+        |n2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=40),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  list_dot_product(e.embedding::DOUBLE[], t.v) AS st,
+        |  list_dot_product(e.embedding::DOUBLE[], p1.v) AS sp1,
+        |  list_dot_product(e.embedding::DOUBLE[], n1.v) AS sn1,
+        |  list_dot_product(e.embedding::DOUBLE[], p2.v) AS sp2,
+        |  list_dot_product(e.embedding::DOUBLE[], n2.v) AS sn2
+        |  FROM embeddings e, t, p1, n1, p2, n2
+        |  WHERE e.vec_id NOT IN (5, 10, 20, 30, 40))
+        |SELECT vec_id,
+        |  round((CASE WHEN sp1 > sn1 THEN 1 WHEN sp1 < sn1 THEN -1 ELSE 0 END
+        |       + CASE WHEN sp2 > sn2 THEN 1 WHEN sp2 < sn2 THEN -1 ELSE 0 END)::DOUBLE
+        |      + 0.5*(st/(1+abs(st))+1), 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // RRF over two by-id prefetches: the exclusion rides the ROOT filter,
+    // which propagates into BOTH prefetch leaves (`planned_query.rs:325`)
+    "api_query_fusion_rrf" ->
+      """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
+        |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),
+        |a AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS s
+        |      FROM embeddings e, q7 WHERE e.vec_id NOT IN (7, 42)
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM a),
+        |b AS (SELECT e.vec_id AS vec_id,
+        |        round(list_dot_product(e.embedding::DOUBLE[], q42.v)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q42.v, q42.v))), 6) AS s
+        |      FROM embeddings e, q42 WHERE e.vec_id NOT IN (7, 42)
+        |      ORDER BY s DESC, vec_id ASC LIMIT 20),
+        |br AS (SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id ASC) AS pos FROM b),
+        |u AS (SELECT vec_id, 1.0/(pos/1.0 + 1.0) AS c FROM ar
+        |      UNION ALL SELECT vec_id, 1.0/(pos/2.0 + 1.0) AS c FROM br)
+        |SELECT vec_id, round(sum(c), 6) AS score FROM u GROUP BY vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "api_query_prefetch_filtered" ->
       """WITH q7 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
         |q42 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=42),
@@ -617,14 +718,62 @@ object ApiQueries {
         |      ORDER BY score DESC, vec_id ASC LIMIT 11)
         |SELECT vec_id, score FROM f WHERE score >= 0.15
         |ORDER BY score DESC, vec_id ASC OFFSET 1""".stripMargin,
-    "api_query_formula" -> PayloadGeoQueries.oracles("formula_rescore"),
+    // formula rescore over a by-id prefetch: 7 is excluded from the
+    // prefetch candidates, so it never reaches the formula either
+    "api_query_formula" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |pre AS (SELECT e.vec_id AS vec_id,
+        |          round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS s
+        |        FROM embeddings e, q WHERE e.vec_id <> 7
+        |        ORDER BY s DESC, vec_id ASC LIMIT 50)
+        |SELECT e.vec_id AS vec_id,
+        |  round(0.6 * p.s
+        |      + 0.3 * exp(ln(0.5)/9 * (e.label - 5.0) * (e.label - 5.0))
+        |      + 10.0 / (e.vec_id + 1.0), 6) AS score
+        |FROM embeddings e JOIN pre p ON e.vec_id = p.vec_id
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "api_query_lookup_from" -> RankQueries.oracles("recommend_lookup_from_shard"),
     "api_query_mmr" ->
       "SELECT 10::BIGINT AS n, true AS wire_matches_hand",
-    "api_query_context" -> RankQueries.oracles("context"),
-    "api_query_feedback" -> RankQueries.oracles("feedback_naive"),
+    // context pairs by ids 10/20/30/40 — all four examples excluded
+    "api_query_context" ->
+      """WITH p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=10),
+        |n1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=20),
+        |p2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=30),
+        |n2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=40),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  least(list_dot_product(e.embedding::DOUBLE[], p1.v)
+        |      - list_dot_product(e.embedding::DOUBLE[], n1.v) - 1.1920928955078125e-07, 0) AS d1,
+        |  least(list_dot_product(e.embedding::DOUBLE[], p2.v)
+        |      - list_dot_product(e.embedding::DOUBLE[], n2.v) - 1.1920928955078125e-07, 0) AS d2
+        |  FROM embeddings e, p1, n1, p2, n2
+        |  WHERE e.vec_id NOT IN (10, 20, 30, 40))
+        |SELECT vec_id,
+        |  round(d1/(1+abs(d1)) + d2/(1+abs(d2)), 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // feedback: target 5 + example ids 10/20/30 excluded
+    "api_query_feedback" ->
+      """WITH t AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=5),
+        |f1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=10),
+        |f2 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=20),
+        |f3 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=30),
+        |s AS (SELECT e.vec_id AS vec_id,
+        |  list_dot_product(e.embedding::DOUBLE[], t.v) AS st,
+        |  list_dot_product(e.embedding::DOUBLE[], f1.v) AS s1,
+        |  list_dot_product(e.embedding::DOUBLE[], f2.v) AS s2,
+        |  list_dot_product(e.embedding::DOUBLE[], f3.v) AS s3
+        |  FROM embeddings e, t, f1, f2, f3
+        |  WHERE e.vec_id NOT IN (5, 10, 20, 30))
+        |SELECT vec_id,
+        |  round(1.0 * st
+        |    + power(0.9 - 0.4, 2.0) * 0.5 * (s1 - s2)
+        |    + power(0.9 - 0.1, 2.0) * 0.5 * (s1 - s3)
+        |    + power(0.4 - 0.1, 2.0) * 0.5 * (s2 - s3), 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "api_query_sample" ->
       "SELECT 20::BIGINT AS n, true AS wire_matches_hand",
+    "api_query_sample_offset_ignored" ->
+      "SELECT 10::BIGINT AS n, true AS offset_ignored",
     "api_query_order_by" ->
       """SELECT event_id, value FROM events
         |WHERE value <= 900.5
@@ -647,13 +796,15 @@ object ApiQueries {
         |r0 AS (SELECT e.vec_id AS vec_id,
         |         round(list_dot_product(e.embedding::DOUBLE[], q7.v), 6) AS score,
         |         0 AS req
-        |       FROM embeddings e, q7 ORDER BY score DESC, vec_id ASC LIMIT 5),
+        |       FROM embeddings e, q7 WHERE e.vec_id <> 7
+        |       ORDER BY score DESC, vec_id ASC LIMIT 5),
         |r1 AS (SELECT e.vec_id AS vec_id,
         |         round(list_dot_product(e.embedding::DOUBLE[], q42.v)
         |               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
         |                  * sqrt(list_dot_product(q42.v, q42.v))), 6) AS score,
         |         1 AS req
-        |       FROM embeddings e, q42 ORDER BY score DESC, vec_id ASC LIMIT 5)
+        |       FROM embeddings e, q42 WHERE e.vec_id <> 42
+        |       ORDER BY score DESC, vec_id ASC LIMIT 5)
         |SELECT * FROM r0 UNION ALL SELECT * FROM r1""".stripMargin,
   )
 }

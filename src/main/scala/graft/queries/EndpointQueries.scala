@@ -236,12 +236,28 @@ object EndpointQueries {
     // lowercase-hex strings, so they serve through the string path
     "facet_uuid_estimate" -> ((s, dir) =>
       facetColl(s, dir).facet("""{"key": "owner", "limit": 5}""")),
-    // POST /facet through the collection handler
+    // POST /facet through the collection handler — `exact: true` pins the
+    // exact filtered scan (the default `exact: false` now serves filtered
+    // facets from the estimator, `facet_filtered_estimate` below)
     "collection_facet_endpoint" -> ((s, dir) => {
       docColl(s, dir).facet(
-        """{"key": "lang", "limit": 5,
+        """{"key": "lang", "limit": 5, "exact": true,
           |  "filter": {"must": [{"key": "source",
           |    "match": {"any": ["src1", "src3", "src7"]}}]}}""".stripMargin)
+    }),
+    // `exact: false` facet WITH a filter: per-value counts come from the
+    // cardinality estimator over the sidecar — `estimate(filter ∧ key=v)
+    // .exp` per complete-head value (the reference's approximate facet
+    // serves per-segment index counts without a collection scan,
+    // `local_shard/facet.rs:23-95`; its exact path merges the filter with
+    // `Match(value)` per value, `:120-127`). Zero Spark jobs warm
+    // (StoreSpec pins the job count); the oracle reproduces the
+    // independence-product estimate exactly.
+    "facet_filtered_estimate" -> ((s, dir) => {
+      docColl(s, dir).facet(
+        """{"key": "lang", "limit": 4,
+          |  "filter": {"must": [{"key": "source",
+          |    "match": {"value": "src3"}}]}}""".stripMargin)
     }),
     // POST /points/scroll with order_by + start_from cursor: the handler
     // resolves the payload key through the DECLARED type (no physical
@@ -494,6 +510,36 @@ object EndpointQueries {
           col("grp_rank").cast("long").as("grp_rank"))
         .orderBy(col("grp_rank"), col("rank"))
     }),
+    // The reference's all-examples smoke test (`test_query_full.py:
+    // 993-1010`): a recommend-groups request whose positives name EVERY
+    // point of the collection must yield ZERO groups — the referenced-id
+    // exclusion empties the candidate set entirely. A small dedicated
+    // collection keeps the by-id resolve fan-out bounded.
+    "collection_group_recommend_all_examples" -> ((s, dir) => {
+      import s.implicits._
+      val path = "/tmp/graft_runtime/allex_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = colls.computeIfAbsent(path, { _ =>
+        val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 12)
+        Collection.create(s, path, CollectionConfig(idCol = "id",
+          payloadCol = "payload", vectors = Seq(VectorConfig("", 64, Dot)),
+          payloadTypes = Map("label" -> LongType)),
+          e.select(col("vec_id").as("id"), col("embedding").as("vector"),
+            to_json(struct(col("label"))).as("payload")))
+      })
+      val allIds = (0L until 12L).mkString(", ")
+      val groups = coll.queryGroups(
+        s"""{"query": {"recommend": {"positive": [$allIds]}},
+           |  "group_by": "label", "group_size": 2, "limit": 10}""".stripMargin)
+        .collect()
+      // control arm: all-but-two examples leave exactly the two remaining
+      // points eligible — groups come back non-empty and contain ONLY them
+      val partial = coll.queryGroups(
+        s"""{"query": {"recommend": {"positive": [${(2L until 12L).mkString(", ")}]}},
+           |  "group_by": "label", "group_size": 2, "limit": 10}""".stripMargin)
+        .collect().map(r => r.getLong(1)).toSet
+      Seq((groups.length.toLong, partial == Set(0L, 1L)))
+        .toDF("all_example_rows", "partial_only_remaining")
+    }),
     // query/groups over an ORDER_BY root (test_order_by_group): rank by
     // the payload field itself (declared-type extraction), one window per
     // group, groups ordered by their best value
@@ -657,8 +703,18 @@ object EndpointQueries {
       |ORDER BY grp_rank, rank""".stripMargin
 
   /** Shared by `collection_group_recommend` and
-    * `collection_recommend_groups_legacy` (same rewrite contract). */
+    * `collection_recommend_groups_legacy` (same rewrite contract) — both
+    * resolve by-id examples against the SEARCHED collection, so the
+    * referenced ids {1, 2, 4} are excluded from the grouped hits
+    * (`exclude_referenced_ids`, `collection_query.rs:523-531`; the legacy
+    * recommend path injects the same must_not, `recommendations.rs:398`).
+    * `catalog_groups_lookup_from` resolves the SAME vectors from a foreign
+    * collection — its ids are exempt, so it keeps the inclusive scan. */
+  private val groupRecommendExclSql =
+    groupRecommendSqlOf(excluded = true)
   private val groupRecommendSql =
+    groupRecommendSqlOf(excluded = false)
+  private def groupRecommendSqlOf(excluded: Boolean): String =
     """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
       |                    e.label::VARCHAR AS gv
       |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
@@ -669,7 +725,9 @@ object EndpointQueries {
       |  greatest(list_dot_product(p.v, q1.v),
       |           list_dot_product(p.v, q2.v)) AS mp,
       |  list_dot_product(p.v, q4.v) AS mn
-      |  FROM pts p, q1, q2, q4),
+      |  FROM pts p, q1, q2, q4""".stripMargin +
+      (if (excluded) " WHERE p.id NOT IN (1, 2, 4)" else "") +
+    """),
       |scored AS (SELECT gv, id,
       |  round(CASE WHEN mp > mn THEN 0.5*(mp/(1+abs(mp))+1)
       |             ELSE -(0.5*(mn/(1+abs(mn))+1)) END, 6) AS score FROM s),
@@ -726,13 +784,14 @@ object EndpointQueries {
         |s0 AS (SELECT p.id,
         |  greatest(list_dot_product(p.v, q1.v),
         |           list_dot_product(p.v, q2.v)) AS mp,
-        |  list_dot_product(p.v, q4.v) AS mn FROM pts p, q1, q2, q4),
+        |  list_dot_product(p.v, q4.v) AS mn FROM pts p, q1, q2, q4
+        |  WHERE p.id NOT IN (1, 2, 4)),
         |r0 AS (SELECT id, round(CASE WHEN mp > mn THEN 0.5*(mp/(1+abs(mp))+1)
         |         ELSE -(0.5*(mn/(1+abs(mn))+1)) END, 6) AS score, 0 AS req
         |       FROM s0 ORDER BY score DESC, id ASC LIMIT 5),
         |r1 AS (SELECT p.id, round(list_dot_product(p.v, q1.v), 6) AS score,
         |              1 AS req
-        |       FROM pts p, q1 WHERE p.lang = 'en'
+        |       FROM pts p, q1 WHERE p.lang = 'en' AND p.id <> 1
         |       ORDER BY score DESC, p.id ASC LIMIT 5)
         |SELECT id, score, req::INT AS req FROM r0
         |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
@@ -752,16 +811,20 @@ object EndpointQueries {
         |  round((CASE WHEN sp1 > sn1 THEN 1 WHEN sp1 < sn1 THEN -1 ELSE 0 END
         |       + CASE WHEN sp2 > sn2 THEN 1 WHEN sp2 < sn2 THEN -1 ELSE 0 END)::DOUBLE
         |      + 0.5*(st/(1+abs(st))+1), 6) AS score, 0 AS req
-        |  FROM s ORDER BY score DESC, id ASC LIMIT 10),
+        |  FROM s WHERE id NOT IN (5, 10, 20, 30, 40)
+        |  ORDER BY score DESC, id ASC LIMIT 10),
         |c AS (SELECT s.id,
         |  least(s.sp1 - s.sn1 - 1.1920928955078125e-07, 0) AS d1,
         |  least(s.sp2 - s.sn2 - 1.1920928955078125e-07, 0) AS d2 FROM s),
         |r1 AS (SELECT id, round(d1/(1+abs(d1)) + d2/(1+abs(d2)), 6) AS score,
         |              1 AS req
-        |       FROM c ORDER BY score DESC, id ASC LIMIT 10)
+        |       FROM c WHERE id NOT IN (10, 20, 30, 40)
+        |       ORDER BY score DESC, id ASC LIMIT 10)
         |SELECT id, score, req::INT AS req FROM r0
         |UNION ALL SELECT id, score, req::INT AS req FROM r1""".stripMargin,
-    "collection_group_recommend" -> groupRecommendSql,
+    "collection_group_recommend" -> groupRecommendExclSql,
+    "collection_group_recommend_all_examples" ->
+      "SELECT 0::BIGINT AS all_example_rows, true AS partial_only_remaining",
     "catalog_groups_lookup_from" -> groupRecommendSql,
     "collection_group_order_by" ->
       """WITH pts AS (SELECT e.vec_id AS id, d.n_chars, d.lang AS gv
@@ -934,6 +997,21 @@ object EndpointQueries {
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |WHERE d.source IN ('src1', 'src3', 'src7')
         |GROUP BY d.lang ORDER BY cnt DESC, value ASC LIMIT 5""".stripMargin,
+    // independence-product estimate per head value: exp = round(n·(cv/n)·
+    // (cf/n)) — the `combine_must_estimations` arithmetic the count
+    // estimator uses, reproduced from the raw data
+    "facet_filtered_estimate" ->
+      """WITH t AS (SELECT d.lang, d.source
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |             sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)::DOUBLE AS cf
+        |      FROM t),
+        |v AS (SELECT lang AS value, count(*)::DOUBLE AS cv FROM t GROUP BY lang),
+        |est AS (SELECT v.value,
+        |          CAST(round(m.n * (v.cv/m.n) * (m.cf/m.n)) AS BIGINT) AS cnt
+        |        FROM v, m)
+        |SELECT value, cnt FROM est WHERE cnt > 0
+        |ORDER BY cnt DESC, value ASC LIMIT 4""".stripMargin,
     "collection_scroll_endpoint" ->
       """SELECT e.vec_id AS id, d.n_chars::BIGINT AS n_chars, d.lang,
         |       NULL::VARCHAR AS src_excluded
@@ -964,15 +1042,20 @@ object EndpointQueries {
         |    - (SELECT avg(embedding[d.i]::DOUBLE) FROM embeddings WHERE vec_id IN (4)) AS w
         |  FROM dims d),
         |s AS (SELECT e.vec_id AS vec_id, sum(e.embedding[w.i]::DOUBLE * w.w) AS sc
-        |      FROM embeddings e CROSS JOIN w GROUP BY e.vec_id)
+        |      FROM embeddings e CROSS JOIN w
+        |      WHERE e.vec_id NOT IN (7, 11, 4) GROUP BY e.vec_id)
         |SELECT vec_id, round(sc, 6) AS score FROM s
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // by-id example 7 excluded (`exclude_referenced_ids`); the
+    // catalog_lookup_from_multivec twin keeps the shared scan — its id
+    // lives in the FOREIGN collection and is exempt
     "api_nearest_id_multivec" ->
       """WITH q AS (SELECT embedding[1:32]::DOUBLE[] AS q1,
         |                  embedding[33:64]::DOUBLE[] AS q2
         |           FROM embeddings WHERE vec_id = 7),
         |t AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS d1,
-        |             embedding[33:64]::DOUBLE[] AS d2 FROM embeddings),
+        |             embedding[33:64]::DOUBLE[] AS d2 FROM embeddings
+        |      WHERE vec_id <> 7),
         |s AS (SELECT t.vec_id AS vec_id,
         |  greatest(list_dot_product(t.d1, q.q1), list_dot_product(t.d2, q.q1)) +
         |  greatest(list_dot_product(t.d1, q.q2), list_dot_product(t.d2, q.q2)) AS sc
@@ -1009,7 +1092,7 @@ object EndpointQueries {
         |ORDER BY kind, val""".stripMargin,
     "collection_group_by" -> groupByLabelLookupSql,
     "collection_search_groups_legacy" -> groupByLabelLookupSql,
-    "collection_recommend_groups_legacy" -> groupRecommendSql,
+    "collection_recommend_groups_legacy" -> groupRecommendExclSql,
     "collection_group_lookup_select" ->
       """WITH pts AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
         |                    e.label::VARCHAR AS gv

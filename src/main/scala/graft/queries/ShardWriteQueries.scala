@@ -92,11 +92,57 @@ object ShardWriteQueries {
           graft.storage.UpdateOp.Upsert(
             seedRows(s).filter(col("id") === 1L)
               .select(col("id"), col("vector"), col("payload"))))),
-          "Shard key not specified")))
+          "Shard key not specified")),
+        // a NON-NUMERIC wire shard key on an INT-sharded collection
+        // surfaces as the wire-shaped bad request, not a raw
+        // NumberFormatException (the reference validates shard-key types
+        // at the API layer)
+        ("int_shard_non_numeric", {
+          val intSchema = StructType(Seq(
+            StructField("id", LongType), StructField("vector", ArrayType(FloatType)),
+            StructField("payload", StringType), StructField("shard_key", LongType)))
+          val intRows = java.util.Arrays.asList(
+            Row(1L, Array(1.0f, 0.0f, 0.0f, 0.0f), """{"tag":"x"}""", 10L),
+            Row(2L, Array(0.0f, 1.0f, 0.0f, 0.0f), """{"tag":"x"}""", 20L))
+          val intColl = Collection.create(s, "/tmp/graft_runtime/shardw_int",
+            shardCfg, s.createDataFrame(intRows, intSchema))
+          val bad = rejects(graft.api.UpdateBridge.applyJson(intColl,
+            """{"operations": [{"upsert": {"points": [
+              |  {"id": 3, "vector": [1.0, 0.0, 0.0, 0.0], "shard_key": "a"}]}}]}"""
+              .stripMargin),
+            "Bad request: Shard key a is not a number")
+          // a NUMERIC wire key on the int-sharded table must land in its
+          // partition (the coercion handles the inferred IntegerType
+          // partition column — a String leak would silently corrupt it)
+          graft.api.UpdateBridge.applyJson(intColl,
+            """{"operations": [{"upsert": {"points": [
+              |  {"id": 3, "vector": [0.5, 0.5, 0.0, 0.0], "shard_key": 10}]}}]}"""
+              .stripMargin)
+          val scoped = intColl.scroll(
+            """{"limit": 100, "with_payload": false, "shard_key": 10}""")
+            .collect().map(_.getLong(0)).sorted.toSeq
+          (bad._1 && scoped == Seq(1L, 3L), bad._2)
+        }))
       // the failed ops must not have mutated the table
       val intact = coll.read().count() == 4L && plain.read().count() == 4L
       rows.map { case (n, (rej, msg)) => (n, rej, msg, intact) }
         .toDF("check_name", "rejected", "msg_ok", "table_intact")
+    }),
+    // Delete-selector precedence: `PointsSelector` is serde-UNTAGGED with
+    // the id-list variant FIRST (`point_ops.rs:19-26`), so a body carrying
+    // BOTH `points` and `filter` deletes BY IDS (the extra field is
+    // ignored) — the trap arm is a filter matching OTHER points that must
+    // all survive.
+    "api_delete_points_precedence" -> ((s, dir) => {
+      val coll = freshColl(s, "shardw_delprec")
+      graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [{"delete": {
+          |  "points": [1],
+          |  "filter": {"must": [{"key": "tag", "match": {"value": "x"}}]}
+          |}}]}""".stripMargin)
+      coll.read().select(col("id"),
+          get_json_object(col("payload"), "$.tag").as("tag"))
+        .orderBy(col("id"))
     }),
     // Vector DIMENSION validation (`OperationError::WrongVectorDimension`,
     // `operation_error.rs:24`; `test_vector_dimension_validation.py`, the
@@ -243,12 +289,18 @@ object ShardWriteQueries {
       val before = coll.rewriteCount
       val dropped = coll.shardsDelete("""{"shard_key": "a"}""")
       val zeroRewrites = coll.rewriteCount == before
+      // a DECLARED key with no data yet still drops successfully (the
+      // registry entry is the key's existence; data directories are
+      // incidental) and the registry retires it
+      coll.shardsPut("""{"shard_key": "d"}""")
+      val droppedEmpty = coll.shardsDelete("""{"shard_key": "d"}""")
       val keysNow = coll.listShardKeys().get.map(_.toString).sorted.mkString(",")
       val survivors = coll.read().select("id").collect()
         .map(_.getLong(0)).sorted.mkString(",")
-      Seq((rejD, msgD, rejDup, msgDup, dropped, zeroRewrites, keysNow, survivors))
+      Seq((rejD, msgD, rejDup, msgDup, dropped, droppedEmpty, zeroRewrites,
+          keysNow, survivors))
         .toDF("rej_undeclared", "msg_undeclared", "rej_dup", "msg_dup",
-          "dropped", "zero_rewrites", "keys_now", "survivor_ids")
+          "dropped", "dropped_empty", "zero_rewrites", "keys_now", "survivor_ids")
     }),
     // Shard-scoped `exact: false` count (VERDICT r11 #3): the shard-key
     // partition column rides the `_fieldstats` sidecar (one per-key count
@@ -309,8 +361,15 @@ object ShardWriteQueries {
         |  ('missing_key', true, true, true),
         |  ('non_sharded', true, true, true),
         |  ('multi_key_body', true, true, true),
-        |  ('typed_missing_column', true, true, true))
+        |  ('typed_missing_column', true, true, true),
+        |  ('int_shard_non_numeric', true, true, true))
         |AS t(check_name, rejected, msg_ok, table_intact)""".stripMargin,
+    // ids win over the stray filter: only point 1 deleted; 2/11/12 (all
+    // tag=x, matching the filter) survive
+    "api_delete_points_precedence" ->
+      """SELECT * FROM (VALUES
+        |  (2::BIGINT, 'x'), (11::BIGINT, 'x'), (12::BIGINT, 'x'))
+        |AS t(id, tag)""".stripMargin,
     "api_vector_dim_validation" ->
       """SELECT * FROM (VALUES
         |  ('upsert_wrong_dim', true, true, true),
@@ -344,7 +403,7 @@ object ShardWriteQueries {
     "shard_key_lifecycle" ->
       """SELECT true AS rej_undeclared, true AS msg_undeclared,
         |  true AS rej_dup, true AS msg_dup, true AS dropped,
-        |  true AS zero_rewrites, 'b,c' AS keys_now,
+        |  true AS dropped_empty, true AS zero_rewrites, 'b,c' AS keys_now,
         |  '11,12,21' AS survivor_ids""".stripMargin,
     // per-tenant exact count: shard "a" holds label % 3 == 0 (the fixture
     // maps label % 3 → a/b/c)

@@ -148,7 +148,11 @@ object SparseQueries {
         a.foldLeft(0.0) { case (acc, (i, v)) => acc + v * bm.getOrElse(i, 0.0) }
       }
       val q = e(7L)
+      // the by-id example is excluded from the candidate fetch (ref
+      // `collection_query.rs:701-705`): the greedy derivation drops id 7
+      // like the engine's injected must_not HasId(7) does
       val cands = e.toSeq
+        .filter { case (id, _) => id != 7L }
         .map { case (id, v) => (id, dot(v, q)) }
         .filter { case (id, _) => e(id).exists(p => q.exists(_._1 == p._1)) }
         .map { case (id, sc) =>
@@ -174,6 +178,54 @@ object SparseQueries {
       Seq((res.length, gotIds == expectIds,
         res.map(_.getInt(2)).toSeq == (1 to res.length)))
         .toDF("n", "ids_match_greedy", "positions_ok")
+    }),
+    // Referenced-id EXCLUSION (`exclude_referenced_ids`,
+    // `collection_query.rs:523-531`, applied at `:701-705`; asserted by
+    // `test_query_full.py:146-160` — "id 2 is excluded"): every query whose
+    // vector inputs name points of the searched collection merges
+    // `must_not HasId(referenced ids)` into the filter — root AND nested
+    // prefetch ids, dense AND sparse, every scoring family. Each arm runs
+    // the wire body and asserts the example ids are ABSENT from the
+    // results (and that the page still fills from the remaining points).
+    "api_query_by_id_excludes_self" -> ((s, dir) => {
+      import s.implicits._
+      val coll = sparseColl(s, dir)
+      def arm(name: String, json: String, ids: Set[Long]): (String, Boolean, Long) = {
+        val got = coll.query(json).collect().map(_.getLong(0)).toSeq
+        (name, got.forall(id => !ids.contains(id)), got.length.toLong)
+      }
+      Seq(
+        arm("bare_id_dense", """{"query": 7, "limit": 10}""", Set(7L)),
+        arm("nearest_obj_dense",
+          """{"query": {"nearest": 7}, "limit": 10}""", Set(7L)),
+        arm("recommend_dense",
+          """{"query": {"recommend": {"positive": [1, 2], "negative": [4]}},
+            |  "limit": 10}""".stripMargin, Set(1L, 2L, 4L)),
+        arm("discover_dense",
+          """{"query": {"discover": {"target": 5,
+            |  "context": [{"positive": 10, "negative": 20}]}},
+            |  "limit": 10}""".stripMargin, Set(5L, 10L, 20L)),
+        arm("context_dense",
+          """{"query": {"context": [{"positive": 10, "negative": 20}]},
+            |  "limit": 10}""".stripMargin, Set(10L, 20L)),
+        arm("mmr_dense",
+          """{"query": {"nearest": 7,
+            |  "mmr": {"diversity": 0.5, "candidates_limit": 30}},
+            |  "limit": 10}""".stripMargin, Set(7L)),
+        // nested prefetch ids are collected too — BOTH 7 and 42 vanish
+        // from the fused result (the injected must_not rides the root
+        // filter, which propagates into every prefetch leaf)
+        arm("prefetch_nested",
+          """{"prefetch": [
+            |    {"query": {"nearest": 7}, "limit": 20},
+            |    {"query": {"nearest": 42}, "limit": 20}],
+            |  "query": {"rrf": {}}, "limit": 20}""".stripMargin, Set(7L, 42L)),
+        arm("bare_id_sparse",
+          """{"query": 7, "using": "txt", "limit": 10}""", Set(7L)),
+        arm("recommend_sparse",
+          """{"query": {"recommend": {"positive": [7, 11]}},
+            |  "using": "txt", "limit": 10}""".stripMargin, Set(7L, 11L)))
+        .toDF("arm", "examples_absent", "n")
     }),
     // By-id resolution failure parity (`test_query_full.py:1428-1444`,
     // issue #5208 panic regression): a missing POINT raises the
@@ -755,7 +807,15 @@ object SparseQueries {
         |  (1::BIGINT, 3.0::DOUBLE, 'sparse'),
         |  (2::BIGINT, 3.0::DOUBLE, 'sparse')) AS t(id, score, space)""".stripMargin,
     "recommend_sparse_avg" -> recommendSparseAvgSql,
-    "api_recommend_sparse_ids" -> recommendSparseAvgSql,
+    // wire by-id examples are EXCLUDED from the results (`exclude_
+    // referenced_ids`, `collection_query.rs:523-531`); the hand-built
+    // `recommend_sparse_avg` twin takes raw vectors, so only this entry
+    // carries the NOT IN
+    "api_recommend_sparse_ids" ->
+      recommendSparseAvgSql.replace("WHERE len(",
+        "WHERE e.vec_id NOT IN (7, 11, 4) AND len("),
+    // lookup_from ids live in the FOREIGN collection — correctly NOT
+    // excluded (the reference exempts lookup ids), so the shared raw SQL
     "recommend_lookup_from_sparse" -> recommendSparseAvgSql,
     "api_query_nearest_sparse_id" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
@@ -764,7 +824,8 @@ object SparseQueries {
         |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
         |         THEN e.embedding[i]::DOUBLE * q.v[i] ELSE 0.0 END)), 6) AS score
         |FROM embeddings e, q
-        |WHERE len(list_filter(range(1, 65), i ->
+        |WHERE e.vec_id <> 7
+        |  AND len(list_filter(range(1, 65), i ->
         |    e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10)
         |SELECT vec_id, score, 'bare_id' AS form FROM hits
@@ -772,6 +833,18 @@ object SparseQueries {
         |SELECT vec_id, score, 'nearest_obj' AS form FROM hits""".stripMargin,
     "api_query_mmr_sparse" ->
       "SELECT 8 AS n, true AS ids_match_greedy, true AS positions_ok",
+    "api_query_by_id_excludes_self" ->
+      """SELECT * FROM (VALUES
+        |  ('bare_id_dense', true, 10::BIGINT),
+        |  ('nearest_obj_dense', true, 10::BIGINT),
+        |  ('recommend_dense', true, 10::BIGINT),
+        |  ('discover_dense', true, 10::BIGINT),
+        |  ('context_dense', true, 10::BIGINT),
+        |  ('mmr_dense', true, 10::BIGINT),
+        |  ('prefetch_nested', true, 20::BIGINT),
+        |  ('bare_id_sparse', true, 10::BIGINT),
+        |  ('recommend_sparse', true, 10::BIGINT))
+        |AS t(arm, examples_absent, n)""".stripMargin,
     "api_query_by_id_errors" ->
       """SELECT * FROM (VALUES
         |  ('missing_point_dense', true, true),
@@ -815,7 +888,10 @@ object SparseQueries {
         |  ORDER BY score DESC, vec_id ASC LIMIT 10)
         |SELECT * FROM plain UNION ALL SELECT * FROM weighted""".stripMargin,
     "sparse_struct_idf" -> sparseStructIdfSql,
-    "api_recommend_sparse_idf" -> sparseStructIdfSql,
+    // the wire twin resolves positive [7] BY ID → 7 itself is excluded
+    "api_recommend_sparse_idf" ->
+      sparseStructIdfSql.replace("WHERE len(",
+        "WHERE e.vec_id <> 7 AND len("),
     "api_discover_sparse" ->
       """WITH t AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=7),
         |p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id=11),
@@ -831,7 +907,8 @@ object SparseQueries {
         |    CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND n1.v[i] > 0.25
         |         THEN e.embedding[i]::DOUBLE * n1.v[i] ELSE 0.0 END)) AS sn1
         |  FROM embeddings e, t, p1, n1
-        |  WHERE len(list_filter(range(1, 65), i -> e.embedding[i]::DOUBLE > 0.25
+        |  WHERE e.vec_id NOT IN (7, 11, 4)
+        |    AND len(list_filter(range(1, 65), i -> e.embedding[i]::DOUBLE > 0.25
         |        AND (t.v[i] > 0.25 OR p1.v[i] > 0.25 OR n1.v[i] > 0.25))) > 0)
         |SELECT vec_id,
         |  round((CASE WHEN sp1 > sn1 THEN 1 WHEN sp1 < sn1 THEN -1 ELSE 0 END)::DOUBLE
@@ -860,7 +937,8 @@ object SparseQueries {
         |           THEN e.embedding[i]::DOUBLE * n2.v[i] ELSE 0.0 END))
         |  - 1.1920928955078125e-07, 0) AS d2
         |  FROM embeddings e, p1, n1, p2, n2
-        |  WHERE len(list_filter(range(1, 65), i -> e.embedding[i]::DOUBLE > 0.25
+        |  WHERE e.vec_id NOT IN (7, 4, 11, 20)
+        |    AND len(list_filter(range(1, 65), i -> e.embedding[i]::DOUBLE > 0.25
         |        AND (p1.v[i] > 0.25 OR n1.v[i] > 0.25
         |          OR p2.v[i] > 0.25 OR n2.v[i] > 0.25))) > 0)
         |SELECT vec_id,

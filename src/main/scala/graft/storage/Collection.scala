@@ -675,7 +675,19 @@ final class Collection(
         val s = row.getStruct(0)
         (s.getSeq[Int](0).toSeq, s.getSeq[Float](1).toSeq.map(_.toDouble))
       },
-      shardKeyField = config.shardKeyCol)
+      shardKeyField = config.shardKeyCol,
+      // this collection's catalog name (the Catalog lays data out as
+      // `collections/<name>/points`; a standalone collection's name is its
+      // directory) — a `lookup_from` naming the SAME collection still
+      // excludes its referenced ids from the results, exactly like the
+      // reference's `lookup_collection != collection_name` comparison
+      // (`collection_query.rs:552-556`)
+      collectionName = {
+        val segs = path.stripSuffix("/").split('/').filter(_.nonEmpty)
+        segs.lastOption.map(last =>
+          if (last == "points" && segs.length >= 2) segs(segs.length - 2)
+          else last)
+      })
   }
 
   /** By-id example resolve with the reference's error shapes
@@ -756,13 +768,17 @@ final class Collection(
     }
   }
 
-  private def executeParsed(q: graft.ops.PointQuery.Query): DataFrame = {
+  private def executeParsed(q0: graft.ops.PointQuery.Query): DataFrame = {
     import graft.ops.PointQuery
     // strict-mode gate BEFORE execution (`query_api.rs:31-110`,
     // `operations/verification/`): the declared collection limits reject
-    // over-limit requests with the reference's 403 semantics
+    // over-limit requests with the reference's 403 semantics. Runs on the
+    // PRE-exclusion query — the injected referenced-id `must_not HasId`
+    // does not count against the user's filter_max_conditions (the
+    // reference injects after verification, `collection_query.rs:701-705`).
     config.strictMode.foreach(sm =>
-      graft.api.StrictMode.verifyQuery(q, sm, config.payloadTypes.keySet))
+      graft.api.StrictMode.verifyQuery(q0, sm, config.payloadTypes.keySet))
+    val q = PointQuery.resolveExclusion(q0)
     (q.scoring, q.prefetches) match {
       case (PointQuery.Nearest(vcol, _, qv), Nil)
           if config.vectors.exists(vc =>
@@ -1015,7 +1031,68 @@ final class Collection(
           }
         }
       }
-    snapServed.getOrElse {
+    // `exact: false` WITH a filter: per-value ESTIMATES from the same
+    // statistics snapshot instead of the exact scan — the estimator analog
+    // of the reference's approximate facet (`local_shard/facet.rs:23-95`
+    // serves per-segment index counts without a collection scan; the exact
+    // path counts `filter ∧ Match(value)` per head value, `:120-127` —
+    // here that per-value count is `estimate(filter ∧ key=v).exp`). Zero
+    // Spark jobs warm: both the value set and every estimate come from the
+    // driver-side sidecar. Served only when the key's value set is
+    // COMPLETE in the sidecar (`tailUnique == 0` — an unseen tail value
+    // could out-rank the head under the filter) and the key is typed;
+    // anything else falls to the exact scan (the reference only promises
+    // `exact: false` MAY be cheaper, never that it must be).
+    val filteredEstimate: Option[DataFrame] =
+      if (spec.exact || spec.filter.isEmpty) None
+      else {
+        import org.apache.spark.sql.types._
+        val snap = fieldStats
+        def elemType(t: DataType): DataType = t match {
+          case ArrayType(e, _) => e
+          case other => other
+        }
+        val render: Option[DataType] =
+          if (snap.stringTyped.contains(spec.key)) Some(StringType)
+          else if (snap.boolTyped.contains(spec.key)) Some(BooleanType)
+          else if (snap.intTyped.contains(spec.key))
+            config.payloadTypes.get(spec.key).map(elemType)
+              .filter(t => t == LongType || t == IntegerType)
+          else None
+        render.flatMap { t =>
+          snap.values.get(spec.key).filter(_.tailUnique == 0L).map { vs =>
+            import spark.implicits._
+            def typed(v: String): Any = t match {
+              case BooleanType => v.toBoolean
+              case LongType | IntegerType => v.toLong
+              case _ => v
+            }
+            val est = vs.counts.keys.toSeq.map { v =>
+              val merged = graft.model.Filter.mergeOpts(spec.filter,
+                Some(graft.model.Filter(must =
+                  Seq(graft.model.MatchValue(spec.key, typed(v)))))).get
+              v -> graft.filters.Cardinality.estimateFilter(merged, snap).exp
+            }.filter(_._2 > 0L)
+            val sorted = t match {
+              case BooleanType => est.sortBy { case (v, c) => (-c, v.toBoolean) }
+              case LongType | IntegerType =>
+                est.sortBy { case (v, c) => (-c, v.toLong) }
+              case _ => est.sortBy { case (v, c) => (-c, v) }
+            }
+            val sel = sorted.take(spec.limit)
+            t match {
+              case BooleanType =>
+                sel.map { case (v, c) => (v.toBoolean, c) }.toDF("value", "cnt")
+              case LongType =>
+                sel.map { case (v, c) => (v.toLong, c) }.toDF("value", "cnt")
+              case IntegerType =>
+                sel.map { case (v, c) => (v.toInt, c) }.toDF("value", "cnt")
+              case _ => sel.toDF("value", "cnt")
+            }
+          }
+        }
+      }
+    snapServed.orElse(filteredEstimate).getOrElse {
       val df = read()
       graft.ops.Reads.facet(df, config.idCol, spec.key, spec.filter,
         resolver(df), spec.limit)
@@ -1135,12 +1212,16 @@ final class Collection(
     val spec = graft.api.RequestCodec.parseGroupRequest(json, gctx)
     config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyQuery(spec.query, sm, config.payloadTypes.keySet))
+    // referenced-id exclusion applies to grouped queries like any other —
+    // a recommend-by-id groups request whose examples cover every point
+    // must yield ZERO groups (`test_query_full.py:993-1010`)
+    val gq = PointQuery.resolveExclusion(spec.query)
     val df = readDecoded()
     // any scorable leaf can group (reference `query/groups` accepts the
     // full query surface: nearest / recommend / discover / context /
     // order_by — `test_query_full.py` test_{recommend,discover,order_by}
     // _group); order_by roots rank by the payload field itself
-    val (scoreExpr, largerBetter) = spec.query.scoring match {
+    val (scoreExpr, largerBetter) = gq.scoring match {
       case PointQuery.OrderByField(field, asc, _) =>
         val obCol =
           if (df.columns.contains(s"idx_$field")) col(s"idx_$field")
@@ -1155,7 +1236,7 @@ final class Collection(
       case s => graft.ops.PointQuery.scoringExpr(s)
     }
     val grouped = graft.ops.GroupBy.groupBySearch(df, config.idCol, scoreExpr,
-      largerBetter, spec.groupBy, resolver(df), spec.query.filter,
+      largerBetter, spec.groupBy, resolver(df), gq.filter,
       spec.groupSize, spec.groups, keepGroupRank = true)
     val looked = spec.lookupCollection match {
       case None => grouped
@@ -1436,6 +1517,11 @@ final class Collection(
     if (!keys.contains(key)) throw new IllegalArgumentException(
       s"Not found: Shard key $key not found")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // Retire the key from the registry FIRST: a failure mid-drop then
+    // leaves an undeclared key with orphan data (re-creatable, and its
+    // directories are re-droppable) rather than a declared key whose data
+    // is gone — the safer inconsistency.
+    writeShardKeys(keys.filterNot(_ == key))
     // partition directories are named <col>=<escaped value>; match on the
     // unescaped tail so simple and escaped names both resolve
     val base = new org.apache.hadoop.fs.Path(path)
@@ -1448,12 +1534,13 @@ final class Collection(
       }
     }
     victims.foreach(st => fs.delete(st.getPath, true))
-    writeShardKeys(keys.filterNot(_ == key))
     fieldStatsCache = None
     fs.delete(fieldStatsPath, false)
     sparseIdfCache = None
     refreshSparseIdfStats()
-    victims.nonEmpty
+    // the key WAS declared (the not-found guard above) — report the drop
+    // as applied even when no data had landed under it yet
+    true
   }
 
   /** Wire handlers for the shards routes: PUT body `{"shard_key": k}`,

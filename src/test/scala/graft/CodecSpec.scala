@@ -136,6 +136,71 @@ class CodecSpec extends AnyFunSuite {
     assert(q2.prefetches.head.scoring == Nearest("embedding", Dot, Seq(9.0, 9.0)))
   }
 
+  test("query: referenced ids collect as excludeIds — root, nested, lookup_from exemption") {
+    // `exclude_referenced_ids` (`collection_query.rs:523-531,701-705`):
+    // every same-collection id resolved as a vector input lands in
+    // Query.excludeIds (kept out of the filter until resolveExclusion so
+    // strict mode counts only user conditions)
+    val q = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": 7}, "limit": 3}""", ctx)
+    assert(q.excludeIds == Seq(7L))
+    assert(q.filter.isEmpty)
+    val r = PointQuery.resolveExclusion(q)
+    assert(r.excludeIds.isEmpty)
+    assert(r.filter.get.mustNot == Seq(HasId(Seq(7L))))
+    // nested prefetch ids collect into the ROOT's excludeIds
+    val nested = RequestCodec.parseQueryRequest(
+      """{"prefetch": [{"query": {"nearest": 7}, "limit": 5}],
+        |  "query": {"rrf": {}}, "limit": 3}""".stripMargin, ctx)
+    assert(nested.excludeIds == Seq(7L))
+    assert(nested.prefetches.head.excludeIds.isEmpty)
+    // a FOREIGN lookup_from exempts its ids; the SAME collection (by
+    // name) does not (`lookup_collection != collection_name`,
+    // `collection_query.rs:552-556`)
+    val lctx = Ctx(
+      spaces = Map("" -> VectorSpace("embedding", Dot)),
+      resolveId = { case (_, _) => Left(Seq(1.0, 2.0)) },
+      resolveLookup = (_, _) => Left(Seq(9.0, 9.0)),
+      collectionName = Some("self"))
+    val foreign = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": 7},
+        |  "lookup_from": {"collection": "other"}, "limit": 3}""".stripMargin, lctx)
+    assert(foreign.excludeIds.isEmpty)
+    val same = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": 7},
+        |  "lookup_from": {"collection": "self"}, "limit": 3}""".stripMargin, lctx)
+    assert(same.excludeIds == Seq(7L))
+  }
+
+  test("lookup_from without a vector falls back to the node's `using` name — dense AND sparse") {
+    // `get_lookup_vector_name` (`retrieve_request_trait.rs:117-125`):
+    // `LookupLocation.vector` falls back to the REQUEST's vector name, so
+    // `{"using": "x", "lookup_from": {"collection": "q"}}` resolves the
+    // foreign collection's "x" space, not its default unnamed vector
+    var denseSeen: Option[Option[String]] = None
+    var sparseSeen: Option[Option[String]] = None
+    val fctx = Ctx(
+      spaces = Map("x" -> VectorSpace("vector_x", Dot),
+        "tok" -> VectorSpace("sparse_tok", Dot, sparse = true)),
+      resolveLookup = (lf, _) => { denseSeen = Some(lf.vector); Left(Seq(1.0, 2.0)) },
+      resolveSparseLookup = (lf, _) => {
+        sparseSeen = Some(lf.vector); (Seq(0), Seq(1.0)) })
+    RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": 7}, "using": "x",
+        |  "lookup_from": {"collection": "q"}, "limit": 3}""".stripMargin, fctx)
+    assert(denseSeen == Some(Some("x")))
+    RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": 7}, "using": "tok",
+        |  "lookup_from": {"collection": "q"}, "limit": 3}""".stripMargin, fctx)
+    assert(sparseSeen == Some(Some("tok")))
+    // an EXPLICIT lookup vector still wins over the fallback
+    RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": 7}, "using": "x",
+        |  "lookup_from": {"collection": "q", "vector": "other"}, "limit": 3}"""
+        .stripMargin, fctx)
+    assert(denseSeen == Some(Some("other")))
+  }
+
   test("query: multi-dense matrix becomes MaxSim (the only multivector comparator)") {
     val q = RequestCodec.parseQueryRequest(
       """{"query": [[0.1, 0.2], [0.3, 0.4]]}""", ctx)

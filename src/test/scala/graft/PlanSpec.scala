@@ -43,6 +43,28 @@ class PlanSpec extends SparkTestBase {
       "column pruning failed:\n" + p)
   }
 
+  test("referenced-id exclusion folds into the scan predicate — no extra exchange") {
+    // the injected `must_not HasId(7)` (`exclude_referenced_ids`) compiles
+    // to a NOT-isin conjunct on the id column: it must reach the parquet
+    // scan as a pushed Not(In/EqualTo) filter and add ZERO exchanges vs the
+    // raw-vector plan — same TakeOrderedAndProject shape
+    import graft.api.RequestCodec
+    import graft.api.RequestCodec.{Ctx, VectorSpace}
+    import graft.ops.PointQuery
+    val e = Tables.load(spark, sf, "embeddings")
+    val ctx = Ctx(Map("" -> VectorSpace("embedding", Dot)),
+      resolveId = (_, _) => Left(Tables.embeddingOf(spark, sf, 7L)))
+    val q = RequestCodec.parseQueryRequest("""{"query": 7, "limit": 10}""", ctx)
+    val df = PointQuery.execute(spark, e, "vec_id",
+      new graft.filters.TypedResolver(e.schema, "vec_id"), q)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("Not(EqualTo(vec_id,7))") || p.contains("Not(In(vec_id"),
+      "exclusion not pushed to the scan:\n" + p.take(1500))
+    assert(!p.contains("Exchange"),
+      "exclusion added an exchange:\n" + p.take(1500))
+  }
+
   test("batch knn broadcasts the query side") {
     val e = Tables.load(spark, sf, "embeddings")
     val qs = e.filter(col("vec_id") < 3)

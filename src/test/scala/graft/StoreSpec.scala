@@ -689,6 +689,46 @@ class StoreSpec extends SparkTestBase {
       graft.filters.Cardinality.CardEst(1L, 1L, 1L))
   }
 
+  test("filtered exact=false facet serves per-value estimates with ZERO Spark jobs warm") {
+    import spark.implicits._
+    val path = tmpDir()
+    // city has 3 complete head values; hot is the filter dimension
+    val c = Collection.create(spark, path, cfg.copy(payloadTypes =
+      Map("city" -> org.apache.spark.sql.types.StringType,
+        "hot" -> org.apache.spark.sql.types.BooleanType)), Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), """{"city":"Berlin","hot":true}"""),
+      (2L, Seq(0f, 1f, 0f, 0f), """{"city":"Berlin","hot":false}"""),
+      (3L, Seq(0f, 0f, 1f, 0f), """{"city":"London","hot":true}"""),
+      (4L, Seq(0f, 0f, 0f, 1f), """{"city":"Moscow","hot":true}"""),
+    ).toDF("id", "vector", "payload"))
+    val body = """{"key": "city", "limit": 3,
+                 |  "filter": {"must": [{"key": "hot",
+                 |    "match": {"value": true}}]}}""".stripMargin
+    // cold call builds the sidecar; per-value estimate = round(n·cv/n·cf/n)
+    val cold = c.facet(body).collect().map(r => (r.getString(0), r.getLong(1)))
+    // n=4, cf=3: Berlin round(2*3/4)=2, London/Moscow round(1*3/4)=1
+    assert(cold.toSet == Set(("Berlin", 2L), ("London", 1L), ("Moscow", 1L)),
+      cold.mkString(","))
+    val warm = new Collection(spark, path, c.config)
+    warm.facet(body).collect() // warm the fresh instance's sidecar read
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val again = warm.facet(body)
+      // the frame is a driver-local relation: materializing it must not
+      // launch any distributed work
+      assert(again.collect().length == 3)
+      Thread.sleep(1500) // listener bus drain window
+      assert(jobs.get() == 0,
+        s"warm filtered facet estimate ran ${jobs.get()} Spark jobs (expected 0)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("sparse MMR under an IDF modifier weights the relevance like its prefetch") {
     import spark.implicits._
     // dim 0 is common (df=3, low idf), dim 1 rare (df=1, high idf);
@@ -789,12 +829,23 @@ class StoreSpec extends SparkTestBase {
       assert(jobs.get() == 0,
         s"warm facet estimate ran ${jobs.get()} Spark jobs (expected 0)")
     } finally spark.sparkContext.removeSparkListener(listener)
-    // filtered / non-string keys fall back to the scan (still correct)
-    val filtered = c.facet(
+    // filtered exact=false serves per-value ESTIMATES (approximate by
+    // contract, like the reference's approx_facet); exact:true keeps the
+    // scan's true counts
+    val filteredExact = c.facet(
+      """{"key": "city", "limit": 3, "exact": true,
+        |  "filter": {"must": [{"key": "price", "range": {"gte": 15.0}}]}}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(filteredExact == Seq("Berlin" -> 1L, "London" -> 1L, "Moscow" -> 1L))
+    val filteredEst = c.facet(
       """{"key": "city", "limit": 3,
         |  "filter": {"must": [{"key": "price", "range": {"gte": 15.0}}]}}""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(filtered == Seq("Berlin" -> 1L, "London" -> 1L, "Moscow" -> 1L))
+    // independence product: round(n·(cv/n)·(cf/n)) with n=4, cf≈3 (hist)
+    assert(filteredEst.map(_._1) == Seq("Berlin", "London", "Moscow"))
+    // estimates stay within [0, cv] and the true count is in the band
+    assert(filteredEst.forall { case (_, c2) => c2 >= 1L && c2 <= 2L },
+      filteredEst.mkString(","))
   }
 
   test("facet exact=false serves INTEGER and BOOL keys typed from the sidecar, zero jobs warm") {

@@ -341,6 +341,24 @@ class WireOpModelSpec extends SparkTestBase {
       assert(real == want,
         s"seed $i (sharded=$sharded) diverged:\n json=$json\n " +
           s"real=${real.toSeq.sortBy(_._1)}\n want=${want.toSeq.sortBy(_._1)}")
+      // standing by-id exclusion property (not a fixture): whatever state
+      // the random batch left behind, a `{"query": <live id>}` NEVER
+      // returns the referenced point itself — the reference merges
+      // `must_not HasId(id)` into the filter (`exclude_referenced_ids`,
+      // `collection_query.rs:523-531,701-705`; `test_query_full.py:160`) —
+      // and the page still fills from the remaining vectors.
+      val live = m.collect { case (id, pt) if pt.vector.isDefined => id }
+        .toSeq.sorted
+      val othersWithVec = live.size - 1
+      live.headOption.foreach { id =>
+        val got = c.query(s"""{"query": $id, "limit": 8}""")
+          .collect().map(_.getLong(0)).toSeq
+        assert(!got.contains(id),
+          s"seed $i (sharded=$sharded): by-id query for $id returned itself")
+        assert(got.length == math.min(8, othersWithVec),
+          s"seed $i (sharded=$sharded): by-id query for $id returned " +
+            s"${got.length} rows, expected ${math.min(8, othersWithVec)}")
+      }
     }
 
   test("wire batches on a plain collection match the driver model (30 sequences)") {
