@@ -215,7 +215,10 @@ object RequestCodec {
     if ((o \ "is_null") == JBool(true)) parts += IsNullCond(key)
     parts.result() match {
       case Seq(single) => single
-      case Seq() => fail(s"field condition on '$key' has no sub-condition")
+      // a bare `{"key": k}` with no sub-check is malformed — the
+      // reference 422s with this message (`test_filter.py::test_just_key`)
+      case Seq() => fail("Validation error in JSON body: " +
+        s"At least one field condition must be specified (key '$key')")
       case many => SubFilter(Filter(must = many))
     }
   }
@@ -1033,19 +1036,27 @@ object RequestCodec {
         if (flags.isPrincipal &&
             !Set("integer", "float", "datetime").contains(kind))
           fail(s"is_principal is not supported for the '$kind' index type")
+        val lowercaseOpt = (s \ "lowercase") match {
+          case JBool(b) => b; case _ => true
+        }
         val text =
           if (kind != "text") None
           else Some(graft.model.TextIndexConfig(
             tokenizer = (s \ "tokenizer") match {
               case JString(t) => t; case _ => "word"
             },
-            lowercase = (s \ "lowercase") match {
-              case JBool(b) => b; case _ => true
-            },
+            lowercase = lowercaseOpt,
             asciiFolding = (s \ "ascii_folding") match {
               case JBool(b) => b; case _ => false
             },
-            stopwords = stopwordsOf(s \ "stopwords"),
+            // custom stopwords fold to lowercase ONLY when the analyzer
+            // lowercases (`StopwordsFilter::add_stopword` — with
+            // `lowercase: false` the set is stored VERBATIM and matching
+            // is case-sensitive, the issue #8724 regression contract)
+            stopwords =
+              if (lowercaseOpt)
+                stopwordsOf(s \ "stopwords").map(_.toLowerCase).distinct.sorted
+              else stopwordsOf(s \ "stopwords"),
             stemmerLang = (s \ "stemmer") match {
               case st: JObject if (st \ "type") == JString("snowball") =>
                 Some(str(st \ "language").toLowerCase)

@@ -246,26 +246,31 @@ final class FilterCompiler(
     case MatchExcept(k, vs) => anyValue(k, !_.isin(vs: _*))
     case MatchText(k, text) => textIndexes.get(k) match {
       case Some(cfg) =>
-        // ALL analyzed query tokens ∈ the analyzed value token set; an
-        // all-stopword query matches vacuously (no tokens to require)
+        // ALL analyzed query tokens ∈ the analyzed value token set. An
+        // EMPTY analyzed query (all stopwords) matches NOTHING — the
+        // reference's `TokenSet::has_subset` returns false on an empty
+        // subset (`inverted_index/mod.rs:66-71`; the issue #8724
+        // regression asserts a stopword-only MatchText returns zero hits)
         val qs = graft.functions.TextFunctions.analyzeQueryWith(text, cfg).distinct
-        // all-stopword query: vacuously true on any PRESENT value
-        if (qs.isEmpty) anyValue(k, _ => lit(true))
+        if (qs.isEmpty) lit(false)
         else anyValue(k, v => size(array_except(typedLit(qs),
           graft.functions.TextFunctions.analyzeWith(v, cfg))) === 0)
       case None =>
         val qs = text.split(" ").filter(_.nonEmpty)
-        anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ && _))
+        if (qs.isEmpty) lit(false)
+        else anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ && _))
     }
     case MatchTextAny(k, text) => textIndexes.get(k) match {
       case Some(cfg) =>
+        // empty analyzed query → false (`TokenSet::has_any`, same contract)
         val qs = graft.functions.TextFunctions.analyzeQueryWith(text, cfg).distinct
         if (qs.isEmpty) lit(false)
         else anyValue(k, v => arrays_overlap(typedLit(qs),
           graft.functions.TextFunctions.analyzeWith(v, cfg)))
       case None =>
         val qs = text.split(" ").filter(_.nonEmpty)
-        anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ || _))
+        if (qs.isEmpty) lit(false)
+        else anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ || _))
     }
     case MatchPhrase(k, text) =>
       // positions-based: consecutive token subsequence within ONE value
@@ -279,7 +284,10 @@ final class FilterCompiler(
         case None =>
           (text.split(" ").filter(_.nonEmpty).toSeq, (v: Column) => tokens(v))
       }
-      anyValue(k, v =>
+      // an empty analyzed phrase matches NOTHING (`check_phrase_match`
+      // bails false on an empty phrase, `inverted_index/mod.rs:137`)
+      if (phrase.isEmpty) lit(false)
+      else anyValue(k, v =>
         graft.functions.TextKernels.containsTokenSeqCol(toks0(v), phrase))
     case MatchPrefix(k, p) => anyValue(k, _.startsWith(p))
     case RangeCond(k, gt, gte, lt, lte) =>

@@ -23,6 +23,13 @@ object TextFunctions {
   def tokensWord(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
+  /** Case-PRESERVING word tokenizer — `Tokenizer::Word` with
+    * `lowercase: false`: the lowercase step is a separate analyzer option
+    * in the reference (issue #8724's regression pins that a mixed-case
+    * custom stopword set survives verbatim when lowercase is off). */
+  def tokensWordCased(text: Column): Column =
+    filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
   /** Prefix tokenizer (`Tokenizer::Prefix`): per word, all edge n-grams of
     * length `minGram..maxGram` — enables prefix-match via exact token
     * lookup (ref `data_types/index.rs:243-312`). */
@@ -105,7 +112,7 @@ object TextFunctions {
       case "multilingual" => tokensMultilingual(text)
       case "whitespace" =>
         if (c.lowercase) lowercaseTokens(tokensWs(text)) else tokensWs(text)
-      case _ => tokensWord(text)
+      case _ => if (c.lowercase) tokensWord(text) else tokensWordCased(text)
     }
     if (c.asciiFolding) t = asciiFold(t)
     if (c.stopwords.nonEmpty) t = dropStopwords(t, c.stopwords)
@@ -124,7 +131,8 @@ object TextFunctions {
         val t = text.split(" ", -1).toSeq
         if (c.lowercase) t.map(_.toLowerCase) else t
       case _ =>
-        text.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+        val base = if (c.lowercase) text.toLowerCase else text
+        base.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
     }
     if (c.asciiFolding)
       toks = toks.map(s => StemKernels.asciiFold(

@@ -585,6 +585,91 @@ object EndpointQueries {
           |    "collection": "queries", "vector": "vec", "shard_key": ["b"]},
           |  "limit": 10}""".stripMargin)
     }),
+    // `lookup_from` resolution-failure error parity
+    // (`test_query_full.py:353-553` — test_recommend_lookup_validations):
+    // a missing referenced id, a missing lookup COLLECTION, and a missing
+    // lookup VECTOR each reject with the reference's exact message, on the
+    // ROOT query and inside a NESTED prefetch alike.
+    "catalog_lookup_from_errors" -> ((s, dir) => {
+      import s.implicits._
+      val root = "/tmp/graft_runtime/cat_lkerr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = new graft.storage.Catalog(s, root)
+      val e = Tables.load(s, dir, "embeddings")
+      if (!cat.exists("base"))
+        cat.create("base", CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("", 64, Dot))),
+          e.select(col("vec_id"), col("embedding").as("vector")))
+      if (!cat.exists("lkv"))
+        cat.create("lkv", CollectionConfig(idCol = "qid",
+          vectors = Seq(VectorConfig("other", 64, Dot))),
+          e.filter(col("vec_id") < 3)
+            .select((col("vec_id") + 1).as("qid"),
+              col("embedding").as("vector_other")))
+      def check(json: String, expect: String): (Boolean, Boolean) =
+        try { cat.query("base", json); (false, false) }
+        catch { case ex: Exception =>
+          (true, Option(ex.getMessage).exists(_.contains(expect))) }
+      def body(lookupColl: String, vec: String, negative: String): String =
+        s"""{"query": {"recommend": {"positive": [1], "negative": [$negative]}},
+           |  "limit": 10,
+           |  "lookup_from": {"collection": "$lookupColl", "vector": "$vec"}}"""
+          .stripMargin
+      def nested(lookupColl: String, vec: String, negative: String): String =
+        s"""{"prefetch": [
+           |    {"query": {"recommend": {"positive": [1], "negative": [$negative]}},
+           |     "lookup_from": {"collection": "$lookupColl", "vector": "$vec"}}],
+           |  "query": {"fusion": "rrf"}, "limit": 10}""".stripMargin
+      Seq(
+        ("root_missing_id", check(body("lkv", "other", "2, 999"),
+          "Not found: No point with id 999 found")),
+        ("root_missing_collection", check(body("non-existing-collection", "other", "2"),
+          "Not found: Collection non-existing-collection not found")),
+        ("root_missing_vector", check(body("lkv", "non-existing-vector", "2"),
+          "Wrong input: Not existing vector name error: non-existing-vector")),
+        ("nested_missing_id", check(nested("lkv", "other", "2, 999"),
+          "Not found: No point with id 999 found")),
+        ("nested_missing_collection", check(nested("non-existing-collection", "other", "2"),
+          "Not found: Collection non-existing-collection not found")),
+        ("nested_missing_vector", check(nested("lkv", "non-existing-vector", "2"),
+          "Wrong input: Not existing vector name error: non-existing-vector")),
+        ("ok_control", check(body("lkv", "other", "2"), "")))
+        .map { case (n, (rej, ok)) => (n, rej, ok) }
+        .toDF("check_name", "rejected", "msg_ok")
+    }),
+    // `lookup_from` naming the SEARCHED collection itself: the reference
+    // only exempts ids from a DIFFERENT collection
+    // (`lookup_collection != collection_name`, `collection_query.rs:
+    // 552-556`) — a self-lookup_from still excludes the referenced id.
+    // Pinned through the catalog path (the collection name is the catalog
+    // directory), alongside a foreign-lookup control arm on the same data.
+    "catalog_lookup_from_self_excludes" -> ((s, dir) => {
+      import s.implicits._
+      val root = "/tmp/graft_runtime/cat_selfx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = new graft.storage.Catalog(s, root)
+      val e = Tables.load(s, dir, "embeddings")
+      if (!cat.exists("pts"))
+        cat.create("pts", CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("", 64, Dot))),
+          e.select(col("vec_id"), col("embedding").as("vector")))
+      if (!cat.exists("twin"))
+        cat.create("twin", CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("", 64, Dot))),
+          e.select(col("vec_id"), col("embedding").as("vector")))
+      // same-collection lookup: id 7 resolves from "pts" itself → excluded
+      val self = cat.query("pts",
+        """{"query": {"nearest": 7},
+          |  "lookup_from": {"collection": "pts"}, "limit": 10}""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      // foreign twin holds the SAME vectors under the SAME ids — id 7 is
+      // a twin id, exempt, so it ranks itself first (score 1.0 on Dot)
+      val foreign = cat.query("pts",
+        """{"query": {"nearest": 7},
+          |  "lookup_from": {"collection": "twin"}, "limit": 10}""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      Seq((!self.contains(7L), self.length.toLong,
+          foreign.headOption.contains(7L), foreign.length.toLong))
+        .toDF("self_excluded", "self_n", "foreign_includes", "foreign_n")
+    }),
     // query/groups with `lookup_from` THROUGH the catalog
     // (`QueryGroupsRequestInternal` carries lookup_from like the flat
     // query): the recommend example ids resolve against the SIBLING
@@ -826,6 +911,19 @@ object EndpointQueries {
     "collection_group_recommend_all_examples" ->
       "SELECT 0::BIGINT AS all_example_rows, true AS partial_only_remaining",
     "catalog_groups_lookup_from" -> groupRecommendSql,
+    "catalog_lookup_from_self_excludes" ->
+      """SELECT true AS self_excluded, 10::BIGINT AS self_n,
+        |  true AS foreign_includes, 10::BIGINT AS foreign_n""".stripMargin,
+    "catalog_lookup_from_errors" ->
+      """SELECT * FROM (VALUES
+        |  ('root_missing_id', true, true),
+        |  ('root_missing_collection', true, true),
+        |  ('root_missing_vector', true, true),
+        |  ('nested_missing_id', true, true),
+        |  ('nested_missing_collection', true, true),
+        |  ('nested_missing_vector', true, true),
+        |  ('ok_control', false, false))
+        |AS t(check_name, rejected, msg_ok)""".stripMargin,
     "collection_group_order_by" ->
       """WITH pts AS (SELECT e.vec_id AS id, d.n_chars, d.lang AS gv
         |             FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),

@@ -666,6 +666,44 @@ object TextQueries {
           fc.condition(MatchText("t", cafeQuery)).cast("int").as("m_cafe"))
         .orderBy(col("doc_id").asc)
     }),
+    // Custom-stopword case handling (the reference's issue #8724
+    // regression, `tests/openapi/test_stopwords.py`): with
+    // `lowercase: false` the custom stopword set is stored VERBATIM and
+    // token matching is case-sensitive — "lazy" is not a stopword even
+    // though "LAZY" is; with `lowercase: true` the set folds to lowercase
+    // at build (`StopwordsFilter::add_stopword`). A stopword-only query
+    // matches NOTHING (`TokenSet::has_subset` is false on empty).
+    "match_text_stopwords_case" -> ((s, dir) => {
+      import s.implicits._
+      import graft.api.RequestCodec
+      val src = Seq(
+        (1L, "The quick brown fox jumps over the lazy dog"),
+        (2L, "THE LAZY DOG SLEEPS ALL DAY"),
+        (3L, "a dog barks on Lazy afternoons")).toDF("doc_id", "t")
+      val (_, _, csCfg, _) = RequestCodec.parseFieldIndexRequest(
+        """{"field_name": "t", "field_schema": {
+          |  "type": "text", "tokenizer": "word", "lowercase": false,
+          |  "stopwords": {"custom": ["the", "The", "LAZY"]}}}""".stripMargin)
+      val (_, _, ciCfg, _) = RequestCodec.parseFieldIndexRequest(
+        """{"field_name": "t", "field_schema": {
+          |  "type": "text", "tokenizer": "word", "lowercase": true,
+          |  "stopwords": {"custom": ["LAZY"]}}}""".stripMargin)
+      def ids(cfg: graft.model.TextIndexConfig, q: String): String = {
+        val fc = new graft.filters.FilterCompiler(
+          new TypedResolver(src.schema, "doc_id"),
+          textIndexes = Map("t" -> cfg))
+        src.filter(fc.condition(MatchText("t", q)))
+          .collect().map(_.getLong(0)).sorted.mkString(",")
+      }
+      Seq(
+        ("cs_lazy", ids(csCfg.get, "lazy")),
+        ("cs_The_stopword", ids(csCfg.get, "The")),
+        ("cs_LAZY_stopword", ids(csCfg.get, "LAZY")),
+        ("cs_Lazy_verbatim", ids(csCfg.get, "Lazy")),
+        ("ci_LAZY_folded_stopword", ids(ciCfg.get, "LAZY")),
+        ("ci_dog", ids(ciCfg.get, "dog")))
+        .toDF("arm", "ids")
+    }),
     // Field-index creation through the WIRE (`PUT /collections/{c}/index`
     // with full text params — tokenizer, lowercase, folding, custom
     // stopwords, snowball stemmer): the parsed config drives the SAME
@@ -1151,6 +1189,15 @@ object TextQueries {
     "analyzed_multilang_facet" -> MultilangFixture.oracleSql,
     "match_phrase_analyzed" -> PhraseFixture.oracleSql,
     "match_text_analyzed" -> TextMatchFixture.oracleSql,
+    "match_text_stopwords_case" ->
+      """SELECT * FROM (VALUES
+        |  ('cs_lazy', '1'),
+        |  ('cs_The_stopword', ''),
+        |  ('cs_LAZY_stopword', ''),
+        |  ('cs_Lazy_verbatim', '3'),
+        |  ('ci_LAZY_folded_stopword', ''),
+        |  ('ci_dog', '1,2,3'))
+        |AS t(arm, ids)""".stripMargin,
     "api_create_field_index" -> TextMatchFixture.oracleSql,
     "token_count" ->
       """SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens

@@ -93,15 +93,27 @@ final class Catalog(spark: SparkSession, root: String) {
     * any matrix input; `fetch_vectors.rs:173-183` resolves referenced
     * vectors of any kind), shard-scoped when `lookup_from.shard_key` is
     * given, with the reference's resolution-failure error shapes. */
+  /** Open the `lookup_from` collection with the reference's error shape —
+    * `test_query_full.py:443` pins "Not found: Collection .. not found"
+    * for a lookup naming an absent collection (root AND nested). */
+  private def lookupCollection(name: String): Collection = {
+    val resolved = aliases.resolve(name)
+    if (!exists(resolved)) throw new IllegalArgumentException(
+      s"Not found: Collection $name not found")
+    get(resolved)
+  }
+
   private def lookupResolver: (graft.api.RequestCodec.LookupFrom, Any)
       => Either[Seq[Double], Seq[Seq[Double]]] =
     (lf, id) => {
       import org.apache.spark.sql.functions.{col, lit}
-      val other = get(lf.collection)
+      val other = lookupCollection(lf.collection)
       val vname = lf.vector.getOrElse("")
+      // absent vector name → the reference's "Wrong input" shape
+      // (`test_query_full.py:466` — `vector_not_found_error`)
       val vc = other.config.vectors.find(_.name == vname)
         .getOrElse(throw new IllegalArgumentException(
-          s"lookup_from ${lf.collection}: no dense vector named '$vname'"))
+          s"Wrong input: Not existing vector name error: $vname"))
       val df0 = other.readDecoded()
       val df = (other.config.shardKeyCol, lf.shardKeys) match {
         case (Some(sk), keys) if keys.nonEmpty =>
@@ -129,12 +141,13 @@ final class Catalog(spark: SparkSession, root: String) {
       (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double]) =
     (lf, id) => {
       import org.apache.spark.sql.functions.{col, lit}
-      val other = get(lf.collection)
+      val other = lookupCollection(lf.collection)
       val vname = lf.vector.getOrElse(throw new IllegalArgumentException(
         s"lookup_from ${lf.collection}: a sparse lookup needs an explicit " +
           "vector name (sparse vectors are always named)"))
-      require(other.config.sparse.exists(_.name == vname),
-        s"lookup_from ${lf.collection}: no sparse vector named '$vname'")
+      if (!other.config.sparse.exists(_.name == vname))
+        throw new IllegalArgumentException(
+          s"Wrong input: Not existing vector name error: $vname")
       val scol = other.config.sparseCol(vname)
       val df0 = other.readDecoded()
       val df = (other.config.shardKeyCol, lf.shardKeys) match {
