@@ -257,6 +257,31 @@ object ScaleProbe {
         s"got $seen, want ${tenantIds.length}")
   }
 
+  /** Round-13 probes: the referenced-id exclusion at scale + the filtered
+    * facet estimator. A plain dense collection over every generated
+    * embedding: `byid_query_scaled` runs `{"query": 7}` through the wire
+    * handler (one-row resolve + the injected pushed `must_not HasId`
+    * filter + the scan) and asserts the example is absent;
+    * `rawvec_query_scaled` runs the identical literal-vector query — the
+    * by-id / raw-vector delta IS the exclusion machinery's total cost.
+    * `facet_filtered_estimate_scaled_warm` serves a FILTERED `exact:false`
+    * facet from the stats sidecar on the r11 typed collection — flat
+    * driver-side latency however many rows sit below. */
+  private val denseScaledPath = "/tmp/graft_runtime/scale_densecoll"
+  private def denseScaledCfg = {
+    import graft.sources.{CollectionConfig, VectorConfig}
+    CollectionConfig(idCol = "vec_id",
+      vectors = Seq(VectorConfig("", 64, graft.model.Dot)))
+  }
+  private def byIdQueryScaled(s: SparkSession): Unit = {
+    val coll = new graft.storage.Collection(s, denseScaledPath, denseScaledCfg)
+    val ids = coll.query("""{"query": 7, "limit": 10}""")
+      .collect().map(_.getLong(0))
+    require(!ids.contains(7L),
+      "by-id query returned the referenced point at scale")
+    require(ids.length == 10, s"by-id page under-filled: ${ids.length}")
+  }
+
   /** Scaled mutation workload: seed = every generated document, then
     * upsert 10% with a new source, delete one language, merge a payload
     * flag — one end-to-end number for the write path at scale. */
@@ -356,6 +381,22 @@ object ScaleProbe {
       case "facet_typed_scaled_warm" =>
         new graft.storage.Collection(spark, tsScaledPath, tsScaledCfg)
           .facet("""{"key": "label", "limit": 5}""").count(): Unit
+      case "dense_scaled_build" =>
+        graft.storage.Collection.create(spark, denseScaledPath, denseScaledCfg,
+          Tables.load(spark, outDir, "embeddings")
+            .select(col("vec_id"), col("embedding").as("vector")))
+          .read().select("vec_id").count(): Unit
+      case "byid_query_scaled" => byIdQueryScaled(spark)
+      case "rawvec_query_scaled" =>
+        val v = Tables.embeddingOf(spark, outDir, 7L)
+        new graft.storage.Collection(spark, denseScaledPath, denseScaledCfg)
+          .query(s"""{"query": [${v.mkString(",")}], "limit": 10}""")
+          .count(): Unit
+      case "facet_filtered_estimate_scaled_warm" =>
+        new graft.storage.Collection(spark, tsScaledPath, tsScaledCfg)
+          .facet("""{"key": "lang", "limit": 5,
+            |  "filter": {"must": [{"key": "n_chars",
+            |    "range": {"gte": 100}}]}}""".stripMargin).count(): Unit
       case q => operatorOnly.getOrElse(q, SparkEntry.queries(q))(spark, outDir).count(): Unit
     }
     def time(n: String): Either[String, Double] = {
@@ -371,7 +412,9 @@ object ScaleProbe {
       "ts_sidecar_scaled_build", "ts_estimate_scaled_warm",
       "facet_typed_scaled_warm",
       "shard_sidecar_scaled_build", "shard_estimate_scaled_warm",
-      "wire_upsert_scaled"))
+      "wire_upsert_scaled",
+      "dense_scaled_build", "byid_query_scaled", "rawvec_query_scaled",
+      "facet_filtered_estimate_scaled_warm"))
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(n)).toMap
     val warm = (1 to warmReps).map(_ => names.map(n => n -> time(n)).toMap)
