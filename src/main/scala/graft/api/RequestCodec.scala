@@ -363,6 +363,15 @@ object RequestCodec {
           hnswEf = (p \ "hnsw_ef") match {
             case JNothing | JNull => None
             case v => Some(num(v).toInt)
+          },
+          // `idf` (`IdfParams`, untagged: the "global" scope string or a
+          // `{"corpus": <filter>}` object — `types.rs:700-723`)
+          idf = (p \ "idf") match {
+            case JNothing | JNull => None
+            case JString("global") => Some(None)
+            case o2: JObject if (o2 \ "corpus") != JNothing =>
+              Some(Some(filterOf(o2 \ "corpus")))
+            case other => fail(s"bad idf params: $other")
           }))
       case _ => None
     }
@@ -530,6 +539,11 @@ object RequestCodec {
           }
           if (!Set("average_vector", "best_score", "sum_scores")(strategy))
             fail(s"unknown recommend strategy '$strategy'")
+          // a recommend with NO examples at all is a 422 validation error
+          // BEFORE any resolution (`validate.rs:67-75`,
+          // `test_recommend.py::test_without_positives`)
+          if (oneOrMany(r \ "positive").isEmpty && oneOrMany(r \ "negative").isEmpty)
+            fail("At least one positive or negative vector/id must be provided")
           if (sp.sparse) {
             // sparse `using`: examples are inline {indices, values} or ids
             // resolved from the sparse space (`recommendations.rs` treats
@@ -1031,6 +1045,15 @@ object RequestCodec {
         // integer/float/datetime param (`data_types/index.rs` declares
         // them only on those schemas; other kinds 400 at the API)
         val flags = FieldIndexFlags(flag("is_tenant"), flag("is_principal"))
+        // integer-index capabilities: `lookup` (Match) and `range` can be
+        // individually disabled but not BOTH — the reference 422s
+        // (`test_payload_indexing.py:13-29`, `IntegerIndexParams` validate)
+        if (kind == "integer") {
+          val lk = (s \ "lookup") match { case JBool(b) => b; case _ => true }
+          val rg = (s \ "range") match { case JBool(b) => b; case _ => true }
+          if (!lk && !rg) fail("Validation error: the 'lookup' and 'range' " +
+            "capabilities can't be both disabled")
+        }
         if (flags.isTenant && !Set("keyword", "uuid").contains(kind))
           fail(s"is_tenant is not supported for the '$kind' index type")
         if (flags.isPrincipal &&

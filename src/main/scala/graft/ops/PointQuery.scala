@@ -113,7 +113,16 @@ object PointQuery {
       oversampling: Option[Double] = None,
       /** Per-request recall knob (`hnsw_ef`): overrides the declared IVF
         * nprobe on an ANN-indexed collection. */
-      hnswEf: Option[Int] = None)
+      hnswEf: Option[Int] = None,
+      /** `params.idf` (`IdfParams`, `types.rs:689-745`): which population
+        * sparse IDF statistics compute over. None = parameter absent;
+        * Some(None) = explicit `"global"` (same as absent);
+        * Some(Some(f)) = `{"corpus": <filter>}` — N and per-dim document
+        * frequencies come from the points matching f, INDEPENDENT of the
+        * retrieval filter. Only applicable to an idf-modified sparse
+        * space — anywhere else the request REJECTS rather than silently
+        * ignoring a scoring-changing knob (`query_context.rs:31-39`). */
+      idf: Option[Option[Filter]] = None)
 
   final case class Query(
       scoring: Scoring,

@@ -592,13 +592,15 @@ object EndpointQueries {
     // ROOT query and inside a NESTED prefetch alike.
     "catalog_lookup_from_errors" -> ((s, dir) => {
       import s.implicits._
-      val root = "/tmp/graft_runtime/cat_lkerr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = "/tmp/graft_runtime/cat_lkerr2_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val cat = new graft.storage.Catalog(s, root)
       val e = Tables.load(s, dir, "embeddings")
       if (!cat.exists("base"))
         cat.create("base", CollectionConfig(idCol = "vec_id",
-          vectors = Seq(VectorConfig("", 64, Dot))),
-          e.select(col("vec_id"), col("embedding").as("vector")))
+          vectors = Seq(VectorConfig("", 64, Dot)),
+          payloadTypes = Map("label" -> LongType)),
+          e.select(col("vec_id"), col("embedding").as("vector"),
+            to_json(struct(col("label"))).as("payload")))
       if (!cat.exists("lkv"))
         cat.create("lkv", CollectionConfig(idCol = "qid",
           vectors = Seq(VectorConfig("other", 64, Dot))),
@@ -632,7 +634,23 @@ object EndpointQueries {
           "Not found: Collection non-existing-collection not found")),
         ("nested_missing_vector", check(nested("lkv", "non-existing-vector", "2"),
           "Wrong input: Not existing vector name error: non-existing-vector")),
-        ("ok_control", check(body("lkv", "other", "2"), "")))
+        ("ok_control", check(body("lkv", "other", "2"), "")),
+        // the GROUPS endpoint's `with_lookup` naming an absent collection
+        // 404s with the same shape (`test_group.py:459-483`)
+        ("with_lookup_missing_collection", {
+          val qv = Tables.embeddingOf(s, dir, 7L).mkString(",")
+          try {
+            cat.queryGroups("base",
+              s"""{"query": {"nearest": [$qv]}, "group_by": "label",
+                 |  "group_size": 2, "limit": 3,
+                 |  "with_lookup": "non_existing_collection"}""".stripMargin)
+              .collect()
+            (false, false)
+          } catch { case ex: Exception =>
+            (true, Option(ex.getMessage).exists(
+              _.contains("Collection non_existing_collection not found")))
+          }
+        }))
         .map { case (n, (rej, ok)) => (n, rej, ok) }
         .toDF("check_name", "rejected", "msg_ok")
     }),
@@ -922,7 +940,8 @@ object EndpointQueries {
         |  ('nested_missing_id', true, true),
         |  ('nested_missing_collection', true, true),
         |  ('nested_missing_vector', true, true),
-        |  ('ok_control', false, false))
+        |  ('ok_control', false, false),
+        |  ('with_lookup_missing_collection', true, true))
         |AS t(check_name, rejected, msg_ok)""".stripMargin,
     "collection_group_order_by" ->
       """WITH pts AS (SELECT e.vec_id AS id, d.n_chars, d.lang AS gv

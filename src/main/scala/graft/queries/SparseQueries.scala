@@ -52,6 +52,27 @@ object SparseQueries {
             col("label")))
       })
 
+  /** Dense + idf-modified AND plain sparse spaces + JSON payload (`label`)
+    * — the corpus-IDF fixture (`params.idf.corpus` filters resolve against
+    * the payload; the dense and plain-sparse spaces are the rejection
+    * arms). Its own path: the shared sparseColl has no payload column. */
+  private def corpusColl(s: SparkSession, dir: String): graft.storage.Collection =
+    sparseCollections.computeIfAbsent(
+      "/tmp/graft_runtime/sparsecorpus_" + dir.replaceAll("[^A-Za-z0-9]", "_"), { path =>
+        import graft.sources.{CollectionConfig, SparseVectorConfig, VectorConfig}
+        val cfg = CollectionConfig(idCol = "vec_id",
+          vectors = Seq(VectorConfig("", 64, graft.model.Dot)),
+          sparse = Seq(SparseVectorConfig("txt"),
+            SparseVectorConfig("txtidf", modifier = Some("idf"))),
+          payloadTypes = Map("label" -> org.apache.spark.sql.types.LongType))
+        val e = Tables.load(s, dir, "embeddings")
+        graft.storage.Collection.create(s, path, cfg,
+          e.select(col("vec_id"), col("embedding").as("vector"),
+            sparseFromDense(col("embedding")).as("sparse_txt"),
+            sparseFromDense(col("embedding")).as("sparse_txtidf"),
+            to_json(struct(col("label"))).as("payload")))
+      })
+
   /** Dense + sparse + JSON payload (`label`) in one collection — the
     * fixture for group-by entries that need sparse `with_vector`
     * enrichment on grouped hits. */
@@ -307,7 +328,17 @@ object SparseQueries {
             |  {"key": "loc", "geo_polygon": {"exterior": {"points": [
             |    {"lon": -180.0, "lat": -90.0}, {"lon": 180.0, "lat": -90.0},
             |    {"lon": -180.0, "lat": -90.0}
-            |  ]}}}]}}""".stripMargin, "at least 4 points")))
+            |  ]}}}]}}""".stripMargin, "at least 4 points")),
+        // a recommend with NO examples is a 422 validation error before
+        // any id resolution (`validate.rs:67-75`,
+        // `test_recommend.py::test_without_positives`) — dense AND sparse
+        ("recommend_no_examples_dense",
+          check("""{"query": {"recommend": {}}, "limit": 3}""",
+            "At least one positive or negative vector/id must be provided")),
+        ("recommend_no_examples_sparse",
+          check("""{"query": {"recommend": {"positive": []}},
+            |  "using": "txt", "limit": 3}""".stripMargin,
+            "At least one positive or negative vector/id must be provided")))
       rows.map { case (name, (rejected, msgOk)) => (name, rejected, msgOk) }
         .toDF("check_name", "rejected", "msg_ok")
     }),
@@ -385,6 +416,75 @@ object SparseQueries {
           |    {"positive": 7, "negative": 4},
           |    {"positive": 11, "negative": 20}]},
           |  "using": "txt", "limit": 10}""".stripMargin)
+    }),
+    // Query-time IDF CORPUS scoping (`params.idf`, `IdfParams`
+    // `types.rs:689-745`; `tests/openapi/test_sparse_idf_corpus.py`): the
+    // statistics population is the corpus FILTER's matches — decoupled
+    // from the retrieval filter, and an empty corpus scores every term at
+    // ln 2 = idf(0, 0), never falling back to global. Two phases over the
+    // same inline query vector, retrieval UNFILTERED in both.
+    "sparse_idf_corpus" -> ((s, dir) => {
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      def body(corpus: String): String =
+        s"""{"query": {"indices": ${qi.mkString("[", ",", "]")},
+           |    "values": ${qv.mkString("[", ",", "]")}},
+           |  "using": "txtidf", "limit": 10,
+           |  "params": {"idf": {"corpus": $corpus}}}""".stripMargin
+      val scoped = corpusColl(s, dir)
+        .query(body("""{"must": [{"key": "label", "range": {"lt": 6}}]}"""))
+        .withColumn("phase", lit("corpus"))
+      val empty = corpusColl(s, dir)
+        .query(body("""{"must": [{"key": "label", "range": {"gt": 9999}}]}"""))
+        .withColumn("phase", lit("empty"))
+      scoped.unionByName(empty)
+    }),
+    // Corpus-IDF contracts that are not score-shaped: explicit "global"
+    // equals the default; a fixed corpus DECOUPLES from the retrieval
+    // filter (tightening the filter narrows the rows but moves no score);
+    // the `idf` param REJECTS on a dense space and on a sparse space
+    // WITHOUT the idf modifier (`query_context.rs:31-39`).
+    "sparse_idf_corpus_checks" -> ((s, dir) => {
+      import s.implicits._
+      val (qi, qv) = sparseQ(s, dir, 7L)
+      val coll = corpusColl(s, dir)
+      def q(using: String, params: String, filter: String = ""): String =
+        // limit large enough to hold EVERY candidate, so the narrow run's
+        // ids are all present in the broad run (the decoupling check
+        // compares scores id-by-id, like `test_filter_tightening_does_not_
+        // move_scores` over its full result sets)
+        s"""{"query": {"indices": ${qi.mkString("[", ",", "]")},
+           |    "values": ${qv.mkString("[", ",", "]")}},
+           |  "using": "$using", "limit": 100000
+           |  ${if (params.isEmpty) "" else s""", "params": $params"""}
+           |  ${if (filter.isEmpty) "" else s""", "filter": $filter"""}}"""
+          .stripMargin
+      def scores(json: String): Map[Long, Double] =
+        coll.query(json).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dflt = scores(q("txtidf", ""))
+      val explicitGlobal = scores(q("txtidf", """{"idf": "global"}"""))
+      val corpusParams =
+        """{"idf": {"corpus": {"must": [{"key": "label", "range": {"lt": 6}}]}}}"""
+      val broad = scores(q("txtidf", corpusParams))
+      val narrow = scores(q("txtidf", corpusParams,
+        filter = """{"must": [{"key": "label", "range": {"lt": 3}}]}"""))
+      def rejects(json: String): Boolean =
+        try { coll.query(json); false }
+        catch { case ex: IllegalArgumentException =>
+          Option(ex.getMessage).exists(_.contains(
+            "search param `idf` requires a sparse vector with the `idf` modifier"))
+        }
+      val denseVec = Tables.embeddingOf(s, dir, 7L)
+      Seq(
+        ("global_matches_default", dflt == explicitGlobal),
+        ("narrow_scores_subset_of_broad",
+          narrow.nonEmpty && narrow.forall { case (id, sc) =>
+            broad.get(id).contains(sc) }),
+        ("dense_rejects", rejects(
+          s"""{"query": [${denseVec.mkString(",")}], "limit": 3,
+             |  "params": $corpusParams}""".stripMargin)),
+        ("plain_sparse_rejects", rejects(q("txt", corpusParams))))
+        .toDF("check_name", "ok")
     }),
     // IDF N-scoping parity (`IdfScopeStats.indexed_vectors`,
     // `query_context.rs:283-289`): N counts points that HAVE the sparse
@@ -856,7 +956,9 @@ object SparseQueries {
         |  ('feedback_negative_b', true, true),
         |  ('feedback_missing_example', true, true),
         |  ('geo_polygon_unclosed', true, true),
-        |  ('geo_polygon_short', true, true))
+        |  ('geo_polygon_short', true, true),
+        |  ('recommend_no_examples_dense', true, true),
+        |  ('recommend_no_examples_sparse', true, true))
         |AS t(check_name, rejected, msg_ok)""".stripMargin,
     "sparse_config_update_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
@@ -888,6 +990,45 @@ object SparseQueries {
         |  ORDER BY score DESC, vec_id ASC LIMIT 10)
         |SELECT * FROM plain UNION ALL SELECT * FROM weighted""".stripMargin,
     "sparse_struct_idf" -> sparseStructIdfSql,
+    // corpus phase: N/df over label<6 rows only; empty phase: idf(0,0) =
+    // ln 2 per term. Retrieval unfiltered in both — candidates are all
+    // rows sharing a query dim.
+    "sparse_idf_corpus" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |c AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE label < 6),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM c),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |dfs AS (SELECT d.dim AS dim,
+        |          (SELECT count(*) FROM c WHERE c.e[d.dim] > 0.25)::DOUBLE AS df
+        |        FROM dims d),
+        |idf AS (SELECT list(ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |          ORDER BY f.dim) AS l FROM dfs f, n GROUP BY n.n),
+        |corpus AS (SELECT e.vec_id AS vec_id,
+        |    round(list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * (q.v[i] * idf.l[i]) ELSE 0.0 END)), 6) AS score,
+        |    'corpus' AS phase
+        |  FROM embeddings e, q, idf
+        |  WHERE len(list_filter(range(1, 65), i ->
+        |      e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+        |empty AS (SELECT e.vec_id AS vec_id,
+        |    round(list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25
+        |           THEN e.embedding[i]::DOUBLE * (q.v[i] * ln(2.0)) ELSE 0.0 END)), 6) AS score,
+        |    'empty' AS phase
+        |  FROM embeddings e, q
+        |  WHERE len(list_filter(range(1, 65), i ->
+        |      e.embedding[i]::DOUBLE > 0.25 AND q.v[i] > 0.25)) > 0
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT * FROM corpus UNION ALL SELECT * FROM empty""".stripMargin,
+    "sparse_idf_corpus_checks" ->
+      """SELECT * FROM (VALUES
+        |  ('global_matches_default', true),
+        |  ('narrow_scores_subset_of_broad', true),
+        |  ('dense_rejects', true),
+        |  ('plain_sparse_rejects', true))
+        |AS t(check_name, ok)""".stripMargin,
     // the wire twin resolves positive [7] BY ID → 7 itself is excluded
     "api_recommend_sparse_idf" ->
       sparseStructIdfSql.replace("WHERE len(",

@@ -158,6 +158,16 @@ object TenantQueries {
           """{"field_name": "x",
             |  "field_schema": {"type": "keyword", "is_principal": true}}"""
             .stripMargin)))
+        // integer-index capability validation: lookup and range can't BOTH
+        // be disabled (`test_payload_indexing.py:13-29`)
+        .withColumn("lookup_range_both_off_rejected", lit(rejected(
+          """{"field_name": "x",
+            |  "field_schema": {"type": "integer",
+            |    "lookup": false, "range": false}}""".stripMargin)))
+        .withColumn("lookup_only_ok", lit(!rejected(
+          """{"field_name": "x",
+            |  "field_schema": {"type": "integer",
+            |    "lookup": true, "range": false}}""".stripMargin)))
     }),
   )
 
@@ -186,7 +196,9 @@ object TenantQueries {
     "api_field_index_tenant" ->
       """SELECT count(*)::BIGINT AS cnt, TRUE AS dirs_ok, TRUE AS idx_ok,
         |       TRUE AS tenant_on_int_rejected,
-        |       TRUE AS principal_on_keyword_rejected
+        |       TRUE AS principal_on_keyword_rejected,
+        |       TRUE AS lookup_range_both_off_rejected,
+        |       TRUE AS lookup_only_ok
         |FROM documents WHERE source = 'src1'""".stripMargin,
   )
 }

@@ -171,7 +171,7 @@ final class Catalog(spark: SparkSession, root: String) {
     * query. */
   def queryGroups(name: String, json: String): DataFrame =
     get(name).queryGroups(json,
-      lookupTable = n => get(aliases.resolve(n)).readDecoded(),
+      lookupTable = n => lookupCollection(n).readDecoded(),
       lookupResolve = Some(lookupResolver),
       sparseLookupResolve = Some(sparseLookupResolver))
 
@@ -180,11 +180,11 @@ final class Catalog(spark: SparkSession, root: String) {
     * alias) like [[queryGroups]]. */
   def searchGroups(name: String, json: String): DataFrame =
     get(name).searchGroups(json,
-      lookupTable = n => get(aliases.resolve(n)).readDecoded())
+      lookupTable = n => lookupCollection(n).readDecoded())
 
   def recommendGroups(name: String, json: String): DataFrame =
     get(name).recommendGroups(json,
-      lookupTable = n => get(aliases.resolve(n)).readDecoded(),
+      lookupTable = n => lookupCollection(n).readDecoded(),
       lookupResolve = Some(lookupResolver),
       sparseLookupResolve = Some(sparseLookupResolver))
 

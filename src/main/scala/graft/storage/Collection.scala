@@ -577,6 +577,87 @@ final class Collection(
     }
   }
 
+  /** Corpus-scoped IDF weighting (`params.idf.corpus`, `IdfParams`
+    * `types.rs:689-745`; `test_sparse_idf_corpus.py`): N and per-dim
+    * document frequencies come from the points matching the CORPUS filter
+    * — independent of the retrieval filter, never falling back to the
+    * global statistics (an empty corpus scores every term at ln 2 =
+    * idf(0, 0)). One aggregation job: the per-dim df is a sum of
+    * `array_contains` over the QUERY dims only — no explode, no shuffle
+    * beyond the map-side partial agg, and the scan reads just the sparse
+    * indices column plus the filter's fields. */
+  private[graft] def corpusIdfWeights(
+      name: String, corpus: graft.model.Filter,
+      qIdx: Seq[Int], qVal: Seq[Double]): Seq[Double] = {
+    val scol = config.sparseCol(name)
+    val df = read()
+    val pred = new graft.filters.FilterCompiler(resolver(df))
+      .compile(corpus)
+    // N counts points that HAVE the sparse vector among the corpus matches
+    // (the same `indexed_vectors` scoping as the global stats)
+    val base = df.filter(pred && col(scol).isNotNull)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      org.apache.spark.sql.functions.count(lit(1L)).as("n") +:
+        qIdx.map(i => sum(array_contains(col(s"$scol.indices"), lit(i))
+          .cast("long")).as(s"df_$i"))
+    val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(0).toDouble
+    qIdx.zipWithIndex.zip(qVal).map { case ((_, pos), w) =>
+      val d = if (row.isNullAt(pos + 1)) 0.0 else row.getLong(pos + 1).toDouble
+      w * math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+    }
+  }
+
+  /** Reject `params.idf` anywhere it cannot apply — only an idf-modified
+    * sparse space qualifies; silently ignoring a scoring-changing knob
+    * would be misleading (`query_context.rs:31-39`). Walks the node tree
+    * (prefetches carry their own params). */
+  private def verifyIdfParams(q: graft.ops.PointQuery.Query): Unit = {
+    import graft.ops.PointQuery._
+    def sparseName(c: String): Option[String] =
+      config.sparse.find(sc => config.sparseCol(sc.name) == c).map(_.name)
+    def denseName(c: String): Option[String] =
+      config.vectors.find(vc => config.vectorCol(vc.name) == c).map(_.name)
+    def vectorNameOf(s: Scoring): Option[String] = s match {
+      case SparseStructQ(c, _, _) => sparseName(c)
+      case RecommendSparse(c, _, _, _) => sparseName(c)
+      case DiscoverSparse(c, _, _) => sparseName(c)
+      case ContextSparse(c, _) => sparseName(c)
+      case MmrSparseQ(c, _, _, _) => sparseName(c)
+      case Nearest(c, _, _) => denseName(c)
+      case MaxSimQ(c, _, _) => denseName(c)
+      case RecommendAvg(c, _, _, _) => denseName(c)
+      case RecommendBest(c, _, _, _) => denseName(c)
+      case RecommendSum(c, _, _, _) => denseName(c)
+      case DiscoverQ(c, _, _, _) => denseName(c)
+      case ContextQ(c, _, _) => denseName(c)
+      case FeedbackQ(c, _, _, _, _, _, _) => denseName(c)
+      case MmrQ(c, _, _, _) => denseName(c)
+      case _ => None
+    }
+    def isIdfSparse(s: Scoring): Boolean = s match {
+      case SparseStructQ(c, _, _) => sparseModifierIdf(c)
+      case RecommendSparse(c, _, _, _) => sparseModifierIdf(c)
+      case DiscoverSparse(c, _, _) => sparseModifierIdf(c)
+      case ContextSparse(c, _) => sparseModifierIdf(c)
+      case MmrSparseQ(c, _, _, _) => sparseModifierIdf(c)
+      case _ => false
+    }
+    def walk(node: Query): Unit = {
+      if (node.params.exists(_.idf.isDefined) && !isIdfSparse(node.scoring))
+        throw new IllegalArgumentException(
+          "search param `idf` requires a sparse vector with the `idf` " +
+            "modifier, which vector \"" +
+            vectorNameOf(node.scoring).getOrElse("") + "\" is not")
+      node.prefetches.foreach(walk)
+    }
+    walk(q)
+  }
+
+  private def sparseModifierIdf(scol: String): Boolean =
+    config.sparse.exists(sc =>
+      config.sparseCol(sc.name) == scol && sc.modifier.contains("idf"))
+
   /** Config-routed multivector nearest-k: MaxSim (the reference's only
     * multivector comparator, `types.rs:2080-2082`) over a stored ragged
     * token list, with the declared element type decoded inside the fused
@@ -779,6 +860,12 @@ final class Collection(
     config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyQuery(q0, sm, config.payloadTypes.keySet))
     val q = PointQuery.resolveExclusion(q0)
+    // `params.idf` gate: the knob changes scoring, so it REJECTS anywhere
+    // it cannot apply — only an idf-modified sparse space qualifies
+    // (`query_context.rs:31-39`; `test_sparse_idf_corpus.py::
+    // test_idf_params_require_idf_modifier`). Checked per node, root and
+    // prefetches alike.
+    verifyIdfParams(q)
     (q.scoring, q.prefetches) match {
       case (PointQuery.Nearest(vcol, _, qv), Nil)
           if config.vectors.exists(vc =>
@@ -793,7 +880,8 @@ final class Collection(
           rescore = sp.rescore,
           exact = sp.exact,
           nprobe = sp.hnswEf)
-      case (PointQuery.SparseStructQ(scol, qi, qv), Nil) =>
+      case (PointQuery.SparseStructQ(scol, qi, qv), Nil)
+          if !q.params.exists(_.idf.exists(_.isDefined)) =>
         val name = config.sparse
           .find(sc => config.sparseCol(sc.name) == scol).get.name
         knnSparse(name, qi, qv, q.filter, q.limit, q.offset, q.scoreThreshold)
@@ -807,27 +895,37 @@ final class Collection(
         val idfCols = config.sparse.filter(_.modifier.contains("idf"))
           .map(sc => config.sparseCol(sc.name) -> sc.name).toMap
         def applyIdf(node: PointQuery.Query): PointQuery.Query = {
+          // a node-level `params.idf.corpus` re-scopes the statistics to
+          // the corpus filter's matches; "global"/absent uses the
+          // collection-wide sidecar stats
+          val corpus: Option[graft.model.Filter] =
+            node.params.flatMap(_.idf).flatten
+          def weigh(name: String, qi2: Seq[Int], qv2: Seq[Double]): Seq[Double] =
+            corpus match {
+              case Some(f) => corpusIdfWeights(name, f, qi2, qv2)
+              case None => idfWeights(name, qi2, qv2)
+            }
           val scoring = node.scoring match {
             case PointQuery.SparseStructQ(sc2, qi2, qv2) if idfCols.contains(sc2) =>
-              PointQuery.SparseStructQ(sc2, qi2, idfWeights(idfCols(sc2), qi2, qv2))
+              PointQuery.SparseStructQ(sc2, qi2, weigh(idfCols(sc2), qi2, qv2))
             case PointQuery.RecommendSparse(sc2, strat, pos, neg)
                 if idfCols.contains(sc2) =>
               // recommend examples ARE query vectors — the modifier weights
               // each before the strategy combine (`query_context.rs` remaps
               // every query-side sparse vector of the request)
               def w(q: (Seq[Int], Seq[Double])) =
-                (q._1, idfWeights(idfCols(sc2), q._1, q._2))
+                (q._1, weigh(idfCols(sc2), q._1, q._2))
               PointQuery.RecommendSparse(sc2, strat, pos.map(w), neg.map(w))
             case PointQuery.DiscoverSparse(sc2, target, pairs)
                 if idfCols.contains(sc2) =>
               def w(q: (Seq[Int], Seq[Double])) =
-                (q._1, idfWeights(idfCols(sc2), q._1, q._2))
+                (q._1, weigh(idfCols(sc2), q._1, q._2))
               PointQuery.DiscoverSparse(sc2, w(target),
                 pairs.map { case (p, n) => (w(p), w(n)) })
             case PointQuery.ContextSparse(sc2, pairs)
                 if idfCols.contains(sc2) =>
               def w(q: (Seq[Int], Seq[Double])) =
-                (q._1, idfWeights(idfCols(sc2), q._1, q._2))
+                (q._1, weigh(idfCols(sc2), q._1, q._2))
               PointQuery.ContextSparse(sc2,
                 pairs.map { case (p, n) => (w(p), w(n)) })
             case PointQuery.MmrSparseQ(sc2, qi2, qv2, lam)
@@ -836,7 +934,7 @@ final class Collection(
               // candidate prefetch — stored pairwise sims stay raw (the
               // modifier weights QUERY vectors only, `query_context.rs`)
               PointQuery.MmrSparseQ(sc2, qi2,
-                idfWeights(idfCols(sc2), qi2, qv2), lam)
+                weigh(idfCols(sc2), qi2, qv2), lam)
             case other => other
           }
           node.copy(scoring = scoring, prefetches = node.prefetches.map(applyIdf))
