@@ -1085,6 +1085,14 @@ object RequestCodec {
                 Some(str(st \ "language").toLowerCase)
               case JNothing | JNull => None
               case other => fail(s"bad stemmer: $other")
+            },
+            minTokenLen = (s \ "min_token_len") match {
+              case JNothing | JNull => None
+              case v => Some(num(v).toInt)
+            },
+            maxTokenLen = (s \ "max_token_len") match {
+              case JNothing | JNull => None
+              case v => Some(num(v).toInt)
             }))
         (field, plain(kind), text, flags)
       case other => fail(s"bad field_schema: $other")

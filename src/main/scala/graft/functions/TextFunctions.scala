@@ -39,6 +39,31 @@ object TextFunctions {
         transform(sequence(lit(minGram), lit(maxGram)), n => substring(t, lit(1), n)),
         p => length(p) >= minGram && length(p) <= length(t)))))
 
+  /** DOCUMENT-side prefix tokenization with the reference's exact edge
+    * semantics (`PrefixTokenizer::tokenize`, `tokenizers/mod.rs:59-84`):
+    * per processed word, prefixes of length `min..min(max, len)`; a word
+    * SHORTER than `min` still emits itself (the loop's None arm emits the
+    * whole word and breaks), so short words stay findable by exact match.
+    * `max = None` means unbounded (prefixes up to the full word). */
+  def tokensPrefixEdge(tokens: Column, minGram: Int,
+      maxGram: Option[Int]): Column =
+    array_distinct(flatten(transform(tokens, t => {
+      val hi = maxGram.map(m => least(lit(m), length(t))).getOrElse(length(t))
+      when(length(t) < minGram, array(t))
+        .otherwise(transform(sequence(lit(minGram), hi),
+          n => t.substr(lit(1), n)))
+    })))
+
+  /** Token length-range filter (`process_token`'s min/max_token_len —
+    * `tokens_processor.rs:97-103`): processed tokens outside the range
+    * are dropped. */
+  def lengthRange(tokens: Column, min: Option[Int], max: Option[Int]): Column = {
+    var t = tokens
+    min.foreach(m => t = filter(t, x => length(x) >= m))
+    max.foreach(m => t = filter(t, x => length(x) <= m))
+    t
+  }
+
   /** Lowercase option of the tokenizer pipeline. */
   def lowercaseTokens(tokens: Column): Column = transform(tokens, t => lower(t))
 
@@ -117,7 +142,15 @@ object TextFunctions {
     if (c.asciiFolding) t = asciiFold(t)
     if (c.stopwords.nonEmpty) t = dropStopwords(t, c.stopwords)
     c.stemmerLang.foreach(l => t = stemTokensLang(t, l))
-    t
+    c.tokenizer match {
+      case "prefix" =>
+        // document side indexes edge n-grams of each processed word; the
+        // min/max lengths bound the GRAMS, not the words — a short word
+        // still indexes itself (`PrefixTokenizer::tokenize`)
+        tokensPrefixEdge(t, c.minTokenLen.getOrElse(1), c.maxTokenLen)
+      case _ =>
+        lengthRange(t, c.minTokenLen, c.maxTokenLen)
+    }
   }
 
   /** Driver-side twin of [[analyzeWith]] for QUERY strings — the reference
@@ -125,6 +158,27 @@ object TextFunctions {
     * analyzer (`index.rs:243-414`). Shares the fold/stem kernels with the
     * Column path so both sides agree exactly. */
   def analyzeQueryWith(text: String, c: graft.model.TextIndexConfig): Seq[String] = {
+    def fold(s: String): String =
+      if (!c.asciiFolding) s
+      else StemKernels.asciiFold(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    def stem(s: String): String =
+      c.stemmerLang.fold(s)(l => graft.functions.Snowball.stem(l, s))
+    if (c.tokenizer == "prefix") {
+      // QUERY-side prefix tokenization (`PrefixTokenizer::tokenize_query`,
+      // `tokenizers/mod.rs:86-140`): one token per word — the processed
+      // word truncated to max_token_len. STOPWORDS ARE NOT APPLIED (a
+      // partial word must match even when it spells a stopword: query
+      // "the" must find "theory"); words shorter than min_token_len don't
+      // exist in the index and drop.
+      return text.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+        .map { w0 =>
+          val w1 = fold(w0)
+          stem(if (c.lowercase) w1.toLowerCase else w1)
+        }
+        .filter(w => c.minTokenLen.forall(w.length >= _))
+        .map(w => c.maxTokenLen.fold(w)(m => w.take(m)))
+    }
     var toks: Seq[String] = c.tokenizer match {
       case "multilingual" => MultilingualTokenizer.tokenize(text)
       case "whitespace" =>
@@ -144,7 +198,9 @@ object TextFunctions {
     c.stemmerLang.foreach { l =>
       toks = toks.map(w => graft.functions.Snowball.stem(l, w))
     }
-    toks
+    // processed tokens outside [min, max] don't exist in the index
+    toks.filter(w => c.minTokenLen.forall(w.length >= _) &&
+      c.maxTokenLen.forall(w.length <= _))
   }
 
   /** Consecutive k-token shingles joined with a single space. */

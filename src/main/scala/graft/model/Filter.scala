@@ -69,11 +69,17 @@ sealed trait Condition
   * analyzer as the indexed values (`index.rs:243-414`), not split on
   * whitespace. */
 final case class TextIndexConfig(
-    tokenizer: String = "word", // word | whitespace | multilingual
+    tokenizer: String = "word", // word | whitespace | prefix | multilingual
     lowercase: Boolean = true,
     asciiFolding: Boolean = false,
     stopwords: Seq[String] = Nil,
-    stemmerLang: Option[String] = None)
+    stemmerLang: Option[String] = None,
+    /** `min_token_len` / `max_token_len` (`TextIndexParams`): processed
+      * tokens outside the range are dropped (document AND query sides);
+      * the PREFIX tokenizer instead uses them as its edge-n-gram bounds
+      * (`tokenizers/mod.rs:59-140`). */
+    minTokenLen: Option[Int] = None,
+    maxTokenLen: Option[Int] = None)
 
 /** Exact match against any of the field's values. Ref `types.rs:3007,3095`. */
 final case class MatchValue(key: String, value: Any) extends Condition

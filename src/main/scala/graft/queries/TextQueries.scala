@@ -704,6 +704,53 @@ object TextQueries {
         ("ci_dog", ids(ciCfg.get, "dog")))
         .toDF("arm", "ids")
     }),
+    // PREFIX tokenizer (`Tokenizer::Prefix`, `tokenizers/mod.rs:57-140`;
+    // `test_fts.py::test_scroll_with_prefix`): documents index edge
+    // n-grams of each processed word (bounded by min/max_token_len; a word
+    // SHORTER than min still indexes itself), queries tokenize to ONE
+    // max-truncated token per word with stopwords skipped and sub-min
+    // words dropped. Plus the word tokenizer's token-length range: an
+    // over-max query token doesn't exist in the index, so the match finds
+    // nothing rather than falling back to a raw comparison.
+    "match_text_prefix_tokenizer" -> ((s, dir) => {
+      import s.implicits._
+      import graft.api.RequestCodec
+      val src = Seq(
+        (1L, "Robocop saves the day"),
+        (2L, "robotic arm"),
+        (3L, "ROBOT uprising"),
+        (4L, "car chase"),
+        (5L, "internationalization effort")).toDF("doc_id", "t")
+      def cfgOf(body: String) =
+        RequestCodec.parseFieldIndexRequest(body)._3.get
+      val pDefault = cfgOf(
+        """{"field_name": "t",
+          |  "field_schema": {"type": "text", "tokenizer": "prefix"}}""".stripMargin)
+      val pMinMax = cfgOf(
+        """{"field_name": "t",
+          |  "field_schema": {"type": "text", "tokenizer": "prefix",
+          |    "min_token_len": 3, "max_token_len": 5}}""".stripMargin)
+      val wordMax = cfgOf(
+        """{"field_name": "t",
+          |  "field_schema": {"type": "text", "tokenizer": "word",
+          |    "max_token_len": 10}}""".stripMargin)
+      def ids(cfg: graft.model.TextIndexConfig, q: String): String = {
+        val fc = new graft.filters.FilterCompiler(
+          new TypedResolver(src.schema, "doc_id"),
+          textIndexes = Map("t" -> cfg))
+        src.filter(fc.condition(MatchText("t", q)))
+          .collect().map(_.getLong(0)).sorted.mkString(",")
+      }
+      Seq(
+        ("prefix_ROBO", ids(pDefault, "ROBO")),
+        ("prefix_full_short_word", ids(pDefault, "car")),
+        ("prefix_the", ids(pDefault, "the")),
+        ("prefix_minmax_truncated_query", ids(pMinMax, "internatio")),
+        ("prefix_minmax_below_min", ids(pMinMax, "io")),
+        ("word_over_max_token", ids(wordMax, "internationalization")),
+        ("word_within_max", ids(wordMax, "effort")))
+        .toDF("arm", "ids")
+    }),
     // Field-index creation through the WIRE (`PUT /collections/{c}/index`
     // with full text params — tokenizer, lowercase, folding, custom
     // stopwords, snowball stemmer): the parsed config drives the SAME
@@ -1189,6 +1236,16 @@ object TextQueries {
     "analyzed_multilang_facet" -> MultilangFixture.oracleSql,
     "match_phrase_analyzed" -> PhraseFixture.oracleSql,
     "match_text_analyzed" -> TextMatchFixture.oracleSql,
+    "match_text_prefix_tokenizer" ->
+      """SELECT * FROM (VALUES
+        |  ('prefix_ROBO', '1,2,3'),
+        |  ('prefix_full_short_word', '4'),
+        |  ('prefix_the', '1'),
+        |  ('prefix_minmax_truncated_query', '5'),
+        |  ('prefix_minmax_below_min', ''),
+        |  ('word_over_max_token', ''),
+        |  ('word_within_max', '5'))
+        |AS t(arm, ids)""".stripMargin,
     "match_text_stopwords_case" ->
       """SELECT * FROM (VALUES
         |  ('cs_lazy', '1'),
