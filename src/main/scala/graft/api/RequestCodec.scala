@@ -610,8 +610,15 @@ object RequestCodec {
           }
           (s, None)
         } else if (keys.contains("fusion")) {
+          // every node validates fusion×using (`CollectionQueryRequest::
+          // validation` runs for the root AND each prefetch,
+          // `collection_query.rs:769-776,575,684`)
+          if (using.exists(_.nonEmpty))
+            fail("Fusion queries cannot be combined with the 'using' field.")
           (FusionQ(str(o \ "fusion")), None)
         } else if (keys.contains("rrf")) {
+          if (using.exists(_.nonEmpty))
+            fail("Fusion queries cannot be combined with the 'using' field.")
           val r = o \ "rrf"
           val weights = (r \ "weights") match {
             case JArray(ws) => Some(ws.map(num))
@@ -662,9 +669,9 @@ object RequestCodec {
       case JArray(xs) if xs.nonEmpty && xs.head.isInstanceOf[JArray] =>
         Right(xs.map(x => arr(x).map(num)))
       case JArray(xs) => Left(xs.map(num))
-      case JString(uuid) => ctx.resolveId(name, uuid)
-      case JInt(i) => ctx.resolveId(name, i.toLong)
-      case JLong(i) => ctx.resolveId(name, i)
+      case JString(uuid) => ctx.resolveId(name, PointId.parseString(uuid))
+      case JInt(i) => ctx.resolveId(name, PointId.parseNum(i))
+      case JLong(i) => ctx.resolveId(name, PointId.parseNum(BigInt(i)))
       case o: JObject if o.obj.exists(_._1 == "indices") =>
         fail("sparse vector input is only valid for a sparse named vector " +
           "(`using` a space declared sparse)")
@@ -685,9 +692,9 @@ object RequestCodec {
       case o: JObject if o.obj.exists(_._1 == "indices") =>
         sparsePair(arr(o \ "indices").map(num(_).toInt),
           arr(o \ "values").map(num))
-      case JString(uuid) => ctx.resolveSparseId(name, uuid)
-      case JInt(i) => ctx.resolveSparseId(name, i.toLong)
-      case JLong(i) => ctx.resolveSparseId(name, i)
+      case JString(uuid) => ctx.resolveSparseId(name, PointId.parseString(uuid))
+      case JInt(i) => ctx.resolveSparseId(name, PointId.parseNum(i))
+      case JLong(i) => ctx.resolveSparseId(name, PointId.parseNum(BigInt(i)))
       case other => fail(s"unsupported sparse vector input: $other")
     }
 
@@ -1213,7 +1220,14 @@ object RequestCodec {
     }
     def vp(name: String, v: JValue): VectorConfig = VectorConfig(
       name = name,
-      dim = num(v \ "size").toInt,
+      dim = {
+        // `VectorParams.size` is `1..=65536` (the reference's dimension
+        // cap, PR #2544 — `tests/openapi/test_limits.py` pins the message)
+        val d = num(v \ "size").toLong
+        if (d < 1 || d > 65536) fail("Validation error in JSON body: " +
+          s"[vectors.size: value $d invalid, must be from 1 to 65536]")
+        d.toInt
+      },
       metric = metricOf(str(v \ "distance")),
       multivector = (v \ "multivector_config" \ "comparator") match {
         case JString("max_sim") => true // the only comparator, types.rs:2080
@@ -1662,12 +1676,17 @@ object RequestCodec {
     case other => fail(s"expected scalar, got $other")
   }
 
-  /** Point id: u64 or UUID string (`ExtendedPointId`, `types.rs:174-179`). */
+  /** Point id: u64 or UUID string (`ExtendedPointId`, `types.rs:174-268`) —
+    * UUIDs canonicalize, anything else rejects ([[PointId]]). */
   private def idOf(j: JValue): Any = j match {
-    case JInt(i) => i.toLong
-    case JLong(l) => l
-    case JString(s) => s
-    case other => fail(s"bad point id: $other")
+    case JInt(i) => PointId.parseNum(i)
+    case JLong(l) => PointId.parseNum(BigInt(l))
+    case JString(s) => PointId.parseString(s)
+    case JDouble(d) => PointId.invalid(d.toString)
+    case JDecimal(d) => PointId.invalid(d.toString)
+    case JBool(b) => PointId.invalid(b.toString)
+    case JNull | JNothing => PointId.invalid("null")
+    case other => PointId.invalid(JsonMethods.compact(JsonMethods.render(other)))
   }
 
   /** `ShardKeySelector` element: keyword or integer (`schema.rs:1122`). */

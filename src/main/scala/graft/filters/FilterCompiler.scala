@@ -52,10 +52,15 @@ trait FieldResolver {
     * buckets (`Collection.tenantPrune`); every read path that compiles a
     * filter picks it up through this single hook. */
   def scanPrune(f: Filter): Option[Column] = None
+
+  /** Spark type of the id column when statically known — drives wire
+    * point-id coercion for HasId ([[FilterCompiler.coerceWireIds]]). */
+  def idDataType: Option[DataType] = None
 }
 
 /** Delegating resolver — subclass to override a single hook. */
-class ForwardingResolver(inner: FieldResolver) extends FieldResolver {
+class ForwardingResolver(private[filters] val inner: FieldResolver)
+  extends FieldResolver {
   def values(key: String): Column = inner.values(key)
   def fieldExists(key: String): Column = inner.fieldExists(key)
   def isJsonNull(key: String): Column = inner.isJsonNull(key)
@@ -69,6 +74,7 @@ class ForwardingResolver(inner: FieldResolver) extends FieldResolver {
     inner.dataTypeOf(key)
   override def groupKeys(key: String): Column = inner.groupKeys(key)
   override def scanPrune(f: Filter): Option[Column] = inner.scanPrune(f)
+  override def idDataType: Option[DataType] = inner.idDataType
 }
 
 /** Resolver for collections whose payload fields are typed top-level columns
@@ -117,6 +123,8 @@ final class TypedResolver(
     case ArrayType(e, _) => e
     case t => t
   }
+
+  override def idDataType: Option[DataType] = fieldType(idCol)
 }
 
 /** Resolver over a struct element (for Nested conditions): keys resolve
@@ -210,7 +218,9 @@ final class FilterCompiler(
       // both positively and under must_not — the referenced-id exclusion
       // injects `must_not HasId(ids)` on EVERY by-id query, and a coalesce
       // wrapper here would block its pushdown
-      case HasId(ids) => Some(r.id.isNotNull && r.id.isin(ids: _*))
+      case HasId(ids) =>
+        val cids = FilterCompiler.coerceWireIds(ids, r.idDataType)
+        Some(r.id.isNotNull && r.id.isin(cids: _*))
       case _ => None
     }
   }
@@ -316,7 +326,8 @@ final class FilterCompiler(
     case IsEmpty(k) =>
       !r.fieldExists(k) || (size(r.values(k)) === 0 && !r.isJsonNull(k))
     case IsNullCond(k) => r.isJsonNull(k)
-    case HasId(ids) => r.id.isin(ids: _*)
+    case HasId(ids) =>
+      r.id.isin(FilterCompiler.coerceWireIds(ids, r.idDataType): _*)
     case SliceCond(total, index) =>
       graft.functions.SipHash24.sliceIndexCol(r.id, total) === lit(index.toLong)
     case HasVector(name) => r.vector(name).isNotNull
@@ -337,7 +348,11 @@ final class FilterCompiler(
     crossings.reduceOption((a, b) => a + b).getOrElse(lit(0)) % 2 === 1
   }
 
-  private def compileNested(key: String, f: Filter): Column = r match {
+  // Nested scope dispatches on the UNDERLYING storage resolver — hook
+  // wrappers (tenant prune, id type) are collection-level concerns that
+  // don't apply inside an array element's scope.
+  private def compileNested(key: String, f: Filter): Column =
+    FilterCompiler.unwrap(r) match {
     case jr: JsonResolver =>
       exists(jr.nestedValues(key), elem =>
         new FilterCompiler(jr.elementResolver(elem, jr.innerTypes(key))).compile(f))
@@ -349,4 +364,29 @@ final class FilterCompiler(
         case None => lit(false)
       }
   }
+}
+
+object FilterCompiler {
+  /** Strip hook wrappers down to the storage-layout resolver. */
+  @annotation.tailrec
+  private[filters] def unwrap(r: FieldResolver): FieldResolver = r match {
+    case fw: ForwardingResolver => unwrap(fw.inner)
+    case other => other
+  }
+
+  /** Coerce wire point-ids to an id column's type. A string id column — a
+    * UUID or mixed NumId+Uuid collection — stores numeric ids as their
+    * decimal rendering: digits-only is never a canonical UUID, so the two
+    * id kinds cannot collide (`ExtendedPointId`, reference
+    * `types.rs:174-179`). A numeric id column can never hold a UUID, so
+    * UUID ids DROP from the candidate list — comparing them raw would make
+    * Spark cast the COLUMN and kill parquet pushdown of the HasId prune. */
+  def coerceWireIds(ids: Seq[Any], idType: Option[DataType]): Seq[Any] =
+    idType match {
+      case Some(StringType) =>
+        ids.map { case l: Long => l.toString; case i: Int => i.toString
+                  case x => x }
+      case Some(_) => ids.filter(!_.isInstanceOf[String])
+      case None => ids
+    }
 }

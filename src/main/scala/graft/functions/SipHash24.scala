@@ -90,9 +90,21 @@ object SipHash24 {
   }
 
   /** `slice_point_id_hash(Uuid(id))`: zero-key SipHash-2-4 over the 16 UUID
-    * bytes (`types.rs:3893-3899` — the UUID arm of the public contract). */
-  def sliceIndexUuid(id: String, total: Int): Long =
-    java.lang.Long.remainderUnsigned(hash(0L, 0L, uuidBytes(id)), total.toLong)
+    * bytes (`types.rs:3893-3899` — the UUID arm of the public contract).
+    * A string id column can also hold decimal-rendered NUMERIC ids (mixed
+    * NumId+Uuid collections) — digits-only dispatches to the NumId arm so
+    * slice membership matches the id's `ExtendedPointId` kind, not its
+    * storage rendering. */
+  def sliceIndexUuid(id: String, total: Int): Long = {
+    var digits = id.length > 0 && id.length <= 19
+    var i = 0
+    while (digits && i < id.length) {
+      if (id.charAt(i) < '0' || id.charAt(i) > '9') digits = false
+      i += 1
+    }
+    if (digits) sliceIndex(java.lang.Long.parseLong(id), total)
+    else java.lang.Long.remainderUnsigned(hash(0L, 0L, uuidBytes(id)), total.toLong)
+  }
 
   def sliceIndexCol(id: Column, total: Int): Column =
     GraftShim.column(SliceIndexExpr(GraftShim.expression(id), total))

@@ -261,6 +261,9 @@ object PointQuery {
     q.scoring match {
       // ---- rescore-over-prefetch nodes ----
       case FusionQ(kind, weights, rrfK) =>
+        // `planned_query.rs:400-403` — a fusion root with nothing to fuse
+        // is a validation error, not an empty result
+        require(q.prefetches.nonEmpty, "cannot apply Fusion without prefetches")
         require(q.prefetches.nonEmpty, "Fusion requires prefetches")
         val children = q.prefetches.map(inherited).map { c =>
           val df = execute(spark, points, idCol, resolver, c)
@@ -316,7 +319,8 @@ object PointQuery {
         dropOffset(thresholded, Seq(col("score").desc, col(idCol).asc), q.offset)
 
       case FormulaQ(ast, defaultScore) =>
-        require(q.prefetches.nonEmpty, "Formula requires prefetches")
+        // `planned_query.rs:418-421`
+        require(q.prefetches.nonEmpty, "cannot apply Formula without prefetches")
         val children = q.prefetches.map(inherited).zipWithIndex.map { case (c, i) =>
           execute(spark, points, idCol, resolver, c)
             .withColumnRenamed("score", s"_score$i")

@@ -42,11 +42,36 @@ object Reads {
       .limit(limit)
   }
 
+  /** `ExtendedPointId` total order over a STRING id column that may mix
+    * decimal-rendered numeric ids with canonical UUIDs: the reference's
+    * derived Ord puts every NumId before every Uuid, NumId numerically,
+    * Uuid in byte order (`types.rs:174-179`). Canonical lowercase uuid
+    * strings compare bytewise AS strings, so `"0" + zero-padded-decimal`
+    * vs `"1" + uuid` realizes the order in one sortable key. Pure-UUID
+    * collections get the same relative order as the raw column. */
+  private[graft] def idSortKey(c: Column): Column =
+    when(c.rlike("^[0-9]+$"), concat(lit("0"), lpad(c, 20, "0")))
+      .otherwise(concat(lit("1"), c))
+
+  private[graft] def idSortKeyLit(id: Any): String = id match {
+    case l: Long => "0" + "%020d".format(l)
+    case s: String if s.nonEmpty && s.forall(_.isDigit) =>
+      "0" + ("0" * (20 - s.length)) + s
+    case other => "1" + other.toString
+  }
+
+  private def idIsString(points: DataFrame, idCol: String): Boolean =
+    points.schema.fields.find(_.name == idCol)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+
   /** Scroll by id: keyset pagination — filter, id ≥ offset, order by id.
     * Ref `lib/collection/src/shards/local_shard/scroll.rs:64-130`. The
     * (limit+1)-th row is the caller's `next_page_offset`. Ids are Long or
-    * UUID strings (canonical lowercase hex sorts identically to the 128-bit
-    * value, so string keyset order == `ExtendedPointId` order). */
+    * UUID strings; string columns order via [[idSortKey]] so mixed
+    * NumId+Uuid collections page in `ExtendedPointId` order. A UUID offset
+    * additionally conjoins the raw pushable bound `id >= uuid` (implied:
+    * every uuid ≥ the offset satisfies it; numerics are already excluded
+    * by the key bound) so the scan still prunes on the id-sorted layout. */
   def scrollById(
       points: DataFrame,
       idCol: String,
@@ -56,8 +81,27 @@ object Reads {
       limit: Int,
       projection: Seq[String]): DataFrame = {
     val base = pred(filter, r).fold(points)(points.filter)
-    val paged = offsetId.fold(base)(o => base.filter(col(idCol) >= lit(o)))
-    paged.orderBy(col(idCol).asc).limit(limit).select(projection.map(col): _*)
+    if (!idIsString(points, idCol)) {
+      val paged = offsetId.fold(base) {
+        // UUID offset, numeric collection: every NumId < every Uuid, so
+        // the page past the offset is empty (`ExtendedPointId` Ord)
+        case _: String => base.filter(lit(false))
+        case o => base.filter(col(idCol) >= lit(o))
+      }
+      paged.orderBy(col(idCol).asc).limit(limit).select(projection.map(col): _*)
+    } else {
+      val key = idSortKey(col(idCol))
+      val paged = offsetId.fold(base) { o =>
+        val exact = key >= lit(idSortKeyLit(o))
+        o match {
+          case s: String if !s.forall(_.isDigit) =>
+            base.filter(exact && col(idCol) >= lit(s))
+          case l: Long => base.filter(exact)
+          case _ => base.filter(exact)
+        }
+      }
+      paged.orderBy(key.asc).limit(limit).select(projection.map(col): _*)
+    }
   }
 
   /** Scroll ordered by a payload field (asc/desc) with `start_from` cursor;
@@ -82,9 +126,12 @@ object Reads {
       val b = graft.filters.Temporal.boundLit(dt, s)
       base.filter(if (asc) col(field) >= b else col(field) <= b)
     }
+    val idOrd =
+      if (idIsString(points, idCol)) idSortKey(col(idCol)).asc
+      else col(idCol).asc
     val ord = Seq(
       if (asc) col(field).asc_nulls_last else col(field).desc_nulls_last,
-      col(idCol).asc)
+      idOrd)
     cursored.orderBy(ord: _*).limit(limit).select(projection.map(col): _*)
   }
 

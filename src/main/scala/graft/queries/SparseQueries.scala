@@ -338,7 +338,25 @@ object SparseQueries {
         ("recommend_no_examples_sparse",
           check("""{"query": {"recommend": {"positive": []}},
             |  "using": "txt", "limit": 3}""".stripMargin,
-            "At least one positive or negative vector/id must be provided")))
+            "At least one positive or negative vector/id must be provided")),
+        // fusion×using is rejected at EVERY node and a fusion/formula root
+        // with nothing to fuse is a validation error, not an empty result
+        // (`collection_query.rs:769-776`, `planned_query.rs:400-421`)
+        ("fusion_with_using",
+          check("""{"prefetch": [{"query": 7, "limit": 5}],
+            |  "query": {"fusion": "rrf"}, "using": "txt", "limit": 3}""".stripMargin,
+            "Fusion queries cannot be combined with the 'using' field.")),
+        ("fusion_without_prefetch",
+          check("""{"query": {"fusion": "rrf"}, "limit": 3}""",
+            "cannot apply Fusion without prefetches")),
+        ("formula_without_prefetch",
+          check("""{"query": {"formula": "$score"}, "limit": 3}""",
+            "cannot apply Formula without prefetches")),
+        // a loose string is not a point id (`ExtendedPointId` deserialize,
+        // `types.rs:243-268`)
+        ("invalid_point_id",
+          check("""{"query": "not-a-uuid", "limit": 3}""",
+            "is not a valid point ID")))
       rows.map { case (name, (rejected, msgOk)) => (name, rejected, msgOk) }
         .toDF("check_name", "rejected", "msg_ok")
     }),
@@ -958,7 +976,11 @@ object SparseQueries {
         |  ('geo_polygon_unclosed', true, true),
         |  ('geo_polygon_short', true, true),
         |  ('recommend_no_examples_dense', true, true),
-        |  ('recommend_no_examples_sparse', true, true))
+        |  ('recommend_no_examples_sparse', true, true),
+        |  ('fusion_with_using', true, true),
+        |  ('fusion_without_prefetch', true, true),
+        |  ('formula_without_prefetch', true, true),
+        |  ('invalid_point_id', true, true))
         |AS t(check_name, rejected, msg_ok)""".stripMargin,
     "sparse_config_update_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),

@@ -1,13 +1,16 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.filters.TypedResolver
 import graft.model._
 import graft.ops.{Reads, Search}
 import graft.pipeline.Dedup
+import graft.sources.{CollectionConfig, VectorConfig}
+import graft.storage.Collection
 
 /** UUID point-id catalog — `ExtendedPointId::Uuid` parity
   * (ref `lib/segment/src/types.rs:174-196`): every read operator here runs
@@ -71,13 +74,16 @@ object UuidQueries {
         filter = Some(f), resolver = Some(new TypedResolver(df.schema, "id")),
         k = 10)
     }),
-    // keyset scroll over the uuid id space, cursor mid-range
+    // keyset scroll over the uuid id space, cursor mid-range — a CANONICAL
+    // uuid cursor (a loose string is not a point id; the wire layer
+    // rejects it at parse, PointId)
     "scroll_uuid" -> ((s, dir) => {
       val d = docsUuid(s, dir)
       Reads.scrollById(d, "id",
         Some(Filter.mustAll(MatchValue("lang", "en"))),
         new TypedResolver(d.schema, "id"),
-        offsetId = Some("8"), limit = 25, projection = Seq("id", "lang"))
+        offsetId = Some(uuidOfLong(8L)), limit = 25,
+        projection = Seq("id", "lang"))
     }),
     // UUID scroll leaf under RRF: the scroll's fusion contribution is LIST
     // POSITION (row_number over the leaf's own id order) — a uuid string
@@ -107,6 +113,116 @@ object UuidQueries {
       Dedup.exactKeepFirst(docsUuid(s, dir), "id", "text")
         .select(col("id"), col("lang"))
         .orderBy(col("id"))),
+    // Wire point-id FORMS (`ExtendedPointId` custom deserialize,
+    // `types.rs:243-268` + the uuid crate's four `try_parse` syntaxes):
+    // UPPERCASE hyphenated, simple (32 hex), `urn:uuid:` and braced forms
+    // all parse to the SAME 128-bit id and round-trip as the canonical
+    // lowercase hyphenated rendering on EVERY surface — upsert dedup,
+    // retrieve, has_id filters, delete. A string-keeping engine treats
+    // "ABC…" and "abc…" as different points; the reference (and this
+    // parser) does not.
+    "api_point_id_forms" -> ((s, dir) => {
+      def u(n: Long): String = uuidOfLong(n)
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 2, Dot)),
+        payloadTypes = Map("tag" -> StringType))
+      val schema = StructType(Seq(
+        StructField("id", StringType),
+        StructField("vector", ArrayType(FloatType)),
+        StructField("payload", StringType)))
+      val seed = java.util.Arrays.asList(
+        Row(u(0), Array(1.0f, 0.0f), """{"tag":"seed"}"""))
+      val coll = Collection.create(s, "/tmp/graft_runtime/pointid_forms",
+        cfg, s.createDataFrame(seed, schema))
+      graft.api.UpdateBridge.applyJson(coll,
+        s"""{"operations": [
+           |  {"upsert": {"points": [
+           |    {"id": "${u(1).toUpperCase}", "vector": [0.1, 0.2],
+           |     "payload": {"tag": "t1"}},
+           |    {"id": "${u(2).replace("-", "")}", "vector": [0.3, 0.4],
+           |     "payload": {"tag": "t2"}},
+           |    {"id": "urn:uuid:${u(3)}", "vector": [0.5, 0.6],
+           |     "payload": {"tag": "t3"}},
+           |    {"id": "{${u(4)}}", "vector": [0.7, 0.8],
+           |     "payload": {"tag": "t4"}}]}},
+           |  {"delete": {"points": ["${u(4).toUpperCase.replace("-", "")}"]}},
+           |  {"set_payload": {"payload": {"tag": "t2b"},
+           |    "filter": {"must": [{"has_id": ["URN:UUID:${u(2).toUpperCase}"]}]}}}
+           |]}""".stripMargin)
+      val table = coll.read().select(lit("table").as("src"), col("id"),
+        get_json_object(col("payload"), "$.tag").as("tag"))
+      val ret = coll.retrievePoints(
+        s"""{"ids": ["${u(1).replace("-", "")}", "${u(3).toUpperCase}"],
+           |  "with_payload": true}""".stripMargin)
+        .select(lit("retrieve").as("src"), col("id"),
+          get_json_object(col("payload"), "$.tag").as("tag"))
+      table.unionByName(ret).orderBy(col("src"), col("id"))
+    }),
+    // MIXED NumId+Uuid collection (`ExtendedPointId` lets both kinds
+    // coexist — `tests/openapi/test_filter_slice.py` seeds half numeric /
+    // half UUID ids): the first UUID write widens a numeric-id table's id
+    // column to string INSIDE the upsert's own rewrite; numeric ids keep
+    // their decimal rendering (never a valid UUID, so no collisions).
+    // Scroll pages in `ExtendedPointId` order — every NumId before every
+    // Uuid (`types.rs:174-179` derive(Ord)) — and retrieve / has_id /
+    // slice / delete address both kinds.
+    "api_upsert_mixed_ids" -> ((s, dir) => {
+      val u7 = uuidOfLong(7L)
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 2, Dot)),
+        payloadTypes = Map("tag" -> StringType))
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("vector", ArrayType(FloatType)),
+        StructField("payload", StringType)))
+      val seed = java.util.Arrays.asList(
+        Row(5L, Array(1.0f, 0.0f), """{"tag":"n5"}"""),
+        Row(9L, Array(0.0f, 1.0f), """{"tag":"n9"}"""))
+      val coll = Collection.create(s, "/tmp/graft_runtime/pointid_mixed",
+        cfg, s.createDataFrame(seed, schema))
+      graft.api.UpdateBridge.applyJson(coll,
+        s"""{"operations": [
+           |  {"upsert": {"points": [
+           |    {"id": 2, "vector": [0.2, 0.2], "payload": {"tag": "n2"}},
+           |    {"id": "${u7.toUpperCase}", "vector": [0.7, 0.7],
+           |     "payload": {"tag": "u7"}},
+           |    {"id": 3, "vector": [0.3, 0.3], "payload": {"tag": "n3"}}]}}
+           |]}""".stripMargin)
+      def ids(df: DataFrame): String =
+        df.select("id").collect().map(_.getString(0)).mkString(",")
+      val page1 = ids(coll.scroll("""{"limit": 3, "with_payload": false}"""))
+      val page2 = ids(coll.scroll(
+        """{"limit": 10, "offset": 9, "with_payload": false}"""))
+      // retrieve addresses both kinds (simple-form uuid canonicalizes);
+      // render numeric-first like the id order
+      val retRaw = coll.retrievePoints(
+        s"""{"ids": [3, "${u7.replace("-", "")}"]}""")
+        .select("id").collect().map(_.getString(0)).toSeq
+      val (nums, uus) = retRaw.partition(_.forall(_.isDigit))
+      val ret = (nums.map(_.toLong).sorted.map(_.toString) ++ uus.sorted)
+        .mkString(",")
+      def cnt(json: String): Long =
+        coll.count(json).collect()(0).getLong(0)
+      val hasId = cnt(s"""{"filter": {"must": [{"has_id": [2, "$u7"]}]}}""")
+      // slice total=2 must PARTITION the mixed id space (disjoint + cover:
+      // the two counts sum to the table size), each id hashing by its
+      // ExtendedPointId KIND — "2" as NumId le-bytes, u7 as uuid bytes
+      val sliceSum =
+        cnt("""{"filter": {"must": [{"slice": {"total": 2, "index": 0}}]}}""") +
+        cnt("""{"filter": {"must": [{"slice": {"total": 2, "index": 1}}]}}""")
+      graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [{"delete": {"points": [2]}}]}""")
+      val after = cnt("{}")
+      import s.implicits._
+      Seq(
+        ("after_delete_count", after.toString),
+        ("has_id_count", hasId.toString),
+        ("page1", page1),
+        ("page2", page2),
+        ("retrieve", ret),
+        ("slice_cover", sliceSum.toString)
+      ).toDF("check_name", "value").orderBy("check_name")
+    }),
     // facet over a uuid-typed payload field (`FacetValue::Uuid`,
     // `lib/segment/src/data_types/facets.rs:33-38,87`): uuid values group,
     // count and tie-break like keywords — canonical lowercase-hex order
@@ -146,7 +262,7 @@ object UuidQueries {
     "scroll_uuid" ->
       s"""SELECT id, lang FROM
         |  (SELECT ${uuidSql("doc_id")} AS id, lang FROM documents)
-        |WHERE lang = 'en' AND id >= '8'
+        |WHERE lang = 'en' AND id >= ${uuidSql("8")}
         |ORDER BY id ASC LIMIT 25""".stripMargin,
     "retrieve_uuid" ->
       s"""SELECT id, lang, n_chars FROM
@@ -166,5 +282,29 @@ object UuidQueries {
         |  SELECT doc_id, ${uuidSql("(doc_id % 7)")} AS v
         |  FROM documents WHERE lang = 'en')
         |GROUP BY v ORDER BY cnt DESC, v ASC LIMIT 5""".stripMargin,
+    // every wire form canonicalizes: table = seed(0) + t1(1) + t2b(2) +
+    // t3(3), id 4 deleted via its simple-uppercase form; retrieve via
+    // simple(1)/uppercase(3) returns canonical ids
+    "api_point_id_forms" ->
+      s"""SELECT * FROM (VALUES
+        |  ('retrieve', ${uuidSql("1")}, 't1'),
+        |  ('retrieve', ${uuidSql("3")}, 't3'),
+        |  ('table', ${uuidSql("0")}, 'seed'),
+        |  ('table', ${uuidSql("1")}, 't1'),
+        |  ('table', ${uuidSql("2")}, 't2b'),
+        |  ('table', ${uuidSql("3")}, 't3'))
+        |AS t(src, id, tag) ORDER BY src, id""".stripMargin,
+    // ids {2,3,5,9,uuid(7)}: scroll order numerics-first (page1 = 2,3,5;
+    // page2 from offset 9 = 9 then the uuid), retrieve/has_id/slice
+    // address both kinds, delete 2 leaves 4 points
+    "api_upsert_mixed_ids" ->
+      s"""SELECT * FROM (VALUES
+        |  ('after_delete_count', '4'),
+        |  ('has_id_count', '2'),
+        |  ('page1', '2,3,5'),
+        |  ('page2', '9,' || ${uuidSql("7")}),
+        |  ('retrieve', '3,' || ${uuidSql("7")}),
+        |  ('slice_cover', '5'))
+        |AS t(check_name, value) ORDER BY check_name""".stripMargin,
   )
 }

@@ -120,8 +120,12 @@ final class Catalog(spark: SparkSession, root: String) {
           df0.filter(col(sk).isin(keys: _*))
         case _ => df0
       }
-      val rows = df.filter(col(other.config.idCol) === lit(id))
-        .select(other.config.vectorCol(vname)).take(1)
+      val rows = graft.filters.FilterCompiler.coerceWireIds(Seq(id),
+          df.schema.fields.find(_.name == other.config.idCol).map(_.dataType)) match {
+        case Seq(cid) => df.filter(col(other.config.idCol) === lit(cid))
+          .select(other.config.vectorCol(vname)).take(1)
+        case _ => Array.empty[org.apache.spark.sql.Row]
+      }
       if (rows.isEmpty) throw new IllegalArgumentException(
         s"Not found: No point with id $id found")
       if (rows(0).isNullAt(0)) throw new IllegalArgumentException(
@@ -155,8 +159,12 @@ final class Catalog(spark: SparkSession, root: String) {
           df0.filter(col(sk).isin(keys: _*))
         case _ => df0
       }
-      val rows = df.filter(col(other.config.idCol) === lit(id))
-        .select(col(s"$scol.indices"), col(s"$scol.values")).take(1)
+      val rows = graft.filters.FilterCompiler.coerceWireIds(Seq(id),
+          df.schema.fields.find(_.name == other.config.idCol).map(_.dataType)) match {
+        case Seq(cid) => df.filter(col(other.config.idCol) === lit(cid))
+          .select(col(s"$scol.indices"), col(s"$scol.values")).take(1)
+        case _ => Array.empty[org.apache.spark.sql.Row]
+      }
       if (rows.isEmpty) throw new IllegalArgumentException(
         s"Not found: No point with id $id found")
       if (rows(0).isNullAt(0)) throw new IllegalArgumentException(

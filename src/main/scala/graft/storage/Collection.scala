@@ -78,13 +78,15 @@ final class Collection(
 
   def resolver(df: DataFrame): FieldResolver = {
     val r0 = resolver0(df)
-    if (config.tenantKeys.isEmpty) r0
-    else {
-      val cols = df.columns.toSeq
-      new graft.filters.ForwardingResolver(r0) {
-        override def scanPrune(f: Filter) =
-          Collection.tenantPrune(config, cols, f)
-      }
+    val cols = df.columns.toSeq
+    // id type rides every resolver so HasId (incl. the referenced-id
+    // exclusion) coerces wire ids to the column's representation
+    val idt = df.schema.fields.find(_.name == config.idCol).map(_.dataType)
+    new graft.filters.ForwardingResolver(r0) {
+      override def idDataType: Option[org.apache.spark.sql.types.DataType] = idt
+      override def scanPrune(f: Filter) =
+        if (config.tenantKeys.isEmpty) r0.scanPrune(f)
+        else Collection.tenantPrune(config, cols, f)
     }
   }
 
@@ -335,8 +337,20 @@ final class Collection(
     config.shardKeyCol.foreach(sk => require(points.columns.contains(sk),
       s"Shard key not specified: upsert into a custom-sharded collection " +
         s"must carry the '$sk' column"))
-    val incoming = admit(cur, lastWins(encodeVectors(points)), mode, filter)
-    cur.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
+    // first UUID point into a numeric-id collection: the id column widens
+    // to string IN THIS REWRITE (numeric ids keep their decimal rendering
+    // — `ExtendedPointId` lets NumId and Uuid coexist, `types.rs:174-179`);
+    // no extra IO, the op's own rewrite carries the cast
+    val curIdT = cur.schema.fields.find(_.name == config.idCol).map(_.dataType)
+    val inIdT = points.schema.fields.find(_.name == config.idCol).map(_.dataType)
+    val curW =
+      if (inIdT.contains(org.apache.spark.sql.types.StringType) &&
+          !curIdT.contains(org.apache.spark.sql.types.StringType))
+        cur.withColumn(config.idCol, col(config.idCol)
+          .cast(org.apache.spark.sql.types.StringType))
+      else cur
+    val incoming = admit(curW, lastWins(encodeVectors(points)), mode, filter)
+    curW.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
       .unionByName(incoming, allowMissingColumns = true)
   }
 
@@ -346,7 +360,9 @@ final class Collection(
     case UpdateOp.UpsertConditional(points, filter, mode) =>
       mergeUpsert(cur, points, mode, Some(filter))
     case UpdateOp.DeleteIds(ids) =>
-      cur.filter(!col(config.idCol).isin(ids: _*))
+      val cids = graft.filters.FilterCompiler.coerceWireIds(ids,
+        cur.schema.fields.find(_.name == config.idCol).map(_.dataType))
+      cur.filter(!col(config.idCol).isin(cids: _*))
     case UpdateOp.DeleteByFilter(filter) =>
       cur.filter(!coalesce(pred(cur, filter), lit(false)))
     case UpdateOp.SetPayload(patch, target, key) =>
@@ -779,8 +795,14 @@ final class Collection(
     * (`collection_query.rs:395-397`) — never a bare NoSuchElement/NPE. */
   private def resolveRow(id: Any, vecCol: String,
       vectorName: String): org.apache.spark.sql.Row = {
-    val rows = readDecoded().filter(col(config.idCol) === lit(id))
-      .select(col(vecCol)).take(1)
+    val df = readDecoded()
+    val rows = graft.filters.FilterCompiler.coerceWireIds(Seq(id),
+        df.schema.fields.find(_.name == config.idCol).map(_.dataType)) match {
+      // UUID id, numeric id column: the kinds can never match
+      case Seq(cid) => df.filter(col(config.idCol) === lit(cid))
+        .select(col(vecCol)).take(1)
+      case _ => Array.empty[org.apache.spark.sql.Row]
+    }
     if (rows.isEmpty) throw new IllegalArgumentException(
       s"Not found: No point with id $id found")
     if (rows(0).isNullAt(0)) throw new IllegalArgumentException(
@@ -1273,7 +1295,9 @@ final class Collection(
     val cols = Seq(config.idCol) ++
       (if (df.columns.contains(config.payloadCol)) Seq(config.payloadCol) else Nil) ++
       vecNames.filter(df.columns.contains)
-    val base = graft.ops.Reads.retrieve(df, config.idCol, spec.ids, cols)
+    val ids = graft.filters.FilterCompiler.coerceWireIds(spec.ids,
+      df.schema.fields.find(_.name == config.idCol).map(_.dataType))
+    val base = graft.ops.Reads.retrieve(df, config.idCol, ids, cols)
     spec.withPayload match {
       case Some(sel) if df.columns.contains(config.payloadCol) =>
         base.withColumn(config.payloadCol, sel(col(config.payloadCol)))

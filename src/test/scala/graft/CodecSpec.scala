@@ -301,8 +301,13 @@ class CodecSpec extends AnyFunSuite {
     assert(sc.offset.contains(100L) && sc.limit == 10)
     assert(sc.filter.get.must == Seq(MatchValue("lang", "en")))
     assert(sc.orderBy.contains(OrderByField("ts", asc = false)))
-    assert(RequestCodec.parseScrollRequest("""{"offset": "a0f5-uuid"}""").offset
-      .contains("a0f5-uuid"))
+    // a UUID offset parses (canonicalized); a loose string is NOT an id
+    assert(RequestCodec.parseScrollRequest(
+      """{"offset": "B524A3C4-C568-4383-8019-C9CA08243D6A"}""").offset
+      .contains("b524a3c4-c568-4383-8019-c9ca08243d6a"))
+    assert(intercept[IllegalArgumentException](
+      RequestCodec.parseScrollRequest("""{"offset": "a0f5-uuid"}"""))
+      .getMessage.contains("is not a valid point ID"))
     assert(RequestCodec.parseCountRequest("""{"exact": true}""").filter.isEmpty)
     assert(!RequestCodec.parseCountRequest("""{"exact": false}""").exact)
     assert(RequestCodec.parseCountRequest("""{}""").exact)
@@ -313,8 +318,10 @@ class CodecSpec extends AnyFunSuite {
   test("retrieve body: with_payload bool / list / include / exclude forms") {
     import org.json4s.jackson.JsonMethods.parse
     val spec = RequestCodec.parseRetrieveRequest(
-      """{"ids": [1, "u-2"], "with_payload": {"exclude": ["meta.head"]}}""")
-    assert(spec.ids == Seq(1L, "u-2") && spec.withPayload.isDefined)
+      """{"ids": [1, "1d675313-d3dd-4646-8b98-8052364872da"],
+        |  "with_payload": {"exclude": ["meta.head"]}}""".stripMargin)
+    assert(spec.ids == Seq(1L, "1d675313-d3dd-4646-8b98-8052364872da") &&
+      spec.withPayload.isDefined)
     assert(RequestCodec.parseWithPayload(parse("false")).isEmpty)
     assert(RequestCodec.parseWithPayload(parse("true")).isDefined)
     assert(RequestCodec.parseWithPayload(parse("""["lang"]""")).isDefined)
@@ -345,7 +352,7 @@ class CodecSpec extends AnyFunSuite {
       """{"operations": [
         |  {"upsert": {"points": [
         |     {"id": 1, "vector": [0.1, 0.2], "payload": {"a": 1}},
-        |     {"id": "uuid-x", "vector": {"img": [0.5]}}]}},
+        |     {"id": "B524A3C4-C568-4383-8019-C9CA08243D6A", "vector": {"img": [0.5]}}]}},
         |  {"upsert": {"points": [{"id": 2, "vector": [1.0]}],
         |              "update_filter": {"must": [{"key": "a", "match": {"value": 1}}]}}},
         |  {"delete": {"points": [1, 2]}},
@@ -360,7 +367,10 @@ class CodecSpec extends AnyFunSuite {
     assert(ops.length == 10)
     val WUpsert(pts, None, graft.storage.UpdateMode.Upsert, None) = ops(0): @unchecked
     assert(pts(0) == WirePoint(1L, Map("" -> WDenseVec(Seq(0.1, 0.2))), Some("""{"a":1}""")))
-    assert(pts(1) == WirePoint("uuid-x", Map("img" -> WDenseVec(Seq(0.5))), None))
+    // UPPERCASE wire form canonicalizes at parse (ExtendedPointId is the
+    // parsed 128-bit value, types.rs:243-268)
+    assert(pts(1) == WirePoint("b524a3c4-c568-4383-8019-c9ca08243d6a",
+      Map("img" -> WDenseVec(Seq(0.5))), None))
     val WUpsert(_, Some(uf), _, _) = ops(1): @unchecked
     assert(uf.must == Seq(MatchValue("a", 1L)))
     assert(ops(2) == WDelete(Selector(Some(Seq(1L, 2L)), None)))
@@ -529,6 +539,48 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("point ids: ExtendedPointId wire forms — UUID canonicalization and rejections") {
+    import graft.api.PointId
+    val canon = "b524a3c4-c568-4383-8019-c9ca08243d6a"
+    // the uuid crate's four accepted syntaxes (types.rs:243-268 tries
+    // u64 then Uuid), every form canonicalizing to lowercase hyphenated
+    assert(PointId.parseString(canon) == canon)
+    assert(PointId.parseString(canon.toUpperCase) == canon)
+    assert(PointId.parseString(canon.replace("-", "")) == canon)
+    assert(PointId.parseString("URN:UUID:" + canon.toUpperCase) == canon)
+    assert(PointId.parseString(s"{$canon}") == canon)
+    // non-UUID strings reject with the reference deserializer's message —
+    // including DIGIT strings ("5" is only an id on path params, never in
+    // a JSON body) and near-misses
+    for (bad <- Seq("foo", "5", canon.dropRight(1), canon + "0",
+        "b524a3c4-c568-4383-8019-c9ca08243d6g", "urn:" + canon))
+      assert(intercept[IllegalArgumentException](PointId.parseString(bad))
+        .getMessage.contains("is not a valid point ID"))
+    // unsigned integers only; the u64 tail beyond i64 rejects LOUDLY
+    assert(PointId.parseNum(BigInt(0)) == 0L)
+    assert(PointId.parseNum(BigInt(Long.MaxValue)) == Long.MaxValue)
+    assert(intercept[IllegalArgumentException](PointId.parseNum(BigInt(-1)))
+      .getMessage.contains("is not a valid point ID"))
+    assert(intercept[IllegalArgumentException](
+      PointId.parseNum(BigInt(Long.MaxValue) + 1))
+      .getMessage.contains("exceeds the supported id range"))
+    // the id-bearing wire surfaces all route through the parser: upsert,
+    // retrieve ids, has_id, by-id query inputs
+    assert(intercept[IllegalArgumentException](RequestCodec.parseUpdateOperations(
+      """{"operations": [{"upsert": {"points": [{"id": "x", "vector": [1.0]}]}}]}"""))
+      .getMessage.contains("is not a valid point ID"))
+    assert(intercept[IllegalArgumentException](RequestCodec.parseRetrieveRequest(
+      """{"ids": [1.5]}""", None))
+      .getMessage.contains("is not a valid point ID"))
+    assert(intercept[IllegalArgumentException](RequestCodec.parseQueryRequest(
+      """{"query": "not-a-uuid", "limit": 3}""", ctx))
+      .getMessage.contains("is not a valid point ID"))
+    // a filter has_id list canonicalizes its UUID members
+    val f = RequestCodec.parseFilter(
+      s"""{"must": [{"has_id": [7, "${canon.toUpperCase}"]}]}""")
+    assert(f.must == Seq(HasId(Seq(7L, canon))))
+  }
+
   test("query: sparse nearest routes to the sparse space; mismatches fail loudly") {
     val sctx = Ctx(spaces = Map(
       "" -> VectorSpace("embedding", Dot),
@@ -554,6 +606,16 @@ class CodecSpec extends AnyFunSuite {
     val single = RequestCodec.parseCollectionConfig(
       """{"vectors": {"size": 4, "distance": "Cosine"}}""")
     assert(single.vectors == Seq(VectorConfig("", 4, Cosine)))
+    // dimension cap 1..=65536 (PR #2544; test_limits.py pins the message)
+    assert(RequestCodec.parseCollectionConfig(
+      """{"vectors": {"size": 65536, "distance": "Dot"}}""")
+      .vectors.head.dim == 65536)
+    for (bad <- Seq(0L, 65537L))
+      assert(intercept[IllegalArgumentException](
+        RequestCodec.parseCollectionConfig(
+          s"""{"vectors": {"size": $bad, "distance": "Dot"}}"""))
+        .getMessage.contains(
+          s"vectors.size: value $bad invalid, must be from 1 to 65536"))
     // named map with datatype + multivector comparator; sparse with modifier;
     // online-index knobs (hnsw_config, on_disk) parse-and-ignore
     val cfg = RequestCodec.parseCollectionConfig(
