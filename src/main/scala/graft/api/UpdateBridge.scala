@@ -20,11 +20,152 @@ object UpdateBridge {
     apply(coll, RequestCodec.parseUpdateOperations(json))
 
   def apply(coll: Collection, ops: Seq[RequestCodec.WireOp]): Unit = {
-    // strict-mode gate before any table plan is built (`operations/
-    // verification/` update checks — batch size, unindexed update filters)
+    // strict-mode gate for the WHOLE batch before anything applies
+    // (`do_batch_update_points` checks strict mode for all ops first,
+    // `src/common/update.rs:782-790`)
     coll.config.strictMode.foreach(sm =>
       StrictMode.verifyUpdate(ops, sm, coll.config.payloadTypes.keySet))
-    coll.applyBatch(ops.flatMap(toUpdateOps(coll, _)))
+    // The reference applies a batch SEQUENTIALLY and `?`-propagates the
+    // FIRST failing op AFTER the earlier ops already landed
+    // (`do_batch_update_points`'s per-op loop, `update.rs:800-915`):
+    // translate op by op, fold the successful PREFIX into one table
+    // rewrite, then surface the failure.
+    val ledger = new ExistenceLedger(coll, ops)
+    val acc = Seq.newBuilder[UpdateOp]
+    var nOk = 0
+    var failure: Option[IllegalArgumentException] = None
+    val it = ops.iterator
+    while (failure.isEmpty && it.hasNext) {
+      val op = it.next()
+      try {
+        ledger.step(op)
+        acc ++= toUpdateOps(coll, op)
+        nOk += 1
+      } catch { case e: IllegalArgumentException => failure = Some(e) }
+    }
+    val prefix = acc.result()
+    if (prefix.nonEmpty) coll.applyBatch(prefix)
+    failure.foreach(throw _)
+  }
+
+  /** The reference's unknown-point 404 on id-list selectors: set/delete/
+    * clear/overwrite payload, update_vectors and delete_vectors by ids all
+    * raise `No point with id {id} found` for the FIRST id (in wire order)
+    * that resolves to no live point — `check_unprocessed_points`
+    * (`lib/shard/src/update/helpers.rs:118-128`), called from every id-list
+    * arm of `update/payload.rs` and `update/vectors.rs`; plain point
+    * DELETES and all by-filter selectors are exempt. `update_vectors`'s
+    * `update_filter` only silences points that EXIST and fail the filter
+    * (`select_excluded_by_filter_ids` picks from live points,
+    * `helpers.rs:60-73`), so existence still gates every named id.
+    *
+    * On a CUSTOM-sharded collection every update op must select shard keys
+    * — there is no `None` hash ring (`shard_holder/mod.rs:95` doc,
+    * `:429-438` "Shard key not specified") — and a key-scoped op executes
+    * once per selected key, so a named id must live under the scope
+    * (`toc/point_ops.rs:489-521` `_update_shard_keys`). This engine keeps
+    * one row per point id (an upsert under a new key MOVES the point,
+    * where the reference's per-key shards would duplicate it — a
+    * documented divergence in undefined-behavior territory), so the scope
+    * check is membership in the selected keys' partitions.
+    *
+    * ONE existence-probe job per wire request (skipped entirely when no op
+    * needs it): the union of checked ids scans through an `isin` prune,
+    * then `step` replays the batch driver-side so an id upserted by an
+    * EARLIER op counts as live and a deleted one as gone. A
+    * delete-by-FILTER mid-batch is not simulated (it would need a job per
+    * op); the dedicated REST endpoints are single-op requests where this
+    * cannot matter. The FAILING op applies nothing here, where the
+    * reference's ≤32-id chunks may have touched existing ids before the
+    * check fired — unobserved by any reference test, and op-level
+    * atomicity is the saner contract for a one-rewrite batch. */
+  private final class ExistenceLedger(coll: Collection,
+      ops: Seq[RequestCodec.WireOp]) {
+    import RequestCodec._
+    private def checked(op: WireOp): Option[(Seq[Any], Seq[Any])] = op match {
+      case WSetPayload(_, Selector(Some(ids), _, sk), _, _) => Some((ids, sk))
+      case WDeletePayload(_, Selector(Some(ids), _, sk)) => Some((ids, sk))
+      case WClearPayload(Selector(Some(ids), _, sk)) => Some((ids, sk))
+      case WDeleteVectors(Selector(Some(ids), _, sk), _) => Some((ids, sk))
+      case WUpdateVectors(points, sk, _) => Some((points.map(_.id), sk))
+      case _ => None
+    }
+    private val idCol = coll.config.idCol
+    private val skCol = coll.config.shardKeyCol
+    private val idT = coll.read().schema.fields
+      .find(_.name == idCol).map(_.dataType)
+    // an id the column's type can't hold (uuid vs numeric ids) coerces to
+    // itself and simply never matches a live point
+    private def keyOf(id: Any): Any =
+      FilterCompiler.coerceWireIds(Seq(id), idT).headOption.getOrElse(id)
+    private val live = scala.collection.mutable.Map.empty[Any, Option[Any]]
+    locally {
+      val wanted = FilterCompiler.coerceWireIds(
+        ops.flatMap(checked(_).toSeq.flatMap(_._1)).distinct, idT)
+      if (wanted.nonEmpty) {
+        val df = coll.read()
+        val sel = skCol.fold(df.select(col(idCol)))(sk =>
+          df.select(col(idCol), col(sk)))
+        sel.filter(col(idCol).isin(wanted: _*)).collect().foreach { r =>
+          live.update(r.get(0), if (skCol.isDefined) Option(r.get(1)) else None)
+        }
+      }
+    }
+    private def scopeOf(op: WireOp): Option[Seq[Any]] = op match {
+      case WDelete(sel) => Some(sel.shardKeys)
+      case WSetPayload(_, sel, _, _) => Some(sel.shardKeys)
+      case WDeletePayload(_, sel) => Some(sel.shardKeys)
+      case WClearPayload(sel) => Some(sel.shardKeys)
+      case WDeleteVectors(sel, _) => Some(sel.shardKeys)
+      case WUpdateVectors(_, sk, _) => Some(sk)
+      case _ => None // upsert keys resolve per point in wirePoints
+    }
+
+    /** Validate `op` against the replayed state, then fold its effects. */
+    def step(op: WireOp): Unit = {
+      // keyless updates on a custom-sharded collection reject BEFORE the
+      // ids are even routed (`split_by_shard` finds no ring for `None`)
+      if (skCol.isDefined && scopeOf(op).exists(_.isEmpty))
+        throw new IllegalArgumentException(
+          "Wrong input: Shard key not specified")
+      checked(op).foreach { case (ids, shardKeys) =>
+        ids.foreach { id =>
+          val hit = live.get(keyOf(id))
+          val inScope = hit.isDefined && (shardKeys.isEmpty || skCol.isEmpty ||
+            hit.flatten.exists(k =>
+              shardKeys.exists(_.toString == k.toString)))
+          if (!inScope) throw new IllegalArgumentException(
+            s"Not found: No point with id $id found")
+        }
+      }
+      op match {
+        case WUpsert(points, _, mode, bodyKey) =>
+          // upsert admits new ids AND moves existing ones to the write's
+          // key; insert_only leaves existing rows alone; update_only never
+          // creates (`update/points/upsert.rs:60-95`). Conditional upserts
+          // approximate as their mode (evaluating the filter driver-side
+          // would need a job; the admit gate still applies at execution).
+          points.foreach { p =>
+            val k = keyOf(p.id)
+            val existed = live.contains(k)
+            mode match {
+              case graft.storage.UpdateMode.InsertOnly =>
+                if (!existed) live.update(k, p.shardKey.orElse(bodyKey))
+              case graft.storage.UpdateMode.UpdateOnly =>
+                if (existed) live.update(k, p.shardKey.orElse(bodyKey))
+              case _ => live.update(k, p.shardKey.orElse(bodyKey))
+            }
+          }
+        case WDelete(Selector(Some(ids), _, scope)) =>
+          ids.foreach { id =>
+            if (scope.isEmpty ||
+                live.get(keyOf(id)).exists(_.exists(k =>
+                  scope.exists(_.toString == k.toString))))
+              live.remove(keyOf(id))
+          }
+        case _ => ()
+      }
+    }
   }
 
   def toUpdateOps(coll: Collection, op: RequestCodec.WireOp): Seq[UpdateOp] = {
@@ -105,8 +246,11 @@ object UpdateBridge {
     coll.config.shardKeyCol.getOrElse(throw new IllegalArgumentException(
       "shard_key given but the collection has no shard-key column"))
 
-  private def idPred(coll: Collection, ids: Seq[Any]): Column =
-    col(coll.config.idCol).isin(ids: _*)
+  private def idPred(coll: Collection, ids: Seq[Any]): Column = {
+    val cids = graft.filters.FilterCompiler.coerceWireIds(ids,
+      coll.read().schema.fields.find(_.name == coll.config.idCol).map(_.dataType))
+    col(coll.config.idCol).isin(cids: _*)
+  }
 
   /** Wire vector value → typed Column literal in the collection's storage
     * shape (dense `array<float>`, multi-dense `array<array<float>>`, sparse
@@ -156,10 +300,20 @@ object UpdateBridge {
     import RequestCodec._
     require(points.nonEmpty, "upsert batch must not be empty")
     val cfg = coll.config
-    val idType = points.head.id match {
-      case _: String => StringType
-      case _ => LongType
-    }
+    // id column type: string when the BATCH carries any UUID or the table
+    // already stores string ids (UUID or mixed NumId+Uuid collections —
+    // `ExtendedPointId` lets the kinds coexist, `types.rs:174-179`);
+    // numeric ids then take their decimal rendering, which can never
+    // collide with a canonical UUID. A UUID landing in a numeric-id table
+    // widens the table inside the upsert's own rewrite (mergeUpsert).
+    val tableIdT = coll.read().schema.fields
+      .find(_.name == cfg.idCol).map(_.dataType)
+    val idType =
+      if (points.exists(_.id.isInstanceOf[String]) ||
+          tableIdT.contains(StringType)) StringType
+      else LongType
+    def idVal(id: Any): Any =
+      if (idType == StringType) id.toString else id
     val shardKeyOf: RequestCodec.WirePoint => Option[Any] =
       p => p.shardKey.orElse(bodyShardKey)
     // declared-key registry (the shards API surface): once shard keys are
@@ -249,7 +403,7 @@ object UpdateBridge {
           })
       }
       rows.add(Row.fromSeq(
-        (p.id +:
+        (idVal(p.id) +:
           (cfg.vectors.map(denseVal) ++ cfg.sparse.map(sc => sparseVal(sc.name))) :+
           p.payload.orNull) ++ skVal))
     }

@@ -38,6 +38,14 @@ object ShardWriteQueries {
   private def freshColl(s: SparkSession, name: String): Collection =
     Collection.create(s, s"/tmp/graft_runtime/$name", shardCfg, seedRows(s))
 
+  /** Same seed points, NO shard-key column — for fixtures whose semantics
+    * are orthogonal to sharding (a custom-sharded collection rejects every
+    * keyless update op, `shard_holder/mod.rs:429-438`). */
+  private def freshPlain(s: SparkSession, name: String): Collection =
+    Collection.create(s, s"/tmp/graft_runtime/$name",
+      shardCfg.copy(shardKeyCol = None),
+      seedRows(s).select(col("id"), col("vector"), col("payload")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Wire upsert into a shard-keyed collection: point 3 takes the BODY
     // shard key ("b", `PointsList.shard_key` applies to points lacking
@@ -134,7 +142,10 @@ object ShardWriteQueries {
     // ignored) — the trap arm is a filter matching OTHER points that must
     // all survive.
     "api_delete_points_precedence" -> ((s, dir) => {
-      val coll = freshColl(s, "shardw_delprec")
+      // a PLAIN collection: selector precedence is orthogonal to sharding
+      // (and a keyless update on a custom-sharded collection now rejects —
+      // `shard_holder/mod.rs:429-438`)
+      val coll = freshPlain(s, "shardw_delprec")
       graft.api.UpdateBridge.applyJson(coll,
         """{"operations": [{"delete": {
           |  "points": [1],
@@ -164,7 +175,8 @@ object ShardWriteQueries {
             .stripMargin))),
         ("update_vectors_wrong_dim", rejects(graft.api.UpdateBridge.applyJson(coll,
           """{"operations": [{"update_vectors": {"points": [
-            |  {"id": 1, "vector": [0.1, 0.2, 0.3]}]}}]}""".stripMargin))),
+            |  {"id": 1, "vector": [0.1, 0.2, 0.3]}], "shard_key": "a"}}]}"""
+            .stripMargin))),
         ("query_wrong_dim", rejects(
           coll.query("""{"query": [0.1, 0.2, 0.3], "limit": 3}"""))),
         ("recommend_wrong_dim", rejects(coll.query(
@@ -183,12 +195,17 @@ object ShardWriteQueries {
     // changes; the delete_vectors scoped to "b" nulls only 12's vector.
     "api_update_shard_scoped" -> ((s, dir) => {
       val coll = freshColl(s, "shardw_scoped")
+      // the DELETE names an out-of-scope id (11, home "b") — deletes are
+      // exempt from the unknown-point check, so it silently survives; the
+      // payload/vector ops name only in-scope ids (a checked op naming an
+      // id outside its shard scope 404s — `check_unprocessed_points`,
+      // pinned by api_update_unknown_point_404)
       graft.api.UpdateBridge.applyJson(coll,
         """{"operations": [
           |  {"delete": {"points": [1, 11], "shard_key": "a"}},
           |  {"set_payload": {"payload": {"tag": "y"},
-          |    "points": [2, 12], "shard_key": ["b"]}},
-          |  {"delete_vectors": {"points": [2, 12], "vector": [""],
+          |    "points": [12], "shard_key": ["b"]}},
+          |  {"delete_vectors": {"points": [12], "vector": [""],
           |    "shard_key": "b"}}
           |]}""".stripMargin)
       coll.read()
@@ -196,6 +213,113 @@ object ShardWriteQueries {
           get_json_object(col("payload"), "$.tag").as("tag"),
           col("vector").isNotNull.as("has_vector"))
         .orderBy(col("id"))
+    }),
+    // Unknown-point 404 (`check_unprocessed_points`, `lib/shard/src/
+    // update/helpers.rs:118-128`; wire shape `test_optional_vectors.py:
+    // 385-413` — "Not found: No point with id .. found"): every id-list
+    // payload/vector op 404s on a missing id, plain DELETES and by-filter
+    // selectors don't, a batch applies its PREFIX before the failing op
+    // surfaces (`do_batch_update_points` per-op loop, `update.rs:800-915`),
+    // an id upserted EARLIER in the batch is live, `update_filter` only
+    // silences points that exist, a key-scoped op 404s on an id outside
+    // its shards, and a KEYLESS update on a custom-sharded collection is
+    // "Shard key not specified" (`shard_holder/mod.rs:429-438`).
+    "api_update_unknown_point_404" -> ((s, dir) => {
+      import s.implicits._
+      val coll = freshPlain(s, "shardw_404")
+      val sharded = freshColl(s, "shardw_404_scoped")
+      def outcome(expect: String)(body: => Unit): (Boolean, Boolean) =
+        try { body; (false, false) }
+        catch { case ex: Exception =>
+          (true, Option(ex.getMessage).exists(_.contains(expect))) }
+      def ops(js: String): Unit = graft.api.UpdateBridge.applyJson(coll,
+        s"""{"operations": [$js]}""")
+      val rows = Seq.newBuilder[(String, Boolean, Boolean)]
+      def arm(name: String, expect: String)(body: => Unit): Unit = {
+        val (rej, msg) = outcome(expect)(body); rows += ((name, rej, msg))
+      }
+      arm("set_payload_unknown", "Not found: No point with id 999 found")(
+        ops("""{"set_payload": {"payload": {"tag": "q"}, "points": [1, 999]}}"""))
+      arm("update_vectors_unknown",
+        "Not found: No point with id 424242424242424242 found")(
+        ops("""{"update_vectors": {"points": [
+          |  {"id": 1, "vector": [0.9, 0.9, 0.9, 0.9]},
+          |  {"id": 424242424242424242, "vector": [0.1, 0.1, 0.1, 0.1]}]}}"""
+          .stripMargin))
+      arm("delete_vectors_unknown", "No point with id 999 found")(
+        ops("""{"delete_vectors": {"points": [999], "vector": [""]}}"""))
+      arm("delete_points_unknown_ok", "-")(
+        ops("""{"delete": {"points": [999]}}"""))
+      arm("filter_selector_ok", "-")(
+        ops("""{"set_payload": {"payload": {"tag": "nf"},
+          |  "filter": {"must": [{"key": "tag", "match": {"value": "zz"}}]}}}"""
+          .stripMargin))
+      // the batch PREFIX lands before the failure surfaces: id 2 takes
+      // tag "p1" even though the request errors
+      arm("prefix_fails", "No point with id 999 found")(
+        ops("""{"set_payload": {"payload": {"tag": "p1"}, "points": [2]}},
+          |{"set_payload": {"payload": {"tag": "p2"}, "points": [999]}}"""
+          .stripMargin))
+      val prefixApplied = coll.read().filter(col("id") === 2)
+        .select(get_json_object(col("payload"), "$.tag")).collect()
+        .headOption.exists(_.getString(0) == "p1")
+      rows += (("prefix_applied", prefixApplied, prefixApplied))
+      arm("in_batch_upsert_then_set_ok", "-")(
+        ops("""{"upsert": {"points": [{"id": 9, "vector": [0.5, 0, 0, 0]}]}},
+          |{"set_payload": {"payload": {"tag": "new"}, "points": [9]}}"""
+          .stripMargin))
+      // update_filter excludes id 11 (tag x -> the filter wants "nomatch"),
+      // which EXISTS: silently skipped, vector unchanged, no 404
+      arm("update_filter_excluded_ok", "-")(
+        ops("""{"update_vectors": {"points": [
+          |  {"id": 11, "vector": [0.7, 0.7, 0.7, 0.7]}],
+          |  "update_filter": {"must": [
+          |    {"key": "tag", "match": {"value": "nomatch"}}]}}}""".stripMargin))
+      val vecUnchanged = coll.read().filter(col("id") === 11)
+        .select(element_at(col("vector"), 3).cast("double")).collect()
+        .headOption.exists(_.getDouble(0) == 1.0)
+      rows += (("excluded_vector_unchanged", vecUnchanged, vecUnchanged))
+      arm("cross_shard_404", "Not found: No point with id 2 found")(
+        graft.api.UpdateBridge.applyJson(sharded,
+          """{"operations": [{"set_payload": {"payload": {"tag": "y"},
+            |  "points": [2], "shard_key": "b"}}]}""".stripMargin))
+      arm("keyless_update_reject", "Wrong input: Shard key not specified")(
+        graft.api.UpdateBridge.applyJson(sharded,
+          """{"operations": [{"set_payload": {"payload": {"tag": "y"},
+            |  "points": [2]}}]}""".stripMargin))
+      rows.result().toDF("check_name", "rejected", "msg_ok")
+        .orderBy(col("check_name"))
+    }),
+    // Same-point-in-batch update_vectors MERGE (the reference's #3376
+    // regression, `test_optional_vectors.py:416-487`: separate batch items
+    // naming the same point each contribute their named vectors —
+    // `update_vectors` merges per point id, `update/vectors.rs:48-56`).
+    "api_update_vectors_merge" -> ((s, dir) => {
+      import graft.sources.{CollectionConfig, VectorConfig}
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("text", 2, graft.model.Dot),
+          VectorConfig("image", 2, graft.model.Dot)))
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("vector_text", ArrayType(FloatType)),
+        StructField("vector_image", ArrayType(FloatType))))
+      val seed = java.util.Arrays.asList(
+        Row(1000L, Array(0.1f, 0.3f), Array(0.8f, 0.6f)))
+      val coll = Collection.create(s, "/tmp/graft_runtime/shardw_uvmerge",
+        cfg, s.createDataFrame(seed, schema))
+      graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [{"update_vectors": {"points": [
+          |  {"id": 1000, "vector": {"text": [0.8, 0.8]}},
+          |  {"id": 1000, "vector": {"image": [0.3, 0.6]}}]}},
+          |{"update_vectors": {"points": [
+          |  {"id": 1000, "vector": {"text": [0.2, 0.0]}},
+          |  {"id": 1000, "vector": {"image": [0.7, 0.5],
+          |                          "text": [0.9, 0.2]}}]}}]}""".stripMargin)
+      coll.read().select(col("id"),
+        round(element_at(col("vector_text"), 1).cast("double"), 6).as("t0"),
+        round(element_at(col("vector_text"), 2).cast("double"), 6).as("t1"),
+        round(element_at(col("vector_image"), 1).cast("double"), 6).as("i0"),
+        round(element_at(col("vector_image"), 2).cast("double"), 6).as("i1"))
     }),
     // Column-form `Batch` upsert (`PointsBatch`/`Batch`, the second
     // untagged arm of `PointInsertOperations` — parallel ids/vectors/
@@ -244,7 +368,10 @@ object ShardWriteQueries {
     // filter take the new vector — id 1 (tag "x") updates, id 11 (tag
     // changed to "z" first, within the same ordered batch) does not.
     "api_update_vectors_filtered" -> ((s, dir) => {
-      val coll = freshColl(s, "shardw_uvfilter")
+      // plain collection: `update_filter` semantics are shard-independent,
+      // and points 1 (home "a") and 11 (home "b") could not share one
+      // key-scoped update on a custom-sharded collection
+      val coll = freshPlain(s, "shardw_uvfilter")
       graft.api.UpdateBridge.applyJson(coll,
         """{"operations": [
           |  {"set_payload": {"payload": {"tag": "z"}, "points": [11]}},
@@ -384,6 +511,30 @@ object ShardWriteQueries {
         |  (11::BIGINT, 'b', 'x', true),
         |  (12::BIGINT, 'b', 'y', false))
         |AS t(id, shard_key, tag, has_vector)""".stripMargin,
+    // 404 contract: checked ops reject on missing/out-of-scope ids with
+    // the reference message, deletes/filters don't, the batch prefix
+    // lands, in-batch upserts count as live, update_filter exclusion is
+    // silent, keyless updates on a sharded collection reject
+    "api_update_unknown_point_404" ->
+      """SELECT * FROM (VALUES
+        |  ('cross_shard_404', true, true),
+        |  ('delete_points_unknown_ok', false, false),
+        |  ('delete_vectors_unknown', true, true),
+        |  ('excluded_vector_unchanged', true, true),
+        |  ('filter_selector_ok', false, false),
+        |  ('in_batch_upsert_then_set_ok', false, false),
+        |  ('keyless_update_reject', true, true),
+        |  ('prefix_applied', true, true),
+        |  ('prefix_fails', true, true),
+        |  ('set_payload_unknown', true, true),
+        |  ('update_filter_excluded_ok', false, false),
+        |  ('update_vectors_unknown', true, true))
+        |AS t(check_name, rejected, msg_ok) ORDER BY check_name""".stripMargin,
+    // per-point merge across batch items: the LAST value per (point,
+    // vector name) wins, names merge rather than replace (#3376)
+    "api_update_vectors_merge" ->
+      """SELECT 1000::BIGINT AS id, 0.9 AS t0, 0.2 AS t1,
+        |  0.7 AS i0, 0.5 AS i1""".stripMargin,
     "api_upsert_batch_column" ->
       """SELECT * FROM (VALUES
         |  (1::BIGINT, 0.9, 0.1, 1::BIGINT, NULL),

@@ -59,6 +59,40 @@ class WireOpModelSpec extends SparkTestBase {
     if (scope.isEmpty) ids
     else ids.filter(id => m.get(id).exists(_.shard.exists(scope.contains)))
 
+  /** The reference's unknown-point 404 (`check_unprocessed_points`,
+    * `lib/shard/src/update/helpers.rs:118-128`): every id-list payload /
+    * vector op fails on the FIRST id (wire order) that is missing or
+    * outside the op's shard scope; deletes and upserts are exempt. */
+  private def failureOf(m: Map[Long, MPoint], op: WOp): Option[String] = {
+    def miss(ids: Seq[Long], scope: Seq[String]): Option[String] =
+      ids.find(id => !m.contains(id) ||
+          (scope.nonEmpty && !m(id).shard.exists(scope.contains)))
+        .map(id => s"No point with id $id found")
+    op match {
+      case WSetPayload(ids, _, _, sc) => miss(ids, sc)
+      case WOverwrite(ids, _, sc) => miss(ids, sc)
+      case WDeleteKeys(ids, _, sc) => miss(ids, sc)
+      case WClear(ids, sc) => miss(ids, sc)
+      case WSetVector(ids, _, sc) => miss(ids, sc)
+      case WDelVector(ids, sc) => miss(ids, sc)
+      case _ => None
+    }
+  }
+
+  /** Replay a batch the way the reference applies it (`do_batch_update_
+    * points` per-op loop, `src/common/update.rs:800-915`): ops before the
+    * first failing op land; the failure aborts the rest. Returns the
+    * final model state, the number of applied ops, and the error. */
+  private def replay(m0: Map[Long, MPoint],
+      ops: Seq[WOp]): (Map[Long, MPoint], Int, Option[String]) =
+    ops.foldLeft((m0, 0, Option.empty[String])) {
+      case ((m, n, None), op) => failureOf(m, op) match {
+        case Some(err) => (m, n, Some(err))
+        case None => (stepModel(m, op), n + 1, None)
+      }
+      case (done, _) => done
+    }
+
   private def mergePatch(base: Map[String, MV],
       patch: Map[String, MV]): Map[String, MV] =
     patch.foldLeft(base) {
@@ -224,11 +258,12 @@ class WireOpModelSpec extends SparkTestBase {
     * point- or body-level keys (every point must resolve one), selector
     * ops are shard-scoped ~1/3 of the time. */
   private def genOp(sharded: Boolean): Gen[WOp] = {
+    // a custom-sharded collection REJECTS keyless update ops
+    // (`shard_holder/mod.rs:429-438`, pinned by its own test below), so
+    // the sharded arm always scopes selector ops
     val genScope: Gen[Seq[String]] =
       if (!sharded) Gen.const(Nil)
-      else Gen.frequency(
-        2 -> Gen.const(Seq.empty[String]),
-        1 -> Gen.someOf(shardKeys).map(_.toSeq).suchThat(_.nonEmpty))
+      else Gen.someOf(shardKeys).map(_.toSeq).suchThat(_.nonEmpty)
     Gen.frequency(
       3 -> (for {
         n <- Gen.chooseNum(1, 3)
@@ -330,12 +365,22 @@ class WireOpModelSpec extends SparkTestBase {
         .getOrElse(Nil)
       val tag = (if (sharded) "s" else "p") + i
       val (c, m0) = mkCollection(tag, sharded)
-      val m = ops.foldLeft(m0)(stepModel)
+      val (m, applied, expectErr) = replay(m0, ops)
       val json = renderBatch(ops)
       val before = c.rewriteCount
-      graft.api.UpdateBridge.applyJson(c, json)
-      assert(c.rewriteCount == before + (if (ops.isEmpty) 0 else 1),
-        "a wire batch must be exactly one rewrite")
+      expectErr match {
+        case None => graft.api.UpdateBridge.applyJson(c, json)
+        case Some(msg) =>
+          val ex = intercept[IllegalArgumentException](
+            graft.api.UpdateBridge.applyJson(c, json))
+          assert(ex.getMessage.contains(msg),
+            s"seed $i (sharded=$sharded): expected '$msg', " +
+              s"got '${ex.getMessage}'\n json=$json")
+      }
+      // the applied PREFIX is exactly one rewrite; an immediately-failing
+      // batch rewrites nothing
+      assert(c.rewriteCount == before + (if (applied == 0) 0 else 1),
+        "a wire batch folds its applied prefix into exactly one rewrite")
       val real = stateOf(c, sharded)
       val want = modelState(m)
       assert(real == want,
@@ -367,5 +412,21 @@ class WireOpModelSpec extends SparkTestBase {
 
   test("wire batches on a SHARD-KEYED collection match the driver model (30 sequences)") {
     run(sharded = true, 101 to 130)
+  }
+
+  test("keyless update ops on a custom-sharded collection reject (no None ring)") {
+    val (c, _) = mkCollection("keyless", sharded = true)
+    for (body <- Seq(
+        """{"set_payload": {"payload": {"a": 1}, "points": [1]}}""",
+        """{"delete": {"points": [1]}}""",
+        """{"update_vectors": {"points": [{"id": 1, "vector": [0.1, 0.2]}]}}""",
+        """{"delete_vectors": {"points": [1], "vector": [""]}}""",
+        """{"clear_payload": {"points": [1]}}""")) {
+      val ex = intercept[IllegalArgumentException](
+        graft.api.UpdateBridge.applyJson(c, s"""{"operations": [$body]}"""))
+      assert(ex.getMessage.contains("Shard key not specified"), body)
+    }
+    // the rejected ops never reached the table
+    assert(stateOf(c, sharded = true).contains(1L))
   }
 }
