@@ -362,7 +362,13 @@ object RequestCodec {
           },
           hnswEf = (p \ "hnsw_ef") match {
             case JNothing | JNull => None
-            case v => Some(num(v).toInt)
+            case v =>
+              // `SearchParams.hnsw_ef` is `1..` (`#[validate(range(min=1))]`,
+              // `types.rs:573-618`; `test_validation.py:58-73`)
+              val ef = num(v).toInt
+              if (ef < 1) fail("Validation error in JSON body: " +
+                s"[params.hnsw_ef: value $ef invalid, must be 1 or larger]")
+              Some(ef)
           },
           // `idf` (`IdfParams`, untagged: the "global" scope string or a
           // `{"corpus": <filter>}` object — `types.rs:700-723`)

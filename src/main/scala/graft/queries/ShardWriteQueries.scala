@@ -163,12 +163,20 @@ object ShardWriteQueries {
     "api_vector_dim_validation" -> ((s, dir) => {
       import s.implicits._
       val coll = freshColl(s, "shardw_dims") // dim-4 space
-      def rejects(body: => Unit): (Boolean, Boolean) =
+      def rejectsWith(expect: String)(body: => Unit): (Boolean, Boolean) =
         try { body; (false, false) }
         catch { case ex: Exception =>
-          (true, Option(ex.getMessage).exists(
-            _.contains("Vector dimension error: expected dim: 4, got 3"))) }
+          (true, Option(ex.getMessage).exists(_.contains(expect))) }
+      def rejects(body: => Unit): (Boolean, Boolean) =
+        rejectsWith("Vector dimension error: expected dim: 4, got 3")(body)
       val rows = Seq(
+        // an EMPTY vector is the #9045 regression shape — rejected like
+        // any other mis-sized vector, on sync and async paths alike
+        ("upsert_empty_vector", rejectsWith(
+          "Vector dimension error: expected dim: 4, got 0")(
+          graft.api.UpdateBridge.applyJson(coll,
+            """{"operations": [{"upsert": {"points": [
+              |  {"id": 9, "vector": [], "shard_key": "a"}]}}]}""".stripMargin))),
         ("upsert_wrong_dim", rejects(graft.api.UpdateBridge.applyJson(coll,
           """{"operations": [{"upsert": {"points": [
             |  {"id": 9, "vector": [0.1, 0.2, 0.3], "shard_key": "a"}]}}]}"""
@@ -499,6 +507,7 @@ object ShardWriteQueries {
         |AS t(id, tag)""".stripMargin,
     "api_vector_dim_validation" ->
       """SELECT * FROM (VALUES
+        |  ('upsert_empty_vector', true, true, true),
         |  ('upsert_wrong_dim', true, true, true),
         |  ('update_vectors_wrong_dim', true, true, true),
         |  ('query_wrong_dim', true, true, true),

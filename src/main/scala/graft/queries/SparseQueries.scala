@@ -356,7 +356,12 @@ object SparseQueries {
         // `types.rs:243-268`)
         ("invalid_point_id",
           check("""{"query": "not-a-uuid", "limit": 3}""",
-            "is not a valid point ID")))
+            "is not a valid point ID")),
+        // `params.hnsw_ef` is a positive beam size (`types.rs:573-618`
+        // validate range(min=1); `test_validation.py:58-73`)
+        ("hnsw_ef_zero",
+          check("""{"query": 7, "limit": 3, "params": {"hnsw_ef": 0}}""",
+            "hnsw_ef")))
       rows.map { case (name, (rejected, msgOk)) => (name, rejected, msgOk) }
         .toDF("check_name", "rejected", "msg_ok")
     }),
@@ -980,7 +985,8 @@ object SparseQueries {
         |  ('fusion_with_using', true, true),
         |  ('fusion_without_prefetch', true, true),
         |  ('formula_without_prefetch', true, true),
-        |  ('invalid_point_id', true, true))
+        |  ('invalid_point_id', true, true),
+        |  ('hnsw_ef_zero', true, true))
         |AS t(check_name, rejected, msg_ok)""".stripMargin,
     "sparse_config_update_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),

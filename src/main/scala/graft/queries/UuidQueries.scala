@@ -223,6 +223,44 @@ object UuidQueries {
         ("slice_cover", sliceSum.toString)
       ).toDF("check_name", "value").orderBy("check_name")
     }),
+    // `GET /points/{id}` — the single-point read (`retrieve_api.rs:
+    // 75-130`): the PATH id is `FromStr` (u64 first, so digit strings ARE
+    // numeric ids here — the opposite of JSON-body ids), any uuid syntax
+    // canonicalizes, payload AND vectors come back by default, and a
+    // missing id raises the reference's exact (typo'd) 404
+    // ("Point with id 999 does not exists!", `retrieve_api.rs:124`).
+    "api_get_point" -> ((s, dir) => {
+      import s.implicits._
+      val u7 = uuidOfLong(7L)
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 2, Dot)),
+        payloadTypes = Map("tag" -> StringType))
+      val schema = StructType(Seq(
+        StructField("id", StringType),
+        StructField("vector", ArrayType(FloatType)),
+        StructField("payload", StringType)))
+      val seed = java.util.Arrays.asList(
+        Row("3", Array(0.3f, 0.3f), """{"tag":"n3"}"""),
+        Row(u7, Array(0.7f, 0.7f), """{"tag":"u7"}"""))
+      val coll = Collection.create(s, "/tmp/graft_runtime/get_point",
+        cfg, s.createDataFrame(seed, schema))
+      def got(raw: String): String = {
+        val r = coll.getPoint(raw).select(col("id"),
+          get_json_object(col("payload"), "$.tag"),
+          round(element_at(col("vector"), 1).cast("double"), 1)).collect()(0)
+        s"${r.getString(0)}|${r.getString(1)}|${r.getDouble(2)}"
+      }
+      def errOf(raw: String): String =
+        try { got(raw); "no-error" }
+        catch { case ex: IllegalArgumentException => ex.getMessage }
+      Seq(
+        ("digit_path_is_numeric", got("3")),
+        ("uuid_uppercase", got(u7.toUpperCase)),
+        ("uuid_simple_form", got(u7.replace("-", ""))),
+        ("missing_404", errOf("999")),
+        ("loose_string_rejects", errOf("not-an-id").takeWhile(_ != ',')))
+        .toDF("check_name", "value").orderBy("check_name")
+    }),
     // facet over a uuid-typed payload field (`FacetValue::Uuid`,
     // `lib/segment/src/data_types/facets.rs:33-38,87`): uuid values group,
     // count and tie-break like keywords — canonical lowercase-hex order
@@ -294,6 +332,17 @@ object UuidQueries {
         |  ('table', ${uuidSql("2")}, 't2b'),
         |  ('table', ${uuidSql("3")}, 't3'))
         |AS t(src, id, tag) ORDER BY src, id""".stripMargin,
+    // path-id FromStr: digit string numeric, uuid forms canonicalize,
+    // missing 404s with the reference's exact message, junk rejects
+    "api_get_point" ->
+      s"""SELECT * FROM (VALUES
+        |  ('digit_path_is_numeric', '3|n3|0.3'),
+        |  ('loose_string_rejects',
+        |   'Format error in JSON body: value not-an-id is not a valid point ID'),
+        |  ('missing_404', 'Not found: Point with id 999 does not exists!'),
+        |  ('uuid_simple_form', ${uuidSql("7")} || '|u7|0.7'),
+        |  ('uuid_uppercase', ${uuidSql("7")} || '|u7|0.7'))
+        |AS t(check_name, value) ORDER BY check_name""".stripMargin,
     // ids {2,3,5,9,uuid(7)}: scroll order numerics-first (page1 = 2,3,5;
     // page2 from offset 9 = 9 then the uuid), retrieve/has_id/slice
     // address both kinds, delete 2 leaves 4 points

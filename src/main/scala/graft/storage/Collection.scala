@@ -1307,6 +1307,31 @@ final class Collection(
     }
   }
 
+  /** `GET /collections/{c}/points/{id}` — the single-point read
+    * (`retrieve_api.rs:75-130`). The PATH-param id parses via `FromStr`:
+    * u64 FIRST, so a digit STRING is a numeric id here (unlike JSON-body
+    * ids, where `"5"` rejects), then UUID in any accepted syntax. Payload
+    * AND all vectors are included (the endpoint's defaults). A missing id
+    * raises the reference's exact (typo'd) message
+    * ("Point with id {id} does not exists!", `retrieve_api.rs:124`). */
+  def getPoint(rawId: String): DataFrame = {
+    val id: Any =
+      if (rawId.nonEmpty && rawId.forall(_.isDigit) && rawId.length <= 19)
+        java.lang.Long.parseLong(rawId) // u64 arm of FromStr
+      else graft.api.PointId.canonicalUuid(rawId).getOrElse(
+        graft.api.PointId.invalid(rawId))
+    val df = readDecoded()
+    val ids = graft.filters.FilterCompiler.coerceWireIds(Seq(id),
+      df.schema.fields.find(_.name == config.idCol).map(_.dataType))
+    val out = ids match {
+      case Seq(cid) => df.filter(col(config.idCol) === lit(cid))
+      case _ => df.filter(lit(false)) // id kind can't live in this column
+    }
+    if (out.isEmpty) throw new IllegalArgumentException(
+      s"Not found: Point with id $id does not exists!")
+    out
+  }
+
   /** `POST /collections/{c}/points/query/groups`
     * (`QueryGroupsRequestInternal`): per-group top `group_size` hits over
     * the scoring root, `limit` groups. Supported roots are the scorable
@@ -2169,6 +2194,12 @@ final class Collection(
   /** Add a named vector column collection-wide (initially null unless
     * `values` given). Ref `src/actix/api/vector_name_api.rs:22`. */
   def addVectorColumn(name: String, dim: Int, values: Option[Column] = None): Unit = {
+    // the 1..=65536 dimension cap applies at the API boundary here too
+    // (`test_named_vector_crud.py:115-137`, same bound as collection
+    // creation — PR #2544)
+    if (dim < 1 || dim > 65536) throw new IllegalArgumentException(
+      "Validation error in JSON body: " +
+        s"[size: value $dim invalid, must be from 1 to 65536]")
     val cur = read()
     val c = config.vectorCol(name)
     require(!cur.columns.contains(c), s"vector column '$c' already exists")

@@ -173,6 +173,11 @@ class StoreSpec extends SparkTestBase {
   test("vector column add/drop and payload index materialization") {
     import org.apache.spark.sql.functions._
     val c = mk(tmpDir())
+    // dimension cap at the API boundary (`test_named_vector_crud.py:
+    // 115-137` — size 0 and 65537 both 422 before storage is touched)
+    for (bad <- Seq(0, 65537))
+      assert(intercept[IllegalArgumentException](
+        c.addVectorColumn("zz", bad)).getMessage.contains("size"))
     c.addVectorColumn("aux", 4)
     assert(c.read().columns.contains("vector_aux"))
     assert(c.read().filter(col("vector_aux").isNotNull).count() == 0)
