@@ -235,6 +235,35 @@ object ScaleProbe {
           pmod(xxhash64(col("doc_id"), lit("tenant")), lit(16)).cast("int"))
           .as("shard_key")))
   }
+  /** r13 existence-ledger probe: a shard-scoped `set_payload` naming 200
+    * LIVE tenant ids against the 2.5 M-row shard-scaled collection — the
+    * 404 gate is ONE isin-pruned probe job ahead of the rewrite — then an
+    * op naming an unknown id, which must 404 BEFORE any table rewrite
+    * happens (rewriteCount pins it). Warm latency of the failing arm is
+    * the ledger's standalone cost at scale. */
+  private def update404Scaled(s: SparkSession): Unit = {
+    val coll = new graft.storage.Collection(s, shardScaledPath, shardScaledCfg)
+    // ids written by wireUpsertScaled into tenant t03 (dispatch order
+    // guarantees it ran first)
+    val tenantIds = (0 until 1000).filter(_ % 16 == 3).map(900000000L + _)
+      .take(200)
+    graft.api.UpdateBridge.applyJson(coll,
+      s"""{"operations": [{"set_payload": {"payload": {"probe": 1},
+         |  "points": [${tenantIds.mkString(",")}],
+         |  "shard_key": "t03"}}]}""".stripMargin)
+    val before = coll.rewriteCount
+    val failed =
+      try { graft.api.UpdateBridge.applyJson(coll,
+        """{"operations": [{"set_payload": {"payload": {"probe": 2},
+          |  "points": [424242424242], "shard_key": "t03"}}]}""".stripMargin)
+        false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("No point with id 424242424242 found") }
+    require(failed, "unknown-id set_payload must 404 at scale")
+    require(coll.rewriteCount == before,
+      "a failing single-op request must not rewrite the table")
+  }
+
   private def wireUpsertScaled(s: SparkSession): Unit = {
     val coll = new graft.storage.Collection(s, shardScaledPath, shardScaledCfg)
     val pts = (0 until 1000).map { i =>
@@ -373,6 +402,7 @@ object ScaleProbe {
         new graft.storage.Collection(spark, shardScaledPath, shardScaledCfg)
           .count(shardEstJson).count(): Unit
       case "wire_upsert_scaled" => wireUpsertScaled(spark)
+      case "update_404_scaled" => update404Scaled(spark)
       case "ts_sidecar_scaled_build" =>
         tsScaledCreate(spark, outDir).count(tsEstJson).count(): Unit
       case "ts_estimate_scaled_warm" =>
@@ -412,7 +442,7 @@ object ScaleProbe {
       "ts_sidecar_scaled_build", "ts_estimate_scaled_warm",
       "facet_typed_scaled_warm",
       "shard_sidecar_scaled_build", "shard_estimate_scaled_warm",
-      "wire_upsert_scaled",
+      "wire_upsert_scaled", "update_404_scaled",
       "dense_scaled_build", "byid_query_scaled", "rawvec_query_scaled",
       "facet_filtered_estimate_scaled_warm"))
       .filter(n => only.forall(_.contains(n)))

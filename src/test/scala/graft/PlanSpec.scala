@@ -65,6 +65,26 @@ class PlanSpec extends SparkTestBase {
       "exclusion added an exchange:\n" + p.take(1500))
   }
 
+  test("uuid scroll cursor keeps a pushable raw bound on the id scan") {
+    // mixed NumId+Uuid ordering sorts by a derived key (rlike + concat —
+    // not pushable), so scrollById conjoins the IMPLIED raw bound
+    // `id >= <uuid>` for uuid cursors: that one must reach the parquet
+    // scan as a pushed GreaterThanOrEqual so the id-sorted layout prunes
+    val path = "/tmp/graft_runtime/planspec_uuid_scroll"
+    Tables.load(spark, sf, "documents")
+      .select(concat(lit("00000000-0000-0000-0000-"),
+        lpad(col("doc_id").cast("string"), 12, "0")).as("id"), col("lang"))
+      .write.mode("overwrite").parquet(path)
+    val d = spark.read.parquet(path)
+    val cursor = "00000000-0000-0000-0000-000000000100"
+    val df = graft.ops.Reads.scrollById(d, "id", None,
+      new graft.filters.TypedResolver(d.schema, "id"),
+      offsetId = Some(cursor), limit = 10, projection = Seq("id", "lang"))
+    val p = plan(df)
+    assert(p.contains(s"GreaterThanOrEqual(id,$cursor)"),
+      "uuid cursor bound not pushed to the scan:\n" + p.take(1500))
+  }
+
   test("batch knn broadcasts the query side") {
     val e = Tables.load(spark, sf, "embeddings")
     val qs = e.filter(col("vec_id") < 3)
