@@ -322,7 +322,7 @@ object RequestCodec {
       else shardKeyFilter(o, ctx0.shardKeyField, filter0)
     val limit = (o \ "limit") match {
       case JNothing | JNull => 10 // default limit `collection_query.rs:50`
-      case v => num(v).toInt
+      case v => posInt(v, "limit")
     }
     val offset =
       if (!topLevel) 0
@@ -381,7 +381,6 @@ object RequestCodec {
           }))
       case _ => None
     }
-    if (limit < 1) fail(s"limit: value $limit invalid, must be 1 or larger")
     // A node with NO `query` is a plain scroll (`planned_query.rs:189`) —
     // valid as a leaf, but not as a prefetch parent and not with a
     // threshold (`test_query.py::test_query_validation` messages).
@@ -786,7 +785,7 @@ object RequestCodec {
       },
       limit = (o \ "limit") match {
         case JNothing | JNull => 10
-        case v => num(v).toInt
+        case v => posInt(v, "limit")
       },
       filter = shardKeyFilter(o, shardKeyField, (o \ "filter") match {
         case f: JObject => Some(filterOf(f))
@@ -905,7 +904,7 @@ object RequestCodec {
       groupBy = str(o \ "group_by"),
       groupSize = (o \ "group_size") match {
         case JNothing | JNull => 3 // default, `collection_query.rs:52`
-        case v => num(v).toInt
+        case v => posInt(v, "group_size")
       },
       groups = q.limit, // BaseGroupRequest.limit = max groups
       lookupCollection = wl match {
@@ -940,11 +939,11 @@ object RequestCodec {
       }),
       sample = (o \ "sample") match {
         case JNothing | JNull => 10 // defaults `distance_matrix.rs:42-44`
-        case v => num(v).toInt
+        case v => posInt(v, "sample")
       },
       limit = (o \ "limit") match {
         case JNothing | JNull => 3
-        case v => num(v).toInt
+        case v => posInt(v, "limit")
       },
       using = (o \ "using") match {
         case JString(s) => Some(s)
@@ -1145,7 +1144,7 @@ object RequestCodec {
       key = str(o \ "key"),
       limit = (o \ "limit") match {
         case JNothing | JNull => 10
-        case v => num(v).toInt
+        case v => posInt(v, "limit")
       },
       filter = shardKeyFilter(o, shardKeyField, (o \ "filter") match {
         case f: JObject => Some(filterOf(f))
@@ -1693,6 +1692,17 @@ object RequestCodec {
     case JBool(b) => PointId.invalid(b.toString)
     case JNull | JNothing => PointId.invalid("null")
     case other => PointId.invalid(JsonMethods.compact(JsonMethods.render(other)))
+  }
+
+  /** `1..` integer field (the reference's `#[validate(range(min = 1))]`
+    * on `limit`/`group_size`/`sample` across query, scroll, facet, groups
+    * and matrix bodies — `schema.rs:596,802,1148,1204,1235,1303`;
+    * `test_validation.py` pins the 422 class). */
+  private def posInt(v: JValue, field: String): Int = {
+    val n = num(v).toInt
+    if (n < 1) fail("Validation error in JSON body: " +
+      s"[$field: value $n invalid, must be 1 or larger]")
+    n
   }
 
   /** `ShardKeySelector` element: keyword or integer (`schema.rs:1122`). */

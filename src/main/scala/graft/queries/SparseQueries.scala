@@ -361,7 +361,32 @@ object SparseQueries {
         // validate range(min=1); `test_validation.py:58-73`)
         ("hnsw_ef_zero",
           check("""{"query": 7, "limit": 3, "params": {"hnsw_ef": 0}}""",
-            "hnsw_ef")))
+            "hnsw_ef")),
+        // `limit`/`group_size` are `1..` on every read body
+        // (`#[validate(range(min = 1))]`, `schema.rs:596,802,1148,1235`)
+        ("query_limit_zero",
+          check("""{"query": 7, "limit": 0}""", "must be 1 or larger")),
+        ("prefetch_limit_zero",
+          check("""{"prefetch": [{"query": 7, "limit": 0}],
+            |  "query": {"fusion": "rrf"}, "limit": 3}""".stripMargin,
+            "must be 1 or larger")),
+        ("scroll_limit_zero", {
+          try { coll.scroll("""{"limit": 0}"""); (false, false) }
+          catch { case ex: IllegalArgumentException =>
+            (true, ex.getMessage.contains("must be 1 or larger")) }
+        }),
+        ("facet_limit_zero", {
+          try { coll.facet("""{"key": "vec_id", "limit": 0}"""); (false, false) }
+          catch { case ex: IllegalArgumentException =>
+            (true, ex.getMessage.contains("must be 1 or larger")) }
+        }),
+        ("group_size_zero", {
+          try { coll.queryGroups(
+            """{"query": 7, "group_by": "vec_id", "group_size": 0,
+              |  "limit": 3}""".stripMargin); (false, false) }
+          catch { case ex: IllegalArgumentException =>
+            (true, ex.getMessage.contains("must be 1 or larger")) }
+        }))
       rows.map { case (name, (rejected, msgOk)) => (name, rejected, msgOk) }
         .toDF("check_name", "rejected", "msg_ok")
     }),
@@ -986,7 +1011,12 @@ object SparseQueries {
         |  ('fusion_without_prefetch', true, true),
         |  ('formula_without_prefetch', true, true),
         |  ('invalid_point_id', true, true),
-        |  ('hnsw_ef_zero', true, true))
+        |  ('hnsw_ef_zero', true, true),
+        |  ('query_limit_zero', true, true),
+        |  ('prefetch_limit_zero', true, true),
+        |  ('scroll_limit_zero', true, true),
+        |  ('facet_limit_zero', true, true),
+        |  ('group_size_zero', true, true))
         |AS t(check_name, rejected, msg_ok)""".stripMargin,
     "sparse_config_update_idf" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
