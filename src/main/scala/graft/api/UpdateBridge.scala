@@ -44,7 +44,13 @@ object UpdateBridge {
       } catch { case e: IllegalArgumentException => failure = Some(e) }
     }
     val prefix = acc.result()
-    if (prefix.nonEmpty) coll.applyBatch(prefix)
+    if (prefix.nonEmpty) ledger.shardScope match {
+      // every applied op provably touches only these keys' partition
+      // directories → partition-scoped rewrite (one tenant's cost, not
+      // the table's)
+      case Some(keys) => coll.applyBatchScoped(prefix, keys)
+      case None => coll.applyBatch(prefix)
+    }
     failure.foreach(throw _)
   }
 
@@ -100,8 +106,19 @@ object UpdateBridge {
       FilterCompiler.coerceWireIds(Seq(id), idT).headOption.getOrElse(id)
     private val live = scala.collection.mutable.Map.empty[Any, Option[Any]]
     locally {
+      // on a sharded collection the probe also resolves every UPSERTED
+      // id's CURRENT key — an upsert moving a point between keys must
+      // rewrite the moved-away home too, so the scoped-rewrite key set
+      // needs it (shardScope below)
+      val upsertIds =
+        if (skCol.isEmpty) Nil
+        else ops.flatMap {
+          case WUpsert(pts, _, _, _) => pts.map(_.id)
+          case _ => Nil
+        }
       val wanted = FilterCompiler.coerceWireIds(
-        ops.flatMap(checked(_).toSeq.flatMap(_._1)).distinct, idT)
+        (ops.flatMap(checked(_).toSeq.flatMap(_._1)) ++ upsertIds).distinct,
+        idT)
       if (wanted.nonEmpty) {
         val df = coll.read()
         val sel = skCol.fold(df.select(col(idCol)))(sk =>
@@ -111,6 +128,18 @@ object UpdateBridge {
         }
       }
     }
+
+    /** Shard keys the processed ops can touch — selector scopes, upsert
+      * target keys, and upserted ids' pre-batch homes. None when the
+      * collection isn't custom-sharded or a case falls outside the
+      * provable set (id-type widening, a key the bridge can't resolve). */
+    private val touched = scala.collection.mutable.LinkedHashSet.empty[Any]
+    private var scopeKnown = skCol.isDefined
+
+    def shardScope: Option[Seq[Any]] =
+      if (scopeKnown && skCol.isDefined && touched.nonEmpty)
+        Some(touched.toSeq)
+      else None
     private def scopeOf(op: WireOp): Option[Seq[Any]] = op match {
       case WDelete(sel) => Some(sel.shardKeys)
       case WSetPayload(_, sel, _, _) => Some(sel.shardKeys)
@@ -138,6 +167,7 @@ object UpdateBridge {
             s"Not found: No point with id $id found")
         }
       }
+      if (skCol.isDefined) scopeOf(op).foreach(touched ++= _)
       op match {
         case WUpsert(points, _, mode, bodyKey) =>
           // upsert admits new ids AND moves existing ones to the write's
@@ -148,12 +178,28 @@ object UpdateBridge {
           points.foreach { p =>
             val k = keyOf(p.id)
             val existed = live.contains(k)
+            val target = p.shardKey.orElse(bodyKey)
+            if (skCol.isDefined) {
+              // the scoped rewrite must cover the write target AND the
+              // id's pre-op home (a move rewrites both directories); an
+              // unresolvable key or an id-type widening (first UUID into
+              // a numeric table rewrites the id column EVERYWHERE) falls
+              // back to the whole-table path
+              target match {
+                case Some(t) => touched += t
+                case None => scopeKnown = false
+              }
+              live.get(k).flatten.foreach(touched += _)
+              if (p.id.isInstanceOf[String] &&
+                  !idT.contains(org.apache.spark.sql.types.StringType))
+                scopeKnown = false
+            }
             mode match {
               case graft.storage.UpdateMode.InsertOnly =>
-                if (!existed) live.update(k, p.shardKey.orElse(bodyKey))
+                if (!existed) live.update(k, target)
               case graft.storage.UpdateMode.UpdateOnly =>
-                if (existed) live.update(k, p.shardKey.orElse(bodyKey))
-              case _ => live.update(k, p.shardKey.orElse(bodyKey))
+                if (existed) live.update(k, target)
+              case _ => live.update(k, target)
             }
           }
         case WDelete(Selector(Some(ids), _, scope)) =>

@@ -245,6 +245,60 @@ final class Collection(
   def applyBatch(ops: Seq[UpdateOp]): Unit =
     write(ops.foldLeft(read())(applyOp))
 
+  /** Batch apply RESTRICTED to a set of shard keys: when the caller can
+    * prove every op only touches rows under `keys` (the wire bridge can —
+    * a custom-sharded collection rejects keyless updates, and upsert
+    * targets + the moved-away homes of upserted ids come from its
+    * existence probe), the fold reads ONLY those partition directories
+    * (partition-pruned scan) and the commit swaps ONLY them. A per-tenant
+    * update on a 100 TB table then costs one tenant's rewrite, not the
+    * table's — the batch analog of the reference routing updates to the
+    * selected key's shards (`toc/point_ops.rs:489-521`). Falls back to
+    * the whole-table path when the collection isn't custom-sharded. */
+  def applyBatchScoped(ops: Seq[UpdateOp], keys: Seq[Any]): Unit =
+    config.shardKeyCol match {
+      case Some(sk) if keys.nonEmpty =>
+        val scoped = read().filter(col(sk).isin(keys: _*))
+        writeShardScoped(ops.foldLeft(scoped)(applyOp), sk, keys)
+      case _ => applyBatch(ops)
+    }
+
+  /** Scoped twin of [[write]]: same tenant-bucket + layout pipeline, but
+    * the tmp→dst swap replaces only the selected keys' partition
+    * directories (a key whose rows were all deleted simply loses its
+    * directory). Sidecar caches invalidate exactly like a full write. */
+  private def writeShardScoped(df0: DataFrame, sk: String,
+      keys: Seq[Any]): Unit = {
+    rewriteCount += 1
+    val tmp = path + "__tmp"
+    val df = Collection.withTenantBuckets(config, df0)
+    val pc = Collection.partitionCols(config, df.columns)
+    require(pc.headOption.contains(sk),
+      "scoped write needs the shard key as the leading partition column")
+    Collection.layout(config, df, None)
+      .write.mode(SaveMode.Overwrite).partitionBy(pc: _*).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dstBase = new org.apache.hadoop.fs.Path(path)
+    val wanted = keys.map(_.toString).toSet
+    def keyDirs(base: org.apache.hadoop.fs.Path) =
+      fs.listStatus(base).filter { st =>
+        st.isDirectory && {
+          val n = st.getPath.getName
+          n.startsWith(s"$sk=") && wanted.contains(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(n.stripPrefix(s"$sk=")))
+        }
+      }
+    keyDirs(dstBase).foreach(st => fs.delete(st.getPath, true))
+    keyDirs(new org.apache.hadoop.fs.Path(tmp)).foreach(st =>
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dstBase, st.getPath.getName)))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    sparseIdfCache = None
+    refreshSparseIdfStats()
+    fieldStatsCache = None
+    fs.delete(fieldStatsPath, false)
+  }
+
   /** Deterministic last-write-wins per id within one batch: the reference
     * applies batch points sequentially so the last occurrence of an id wins
     * (`point_ops.rs:111-126`); a bare dropDuplicates keeps an arbitrary one.

@@ -1089,4 +1089,64 @@ class StoreSpec extends SparkTestBase {
     c.clearPayload(col("id") === 1L)
     assert(c.rewriteCount == 3L)
   }
+
+  test("shard-scoped wire updates rewrite ONLY the selected keys' directories") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val path = tmpDir()
+    val scfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 2, Dot)),
+      payloadTypes = Map("tag" -> StringType),
+      shardKeyCol = Some("shard_key"))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vector", ArrayType(FloatType)),
+      StructField("payload", StringType),
+      StructField("shard_key", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Array(1.0f, 0.0f), """{"tag":"x"}""", "a"),
+      Row(2L, Array(0.0f, 1.0f), """{"tag":"x"}""", "b"),
+      Row(3L, Array(0.5f, 0.5f), """{"tag":"x"}""", "c"))
+    val c = Collection.create(spark, path, scfg,
+      spark.createDataFrame(rows, schema))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def filesUnder(key: String): Map[String, Long] = {
+      val dir = new org.apache.hadoop.fs.Path(path, s"shard_key=$key")
+      val it = fs.listFiles(dir, true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += (st.getPath.toString -> st.getModificationTime)
+      }
+      b.result()
+    }
+    val bBefore = filesUnder("b")
+    val cBefore = filesUnder("c")
+    // scoped payload write + scoped upsert: both ops touch only key "a"
+    graft.api.UpdateBridge.applyJson(c,
+      """{"operations": [
+        |  {"set_payload": {"payload": {"tag": "y"}, "points": [1],
+        |    "shard_key": "a"}},
+        |  {"upsert": {"points": [
+        |    {"id": 9, "vector": [0.9, 0.1], "shard_key": "a"}]}}
+        |]}""".stripMargin)
+    // untouched tenants keep their EXACT files (names + mtimes): the
+    // rewrite was partition-scoped, not a table rewrite
+    assert(filesUnder("b") == bBefore, "key b was rewritten")
+    assert(filesUnder("c") == cBefore, "key c was rewritten")
+    val after = c.read().select("id", "shard_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "a"))
+    // an upsert MOVING a point between keys rewrites both homes, and the
+    // whole-table read still sees exactly one copy
+    graft.api.UpdateBridge.applyJson(c,
+      """{"operations": [{"upsert": {"points": [
+        |  {"id": 2, "vector": [0.2, 0.2], "shard_key": "a"}]}}]}""".stripMargin)
+    assert(filesUnder("c") == cBefore, "key c was rewritten by the move")
+    val moved = c.read().select("id", "shard_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(moved == Map(1L -> "a", 2L -> "a", 3L -> "c", 9L -> "a"))
+  }
 }
