@@ -38,8 +38,12 @@ object UpdateBridge {
     while (failure.isEmpty && it.hasNext) {
       val op = it.next()
       try {
+        // translate (= validate) BEFORE the existence gate — the reference
+        // 422s malformed ops at the API boundary before any routing, and
+        // an op that never translates never pays the ledger's probe job
+        val translated = toUpdateOps(coll, op)
         ledger.step(op)
-        acc ++= toUpdateOps(coll, op)
+        acc ++= translated
         nOk += 1
       } catch { case e: IllegalArgumentException => failure = Some(e) }
     }
@@ -104,8 +108,11 @@ object UpdateBridge {
     // itself and simply never matches a live point
     private def keyOf(id: Any): Any =
       FilterCompiler.coerceWireIds(Seq(id), idT).headOption.getOrElse(id)
-    private val live = scala.collection.mutable.Map.empty[Any, Option[Any]]
-    locally {
+    // LAZY: the probe job only runs when an op actually reaches the gate —
+    // a request rejected at translate time (dim/shape/key validation)
+    // costs zero jobs here
+    private lazy val live: scala.collection.mutable.Map[Any, Option[Any]] = {
+      val m = scala.collection.mutable.Map.empty[Any, Option[Any]]
       // on a sharded collection the probe also resolves every UPSERTED
       // id's CURRENT key — an upsert moving a point between keys must
       // rewrite the moved-away home too, so the scoped-rewrite key set
@@ -124,9 +131,10 @@ object UpdateBridge {
         val sel = skCol.fold(df.select(col(idCol)))(sk =>
           df.select(col(idCol), col(sk)))
         sel.filter(col(idCol).isin(wanted: _*)).collect().foreach { r =>
-          live.update(r.get(0), if (skCol.isDefined) Option(r.get(1)) else None)
+          m.update(r.get(0), if (skCol.isDefined) Option(r.get(1)) else None)
         }
       }
+      m
     }
 
     /** Shard keys the processed ops can touch — selector scopes, upsert
