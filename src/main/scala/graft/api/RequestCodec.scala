@@ -617,12 +617,13 @@ object RequestCodec {
         } else if (keys.contains("fusion")) {
           // every node validates fusion×using (`CollectionQueryRequest::
           // validation` runs for the root AND each prefetch,
-          // `collection_query.rs:769-776,575,684`)
-          if (using.exists(_.nonEmpty))
+          // `collection_query.rs:769-776,575,684`) — PRESENCE of the
+          // field rejects, an explicit "" included
+          if (using.isDefined)
             fail("Fusion queries cannot be combined with the 'using' field.")
           (FusionQ(str(o \ "fusion")), None)
         } else if (keys.contains("rrf")) {
-          if (using.exists(_.nonEmpty))
+          if (using.isDefined)
             fail("Fusion queries cannot be combined with the 'using' field.")
           val r = o \ "rrf"
           val weights = (r \ "weights") match {

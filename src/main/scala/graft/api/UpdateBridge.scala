@@ -32,7 +32,6 @@ object UpdateBridge {
     // rewrite, then surface the failure.
     val ledger = new ExistenceLedger(coll, ops)
     val acc = Seq.newBuilder[UpdateOp]
-    var nOk = 0
     var failure: Option[IllegalArgumentException] = None
     val it = ops.iterator
     while (failure.isEmpty && it.hasNext) {
@@ -44,7 +43,6 @@ object UpdateBridge {
         val translated = toUpdateOps(coll, op)
         ledger.step(op)
         acc ++= translated
-        nOk += 1
       } catch { case e: IllegalArgumentException => failure = Some(e) }
     }
     val prefix = acc.result()
@@ -102,30 +100,41 @@ object UpdateBridge {
     }
     private val idCol = coll.config.idCol
     private val skCol = coll.config.shardKeyCol
-    private val idT = coll.read().schema.fields
-      .find(_.name == idCol).map(_.dataType)
+    private val idT = coll.idDataType
     // an id the column's type can't hold (uuid vs numeric ids) coerces to
     // itself and simply never matches a live point
     private def keyOf(id: Any): Any =
       FilterCompiler.coerceWireIds(Seq(id), idT).headOption.getOrElse(id)
+    // on a sharded collection the probe also resolves every UPSERTED
+    // id's CURRENT key — an upsert moving a point between keys must
+    // rewrite the moved-away home too, so the scoped-rewrite key set
+    // needs it (shardScope below)
+    private val upsertIds: Seq[Any] =
+      if (skCol.isEmpty) Nil
+      else ops.flatMap {
+        case WUpsert(pts, _, _, _) => pts.map(_.id)
+        case _ => Nil
+      }
+    private val wanted: Seq[Any] = FilterCompiler.coerceWireIds(
+      (ops.flatMap(checked(_).toSeq.flatMap(_._1)) ++ upsertIds).distinct,
+      idT)
+
+    // a delete-by-FILTER needs replaying only when a LATER op checks ids
+    // (otherwise its effect on `live` is unobservable)
+    private val checksFollowFilterDelete: Boolean = {
+      var seenFd = false; var need = false
+      ops.foreach {
+        case WDelete(Selector(None, Some(_), _)) => seenFd = true
+        case op => if (seenFd && checked(op).isDefined) need = true
+      }
+      need
+    }
+
     // LAZY: the probe job only runs when an op actually reaches the gate —
     // a request rejected at translate time (dim/shape/key validation)
     // costs zero jobs here
     private lazy val live: scala.collection.mutable.Map[Any, Option[Any]] = {
       val m = scala.collection.mutable.Map.empty[Any, Option[Any]]
-      // on a sharded collection the probe also resolves every UPSERTED
-      // id's CURRENT key — an upsert moving a point between keys must
-      // rewrite the moved-away home too, so the scoped-rewrite key set
-      // needs it (shardScope below)
-      val upsertIds =
-        if (skCol.isEmpty) Nil
-        else ops.flatMap {
-          case WUpsert(pts, _, _, _) => pts.map(_.id)
-          case _ => Nil
-        }
-      val wanted = FilterCompiler.coerceWireIds(
-        (ops.flatMap(checked(_).toSeq.flatMap(_._1)) ++ upsertIds).distinct,
-        idT)
       if (wanted.nonEmpty) {
         val df = coll.read()
         val sel = skCol.fold(df.select(col(idCol)))(sk =>
@@ -217,6 +226,24 @@ object UpdateBridge {
                   scope.exists(_.toString == k.toString))))
               live.remove(keyOf(id))
           }
+        case WDelete(Selector(None, Some(f), scope))
+            if checksFollowFilterDelete && wanted.nonEmpty =>
+          // replay the filter delete over just the probe's id set (one
+          // bounded job) so a later id-list op 404s like the reference.
+          // Evaluated against the pre-batch snapshot: a payload mutated
+          // EARLIER in the same batch isn't visible to this filter — the
+          // single-snapshot probe design; the dedicated REST routes are
+          // single-op requests where this cannot matter.
+          val df = coll.read()
+          val p = new FilterCompiler(coll.resolver(df)).compile(f)
+          val sel = Seq(col(idCol)) ++ skCol.map(col).toSeq
+          df.filter(coalesce(p, lit(false)) && col(idCol).isin(wanted: _*))
+            .select(sel: _*).collect().foreach { r =>
+              val inScope = scope.isEmpty || (skCol.isDefined &&
+                Option(r.get(1)).exists(k =>
+                  scope.exists(_.toString == k.toString)))
+              if (inScope) live.remove(r.get(0))
+            }
         case _ => ()
       }
     }
@@ -301,8 +328,7 @@ object UpdateBridge {
       "shard_key given but the collection has no shard-key column"))
 
   private def idPred(coll: Collection, ids: Seq[Any]): Column = {
-    val cids = graft.filters.FilterCompiler.coerceWireIds(ids,
-      coll.read().schema.fields.find(_.name == coll.config.idCol).map(_.dataType))
+    val cids = graft.filters.FilterCompiler.coerceWireIds(ids, coll.idDataType)
     col(coll.config.idCol).isin(cids: _*)
   }
 
@@ -360,8 +386,7 @@ object UpdateBridge {
     // numeric ids then take their decimal rendering, which can never
     // collide with a canonical UUID. A UUID landing in a numeric-id table
     // widens the table inside the upsert's own rewrite (mergeUpsert).
-    val tableIdT = coll.read().schema.fields
-      .find(_.name == cfg.idCol).map(_.dataType)
+    val tableIdT = coll.idDataType
     val idType =
       if (points.exists(_.id.isInstanceOf[String]) ||
           tableIdT.contains(StringType)) StringType

@@ -374,6 +374,14 @@ object FilterCompiler {
     case other => other
   }
 
+  /** Equality predicate for ONE wire id against an id column — None when
+    * the id's kind cannot live in the column (a UUID against numeric ids:
+    * no point can match). Keeps the NumId/Uuid representation rules of
+    * [[coerceWireIds]] in one place for every single-point lookup. */
+  def idMatch(idCol: Column, id: Any,
+      idType: Option[DataType]): Option[Column] =
+    coerceWireIds(Seq(id), idType).headOption.map(idCol === lit(_))
+
   /** Coerce wire point-ids to an id column's type. A string id column — a
     * UUID or mixed NumId+Uuid collection — stores numeric ids as their
     * decimal rendering: digits-only is never a canonical UUID, so the two

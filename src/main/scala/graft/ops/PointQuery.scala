@@ -264,7 +264,6 @@ object PointQuery {
         // `planned_query.rs:400-403` — a fusion root with nothing to fuse
         // is a validation error, not an empty result
         require(q.prefetches.nonEmpty, "cannot apply Fusion without prefetches")
-        require(q.prefetches.nonEmpty, "Fusion requires prefetches")
         val children = q.prefetches.map(inherited).map { c =>
           val df = execute(spark, points, idCol, resolver, c)
           c.scoring match {

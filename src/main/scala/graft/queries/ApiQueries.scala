@@ -461,7 +461,11 @@ object ApiQueries {
     // the wire codec + UpdateBridge: the upsert batches are RENDERED as the
     // literal JSON a client would send (round-trip through the parser),
     // then the whole list applies as one rewrite. Mirrors
-    // `batch_update_ops` (same oracle).
+    // `batch_update_ops` (same oracle). The delete_payload uses a
+    // has_id FILTER selector: an id LIST naming the ids the preceding
+    // filter-delete removed would 404 (`check_unprocessed_points` — the
+    // r13 unknown-point contract, pinned by api_update_unknown_point_404),
+    // while the by-filter arm silently skips them like the reference.
     "api_batch_update_ops" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.{LongType, StringType}
@@ -489,7 +493,8 @@ object ApiQueries {
            |  {"set_payload": {"payload": {"flag": "x"},
            |                   "filter": {"must": [{"key": "n_chars", "range": {"gte": 300}}]}}},
            |  {"delete": {"filter": {"must": [{"key": "lang", "match": {"value": "de"}}]}}},
-           |  {"delete_payload": {"keys": ["source"], "points": [${(0 until 20).mkString(", ")}]}},
+           |  {"delete_payload": {"keys": ["source"],
+           |    "filter": {"must": [{"has_id": [${(0 until 20).mkString(", ")}]}]}}},
            |  {"upsert": {"points": [${pointJsons(col("doc_id") < 10, "b2")}]}}
            |]}""".stripMargin)
       coll.read()

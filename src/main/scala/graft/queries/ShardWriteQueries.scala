@@ -295,6 +295,15 @@ object ShardWriteQueries {
         graft.api.UpdateBridge.applyJson(sharded,
           """{"operations": [{"set_payload": {"payload": {"tag": "y"},
             |  "points": [2]}}]}""".stripMargin))
+      // a delete-by-FILTER earlier in the batch removes the point, so the
+      // later id-list op 404s (the ledger replays the filter delete over
+      // its probe set — `check_unprocessed_points` would fire in the
+      // reference after the sequential delete)
+      arm("filter_delete_then_set_404", "No point with id 11 found")(
+        ops("""{"delete": {"filter": {"must": [
+          |  {"key": "tag", "match": {"value": "x"}}]}}},
+          |{"set_payload": {"payload": {"tag": "back"}, "points": [11]}}"""
+          .stripMargin))
       rows.result().toDF("check_name", "rejected", "msg_ok")
         .orderBy(col("check_name"))
     }),
@@ -529,6 +538,7 @@ object ShardWriteQueries {
         |  ('cross_shard_404', true, true),
         |  ('delete_points_unknown_ok', false, false),
         |  ('delete_vectors_unknown', true, true),
+        |  ('filter_delete_then_set_404', true, true),
         |  ('excluded_vector_unchanged', true, true),
         |  ('filter_selector_ok', false, false),
         |  ('in_batch_upsert_then_set_ok', false, false),

@@ -258,7 +258,11 @@ object UuidQueries {
         ("uuid_uppercase", got(u7.toUpperCase)),
         ("uuid_simple_form", got(u7.replace("-", ""))),
         ("missing_404", errOf("999")),
-        ("loose_string_rejects", errOf("not-an-id").takeWhile(_ != ',')))
+        ("loose_string_rejects", errOf("not-an-id").takeWhile(_ != ',')),
+        // u64 tail beyond i64: LOUD range error, never a raw
+        // NumberFormatException (19- and 20-digit forms alike)
+        ("u64_tail_19_digits", errOf("9300000000000000000")),
+        ("u64_tail_20_digits", errOf("18446744073709551615")))
         .toDF("check_name", "value").orderBy("check_name")
     }),
     // facet over a uuid-typed payload field (`FacetValue::Uuid`,
@@ -340,6 +344,10 @@ object UuidQueries {
         |  ('loose_string_rejects',
         |   'Format error in JSON body: value not-an-id is not a valid point ID'),
         |  ('missing_404', 'Not found: Point with id 999 does not exists!'),
+        |  ('u64_tail_19_digits', 'Bad request: point id 9300000000000000000 ' ||
+        |   'exceeds the supported id range (0..2^63-1)'),
+        |  ('u64_tail_20_digits', 'Bad request: point id 18446744073709551615 ' ||
+        |   'exceeds the supported id range (0..2^63-1)'),
         |  ('uuid_simple_form', ${uuidSql("7")} || '|u7|0.7'),
         |  ('uuid_uppercase', ${uuidSql("7")} || '|u7|0.7'))
         |AS t(check_name, value) ORDER BY check_name""".stripMargin,

@@ -120,12 +120,11 @@ final class Catalog(spark: SparkSession, root: String) {
           df0.filter(col(sk).isin(keys: _*))
         case _ => df0
       }
-      val rows = graft.filters.FilterCompiler.coerceWireIds(Seq(id),
-          df.schema.fields.find(_.name == other.config.idCol).map(_.dataType)) match {
-        case Seq(cid) => df.filter(col(other.config.idCol) === lit(cid))
-          .select(other.config.vectorCol(vname)).take(1)
-        case _ => Array.empty[org.apache.spark.sql.Row]
-      }
+      val rows = graft.filters.FilterCompiler.idMatch(
+          col(other.config.idCol), id,
+          df.schema.fields.find(_.name == other.config.idCol).map(_.dataType))
+        .map(p => df.filter(p).select(other.config.vectorCol(vname)).take(1))
+        .getOrElse(Array.empty[org.apache.spark.sql.Row])
       if (rows.isEmpty) throw new IllegalArgumentException(
         s"Not found: No point with id $id found")
       if (rows(0).isNullAt(0)) throw new IllegalArgumentException(
@@ -159,12 +158,12 @@ final class Catalog(spark: SparkSession, root: String) {
           df0.filter(col(sk).isin(keys: _*))
         case _ => df0
       }
-      val rows = graft.filters.FilterCompiler.coerceWireIds(Seq(id),
-          df.schema.fields.find(_.name == other.config.idCol).map(_.dataType)) match {
-        case Seq(cid) => df.filter(col(other.config.idCol) === lit(cid))
-          .select(col(s"$scol.indices"), col(s"$scol.values")).take(1)
-        case _ => Array.empty[org.apache.spark.sql.Row]
-      }
+      val rows = graft.filters.FilterCompiler.idMatch(
+          col(other.config.idCol), id,
+          df.schema.fields.find(_.name == other.config.idCol).map(_.dataType))
+        .map(p => df.filter(p)
+          .select(col(s"$scol.indices"), col(s"$scol.values")).take(1))
+        .getOrElse(Array.empty[org.apache.spark.sql.Row])
       if (rows.isEmpty) throw new IllegalArgumentException(
         s"Not found: No point with id $id found")
       if (rows(0).isNullAt(0)) throw new IllegalArgumentException(

@@ -138,10 +138,23 @@ final class Collection(
     * (asserted in StoreSpec). */
   private[graft] var rewriteCount: Long = 0L
 
+  /** Spark type of the stored id column, memoized — callers were paying a
+    * parquet file-listing + schema read per lookup. Invalidated on every
+    * rewrite: an upsert can WIDEN the column to string (mixed NumId+Uuid
+    * collections). */
+  private var idTypeCache: Option[org.apache.spark.sql.types.DataType] = None
+  private[graft] def idDataType: Option[org.apache.spark.sql.types.DataType] = {
+    if (idTypeCache.isEmpty)
+      idTypeCache = read().schema.fields
+        .find(_.name == config.idCol).map(_.dataType)
+    idTypeCache
+  }
+
   /** Tmp-dir + rename swap: Spark cannot overwrite a path still lazily read
     * in the same plan; on a lakehouse table this is simply MERGE/DELETE. */
   private def write(df0: DataFrame, targetFiles: Option[Int] = None): Unit = {
     rewriteCount += 1
+    idTypeCache = None
     val tmp = path + "__tmp"
     // tenant buckets recompute from the CURRENT payload on every write —
     // a payload mutation moves the row to its new bucket directory
@@ -270,6 +283,7 @@ final class Collection(
   private def writeShardScoped(df0: DataFrame, sk: String,
       keys: Seq[Any]): Unit = {
     rewriteCount += 1
+    idTypeCache = None
     val tmp = path + "__tmp"
     val df = Collection.withTenantBuckets(config, df0)
     val pc = Collection.partitionCols(config, df.columns)
@@ -391,19 +405,26 @@ final class Collection(
     config.shardKeyCol.foreach(sk => require(points.columns.contains(sk),
       s"Shard key not specified: upsert into a custom-sharded collection " +
         s"must carry the '$sk' column"))
-    // first UUID point into a numeric-id collection: the id column widens
-    // to string IN THIS REWRITE (numeric ids keep their decimal rendering
-    // — `ExtendedPointId` lets NumId and Uuid coexist, `types.rs:174-179`);
-    // no extra IO, the op's own rewrite carries the cast
+    // id-type widening is SYMMETRIC: the first UUID point into a
+    // numeric-id collection widens the TABLE's id column to string in
+    // this rewrite (numeric ids keep their decimal rendering —
+    // `ExtendedPointId` lets NumId and Uuid coexist, `types.rs:174-179`),
+    // and numeric-id points landing on an already-string table widen the
+    // BATCH instead. Leaving the types mixed would make the anti-join
+    // compare long-vs-string through a DOUBLE coercion — silently
+    // deleting the wrong row for ids ≥ 2^53 (or crashing under ANSI).
+    val strT = org.apache.spark.sql.types.StringType
     val curIdT = cur.schema.fields.find(_.name == config.idCol).map(_.dataType)
     val inIdT = points.schema.fields.find(_.name == config.idCol).map(_.dataType)
     val curW =
-      if (inIdT.contains(org.apache.spark.sql.types.StringType) &&
-          !curIdT.contains(org.apache.spark.sql.types.StringType))
-        cur.withColumn(config.idCol, col(config.idCol)
-          .cast(org.apache.spark.sql.types.StringType))
+      if (inIdT.contains(strT) && !curIdT.contains(strT))
+        cur.withColumn(config.idCol, col(config.idCol).cast(strT))
       else cur
-    val incoming = admit(curW, lastWins(encodeVectors(points)), mode, filter)
+    val pointsW =
+      if (curIdT.contains(strT) && !inIdT.contains(strT))
+        points.withColumn(config.idCol, col(config.idCol).cast(strT))
+      else points
+    val incoming = admit(curW, lastWins(encodeVectors(pointsW)), mode, filter)
     curW.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
       .unionByName(incoming, allowMissingColumns = true)
   }
@@ -850,13 +871,11 @@ final class Collection(
   private def resolveRow(id: Any, vecCol: String,
       vectorName: String): org.apache.spark.sql.Row = {
     val df = readDecoded()
-    val rows = graft.filters.FilterCompiler.coerceWireIds(Seq(id),
-        df.schema.fields.find(_.name == config.idCol).map(_.dataType)) match {
-      // UUID id, numeric id column: the kinds can never match
-      case Seq(cid) => df.filter(col(config.idCol) === lit(cid))
-        .select(col(vecCol)).take(1)
-      case _ => Array.empty[org.apache.spark.sql.Row]
-    }
+    // None = UUID id against a numeric id column: the kinds can never match
+    val rows = graft.filters.FilterCompiler.idMatch(
+        col(config.idCol), id, idDataType)
+      .map(p => df.filter(p).select(col(vecCol)).take(1))
+      .getOrElse(Array.empty[org.apache.spark.sql.Row])
     if (rows.isEmpty) throw new IllegalArgumentException(
       s"Not found: No point with id $id found")
     if (rows(0).isNullAt(0)) throw new IllegalArgumentException(
@@ -1370,17 +1389,16 @@ final class Collection(
     * ("Point with id {id} does not exists!", `retrieve_api.rs:124`). */
   def getPoint(rawId: String): DataFrame = {
     val id: Any =
-      if (rawId.nonEmpty && rawId.forall(_.isDigit) && rawId.length <= 19)
-        java.lang.Long.parseLong(rawId) // u64 arm of FromStr
+      if (rawId.nonEmpty && rawId.length <= 20 && rawId.forall(_.isDigit))
+        // u64 arm of FromStr; the [2^63, 2^64) tail rejects LOUDLY like
+        // PointId.parseNum (this engine's id columns are i64)
+        graft.api.PointId.parseNum(BigInt(rawId))
       else graft.api.PointId.canonicalUuid(rawId).getOrElse(
         graft.api.PointId.invalid(rawId))
     val df = readDecoded()
-    val ids = graft.filters.FilterCompiler.coerceWireIds(Seq(id),
-      df.schema.fields.find(_.name == config.idCol).map(_.dataType))
-    val out = ids match {
-      case Seq(cid) => df.filter(col(config.idCol) === lit(cid))
-      case _ => df.filter(lit(false)) // id kind can't live in this column
-    }
+    val out = graft.filters.FilterCompiler.idMatch(
+        col(config.idCol), id, idDataType)
+      .map(df.filter).getOrElse(df.filter(lit(false)))
     if (out.isEmpty) throw new IllegalArgumentException(
       s"Not found: Point with id $id does not exists!")
     out

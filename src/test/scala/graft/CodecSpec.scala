@@ -449,6 +449,11 @@ class CodecSpec extends AnyFunSuite {
     assert(msg("""{"score_threshold": 10, "query": {"order_by": {"key": "price"}}}""")
       .contains("Can't use score_threshold with an order_by query"))
     assert(msg("""{"query": [1.0], "limit": 0}""").contains("must be 1 or larger"))
+    // fusion×using rejects on PRESENCE of the field, an explicit "" included
+    // (`collection_query.rs:769-776` — serde yields Some("") for "")
+    assert(msg("""{"prefetch": [{"query": [1.0]}],
+      |  "query": {"fusion": "rrf"}, "using": ""}""".stripMargin)
+      .contains("Fusion queries cannot be combined with the 'using' field."))
   }
 
   test("bm25 murmur3: standard x86_32 test vectors; token_id unsigned_abs") {

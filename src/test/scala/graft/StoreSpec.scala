@@ -1090,6 +1090,30 @@ class StoreSpec extends SparkTestBase {
     assert(c.rewriteCount == 3L)
   }
 
+  test("id widening is symmetric: numeric points onto a string-id table compare as strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // string-id table holding an id ABOVE 2^53 — a long-vs-string join
+    // coerced through Double would alias 9007199254740993 with ...992
+    val big = 9007199254740993L // 2^53 + 1
+    val c = Collection.create(spark, tmpDir(),
+      CollectionConfig(idCol = "id", vectors = Seq(VectorConfig("", 2, Dot))),
+      Seq((big.toString, Seq(1f, 0f), """{"k":1}"""))
+        .toDF("id", "vector", "payload"))
+    // LongType batch with the NEIGHBORING value: must NOT replace the
+    // existing point (distinct ids), must insert as its decimal rendering
+    c.upsert(Seq((big - 1, Seq(0f, 1f), """{"k":2}"""))
+      .toDF("id", "vector", "payload"))
+    val ids = c.read().select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq((big - 1).toString, big.toString), ids)
+    // and a numeric upsert of the SAME id replaces, not duplicates
+    c.upsert(Seq((big, Seq(0.5f, 0.5f), """{"k":3}"""))
+      .toDF("id", "vector", "payload"))
+    val after = c.read().select("id", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after.size == 2 && after(big.toString).contains("3"), after)
+  }
+
   test("shard-scoped wire updates rewrite ONLY the selected keys' directories") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
