@@ -83,7 +83,7 @@ object RequestCodec {
             s"vector-input id $id (space '$name') given but no id resolver configured"),
       /** By-id resolve against a SPARSE `using` space → the example's
         * stored (indices, values). */
-      resolveSparseId: (String, Any) => (Seq[Int], Seq[Double]) =
+      resolveSparseId: (String, Any) => (Seq[Long], Seq[Double]) =
         (name, id) =>
           throw new IllegalArgumentException(
             s"sparse vector-input id $id (space '$name') given but no id resolver configured"),
@@ -102,7 +102,7 @@ object RequestCodec {
       /** Foreign-collection SPARSE id resolve for `lookup_from` — the
         * reference fetches referenced vectors of any kind from the lookup
         * collection (`fetch_vectors.rs:301`, `convert_to_vectors_owned`). */
-      resolveSparseLookup: (LookupFrom, Any) => (Seq[Int], Seq[Double]) =
+      resolveSparseLookup: (LookupFrom, Any) => (Seq[Long], Seq[Double]) =
         (lf, id) =>
           throw new IllegalArgumentException(
             s"lookup_from ${lf.collection} given but no sparse lookup resolver configured"),
@@ -484,7 +484,7 @@ object RequestCodec {
           if (!sp.sparse)
             fail(s"sparse vector input for dense vector '${sp.col}'")
           val (is, vs) = sparsePair(
-            arr(o \ "indices").map(num(_).toInt), arr(o \ "values").map(num))
+            arr(o \ "indices").map(sparseIdx), arr(o \ "values").map(num))
           (SparseStructQ(sp.col, is, vs), None)
         } else if (keys.contains("nearest")) {
           val scoring = (o \ "nearest") match {
@@ -494,7 +494,7 @@ object RequestCodec {
               if (!sp.sparse)
                 fail(s"sparse vector input for dense vector '${sp.col}'")
               val (is, vs) = sparsePair(
-                arr(s \ "indices").map(num(_).toInt),
+                arr(s \ "indices").map(sparseIdx),
                 arr(s \ "values").map(num))
               SparseStructQ(sp.col, is, vs)
             // sparse `using` + point-id `nearest` resolves from the sparse
@@ -662,7 +662,7 @@ object RequestCodec {
     (denseInput(j \ "positive", ctx, name), denseInput(j \ "negative", ctx, name))
 
   private def sparsePairOf(j: JValue, ctx: Ctx, name: String)
-      : ((Seq[Int], Seq[Double]), (Seq[Int], Seq[Double])) =
+      : ((Seq[Long], Seq[Double]), (Seq[Long], Seq[Double])) =
     (sparseInput(j \ "positive", ctx, name),
       sparseInput(j \ "negative", ctx, name))
 
@@ -693,10 +693,10 @@ object RequestCodec {
   /** A sparse `VectorInput`: inline `{indices, values}` or an example id
     * resolved from the node's sparse `using` space. */
   private def sparseInput(j: JValue, ctx: Ctx,
-      name: String): (Seq[Int], Seq[Double]) =
+      name: String): (Seq[Long], Seq[Double]) =
     j match {
       case o: JObject if o.obj.exists(_._1 == "indices") =>
-        sparsePair(arr(o \ "indices").map(num(_).toInt),
+        sparsePair(arr(o \ "indices").map(sparseIdx),
           arr(o \ "values").map(num))
       case JString(uuid) => ctx.resolveSparseId(name, PointId.parseString(uuid))
       case JInt(i) => ctx.resolveSparseId(name, PointId.parseNum(i))
@@ -1379,7 +1379,7 @@ object RequestCodec {
   sealed trait WireVec
   final case class WDenseVec(v: Seq[Double]) extends WireVec
   final case class WMultiVec(m: Seq[Seq[Double]]) extends WireVec
-  final case class WSparseVec(indices: Seq[Int], values: Seq[Double]) extends WireVec
+  final case class WSparseVec(indices: Seq[Long], values: Seq[Double]) extends WireVec
 
   /** `shardKey`: the point's own shard key (`PointStruct`-level on the
     * wire; the body-level `shard_key` of `PointsList`/`UpdateVectors`
@@ -1516,6 +1516,23 @@ object RequestCodec {
     WSetPayload(payload, selectorOf(j), overwrite, if (overwrite) None else key)
   }
 
+  /** One wire sparse index: the reference deserializes `indices` as
+    * `Vec<u32>` (`SparseVector`, `sparse_vector.rs:17-22`) — the FULL u32
+    * domain is valid (hash-derived token ids routinely exceed 2^31,
+    * `test_sparse_vector_large.py:54`), anything negative, fractional or
+    * above 2^32−1 rejects at parse exactly like serde's u32 arm. Parsed
+    * as Long: a Double→Int narrowing here clamps the upper half of the
+    * domain to 2^31−1 and silently collides distinct dimensions. */
+  private[api] def sparseIdx(j: JValue): Long = {
+    val d = num(j)
+    if (d.isNaN || d != math.floor(d))
+      fail(s"invalid sparse index $j: expected u32")
+    val l = d.toLong
+    if (l < 0L || l > 0xFFFFFFFFL)
+      fail(s"invalid sparse index $l: expected u32 (0..4294967295)")
+    l
+  }
+
   /** Canonicalize a wire sparse pair: indices must be UNIQUE and match
     * the values length (`validate_sparse_vector_impl`,
     * `lib/sparse/src/common/sparse_vector.rs`); order is the CALLER'S
@@ -1525,7 +1542,7 @@ object RequestCodec {
     * indices, so unsorted input MUST canonicalize here — passing it
     * through would silently mis-score. */
   private[api] def sparsePair(
-      indices: Seq[Int], values: Seq[Double]): (Seq[Int], Seq[Double]) = {
+      indices: Seq[Long], values: Seq[Double]): (Seq[Long], Seq[Double]) = {
     if (indices.length != values.length)
       fail("sparse values must be the same length as indices")
     if (indices.distinct.length != indices.length)
@@ -1542,7 +1559,7 @@ object RequestCodec {
     case JArray(xs) => WDenseVec(xs.map(num))
     case o: JObject if (o \ "indices") != JNothing =>
       val (is, vs) = sparsePair(
-        arr(o \ "indices").map(num(_).toInt), arr(o \ "values").map(num))
+        arr(o \ "indices").map(sparseIdx), arr(o \ "values").map(num))
       WSparseVec(is, vs)
     case other => fail(s"bad vector value: $other")
   }

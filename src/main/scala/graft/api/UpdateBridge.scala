@@ -412,8 +412,11 @@ object UpdateBridge {
             "shard_key given but the collection has no shard-key column")
         None
     }
+    // indices are LONG: the dim space is the full u32
+    // (`SparseVector.indices: Vec<u32>`, `sparse_vector.rs:17-22`) —
+    // IntegerType would clamp the upper half of the domain
     val sparseType = StructType(Seq(
-      StructField("indices", ArrayType(IntegerType)),
+      StructField("indices", ArrayType(LongType)),
       StructField("values", ArrayType(FloatType))))
     val schema = StructType(
       (StructField(cfg.idCol, idType) +:

@@ -67,12 +67,12 @@ object Bm25 {
   }
 
   /** `token_id`: |murmur3(token, 0) as i32| — `unsigned_abs`
-    * (`lib.rs:166-168`). The reference stores u32; our sparse indices are
-    * i32, so the single unrepresentable value |i32::MIN| = 2³¹ maps to 0
-    * (a documented 1-in-4-billion divergence). */
-  def tokenId(token: String): Int = {
+    * (`lib.rs:166-168`). The reference stores u32; sparse indices are
+    * Long here (the full u32 domain), so |i32::MIN| = 2³¹ is representable
+    * and the former divergence (2³¹ → 0) is gone. */
+  def tokenId(token: String): Long = {
     val h = murmur3(token.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0)
-    if (h == Int.MinValue) 0 else math.abs(h)
+    math.abs(h.toLong)
   }
 
   /** `embed_document` (`lib.rs:132-163`): per unique token,
@@ -81,12 +81,12 @@ object Bm25 {
     * order (the reference overwrites in hash-map iteration order — i.e.
     * nondeterministically; sorted order is the deterministic refinement). */
   def embedDoc(text: String, k1: Double, b: Double,
-      avgDocLen: Double): (Array[Int], Array[Float]) = {
+      avgDocLen: Double): (Array[Long], Array[Float]) = {
     val toks = text.split(" ", -1)
     val docLen = toks.length.toDouble
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
     toks.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
-    val byId = scala.collection.mutable.TreeMap.empty[Int, Float]
+    val byId = scala.collection.mutable.TreeMap.empty[Long, Float]
     counts.toSeq.sortBy(_._1).foreach { case (tok, cnt) =>
       val n = cnt.toDouble
       val tf = n * (k1 + 1.0) / (k1 * (1.0 - b + b * docLen / avgDocLen) + n)
@@ -97,7 +97,7 @@ object Bm25 {
 
   /** `embed_query` (`lib.rs:118-130`): sorted unique token ids, every
     * weight 1.0. */
-  def embedQuery(tokens: Seq[String]): (Seq[Int], Seq[Double]) = {
+  def embedQuery(tokens: Seq[String]): (Seq[Long], Seq[Double]) = {
     val ids = tokens.map(tokenId).distinct.sorted
     (ids, Seq.fill(ids.length)(1.0))
   }
@@ -116,7 +116,7 @@ object Bm25 {
 case class Bm25DocEmbedExpr(child: Expression, k1: Double, b: Double,
     avgDocLen: Double) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
-    StructField("indices", ArrayType(IntegerType, containsNull = false)),
+    StructField("indices", ArrayType(LongType, containsNull = false)),
     StructField("values", ArrayType(FloatType, containsNull = false))))
   override protected def nullSafeEval(v: Any): Any =
     Bm25.embedDocRow(v.asInstanceOf[UTF8String], k1, b, avgDocLen)

@@ -736,11 +736,19 @@ case class BinaryAsymScoreExpr(
   * posting-list intersection (`lib/sparse/src/index/search_context.rs`).
   * Replaces the O(|q|·|stored|) array_position formulation. Contributions
   * accumulate in ascending dim order, matching both the previous
-  * formulation and the DuckDB oracles exactly (skipped dims added 0.0). */
+  * formulation and the DuckDB oracles exactly (skipped dims added 0.0).
+  *
+  * Query indices are LONG: the reference's dim space is the full u32
+  * (`SparseVector.indices: Vec<u32>`), which Int cannot carry — values
+  * above 2^31−1 are routine (hash-derived token ids,
+  * `test_sparse_vector_large.py`). Stored arrays may be `array<bigint>`
+  * (the canonical storage written by the wire bridge) or a legacy
+  * `array<int>` from a directly-seeded table — the kernel adapts per
+  * column type, promoting stored ints to long for the comparison. */
 case class SparseDotExpr(
-    left: Expression,  // indices: array<int>
+    left: Expression,  // indices: array<bigint> (or legacy array<int>)
     right: Expression, // values: array<float|double>
-    qIdx: Array[Int],
+    qIdx: Array[Long],
     qVal: Array[Double]) extends BinaryExpression {
   require(qIdx.length == qVal.length, "query indices/values length mismatch")
   override def dataType: DataType = DoubleType
@@ -748,6 +756,11 @@ case class SparseDotExpr(
 
   private def valIsFloat: Boolean = right.dataType match {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def idxIsInt: Boolean = left.dataType match {
+    case ArrayType(IntegerType, _) => true
     case _ => false
   }
 
@@ -759,7 +772,7 @@ case class SparseDotExpr(
     var i = 0
     var j = 0
     while (i < n && j < qIdx.length) {
-      val d = idx.getInt(i)
+      val d = if (idxIsInt) idx.getInt(i).toLong else idx.getLong(i)
       val qd = qIdx(j)
       if (d == qd) {
         val v = if (valIsFloat) vals.getFloat(i).toDouble else vals.getDouble(i)
@@ -772,7 +785,7 @@ case class SparseDotExpr(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val qi = ctx.addReferenceObj("sparseQIdx", qIdx, "int[]")
+    val qi = ctx.addReferenceObj("sparseQIdx", qIdx, "long[]")
     val qv = ctx.addReferenceObj("sparseQVal", qVal, "double[]")
     nullSafeCodeGen(ctx, ev, (l, r) => {
       val i = ctx.freshName("i")
@@ -780,13 +793,15 @@ case class SparseDotExpr(
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val getD =
+        if (idxIsInt) s"(long) $l.getInt($i)" else s"$l.getLong($i)"
       val getV = if (valIsFloat) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
          |double $acc = 0.0;
          |int $i = 0; int $j = 0;
          |while ($i < $n && $j < $qi.length) {
-         |  int $d = $l.getInt($i);
+         |  long $d = $getD;
          |  if ($d == $qi[$j]) {
          |    $acc += $getV * $qv[$j];
          |    $i++; $j++;

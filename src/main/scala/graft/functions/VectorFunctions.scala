@@ -102,7 +102,7 @@ object VectorFunctions {
     * ([[SparseDotExpr]] — measured 8× over the array_position chain at
     * 200k×dim-64, SCALEPROBE_r09.md); the bulk path can alternatively
     * explode to an inverted postings join ([[graft.index.SparseIndex]]). */
-  def sparseDot(indices: Column, values: Column, qIndices: Seq[Int], qValues: Seq[Double]): Column =
+  def sparseDot(indices: Column, values: Column, qIndices: Seq[Long], qValues: Seq[Double]): Column =
     org.apache.spark.sql.GraftShim.column(
       graft.functions.SparseDotExpr(
         org.apache.spark.sql.GraftShim.expression(indices),

@@ -38,8 +38,8 @@ object Mmr {
 
   /** Sparse intersect-dot over sorted index arrays (the `SparseVector`
     * scoring contract, `sparse_vector.rs` — merge over the intersection). */
-  private def sparseDotOf(ai: Array[Int], av: Array[Double],
-      bi: Array[Int], bv: Array[Double]): Double = {
+  private def sparseDotOf(ai: Array[Long], av: Array[Double],
+      bi: Array[Long], bv: Array[Double]): Double = {
     var i = 0; var j = 0; var acc = 0.0
     while (i < ai.length && j < bi.length) {
       if (ai(i) == bi(j)) { acc += av(i) * bv(j); i += 1; j += 1 }
@@ -123,7 +123,7 @@ object Mmr {
       spark: SparkSession,
       candidates: DataFrame,
       idCol: String,
-      qIndices: Seq[Int],
+      qIndices: Seq[Long],
       qValues: Seq[Double],
       lambda: Double,
       limit: Int): DataFrame = {
@@ -132,7 +132,12 @@ object Mmr {
       .select(col(idCol), col("score"), col("_qidx"), col("_qval")).collect()
     val ids = rows.map(_.get(0))
     val scores = rows.map(_.getDouble(1))
-    val idx = rows.map(_.getSeq[Int](2).toArray)
+    // stored indices: array<bigint> canonically, array<int> on legacy
+    // directly-seeded tables — promote per element
+    val idx = rows.map(_.getSeq[Any](2).iterator.map {
+      case i: Int => i.toLong
+      case l: Long => l
+    }.toArray)
     val vals = rows.map(_.getSeq[Float](3).toArray.map(_.toDouble))
     val qi = qIndices.toArray
     val qv = qValues.toArray

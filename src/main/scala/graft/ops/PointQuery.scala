@@ -55,7 +55,7 @@ object PointQuery {
     * intersecting indices, larger-better, only rows with ≥ 1 matching dim
     * (the posting-join candidate semantics). */
   final case class SparseStructQ(sparseCol: String,
-      qIndices: Seq[Int], qValues: Seq[Double]) extends Scoring
+      qIndices: Seq[Long], qValues: Seq[Double]) extends Scoring
   /** Recommend over a SPARSE `using` space (the reference's recommend
     * accepts sparse example vectors/ids like any `VectorInput`,
     * `recommendations.rs`): strategy ∈ average_vector / best_score /
@@ -63,18 +63,18 @@ object PointQuery {
     * intersect-dot as the per-example similarity. Candidates are rows
     * sharing ≥ 1 dim with ANY example (the merged posting-join set). */
   final case class RecommendSparse(sparseCol: String, strategy: String,
-      positives: Seq[(Seq[Int], Seq[Double])],
-      negatives: Seq[(Seq[Int], Seq[Double])]) extends Scoring
+      positives: Seq[(Seq[Long], Seq[Double])],
+      negatives: Seq[(Seq[Long], Seq[Double])]) extends Scoring
   /** Discover / Context over a SPARSE `using` space — the same rank /
     * margin combines as the dense forms, with the sparse intersect-dot as
     * the per-example similarity (sparse `VectorInput`s are first-class in
     * the reference's discover surface, `query_enum.rs`). */
   final case class DiscoverSparse(sparseCol: String,
-      target: (Seq[Int], Seq[Double]),
-      pairs: Seq[((Seq[Int], Seq[Double]), (Seq[Int], Seq[Double]))])
+      target: (Seq[Long], Seq[Double]),
+      pairs: Seq[((Seq[Long], Seq[Double]), (Seq[Long], Seq[Double]))])
       extends Scoring
   final case class ContextSparse(sparseCol: String,
-      pairs: Seq[((Seq[Int], Seq[Double]), (Seq[Int], Seq[Double]))])
+      pairs: Seq[((Seq[Long], Seq[Double]), (Seq[Long], Seq[Double]))])
       extends Scoring
   final case class OrderByField(field: String, asc: Boolean,
       startFrom: Option[Any] = None) extends Scoring
@@ -95,7 +95,7 @@ object PointQuery {
     * vector-kind-agnostic (`lib/shard/src/query/mmr/mod.rs:42-170` computes
     * similarities over `VectorInternal`, sparse included); pairwise sims
     * are the sparse intersect-dot. */
-  final case class MmrSparseQ(sparseCol: String, qIndices: Seq[Int],
+  final case class MmrSparseQ(sparseCol: String, qIndices: Seq[Long],
       qValues: Seq[Double], lambda: Double) extends Scoring
 
   /** Wire `SearchParams` (`types.rs:573-618`): `exact` / `quantization.
@@ -186,7 +186,7 @@ object PointQuery {
       (graft.functions.VectorFunctions.sparseDot(
         col(s"$sc.indices"), col(s"$sc.values"), qi, qv), true)
     case RecommendSparse(sc, strategy, pos, neg) =>
-      def sim(q: (Seq[Int], Seq[Double])): Column =
+      def sim(q: (Seq[Long], Seq[Double])): Column =
         graft.functions.VectorFunctions.sparseDot(
           col(s"$sc.indices"), col(s"$sc.values"), q._1, q._2)
       strategy match {
@@ -202,13 +202,13 @@ object PointQuery {
           throw new IllegalArgumentException(s"unknown recommend strategy '$other'")
       }
     case DiscoverSparse(sc, target, pairs) =>
-      def sim(q: (Seq[Int], Seq[Double])): Column =
+      def sim(q: (Seq[Long], Seq[Double])): Column =
         graft.functions.VectorFunctions.sparseDot(
           col(s"$sc.indices"), col(s"$sc.values"), q._1, q._2)
       (Search.discoverCombine(sim(target),
         pairs.map { case (p, n) => (sim(p), sim(n)) }), true)
     case ContextSparse(sc, pairs) =>
-      def sim(q: (Seq[Int], Seq[Double])): Column =
+      def sim(q: (Seq[Long], Seq[Double])): Column =
         graft.functions.VectorFunctions.sparseDot(
           col(s"$sc.indices"), col(s"$sc.values"), q._1, q._2)
       (Search.contextCombine(

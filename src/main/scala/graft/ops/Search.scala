@@ -192,11 +192,11 @@ object Search {
     * values aggregate per dim over the index UNION (missing = 0), divide
     * by example count, then merge as `2·avg_pos − avg_neg` per union dim. */
   def recommendAvgSparseQuery(
-      positives: Seq[(Seq[Int], Seq[Double])],
-      negatives: Seq[(Seq[Int], Seq[Double])]): (Seq[Int], Seq[Double]) = {
+      positives: Seq[(Seq[Long], Seq[Double])],
+      negatives: Seq[(Seq[Long], Seq[Double])]): (Seq[Long], Seq[Double]) = {
     require(positives.nonEmpty,
       "Positive vectors should not be empty with `average` strategy")
-    def avg(vs: Seq[(Seq[Int], Seq[Double])]): Map[Int, Double] = {
+    def avg(vs: Seq[(Seq[Long], Seq[Double])]): Map[Long, Double] = {
       val sums = vs.flatMap { case (is, xs) => is.zip(xs) }
         .groupMapReduce(_._1)(_._2)(_ + _)
       sums.view.mapValues(_ / vs.length).toMap

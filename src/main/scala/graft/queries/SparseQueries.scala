@@ -26,9 +26,9 @@ object SparseQueries {
       filter(v, x => x.cast("double") > lit(0.25d)).as("values"))
 
   /** Driver-side twin of [[sparseFromDense]] for query vectors. */
-  private def sparseQ(s: SparkSession, dir: String, id: Long): (Seq[Int], Seq[Double]) = {
+  private def sparseQ(s: SparkSession, dir: String, id: Long): (Seq[Long], Seq[Double]) = {
     val pairs = Tables.embeddingOf(s, dir, id).zipWithIndex.filter(_._1 > 0.25)
-    (pairs.map(_._2), pairs.map(_._1))
+    (pairs.map(_._2.toLong), pairs.map(_._1))
   }
 
   /** Collection with two sparse named vectors over the same derived content
@@ -722,6 +722,83 @@ object SparseQueries {
         .withColumn("space", lit("sparse"))
       dense.unionByName(multi).unionByName(sparse)
     }),
+    // Full-u32 sparse dim space (`SparseVector.indices: Vec<u32>`,
+    // `sparse_vector.rs:17-22`; e2e `test_sparse_vector_large.py:32-60`):
+    // the reference's exact large-index set round-trips through wire
+    // upsert, wire query and storage. Point 2 carries dims ADJACENT to
+    // point 1's large dims and point 3 carries TWO dims above 2^31 — under
+    // an i32 parse all of these clamp to 2^31−1 (point 3 then rejects as
+    // "duplicate", points 1/2 silently intersect on every dot product), so
+    // the distinct scores below pin the unsigned width end-to-end. Reject
+    // arms: >u32, negative, fractional indices fail at parse like serde's
+    // u32 deserialization.
+    "sparse_large_indices" -> ((s, dir) => {
+      import graft.api.UpdateBridge
+      import graft.sources.{CollectionConfig, SparseVectorConfig}
+      import s.implicits._
+      val path = "/tmp/graft_runtime/sparse_large_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val refIdx = Seq(808342246L, 3331306528L, 542569676L, 913951781L,
+        1436743712L, 2336501044L, 2690574963L, 1871711020L, 1555611613L,
+        869159183L, 1739377735L, 1251323507L, 1779632210L, 3444800112L,
+        3174105482L, 2305639372L, 1076060679L, 4025475087L, 4146668087L,
+        2239416842L, 1454622239L, 2826065600L, 1826244548L)
+      val coll = sparseCollections.computeIfAbsent(path, { _ =>
+        val cfg = CollectionConfig(idCol = "id",
+          sparse = Seq(SparseVectorConfig("text")))
+        val c = graft.storage.Collection.create(s, path, cfg,
+          Seq.empty[Long].toDF("id")
+            .withColumn("sparse_text",
+              lit(null).cast("struct<indices: array<bigint>, values: array<float>>"))
+            .withColumn("payload", lit(null).cast("string")))
+        UpdateBridge.applyJson(c,
+          s"""{"operations": [{"upsert": {"points": [
+             |  {"id": 1, "vector": {"text": {
+             |    "indices": ${refIdx.mkString("[", ",", "]")},
+             |    "values": ${Seq.fill(refIdx.length)("0.5249451281713632")
+                  .mkString("[", ",", "]")}}}},
+             |  {"id": 2, "vector": {"text": {
+             |    "indices": [3331306529, 4146668088], "values": [1.0, 2.0]}}},
+             |  {"id": 3, "vector": {"text": {
+             |    "indices": [2147483648, 4294967295], "values": [1.0, 1.0]}}}
+             |]}}]}""".stripMargin)
+        c
+      })
+      val hits = coll.query(
+        """{"query": {"indices": [3331306528, 4025475087, 4146668088, 4294967295],
+          |  "values": [1.0, 1.0, 1.0, 1.0]},
+          |  "using": "text", "limit": 10}""".stripMargin)
+        .select(lit("search").as("arm"), col("id"), col("score").as("v"))
+      val stored = coll.read().filter(col("id") === 1)
+        .select(col("sparse_text.indices").as("ix"))
+        .select(
+          size(col("ix")).cast("double").as("rt_n"),
+          array_min(col("ix")).cast("double").as("rt_min"),
+          array_max(col("ix")).cast("double").as("rt_max"),
+          size(filter(col("ix"), x => x > lit(2147483647L)))
+            .cast("double").as("rt_big"))
+      val rt = stored.select(lit("rt_n").as("arm"), lit(1L).as("id"), col("rt_n").as("v"))
+        .unionByName(stored.select(lit("rt_min").as("arm"), lit(1L).as("id"), col("rt_min").as("v")))
+        .unionByName(stored.select(lit("rt_max").as("arm"), lit(1L).as("id"), col("rt_max").as("v")))
+        .unionByName(stored.select(lit("rt_big").as("arm"), lit(1L).as("id"), col("rt_big").as("v")))
+      def rejects(arm: String, body: String) = {
+        val failed =
+          try { UpdateBridge.applyJson(coll, body); 0.0 }
+          catch { case _: IllegalArgumentException => 1.0 }
+        Seq((arm, 0L, failed)).toDF("arm", "id", "v")
+      }
+      hits.unionByName(rt)
+        .unionByName(rejects("reject_over_u32",
+          """{"operations": [{"upsert": {"points": [{"id": 9, "vector": {"text":
+            |  {"indices": [4294967296], "values": [1.0]}}}]}}]}""".stripMargin))
+        .unionByName(rejects("reject_negative",
+          """{"operations": [{"upsert": {"points": [{"id": 9, "vector": {"text":
+            |  {"indices": [-1], "values": [1.0]}}}]}}]}""".stripMargin))
+        .unionByName(rejects("reject_fractional",
+          """{"operations": [{"upsert": {"points": [{"id": 9, "vector": {"text":
+            |  {"indices": [1.5], "values": [1.0]}}}]}}]}""".stripMargin))
+        .orderBy("arm", "id", "v")
+    }),
     // Sparse `average_vector` recommend (`avg_vectors` sparse arm + the
     // sparse merge, `recommendations.rs:55-58,87-91,119-120`): values
     // aggregate per dim over the index UNION (missing = 0), divide by
@@ -954,6 +1031,25 @@ object SparseQueries {
         |  (3::BIGINT, 5.0::DOUBLE, 'sparse'),
         |  (1::BIGINT, 3.0::DOUBLE, 'sparse'),
         |  (2::BIGINT, 3.0::DOUBLE, 'sparse')) AS t(id, score, space)""".stripMargin,
+    // Reference index set (`test_sparse_vector_large.py:54`): point 1
+    // intersects the query on dims 3331306528 and 4025475087 (stored f32
+    // weights — CAST AS REAL), point 2 on 4146668088, point 3 on
+    // 4294967295; rt_* pin the stored round-trip of the 23-dim vector
+    // (10 dims above 2^31−1); the reject arms are literal (parse-time u32
+    // validation).
+    "sparse_large_indices" ->
+      """SELECT 'search' AS arm, 1::BIGINT AS id,
+        |  round(2 * CAST(0.5249451281713632 AS REAL)::DOUBLE, 6) AS v
+        |UNION ALL SELECT 'search', 2::BIGINT, 2.0::DOUBLE
+        |UNION ALL SELECT 'search', 3::BIGINT, 1.0::DOUBLE
+        |UNION ALL SELECT 'rt_n', 1::BIGINT, 23.0::DOUBLE
+        |UNION ALL SELECT 'rt_min', 1::BIGINT, 542569676.0::DOUBLE
+        |UNION ALL SELECT 'rt_max', 1::BIGINT, 4146668087.0::DOUBLE
+        |UNION ALL SELECT 'rt_big', 1::BIGINT, 10.0::DOUBLE
+        |UNION ALL SELECT 'reject_over_u32', 0::BIGINT, 1.0::DOUBLE
+        |UNION ALL SELECT 'reject_negative', 0::BIGINT, 1.0::DOUBLE
+        |UNION ALL SELECT 'reject_fractional', 0::BIGINT, 1.0::DOUBLE
+        |ORDER BY arm, id, v""".stripMargin,
     "recommend_sparse_avg" -> recommendSparseAvgSql,
     // wire by-id examples are EXCLUDED from the results (`exclude_
     // referenced_ids`, `collection_query.rs:523-531`); the hand-built

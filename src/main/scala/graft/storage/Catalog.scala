@@ -141,7 +141,7 @@ final class Catalog(spark: SparkSession, root: String) {
     * foreign collection's declared sparse space by name, shard-scoped when
     * a `lookup_from.shard_key` is given. */
   private def sparseLookupResolver:
-      (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double]) =
+      (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Long], Seq[Double]) =
     (lf, id) => {
       import org.apache.spark.sql.functions.{col, lit}
       val other = lookupCollection(lf.collection)
@@ -168,7 +168,10 @@ final class Catalog(spark: SparkSession, root: String) {
         s"Not found: No point with id $id found")
       if (rows(0).isNullAt(0)) throw new IllegalArgumentException(
         s"""Not found: Vector with name "$vname" for point $id""")
-      (rows(0).getSeq[Int](0).toSeq,
+      (rows(0).getSeq[Any](0).map {
+        case i: Int => i.toLong
+        case l: Long => l
+      }.toSeq,
         rows(0).getSeq[Float](1).toSeq.map(_.toDouble))
     }
 

@@ -152,7 +152,13 @@ final class Collection(
 
   /** Tmp-dir + rename swap: Spark cannot overwrite a path still lazily read
     * in the same plan; on a lakehouse table this is simply MERGE/DELETE. */
-  private def write(df0: DataFrame, targetFiles: Option[Int] = None): Unit = {
+  /** `sparseDfChange`: whether the batch can have changed any sparse
+    * vector's document frequencies — payload-only mutations, dense-vector
+    * ops, compaction and index/layout rewrites cannot, so they keep the
+    * IDF sidecar intact (zero invalidation, zero recompute). Defaults to
+    * the safe answer. */
+  private def write(df0: DataFrame, targetFiles: Option[Int] = None,
+      sparseDfChange: Boolean = true): Unit = {
     rewriteCount += 1
     idTypeCache = None
     val tmp = path + "__tmp"
@@ -177,13 +183,13 @@ final class Collection(
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    // ingest-time statistics ride each write (the reference maintains
-    // IdfScopeStats incrementally in its index)
-    sparseIdfCache = None
-    refreshSparseIdfStats()
-    // the cardinality snapshot goes stale instead: drop it and let the
-    // next `exact: false` count rebuild lazily (approximate counts are
-    // documented as unreliable mid-indexing, `lib/shard/src/count.rs:14-17`)
+    // ingest-time statistics go STALE, not eagerly rebuilt: drop the
+    // sidecars and let the first read that needs them recompute lazily
+    // (the reference documents approximate stats as unreliable
+    // mid-indexing, `lib/shard/src/count.rs:14-17`; the former eager IDF
+    // refresh here made every write cost a full-table scan on
+    // idf-modified collections — the r13 scale probe's residual slope)
+    if (sparseDfChange) invalidateSparseIdfStats()
     fieldStatsCache = None
     fs.delete(fieldStatsPath, false)
     ()
@@ -256,7 +262,15 @@ final class Collection(
     * effects of the ones before it, exactly like the reference's sequential
     * application — but as one Spark job, not N. */
   def applyBatch(ops: Seq[UpdateOp]): Unit =
-    write(ops.foldLeft(read())(applyOp))
+    write(ops.foldLeft(read())(applyOp),
+      sparseDfChange = Collection.opsChangeSparseDfs(config, ops))
+
+  /** Whether a batch can change any sparse vector's per-dim document
+    * frequencies: point writes/deletes can; payload mutations and
+    * dense-vector ops cannot (they never touch a sparse cell), so the IDF
+    * sidecar survives them untouched. */
+  private[storage] def sparseDfsChange(ops: Seq[UpdateOp]): Boolean =
+    Collection.opsChangeSparseDfs(config, ops)
 
   /** Batch apply RESTRICTED to a set of shard keys: when the caller can
     * prove every op only touches rows under `keys` (the wire bridge can —
@@ -272,7 +286,8 @@ final class Collection(
     config.shardKeyCol match {
       case Some(sk) if keys.nonEmpty =>
         val scoped = read().filter(col(sk).isin(keys: _*))
-        writeShardScoped(ops.foldLeft(scoped)(applyOp), sk, keys)
+        writeShardScoped(ops.foldLeft(scoped)(applyOp), sk, keys,
+          sparseDfChange = Collection.opsChangeSparseDfs(config, ops))
       case _ => applyBatch(ops)
     }
 
@@ -281,7 +296,7 @@ final class Collection(
     * directories (a key whose rows were all deleted simply loses its
     * directory). Sidecar caches invalidate exactly like a full write. */
   private def writeShardScoped(df0: DataFrame, sk: String,
-      keys: Seq[Any]): Unit = {
+      keys: Seq[Any], sparseDfChange: Boolean = true): Unit = {
     rewriteCount += 1
     idTypeCache = None
     val tmp = path + "__tmp"
@@ -307,8 +322,10 @@ final class Collection(
     keyDirs(new org.apache.hadoop.fs.Path(tmp)).foreach(st =>
       fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dstBase, st.getPath.getName)))
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    sparseIdfCache = None
-    refreshSparseIdfStats()
+    // IDF sidecar: refresh ONLY the touched keys' partials when warm
+    // (partition-pruned jobs, bounded by the batch's tenants), stay lazy
+    // when cold, untouched when the batch can't change dfs
+    if (sparseDfChange) refreshSparseIdfScoped(sk, keys)
     fieldStatsCache = None
     fs.delete(fieldStatsPath, false)
   }
@@ -621,7 +638,7 @@ final class Collection(
     * count). */
   def knnSparse(
       name: String,
-      qIndices: Seq[Int],
+      qIndices: Seq[Long],
       qValues: Seq[Double],
       filter: Option[Filter] = None,
       k: Int = 10,
@@ -660,7 +677,7 @@ final class Collection(
     * sparse vector and df = per-dim point counts, both from the persisted
     * ingest-time statistics ([[sparseIdfStats]]). */
   private[graft] def idfWeights(
-      name: String, qIdx: Seq[Int], qVal: Seq[Double]): Seq[Double] = {
+      name: String, qIdx: Seq[Long], qVal: Seq[Double]): Seq[Double] = {
     val (n, dfs) = sparseIdfStats(name)
     qIdx.zip(qVal).map { case (i, w) =>
       val d = dfs.getOrElse(i, 0L).toDouble
@@ -679,7 +696,7 @@ final class Collection(
     * indices column plus the filter's fields. */
   private[graft] def corpusIdfWeights(
       name: String, corpus: graft.model.Filter,
-      qIdx: Seq[Int], qVal: Seq[Double]): Seq[Double] = {
+      qIdx: Seq[Long], qVal: Seq[Double]): Seq[Double] = {
     val scol = config.sparseCol(name)
     val df = read()
     val pred = new graft.filters.FilterCompiler(resolver(df))
@@ -845,7 +862,10 @@ final class Collection(
             s"vector-input id $id: no sparse vector named '$name' to resolve it against"))
         val row = resolveRow(id, config.sparseCol(sc.name), name)
         val s = row.getStruct(0)
-        (s.getSeq[Int](0).toSeq, s.getSeq[Float](1).toSeq.map(_.toDouble))
+        (s.getSeq[Any](0).map {
+          case i: Int => i.toLong
+          case l: Long => l
+        }.toSeq, s.getSeq[Float](1).toSeq.map(_.toDouble))
       },
       shardKeyField = config.shardKeyCol,
       // this collection's catalog name (the Catalog lays data out as
@@ -893,7 +913,7 @@ final class Collection(
       lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any)
         => Either[Seq[Double], Seq[Seq[Double]]]],
       sparseLookupResolve: Option[
-        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
+        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Long], Seq[Double])] = None)
       : DataFrame = {
     import graft.api.RequestCodec
     val ctx0 = wireCtx
@@ -995,7 +1015,7 @@ final class Collection(
           // collection-wide sidecar stats
           val corpus: Option[graft.model.Filter] =
             node.params.flatMap(_.idf).flatten
-          def weigh(name: String, qi2: Seq[Int], qv2: Seq[Double]): Seq[Double] =
+          def weigh(name: String, qi2: Seq[Long], qv2: Seq[Double]): Seq[Double] =
             corpus match {
               case Some(f) => corpusIdfWeights(name, f, qi2, qv2)
               case None => idfWeights(name, qi2, qv2)
@@ -1008,18 +1028,18 @@ final class Collection(
               // recommend examples ARE query vectors — the modifier weights
               // each before the strategy combine (`query_context.rs` remaps
               // every query-side sparse vector of the request)
-              def w(q: (Seq[Int], Seq[Double])) =
+              def w(q: (Seq[Long], Seq[Double])) =
                 (q._1, weigh(idfCols(sc2), q._1, q._2))
               PointQuery.RecommendSparse(sc2, strat, pos.map(w), neg.map(w))
             case PointQuery.DiscoverSparse(sc2, target, pairs)
                 if idfCols.contains(sc2) =>
-              def w(q: (Seq[Int], Seq[Double])) =
+              def w(q: (Seq[Long], Seq[Double])) =
                 (q._1, weigh(idfCols(sc2), q._1, q._2))
               PointQuery.DiscoverSparse(sc2, w(target),
                 pairs.map { case (p, n) => (w(p), w(n)) })
             case PointQuery.ContextSparse(sc2, pairs)
                 if idfCols.contains(sc2) =>
-              def w(q: (Seq[Int], Seq[Double])) =
+              def w(q: (Seq[Long], Seq[Double])) =
                 (q._1, weigh(idfCols(sc2), q._1, q._2))
               PointQuery.ContextSparse(sc2,
                 pairs.map { case (p, n) => (w(p), w(n)) })
@@ -1075,7 +1095,7 @@ final class Collection(
       lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any)
         => Either[Seq[Double], Seq[Seq[Double]]]] = None,
       sparseLookupResolve: Option[
-        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
+        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Long], Seq[Double])] = None)
       : DataFrame =
     queryGroups(graft.api.RequestCodec.legacyToQuery(json, "recommend"),
       lookupTable, lookupResolve, sparseLookupResolve)
@@ -1103,7 +1123,7 @@ final class Collection(
       lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any)
         => Either[Seq[Double], Seq[Seq[Double]]]] = None,
       sparseLookupResolve: Option[
-        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
+        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Long], Seq[Double])] = None)
       : DataFrame = {
     import graft.api.RequestCodec
     val searches = RequestCodec.arr(
@@ -1421,7 +1441,7 @@ final class Collection(
       lookupResolve: Option[(graft.api.RequestCodec.LookupFrom, Any)
         => Either[Seq[Double], Seq[Seq[Double]]]] = None,
       sparseLookupResolve: Option[
-        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Int], Seq[Double])] = None)
+        (graft.api.RequestCodec.LookupFrom, Any) => (Seq[Long], Seq[Double])] = None)
       : DataFrame = {
     import graft.ops.PointQuery
     val ctx0 = wireCtx
@@ -1604,14 +1624,14 @@ final class Collection(
                 .otherwise(lit(null).cast("int")))
           }
         }
-      next.write(withCells)
+      next.write(withCells, sparseDfChange = false)
       if (quantChanged) next.writeQuantParams(params)
     } else if (layoutChanged) {
       // layout-only PATCH: one rewrite under the new partition/sort rule
       // (write() recomputes declared buckets; stale ones drop here)
       val cur = read()
       next.write(cur.columns.filter(_.startsWith("tenantb_"))
-        .foldLeft(cur)(_ drop _))
+        .foldLeft(cur)(_ drop _), sparseDfChange = false)
     }
     next
   }
@@ -1755,8 +1775,19 @@ final class Collection(
     victims.foreach(st => fs.delete(st.getPath, true))
     fieldStatsCache = None
     fs.delete(fieldStatsPath, false)
-    sparseIdfCache = None
-    refreshSparseIdfStats()
+    // IDF sidecar: a sharded-format sidecar just loses the dropped key's
+    // partials — ZERO jobs, matching the O(1) directory drop; anything
+    // else invalidates lazily
+    loadSparseIdf() match {
+      case Some(m) if m.valuesIterator.forall(_.isInstanceOf[Collection.IdfSharded]) =>
+        writeSparseIdfStats(m.map {
+          case (n, Collection.IdfSharded(parts)) =>
+            n -> (Collection.IdfSharded(parts - key.toString): Collection.IdfEntry)
+          case other => other
+        })
+      case Some(_) => invalidateSparseIdfStats()
+      case None => ()
+    }
     // the key WAS declared (the not-found guard above) — report the drop
     // as applied even when no data had landed under it yet
     true
@@ -1774,20 +1805,11 @@ final class Collection(
   private[graft] def sparseIdfPath =
     new org.apache.hadoop.fs.Path(path + "_sparse_idf.json")
 
-  /** Cached per-name (N, per-dim df); invalidated by [[write]]. */
-  @transient private var sparseIdfCache: Option[Map[String, (Long, Map[Int, Long])]] = None
+  /** Cached per-name entries; invalidated by df-changing writes. */
+  @transient private var sparseIdfCache: Option[Map[String, Collection.IdfEntry]] = None
 
-  /** Ingest-time IDF statistics for a sparse vector: (N = count of points
-    * with a non-null sparse cell — the reference's `indexed_vectors`,
-    * `query_context.rs:283-289` — and per-dim document frequencies).
-    * Loaded from the `_sparse_idf.json` artifact written at create/write
-    * (NO Spark job on the warm path); computed once and persisted when the
-    * artifact is missing (e.g. the idf modifier was PATCHed in after
-    * ingest). Scale note: the df map is vocabulary-sized — bounded by the
-    * token space (BM25 vocabularies are 10⁴–10⁵ dims), not the row count,
-    * so the sidecar stays small however large the table. */
-  private[graft] def sparseIdfStats(name: String): (Long, Map[Int, Long]) = {
-    val cached = sparseIdfCache.orElse {
+  private def loadSparseIdf(): Option[Map[String, Collection.IdfEntry]] =
+    sparseIdfCache.orElse {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(sparseIdfPath)) None
       else {
@@ -1799,29 +1821,74 @@ final class Collection(
         Some(m)
       }
     }
-    cached.flatMap(_.get(name)).getOrElse {
+
+  /** Ingest-time IDF statistics for a sparse vector: (N = count of points
+    * with a non-null sparse cell — the reference's `indexed_vectors`,
+    * `query_context.rs:283-289` — and per-dim document frequencies).
+    * Loaded from the `_sparse_idf.json` artifact (NO Spark job on the warm
+    * path); computed once and persisted when the artifact is missing —
+    * writes INVALIDATE rather than eagerly recompute, the same lazy
+    * contract as the fieldstats sidecar, so a write's cost never scales
+    * with table size for the sidecar's sake. On a custom-sharded
+    * collection the artifact holds PER-SHARD-KEY partial (N, df) maps —
+    * merged driver-side here — so a scoped write refreshes only its
+    * touched tenants ([[writeShardScoped]]). Scale note: the df map is
+    * vocabulary-sized — bounded by the token space (BM25 vocabularies are
+    * 10⁴–10⁵ dims), not the row count, so the sidecar stays small however
+    * large the table. */
+  private[graft] def sparseIdfStats(name: String): (Long, Map[Long, Long]) = {
+    val cached = loadSparseIdf()
+    cached.flatMap(_.get(name)).map(Collection.mergeIdfEntry).getOrElse {
       val m = computeSparseIdfStats(read(), Seq(name))
       writeSparseIdfStats(cached.getOrElse(Map.empty) ++ m)
-      m(name)
+      Collection.mergeIdfEntry(m(name))
     }
   }
 
   /** One aggregation pass per sparse column: non-null count + exploded
-    * per-dim counts (map-side combine on the dim key). */
+    * per-dim counts (map-side combine on the dim key). On a custom-sharded
+    * collection both group by the shard key too, yielding per-key partials
+    * (one extra grouping column, same two jobs) so later scoped writes can
+    * refresh incrementally. */
   private def computeSparseIdfStats(
-      df: DataFrame, names: Seq[String]): Map[String, (Long, Map[Int, Long])] =
+      df: DataFrame, names: Seq[String]): Map[String, Collection.IdfEntry] =
     names.filter(n => df.columns.contains(config.sparseCol(n))).map { n =>
       val c = config.sparseCol(n)
       val nonNull = df.filter(col(c).isNotNull)
-      val total = nonNull.count()
-      val dfs = nonNull.select(explode(col(s"$c.indices")).as("dim"))
-        .groupBy(col("dim")).agg(org.apache.spark.sql.functions.count(lit(1)).as("df"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      n -> (total, dfs)
+      def dimKey(v: Any): Long = v match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => other.toString.toLong
+      }
+      val entry: Collection.IdfEntry = config.shardKeyCol match {
+        case Some(sk) if df.columns.contains(sk) =>
+          val ns = nonNull.groupBy(col(sk))
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+            .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+          val dfs = nonNull.select(col(sk), explode(col(s"$c.indices")).as("dim"))
+            .groupBy(col(sk), col("dim"))
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("df"))
+            .collect()
+            .groupBy(_.get(0).toString)
+            .map { case (k, rows) =>
+              k -> rows.map(r => dimKey(r.get(1)) -> r.getLong(2)).toMap
+            }
+          Collection.IdfSharded(ns.map { case (k, n) =>
+            k -> ((n, dfs.getOrElse(k, Map.empty[Long, Long])))
+          })
+        case _ =>
+          val total = nonNull.count()
+          val dfs = nonNull.select(explode(col(s"$c.indices")).as("dim"))
+            .groupBy(col("dim"))
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("df"))
+            .collect().map(r => dimKey(r.get(0)) -> r.getLong(1)).toMap
+          Collection.IdfFlat(total, dfs)
+      }
+      n -> entry
     }.toMap
 
   private[storage] def writeSparseIdfStats(
-      m: Map[String, (Long, Map[Int, Long])]): Unit = {
+      m: Map[String, Collection.IdfEntry]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(sparseIdfPath, true)
     try out.write(Collection.sparseIdfJson(m)
@@ -1830,11 +1897,57 @@ final class Collection(
     sparseIdfCache = Some(m)
   }
 
-  /** Refresh the IDF sidecar from the just-written table (called by
-    * [[write]] / create when any sparse vector declares `modifier=idf`). */
+  /** Drop the IDF sidecar — the LAZY invalidation a df-changing write
+    * performs instead of the former eager full-table recompute (which made
+    * every write on an idf-modified collection cost a whole-table scan —
+    * the r13 scale probe's residual slope). The next read that needs IDF
+    * rebuilds and persists it, exactly like the fieldstats sidecar. */
+  private[storage] def invalidateSparseIdfStats(): Unit = {
+    sparseIdfCache = None
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(sparseIdfPath, false)
+    ()
+  }
+
+  /** Eager sidecar build — used at CREATE (the data was just scanned
+    * anyway; one more pass while it is hot keeps first reads zero-job). */
   private[storage] def refreshSparseIdfStats(): Unit = {
     val idfNames = config.sparse.filter(_.modifier.contains("idf")).map(_.name)
     if (idfNames.nonEmpty) writeSparseIdfStats(computeSparseIdfStats(read(), idfNames))
+  }
+
+  /** Scoped refresh after [[writeShardScoped]]: when the sidecar is WARM
+    * and sharded-format, recompute partials for ONLY the touched keys —
+    * the aggregation's scan partition-prunes to those directories — and
+    * splice them in; jobs are bounded by the touched partitions, never the
+    * table. Cold or flat-format sidecars just invalidate (lazy rebuild). */
+  private def refreshSparseIdfScoped(sk: String, keys: Seq[Any]): Unit = {
+    val idfNames = config.sparse.filter(_.modifier.contains("idf")).map(_.name)
+    if (idfNames.isEmpty) { invalidateSparseIdfStats(); return }
+    loadSparseIdf() match {
+      case Some(m) if idfNames.forall(n =>
+          m.get(n).forall(_.isInstanceOf[Collection.IdfSharded])) =>
+        val touched = keys.map(_.toString).toSet
+        val scoped = read().filter(col(sk).isin(keys: _*))
+        val fresh = computeSparseIdfStats(scoped, idfNames)
+        val merged = m ++ idfNames.flatMap { n =>
+          val freshParts = fresh.get(n) match {
+            case Some(Collection.IdfSharded(p)) => p
+            case _ => Map.empty[String, (Long, Map[Long, Long])]
+          }
+          m.get(n) match {
+            case Some(Collection.IdfSharded(old)) =>
+              Some(n -> Collection.IdfSharded(
+                old.view.filterKeys(k => !touched.contains(k)).toMap ++ freshParts))
+            case None =>
+              Some(n -> Collection.IdfSharded(freshParts))
+            case _ => None
+          }
+        }.toMap
+        writeSparseIdfStats(merged)
+      case Some(_) => invalidateSparseIdfStats()
+      case None => () // cold: stays cold, first IDF read rebuilds
+    }
   }
 
   // ------------------------------------------------------- field statistics
@@ -2252,7 +2365,7 @@ final class Collection(
     * to `targetFiles` well-sized files so scans stop paying per-file open
     * cost. On a lakehouse this is OPTIMIZE/compaction. */
   def compact(targetFiles: Int = 1): Unit =
-    write(read(), targetFiles = Some(targetFiles))
+    write(read(), targetFiles = Some(targetFiles), sparseDfChange = false)
 
   /** Number of parquet data files currently backing the collection. */
   def dataFileCount(): Int = {
@@ -2277,12 +2390,13 @@ final class Collection(
     require(!cur.columns.contains(c), s"vector column '$c' already exists")
     write(cur.withColumn(c,
       values.getOrElse(lit(null).cast(
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))),
+      sparseDfChange = false)
   }
 
   /** Drop a named vector column collection-wide (`vector_name_api.rs:57`). */
   def dropVectorColumn(name: String): Unit =
-    write(read().drop(config.vectorCol(name)))
+    write(read().drop(config.vectorCol(name)), sparseDfChange = false)
 
   /** Materialize a typed projection column for a declared payload field —
     * the "create payload index" operation (`update_api.rs:371`,
@@ -2293,7 +2407,8 @@ final class Collection(
     val t = config.payloadTypes.getOrElse(key,
       throw new IllegalArgumentException(s"no declared type for payload key '$key'"))
     write(read().withColumn(s"idx_$key",
-      get_json_object(col(config.payloadCol), "$." + key).cast(t)))
+      get_json_object(col(config.payloadCol), "$." + key).cast(t)),
+      sparseDfChange = false)
   }
 
   /** Field-index creation with tenant/principal declarations
@@ -2315,13 +2430,14 @@ final class Collection(
         else config.principalKeys)
     val next = new Collection(spark, path, nc)
     next.write(read().withColumn(s"idx_$key",
-      get_json_object(col(config.payloadCol), "$." + key).cast(t)))
+      get_json_object(col(config.payloadCol), "$." + key).cast(t)),
+      sparseDfChange = false)
     next
   }
 
   /** Drop a payload index column (`update_api.rs:407`). */
   def dropPayloadIndex(key: String): Unit =
-    write(read().drop(s"idx_$key"))
+    write(read().drop(s"idx_$key"), sparseDfChange = false)
 
   private def mapPayload(cur: DataFrame, target: Column, f: Column => Column): DataFrame = {
     val p = col(config.payloadCol)
@@ -2639,33 +2755,82 @@ object Collection {
     }
   }
 
-  private[storage] def sparseIdfJson(m: Map[String, (Long, Map[Int, Long])]): String = {
+  /** Whether a batch of update ops can change any sparse vector's document
+    * frequencies (see [[Collection.applyBatch]]): upserts and point
+    * deletes can; payload mutations never touch a sparse cell, and
+    * vector set/delete ops only matter when they name a SPARSE space. */
+  private[storage] def opsChangeSparseDfs(
+      config: graft.sources.CollectionConfig, ops: Seq[UpdateOp]): Boolean =
+    config.sparse.nonEmpty && ops.exists {
+      case _: UpdateOp.Upsert | _: UpdateOp.UpsertConditional |
+           _: UpdateOp.DeleteIds | _: UpdateOp.DeleteByFilter => true
+      case UpdateOp.UpdateVector(name, _, _) => config.sparse.exists(_.name == name)
+      case UpdateOp.DeleteVector(name, _) => config.sparse.exists(_.name == name)
+      case _ => false
+    }
+
+  /** Sidecar entry for one sparse name: flat (N, per-dim df) on an
+    * unsharded collection; per-shard-key partials on a custom-sharded one
+    * so scoped writes refresh only their touched tenants. Dims are LONG —
+    * the reference's dim space is the full u32 (`sparse_vector.rs:17-22`),
+    * which Int cannot carry. */
+  sealed trait IdfEntry
+  final case class IdfFlat(n: Long, dfs: Map[Long, Long]) extends IdfEntry
+  final case class IdfSharded(parts: Map[String, (Long, Map[Long, Long])])
+      extends IdfEntry
+
+  /** Collapse an entry to the collection-wide (N, df) view a query needs:
+    * shard-key partials sum driver-side (each point lives in exactly one
+    * shard, so the partial counts are disjoint). */
+  private[storage] def mergeIdfEntry(e: IdfEntry): (Long, Map[Long, Long]) = e match {
+    case IdfFlat(n, dfs) => (n, dfs)
+    case IdfSharded(parts) =>
+      val n = parts.valuesIterator.map(_._1).sum
+      val dfs = parts.valuesIterator.map(_._2)
+        .foldLeft(Map.empty[Long, Long]) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (d, c)) => a.updated(d, a.getOrElse(d, 0L) + c) }
+        }
+      (n, dfs)
+  }
+
+  private[storage] def sparseIdfJson(m: Map[String, IdfEntry]): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val fields = m.toSeq.sortBy(_._1).map { case (name, (n, dfs)) =>
-      name -> (JObject(
-        "n" -> JLong(n),
-        "df" -> JObject(dfs.toSeq.sortBy(_._1)
-          .map { case (dim, c) => dim.toString -> (JLong(c): JValue) }.toList)): JValue)
+    def statObj(n: Long, dfs: Map[Long, Long]): JObject = JObject(
+      "n" -> JLong(n),
+      "df" -> JObject(dfs.toSeq.sortBy(_._1)
+        .map { case (dim, c) => dim.toString -> (JLong(c): JValue) }.toList))
+    val fields = m.toSeq.sortBy(_._1).map {
+      case (name, IdfFlat(n, dfs)) => name -> (statObj(n, dfs): JValue)
+      case (name, IdfSharded(parts)) =>
+        name -> (JObject("sharded" -> JObject(parts.toSeq.sortBy(_._1)
+          .map { case (k, (n, dfs)) => k -> (statObj(n, dfs): JValue) }.toList)): JValue)
     }
     JsonMethods.compact(JsonMethods.render(JObject(fields.toList)))
   }
 
-  private[storage] def parseSparseIdfJson(s: String): Map[String, (Long, Map[Int, Long])] = {
+  private[storage] def parseSparseIdfJson(s: String): Map[String, IdfEntry] = {
     import org.json4s._
     def long(v: JValue): Long = v match {
       case JInt(x) => x.toLong
       case JLong(x) => x
       case other => throw new IllegalArgumentException(s"bad idf count: $other")
     }
+    def stat(o: JValue): (Long, Map[Long, Long]) = {
+      val dfs = (o \ "df") match {
+        case JObject(dims) => dims.map { case (d, c) => d.toLong -> long(c) }.toMap
+        case _ => Map.empty[Long, Long]
+      }
+      (long(o \ "n"), dfs)
+    }
     org.json4s.jackson.JsonMethods.parse(s) match {
       case JObject(fields) => fields.map {
         case (name, o: JObject) =>
-          val dfs = (o \ "df") match {
-            case JObject(dims) => dims.map { case (d, c) => d.toInt -> long(c) }.toMap
-            case _ => Map.empty[Int, Long]
+          (o \ "sharded") match {
+            case JObject(parts) =>
+              name -> (IdfSharded(parts.map { case (k, p) => k -> stat(p) }.toMap): IdfEntry)
+            case _ => name -> (IdfFlat(stat(o)._1, stat(o)._2): IdfEntry)
           }
-          name -> (long(o \ "n"), dfs)
         case (name, other) =>
           throw new IllegalArgumentException(s"bad idf entry $name: $other")
       }.toMap
