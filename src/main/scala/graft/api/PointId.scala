@@ -52,14 +52,23 @@ object PointId {
     s"Format error in JSON body: value $rendered is not a valid point ID, " +
       "valid values are either an unsigned integer or a UUID")
 
-  /** Unsigned integer id. The reference holds u64; this engine's id
-    * columns are i64, so the `[2^63, 2^64)` tail rejects LOUDLY instead of
-    * wrapping silently. */
-  def parseNum(i: BigInt): Long =
+  private val U64Max = (BigInt(1) << 64) - 1
+
+  /** Unsigned integer id — the reference's FULL u64 domain
+    * (`ExtendedPointId::NumId(u64)`, `types.rs:174-179`). Ids up to 2^63−1
+    * stay native Longs; the `[2^63, 2^64)` tail rides the string-id
+    * machinery as its decimal rendering — digits-only strings ORDER as
+    * NumIds (`Reads.idSortKey`: `"0" + lpad(20)` covers all 20 u64
+    * digits) and HASH as NumIds (`SipHash24.sliceIndexUuid` parses ≤20
+    * digits as unsigned u64) — so tail ids coexist with Long and UUID ids
+    * exactly like the reference's NumId/Uuid order. Beyond u64 rejects
+    * loudly like serde's u64 deserialization. */
+  def parseNum(i: BigInt): Any =
     if (i < 0) invalid(i.toString)
-    else if (!i.isValidLong) throw new IllegalArgumentException(
-      s"Bad request: point id $i exceeds the supported id range (0..2^63-1)")
-    else i.toLong
+    else if (i.isValidLong) i.toLong
+    else if (i <= U64Max) i.toString
+    else throw new IllegalArgumentException(
+      s"Bad request: point id $i exceeds the supported id range (0..2^64-1)")
 
   /** UUID string id → canonical form. */
   def parseString(s: String): String =

@@ -32,7 +32,13 @@ object UpdateBridge {
     // rewrite, then surface the failure.
     val ledger = new ExistenceLedger(coll, ops)
     val acc = Seq.newBuilder[UpdateOp]
-    var failure: Option[IllegalArgumentException] = None
+    var failure: Option[Throwable] = None
+    // id-column type AT THIS OP'S PLACE in the fold: an earlier upsert
+    // carrying a string id (UUID or u64-tail decimal) widens the table's
+    // id column mid-batch, so later id-list predicates must compare as
+    // strings — baking the pre-batch Long type would push long-vs-string
+    // literals through Spark's double coercion (ids ≥ 2^53 misresolve)
+    var idTNow: Option[DataType] = coll.idDataType
     val it = ops.iterator
     while (failure.isEmpty && it.hasNext) {
       val op = it.next()
@@ -40,10 +46,21 @@ object UpdateBridge {
         // translate (= validate) BEFORE the existence gate — the reference
         // 422s malformed ops at the API boundary before any routing, and
         // an op that never translates never pays the ledger's probe job
-        val translated = toUpdateOps(coll, op)
+        val translated = toUpdateOps(coll, op, idTNow)
         ledger.step(op)
         acc ++= translated
-      } catch { case e: IllegalArgumentException => failure = Some(e) }
+        op match {
+          case RequestCodec.WUpsert(pts, _, _, _)
+              if pts.exists(_.id.isInstanceOf[String]) =>
+            idTNow = Some(StringType)
+          case _ => ()
+        }
+      } catch {
+        // ANY translate failure surfaces after the validated prefix lands
+        // (the reference's sequential prefix-lands semantics apply to every
+        // `?`-propagated error class, not just validation rejects)
+        case scala.util.control.NonFatal(e) => failure = Some(e)
+      }
     }
     val prefix = acc.result()
     if (prefix.nonEmpty) ledger.shardScope match {
@@ -249,7 +266,13 @@ object UpdateBridge {
     }
   }
 
-  def toUpdateOps(coll: Collection, op: RequestCodec.WireOp): Seq[UpdateOp] = {
+  def toUpdateOps(coll: Collection, op: RequestCodec.WireOp): Seq[UpdateOp] =
+    toUpdateOps(coll, op, coll.idDataType)
+
+  /** `idT`: the id column's type at this op's position in the batch fold
+    * (see the widening tracking in [[apply]]). */
+  def toUpdateOps(coll: Collection, op: RequestCodec.WireOp,
+      idT: Option[DataType]): Seq[UpdateOp] = {
     import RequestCodec._
     op match {
       case WUpsert(points, None, mode, bodyKey) =>
@@ -273,13 +296,13 @@ object UpdateBridge {
           if (sel.shardKeys.isEmpty) base
           else base.copy(must = shardKeyCond(coll, sel.shardKeys) +: base.must)))
       case WSetPayload(payload, sel, false, key) =>
-        Seq(UpdateOp.SetPayload(payload, selectorPred(coll, sel), key))
+        Seq(UpdateOp.SetPayload(payload, selectorPred(coll, sel, idT), key))
       case WSetPayload(payload, sel, true, _) =>
-        Seq(UpdateOp.OverwritePayload(payload, selectorPred(coll, sel)))
+        Seq(UpdateOp.OverwritePayload(payload, selectorPred(coll, sel, idT)))
       case WDeletePayload(keys, sel) =>
-        Seq(UpdateOp.DeletePayloadKeys(keys, selectorPred(coll, sel)))
+        Seq(UpdateOp.DeletePayloadKeys(keys, selectorPred(coll, sel, idT)))
       case WClearPayload(sel) =>
-        Seq(UpdateOp.ClearPayload(selectorPred(coll, sel)))
+        Seq(UpdateOp.ClearPayload(selectorPred(coll, sel, idT)))
       case WUpdateVectors(points, shardKeys, updateFilter) =>
         // one column edit per (point, vector name); applyBatch still folds
         // the whole list into a single rewrite. A body `shard_key`
@@ -292,13 +315,13 @@ object UpdateBridge {
           .reduceOption(_ && _)
         points.flatMap { p =>
           p.vectors.toSeq.sortBy(_._1).map { case (name, vec) =>
-            val target = scope.fold(idPred(coll, Seq(p.id)))(
-              _ && idPred(coll, Seq(p.id)))
+            val target = scope.fold(idPred(coll, Seq(p.id), idT))(
+              _ && idPred(coll, Seq(p.id), idT))
             UpdateOp.UpdateVector(name, vecLit(coll, name, vec), target)
           }
         }
       case WDeleteVectors(sel, names) =>
-        names.map(n => UpdateOp.DeleteVector(n, selectorPred(coll, sel)))
+        names.map(n => UpdateOp.DeleteVector(n, selectorPred(coll, sel, idT)))
     }
   }
 
@@ -307,9 +330,15 @@ object UpdateBridge {
     * `PointsSelector` which is one-of). A body `shard_key` selector ANDs a
     * partition-pruning condition on the shard-key column, exactly like the
     * read paths' `shardKeyFilter`. */
-  def selectorPred(coll: Collection, sel: RequestCodec.Selector): Column = {
+  def selectorPred(coll: Collection, sel: RequestCodec.Selector): Column =
+    selectorPred(coll, sel, coll.idDataType)
+
+  /** `idT`: the id column's type at this op's fold position (see
+    * [[apply]]'s widening tracking). */
+  def selectorPred(coll: Collection, sel: RequestCodec.Selector,
+      idT: Option[DataType]): Column = {
     val parts =
-      sel.ids.map(ids => idPred(coll, ids)).toSeq ++
+      sel.ids.map(ids => idPred(coll, ids, idT)).toSeq ++
         sel.filter.map(f =>
           new FilterCompiler(coll.resolver(coll.read())).compile(f)).toSeq ++
         shardKeyPred(coll, sel.shardKeys).toSeq
@@ -327,8 +356,9 @@ object UpdateBridge {
     coll.config.shardKeyCol.getOrElse(throw new IllegalArgumentException(
       "shard_key given but the collection has no shard-key column"))
 
-  private def idPred(coll: Collection, ids: Seq[Any]): Column = {
-    val cids = graft.filters.FilterCompiler.coerceWireIds(ids, coll.idDataType)
+  private def idPred(coll: Collection, ids: Seq[Any],
+      idT: Option[DataType]): Column = {
+    val cids = graft.filters.FilterCompiler.coerceWireIds(ids, idT)
     col(coll.config.idCol).isin(cids: _*)
   }
 

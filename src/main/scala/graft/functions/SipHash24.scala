@@ -96,14 +96,20 @@ object SipHash24 {
     * slice membership matches the id's `ExtendedPointId` kind, not its
     * storage rendering. */
   def sliceIndexUuid(id: String, total: Int): Long = {
-    var digits = id.length > 0 && id.length <= 19
+    // ≤20 digits: the full u64 NumId domain (incl. the [2^63, 2^64) tail,
+    // stored as its decimal rendering) parses unsigned and hashes its 8 LE
+    // bytes like the reference's NumId arm; a 20-digit string past u64 max
+    // is no NumId and falls to the UUID arm's loud reject.
+    var digits = id.length > 0 && id.length <= 20
     var i = 0
     while (digits && i < id.length) {
       if (id.charAt(i) < '0' || id.charAt(i) > '9') digits = false
       i += 1
     }
-    if (digits) sliceIndex(java.lang.Long.parseLong(id), total)
-    else java.lang.Long.remainderUnsigned(hash(0L, 0L, uuidBytes(id)), total.toLong)
+    if (digits)
+      try return sliceIndex(java.lang.Long.parseUnsignedLong(id), total)
+      catch { case _: NumberFormatException => () }
+    java.lang.Long.remainderUnsigned(hash(0L, 0L, uuidBytes(id)), total.toLong)
   }
 
   def sliceIndexCol(id: Column, total: Int): Column =

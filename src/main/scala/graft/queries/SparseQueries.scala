@@ -679,6 +679,48 @@ object SparseQueries {
       val (qi, qv) = graft.functions.Bm25.embedQuery(Seq("spark", "vector"))
       coll.knnSparse("txt", qi, qv, k = 10)
     }),
+    // BM25 token ids at the u32 BOUNDARY: `token_id` is |murmur3 as i32|
+    // (`lib/bm25/src/lib.rs:166-168`), whose range is [0, 2^31] — the top
+    // value 2^31 (= |i32::MIN|) only occurs for a token whose murmur3 is
+    // exactly i32::MIN. "tok4006025602" is such a token (found by search
+    // over murmur3 x86_32 seed 0); under the former i32 index parse this
+    // dim saturated/folded and every doc carrying it collided with dim 0.
+    // Pins: the embedding STORES dim 2147483648, the query-side embed
+    // produces the same dim, and the tf math matches the oracle's.
+    "bm25_embed_large_token" -> ((s, dir) => {
+      import graft.sources.{CollectionConfig, SparseVectorConfig}
+      import org.apache.spark.sql.GraftShim
+      import s.implicits._
+      val boundaryTok = "tok4006025602" // murmur3(tok, 0) == i32::MIN
+      require(graft.functions.Bm25.tokenId(boundaryTok) == 2147483648L,
+        "fixture invariant: boundary token must hash to |i32::MIN| = 2^31")
+      val path = "/tmp/graft_runtime/bm25_large_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = sparseCollections.computeIfAbsent(path, { _ =>
+        val d = Seq(
+          (1L, s"$boundaryTok alpha"),
+          (2L, "alpha beta"),
+          (3L, s"$boundaryTok $boundaryTok beta")).toDF("doc_id", "text")
+        val avgdl = d.select(avg(size(TextFunctions.tokensWs(col("text")))))
+          .head().getDouble(0)
+        val cfg = CollectionConfig(idCol = "doc_id",
+          sparse = Seq(SparseVectorConfig("txt")))
+        val embedded = d.select(col("doc_id"),
+          GraftShim.column(graft.functions.Bm25DocEmbedExpr(
+            GraftShim.expression(col("text")), 1.2, 0.75, avgdl)).as("sparse_txt"))
+        graft.storage.Collection.create(s, path, cfg, embedded)
+      })
+      val (qi, qv) = graft.functions.Bm25.embedQuery(Seq(boundaryTok))
+      val hits = coll.knnSparse("txt", qi, qv, k = 10)
+        .select(lit("search").as("arm"), col("doc_id"),
+          col("score").cast("double").as("v"))
+      // the stored dim must BE 2^31, not 0 or 2^31−1
+      val stored = coll.read().filter(col("doc_id") === 1)
+        .select(lit("stored_dim").as("arm"), col("doc_id"),
+          element_at(col("sparse_txt.indices"),
+            size(col("sparse_txt.indices"))).cast("double").as("v"))
+      hits.unionByName(stored).orderBy("arm", "doc_id")
+    }),
     // TYPED wire upserts (`VectorStruct` untagged forms, `schema.rs:1406-
     // 1415`; `tests/openapi/test_sparse_dense_batch_update.py`,
     // `test_batch_update_multivec.py`): ONE `POST /points/batch` body
@@ -1031,6 +1073,20 @@ object SparseQueries {
         |  (3::BIGINT, 5.0::DOUBLE, 'sparse'),
         |  (1::BIGINT, 3.0::DOUBLE, 'sparse'),
         |  (2::BIGINT, 3.0::DOUBLE, 'sparse')) AS t(id, score, space)""".stripMargin,
+    // docs {1: "T alpha", 2: "alpha beta", 3: "T T beta"} with T the
+    // boundary token (id 2^31); avgdl = 7/3; scores are the f32-quantized
+    // BM25 tf weights (query weight 1.0, no idf modifier); stored_dim pins
+    // the 2^31 index surviving storage (the old i32 parse folded it).
+    "bm25_embed_large_token" ->
+      """WITH p AS (SELECT 7.0/3.0 AS avgdl)
+        |SELECT 'search' AS arm, 3::BIGINT AS doc_id,
+        |  round(CAST(2*2.2/(1.2*(1-0.75+0.75*3.0/avgdl)+2) AS REAL)::DOUBLE, 6) AS v
+        |FROM p
+        |UNION ALL SELECT 'search', 1::BIGINT,
+        |  round(CAST(1*2.2/(1.2*(1-0.75+0.75*2.0/avgdl)+1) AS REAL)::DOUBLE, 6)
+        |FROM p
+        |UNION ALL SELECT 'stored_dim', 1::BIGINT, 2147483648.0::DOUBLE
+        |ORDER BY arm, doc_id""".stripMargin,
     // Reference index set (`test_sparse_vector_large.py:54`): point 1
     // intersects the query on dims 3331306528 and 4025475087 (stored f32
     // weights — CAST AS REAL), point 2 on 4146668088, point 3 on

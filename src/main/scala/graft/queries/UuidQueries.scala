@@ -241,6 +241,7 @@ object UuidQueries {
         StructField("payload", StringType)))
       val seed = java.util.Arrays.asList(
         Row("3", Array(0.3f, 0.3f), """{"tag":"n3"}"""),
+        Row("18446744073709551615", Array(0.9f, 0.9f), """{"tag":"t20"}"""),
         Row(u7, Array(0.7f, 0.7f), """{"tag":"u7"}"""))
       val coll = Collection.create(s, "/tmp/graft_runtime/get_point",
         cfg, s.createDataFrame(seed, schema))
@@ -259,11 +260,77 @@ object UuidQueries {
         ("uuid_simple_form", got(u7.replace("-", ""))),
         ("missing_404", errOf("999")),
         ("loose_string_rejects", errOf("not-an-id").takeWhile(_ != ',')),
-        // u64 tail beyond i64: LOUD range error, never a raw
-        // NumberFormatException (19- and 20-digit forms alike)
+        // u64 tail [2^63, 2^64): full NumId domain — a live tail id
+        // retrieves, a dead one 404s with its decimal rendering; only
+        // BEYOND u64 gets the numeric-RANGE reject (never the UUID one,
+        // even at 21+ digits)
         ("u64_tail_19_digits", errOf("9300000000000000000")),
-        ("u64_tail_20_digits", errOf("18446744073709551615")))
+        ("u64_tail_20_digits", got("18446744073709551615")),
+        ("digits_21_range_reject", errOf("100000000000000000000")))
         .toDF("check_name", "value").orderBy("check_name")
+    }),
+    // u64 TAIL ids `[2^63, 2^64)` (`ExtendedPointId::NumId(u64)`,
+    // `types.rs:174-179`): a wire upsert of id 2^64−1 onto a NUMERIC-id
+    // collection rides the mixed-id widening — the tail stores as its
+    // decimal rendering and ORDERS as a NumId (after every i64 id,
+    // before every UUID — `derive(Ord)` NumId-before-Uuid), retrieves by
+    // id, counts under has_id, single-point GETs, and deletes; only
+    // BEYOND u64 rejects at parse (serde's u64 arm).
+    "api_upsert_u64_tail" -> ((s, dir) => {
+      import s.implicits._
+      val u7 = uuidOfLong(7L)
+      val tail = "18446744073709551615" // u64 max
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 2, Dot)),
+        payloadTypes = Map("tag" -> StringType))
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("vector", ArrayType(FloatType)),
+        StructField("payload", StringType)))
+      val seed = java.util.Arrays.asList(
+        Row(5L, Array(1.0f, 0.0f), """{"tag":"n5"}"""),
+        Row(9223372036854775807L, Array(0.0f, 1.0f), """{"tag":"imax"}"""))
+      val coll = Collection.create(s, "/tmp/graft_runtime/pointid_u64tail",
+        cfg, s.createDataFrame(seed, schema))
+      graft.api.UpdateBridge.applyJson(coll,
+        s"""{"operations": [{"upsert": {"points": [
+           |  {"id": $tail, "vector": [0.9, 0.9], "payload": {"tag": "t20"}},
+           |  {"id": "$u7", "vector": [0.7, 0.7], "payload": {"tag": "u7"}},
+           |  {"id": 3, "vector": [0.3, 0.3], "payload": {"tag": "n3"}}
+           |]}}]}""".stripMargin)
+      // NumId total order: 3 < 5 < i64::MAX < the tail < every UUID
+      val page = coll.scroll("""{"limit": 10, "with_payload": false}""")
+        .select("id").collect().map(_.getString(0)).mkString(",")
+      val ret = coll.retrievePoints(s"""{"ids": [$tail], "with_payload": true}""")
+        .select(concat_ws("|", col("id"),
+          get_json_object(col("payload"), "$.tag"))).collect()
+        .map(_.getString(0)).mkString(",")
+      val single = {
+        val r = coll.getPoint(tail).select(col("id"),
+          get_json_object(col("payload"), "$.tag")).collect()(0)
+        s"${r.getString(0)}|${r.getString(1)}"
+      }
+      val hasId = coll.count(
+        s"""{"filter": {"must": [{"has_id": [$tail, 5]}]}}""")
+        .collect()(0).getLong(0)
+      val overflow =
+        try {
+          graft.api.UpdateBridge.applyJson(coll,
+            """{"operations": [{"upsert": {"points": [
+              |  {"id": 18446744073709551616, "vector": [0.1, 0.1]}]}}]}""".stripMargin)
+          "no-error"
+        } catch { case ex: IllegalArgumentException => ex.getMessage }
+      graft.api.UpdateBridge.applyJson(coll,
+        s"""{"operations": [{"delete": {"points": [$tail]}}]}""")
+      val after = coll.count("{}").collect()(0).getLong(0)
+      Seq(
+        ("after_delete_count", after.toString),
+        ("has_id_count", hasId.toString),
+        ("over_u64_rejects", overflow),
+        ("retrieve", ret),
+        ("scroll_order", page),
+        ("single_get", single)
+      ).toDF("check_name", "value").orderBy("check_name")
     }),
     // facet over a uuid-typed payload field (`FacetValue::Uuid`,
     // `lib/segment/src/data_types/facets.rs:33-38,87`): uuid values group,
@@ -341,15 +408,31 @@ object UuidQueries {
     "api_get_point" ->
       s"""SELECT * FROM (VALUES
         |  ('digit_path_is_numeric', '3|n3|0.3'),
+        |  ('digits_21_range_reject',
+        |   'Bad request: point id 100000000000000000000 ' ||
+        |   'exceeds the supported id range (0..2^64-1)'),
         |  ('loose_string_rejects',
         |   'Format error in JSON body: value not-an-id is not a valid point ID'),
         |  ('missing_404', 'Not found: Point with id 999 does not exists!'),
-        |  ('u64_tail_19_digits', 'Bad request: point id 9300000000000000000 ' ||
-        |   'exceeds the supported id range (0..2^63-1)'),
-        |  ('u64_tail_20_digits', 'Bad request: point id 18446744073709551615 ' ||
-        |   'exceeds the supported id range (0..2^63-1)'),
+        |  ('u64_tail_19_digits', 'Not found: Point with id ' ||
+        |   '9300000000000000000 does not exists!'),
+        |  ('u64_tail_20_digits', '18446744073709551615|t20|0.9'),
         |  ('uuid_simple_form', ${uuidSql("7")} || '|u7|0.7'),
         |  ('uuid_uppercase', ${uuidSql("7")} || '|u7|0.7'))
+        |AS t(check_name, value) ORDER BY check_name""".stripMargin,
+    // table {3, 5, i64max, u64max-tail, uuid(7)}: scroll in NumId-then-
+    // Uuid order with the tail past i64::MAX; tail retrieve/GET/has_id/
+    // delete all address it; beyond-u64 rejects with the range message
+    "api_upsert_u64_tail" ->
+      s"""SELECT * FROM (VALUES
+        |  ('after_delete_count', '4'),
+        |  ('has_id_count', '2'),
+        |  ('over_u64_rejects', 'Bad request: point id 18446744073709551616 ' ||
+        |   'exceeds the supported id range (0..2^64-1)'),
+        |  ('retrieve', '18446744073709551615|t20'),
+        |  ('scroll_order', '3,5,9223372036854775807,18446744073709551615,' ||
+        |   ${uuidSql("7")}),
+        |  ('single_get', '18446744073709551615|t20'))
         |AS t(check_name, value) ORDER BY check_name""".stripMargin,
     // ids {2,3,5,9,uuid(7)}: scroll order numerics-first (page1 = 2,3,5;
     // page2 from offset 9 = 9 then the uuid), retrieve/has_id/slice

@@ -1409,9 +1409,11 @@ final class Collection(
     * ("Point with id {id} does not exists!", `retrieve_api.rs:124`). */
   def getPoint(rawId: String): DataFrame = {
     val id: Any =
-      if (rawId.nonEmpty && rawId.length <= 20 && rawId.forall(_.isDigit))
-        // u64 arm of FromStr; the [2^63, 2^64) tail rejects LOUDLY like
-        // PointId.parseNum (this engine's id columns are i64)
+      if (rawId.nonEmpty && rawId.forall(_.isDigit))
+        // u64 arm of FromStr: ANY digit string is numeric here — the full
+        // u64 domain parses (the [2^63, 2^64) tail as its decimal-string
+        // rendering), and a 21+-digit value gets the numeric-RANGE reject,
+        // not the UUID reject
         graft.api.PointId.parseNum(BigInt(rawId))
       else graft.api.PointId.canonicalUuid(rawId).getOrElse(
         graft.api.PointId.invalid(rawId))

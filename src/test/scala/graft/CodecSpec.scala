@@ -561,13 +561,19 @@ class CodecSpec extends AnyFunSuite {
         "b524a3c4-c568-4383-8019-c9ca08243d6g", "urn:" + canon))
       assert(intercept[IllegalArgumentException](PointId.parseString(bad))
         .getMessage.contains("is not a valid point ID"))
-    // unsigned integers only; the u64 tail beyond i64 rejects LOUDLY
+    // unsigned integers across the FULL u64 domain: the i64 range stays
+    // Long, the [2^63, 2^64) tail becomes its decimal-string rendering
+    // (the mixed-id machinery orders/hashes it as a NumId), beyond u64
+    // rejects loudly like serde's u64 arm
     assert(PointId.parseNum(BigInt(0)) == 0L)
     assert(PointId.parseNum(BigInt(Long.MaxValue)) == Long.MaxValue)
+    assert(PointId.parseNum(BigInt(Long.MaxValue) + 1)
+      == "9223372036854775808")
+    assert(PointId.parseNum((BigInt(1) << 64) - 1) == "18446744073709551615")
     assert(intercept[IllegalArgumentException](PointId.parseNum(BigInt(-1)))
       .getMessage.contains("is not a valid point ID"))
     assert(intercept[IllegalArgumentException](
-      PointId.parseNum(BigInt(Long.MaxValue) + 1))
+      PointId.parseNum(BigInt(1) << 64))
       .getMessage.contains("exceeds the supported id range"))
     // the id-bearing wire surfaces all route through the parser: upsert,
     // retrieve ids, has_id, by-id query inputs

@@ -213,6 +213,22 @@ class FilterSpec extends SparkTestBase {
     assert(got.nonEmpty && got.size < uuids.size)
   }
 
+  test("slice hash of digit-string ids: full u64 NumId domain, no parse crash") {
+    import graft.functions.SipHash24
+    // a digit string hashes by its NumId VALUE (8 LE bytes), not its text —
+    // the whole u64 domain, including 19-digit values above i64::MAX and
+    // the 20-digit tail (stored decimal renderings of tail point ids)
+    assert(SipHash24.sliceIndexUuid("7", 8) == SipHash24.sliceIndex(7L, 8))
+    assert(SipHash24.sliceIndexUuid("9999999999999999999", 8) ==
+      SipHash24.sliceIndex(java.lang.Long.parseUnsignedLong("9999999999999999999"), 8))
+    assert(SipHash24.sliceIndexUuid("18446744073709551615", 8) ==
+      SipHash24.sliceIndex(-1L, 8)) // u64 max == all-ones bit pattern
+    // 20 digits BEYOND u64 max: not a NumId, and not a UUID either — loud
+    // reject instead of a silent wrong slice
+    intercept[IllegalArgumentException](
+      SipHash24.sliceIndexUuid("18446744073709551616", 8))
+  }
+
   test("slice/text conditions on typed columns still null-safe") {
     import spark.implicits._
     val d = Seq((1L, "hello world foo"), (2L, "bar baz")).toDF("id", "text")

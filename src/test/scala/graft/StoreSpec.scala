@@ -1173,4 +1173,98 @@ class StoreSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(moved == Map(1L -> "a", 2L -> "a", 3L -> "c", 9L -> "a"))
   }
+
+  test("IDF sidecar is LAZY and WRITE-SCOPED: payload-only writes keep it " +
+      "byte-identical, scoped upserts refresh ONLY touched tenants, " +
+      "full writes invalidate for lazy rebuild") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.{CollectionConfig, SparseVectorConfig}
+    val path = tmpDir()
+    val cfg = CollectionConfig(idCol = "id",
+      sparse = Seq(SparseVectorConfig("txt", modifier = Some("idf"))),
+      payloadTypes = Map("tag" -> StringType),
+      shardKeyCol = Some("shard_key"))
+    val sparseT = StructType(Seq(
+      StructField("indices", ArrayType(LongType)),
+      StructField("values", ArrayType(FloatType))))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sparse_txt", sparseT),
+      StructField("payload", StringType),
+      StructField("shard_key", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Row(Seq(1L, 5L), Seq(1f, 1f)), """{"tag":"x"}""", "a"),
+      Row(2L, Row(Seq(1L), Seq(1f)), """{"tag":"x"}""", "b"),
+      Row(3L, Row(Seq(5L, 9L), Seq(1f, 1f)), """{"tag":"x"}""", "b"))
+    val c = Collection.create(spark, path, cfg,
+      spark.createDataFrame(rows, schema))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def sidecar(): String = {
+      val in = fs.open(c.sparseIdfPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    // create writes the SHARDED sidecar eagerly (data was hot anyway)
+    assert(fs.exists(c.sparseIdfPath))
+    assert(c.sparseIdfStats("txt") == ((3L, Map(1L -> 2L, 5L -> 2L, 9L -> 1L))))
+    val created = sidecar()
+    assert(created.contains("\"sharded\""))
+
+    // 1. a scoped PAYLOAD-ONLY write cannot change document frequencies:
+    //    the sidecar file stays byte-identical — zero idf jobs, zero
+    //    invalidation (where data-writes merely go lazy, payload ops are
+    //    entirely free for the sidecar)
+    graft.api.UpdateBridge.applyJson(c,
+      """{"operations": [{"set_payload": {"payload": {"tag": "y"},
+        |  "points": [1], "shard_key": "a"}}]}""".stripMargin)
+    assert(sidecar() == created, "payload-only write disturbed the IDF sidecar")
+
+    // 2. warm stats on a FRESH instance: served from the persisted sidecar,
+    //    ZERO Spark jobs
+    val warm = new Collection(spark, path, cfg)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (n, dfs) = warm.sparseIdfStats("txt")
+      Thread.sleep(1500)
+      assert((n, dfs) == ((3L, Map(1L -> 2L, 5L -> 2L, 9L -> 1L))))
+      assert(jobs.get() == 0,
+        s"warm sidecar read ran ${jobs.get()} Spark jobs (expected 0)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // 3. a SCOPED upsert into tenant a refreshes ONLY a's partial. Proof by
+    //    corruption: poison tenant b's stored partial; a scoped write must
+    //    CARRY IT OVER untouched (a full-table recompute would repair it —
+    //    exactly what must not happen on a 100 TB table).
+    val poisoned = created.replace("\"b\":{\"n\":2", "\"b\":{\"n\":7")
+    assert(poisoned != created, "fixture: expected b partial in the sidecar")
+    val out = fs.create(c.sparseIdfPath, true)
+    try out.write(poisoned.getBytes("UTF-8")) finally out.close()
+    val c2 = new Collection(spark, path, cfg) // cold cache → reads the file
+    graft.api.UpdateBridge.applyJson(c2,
+      """{"operations": [{"upsert": {"points": [
+        |  {"id": 9, "vector": {"txt": {"indices": [5], "values": [1.0]}},
+        |   "shard_key": "a"}]}}]}""".stripMargin)
+    // a recomputed: {1: [1,5], 9: [5]} → n=2, df(1)=1, df(5)=2;
+    // b CARRIED corrupted: n=7 (real 2), df {1:1, 5:1, 9:1}
+    assert(c2.sparseIdfStats("txt") ==
+      ((9L, Map(1L -> 2L, 5L -> 3L, 9L -> 1L))),
+      "scoped refresh recomputed untouched tenants (or missed the touched one)")
+
+    // 4. a WHOLE-TABLE df-changing write just invalidates (lazy contract);
+    //    the first read needing IDF rebuilds and repairs
+    c2.deleteByIds(Seq(2L))
+    assert(!fs.exists(c2.sparseIdfPath),
+      "whole-table write must invalidate, not eagerly rebuild")
+    assert(c2.sparseIdfStats("txt") == ((3L, Map(1L -> 1L, 5L -> 3L, 9L -> 1L))))
+    assert(fs.exists(c2.sparseIdfPath), "first IDF read must persist the rebuild")
+  }
 }

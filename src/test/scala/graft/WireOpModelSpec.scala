@@ -429,4 +429,69 @@ class WireOpModelSpec extends SparkTestBase {
     // the rejected ops never reached the table
     assert(stateOf(c, sharded = true).contains(1L))
   }
+
+  test("sparse wire round-trips over the FULL u32 index domain match a driver " +
+      "model (5 random corpora × 5 queries)") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{CollectionConfig, SparseVectorConfig}
+    import spark.implicits._
+    // indices drawn uniformly from [0, 2^32): roughly half the draws land
+    // above 2^31−1 — the range the old Double→Int parse saturated, where a
+    // single clamp collides distinct dims across points (silently wrong
+    // dot products) or rejects one vector's two large dims as duplicates.
+    // Values are k/8 (exact in f32 AND in double), so model and engine
+    // sums are bit-exact and the compare needs no tolerance.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(20260816L + seed)
+      def u32(): Long = rnd.nextLong() & 0xFFFFFFFFL
+      val shared = Seq.fill(5)(u32()).distinct
+      val corpus: Seq[(Long, Map[Long, Float])] = (1L to 12L).map { id =>
+        val own = Seq.fill(rnd.nextInt(4))(u32())
+        val dims0 = (rnd.shuffle(shared).take(1 + rnd.nextInt(3)) ++ own).distinct
+        val dims = if (dims0.nonEmpty) dims0 else Seq(u32())
+        id -> dims.map(d => d -> ((rnd.nextInt(30) + 1) / 8.0f)).toMap
+      }
+      val cfg = CollectionConfig(idCol = "id",
+        sparse = Seq(SparseVectorConfig("txt")))
+      val c = Collection.create(spark,
+        s"/tmp/graft_runtime/wiremodel_sparse$seed", cfg,
+        Seq.empty[Long].toDF("id").withColumn("sparse_txt",
+          org.apache.spark.sql.functions.lit(null)
+            .cast("struct<indices: array<bigint>, values: array<float>>"))
+          .withColumn("payload",
+            org.apache.spark.sql.functions.lit(null).cast("string")))
+      val pointsJson = corpus.map { case (id, dv) =>
+        val sorted = dv.toSeq.sortBy(_._1)
+        s"""{"id": $id, "vector": {"txt": {
+           |  "indices": ${sorted.map(_._1).mkString("[", ",", "]")},
+           |  "values": ${sorted.map(_._2).mkString("[", ",", "]")}}}}""".stripMargin
+      }.mkString(",")
+      graft.api.UpdateBridge.applyJson(c,
+        s"""{"operations": [{"upsert": {"points": [$pointsJson]}}]}""")
+      // storage round-trip: stored dims are EXACTLY the model's (u32-wide)
+      val storedDims = c.read().select(col("id"), col("sparse_txt.indices"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(storedDims == corpus.map { case (id, dv) => id -> dv.keySet }.toMap,
+        s"seed $seed: stored sparse dims diverged from the model")
+      for (trial <- 1 to 5) {
+        val qDims = (rnd.shuffle(shared).take(1 + rnd.nextInt(2)) ++
+          Seq(u32())).distinct.sorted
+        val expected = corpus
+          .map { case (id, dv) =>
+            id -> qDims.flatMap(dv.get).map(_.toDouble).sum }
+          .filter(_._2 > 0)
+          .sortBy { case (id, s) => (-s, id) }
+          .take(10)
+        val got = c.query(
+          s"""{"query": {"indices": ${qDims.mkString("[", ",", "]")},
+             |  "values": ${qDims.map(_ => "1.0").mkString("[", ",", "]")}},
+             |  "using": "txt", "limit": 10}""".stripMargin)
+          .select("id", "score").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+        assert(got == expected,
+          s"seed $seed trial $trial: wire sparse scores diverged\n " +
+            s"got=$got\n want=$expected\n q=$qDims")
+      }
+    }
+  }
 }
