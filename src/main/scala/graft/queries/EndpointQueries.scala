@@ -259,6 +259,19 @@ object EndpointQueries {
           |  "filter": {"must": [{"key": "source",
           |    "match": {"value": "src3"}}]}}""".stripMargin)
     }),
+    // WIDE selectivity band for the same estimator path: `match any` over
+    // 14 of the 20 sources (~51% of the table) — the should-union
+    // probability product (`expected_should_estimation`,
+    // `query_estimator.rs:114-154`) feeds the per-value must-combine, so
+    // the oracle reproduces BOTH combiners. Guards the estimate shape at
+    // the opposite end of the selectivity spectrum from the tight fixture.
+    "facet_filtered_estimate_wide" -> ((s, dir) => {
+      docColl(s, dir).facet(
+        """{"key": "lang", "limit": 6,
+          |  "filter": {"must": [{"key": "source", "match": {"any":
+          |    ["src0","src1","src2","src3","src4","src5","src6",
+          |     "src7","src8","src9","src10","src11","src12","src13"]}}]}}""".stripMargin)
+    }),
     // POST /points/scroll with order_by + start_from cursor: the handler
     // resolves the payload key through the DECLARED type (no physical
     // column needed), orders desc with nulls last and id tiebreak
@@ -1129,6 +1142,26 @@ object EndpointQueries {
         |        FROM v, m)
         |SELECT value, cnt FROM est WHERE cnt > 0
         |ORDER BY cnt DESC, value ASC LIMIT 4""".stripMargin,
+    // wide arm: cf comes from the should-union probability product over
+    // the 14 selected sources' exact counts (expected_should_estimation),
+    // then the same per-value must-combine as the tight arm
+    "facet_filtered_estimate_wide" ->
+      """WITH t AS (SELECT d.lang, d.source
+        |           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |m AS (SELECT count(*)::DOUBLE AS n FROM t),
+        |sc AS (SELECT source, count(*)::DOUBLE AS c FROM t
+        |       WHERE source IN ('src0','src1','src2','src3','src4','src5',
+        |                        'src6','src7','src8','src9','src10','src11',
+        |                        'src12','src13')
+        |       GROUP BY source),
+        |anyest AS (SELECT round((1 - product(1 - sc.c/m.n)) * m.n) AS cf
+        |           FROM sc, m GROUP BY m.n),
+        |v AS (SELECT lang AS value, count(*)::DOUBLE AS cv FROM t GROUP BY lang),
+        |est AS (SELECT v.value,
+        |          CAST(round(m.n * (v.cv/m.n) * (a.cf/m.n)) AS BIGINT) AS cnt
+        |        FROM v, m, anyest a)
+        |SELECT value, cnt FROM est WHERE cnt > 0
+        |ORDER BY cnt DESC, value ASC LIMIT 6""".stripMargin,
     "collection_scroll_endpoint" ->
       """SELECT e.vec_id AS id, d.n_chars::BIGINT AS n_chars, d.lang,
         |       NULL::VARCHAR AS src_excluded

@@ -892,6 +892,66 @@ class StoreSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("facet estimate falls back to the SCAN when the truncated head is " +
+      "boundary-unsafe under typed ties; sidecar serves (zero jobs) only when safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val tcfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 2, Dot)),
+      payloadTypes = Map("n" -> LongType))
+    // 4200 distinct int values (> StatsTopK = 4096) → the sidecar head is
+    // TRUNCATED (tailUnique > 0). Value 0 appears 3× so a limit-1 request
+    // ends strictly above the count-1 boundary (safe: sidecar, zero jobs),
+    // while any limit touching the boundary tie must take the scan — a
+    // tail value could displace a boundary tie under TYPED (numeric)
+    // order, which differs from the head's string tie order.
+    val rows = (0L until 4200L).map(v => (v + 10L, v)) ++
+      Seq((9000L, 0L), (9001L, 0L))
+    val c = Collection.create(spark, tmpDir(), tcfg,
+      rows.map { case (id, v) => (id, Seq(id.toFloat, 0f), s"""{"n":$v}""") }
+        .toDF("id", "vector", "payload"))
+    // warm the fieldstats sidecar before counting jobs
+    val head1 = c.facet("""{"key": "n", "limit": 1}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(head1 == Seq(0L -> 3L))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // SAFE: the selected head ends above the boundary count → sidecar
+      assert(c.facet("""{"key": "n", "limit": 1}""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq(0L -> 3L))
+      Thread.sleep(1500)
+      assert(jobs.get() == 0,
+        s"boundary-safe warm facet ran ${jobs.get()} Spark jobs (expected 0)")
+      // UNSAFE: limit 2 reaches the count-1 boundary tie → exact scan
+      // (jobs > 0), typed tie order picks the numerically smallest value
+      val unsafe = c.facet("""{"key": "n", "limit": 2}""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      Thread.sleep(1500)
+      assert(unsafe == Seq(0L -> 3L, 1L -> 1L), unsafe.mkString(","))
+      val afterUnsafe = jobs.get()
+      assert(afterUnsafe > 0,
+        "boundary-unsafe facet must fall back to the exact scan")
+      // FILTERED estimate on a truncated head (tailUnique > 0): must also
+      // take the scan — an unseen tail value could out-rank the head
+      val filtered = c.facet(
+        """{"key": "n", "limit": 2,
+          |  "filter": {"must": [{"key": "n", "range": {"gte": 1}}]}}""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      Thread.sleep(1500)
+      assert(filtered == Seq(1L -> 1L, 2L -> 1L), filtered.mkString(","))
+      assert(jobs.get() > afterUnsafe,
+        "filtered estimate over a truncated head must fall back to the scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("sparse IDF stats persist at ingest; the warm query path plans with zero Spark jobs") {
     import spark.implicits._
     import graft.sources.{CollectionConfig, SparseVectorConfig}
