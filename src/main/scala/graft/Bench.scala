@@ -321,6 +321,25 @@ object Bench {
       }.toMap
     }
 
+    // Round-14 protocol (per the r13 noise table: sub-100 ms entries carry
+    // ±38% same-code jitter at 3 reps — scheduler/GC noise dominates, and
+    // the 1.3× per-entry regression gate loses meaning there): entries
+    // whose 3-rep warm MIN lands under 0.25 s get 4 EXTRA warm reps, so
+    // their reported min draws from 7 samples. Cheap by construction — the
+    // gated entries are exactly the fast ones. The 3-rep median keeps its
+    // rounds-≤13 meaning; only the min (the headline) uses the extras.
+    val extraReps = 4
+    val quickCut = 0.25
+    val baseErrs: Set[String] =
+      (cold.collect { case (n, Left(_)) => n } ++
+        warmRuns.flatten.collect { case (n, Left(_)) => n }).toSet
+    val quick = names.filterNot(baseErrs.contains).filter { n =>
+      val xs = warmRuns.map(_(n)).collect { case Right(v) => v }
+      xs.nonEmpty && xs.min < quickCut
+    }
+    val extraRuns: Seq[Map[String, Either[String, Double]]] =
+      (1 to extraReps).map(_ => quick.map(n => n -> time(() => run(n))).toMap)
+
     val sentinelPost = sentinel()
     val loadPost = loadAvg1m()
     val errs: Map[String, String] =
@@ -339,7 +358,9 @@ object Bench {
     // target/bench_full.json) for continuity with rounds ≤10, and the
     // sentinel still marks whether even the min is suspect.
     val warmMin = names.filterNot(errs.contains).map { n =>
-      n -> warmRuns.map(_(n)).collect { case Right(v) => v }.min
+      val base = warmRuns.map(_(n)).collect { case Right(v) => v }
+      val extra = extraRuns.flatMap(_.get(n)).collect { case Right(v) => v }
+      n -> (base ++ extra).min
     }.toMap
     val coldOk = cold.collect { case (n, Right(v)) if !errs.contains(n) => n -> v }
 
@@ -368,6 +389,8 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${f"$warmTotal%.3f"},"unit":"sec","reps":$warmReps,""" +
+        s""""reps_extra":$extraReps,"extra_cut_sec":$quickCut,""" +
+        s""""extra_entries":${quick.length},""" +
         s""""protocol":"warm_min","total_median":${f"$medianTotal%.3f"},""" +
         s""""cold_total":${f"$coldTotal%.3f"},$sentinelJson,""" +
         s""""cold":${fmt(coldOk.toSeq.sortBy(_._1))},""" +

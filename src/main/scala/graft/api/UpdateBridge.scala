@@ -311,7 +311,7 @@ object UpdateBridge {
         // (`schema.rs:1470-1473`).
         val scope = (shardKeyPred(coll, shardKeys).toSeq ++
           updateFilter.map(f =>
-            new FilterCompiler(coll.resolver(coll.read())).compile(f)).toSeq)
+            new FilterCompiler(foldResolver(coll, idT)).compile(f)).toSeq)
           .reduceOption(_ && _)
         points.flatMap { p =>
           p.vectors.toSeq.sortBy(_._1).map { case (name, vec) =>
@@ -340,10 +340,19 @@ object UpdateBridge {
     val parts =
       sel.ids.map(ids => idPred(coll, ids, idT)).toSeq ++
         sel.filter.map(f =>
-          new FilterCompiler(coll.resolver(coll.read())).compile(f)).toSeq ++
+          new FilterCompiler(foldResolver(coll, idT)).compile(f)).toSeq ++
         shardKeyPred(coll, sel.shardKeys).toSeq
     parts.reduce(_ && _)
   }
+
+  /** The collection's resolver with the id type pinned to the op's fold
+    * position (a nested `has_id` inside a selector/update filter must
+    * coerce like the top-level id list — see [[apply]]). */
+  private def foldResolver(coll: Collection,
+      idT: Option[DataType]): graft.filters.FieldResolver =
+    new graft.filters.ForwardingResolver(coll.resolver(coll.read())) {
+      override def idDataType: Option[DataType] = idT
+    }
 
   private def shardKeyCond(coll: Collection, keys: Seq[Any]): graft.model.Condition =
     graft.model.MatchAny(shardField(coll), keys)

@@ -1234,6 +1234,48 @@ class StoreSpec extends SparkTestBase {
     assert(moved == Map(1L -> "a", 2L -> "a", 3L -> "c", 9L -> "a"))
   }
 
+  test("id predicates after a mid-batch widening upsert compare as strings " +
+      "(ids >= 2^53 must not conflate under double coercion)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val path = tmpDir()
+    val cfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 2, Dot)),
+      payloadTypes = Map("tag" -> StringType))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vector", ArrayType(FloatType)),
+      StructField("payload", StringType)))
+    // 2^53 and 2^53+1 are the SAME double — a long-vs-string comparison
+    // coerced through double would touch both rows
+    val p53 = 9007199254740992L
+    val rows = java.util.Arrays.asList(
+      Row(p53, Array(1.0f, 0.0f), """{"tag":"even"}"""),
+      Row(p53 + 1, Array(0.0f, 1.0f), """{"tag":"odd"}"""))
+    val c = Collection.create(spark, path, cfg,
+      spark.createDataFrame(rows, schema))
+    // one batch: a UUID upsert widens the id column mid-fold, then an
+    // id-LIST payload op and a nested has_id FILTER op both name 2^53+1 —
+    // each must hit exactly that row against the now-string column
+    graft.api.UpdateBridge.applyJson(c,
+      s"""{"operations": [
+         |  {"upsert": {"points": [{"id": "0f0e0d0c-0b0a-0908-0706-050403020100",
+         |    "vector": [0.5, 0.5], "payload": {"tag": "u"}}]}},
+         |  {"set_payload": {"payload": {"hit": "list"}, "points": [${p53 + 1}]}},
+         |  {"set_payload": {"payload": {"hit2": "filter"},
+         |    "filter": {"must": [{"has_id": [${p53 + 1}]}]}}}
+         |]}""".stripMargin)
+    val tags = c.read().select("id", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tags.keySet == Set(p53.toString, (p53 + 1).toString,
+      "0f0e0d0c-0b0a-0908-0706-050403020100"))
+    assert(!tags(p53.toString).contains("hit"),
+      s"id $p53 was wrongly touched: ${tags(p53.toString)}")
+    assert(tags((p53 + 1).toString).contains("\"hit\":\"list\"") &&
+      tags((p53 + 1).toString).contains("\"hit2\":\"filter\""),
+      s"id ${p53 + 1} missed an update: ${tags((p53 + 1).toString)}")
+  }
+
   test("IDF sidecar is LAZY and WRITE-SCOPED: payload-only writes keep it " +
       "byte-identical, scoped upserts refresh ONLY touched tenants, " +
       "full writes invalidate for lazy rebuild") {
