@@ -1368,5 +1368,34 @@ class StoreSpec extends SparkTestBase {
       "whole-table write must invalidate, not eagerly rebuild")
     assert(c2.sparseIdfStats("txt") == ((3L, Map(1L -> 1L, 5L -> 3L, 9L -> 1L))))
     assert(fs.exists(c2.sparseIdfPath), "first IDF read must persist the rebuild")
+
+    // 5. a scoped df-changing write against a COLD sidecar stays cold —
+    //    no partial exists to splice into, and eagerly rebuilding would
+    //    re-introduce the table-sized write cost the lazy contract removed
+    fs.delete(c2.sparseIdfPath, false)
+    val c3 = new Collection(spark, path, cfg) // fresh instance: cold cache
+    graft.api.UpdateBridge.applyJson(c3,
+      """{"operations": [{"upsert": {"points": [
+        |  {"id": 11, "vector": {"txt": {"indices": [9], "values": [1.0]}},
+        |   "shard_key": "a"}]}}]}""".stripMargin)
+    assert(!fs.exists(c3.sparseIdfPath),
+      "scoped write on a cold sidecar must stay cold (lazy rebuild on read)")
+    assert(c3.sparseIdfStats("txt") == ((4L, Map(1L -> 1L, 5L -> 3L, 9L -> 2L))))
+
+    // 6. a FLAT-format sidecar (hand-seeded, e.g. pre-sharding heritage)
+    //    cannot splice per-key partials — a scoped write must invalidate
+    //    it rather than trust it
+    val merged = c3.sparseIdfStats("txt")
+    val flatJson = s"""{"txt":{"n":${merged._1},"df":{${
+      merged._2.toSeq.sortBy(_._1).map { case (d, n) => s""""$d":$n""" }.mkString(",")
+    }}}}"""
+    val out2 = fs.create(c3.sparseIdfPath, true)
+    try out2.write(flatJson.getBytes("UTF-8")) finally out2.close()
+    val c4 = new Collection(spark, path, cfg)
+    graft.api.UpdateBridge.applyJson(c4,
+      """{"operations": [{"delete": {"points": [11], "shard_key": "a"}}]}""")
+    assert(!fs.exists(c4.sparseIdfPath),
+      "a flat-format sidecar must invalidate on a scoped write, not splice")
+    assert(c4.sparseIdfStats("txt") == ((3L, Map(1L -> 1L, 5L -> 3L, 9L -> 1L))))
   }
 }
