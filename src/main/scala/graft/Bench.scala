@@ -135,11 +135,11 @@ object Bench {
         .orderBy(col("score").desc, col("vec_id").asc).limit(10)),
       "knn_u8" -> ((s, _) => s.read.parquet(prepared.u8Path)
         .select(col("vec_id"),
-          graft.index.VectorCodec.i8Dot(col("v8"), typedlit(prepared.q7b)).as("score"))
+          graft.functions.VecKernels.u8Dot(col("v8"), typedlit(prepared.q7b)).as("score"))
         .orderBy(col("score").desc, col("vec_id").asc).limit(10)),
       "knn_u8_euclid" -> ((s, _) => s.read.parquet(prepared.u8Path)
         .select(col("vec_id"),
-          sqrt(graft.functions.VecKernels.i8L2Sq(col("v8"), typedlit(prepared.q13b))
+          sqrt(graft.functions.VecKernels.u8L2Sq(col("v8"), typedlit(prepared.q13b))
             .cast("double")).as("score"))
         .orderBy(col("score").asc, col("vec_id").asc).limit(10)),
       "knn_f16_cosine" -> ((s, _) => s.read.parquet(prepared.f16Path)
@@ -201,11 +201,16 @@ object Bench {
       val e = Tables.load(s, dir, "embeddings")
       e.select(col("vec_id"), VectorCodec.toF16(col("embedding")).as("vh"))
         .write.mode("overwrite").parquet(f16Path)
-      e.select(col("vec_id"), VectorCodec.toI8(col("embedding")).as("v8"))
+      // u8 storage holds RAW byte-range values (`x as u8`) — project the
+      // unit-scale embeddings into the byte domain like the catalog entry
+      val bscale = transform(col("embedding"),
+        x => ((x.cast("double") + lit(0.5d)) * lit(255.0d)).cast("float"))
+      e.select(col("vec_id"), VectorCodec.toU8(bscale).as("v8"))
         .write.mode("overwrite").parquet(u8Path)
       q7 = Tables.embeddingOf(s, dir, 7L)
       q7b = s.read.parquet(u8Path).filter(col("vec_id") === 7L).head().getSeq[Byte](1)
-      q13b = VectorCodec.encodeI8(Tables.embeddingOf(s, dir, 13L))
+      q13b = VectorCodec.encodeU8(Tables.embeddingOf(s, dir, 13L)
+        .map(x => ((x + 0.5) * 255.0).toFloat.toDouble))
       q42 = Tables.embeddingOf(s, dir, 42L)
       q42Norm = math.sqrt(q42.map(x => x * x).sum)
     }

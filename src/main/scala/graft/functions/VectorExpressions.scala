@@ -261,6 +261,12 @@ object VecKernels {
     GraftShim.column(VecI8L2Sq(expr(a), expr(b)))
   def i8L1(a: Column, b: Column): Column =
     GraftShim.column(VecI8L1(expr(a), expr(b)))
+  def u8Dot(a: Column, b: Column): Column =
+    GraftShim.column(VecU8Dot(expr(a), expr(b)))
+  def u8L2Sq(a: Column, b: Column): Column =
+    GraftShim.column(VecU8L2Sq(expr(a), expr(b)))
+  def u8L1(a: Column, b: Column): Column =
+    GraftShim.column(VecU8L1(expr(a), expr(b)))
 }
 
 /** IEEE-754 binary16 (half) conversion helpers. JDK 17 lacks
@@ -612,6 +618,11 @@ abstract class VecI8Fold extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
 
+  /** True = elements are u8 bit patterns (the reference's
+    * `VectorElementTypeByte` storage — values 0..255); false = signed i8
+    * (the symmetric ×127 quantization primitive). */
+  protected def unsigned: Boolean = false
+
   /** Java source for one step given long a, b. */
   protected def stepCode(acc: String, a: String, b: String): String
   protected def step(acc: Long, a: Long, b: Long): Long
@@ -623,7 +634,11 @@ abstract class VecI8Fold extends BinaryExpression {
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc = step(acc, la.getByte(i).toLong, ra.getByte(i).toLong)
+      val a0 = la.getByte(i).toLong
+      val b0 = ra.getByte(i).toLong
+      acc =
+        if (unsigned) step(acc, a0 & 0xFFL, b0 & 0xFFL)
+        else step(acc, a0, b0)
       i += 1
     }
     acc
@@ -635,12 +650,13 @@ abstract class VecI8Fold extends BinaryExpression {
       val acc = ctx.freshName("acc")
       val a = ctx.freshName("a")
       val b = ctx.freshName("b")
+      val mask = if (unsigned) " & 0xFFL" else ""
       s"""
          |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $a = (long) $l.getByte($i);
-         |  long $b = (long) $r.getByte($i);
+         |  long $a = (long) $l.getByte($i)$mask;
+         |  long $b = (long) $r.getByte($i)$mask;
          |  ${stepCode(acc, a, b)}
          |}
          |${ev.value} = $acc;
@@ -668,6 +684,36 @@ case class VecI8L2Sq(left: Expression, right: Expression) extends VecI8Fold {
 
 /** Σ |aᵢ−bᵢ| */
 case class VecI8L1(left: Expression, right: Expression) extends VecI8Fold {
+  protected def stepCode(acc: String, a: String, b: String): String =
+    s"$acc += java.lang.Math.abs($a - $b);"
+  protected def step(acc: Long, a: Long, b: Long): Long = acc + math.abs(a - b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Unsigned (u8 bit-pattern) twins — the `datatype: uint8` storage scores
+  * the RAW 0..255 values, matching the reference's byte metrics
+  * (`lib/segment/src/spaces/metric_uint/`). */
+case class VecU8Dot(left: Expression, right: Expression) extends VecI8Fold {
+  override protected def unsigned: Boolean = true
+  protected def stepCode(acc: String, a: String, b: String): String =
+    s"$acc += $a * $b;"
+  protected def step(acc: Long, a: Long, b: Long): Long = acc + a * b
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class VecU8L2Sq(left: Expression, right: Expression) extends VecI8Fold {
+  override protected def unsigned: Boolean = true
+  protected def stepCode(acc: String, a: String, b: String): String =
+    s"$acc += ($a - $b) * ($a - $b);"
+  protected def step(acc: Long, a: Long, b: Long): Long = acc + (a - b) * (a - b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class VecU8L1(left: Expression, right: Expression) extends VecI8Fold {
+  override protected def unsigned: Boolean = true
   protected def stepCode(acc: String, a: String, b: String): String =
     s"$acc += java.lang.Math.abs($a - $b);"
   protected def step(acc: Long, a: Long, b: Long): Long = acc + math.abs(a - b)

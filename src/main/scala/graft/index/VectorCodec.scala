@@ -44,6 +44,33 @@ object VectorCodec {
   /** Σ aᵢ·bᵢ over two i8-encoded vectors, exact BIGINT. */
   def i8Dot(a: Column, b: Column): Column = VecKernels.i8Dot(a, b)
 
+  /** The reference's `datatype: uint8` element conversion — Rust's
+    * saturating `x as u8` (`PrimitiveVectorElement for
+    * VectorElementTypeByte`, `data_types/primitive.rs:126-129`): NaN and
+    * negatives → 0, ≥255 → 255, else truncate toward zero. The stored
+    * byte holds the u8 BIT PATTERN (values >127 wrap to negative i8 —
+    * decoded and scored unsigned), keeping the 4× scan-byte win. Values
+    * are the USER'S values, not a quantization: `[256.19, 1.81, 2.75,
+    * 3.11]` stores — and retrieves as — `[255, 1, 2, 3]`
+    * (`tests/openapi/test_multi_vector_uint8.py` truncation arm). */
+  def toU8(v: Column): Column =
+    transform(v, x => {
+      val d = x.cast("double")
+      val clamped = when(isnan(d) || d <= lit(0.0d), lit(0.0d))
+        .otherwise(least(lit(255.0d), floor(d)))
+      when(clamped > lit(127.0d), clamped - lit(256.0d))
+        .otherwise(clamped).cast("byte")
+    })
+
+  /** Driver-side twin of [[toU8]] for literal query vectors — the
+    * reference casts the QUERY through the same element conversion
+    * (`metric_query_scorer.rs:51`), so both sides live in u8. */
+  def encodeU8(v: Seq[Double]): Seq[Byte] =
+    v.map { x =>
+      val c = if (x.isNaN || x <= 0.0) 0.0 else math.min(255.0, math.floor(x))
+      c.toInt.toByte
+    }
+
   /** array<float> → array<smallint> of IEEE-754 binary16 bits. Relative
     * quantization error ≤ 2⁻¹¹ per element for normal values. */
   def toF16(v: Column): Column = VecKernels.f16Encode(v)
@@ -55,7 +82,7 @@ object VectorCodec {
   def encode(dt: VectorDatatype, v: Column): Column = dt match {
     case Float32 => v
     case Float16 => toF16(v)
-    case Uint8   => toI8(v)
+    case Uint8   => toU8(v)
   }
 
   /** Spark column type the encoded vector stores as. */
@@ -66,11 +93,14 @@ object VectorCodec {
   }
 
   /** Read-out decode back to the user-visible `array<float>` (retrieval
-    * APIs always return f32; the i8 decode inverts the ·127 scale). */
+    * APIs always return f32). */
   def decode(dt: VectorDatatype, stored: Column): Column = dt match {
     case Float32 => stored
     case Float16 => VecKernels.f16Decode(stored)
-    case Uint8   => transform(stored, x => (x.cast("double") / lit(127.0d)).cast("float"))
+    // u8 values decode to THEMSELVES (`u8 as f32`, `slice_to_float_cow`) —
+    // the unsigned reinterpretation of the stored bit pattern
+    case Uint8   => transform(stored,
+      x => x.cast("int").bitwiseAND(lit(255)).cast("float"))
   }
 
   /** f16 score with a COLUMN query (used by the literal path and inside
@@ -113,9 +143,9 @@ object VectorCodec {
     case Uint8 =>
       require(metric == Dot,
         "u8 multivector MaxSim supports the Dot metric (exact integer domain)")
-      val qb = queryVecs.map(encodeI8)
+      val qb = queryVecs.map(encodeU8)
       aggregate(typedlit(qb), lit(0L), (acc, qv) =>
-        acc + array_max(transform(stored, sv => VecKernels.i8Dot(sv, qv))))
+        acc + array_max(transform(stored, sv => VecKernels.u8Dot(sv, qv))))
   }
 
   /** Config-routed user-visible score of a stored vector against a literal
@@ -124,7 +154,7 @@ object VectorCodec {
     *  - Float32: the standard double-precision metric (Search.scoreExpr).
     *  - Float16: halves decode inline; scores are within 2⁻¹¹-per-element
     *    relative error of the f32 scores.
-    *  - Uint8: the QUERY is encoded through the same i8 codec and scoring is
+    *  - Uint8: the QUERY is encoded through the same u8 cast and scoring is
     *    exact integer arithmetic in the encoded domain (Dot/Manhattan are
     *    BIGINT; Euclid is sqrt of a BIGINT; Cosine divides exact integers) —
     *    bit-reproducible by any engine, so oracles hash-match. This mirrors
@@ -137,16 +167,20 @@ object VectorCodec {
         graft.functions.VectorFunctions.score(metric, stored, typedlit(query))
       case Float16 => f16Score(metric, stored, typedlit(query))
       case Uint8 =>
-        val qb = encodeI8(query)
+        val qb = encodeU8(query)
         val q = typedlit(qb)
         metric match {
-          case Dot    => VecKernels.i8Dot(stored, q)
+          case Dot    => VecKernels.u8Dot(stored, q)
           case Cosine =>
-            val qNorm = math.sqrt(qb.map(b => b.toDouble * b.toDouble).sum)
-            VecKernels.i8Dot(stored, q).cast("double") /
-              (sqrt(VecKernels.i8Dot(stored, stored).cast("double")) * lit(qNorm))
-          case Euclid    => sqrt(VecKernels.i8L2Sq(stored, q).cast("double"))
-          case Manhattan => VecKernels.i8L1(stored, q)
+            // norms over the raw u8 values at score time (the reference's
+            // byte cosine does NOT pre-normalize — `simple_cosine.rs`
+            // preprocess is identity, `cosine_similarity_bytes` divides)
+            val qNorm = math.sqrt(
+              qb.map(b => (b & 0xFF).toDouble).map(x => x * x).sum)
+            VecKernels.u8Dot(stored, q).cast("double") /
+              (sqrt(VecKernels.u8Dot(stored, stored).cast("double")) * lit(qNorm))
+          case Euclid    => sqrt(VecKernels.u8L2Sq(stored, q).cast("double"))
+          case Manhattan => VecKernels.u8L1(stored, q)
         }
     }
 }

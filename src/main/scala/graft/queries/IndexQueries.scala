@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -521,28 +521,35 @@ object IndexQueries {
       Search.scoredTopK(stored, "vec_id", expr, largerBetter = true, k = 10)
     }),
     // MaxSim over a Uint8-DECLARED multivector collection: the engine
-    // encodes each ragged token vector to array<tinyint> at create, and
-    // Collection.knnMultivec scores through the exact-integer dot inside
-    // the MaxSim lambda — per-pair BIGINT dots, greatest, sum, all exact,
-    // so the DuckDB oracle hash-matches (datatype applies to multivectors
-    // exactly as to single vectors, `VectorDataConfig.datatype`
-    // types.rs:2153 + MaxSim comparator types.rs:2080-2082).
+    // casts each ragged token vector through the saturating `x as u8`
+    // element conversion at create (raw byte values, `primitive.rs:
+    // 126-129`), and Collection.knnMultivec scores through the exact
+    // unsigned-integer dot inside the MaxSim lambda — per-pair BIGINT
+    // dots, greatest, sum, all exact, so the DuckDB oracle hash-matches
+    // (datatype applies to multivectors exactly as to single vectors,
+    // `VectorDataConfig.datatype` types.rs:2153 + MaxSim comparator
+    // types.rs:2080-2082).
     "maxsim_multivec_u8" -> ((s, dir) => {
       import graft.sources.{CollectionConfig, VectorConfig}
       val path = "/tmp/graft_runtime/mvec_u8_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      // ingest-once per JVM (the deployment shape; fresh JVMs re-create)
+      // ingest-once per JVM (the deployment shape; fresh JVMs re-create).
+      // Tokens are byte-range projections of the unit-scale embeddings —
+      // u8 storage holds RAW 0..255 values (`x as u8`, not a quantization),
+      // so unit-scale inputs would all truncate to zero.
+      def u8s(c: Column): Column =
+        transform(c, x => ((x.cast("double") + lit(0.5d)) * lit(255.0d)).cast("float"))
       val coll = mvecU8Collections.computeIfAbsent(path, { _ =>
         val cfg = CollectionConfig(idCol = "vec_id",
           vectors = Seq(VectorConfig("tok", 16, Dot,
             multivector = true, datatype = graft.model.Uint8)))
         val e = emb(s, dir)
         def tok(n: Int) =
-          array((0 until n).map(i => slice(col("embedding"), i * 16 + 1, 16)): _*)
+          array((0 until n).map(i => u8s(slice(col("embedding"), i * 16 + 1, 16))): _*)
         graft.storage.Collection.create(s, path, cfg,
           e.select(col("vec_id"),
             when(col("vec_id") % 2 === 0, tok(4)).otherwise(tok(2)).as("vector_tok")))
       })
-      val q = v7(s, dir)
+      val q = v7(s, dir).map(x => ((x + 0.5) * 255.0).toFloat.toDouble)
       coll.knnMultivec("tok", (0 until 4).map(i => q.slice(i * 16, i * 16 + 16)), k = 10)
     }),
     // f16-stored multivector MaxSim (`VectorStorageDatatype::Float16` ×
@@ -804,7 +811,8 @@ object IndexQueries {
            | END)""".stripMargin
       s"""WITH enc AS (SELECT vec_id,
         |  list_transform(embedding, x ->
-        |    greatest(-127, least(127, floor(x::DOUBLE*127 + 0.5)))::BIGINT) AS v
+        |    greatest(0, least(255,
+        |      floor(CAST((x::DOUBLE + 0.5) * 255 AS REAL)::DOUBLE)))::BIGINT) AS v
         |  FROM embeddings),
         |q AS (SELECT v[1:16] AS q1, v[17:32] AS q2, v[33:48] AS q3, v[49:64] AS q4
         |      FROM enc WHERE vec_id = 7),

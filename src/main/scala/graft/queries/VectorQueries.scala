@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.Tables
 import graft.filters.TypedResolver
@@ -164,24 +164,26 @@ object VectorQueries {
         filter = Some(f), resolver = Some(resolver(df)),
         k = 10, offset = 3, scoreThreshold = Some(-100.0))
     }),
-    // u8/i8 STORAGE element type (`VectorStorageDatatype`, types.rs:2039)
+    // u8 STORAGE element type (`VectorStorageDatatype`, types.rs:2039)
     // driven entirely through the declared-config path: the collection
-    // declares datatype=Uint8, upsert receives f32 and the ENGINE encodes
-    // via the engine-independent round-half-up(x*127) codec; knn picks the
-    // exact-integer-dot kernel from config. The DuckDB oracle reproduces
-    // the identical bytes and BIGINT scores, so this is a hash-exact entry,
+    // declares datatype=Uint8 and the ENGINE casts each element through
+    // the reference's saturating `x as u8` (values ARE the user's values
+    // truncated to 0..255 — `primitive.rs:126-129` — NOT a quantization);
+    // knn casts the query the same way (`metric_query_scorer.rs:51`) and
+    // scores the exact-integer dot. The DuckDB oracle reproduces the
+    // identical bytes and BIGINT scores, so this is a hash-exact entry,
     // not a recall contract. 4x fewer scan bytes at 100 TB; decode never
     // materializes (inline in the kernel).
     "knn_u8" -> ((s, dir) => {
-      val coll = datatypeCollection(s, dir, "u8", Uint8, Dot)
-      coll.knn("", Tables.embeddingOf(s, dir, 7L), k = 10)
+      val coll = datatypeCollection(s, dir, "u8", Uint8, Dot, u8scale)
+      coll.knn("", u8scaleSeq(Tables.embeddingOf(s, dir, 7L)), k = 10)
     }),
     // Uint8 + Euclid through the same config path: exact integer Σ(a-b)²
     // with the user-visible sqrt postprocess — sqrt of an exact BIGINT is
     // IEEE-correctly-rounded, so this too hash-matches the DuckDB oracle.
     "knn_u8_euclid" -> ((s, dir) => {
-      val coll = datatypeCollection(s, dir, "u8e", Uint8, Euclid)
-      coll.knn("", Tables.embeddingOf(s, dir, 13L), k = 10)
+      val coll = datatypeCollection(s, dir, "u8e", Uint8, Euclid, u8scale)
+      coll.knn("", u8scaleSeq(Tables.embeddingOf(s, dir, 13L)), k = 10)
     }),
     // f16 STORAGE element type through the config path: collection declares
     // datatype=Float16, upsert encodes to half bits, knn scores via the
@@ -204,17 +206,61 @@ object VectorQueries {
       Seq((h.length, idsMatch, relErrOk)).toDF("n", "ids_match_ok", "rel_err_ok")
     }),
     // Batch KNN against a Uint8 collection: query side broadcast and
-    // encoded through the same i8 codec inside the plan, stored side
+    // cast through the same u8 element conversion inside the plan, stored side
     // streams the narrow array<tinyint> column once — the 100 TB batch
     // shape on encoded storage. Exact BIGINT scores → hash-exact oracle.
     "knn_batch_u8" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val coll = datatypeCollection(s, dir, "u8", Uint8, Dot)
+      val coll = datatypeCollection(s, dir, "u8", Uint8, Dot, u8scale)
       val qs = emb(s, dir).filter(col("vec_id").isin(3L, 7L, 11L))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .select(col("vec_id").as("query_id"), u8scale(col("embedding")).as("qvec"))
       coll.knnBatch("", qs, "query_id", "qvec", k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // `datatype: uint8` end-to-end through the WIRE surface — the
+    // reference's truncation e2e (`test_multi_vector_uint8.py:140-168`):
+    // a uint8 multivector collection upserts [[256.19, 1.81, 2.75, 3.11]]
+    // and the single-point GET returns [[255, 1, 2, 3]] — the stored u8
+    // values ARE the user's values saturated/truncated (`x as u8`,
+    // `primitive.rs:126-129`), never a quantization round-trip. A dense
+    // uint8 space rides the same batch with negative (→0) and >127
+    // (bit-pattern wrap) arms, and one knn pins the unsigned scoring.
+    "api_uint8_truncation" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.api.{RequestCodec, UpdateBridge}
+      val cfg = RequestCodec.parseCollectionConfig(
+        """{
+          |  "vectors": {
+          |    "mv": {"size": 4, "distance": "Dot", "datatype": "uint8",
+          |           "multivector_config": {"comparator": "max_sim"}},
+          |    "plain": {"size": 4, "distance": "Dot", "datatype": "uint8"}}
+          |}""".stripMargin, idCol = "id")
+      val path = "/tmp/graft_runtime/u8trunc"
+      val coll = graft.storage.Collection.create(s, path, cfg,
+        Seq.empty[Long].toDF("id")
+          .withColumn(cfg.vectorCol("mv"),
+            lit(null).cast("array<array<float>>"))
+          .withColumn(cfg.vectorCol("plain"), lit(null).cast("array<float>"))
+          .withColumn("payload", lit(null).cast("string")))
+      UpdateBridge.applyJson(coll,
+        """{"operations": [{"upsert": {"points": [
+          |  {"id": 1, "vector": {"mv": [[256.19, 1.81, 2.75, 3.11]],
+          |                       "plain": [300.5, -2.0, 0.9, 128.0]}}
+          |]}}]}""".stripMargin)
+      val r = coll.getPoint("1").select(
+        col(cfg.vectorCol("mv")), col(cfg.vectorCol("plain"))).head()
+      val mv = r.getSeq[scala.collection.Seq[Float]](0)
+        .map(_.map(_.toInt).mkString(",")).mkString(";")
+      val plain = r.getSeq[Float](1).map(_.toInt).mkString(",")
+      val score = coll.knn("plain", Seq(1.9, 1.0, 1.0, 1.0), k = 1)
+        .head().getLong(1)
+      Seq(
+        ("dense", plain),
+        ("knn_score_q1", score.toString),
+        ("multivec", mv)
+      ).toDF("arm", "value").orderBy("arm")
     }),
     // f16 + Cosine from config: fused decode dot + fused self-dot norm.
     // Same derived-contract shape as knn_f16 (top-10 ids match f32 cosine;
@@ -245,7 +291,8 @@ object VectorQueries {
     new java.util.concurrent.ConcurrentHashMap[String, graft.storage.Collection]()
   private def datatypeCollection(
       s: SparkSession, dir: String, tag: String,
-      dt: graft.model.VectorDatatype, metric: Metric): graft.storage.Collection = {
+      dt: graft.model.VectorDatatype, metric: Metric,
+      xform: Column => Column = identity): graft.storage.Collection = {
     import org.apache.spark.sql.functions._
     val path = "/tmp/graft_runtime/dtcoll_" + tag + "_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -254,9 +301,23 @@ object VectorQueries {
         idCol = "vec_id",
         vectors = Seq(graft.sources.VectorConfig("", 0, metric, datatype = dt)))
       graft.storage.Collection.create(s, path, cfg,
-        emb(s, dir).select(col("vec_id"), col("embedding").as("vector")))
+        emb(s, dir).select(col("vec_id"), xform(col("embedding")).as("vector")))
     })
   }
+
+  /** Byte-range projection of the unit-scale embeddings for the `uint8`
+    * datatype fixtures: the reference's u8 storage holds RAW values 0..255
+    * (`x as u8`, truncate-toward-zero saturating — `primitive.rs:126-129`),
+    * not a quantization, so unit-scale inputs would all truncate to 0.
+    * `(x + 0.5)·255` lands the data in the byte domain; f32-rounded so the
+    * DuckDB oracle reproduces identical bytes with `CAST(.. AS REAL)`. */
+  private def u8scale(c: Column): Column =
+    org.apache.spark.sql.functions.transform(c, x =>
+      ((x.cast("double") + org.apache.spark.sql.functions.lit(0.5d)) *
+        org.apache.spark.sql.functions.lit(255.0d)).cast("float"))
+
+  private def u8scaleSeq(v: Seq[Double]): Seq[Double] =
+    v.map(x => ((x + 0.5) * 255.0).toFloat.toDouble)
 
   val oracles: Map[String, String] = Map(
     "knn_with_payload" ->
@@ -290,7 +351,7 @@ object VectorQueries {
     "knn_u8" ->
       """WITH enc AS (SELECT vec_id,
         |  list_transform(embedding, x ->
-        |    greatest(-127, least(127, floor(x::DOUBLE*127 + 0.5)))::BIGINT) AS v
+        |    greatest(0, least(255, floor(CAST((x::DOUBLE + 0.5) * 255 AS REAL)::DOUBLE)))::BIGINT) AS v
         |  FROM embeddings),
         |q AS (SELECT v FROM enc WHERE vec_id = 7)
         |SELECT e.vec_id, list_dot_product(e.v, q.v)::BIGINT AS score
@@ -298,7 +359,7 @@ object VectorQueries {
     "knn_u8_euclid" ->
       """WITH enc AS (SELECT vec_id,
         |  list_transform(embedding, x ->
-        |    greatest(-127, least(127, floor(x::DOUBLE*127 + 0.5)))::BIGINT) AS v
+        |    greatest(0, least(255, floor(CAST((x::DOUBLE + 0.5) * 255 AS REAL)::DOUBLE)))::BIGINT) AS v
         |  FROM embeddings),
         |q AS (SELECT v FROM enc WHERE vec_id = 13)
         |SELECT e.vec_id,
@@ -308,7 +369,7 @@ object VectorQueries {
     "knn_batch_u8" ->
       """WITH enc AS (SELECT vec_id,
         |  list_transform(embedding, x ->
-        |    greatest(-127, least(127, floor(x::DOUBLE*127 + 0.5)))::BIGINT) AS v
+        |    greatest(0, least(255, floor(CAST((x::DOUBLE + 0.5) * 255 AS REAL)::DOUBLE)))::BIGINT) AS v
         |  FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM enc
         |      WHERE vec_id IN (3, 7, 11)),
@@ -320,6 +381,16 @@ object VectorQueries {
         |      FROM s)
         |SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    // the reference's exact expected values (`test_multi_vector_uint8.py`
+    // truncation arm + the byte-conversion unit test in
+    // `simple_euclid.rs:79-89`): saturate ≥255, zero ≤0, truncate toward
+    // zero, query cast the same way (1.9 → 1)
+    "api_uint8_truncation" ->
+      """SELECT * FROM (VALUES
+        |  ('dense', '255,0,0,128'),
+        |  ('knn_score_q1', '383'),
+        |  ('multivec', '255,1,2,3'))
+        |AS t(arm, value) ORDER BY arm""".stripMargin,
     // f16 half-bit rounding is not SQL-expressible; the entry emits a
     // one-row derived contract (see the query's scaladoc) that the oracle
     // asserts. Codec round-trip + error bounds additionally property-tested

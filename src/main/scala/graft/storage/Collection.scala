@@ -789,8 +789,8 @@ final class Collection(
 
   /** Config-routed batch nearest-k: one top-k per row of `queries`
     * (queryIdCol + queryVecCol as `array<float|double>`). The query side is
-    * broadcast and — for a Uint8 collection — encoded through the same i8
-    * codec IN the plan, so the big side streams the narrow stored column
+    * broadcast and — for a Uint8 collection — cast through the same u8
+    * element conversion IN the plan, so the big side streams the narrow stored column
     * once; the reduction is map-side bounded ([[graft.ops.Search.batchRank]]
     * — ≤ k rows per mapper per query cross the wire). Float16/Uint8
     * currently support the Dot metric in batch form (the reference's
@@ -810,7 +810,7 @@ final class Collection(
       case (graft.model.Float16, graft.model.Dot) =>
         graft.functions.VecKernels.f16Dot(stored, qv)
       case (graft.model.Uint8, graft.model.Dot) =>
-        graft.functions.VecKernels.i8Dot(stored, VectorCodec.toI8(qv))
+        graft.functions.VecKernels.u8Dot(stored, VectorCodec.toU8(qv))
       case (dt, m) =>
         throw new IllegalArgumentException(
           s"batch knn: unsupported datatype/metric combination $dt/$m")

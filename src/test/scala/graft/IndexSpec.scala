@@ -272,6 +272,21 @@ class IndexSpec extends SparkTestBase {
     val qlit = typedlit(q)
     val q8lit = typedlit(VectorCodec.encodeI8(q))
 
+    // u8 folds: the `datatype: uint8` element domain — byte-range values
+    // through the saturating `x as u8` cast, scored UNSIGNED (a stored
+    // 200 is 200, not −56)
+    def scaleD(x: Double): Double = (x + 1.0) * 100.0
+    val uv = VectorCodec.toU8(
+      org.apache.spark.sql.functions.transform(col("v"),
+        x => (x.cast("double") + lit(1.0d)) * lit(100.0d)))
+    val uq = VectorCodec.encodeU8(q.map(scaleD))
+    val uqL = uq.map(_.toLong & 0xFFL)
+    val u8v = rows.map { case (id, v) =>
+      id -> VectorCodec.encodeU8(v.map(x => scaleD(x.toDouble)))
+        .map(_.toLong & 0xFFL)
+    }.toMap
+    val uqlit = typedlit(uq)
+
     for (cg <- Seq(true, false)) {
       // f16 folds: sequential-double over decoded halves
       check("f16L2Sq", VecKernels.f16L2Sq(hv, qlit),
@@ -286,6 +301,15 @@ class IndexSpec extends SparkTestBase {
         0.0, cg)
       check("i8L1", VecKernels.i8L1(bv, q8lit),
         id => i8v(id).zip(qb).map { case (a, b) => math.abs(a - b).toDouble }.sum,
+        0.0, cg)
+      // u8 folds: exact unsigned integers
+      check("u8Dot", VecKernels.u8Dot(uv, uqlit),
+        id => u8v(id).zip(uqL).map { case (a, b) => (a * b).toDouble }.sum, 0.0, cg)
+      check("u8L2Sq", VecKernels.u8L2Sq(uv, uqlit),
+        id => u8v(id).zip(uqL).map { case (a, b) => ((a - b) * (a - b)).toDouble }.sum,
+        0.0, cg)
+      check("u8L1", VecKernels.u8L1(uv, uqlit),
+        id => u8v(id).zip(uqL).map { case (a, b) => math.abs(a - b).toDouble }.sum,
         0.0, cg)
     }
   }

@@ -211,8 +211,16 @@ class StoreSpec extends SparkTestBase {
       (1L, Seq(0.5f, -0.25f, 0.125f, 1.0f)),
       (2L, Seq(0.1f, 0.2f, 0.3f, 0.4f)),
       (3L, Seq(-1.0f, 0.7f, 0.0f, 0.33f)))
+    // u8 stores RAW byte-range values (`x as u8` — truncate toward zero,
+    // saturate 0..255, `primitive.rs:126-129`); exercise the saturation
+    // and truncation arms explicitly
+    val rawB = Seq(
+      (1L, Seq(10.9f, 0.2f, 300.0f, 5.5f)),
+      (2L, Seq(0.0f, 255.0f, 127.6f, 128.4f)),
+      (3L, Seq(-4.0f, 1.0f, 63.99f, 200.2f)))
     val c = Collection.create(spark, tmpDir(), dcfg,
-      raw.map { case (i, v) => (i, v, v) }.toDF("id", "vector_half", "vector_byte"))
+      raw.zip(rawB).map { case ((i, v), (_, b)) => (i, v, b) }
+        .toDF("id", "vector_half", "vector_byte"))
 
     // 1. stored schema is the narrow element type (2x / 4x fewer scan bytes)
     assert(c.read().schema("vector_half").dataType
@@ -222,26 +230,31 @@ class StoreSpec extends SparkTestBase {
 
     // 2. upsert of f32 points through the same config path stays narrow
     val v4 = Seq(0.9f, -0.9f, 0.45f, 0.0f)
-    c.upsert(Seq((4L, v4, v4)).toDF("id", "vector_half", "vector_byte"))
+    val b4 = Seq(90.9f, 0.4f, 45.5f, 256.0f)
+    c.upsert(Seq((4L, v4, b4)).toDF("id", "vector_half", "vector_byte"))
     assert(c.read().count() == 4)
     assert(c.read().schema("vector_half").dataType
       .asInstanceOf[ArrayType].elementType == ShortType)
 
-    // 3. u8 knn scores == exact integer Euclid over the codec bytes,
-    //    computed independently here (the element-type contract)
-    val all = raw :+ (4L -> v4)
-    val query = Seq(0.4, 0.1, 0.2, 0.5)
-    val qb = graft.index.VectorCodec.encodeI8(query)
-    val expected = all.map { case (i, v) =>
-      val pb = graft.index.VectorCodec.encodeI8(v.map(_.toDouble))
-      val ss = pb.zip(qb).map { case (a, b) => val d = a.toLong - b; d * d }.sum
+    // 3. u8 knn scores == exact integer Euclid over the raw u8 values
+    //    (`x as u8` both sides), computed independently here
+    val allB = rawB :+ (4L -> b4)
+    val queryB = Seq(12.7, 200.0, 80.5, 3.0)
+    def u8(x: Double): Long =
+      if (x.isNaN || x <= 0) 0L else math.min(255.0, math.floor(x)).toLong
+    val qb = queryB.map(u8)
+    val expected = allB.map { case (i, v) =>
+      val pb = v.map(x => u8(x.toDouble))
+      val ss = pb.zip(qb).map { case (a, b) => val d = a - b; d * d }.sum
       (i, BigDecimal(math.sqrt(ss.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.sortBy { case (i, s) => (s, i) }
-    val gotU8 = c.knn("byte", query, k = 4).collect()
+    val gotU8 = c.knn("byte", queryB, k = 4).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(gotU8 == expected, s"$gotU8 vs $expected")
 
     // 4. f16 knn: same ids as f32 dot scoring, scores within the 2^-11 bound
+    val all = raw :+ (4L -> v4)
+    val query = Seq(0.4, 0.1, 0.2, 0.5)
     val f32 = all.map { case (i, v) =>
       (i, v.map(_.toDouble).zip(query).map { case (a, b) => a * b }.sum)
     }.sortBy { case (i, s) => (-s, i) }
@@ -252,7 +265,10 @@ class StoreSpec extends SparkTestBase {
       assert(math.abs(sh - sf) <= 2e-3 * math.max(1.0, math.abs(sf)))
     }
 
-    // 5. retrieval decodes back to array<float> near the original values
+    // 5. retrieval decodes back to array<float>: halves near the original,
+    //    u8 EXACTLY the truncated raw values — the reference retrieves the
+    //    stored bytes themselves ([256.19,…] → [255,…], the e2e truncation
+    //    arm of `test_multi_vector_uint8.py`)
     val dec = c.readDecoded()
     assert(dec.schema("vector_half").dataType
       .asInstanceOf[ArrayType].elementType == FloatType)
@@ -261,8 +277,7 @@ class StoreSpec extends SparkTestBase {
     val byte1 = r1.getSeq[Float](dec.columns.indexOf("vector_byte"))
     raw.head._2.zip(half1).foreach { case (o, d) =>
       assert(math.abs(o - d) <= 1e-3f * math.max(1.0f, math.abs(o))) }
-    raw.head._2.zip(byte1).foreach { case (o, d) =>
-      assert(math.abs(o - d) <= 1.0f / 127f) }
+    assert(byte1 == Seq(10f, 0f, 255f, 5f), s"u8 decode: $byte1")
   }
 
   test("declared element types on multivectors: nested encode, MaxSim, decode") {
@@ -271,33 +286,38 @@ class StoreSpec extends SparkTestBase {
       idCol = "id",
       vectors = Seq(VectorConfig("tok", 3, Dot,
         multivector = true, datatype = Uint8)))
+    // byte-range tokens with truncation/saturation arms (u8 stores RAW
+    // values: `x as u8`, `primitive.rs:126-129`)
     val raw = Seq(
-      (1L, Seq(Seq(0.9f, 0.0f, 0.1f), Seq(-0.5f, 0.5f, 0.0f))),
-      (2L, Seq(Seq(0.1f, 0.8f, -0.2f))),
-      (3L, Seq(Seq(0.0f, 0.0f, 1.0f), Seq(0.7f, 0.7f, 0.0f), Seq(-1.0f, 0.0f, 0.0f))))
+      (1L, Seq(Seq(90.9f, 0.0f, 10.2f), Seq(-5.0f, 50.5f, 0.0f))),
+      (2L, Seq(Seq(10.1f, 300.0f, 2.6f))),
+      (3L, Seq(Seq(0.0f, 0.0f, 255.0f), Seq(70.7f, 70.7f, 0.0f), Seq(128.9f, 0.0f, 0.0f))))
     val c = Collection.create(spark, tmpDir(), dcfg, raw.toDF("id", "vector_tok"))
     // nested storage is the narrow element type
     val et = c.read().schema("vector_tok").dataType.asInstanceOf[ArrayType]
       .elementType.asInstanceOf[ArrayType].elementType
     assert(et == ByteType)
-    // MaxSim scores equal exact-integer driver math over the codec bytes
-    val qs = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
-    val qb = qs.map(graft.index.VectorCodec.encodeI8)
+    // MaxSim scores equal exact unsigned-integer driver math over the
+    // truncated u8 values
+    val qs = Seq(Seq(100.0, 0.0, 0.0), Seq(0.0, 100.0, 0.0))
+    def u8(x: Double): Long =
+      if (x.isNaN || x <= 0) 0L else math.min(255.0, math.floor(x)).toLong
+    val qb = qs.map(_.map(u8))
     val expected = raw.map { case (i, toks) =>
-      val tb = toks.map(t => graft.index.VectorCodec.encodeI8(t.map(_.toDouble)))
+      val tb = toks.map(_.map(x => u8(x.toDouble)))
       val sc = qb.map(q => tb.map(t =>
-        t.zip(q).map { case (a, b) => a.toLong * b }.sum).max).sum
+        t.zip(q).map { case (a, b) => a * b }.sum).max).sum
       (i, sc)
     }.sortBy { case (i, sc) => (-sc, i) }
     val got = c.knnMultivec("tok", qs, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expected, s"$got vs $expected")
-    // decode restores f32 token vectors within the i8 grid
+    // decode returns EXACTLY the truncated token values
     val dec = c.readDecoded().filter(col("id") === 1L).head()
     val toks = dec.getSeq[scala.collection.Seq[Float]](
       dec.schema.fieldIndex("vector_tok"))
-    raw.head._2.zip(toks).foreach { case (o, d) =>
-      o.zip(d).foreach { case (a, b) => assert(math.abs(a - b) <= 1.0f / 127f) } }
+    assert(toks.map(_.toSeq) == Seq(Seq(90f, 0f, 10f), Seq(0f, 50f, 0f)),
+      s"u8 multivector decode: $toks")
   }
 
   test("compaction reduces file count and preserves content") {
