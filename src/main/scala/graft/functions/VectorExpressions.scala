@@ -275,22 +275,34 @@ object VecKernels {
   * Top-level object → scalac emits static forwarders, so generated code can
   * call `graft.functions.F16.toFloat(...)` directly. */
 object F16 {
+  /** Round-to-nearest-EVEN, matching IEEE 754 default rounding and the
+    * reference's `half` crate `f16::from_f32` exactly (ties pick the even
+    * mantissa; values ≥ 65520 overflow to ±Inf, not max-finite). A
+    * half-UP rounder diverges by one f16 ULP at every exact midpoint. */
   def toHalf(fval: Float): Short = {
     val fbits = java.lang.Float.floatToIntBits(fval)
     val sign = (fbits >>> 16) & 0x8000
-    var v = (fbits & 0x7FFFFFFF) + 0x1000
-    if (v >= 0x47800000) { // rounds to >= 2^16 -> Inf, or NaN passthrough
-      if ((fbits & 0x7FFFFFFF) >= 0x47800000) {
-        if ((fbits & 0x7FFFFFFF) < 0x7F800000) (sign | 0x7C00).toShort
-        else (sign | 0x7C00 | ((fbits & 0x007FFFFF) >>> 13) | 0x0200).toShort
-      } else (sign | 0x7BFF).toShort // rounded up to max finite
-    } else if (v >= 0x38800000) { // normalized half
+    val abs = fbits & 0x7FFFFFFF
+    if (abs >= 0x7F800000) { // Inf / NaN passthrough (quiet bit forced)
+      if (abs > 0x7F800000)
+        (sign | 0x7C00 | ((abs & 0x007FFFFF) >>> 13) | 0x0200).toShort
+      else (sign | 0x7C00).toShort
+    } else if (abs >= 0x477FF000) { // rounds (RNE) to >= 2^16 -> Inf
+      (sign | 0x7C00).toShort
+    } else if (abs >= 0x38800000) { // normalized half, nearest-even
+      val v = abs + 0xFFF + ((abs >>> 13) & 1)
       (sign | ((v - 0x38000000) >>> 13)).toShort
-    } else if (v < 0x33000000) { // too small -> +-0
+    } else if (abs <= 0x33000000) { // underflows to ±0 (the 2^-25 tie incl.)
       sign.toShort
-    } else { // subnormal half
-      val e = (fbits & 0x7FFFFFFF) >>> 23
-      (sign | ((((fbits & 0x7FFFFF) | 0x800000) + (0x800000 >>> (e - 102))) >>> (126 - e))).toShort
+    } else { // subnormal half, nearest-even
+      val e = abs >>> 23
+      val shift = 126 - e
+      val m = (abs & 0x7FFFFF) | 0x800000
+      val dropped = m & ((1 << shift) - 1)
+      val half = 1 << (shift - 1)
+      var r = m >>> shift
+      if (dropped > half || (dropped == half && (r & 1) == 1)) r += 1
+      (sign | r).toShort
     }
   }
 

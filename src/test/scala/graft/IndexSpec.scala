@@ -201,6 +201,22 @@ class IndexSpec extends SparkTestBase {
     // overflow saturates to infinity, sign preserved
     assert(F16.toFloat(F16.toHalf(1e9f)).isPosInfinity)
     assert(F16.toFloat(F16.toHalf(-1e9f)).isNegInfinity)
+    // round-to-nearest-EVEN, like the reference's `half` crate `from_f32`
+    // (a half-UP rounder fails every other pin here):
+    // midpoint between 0x3C00 (1.0, even) and 0x3C01 → DOWN to even
+    assert(F16.toHalf(1.00048828125f) == 0x3C00.toShort)
+    // midpoint between 0x3C01 (odd) and 0x3C02 (even) → UP to even
+    assert(F16.toHalf(1.00146484375f) == 0x3C02.toShort)
+    // ≥ 65520 overflows to Inf (the crate's behavior), not max-finite…
+    assert(F16.toHalf(65520f) == 0x7C00.toShort)
+    // …while anything below it still rounds to max finite 65504
+    assert(F16.toHalf(65519.996f) == 0x7BFF.toShort)
+    assert(F16.toHalf(65505f) == 0x7BFF.toShort)
+    // subnormal ties: 2^-25 (midpoint of 0 and the min subnormal, even=0)
+    // underflows; 1.5·2^-24 (midpoint of subnormals 1 and 2) → even = 2
+    assert(F16.toHalf(2.9802322e-8f) == 0x0000.toShort)
+    assert(F16.toHalf(8.940697e-8f) == 0x0002.toShort)
+    assert(F16.toHalf(5.9604645e-8f) == 0x0001.toShort) // min subnormal exact
   }
 
   test("f16/i8 kernels agree with reference math on DataFrame columns") {
