@@ -473,25 +473,55 @@ class WireOpModelSpec extends SparkTestBase {
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
       assert(storedDims == corpus.map { case (id, dv) => id -> dv.keySet }.toMap,
         s"seed $seed: stored sparse dims diverged from the model")
-      for (trial <- 1 to 5) {
-        val qDims = (rnd.shuffle(shared).take(1 + rnd.nextInt(2)) ++
-          Seq(u32())).distinct.sorted
-        val expected = corpus
-          .map { case (id, dv) =>
-            id -> qDims.flatMap(dv.get).map(_.toDouble).sum }
-          .filter(_._2 > 0)
-          .sortBy { case (id, s) => (-s, id) }
-          .take(10)
-        val got = c.query(
-          s"""{"query": {"indices": ${qDims.mkString("[", ",", "]")},
-             |  "values": ${qDims.map(_ => "1.0").mkString("[", ",", "]")}},
-             |  "using": "txt", "limit": 10}""".stripMargin)
-          .select("id", "score").collect()
-          .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
-        assert(got == expected,
-          s"seed $seed trial $trial: wire sparse scores diverged\n " +
-            s"got=$got\n want=$expected\n q=$qDims")
-      }
+      def checkQueries(model: Map[Long, Map[Long, Float]], tag: String): Unit =
+        for (trial <- 1 to 5) {
+          val qDims = (rnd.shuffle(shared).take(1 + rnd.nextInt(2)) ++
+            Seq(u32())).distinct.sorted
+          val expected = model.toSeq
+            .map { case (id, dv) =>
+              id -> qDims.flatMap(dv.get).map(_.toDouble).sum }
+            .filter(_._2 > 0)
+            .sortBy { case (id, s) => (-s, id) }
+            .take(10)
+          val got = c.query(
+            s"""{"query": {"indices": ${qDims.mkString("[", ",", "]")},
+               |  "values": ${qDims.map(_ => "1.0").mkString("[", ",", "]")}},
+               |  "using": "txt", "limit": 10}""".stripMargin)
+            .select("id", "score").collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+          assert(got == expected,
+            s"seed $seed $tag trial $trial: wire sparse scores diverged\n " +
+              s"got=$got\n want=$expected\n q=$qDims")
+        }
+      checkQueries(corpus.toMap, "initial")
+      // wire MUTATIONS over the same dim domain: update_vectors replaces
+      // three points' sparse cells (fresh full-u32 dims + one shared),
+      // delete_vectors nulls two others — queries must track the model
+      val updated = corpus.toMap ++ (1L to 3L).map { id =>
+        val dims = (Seq.fill(2)(u32()) ++ rnd.shuffle(shared).take(1)).distinct
+        id -> dims.map(d => d -> ((rnd.nextInt(30) + 1) / 8.0f)).toMap
+      }.toMap
+      val afterDelete = (updated - 11L - 12L) ++
+        Map(11L -> Map.empty[Long, Float], 12L -> Map.empty[Long, Float])
+      val updJson = (1L to 3L).map { id =>
+        val sorted = updated(id).toSeq.sortBy(_._1)
+        s"""{"id": $id, "vector": {"txt": {
+           |  "indices": ${sorted.map(_._1).mkString("[", ",", "]")},
+           |  "values": ${sorted.map(_._2).mkString("[", ",", "]")}}}}""".stripMargin
+      }.mkString(",")
+      graft.api.UpdateBridge.applyJson(c,
+        s"""{"operations": [
+           |  {"update_vectors": {"points": [$updJson]}},
+           |  {"delete_vectors": {"points": [11, 12], "vector": ["txt"]}}
+           |]}""".stripMargin)
+      checkQueries(afterDelete.filter(_._2.nonEmpty), "mutated")
+      val storedAfter = c.read().select(col("id"), col("sparse_txt.indices"))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.get(1)).map(_ => r.getSeq[Long](1).toSet)).toMap
+      assert(storedAfter(11L).isEmpty && storedAfter(12L).isEmpty,
+        s"seed $seed: delete_vectors must null the sparse cells")
+      assert(storedAfter(1L) == Some(updated(1L).keySet),
+        s"seed $seed: update_vectors round-trip diverged")
     }
   }
 }
