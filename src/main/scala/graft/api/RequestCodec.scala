@@ -54,7 +54,13 @@ object RequestCodec {
       /** declared dimension — raw dense inputs are validated against it
         * (`OperationError::WrongVectorDimension`, reference
         * `operation_error.rs:24`); None = unchecked (hand-built ctx). */
-      dim: Option[Int] = None)
+      dim: Option[Int] = None,
+      /** the space stores token MATRICES (`multivector_config`) — a single
+        * dense query input is then emulated as a 1-token matrix and scores
+        * MaxSim (`TryFrom<VectorInternal> for MultiDenseVectorInternal`,
+        * `data_types/vectors.rs:176-190`; e2e `test_multi_vector.py:
+        * 287-371`). */
+      multivector: Boolean = false)
 
   /** Wire `lookup_from` (`LookupLocation` + `ShardKeySelector`,
     * `lib/api/src/rest/schema.rs:608-613,1122-1133`): resolve vector-input
@@ -431,6 +437,7 @@ object RequestCodec {
         case RecommendAvg(_, _, p, n) => p.foreach(chk); n.foreach(chk)
         case RecommendBest(_, _, p, n) => p.foreach(chk); n.foreach(chk)
         case RecommendSum(_, _, p, n) => p.foreach(chk); n.foreach(chk)
+        case RecommendMulti(_, _, _, p, n) => p.foreach(chkM); n.foreach(chkM)
         case DiscoverQ(_, _, t, pairs) =>
           chk(t); pairs.foreach { case (p, n) => chk(p); chk(n) }
         case ContextQ(_, _, pairs) =>
@@ -457,13 +464,21 @@ object RequestCodec {
       limit: Int): (Scoring, Option[Query]) = {
     val sp = ctx.space(using)
     val name = using.getOrElse("")
+    // a resolved dense/matrix `VectorInput` against this space: a single
+    // dense vector over a MULTIVECTOR space is the legacy-API emulation —
+    // it becomes a 1-token matrix and scores MaxSim
+    // (`TryFrom<VectorInternal> for MultiDenseVectorInternal` expands it,
+    // `data_types/vectors.rs:176-190`; `test_multi_vector.py:287-371`)
+    def denseScoring(in: Either[Seq[Double], Seq[Seq[Double]]]): Scoring =
+      in match {
+        case Left(v) if sp.multivector => MaxSimQ(sp.col, sp.metric, Seq(v))
+        case Left(v) => Nearest(sp.col, sp.metric, v)
+        case Right(m) => MaxSimQ(sp.col, sp.metric, m)
+      }
     j match {
       case arr @ JArray(_) =>
         if (sp.sparse) fail(s"dense vector input for sparse vector '${sp.col}'")
-        vectorInput(arr, ctx, name) match {
-          case Left(v) => (Nearest(sp.col, sp.metric, v), None)
-          case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
-        }
+        (denseScoring(vectorInput(arr, ctx, name)), None)
       // bare point-id shorthand (`QueryInterface::Nearest(VectorInput)` is
       // untagged, `schema.rs:637-640`): `"query": 7` / `"query": "<uuid>"`.
       // Over a sparse `using` the id resolves FROM THE SPARSE SPACE — the
@@ -473,10 +488,7 @@ object RequestCodec {
         if (sp.sparse) {
           val (is, vs) = sparseInput(id, ctx, name)
           (SparseStructQ(sp.col, is, vs), None)
-        } else vectorInput(id, ctx, name) match {
-          case Left(v) => (Nearest(sp.col, sp.metric, v), None)
-          case Right(m) => (MaxSimQ(sp.col, sp.metric, m), None)
-        }
+        } else (denseScoring(vectorInput(id, ctx, name)), None)
       case o: JObject =>
         val keys = o.obj.map(_._1).toSet
         if (keys.contains("indices") && !keys.contains("nearest")) {
@@ -503,12 +515,10 @@ object RequestCodec {
             case id @ (JInt(_) | JLong(_) | JString(_)) if sp.sparse =>
               val (is, vs) = sparseInput(id, ctx, name)
               SparseStructQ(sp.col, is, vs)
-            case v => vectorInput(v, ctx, name) match {
-              case _ if sp.sparse =>
+            case v =>
+              if (sp.sparse)
                 fail(s"dense vector input for sparse vector '${sp.col}'")
-              case Left(dv) => Nearest(sp.col, sp.metric, dv)
-              case Right(m) => MaxSimQ(sp.col, sp.metric, m)
-            }
+              denseScoring(vectorInput(v, ctx, name))
           }
           (o \ "mmr") match {
             case m: JObject =>
@@ -556,6 +566,20 @@ object RequestCodec {
             val pos = oneOrMany(r \ "positive").map(sparseInput(_, ctx, name))
             val neg = oneOrMany(r \ "negative").map(sparseInput(_, ctx, name))
             (RecommendSparse(sp.col, strategy, pos, neg), None)
+          } else if (sp.multivector) {
+            // multivector `using`: examples are token matrices — by-id
+            // resolves the stored matrix, an inline DENSE example expands
+            // to a 1-token matrix (the legacy emulation,
+            // `data_types/vectors.rs:176-190`), an inline nested array is
+            // the matrix itself (`test_recommendation_multivector.py`)
+            def multiIn(j: JValue): Seq[Seq[Double]] =
+              vectorInput(j, ctx, name) match {
+                case Left(v) => Seq(v)
+                case Right(m) => m
+              }
+            val pos = oneOrMany(r \ "positive").map(multiIn)
+            val neg = oneOrMany(r \ "negative").map(multiIn)
+            (RecommendMulti(sp.col, sp.metric, strategy, pos, neg), None)
           } else {
             val pos = oneOrMany(r \ "positive").map(denseInput(_, ctx, name))
             val neg = oneOrMany(r \ "negative").map(denseInput(_, ctx, name))
@@ -1477,7 +1501,8 @@ object RequestCodec {
             if ((u \ "points") != JNothing)
               fail("upsert takes either points or batch, not both")
             batchPoints(b)
-          case _ => arr(u \ "points").map(pointStruct)
+          case _ => arr(u \ "points").zipWithIndex
+            .map { case (pj, i) => pointStruct(pj, s"points[$i]") }
         }
         WUpsert(points, uf, mode, bodyKey)
       } else if (keys.contains("delete")) WDelete(selectorOf(o \ "delete"))
@@ -1489,7 +1514,8 @@ object RequestCodec {
       } else if (keys.contains("clear_payload")) WClearPayload(selectorOf(o \ "clear_payload"))
       else if (keys.contains("update_vectors")) {
         val uv = o \ "update_vectors"
-        WUpdateVectors(arr(uv \ "points").map(pointStruct),
+        WUpdateVectors(arr(uv \ "points").zipWithIndex
+          .map { case (pj, i) => pointStruct(pj, s"points[$i]") },
           shardKeysOf(uv),
           (uv \ "update_filter") match {
             case f: JObject => Some(filterOf(f))
@@ -1542,24 +1568,53 @@ object RequestCodec {
     * indices, so unsorted input MUST canonicalize here — passing it
     * through would silently mis-score. */
   private[api] def sparsePair(
-      indices: Seq[Long], values: Seq[Double]): (Seq[Long], Seq[Double]) = {
+      indices: Seq[Long], values: Seq[Double],
+      /** body position for the reference's wire-shaped messages
+        * (`test_sparse_vector_validations.py:97,117`); empty = a query-side
+        * input, which keeps the plain messages. */
+      at: String = ""): (Seq[Long], Seq[Double]) = {
     if (indices.length != values.length)
-      fail("sparse values must be the same length as indices")
+      fail(if (at.isEmpty) "sparse values must be the same length as indices"
+        else s"Validation error in JSON body: [$at.vector.?.values: " +
+          "Validation error: must be the same length as indices [{}]]")
     if (indices.distinct.length != indices.length)
-      fail("sparse indices must be unique")
+      fail(if (at.isEmpty) "sparse indices must be unique"
+        else s"Validation error in JSON body: [$at.vector.?.indices: " +
+          "Validation error: must be unique [{}]]")
     val sorted = indices.zip(values).sortBy(_._1)
     (sorted.map(_._1), sorted.map(_._2))
   }
 
   /** One untagged `Vector` value: dense `[..]`, multi-dense `[[..],..]`,
-    * sparse `{indices, values}`. */
-  private def wireVec(v: JValue): WireVec = v match {
+    * sparse `{indices, values}`. `at` names the body position for the
+    * validation messages (`points[i].vector.?`). */
+  private def wireVec(v: JValue, at: String = "points[?]"): WireVec = v match {
     case JArray(xs) if xs.nonEmpty && xs.head.isInstanceOf[JArray] =>
-      WMultiVec(xs.map(row => arr(row).map(num)))
-    case JArray(xs) => WDenseVec(xs.map(num))
+      val m = xs.map(row => arr(row).map(num))
+      // `validate_multi_vector` (`vectors.rs:356-359`): every inner vector
+      // must be non-empty and all dims equal — rejected at the VALIDATION
+      // boundary with the reference's messages
+      // (`test_multi_vector.py:180,204,228`)
+      if (m.exists(_.isEmpty))
+        fail(s"Validation error in JSON body: [$at.vector.?.data: " +
+          "all vectors must be non-empty]")
+      m.find(_.length != m.head.length).foreach(bad =>
+        fail(s"Validation error in JSON body: [$at.vector.?.data: " +
+          "all vectors must have the same dimension, found vector with " +
+          s"dimension ${bad.length}]"))
+      WMultiVec(m)
+    case JArray(xs) =>
+      // `[]` IS an empty DENSE vector — the untagged `Vector` enum lists
+      // Dense before MultiDense, so an empty multivector deserializes as
+      // empty dense and rejects with the DENSE message
+      // (`schema.rs:31-33`; `test_multi_vector.py:139-160`)
+      if (xs.isEmpty)
+        fail(s"Validation error in JSON body: [$at.vector.?.data: " +
+          "dense vector must not be empty]")
+      WDenseVec(xs.map(num))
     case o: JObject if (o \ "indices") != JNothing =>
       val (is, vs) = sparsePair(
-        arr(o \ "indices").map(sparseIdx), arr(o \ "values").map(num))
+        arr(o \ "indices").map(sparseIdx), arr(o \ "values").map(num), at)
       WSparseVec(is, vs)
     case other => fail(s"bad vector value: $other")
   }
@@ -1588,13 +1643,13 @@ object RequestCodec {
       case JArray(xs) =>
         if (xs.length != ids.length)
           fail(s"batch vectors length ${xs.length} != ids length ${ids.length}")
-        xs.map(v => Map("" -> wireVec(v)))
+        xs.zipWithIndex.map { case (v, i) => Map("" -> wireVec(v, s"points[$i]")) }
       case o: JObject =>
         val named = o.obj.map { case (n, v) =>
           val vs = arr(v)
           if (vs.length != ids.length)
             fail(s"batch vectors['$n'] length ${vs.length} != ids length ${ids.length}")
-          n -> vs.map(wireVec)
+          n -> vs.zipWithIndex.map { case (v, i) => wireVec(v, s"points[$i]") }
         }
         ids.indices.map(i => named.map { case (n, vs) => n -> vs(i) }.toMap)
       case JNothing | JNull => ids.map(_ => Map.empty[String, WireVec])
@@ -1605,12 +1660,12 @@ object RequestCodec {
     }
   }
 
-  private def pointStruct(j: JValue): WirePoint = {
+  private def pointStruct(j: JValue, at: String = "points[?]"): WirePoint = {
     val id = idOf(j \ "id")
     val vectors = (j \ "vector") match {
       case JNothing | JNull => Map.empty[String, WireVec]
-      case a: JArray => Map("" -> wireVec(a))
-      case o: JObject => o.obj.map { case (n, v) => n -> wireVec(v) }.toMap
+      case a: JArray => Map("" -> wireVec(a, at))
+      case o: JObject => o.obj.map { case (n, v) => n -> wireVec(v, at) }.toMap
       case other => fail(s"bad vector struct: $other")
     }
     val payload = (j \ "payload") match {

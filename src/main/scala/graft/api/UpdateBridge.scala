@@ -382,7 +382,15 @@ object UpdateBridge {
       cfg.vectors.find(_.name == name).foreach(vc =>
         if (v.length != vc.dim) throw new IllegalArgumentException(
           s"Vector dimension error: expected dim: ${vc.dim}, got ${v.length}"))
+    val multiSpace = cfg.vectors.exists(vc => vc.name == name && vc.multivector)
     vec match {
+      // legacy-API emulation: a single dense value written into a
+      // multivector space stores as the 1-token matrix
+      // (`TryFrom<VectorInternal> for MultiDenseVectorInternal`,
+      // `data_types/vectors.rs:176-190`; `test_multi_vector.py:232-282`)
+      case WDenseVec(v) if multiSpace =>
+        dimCheck(v)
+        typedLit(Seq(v.map(_.toFloat)))
       case WDenseVec(v) =>
         require(cfg.vectors.exists(vc => vc.name == name && !vc.multivector),
           s"dense value for non-dense vector '$name'")
@@ -477,6 +485,10 @@ object UpdateBridge {
         case None => null
         case Some(WDenseVec(v)) if !vc.multivector =>
           dimCheck(vc, v); v.map(_.toFloat)
+        // legacy-API emulation: single dense → 1-token matrix
+        // (`test_multi_vector.py:232-282`)
+        case Some(WDenseVec(v)) if vc.multivector =>
+          dimCheck(vc, v); Seq(v.map(_.toFloat))
         case Some(WMultiVec(m)) if vc.multivector =>
           m.foreach(dimCheck(vc, _)); m.map(_.map(_.toFloat))
         case Some(other) =>

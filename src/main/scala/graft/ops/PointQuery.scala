@@ -65,6 +65,20 @@ object PointQuery {
   final case class RecommendSparse(sparseCol: String, strategy: String,
       positives: Seq[(Seq[Long], Seq[Double])],
       negatives: Seq[(Seq[Long], Seq[Double])]) extends Scoring
+  /** Recommend over a MULTIVECTOR `using` space
+    * (`test_recommendation_multivector.py`; the reference's `RecoQuery` is
+    * vector-kind-agnostic): each example is a token matrix — by-id
+    * examples resolve the stored matrix, inline dense examples expand to
+    * 1-token matrices (`TryFrom<VectorInternal> for
+    * MultiDenseVectorInternal`, `data_types/vectors.rs:176-190`) — and
+    * the per-example similarity is MaxSim. `average_vector` merges the
+    * examples into ONE matrix (positives concatenated, negative rows
+    * negated — `recommendations.rs:59-70,121-124`); best_score /
+    * sum_scores combine per-example MaxSim scores like the dense forms. */
+  final case class RecommendMulti(vecCol: String, metric: Metric,
+      strategy: String,
+      positives: Seq[Seq[Seq[Double]]],
+      negatives: Seq[Seq[Seq[Double]]]) extends Scoring
   /** Discover / Context over a SPARSE `using` space — the same rank /
     * margin combines as the dense forms, with the sparse intersect-dot as
     * the per-example similarity (sparse `VectorInput`s are first-class in
@@ -198,6 +212,20 @@ object PointQuery {
           (Search.bestScoreCombine(pos.map(sim), neg.map(sim)), true)
         case "sum_scores" =>
           (Search.sumScoresCombine(pos.map(sim), neg.map(sim)), true)
+        case other =>
+          throw new IllegalArgumentException(s"unknown recommend strategy '$other'")
+      }
+    case RecommendMulti(vc, m, strategy, pos, neg) =>
+      def msim(q: Seq[Seq[Double]]): Column =
+        graft.functions.VectorFunctions.maxSim(m, col(vc), q)
+      strategy match {
+        case "average_vector" =>
+          (graft.functions.VectorFunctions.maxSim(m, col(vc),
+            Search.recommendAvgMultiQuery(pos, neg)), true)
+        case "best_score" =>
+          (Search.bestScoreCombine(pos.map(msim), neg.map(msim)), true)
+        case "sum_scores" =>
+          (Search.sumScoresCombine(pos.map(msim), neg.map(msim)), true)
         case other =>
           throw new IllegalArgumentException(s"unknown recommend strategy '$other'")
       }
@@ -459,6 +487,7 @@ object PointQuery {
               case DiscoverQ(vc, _, _, _) => Some(col(vc).isNotNull)
               case ContextQ(vc, _, _) => Some(col(vc).isNotNull)
               case MaxSimQ(vc, _, _) => Some(col(vc).isNotNull)
+              case RecommendMulti(vc, _, _, _, _) => Some(col(vc).isNotNull)
               case FeedbackQ(vc, _, _, _, _, _, _) => Some(col(vc).isNotNull)
               case _ => None
             }

@@ -341,6 +341,43 @@ object EndpointQueries {
       namedVecColl(s, dir).query(
         """{"query": {"nearest": 7}, "using": "tok", "limit": 10}""")
     }),
+    // A RAW dense query against the same MULTIVECTOR `using` space — the
+    // legacy-API emulation (`TryFrom<VectorInternal> for
+    // MultiDenseVectorInternal`, `data_types/vectors.rs:176-190`;
+    // `test_multi_vector.py:287-371`): the vector becomes a 1-token
+    // matrix and scores MaxSim. No referenced id → no exclusion.
+    "api_query_multivec_legacy" -> ((s, dir) => {
+      val q = Tables.embeddingOf(s, dir, 7).take(32).mkString("[", ",", "]")
+      namedVecColl(s, dir).query(
+        s"""{"query": $q, "using": "tok", "limit": 10}""")
+    }),
+    // Wire RECOMMEND against the multivector `using` space
+    // (`test_recommendation_multivector.py`; `RecoQuery` is
+    // vector-kind-agnostic): per-example similarity is MaxSim. The
+    // example set mixes all three `VectorInput` shapes — by-id 7 (the
+    // stored matrix; EXCLUDED from results per `exclude_referenced_ids`),
+    // an inline DENSE example (1-token legacy expansion), and an inline
+    // MATRIX negative. One arm per strategy: `average_vector` merges into
+    // one matrix (positives concatenated + negated negative rows,
+    // `recommendations.rs:59-70,121-124`), best_score / sum_scores
+    // combine the per-example MaxSim scores.
+    "api_recommend_multivec" -> ((s, dir) => {
+      val q11 = Tables.embeddingOf(s, dir, 11).take(32)
+        .mkString("[", ",", "]")
+      val e4 = Tables.embeddingOf(s, dir, 4)
+      val negM = Seq(e4.take(32), e4.drop(32))
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      def run(strategy: String, tag: String) =
+        namedVecColl(s, dir).query(
+          s"""{"query": {"recommend": {"positive": [7, $q11],
+             |  "negative": [$negM], "strategy": "$strategy"}},
+             |  "using": "tok", "limit": 10}""".stripMargin)
+          .select(lit(tag).as("strategy"), col("vec_id"), col("score"))
+      run("average_vector", "avg")
+        .unionByName(run("best_score", "best"))
+        .unionByName(run("sum_scores", "sum"))
+        .orderBy(col("strategy"), col("score").desc, col("vec_id"))
+    }),
     // `lookup_from` against a MULTIVECTOR foreign space: the referenced
     // id resolves the sibling collection's stored MATRIX (the reference
     // resolves referenced vectors of ANY kind, `fetch_vectors.rs:173-183`)
@@ -1212,6 +1249,59 @@ object EndpointQueries {
         |  FROM t, q)
         |SELECT vec_id, round(sc, 6) AS score FROM s
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // legacy dense query = a 1-token matrix: per point the score is the
+    // BEST token's dot with the single query vector; nothing excluded
+    // (the input is a raw vector, not a referenced id)
+    "api_query_multivec_legacy" ->
+      """WITH q AS (SELECT embedding[1:32]::DOUBLE[] AS q1
+        |           FROM embeddings WHERE vec_id = 7),
+        |t AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS d1,
+        |             embedding[33:64]::DOUBLE[] AS d2 FROM embeddings),
+        |s AS (SELECT t.vec_id AS vec_id,
+        |  greatest(list_dot_product(t.d1, q.q1),
+        |           list_dot_product(t.d2, q.q1)) AS sc
+        |  FROM t, q)
+        |SELECT vec_id, round(sc, 6) AS score FROM s
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // per-example MaxSim sims over the 2-token layout; by-id example 7
+    // excluded everywhere; sig(x) = 0.5*(x/(1+|x|)+1)
+    "api_recommend_multivec" ->
+      """WITH q AS (SELECT
+        |    a.embedding[1:32]::DOUBLE[] AS q71, a.embedding[33:64]::DOUBLE[] AS q72,
+        |    b.embedding[1:32]::DOUBLE[] AS p11,
+        |    c.embedding[1:32]::DOUBLE[] AS n1, c.embedding[33:64]::DOUBLE[] AS n2,
+        |    list_transform(c.embedding[1:32]::DOUBLE[], x -> -x) AS m1,
+        |    list_transform(c.embedding[33:64]::DOUBLE[], x -> -x) AS m2
+        |  FROM embeddings a, embeddings b, embeddings c
+        |  WHERE a.vec_id = 7 AND b.vec_id = 11 AND c.vec_id = 4),
+        |t AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS d1,
+        |             embedding[33:64]::DOUBLE[] AS d2 FROM embeddings
+        |      WHERE vec_id <> 7),
+        |s AS (SELECT t.vec_id AS vec_id,
+        |    greatest(list_dot_product(d1,q.q71), list_dot_product(d2,q.q71))
+        |  + greatest(list_dot_product(d1,q.q72), list_dot_product(d2,q.q72)) AS sim7,
+        |    greatest(list_dot_product(d1,q.p11), list_dot_product(d2,q.p11)) AS sim11,
+        |    greatest(list_dot_product(d1,q.n1), list_dot_product(d2,q.n1))
+        |  + greatest(list_dot_product(d1,q.n2), list_dot_product(d2,q.n2)) AS simn,
+        |    greatest(list_dot_product(d1,q.m1), list_dot_product(d2,q.m1))
+        |  + greatest(list_dot_product(d1,q.m2), list_dot_product(d2,q.m2)) AS simm
+        |  FROM t, q),
+        |avg_arm AS (SELECT 'avg' AS strategy, vec_id,
+        |    round(sim7 + sim11 + simm, 6) AS score FROM s
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+        |best_arm AS (SELECT 'best' AS strategy, vec_id,
+        |    round(CASE WHEN greatest(sim7, sim11) > simn
+        |      THEN 0.5*(greatest(sim7, sim11)/(1+abs(greatest(sim7, sim11)))+1)
+        |      ELSE -(0.5*(simn/(1+abs(simn))+1)) END, 6) AS score FROM s
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+        |sum_arm AS (SELECT 'sum' AS strategy, vec_id,
+        |    round(sim7 + sim11 - simn, 6) AS score FROM s
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT * FROM (
+        |  SELECT * FROM avg_arm UNION ALL
+        |  SELECT * FROM best_arm UNION ALL
+        |  SELECT * FROM sum_arm)
+        |ORDER BY strategy, score DESC, vec_id ASC""".stripMargin,
     "catalog_lookup_from_multivec" ->
       """WITH q AS (SELECT embedding[1:32]::DOUBLE[] AS q1,
         |                  embedding[33:64]::DOUBLE[] AS q2

@@ -170,13 +170,33 @@ object ShardWriteQueries {
       def rejects(body: => Unit): (Boolean, Boolean) =
         rejectsWith("Vector dimension error: expected dim: 4, got 3")(body)
       val rows = Seq(
-        // an EMPTY vector is the #9045 regression shape — rejected like
-        // any other mis-sized vector, on sync and async paths alike
+        // an EMPTY vector is the #9045 regression shape — rejected at the
+        // VALIDATION boundary with the reference's message (`schema.rs:
+        // 31-33`; `test_multi_vector.py:158-160`: `[]` deserializes as an
+        // empty DENSE vector, untagged order), before any dim check
         ("upsert_empty_vector", rejectsWith(
-          "Vector dimension error: expected dim: 4, got 0")(
+          "dense vector must not be empty")(
           graft.api.UpdateBridge.applyJson(coll,
             """{"operations": [{"upsert": {"points": [
               |  {"id": 9, "vector": [], "shard_key": "a"}]}}]}""".stripMargin))),
+        // matrix-shape validation happens at PARSE, before any config
+        // check, with the reference's position-named messages
+        // (`validate_multi_vector`, `test_multi_vector.py:180-228`)
+        ("upsert_empty_inner_vector", rejectsWith(
+          "Validation error in JSON body: [points[0].vector.?.data: " +
+            "all vectors must be non-empty]")(
+          graft.api.UpdateBridge.applyJson(coll,
+            """{"operations": [{"upsert": {"points": [
+              |  {"id": 9, "vector": [[]], "shard_key": "a"}]}}]}"""
+              .stripMargin))),
+        ("upsert_mixed_dim_matrix", rejectsWith(
+          "Validation error in JSON body: [points[0].vector.?.data: " +
+            "all vectors must have the same dimension, found vector with " +
+            "dimension 3")(
+          graft.api.UpdateBridge.applyJson(coll,
+            """{"operations": [{"upsert": {"points": [
+              |  {"id": 9, "vector": [[0.1, 0.2, 0.3, 0.4], [0.1, 0.2, 0.3]],
+              |   "shard_key": "a"}]}}]}""".stripMargin))),
         ("upsert_wrong_dim", rejects(graft.api.UpdateBridge.applyJson(coll,
           """{"operations": [{"upsert": {"points": [
             |  {"id": 9, "vector": [0.1, 0.2, 0.3], "shard_key": "a"}]}}]}"""
@@ -517,6 +537,8 @@ object ShardWriteQueries {
     "api_vector_dim_validation" ->
       """SELECT * FROM (VALUES
         |  ('upsert_empty_vector', true, true, true),
+        |  ('upsert_empty_inner_vector', true, true, true),
+        |  ('upsert_mixed_dim_matrix', true, true, true),
         |  ('upsert_wrong_dim', true, true, true),
         |  ('update_vectors_wrong_dim', true, true, true),
         |  ('query_wrong_dim', true, true, true),

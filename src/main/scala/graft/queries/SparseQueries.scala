@@ -764,6 +764,52 @@ object SparseQueries {
         .withColumn("space", lit("sparse"))
       dense.unionByName(multi).unionByName(sparse)
     }),
+    // Legacy-API multivector emulation (`TryFrom<VectorInternal> for
+    // MultiDenseVectorInternal` expands a single dense vector into a
+    // 1-token matrix, `data_types/vectors.rs:176-190`; e2e
+    // `test_multi_vector.py:232-371`): a dense value upserted OR
+    // update_vectors'd into a multivector space stores as `[[..]]`
+    // (the `stored` arms pin token count + round-trip), and a dense wire
+    // QUERY against a multivector `using` scores MaxSim as a 1-token
+    // matrix (the `query` arm). Constant fixture → literal VALUES oracle.
+    "api_multivec_legacy" -> ((s, dir) => {
+      import graft.api.UpdateBridge
+      import graft.sources.{CollectionConfig, VectorConfig}
+      import s.implicits._
+      val path = "/tmp/graft_runtime/mv_legacy_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val coll = sparseCollections.computeIfAbsent(path, { _ =>
+        val cfg = CollectionConfig(idCol = "id",
+          vectors = Seq(VectorConfig("tok", 2, graft.model.Dot,
+            multivector = true)))
+        val c = graft.storage.Collection.create(s, path, cfg,
+          Seq.empty[Long].toDF("id")
+            .withColumn("vector_tok", lit(null).cast("array<array<float>>"))
+            .withColumn("payload", lit(null).cast("string")))
+        UpdateBridge.applyJson(c,
+          """{"operations": [
+            |  {"upsert": {"points": [
+            |    {"id": 1, "vector": {"tok": [[1, 0], [0, 1]]}},
+            |    {"id": 2, "vector": {"tok": [0.25, 0.5]}},
+            |    {"id": 3, "vector": {"tok": [[0.5, 0.25]]}}]}},
+            |  {"update_vectors": {"points": [
+            |    {"id": 3, "vector": {"tok": [0.75, 1.0]}}]}}
+            |]}""".stripMargin)
+        c
+      })
+      val stored = coll.read().select(lit("stored").as("arm"), col("id"),
+        size(col("vector_tok")).cast("double").as("a"),
+        element_at(element_at(col("vector_tok"), 1), 1)
+          .cast("double").as("b"),
+        element_at(element_at(col("vector_tok"), 1), 2)
+          .cast("double").as("c"))
+      val hits = coll.query(
+        """{"query": [1.0, 0.5], "using": "tok", "limit": 10}""")
+        .select(lit("query").as("arm"), col("id"),
+          col("score").cast("double").as("a"),
+          lit(0.0).as("b"), lit(0.0).as("c"))
+      stored.unionByName(hits).orderBy(col("arm"), col("id"))
+    }),
     // Full-u32 sparse dim space (`SparseVector.indices: Vec<u32>`,
     // `sparse_vector.rs:17-22`; e2e `test_sparse_vector_large.py:32-60`):
     // the reference's exact large-index set round-trips through wire
@@ -829,7 +875,26 @@ object SparseQueries {
           catch { case _: IllegalArgumentException => 1.0 }
         Seq((arm, 0L, failed)).toDF("arm", "id", "v")
       }
+      // the reference's wire-shaped validation messages
+      // (`test_sparse_vector_validations.py:97,117`)
+      def rejectsMsg(arm: String, body: String, expect: String) = {
+        val ok =
+          try { UpdateBridge.applyJson(coll, body); 0.0 }
+          catch { case ex: IllegalArgumentException =>
+            if (Option(ex.getMessage).exists(_.contains(expect))) 1.0 else 0.5 }
+        Seq((arm, 0L, ok)).toDF("arm", "id", "v")
+      }
       hits.unionByName(rt)
+        .unionByName(rejectsMsg("reject_len_mismatch",
+          """{"operations": [{"upsert": {"points": [{"id": 9, "vector": {"text":
+            |  {"indices": [1, 2], "values": [1.0]}}}]}}]}""".stripMargin,
+          "Validation error in JSON body: [points[0].vector.?.values: " +
+            "Validation error: must be the same length as indices [{}]]"))
+        .unionByName(rejectsMsg("reject_dup_indices",
+          """{"operations": [{"upsert": {"points": [{"id": 9, "vector": {"text":
+            |  {"indices": [5, 5], "values": [1.0, 1.0]}}}]}}]}""".stripMargin,
+          "Validation error in JSON body: [points[0].vector.?.indices: " +
+            "Validation error: must be unique [{}]]"))
         .unionByName(rejects("reject_over_u32",
           """{"operations": [{"upsert": {"points": [{"id": 9, "vector": {"text":
             |  {"indices": [4294967296], "values": [1.0]}}}]}}]}""".stripMargin))
@@ -1073,6 +1138,19 @@ object SparseQueries {
         |  (3::BIGINT, 5.0::DOUBLE, 'sparse'),
         |  (1::BIGINT, 3.0::DOUBLE, 'sparse'),
         |  (2::BIGINT, 3.0::DOUBLE, 'sparse')) AS t(id, score, space)""".stripMargin,
+    // stored: id 1 kept its 2-token matrix (first token (1,0)); ids 2 and
+    // 3 hold exactly ONE token — the legacy dense upsert / update_vectors
+    // expansion. query [1.0, 0.5] MaxSim: id 1 max(1.0, 0.5)=1.0,
+    // id 2 0.25+0.25=0.5, id 3 0.75+0.5=1.25.
+    "api_multivec_legacy" ->
+      """SELECT * FROM (VALUES
+        |  ('query', 1::BIGINT, 1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE),
+        |  ('query', 2::BIGINT, 0.5::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE),
+        |  ('query', 3::BIGINT, 1.25::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE),
+        |  ('stored', 1::BIGINT, 2.0::DOUBLE, 1.0::DOUBLE, 0.0::DOUBLE),
+        |  ('stored', 2::BIGINT, 1.0::DOUBLE, 0.25::DOUBLE, 0.5::DOUBLE),
+        |  ('stored', 3::BIGINT, 1.0::DOUBLE, 0.75::DOUBLE, 1.0::DOUBLE))
+        |AS t(arm, id, a, b, c)""".stripMargin,
     // docs {1: "T alpha", 2: "alpha beta", 3: "T T beta"} with T the
     // boundary token (id 2^31); avgdl = 7/3; scores are the f32-quantized
     // BM25 tf weights (query weight 1.0, no idf modifier); stored_dim pins
@@ -1102,6 +1180,8 @@ object SparseQueries {
         |UNION ALL SELECT 'rt_min', 1::BIGINT, 542569676.0::DOUBLE
         |UNION ALL SELECT 'rt_max', 1::BIGINT, 4146668087.0::DOUBLE
         |UNION ALL SELECT 'rt_big', 1::BIGINT, 10.0::DOUBLE
+        |UNION ALL SELECT 'reject_len_mismatch', 0::BIGINT, 1.0::DOUBLE
+        |UNION ALL SELECT 'reject_dup_indices', 0::BIGINT, 1.0::DOUBLE
         |UNION ALL SELECT 'reject_over_u32', 0::BIGINT, 1.0::DOUBLE
         |UNION ALL SELECT 'reject_negative', 0::BIGINT, 1.0::DOUBLE
         |UNION ALL SELECT 'reject_fractional', 0::BIGINT, 1.0::DOUBLE

@@ -836,7 +836,7 @@ final class Collection(
     val spaces =
       config.vectors.map(vc =>
         vc.name -> RequestCodec.VectorSpace(config.vectorCol(vc.name), vc.metric,
-          dim = Some(vc.dim))).toMap ++
+          dim = Some(vc.dim), multivector = vc.multivector)).toMap ++
         config.sparse.map(sc =>
           sc.name -> RequestCodec.VectorSpace(config.sparseCol(sc.name),
             graft.model.Dot, sparse = true)).toMap

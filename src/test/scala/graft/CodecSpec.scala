@@ -207,6 +207,26 @@ class CodecSpec extends AnyFunSuite {
     assert(q.scoring == MaxSimQ("embedding", Dot, Seq(Seq(0.1, 0.2), Seq(0.3, 0.4))))
   }
 
+  test("query: a single dense vector over a multivector space is a 1-token MaxSim") {
+    // the legacy-API emulation (`TryFrom<VectorInternal> for
+    // MultiDenseVectorInternal`, `data_types/vectors.rs:176-190`;
+    // `test_multi_vector.py:287-371`) — raw, nearest-object and the
+    // prefetch forms all promote
+    val mctx = Ctx(spaces = Map(
+      "tok" -> VectorSpace("vector_tok", Dot, multivector = true)))
+    val raw = RequestCodec.parseQueryRequest(
+      """{"query": [0.1, 0.2], "using": "tok"}""", mctx)
+    assert(raw.scoring == MaxSimQ("vector_tok", Dot, Seq(Seq(0.1, 0.2))))
+    val nearest = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": [0.1, 0.2]}, "using": "tok"}""", mctx)
+    assert(nearest.scoring == MaxSimQ("vector_tok", Dot, Seq(Seq(0.1, 0.2))))
+    val pf = RequestCodec.parseQueryRequest(
+      """{"prefetch": [{"query": [0.3, 0.4], "using": "tok", "limit": 7}],
+        |  "query": {"nearest": [0.1, 0.2]}, "using": "tok"}""".stripMargin, mctx)
+    assert(pf.prefetches.head.scoring ==
+      MaxSimQ("vector_tok", Dot, Seq(Seq(0.3, 0.4))))
+  }
+
   test("query: nearest+mmr synthesizes the candidates prefetch, lambda = 1 - diversity") {
     val q = RequestCodec.parseQueryRequest(
       """{"query": {"nearest": [1.0, 0.0], "mmr": {"diversity": 0.8, "candidates_limit": 64}},
