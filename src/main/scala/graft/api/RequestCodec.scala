@@ -438,12 +438,19 @@ object RequestCodec {
         case RecommendBest(_, _, p, n) => p.foreach(chk); n.foreach(chk)
         case RecommendSum(_, _, p, n) => p.foreach(chk); n.foreach(chk)
         case RecommendMulti(_, _, _, p, n) => p.foreach(chkM); n.foreach(chkM)
+        case DiscoverMulti(_, _, t, pairs) =>
+          chkM(t); pairs.foreach { case (p, n) => chkM(p); chkM(n) }
+        case ContextMulti(_, _, pairs) =>
+          pairs.foreach { case (p, n) => chkM(p); chkM(n) }
+        case FeedbackMulti(_, _, t, fb, _, _, _) =>
+          chkM(t); fb.foreach(f => chkM(f._1))
         case DiscoverQ(_, _, t, pairs) =>
           chk(t); pairs.foreach { case (p, n) => chk(p); chk(n) }
         case ContextQ(_, _, pairs) =>
           pairs.foreach { case (p, n) => chk(p); chk(n) }
         case FeedbackQ(_, _, t, fb, _, _, _) => chk(t); fb.foreach(f => chk(f._1))
         case MmrQ(_, _, v, _) => chk(v)
+        case MmrMultiQ(_, _, m, _) => chkM(m)
         case _ => ()
       }
   }
@@ -475,6 +482,16 @@ object RequestCodec {
         case Left(v) => Nearest(sp.col, sp.metric, v)
         case Right(m) => MaxSimQ(sp.col, sp.metric, m)
       }
+    // an example/target `VectorInput` for a multivector space's custom
+    // queries: by-id = the stored matrix, inline dense = 1-token legacy
+    // expansion, inline nested array = the matrix itself
+    def multiIn(j: JValue): Seq[Seq[Double]] =
+      vectorInput(j, ctx, name) match {
+        case Left(v) => Seq(v)
+        case Right(m) => m
+      }
+    def multiPairOf(j: JValue): (Seq[Seq[Double]], Seq[Seq[Double]]) =
+      (multiIn(j \ "positive"), multiIn(j \ "negative"))
     j match {
       case arr @ JArray(_) =>
         if (sp.sparse) fail(s"dense vector input for sparse vector '${sp.col}'")
@@ -542,6 +559,12 @@ object RequestCodec {
                 case sq @ SparseStructQ(sc, qi, qvs) =>
                   (MmrSparseQ(sc, qi, qvs, lambda),
                     Some(Query(sq, limit = candidates)))
+                // a multivector `using` (matrix or legacy-dense input)
+                // reranks with MaxSim as both relevance and pairwise sim
+                // (`mmr/mod.rs:102-140`)
+                case mq @ MaxSimQ(_, _, m) =>
+                  (MmrMultiQ(sp.col, sp.metric, m, lambda),
+                    Some(Query(mq, limit = candidates)))
                 case _ => fail("mmr requires a nearest vector query")
               }
             case _ => (scoring, None)
@@ -572,11 +595,6 @@ object RequestCodec {
             // to a 1-token matrix (the legacy emulation,
             // `data_types/vectors.rs:176-190`), an inline nested array is
             // the matrix itself (`test_recommendation_multivector.py`)
-            def multiIn(j: JValue): Seq[Seq[Double]] =
-              vectorInput(j, ctx, name) match {
-                case Left(v) => Seq(v)
-                case Right(m) => m
-              }
             val pos = oneOrMany(r \ "positive").map(multiIn)
             val neg = oneOrMany(r \ "negative").map(multiIn)
             (RecommendMulti(sp.col, sp.metric, strategy, pos, neg), None)
@@ -595,6 +613,9 @@ object RequestCodec {
           if (sp.sparse)
             (DiscoverSparse(sp.col, sparseInput(d \ "target", ctx, name),
               oneOrMany(d \ "context").map(sparsePairOf(_, ctx, name))), None)
+          else if (sp.multivector)
+            (DiscoverMulti(sp.col, sp.metric, multiIn(d \ "target"),
+              oneOrMany(d \ "context").map(multiPairOf)), None)
           else
             (DiscoverQ(sp.col, sp.metric, denseInput(d \ "target", ctx, name),
               oneOrMany(d \ "context").map(pairOf(_, ctx, name))), None)
@@ -602,13 +623,19 @@ object RequestCodec {
           if (sp.sparse)
             (ContextSparse(sp.col,
               oneOrMany(o \ "context").map(sparsePairOf(_, ctx, name))), None)
+          else if (sp.multivector)
+            (ContextMulti(sp.col, sp.metric,
+              oneOrMany(o \ "context").map(multiPairOf)), None)
           else
             (ContextQ(sp.col, sp.metric,
               oneOrMany(o \ "context").map(pairOf(_, ctx, name))), None)
         } else if (keys.contains("relevance_feedback")) {
           val f = o \ "relevance_feedback"
+          def fbIn(j: JValue): Either[Seq[Double], Seq[Seq[Double]]] =
+            if (sp.multivector) Right(multiIn(j))
+            else Left(denseInput(j, ctx, name))
           val fb = arr(f \ "feedback").map { item =>
-            (denseInput(item \ "example", ctx, name), num(item \ "score"))
+            (fbIn(item \ "example"), num(item \ "score"))
           }
           // wire validations (`test_relevance_feedback.py:59,82`): an empty
           // feedback list and negative strategy params both reject
@@ -620,8 +647,12 @@ object RequestCodec {
               s"relevance_feedback.strategy.naive.$k: value $v invalid, " +
               "must be 0.0 or larger]")
           }
-          (FeedbackQ(sp.col, sp.metric, denseInput(f \ "target", ctx, name), fb,
-            a, b, c), None)
+          if (sp.multivector)
+            (FeedbackMulti(sp.col, sp.metric, multiIn(f \ "target"),
+              fb.map { case (e, w) => (e.toOption.get, w) }, a, b, c), None)
+          else
+            (FeedbackQ(sp.col, sp.metric, denseInput(f \ "target", ctx, name),
+              fb.map { case (e, w) => (e.left.toOption.get, w) }, a, b, c), None)
         } else if (keys.contains("order_by")) {
           val s = (o \ "order_by") match {
             case JString(key) => OrderByField(key, asc = true)

@@ -54,14 +54,20 @@ object Mmr {
     * selection order. Ties break on first-seen (candidate rank order),
     * which is deterministic given the ordered input. */
   private def greedySelect(n: Int, limit: Int, lambda: Double,
-      rel: Int => Double, pairSimRaw: (Int, Int) => Double): Seq[Int] = {
+      rel: Int => Double, pairSimRaw: (Int, Int) => Double,
+      /** dense/sparse similarities are symmetric, so the pair cache keys
+        * by the UNORDERED pair; MaxSim is not — the reference computes
+        * `scorers[candidate].score_point(selected)` (candidate as the
+        * query side, `lazy_matrix.rs:56-68`), so the multivec caller keys
+        * by direction. */
+      symmetric: Boolean = true): Seq[Int] = {
     val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
     if (n > 0 && limit > 0) {
       if (n < 2) selected += 0
       else {
         val simCache = scala.collection.mutable.Map.empty[(Int, Int), Double]
         def pairSim(i: Int, j: Int): Double = {
-          val key = if (i < j) (i, j) else (j, i)
+          val key = if (symmetric && i > j) (j, i) else (i, j)
           simCache.getOrElseUpdate(key, pairSimRaw(i, j))
         }
         val remaining = scala.collection.mutable.LinkedHashSet(0 until n: _*)
@@ -113,6 +119,38 @@ object Mmr {
     val rel = vecs.map(v => simInternal(metric, v, q))
     val selected = greedySelect(rows.length, limit, lambda,
       rel, (i, j) => simInternal(metric, vecs(i), vecs(j)))
+    selectionFrame(spark, idCol, idType, ids, scores, selected)
+  }
+
+  /** Multivector-space MMR: `candidates` = (id, score, matrix) rows; both
+    * the relevance and the pairwise similarity are MaxSim
+    * (`mmr/mod.rs:102-140` scores the volatile multi-dense storage with the
+    * standard scorer). Pairwise direction: CANDIDATE matrix as the query
+    * side against the selected matrix (`lazy_matrix.rs:56-68`) — MaxSim is
+    * asymmetric, so the greedy loop must not canonicalize the pair. */
+  def rerankMulti(
+      spark: SparkSession,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      metric: Metric,
+      query: Seq[Seq[Double]],
+      lambda: Double,
+      limit: Int): DataFrame = {
+    val idType = candidates.schema(idCol).dataType
+    val rows = candidates.select(col(idCol), col("score"), col(vecCol)).collect()
+    val ids = rows.map(_.get(0))
+    val scores = rows.map(_.getDouble(1))
+    val mats: Array[Array[Array[Double]]] = rows.map(
+      _.getSeq[scala.collection.Seq[Float]](2)
+        .map(_.iterator.map(_.toDouble).toArray).toArray)
+    val q = query.map(_.toArray).toArray
+    def maxSimOf(qm: Array[Array[Double]], stored: Array[Array[Double]]): Double =
+      qm.foldLeft(0.0)((acc, r) =>
+        acc + stored.iterator.map(t => simInternal(metric, r, t)).max)
+    val rel = mats.map(m => maxSimOf(q, m))
+    val selected = greedySelect(rows.length, limit, lambda,
+      rel, (c, s) => maxSimOf(mats(c), mats(s)), symmetric = false)
     selectionFrame(spark, idCol, idType, ids, scores, selected)
   }
 

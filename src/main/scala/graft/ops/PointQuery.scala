@@ -79,6 +79,20 @@ object PointQuery {
       strategy: String,
       positives: Seq[Seq[Seq[Double]]],
       negatives: Seq[Seq[Seq[Double]]]) extends Scoring
+  /** Discover / Context / relevance feedback over a MULTIVECTOR `using`
+    * space — the reference's custom queries score any vector kind
+    * (`MultiCustomQueryScorer`,
+    * `vector_storage/query_scorer/multi_custom_query_scorer.rs`): the
+    * per-example similarity is MaxSim, combined by the same rank / margin /
+    * weighted-pair formulas as the dense forms. */
+  final case class DiscoverMulti(vecCol: String, metric: Metric,
+      target: Seq[Seq[Double]],
+      pairs: Seq[(Seq[Seq[Double]], Seq[Seq[Double]])]) extends Scoring
+  final case class ContextMulti(vecCol: String, metric: Metric,
+      pairs: Seq[(Seq[Seq[Double]], Seq[Seq[Double]])]) extends Scoring
+  final case class FeedbackMulti(vecCol: String, metric: Metric,
+      target: Seq[Seq[Double]], feedback: Seq[(Seq[Seq[Double]], Double)],
+      a: Double, b: Double, c: Double) extends Scoring
   /** Discover / Context over a SPARSE `using` space — the same rank /
     * margin combines as the dense forms, with the sparse intersect-dot as
     * the per-example similarity (sparse `VectorInput`s are first-class in
@@ -111,6 +125,14 @@ object PointQuery {
     * are the sparse intersect-dot. */
   final case class MmrSparseQ(sparseCol: String, qIndices: Seq[Long],
       qValues: Seq[Double], lambda: Double) extends Scoring
+  /** MMR over a MULTIVECTOR `using` space — the reference's MMR builds a
+    * volatile storage of the candidate matrices and scores with the
+    * standard MaxSim scorer (`mmr/mod.rs:102-140`,
+    * `new_volatile_multi_dense_vector_storage`); pairwise similarity is
+    * MaxSim with the CANDIDATE as the query side
+    * (`LazyMatrix.compute_similarity`: `scorers[i].score_point(j)`). */
+  final case class MmrMultiQ(vecCol: String, metric: Metric,
+      query: Seq[Seq[Double]], lambda: Double) extends Scoring
 
   /** Wire `SearchParams` (`types.rs:573-618`): `exact` / `quantization.
     * ignore` bypass the quantized two-phase route, `quantization.rescore
@@ -229,6 +251,21 @@ object PointQuery {
         case other =>
           throw new IllegalArgumentException(s"unknown recommend strategy '$other'")
       }
+    case DiscoverMulti(vc, m, target, pairs) =>
+      def msim(q: Seq[Seq[Double]]): Column =
+        graft.functions.VectorFunctions.maxSim(m, col(vc), q)
+      (Search.discoverCombine(msim(target),
+        pairs.map { case (p, n) => (msim(p), msim(n)) }), true)
+    case ContextMulti(vc, m, pairs) =>
+      def msim(q: Seq[Seq[Double]]): Column =
+        graft.functions.VectorFunctions.maxSim(m, col(vc), q)
+      (Search.contextCombine(
+        pairs.map { case (p, n) => (msim(p), msim(n)) }), true)
+    case FeedbackMulti(vc, m, target, fb, a, b, c) =>
+      def msim(q: Seq[Seq[Double]]): Column =
+        graft.functions.VectorFunctions.maxSim(m, col(vc), q)
+      (Search.feedbackNaiveCombine(msim(target),
+        fb.map { case (q, w) => (msim(q), w) }, a, b, c), true)
     case DiscoverSparse(sc, target, pairs) =>
       def sim(q: (Seq[Long], Seq[Double])): Column =
         graft.functions.VectorFunctions.sparseDot(
@@ -393,6 +430,24 @@ object PointQuery {
         Mmr.rerank(spark, cands, idCol, vc, m, qv, lambda, q.offset + q.limit)
           .filter(col("position") > q.offset)
 
+      case MmrMultiQ(vc, m, qm, lambda) =>
+        require(q.prefetches.nonEmpty, "MMR rescore requires prefetches")
+        val candidateIds = q.prefetches.map(inherited)
+          .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
+          .reduce(_ union _).distinct()
+        // MaxSim relevance is larger-better for every metric
+        val scoredCands = points.join(candidateIds, Seq(idCol), "left_semi")
+          .withColumn("score", round(
+            graft.functions.VectorFunctions.maxSim(m, col(vc), qm), 6))
+        val thresholded = q.scoreThreshold.fold(scoredCands)(t =>
+          scoredCands.filter(col("score") > t))
+        val cands = thresholded
+          .select(col(idCol), col("score"), col(vc))
+          .orderBy(col("score").desc, col(idCol).asc)
+        Mmr.rerankMulti(spark, cands, idCol, vc, m, qm, lambda,
+          q.offset + q.limit)
+          .filter(col("position") > q.offset)
+
       case MmrSparseQ(sc, qi, qv, lambda) =>
         require(q.prefetches.nonEmpty, "MMR rescore requires prefetches")
         val candidateIds = q.prefetches.map(inherited)
@@ -488,6 +543,9 @@ object PointQuery {
               case ContextQ(vc, _, _) => Some(col(vc).isNotNull)
               case MaxSimQ(vc, _, _) => Some(col(vc).isNotNull)
               case RecommendMulti(vc, _, _, _, _) => Some(col(vc).isNotNull)
+              case DiscoverMulti(vc, _, _, _) => Some(col(vc).isNotNull)
+              case ContextMulti(vc, _, _) => Some(col(vc).isNotNull)
+              case FeedbackMulti(vc, _, _, _, _, _, _) => Some(col(vc).isNotNull)
               case FeedbackQ(vc, _, _, _, _, _, _) => Some(col(vc).isNotNull)
               case _ => None
             }

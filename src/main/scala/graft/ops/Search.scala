@@ -286,18 +286,25 @@ object Search {
       metric: Metric, v: Column,
       target: Seq[Double],
       feedback: Seq[(Seq[Double], Double)],
+      a: Double, b: Double, c: Double): Column =
+    feedbackNaiveCombine(simInternal(metric, v, typedLit(target)),
+      feedback.map { case (fv, sc) =>
+        (simInternal(metric, v, typedLit(fv)), sc)
+      }, a, b, c)
+
+  /** The naive-feedback combine over per-example similarity columns —
+    * shared by the dense metric form and the multivector MaxSim form (the
+    * reference's custom queries are scorer-representation-agnostic,
+    * `query_scorer/multi_custom_query_scorer.rs`). */
+  def feedbackNaiveCombine(targetSim: Column,
+      feedbackSims: Seq[(Column, Double)],
       a: Double, b: Double, c: Double): Column = {
     val pairs = for {
-      (pi, i) <- feedback.zipWithIndex
-      (pj, j) <- feedback.zipWithIndex
-      if i != j && pi._2 - pj._2 > 0.0
-    } yield {
-      val partial = math.pow(pi._2 - pj._2, b) * c
-      lit(partial) * (simInternal(metric, v, typedLit(pi._1)) -
-        simInternal(metric, v, typedLit(pj._1)))
-    }
-    lit(a) * simInternal(metric, v, typedLit(target)) +
-      pairs.reduceOption(_ + _).getOrElse(lit(0.0d))
+      ((si, wi), i) <- feedbackSims.zipWithIndex
+      ((sj, wj), j) <- feedbackSims.zipWithIndex
+      if i != j && wi - wj > 0.0
+    } yield lit(math.pow(wi - wj, b) * c) * (si - sj)
+    lit(a) * targetSim + pairs.reduceOption(_ + _).getOrElse(lit(0.0d))
   }
 
   /** f32 machine epsilon — the MARGIN in context loss

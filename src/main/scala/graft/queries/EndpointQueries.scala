@@ -378,6 +378,86 @@ object EndpointQueries {
         .unionByName(run("sum_scores", "sum"))
         .orderBy(col("strategy"), col("score").desc, col("vec_id"))
     }),
+    // Wire DISCOVER / CONTEXT / RELEVANCE FEEDBACK against the multivector
+    // `using` space — the reference's custom queries score any vector kind
+    // (`MultiCustomQueryScorer`, `query_scorer/multi_custom_query_scorer
+    // .rs`): per-example similarity is MaxSim, the rank / margin /
+    // weighted-pair combines are unchanged. Each arm references id 7
+    // (excluded); the inline dense example rides the 1-token expansion,
+    // the inline matrix stays a matrix.
+    "api_query_multivec_custom" -> ((s, dir) => {
+      val p11 = Tables.embeddingOf(s, dir, 11).take(32)
+        .mkString("[", ",", "]")
+      val e4 = Tables.embeddingOf(s, dir, 4)
+      val nm4 = Seq(e4.take(32), e4.drop(32))
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      def run(body: String, tag: String) =
+        namedVecColl(s, dir).query(body)
+          .select(lit(tag).as("arm"), col("vec_id"), col("score"))
+      val disc = run(
+        s"""{"query": {"discover": {"target": 7,
+           |  "context": [{"positive": $p11, "negative": $nm4}]}},
+           |  "using": "tok", "limit": 10}""".stripMargin, "discover")
+      val ctx = run(
+        s"""{"query": {"context": [{"positive": 7, "negative": $nm4}]},
+           |  "using": "tok", "limit": 10}""".stripMargin, "context")
+      val fb = run(
+        s"""{"query": {"relevance_feedback": {"target": 7,
+           |  "feedback": [{"example": $p11, "score": 0.9},
+           |               {"example": $nm4, "score": 0.4}],
+           |  "strategy": {"naive": {"a": 1.0, "b": 2.0, "c": 0.5}}}},
+           |  "using": "tok", "limit": 10}""".stripMargin, "feedback")
+      disc.unionByName(ctx).unionByName(fb)
+        .orderBy(col("arm"), col("score").desc, col("vec_id"))
+    }),
+    // MMR over the MULTIVECTOR `using` space (`mmr/mod.rs:102-140` scores
+    // the volatile multi-dense storage with the standard MaxSim scorer;
+    // pairwise = candidate-as-query, `lazy_matrix.rs:56-68`): wire result
+    // vs an independent greedy derivation from the raw embeddings parquet.
+    // By-id example 7 is excluded from the candidate fetch.
+    "api_query_mmr_multivec" -> ((s, dir) => {
+      import s.implicits._
+      val res = namedVecColl(s, dir).query(
+        """{"query": {"nearest": 7,
+          |  "mmr": {"diversity": 0.5, "candidates_limit": 25}},
+          |  "using": "tok", "limit": 8}""".stripMargin)
+        .orderBy(col("position")).collect()
+      val mats: Map[Long, Array[Array[Double]]] =
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")).collect()
+          .map { r =>
+            val e = r.getSeq[Float](1).iterator.map(_.toDouble).toArray
+            r.getLong(0) -> Array(e.take(32), e.drop(32))
+          }.toMap
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      def maxsim(q: Array[Array[Double]], t: Array[Array[Double]]): Double =
+        q.foldLeft(0.0)((acc, r) => acc + t.iterator.map(dot(r, _)).max)
+      val q = mats(7L)
+      val cands = mats.toSeq
+        .collect { case (id, m) if id != 7L =>
+          (id, BigDecimal(maxsim(q, m)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(25)
+      val cmats = cands.map { case (id, _) => mats(id) }
+      val rel = cmats.map(m => maxsim(q, m)) // raw inside the rerank
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val rem = scala.collection.mutable.LinkedHashSet(cands.indices: _*)
+      val first = rem.maxBy(i => rel(i))
+      sel += first; rem -= first
+      while (sel.length < 8 && rem.nonEmpty) {
+        val best = rem.maxBy { c =>
+          // pairwise MaxSim: CANDIDATE matrix as the query side
+          0.5 * rel(c) - 0.5 * sel.map(sl => maxsim(cmats(c), cmats(sl))).max
+        }
+        sel += best; rem -= best
+      }
+      val expectIds = sel.map(i => cands(i)._1).toSeq
+      val gotIds = res.map(_.getLong(0)).toSeq
+      Seq((res.length, gotIds == expectIds,
+        res.map(_.getInt(2)).toSeq == (1 to res.length)))
+        .toDF("n", "ids_match_greedy", "positions_ok")
+    }),
     // `lookup_from` against a MULTIVECTOR foreign space: the referenced
     // id resolves the sibling collection's stored MATRIX (the reference
     // resolves referenced vectors of ANY kind, `fetch_vectors.rs:173-183`)
@@ -1302,6 +1382,45 @@ object EndpointQueries {
         |  SELECT * FROM best_arm UNION ALL
         |  SELECT * FROM sum_arm)
         |ORDER BY strategy, score DESC, vec_id ASC""".stripMargin,
+    // per-example MaxSim sims; fs(x) = x/(1+|x|), sig(x) = 0.5*(fs(x)+1);
+    // context margin = f32 ulp(1.0); feedback pair weight (0.9-0.4)^2*0.5
+    "api_query_multivec_custom" ->
+      """WITH q AS (SELECT
+        |    a.embedding[1:32]::DOUBLE[] AS q71, a.embedding[33:64]::DOUBLE[] AS q72,
+        |    b.embedding[1:32]::DOUBLE[] AS p11,
+        |    c.embedding[1:32]::DOUBLE[] AS n1, c.embedding[33:64]::DOUBLE[] AS n2
+        |  FROM embeddings a, embeddings b, embeddings c
+        |  WHERE a.vec_id = 7 AND b.vec_id = 11 AND c.vec_id = 4),
+        |t AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS d1,
+        |             embedding[33:64]::DOUBLE[] AS d2 FROM embeddings
+        |      WHERE vec_id <> 7),
+        |s AS (SELECT t.vec_id AS vec_id,
+        |    greatest(list_dot_product(d1,q.q71), list_dot_product(d2,q.q71))
+        |  + greatest(list_dot_product(d1,q.q72), list_dot_product(d2,q.q72)) AS sim7,
+        |    greatest(list_dot_product(d1,q.p11), list_dot_product(d2,q.p11)) AS sim11,
+        |    greatest(list_dot_product(d1,q.n1), list_dot_product(d2,q.n1))
+        |  + greatest(list_dot_product(d1,q.n2), list_dot_product(d2,q.n2)) AS simn
+        |  FROM t, q),
+        |disc AS (SELECT 'discover' AS arm, vec_id,
+        |    round((CASE WHEN sim11 > simn THEN 1 WHEN sim11 < simn THEN -1
+        |           ELSE 0 END)::DOUBLE
+        |      + 0.5*(sim7/(1+abs(sim7))+1), 6) AS score FROM s
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+        |ctx AS (SELECT 'context' AS arm, vec_id,
+        |    round(least(sim7 - simn - 0.00000011920928955078125, 0)
+        |      / (1 + abs(least(sim7 - simn - 0.00000011920928955078125, 0))),
+        |      6) AS score FROM s
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+        |fb AS (SELECT 'feedback' AS arm, vec_id,
+        |    round(sim7 + 0.125*(sim11 - simn), 6) AS score FROM s
+        |  ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT * FROM (
+        |  SELECT * FROM disc UNION ALL
+        |  SELECT * FROM ctx UNION ALL
+        |  SELECT * FROM fb)
+        |ORDER BY arm, score DESC, vec_id ASC""".stripMargin,
+    "api_query_mmr_multivec" ->
+      "SELECT 8 AS n, true AS ids_match_greedy, true AS positions_ok",
     "catalog_lookup_from_multivec" ->
       """WITH q AS (SELECT embedding[1:32]::DOUBLE[] AS q1,
         |                  embedding[33:64]::DOUBLE[] AS q2

@@ -227,6 +227,53 @@ class CodecSpec extends AnyFunSuite {
       MaxSimQ("vector_tok", Dot, Seq(Seq(0.3, 0.4))))
   }
 
+  test("query: custom queries over a multivector space take matrix examples") {
+    // recommend / discover / context / feedback / mmr against a multivec
+    // `using`: by-id examples resolve stored matrices, inline dense expands
+    // to 1-token, inline nested arrays stay matrices
+    val mctx = Ctx(
+      spaces = Map("tok" -> VectorSpace("vector_tok", Dot, multivector = true)),
+      resolveId = (n, id) => { assert(n == "tok" && id == 7L)
+        Right(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))) })
+    val rec = RequestCodec.parseQueryRequest(
+      """{"query": {"recommend": {"positive": [7, [0.1, 0.2]],
+        |  "negative": [[[0.3, 0.4], [0.5, 0.6]]], "strategy": "best_score"}},
+        |  "using": "tok"}""".stripMargin, mctx)
+    assert(rec.scoring == RecommendMulti("vector_tok", Dot, "best_score",
+      Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(0.1, 0.2))),
+      Seq(Seq(Seq(0.3, 0.4), Seq(0.5, 0.6)))))
+    assert(rec.excludeIds == Seq(7L))
+    val disc = RequestCodec.parseQueryRequest(
+      """{"query": {"discover": {"target": 7,
+        |  "context": [{"positive": [0.1, 0.2], "negative": [0.3, 0.4]}]}},
+        |  "using": "tok"}""".stripMargin, mctx)
+    assert(disc.scoring == DiscoverMulti("vector_tok", Dot,
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq((Seq(Seq(0.1, 0.2)), Seq(Seq(0.3, 0.4))))))
+    val cx = RequestCodec.parseQueryRequest(
+      """{"query": {"context": [{"positive": 7, "negative": [0.3, 0.4]}]},
+        |  "using": "tok"}""".stripMargin, mctx)
+    assert(cx.scoring == ContextMulti("vector_tok", Dot,
+      Seq((Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(0.3, 0.4))))))
+    val fb = RequestCodec.parseQueryRequest(
+      """{"query": {"relevance_feedback": {"target": 7,
+        |  "feedback": [{"example": [0.1, 0.2], "score": 0.9}],
+        |  "strategy": {"naive": {"a": 1.0, "b": 2.0, "c": 0.5}}}},
+        |  "using": "tok"}""".stripMargin, mctx)
+    assert(fb.scoring == FeedbackMulti("vector_tok", Dot,
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq((Seq(Seq(0.1, 0.2)), 0.9)), 1.0, 2.0, 0.5))
+    val mmr = RequestCodec.parseQueryRequest(
+      """{"query": {"nearest": [0.1, 0.2],
+        |  "mmr": {"diversity": 0.8, "candidates_limit": 32}},
+        |  "using": "tok", "limit": 5}""".stripMargin, mctx)
+    val MmrMultiQ(vc, m, qm, lambda) = mmr.scoring: @unchecked
+    assert(vc == "vector_tok" && m == Dot && qm == Seq(Seq(0.1, 0.2)))
+    assert(math.abs(lambda - 0.2) < 1e-12)
+    assert(mmr.prefetches ==
+      Seq(Query(MaxSimQ("vector_tok", Dot, Seq(Seq(0.1, 0.2))), limit = 32)))
+  }
+
   test("query: nearest+mmr synthesizes the candidates prefetch, lambda = 1 - diversity") {
     val q = RequestCodec.parseQueryRequest(
       """{"query": {"nearest": [1.0, 0.0], "mmr": {"diversity": 0.8, "candidates_limit": 64}},
