@@ -524,4 +524,66 @@ class WireOpModelSpec extends SparkTestBase {
         s"seed $seed: update_vectors round-trip diverged")
     }
   }
+
+  test("multivec wire round-trips: legacy dense inputs store as 1-token " +
+      "matrices and score like their matrix twins (5 random corpora)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // values on the k/8 grid → dots live on the 1/64 grid (exact in f32,
+    // double AND at round(·,6)), so every compare is bit-exact. 1-token
+    // points flip a coin between the matrix form `[[..]]` and the LEGACY
+    // dense form `[..]` (`TryFrom<VectorInternal> for
+    // MultiDenseVectorInternal`, `data_types/vectors.rs:176-190`) — the
+    // stored state and every query must be indistinguishable.
+    val dim = 4
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(20260817L + seed)
+      def tok(): Seq[Float] = Seq.fill(dim)((rnd.nextInt(17) - 8) / 8.0f)
+      val corpus: Seq[(Long, Seq[Seq[Float]], Boolean)] = (1L to 12L).map { id =>
+        val k = 1 + rnd.nextInt(3)
+        (id, Seq.fill(k)(tok()), k == 1 && rnd.nextBoolean())
+      }
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("tok", dim, Dot, multivector = true)))
+      val c = Collection.create(spark,
+        s"/tmp/graft_runtime/wiremodel_mvleg$seed", cfg,
+        Seq.empty[Long].toDF("id")
+          .withColumn("vector_tok", org.apache.spark.sql.functions.lit(null)
+            .cast("array<array<float>>"))
+          .withColumn("payload",
+            org.apache.spark.sql.functions.lit(null).cast("string")))
+      def vecJson(m: Seq[Seq[Float]], legacy: Boolean): String =
+        if (legacy) m.head.mkString("[", ",", "]")
+        else m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      val pointsJson = corpus.map { case (id, m, legacy) =>
+        s"""{"id": $id, "vector": {"tok": ${vecJson(m, legacy)}}}"""
+      }.mkString(",")
+      graft.api.UpdateBridge.applyJson(c,
+        s"""{"operations": [{"upsert": {"points": [$pointsJson]}}]}""")
+      val stored = c.read().select(col("id"), col("vector_tok")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[scala.collection.Seq[Float]](1).map(_.toSeq).toSeq).toMap
+      assert(stored == corpus.map { case (id, m, _) => id -> m }.toMap,
+        s"seed $seed: stored matrices diverged (legacy expansion broken?)")
+      for (trial <- 1 to 3) {
+        val q = tok()
+        def run(body: String) = c.query(body).select("id", "score").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+        val flat = run(
+          s"""{"query": ${q.mkString("[", ",", "]")},
+             |  "using": "tok", "limit": 12}""".stripMargin)
+        val matrix = run(
+          s"""{"query": [${q.mkString("[", ",", "]")}],
+             |  "using": "tok", "limit": 12}""".stripMargin)
+        assert(flat == matrix,
+          s"seed $seed trial $trial: legacy dense query != 1-row matrix query")
+        val expected = corpus.map { case (id, m, _) =>
+          id -> m.map(t => t.zip(q).map { case (a, b) =>
+            a.toDouble * b.toDouble }.sum).max
+        }.sortBy { case (id, s) => (-s, id) }.take(12)
+        assert(flat == expected,
+          s"seed $seed trial $trial: MaxSim scores diverged from the model")
+      }
+    }
+  }
 }
