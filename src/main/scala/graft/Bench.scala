@@ -203,14 +203,13 @@ object Bench {
         .write.mode("overwrite").parquet(f16Path)
       // u8 storage holds RAW byte-range values (`x as u8`) — project the
       // unit-scale embeddings into the byte domain like the catalog entry
-      val bscale = transform(col("embedding"),
-        x => ((x.cast("double") + lit(0.5d)) * lit(255.0d)).cast("float"))
+      val bscale = VectorCodec.byteDomain(col("embedding"))
       e.select(col("vec_id"), VectorCodec.toU8(bscale).as("v8"))
         .write.mode("overwrite").parquet(u8Path)
       q7 = Tables.embeddingOf(s, dir, 7L)
       q7b = s.read.parquet(u8Path).filter(col("vec_id") === 7L).head().getSeq[Byte](1)
-      q13b = VectorCodec.encodeU8(Tables.embeddingOf(s, dir, 13L)
-        .map(x => ((x + 0.5) * 255.0).toFloat.toDouble))
+      q13b = VectorCodec.encodeU8(VectorCodec.byteDomainSeq(
+        Tables.embeddingOf(s, dir, 13L)))
       q42 = Tables.embeddingOf(s, dir, 42L)
       q42Norm = math.sqrt(q42.map(x => x * x).sum)
     }

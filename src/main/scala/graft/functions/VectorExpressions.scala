@@ -255,12 +255,6 @@ object VecKernels {
     GraftShim.column(VecF16L1(expr(halfBits), expr(q)))
   def f16SelfDot(halfBits: Column): Column =
     GraftShim.column(VecF16SelfDot(expr(halfBits)))
-  def i8Dot(a: Column, b: Column): Column =
-    GraftShim.column(VecI8Dot(expr(a), expr(b)))
-  def i8L2Sq(a: Column, b: Column): Column =
-    GraftShim.column(VecI8L2Sq(expr(a), expr(b)))
-  def i8L1(a: Column, b: Column): Column =
-    GraftShim.column(VecI8L1(expr(a), expr(b)))
   def u8Dot(a: Column, b: Column): Column =
     GraftShim.column(VecU8Dot(expr(a), expr(b)))
   def u8L2Sq(a: Column, b: Column): Column =
@@ -622,17 +616,20 @@ case class F16DecodeExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** Exact-integer fold over two array<tinyint> columns (i8/u8 storage element
-  * type, `VectorStorageDatatype::Uint8` `types.rs:2039`): BIGINT
+/** Exact-integer fold over two array<tinyint> columns (the byte storage
+  * element type, `VectorStorageDatatype::Uint8` `types.rs:2039`): BIGINT
   * accumulation — reproducible bit-for-bit in any engine, so the DuckDB
-  * oracles can hash-match these scores exactly. */
+  * oracles can hash-match these scores exactly. All concrete kernels are
+  * the UNSIGNED u8 twins (the reference's `VectorElementTypeByte` scores
+  * raw 0..255 values); the former signed ×127 primitive was removed with
+  * its last caller. */
 abstract class VecI8Fold extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
 
-  /** True = elements are u8 bit patterns (the reference's
-    * `VectorElementTypeByte` storage — values 0..255); false = signed i8
-    * (the symmetric ×127 quantization primitive). */
+  /** True = elements are u8 bit patterns (values 0..255); false = signed
+    * i8. Kept as a flag so the fold body stays element-interpretation-
+    * agnostic. */
   protected def unsigned: Boolean = false
 
   /** Java source for one step given long a, b. */
@@ -674,33 +671,6 @@ abstract class VecI8Fold extends BinaryExpression {
          |${ev.value} = $acc;
        """.stripMargin
     })
-}
-
-/** Σ aᵢ·bᵢ */
-case class VecI8Dot(left: Expression, right: Expression) extends VecI8Fold {
-  protected def stepCode(acc: String, a: String, b: String): String =
-    s"$acc += $a * $b;"
-  protected def step(acc: Long, a: Long, b: Long): Long = acc + a * b
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-}
-
-/** Σ (aᵢ−bᵢ)² */
-case class VecI8L2Sq(left: Expression, right: Expression) extends VecI8Fold {
-  protected def stepCode(acc: String, a: String, b: String): String =
-    s"$acc += ($a - $b) * ($a - $b);"
-  protected def step(acc: Long, a: Long, b: Long): Long = acc + (a - b) * (a - b)
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-}
-
-/** Σ |aᵢ−bᵢ| */
-case class VecI8L1(left: Expression, right: Expression) extends VecI8Fold {
-  protected def stepCode(acc: String, a: String, b: String): String =
-    s"$acc += java.lang.Math.abs($a - $b);"
-  protected def step(acc: Long, a: Long, b: Long): Long = acc + math.abs(a - b)
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
 }
 
 /** Unsigned (u8 bit-pattern) twins — the `datatype: uint8` storage scores

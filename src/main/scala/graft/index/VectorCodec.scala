@@ -26,23 +26,19 @@ import graft.model._
   */
 object VectorCodec {
 
-  /** Symmetric i8 quantization: round-half-up(x·127) clamped to [−127,127],
-    * computed in DOUBLE (`floor(x·127 + 0.5)`) so any engine reproduces the
-    * exact same bytes — the integer dot of two encoded vectors is then
-    * engine-independent EXACT arithmetic (cf. the reference's u8 storage,
-    * `vectors.rs:257`). */
-  def toI8(v: Column): Column =
-    transform(v, x =>
-      greatest(lit(-127.0d), least(lit(127.0d),
-        floor(x.cast("double") * lit(127.0d) + lit(0.5d)))).cast("byte"))
+  /** Test/bench fixture projection of unit-scale embeddings into the byte
+    * domain: `(x + 0.5) · 255`, f32-rounded so the DuckDB oracles reproduce
+    * identical bytes with `CAST(.. AS REAL)`. u8 storage holds RAW 0..255
+    * values (`x as u8` is a cast, not a quantization), so unit-scale inputs
+    * would all truncate to 0 without it. ONE definition — the column and
+    * driver forms must stay bit-identical to each other and to every
+    * oracle's SQL expression. */
+  def byteDomain(c: Column): Column =
+    transform(c, x => ((x.cast("double") + lit(0.5d)) * lit(255.0d)).cast("float"))
 
-  /** Driver-side twin of [[toI8]] for encoding literal query vectors —
-    * identical formula, identical bytes. */
-  def encodeI8(v: Seq[Double]): Seq[Byte] =
-    v.map(x => math.max(-127.0, math.min(127.0, math.floor(x * 127.0 + 0.5))).toByte)
-
-  /** Σ aᵢ·bᵢ over two i8-encoded vectors, exact BIGINT. */
-  def i8Dot(a: Column, b: Column): Column = VecKernels.i8Dot(a, b)
+  /** Driver-side twin of [[byteDomain]] — identical f32 rounding point. */
+  def byteDomainSeq(v: Seq[Double]): Seq[Double] =
+    v.map(x => ((x + 0.5) * 255.0).toFloat.toDouble)
 
   /** The reference's `datatype: uint8` element conversion — Rust's
     * saturating `x as u8` (`PrimitiveVectorElement for

@@ -410,7 +410,12 @@ object PointQuery {
         // An unordered semi-join here makes tie-breaks partition-order —
         // visible whenever MMR scores tie exactly (e.g. λ=0.5 with the
         // query equal to a stored vector: every post-first pick scores 0).
+        // candidates lacking this named vector are silently dropped (the
+        // reference's filter_map over `vector.get(&mmr.using)`,
+        // `mmr/mod.rs:52-60`) — scoring a null vector would poison the
+        // driver-side rerank
         val scoredCands = points.join(candidateIds, Seq(idCol), "left_semi")
+          .filter(col(vc).isNotNull)
           .withColumn("score",
             round(Search.scoreExpr(m, col(vc), typedLit(qv)), 6))
         // MMR-with-prefetches applies the root score_threshold at the
@@ -435,8 +440,10 @@ object PointQuery {
         val candidateIds = q.prefetches.map(inherited)
           .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
           .reduce(_ union _).distinct()
-        // MaxSim relevance is larger-better for every metric
+        // MaxSim relevance is larger-better for every metric; vectorless
+        // candidates drop like the reference's filter_map (`mmr/mod.rs:52-60`)
         val scoredCands = points.join(candidateIds, Seq(idCol), "left_semi")
+          .filter(col(vc).isNotNull)
           .withColumn("score", round(
             graft.functions.VectorFunctions.maxSim(m, col(vc), qm), 6))
         val thresholded = q.scoreThreshold.fold(scoredCands)(t =>
@@ -453,7 +460,9 @@ object PointQuery {
         val candidateIds = q.prefetches.map(inherited)
           .map(c => execute(spark, points, idCol, resolver, c).select(idCol))
           .reduce(_ union _).distinct()
+        // vectorless candidates drop (`mmr/mod.rs:52-60` filter_map)
         val scoredCands = points.join(candidateIds, Seq(idCol), "left_semi")
+          .filter(col(sc).isNotNull)
           .withColumn("score",
             round(graft.functions.VectorFunctions.sparseDot(
               col(s"$sc.indices"), col(s"$sc.values"), qi, qv), 6))

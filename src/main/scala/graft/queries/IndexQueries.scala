@@ -536,8 +536,7 @@ object IndexQueries {
       // Tokens are byte-range projections of the unit-scale embeddings —
       // u8 storage holds RAW 0..255 values (`x as u8`, not a quantization),
       // so unit-scale inputs would all truncate to zero.
-      def u8s(c: Column): Column =
-        transform(c, x => ((x.cast("double") + lit(0.5d)) * lit(255.0d)).cast("float"))
+      def u8s(c: Column): Column = graft.index.VectorCodec.byteDomain(c)
       val coll = mvecU8Collections.computeIfAbsent(path, { _ =>
         val cfg = CollectionConfig(idCol = "vec_id",
           vectors = Seq(VectorConfig("tok", 16, Dot,

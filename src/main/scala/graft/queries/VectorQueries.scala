@@ -312,12 +312,10 @@ object VectorQueries {
     * `(x + 0.5)·255` lands the data in the byte domain; f32-rounded so the
     * DuckDB oracle reproduces identical bytes with `CAST(.. AS REAL)`. */
   private def u8scale(c: Column): Column =
-    org.apache.spark.sql.functions.transform(c, x =>
-      ((x.cast("double") + org.apache.spark.sql.functions.lit(0.5d)) *
-        org.apache.spark.sql.functions.lit(255.0d)).cast("float"))
+    graft.index.VectorCodec.byteDomain(c)
 
   private def u8scaleSeq(v: Seq[Double]): Seq[Double] =
-    v.map(x => ((x + 0.5) * 255.0).toFloat.toDouble)
+    graft.index.VectorCodec.byteDomainSeq(v)
 
   val oracles: Map[String, String] = Map(
     "knn_with_payload" ->

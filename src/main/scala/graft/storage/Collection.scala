@@ -1929,23 +1929,34 @@ final class Collection(
     loadSparseIdf() match {
       case Some(m) if idfNames.forall(n =>
           m.get(n).forall(_.isInstanceOf[Collection.IdfSharded])) =>
+        // splice ONLY the names already present (and sharded) in the warm
+        // sidecar. A name ABSENT from the map was never built — the lazy
+        // rebuild ([[sparseIdfStats]]) persists one entry per read — and
+        // MUST stay absent: fabricating it from the touched keys' rows
+        // alone would record one tenant's (N, df) as the whole
+        // collection's and silently mis-weight every later IDF query on
+        // that space (the entry would be warm, so never corrected).
+        val present = idfNames.filter(m.contains)
         val touched = keys.map(_.toString).toSet
-        val scoped = read().filter(col(sk).isin(keys: _*))
-        val fresh = computeSparseIdfStats(scoped, idfNames)
-        val merged = m ++ idfNames.flatMap { n =>
-          val freshParts = fresh.get(n) match {
-            case Some(Collection.IdfSharded(p)) => p
-            case _ => Map.empty[String, (Long, Map[Long, Long])]
+        val merged =
+          if (present.isEmpty) m
+          else {
+            val scoped = read().filter(col(sk).isin(keys: _*))
+            val fresh = computeSparseIdfStats(scoped, present)
+            m ++ present.flatMap { n =>
+              val freshParts = fresh.get(n) match {
+                case Some(Collection.IdfSharded(p)) => p
+                case _ => Map.empty[String, (Long, Map[Long, Long])]
+              }
+              m.get(n) match {
+                case Some(Collection.IdfSharded(old)) =>
+                  Some(n -> Collection.IdfSharded(
+                    old.view.filterKeys(k => !touched.contains(k)).toMap ++
+                      freshParts))
+                case _ => None // unreachable under the guard
+              }
+            }.toMap
           }
-          m.get(n) match {
-            case Some(Collection.IdfSharded(old)) =>
-              Some(n -> Collection.IdfSharded(
-                old.view.filterKeys(k => !touched.contains(k)).toMap ++ freshParts))
-            case None =>
-              Some(n -> Collection.IdfSharded(freshParts))
-            case _ => None
-          }
-        }.toMap
         writeSparseIdfStats(merged)
       case Some(_) => invalidateSparseIdfStats()
       case None => () // cold: stays cold, first IDF read rebuilds

@@ -219,7 +219,7 @@ class IndexSpec extends SparkTestBase {
     assert(F16.toHalf(5.9604645e-8f) == 0x0001.toShort) // min subnormal exact
   }
 
-  test("f16/i8 kernels agree with reference math on DataFrame columns") {
+  test("f16 kernels agree with reference math on DataFrame columns") {
     import graft.index.VectorCodec
     import spark.implicits._
     val rnd = new scala.util.Random(11)
@@ -237,18 +237,6 @@ class IndexSpec extends SparkTestBase {
         graft.functions.F16.toFloat(graft.functions.F16.toHalf(a)).toDouble * b
       }.sum
       assert(math.abs(gotH(id) - expect) < 1e-12, s"f16 id=$id")
-    }
-    // i8: integer dot is exact vs the same arithmetic on the driver
-    val enc = df.select(col("id"), VectorCodec.toI8(col("v")).as("v8"))
-    val q8 = enc.filter(col("id") === 1L).head().getSeq[Byte](1)
-    val got8 = enc.select(col("id"),
-        VectorCodec.i8Dot(col("v8"), typedlit(q8)).as("s"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def i8(x: Float): Long =
-      math.max(-127, math.min(127, math.floor(x.toDouble * 127 + 0.5))).toLong
-    for ((id, v) <- rows) {
-      val expect = v.map(i8).zip(q8.map(_.toLong)).map { case (a, b) => a * b }.sum
-      assert(got8(id) == expect, s"i8 id=$id")
     }
   }
 
@@ -280,13 +268,7 @@ class IndexSpec extends SparkTestBase {
       id -> v.map(x => F16.toFloat(F16.toHalf(x)).toDouble)
     }.toMap
     val hv = VectorCodec.toF16(col("v"))
-    val qb = VectorCodec.encodeI8(q).map(_.toLong)
-    val i8v = rows.map { case (id, v) =>
-      id -> VectorCodec.encodeI8(v.map(_.toDouble)).map(_.toLong)
-    }.toMap
-    val bv = VectorCodec.toI8(col("v"))
     val qlit = typedlit(q)
-    val q8lit = typedlit(VectorCodec.encodeI8(q))
 
     // u8 folds: the `datatype: uint8` element domain — byte-range values
     // through the saturating `x as u8` cast, scored UNSIGNED (a stored
@@ -311,13 +293,6 @@ class IndexSpec extends SparkTestBase {
         id => half(id).zip(q).map { case (a, b) => math.abs(a - b) }.sum, 1e-12, cg)
       check("f16SelfDot", VecKernels.f16SelfDot(hv),
         id => half(id).map(x => x * x).sum, 1e-12, cg)
-      // i8 folds: exact integers
-      check("i8L2Sq", VecKernels.i8L2Sq(bv, q8lit),
-        id => i8v(id).zip(qb).map { case (a, b) => ((a - b) * (a - b)).toDouble }.sum,
-        0.0, cg)
-      check("i8L1", VecKernels.i8L1(bv, q8lit),
-        id => i8v(id).zip(qb).map { case (a, b) => math.abs(a - b).toDouble }.sum,
-        0.0, cg)
       // u8 folds: exact unsigned integers
       check("u8Dot", VecKernels.u8Dot(uv, uqlit),
         id => u8v(id).zip(uqL).map { case (a, b) => (a * b).toDouble }.sum, 0.0, cg)

@@ -782,6 +782,36 @@ class StoreSpec extends SparkTestBase {
     assert(mmr == knn, s"idf-weighted MMR relevance order $mmr != knn $knn")
   }
 
+  test("MMR silently drops candidates lacking the `using` vector") {
+    // the reference's filter_map over `vector.get(&mmr.using)` ignores
+    // vectorless points (`mmr/mod.rs:52-60`); an explicit scroll prefetch
+    // feeds ids whose vector cell is NULL into the rescore — they must be
+    // skipped, not NPE the driver-side greedy loop
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cfg = CollectionConfig(idCol = "id",
+      vectors = Seq(VectorConfig("", 2, Dot)))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vector", ArrayType(FloatType)),
+      StructField("payload", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Array(1.0f, 0.0f), null),
+      Row(2L, Array(0.0f, 1.0f), null),
+      Row(3L, Array(0.5f, 0.5f), null),
+      Row(4L, null, null)) // optional vector: missing
+    val c = Collection.create(spark, tmpDir(), cfg,
+      spark.createDataFrame(rows, schema))
+    val got = c.query(
+      """{"prefetch": [{"limit": 10}],
+        |  "query": {"nearest": [1.0, 0.0],
+        |    "mmr": {"diversity": 0.5, "candidates_limit": 10}},
+        |  "limit": 4}""".stripMargin)
+      .orderBy(col("position")).collect().map(_.getLong(0)).toSeq
+    assert(got.length == 3 && !got.contains(4L),
+      s"vectorless candidate must drop from MMR, got $got")
+  }
+
   test("shard-key stats ride the sidecar: warm shard-scoped estimate is exact, ZERO Spark jobs") {
     import spark.implicits._
     val path = tmpDir()
@@ -1417,5 +1447,50 @@ class StoreSpec extends SparkTestBase {
     assert(!fs.exists(c4.sparseIdfPath),
       "a flat-format sidecar must invalidate on a scoped write, not splice")
     assert(c4.sparseIdfStats("txt") == ((3L, Map(1L -> 1L, 5L -> 3L, 9L -> 1L))))
+
+    // 7. PARTIALLY-warm sidecar: with TWO idf spaces the lazy rebuild
+    //    persists only the space a read touched, so the other space can be
+    //    ABSENT from a warm file. A scoped write must NOT fabricate the
+    //    missing entry from the touched tenant's rows (that would record
+    //    one tenant's (N, df) as the collection's and stay warm forever) —
+    //    it stays absent and the next read rebuilds it table-wide.
+    val cfg2 = cfg.copy(sparse = Seq(
+      SparseVectorConfig("txt", modifier = Some("idf")),
+      SparseVectorConfig("ttl", modifier = Some("idf"))))
+    val schema2 = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sparse_txt", sparseT),
+      StructField("sparse_ttl", sparseT),
+      StructField("payload", StringType),
+      StructField("shard_key", StringType)))
+    val rows2 = java.util.Arrays.asList(
+      Row(1L, Row(Seq(1L), Seq(1f)), Row(Seq(2L), Seq(1f)), """{"tag":"x"}""", "a"),
+      Row(2L, Row(Seq(1L), Seq(1f)), Row(Seq(2L), Seq(1f)), """{"tag":"x"}""", "b"),
+      Row(3L, Row(Seq(1L), Seq(1f)), Row(Seq(3L), Seq(1f)), """{"tag":"x"}""", "b"))
+    val path2 = tmpDir()
+    val c5 = Collection.create(spark, path2, cfg2,
+      spark.createDataFrame(rows2, schema2))
+    fs.delete(c5.sparseIdfPath, false) // go cold
+    val c6 = new Collection(spark, path2, cfg2)
+    c6.sparseIdfStats("txt") // lazy rebuild persists ONLY txt
+    def sidecar6(): String = {
+      val in = fs.open(c6.sparseIdfPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    assert(!sidecar6().contains("\"ttl\""),
+      "fixture: the lazy rebuild must persist only the read space")
+    graft.api.UpdateBridge.applyJson(c6,
+      """{"operations": [{"upsert": {"points": [
+        |  {"id": 9, "vector": {
+        |     "txt": {"indices": [1], "values": [1.0]},
+        |     "ttl": {"indices": [2], "values": [1.0]}},
+        |   "shard_key": "a"}]}}]}""".stripMargin)
+    assert(!sidecar6().contains("\"ttl\""),
+      "scoped refresh fabricated the absent space's entry from one tenant")
+    // full-table truth: rows {1,2,9} carry ttl dim 2, row 3 dim 3 → n=4;
+    // a tenant-a fabrication would have recorded n=2, df(2)=2
+    assert(c6.sparseIdfStats("ttl") == ((4L, Map(2L -> 3L, 3L -> 1L))),
+      "absent space must rebuild table-wide on its first read")
   }
 }
