@@ -187,8 +187,19 @@ object RequestCodec {
     }
     (o \ "range") match {
       case r: JObject =>
-        parts += RangeCond(key, bound(r \ "gt"), bound(r \ "gte"),
-          bound(r \ "lt"), bound(r \ "lte"))
+        // a STRING range bound is always a datetime in the reference
+        // (`RangeInterface` is f64 or `DatetimeRange`, nothing else) and an
+        // unparseable one 422s at deserialization with this message
+        // (`types.rs:107`, `parse_range_interface`) — passing it through
+        // would silently cast to NULL and match nothing
+        def chk(b: Option[Any]): Option[Any] = b.map {
+          case s: String if graft.filters.Temporal.parseInstant(s).isEmpty =>
+            fail(s"'$s' does not match accepted datetime format (RFC3339). " +
+              "Example: 2014-01-01T00:00:00Z")
+          case v => v
+        }
+        parts += RangeCond(key, chk(bound(r \ "gt")), chk(bound(r \ "gte")),
+          chk(bound(r \ "lt")), chk(bound(r \ "lte")))
       case _ => ()
     }
     (o \ "geo_bounding_box") match {

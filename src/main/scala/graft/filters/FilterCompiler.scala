@@ -305,17 +305,22 @@ final class FilterCompiler(
     case ValuesCount(k, gt, gte, lt, lte) =>
       rangeBounds(size(r.values(k)).cast("long"), None, gt, gte, lt, lte)
     case GeoBoundingBox(k, tl, br) =>
+      // bounds are EXCLUSIVE — `GeoBoundingBox::check_point` compares
+      // strictly on both axes, antimeridian arm included
+      // (`types.rs:3407-3420`); a point exactly on an edge does not match
       anyValue(k, p => {
         val lon = p.getField("lon"); val lat = p.getField("lat")
         val lonOk =
-          if (tl.lon > br.lon) lon >= lit(tl.lon) || lon <= lit(br.lon) // antimeridian
-          else lon >= lit(tl.lon) && lon <= lit(br.lon)
-        lonOk && lat <= lit(tl.lat) && lat >= lit(br.lat)
+          if (tl.lon > br.lon) lon > lit(tl.lon) || lon < lit(br.lon) // antimeridian
+          else lon > lit(tl.lon) && lon < lit(br.lon)
+        lonOk && lat < lit(tl.lat) && lat > lit(br.lat)
       })
     case GeoRadius(k, c0, radius) =>
       anyValue(k, p =>
+        // strictly INSIDE the circle (`GeoRadius::check_point` uses `<`,
+        // `types.rs:3443-3448`)
         VectorFunctions.haversineMeters(
-          p.getField("lon"), p.getField("lat"), lit(c0.lon), lit(c0.lat)) <= lit(radius))
+          p.getField("lon"), p.getField("lat"), lit(c0.lon), lit(c0.lat)) < lit(radius))
     case GeoPolygonCond(k, exterior, interiors) =>
       anyValue(k, p => {
         val inExt = pointInRing(p, exterior)

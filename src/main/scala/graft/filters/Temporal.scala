@@ -32,14 +32,25 @@ object Temporal {
 
   /** Parse the reference's accepted wire forms to an Instant (UTC when no
     * offset is given): RFC3339 with offset/'Z', `yyyy-MM-ddTHH:mm:ss[.f]`,
-    * `yyyy-MM-dd HH:mm:ss[.f]`, and bare `yyyy-MM-dd`. */
+    * `yyyy-MM-dd HH:mm:ss[.f]`, and bare `yyyy-MM-dd`. The offset may omit
+    * the colon or the minutes (`+0200` / `+02`) — chrono's `%#z` accepts
+    * both (`types.rs:124-125`) where java.time wants `+02:00` — and
+    * RFC3339's `t`/`z` are case-insensitive. */
   def parseInstant(s: String): Option[Instant] = {
-    val t = s.trim
+    val t0 = s.trim.replace(' ', 'T')
+    val t1 = if (t0.length > 10 && t0.charAt(10) == 't') t0.updated(10, 'T') else t0
+    val t2 = if (t1.nonEmpty && t1.last == 'z') t1.dropRight(1) + "Z" else t1
+    // `+HHMM` → `+HH:MM` (4 digits after the sign can only be an offset);
+    // bare `+HH` → `+HH:00` (guarded by a preceding time so a bare date's
+    // `-dd` tail can never match)
+    val t = t2
+      .replaceFirst("([+-]\\d{2})(\\d{2})$", "$1:$2")
+      .replaceFirst("(T\\d{2}:\\d{2}(?::\\d{2}(?:\\.\\d+)?)?)([+-]\\d{2})$", "$1$2:00")
     def attempt(f: => Instant): Option[Instant] =
       try Some(f) catch { case _: java.time.format.DateTimeParseException => None }
     attempt(OffsetDateTime.parse(t).toInstant)
       .orElse(attempt(Instant.parse(t)))
-      .orElse(attempt(LocalDateTime.parse(t.replace(' ', 'T')).toInstant(ZoneOffset.UTC)))
+      .orElse(attempt(LocalDateTime.parse(t).toInstant(ZoneOffset.UTC)))
       .orElse(attempt(LocalDate.parse(t).atStartOfDay(ZoneOffset.UTC).toInstant))
   }
 

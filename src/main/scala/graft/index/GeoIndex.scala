@@ -100,7 +100,9 @@ object GeoIndex {
     val cells = coverRadius(centerLon, centerLat, radiusM, precision)
     indexed
       .filter(col(cellColName).isin(cells: _*))
+      // strictly inside, like the unindexed path (`GeoRadius::check_point`
+      // uses `<`, `types.rs:3443-3448`) — the cell prune is a superset
       .filter(VectorFunctions.haversineMeters(
-        col(lonCol), col(latCol), lit(centerLon), lit(centerLat)) <= lit(radiusM))
+        col(lonCol), col(latCol), lit(centerLon), lit(centerLat)) < lit(radiusM))
   }
 }

@@ -589,7 +589,9 @@ object ApiQueries {
           |    {"key": "ts", "range": {"gte": "2024-01-10T06:30:00Z"}},
           |    {"key": "ts", "range": {"gt": "2024-01-09T22:00:00-04:00"}},
           |    {"key": "ts", "range": {"lt": "2024-01-20 18:45:30.250"}},
-          |    {"key": "ts", "range": {"lte": "2024-02-01"}}
+          |    {"key": "ts", "range": {"lte": "2024-02-01"}},
+          |    {"key": "ts", "range": {"gt": "2024-01-09t20:00:00+0200"}},
+          |    {"key": "ts", "range": {"lte": "2024-02-01T00:00+02"}}
           |  ]
           |}""".stripMargin)
       Reads.count(ev, Some(f), new TypedResolver(ev.schema, "event_id"))

@@ -372,15 +372,15 @@ object PayloadGeoQueries {
     "geo_radius" ->
       s"""$geoCte
          |SELECT count(*)::BIGINT AS cnt FROM g
-         |WHERE ${haversineSql("0", "0")} <= 3000000.0""".stripMargin,
+         |WHERE ${haversineSql("0", "0")} < 3000000.0""".stripMargin,
     "geo_radius_indexed" ->
       s"""$geoCte
          |SELECT count(*)::BIGINT AS cnt FROM g
-         |WHERE ${haversineSql("0", "0")} <= 3000000.0""".stripMargin,
+         |WHERE ${haversineSql("0", "0")} < 3000000.0""".stripMargin,
     "geo_bbox" ->
       s"""$geoCte
          |SELECT count(*)::BIGINT AS cnt FROM g
-         |WHERE lon >= -50.0 AND lon <= 50.0 AND lat <= 60.0 AND lat >= -30.0""".stripMargin,
+         |WHERE lon > -50.0 AND lon < 50.0 AND lat < 60.0 AND lat > -30.0""".stripMargin,
     "geo_polygon" ->
       // ray casting, edges of ((-100,-50),(100,-40),(0,70)); mirrors
       // FilterCompiler.pointInRing literal-by-literal

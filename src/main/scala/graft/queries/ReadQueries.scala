@@ -151,7 +151,12 @@ object ReadQueries {
         RangeCond("ts", gte = Some("2024-01-10T06:30:00Z")),
         RangeCond("ts", gt = Some("2024-01-09T22:00:00-04:00")), // = 10th 02:00Z, subsumed
         RangeCond("ts", lt = Some("2024-01-20 18:45:30.250")),
-        RangeCond("ts", lte = Some("2024-02-01")))
+        RangeCond("ts", lte = Some("2024-02-01")),
+        // chrono `%#z` lenient offsets (`types.rs:124-125`): no-colon
+        // `+0200` (with lowercase 't', RFC3339 case-insensitive) and
+        // minute-less `+02`
+        RangeCond("ts", gt = Some("2024-01-09t20:00:00+0200")), // = 9th 18:00Z, subsumed
+        RangeCond("ts", lte = Some("2024-02-01T00:00+02"))) // = Jan 31 22:00Z, tightens
       Reads.count(ev, Some(f), new TypedResolver(ev.schema, "event_id"))
     }),
     "count_filtered" -> ((s, dir) => {
@@ -345,7 +350,9 @@ object ReadQueries {
         |WHERE ts >= TIMESTAMP '2024-01-10 06:30:00'
         |  AND ts >  TIMESTAMP '2024-01-10 02:00:00'
         |  AND ts <  TIMESTAMP '2024-01-20 18:45:30.250'
-        |  AND ts <= TIMESTAMP '2024-02-01 00:00:00'""".stripMargin,
+        |  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+        |  AND ts >  TIMESTAMP '2024-01-09 18:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-31 22:00:00'""".stripMargin,
     "count_filtered" ->
       """SELECT count(*)::BIGINT AS cnt FROM lineitem
         |WHERE l_quantity >= 5.0 AND l_quantity < 30.0

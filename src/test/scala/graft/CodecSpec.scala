@@ -201,6 +201,20 @@ class CodecSpec extends AnyFunSuite {
     assert(denseSeen == Some(Some("other")))
   }
 
+  test("filter: an unparseable string range bound rejects with the reference message") {
+    // string range bounds are always datetimes (`RangeInterface` is f64 or
+    // `DatetimeRange`); the reference 422s at deserialization
+    // (`types.rs:107`) — a silent pass-through would cast to NULL and
+    // match nothing
+    val ex = intercept[IllegalArgumentException] {
+      RequestCodec.parseFilter(
+        """{"must": [{"key": "ts", "range": {"gte": "2014-99-01"}}]}""")
+    }
+    assert(ex.getMessage.contains(
+      "'2014-99-01' does not match accepted datetime format (RFC3339). " +
+        "Example: 2014-01-01T00:00:00Z"))
+  }
+
   test("query: multi-dense matrix becomes MaxSim (the only multivector comparator)") {
     val q = RequestCodec.parseQueryRequest(
       """{"query": [[0.1, 0.2], [0.3, 0.4]]}""", ctx)

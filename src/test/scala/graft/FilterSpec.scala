@@ -141,6 +141,26 @@ class FilterSpec extends SparkTestBase {
     // must_not is null-safe over absent/null geo fields
     assert(ids(Filter(mustNot = Seq(
       GeoRadius("loc", GeoPoint(2.35, 48.86), 1200000.0)))) == Seq(4L, 5L))
+    // bbox bounds are EXCLUSIVE (`GeoBoundingBox::check_point` strict
+    // comparisons, `types.rs:3407-3420`): a box whose edge passes exactly
+    // through Paris (2.35, 48.86) — row 3's only European point — must
+    // NOT match it; nudging the edge off the point must
+    assert(!ids(Filter.mustAll(GeoBoundingBox("loc",
+      topLeft = GeoPoint(2.35, 55.0), bottomRight = GeoPoint(5.0, 45.0))))
+      .contains(3L), "left edge through the point must exclude it")
+    assert(!ids(Filter.mustAll(GeoBoundingBox("loc",
+      topLeft = GeoPoint(-5.0, 48.86), bottomRight = GeoPoint(5.0, 45.0))))
+      .contains(3L), "top edge through the point must exclude it")
+    assert(ids(Filter.mustAll(GeoBoundingBox("loc",
+      topLeft = GeoPoint(2.34, 55.0), bottomRight = GeoPoint(5.0, 45.0))))
+      .contains(3L))
+    // radius is strictly inside (`GeoRadius::check_point` `<`,
+    // `types.rs:3443-3448`): the center point itself (distance 0) needs a
+    // POSITIVE radius — radius 0 matches nothing
+    assert(!ids(Filter.mustAll(GeoRadius("loc", GeoPoint(2.35, 48.86), 0.0)))
+      .contains(3L), "distance-0 point must not match radius 0 (strict <)")
+    assert(ids(Filter.mustAll(GeoRadius("loc", GeoPoint(2.35, 48.86), 1.0)))
+      .contains(3L))
   }
 
   test("siphash-2-4 matches the reference vectors from the SipHash paper") {

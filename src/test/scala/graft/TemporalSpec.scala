@@ -22,7 +22,17 @@ class TemporalSpec extends SparkTestBase {
     assert(Temporal.parseInstant("2024-01-15").contains(Instant.parse("2024-01-15T00:00:00Z")))
     assert(Temporal.parseInstant("2024-01-15 06:30:00.250")
       .contains(Instant.parse("2024-01-15T06:30:00.250Z")))
+    // chrono `%#z` (`types.rs:124-125`): colon-less and minute-less offsets
+    assert(Temporal.parseInstant("2024-01-15T08:30:00+0200").contains(expect))
+    assert(Temporal.parseInstant("2024-01-15 08:30:00+0200").contains(expect))
+    assert(Temporal.parseInstant("2024-01-15T08:30+02").contains(expect))
+    assert(Temporal.parseInstant("2024-01-15T04:30:00-0200").contains(expect))
+    // RFC3339 `t`/`z` are case-insensitive
+    assert(Temporal.parseInstant("2024-01-15t06:30:00z").contains(expect))
+    // a bare date's `-dd` tail must NOT be read as an offset
+    assert(Temporal.parseInstant("2024-01-15").contains(Instant.parse("2024-01-15T00:00:00Z")))
     assert(Temporal.parseInstant("not a date").isEmpty)
+    assert(Temporal.parseInstant("2024-13-45").isEmpty)
   }
 
   test("epochMicros keeps sub-second precision") {
