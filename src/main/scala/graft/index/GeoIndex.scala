@@ -86,6 +86,55 @@ object GeoIndex {
       precision: Int, cellColName: String = "geo_cell"): DataFrame =
     df.withColumn(cellColName, cellCol(col(lonCol), col(latCol), precision))
 
+  /** Cells (at `precision`) covering a lon/lat box — a SUPERSET of the box,
+    * so prefix-pruning is recall-safe. Antimeridian-aware: when
+    * `tlLon > brLon` the box wraps, so the two halves are enumerated
+    * separately (the reference's geo index serves `GeoBoundingBox` through
+    * the same geohash-region machinery as radius,
+    * `field_index/geo_index/geo_hash.rs`). */
+  def coverBbox(tlLon: Double, tlLat: Double, brLon: Double, brLat: Double,
+      precision: Int): Seq[String] = {
+    val (latSize, lonSize) = cellSizeDeg(precision)
+    val cells = scala.collection.mutable.LinkedHashSet.empty[String]
+    def sweep(lonLo: Double, lonHi: Double): Unit = {
+      var la = math.max(brLat, -90.0)
+      val laMax = math.min(tlLat, 90.0)
+      while (la <= laMax + latSize / 2) {
+        var lo = lonLo
+        while (lo <= lonHi + lonSize / 2) {
+          cells += encode(math.min(math.max(lo, -180.0), 180.0),
+            math.min(math.max(la, -90.0), 90.0), precision)
+          lo += lonSize / 2
+        }
+        la += latSize / 2
+      }
+    }
+    if (tlLon > brLon) { sweep(tlLon, 180.0); sweep(-180.0, brLon) }
+    else sweep(tlLon, brLon)
+    cells.toSeq
+  }
+
+  /** Bounding-box search over an indexed table: prune by cell membership,
+    * then the exact STRICT box check (`GeoBoundingBox::check_point`,
+    * `types.rs:3407-3420`) — identical results to the full scan. */
+  def bboxSearch(
+      indexed: DataFrame,
+      lonCol: String,
+      latCol: String,
+      tlLon: Double, tlLat: Double,
+      brLon: Double, brLat: Double,
+      precision: Int,
+      cellColName: String = "geo_cell"): DataFrame = {
+    val cells = coverBbox(tlLon, tlLat, brLon, brLat, precision)
+    val lon = col(lonCol); val lat = col(latCol)
+    val lonOk =
+      if (tlLon > brLon) lon > lit(tlLon) || lon < lit(brLon) // antimeridian
+      else lon > lit(tlLon) && lon < lit(brLon)
+    indexed
+      .filter(col(cellColName).isin(cells: _*))
+      .filter(lonOk && lat < lit(tlLat) && lat > lit(brLat))
+  }
+
   /** Radius search over an indexed table: prune by cell membership, then
     * exact haversine — identical results to the full scan. */
   def radiusSearch(

@@ -206,6 +206,16 @@ object PayloadGeoQueries {
     "geo_bbox" -> ((s, dir) =>
       geoCount(s, dir, GeoBoundingBox("location",
         topLeft = GeoPoint(-50.0, 60.0), bottomRight = GeoPoint(50.0, -30.0)))),
+    // geohash-indexed bbox search: cell-prefix prune then the exact STRICT
+    // box check — identical answer to geo_bbox (same oracle), pruned scan
+    "geo_bbox_indexed" -> ((s, dir) => {
+      val g = graft.index.GeoIndex.withCells(
+        geoEvents(s, dir), "lon", "lat", precision = 2)
+      graft.index.GeoIndex.bboxSearch(g, "lon", "lat",
+          tlLon = -50.0, tlLat = 60.0, brLon = 50.0, brLat = -30.0,
+          precision = 2)
+        .agg(count(lit(1)).as("cnt"))
+    }),
     "geo_polygon" -> ((s, dir) =>
       geoCount(s, dir, GeoPolygonCond("location", exterior = Seq(
         GeoPoint(-100.0, -50.0), GeoPoint(100.0, -40.0), GeoPoint(0.0, 70.0),
@@ -378,6 +388,10 @@ object PayloadGeoQueries {
          |SELECT count(*)::BIGINT AS cnt FROM g
          |WHERE ${haversineSql("0", "0")} < 3000000.0""".stripMargin,
     "geo_bbox" ->
+      s"""$geoCte
+         |SELECT count(*)::BIGINT AS cnt FROM g
+         |WHERE lon > -50.0 AND lon < 50.0 AND lat < 60.0 AND lat > -30.0""".stripMargin,
+    "geo_bbox_indexed" ->
       s"""$geoCte
          |SELECT count(*)::BIGINT AS cnt FROM g
          |WHERE lon > -50.0 AND lon < 50.0 AND lat < 60.0 AND lat > -30.0""".stripMargin,

@@ -44,7 +44,7 @@ class GeoIndexSpec extends SparkTestBase {
       (i.toLong, rng.nextDouble() * 360 - 180, rng.nextDouble() * 170 - 85))
     val df = pts.toDF("id", "lon", "lat")
     val exact = df.filter(VectorFunctions.haversineMeters(
-        col("lon"), col("lat"), lit(30.0), lit(45.0)) <= lit(2000000.0))
+        col("lon"), col("lat"), lit(30.0), lit(45.0)) < lit(2000000.0))
       .select("id").collect().map(_.getLong(0)).toSet
     val indexed = GeoIndex.withCells(df, "lon", "lat", precision = 2)
     val got = GeoIndex.radiusSearch(indexed, "lon", "lat", 30.0, 45.0,
@@ -55,5 +55,38 @@ class GeoIndexSpec extends SparkTestBase {
     val pruned = indexed.filter(col("geo_cell").isin(
       GeoIndex.coverRadius(30.0, 45.0, 2000000.0, 2): _*)).count()
     assert(pruned < 3000 && pruned >= got.size)
+  }
+
+  test("indexed bbox search equals unindexed strict scan, antimeridian included") {
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    val pts = (1 to 3000).map(i =>
+      (i.toLong, rng.nextDouble() * 360 - 180, rng.nextDouble() * 170 - 85))
+    val df = pts.toDF("id", "lon", "lat")
+    val indexed = GeoIndex.withCells(df, "lon", "lat", precision = 2)
+    def strictScan(tlLon: Double, tlLat: Double,
+        brLon: Double, brLat: Double): Set[Long] = {
+      val lonOk =
+        if (tlLon > brLon) col("lon") > lit(tlLon) || col("lon") < lit(brLon)
+        else col("lon") > lit(tlLon) && col("lon") < lit(brLon)
+      df.filter(lonOk && col("lat") < lit(tlLat) && col("lat") > lit(brLat))
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    // plain box
+    val exact = strictScan(-50.0, 60.0, 50.0, -30.0)
+    val got = GeoIndex.bboxSearch(indexed, "lon", "lat",
+        -50.0, 60.0, 50.0, -30.0, precision = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == exact)
+    val pruned = indexed.filter(col("geo_cell").isin(
+      GeoIndex.coverBbox(-50.0, 60.0, 50.0, -30.0, 2): _*)).count()
+    assert(pruned < 3000 && pruned >= got.size)
+    // ANTIMERIDIAN-crossing box: top_left.lon > bottom_right.lon
+    val exactAm = strictScan(150.0, 40.0, -150.0, -40.0)
+    val gotAm = GeoIndex.bboxSearch(indexed, "lon", "lat",
+        150.0, 40.0, -150.0, -40.0, precision = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotAm == exactAm, "antimeridian bbox diverged from the exact scan")
+    assert(gotAm.nonEmpty, "fixture: the wrap box should catch points")
   }
 }
