@@ -674,7 +674,7 @@ object RequestCodec {
               }
               val startFrom = (ob \ "start_from") match {
                 case JNothing | JNull => None
-                case v => Some(anyScalar(v))
+                case v => Some(startFromScalar(v))
               }
               OrderByField(str(ob \ "key"), asc, startFrom)
             case other => fail(s"bad order_by: $other")
@@ -868,7 +868,7 @@ object RequestCodec {
           }
           val startFrom = (ob \ "start_from") match {
             case JNothing | JNull => None
-            case v => Some(anyScalar(v))
+            case v => Some(startFromScalar(v))
           }
           Some(OrderByField(str(ob \ "key"), asc, startFrom))
         case other => fail(s"bad order_by: $other")
@@ -1786,6 +1786,17 @@ object RequestCodec {
   }
 
   /** JSON scalar → match/bound value (Long / Double / String / Boolean). */
+  /** `start_from` cursor scalar: numbers pass through; a STRING is always
+    * a datetime (`StartFrom` is Integer | Float | Datetime) and an
+    * unparseable one 422s at deserialization like a string range bound
+    * (`types.rs:107`). */
+  private def startFromScalar(j: JValue): Any = anyScalar(j) match {
+    case s: String if graft.filters.Temporal.parseInstant(s).isEmpty =>
+      fail(s"'$s' does not match accepted datetime format (RFC3339). " +
+        "Example: 2014-01-01T00:00:00Z")
+    case v => v
+  }
+
   private def anyScalar(j: JValue): Any = j match {
     case JString(s) => s
     case JInt(i) => i.toLong

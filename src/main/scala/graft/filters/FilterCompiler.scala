@@ -305,16 +305,10 @@ final class FilterCompiler(
     case ValuesCount(k, gt, gte, lt, lte) =>
       rangeBounds(size(r.values(k)).cast("long"), None, gt, gte, lt, lte)
     case GeoBoundingBox(k, tl, br) =>
-      // bounds are EXCLUSIVE — `GeoBoundingBox::check_point` compares
-      // strictly on both axes, antimeridian arm included
-      // (`types.rs:3407-3420`); a point exactly on an edge does not match
-      anyValue(k, p => {
-        val lon = p.getField("lon"); val lat = p.getField("lat")
-        val lonOk =
-          if (tl.lon > br.lon) lon > lit(tl.lon) || lon < lit(br.lon) // antimeridian
-          else lon > lit(tl.lon) && lon < lit(br.lon)
-        lonOk && lat < lit(tl.lat) && lat > lit(br.lat)
-      })
+      // bounds are EXCLUSIVE — a point exactly on an edge does not match
+      // (the shared strict predicate, `VectorFunctions.inBboxStrict`)
+      anyValue(k, p => VectorFunctions.inBboxStrict(
+        p.getField("lon"), p.getField("lat"), tl.lon, tl.lat, br.lon, br.lat))
     case GeoRadius(k, c0, radius) =>
       anyValue(k, p =>
         // strictly INSIDE the circle (`GeoRadius::check_point` uses `<`,

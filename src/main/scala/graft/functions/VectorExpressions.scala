@@ -616,21 +616,15 @@ case class F16DecodeExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** Exact-integer fold over two array<tinyint> columns (the byte storage
-  * element type, `VectorStorageDatatype::Uint8` `types.rs:2039`): BIGINT
-  * accumulation — reproducible bit-for-bit in any engine, so the DuckDB
-  * oracles can hash-match these scores exactly. All concrete kernels are
-  * the UNSIGNED u8 twins (the reference's `VectorElementTypeByte` scores
-  * raw 0..255 values); the former signed ×127 primitive was removed with
-  * its last caller. */
-abstract class VecI8Fold extends BinaryExpression {
+/** Exact-integer fold over two array<tinyint> columns holding u8 BIT
+  * PATTERNS (the byte storage element type, `VectorStorageDatatype::Uint8`
+  * `types.rs:2039`; elements read `& 0xFF`, so a stored 200 is 200, not
+  * −56 — the reference's `VectorElementTypeByte` metrics,
+  * `spaces/metric_uint/`): BIGINT accumulation — reproducible bit-for-bit
+  * in any engine, so the DuckDB oracles hash-match these scores exactly. */
+abstract class VecU8Fold extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
-
-  /** True = elements are u8 bit patterns (values 0..255); false = signed
-    * i8. Kept as a flag so the fold body stays element-interpretation-
-    * agnostic. */
-  protected def unsigned: Boolean = false
 
   /** Java source for one step given long a, b. */
   protected def stepCode(acc: String, a: String, b: String): String
@@ -643,11 +637,7 @@ abstract class VecI8Fold extends BinaryExpression {
     var acc = 0L
     var i = 0
     while (i < n) {
-      val a0 = la.getByte(i).toLong
-      val b0 = ra.getByte(i).toLong
-      acc =
-        if (unsigned) step(acc, a0 & 0xFFL, b0 & 0xFFL)
-        else step(acc, a0, b0)
+      acc = step(acc, la.getByte(i).toLong & 0xFFL, ra.getByte(i).toLong & 0xFFL)
       i += 1
     }
     acc
@@ -659,13 +649,12 @@ abstract class VecI8Fold extends BinaryExpression {
       val acc = ctx.freshName("acc")
       val a = ctx.freshName("a")
       val b = ctx.freshName("b")
-      val mask = if (unsigned) " & 0xFFL" else ""
       s"""
          |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $a = (long) $l.getByte($i)$mask;
-         |  long $b = (long) $r.getByte($i)$mask;
+         |  long $a = (long) $l.getByte($i) & 0xFFL;
+         |  long $b = (long) $r.getByte($i) & 0xFFL;
          |  ${stepCode(acc, a, b)}
          |}
          |${ev.value} = $acc;
@@ -676,8 +665,7 @@ abstract class VecI8Fold extends BinaryExpression {
 /** Unsigned (u8 bit-pattern) twins — the `datatype: uint8` storage scores
   * the RAW 0..255 values, matching the reference's byte metrics
   * (`lib/segment/src/spaces/metric_uint/`). */
-case class VecU8Dot(left: Expression, right: Expression) extends VecI8Fold {
-  override protected def unsigned: Boolean = true
+case class VecU8Dot(left: Expression, right: Expression) extends VecU8Fold {
   protected def stepCode(acc: String, a: String, b: String): String =
     s"$acc += $a * $b;"
   protected def step(acc: Long, a: Long, b: Long): Long = acc + a * b
@@ -685,8 +673,7 @@ case class VecU8Dot(left: Expression, right: Expression) extends VecI8Fold {
     copy(left = l, right = r)
 }
 
-case class VecU8L2Sq(left: Expression, right: Expression) extends VecI8Fold {
-  override protected def unsigned: Boolean = true
+case class VecU8L2Sq(left: Expression, right: Expression) extends VecU8Fold {
   protected def stepCode(acc: String, a: String, b: String): String =
     s"$acc += ($a - $b) * ($a - $b);"
   protected def step(acc: Long, a: Long, b: Long): Long = acc + (a - b) * (a - b)
@@ -694,8 +681,7 @@ case class VecU8L2Sq(left: Expression, right: Expression) extends VecI8Fold {
     copy(left = l, right = r)
 }
 
-case class VecU8L1(left: Expression, right: Expression) extends VecI8Fold {
-  override protected def unsigned: Boolean = true
+case class VecU8L1(left: Expression, right: Expression) extends VecU8Fold {
   protected def stepCode(acc: String, a: String, b: String): String =
     s"$acc += java.lang.Math.abs($a - $b);"
   protected def step(acc: Long, a: Long, b: Long): Long = acc + math.abs(a - b)

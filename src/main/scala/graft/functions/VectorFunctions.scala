@@ -114,6 +114,18 @@ object VectorFunctions {
     * (`GeoPoint` distance, earth radius 6371 km).
     */
   val EarthRadiusMeters = 6371000.0
+  /** Strict bounding-box predicate (`GeoBoundingBox::check_point`,
+    * `types.rs:3407-3420`): EXCLUSIVE on every edge, with the antimeridian
+    * arm when `tlLon > brLon`. The ONE definition shared by the filter
+    * compiler and the geo index so the two gates cannot diverge. */
+  def inBboxStrict(lon: Column, lat: Column,
+      tlLon: Double, tlLat: Double, brLon: Double, brLat: Double): Column = {
+    val lonOk =
+      if (tlLon > brLon) lon > lit(tlLon) || lon < lit(brLon) // antimeridian
+      else lon > lit(tlLon) && lon < lit(brLon)
+    lonOk && lat < lit(tlLat) && lat > lit(brLat)
+  }
+
   def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
     val toRad = math.Pi / 180.0
     val dLat = (lat2 - lat1) * toRad

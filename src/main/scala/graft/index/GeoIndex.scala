@@ -126,13 +126,10 @@ object GeoIndex {
       precision: Int,
       cellColName: String = "geo_cell"): DataFrame = {
     val cells = coverBbox(tlLon, tlLat, brLon, brLat, precision)
-    val lon = col(lonCol); val lat = col(latCol)
-    val lonOk =
-      if (tlLon > brLon) lon > lit(tlLon) || lon < lit(brLon) // antimeridian
-      else lon > lit(tlLon) && lon < lit(brLon)
     indexed
       .filter(col(cellColName).isin(cells: _*))
-      .filter(lonOk && lat < lit(tlLat) && lat > lit(brLat))
+      .filter(VectorFunctions.inBboxStrict(
+        col(lonCol), col(latCol), tlLon, tlLat, brLon, brLat))
   }
 
   /** Radius search over an indexed table: prune by cell membership, then

@@ -1937,10 +1937,9 @@ final class Collection(
         // collection's and silently mis-weight every later IDF query on
         // that space (the entry would be warm, so never corrected).
         val present = idfNames.filter(m.contains)
+        if (present.isEmpty) return // nothing spliced — skip the no-op rewrite
         val touched = keys.map(_.toString).toSet
-        val merged =
-          if (present.isEmpty) m
-          else {
+        val merged = {
             val scoped = read().filter(col(sk).isin(keys: _*))
             val fresh = computeSparseIdfStats(scoped, present)
             m ++ present.flatMap { n =>

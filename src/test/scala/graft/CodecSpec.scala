@@ -213,6 +213,21 @@ class CodecSpec extends AnyFunSuite {
     assert(ex.getMessage.contains(
       "'2014-99-01' does not match accepted datetime format (RFC3339). " +
         "Example: 2014-01-01T00:00:00Z"))
+    // `order_by.start_from` shares the contract (`StartFrom` is
+    // Integer | Float | Datetime — a string is always a datetime)
+    val ex2 = intercept[IllegalArgumentException] {
+      RequestCodec.parseQueryRequest(
+        """{"query": {"order_by": {"key": "ts", "start_from": "2014-99-01"}},
+          |  "limit": 3}""".stripMargin, ctx)
+    }
+    assert(ex2.getMessage.contains("does not match accepted datetime format"))
+    // numeric and VALID datetime cursors still pass
+    RequestCodec.parseQueryRequest(
+      """{"query": {"order_by": {"key": "ts", "start_from": 900.5}},
+        |  "limit": 3}""".stripMargin, ctx)
+    RequestCodec.parseQueryRequest(
+      """{"query": {"order_by": {"key": "ts",
+        |  "start_from": "2024-01-20T12:00:00Z"}}, "limit": 3}""".stripMargin, ctx)
   }
 
   test("query: multi-dense matrix becomes MaxSim (the only multivector comparator)") {
