@@ -65,6 +65,39 @@ class PlanSpec extends SparkTestBase {
       "exclusion added an exchange:\n" + p.take(1500))
   }
 
+  test("multivec recommend is one scan + TakeOrdered with the exclusion pushed") {
+    // the wire RecommendMulti root (by-id example → excluded) must keep the
+    // dense plan shape: MaxSim per example is a codegen'd projection, the
+    // injected must_not HasId reaches the scan, and no exchange appears
+    import graft.api.RequestCodec
+    import graft.api.RequestCodec.{Ctx, VectorSpace}
+    import graft.ops.PointQuery
+    val path = "/tmp/graft_runtime/planspec_mvrec"
+    Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        array(slice(col("embedding"), 1, 32), slice(col("embedding"), 33, 32))
+          .as("vector_tok"))
+      .write.mode("overwrite").parquet(path)
+    val e = spark.read.parquet(path)
+    val ctx = Ctx(Map("tok" -> VectorSpace("vector_tok", Dot, multivector = true)),
+      resolveId = (_, _) => Right {
+        val v = Tables.embeddingOf(spark, sf, 7L)
+        Seq(v.take(32), v.drop(32))
+      })
+    val q = RequestCodec.parseQueryRequest(
+      """{"query": {"recommend": {"positive": [7],
+        |  "negative": [[0.1, 0.2]], "strategy": "best_score"}},
+        |  "using": "tok", "limit": 10}""".stripMargin, ctx)
+    val df = PointQuery.execute(spark, e, "vec_id",
+      new graft.filters.TypedResolver(e.schema, "vec_id"), q)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("Not(EqualTo(vec_id,7))") || p.contains("Not(In(vec_id"),
+      "exclusion not pushed to the scan:\n" + p.take(1500))
+    assert(!p.contains("Exchange"),
+      "multivec recommend added an exchange:\n" + p.take(1500))
+  }
+
   test("uuid scroll cursor keeps a pushable raw bound on the id scan") {
     // mixed NumId+Uuid ordering sorts by a derived key (rlike + concat —
     // not pushable), so scrollById conjoins the IMPLIED raw bound
