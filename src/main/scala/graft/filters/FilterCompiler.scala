@@ -56,6 +56,22 @@ trait FieldResolver {
   /** Spark type of the id column when statically known — drives wire
     * point-id coercion for HasId ([[FilterCompiler.coerceWireIds]]). */
   def idDataType: Option[DataType] = None
+
+  /** Values of `key` as geo-point structs (`array<struct<lon,lat>>`),
+    * INDEPENDENT of any declared payload type — geo conditions carry
+    * their own value shape, and the reference checks them against
+    * declared and undeclared fields alike. Typed resolvers already hold
+    * struct(-array) columns, so the default is [[values]]; the JSON
+    * resolver overrides with a forced struct cast. */
+  def geoValues(key: String): Column = values(key)
+
+  /** Geohash cell column + its precision for a payload key carrying a
+    * DECLARED geo index (the `"geo"` field schema,
+    * `lib/segment/src/index/field_index/geo_index/`): when present, the
+    * compiler ANDs a pushable cell-membership conjunct in front of the
+    * exact geo check ([[FilterCompiler]] geo prune) — the batch analog of
+    * the reference serving geo conditions from geohash postings. */
+  def geoIndexCell(key: String): Option[(Column, Int)] = None
 }
 
 /** Delegating resolver — subclass to override a single hook. */
@@ -75,6 +91,9 @@ class ForwardingResolver(private[filters] val inner: FieldResolver)
   override def groupKeys(key: String): Column = inner.groupKeys(key)
   override def scanPrune(f: Filter): Option[Column] = inner.scanPrune(f)
   override def idDataType: Option[DataType] = inner.idDataType
+  override def geoValues(key: String): Column = inner.geoValues(key)
+  override def geoIndexCell(key: String): Option[(Column, Int)] =
+    inner.geoIndexCell(key)
 }
 
 /** Resolver for collections whose payload fields are typed top-level columns
@@ -196,7 +215,38 @@ final class FilterCompiler(
   }
 
   def condition(c: Condition): Column =
-    scalarPushable(c).getOrElse(coalesce(cond0(c), lit(false)))
+    scalarPushable(c).getOrElse {
+      val base = coalesce(cond0(c), lit(false))
+      geoPrune(c).fold(base)(_ && base)
+    }
+
+  /** Geo conditions on a key with a declared geo index AND a bounded
+    * geohash cell-membership conjunct in FRONT of the exact strict check
+    * (`field_index/geo_index/`: the reference intersects the condition's
+    * geohash regions with the field's postings before exact filtering).
+    * The prune is a strict relaxation — the cover is a superset of the
+    * shape and multi-point/irregular rows carry the always-pass sentinel
+    * — so results are identical to the unpruned path; being total and
+    * built from translatable pieces, a must-side conjunct reaches the
+    * parquet scan's PushedFilters. */
+  private def geoPrune(c: Condition): Option[Column] = {
+    import graft.index.GeoIndex
+    def prune(k: String, cover: => Seq[String]): Option[Column] =
+      r.geoIndexCell(k).flatMap { case (cell, prec) =>
+        val cells = cover
+        if (cells.isEmpty) None
+        else Some(GeoIndex.prunePredicate(cell, prec, cells))
+      }
+    c match {
+      case GeoBoundingBox(k, tl, br) =>
+        prune(k, GeoIndex.boundedCoverBbox(tl.lon, tl.lat, br.lon, br.lat))
+      case GeoRadius(k, c0, radius) =>
+        prune(k, GeoIndex.boundedCoverRadius(c0.lon, c0.lat, radius))
+      case GeoPolygonCond(k, exterior, _) =>
+        prune(k, GeoIndex.boundedCoverPolygon(exterior.map(p => (p.lon, p.lat))))
+      case _ => None
+    }
+  }
 
   /** Pushdown fast path: match/range conditions over scalar typed columns
     * compile to `col.isNotNull && <comparison>` — total (never NULL, so no
@@ -234,6 +284,14 @@ final class FilterCompiler(
       case Some(c) => pred(c)
       case None => exists(r.values(key), pred)
     }
+
+  /** ∃ geo point under key satisfying pred — geo conditions carry their
+    * own value shape (`GeoPoint {lon, lat}`), independent of any declared
+    * payload type: the reference checks geo conditions against declared
+    * AND undeclared fields alike (`GeoBoundingBox::check_point` reads the
+    * raw payload value). */
+  private def anyGeoValue(key: String, pred: Column => Column): Column =
+    exists(r.geoValues(key), pred)
 
   /** Bounds coerce to the column's resolved type (datetime columns accept
     * epoch-nano numerics and RFC3339-family strings — [[Temporal.boundLit]]);
@@ -307,16 +365,16 @@ final class FilterCompiler(
     case GeoBoundingBox(k, tl, br) =>
       // bounds are EXCLUSIVE — a point exactly on an edge does not match
       // (the shared strict predicate, `VectorFunctions.inBboxStrict`)
-      anyValue(k, p => VectorFunctions.inBboxStrict(
+      anyGeoValue(k, p => VectorFunctions.inBboxStrict(
         p.getField("lon"), p.getField("lat"), tl.lon, tl.lat, br.lon, br.lat))
     case GeoRadius(k, c0, radius) =>
-      anyValue(k, p =>
+      anyGeoValue(k, p =>
         // strictly INSIDE the circle (`GeoRadius::check_point` uses `<`,
         // `types.rs:3443-3448`)
         VectorFunctions.haversineMeters(
           p.getField("lon"), p.getField("lat"), lit(c0.lon), lit(c0.lat)) < lit(radius))
     case GeoPolygonCond(k, exterior, interiors) =>
-      anyValue(k, p => {
+      anyGeoValue(k, p => {
         val inExt = pointInRing(p, exterior)
         interiors.foldLeft(inExt)((acc, ring) => acc && !pointInRing(p, ring))
       })

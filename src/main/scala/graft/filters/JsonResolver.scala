@@ -113,6 +113,18 @@ final class JsonResolver(
     else keysOf(raw(key))
   }
 
+  /** Geo conditions force the point-struct shape regardless of the
+    * declared type — a geo filter on an UNDECLARED field must still
+    * resolve (`GeoBoundingBox::check_point` reads the raw payload value;
+    * `test_geo_filter.py` never declares an index). Non-geo-shaped values
+    * cast to null and drop out, the reference's skip semantics. */
+  override def geoValues(key: String): Column = {
+    val t = "struct<lon:double,lat:double>"
+    if (hasBrackets(key))
+      flatten(transform(reachedVariants(key), v => terminalValues(v, t)))
+    else terminalValues(raw(key), t)
+  }
+
   /** Present in the document (JSON null counts as present). */
   def fieldExists(key: String): Column =
     if (hasBrackets(key)) size(reachedVariants(key)) > 0

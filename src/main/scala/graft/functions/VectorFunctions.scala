@@ -110,10 +110,18 @@ object VectorFunctions {
         qIndices.toArray, qValues.toArray))
 
   /** Haversine distance in meters between two lon/lat points (degrees).
-    * Ref: geo condition checks `lib/segment/src/index/field_index/geo_index/`
-    * (`GeoPoint` distance, earth radius 6371 km).
+    *
+    * Earth radius: the reference's filter checks go through the geo
+    * crate's `Haversine.distance` (`types.rs:23,3446`, geo 0.33), whose
+    * `MEAN_EARTH_RADIUS` is the IUGG mean radius 6 371 008.8 m — the
+    * reference's own unit test pins the resulting distance
+    * ((0,0)→(0.5,0.5) = 78626.29627999048 m, `types.rs:5248`), which this
+    * constant reproduces to the last digit (IndexSpec). The coarser
+    * 6 371 000.0 appears in the reference only inside the geohash REGION
+    * estimator (`geo_hash.rs:538`) where the cover is a recall-safe
+    * superset either way.
     */
-  val EarthRadiusMeters = 6371000.0
+  val EarthRadiusMeters = 6371008.8
   /** Strict bounding-box predicate (`GeoBoundingBox::check_point`,
     * `types.rs:3407-3420`): EXCLUSIVE on every edge, with the antimeridian
     * arm when `tlLon > brLon`. The ONE definition shared by the filter

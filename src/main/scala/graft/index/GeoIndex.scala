@@ -18,6 +18,29 @@ object GeoIndex {
 
   private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+  /** Cell-column precision for a DECLARED geo payload index (the
+    * `"geo"` field schema): 5 base32 chars ≈ 4.9 km × 4.9 km cells —
+    * fine enough that city-radius queries prune hard, coarse enough that
+    * the adaptive cover below rarely has to back off. The reference keeps
+    * multi-level geohash regions (`geo_hash.rs`); one fixed storage level
+    * + prefix matching gives the same recall-safe prune over a single
+    * dictionary-encoded string column. */
+  val ColumnPrecision = 5
+
+  /** Driver-side cap on enumerated cover cells. The reference's region
+    * machinery caps geohash covers and falls back to coarser levels
+    * (`geo_hash.rs` `geo_hash_maximum_precision` / region enumeration);
+    * without a cap a continent-sized box at precision 5 would enumerate
+    * millions of strings into one predicate on the DRIVER. */
+  val MaxCoverCells = 1024
+
+  /** Sentinel cell for rows whose geo value is PRESENT but not a single
+    * well-formed point (an array of points, or a non-geo-shaped value):
+    * always survives the prune, so the exact per-point check decides.
+    * `*` is outside the base32 alphabet, so it can never collide with a
+    * real cell or act as a prefix of one. */
+  val MultiCell = "*"
+
   /** Standard geohash encoding (Niemeyer 2008; public algorithm). */
   def encode(lon: Double, lat: Double, precision: Int): String = {
     var latLo = -90.0; var latHi = 90.0
@@ -112,6 +135,95 @@ object GeoIndex {
     if (tlLon > brLon) { sweep(tlLon, 180.0); sweep(-180.0, brLon) }
     else sweep(tlLon, brLon)
     cells.toSeq
+  }
+
+  /** Estimated distinct cells covering a lat×lon span at `precision` —
+    * a cheap upper bound computed BEFORE any enumeration, so precision
+    * selection never pays the O((span/cell)²) walk it is trying to
+    * avoid. `+4` per axis over-counts the half-cell boundary columns and
+    * the antimeridian double-sweep. */
+  private def estimatedCells(latSpan: Double, lonSpan: Double,
+      precision: Int): Double = {
+    val (latSize, lonSize) = cellSizeDeg(precision)
+    (latSpan / latSize + 4.0) * (lonSpan / lonSize + 4.0)
+  }
+
+  /** Adaptive-precision box cover, bounded to ≤ `cap` cells: picks the
+    * FINEST precision ≤ `maxPrecision` whose estimated cover fits, then
+    * enumerates — coarser cells are PREFIXES of the storage cells, so the
+    * prune stays recall-safe at any level. A query box so large that even
+    * precision 1 (32 world cells) overflows cannot exist, so the result
+    * is never empty; `Seq.empty` is the defensive "skip the prune"
+    * answer. */
+  def boundedCoverBbox(tlLon: Double, tlLat: Double,
+      brLon: Double, brLat: Double,
+      maxPrecision: Int = ColumnPrecision,
+      cap: Int = MaxCoverCells): Seq[String] = {
+    val latSpan = math.max(tlLat - brLat, 0.0)
+    val lonSpan =
+      if (tlLon > brLon) (180.0 - tlLon) + (brLon + 180.0) // antimeridian
+      else math.max(brLon - tlLon, 0.0)
+    var p = maxPrecision
+    while (p >= 1) {
+      if (estimatedCells(latSpan, lonSpan, p) <= cap) {
+        val cells = coverBbox(tlLon, tlLat, brLon, brLat, p)
+        if (cells.size <= cap) return cells
+      }
+      p -= 1
+    }
+    Seq.empty
+  }
+
+  /** Adaptive-precision radius cover, bounded to ≤ `cap` cells — same
+    * contract as [[boundedCoverBbox]]. */
+  def boundedCoverRadius(lon: Double, lat: Double, radiusM: Double,
+      maxPrecision: Int = ColumnPrecision,
+      cap: Int = MaxCoverCells): Seq[String] = {
+    val latDelta = radiusM / 111320.0
+    val lonDelta =
+      radiusM / (111320.0 * math.max(math.cos(math.toRadians(lat)), 0.01))
+    val latSpan = math.min(2.0 * latDelta, 180.0)
+    val lonSpan = math.min(2.0 * lonDelta, 360.0)
+    var p = maxPrecision
+    while (p >= 1) {
+      if (estimatedCells(latSpan, lonSpan, p) <= cap) {
+        val cells = coverRadius(lon, lat, radiusM, p)
+        if (cells.size <= cap) return cells
+      }
+      p -= 1
+    }
+    Seq.empty
+  }
+
+  /** Adaptive cover of a polygon's exterior-ring bounding box (the
+    * reference serves `GeoPolygon` through the same geohash regions as
+    * bbox, `field_index/geo_index/mod.rs` polygon arm). Ray casting runs
+    * in the lon/lat plane, so the plane bbox is a superset of the ring. */
+  def boundedCoverPolygon(ring: Seq[(Double, Double)],
+      maxPrecision: Int = ColumnPrecision,
+      cap: Int = MaxCoverCells): Seq[String] = {
+    if (ring.isEmpty) return Seq.empty
+    val lons = ring.map(_._1); val lats = ring.map(_._2)
+    boundedCoverBbox(lons.min, lats.max, lons.max, lats.min,
+      maxPrecision, cap)
+  }
+
+  /** Prune predicate over a stored cell column for a bounded cover —
+    * TOTAL (never NULL, `false` on a NULL cell), so it composes under
+    * must_not without three-valued-logic surprises, and built from
+    * parquet-translatable pieces (IsNotNull / In / EqualTo /
+    * StringStartsWith) so a must-side conjunct lands in PushedFilters.
+    * Rows carrying [[MultiCell]] (multi-point / non-geo-shaped values)
+    * always pass — the exact check owns them. */
+  def prunePredicate(cell: Column, cellPrecision: Int,
+      cover: Seq[String]): Column = {
+    val membership =
+      if (cover.forall(_.length == cellPrecision))
+        cell.isin((MultiCell +: cover): _*)
+      else
+        cover.map(c => cell.startsWith(c)).reduce(_ || _) ||
+          cell === lit(MultiCell)
+    cell.isNotNull && membership
   }
 
   /** Bounding-box search over an indexed table: prune by cell membership,

@@ -134,7 +134,7 @@ object ApiQueries {
           |  "search_allow_exact": false, "search_max_oversampling": 4.0,
           |  "upsert_max_batchsize": 2, "filter_max_conditions": 3,
           |  "condition_max_size": 3}""".stripMargin)
-      val indexed = Set("label", "vec_id")
+      val indexed = Set("label", "vec_id", "location")
       def q(body: String): Boolean =
         try {
           StrictMode.verifyQuery(
@@ -157,6 +157,20 @@ object ApiQueries {
         ("indexed_filter_ok", q(
           """{"query": {"nearest": 7}, "limit": 5,
             | "filter": {"must": [{"key": "label", "match": {"value": 3}}]}}"""
+            .stripMargin)),
+        // geo conditions address their key like any other condition
+        // (`verification/`: the payload-index check walks every condition
+        // kind) — a DECLARED geo field passes, an undeclared one rejects
+        ("geo_indexed_ok", q(
+          """{"query": {"nearest": 7}, "limit": 5,
+            | "filter": {"must": [{"key": "location", "geo_radius":
+            |   {"center": {"lon": 1.0, "lat": 2.0}, "radius": 10.0}}]}}"""
+            .stripMargin)),
+        ("geo_unindexed", q(
+          """{"query": {"nearest": 7}, "limit": 5,
+            | "filter": {"must": [{"key": "geopos", "geo_bounding_box":
+            |   {"top_left": {"lon": -1.0, "lat": 1.0},
+            |    "bottom_right": {"lon": 1.0, "lat": -1.0}}}]}}"""
             .stripMargin)),
         ("condition_too_big", q(
           """{"query": {"nearest": 7}, "limit": 5,
@@ -653,6 +667,7 @@ object ApiQueries {
       """SELECT * FROM (VALUES
         |  ('limit_over', true), ('limit_ok', false),
         |  ('unindexed_filter', true), ('indexed_filter_ok', false),
+        |  ('geo_indexed_ok', false), ('geo_unindexed', true),
         |  ('condition_too_big', true), ('exact_denied', true),
         |  ('oversampling_over', true), ('too_many_conditions', true),
         |  ('prefetch_limit_over', true), ('upsert_too_big', true),

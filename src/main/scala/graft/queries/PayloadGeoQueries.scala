@@ -17,6 +17,44 @@ object PayloadGeoQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  private val geoColls =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.storage.Collection]()
+
+  /** A collection with a WIRE-declared geo payload index over mixed value
+    * shapes — the `test_geo_payload_index.py` fixture generalized: per
+    * doc_id%8, a single point (shapes 0-4), a non-geo string (5 — the
+    * reference skips non-geo-shaped values), an ARRAY of two points (6 —
+    * `{"location": [pt, pt]}` is first-class in the reference fixture),
+    * or no field at all (7). Coordinates derive from doc_id so DuckDB
+    * reproduces them numerically. */
+  private def geoIndexedColl(s: SparkSession, dir: String): graft.storage.Collection = {
+    val path = "/tmp/graft_runtime/geofieldidx_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    geoColls.computeIfAbsent(path, { _ =>
+      val d = Tables.load(s, dir, "documents")
+      val lonC = col("doc_id") * 7 % 360 - 180 + lit(0.25)
+      val latC = col("doc_id") * 11 % 180 - 90 + lit(0.25)
+      val shape = col("doc_id") % 8
+      val payload =
+        when(shape === 5, lit("""{"location": "unparseable", "kind": "bad"}"""))
+          .when(shape === 6, concat(lit("""{"location": [{"lon": """), lonC,
+            lit(""", "lat": """), latC, lit("""}, {"lon": """), -lonC,
+            lit(""", "lat": """), -latC, lit("""}], "kind": "multi"}""")))
+          .when(shape === 7, lit("""{"kind": "none"}"""))
+          .otherwise(concat(lit("""{"location": {"lon": """), lonC,
+            lit(""", "lat": """), latC, lit("""}, "kind": "pt"}""")))
+      val base = graft.storage.Collection.create(s, path,
+        graft.sources.CollectionConfig(),
+        d.select(col("doc_id").as("id"), payload.as("payload")))
+      // declare the geo index through the wire schema — this CRASHED
+      // pre-r15 (STRING→STRUCT cast); now it materializes the from_json
+      // struct + geocell prune column and routes into FilterCompiler
+      val (f, dt, _, fl) = graft.api.RequestCodec.parseFieldIndexRequest(
+        """{"field_name": "location", "field_schema": "geo"}""")
+      base.buildPayloadIndex(f, dt, fl)
+    })
+  }
+
   /** events + derived lon/lat + location struct. */
   private def geoEvents(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(
@@ -220,6 +258,55 @@ object PayloadGeoQueries {
       geoCount(s, dir, GeoPolygonCond("location", exterior = Seq(
         GeoPoint(-100.0, -50.0), GeoPoint(100.0, -40.0), GeoPoint(0.0, 70.0),
         GeoPoint(-100.0, -50.0))))),
+    // Declared geo payload index END-TO-END (`PUT /collections/{c}/index`
+    // with `"field_schema": "geo"` → geohash-pruned filtering;
+    // `tests/openapi/test_geo_payload_index.py`,
+    // `lib/segment/src/index/field_index/geo_index/`): every arm runs
+    // through `Collection.count` with the cell prune ANDed in front of the
+    // exact check, against an unpruned DuckDB recomputation. Value-shape
+    // arms: `multi_radius` = array-of-points rows match when ANY point is
+    // inside (such rows carry the always-pass sentinel cell — a
+    // first-point-only cell would lose them); `bad_world` = a string-valued
+    // geo field matches nothing (the reference skips non-geo-shaped
+    // values); `mustnot_radius` = the prune stays total under negation.
+    "api_geo_field_index" -> ((s, dir) => {
+      import s.implicits._
+      val coll = geoIndexedColl(s, dir)
+      def cnt(filter: String): Long =
+        coll.count(s"""{"filter": $filter, "exact": true}""")
+          .head().getLong(0)
+      val radius =
+        """{"key": "location", "geo_radius":
+          |  {"center": {"lon": 10.0, "lat": 45.0}, "radius": 3000000.0}}"""
+          .stripMargin
+      val bbox =
+        """{"key": "location", "geo_bounding_box":
+          |  {"top_left": {"lon": -50.0, "lat": 60.0},
+          |   "bottom_right": {"lon": 50.0, "lat": -30.0}}}""".stripMargin
+      val world =
+        """{"key": "location", "geo_bounding_box":
+          |  {"top_left": {"lon": -180.0, "lat": 90.0},
+          |   "bottom_right": {"lon": 180.0, "lat": -90.0}}}""".stripMargin
+      val poly =
+        """{"key": "location", "geo_polygon": {"exterior": {"points": [
+          |  {"lon": -100.0, "lat": -50.0}, {"lon": 100.0, "lat": -40.0},
+          |  {"lon": 0.0, "lat": 70.0}, {"lon": -100.0, "lat": -50.0}]}}}"""
+          .stripMargin
+      val stored = coll.read()
+      val colsOk = stored.columns.contains("idx_location") &&
+        stored.columns.contains("geocell_location")
+      Seq(
+        ("bad_world", cnt(
+          s"""{"must": [{"key": "kind", "match": {"value": "bad"}}, $world]}""")),
+        ("bbox", cnt(s"""{"must": [$bbox]}""")),
+        ("cols", if (colsOk) 1L else 0L),
+        ("multi_radius", cnt(
+          s"""{"must": [{"key": "kind", "match": {"value": "multi"}}, $radius]}""")),
+        ("mustnot_radius", cnt(s"""{"must_not": [$radius]}""")),
+        ("polygon", cnt(s"""{"must": [$poly]}""")),
+        ("radius", cnt(s"""{"must": [$radius]}""")))
+        .toDF("arm", "cnt").orderBy("arm")
+    }),
     // Slice: deterministic SipHash-2-4 partition of the id space. SipHash
     // is not expressible in DuckDB, so the entry emits a one-row derived
     // contract the oracle asserts: the `total` slices are a PARTITION of the
@@ -287,7 +374,7 @@ object PayloadGeoQueries {
   // deg→rad literal so both engines execute identical double arithmetic
   private val rad = "0.017453292519943295"
   private def haversineSql(lon2: String, lat2: String): String =
-    s"2*6371000*asin(sqrt(power(sin((($lat2 - lat)*$rad)/2), 2) + " +
+    s"2*6371008.8*asin(sqrt(power(sin((($lat2 - lat)*$rad)/2), 2) + " +
       s"cos(lat*$rad)*cos($lat2*$rad)*power(sin((($lon2 - lon)*$rad)/2), 2)))"
 
   private val geoCte =
@@ -407,6 +494,57 @@ object PayloadGeoQueries {
          | + (CASE WHEN ((70.0 > lat) != (-50.0 > lat))
          |        AND lon < -100.0 * (lat - 70.0) / -120.0 + 0.0 THEN 1 ELSE 0 END)
          |) % 2 = 1""".stripMargin,
+    "api_geo_field_index" -> {
+      // unpruned recomputation of every arm over the deterministic fixture;
+      // shape 6 rows OR both points (∃-over-values), shapes 5/7 never match
+      def hv(lonE: String, latE: String): String =
+        s"2*6371008.8*asin(sqrt(power(sin(((45.0 - ($latE))*$rad)/2), 2) + " +
+          s"cos(($latE)*$rad)*cos(45.0*$rad)*" +
+          s"power(sin(((10.0 - ($lonE))*$rad)/2), 2)))"
+      def inR(lonE: String, latE: String): String =
+        s"${hv(lonE, latE)} < 3000000.0"
+      def inB(lonE: String, latE: String): String =
+        s"(($lonE) > -50.0 AND ($lonE) < 50.0 AND " +
+          s"($latE) < 60.0 AND ($latE) > -30.0)"
+      def inP(lonE: String, latE: String): String =
+        s"""((CASE WHEN ((-50.0 > ($latE)) != (-40.0 > ($latE)))
+           |    AND ($lonE) < 200.0 * (($latE) - -50.0) / 10.0 + -100.0
+           |    THEN 1 ELSE 0 END)
+           | + (CASE WHEN ((-40.0 > ($latE)) != (70.0 > ($latE)))
+           |    AND ($lonE) < -100.0 * (($latE) - -40.0) / 110.0 + 100.0
+           |    THEN 1 ELSE 0 END)
+           | + (CASE WHEN ((70.0 > ($latE)) != (-50.0 > ($latE)))
+           |    AND ($lonE) < -100.0 * (($latE) - 70.0) / -120.0 + 0.0
+           |    THEN 1 ELSE 0 END)) % 2 = 1""".stripMargin
+      def anyPt(cond: (String, String) => String): String =
+        s"""CASE WHEN shape IN (5, 7) THEN FALSE
+           |  WHEN shape = 6 THEN (${cond("lon", "lat")})
+           |    OR (${cond("-lon", "-lat")})
+           |  ELSE ${cond("lon", "lat")} END""".stripMargin
+      s"""WITH g AS (SELECT doc_id,
+         |    ((doc_id*7) % 360) - 180 + 0.25 AS lon,
+         |    ((doc_id*11) % 180) - 90 + 0.25 AS lat,
+         |    doc_id % 8 AS shape FROM documents),
+         |  m AS (SELECT shape,
+         |    ${anyPt(inR)} AS in_radius,
+         |    ${anyPt(inB)} AS in_bbox,
+         |    ${anyPt(inP)} AS in_poly FROM g)
+         |SELECT arm, cnt FROM (
+         |  SELECT 'bad_world' AS arm, 0::BIGINT AS cnt
+         |  UNION ALL SELECT 'bbox',
+         |    sum(CASE WHEN in_bbox THEN 1 ELSE 0 END)::BIGINT FROM m
+         |  UNION ALL SELECT 'cols', 1::BIGINT
+         |  UNION ALL SELECT 'multi_radius',
+         |    sum(CASE WHEN shape = 6 AND in_radius THEN 1 ELSE 0 END)::BIGINT
+         |    FROM m
+         |  UNION ALL SELECT 'mustnot_radius',
+         |    sum(CASE WHEN NOT in_radius THEN 1 ELSE 0 END)::BIGINT FROM m
+         |  UNION ALL SELECT 'polygon',
+         |    sum(CASE WHEN in_poly THEN 1 ELSE 0 END)::BIGINT FROM m
+         |  UNION ALL SELECT 'radius',
+         |    sum(CASE WHEN in_radius THEN 1 ELSE 0 END)::BIGINT FROM m
+         |) ORDER BY arm""".stripMargin
+    },
     "formula_recency" ->
       """WITH h AS (SELECT event_id, value,
         |    (epoch_us(ts) / 1e6) * (1.0/3600.0) AS hrs,

@@ -123,6 +123,57 @@ object ReadQueries {
           s"""{"must": [${m("a", 3)}, ${m("b", 5)}]}"""))))
         .toDF("check_name", "cnt")
     }),
+    // TRIPLY-nested payload filters — the deepest shape the JsonPath
+    // traversal supports (`JsonPath::rest`, `json_path/mod.rs:19-33`;
+    // nested-in-nested scoping `types.rs:3925-3962` recurses without a
+    // depth bound). Closes the nesting family above `filter_nested_double`:
+    // nested(nested(nested)) scopes a conjunction to ONE arr3 element
+    // three levels down, and the flat `arr1[].arr2[].arr3[].a` wildcard
+    // path ranges across everything.
+    "filter_nested_triple" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{CollectionConfig, VectorConfig}
+      val path = "/tmp/graft_runtime/nested_triple_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cfg = CollectionConfig(idCol = "id",
+        vectors = Seq(VectorConfig("", 4, graft.model.Dot)))
+      val coll = graft.storage.Collection.create(s, path, cfg,
+        Seq(
+          (1L, Seq(0.05f, 0.61f, 0.76f, 0.74f),
+            """{"arr1":[{"arr2":[{"arr3":[{"a":1,"b":1}]},""" +
+              """{"arr3":[{"a":2,"b":3}]}]}]}"""),
+          (2L, Seq(0.15f, 0.71f, 0.78f, 0.24f),
+            """{"arr1":[{"arr2":[{"arr3":[{"a":2,"b":2}]}]},""" +
+              """{"arr2":[{"arr3":[{"a":1,"b":3},{"a":4,"b":1}]}]}]}"""))
+          .toDF("id", "vector", "payload"))
+      def cnt(filter: String): Long = coll.scroll(
+        s"""{"filter": $filter, "limit": 10, "with_payload": false}""").count()
+      def nested(key: String, inner: String): String =
+        s"""{"must": [{"nested": {"key": "$key", "filter": $inner}}]}"""
+      def m(k: String, v: Int): String =
+        s"""{"key": "$k", "match": {"value": $v}}"""
+      def triple(inner: String): String =
+        nested("arr1", s"""{"must": [{"nested": {"key": "arr2",
+          |  "filter": {"must": [{"nested": {"key": "arr3",
+          |    "filter": $inner}}]}}}]}""".stripMargin)
+      Seq(
+        // a==2 exists at depth 3 in both points
+        ("triple_hit", cnt(triple(s"""{"must": [${m("a", 2)}]}"""))),
+        // same-ELEMENT conjunction at depth 3: only p2's {a:1,b:3}
+        ("triple_conj_same_elem",
+          cnt(triple(s"""{"must": [${m("a", 1)}, ${m("b", 3)}]}"""))),
+        // a=4 and b=3 live in DIFFERENT arr3 elements of p2 — no match
+        ("triple_conj_cross_elem_miss",
+          cnt(triple(s"""{"must": [${m("a", 4)}, ${m("b", 3)}]}"""))),
+        // flat wildcard path inside a single nested scope: p2 only (a=4)
+        ("nested_flat_path", cnt(nested("arr1",
+          s"""{"must": [${m("arr2[].arr3[].a", 4)}]}"""))),
+        // fully flat wildcard range across all three levels: a>=4 → p2
+        ("flat_wildcard_range", cnt(
+          """{"must": [{"key": "arr1[].arr2[].arr3[].a",
+            |  "range": {"gte": 4}}]}""".stripMargin)))
+        .toDF("check_name", "cnt")
+    }),
     // HasVector over a sparsely-populated named vector column
     "has_vector_count" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -339,6 +390,16 @@ object ReadQueries {
         |  ('flat_path_b', 1::BIGINT), ('array_key_miss', 0::BIGINT),
         |  ('double_nested', 2::BIGINT), ('double_nested_conj', 1::BIGINT),
         |  ('array_key_conj', 1::BIGINT)) AS t(check_name, cnt)""".stripMargin,
+    // hand-derived from the 2-point triple-nesting fixture (see the entry):
+    // p1 arr3 leaves (1,1),(2,3); p2 leaves (2,2) | (1,3),(4,1)
+    "filter_nested_triple" ->
+      """SELECT * FROM (VALUES
+        |  ('triple_hit', 2::BIGINT),
+        |  ('triple_conj_same_elem', 1::BIGINT),
+        |  ('triple_conj_cross_elem_miss', 0::BIGINT),
+        |  ('nested_flat_path', 1::BIGINT),
+        |  ('flat_wildcard_range', 1::BIGINT)) AS t(check_name, cnt)"""
+        .stripMargin,
     "has_vector_count" ->
       """SELECT count(*)::BIGINT AS cnt FROM embeddings WHERE vec_id % 3 = 0""",
     "range_datetime_count" ->

@@ -135,6 +135,12 @@ final case class CollectionConfig(
   def tenantBucketCol(key: String): String =
     "tenantb_" + key.replaceAll("[^A-Za-z0-9_]", "_")
 
+  /** Geohash cell column for a declared geo payload index (rides beside
+    * the `idx_` struct projection; [[graft.index.GeoIndex.ColumnPrecision]]
+    * cells) — the prune column geo filter conditions push to the scan. */
+  def geoCellCol(key: String): String =
+    "geocell_" + key.replaceAll("[^A-Za-z0-9_]", "_")
+
   def vectorConfig(name: String): VectorConfig =
     vectors.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown vector '$name'"))

@@ -87,6 +87,16 @@ final class Collection(
       override def scanPrune(f: Filter) =
         if (config.tenantKeys.isEmpty) r0.scanPrune(f)
         else Collection.tenantPrune(config, cols, f)
+      // a declared geo index routes its geocell prune column into the
+      // filter compiler's geo conditions (FilterCompiler.geoPrune)
+      override def geoIndexCell(key: String): Option[(Column, Int)] =
+        config.payloadTypes.get(key) match {
+          case Some(_: org.apache.spark.sql.types.StructType)
+              if cols.contains(config.geoCellCol(key)) =>
+            Some((col(config.geoCellCol(key)),
+              graft.index.GeoIndex.ColumnPrecision))
+          case _ => None
+        }
     }
   }
 
@@ -126,6 +136,8 @@ final class Collection(
           override def dataTypeOf(key: String) =
             if (key == sk) Some(skType)
             else base.dataTypeOf(key)
+          override def geoValues(key: String): Column =
+            if (key == sk) values(key) else base.geoValues(key)
         }
     }
   }
@@ -162,9 +174,12 @@ final class Collection(
     rewriteCount += 1
     idTypeCache = None
     val tmp = path + "__tmp"
-    // tenant buckets recompute from the CURRENT payload on every write —
-    // a payload mutation moves the row to its new bucket directory
-    val df = Collection.withTenantBuckets(config, df0)
+    // tenant buckets AND payload-index projections recompute from the
+    // CURRENT payload on every write — a payload mutation moves the row to
+    // its new bucket directory / refreshes its idx_/geocell_ values, and
+    // upserted rows get theirs computed instead of union-NULL-filled
+    val df = Collection.withIndexProjections(config,
+      Collection.withTenantBuckets(config, df0))
     val pc = Collection.partitionCols(config, df.columns)
     // hash-repartition on the partition columns first: one task owns each
     // key, so every partition directory gets O(1) files instead of one per
@@ -300,7 +315,8 @@ final class Collection(
     rewriteCount += 1
     idTypeCache = None
     val tmp = path + "__tmp"
-    val df = Collection.withTenantBuckets(config, df0)
+    val df = Collection.withIndexProjections(config,
+      Collection.withTenantBuckets(config, df0))
     val pc = Collection.partitionCols(config, df.columns)
     require(pc.headOption.contains(sk),
       "scoped write needs the shard key as the leading partition column")
@@ -1493,7 +1509,7 @@ final class Collection(
           c.startsWith("vector_") || c.startsWith("sparse_")
         def isInternal(c: String) = c.startsWith("quant_") ||
           c.startsWith("ivfcell_") || c.startsWith("idx_") ||
-          c.startsWith("tenantb_")
+          c.startsWith("tenantb_") || c.startsWith("geocell_")
         val p1 = spec.lookupWithPayload match {
           case Some(f) if lk0.columns.contains("payload") =>
             lk0.withColumn("payload", f(col("payload")))
@@ -2410,16 +2426,20 @@ final class Collection(
   def dropVectorColumn(name: String): Unit =
     write(read().drop(config.vectorCol(name)), sparseDfChange = false)
 
-  /** Materialize a typed projection column for a declared payload field —
+  /** Materialize the projection column(s) for a declared payload field —
     * the "create payload index" operation (`update_api.rs:371`,
     * SURVEY.md §2.5): filters on the field then compile against the typed
     * column (TypedResolver) and push down to the parquet scan instead of
-    * parsing JSON. Column name: `idx_<key>`. */
+    * parsing JSON. Column name: `idx_<key>`; a geo-schema key additionally
+    * materializes its `geocell_<key>` prune column
+    * ([[Collection.indexProjection]]). The actual values are (re)computed
+    * inside [[write]]'s rematerialization pass — this call just
+    * establishes the columns and pays the one rewrite. */
   def buildPayloadIndex(key: String): Unit = {
     val t = config.payloadTypes.getOrElse(key,
       throw new IllegalArgumentException(s"no declared type for payload key '$key'"))
-    write(read().withColumn(s"idx_$key",
-      get_json_object(col(config.payloadCol), "$." + key).cast(t)),
+    write(Collection.indexProjection(config, key, t)
+        .foldLeft(read()) { case (acc, (name, c)) => acc.withColumn(name, c) },
       sparseDfChange = false)
   }
 
@@ -2433,7 +2453,19 @@ final class Collection(
       key: String, flags: graft.api.RequestCodec.FieldIndexFlags): Collection = {
     val t = config.payloadTypes.getOrElse(key,
       throw new IllegalArgumentException(s"no declared type for payload key '$key'"))
+    buildPayloadIndex(key, t, flags)
+  }
+
+  /** Field-index creation carrying the WIRE-declared schema type
+    * (`PUT /collections/{c}/index` body `field_schema`,
+    * `RequestCodec.parseFieldIndexRequest`): the declared type joins
+    * `payloadTypes` — the reference's payload index schema is declared by
+    * exactly this request (`lib/shard/src/payload_index_schema.rs`), not
+    * required up front at collection creation. */
+  def buildPayloadIndex(key: String, t: org.apache.spark.sql.types.DataType,
+      flags: graft.api.RequestCodec.FieldIndexFlags): Collection = {
     val nc = config.copy(
+      payloadTypes = config.payloadTypes + (key -> t),
       tenantKeys =
         if (flags.isTenant) (config.tenantKeys :+ key).distinct
         else config.tenantKeys,
@@ -2441,15 +2473,16 @@ final class Collection(
         if (flags.isPrincipal) (config.principalKeys :+ key).distinct
         else config.principalKeys)
     val next = new Collection(spark, path, nc)
-    next.write(read().withColumn(s"idx_$key",
-      get_json_object(col(config.payloadCol), "$." + key).cast(t)),
+    next.write(Collection.indexProjection(nc, key, t)
+        .foldLeft(read()) { case (acc, (name, c)) => acc.withColumn(name, c) },
       sparseDfChange = false)
     next
   }
 
-  /** Drop a payload index column (`update_api.rs:407`). */
+  /** Drop a payload index's column(s) (`update_api.rs:407`). */
   def dropPayloadIndex(key: String): Unit =
-    write(read().drop(s"idx_$key"), sparseDfChange = false)
+    write(read().drop(s"idx_$key").drop(config.geoCellCol(key)),
+      sparseDfChange = false)
 
   private def mapPayload(cur: DataFrame, target: Column, f: Column => Column): DataFrame = {
     val p = col(config.payloadCol)
@@ -2615,6 +2648,58 @@ object Collection {
       val c = config.tenantBucketCol(k)
       acc.drop(c).withColumn(c, tenantBucketExpr(config, k))
     }
+
+  /** Projection column(s) for one declared payload field index. Scalar
+    * kinds: one typed `idx_<key>` cast. Geo (the `"geo"` schema →
+    * StructType): a STRING→STRUCT cast is illegal in Spark, so the struct
+    * parses via `from_json` — null for any value that is not a single
+    * well-formed point, mirroring the reference's index-time skip of
+    * non-geo-shaped values (`geo_index/mod.rs` `GeoPoint` extraction) —
+    * PLUS the `geocell_<key>` geohash prune column: the point's cell for
+    * single-point rows, [[GeoIndex.MultiCell]] for rows whose value is
+    * present but not a single point (array of points / malformed — the
+    * exact check owns them), null when the field is absent (such a row
+    * can never match a geo condition, so the prune may drop it). */
+  private[storage] def indexProjection(config: CollectionConfig,
+      key: String, t: org.apache.spark.sql.types.DataType): Seq[(String, Column)] =
+    t match {
+      case st: org.apache.spark.sql.types.StructType =>
+        val raw = get_json_object(col(config.payloadCol), "$." + key)
+        val parsed = from_json(raw, st)
+        // an ARRAY value must NOT parse as its first element (from_json
+        // with a struct schema takes the head of a JSON array): a
+        // first-point cell would prune away rows whose OTHER points match
+        val ok = substring(raw, 1, 1) === "{" && parsed.isNotNull &&
+          parsed.getField("lon").isNotNull && parsed.getField("lat").isNotNull
+        Seq(
+          s"idx_$key" -> when(ok, parsed),
+          config.geoCellCol(key) ->
+            when(ok, graft.index.GeoIndex.cellCol(parsed.getField("lon"),
+              parsed.getField("lat"), graft.index.GeoIndex.ColumnPrecision))
+              .otherwise(when(raw.isNotNull,
+                lit(graft.index.GeoIndex.MultiCell))))
+      case _ =>
+        Seq(s"idx_$key" ->
+          get_json_object(col(config.payloadCol), "$." + key).cast(t))
+    }
+
+  /** (Re)materialize every payload-index projection column PRESENT in the
+    * frame from the CURRENT payload — applied on every write, exactly like
+    * [[withTenantBuckets]]: an upsert union NULL-fills the projections for
+    * incoming rows and a payload mutation would otherwise leave them stale,
+    * and the order-by/facet fast paths and the geo-cell prune read these
+    * columns, so staleness is a correctness bug. Presence of `idx_<key>`
+    * is the "index declared" marker; dropped indexes stay dropped. */
+  private[storage] def withIndexProjections(
+      config: CollectionConfig, df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    config.payloadTypes.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (k, t)) =>
+      if (!cols.contains(s"idx_$k")) acc
+      else indexProjection(config, k, t).foldLeft(acc) {
+        case (a, (name, c)) => a.drop(name).withColumn(name, c)
+      }
+    }
+  }
 
   /** Sort keys a principal declaration adds to the write layout: the
     * typed `idx_` projection when the field index is materialized, else

@@ -26,7 +26,7 @@ class GeoIndexSpec extends SparkTestBase {
       val a = math.pow(math.sin(dLat / 2), 2) +
         math.cos(math.toRadians(centerLat)) * math.cos(math.toRadians(lat)) *
           math.pow(math.sin(dLon / 2), 2)
-      2 * 6371000 * math.asin(math.sqrt(a))
+      2 * 6371008.8 * math.asin(math.sqrt(a))
     }
     for (_ <- 1 to 2000) {
       val lon = centerLon + (rng.nextDouble() - 0.5) * 8
@@ -88,5 +88,183 @@ class GeoIndexSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(gotAm == exactAm, "antimeridian bbox diverged from the exact scan")
     assert(gotAm.nonEmpty, "fixture: the wrap box should catch points")
+  }
+
+  test("haversine reproduces the reference's pinned distance exactly") {
+    // `types.rs:5248`: "haversine distance between (0, 0) and (0.5, 0.5)
+    // is 78626.29627999048" — the geo crate's Haversine.distance with
+    // MEAN_EARTH_RADIUS = 6 371 008.8 (geo 0.33). Bit-exact pin: a wrong
+    // radius constant shifts the 9th significant digit here.
+    import spark.implicits._
+    val d = Seq((0.5, 0.5)).toDF("lon", "lat")
+      .select(VectorFunctions.haversineMeters(
+        col("lon"), col("lat"), lit(0.0), lit(0.0)).as("d"))
+      .head().getDouble(0)
+    assert(d == 78626.29627999048, s"got $d")
+    assert(VectorFunctions.EarthRadiusMeters == 6371008.8)
+  }
+
+  test("bounded covers stay under the cap for any shape size and stay recall-safe") {
+    // the reference caps geohash regions and falls back to coarser levels
+    // (`geo_hash.rs` region machinery); unbounded enumeration of a
+    // continent-sized box at precision 5 would be a driver-side OOM
+    val rng = new scala.util.Random(11)
+    for (i <- 1 to 60) {
+      // sweep box sizes from street-level to hemispheric, random centers
+      val cLon = rng.nextDouble() * 360 - 180
+      val cLat = rng.nextDouble() * 140 - 70
+      val halfLat = math.pow(10.0, -3.0 + i % 6) // 0.001° .. 100°
+      val halfLon = halfLat * (1 + rng.nextDouble())
+      val tlLat = math.min(cLat + halfLat, 90.0)
+      val brLat = math.max(cLat - halfLat, -90.0)
+      val tlLon = math.max(cLon - halfLon, -180.0)
+      val brLon = math.min(cLon + halfLon, 180.0)
+      val cells = GeoIndex.boundedCoverBbox(tlLon, tlLat, brLon, brLat)
+      assert(cells.nonEmpty && cells.size <= GeoIndex.MaxCoverCells,
+        s"box ±$halfLat°/±$halfLon° → ${cells.size} cells")
+      // recall safety at the chosen (coarser) precision: sample points
+      // strictly inside the box; their STORAGE cells must have a prefix
+      // in the cover
+      val cover = cells.toSet
+      for (_ <- 1 to 50) {
+        val lat = brLat + (tlLat - brLat) * (0.001 + 0.998 * rng.nextDouble())
+        val lon = tlLon + (brLon - tlLon) * (0.001 + 0.998 * rng.nextDouble())
+        val storageCell = GeoIndex.encode(lon, lat, GeoIndex.ColumnPrecision)
+        assert(cover.exists(storageCell.startsWith),
+          s"in-box point ($lon,$lat) cell $storageCell not covered " +
+            s"(cover precision ${cells.head.length})")
+      }
+    }
+    // radius: country- and continent-sized circles
+    for (r <- Seq(100.0, 5000.0, 250000.0, 2.0e6, 8.0e6, 2.0e7)) {
+      val cells = GeoIndex.boundedCoverRadius(12.5, 41.9, r)
+      assert(cells.nonEmpty && cells.size <= GeoIndex.MaxCoverCells,
+        s"radius $r → ${cells.size} cells")
+    }
+    // the whole-world radius still answers (coarse cells, ≤ cap)
+    val world = GeoIndex.boundedCoverRadius(0.0, 0.0, 2.1e7)
+    assert(world.nonEmpty && world.size <= GeoIndex.MaxCoverCells)
+  }
+
+  test("continent-sized pruned bbox equals the full scan at the cap") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val pts = (1 to 4000).map(i =>
+      (i.toLong, rng.nextDouble() * 360 - 180, rng.nextDouble() * 170 - 85))
+    val df = pts.toDF("id", "lon", "lat")
+    val indexed = GeoIndex.withCells(df, "lon", "lat",
+      GeoIndex.ColumnPrecision)
+    // a ~9000 km × ~11000 km box: full precision-5 enumeration would be
+    // millions of cells; the bounded cover backs off to a coarse level
+    val (tlLon, tlLat, brLon, brLat) = (-60.0, 55.0, 40.0, -25.0)
+    val cover = GeoIndex.boundedCoverBbox(tlLon, tlLat, brLon, brLat)
+    assert(cover.size <= GeoIndex.MaxCoverCells && cover.nonEmpty)
+    assert(cover.head.length < GeoIndex.ColumnPrecision,
+      "continent box should have backed off to a coarser precision")
+    val pruned = indexed
+      .filter(GeoIndex.prunePredicate(col("geo_cell"),
+        GeoIndex.ColumnPrecision, cover))
+      .filter(VectorFunctions.inBboxStrict(col("lon"), col("lat"),
+        tlLon, tlLat, brLon, brLat))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = df.filter(VectorFunctions.inBboxStrict(
+        col("lon"), col("lat"), tlLon, tlLat, brLon, brLat))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pruned == exact)
+  }
+
+  test("declared geo payload index: build, prune, and exact parity over mixed value shapes") {
+    // the r14 crash (`get_json_object(...).cast(STRUCT)` is an illegal
+    // cast) + end-to-end wiring: declaring a `"geo"` field index must
+    // succeed over the reference's own mixed fixture shapes
+    // (`test_geo_payload_index.py`: single point AND array of points) and
+    // geo filters must return IDENTICAL results to the unindexed path.
+    import graft.api.RequestCodec
+    import graft.sources.CollectionConfig
+    import graft.storage.Collection
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = (1L to 400L).map { i =>
+      val lon = rng.nextDouble() * 360 - 180
+      val lat = rng.nextDouble() * 170 - 85
+      val payload = (i % 8) match {
+        case 6 => s"""{"location": [{"lon": $lon, "lat": $lat}, """ +
+          s"""{"lon": ${-lon}, "lat": ${-lat}}], "tag": "multi"}"""
+        case 7 => s"""{"tag": "noloc"}"""
+        case 5 => s"""{"location": "berlin", "tag": "malformed"}"""
+        case _ => s"""{"location": {"lon": $lon, "lat": $lat}, "tag": "pt"}"""
+      }
+      (i, payload)
+    }
+    val path = "/tmp/graft_runtime/geoidx_spec"
+    val base = Collection.create(spark, path, CollectionConfig(),
+      rows.toDF("id", "payload"))
+    val filters = Seq(
+      """{"must": [{"key": "location", "geo_radius":
+        |  {"center": {"lon": 10.0, "lat": 45.0}, "radius": 3000000.0}}]}"""
+        .stripMargin,
+      """{"must": [{"key": "location", "geo_bounding_box":
+        |  {"top_left": {"lon": -50.0, "lat": 60.0},
+        |   "bottom_right": {"lon": 50.0, "lat": -30.0}}}]}""".stripMargin,
+      // must_not exercises the prune's totality (a NULL-able prune would
+      // wrongly drop no-location rows from the negation)
+      """{"must_not": [{"key": "location", "geo_radius":
+        |  {"center": {"lon": 10.0, "lat": 45.0}, "radius": 3000000.0}}]}"""
+        .stripMargin,
+      """{"must": [{"key": "location", "geo_polygon": {"exterior": {"points": [
+        |  {"lon": -40.0, "lat": -20.0}, {"lon": 40.0, "lat": -20.0},
+        |  {"lon": 0.0, "lat": 55.0}, {"lon": -40.0, "lat": -20.0}]}}}]}"""
+        .stripMargin)
+    def ids(c: Collection, f: String): Set[Long] =
+      c.scroll(s"""{"limit": 1000, "with_payload": false, "filter": $f}""")
+        .select("id").collect().map(_.getLong(0)).toSet
+    val before = filters.map(ids(base, _))
+    // declare the geo index through the wire schema (this CRASHED pre-r15)
+    val (field, dt, _, flags) = RequestCodec.parseFieldIndexRequest(
+      """{"field_name": "location", "field_schema": "geo"}""")
+    val coll = base.buildPayloadIndex(field, dt, flags)
+    val stored = coll.read()
+    assert(stored.columns.contains("idx_location") &&
+      stored.columns.contains("geocell_location"))
+    // sentinel semantics: single-point rows carry a real cell, multi-point
+    // and malformed-but-present rows carry the sentinel, absent rows null
+    val cells = stored
+      .select(get_json_object(col("payload"), "$.tag").as("tag"),
+        col("geocell_location").as("cell"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(cells.collect { case ("pt", c) => c }.forall(c =>
+      c.exists(s => s.length == GeoIndex.ColumnPrecision && s != "*")))
+    assert(cells.collect { case ("multi", c) => c }.forall(_.contains("*")))
+    assert(cells.collect { case ("malformed", c) => c }.forall(_.contains("*")))
+    assert(cells.collect { case ("noloc", c) => c }.forall(_.isEmpty))
+    // multi-point rows keep a NULL idx struct (not a single point) —
+    // from_json null-on-malformed, like the reference's index-time skip
+    assert(stored.filter(get_json_object(col("payload"), "$.tag") === "multi")
+      .filter(col("idx_location").isNotNull).count() == 0)
+    // filter parity, all three condition kinds + must_not
+    val after = filters.map(ids(coll, _))
+    assert(before == after, "indexed results diverged from unindexed")
+    assert(before.head.nonEmpty && before(2).nonEmpty, "degenerate fixture")
+    // array-of-points rows still match when either point is inside
+    // (the exact ∃-over-values path owns sentinel rows)
+    val multiInside = ids(coll,
+      """{"must": [{"key": "tag", "match": {"value": "multi"}},
+        |  {"key": "location", "geo_bounding_box":
+        |  {"top_left": {"lon": -180.0, "lat": 90.0},
+        |   "bottom_right": {"lon": 180.0, "lat": -90.0}}}]}""".stripMargin)
+    assert(multiInside == rows.collect { case (i, p) if p.contains("multi") => i }.toSet)
+    // upsert AFTER indexing: the write path rematerializes idx_/geocell_
+    // for the new rows (a union-NULL-filled cell would break the prune)
+    coll.upsert(Seq((9001L,
+      """{"location": {"lon": 10.1, "lat": 45.1}, "tag": "pt"}"""))
+      .toDF("id", "payload"))
+    val afterUpsert = ids(coll, filters.head)
+    assert(afterUpsert.contains(9001L),
+      "upserted point invisible to the pruned geo filter — stale geocell")
+    // payload mutation moves the point's cell: relocate 9001 out of range
+    coll.setPayload("""{"location": {"lon": -170.0, "lat": -60.0}}""",
+      col("id") === 9001L)
+    assert(!ids(coll, filters.head).contains(9001L),
+      "mutated point still matches through a stale geocell")
   }
 }

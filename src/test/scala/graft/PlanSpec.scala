@@ -440,6 +440,44 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("declared geo index: the cell-prune conjunct reaches PushedFilters") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = "/tmp/graft_runtime/planspec_geoidx"
+    val rows = (1L to 300L).map(i =>
+      (i, s"""{"location": {"lon": ${(i % 60).toDouble + 0.5}, """ +
+        s""""lat": ${(i % 40).toDouble + 0.5}}}"""))
+    val base = graft.storage.Collection.create(spark, path,
+      graft.sources.CollectionConfig(), rows.toDF("id", "payload"))
+    val (f, dt, _, flags) = graft.api.RequestCodec.parseFieldIndexRequest(
+      """{"field_name": "location", "field_schema": "geo"}""")
+    val coll = base.buildPayloadIndex(f, dt, flags)
+    // a city-radius query: the bounded cover stays at full column
+    // precision → an In over the geocell column, translatable to the
+    // parquet source together with its IsNotNull guard
+    val cnt = coll.count(
+      """{"filter": {"must": [{"key": "location", "geo_radius":
+        |  {"center": {"lon": 10.0, "lat": 20.0}, "radius": 5000.0}}]},
+        |  "exact": true}""".stripMargin)
+    val p = plan(cnt)
+    // (the In's value list is display-truncated, so no closing-bracket
+    // regex — match the translated filters directly)
+    assert(p.contains("PushedFilters: [IsNotNull(geocell_location), " +
+      "In(geocell_location, [*,"),
+      "geo cell prune not in PushedFilters:\n" + p.take(2000))
+    // results still exact: the pruned count equals the JSON-only compute
+    val expect = rows.count { case (_, pl) =>
+      val lon = (pl.split("\"lon\": ")(1).split(",")(0)).toDouble
+      val lat = (pl.split("\"lat\": ")(1).split("}")(0)).toDouble
+      val rad = math.Pi / 180
+      val a = math.pow(math.sin((20.0 - lat) * rad / 2), 2) +
+        math.cos(lat * rad) * math.cos(20.0 * rad) *
+          math.pow(math.sin((10.0 - lon) * rad / 2), 2)
+      2 * 6371008.8 * math.asin(math.sqrt(a)) < 5000.0
+    }.toLong
+    assert(cnt.head().getLong(0) == expect)
+  }
+
   test("tenant prune reaches the knn scan through the query endpoint") {
     val coll = graft.queries.TenantQueries.tenantColl(spark, sf)
     val q = Tables.embeddingOf(spark, sf, 7L)
