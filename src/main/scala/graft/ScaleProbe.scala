@@ -311,6 +311,37 @@ object ScaleProbe {
     require(ids.length == 10, s"by-id page under-filled: ${ids.length}")
   }
 
+  /** Round-15 probes: the DECLARED geo payload index at scale. Two
+    * collections over the generated documents with a synthesized
+    * single-point `location` (lon/lat derived from doc_id on a 1° grid):
+    * one with the geo index built (`idx_location` struct +
+    * `geocell_location` prune column), one plain.
+    * `geo_radius_indexed_scaled` counts a 50 km radius through the pruned
+    * path — the pushed `In(geocell_location, …)` conjunct short-circuits
+    * the per-row JSON parse + haversine, so its cost tracks the cells
+    * touched, not the table; `geo_radius_unindexed_scaled` is the same
+    * count over the plain twin (full per-row exact evaluation) — the
+    * indexed/unindexed delta is the prune's win and must GROW with the
+    * multiplier. */
+  private val geoScaledPath = "/tmp/graft_runtime/scale_geocoll"
+  private val geoScaledPlainPath = "/tmp/graft_runtime/scale_geocoll_plain"
+  private def geoScaledCfg = {
+    import org.apache.spark.sql.types._
+    graft.sources.CollectionConfig(payloadTypes = Map("location" ->
+      StructType(Seq(StructField("lon", DoubleType),
+        StructField("lat", DoubleType)))))
+  }
+  private def geoScaledPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(col("doc_id").as("id"),
+      concat(lit("""{"location": {"lon": """),
+        col("doc_id") * 7 % 360 - 180 + lit(0.25),
+        lit(""", "lat": """), col("doc_id") * 11 % 180 - 90 + lit(0.25),
+        lit("}}")).as("payload"))
+  private val geoRadiusJson =
+    """{"filter": {"must": [{"key": "location", "geo_radius":
+      |  {"center": {"lon": 10.25, "lat": 45.25}, "radius": 50000.0}}]},
+      |  "exact": true}""".stripMargin
+
   /** Scaled mutation workload: seed = every generated document, then
     * upsert 10% with a new source, delete one language, merge a payload
     * flag — one end-to-end number for the write path at scale. */
@@ -427,6 +458,21 @@ object ScaleProbe {
           .facet("""{"key": "lang", "limit": 5,
             |  "filter": {"must": [{"key": "n_chars",
             |    "range": {"gte": 100}}]}}""".stripMargin).count(): Unit
+      case "geo_scaled_build" =>
+        val base = graft.storage.Collection.create(spark, geoScaledPath,
+          geoScaledCfg, geoScaledPoints(spark, outDir))
+        base.buildPayloadIndex("location")
+        base.read().select("id").count(): Unit
+      case "geo_plain_scaled_build" =>
+        graft.storage.Collection.create(spark, geoScaledPlainPath,
+          geoScaledCfg, geoScaledPoints(spark, outDir))
+          .read().select("id").count(): Unit
+      case "geo_radius_indexed_scaled" =>
+        new graft.storage.Collection(spark, geoScaledPath, geoScaledCfg)
+          .count(geoRadiusJson).count(): Unit
+      case "geo_radius_unindexed_scaled" =>
+        new graft.storage.Collection(spark, geoScaledPlainPath, geoScaledCfg)
+          .count(geoRadiusJson).count(): Unit
       case q => operatorOnly.getOrElse(q, SparkEntry.queries(q))(spark, outDir).count(): Unit
     }
     def time(n: String): Either[String, Double] = {
@@ -444,7 +490,9 @@ object ScaleProbe {
       "shard_sidecar_scaled_build", "shard_estimate_scaled_warm",
       "wire_upsert_scaled", "update_404_scaled",
       "dense_scaled_build", "byid_query_scaled", "rawvec_query_scaled",
-      "facet_filtered_estimate_scaled_warm"))
+      "facet_filtered_estimate_scaled_warm",
+      "geo_scaled_build", "geo_plain_scaled_build",
+      "geo_radius_indexed_scaled", "geo_radius_unindexed_scaled"))
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(n)).toMap
     val warm = (1 to warmReps).map(_ => names.map(n => n -> time(n)).toMap)

@@ -2438,8 +2438,7 @@ final class Collection(
   def buildPayloadIndex(key: String): Unit = {
     val t = config.payloadTypes.getOrElse(key,
       throw new IllegalArgumentException(s"no declared type for payload key '$key'"))
-    write(Collection.indexProjection(config, key, t)
-        .foldLeft(read()) { case (acc, (name, c)) => acc.withColumn(name, c) },
+    write(Collection.applyIndexProjection(config, key, t, read()),
       sparseDfChange = false)
   }
 
@@ -2473,8 +2472,7 @@ final class Collection(
         if (flags.isPrincipal) (config.principalKeys :+ key).distinct
         else config.principalKeys)
     val next = new Collection(spark, path, nc)
-    next.write(Collection.indexProjection(nc, key, t)
-        .foldLeft(read()) { case (acc, (name, c)) => acc.withColumn(name, c) },
+    next.write(Collection.applyIndexProjection(nc, key, t, read()),
       sparseDfChange = false)
     next
   }
@@ -2573,8 +2571,14 @@ object Collection {
     // declared principal fields order rows BEFORE the id tiebreak: range
     // scans on the field skip row groups via min/max stats — the declared
     // trade (`is_principal`: range-heavy workloads) is that id-lookup
-    // spans widen accordingly
-    val psort = principalSortCols(config, df)
+    // spans widen accordingly. A materialized geo index adds its geocell
+    // column to the same sort (after explicit principals): rows cluster
+    // by geohash cell, so the pushed cell-membership conjunct skips row
+    // groups via min/max stats instead of merely short-circuiting the
+    // exact check — the storage-locality half of the reference's geohash
+    // postings (`field_index/geo_index/`), bought with the same widened
+    // id-lookup spans as `is_principal`.
+    val psort = principalSortCols(config, df) ++ geoCellSortCols(config, df)
     if (pc.isEmpty)
       // Local id sort only — NO range shuffle. Row-group min/max stats
       // become narrow-span because row groups follow the sorted order
@@ -2600,6 +2604,17 @@ object Collection {
         pc.map(col) :+ pmod(xxhash64(id), lit(writeSalt(df))): _*)
         .sortWithinPartitions(pc.map(col) ++ psort :+ id: _*)
   }
+
+  /** Sort keys contributed by materialized geo indexes (nulls last keeps
+    * the single-point span contiguous; sentinel `*` sorts ahead of the
+    * base32 cells and stays a narrow span of its own). */
+  private[storage] def geoCellSortCols(
+      config: CollectionConfig, df: DataFrame): Seq[Column] =
+    config.payloadTypes.toSeq.sortBy(_._1).collect {
+      case (k, _: org.apache.spark.sql.types.StructType)
+          if df.columns.contains(config.geoCellCol(k)) =>
+        col(config.geoCellCol(k)).asc_nulls_last
+    }
 
   /** Id-hash salt width for partitioned writes: ≥1, ~cores/8. Also the
     * bound on files per partition directory. */
@@ -2649,37 +2664,51 @@ object Collection {
       acc.drop(c).withColumn(c, tenantBucketExpr(config, k))
     }
 
-  /** Projection column(s) for one declared payload field index. Scalar
-    * kinds: one typed `idx_<key>` cast. Geo (the `"geo"` schema →
-    * StructType): a STRING→STRUCT cast is illegal in Spark, so the struct
-    * parses via `from_json` — null for any value that is not a single
-    * well-formed point, mirroring the reference's index-time skip of
-    * non-geo-shaped values (`geo_index/mod.rs` `GeoPoint` extraction) —
+  /** Materialize the projection column(s) for one declared payload field
+    * index. Scalar kinds: one typed `idx_<key>` cast. Geo (the `"geo"`
+    * schema → StructType): a STRING→STRUCT cast is illegal in Spark, so
+    * the struct parses via `from_json` — null for any value that is not a
+    * single well-formed point, mirroring the reference's index-time skip
+    * of non-geo-shaped values (`geo_index/mod.rs` `GeoPoint` extraction) —
     * PLUS the `geocell_<key>` geohash prune column: the point's cell for
     * single-point rows, [[GeoIndex.MultiCell]] for rows whose value is
     * present but not a single point (array of points / malformed — the
     * exact check owns them), null when the field is absent (such a row
-    * can never match a geo condition, so the prune may drop it). */
-  private[storage] def indexProjection(config: CollectionConfig,
-      key: String, t: org.apache.spark.sql.types.DataType): Seq[(String, Column)] =
+    * can never match a geo condition, so the prune may drop it).
+    *
+    * The raw JSON extraction and the parsed struct land in INTERMEDIATE
+    * columns (dropped at the end): both are referenced from several
+    * CASE WHEN branches, where codegen subexpression elimination cannot
+    * reach — inline, `from_json`/`get_json_object` re-evaluated per
+    * branch per row (measured ~5× on the 500k-row index build); as
+    * non-cheap multi-referenced aliases they keep their own ProjectExec
+    * (CollapseProject declines to inline) and evaluate once per row. */
+  private[storage] def applyIndexProjection(config: CollectionConfig,
+      key: String, t: org.apache.spark.sql.types.DataType,
+      df0: DataFrame): DataFrame =
     t match {
       case st: org.apache.spark.sql.types.StructType =>
-        val raw = get_json_object(col(config.payloadCol), "$." + key)
-        val parsed = from_json(raw, st)
+        val rawC = s"_georaw_$key"
+        val parsedC = s"_geoparsed_$key"
+        val raw = col(rawC)
+        val parsed = col(parsedC)
         // an ARRAY value must NOT parse as its first element (from_json
         // with a struct schema takes the head of a JSON array): a
         // first-point cell would prune away rows whose OTHER points match
         val ok = substring(raw, 1, 1) === "{" && parsed.isNotNull &&
           parsed.getField("lon").isNotNull && parsed.getField("lat").isNotNull
-        Seq(
-          s"idx_$key" -> when(ok, parsed),
-          config.geoCellCol(key) ->
+        df0
+          .withColumn(rawC, get_json_object(col(config.payloadCol), "$." + key))
+          .withColumn(parsedC, from_json(raw, st))
+          .withColumn(s"idx_$key", when(ok, parsed))
+          .withColumn(config.geoCellCol(key),
             when(ok, graft.index.GeoIndex.cellCol(parsed.getField("lon"),
               parsed.getField("lat"), graft.index.GeoIndex.ColumnPrecision))
               .otherwise(when(raw.isNotNull,
                 lit(graft.index.GeoIndex.MultiCell))))
+          .drop(rawC, parsedC)
       case _ =>
-        Seq(s"idx_$key" ->
+        df0.withColumn(s"idx_$key",
           get_json_object(col(config.payloadCol), "$." + key).cast(t))
     }
 
@@ -2695,9 +2724,8 @@ object Collection {
     val cols = df.columns.toSet
     config.payloadTypes.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (k, t)) =>
       if (!cols.contains(s"idx_$k")) acc
-      else indexProjection(config, k, t).foldLeft(acc) {
-        case (a, (name, c)) => a.drop(name).withColumn(name, c)
-      }
+      else applyIndexProjection(config, k, t,
+        acc.drop(s"idx_$k").drop(config.geoCellCol(k)))
     }
   }
 
