@@ -221,10 +221,24 @@ object GeoIndex {
       if (cover.forall(_.length == cellPrecision))
         cell.isin((MultiCell +: cover): _*)
       else
-        cover.map(c => cell.startsWith(c)).reduce(_ || _) ||
+        balancedOr(cover.map(c => cell.startsWith(c))) ||
           cell === lit(MultiCell)
     cell.isNotNull && membership
   }
+
+  /** OR of many columns as a BALANCED tree — a left-fold `reduce(_ || _)`
+    * builds a linear chain whose depth equals the cover size, and Spark's
+    * Column-node→Expression conversion recurses per level: a few hundred
+    * coarse-precision prefixes overflowed the driver stack (caught by the
+    * r15 bench at sf0.1). log₂-depth keeps any legal cover trivially
+    * shallow; the Or-tree shape is irrelevant to parquet filter
+    * translation. */
+  private def balancedOr(cs: Seq[Column]): Column =
+    if (cs.length == 1) cs.head
+    else {
+      val (a, b) = cs.splitAt(cs.length / 2)
+      balancedOr(a) || balancedOr(b)
+    }
 
   /** Bounding-box search over an indexed table: prune by cell membership,
     * then the exact STRICT box check (`GeoBoundingBox::check_point`,
