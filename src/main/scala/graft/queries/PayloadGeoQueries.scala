@@ -258,6 +258,35 @@ object PayloadGeoQueries {
       geoCount(s, dir, GeoPolygonCond("location", exterior = Seq(
         GeoPoint(-100.0, -50.0), GeoPoint(100.0, -40.0), GeoPoint(0.0, 70.0),
         GeoPoint(-100.0, -50.0))))),
+    // polygon with an interior ring — inside the exterior AND NOT inside
+    // any hole (`test_geo_filter.py::test_geo_polygon_with_interiors`;
+    // `GeoPolygon::check_point` via geo's Contains). The hole is placed on
+    // the fixture's negative-lon diagonal band so it genuinely removes
+    // rows.
+    "geo_polygon_interiors" -> ((s, dir) =>
+      geoCount(s, dir, GeoPolygonCond("location",
+        exterior = Seq(GeoPoint(-70.0, -70.0), GeoPoint(60.0, -70.0),
+          GeoPoint(60.0, 60.0), GeoPoint(-70.0, 60.0), GeoPoint(-70.0, -70.0)),
+        interiors = Seq(Seq(GeoPoint(-60.0, 20.0), GeoPoint(-40.0, 20.0),
+          GeoPoint(-40.0, 40.0), GeoPoint(-60.0, 40.0),
+          GeoPoint(-60.0, 20.0)))))),
+    // multiple polygons under `should` — OR semantics across two disjoint
+    // rings (`test_geo_filter.py::test_geo_polygon_multiple`); each rect
+    // sits on one of the fixture's two lon↔lat diagonal bands so both
+    // branches contribute rows.
+    "geo_polygon_multi_should" -> ((s, dir) => {
+      val g = geoEvents(s, dir)
+      def rect(lonLo: Double, latLo: Double,
+          lonHi: Double, latHi: Double): Condition =
+        GeoPolygonCond("location", exterior = Seq(
+          GeoPoint(lonLo, latLo), GeoPoint(lonHi, latLo),
+          GeoPoint(lonHi, latHi), GeoPoint(lonLo, latHi),
+          GeoPoint(lonLo, latLo)))
+      val pred = new FilterCompiler(new TypedResolver(g.schema, "event_id"))
+        .compile(Filter(should = Seq(
+          rect(55.0, -35.0, 65.0, -25.0), rect(-65.0, 25.0, -55.0, 35.0))))
+      g.filter(pred).agg(count(lit(1)).as("cnt"))
+    }),
     // Declared geo payload index END-TO-END (`PUT /collections/{c}/index`
     // with `"field_schema": "geo"` → geohash-pruned filtering;
     // `tests/openapi/test_geo_payload_index.py`,
@@ -382,6 +411,19 @@ object PayloadGeoQueries {
       |  ((user_id % 360) - 180 + 0.25) AS lon,
       |  ((user_id % 180) - 90 + 0.25) AS lat FROM events)""".stripMargin
 
+  /** Ray-cast membership for an axis-aligned rectangle ring
+    * [(lonLo,latLo),(lonHi,latLo),(lonHi,latHi),(lonLo,latHi),close] —
+    * term-by-term the Spark `pointInRing` result: the two horizontal
+    * edges' crossings are identically false (omitted), the two vertical
+    * edges' x-intersections fold to their constant lon (IEEE-exact:
+    * `0.0*(lat-a)/Δ + lon` = lon). */
+  private def rectRaycastSql(lonLo: Double, latLo: Double,
+      lonHi: Double, latHi: Double): String =
+    s"""((CASE WHEN (($latLo > lat) != ($latHi > lat)) AND lon < $lonHi
+       |      THEN 1 ELSE 0 END)
+       | + (CASE WHEN (($latHi > lat) != ($latLo > lat)) AND lon < $lonLo
+       |      THEN 1 ELSE 0 END)) % 2 = 1""".stripMargin
+
   private val trichotomyCte =
     """WITH p AS (SELECT doc_id, doc_id % 6 AS bucket,
       |  CASE CAST(doc_id % 6 AS INT)
@@ -494,6 +536,16 @@ object PayloadGeoQueries {
          | + (CASE WHEN ((70.0 > lat) != (-50.0 > lat))
          |        AND lon < -100.0 * (lat - 70.0) / -120.0 + 0.0 THEN 1 ELSE 0 END)
          |) % 2 = 1""".stripMargin,
+    "geo_polygon_interiors" ->
+      s"""$geoCte
+         |SELECT count(*)::BIGINT AS cnt FROM g
+         |WHERE ${rectRaycastSql(-70.0, -70.0, 60.0, 60.0)}
+         |  AND NOT ${rectRaycastSql(-60.0, 20.0, -40.0, 40.0)}""".stripMargin,
+    "geo_polygon_multi_should" ->
+      s"""$geoCte
+         |SELECT count(*)::BIGINT AS cnt FROM g
+         |WHERE ${rectRaycastSql(55.0, -35.0, 65.0, -25.0)}
+         |   OR ${rectRaycastSql(-65.0, 25.0, -55.0, 35.0)}""".stripMargin,
     "api_geo_field_index" -> {
       // unpruned recomputation of every arm over the deterministic fixture;
       // shape 6 rows OR both points (∃-over-values), shapes 5/7 never match
