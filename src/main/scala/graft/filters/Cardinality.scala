@@ -99,6 +99,34 @@ object Cardinality {
     * time, so the estimate is exact by construction. */
   final case class NullStats(isNullCount: Long, isEmptyCount: Long)
 
+  /** Per-cell point counts for a DECLARED geo payload index — the
+    * driver-side analog of the reference's geohash postings counts
+    * (`geo_index/read_ops.rs` `match_cardinality`: per-region
+    * `points_of_hash` sums drive the estimate). Cells are coarse
+    * ([[graft.index.GeoIndex.StatsPrecision]]) so the map stays bounded;
+    * `multiPoints` counts sentinel rows (array-valued / non-geo-shaped —
+    * candidates under EVERY cover since any of their points could fall
+    * anywhere). */
+  final case class GeoStats(
+      multiPoints: Long,
+      cellCounts: Map[String, Long]) {
+
+    /** Candidate count for a bounded cover (prefixes at ≤ the sidecar
+      * precision): Σ matching-cell counts + the sentinel rows. The cover
+      * is a SUPERSET of the shape and the exact check may reject any
+      * candidate, so min = 0; exp follows the reference in reading the
+      * region sum as the expectation (`match_cardinality` exp reduces to
+      * the region sum for single-valued fields). */
+    def coverEstimate(cover: Seq[String], total: Long): CardEst = {
+      if (cover.isEmpty) return CardEst(0L, total / 2, total)
+      val sum = cellCounts.iterator.collect {
+        case (cell, c) if cover.exists(cell.startsWith) => c
+      }.sum + multiPoints
+      val capped = math.min(sum, total)
+      CardEst(0L, capped, capped)
+    }
+  }
+
   /** Driver-side statistics snapshot persisted beside the table
     * (`<path>_fieldstats.json`). `total` = point count;
     * `vectorCounts` = non-null count per named (dense or sparse) vector
@@ -113,7 +141,8 @@ object Cardinality {
       stringTyped: Set[String] = Set.empty,
       boolTyped: Set[String] = Set.empty,
       intTyped: Set[String] = Set.empty,
-      dateTyped: Set[String] = Set.empty)
+      dateTyped: Set[String] = Set.empty,
+      geo: Map[String, GeoStats] = Map.empty)
 
   // ------------------------------------------------------------ combiners
 
@@ -361,8 +390,44 @@ object Cardinality {
         // `filtering.rs:156-164`
         CardEst(0L, total / t.toLong, total)
       case SubFilter(f) => estimateFilter(f, s)
-      // text / geo / values_count / nested: no snapshot structure serves
-      // them here → unknown, like an un-indexed field in the reference
+      // Geo conditions on a key with a DECLARED geo index estimate from
+      // the per-cell sidecar counts (`geo_index/read_ops.rs`
+      // `estimate_cardinality`: regions → `match_cardinality` sums); an
+      // un-indexed geo key stays unknown like the reference. The cover is
+      // computed at the sidecar precision; an over-wide shape (empty
+      // bounded cover) also degrades to unknown — the reference's
+      // region-overflow `Ok(None)` arm.
+      case GeoBoundingBox(k, tl, br) => s.geo.get(k) match {
+        case Some(g) => g.coverEstimate(
+          graft.index.GeoIndex.boundedCoverBbox(tl.lon, tl.lat, br.lon,
+            br.lat, graft.index.GeoIndex.StatsPrecision), total)
+        case None => unknown
+      }
+      case GeoRadius(k, c0, radius) => s.geo.get(k) match {
+        case Some(g) => g.coverEstimate(
+          graft.index.GeoIndex.boundedCoverRadius(c0.lon, c0.lat, radius,
+            graft.index.GeoIndex.StatsPrecision), total)
+        case None => unknown
+      }
+      // polygon: exterior-cover estimate minus each interior ring's,
+      // with the reference's saturating arithmetic
+      // (`polygon_hashes_estimation` consumption, `read_ops.rs:297-325`)
+      case GeoPolygonCond(k, exterior, interiors) => s.geo.get(k) match {
+        case Some(g) =>
+          def ringEst(ring: Seq[graft.model.GeoPoint]): CardEst =
+            g.coverEstimate(graft.index.GeoIndex.boundedCoverPolygon(
+              ring.map(p => (p.lon, p.lat)),
+              graft.index.GeoIndex.StatsPrecision), total)
+          interiors.foldLeft(ringEst(exterior)) { (acc, ring) =>
+            val ie = ringEst(ring)
+            val minE = math.max(0L, acc.min - ie.max)
+            val maxE = math.max(minE, acc.max - ie.min)
+            CardEst(minE, math.max(acc.exp - ie.exp, minE), maxE)
+          }
+        case None => unknown
+      }
+      // text / values_count / nested: no snapshot structure serves them
+      // here → unknown, like an un-indexed field in the reference
       case _ => unknown
     }
   }

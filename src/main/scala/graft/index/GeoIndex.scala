@@ -41,6 +41,41 @@ object GeoIndex {
     * real cell or act as a prefix of one. */
   val MultiCell = "*"
 
+  /** Sidecar granularity for geo cardinality statistics: per-cell counts
+    * at precision 2 (≤ 32·32 possible cells, ~5.6°×11.25° each) — the
+    * bounded-size analog of the reference's per-geohash postings counts
+    * (`geo_index` `match_cardinality` reads `points_of_hash` per query
+    * region). */
+  val StatsPrecision = 2
+
+  /** Inverse of [[encode]]: the half-open lon/lat box of a cell,
+    * `(lonLo, latLo, lonHi, latHi)` with `lo ≤ x < hi` — membership via
+    * these bounds reproduces the cell assignment bit-for-bit (encode
+    * subdivides half-open on the same binary midpoints). */
+  def cellBox(cell: String): (Double, Double, Double, Double) = {
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var isLon = true
+    cell.foreach { ch =>
+      val v = Base32.indexOf(ch)
+      require(v >= 0, s"bad geohash char '$ch'")
+      var bit = 4
+      while (bit >= 0) {
+        val set = ((v >> bit) & 1) == 1
+        if (isLon) {
+          val mid = (lonLo + lonHi) / 2
+          if (set) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (set) latLo = mid else latHi = mid
+        }
+        isLon = !isLon
+        bit -= 1
+      }
+    }
+    (lonLo, latLo, lonHi, latHi)
+  }
+
   /** Standard geohash encoding (Niemeyer 2008; public algorithm). */
   def encode(lon: Double, lat: Double, precision: Int): String = {
     var latLo = -90.0; var latHi = 90.0

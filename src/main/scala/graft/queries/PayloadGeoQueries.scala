@@ -287,6 +287,24 @@ object PayloadGeoQueries {
           rect(55.0, -35.0, 65.0, -25.0), rect(-65.0, 25.0, -55.0, 35.0))))
       g.filter(pred).agg(count(lit(1)).as("cnt"))
     }),
+    // Geo cardinality estimation from the declared index's cell sidecar
+    // (`geo_index/read_ops.rs` `estimate_cardinality`: query regions →
+    // per-region postings counts; here coarse per-cell counts in the
+    // _fieldstats sidecar): `exact:false` count answers DRIVER-side with
+    // zero scan. The oracle recomputes the same candidate sum from the
+    // cover cells' lon/lat boxes (disjoint, embedded as literals).
+    "count_estimate_geo" -> ((s, dir) =>
+      geoIndexedColl(s, dir).count(
+        """{"filter": {"must": [{"key": "location", "geo_bounding_box":
+          |  {"top_left": {"lon": -40.0, "lat": 20.0},
+          |   "bottom_right": {"lon": -10.0, "lat": -10.0}}}]},
+          |  "exact": false}""".stripMargin)),
+    "count_estimate_geo_radius" -> ((s, dir) =>
+      geoIndexedColl(s, dir).count(
+        """{"filter": {"must": [{"key": "location", "geo_radius":
+          |  {"center": {"lon": 10.25, "lat": 45.25},
+          |   "radius": 1000000.0}}]},
+          |  "exact": false}""".stripMargin)),
     // Declared geo payload index END-TO-END (`PUT /collections/{c}/index`
     // with `"field_schema": "geo"` → geohash-pruned filtering;
     // `tests/openapi/test_geo_payload_index.py`,
@@ -410,6 +428,29 @@ object PayloadGeoQueries {
     """WITH g AS (SELECT event_id,
       |  ((user_id % 360) - 180 + 0.25) AS lon,
       |  ((user_id % 180) - 90 + 0.25) AS lat FROM events)""".stripMargin
+
+  /** Mirror of the driver-side geo estimate over the deterministic
+    * fixture: candidates = single-point rows falling in any cover cell's
+    * half-open box (disjoint — exactly the sidecar's per-cell counts
+    * under the cover) + the sentinel rows (array-valued shape 6 +
+    * non-geo-shaped shape 5), then the single-must `combine_must` round
+    * trip `round(n·(c/n))`. */
+  private def geoEstimateSql(cover: Seq[String]): String = {
+    val boxes = cover.map { c =>
+      val (lonLo, latLo, lonHi, latHi) = graft.index.GeoIndex.cellBox(c)
+      s"(lon >= $lonLo AND lon < $lonHi AND lat >= $latLo AND lat < $latHi)"
+    }.mkString("(", "\n     OR ", ")")
+    s"""WITH g AS (SELECT doc_id,
+       |    ((doc_id*7) % 360) - 180 + 0.25 AS lon,
+       |    ((doc_id*11) % 180) - 90 + 0.25 AS lat,
+       |    doc_id % 8 AS shape FROM documents),
+       |  m AS (SELECT count(*)::DOUBLE AS n,
+       |    (sum(CASE WHEN shape NOT IN (5, 6, 7) AND $boxes
+       |          THEN 1 ELSE 0 END)
+       |     + sum(CASE WHEN shape IN (5, 6) THEN 1 ELSE 0 END))::DOUBLE AS c
+       |    FROM g)
+       |SELECT CAST(round(n * (c / n)) AS BIGINT) AS cnt FROM m""".stripMargin
+  }
 
   /** Ray-cast membership for an axis-aligned rectangle ring
     * [(lonLo,latLo),(lonHi,latLo),(lonHi,latHi),(lonLo,latHi),close] —
@@ -546,6 +587,12 @@ object PayloadGeoQueries {
          |SELECT count(*)::BIGINT AS cnt FROM g
          |WHERE ${rectRaycastSql(55.0, -35.0, 65.0, -25.0)}
          |   OR ${rectRaycastSql(-65.0, 25.0, -55.0, 35.0)}""".stripMargin,
+    "count_estimate_geo" -> geoEstimateSql(
+      graft.index.GeoIndex.boundedCoverBbox(-40.0, 20.0, -10.0, -10.0,
+        graft.index.GeoIndex.StatsPrecision)),
+    "count_estimate_geo_radius" -> geoEstimateSql(
+      graft.index.GeoIndex.boundedCoverRadius(10.25, 45.25, 1000000.0,
+        graft.index.GeoIndex.StatsPrecision)),
     "api_geo_field_index" -> {
       // unpruned recomputation of every arm over the deterministic fixture;
       // shape 6 rows OR both points (∃-over-values), shapes 5/7 never match

@@ -2270,6 +2270,30 @@ final class Collection(
           perKey.toMap, 0L, 0L)
       }.toMap
 
+    // JOB 7 (declared geo indexes only) — coarse per-cell counts from the
+    // materialized geocell column (the scan prunes to that one string
+    // column; ≤ 32² + sentinel groups by construction). The reference
+    // reads the same numbers from its geohash postings
+    // (`geo_index/read_ops.rs` `points_of_hash`).
+    val geoStats: Map[String, graft.filters.Cardinality.GeoStats] =
+      declared.collect {
+        case (k, _: StructType) if df.columns.contains(config.geoCellCol(k)) =>
+          val cellC = col(config.geoCellCol(k))
+          val rows = timed(s"geo-agg") {
+            df.filter(cellC.isNotNull)
+              .groupBy(substring(cellC, 1,
+                graft.index.GeoIndex.StatsPrecision).as("_c"))
+              .agg(cnt(lit(1)).as("c"))
+              .collect()
+          }
+          val (multi, cells) = rows.partition(
+            _.getString(0) == graft.index.GeoIndex.MultiCell)
+          k -> graft.filters.Cardinality.GeoStats(
+            multiPoints = multi.map(_.getAs[Long]("c")).sum,
+            cellCounts = cells.map(rw =>
+              rw.getString(0) -> rw.getAs[Long]("c")).toMap)
+      }.toMap
+
     FieldStatsSnapshot(total, vectorCounts, values ++ shardStats, hist, nulls,
       stringTyped = declared.collect {
         case (k, t) if elemType(t) == StringType => k }.toSet ++
@@ -2280,7 +2304,8 @@ final class Collection(
         case (k, t) if elemType(t) == LongType || elemType(t) == IntegerType => k
       }.toSet ++
         shardKeyIsString.collect { case false => config.shardKeyCol.get },
-      dateTyped = dateFields.toSet)
+      dateTyped = dateFields.toSet,
+      geo = geoStats)
   }
 
   // ------------------------------------------------------- quantization
@@ -2993,12 +3018,17 @@ object Collection {
       k -> (JObject("null" -> JLong(n.isNullCount),
         "empty" -> JLong(n.isEmptyCount)): JValue)
     }.toList)
+    val geo = JObject(s.geo.toSeq.sortBy(_._1).map { case (k, g) =>
+      k -> (JObject("multi" -> JLong(g.multiPoints),
+        "cells" -> lmap(g.cellCounts)): JValue)
+    }.toList)
     JsonMethods.compact(JsonMethods.render(JObject(
       "total" -> JLong(s.total),
       "vectors" -> lmap(s.vectorCounts),
       "values" -> values,
       "hist" -> hist,
       "nulls" -> nulls,
+      "geo" -> geo,
       "string_typed" -> JArray(s.stringTyped.toList.sorted.map(JString(_): JValue)),
       "bool_typed" -> JArray(s.boolTyped.toList.sorted.map(JString(_): JValue)),
       "int_typed" -> JArray(s.intTyped.toList.sorted.map(JString(_): JValue)),
@@ -3055,9 +3085,15 @@ object Collection {
       }.toMap
       case _ => Map.empty[String, NullStats]
     }
+    val geo = (o \ "geo") match {
+      case JObject(fs) => fs.map { case (k, jv) =>
+        k -> GeoStats(long(jv \ "multi"), lmap(jv \ "cells"))
+      }.toMap
+      case _ => Map.empty[String, GeoStats]
+    }
     FieldStatsSnapshot(long(o \ "total"), lmap(o \ "vectors"), values, hist,
       nulls, strs(o \ "string_typed"), strs(o \ "bool_typed"),
-      strs(o \ "int_typed"), strs(o \ "date_typed"))
+      strs(o \ "int_typed"), strs(o \ "date_typed"), geo)
   }
 
   private[storage] def quantJson(m: Map[String, QuantParams]): String = {

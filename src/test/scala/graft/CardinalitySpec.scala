@@ -181,4 +181,41 @@ class CardinalitySpec extends AnyFunSuite {
     val est = multiValueSelection(10000L, 10000L, 2500L)
     assert(math.abs(est - 2500.0) < 5.0)
   }
+
+  test("geo estimation: cover sums, sentinel, polygon interiors arithmetic") {
+    import graft.index.GeoIndex
+    // per-cell counts around two precision-2 cells + 40 sentinel rows
+    val homeCell = GeoIndex.encode(10.25, 45.25, GeoIndex.StatsPrecision)
+    val farCell = GeoIndex.encode(-150.0, -60.0, GeoIndex.StatsPrecision)
+    val g = GeoStats(multiPoints = 40L,
+      cellCounts = Map(homeCell -> 100L, farCell -> 7L))
+    val s = snap.copy(geo = Map("loc" -> g))
+    // a radius around the home cell: candidates = home count + sentinels;
+    // the far cell must not leak in
+    val er = estimateCondition(
+      GeoRadius("loc", GeoPoint(10.25, 45.25), 1000.0), s)
+    assert(er.min == 0L && er.exp == 140L && er.max == 140L)
+    wellFormed(er)
+    // an unindexed geo key falls back to the unknown band
+    assert(estimateCondition(
+      GeoRadius("other", GeoPoint(0, 0), 1000.0), s) ==
+      CardEst(0L, 500L, 1000L))
+    // world-sized bbox: every cell + sentinels (cover at precision 1
+    // still prefixes the precision-2 sidecar cells)
+    val ew = estimateCondition(GeoBoundingBox("loc",
+      GeoPoint(-179.9, 89.9), GeoPoint(179.9, -89.9)), s)
+    assert(ew.exp == 147L && ew.max == 147L)
+    // polygon with an interior ring over the home cell: the reference's
+    // saturating subtraction (read_ops.rs:297-325) — exterior(world-ish)
+    // minus interior(home) keeps min at 0 and drops exp by the hole's
+    val ring = Seq(GeoPoint(-179.9, -89.9), GeoPoint(179.9, -89.9),
+      GeoPoint(179.9, 89.9), GeoPoint(-179.9, 89.9),
+      GeoPoint(-179.9, -89.9))
+    val hole = Seq(GeoPoint(10.0, 45.0), GeoPoint(10.5, 45.0),
+      GeoPoint(10.5, 45.5), GeoPoint(10.0, 45.5), GeoPoint(10.0, 45.0))
+    val ep = estimateCondition(GeoPolygonCond("loc", ring, Seq(hole)), s)
+    // exterior candidates 147; hole candidates 140 (home cell + sentinel)
+    assert(ep.min == 0L && ep.exp == 7L && ep.max == 147L)
+    wellFormed(ep)
+  }
 }
