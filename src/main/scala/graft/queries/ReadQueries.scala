@@ -174,6 +174,99 @@ object ReadQueries {
             |  "range": {"gte": 4}}]}""".stripMargin)))
         .toDF("check_name", "cnt")
     }),
+    // NESTED payload field indexing through the wire — the reference's
+    // `test_nested_payload_indexing.py` flow: declare a keyword index on
+    // a DOTTED path (`country.capital`) and a float index on a WILDCARD
+    // array path (`country.cities[].population`), then filter through
+    // both. Expected counts are the reference test's own assertions.
+    // Column contract: the dotted key materializes a sanitized scalar
+    // projection (`idx_country_capital` — an unsanitized dot would break
+    // every later `col()` reference), the wildcard key materializes NO
+    // scalar column (it addresses multiple values per point; filters
+    // compile through the JsonPath wildcard traversal), and dropping both
+    // indexes removes what was materialized.
+    "api_nested_field_index" -> ((s, dir) => {
+      import s.implicits._
+      import graft.api.RequestCodec
+      import graft.sources.CollectionConfig
+      import graft.storage.Collection
+      val path = "/tmp/graft_runtime/nested_fieldidx_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      def city(name: String, pop: Double, sights: Seq[String]): String =
+        s"""{"name": "$name", "population": $pop, "sightseeing": [""" +
+          sights.map(x => s""""$x"""").mkString(", ") + "]}"
+      def country(name: String, capital: Option[String],
+          cities: Seq[String]): String =
+        s"""{"country": {"name": "$name"""" +
+          capital.fold("")(c => s""", "capital": "$c"""") +
+          s""", "cities": [${cities.mkString(", ")}]}}"""
+      val rows = Seq(
+        (1L, country("Germany", Some("Berlin"), Seq(
+          city("Berlin", 3.7, Seq("Brandenburg Gate", "Reichstag")),
+          city("Munich", 1.5, Seq("Marienplatz", "Olympiapark")),
+          city("Hamburg", 1.8, Seq("Reeperbahn", "Elbphilharmonie"))))),
+        (2L, country("England", Some("London"), Seq(
+          city("London", 8.9, Seq("Big Ben", "London Eye")),
+          city("Manchester", 2.5, Seq("Manchester United", "Manchester City")),
+          city("Liverpool", 0.5, Seq("Anfield", "Albert Dock"))))),
+        (3L, country("France", Some("Paris"), Seq(
+          city("Paris", 2.2, Seq("Eiffel Tower", "Louvre", "Notre Dame")),
+          city("Marseille", 0.9, Seq("Vieux Port", "Notre Dame de la Garde")),
+          city("Lyon", 0.5, Seq("Place Bellecour", "Fourviere Basilica"))))),
+        (4L, country("Japan", Some("Tokyo"), Seq(
+          city("Tokyo", 9.3, Seq("Tokyo Tower", "Tokyo Skytree")),
+          city("Osaka", 2.7, Seq("Osaka Castle", "Universal Studios Japan")),
+          city("Kyoto", 1.5, Seq("Kiyomizu-dera", "Fushimi Inari-taisha"))))),
+        (5L, """{"country": {"name": "Nauru", "cities": [{"name": null}]}}"""),
+        (6L, null.asInstanceOf[String]))
+      val base = Collection.create(s, path, CollectionConfig(),
+        rows.toDF("id", "payload"))
+      val (f1, t1, _, fl1) = RequestCodec.parseFieldIndexRequest(
+        """{"field_name": "country.capital", "field_schema": "keyword"}""")
+      val step1 = base.buildPayloadIndex(f1, t1, fl1)
+      val (f2, t2, _, fl2) = RequestCodec.parseFieldIndexRequest(
+        """{"field_name": "country.cities[].population",
+          |  "field_schema": "float"}""".stripMargin)
+      val coll = step1.buildPayloadIndex(f2, t2, fl2)
+      def cnt(filter: String): Long = coll.scroll(
+        s"""{"filter": $filter, "limit": 10, "with_payload": false}""").count()
+      def m(k: String, v: String): String =
+        s"""{"key": "$k", "match": {"value": $v}}"""
+      val stored = coll.read()
+      val colsOk = stored.columns.contains("idx_country_capital") &&
+        !stored.columns.exists(_.startsWith("idx_country_cities"))
+      val arms = Seq(
+        // capital index serves the dotted match; conj pins WHICH point
+        ("capital_match_identity", cnt(s"""{"must": [
+          |  ${m("country.capital", "\"London\"")},
+          |  ${m("country.name", "\"England\"")}]}""".stripMargin)),
+        ("name_unindexed", cnt(s"""{"must": [
+          |  ${m("country.name", "\"France\"")},
+          |  ${m("country.capital", "\"Paris\"")}]}""".stripMargin)),
+        // NO implicit array descent without []
+        ("array_no_wildcard", cnt(
+          """{"must": [{"key": "country.cities.population",
+            |  "range": {"gt": 8}}]}""".stripMargin)),
+        ("array_wildcard_range", cnt(s"""{"must": [
+          |  {"key": "country.cities[].population", "range": {"gt": 9.0}},
+          |  ${m("country.name", "\"Japan\"")}]}""".stripMargin)),
+        ("sightseeing_value", cnt(s"""{"must": [
+          |  ${m("country.cities[].sightseeing", "\"Eiffel Tower\"")},
+          |  ${m("country.capital", "\"Paris\"")}]}""".stripMargin)),
+        ("indexed_array_pos", cnt(s"""{"must": [
+          |  ${m("country.cities[0].name", "\"Paris\"")},
+          |  ${m("country.capital", "\"Paris\"")}]}""".stripMargin)),
+        ("scalar_array_pos", cnt(s"""{"must": [
+          |  ${m("country.cities[].sightseeing[1]", "\"Louvre\"")},
+          |  ${m("country.capital", "\"Paris\"")}]}""".stripMargin)),
+        ("cols", if (colsOk) 1L else 0L))
+      // delete both indexes — the materialized projection must vanish
+      coll.dropPayloadIndex("country.capital")
+      coll.dropPayloadIndex("country.cities[].population")
+      val afterDrop =
+        if (coll.read().columns.exists(_.startsWith("idx_"))) 0L else 1L
+      (arms :+ ("cols_after_drop", afterDrop)).toDF("check_name", "cnt")
+    }),
     // HasVector over a sparsely-populated named vector column
     "has_vector_count" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -390,6 +483,20 @@ object ReadQueries {
         |  ('flat_path_b', 1::BIGINT), ('array_key_miss', 0::BIGINT),
         |  ('double_nested', 2::BIGINT), ('double_nested_conj', 1::BIGINT),
         |  ('array_key_conj', 1::BIGINT)) AS t(check_name, cnt)""".stripMargin,
+    // the reference test's own assertions
+    // (`test_nested_payload_indexing.py:297,321,343,365,389,412,434`)
+    "api_nested_field_index" ->
+      """SELECT * FROM (VALUES
+        |  ('capital_match_identity', 1::BIGINT),
+        |  ('name_unindexed', 1::BIGINT),
+        |  ('array_no_wildcard', 0::BIGINT),
+        |  ('array_wildcard_range', 1::BIGINT),
+        |  ('sightseeing_value', 1::BIGINT),
+        |  ('indexed_array_pos', 1::BIGINT),
+        |  ('scalar_array_pos', 1::BIGINT),
+        |  ('cols', 1::BIGINT),
+        |  ('cols_after_drop', 1::BIGINT)) AS t(check_name, cnt)"""
+        .stripMargin,
     // hand-derived from the 2-point triple-nesting fixture (see the entry):
     // p1 arr3 leaves (1,1),(2,3); p2 leaves (2,2) | (1,3),(4,1)
     "filter_nested_triple" ->

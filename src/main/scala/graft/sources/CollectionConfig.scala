@@ -129,17 +129,27 @@ final case class CollectionConfig(
     * the stored table when the vector declares [[IvfSpec]]). */
   def cellCol(name: String): String = s"ivfcell_${vectorCol(name)}"
 
-  /** Tenant-bucket partition column for a declared tenant field (key
-    * characters outside [A-Za-z0-9_] sanitize to `_` — JsonPath dots in
-    * the field name are not legal in a parquet partition directory). */
-  def tenantBucketCol(key: String): String =
-    "tenantb_" + key.replaceAll("[^A-Za-z0-9_]", "_")
+  /** Key characters outside [A-Za-z0-9_] sanitize to `_` in derived
+    * column names: JsonPath dots are not legal in a parquet partition
+    * directory, and an un-sanitized dot in a data column name breaks
+    * every later `col("idx_a.b")` reference (parsed as field access). */
+  private def sanitizeKey(key: String): String =
+    key.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Tenant-bucket partition column for a declared tenant field. */
+  def tenantBucketCol(key: String): String = "tenantb_" + sanitizeKey(key)
 
   /** Geohash cell column for a declared geo payload index (rides beside
     * the `idx_` struct projection; [[graft.index.GeoIndex.ColumnPrecision]]
     * cells) — the prune column geo filter conditions push to the scan. */
-  def geoCellCol(key: String): String =
-    "geocell_" + key.replaceAll("[^A-Za-z0-9_]", "_")
+  def geoCellCol(key: String): String = "geocell_" + sanitizeKey(key)
+
+  /** Typed projection column for a declared payload field index
+    * ("create payload index", SURVEY §2.5). Sanitized so a NESTED index
+    * key (`country.capital`, `test_nested_payload_indexing.py`) yields a
+    * referenceable column; identical to the raw `idx_<key>` for plain
+    * keys. */
+  def idxCol(key: String): String = "idx_" + sanitizeKey(key)
 
   def vectorConfig(name: String): VectorConfig =
     vectors.find(_.name == name)

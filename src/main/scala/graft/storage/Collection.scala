@@ -1379,7 +1379,7 @@ final class Collection(
         // before). Projection/index columns are single-valued by
         // construction and keep the plain-column fast path.
         val obCol =
-          if (df.columns.contains(s"idx_${ob.field}")) col(s"idx_${ob.field}")
+          if (df.columns.contains(config.idxCol(ob.field))) col(config.idxCol(ob.field))
           else if (df.columns.contains(ob.field)) col(ob.field)
           else if (r.dataTypeOf(ob.field).isDefined) explode(r.values(ob.field))
           else throw new IllegalArgumentException(
@@ -1481,7 +1481,7 @@ final class Collection(
     val (scoreExpr, largerBetter) = gq.scoring match {
       case PointQuery.OrderByField(field, asc, _) =>
         val obCol =
-          if (df.columns.contains(s"idx_$field")) col(s"idx_$field")
+          if (df.columns.contains(config.idxCol(field))) col(config.idxCol(field))
           else if (df.columns.contains(field)) col(field)
           else resolver(df).scalarValue(field)
             .orElse(resolver(df).dataTypeOf(field).map(t =>
@@ -2504,7 +2504,7 @@ final class Collection(
 
   /** Drop a payload index's column(s) (`update_api.rs:407`). */
   def dropPayloadIndex(key: String): Unit =
-    write(read().drop(s"idx_$key").drop(config.geoCellCol(key)),
+    write(read().drop(config.idxCol(key)).drop(config.geoCellCol(key)),
       sparseDfChange = false)
 
   private def mapPayload(cur: DataFrame, target: Column, f: Column => Column): DataFrame = {
@@ -2711,10 +2711,19 @@ object Collection {
   private[storage] def applyIndexProjection(config: CollectionConfig,
       key: String, t: org.apache.spark.sql.types.DataType,
       df0: DataFrame): DataFrame =
-    t match {
+    // a bracketed index key (`country.cities[].population`,
+    // `test_nested_payload_indexing.py`) addresses MULTIPLE values per
+    // point — no scalar projection column can represent it, so none is
+    // materialized: filters/order-by on the path compile through the
+    // JsonResolver wildcard traversal, and the declaration still lands in
+    // `payloadTypes` (typed bound coercion, strict-mode indexed set,
+    // fieldstats). Dotted unbracketed keys project normally (the idxCol
+    // name sanitizes the dots).
+    if (key.indexOf('[') >= 0) df0
+    else t match {
       case st: org.apache.spark.sql.types.StructType =>
-        val rawC = s"_georaw_$key"
-        val parsedC = s"_geoparsed_$key"
+        val rawC = "_georaw_" + config.idxCol(key)
+        val parsedC = "_geoparsed_" + config.idxCol(key)
         val raw = col(rawC)
         val parsed = col(parsedC)
         // an ARRAY value must NOT parse as its first element (from_json
@@ -2725,7 +2734,7 @@ object Collection {
         df0
           .withColumn(rawC, get_json_object(col(config.payloadCol), "$." + key))
           .withColumn(parsedC, from_json(raw, st))
-          .withColumn(s"idx_$key", when(ok, parsed))
+          .withColumn(config.idxCol(key), when(ok, parsed))
           .withColumn(config.geoCellCol(key),
             when(ok, graft.index.GeoIndex.cellCol(parsed.getField("lon"),
               parsed.getField("lat"), graft.index.GeoIndex.ColumnPrecision))
@@ -2733,7 +2742,7 @@ object Collection {
                 lit(graft.index.GeoIndex.MultiCell))))
           .drop(rawC, parsedC)
       case _ =>
-        df0.withColumn(s"idx_$key",
+        df0.withColumn(config.idxCol(key),
           get_json_object(col(config.payloadCol), "$." + key).cast(t))
     }
 
@@ -2748,9 +2757,9 @@ object Collection {
       config: CollectionConfig, df: DataFrame): DataFrame = {
     val cols = df.columns.toSet
     config.payloadTypes.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (k, t)) =>
-      if (!cols.contains(s"idx_$k")) acc
+      if (!cols.contains(config.idxCol(k))) acc
       else applyIndexProjection(config, k, t,
-        acc.drop(s"idx_$k").drop(config.geoCellCol(k)))
+        acc.drop(config.idxCol(k)).drop(config.geoCellCol(k)))
     }
   }
 
@@ -2762,7 +2771,7 @@ object Collection {
       config: CollectionConfig, df: DataFrame): Seq[Column] =
     config.principalKeys.map { k =>
       val c =
-        if (df.columns.contains(s"idx_$k")) col(s"idx_$k")
+        if (df.columns.contains(config.idxCol(k))) col(config.idxCol(k))
         else config.payloadTypes.get(k) match {
           case Some(t) =>
             get_json_object(col(config.payloadCol), "$." + k).cast(t)
