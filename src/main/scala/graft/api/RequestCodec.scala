@@ -1172,6 +1172,12 @@ object RequestCodec {
             maxTokenLen = (s \ "max_token_len") match {
               case JNothing | JNull => None
               case v => Some(num(v).toInt)
+            },
+            // positions are stored only when requested (`phrase_matching`,
+            // `data_types/index.rs:285`); the compiler refuses phrase
+            // queries against an index built without them
+            phraseMatching = (s \ "phrase_matching") match {
+              case JBool(b) => b; case _ => false
             }))
         (field, plain(kind), text, flags)
       case other => fail(s"bad field_schema: $other")

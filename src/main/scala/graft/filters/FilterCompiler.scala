@@ -61,9 +61,18 @@ trait FieldResolver {
     * INDEPENDENT of any declared payload type — geo conditions carry
     * their own value shape, and the reference checks them against
     * declared and undeclared fields alike. Typed resolvers already hold
-    * struct(-array) columns, so the default is [[values]]; the JSON
-    * resolver overrides with a forced struct cast. */
-  def geoValues(key: String): Column = values(key)
+    * struct(-array) columns, so the default is [[values]] — guarded: a
+    * key statically resolved to a NON-geo-shaped type (no lon/lat struct
+    * fields) yields an empty array, so the condition matches nothing
+    * instead of failing analysis on `getField("lon")` — the reference
+    * skips non-geo-shaped values (`GeoBoundingBox::check_point` only
+    * tests values that deserialize as GeoPoint). The JSON resolver
+    * overrides with a forced struct cast (same skip semantics via
+    * cast-to-null). */
+  def geoValues(key: String): Column = dataTypeOf(key) match {
+    case None => values(key) // no static type info — pass through
+    case some => FieldResolver.geoGuard(some, values(key))
+  }
 
   /** Geohash cell column + its precision for a payload key carrying a
     * DECLARED geo index (the `"geo"` field schema,
@@ -72,6 +81,30 @@ trait FieldResolver {
     * exact geo check ([[FilterCompiler]] geo prune) — the batch analog of
     * the reference serving geo conditions from geohash postings. */
   def geoIndexCell(key: String): Option[(Column, Int)] = None
+
+  /** Per-point geohash cells column (`array<string>`, at the SAME
+    * precision as [[geoIndexCell]]) for ARRAY-valued rows of a declared
+    * geo index — null for scalar/irregular rows. When present, the
+    * compiler ANDs an exists-overlap conjunct behind the scalar cell
+    * membership so spanning multi-point rows (whose scalar cell is the
+    * always-pass sentinel) still prune at execution — the batch analog of
+    * the reference posting EVERY point of an array value into its geohash
+    * postings (`field_index/geo_index/mod.rs`). */
+  def geoIndexCells(key: String): Option[Column] = None
+}
+
+object FieldResolver {
+  /** `vals` if the resolved element type is geo-shaped (a struct carrying
+    * lon and lat fields), else an empty geo array so the condition matches
+    * nothing — never an AnalysisException on `getField("lon")`. Schema-
+    * complete resolvers also route ABSENT keys (elem == None) here. */
+  private[filters] def geoGuard(elem: Option[DataType], vals: => Column): Column =
+    elem match {
+      case Some(s: StructType)
+          if s.fieldNames.contains("lon") && s.fieldNames.contains("lat") =>
+        vals
+      case _ => array().cast("array<struct<lon:double,lat:double>>")
+    }
 }
 
 /** Delegating resolver — subclass to override a single hook. */
@@ -94,6 +127,8 @@ class ForwardingResolver(private[filters] val inner: FieldResolver)
   override def geoValues(key: String): Column = inner.geoValues(key)
   override def geoIndexCell(key: String): Option[(Column, Int)] =
     inner.geoIndexCell(key)
+  override def geoIndexCells(key: String): Option[Column] =
+    inner.geoIndexCells(key)
 }
 
 /** Resolver for collections whose payload fields are typed top-level columns
@@ -144,6 +179,10 @@ final class TypedResolver(
   }
 
   override def idDataType: Option[DataType] = fieldType(idCol)
+
+  // schema-complete: an absent key is statically absent → empty geo array
+  override def geoValues(key: String): Column =
+    FieldResolver.geoGuard(dataTypeOf(key), values(key))
 }
 
 /** Resolver over a struct element (for Nested conditions): keys resolve
@@ -176,6 +215,10 @@ final class StructResolver(elem: Column, tpe: StructType) extends FieldResolver 
     case ArrayType(e, _) => e
     case t => t
   }
+
+  // schema-complete: an absent key is statically absent → empty geo array
+  override def geoValues(key: String): Column =
+    FieldResolver.geoGuard(dataTypeOf(key), values(key))
 }
 
 /** Compiles the qdrant Filter algebra to a Catalyst boolean Column.
@@ -191,8 +234,10 @@ final class StructResolver(elem: Column, tpe: StructType) extends FieldResolver 
   * TextAny / Phrase against a field listed here tokenizes BOTH the query
   * string and the field values with that analyzer (the reference tokenizes
   * text-match queries with the field's full-text index params,
-  * `lib/segment/src/data_types/index.rs:243-414`); unlisted fields keep the
-  * raw whitespace tokens (a text match against an unindexed field).
+  * `lib/segment/src/data_types/index.rs:243-414`); unlisted fields fall
+  * back to raw SUBSTRING tests over the stored string — Text/Phrase check
+  * the whole query text with `contains`, TextAny any whitespace query
+  * token (`payload_storage/condition_checker.rs:174-193`).
   */
 final class FilterCompiler(
     r: FieldResolver,
@@ -235,7 +280,16 @@ final class FilterCompiler(
       r.geoIndexCell(k).flatMap { case (cell, prec) =>
         val cells = cover
         if (cells.isEmpty) None
-        else Some(GeoIndex.prunePredicate(cell, prec, cells))
+        else {
+          val scalar = GeoIndex.prunePredicate(cell, prec, cells)
+          // array-valued rows: per-point cells conjunct (non-pushable —
+          // Spark splits the AND, so the scalar half still reaches
+          // PushedFilters; this half short-circuits the exact check for
+          // sentinel-carrying spanning rows)
+          val arr = r.geoIndexCells(k)
+            .map(a => GeoIndex.pruneCellsPredicate(a, prec, cells))
+          Some(arr.fold(scalar)(scalar && _))
+        }
       }
     c match {
       case GeoBoundingBox(k, tl, br) =>
@@ -306,7 +360,17 @@ final class FilterCompiler(
     bs.reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  private def tokens(v: Column): Column = split(v, " ")
+  /** Unindexed full-text arm: `pred` over each STRING value of `key`.
+    * The reference's raw checker matches only `Value::String` — numbers,
+    * bools, arrays-of-non-strings, objects are false
+    * (`condition_checker.rs:174-193` lists every non-string arm as false)
+    * — so a key statically resolved to a non-string column compiles to
+    * constant false instead of a stringified-value comparison. */
+  private def substringMatch(key: String, pred: Column => Column): Column =
+    r.dataTypeOf(key) match {
+      case Some(StringType) | None => anyValue(key, pred)
+      case Some(_) => lit(false)
+    }
 
   private def cond0(c: Condition): Column = c match {
     case MatchValue(k, value) => anyValue(k, _ === lit(value))
@@ -324,9 +388,12 @@ final class FilterCompiler(
         else anyValue(k, v => size(array_except(typedLit(qs),
           graft.functions.TextFunctions.analyzeWith(v, cfg))) === 0)
       case None =>
-        val qs = text.split(" ").filter(_.nonEmpty)
-        if (qs.isEmpty) lit(false)
-        else anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ && _))
+        // UNINDEXED: the whole query text is one raw SUBSTRING test per
+        // stored string value — `stored.contains(text)`, no tokenization
+        // ("without a full-text index, works as exact substring match";
+        // `payload_storage/condition_checker.rs:174-182`). "batch"
+        // matches "rebatched"; an empty query matches every string value.
+        substringMatch(k, v => v.contains(lit(text)))
     }
     case MatchTextAny(k, text) => textIndexes.get(k) match {
       case Some(cfg) =>
@@ -336,27 +403,40 @@ final class FilterCompiler(
         else anyValue(k, v => arrays_overlap(typedLit(qs),
           graft.functions.TextFunctions.analyzeWith(v, cfg)))
       case None =>
-        val qs = text.split(" ").filter(_.nonEmpty)
+        // UNINDEXED: any whitespace query token is a substring of the
+        // stored value (`text_any.split_whitespace().any(|token|
+        // stored.contains(token))`, `condition_checker.rs:184-193`);
+        // a whitespace-only query has no tokens → false.
+        val qs = text.split("\\s+").filter(_.nonEmpty)
         if (qs.isEmpty) lit(false)
-        else anyValue(k, v => qs.map(t => array_contains(tokens(v), t)).reduce(_ || _))
+        else substringMatch(k,
+          v => qs.map(t => v.contains(lit(t))).reduce(_ || _))
     }
-    case MatchPhrase(k, text) =>
-      // positions-based: consecutive token subsequence within ONE value
-      // (the full-text index phrase_matching path). With a declared text
-      // index, positions come from the ANALYZED stream — stopword removal
-      // compresses them, so a phrase spanning a dropped stopword matches.
-      val (phrase, toks0) = textIndexes.get(k) match {
-        case Some(cfg) =>
-          (graft.functions.TextFunctions.analyzeQueryWith(text, cfg),
-            (v: Column) => graft.functions.TextFunctions.analyzeWith(v, cfg))
-        case None =>
-          (text.split(" ").filter(_.nonEmpty).toSeq, (v: Column) => tokens(v))
-      }
-      // an empty analyzed phrase matches NOTHING (`check_phrase_match`
-      // bails false on an empty phrase, `inverted_index/mod.rs:137`)
-      if (phrase.isEmpty) lit(false)
-      else anyValue(k, v =>
-        graft.functions.TextKernels.containsTokenSeqCol(toks0(v), phrase))
+    case MatchPhrase(k, text) => textIndexes.get(k) match {
+      // positions are stored only when the index declares
+      // `phrase_matching` — without them a phrase query matches NOTHING
+      // ("Phrase matching needs positional information; without it
+      // nothing matches", `on_disk_inverted_index/mod.rs:601`;
+      // `mutable_inverted_index.rs:167` skips position storage)
+      case Some(cfg) if !cfg.phraseMatching => lit(false)
+      case Some(cfg) =>
+        // positions-based: consecutive token subsequence within ONE value.
+        // Positions come from the ANALYZED stream — stopword removal
+        // compresses them, so a phrase spanning a dropped stopword matches.
+        // An empty analyzed phrase matches NOTHING (`check_phrase_match`
+        // bails false on an empty phrase, `inverted_index/mod.rs:137`).
+        val phrase = graft.functions.TextFunctions.analyzeQueryWith(text, cfg)
+        if (phrase.isEmpty) lit(false)
+        else anyValue(k, v => graft.functions.TextKernels.containsTokenSeqCol(
+          graft.functions.TextFunctions.analyzeWith(v, cfg), phrase))
+      case None =>
+        // UNINDEXED: same raw substring test as Match::Text — the
+        // reference's checker handles both variants in ONE arm
+        // (`Match::Text(..) | Match::Phrase(..)`,
+        // `condition_checker.rs:174-182`). Phrase "batch stream" matches
+        // "rebatch streamer".
+        substringMatch(k, v => v.contains(lit(text)))
+    }
     case MatchPrefix(k, p) => anyValue(k, _.startsWith(p))
     case RangeCond(k, gt, gte, lt, lte) =>
       anyValue(k, v => rangeBounds(v, r.dataTypeOf(k), gt, gte, lt, lte))

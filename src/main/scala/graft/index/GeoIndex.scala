@@ -109,13 +109,37 @@ object GeoIndex {
     (180.0 / (1L << latBits), 360.0 / (1L << lonBits))
   }
 
+  /** Lat/lon half-spans (degrees) of the minimum bounding rectangle of a
+    * radius circle on the sphere — the spherical-cap MBR of
+    * `minimum_bounding_rectangle_for_circle` (`geo_hash.rs:542-568`):
+    * angular radius `ar = r/R` IS the lat half-span; when the cap stays
+    * clear of both poles the lon half-span is `asin(sin(ar)/cos(lat))`
+    * (the tangent meridian, wider than the planar `ar/cos(lat)` at high
+    * latitude — the wide_circle_south_pole reference tests); a cap
+    * touching a pole spans ALL longitudes. Uses the SAME
+    * [[graft.functions.VectorFunctions.EarthRadiusMeters]] as the exact
+    * haversine check so the cover is recall-safe by construction (the
+    * tiny relative pad absorbs floating-point edge ties). */
+  private def radiusSpans(lat: Double, radiusM: Double): (Double, Double) = {
+    val ar = (radiusM / graft.functions.VectorFunctions.EarthRadiusMeters) *
+      (1.0 + 1e-9)
+    val latDelta = math.toDegrees(ar)
+    val lonDelta =
+      if (lat + latDelta >= 90.0 || lat - latDelta <= -90.0) 180.0
+      else {
+        val s = math.sin(ar) / math.cos(math.toRadians(lat))
+        if (s.isNaN || s >= 1.0) 180.0
+        else math.toDegrees(math.asin(s)) * (1.0 + 1e-9)
+      }
+    (latDelta, lonDelta)
+  }
+
   /** Cells (at `precision`) covering the bounding box of a radius circle —
-    * a superset of the circle, so prefix-pruning is recall-safe. Driver-side
-    * enumeration; cover size is O((r/cell)²), pick precision so it stays
-    * small. */
+    * a superset of the circle (spherical-cap MBR, [[radiusSpans]]), so
+    * prefix-pruning is recall-safe. Driver-side enumeration; cover size is
+    * O((r/cell)²), pick precision so it stays small. */
   def coverRadius(lon: Double, lat: Double, radiusM: Double, precision: Int): Seq[String] = {
-    val latDelta = radiusM / 111320.0
-    val lonDelta = radiusM / (111320.0 * math.max(math.cos(math.toRadians(lat)), 0.01))
+    val (latDelta, lonDelta) = radiusSpans(lat, radiusM)
     val (latSize, lonSize) = cellSizeDeg(precision)
     val cells = scala.collection.mutable.LinkedHashSet.empty[String]
     var la = math.max(lat - latDelta, -90.0)
@@ -214,9 +238,7 @@ object GeoIndex {
   def boundedCoverRadius(lon: Double, lat: Double, radiusM: Double,
       maxPrecision: Int = ColumnPrecision,
       cap: Int = MaxCoverCells): Seq[String] = {
-    val latDelta = radiusM / 111320.0
-    val lonDelta =
-      radiusM / (111320.0 * math.max(math.cos(math.toRadians(lat)), 0.01))
+    val (latDelta, lonDelta) = radiusSpans(lat, radiusM)
     val latSpan = math.min(2.0 * latDelta, 180.0)
     val lonSpan = math.min(2.0 * lonDelta, 360.0)
     var p = maxPrecision
@@ -259,6 +281,23 @@ object GeoIndex {
         balancedOr(cover.map(c => cell.startsWith(c))) ||
           cell === lit(MultiCell)
     cell.isNotNull && membership
+  }
+
+  /** Array-side companion of [[prunePredicate]] for the per-point cells
+    * column of array-valued rows: TOTAL (true on a null array — those
+    * rows are scalar/irregular and the scalar predicate owns them; false
+    * on an empty array — no well-formed point can ever match), and
+    * recall-safe for the same reason the scalar prune is (a matching
+    * point's cell is in the array AND under some cover prefix). NOT
+    * source-translatable (exists over an array) — it rides as a separate
+    * AND conjunct behind the pushable scalar half and short-circuits the
+    * exact haversine/ray-cast for spanning multi-point rows. */
+  def pruneCellsPredicate(cells: Column, cellPrecision: Int,
+      cover: Seq[String]): Column = {
+    val hit: Column => Column =
+      if (cover.forall(_.length == cellPrecision)) c => c.isin(cover: _*)
+      else c => balancedOr(cover.map(h => c.startsWith(h)))
+    cells.isNull || exists(cells, hit)
   }
 
   /** OR of many columns as a BALANCED tree — a left-fold `reduce(_ || _)`

@@ -79,7 +79,14 @@ final case class TextIndexConfig(
       * the PREFIX tokenizer instead uses them as its edge-n-gram bounds
       * (`tokenizers/mod.rs:59-140`). */
     minTokenLen: Option[Int] = None,
-    maxTokenLen: Option[Int] = None)
+    maxTokenLen: Option[Int] = None,
+    /** `phrase_matching` (`TextIndexParams`, `data_types/index.rs:285`):
+      * positions are stored only when enabled — a Match::Phrase against a
+      * text index declared WITHOUT it matches NOTHING ("Phrase matching
+      * needs positional information; without it nothing matches",
+      * `full_text_index/inverted_index/on_disk_inverted_index/mod.rs:601`,
+      * `mutable_inverted_index.rs:167`). */
+    phraseMatching: Boolean = false)
 
 /** Exact match against any of the field's values. Ref `types.rs:3007,3095`. */
 final case class MatchValue(key: String, value: Any) extends Condition

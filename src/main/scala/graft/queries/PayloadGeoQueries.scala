@@ -311,11 +311,13 @@ object PayloadGeoQueries {
     // `lib/segment/src/index/field_index/geo_index/`): every arm runs
     // through `Collection.count` with the cell prune ANDed in front of the
     // exact check, against an unpruned DuckDB recomputation. Value-shape
-    // arms: `multi_radius` = array-of-points rows match when ANY point is
-    // inside (such rows carry the always-pass sentinel cell — a
-    // first-point-only cell would lose them); `bad_world` = a string-valued
-    // geo field matches nothing (the reference skips non-geo-shaped
-    // values); `mustnot_radius` = the prune stays total under negation.
+    // arms: `multi_radius`/`multi_bbox` = array-of-points rows match when
+    // ANY point is inside (spanning arrays carry the sentinel scalar cell
+    // plus a per-point `geocells_` array the exists-overlap conjunct
+    // prunes — the reference posts every point of an array value into its
+    // geohash postings); `bad_world` = a string-valued geo field matches
+    // nothing (the reference skips non-geo-shaped values);
+    // `mustnot_radius` = the prune stays total under negation.
     "api_geo_field_index" -> ((s, dir) => {
       import s.implicits._
       val coll = geoIndexedColl(s, dir)
@@ -341,12 +343,19 @@ object PayloadGeoQueries {
           .stripMargin
       val stored = coll.read()
       val colsOk = stored.columns.contains("idx_location") &&
-        stored.columns.contains("geocell_location")
+        stored.columns.contains("geocell_location") &&
+        stored.columns.contains("geocells_location")
       Seq(
         ("bad_world", cnt(
           s"""{"must": [{"key": "kind", "match": {"value": "bad"}}, $world]}""")),
         ("bbox", cnt(s"""{"must": [$bbox]}""")),
         ("cols", if (colsOk) 1L else 0L),
+        // array-of-points rows under bbox/radius: their spanning cells
+        // carry the sentinel in the scalar column, and the per-point
+        // `geocells_` exists-overlap conjunct prunes them — counts must
+        // equal the unpruned recomputation (∃ over both points)
+        ("multi_bbox", cnt(
+          s"""{"must": [{"key": "kind", "match": {"value": "multi"}}, $bbox]}""")),
         ("multi_radius", cnt(
           s"""{"must": [{"key": "kind", "match": {"value": "multi"}}, $radius]}""")),
         ("mustnot_radius", cnt(s"""{"must_not": [$radius]}""")),
@@ -615,6 +624,9 @@ object PayloadGeoQueries {
            | + (CASE WHEN ((70.0 > ($latE)) != (-50.0 > ($latE)))
            |    AND ($lonE) < -100.0 * (($latE) - 70.0) / -120.0 + 0.0
            |    THEN 1 ELSE 0 END)) % 2 = 1""".stripMargin
+      def inW(lonE: String, latE: String): String =
+        s"(($lonE) > -180.0 AND ($lonE) < 180.0 AND " +
+          s"($latE) < 90.0 AND ($latE) > -90.0)"
       def anyPt(cond: (String, String) => String): String =
         s"""CASE WHEN shape IN (5, 7) THEN FALSE
            |  WHEN shape = 6 THEN (${cond("lon", "lat")})
@@ -627,12 +639,18 @@ object PayloadGeoQueries {
          |  m AS (SELECT shape,
          |    ${anyPt(inR)} AS in_radius,
          |    ${anyPt(inB)} AS in_bbox,
-         |    ${anyPt(inP)} AS in_poly FROM g)
+         |    ${anyPt(inP)} AS in_poly,
+         |    ${anyPt(inW)} AS in_world FROM g)
          |SELECT arm, cnt FROM (
-         |  SELECT 'bad_world' AS arm, 0::BIGINT AS cnt
+         |  SELECT 'bad_world' AS arm,
+         |    sum(CASE WHEN shape = 5 AND in_world THEN 1 ELSE 0 END)::BIGINT
+         |    AS cnt FROM m
          |  UNION ALL SELECT 'bbox',
          |    sum(CASE WHEN in_bbox THEN 1 ELSE 0 END)::BIGINT FROM m
          |  UNION ALL SELECT 'cols', 1::BIGINT
+         |  UNION ALL SELECT 'multi_bbox',
+         |    sum(CASE WHEN shape = 6 AND in_bbox THEN 1 ELSE 0 END)::BIGINT
+         |    FROM m
          |  UNION ALL SELECT 'multi_radius',
          |    sum(CASE WHEN shape = 6 AND in_radius THEN 1 ELSE 0 END)::BIGINT
          |    FROM m

@@ -267,6 +267,59 @@ object ReadQueries {
         if (coll.read().columns.exists(_.startsWith("idx_"))) 0L else 1L
       (arms :+ ("cols_after_drop", afterDrop)).toDF("check_name", "cnt")
     }),
+    // Wire field-index schema PERSISTENCE (`payload_index_schema.rs`: the
+    // reference persists the declaration made by `PUT /index`, so it
+    // survives restart): `Catalog.createFieldIndex` writes the updated
+    // payloadTypes to `_config.json` — after a catalog REOPEN the first
+    // upsert RECOMPUTES the projection from the new payload (never serves
+    // a stale value). Contrast arm: a direct `buildPayloadIndex` whose
+    // config update is deliberately discarded leaves an ORPHANED
+    // `idx_`/`geocell_` column after reopen; the write path drops it
+    // defensively (readers fall back to the JSON path — correct, just
+    // unindexed) instead of serving it stale.
+    "api_field_index_persistence" -> ((s, dir) => {
+      import s.implicits._
+      import graft.api.RequestCodec
+      import graft.sources.CollectionConfig
+      val root = "/tmp/graft_runtime/fieldidx_persist_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = new graft.storage.Catalog(s, root)
+      if (cat.exists("pers")) cat.delete("pers")
+      cat.create("pers", CollectionConfig(), Seq(
+        (1L, """{"city": "berlin", "tag": "a"}"""),
+        (2L, """{"city": "rome", "tag": "b"}"""),
+        (3L, """{"city": "berlin", "tag": "c"}""")).toDF("id", "payload"))
+      cat.createFieldIndex("pers",
+        """{"field_name": "city", "field_schema": "keyword"}""")
+      // the un-persisted path: column materializes, declaration is lost
+      val (f2, t2, _, fl2) = RequestCodec.parseFieldIndexRequest(
+        """{"field_name": "tag", "field_schema": "keyword"}""")
+      cat.get("pers").buildPayloadIndex(f2, t2, fl2) // result discarded
+      // reopen: a fresh catalog instance reads _config.json
+      val reopened = new graft.storage.Catalog(s, root).get("pers")
+      val persisted = reopened.config.payloadTypes.get("city")
+        .contains(org.apache.spark.sql.types.StringType)
+      val tagUndeclared = !reopened.config.payloadTypes.contains("tag")
+      reopened.upsert(Seq((1L, """{"city": "munich", "tag": "z"}"""))
+        .toDF("id", "payload"))
+      val after = new graft.storage.Catalog(s, root).get("pers")
+      val stored = after.read()
+      val idxFresh = stored.filter(col("id") === 1)
+        .select(col("idx_city")).head().getString(0) == "munich"
+      val orphanDropped = !stored.columns.contains("idx_tag")
+      def cnt(k: String, v: String): Long = after.scroll(
+        s"""{"filter": {"must": [{"key": "$k", "match": {"value": "$v"}}]},
+           |  "limit": 10, "with_payload": false}""".stripMargin).count()
+      Seq(
+        ("schema_persisted_after_reopen", if (persisted) 1L else 0L),
+        ("unpersisted_key_undeclared", if (tagUndeclared) 1L else 0L),
+        ("idx_recomputed_on_upsert", if (idxFresh) 1L else 0L),
+        ("orphan_column_dropped", if (orphanDropped) 1L else 0L),
+        ("filter_new_value", cnt("city", "munich")),
+        ("filter_old_value", cnt("city", "berlin")),
+        ("filter_orphaned_key_json_path", cnt("tag", "z")))
+        .toDF("check_name", "cnt")
+    }),
     // HasVector over a sparsely-populated named vector column
     "has_vector_count" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
@@ -497,6 +550,19 @@ object ReadQueries {
         |  ('cols', 1::BIGINT),
         |  ('cols_after_drop', 1::BIGINT)) AS t(check_name, cnt)"""
         .stripMargin,
+    // contract arms (see the entry): persistence flags are 1 by design;
+    // the filter counts recompute from the 3-row fixture after the
+    // id-1 upsert (munich replaces berlin on id 1 → one berlin left)
+    "api_field_index_persistence" ->
+      """SELECT * FROM (VALUES
+        |  ('schema_persisted_after_reopen', 1::BIGINT),
+        |  ('unpersisted_key_undeclared', 1::BIGINT),
+        |  ('idx_recomputed_on_upsert', 1::BIGINT),
+        |  ('orphan_column_dropped', 1::BIGINT),
+        |  ('filter_new_value', 1::BIGINT),
+        |  ('filter_old_value', 1::BIGINT),
+        |  ('filter_orphaned_key_json_path', 1::BIGINT))
+        |AS t(check_name, cnt)""".stripMargin,
     // hand-derived from the 2-point triple-nesting fixture (see the entry):
     // p1 arr3 leaves (1,1),(2,3); p2 leaves (2,2) | (1,3),(4,1)
     "filter_nested_triple" ->

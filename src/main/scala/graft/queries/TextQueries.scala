@@ -183,7 +183,10 @@ object TextMatchFixture {
 
   val cfg: TextIndexConfig = TextIndexConfig(
     tokenizer = "word", lowercase = true, asciiFolding = true,
-    stopwords = stopwords, stemmerLang = Some("english"))
+    stopwords = stopwords, stemmerLang = Some("english"),
+    // m_phrase needs stored positions (`phrase_matching`); without the
+    // flag the compiler correctly refuses phrase queries
+    phraseMatching = true)
 
   val textQuery = "Running ENGINE"   // m_text: ALL stemmed tokens present
   val anyQuery = "cooking engines"   // m_any: ANY stemmed token present
@@ -704,6 +707,55 @@ object TextQueries {
         ("ci_dog", ids(ciCfg.get, "dog")))
         .toDF("arm", "ids")
     }),
+    // UNINDEXED full-text semantics (`payload_storage/condition_checker
+    // .rs:174-193`): on a field WITHOUT a declared text index the
+    // reference does NOT tokenize — Match::Text and Match::Phrase are one
+    // raw `stored.contains(text)` substring test (mid-word hits match:
+    // "batch" hits "rebatched", phrase "batch stream" hits "rebatch
+    // streamer"), Match::TextAny is any-whitespace-token-is-a-substring,
+    // an empty Text query matches every string value, and non-string
+    // values never match. The contrast arms run the SAME queries through
+    // a DECLARED word-tokenizer index (token-boundary semantics) and a
+    // phrase query against an index without `phrase_matching` (matches
+    // NOTHING — no stored positions, `on_disk_inverted_index/mod.rs:601`).
+    "match_text_unindexed_substring" -> ((s, dir) => {
+      import s.implicits._
+      import graft.api.RequestCodec
+      val src = Seq(
+        (1L, "rebatched jobs", 10L),
+        (2L, "batch stream processing", 20L),
+        (3L, "rebatch streamer node", 30L),
+        (4L, "stream batch reversed", 40L),
+        (5L, "unrelated text", 50L)).toDF("doc_id", "t", "n")
+      val wordCfg = RequestCodec.parseFieldIndexRequest(
+        """{"field_name": "t",
+          |  "field_schema": {"type": "text", "tokenizer": "word"}}""".stripMargin)._3.get
+      val posCfg = RequestCodec.parseFieldIndexRequest(
+        """{"field_name": "t",
+          |  "field_schema": {"type": "text", "tokenizer": "word",
+          |    "phrase_matching": true}}""".stripMargin)._3.get
+      def ids(c: Condition,
+          idx: Map[String, graft.model.TextIndexConfig] = Map.empty): String = {
+        val fc = new graft.filters.FilterCompiler(
+          new TypedResolver(src.schema, "doc_id"), textIndexes = idx)
+        src.filter(fc.condition(c))
+          .collect().map(_.getLong(0)).sorted.mkString(",")
+      }
+      Seq(
+        ("text_midword", ids(MatchText("t", "batch"))),
+        ("text_whole_query", ids(MatchText("t", "batch stream"))),
+        ("text_empty_query", ids(MatchText("t", ""))),
+        ("textany_midword", ids(MatchTextAny("t", "batch xyzzy"))),
+        ("phrase_midword", ids(MatchPhrase("t", "batch stream"))),
+        ("text_nonstring_field", ids(MatchText("n", "2"))),
+        ("idx_text_token_boundary",
+          ids(MatchText("t", "batch"), Map("t" -> wordCfg))),
+        ("idx_phrase_no_positions",
+          ids(MatchPhrase("t", "batch stream"), Map("t" -> wordCfg))),
+        ("idx_phrase_with_positions",
+          ids(MatchPhrase("t", "batch stream"), Map("t" -> posCfg))))
+        .toDF("arm", "ids")
+    }),
     // PREFIX tokenizer (`Tokenizer::Prefix`, `tokenizers/mod.rs:57-140`;
     // `test_fts.py::test_scroll_with_prefix`): documents index edge
     // n-grams of each processed word (bounded by min/max_token_len; a word
@@ -762,7 +814,7 @@ object TextQueries {
           |  "field_name": "t",
           |  "field_schema": {
           |    "type": "text", "tokenizer": "word", "lowercase": true,
-          |    "ascii_folding": true,
+          |    "ascii_folding": true, "phrase_matching": true,
           |    "stopwords": {"custom": ["the", "and", "of", "are"]},
           |    "stemmer": {"type": "snowball", "language": "english"}
           |  }
@@ -1216,17 +1268,15 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "match_text" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE list_contains(string_split(text,' '), 'spark')
-        |  AND list_contains(string_split(text,' '), 'window')
+        |WHERE contains(text, 'spark window')
         |ORDER BY doc_id ASC LIMIT 100""".stripMargin,
     "match_text_any" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE list_contains(string_split(text,' '), 'vector')
-        |   OR list_contains(string_split(text,' '), 'hash')
+        |WHERE contains(text, 'vector') OR contains(text, 'hash')
         |ORDER BY doc_id ASC LIMIT 100""".stripMargin,
     "match_phrase" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE contains(' ' || text || ' ', ' batch stream ')
+        |WHERE contains(text, 'batch stream')
         |ORDER BY doc_id ASC LIMIT 100""".stripMargin,
     "analyzed_term_facet" ->
       """SELECT term, count(*)::BIGINT AS cnt
@@ -1246,6 +1296,35 @@ object TextQueries {
         |  ('word_over_max_token', ''),
         |  ('word_within_max', '5'))
         |AS t(arm, ids)""".stripMargin,
+    // Every arm DuckDB can recompute is recomputed over the same inline
+    // rows (substring arms via contains(), the declared-index contrast
+    // arms via the token/adjacency form the analyzer reduces to on this
+    // lowercase single-space fixture); only the two semantic-constant
+    // arms (non-string never matches, phrase-without-positions matches
+    // nothing) are literals.
+    "match_text_unindexed_substring" ->
+      """WITH src AS (SELECT * FROM (VALUES
+        |    (1, 'rebatched jobs'),
+        |    (2, 'batch stream processing'),
+        |    (3, 'rebatch streamer node'),
+        |    (4, 'stream batch reversed'),
+        |    (5, 'unrelated text')) AS v(doc_id, txt))
+        |SELECT 'text_midword' AS arm, coalesce(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        |    FILTER (WHERE contains(txt, 'batch')), '') AS ids FROM src
+        |UNION ALL SELECT 'text_whole_query', coalesce(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        |    FILTER (WHERE contains(txt, 'batch stream')), '') FROM src
+        |UNION ALL SELECT 'text_empty_query', coalesce(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        |    FILTER (WHERE contains(txt, '')), '') FROM src
+        |UNION ALL SELECT 'textany_midword', coalesce(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        |    FILTER (WHERE contains(txt, 'batch') OR contains(txt, 'xyzzy')), '') FROM src
+        |UNION ALL SELECT 'phrase_midword', coalesce(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        |    FILTER (WHERE contains(txt, 'batch stream')), '') FROM src
+        |UNION ALL SELECT 'text_nonstring_field', ''
+        |UNION ALL SELECT 'idx_text_token_boundary', coalesce(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        |    FILTER (WHERE list_contains(string_split(txt, ' '), 'batch')), '') FROM src
+        |UNION ALL SELECT 'idx_phrase_no_positions', ''
+        |UNION ALL SELECT 'idx_phrase_with_positions', coalesce(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        |    FILTER (WHERE contains(' ' || txt || ' ', ' batch stream ')), '') FROM src""".stripMargin,
     "match_text_stopwords_case" ->
       """SELECT * FROM (VALUES
         |  ('cs_lazy', '1'),

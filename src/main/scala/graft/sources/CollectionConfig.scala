@@ -144,6 +144,15 @@ final case class CollectionConfig(
     * cells) — the prune column geo filter conditions push to the scan. */
   def geoCellCol(key: String): String = "geocell_" + sanitizeKey(key)
 
+  /** Per-point geohash cells column (`array<string>`) for ARRAY-valued
+    * rows of a declared geo index — the reference posts EVERY point of an
+    * array value into its geohash postings
+    * (`field_index/geo_index/mod.rs`), so multi-point rows prune too:
+    * the compiler ANDs an exists-overlap conjunct over this column behind
+    * the scalar [[geoCellCol]] membership (which stays the pushable
+    * half). Null for scalar-valued / non-array rows. */
+  def geoCellsCol(key: String): String = "geocells_" + sanitizeKey(key)
+
   /** Typed projection column for a declared payload field index
     * ("create payload index", SURVEY §2.5). Sanitized so a NESTED index
     * key (`country.capital`, `test_nested_payload_indexing.py`) yields a

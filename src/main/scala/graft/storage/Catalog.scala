@@ -208,6 +208,32 @@ final class Catalog(spark: SparkSession, root: String) {
     next
   }
 
+  /** `PUT /collections/{name}/index`: parse the wire body, materialize the
+    * typed projection (and any tenant/principal re-layout) in one rewrite,
+    * and PERSIST the updated declaration to `_config.json` — the schema
+    * survives a catalog reopen exactly like the reference's
+    * `payload_index_schema.rs` persistence. Without this write the
+    * materialized `idx_`/`geocell_` columns would be orphans after reopen
+    * (dropped defensively by the write path, losing the index). Returns
+    * the parsed text-analyzer config (when the schema is `text`) for the
+    * caller's Match compilation, alongside the rebound collection. */
+  def createFieldIndex(name: String, body: String)
+      : (Collection, Option[graft.model.TextIndexConfig]) = {
+    val resolved = aliases.resolve(name)
+    val (field, dt, textCfg, flags) =
+      graft.api.RequestCodec.parseFieldIndexRequest(body)
+    val next = get(resolved).buildPayloadIndex(field, dt, flags)
+    writeConfig(resolved, next.config)
+    (next, textCfg)
+  }
+
+  /** `DELETE /collections/{name}/index/{field}`: drop the projection
+    * column(s); the declared payload TYPE stays (it may predate the
+    * index), so no config rewrite is needed — `withIndexProjections`
+    * keys off column presence. */
+  def dropFieldIndex(name: String, field: String): Unit =
+    get(aliases.resolve(name)).dropPayloadIndex(field)
+
   private def writeConfig(name: String, c: CollectionConfig): Unit = {
     val out = fs.create(configPath(name), true)
     try out.write(Catalog.configJson(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))

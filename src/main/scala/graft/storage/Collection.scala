@@ -97,6 +97,16 @@ final class Collection(
               graft.index.GeoIndex.ColumnPrecision))
           case _ => None
         }
+      // per-point cells of array-valued rows — the exists-overlap half
+      // of the prune (spanning multi-point rows carry the sentinel in
+      // the scalar column; this conjunct prunes them at execution)
+      override def geoIndexCells(key: String): Option[Column] =
+        config.payloadTypes.get(key) match {
+          case Some(_: org.apache.spark.sql.types.StructType)
+              if cols.contains(config.geoCellsCol(key)) =>
+            Some(col(config.geoCellsCol(key)))
+          case _ => None
+        }
     }
   }
 
@@ -2504,7 +2514,8 @@ final class Collection(
 
   /** Drop a payload index's column(s) (`update_api.rs:407`). */
   def dropPayloadIndex(key: String): Unit =
-    write(read().drop(config.idxCol(key)).drop(config.geoCellCol(key)),
+    write(read().drop(config.idxCol(key)).drop(config.geoCellCol(key))
+      .drop(config.geoCellsCol(key)),
       sparseDfChange = false)
 
   private def mapPayload(cur: DataFrame, target: Column, f: Column => Column): DataFrame = {
@@ -2696,10 +2707,17 @@ object Collection {
     * single well-formed point, mirroring the reference's index-time skip
     * of non-geo-shaped values (`geo_index/mod.rs` `GeoPoint` extraction) —
     * PLUS the `geocell_<key>` geohash prune column: the point's cell for
-    * single-point rows, [[GeoIndex.MultiCell]] for rows whose value is
-    * present but not a single point (array of points / malformed — the
-    * exact check owns them), null when the field is absent (such a row
-    * can never match a geo condition, so the prune may drop it).
+    * single-point rows, the shared cell when an array value's points all
+    * land in ONE cell, [[GeoIndex.MultiCell]] for spanning arrays and
+    * other present-but-irregular shapes (the exact check owns them), null
+    * when the field is absent or an array holds no well-formed point
+    * (such a row can never match a geo condition, so the prune may drop
+    * it) — PLUS the `geocells_<key>` per-point cell array for array
+    * values (the reference posts EVERY point of an array value into its
+    * geohash postings, `field_index/geo_index/mod.rs`), which the
+    * compiler tests with a non-pushed exists-overlap conjunct so spanning
+    * multi-point rows prune at execution even though their sentinel
+    * passes the pushed half.
     *
     * The raw JSON extraction and the parsed struct land in INTERMEDIATE
     * columns (dropped at the end): both are referenced from several
@@ -2724,23 +2742,51 @@ object Collection {
       case st: org.apache.spark.sql.types.StructType =>
         val rawC = "_georaw_" + config.idxCol(key)
         val parsedC = "_geoparsed_" + config.idxCol(key)
+        val cellsC = "_geocellsarr_" + config.idxCol(key)
         val raw = col(rawC)
         val parsed = col(parsedC)
+        val cellsArr = col(cellsC)
         // an ARRAY value must NOT parse as its first element (from_json
         // with a struct schema takes the head of a JSON array): a
         // first-point cell would prune away rows whose OTHER points match
         val ok = substring(raw, 1, 1) === "{" && parsed.isNotNull &&
           parsed.getField("lon").isNotNull && parsed.getField("lat").isNotNull
+        val isArr = substring(raw, 1, 1) === "["
         df0
           .withColumn(rawC, get_json_object(col(config.payloadCol), "$." + key))
           .withColumn(parsedC, from_json(raw, st))
+          // per-point cells of an ARRAY value — the reference posts EVERY
+          // point of an array value into its geohash postings
+          // (`field_index/geo_index/mod.rs`); malformed elements drop
+          // (the exact check skips them identically: cast-to-null)
+          .withColumn(cellsC, when(isArr, filter(
+            transform(
+              from_json(raw, org.apache.spark.sql.types.ArrayType(st)),
+              p => when(
+                p.getField("lon").isNotNull && p.getField("lat").isNotNull,
+                graft.index.GeoIndex.cellCol(p.getField("lon"),
+                  p.getField("lat"), graft.index.GeoIndex.ColumnPrecision))),
+            c => c.isNotNull)))
           .withColumn(config.idxCol(key), when(ok, parsed))
+          // scalar cell column stays TOTAL over present values (the
+          // pushable prune half): single point → its cell; array whose
+          // points share ONE cell → that cell (prunes like a scalar);
+          // spanning array → sentinel (the per-point conjunct below owns
+          // it); array with NO well-formed point → null (can never match
+          // the exact check, prune may drop); other present shapes →
+          // sentinel (exact check owns them)
           .withColumn(config.geoCellCol(key),
             when(ok, graft.index.GeoIndex.cellCol(parsed.getField("lon"),
               parsed.getField("lat"), graft.index.GeoIndex.ColumnPrecision))
-              .otherwise(when(raw.isNotNull,
-                lit(graft.index.GeoIndex.MultiCell))))
-          .drop(rawC, parsedC)
+              .otherwise(when(isArr && cellsArr.isNotNull,
+                when(size(cellsArr) === 0, lit(null).cast("string"))
+                  .when(size(array_distinct(cellsArr)) === 1,
+                    element_at(cellsArr, 1))
+                  .otherwise(lit(graft.index.GeoIndex.MultiCell)))
+                .otherwise(when(raw.isNotNull,
+                  lit(graft.index.GeoIndex.MultiCell)))))
+          .withColumn(config.geoCellsCol(key), when(isArr, cellsArr))
+          .drop(rawC, parsedC, cellsC)
       case _ =>
         df0.withColumn(config.idxCol(key),
           get_json_object(col(config.payloadCol), "$." + key).cast(t))
@@ -2752,14 +2798,30 @@ object Collection {
     * incoming rows and a payload mutation would otherwise leave them stale,
     * and the order-by/facet fast paths and the geo-cell prune read these
     * columns, so staleness is a correctness bug. Presence of `idx_<key>`
-    * is the "index declared" marker; dropped indexes stay dropped. */
+    * is the "index declared" marker; dropped indexes stay dropped.
+    *
+    * ORPHANED projections — an `idx_`/`geocell_` column whose key has no
+    * declared type (a wire-created index whose config update was never
+    * persisted, then a catalog reopen) — are DROPPED, not skipped: a
+    * column this pass cannot recompute would otherwise go stale on the
+    * first upsert while order-by/scroll fast paths still select it by
+    * presence. Dropping falls readers back to the JSON path — always
+    * correct. The wire route ([[graft.storage.Catalog.createFieldIndex]])
+    * persists the declaration exactly so this never fires (the reference
+    * persists the schema the same way, `payload_index_schema.rs`). */
   private[storage] def withIndexProjections(
       config: CollectionConfig, df: DataFrame): DataFrame = {
     val cols = df.columns.toSet
-    config.payloadTypes.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (k, t)) =>
+    val declared = config.payloadTypes.keySet.flatMap(k =>
+      Set(config.idxCol(k), config.geoCellCol(k), config.geoCellsCol(k)))
+    val orphans = df.columns.filter(c =>
+      (c.startsWith("idx_") || c.startsWith("geocell_") ||
+        c.startsWith("geocells_")) && !declared.contains(c))
+    val base = orphans.foldLeft(df)(_ drop _)
+    config.payloadTypes.toSeq.sortBy(_._1).foldLeft(base) { case (acc, (k, t)) =>
       if (!cols.contains(config.idxCol(k))) acc
-      else applyIndexProjection(config, k, t,
-        acc.drop(config.idxCol(k)).drop(config.geoCellCol(k)))
+      else applyIndexProjection(config, k, t, acc.drop(config.idxCol(k))
+        .drop(config.geoCellCol(k)).drop(config.geoCellsCol(k)))
     }
   }
 

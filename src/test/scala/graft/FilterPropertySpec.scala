@@ -105,23 +105,19 @@ class FilterPropertySpec extends SparkTestBase {
       case MatchValue(k, v) => valuesOf(row, k).contains(v)
       case MatchAny(k, vs) => valuesOf(row, k).exists(vs.contains)
       case MatchExcept(k, vs) => valuesOf(row, k).exists(v => !vs.contains(v))
+      // unindexed full-text = raw substring semantics
+      // (`condition_checker.rs:174-193`): Text/Phrase test the WHOLE
+      // query text with contains, TextAny any whitespace query token
       case MatchText(k, text) =>
-        val qs = text.split(" ").filter(_.nonEmpty)
-        valuesOf(row, k).exists { v =>
-          val toks = v.asInstanceOf[String].split(" ").toSet
-          qs.forall(toks.contains)
-        }
+        valuesOf(row, k).exists(_.asInstanceOf[String].contains(text))
       case MatchTextAny(k, text) =>
-        val qs = text.split(" ").filter(_.nonEmpty)
+        val qs = text.split("\\s+").filter(_.nonEmpty)
         valuesOf(row, k).exists { v =>
-          val toks = v.asInstanceOf[String].split(" ").toSet
-          qs.exists(toks.contains)
+          val s = v.asInstanceOf[String]
+          qs.exists(s.contains)
         }
       case MatchPhrase(k, text) =>
-        val qs = text.split(" ").filter(_.nonEmpty).toSeq
-        valuesOf(row, k).exists(v =>
-          v.asInstanceOf[String].split(" ").toSeq.sliding(qs.size.max(1))
-            .contains(qs))
+        valuesOf(row, k).exists(_.asInstanceOf[String].contains(text))
       case MatchPrefix(k, p) =>
         valuesOf(row, k).exists(_.asInstanceOf[String].startsWith(p))
       case RangeCond(k, gt, gte, lt, lte) =>

@@ -249,12 +249,34 @@ class FilterSpec extends SparkTestBase {
       SipHash24.sliceIndexUuid("18446744073709551616", 8))
   }
 
+  test("geo condition on a typed non-struct field matches nothing, not an error") {
+    import spark.implicits._
+    // the reference only tests values that deserialize as GeoPoint
+    // (GeoBoundingBox::check_point) — a geo condition against a string or
+    // numeric column must compile to "no match", not an AnalysisException
+    // on getField("lon")
+    val d = Seq((1L, "berlin", 3.5), (2L, "rome", 4.5)).toDF("id", "city", "score")
+    val tr = new graft.filters.TypedResolver(d.schema, "id")
+    val fc = new FilterCompiler(tr)
+    for (key <- Seq("city", "score", "missing")) {
+      val got = d.filter(fc.compile(Filter.mustAll(
+        GeoRadius(key, GeoPoint(13.4, 52.5), 1e6)))).count()
+      assert(got == 0L, s"geo over non-geo field '$key'")
+      // and under must_not the condition is false → everything passes
+      val neg = d.filter(fc.compile(Filter(mustNot = Seq(
+        GeoRadius(key, GeoPoint(13.4, 52.5), 1e6))))).count()
+      assert(neg == 2L, s"must_not geo over non-geo field '$key'")
+    }
+  }
+
   test("slice/text conditions on typed columns still null-safe") {
     import spark.implicits._
     val d = Seq((1L, "hello world foo"), (2L, "bar baz")).toDF("id", "text")
     val tr = new graft.filters.TypedResolver(d.schema, "id")
+    // unindexed Text is a raw substring test (condition_checker.rs:174):
+    // the mid-word hit "world fo" ⊂ "hello world foo" matches
     val got = d.filter(new FilterCompiler(tr).compile(
-      Filter.mustAll(MatchText("text", "world hello"))))
+      Filter.mustAll(MatchText("text", "world fo"))))
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L))
   }

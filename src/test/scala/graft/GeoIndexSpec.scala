@@ -37,6 +37,48 @@ class GeoIndexSpec extends SparkTestBase {
     }
   }
 
+  test("wide high-latitude and pole-enclosing circles stay recall-safe") {
+    // the planar lon span r/(m_per_deg·cos lat) UNDERESTIMATES the true
+    // spherical-cap MBR at high latitude (lonDelta must be
+    // asin(sin(r/R)/cos(lat)), `geo_hash.rs:542-568`, the reference's
+    // wide_circle_south_pole tests) — and a circle enclosing a pole spans
+    // ALL longitudes. Pin both: every point the exact haversine accepts
+    // has its cell in the bounded cover, at every precision the adaptive
+    // backoff can pick.
+    def hav(lon: Double, lat: Double, cLon: Double, cLat: Double): Double = {
+      val dLat = math.toRadians(lat - cLat)
+      val dLon = math.toRadians(lon - cLon)
+      val a = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(cLat)) * math.cos(math.toRadians(lat)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2 * 6371008.8 * math.asin(math.sqrt(a))
+    }
+    val rng = new scala.util.Random(11)
+    val cases = Seq(
+      (30.0, 60.0, 3.2e6),    // advisor's wide high-lat circle
+      (10.0, 75.0, 2.0e6),    // arctic, wide
+      (0.0, -80.0, 1.5e6),    // encloses the south pole
+      (170.0, 65.0, 1.0e6))   // antimeridian + high lat
+    for ((cLon, cLat, r) <- cases) {
+      val cover = GeoIndex.boundedCoverRadius(cLon, cLat, r)
+      assert(cover.nonEmpty && cover.size <= GeoIndex.MaxCoverCells)
+      val prec = cover.head.length
+      assert(cover.forall(_.length == prec))
+      val cells = cover.toSet
+      var checked = 0
+      for (_ <- 1 to 20000) {
+        val lon = rng.nextDouble() * 360 - 180
+        val lat = rng.nextDouble() * 180 - 90
+        if (hav(lon, lat, cLon, cLat) < r) {
+          checked += 1
+          assert(cells.contains(GeoIndex.encode(lon, lat, prec)),
+            s"($lon,$lat) inside circle ($cLon,$cLat,$r) but cell uncovered")
+        }
+      }
+      assert(checked > 0, s"no in-circle samples for ($cLon,$cLat,$r)")
+    }
+  }
+
   test("indexed radius search equals unindexed exact scan") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
