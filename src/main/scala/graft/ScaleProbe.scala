@@ -342,6 +342,35 @@ object ScaleProbe {
       |  {"center": {"lon": 10.25, "lat": 45.25}, "radius": 50000.0}}]},
       |  "exact": true}""".stripMargin
 
+  /** Continent-sized radius (3000 km): the bounded cover backs off to a
+    * COARSE precision, so the prune compiles to StartsWith prefixes under
+    * the balanced OR — pinning that the backoff path also skips row
+    * groups and never stack-overflows at scale (the r15 bench caught a
+    * 500-cell left-fold chain doing exactly that). */
+  private val geoRadiusCoarseJson =
+    """{"filter": {"must": [{"key": "location", "geo_radius":
+      |  {"center": {"lon": 10.25, "lat": 45.25}, "radius": 3000000.0}}]},
+      |  "exact": true}""".stripMargin
+
+  /** ALL-multi-point twin (directive: the reference posts EVERY point of
+    * an array value): each row's value is an array of two nearby points
+    * (0.002° apart — most rows share one precision-5 cell and prune via
+    * the pushed scalar membership; boundary-straddling rows carry the
+    * sentinel and prune via the `geocells_` exists conjunct). The plain
+    * twin runs the same count unindexed. */
+  private val geoMultiScaledPath = "/tmp/graft_runtime/scale_geomulti"
+  private val geoMultiScaledPlainPath = "/tmp/graft_runtime/scale_geomulti_plain"
+  private def geoMultiScaledPoints(s: SparkSession, dir: String): DataFrame = {
+    val lonC = col("doc_id") * 7 % 360 - 180 + lit(0.25)
+    val latC = col("doc_id") * 11 % 180 - 90 + lit(0.25)
+    Tables.load(s, dir, "documents").select(col("doc_id").as("id"),
+      concat(lit("""{"location": [{"lon": """), lonC,
+        lit(""", "lat": """), latC,
+        lit("""}, {"lon": """), lonC + lit(0.002),
+        lit(""", "lat": """), latC + lit(0.002),
+        lit("}]}")).as("payload"))
+  }
+
   /** Scaled mutation workload: seed = every generated document, then
     * upsert 10% with a new source, delete one language, merge a payload
     * flag — one end-to-end number for the write path at scale. */
@@ -473,6 +502,24 @@ object ScaleProbe {
       case "geo_radius_unindexed_scaled" =>
         new graft.storage.Collection(spark, geoScaledPlainPath, geoScaledCfg)
           .count(geoRadiusJson).count(): Unit
+      case "geo_radius_coarse_scaled" =>
+        new graft.storage.Collection(spark, geoScaledPath, geoScaledCfg)
+          .count(geoRadiusCoarseJson).count(): Unit
+      case "geo_multi_scaled_build" =>
+        val base = graft.storage.Collection.create(spark, geoMultiScaledPath,
+          geoScaledCfg, geoMultiScaledPoints(spark, outDir))
+        base.buildPayloadIndex("location")
+        base.read().select("id").count(): Unit
+      case "geo_multi_plain_scaled_build" =>
+        graft.storage.Collection.create(spark, geoMultiScaledPlainPath,
+          geoScaledCfg, geoMultiScaledPoints(spark, outDir))
+          .read().select("id").count(): Unit
+      case "geo_multi_radius_scaled" =>
+        new graft.storage.Collection(spark, geoMultiScaledPath, geoScaledCfg)
+          .count(geoRadiusJson).count(): Unit
+      case "geo_multi_radius_unindexed_scaled" =>
+        new graft.storage.Collection(spark, geoMultiScaledPlainPath,
+          geoScaledCfg).count(geoRadiusJson).count(): Unit
       case q => operatorOnly.getOrElse(q, SparkEntry.queries(q))(spark, outDir).count(): Unit
     }
     def time(n: String): Either[String, Double] = {
@@ -492,7 +539,10 @@ object ScaleProbe {
       "dense_scaled_build", "byid_query_scaled", "rawvec_query_scaled",
       "facet_filtered_estimate_scaled_warm",
       "geo_scaled_build", "geo_plain_scaled_build",
-      "geo_radius_indexed_scaled", "geo_radius_unindexed_scaled"))
+      "geo_radius_indexed_scaled", "geo_radius_unindexed_scaled",
+      "geo_radius_coarse_scaled",
+      "geo_multi_scaled_build", "geo_multi_plain_scaled_build",
+      "geo_multi_radius_scaled", "geo_multi_radius_unindexed_scaled"))
       .filter(n => only.forall(_.contains(n)))
     val cold = names.map(n => n -> time(n)).toMap
     val warm = (1 to warmReps).map(_ => names.map(n => n -> time(n)).toMap)

@@ -497,6 +497,44 @@ object ShardWriteQueries {
         s"""{"query": {"nearest": [${qvec.mkString(",")}]},
            |  "shard_key": ["a", "b"], "limit": 10}""".stripMargin)
     }),
+    // THREE-LEVEL prune composition — shard_key × IVF cell × declared geo
+    // index: a multi-tenant geo corpus's query prunes tenant directories
+    // and unprobed cells at the PARTITION level and geo cells at the
+    // row-group level, all on ONE query (PlanSpec pins PartitionFilters
+    // carrying shard_key + ivfcell AND PushedFilters carrying the
+    // geocell conjunct). nprobe = cells so the ranking is exact and
+    // DuckDB mirrors it with an unpruned recompute (shard ∈ {a,b} ∧
+    // strict haversine ∧ dot top-10).
+    "ivf_geo_combined" -> ((s, dir) => {
+      import graft.sources.IvfSpec
+      val path = "/tmp/graft_runtime/ivf_geo_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val e = Tables.load(s, dir, "embeddings")
+      val cfg = CollectionConfig(idCol = "vec_id",
+        vectors = Seq(VectorConfig("", 64, graft.model.Dot,
+          ann = Some(IvfSpec(cells = 8, nprobe = 8)))),
+        shardKeyCol = Some("shard_key"))
+      val base = Collection.create(s, path, cfg,
+        e.select(col("vec_id"), col("embedding").as("vector"),
+          element_at(typedLit(Seq("a", "b", "c")),
+            (pmod(col("label"), lit(3)) + 1).cast("int")).as("shard_key"),
+          concat(lit("""{"location": {"lon": """),
+            col("vec_id") * 7 % 360 - 180 + lit(0.25),
+            lit(""", "lat": """),
+            col("vec_id") * 11 % 180 - 90 + lit(0.25),
+            lit("}}")).as("payload")))
+      val (f, dt, _, fl) = graft.api.RequestCodec.parseFieldIndexRequest(
+        """{"field_name": "location", "field_schema": "geo"}""")
+      val coll = base.buildPayloadIndex(f, dt, fl)
+      val qvec = Tables.embeddingOf(s, dir, 7L)
+      coll.query(
+        s"""{"query": {"nearest": [${qvec.mkString(",")}]},
+           |  "shard_key": ["a", "b"],
+           |  "filter": {"must": [{"key": "location", "geo_radius":
+           |    {"center": {"lon": 10.0, "lat": 45.0},
+           |     "radius": 3000000.0}}]},
+           |  "limit": 10}""".stripMargin)
+    }),
     // Facet over the shard-key PARTITION column: shard keys are a point
     // attribute, not a payload field, but they facet like any keyword —
     // served zero-job from the same sidecar per-key counts the estimate
@@ -607,6 +645,23 @@ object ShardWriteQueries {
         |  round(list_dot_product(e.embedding::DOUBLE[], q.v), 6) AS score
         |FROM embeddings e, q
         |WHERE (e.label % 3) IN (0, 1)
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // unpruned recompute: tenant selector ∧ strict haversine (same
+    // R = 6371008.8 as VectorFunctions) ∧ exact dot ranking
+    "ivf_geo_combined" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+        |g AS (SELECT vec_id, embedding,
+        |    ((vec_id*7) % 360) - 180 + 0.25 AS lon,
+        |    ((vec_id*11) % 180) - 90 + 0.25 AS lat,
+        |    label % 3 AS sk FROM embeddings)
+        |SELECT g.vec_id AS vec_id,
+        |  round(list_dot_product(g.embedding::DOUBLE[], q.v), 6) AS score
+        |FROM g, q
+        |WHERE g.sk IN (0, 1)
+        |  AND 2*6371008.8*asin(sqrt(
+        |    power(sin((45.0 - lat)*pi()/180.0/2), 2) +
+        |    cos(lat*pi()/180.0)*cos(45.0*pi()/180.0)*
+        |    power(sin((10.0 - lon)*pi()/180.0/2), 2))) < 3000000.0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "facet_shard_key" ->
       """SELECT list_extract(['a','b','c'], (label % 3)::INT + 1) AS value,

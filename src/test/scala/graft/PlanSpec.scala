@@ -490,4 +490,41 @@ class PlanSpec extends SparkTestBase {
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*tenantb_source[^\\]]*\\].*"),
       "query-endpoint tenant filter not a partition filter:\n" + p.take(1500))
   }
+
+  test("shard_key × ivfcell × geocell: all three prune levels on one query") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the 100 TB multi-tenant geo corpus shape: tenant directories prune
+    // via the shard-key partition column, unprobed IVF cells via the
+    // ivfcell partition column, and the declared geo index's cell
+    // conjunct reaches the parquet source filters — one query, all three
+    val path = "/tmp/graft_runtime/planspec_ivfgeo"
+    val rows = (1L to 240L).map(i => (i,
+      Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat - 6.0f),
+      if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+      s"""{"location": {"lon": ${(i % 60).toDouble + 0.5}, """ +
+        s""""lat": ${(i % 40).toDouble + 0.5}}}"""))
+    val cfg = graft.sources.CollectionConfig(idCol = "id",
+      vectors = Seq(graft.sources.VectorConfig("", 8, graft.model.Dot,
+        ann = Some(graft.sources.IvfSpec(cells = 4, nprobe = 2)))),
+      shardKeyCol = Some("shard_key"))
+    val base = graft.storage.Collection.create(spark, path, cfg,
+      rows.toDF("id", "vector", "shard_key", "payload"))
+    val (f, dt, _, flags) = graft.api.RequestCodec.parseFieldIndexRequest(
+      """{"field_name": "location", "field_schema": "geo"}""")
+    val coll = base.buildPayloadIndex(f, dt, flags)
+    val hits = coll.query(
+      """{"query": {"nearest": [1.0, 0.5, -0.5, 1.0, 0.0, 0.5, -1.0, 0.5]},
+        |  "shard_key": ["a", "b"],
+        |  "filter": {"must": [{"key": "location", "geo_radius":
+        |    {"center": {"lon": 10.0, "lat": 20.0}, "radius": 5000.0}}]},
+        |  "limit": 5}""".stripMargin)
+    val p = plan(hits)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*shard_key[^\\]]*\\].*"),
+      "shard_key not in PartitionFilters:\n" + p.take(2000))
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*ivfcell[^\\]]*\\].*"),
+      "ivfcell not in PartitionFilters:\n" + p.take(2000))
+    assert(p.contains("In(geocell_location, [*,"),
+      "geo cell prune not pushed to the source:\n" + p.take(2000))
+  }
 }
