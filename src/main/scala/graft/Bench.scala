@@ -129,20 +129,20 @@ object Bench {
       // route through Collection config — same kernels, plus an ingest-time
       // collection write and, for the f16 contracts, an f32 comparison pass
       // that belong to the correctness run, not the timing loop)
-      "knn_f16" -> ((s, _) => s.read.parquet(prepared.f16Path)
+      "knn_f16" -> ((s, _) => graft.storage.ParquetMeta.read(s, prepared.f16Path)
         .select(col("vec_id"),
           graft.index.VectorCodec.f16Dot(col("vh"), typedlit(prepared.q7)).as("score"))
         .orderBy(col("score").desc, col("vec_id").asc).limit(10)),
-      "knn_u8" -> ((s, _) => s.read.parquet(prepared.u8Path)
+      "knn_u8" -> ((s, _) => graft.storage.ParquetMeta.read(s, prepared.u8Path)
         .select(col("vec_id"),
           graft.functions.VecKernels.u8Dot(col("v8"), typedlit(prepared.q7b)).as("score"))
         .orderBy(col("score").desc, col("vec_id").asc).limit(10)),
-      "knn_u8_euclid" -> ((s, _) => s.read.parquet(prepared.u8Path)
+      "knn_u8_euclid" -> ((s, _) => graft.storage.ParquetMeta.read(s, prepared.u8Path)
         .select(col("vec_id"),
           sqrt(graft.functions.VecKernels.u8L2Sq(col("v8"), typedlit(prepared.q13b))
             .cast("double")).as("score"))
         .orderBy(col("score").asc, col("vec_id").asc).limit(10)),
-      "knn_f16_cosine" -> ((s, _) => s.read.parquet(prepared.f16Path)
+      "knn_f16_cosine" -> ((s, _) => graft.storage.ParquetMeta.read(s, prepared.f16Path)
         .select(col("vec_id"),
           (graft.functions.VecKernels.f16Dot(col("vh"), typedlit(prepared.q42)) /
             (sqrt(graft.functions.VecKernels.f16SelfDot(col("vh"))) *
@@ -201,11 +201,13 @@ object Bench {
       val e = Tables.load(s, dir, "embeddings")
       e.select(col("vec_id"), VectorCodec.toF16(col("embedding")).as("vh"))
         .write.mode("overwrite").parquet(f16Path)
+      graft.storage.ParquetMeta.bump(f16Path)
       // u8 storage holds RAW byte-range values (`x as u8`) — project the
       // unit-scale embeddings into the byte domain like the catalog entry
       val bscale = VectorCodec.byteDomain(col("embedding"))
       e.select(col("vec_id"), VectorCodec.toU8(bscale).as("v8"))
         .write.mode("overwrite").parquet(u8Path)
+      graft.storage.ParquetMeta.bump(u8Path)
       q7 = Tables.embeddingOf(s, dir, 7L)
       q7b = s.read.parquet(u8Path).filter(col("vec_id") === 7L).head().getSeq[Byte](1)
       q13b = VectorCodec.encodeU8(VectorCodec.byteDomainSeq(

@@ -5,8 +5,13 @@ import org.apache.spark.sql.functions.col
 
 /** Loaders for the driver-generated test tables (TESTDATA.md). */
 object Tables {
+  /** Footer-schema memoized ([[graft.storage.ParquetMeta]]): the test
+    * tables are immutable inputs, so re-inferring their schema from
+    * parquet footers on every load was pure per-call driver overhead
+    * (measured 80–90 ms/call at sf0.1). Rows are NOT cached — every
+    * action still scans the files. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.storage.ParquetMeta.read(spark, s"$dir/$name.parquet")
 
   /** Make sure a per-row-expensive stage (JSON parse, tokenize, hash kernel)
     * runs with at least the session's default parallelism. A single small

@@ -69,6 +69,7 @@ final class Catalog(spark: SparkSession, root: String) {
     if (!exists(name)) false
     else {
       fs.delete(collDir(name), true)
+      ParquetMeta.bump(dataPath(name))
       aliases.removeCollection(name)
       true
     }

@@ -78,7 +78,9 @@ object Streaming {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val store: DataFrame =
             if (new java.io.File(keyStorePath).exists())
-              s.read.parquet(keyStorePath)
+              // footer-schema memoized like every other repeated open —
+              // the per-batch append below bumps the path version
+              graft.storage.ParquetMeta.read(s, keyStorePath)
             else s.createDataFrame(
               s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(Seq(
@@ -101,6 +103,7 @@ object Streaming {
           freshKeys.join(reps.select(col(idCol)), Seq(idCol))
             .select("bkey").distinct()
             .write.mode("append").parquet(keyStorePath)
+          graft.storage.ParquetMeta.bump(keyStorePath)
           keys.unpersist()
           ()
         }
