@@ -18,35 +18,27 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       println(f"PROF $n ${(System.nanoTime() - t0) / 1e9}%.3f"); r
     }
-    // current investigation: repeated parquet metadata (listing + footer
-    // schema) cost per spark.read.parquet call, vs per-job overhead
+    // current investigation: duplicated expensive-kernel subtrees in the
+    // pair-join dedup operators (shingle base recomputed per reference?)
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val tasks = new java.util.concurrent.atomic.AtomicInteger()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet(): Unit
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet(): Unit
     })
-    // warm the session
     SparkEntry.queries("knn_dot")(spark, dir).count()
-
-    // 1. metadata-only: repeated spark.read.parquet of the embeddings table
-    val p = s"$dir/embeddings.parquet"
-    time("read.parquet x1 first")(spark.read.parquet(p))
-    time("read.parquet x20")((1 to 20).foreach(_ => spark.read.parquet(p)))
-    // 2. same for a written collection dir (typical fixture path)
-    val cpath = "/tmp/graft_runtime/endp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    SparkEntry.queries("collection_count_endpoint")(spark, dir).count()
-    time("read.parquet coll x20")((1 to 20).foreach(_ => spark.read.parquet(cpath)))
-    // 3. tiny job cost: count over a cached-in-page-cache parquet scan
-    val df = spark.read.parquet(p)
-    time("count job x1")(df.count())
-    time("count job x10")((1 to 10).foreach(_ => spark.read.parquet(p).count()))
-    time("count job noread x10")((1 to 10).foreach(_ => df.count()))
-    // 4. a representative api entry, repeated warm, with job counts
-    for (n <- Seq("api_upsert_update_mode", "api_get_point", "scroll_orderby_datetime");
+    for (n <- args.drop(1).toSeq match {
+           case Nil => Seq("ngram_jaccard", "duplicate_passages",
+             "neardup_components", "dedup_representatives", "minhash_lsh",
+             "scenario_training_pipeline", "mutation_pipeline")
+           case ks => ks
+         };
          rep <- 1 to 3) {
-      val j0 = jobs.get()
+      val j0 = jobs.get(); val t0 = tasks.get()
       time(s"$n rep$rep")(SparkEntry.queries(n)(spark, dir).count())
-      println(s"  jobs=${jobs.get() - j0}")
+      println(s"  jobs=${jobs.get() - j0} tasks=${tasks.get() - t0}")
     }
     spark.stop()
   }

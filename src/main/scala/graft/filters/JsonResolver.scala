@@ -68,13 +68,30 @@ final class JsonResolver(
     }
   }
 
+  /** Bind-once "let": evaluate `x` a single time per row and hand the bound
+    * value to `body` as a lambda variable. The shared sub-expression rules
+    * (terminalValues, isJsonNull, groupKeys) reference their input 3-5
+    * times; in a FILTER or GENERATE position Catalyst inlines the full
+    * payload parse into every reference (no cross-reference CSE outside
+    * ProjectExec — measured ~5 parses/row on the r16 plan captures), so on
+    * the raw-payload path the parse is the dominant per-row cost
+    * multiplied. A 1-element-array transform pins it to exactly one
+    * evaluation. preParsed resolvers skip the wrapper: their references
+    * are cheap variant-gets on an already-parsed column, and the
+    * aggregate-shaped hot queries tuned for ProjectExec CSE keep their
+    * measured plans. */
+  private def let(x: Column)(body: Column => Column): Column =
+    if (preParsed) body(x)
+    else element_at(transform(array(x), body), 1)
+
   /** Terminal rule shared by both paths: an array contributes its non-null
     * elements, a scalar one value, explicit JSON null nothing. */
-  private def terminalValues(v: Column, t: String): Column =
+  private def terminalValues(v0: Column, t: String): Column = let(v0) { v =>
     coalesce(
       filter(try_variant_get(v, "$", s"array<$t>"), e => e.isNotNull),
       when(v.isNotNull && !is_variant_null(v), array(try_variant_get(v, "$", t))),
       array().cast(s"array<$t>"))
+  }
 
   def values(key: String): Column = {
     val t = typeName(key)
@@ -98,7 +115,7 @@ final class JsonResolver(
     * a documented divergence (the reference keeps them distinct); payload
     * fields mixing both spellings of the same number are pathological. */
   override def groupKeys(key: String): Column = {
-    def keysOf(v: Column): Column =
+    def keysOf(v0: Column): Column = let(v0) { v =>
       filter(
         transform(
           coalesce(
@@ -109,6 +126,7 @@ final class JsonResolver(
             schema_of_variant(e).isin("STRING", "BIGINT", "INT", "SMALLINT", "TINYINT"),
             try_variant_get(e, "$", "string"))),
         x => x.isNotNull)
+    }
     if (hasBrackets(key)) flatten(transform(reachedVariants(key), keysOf(_)))
     else keysOf(raw(key))
   }
@@ -131,11 +149,12 @@ final class JsonResolver(
     else raw(key).isNotNull
 
   def isJsonNull(key: String): Column = {
-    def oneIsNull(r: Column): Column =
+    def oneIsNull(r0: Column): Column = let(r0) { r =>
       coalesce(is_variant_null(r), lit(false)) ||
         // [null] also matches IsNull (ref types.rs:3786-3806)
         coalesce(exists(try_variant_get(r, "$", s"array<variant>"),
           e => is_variant_null(e)), lit(false))
+    }
     if (hasBrackets(key))
       coalesce(exists(reachedVariants(key), oneIsNull), lit(false))
     else oneIsNull(raw(key))

@@ -38,6 +38,13 @@ object ShardWriteQueries {
   private def freshColl(s: SparkSession, name: String): Collection =
     Collection.create(s, s"/tmp/graft_runtime/$name", shardCfg, seedRows(s))
 
+  /** Read-only combined-prune fixtures, built once per JVM (the deployment
+    * shape: layout + index at ingest, queries against the stored table) —
+    * the mutation entries above keep their per-call rebuilds because the
+    * write IS the operator under test there. */
+  private val prunedColls =
+    new java.util.concurrent.ConcurrentHashMap[String, Collection]()
+
   /** Same seed points, NO shard-key column — for fixtures whose semantics
     * are orthogonal to sharding (a custom-sharded collection rejects every
     * keyless update op, `shard_holder/mod.rs:429-438`). */
@@ -488,10 +495,11 @@ object ShardWriteQueries {
         vectors = Seq(VectorConfig("", 64, graft.model.Dot,
           ann = Some(IvfSpec(cells = 8, nprobe = 8)))),
         shardKeyCol = Some("shard_key"))
-      val coll = Collection.create(s, path, cfg,
-        e.select(col("vec_id"), col("embedding").as("vector"),
-          element_at(typedLit(Seq("a", "b", "c")),
-            (pmod(col("label"), lit(3)) + 1).cast("int")).as("shard_key")))
+      val coll = prunedColls.computeIfAbsent(path, _ =>
+        Collection.create(s, path, cfg,
+          e.select(col("vec_id"), col("embedding").as("vector"),
+            element_at(typedLit(Seq("a", "b", "c")),
+              (pmod(col("label"), lit(3)) + 1).cast("int")).as("shard_key"))))
       val qvec = Tables.embeddingOf(s, dir, 7L)
       coll.query(
         s"""{"query": {"nearest": [${qvec.mkString(",")}]},
@@ -514,18 +522,20 @@ object ShardWriteQueries {
         vectors = Seq(VectorConfig("", 64, graft.model.Dot,
           ann = Some(IvfSpec(cells = 8, nprobe = 8)))),
         shardKeyCol = Some("shard_key"))
-      val base = Collection.create(s, path, cfg,
-        e.select(col("vec_id"), col("embedding").as("vector"),
-          element_at(typedLit(Seq("a", "b", "c")),
-            (pmod(col("label"), lit(3)) + 1).cast("int")).as("shard_key"),
-          concat(lit("""{"location": {"lon": """),
-            col("vec_id") * 7 % 360 - 180 + lit(0.25),
-            lit(""", "lat": """),
-            col("vec_id") * 11 % 180 - 90 + lit(0.25),
-            lit("}}")).as("payload")))
-      val (f, dt, _, fl) = graft.api.RequestCodec.parseFieldIndexRequest(
-        """{"field_name": "location", "field_schema": "geo"}""")
-      val coll = base.buildPayloadIndex(f, dt, fl)
+      val coll = prunedColls.computeIfAbsent(path, { _ =>
+        val base = Collection.create(s, path, cfg,
+          e.select(col("vec_id"), col("embedding").as("vector"),
+            element_at(typedLit(Seq("a", "b", "c")),
+              (pmod(col("label"), lit(3)) + 1).cast("int")).as("shard_key"),
+            concat(lit("""{"location": {"lon": """),
+              col("vec_id") * 7 % 360 - 180 + lit(0.25),
+              lit(""", "lat": """),
+              col("vec_id") * 11 % 180 - 90 + lit(0.25),
+              lit("}}")).as("payload")))
+        val (f, dt, _, fl) = graft.api.RequestCodec.parseFieldIndexRequest(
+          """{"field_name": "location", "field_schema": "geo"}""")
+        base.buildPayloadIndex(f, dt, fl)
+      })
       val qvec = Tables.embeddingOf(s, dir, 7L)
       coll.query(
         s"""{"query": {"nearest": [${qvec.mkString(",")}]},

@@ -412,23 +412,46 @@ final class Collection(
     * the batch down to the rows the mode admits, judged against current
     * table state (+ the conditional-upsert filter when present).
     *
-    * Plan shape (the 100 TB consideration): ONE membership probe — the BIG
-    * table streams once against the broadcast batch ids (left_semi, build
-    * side = batch) and emits both flags (`_exists`, and `_m` = matches the
-    * condition) in the same pass; the at-most-batch-sized result broadcasts
-    * back into the batch. Joining the batch directly against the full
-    * table id column would force a whole-table shuffle (a left/semi join
-    * can only build on the right, and the right would be the 100 TB side);
-    * separate exists/match probes would stream the table twice. */
+    * Plan shape (the 100 TB consideration): ONE membership probe emitting
+    * both flags (`_exists`, and `_m` = matches the condition) in a single
+    * pass, its at-most-batch-sized result broadcast back into the batch.
+    * When the batch is a LOCAL relation (every wire upsert) the probe is an
+    * `id IN (...)` scan predicate — parquet-pushable, so the id-clustered
+    * layout answers it from O(batch) row groups; otherwise the big table
+    * streams once against the broadcast batch ids (left_semi, build side =
+    * batch). Joining the batch directly against the full table id column
+    * would force a whole-table shuffle (a left/semi join can only build on
+    * the right, and the right would be the 100 TB side); separate
+    * exists/match probes would stream the table twice. */
   private def admit(cur: DataFrame, incoming: DataFrame,
       mode: UpdateMode, filter: Option[Filter]): DataFrame = {
     if (mode == UpdateMode.Upsert && filter.isEmpty) return incoming
     val batchIds = incoming.select(col(config.idCol))
+    // wire batches are LOCAL relations: their ids are known driver-side, so
+    // the membership probe compiles to an `id IN (...)` scan predicate —
+    // parquet-pushable, so the id-CLUSTERED layout serves it from O(batch)
+    // row groups instead of streaming the whole table through a semi-join
+    // (r16 optimization round; the semi-join stays as the fallback for
+    // DataFrame-API batches whose ids only exist at execution)
+    val localIds: Option[Seq[Any]] =
+      batchIds.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          val dt = lr.output.head.dataType
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(dt)
+          Some(lr.data.map(r => conv(r.get(0, dt))).distinct)
+        case _ => None
+      }
     val matchCol = filter.map(f => coalesce(pred(cur, f), lit(false)))
       .getOrElse(lit(false))
-    val flags = broadcast(cur
+    val probed = localIds match {
+      case Some(ids) if ids.nonEmpty =>
+        cur.filter(col(config.idCol).isin(ids: _*))
+      case _ =>
+        cur.join(broadcast(batchIds), Seq(config.idCol), "left_semi")
+    }
+    val flags = broadcast(probed
       .select(col(config.idCol), matchCol.as("_mraw"))
-      .join(broadcast(batchIds), Seq(config.idCol), "left_semi")
       .groupBy(col(config.idCol))
       .agg(first(lit(true)).as("_exists"), max(col("_mraw")).as("_m")))
     val joined = incoming.join(flags, Seq(config.idCol), "left")
@@ -473,7 +496,20 @@ final class Collection(
       if (curIdT.contains(strT) && !inIdT.contains(strT))
         points.withColumn(config.idCol, col(config.idCol).cast(strT))
       else points
-    val incoming = admit(curW, lastWins(encodeVectors(pointsW)), mode, filter)
+    val incoming0 = admit(curW, lastWins(encodeVectors(pointsW)), mode, filter)
+    // An admission gate references `cur` a THIRD time (the flags probe, on
+    // top of the anti-join and the union below), so a points/batch chain of
+    // mode-gated upserts grew the fold's plan 3^n-fold in chained ops —
+    // measured as multi-second PLANNING time on a 4-op wire batch over a
+    // 4-row table (r16 optimization round; guide §3.3: materialize an
+    // intermediate to truncate an enormous plan). The admitted rows are
+    // AT MOST batch-sized at any table scale, so localCheckpoint pins them
+    // in one bounded job and the next op's plan references `cur` once —
+    // linear growth. Plain upserts (no gate) never referenced `cur` from
+    // the incoming side and skip the materialization.
+    val incoming =
+      if (mode == UpdateMode.Upsert && filter.isEmpty) incoming0
+      else incoming0.localCheckpoint()
     curW.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
       .unionByName(incoming, allowMissingColumns = true)
   }
@@ -1394,14 +1430,28 @@ final class Collection(
         // single-valued fields explode a 1-element list (same ranking as
         // before). Projection/index columns are single-valued by
         // construction and keep the plain-column fast path.
-        val obCol =
-          if (df.columns.contains(config.idxCol(ob.field))) col(config.idxCol(ob.field))
-          else if (df.columns.contains(ob.field)) col(ob.field)
-          else if (r.dataTypeOf(ob.field).isDefined) explode(r.values(ob.field))
-          else throw new IllegalArgumentException(
+        val (obBase, obCol) =
+          if (df.columns.contains(config.idxCol(ob.field)))
+            (df, col(config.idxCol(ob.field)))
+          else if (df.columns.contains(ob.field)) (df, col(ob.field))
+          else if (r.dataTypeOf(ob.field).isDefined) {
+            // JSON fallback: parse the payload ONCE per row in a dedicated
+            // projection and explode over the pre-parsed variant — inlining
+            // `values(key)` into the Generate re-evaluated the full payload
+            // parse ~5× per row (the same alias-substitution trap the
+            // aggregate-shaped VARIANT queries document; measured on the
+            // r16 plan capture of scroll_orderby_datetime). CollapseProject
+            // keeps the parse in its own ProjectExec because the parsed
+            // column is multi-referenced and try_parse_json is not "cheap".
+            val pdf = df.withColumn("_obpv",
+              try_parse_json(col(config.payloadCol)))
+            val pr = new JsonResolver(col("_obpv"), config.payloadTypes,
+              col(config.idCol), preParsed = true)
+            (pdf, explode(pr.values(ob.field)))
+          } else throw new IllegalArgumentException(
             s"order_by key '${ob.field}' needs a declared payload type, " +
               "a field index, or a physical column")
-        val wdf = df.withColumn("_ob", obCol)
+        val wdf = obBase.withColumn("_ob", obCol)
         graft.ops.Reads.scrollByField(wdf, config.idCol, "_ob", ob.asc,
           spec.filter, resolver(wdf), ob.startFrom, spec.limit, proj)
     })

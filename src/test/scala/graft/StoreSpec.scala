@@ -1200,6 +1200,41 @@ class StoreSpec extends SparkTestBase {
     assert(c.rewriteCount == 3L)
   }
 
+  test("chained mode-gated upserts in ONE batch compose sequentially (linear fold plan)") {
+    // r16 optimization: an admission gate's membership probe used to
+    // reference the evolving fold plan three times, so a points/batch chain
+    // of mode-gated upserts grew the write plan 3^n-fold; the admitted rows
+    // now pin via localCheckpoint (and the local-batch probe compiles to a
+    // pushable id IN (...)). This test pins the SEMANTICS the restructure
+    // must preserve: each op observes every earlier op's effect, exactly
+    // one table rewrite commits.
+    import spark.implicits._
+    import graft.storage.{UpdateMode, UpdateOp}
+    def pt(id: Long, tag: String) =
+      Seq((id, Seq(0f, 0f, 0f, 1f), s"""{"city":"$tag"}"""))
+        .toDF("id", "vector", "payload")
+    val c = mk(tmpDir()) // ids 1..3
+    c.applyBatch(Seq(
+      UpdateOp.Upsert(pt(10L, "seed")),                       // inserts
+      UpdateOp.Upsert(pt(10L, "skip"), UpdateMode.InsertOnly), // exists → skipped
+      UpdateOp.Upsert(pt(11L, "ins"), UpdateMode.InsertOnly),  // new → inserts
+      UpdateOp.Upsert(pt(11L, "upd"), UpdateMode.UpdateOnly),  // exists (from op 3!) → updates
+      UpdateOp.Upsert(pt(12L, "skip"), UpdateMode.UpdateOnly), // new → skipped
+      UpdateOp.UpsertConditional(pt(10L, "cond"),
+        Filter.mustAll(MatchValue("city", "seed")), UpdateMode.UpdateOnly),
+      UpdateOp.UpsertConditional(pt(11L, "nocond"),
+        Filter.mustAll(MatchValue("city", "seed")), UpdateMode.UpdateOnly)))
+    assert(c.rewriteCount == 1L,
+      s"chained batch must commit once, saw ${c.rewriteCount}")
+    val cities = c.read().collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!cities.contains(12L), "update_only must not insert")
+    assert(cities(10L).contains("cond"),
+      s"op6 should see op1's seed and update: ${cities(10L)}")
+    assert(cities(11L).contains("upd"),
+      s"op7's condition must observe op4's overwrite (city != seed): ${cities(11L)}")
+  }
+
   test("id widening is symmetric: numeric points onto a string-id table compare as strings") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
