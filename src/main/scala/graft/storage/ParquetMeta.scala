@@ -49,17 +49,19 @@ private[graft] object ParquetMeta {
 
   /** Read `path` as parquet with the memoized schema when current —
     * skipping per-call footer inference — or infer-and-memoize on first
-    * touch / after a bump. */
+    * touch / after a bump. A miss returns the inferring DataFrame itself
+    * (one path resolution, not infer + re-read) — fresh-path-per-call
+    * workloads like the streaming micro-batch stores stay at exactly the
+    * pre-memo cost. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val v = version(path)
     val cached = schemas.get(path)
-    val schema =
-      if (cached != null && cached._1 == v) cached._2
-      else {
-        val s = spark.read.parquet(path).schema
-        schemas.put(path, (v, s))
-        s
-      }
-    spark.read.schema(schema).parquet(path)
+    if (cached != null && cached._1 == v)
+      spark.read.schema(cached._2).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemas.put(path, (v, df.schema))
+      df
+    }
   }
 }
