@@ -264,6 +264,41 @@ object ScaleProbe {
       "a failing single-op request must not rewrite the table")
   }
 
+  /** r16 optimization probe: a CHAINED mode-gated upsert batch at scale —
+    * 4 ops (plain, insert_only, update_only, update_only+filter) in one
+    * wire request against the shard-scaled collection, all scoped to one
+    * tenant. Pins the r16 fold linearization: each gate costs one
+    * id-IN-pruned probe (row-group-skipped on the id-clustered layout) +
+    * one bounded localCheckpoint of the ≤300 admitted rows, and the commit
+    * rewrites ONE tenant directory — before the fix the fold plan grew
+    * 3^n-fold in chained gated ops. Flat-ish across multipliers = pass. */
+  private def modeUpsertChainScaled(s: SparkSession): Unit = {
+    val coll = new graft.storage.Collection(s, shardScaledPath, shardScaledCfg)
+    def pts(tag: String, lo: Int, hi: Int) = (lo until hi).map(i =>
+      s"""{"id": ${910000000L + i}, "payload": {"lang": "$tag", """ +
+        s""""n_chars": $i}, "shard_key": "t03"}""").mkString(", ")
+    graft.api.UpdateBridge.applyJson(coll,
+      s"""{"operations": [
+         |  {"upsert": {"points": [${pts("aa", 0, 200)}]}},
+         |  {"upsert": {"update_mode": "insert_only",
+         |    "points": [${pts("bb", 100, 300)}]}},
+         |  {"upsert": {"update_mode": "update_only",
+         |    "points": [${pts("cc", 200, 400)}]}},
+         |  {"upsert": {"update_mode": "update_only",
+         |    "update_filter": {"must": [{"key": "lang", "match": {"value": "aa"}}]},
+         |    "points": [${pts("dd", 0, 300)}]}}
+         |]}""".stripMargin)
+    // composition check: 0-199 seeded aa; insert_only adds 200-299 as bb;
+    // update_only flips 200-299 to cc; the conditional flips exactly the
+    // still-aa rows (0-199) to dd — every rep re-seeds, so this is stable
+    val got = coll.scroll(
+      """{"shard_key": "t03", "limit": 500, "with_payload": false,
+        |  "filter": {"must": [{"key": "lang", "match": {"value": "dd"}}]}}"""
+        .stripMargin).count()
+    require(got == 200L,
+      s"mode-chain composition at scale: dd count $got, want 200")
+  }
+
   private def wireUpsertScaled(s: SparkSession): Unit = {
     val coll = new graft.storage.Collection(s, shardScaledPath, shardScaledCfg)
     val pts = (0 until 1000).map { i =>
@@ -463,6 +498,7 @@ object ScaleProbe {
           .count(shardEstJson).count(): Unit
       case "wire_upsert_scaled" => wireUpsertScaled(spark)
       case "update_404_scaled" => update404Scaled(spark)
+      case "mode_upsert_chain_scaled" => modeUpsertChainScaled(spark)
       case "ts_sidecar_scaled_build" =>
         tsScaledCreate(spark, outDir).count(tsEstJson).count(): Unit
       case "ts_estimate_scaled_warm" =>
@@ -535,7 +571,7 @@ object ScaleProbe {
       "ts_sidecar_scaled_build", "ts_estimate_scaled_warm",
       "facet_typed_scaled_warm",
       "shard_sidecar_scaled_build", "shard_estimate_scaled_warm",
-      "wire_upsert_scaled", "update_404_scaled",
+      "wire_upsert_scaled", "update_404_scaled", "mode_upsert_chain_scaled",
       "dense_scaled_build", "byid_query_scaled", "rawvec_query_scaled",
       "facet_filtered_estimate_scaled_warm",
       "geo_scaled_build", "geo_plain_scaled_build",

@@ -445,7 +445,11 @@ final class Collection(
     val matchCol = filter.map(f => coalesce(pred(cur, f), lit(false)))
       .getOrElse(lit(false))
     val probed = localIds match {
-      case Some(ids) if ids.nonEmpty =>
+      // literal-count cap: a six-digit id list would make the IN
+      // expression itself the planning cost — past it the broadcast
+      // semi-join is the better shape anyway (the build side is still
+      // just the batch ids)
+      case Some(ids) if ids.nonEmpty && ids.length <= 10000 =>
         cur.filter(col(config.idCol).isin(ids: _*))
       case _ =>
         cur.join(broadcast(batchIds), Seq(config.idCol), "left_semi")
