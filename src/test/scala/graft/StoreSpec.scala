@@ -1235,6 +1235,66 @@ class StoreSpec extends SparkTestBase {
       s"op7's condition must observe op4's overwrite (city != seed): ${cities(11L)}")
   }
 
+  test("bulk by-id resolution: one probe job, first-missing-id error order preserved") {
+    // r17 optimization: by-id vector inputs (recommend/discover/context/
+    // feedback/MMR examples) resolve through ONE id-IN-pruned probe per
+    // request instead of one Spark job per referenced id. This test pins
+    // the semantics the bulk path must preserve: (a) with SEVERAL missing
+    // ids, the FIRST in parse order names the error (the reference's
+    // per-id discovery order); (b) a present point lacking the vector
+    // raises the vector-name shape, still in parse order; (c) results and
+    // the referenced-id exclusion are unchanged; (d) the whole resolution
+    // costs one job, not one per id.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val c = Collection.create(spark, tmpDir(),
+      CollectionConfig(idCol = "id", vectors = Seq(VectorConfig("", 2, Dot))),
+      spark.range(10).toDF("id")
+        .withColumn("vector",
+          when(col("id") =!= 5L, array(lit(1.0f), col("id").cast("float"))))
+        .withColumn("payload", lit("""{"k":1}""")))
+    def err(json: String): String =
+      intercept[IllegalArgumentException](c.query(json)).getMessage
+    // two missing ids: parse order picks the FIRST (777 before 888)...
+    assert(err("""{"query": {"recommend": {"positive": [1, 777, 888]}}}""")
+      .contains("No point with id 777"))
+    // ...and flipping the order flips the error
+    assert(err("""{"query": {"recommend": {"positive": [1, 888, 777]}}}""")
+      .contains("No point with id 888"))
+    // a null-vector point earlier in parse order wins over a later missing id
+    assert(err("""{"query": {"recommend": {"positive": [5, 777]}}}""")
+      .contains("Vector with name"))
+    // a missing id earlier in parse order wins over a later null-vector point
+    assert(err("""{"query": {"recommend": {"positive": [777, 5]}}}""")
+      .contains("No point with id 777"))
+    // happy path: many ids, ONE resolution job, examples excluded from hits
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = c.query(
+        """{"query": {"recommend": {"positive": [1, 2, 3], "negative": [4]}},
+          |  "limit": 10}""".stripMargin)
+      // listener delivery is async: wait until the count is stable
+      var last = -1
+      var waited = 0
+      while (jobs.get() != last && waited < 5000) {
+        last = jobs.get(); Thread.sleep(200); waited += 200
+      }
+      val resolveJobs = jobs.get()
+      assert(resolveJobs <= 2,
+        s"by-id resolution should be ONE bulk probe, saw $resolveJobs jobs")
+      val ids = df.collect().map(_.getLong(0)).toSet
+      assert(Set(1L, 2L, 3L, 4L).intersect(ids).isEmpty,
+        s"referenced ids must be excluded from results: $ids")
+      assert(ids.nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("id widening is symmetric: numeric points onto a string-id table compare as strings") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
